@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: run Verify's parquet
+dumps against DuckDB executing oracle_sql.json on the same sf tables.
+Columns sorted by name, rows sorted, exact value compare."""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+oracles = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True,
+                        key=lambda s: s.astype(str))
+    return df
+
+results = {}
+for d in sorted(glob.glob(f"{OUT_DIR}/*/")):
+    name = os.path.basename(d.rstrip("/"))
+    try:
+        got = pd.read_parquet(d)
+    except Exception as e:
+        results[name] = f"READ-FAIL {e}"
+        continue
+    if name not in oracles:
+        results[name] = f"rows-only ({len(got)} rows)" + (" EMPTY!" if len(got) == 0 else "")
+        continue
+    try:
+        want = con.execute(oracles[name]).df()
+    except Exception as e:
+        results[name] = f"ORACLE-SQL-FAIL {e}"
+        continue
+    g, w = canon(got), canon(want)
+    if list(g.columns) != list(w.columns):
+        results[name] = f"SCHEMA-MISMATCH got={list(g.columns)} want={list(w.columns)}"
+        continue
+    if len(g) != len(w):
+        results[name] = f"ROWCOUNT got={len(g)} want={len(w)}"
+        continue
+    mismatch = None
+    for c in g.columns:
+        gv, wv = g[c], w[c]
+        try:
+            if gv.dtype.kind == 'f' or wv.dtype.kind == 'f':
+                import numpy as np
+                ga, wa = gv.to_numpy(dtype=float), wv.to_numpy(dtype=float)
+                neq = ~((ga == wa) | (pd.isna(ga) & pd.isna(wa)))
+            else:
+                neq = ~((gv.astype(str) == wv.astype(str)) | (gv.isna() & wv.isna()))
+        except Exception as e:
+            mismatch = f"col {c}: compare error {e}"
+            break
+        if neq.any():
+            i = int(neq.idxmax()) if hasattr(neq, 'idxmax') else int(neq.argmax())
+            mismatch = (f"col {c}: {int(neq.sum())} diffs, first at row {i}: "
+                        f"got={gv.iloc[i]!r} want={wv.iloc[i]!r}")
+            break
+    results[name] = "OK" if mismatch is None else f"VALUE-MISMATCH {mismatch}"
+
+for name in sorted(set(list(results) + [k for k in oracles if k not in results])):
+    if name not in results:
+        results[name] = "NO-PARQUET-OUTPUT"
+    print(f"{name:28s} {results[name]}")
+
+n_ok = sum(1 for v in results.values() if v == "OK" or v.startswith("rows-only"))
+print(f"\n{n_ok}/{len(results)} pass")

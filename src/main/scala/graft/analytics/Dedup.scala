@@ -1,0 +1,129 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import HashFunctions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design (the 100 TB story):
+  *  - exact dedup groups by a 256-bit content hash, never by the full
+  *    text — the shuffle moves 32 bytes + id per row, not documents;
+  *  - MinHash/SimHash signatures are computed row-locally (one pass,
+  *    no shuffle), and only the tiny (band, doc_id) pairs shuffle for
+  *    LSH bucketing — candidate verification joins signatures, not
+  *    documents;
+  *  - every stage is expressed with higher-order array functions so the
+  *    whole signature computation stays inside one codegen'd project.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct content, keeping the smallest id.
+    * Returns (keep_id, dup_count). GroupBy on sha2(text) — at cluster
+    * scale the 600-char document never shuffles, only its digest.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+      .select(col("keep_id"), col("dup_count"))
+
+  /** Word n-gram shingles, lowercase — one-pass custom expression
+    * ([[Shingles]]); a higher-order-function formulation re-tokenizes
+    * per lambda element and collapses badly (see HashExpressions).
+    */
+  def wordShingles(text: Column, n: Int): Column = word_shingles(text, n)
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * Pipeline: shingle → signature (row-local) → explode bands →
+    * group by band bucket → intra-bucket pairs → exact Jaccard verify
+    * on shingle sets → threshold. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b, deduplicated across buckets.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3, numHashes: Int = 128,
+                   numBands: Int = 16, threshold: Double = 0.8,
+                   charGrams: Boolean = false): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val shingled = df.select(
+      col(idCol).as("doc_id"),
+      (if (charGrams) char_shingles(col(textCol), shingleSize)
+       else word_shingles(col(textCol), shingleSize)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val signed = shingled.select(
+      col("doc_id"),
+      minhash_bands(col("shingles"), numHashes, numBands).as("bands"))
+
+    // Only (band_id, band_hash, id) shuffles for bucketing — the
+    // signatures and shingles never leave their partition.
+    val buckets = signed
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_id", "band_hash")))
+      .groupBy(col("band_id"), col("band_hash"))
+      .agg(collect_set(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+
+    val pairs = buckets
+      .select(explode(pairCombinations(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+
+    val sh = shingled.select(col("doc_id"), col("shingles"))
+    pairs
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "id_a", "shingles" -> "sh_a")), "id_a")
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "id_b", "shingles" -> "sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Character n-grams — one-pass custom expression. */
+  def charNgrams(text: Column, n: Int): Column = char_shingles(text, n)
+
+  /** All unordered pairs (a < b) from an id array — SQL-level combinat-
+    * orics so pair generation happens where the bucket lives.
+    */
+  def pairCombinations(ids: Column): Column = {
+    val sorted = array_sort(ids)
+    flatten(transform(sorted, (a, i) =>
+      transform(slice(sorted, i + 2, size(sorted)), b =>
+        struct(a.as("a"), b.as("b")))))
+  }
+
+  /** SimHash near-duplicates: 64-bit signature, candidates via 4×16-bit
+    * band blocking (two signatures within hamming distance k must share
+    * a band when k < 4), verified with bit_count(xor) ≤ maxHamming.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("doc_id"),
+      simhash64(split(lower(trim(col(textCol))), "\\s+")).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("band_val"))): _*))
+        .as("band"))
+    val buckets = banded.groupBy(col("band"))
+      .agg(collect_set(struct(col("doc_id"), col("sig"))).as("members"))
+      .filter(size(col("members")) > 1)
+    buckets
+      .select(explode(pairCombinations(col("members"))).as("p"))
+      .select(col("p.a.doc_id").as("id_a"), col("p.a.sig").as("sig_a"),
+        col("p.b.doc_id").as("id_b"), col("p.b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+  }
+
+  /** N-gram Jaccard similarity pairs: exact verification over character
+    * trigram sets with MinHash-LSH candidate generation (the scale
+    * path — brute-force pairing is quadratic and never runs).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.9): DataFrame =
+    minhashPairs(df, idCol, textCol, shingleSize = n, threshold = threshold,
+      charGrams = true)
+}

@@ -1,0 +1,285 @@
+package graft.analytics
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic hashing primitives for the dedup/fingerprint layer.
+  * FNV-1a and the polynomial rolling hash are textbook public-domain
+  * algorithms; SimHash follows Charikar (STOC 2002) as popularized for
+  * near-dup detection in Manku et al. (WWW 2007).
+  */
+object Hashing {
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  def fnv1a(bytes: Array[Byte]): Long = {
+    var h = FnvOffset
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= FnvPrime; i += 1 }
+    h
+  }
+
+  def fnv1a(s: String): Long = fnv1a(s.getBytes("UTF-8"))
+
+  /** 64-bit SimHash over token hashes: per-bit vote of each token's
+    * FNV hash, sign of the vote becomes the output bit.
+    */
+  def simhash(tokens: Iterator[String]): Long = {
+    val votes = new Array[Int](64)
+    while (tokens.hasNext) {
+      val h = fnv1a(tokens.next())
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Polynomial (Rabin–Karp) rolling hash of the whole string — the
+    * document fingerprint. base 1000003, wrap-around mod 2^64.
+    */
+  def rollingHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = h * 1000003L + s.charAt(i); i += 1 }
+    h
+  }
+}
+
+/** simhash64(array<string>) → long */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash64"
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val it = (0 until arr.numElements()).iterator
+      .map(i => arr.getUTF8String(i)).filter(_ != null).map(_.toString)
+    Hashing.simhash(it)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** rolling_fingerprint(string) → long */
+case class RollingFingerprint(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "rolling_fingerprint"
+  override def nullSafeEval(v: Any): Any =
+    Hashing.rollingHash(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** splitmix64 — the standard 64-bit mixer (Vigna 2015, public domain);
+  * used to derive the per-permutation hash family for MinHash.
+  */
+object SplitMix64 {
+  def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+}
+
+/** word_shingles(text, n) / char_shingles(text, n) → array<string>:
+  * distinct lowercase n-gram shingles, computed in ONE pass per row.
+  * A higher-order-function formulation re-evaluates the tokenizer per
+  * lambda element (O(tokens²) per row) and is vulnerable to Catalyst
+  * project-collapse duplicating the whole subtree into each of the 128
+  * MinHash lambdas — this expression is the scale-safe path.
+  */
+case class Shingles(child: Expression, n: Int, chars: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType)
+  override def nullable: Boolean = true
+  override def prettyName: String = if (chars) "char_shingles" else "word_shingles"
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString.trim.toLowerCase
+    val out = new java.util.LinkedHashSet[String]()
+    if (chars) {
+      if (s.length < n) out.add(s)
+      else { var i = 0; while (i <= s.length - n) { out.add(s.substring(i, i + n)); i += 1 } }
+    } else {
+      val tokens = s.split("\\s+")
+      if (tokens.length < n) { if (s.nonEmpty) out.add(tokens.mkString(" ")) }
+      else {
+        var i = 0
+        while (i <= tokens.length - n) {
+          out.add(tokens.slice(i, i + n).mkString(" ")); i += 1
+        }
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** minhash_bands(shingles, numHashes, numBands) → array<long>.
+  *
+  * One pass: each shingle is FNV-hashed once; permutation i applies the
+  * splitmix64-derived affine family `a_i*h + b_i`; per-band signature
+  * rows are folded into a single band hash. O(S·K) with K cheap mixes,
+  * no per-element expression re-evaluation.
+  */
+case class MinHashBands(child: Expression, numHashes: Int, numBands: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numHashes % numBands == 0, "numHashes must divide into bands")
+  override def dataType: DataType = ArrayType(LongType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_bands"
+  private lazy val as: Array[Long] =
+    Array.tabulate(numHashes)(i => SplitMix64.mix(2L * i) | 1L)
+  private lazy val bs: Array[Long] =
+    Array.tabulate(numHashes)(i => SplitMix64.mix(2L * i + 1))
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var s = 0
+    while (s < arr.numElements()) {
+      val sh = arr.getUTF8String(s)
+      if (sh != null) {
+        val h = Hashing.fnv1a(sh.getBytes)
+        var i = 0
+        while (i < numHashes) {
+          val g = as(i) * h + bs(i)
+          if (g < sig(i)) sig(i) = g
+          i += 1
+        }
+      }
+      s += 1
+    }
+    val rows = numHashes / numBands
+    val bands = new Array[Any](numBands)
+    var b = 0
+    while (b < numBands) {
+      var h = Hashing.FnvOffset
+      var r = 0
+      while (r < rows) {
+        h = (h ^ sig(b * rows + r)) * Hashing.FnvPrime
+        r += 1
+      }
+      bands(b) = h
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bands)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** l2_normalize(array<float|double>) → array<double>, one pass. */
+case class L2Normalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2_normalize"
+  private def toDouble(a: Any): Double = a match {
+    case f: java.lang.Float => f.toDouble
+    case d: java.lang.Double => d
+    case n: Number => n.doubleValue()
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Double](n)
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    var i = 0
+    var ss = 0.0
+    while (i < n) {
+      val x = et match {
+        case FloatType => arr.getFloat(i).toDouble
+        case DoubleType => arr.getDouble(i)
+        case _ => toDouble(arr.get(i, et))
+      }
+      out(i) = x; ss += x * x; i += 1
+    }
+    val norm = math.sqrt(ss)
+    if (norm > 0) { i = 0; while (i < n) { out(i) /= norm; i += 1 } }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.map(java.lang.Double.valueOf(_): Any))
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** dot_product(array<double>, array<double>) → double, one pass. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_product"
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** hyperplane_bucket(array<double>, numPlanes) → long: Charikar
+  * random-hyperplane sketch with splitmix64-derived pseudo-random plane
+  * components — recomputable on any executor, no model state.
+  */
+case class HyperplaneBucket(child: Expression, numPlanes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hyperplane_bucket"
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        val r = SplitMix64.mix(p.toLong * 1000003L + j).toDouble / Long.MaxValue.toDouble
+        dot += arr.getDouble(j) * r
+        j += 1
+      }
+      bucket = (bucket << 1) | (if (dot >= 0) 1L else 0L)
+      p += 1
+    }
+    bucket
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object HashFunctions {
+  def simhash64(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
+  def rolling_fingerprint(c: Column): Column =
+    Bridge.column(RollingFingerprint(Bridge.expression(c)))
+  def word_shingles(c: Column, n: Int): Column =
+    Bridge.column(Shingles(Bridge.expression(c), n, chars = false))
+  def char_shingles(c: Column, n: Int): Column =
+    Bridge.column(Shingles(Bridge.expression(c), n, chars = true))
+  def minhash_bands(c: Column, numHashes: Int, numBands: Int): Column =
+    Bridge.column(MinHashBands(Bridge.expression(c), numHashes, numBands))
+  def l2_normalize(c: Column): Column =
+    Bridge.column(L2Normalize(Bridge.expression(c)))
+  def dot_product(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  def hyperplane_bucket(c: Column, numPlanes: Int): Column =
+    Bridge.column(HyperplaneBucket(Bridge.expression(c), numPlanes))
+}

@@ -1,0 +1,228 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import com.fasterxml.jackson.databind.node.JsonNodeFactory
+
+/** Catalyst expressions over canonical-JSON string columns.
+  *
+  * These are the "custom `Expression` earns its keep" cases from
+  * SURVEY §4: the reference's field processors mutate dynamic payloads
+  * at a sub-path, which Spark's built-in `functions` cannot express for
+  * schemaless JSON strings (`withField` needs a typed struct). They are
+  * `CodegenFallback` — the JSON parse dominates, codegen would not pay.
+  * Everything around them (filters, projections, joins) stays inside
+  * WholeStageCodegen.
+  */
+object JsonExpressions {
+  private val F = JsonNodeFactory.instance
+
+  private def str(v: Any): String =
+    if (v == null) null else v.asInstanceOf[UTF8String].toString
+  private def utf8(s: String): UTF8String =
+    if (s == null) null else UTF8String.fromString(s)
+
+  /** field.set — set a (string-rendered) value at a JSON sub-path,
+    * creating missing intermediates; null/absent document becomes a
+    * fresh object (reference `field/set.go:89-106`). When `rawJson` the
+    * value is parsed and grafted as a JSON subtree instead of a string.
+    */
+  case class JsonSetField(left: Expression, right: Expression,
+                          path: Seq[String], rawJson: Boolean = false)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "json_set_field"
+    override def eval(input: InternalRow): Any = {
+      val json = str(left.eval(input))
+      val value = str(right.eval(input))
+      val valueNode =
+        if (value == null) F.nullNode()
+        else if (rawJson) JsonOps.parseOrEmpty(value)
+        else F.textNode(value)
+      if (path.isEmpty) {
+        // whole-slot assignment: the rendered value replaces the slot
+        if (value == null) null
+        else if (rawJson) utf8(JsonOps.render(valueNode))
+        else utf8(value)
+      } else {
+        val root = if (json == null) F.objectNode() else JsonOps.parseOrEmpty(json)
+        utf8(JsonOps.render(JsonOps.set(root, path, valueNode)))
+      }
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  /** field.exclude — drop sub-paths (reference `field/exclude.go:83`). */
+  case class JsonDropFields(child: Expression, paths: Seq[Seq[String]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "json_drop_fields"
+    override def nullSafeEval(v: Any): Any = {
+      var node = JsonOps.parseOrEmpty(v.asInstanceOf[UTF8String].toString)
+      paths.foreach { p => node = JsonOps.drop(node, p) }
+      utf8(JsonOps.render(node))
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** field.rename — rename fields preserving order
+    * (reference `field/rename.go:114`).
+    */
+  case class JsonRenameFields(child: Expression, renames: Seq[(Seq[String], String)])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "json_rename_fields"
+    override def nullSafeEval(v: Any): Any = {
+      var node = JsonOps.parseOrEmpty(v.asInstanceOf[UTF8String].toString)
+      renames.foreach { case (p, n) => node = JsonOps.rename(node, p, n) }
+      utf8(JsonOps.render(node))
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** field.convert — cast the node at a sub-path via the reference's
+    * string-intermediary rules (`field/convert.go:105-153`). Returns
+    * `struct(value, error)` so a failed parse flows to the DLQ channel
+    * instead of throwing (SURVEY §7 "every transform must be total").
+    */
+  case class JsonConvertField(child: Expression, path: Seq[String], targetType: String)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("value", StringType), StructField("error", StringType)))
+    override def nullable: Boolean = false
+    override def prettyName: String = "json_convert_field"
+    override def eval(input: InternalRow): Any = {
+      val v = str(child.eval(input))
+      if (v == null) return new GenericInternalRow(Array[Any](null, null))
+      val root = JsonOps.parseOrEmpty(v)
+      if (path.nonEmpty && JsonOps.get(root, path).isEmpty)
+        return new GenericInternalRow(Array[Any](utf8(v), null))
+      val target = if (path.isEmpty) root else JsonOps.get(root, path).orNull
+      JsonOps.convert(target, targetType) match {
+        case Right(converted) =>
+          val out = JsonOps.render(JsonOps.set(root, path, converted))
+          new GenericInternalRow(Array[Any](utf8(out), null))
+        case Left(err) =>
+          new GenericInternalRow(Array[Any](utf8(v), utf8(err)))
+      }
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** json.decode — parse the (raw string) node at a sub-path into a
+    * structured subtree; whole-slot parse canonicalizes the document
+    * (reference `impl/json/decode.go:78`). Malformed JSON yields
+    * `struct(value=original, error=msg)` → DLQ, mirroring ErrorRecord.
+    */
+  case class JsonParseField(child: Expression, path: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("value", StringType), StructField("error", StringType)))
+    override def nullable: Boolean = false
+    override def prettyName: String = "json_parse_field"
+    override def eval(input: InternalRow): Any = {
+      val v = str(child.eval(input))
+      if (v == null) return new GenericInternalRow(Array[Any](null, null))
+      try {
+        if (path.isEmpty) {
+          new GenericInternalRow(Array[Any](utf8(JsonOps.render(JsonOps.parse(v))), null))
+        } else {
+          val root = JsonOps.parseOrEmpty(v)
+          JsonOps.get(root, path) match {
+            case None => new GenericInternalRow(Array[Any](utf8(v), null))
+            case Some(n) =>
+              val text = if (n.isTextual) n.asText() else JsonOps.render(n)
+              val parsed = JsonOps.parse(text)
+              val out = JsonOps.render(JsonOps.set(root, path, parsed))
+              new GenericInternalRow(Array[Any](utf8(out), null))
+          }
+        }
+      } catch {
+        case e: Exception =>
+          new GenericInternalRow(Array[Any](utf8(v), utf8(s"failed to decode JSON: ${e.getMessage}")))
+      }
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Extract the node at a sub-path as its canonical JSON text, or null.
+    * Unlike `get_json_object` this keeps string values quoted when
+    * `raw=false`; with `raw=true` string nodes render unquoted (the
+    * reference's RawData rendering, used by unwrap.debezium keys).
+    */
+  case class JsonGetField(child: Expression, path: Seq[String], raw: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "json_get_field"
+    override def nullSafeEval(v: Any): Any = {
+      val root = JsonOps.parseOrEmpty(v.asInstanceOf[UTF8String].toString)
+      JsonOps.get(root, path) match {
+        case Some(n) if n.isNull => null
+        case Some(n) if raw && n.isTextual => utf8(n.asText())
+        case Some(n) => utf8(JsonOps.render(n))
+        case None => null
+      }
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** split — the array at the sub-path, one output element per array
+    * entry, each the full document with the element replacing the array
+    * (reference `impl/split.go:91-120`). Null when the field is not an
+    * array (the processor turns that into an error record).
+    */
+  case class JsonSplitField(child: Expression, path: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType)
+    override def nullable: Boolean = true
+    override def prettyName: String = "json_split_field"
+    override def nullSafeEval(v: Any): Any = {
+      val root = JsonOps.parseOrEmpty(v.asInstanceOf[UTF8String].toString)
+      JsonOps.get(root, path) match {
+        case Some(arr) if arr.isArray =>
+          val out = new Array[Any](arr.size())
+          var i = 0
+          while (i < arr.size()) {
+            out(i) = utf8(JsonOps.render(JsonOps.set(root, path, arr.get(i))))
+            i += 1
+          }
+          new GenericArrayData(out)
+        case _ => null
+      }
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  // ---- Column-level API ----------------------------------------------
+  private def col(e: Expression): Column = Bridge.column(e)
+  private def ex(c: Column): Expression = Bridge.expression(c)
+
+  def jsonSet(json: Column, path: Seq[String], value: Column,
+              rawJson: Boolean = false): Column =
+    col(JsonSetField(ex(json), ex(value), path, rawJson))
+  def jsonDrop(json: Column, paths: Seq[Seq[String]]): Column =
+    col(JsonDropFields(ex(json), paths))
+  def jsonRename(json: Column, renames: Seq[(Seq[String], String)]): Column =
+    col(JsonRenameFields(ex(json), renames))
+  def jsonConvert(json: Column, path: Seq[String], targetType: String): Column =
+    col(JsonConvertField(ex(json), path, targetType))
+  def jsonGet(json: Column, path: Seq[String], raw: Boolean = false): Column =
+    col(JsonGetField(ex(json), path, raw))
+  def jsonParse(json: Column, path: Seq[String]): Column =
+    col(JsonParseField(ex(json), path))
+  def jsonSplit(json: Column, path: Seq[String]): Column =
+    col(JsonSplitField(ex(json), path))
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, StringType}
+
+import graft.model.{Cdc, Ref}
+import graft.model.Ref._
+import graft.functions.JsonExpressions._
+
+/** `json.decode` — parse raw JSON text into structured data at a ref
+  * (reference `impl/json/decode.go:78`). Whole-slot decode also folds
+  * the raw binary sibling for `.Key`. Malformed JSON → `_error`.
+  */
+case class JsonDecode(ref: Ref) extends ColumnProcessor {
+  val plugin = "json.decode"
+  override def rewrites(df: DataFrame): Map[String, Column] = {
+    val slot = RefCols.column(ref)
+    val source = ref match {
+      case KeyRef(Seq()) =>
+        coalesce(col(Cdc.Key), col(Cdc.KeyRaw).cast(StringType))
+      case _ => col(slot)
+    }
+    val parsed = jsonParse(source, ref.sub)
+    val base = Map(
+      slot -> parsed.getField("value"),
+      Cdc.Error -> coalesce(col(Cdc.Error), parsed.getField("error")))
+    if (ref == KeyRef(Nil)) base + (Cdc.KeyRaw -> lit(null).cast(BinaryType))
+    else base
+  }
+}
+
+/** `json.encode` — structured data at a ref → compact JSON text
+  * (reference `impl/json/encode.go:77`). A sub-field becomes a JSON
+  * string node; a whole slot canonicalizes to its compact rendering.
+  */
+case class JsonEncode(ref: Ref) extends ColumnProcessor {
+  val plugin = "json.encode"
+  override def rewrites(df: DataFrame): Map[String, Column] = {
+    val slot = RefCols.column(ref)
+    ref.sub match {
+      case Seq() => Map(slot -> jsonGet(col(slot), Nil, raw = false))
+      case sub =>
+        Map(slot -> jsonSet(col(slot), sub, jsonGet(col(slot), sub, raw = false)))
+    }
+  }
+}
+
+/** `base64.encode` — field value → base64 text (reference
+  * `impl/base64/encode.go:79`; Go `base64.StdEncoding` ≡ Spark
+  * `base64`, same alphabet, no line wrapping).
+  */
+case class Base64Encode(ref: Ref) extends ColumnProcessor {
+  val plugin = "base64.encode"
+  override def rewrites(df: DataFrame): Map[String, Column] = ref match {
+    case MetadataRef(Seq(k)) =>
+      Map(Cdc.Metadata -> RefCols.metaSet(col(Cdc.Metadata), k,
+        base64(col(Cdc.Metadata).getItem(k).cast(BinaryType))))
+    case r =>
+      val slot = RefCols.column(r)
+      r.sub match {
+        case Seq() => Map(slot -> base64(col(slot).cast(BinaryType)))
+        case sub => Map(slot -> jsonSet(col(slot), sub,
+          base64(jsonGet(col(slot), sub, raw = true).cast(BinaryType))))
+      }
+  }
+}
+
+/** `base64.decode` — base64 text → raw string (reference
+  * `impl/base64/decode.go:76`).
+  */
+case class Base64Decode(ref: Ref) extends ColumnProcessor {
+  val plugin = "base64.decode"
+  override def rewrites(df: DataFrame): Map[String, Column] = ref match {
+    case MetadataRef(Seq(k)) =>
+      Map(Cdc.Metadata -> RefCols.metaSet(col(Cdc.Metadata), k,
+        unbase64(col(Cdc.Metadata).getItem(k)).cast(StringType)))
+    case r =>
+      val slot = RefCols.column(r)
+      r.sub match {
+        case Seq() => Map(slot -> unbase64(col(slot)).cast(StringType))
+        case sub => Map(slot -> jsonSet(col(slot), sub,
+          unbase64(jsonGet(col(slot), sub, raw = true)).cast(StringType)))
+      }
+  }
+}

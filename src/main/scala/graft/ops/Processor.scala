@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.Cdc
+
+/** A processor is a total transform over a CDC-shaped DataFrame.
+  *
+  * The reference's processor SDK returns one of SingleRecord /
+  * FilterRecord / ErrorRecord / MultiRecord per input record
+  * (dispatch at reference `pkg/lifecycle-poc/funnel/processor.go:147-161`).
+  * In Spark these collapse into a declarative `DataFrame => DataFrame`
+  * where: transforms are column rewrites, filters are `Filter` nodes,
+  * errors set the `_error` column (routed to the DLQ by the runner),
+  * and multi-records are `explode`s. Catalyst then fuses the whole
+  * processor chain into one whole-stage-codegen'd pass — the reference
+  * runs one goroutine per processor, we run zero extra passes.
+  */
+trait Processor extends Serializable {
+  def plugin: String
+  /** Unconditional transform. Must preserve the CDC schema (plus the
+    * optional `_error` column) and never throw on bad data.
+    */
+  def transform(df: DataFrame): DataFrame
+
+  /** Conditional application (reference per-processor `condition`,
+    * `pkg/processor/processor_condition.go:29-63`): records failing the
+    * condition bypass untouched. Default = split/union; column-rewrite
+    * processors override with a cheaper `when(cond, new).otherwise(old)`.
+    */
+  def transformConditional(df: DataFrame, cond: Column): DataFrame = {
+    val base = Cdc.withErrorChannel(df)
+    val hit = transform(base.filter(coalesce(cond, lit(false))))
+    val miss = base.filter(!coalesce(cond, lit(false)))
+    Cdc.withErrorChannel(hit).unionByName(Cdc.withErrorChannel(miss))
+  }
+
+  final def apply(df: DataFrame, condition: Option[String] = None): DataFrame =
+    condition match {
+      case None => transform(df)
+      case Some(c) => transformConditional(df, Conditions.compile(c))
+    }
+}
+
+/** Record-local column-rewrite processor (SingleRecord semantics). */
+trait ColumnProcessor extends Processor {
+  /** Column rewrites; key = CDC column name. */
+  def rewrites(df: DataFrame): Map[String, Column]
+  override def transform(df: DataFrame): DataFrame = {
+    val rw = rewrites(df)
+    val base = if (rw.contains(Cdc.Error)) Cdc.withErrorChannel(df) else df
+    base.withColumns(rw)
+  }
+  override def transformConditional(df: DataFrame, cond: Column): DataFrame = {
+    val rw = rewrites(df)
+    val base = if (rw.contains(Cdc.Error)) Cdc.withErrorChannel(df) else df
+    val gated = rw.map { case (name, c) =>
+      name -> when(coalesce(cond, lit(false)), c).otherwise(col(name))
+    }
+    base.withColumns(gated)
+  }
+}
+
+/** Compiles reference-style condition / value templates to Columns.
+  *
+  * The reference evaluates Go `text/template` against the record
+  * (`pkg/processor/processor_condition.go:29-63`). We deliberately do
+  * not re-implement Go templates (SURVEY §1.5): the expression surface
+  * is Spark SQL, with reference-style field tokens (`.Metadata.foo`,
+  * `.Payload.After.x`, `.Operation`, `.Key.id`) rewritten to column
+  * expressions, plus the two prefix comparators (`eq`/`ne`) the
+  * reference's own examples use.
+  */
+object Conditions {
+  private val token = """\.(?:Payload\.(?:After|Before)|Metadata|Key|Operation|Position)(?:\.[A-Za-z_][A-Za-z0-9_.]*)?""".r
+
+  /** Rewrite reference field tokens into Spark SQL fragments. */
+  def rewriteTokens(s: String): String =
+    token.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(tokenToSql(m.matched)))
+
+  private def tokenToSql(t: String): String = {
+    import graft.model.Ref._
+    graft.model.Ref.parse(t) match {
+      case OperationRef => "operation"
+      case PositionRef => "position"
+      case MetadataRef(Seq()) => "metadata"
+      case MetadataRef(Seq(k)) => s"metadata['$k']"
+      case MetadataRef(_) => "metadata"
+      case KeyRef(Seq()) => "key"
+      case KeyRef(rest) => s"get_json_object(key, '$$.${rest.mkString(".")}')"
+      case PayloadBeforeRef(Seq()) => "payload_before"
+      case PayloadBeforeRef(rest) => s"get_json_object(payload_before, '$$.${rest.mkString(".")}')"
+      case PayloadAfterRef(Seq()) => "payload_after"
+      case PayloadAfterRef(rest) => s"get_json_object(payload_after, '$$.${rest.mkString(".")}')"
+    }
+  }
+
+  private val goPrefixCmp = """^\s*(eq|ne)\s+(\S+)\s+(.+?)\s*$""".r
+
+  /** One `{{ ... }}` body (or bare SQL) to a SQL fragment. */
+  private def bodyToSql(body: String): String = body.trim match {
+    case goPrefixCmp(op, a, b) =>
+      val sql = if (op == "eq") "=" else "<>"
+      s"(${rewriteTokens(a)} $sql ${rewriteTokens(b)})"
+    case other => rewriteTokens(other)
+  }
+
+  /** Condition string → boolean Column. Accepts `{{ expr }}` (reference
+    * style) or a bare Spark SQL boolean expression.
+    */
+  def compile(condition: String): Column = {
+    val body = condition.trim match {
+      case s if s.startsWith("{{") && s.endsWith("}}") => s.drop(2).dropRight(2)
+      case s => s
+    }
+    expr(bodyToSql(body)).cast("boolean")
+  }
+
+  private val tmpl = """\{\{(.*?)\}\}""".r
+
+  /** Value template → string Column: literal text with embedded
+    * `{{ expr }}` segments (reference `field/set.go:49-51`). Booleans
+    * and numbers render via Spark's string cast ("true"/"false", etc.).
+    */
+  def template(value: String): Column = {
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[Column]
+    var last = 0
+    for (m <- tmpl.findAllMatchIn(value)) {
+      if (m.start > last) pieces += lit(value.substring(last, m.start))
+      pieces += expr(bodyToSql(m.group(1))).cast("string")
+      last = m.end
+    }
+    if (last < value.length) pieces += lit(value.substring(last))
+    if (pieces.isEmpty) lit("")
+    else if (pieces.size == 1) pieces.head
+    else concat_ws("", pieces.toSeq: _*)
+  }
+}

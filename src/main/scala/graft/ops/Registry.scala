@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.model.Ref
+
+/** Config-compatible processor factory: plugin name + string settings →
+  * [[Processor]], mirroring the reference's builtin processor registry
+  * (`pkg/plugin/processor/builtin/registry.go`). Parameter names and
+  * defaults match the reference's exported specs
+  * (`.../exampleutil/specs/` JSON files).
+  */
+object Registry {
+  type Factory = Map[String, String] => Processor
+
+  private def ref(settings: Map[String, String], default: String = null): Ref = {
+    val f = settings.getOrElse("field",
+      if (default != null) default
+      else throw new IllegalArgumentException("missing required setting: field"))
+    Ref.parse(f)
+  }
+
+  val factories: Map[String, Factory] = Map(
+    "field.set" -> (s => FieldSet(Ref.parse(s("field")), s("value"))),
+    "field.rename" -> (s => FieldRename(
+      s("mapping").split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { pair =>
+        val Array(from, to) = pair.split(":", 2)
+        (Ref.parse(from.trim), to.trim)
+      })),
+    "field.exclude" -> (s => FieldExclude(
+      s("fields").split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(Ref.parse))),
+    "field.convert" -> (s => FieldConvert(Ref.parse(s("field")), s("type"))),
+    "json.decode" -> (s => JsonDecode(ref(s))),
+    "json.encode" -> (s => JsonEncode(ref(s))),
+    "base64.encode" -> (s => Base64Encode(ref(s))),
+    "base64.decode" -> (s => Base64Decode(ref(s))),
+    "filter" -> (_ => FilterProc()),
+    "error" -> (s => ErrorProc(s.getOrElse("message", "error processor triggered"))),
+    "clone" -> (s => CloneProc(s("count").trim.toInt)),
+    "split" -> (s => SplitProc(ref(s))),
+    "unwrap.debezium" -> (s => UnwrapDebezium(ref(s, ".Payload.After"))),
+    "unwrap.kafkaconnect" -> (s => UnwrapKafkaConnect(ref(s, ".Payload.After"))),
+    "unwrap.opencdc" -> (s => UnwrapOpencdc(ref(s, ".Payload.After")))
+  )
+
+  def create(plugin: String, settings: Map[String, String]): Processor =
+    factories.getOrElse(plugin,
+      throw new IllegalArgumentException(s"unknown processor plugin: $plugin"))(settings)
+
+  def plugins: Set[String] = factories.keySet
+}

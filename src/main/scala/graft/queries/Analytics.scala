@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Dedup, Multimodal, Similarity, Text}
+
+/** Training-data pipeline queries (dedup / similarity / text /
+  * multimodal). SQL-expressible ones carry DuckDB oracles; the
+  * hash-based ones (MinHash, SimHash, LSH, fingerprints) are checked
+  * by ScalaTest specs instead (driver records rows-only).
+  */
+object Analytics {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 128, numBands = 16, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.8).select(col("id_a"), col("id_b"))),
+
+    "dedup_embedding" -> ((s, dir) =>
+      Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, method = "lsh")
+        .select(col("id_a"), col("id_b"))),
+
+    "sim_topk_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
+    "sim_topk_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
+    "text_tokens" -> ((s, dir) =>
+      Text.tokenCounts(t(s, dir, "documents"), "doc_id", "text")),
+
+    "text_quality" -> ((s, dir) =>
+      Text.qualityScore(t(s, dir, "documents"), "doc_id", "text")),
+
+    "text_langid" -> ((s, dir) =>
+      Text.langId(t(s, dir, "documents"), "doc_id", "text")),
+
+    "text_fingerprint" -> ((s, dir) =>
+      Text.fingerprint(t(s, dir, "documents"), "doc_id", "text")),
+
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.fakeMediaTable(s, dir))
+        .select(col("media_id"), col("n_bytes"), col("sha256_prefix"))),
+
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.fakeMediaTable(s, dir), 4))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk_brute" ->
+      """SELECT qid AS query_id, CAST(rk AS INT) AS rank, nid AS neighbor_id FROM (
+           SELECT q.vec_id qid, c.vec_id nid,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) rk
+           FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 8) WHERE rk <= 5""",
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+         FROM documents GROUP BY text""",
+    "text_tokens" ->
+      """SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars
+         FROM documents""",
+    "text_quality" ->
+      """SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         (length(text) - length(regexp_replace(text, '[\.,;:!\?''"]', '', 'g'))) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / CAST(length(text) AS DOUBLE) AS digit_ratio,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+           x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by'], x)))
+           / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS stopword_ratio,
+         length(text) / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS mean_token_len
+         FROM documents""",
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         substr(sha256(text), 1, 16) AS sha256_prefix
+         FROM documents"""
+  )
+}

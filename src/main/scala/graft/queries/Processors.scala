@@ -1,0 +1,295 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{Cdc, Ref}
+import graft.ops._
+
+/** Conduit-processor queries for the correctness gate: each wraps a
+  * test table into OpenCDC records ([[Cdc.wrap]]), runs the processor
+  * chain, and projects plain typed columns back out so the DuckDB
+  * oracle can replicate the result in ANSI SQL. The processor
+  * *mechanism* (JSON path edits, templates, error routing) runs for
+  * real on every row; conformance against the reference's golden
+  * vectors is covered in the ScalaTest specs.
+  */
+object Processors {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def pget(field: String): Column =
+    get_json_object(col(Cdc.PayloadAfter), s"$$.$field")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // field.set with a template value referencing the record.
+    "proc_field_set" -> ((s, dir) => {
+      val recs = Cdc.wrap(t(s, dir, "orders"), "o_orderkey", "orders")
+      val proc = Registry.create("field.set",
+        Map("field" -> ".Payload.After.status_tag",
+            "value" -> "{{ .Payload.After.o_orderstatus }}-X"))
+      proc(recs)
+        .select(get_json_object(col(Cdc.Key), "$.o_orderkey").cast("long").as("o_orderkey"),
+          pget("status_tag").as("status_tag"))
+    }),
+
+    // field.rename: payload field moves to a new name.
+    "proc_field_rename" -> ((s, dir) => {
+      val recs = Cdc.wrap(t(s, dir, "orders"), "o_orderkey", "orders")
+      val proc = Registry.create("field.rename",
+        Map("mapping" -> ".Payload.After.o_totalprice:price"))
+      proc(recs)
+        .select(get_json_object(col(Cdc.Key), "$.o_orderkey").cast("long").as("o_orderkey"),
+          pget("price").cast("double").as("price"),
+          pget("o_totalprice").as("gone"))
+    }),
+
+    // field.exclude: dropped field reads back as null.
+    "proc_field_exclude" -> ((s, dir) => {
+      val recs = Cdc.wrap(t(s, dir, "part"), "p_partkey", "part")
+      val proc = Registry.create("field.exclude",
+        Map("fields" -> ".Payload.After.p_retailprice,.Payload.After.p_brand"))
+      proc(recs)
+        .select(get_json_object(col(Cdc.Key), "$.p_partkey").cast("long").as("p_partkey"),
+          pget("p_type").as("p_type"),
+          pget("p_retailprice").isNull.as("price_dropped"),
+          pget("p_brand").isNull.as("brand_dropped"))
+    }),
+
+    // field.convert int→string via the reference's Go-format rules.
+    "proc_field_convert" -> ((s, dir) => {
+      val recs = Cdc.wrap(t(s, dir, "part"), "p_partkey", "part")
+      val proc = Registry.create("field.convert",
+        Map("field" -> ".Payload.After.p_size", "type" -> "string"))
+      proc(recs)
+        .select(get_json_object(col(Cdc.Key), "$.p_partkey").cast("long").as("p_partkey"),
+          pget("p_size").as("p_size_str"))
+    }),
+
+    // json.decode of an embedded JSON string field (events.props).
+    "proc_json_decode" -> ((s, dir) => {
+      val recs = Cdc.wrap(t(s, dir, "events"), "event_id", "events")
+      val proc = Registry.create("json.decode", Map("field" -> ".Payload.After.props"))
+      proc(recs)
+        .select(get_json_object(col(Cdc.Key), "$.event_id").cast("long").as("event_id"),
+          get_json_object(col(Cdc.PayloadAfter), "$.props.k").cast("int").as("k"))
+    }),
+
+    // json.encode: structured sub-field re-serialized to a JSON string.
+    "proc_json_encode" -> ((s, dir) => {
+      val recs = Cdc.wrap(t(s, dir, "events"), "event_id", "events")
+      val decode = Registry.create("json.decode", Map("field" -> ".Payload.After.props"))
+      val encode = Registry.create("json.encode", Map("field" -> ".Payload.After.props"))
+      encode(decode(recs))
+        .select(get_json_object(col(Cdc.Key), "$.event_id").cast("long").as("event_id"),
+          pget("props").as("props_json"))
+    }),
+
+    // base64 round-trip + one-way encode.
+    "proc_base64" -> ((s, dir) => {
+      val recs = Cdc.wrap(t(s, dir, "supplier"), "s_suppkey", "supplier")
+      val enc = Registry.create("base64.encode", Map("field" -> ".Payload.After.s_name"))
+      val dec = Registry.create("base64.decode", Map("field" -> ".Payload.After.s_name"))
+      val encoded = enc(recs).withColumn("_b64", pget("s_name"))
+      dec(encoded)
+        .select(get_json_object(col(Cdc.Key), "$.s_suppkey").cast("long").as("s_suppkey"),
+          pget("s_name").as("s_name_roundtrip"),
+          col("_b64").as("s_name_b64"))
+    }),
+
+    // filter + condition: records matching the condition are dropped
+    // (reference semantics: the condition selects what `filter` eats).
+    "proc_filter" -> ((s, dir) => {
+      val recs = Cdc.wrap(t(s, dir, "orders"), "o_orderkey", "orders")
+      val proc = Registry.create("filter", Map.empty)
+      proc(recs, condition = Some("""{{ eq .Payload.After.o_orderstatus "F" }}"""))
+        .select(get_json_object(col(Cdc.Key), "$.o_orderkey").cast("long").as("o_orderkey"),
+          pget("o_orderstatus").as("o_orderstatus"))
+    }),
+
+    // error + condition → DLQ channel: failed records carry _error.
+    "proc_error_dlq" -> ((s, dir) => {
+      val recs = Cdc.wrap(t(s, dir, "lineitem"), "l_orderkey", "lineitem")
+      val proc = Registry.create("error", Map("message" -> "high discount"))
+      val out = proc(recs,
+        condition = Some("cast(.Payload.After.l_discount as double) > 0.09"))
+      Cdc.failed(out)
+        .select(get_json_object(col(Cdc.PayloadAfter), "$.l_orderkey").cast("long").as("l_orderkey"),
+          get_json_object(col(Cdc.PayloadAfter), "$.l_linenumber").cast("int").as("l_linenumber"),
+          col(Cdc.Error).as("error_msg"))
+    }),
+
+    // clone: 1 → count+1 copies with clone.index metadata.
+    "proc_clone" -> ((s, dir) => {
+      val recs = Cdc.wrap(t(s, dir, "region"), "r_regionkey", "region")
+      val proc = Registry.create("clone", Map("count" -> "2"))
+      proc(recs)
+        .select(get_json_object(col(Cdc.Key), "$.r_regionkey").cast("int").as("r_regionkey"),
+          col(Cdc.Metadata).getItem("clone.index").cast("int").as("clone_index"))
+    }),
+
+    // split: array field → one record per element with split.index.
+    "proc_split" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val recs = part.select(
+        lit(null).cast("binary").as(Cdc.Position),
+        lit("create").as(Cdc.Operation),
+        map(lit("opencdc.collection"), lit("part")).as(Cdc.Metadata),
+        lit(null).cast("binary").as(Cdc.KeyRaw),
+        to_json(struct(col("p_partkey"))).as(Cdc.Key),
+        lit(null).cast("string").as(Cdc.PayloadBefore),
+        to_json(struct(col("p_partkey"), split(col("p_name"), " ").as("words")))
+          .as(Cdc.PayloadAfter))
+      val proc = Registry.create("split", Map("field" -> ".Payload.After.words"))
+      proc(recs)
+        .select(get_json_object(col(Cdc.Key), "$.p_partkey").cast("long").as("p_partkey"),
+          col(Cdc.Metadata).getItem("split.index").cast("int").as("split_index"),
+          get_json_object(col(Cdc.PayloadAfter), "$.words").as("word"))
+    }),
+
+    // unwrap.debezium over a constructed Debezium envelope.
+    "proc_unwrap_debezium" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val envelope = to_json(struct(
+        struct(
+          struct(col("o_orderkey"), col("o_totalprice")).as("after"),
+          lit(null).cast("string").as("before"),
+          lit("u").as("op"),
+          struct(lit("pg").as("connector"), lit("public").as("schema")).as("source"),
+          lit(1674061777225L).as("ts_ms")).as("payload")))
+      val recs = o.select(
+        lit(null).cast("binary").as(Cdc.Position),
+        lit("create").as(Cdc.Operation),
+        map(lit("existing"), lit("meta")).as(Cdc.Metadata),
+        lit(null).cast("binary").as(Cdc.KeyRaw),
+        to_json(struct(struct(col("o_orderkey")).as("payload"))).as(Cdc.Key),
+        lit(null).cast("string").as(Cdc.PayloadBefore),
+        envelope.as(Cdc.PayloadAfter))
+      val proc = Registry.create("unwrap.debezium", Map.empty)
+      proc(recs)
+        .select(
+          get_json_object(col(Cdc.PayloadAfter), "$.o_orderkey").cast("long").as("o_orderkey"),
+          get_json_object(col(Cdc.PayloadAfter), "$.o_totalprice").cast("double").as("o_totalprice"),
+          col(Cdc.Operation).as("operation"),
+          col(Cdc.Metadata).getItem("connector").as("src_connector"),
+          col(Cdc.Metadata).getItem("opencdc.readAt").as("read_at"),
+          get_json_object(col(Cdc.Key), "$.o_orderkey").cast("long").as("key_orderkey"))
+    }),
+
+    // unwrap.kafkaconnect over a constructed KC envelope.
+    "proc_unwrap_kafkaconnect" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val recs = c.select(
+        lit(null).cast("binary").as(Cdc.Position),
+        lit("create").as(Cdc.Operation),
+        map().cast("map<string,string>").as(Cdc.Metadata),
+        lit(null).cast("binary").as(Cdc.KeyRaw),
+        to_json(struct(struct(col("c_custkey")).as("payload"),
+          struct(lit("int64").as("type")).as("schema"))).as(Cdc.Key),
+        lit(null).cast("string").as(Cdc.PayloadBefore),
+        to_json(struct(
+          struct(col("c_custkey"), col("c_name"), col("c_mktsegment")).as("payload"),
+          struct(lit("struct").as("type")).as("schema"))).as(Cdc.PayloadAfter))
+      val proc = Registry.create("unwrap.kafkaconnect", Map.empty)
+      proc(recs)
+        .select(
+          get_json_object(col(Cdc.PayloadAfter), "$.c_custkey").cast("long").as("c_custkey"),
+          get_json_object(col(Cdc.PayloadAfter), "$.c_mktsegment").as("c_mktsegment"),
+          get_json_object(col(Cdc.Key), "$.c_custkey").cast("long").as("key_custkey"))
+    }),
+
+    // unwrap.opencdc over a nested OpenCDC record.
+    "proc_unwrap_opencdc" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val inner = struct(
+        base64(lit("inner-pos").cast("binary")).as("position"),
+        lit("update").as("operation"),
+        map(lit("inner"), lit("yes")).as("metadata"),
+        struct(col("n_nationkey")).as("key"),
+        struct(lit(null).cast("string").as("before"),
+          struct(col("n_nationkey"), col("n_name")).as("after")).as("payload"))
+      val recs = n.select(
+        lit(null).cast("binary").as(Cdc.Position),
+        lit("create").as(Cdc.Operation),
+        map(lit("outer"), lit("yes")).as(Cdc.Metadata),
+        lit(null).cast("binary").as(Cdc.KeyRaw),
+        lit("outer-key").as(Cdc.Key),
+        lit(null).cast("string").as(Cdc.PayloadBefore),
+        to_json(inner).as(Cdc.PayloadAfter))
+      val proc = Registry.create("unwrap.opencdc", Map.empty)
+      proc(recs)
+        .select(
+          get_json_object(col(Cdc.PayloadAfter), "$.n_nationkey").cast("int").as("n_nationkey"),
+          get_json_object(col(Cdc.PayloadAfter), "$.n_name").as("n_name"),
+          col(Cdc.Operation).as("operation"),
+          col(Cdc.Metadata).getItem("inner").as("meta_inner"),
+          get_json_object(col(Cdc.Key), "$.n_nationkey").cast("int").as("key_nationkey"))
+    }),
+
+    // A full processor chain (decode → set → rename → convert → filter):
+    // the whole chain fuses into one codegen'd pass over the scan.
+    "proc_chain" -> ((s, dir) => {
+      val recs = Cdc.wrap(t(s, dir, "events"), "event_id", "events")
+      val chain: DataFrame => DataFrame = df => {
+        val p1 = Registry.create("json.decode", Map("field" -> ".Payload.After.props"))
+        val p2 = Registry.create("field.set",
+          Map("field" -> ".Payload.After.flagged", "value" -> "{{ .Payload.After.event_type }}"))
+        val p3 = Registry.create("field.rename",
+          Map("mapping" -> ".Payload.After.value:amount"))
+        val p4 = Registry.create("field.exclude", Map("fields" -> ".Payload.After.ts"))
+        val p5 = Registry.create("filter", Map.empty)
+        // filter eats what the condition selects: drop the "view" events
+        p5(p4(p3(p2(p1(df)))), condition = Some("""{{ eq .Payload.After.event_type "view" }}"""))
+      }
+      chain(recs)
+        .select(get_json_object(col(Cdc.Key), "$.event_id").cast("long").as("event_id"),
+          pget("flagged").as("flagged"),
+          pget("amount").cast("double").as("amount"),
+          pget("ts").isNull.as("ts_dropped"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "proc_field_set" ->
+      "SELECT o_orderkey, o_orderstatus || '-X' AS status_tag FROM orders",
+    "proc_field_rename" ->
+      "SELECT o_orderkey, o_totalprice AS price, CAST(NULL AS VARCHAR) AS gone FROM orders",
+    "proc_field_exclude" ->
+      """SELECT p_partkey, p_type, TRUE AS price_dropped, TRUE AS brand_dropped FROM part""",
+    "proc_field_convert" ->
+      "SELECT p_partkey, CAST(p_size AS VARCHAR) AS p_size_str FROM part",
+    "proc_json_decode" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events""",
+    "proc_json_encode" ->
+      """SELECT event_id, CAST(json_extract(props, '$') AS VARCHAR) AS props_json
+         FROM events""",
+    "proc_base64" ->
+      """SELECT s_suppkey, s_name AS s_name_roundtrip,
+         to_base64(encode(s_name)) AS s_name_b64 FROM supplier""",
+    "proc_filter" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus <> 'F'""",
+    "proc_error_dlq" ->
+      """SELECT l_orderkey, l_linenumber, 'high discount' AS error_msg
+         FROM lineitem WHERE l_discount > 0.09""",
+    "proc_clone" ->
+      """SELECT r_regionkey, clone_index FROM region
+         CROSS JOIN (VALUES (0),(1),(2)) AS t(clone_index)""",
+    "proc_split" ->
+      """SELECT p_partkey,
+         CAST(generate_subscripts(string_split(p_name, ' '), 1) - 1 AS INT) AS split_index,
+         unnest(string_split(p_name, ' ')) AS word
+         FROM part""",
+    "proc_unwrap_debezium" ->
+      """SELECT o_orderkey, o_totalprice, 'update' AS operation,
+         'pg' AS src_connector, '1674061777225000000' AS read_at,
+         o_orderkey AS key_orderkey FROM orders""",
+    "proc_unwrap_kafkaconnect" ->
+      """SELECT c_custkey, c_mktsegment, c_custkey AS key_custkey FROM customer""",
+    "proc_unwrap_opencdc" ->
+      """SELECT n_nationkey, n_name, 'update' AS operation, 'yes' AS meta_inner,
+         n_nationkey AS key_nationkey FROM nation""",
+    "proc_chain" ->
+      """SELECT event_id, event_type AS flagged, value AS amount, TRUE AS ts_dropped
+         FROM events WHERE event_type <> 'view'"""
+  )
+}

@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The relational query surface (SURVEY §2.8): the reference has no
+  * SQL engine, so these expose Spark's own operators — aggregation,
+  * joins (broadcast for dims), windows, top-k, set ops, grouping sets —
+  * as the engine's analytics layer. Each query has a DuckDB oracle.
+  *
+  * Determinism rules for the oracle hash-compare:
+  *  - monetary aggregates go through `decimal(18,2)` (exact) and are
+  *    cast to double only at the end — both engines produce the same
+  *    bits regardless of partial-aggregation order;
+  *  - every result set carries a unique natural key so row sorting is
+  *    total;
+  *  - timestamps are reduced to dates/epoch longs (parquet ns vs µs).
+  */
+object Relational {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val d2 = "decimal(18,2)"
+
+  /** events.ts arrives as long nanos (parquet TIMESTAMP(NANOS) via
+    * nanosAsLong). Integer `div` keeps full precision — a double
+    * division would round above 2^53 ns.
+    */
+  private def tsEpochSeconds(df: DataFrame): Column =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      expr("ts div 1000000000")
+    else unix_timestamp(col("ts"))
+  private def tsDay(df: DataFrame): Column =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      to_date(timestamp_seconds(expr("ts div 1000000000")))
+    else to_date(col("ts"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-shaped pricing summary: partial aggregation map-side,
+    // one shuffle on the 6-value group key.
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(d2)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(d2)).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice").cast(d2) * (lit(1).cast(d2) - col("l_discount").cast(d2))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Revenue per nation: fact ⋈ 3 dims — dims are broadcast so the
+    // only shuffle is the final group-by on 25 nations.
+    "q2_revenue_by_nation" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice").cast(d2) * (lit(1).cast(d2) - col("l_discount").cast(d2))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Top-10 orders by revenue — TakeOrderedAndProject, no full sort.
+    "q3_top_orders" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice").cast(d2) * (lit(1).cast(d2) - col("l_discount").cast(d2))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Window: top-3 priciest lineitems per supplier.
+    "q4_top3_per_supplier" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), row_number().over(w).as("rk"))
+        .filter(col("rk") <= 3)
+    }),
+
+    // Semi join: customers having at least one high-value order.
+    "q5_big_spenders" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 200000.0)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // Selective scan: filter + project pushed into the parquet reader.
+    "q6_forecast_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice").cast(d2) * col("l_discount").cast(d2)))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // Distinct + anti join (set difference on keys).
+    "q7_parts_never_ordered" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val li = t(s, dir, "lineitem").select(col("l_partkey")).distinct()
+      p.join(li, col("p_partkey") === col("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_name"))
+    }),
+
+    // Rollup with grouping indicators.
+    "q8_rollup_returns" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(d2)).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus"))).cast("long").as("grp"))
+    }),
+
+    // Event-stream windowing: per-user session counts via lag + gap>30m.
+    "q9_user_sessions" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      ev.select(col("user_id"), col("event_id"), tsEpochSeconds(ev).as("ts_s"), col("ts"))
+        .select(col("user_id"), col("ts_s"), lag(col("ts_s"), 1).over(w).as("prev_s"))
+        .withColumn("new_session",
+          when(col("prev_s").isNull || (col("ts_s") - col("prev_s")) > 1800L, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    // Join fact to events-day aggregate: date-typed group key.
+    "q10_daily_event_value" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.groupBy(tsDay(ev).as("day"), col("event_type"))
+        .agg(sum(col("value").cast(d2)).cast("double").as("total_value"),
+          count(lit(1)).as("n"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q2_revenue_by_nation" ->
+      """SELECT n_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "q3_top_orders" ->
+      """SELECT l_orderkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM lineitem GROUP BY l_orderkey
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+    "q4_top3_per_supplier" ->
+      """SELECT * FROM (
+           SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             CAST(row_number() OVER (PARTITION BY l_suppkey
+               ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS INT) AS rk
+           FROM lineitem) WHERE rk <= 3""",
+    "q5_big_spenders" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)""",
+    "q6_forecast_revenue" ->
+      """SELECT
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         count(*) AS n_rows
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q7_parts_never_ordered" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)""",
+    "q8_rollup_returns" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         count(*) AS n_rows,
+         CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS grp
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q9_user_sessions" ->
+      """SELECT user_id,
+         sum(new_session) AS n_sessions, count(*) AS n_events FROM (
+           SELECT user_id,
+             CASE WHEN prev_s IS NULL OR (ts_s - prev_s) > 1800 THEN 1 ELSE 0 END AS new_session
+           FROM (SELECT user_id,
+             epoch_ns(ts) // 1000000000 AS ts_s,
+             lag(epoch_ns(ts) // 1000000000, 1) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_s
+             FROM events)) GROUP BY user_id""",
+    "q10_daily_event_value" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         count(*) AS n
+         FROM events GROUP BY CAST(ts AS DATE), event_type"""
+  )
+}

@@ -1,0 +1,138 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.JsonOps
+import graft.model.Cdc
+import graft.ops.Registry
+
+/** Replays the reference's golden processor examples (vendored from
+  * `pkg/plugin/processor/builtin/internal/exampleutil/specs/` per
+  * FIXTURES.md §2) through the Spark processors: config + `have` record
+  * → expect `want` (SingleRecord / FilterRecord / ErrorRecord /
+  * MultiRecord), comparing JSON payloads as parsed trees.
+  */
+class ConformanceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Spark.session
+
+  private val specs = Seq("field.set", "field.rename", "field.exclude",
+    "field.convert", "json.decode", "json.encode", "base64.encode",
+    "base64.decode", "filter", "error", "clone", "split",
+    "unwrap.debezium", "unwrap.kafkaconnect", "unwrap.opencdc")
+
+  /** Documented deviations (plugin, example summary) we intentionally
+    * do not replicate — keep this list SHORT and justified.
+    */
+  private val skips: Set[(String, String)] = Set()
+
+  private def loadSpec(name: String): JsonNode = {
+    val in = getClass.getResourceAsStream(s"/conformance/$name.json")
+    require(in != null, s"missing conformance spec $name")
+    JsonOps.mapper.readTree(in)
+  }
+
+  private def slotToColumn(n: JsonNode): String = n match {
+    case null => null
+    case x if x.isNull => null
+    case x if x.isTextual => x.asText() // raw data stored as-is
+    case x => JsonOps.render(x) // structured data as canonical JSON
+  }
+
+  private def recordToRow(rec: JsonNode): Row = {
+    val pos = Option(rec.get("position")).filterNot(_.isNull)
+      .map(p => java.util.Base64.getDecoder.decode(p.asText())).orNull
+    val metadata = Option(rec.get("metadata")).filterNot(_.isNull).map { m =>
+      m.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.orNull
+    val payload = rec.get("payload")
+    Row(pos,
+      Option(rec.get("operation")).filterNot(_.isNull).map(_.asText()).orNull,
+      metadata,
+      null,
+      slotToColumn(rec.get("key")),
+      if (payload == null) null else slotToColumn(payload.get("before")),
+      if (payload == null) null else slotToColumn(payload.get("after")))
+  }
+
+  private def haveToDf(rec: JsonNode): DataFrame =
+    spark.createDataFrame(java.util.List.of(recordToRow(rec)), Cdc.schema)
+
+  private def sameSlot(got: String, want: JsonNode, ctx: String): Unit = want match {
+    case null => assert(got == null, s"$ctx: expected null, got $got")
+    case w if w.isNull => assert(got == null, s"$ctx: expected null, got $got")
+    case w if w.isTextual => assert(got == w.asText(), s"$ctx: got $got want ${w.asText()}")
+    case w =>
+      assert(got != null, s"$ctx: expected ${JsonOps.render(w)}, got null")
+      val parsed = JsonOps.parseOrEmpty(got)
+      assert(parsed == w, s"$ctx: got $got want ${JsonOps.render(w)}")
+  }
+
+  private def compareRecord(got: Row, want: JsonNode, ctx: String): Unit = {
+    val wantPos = Option(want.get("position")).filterNot(_.isNull)
+      .map(p => java.util.Base64.getDecoder.decode(p.asText()))
+    (wantPos, Option(got.get(0))) match {
+      case (Some(w), Some(g)) =>
+        assert(java.util.Arrays.equals(w, g.asInstanceOf[Array[Byte]]), s"$ctx position")
+      case (Some(_), None) => fail(s"$ctx position: expected bytes, got null")
+      case (None, _) => // null expected; generated positions are free
+    }
+    val wantOp = Option(want.get("operation")).filterNot(_.isNull).map(_.asText())
+    assert(Option(got.getString(1)) == wantOp, s"$ctx operation")
+    val wantMeta = Option(want.get("metadata")).filterNot(_.isNull)
+      .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty)
+    val gotMeta = Option(got.get(2)).map(_.asInstanceOf[Map[String, String]])
+      .getOrElse(Map.empty)
+    assert(gotMeta == wantMeta, s"$ctx metadata: got $gotMeta want $wantMeta")
+    sameSlot(got.getString(4), want.get("key"), s"$ctx key")
+    val wantPayload = want.get("payload")
+    if (wantPayload != null && !wantPayload.isNull) {
+      sameSlot(got.getString(5), wantPayload.get("before"), s"$ctx payload.before")
+      sameSlot(got.getString(6), wantPayload.get("after"), s"$ctx payload.after")
+    }
+  }
+
+  for (specName <- specs) {
+    val spec = loadSpec(specName)
+    val examples = Option(spec.get("examples")).map(_.elements().asScala.toSeq).getOrElse(Nil)
+    for ((ex, i) <- examples.zipWithIndex) {
+      val summary = Option(ex.get("summary")).map(_.asText()).getOrElse(s"example $i")
+      test(s"$specName: $summary") {
+        assume(!skips.contains((specName, summary)), "documented deviation")
+        val config = Option(ex.get("config"))
+          .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+          .getOrElse(Map.empty)
+        val proc = Registry.create(specName, config.filterNot(_._1.startsWith("sdk.")))
+        val in = haveToDf(ex.get("have"))
+        val out = Cdc.withErrorChannel(proc(in))
+        val rows = out.orderBy(col(Cdc.Metadata).getItem("clone.index").cast("int"),
+          col(Cdc.Metadata).getItem("split.index").cast("int")).collect()
+        val want = ex.get("want")
+        if (want.isObject && want.properties().asScala.isEmpty) {
+          // FilterRecord: dropped
+          assert(rows.isEmpty, s"expected record dropped, got ${rows.length}")
+        } else if (want.isObject && want.has("error")) {
+          assert(rows.length == 1)
+          val err = rows.head.getAs[String](Cdc.Error)
+          assert(err != null && err == want.get("error").asText(),
+            s"error: got $err want ${want.get("error").asText()}")
+        } else if (want.isArray) {
+          val wants = want.elements().asScala.toSeq
+          assert(rows.length == wants.length,
+            s"expected ${wants.length} records, got ${rows.length}")
+          for ((w, j) <- wants.zipWithIndex) compareRecord(rows(j), w, s"record $j")
+        } else {
+          assert(rows.length == 1, s"expected 1 record, got ${rows.length}")
+          assert(rows.head.getAs[String](Cdc.Error) == null,
+            s"unexpected error: ${rows.head.getAs[String](Cdc.Error)}")
+          compareRecord(rows.head, want, "record")
+        }
+      }
+    }
+  }
+}
