@@ -206,6 +206,55 @@ object JsonExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Render a full OpenCDC record as its wire JSON (the reference's
+    * JSON rendering, FIXTURES.md §1): position base64, structured
+    * key/payload embedded as trees, raw strings as JSON strings.
+    */
+  case class CdcToJson(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    require(children.size == 7, "position, operation, metadata, key_raw, key, before, after")
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = false
+    override def prettyName: String = "cdc_to_json"
+    override def eval(input: InternalRow): Any = {
+      val F = JsonNodeFactory.instance
+      val root = F.objectNode()
+      val pos = children(0).eval(input)
+      root.set[com.fasterxml.jackson.databind.JsonNode]("position",
+        if (pos == null) F.nullNode()
+        else F.textNode(java.util.Base64.getEncoder.encodeToString(pos.asInstanceOf[Array[Byte]])))
+      val op = children(1).eval(input)
+      root.set[com.fasterxml.jackson.databind.JsonNode]("operation",
+        if (op == null) F.nullNode() else F.textNode(op.toString))
+      val meta = children(2).eval(input)
+      if (meta == null) root.set[com.fasterxml.jackson.databind.JsonNode]("metadata", F.nullNode())
+      else {
+        val m = meta.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        val node = F.objectNode()
+        val keys = m.keyArray()
+        val vals = m.valueArray()
+        var i = 0
+        while (i < m.numElements()) {
+          node.put(keys.getUTF8String(i).toString,
+            if (vals.isNullAt(i)) null else vals.getUTF8String(i).toString)
+          i += 1
+        }
+        root.set[com.fasterxml.jackson.databind.JsonNode]("metadata", node)
+      }
+      def slot(v: Any): com.fasterxml.jackson.databind.JsonNode =
+        if (v == null) F.nullNode()
+        else JsonOps.parseOrEmpty(v.asInstanceOf[UTF8String].toString)
+      root.set[com.fasterxml.jackson.databind.JsonNode]("key", slot(children(4).eval(input)))
+      val payload = F.objectNode()
+      payload.set[com.fasterxml.jackson.databind.JsonNode]("before", slot(children(5).eval(input)))
+      payload.set[com.fasterxml.jackson.databind.JsonNode]("after", slot(children(6).eval(input)))
+      root.set[com.fasterxml.jackson.databind.JsonNode]("payload", payload)
+      utf8(JsonOps.render(root))
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+  }
+
   // ---- Column-level API ----------------------------------------------
   private def col(e: Expression): Column = Bridge.column(e)
   private def ex(c: Column): Expression = Bridge.expression(c)
@@ -225,4 +274,5 @@ object JsonExpressions {
     col(JsonParseField(ex(json), path))
   def jsonSplit(json: Column, path: Seq[String]): Column =
     col(JsonSplitField(ex(json), path))
+  def cdcToJson(cols: Seq[Column]): Column = col(CdcToJson(cols.map(ex)))
 }

@@ -44,8 +44,9 @@ object Ref {
       case Seq("Operation") => OperationRef
       case Seq("Position") => PositionRef
       case "Metadata" +: rest =>
-        require(rest.size <= 1, s"metadata is a flat map: $path")
-        MetadataRef(rest)
+        // metadata is a flat map whose keys may themselves contain
+        // dots (opencdc.readAt, clone.index): join the remainder
+        MetadataRef(if (rest.isEmpty) Nil else Seq(rest.mkString(".")))
       case "Key" +: rest => KeyRef(rest)
       case Seq("Payload") => PayloadRef
       case "Payload" +: "Before" +: rest => PayloadBeforeRef(rest)

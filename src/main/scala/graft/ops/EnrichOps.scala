@@ -1,0 +1,295 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.JsonOps
+import graft.model.{Cdc, Ref}
+import graft.model.Ref._
+
+/** Pluggable HTTP transport so enrichment processors are testable
+  * without network (and swappable for an async client at scale).
+  */
+trait HttpTransport extends Serializable {
+  def send(method: String, url: String, headers: Map[String, String],
+           body: Array[Byte]): HttpTransport.Response
+}
+
+object HttpTransport {
+  final case class Response(status: Int, body: Array[Byte])
+
+  /** Default java.net implementation — one connection per call; a
+    * partition reuses the JVM-level connection pool.
+    */
+  object Default extends HttpTransport {
+    override def send(method: String, url: String, headers: Map[String, String],
+                      body: Array[Byte]): Response = {
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod(method)
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      if (body != null && body.nonEmpty) {
+        conn.setDoOutput(true)
+        val os = conn.getOutputStream
+        os.write(body); os.close()
+      }
+      val status = conn.getResponseCode
+      val in = if (status >= 400) conn.getErrorStream else conn.getInputStream
+      val bytes = if (in == null) Array.emptyByteArray else in.readAllBytes()
+      Response(status, bytes)
+    }
+  }
+}
+
+/** Record-level template/reference evaluation for the enrichment
+  * processors (they run in `mapPartitions`, outside Catalyst).
+  */
+object RecordTemplates {
+  private val tmpl = """\{\{(.*?)\}\}""".r
+
+  def getRef(row: Row, ref: Ref): String = ref match {
+    case OperationRef => row.getAs[String](Cdc.Operation)
+    case PositionRef => Option(row.getAs[Array[Byte]](Cdc.Position))
+      .map(new String(_, "UTF-8")).orNull
+    case MetadataRef(Seq(k)) =>
+      Option(row.getAs[Map[String, String]](Cdc.Metadata)).flatMap(_.get(k)).orNull
+    case MetadataRef(_) => null
+    case KeyRef(Seq()) => row.getAs[String](Cdc.Key)
+    case KeyRef(rest) => sub(row.getAs[String](Cdc.Key), rest)
+    case PayloadBeforeRef(rest) =>
+      if (rest.isEmpty) row.getAs[String](Cdc.PayloadBefore)
+      else sub(row.getAs[String](Cdc.PayloadBefore), rest)
+    case PayloadAfterRef(rest) =>
+      if (rest.isEmpty) row.getAs[String](Cdc.PayloadAfter)
+      else sub(row.getAs[String](Cdc.PayloadAfter), rest)
+    case PayloadRef => row.getAs[String](Cdc.PayloadAfter)
+  }
+
+  private def sub(json: String, path: Seq[String]): String = {
+    if (json == null) return null
+    JsonOps.get(JsonOps.parseOrEmpty(json), path) match {
+      case Some(n) if n.isTextual => n.asText()
+      case Some(n) if n.isNull => null
+      case Some(n) => JsonOps.render(n)
+      case None => null
+    }
+  }
+
+  /** Evaluate `text with {{ .Payload.After.x }} refs` against a row. */
+  def render(template: String, row: Row): String =
+    tmpl.replaceAllIn(template, m => {
+      val body = m.group(1).trim
+      java.util.regex.Matcher.quoteReplacement(
+        Option(getRef(row, Ref.parse(body))).getOrElse(""))
+    })
+
+  /** Set a value (raw JSON if parseable, else string) at a ref. */
+  def setRef(row: Row, ref: Ref, value: String, schema: StructType): Row = {
+    def setJson(json: String, path: Seq[String]): String =
+      if (path.isEmpty) value
+      else JsonOps.render(JsonOps.set(
+        JsonOps.parseOrEmpty(if (json == null) "{}" else json), path,
+        try JsonOps.parse(value) catch {
+          case _: Exception => JsonOps.mapper.getNodeFactory.textNode(value)
+        }))
+    val values = row.toSeq.toArray
+    ref match {
+      case OperationRef =>
+        values(schema.fieldIndex(Cdc.Operation)) = value
+      case MetadataRef(Seq(k)) =>
+        val idx = schema.fieldIndex(Cdc.Metadata)
+        val m = Option(row.getAs[Map[String, String]](Cdc.Metadata)).getOrElse(Map.empty)
+        values(idx) = m + (k -> value)
+      case KeyRef(_) =>
+        val idx = schema.fieldIndex(Cdc.Key)
+        values(idx) = setJson(row.getString(idx), ref.sub)
+      case PayloadBeforeRef(_) =>
+        val idx = schema.fieldIndex(Cdc.PayloadBefore)
+        values(idx) = setJson(row.getString(idx), ref.sub)
+      case _ =>
+        val idx = schema.fieldIndex(Cdc.PayloadAfter)
+        values(idx) = setJson(row.getString(idx), ref.sub)
+    }
+    new GenericRowWithSchema(values, schema)
+  }
+
+  def setError(row: Row, msg: String, schema: StructType): Row = {
+    val values = row.toSeq.toArray
+    values(schema.fieldIndex(Cdc.Error)) = msg
+    new GenericRowWithSchema(values, schema)
+  }
+}
+
+/** `webhook.http` — per-record templated HTTP call with exponential
+  * backoff on 5xx, response body written to a field ref (reference
+  * `impl/webhook/http.go:40-77,203`). Runs as `mapPartitions`: one
+  * transport per partition, rows streamed through it (SURVEY §2.5).
+  */
+case class WebhookHttp(settings: Map[String, String],
+                       transport: HttpTransport = HttpTransport.Default)
+    extends Processor {
+  val plugin = "webhook.http"
+  private val urlTemplate = settings("request.url")
+  private val method = settings.getOrElse("request.method", "GET")
+  private val bodyTemplate = settings.getOrElse("request.body", "")
+  private val headers = settings.collect {
+    case (k, v) if k.startsWith("headers.") => k.stripPrefix("headers.") -> v
+  } ++ settings.get("request.contentType").map("Content-Type" -> _)
+  private val responseBodyRef = Ref.parse(
+    settings.getOrElse("response.body", ".Payload.After"))
+  private val responseStatusRef =
+    settings.get("response.status").map(Ref.parse)
+  private val retryCount = settings.getOrElse("backoffRetry.count", "0").toInt
+  private val retryMinMs = parseDuration(settings.getOrElse("backoffRetry.min", "100ms"))
+  private val retryMaxMs = parseDuration(settings.getOrElse("backoffRetry.max", "5s"))
+  private val retryFactor = settings.getOrElse("backoffRetry.factor", "2").toDouble
+
+  private def parseDuration(s: String): Long = s.trim match {
+    case d if d.endsWith("ms") => d.dropRight(2).toLong
+    case d if d.endsWith("s") => d.dropRight(1).toLong * 1000
+    case d => d.toLong
+  }
+
+  override def transform(df: DataFrame): DataFrame = {
+    val base = Cdc.withErrorChannel(df)
+    val schema = base.schema
+    val names = schema
+    val t = transport
+    val (u, m, b, h) = (urlTemplate, method, bodyTemplate, headers)
+    val (rbRef, rsRef) = (responseBodyRef, responseStatusRef)
+    val (rc, rMin, rMax, rFac) = (retryCount, retryMinMs, retryMaxMs, retryFactor)
+    implicit val enc = Encoders.row(schema)
+    base.mapPartitions { rows =>
+      rows.map { row =>
+        try {
+          val url = RecordTemplates.render(u, row)
+          val body = RecordTemplates.render(b, row).getBytes("UTF-8")
+          var attempt = 0
+          var resp = t.send(m, url, h, body)
+          while (resp.status >= 500 && attempt < rc) {
+            val delay = math.min(rMax.toDouble, rMin * math.pow(rFac, attempt)).toLong
+            Thread.sleep(delay)
+            attempt += 1
+            resp = t.send(m, url, h, body)
+          }
+          if (resp.status >= 400)
+            RecordTemplates.setError(row, s"webhook.http: status ${resp.status}", names)
+          else {
+            var out = RecordTemplates.setRef(row, rbRef,
+              new String(resp.body, "UTF-8"), names)
+            rsRef.foreach(r =>
+              out = RecordTemplates.setRef(out, r, resp.status.toString, names))
+            out
+          }
+        } catch {
+          case e: Exception =>
+            RecordTemplates.setError(row, s"webhook.http: ${e.getMessage}", names)
+        }
+      }
+    }
+  }
+}
+
+/** The LLM enrichment family (`openai.embed`, `openai.textgen`,
+  * `cohere.command`, `cohere.embed`, `cohere.rerank`,
+  * `ollama.request` — reference §2.5): one engine, per-plugin request
+  * shaping. Each reads a field ref, POSTs a JSON request, extracts the
+  * result path from the response, writes it back to a field ref. The
+  * HTTP boundary is the same pluggable transport as webhook.http, so
+  * tests run with a fake and production points at the real endpoint.
+  */
+case class LlmProcessor(pluginName: String, settings: Map[String, String],
+                        transport: HttpTransport = HttpTransport.Default)
+    extends Processor {
+  val plugin = pluginName
+
+  private case class Shape(url: String, buildBody: String => String,
+                           resultPath: Seq[String])
+
+  private def shape: Shape = pluginName match {
+    case "openai.embed" => Shape(
+      settings.getOrElse("url", "https://api.openai.com/v1/embeddings"),
+      in => JsonOps.render(obj("model" -> txt(settings.getOrElse("model", "text-embedding-3-small")),
+        "input" -> txt(in))),
+      Seq("data", "0", "embedding"))
+    case "openai.textgen" => Shape(
+      settings.getOrElse("url", "https://api.openai.com/v1/chat/completions"),
+      in => JsonOps.render(obj("model" -> txt(settings.getOrElse("model", "gpt-4o-mini")),
+        "messages" -> JsonOps.parse(
+          s"""[{"role":"user","content":${JsonOps.render(txt(in))}}]"""))),
+      Seq("choices", "0", "message", "content"))
+    case "cohere.command" => Shape(
+      settings.getOrElse("url", "https://api.cohere.ai/v1/chat"),
+      in => JsonOps.render(obj("message" -> txt(in))),
+      Seq("text"))
+    case "cohere.embed" => Shape(
+      settings.getOrElse("url", "https://api.cohere.ai/v1/embed"),
+      in => JsonOps.render(obj("texts" -> JsonOps.parse(
+        s"[${JsonOps.render(txt(in))}]"))),
+      Seq("embeddings", "0"))
+    case "cohere.rerank" => Shape(
+      settings.getOrElse("url", "https://api.cohere.ai/v1/rerank"),
+      in => JsonOps.render(obj("query" -> txt(settings.getOrElse("query", "")),
+        "documents" -> JsonOps.parse(s"[${JsonOps.render(txt(in))}]"))),
+      Seq("results"))
+    case "ollama.request" => Shape(
+      settings.getOrElse("url", "http://localhost:11434/api/generate"),
+      in => JsonOps.render(obj("model" -> txt(settings.getOrElse("model", "llama3")),
+        "prompt" -> txt(in), "stream" -> JsonOps.parse("false"))),
+      Seq("response"))
+    case other => throw new IllegalArgumentException(s"unknown LLM plugin: $other")
+  }
+
+  private def obj(fields: (String, com.fasterxml.jackson.databind.JsonNode)*) = {
+    val o = JsonOps.mapper.getNodeFactory.objectNode()
+    fields.foreach { case (k, v) => o.set[com.fasterxml.jackson.databind.JsonNode](k, v) }
+    o
+  }
+  private def txt(s: String) = JsonOps.mapper.getNodeFactory.textNode(s)
+
+  private val inputRef = Ref.parse(settings.getOrElse("field", ".Payload.After"))
+  private val outputRef = Ref.parse(
+    settings.getOrElse("result.field", ".Payload.After.result"))
+
+  override def transform(df: DataFrame): DataFrame = {
+    val base = Cdc.withErrorChannel(df)
+    val schema = base.schema
+    val names = schema
+    val t = transport
+    val sh = shape
+    val (inRef, outRef) = (inputRef, outputRef)
+    val auth = settings.get("apiKey").map(k => Map("Authorization" -> s"Bearer $k"))
+      .getOrElse(Map.empty) + ("Content-Type" -> "application/json")
+    implicit val enc = Encoders.row(schema)
+    base.mapPartitions { rows =>
+      rows.map { row =>
+        try {
+          val in = Option(RecordTemplates.getRef(row, inRef)).getOrElse("")
+          val resp = t.send("POST", sh.url, auth, sh.buildBody(in).getBytes("UTF-8"))
+          if (resp.status >= 400)
+            RecordTemplates.setError(row, s"$pluginName: status ${resp.status}", names)
+          else {
+            val node = JsonOps.parse(new String(resp.body, "UTF-8"))
+            val result = sh.resultPath.foldLeft(Option(node)) {
+              case (Some(n), seg) if n.isArray && seg.forall(_.isDigit) =>
+                Option(n.get(seg.toInt))
+              case (Some(n), seg) => Option(n.get(seg))
+              case (None, _) => None
+            }
+            result match {
+              case Some(r) =>
+                RecordTemplates.setRef(row, outRef,
+                  if (r.isTextual) r.asText() else JsonOps.render(r), names)
+              case None =>
+                RecordTemplates.setError(row, s"$pluginName: empty result", names)
+            }
+          }
+        } catch {
+          case e: Exception =>
+            RecordTemplates.setError(row, s"$pluginName: ${e.getMessage}", names)
+        }
+      }
+    }
+  }
+}

@@ -18,7 +18,12 @@ object Registry {
     Ref.parse(f)
   }
 
-  val factories: Map[String, Factory] = Map(
+  private val llmFactories: Map[String, Factory] =
+    Seq("openai.embed", "openai.textgen", "cohere.command", "cohere.embed",
+      "cohere.rerank", "ollama.request").map(p =>
+      p -> ((s: Map[String, String]) => LlmProcessor(p, s): Processor)).toMap
+
+  val factories: Map[String, Factory] = llmFactories ++ Map[String, Factory](
     "field.set" -> (s => FieldSet(Ref.parse(s("field")), s("value"))),
     "field.rename" -> (s => FieldRename(
       s("mapping").split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { pair =>
@@ -38,7 +43,8 @@ object Registry {
     "split" -> (s => SplitProc(ref(s))),
     "unwrap.debezium" -> (s => UnwrapDebezium(ref(s, ".Payload.After"))),
     "unwrap.kafkaconnect" -> (s => UnwrapKafkaConnect(ref(s, ".Payload.After"))),
-    "unwrap.opencdc" -> (s => UnwrapOpencdc(ref(s, ".Payload.After")))
+    "unwrap.opencdc" -> (s => UnwrapOpencdc(ref(s, ".Payload.After"))),
+    "webhook.http" -> (s => WebhookHttp(s))
   )
 
   def create(plugin: String, settings: Map[String, String]): Processor =

@@ -1,0 +1,205 @@
+package graft.pipeline
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.functions.JsonExpressions
+import graft.model.Cdc
+import graft.ops.Registry
+
+/** Pipeline execution on Structured Streaming (SURVEY §2.4/§2.7).
+  *
+  * Topology mapping (reference `pkg/lifecycle/service.go:493-534`):
+  * each source (`readStream`) runs its per-connector processor chain,
+  * fan-in is a streaming `unionByName`, pipeline processors follow,
+  * and fan-out + DLQ happen in `foreachBatch`: the batch is persisted
+  * once, every destination writes it (the all-sinks-ack barrier of
+  * `stream/fanout.go:70-110` becomes batch atomicity), `_error`
+  * records go to the DLQ sink, and the DLQ window circuit breaker
+  * (`stream/dlq.go:41-52`) is evaluated on the driver.
+  *
+  * Delivery: checkpointed offsets + idempotent sinks give
+  * at-least-once, upgraded to effectively-once for file/parquet sinks
+  * (SURVEY §2.7 — strictly stronger than the reference's guarantee).
+  */
+object Runner {
+
+  /** Thrown when the DLQ nack window trips
+    * (reference `pipeline is stopped` semantics).
+    */
+  final class DlqThresholdExceeded(nacks: Long, window: Long, threshold: Long)
+      extends RuntimeException(
+        s"DLQ circuit breaker: $nacks nacks in last $window records exceeds $threshold")
+
+  /** Build the source DataFrame for a connector config. */
+  def source(spark: SparkSession, cfg: ConnectorConfig, streaming: Boolean): DataFrame = {
+    val df = cfg.plugin match {
+      case "builtin:generator" | "generator" =>
+        if (streaming)
+          spark.readStream.format("conduit-generator").options(cfg.settings).load()
+        else spark.read.format("conduit-generator").options(cfg.settings).load()
+      case "builtin:file" | "file" =>
+        // reference tails a file; Spark's file source streams whole new
+        // files in the directory (documented deviation: append-only
+        // directories instead of append-only files)
+        val path = cfg.settings("path")
+        val lines =
+          if (streaming) spark.readStream.format("text").load(path)
+          else spark.read.format("text").load(path)
+        lines.select(
+          lit(null).cast("binary").as(Cdc.Position),
+          lit("create").as(Cdc.Operation),
+          map(lit("opencdc.collection"), lit(cfg.id)).as(Cdc.Metadata),
+          lit(null).cast("binary").as(Cdc.KeyRaw),
+          lit(null).cast("string").as(Cdc.Key),
+          lit(null).cast("string").as(Cdc.PayloadBefore),
+          col("value").as(Cdc.PayloadAfter))
+      case "builtin:kafka" | "kafka" =>
+        val reader =
+          if (streaming) spark.readStream.format("kafka").options(cfg.settings).load()
+          else spark.read.format("kafka").options(cfg.settings).load()
+        reader.select(
+          to_binary(concat(col("topic"), lit("-"), col("partition").cast("string"),
+            lit("@"), col("offset").cast("string")), lit("utf-8")).as(Cdc.Position),
+          lit("create").as(Cdc.Operation),
+          map(lit("opencdc.collection"), col("topic")).as(Cdc.Metadata),
+          col("key").as(Cdc.KeyRaw),
+          col("key").cast("string").as(Cdc.Key),
+          lit(null).cast("string").as(Cdc.PayloadBefore),
+          col("value").cast("string").as(Cdc.PayloadAfter))
+      case "parquet" =>
+        val path = cfg.settings("path")
+        val df =
+          if (streaming) spark.readStream.format("parquet").load(path)
+          else spark.read.parquet(path)
+        Cdc.wrap(df, cfg.settings.getOrElse("key", df.columns.head), cfg.id)
+      case other =>
+        throw new IllegalArgumentException(s"unknown source plugin: $other")
+    }
+    cfg.processors.foldLeft(df)((acc, p) =>
+      Registry.create(p.plugin, p.settings)(acc, p.condition))
+  }
+
+  /** Source chains + fan-in + pipeline processors (everything before
+    * the fan-out). The returned frame carries the `_error` channel.
+    */
+  def build(spark: SparkSession, pipeline: PipelineConfig,
+            streaming: Boolean = true): DataFrame = {
+    require(pipeline.sources.nonEmpty, s"pipeline ${pipeline.id}: no sources")
+    val sources = pipeline.sources.map(s =>
+      Cdc.withErrorChannel(source(spark, s, streaming)))
+    val fanin = sources.reduce(_.unionByName(_))
+    Cdc.withErrorChannel(
+      pipeline.processors.foldLeft(fanin)((acc, p) =>
+        Registry.create(p.plugin, p.settings)(acc, p.condition)))
+  }
+
+  /** OpenCDC wire-JSON rendering of a CDC frame (one line per record). */
+  def renderJson(df: DataFrame): DataFrame =
+    df.select(JsonExpressions.cdcToJson(
+      Cdc.columns.map(col)).as("value"))
+
+  /** In-memory sink buffers for tests/inspection (keyed by sink id). */
+  val memorySinks = new java.util.concurrent.ConcurrentHashMap[String, ConcurrentLinkedQueue[String]]()
+  def memorySink(id: String): Seq[String] =
+    Option(memorySinks.get(id)).map(_.asScala.toSeq).getOrElse(Nil)
+
+  /** Write one (batch-of-a-)DataFrame to a destination connector. */
+  def writeBatch(df: DataFrame, cfg: ConnectorConfig): Unit = {
+    val out = cfg.processors.foldLeft(df)((acc, p) =>
+      Registry.create(p.plugin, p.settings)(acc, p.condition))
+    cfg.plugin match {
+      case "builtin:file" | "file" =>
+        renderJson(out).write.mode("append").text(cfg.settings("path"))
+      case "parquet" =>
+        out.drop(Cdc.Error).write.mode("append").parquet(cfg.settings("path"))
+      case "builtin:log" | "log" | "console" =>
+        out.collect().take(20).foreach(r => println(s"[${cfg.id}] $r"))
+      case "null" | "/dev/null" | "noop" =>
+        out.write.format("noop").mode("overwrite").save()
+      case "memory" =>
+        val buf = memorySinks.computeIfAbsent(cfg.id,
+          _ => new ConcurrentLinkedQueue[String]())
+        renderJson(out).collect().foreach(r => buf.add(r.getString(0)))
+      case other =>
+        throw new IllegalArgumentException(s"unknown destination plugin: $other")
+    }
+  }
+
+  /** Driver-side sliding nack window (reference `stream/dlq.go:41-52`:
+    * a window of the last `windowSize` end-to-end results; more than
+    * `threshold` nacks → pipeline failure).
+    */
+  private final class NackWindow(windowSize: Long, threshold: Long) {
+    private val window = scala.collection.mutable.ArrayDeque.empty[(Long, Long)] // (acks, nacks)
+    private var total = 0L
+    def observe(acks: Long, nacks: Long): Unit = if (windowSize > 0) synchronized {
+      window.append((acks, nacks)); total += acks + nacks
+      while (total - (window.headOption.map(h => h._1 + h._2).getOrElse(0L)) >= windowSize
+        && window.size > 1) {
+        val h = window.removeHead(); total -= h._1 + h._2
+      }
+      val nackCount = window.iterator.map(_._2).sum
+      if (nackCount > threshold)
+        throw new DlqThresholdExceeded(nackCount, windowSize, threshold)
+    }
+  }
+
+  /** Start the pipeline as a streaming query (fan-out in foreachBatch). */
+  def start(spark: SparkSession, pipeline: PipelineConfig,
+            checkpointDir: String,
+            trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    val stream = build(spark, pipeline, streaming = true)
+    val nackWindow = pipeline.dlq.map(d =>
+      new NackWindow(d.windowSize.toLong, d.windowNackThreshold.toLong))
+    val dlqSink = pipeline.dlq.map(d =>
+      ConnectorConfig(s"${pipeline.id}-dlq", d.plugin, d.settings))
+
+    stream.writeStream
+      .queryName(pipeline.id)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          val ok = Cdc.ok(batch)
+          val failed = Cdc.failed(batch)
+          val nacks = failed.count()
+          val acks = batch.count() - nacks
+          // fan-out barrier: every destination writes before the batch
+          // (and so its offsets) commits — all-or-nothing ack
+          pipeline.destinations.foreach(d => writeBatch(ok, d))
+          if (nacks > 0) dlqSink match {
+            case Some(sink) => writeBatch(failed, sink)
+            case None => throw new IllegalStateException(
+              s"pipeline ${pipeline.id}: $nacks failed records and no DLQ configured")
+          }
+          nackWindow.foreach(_.observe(acks, nacks))
+        } finally batch.unpersist()
+      }
+      .start()
+  }
+
+  /** Run a bounded pipeline to completion (batch semantics): same
+    * topology, one pass, returns per-destination record counts.
+    */
+  def runBatch(spark: SparkSession, pipeline: PipelineConfig): Map[String, Long] = {
+    val df = build(spark, pipeline, streaming = false)
+    df.persist()
+    try {
+      val ok = Cdc.ok(df)
+      val failed = Cdc.failed(df)
+      pipeline.destinations.foreach(d => writeBatch(ok, d))
+      val dlqCount = failed.count()
+      pipeline.dlq.foreach(d =>
+        if (dlqCount > 0)
+          writeBatch(failed, ConnectorConfig(s"${pipeline.id}-dlq", d.plugin, d.settings)))
+      Map("ok" -> ok.count(), "dlq" -> dlqCount)
+    } finally df.unpersist()
+  }
+}

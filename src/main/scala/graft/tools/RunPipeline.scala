@@ -1,0 +1,46 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.pipeline.{Pipeline, Runner}
+
+/** CLI pipeline runner — the engine's `conduit run` analogue: parse a
+  * provisioning YAML, start every pipeline as a Structured Streaming
+  * query, wait for completion (bounded sources) or until killed.
+  *
+  * Usage: runMain graft.tools.RunPipeline <pipeline.yaml> [--batch]
+  */
+object RunPipeline {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: RunPipeline <pipeline.yaml> [--batch]")
+    val yamlPath = args(0)
+    val batchMode = args.contains("--batch")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val pipelines = Pipeline.fromYaml(Files.readString(Paths.get(yamlPath)))
+    require(pipelines.nonEmpty, s"no pipelines in $yamlPath")
+    pipelines.foreach { p =>
+      if (batchMode) {
+        val counts = Runner.runBatch(spark, p)
+        println(s"[${p.id}] ok=${counts("ok")} dlq=${counts("dlq")}")
+      } else {
+        val ckpt = Files.createTempDirectory(s"ckpt-${p.id}").toString
+        val q = Runner.start(spark, p, ckpt, Trigger.AvailableNow())
+        q.awaitTermination()
+        println(s"[${p.id}] streaming query finished")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.JsonOps
+import graft.model.Cdc
+import graft.ops.{HttpTransport, LlmProcessor, WebhookHttp}
+import graft.pipeline.{Pipeline, Runner}
+
+/** Shared-JVM call counters (local mode: executors share the JVM, so
+  * static state survives closure serialization).
+  */
+object FakeCalls {
+  val counters = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+  def of(name: String): java.util.concurrent.atomic.AtomicInteger =
+    counters.computeIfAbsent(name, _ => new java.util.concurrent.atomic.AtomicInteger(0))
+}
+
+/** Echoes request facts back; programmable failures. Top-level (no
+  * outer reference) so the mapPartitions closure serializes.
+  */
+case class FakeTransport(name: String, failFirst: Int = 0) extends HttpTransport {
+  override def send(method: String, url: String, headers: Map[String, String],
+                    body: Array[Byte]): HttpTransport.Response = {
+    val n = FakeCalls.of(name).incrementAndGet()
+    if (n <= failFirst) HttpTransport.Response(503, "busy".getBytes)
+    else if (url.contains("embeddings") || url.contains("embed"))
+      HttpTransport.Response(200,
+        """{"data":[{"embedding":[0.1,0.2,0.3]}],"embeddings":[[0.1,0.2]]}""".getBytes)
+    else HttpTransport.Response(200,
+      s"""{"echo":{"method":"$method","url":"$url","body":${JsonOps.render(
+        JsonOps.mapper.getNodeFactory.textNode(new String(body, "UTF-8")))}}}""".getBytes)
+  }
+}
+
+/** Enrichment processors against a fake transport (reference §2.5:
+  * webhook.http templated calls with backoff; LLM processors).
+  */
+class EnrichSpec extends AnyFunSuite {
+  lazy val spark = Spark.session
+
+  private def genRecords(n: Int) =
+    Runner.source(spark, graft.pipeline.ConnectorConfig("g", "builtin:generator",
+      Map("format.options.id" -> "int", "recordCount" -> n.toString)),
+      streaming = false)
+
+  test("webhook.http: templated URL/body, response lands at response.body ref") {
+    val t = FakeTransport("t1")
+    val proc = WebhookHttp(Map(
+      "request.url" -> "http://svc/enrich/{{ .Payload.After.id }}",
+      "request.method" -> "POST",
+      "request.body" -> """{"payload": {{ .Payload.After }}}""",
+      "response.body" -> ".Payload.After.enriched",
+      "response.status" -> ".Metadata.http.status"), t)
+    val out = proc(genRecords(5)).collect()
+    assert(out.length == 5)
+    val row = out.head
+    assert(row.getAs[String](Cdc.Error) == null)
+    val payload = JsonOps.parse(row.getAs[String](Cdc.PayloadAfter))
+    val echoUrl = payload.get("enriched").get("echo").get("url").asText()
+    assert(echoUrl.startsWith("http://svc/enrich/"))
+    assert(!echoUrl.contains("{{"), "template must be substituted")
+    val meta = row.getAs[Map[String, String]](Cdc.Metadata)
+    assert(meta("http.status") == "200")
+  }
+
+  test("webhook.http: 5xx retries with backoff then succeeds") {
+    val t = FakeTransport("t2", failFirst = 2)
+    val proc = WebhookHttp(Map(
+      "request.url" -> "http://svc/x",
+      "backoffRetry.count" -> "3",
+      "backoffRetry.min" -> "1ms",
+      "response.body" -> ".Payload.After.enriched"), t)
+    val out = proc(genRecords(1)).collect()
+    assert(out.head.getAs[String](Cdc.Error) == null)
+    assert(FakeCalls.of("t2").get() == 3) // 2 failures + 1 success
+  }
+
+  test("webhook.http: exhausted retries → error record (DLQ channel)") {
+    val t = FakeTransport("t3", failFirst = 100)
+    val proc = WebhookHttp(Map(
+      "request.url" -> "http://svc/x",
+      "backoffRetry.count" -> "1",
+      "backoffRetry.min" -> "1ms"), t)
+    val out = proc(genRecords(1)).collect()
+    assert(out.head.getAs[String](Cdc.Error) != null)
+    assert(out.head.getAs[String](Cdc.Error).contains("503"))
+  }
+
+  test("openai.embed: embedding written to result field") {
+    val t = FakeTransport("t4")
+    val proc = LlmProcessor("openai.embed", Map(
+      "field" -> ".Payload.After.name",
+      "result.field" -> ".Payload.After.embedding",
+      "apiKey" -> "test"), t)
+    val out = proc(genRecords(2).withColumn(Cdc.PayloadAfter,
+      org.apache.spark.sql.functions.lit("""{"name":"hello"}"""))).collect()
+    assert(out.head.getAs[String](Cdc.Error) == null)
+    val emb = JsonOps.parse(out.head.getAs[String](Cdc.PayloadAfter)).get("embedding")
+    assert(emb.isArray && emb.size() == 3)
+  }
+
+  test("ollama.request: text response written back") {
+    val t = FakeTransport("t4")
+    val proc = LlmProcessor("ollama.request", Map(
+      "field" -> ".Payload.After.name",
+      "result.field" -> ".Payload.After.answer"), t)
+    val out = proc(genRecords(1)).collect()
+    // fake returns echo object without "response" → empty result error
+    assert(out.head.getAs[String](Cdc.Error) != null)
+  }
+}
