@@ -236,32 +236,41 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** hyperplane_bucket(array<double>, numPlanes) → long: Charikar
-  * random-hyperplane sketch with splitmix64-derived pseudo-random plane
-  * components — recomputable on any executor, no model state.
+/** hyperplane_buckets(array<double>, numPlanes, numTables) →
+  * array<long>: multi-table Charikar random-hyperplane LSH. Each table
+  * ANDs `numPlanes` sign bits (precision), the tables OR each other
+  * (recall) — the standard (k, L) amplification; planes are
+  * splitmix64-derived, recomputable on any executor, no model state.
   */
-case class HyperplaneBucket(child: Expression, numPlanes: Int)
+case class HyperplaneBuckets(child: Expression, numPlanes: Int, numTables: Int)
     extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
+  override def dataType: DataType = ArrayType(LongType)
   override def nullable: Boolean = true
-  override def prettyName: String = "hyperplane_bucket"
+  override def prettyName: String = "hyperplane_buckets"
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    var bucket = 0L
-    var p = 0
-    while (p < numPlanes) {
-      var dot = 0.0
-      var j = 0
-      while (j < n) {
-        val r = SplitMix64.mix(p.toLong * 1000003L + j).toDouble / Long.MaxValue.toDouble
-        dot += arr.getDouble(j) * r
-        j += 1
+    val out = new Array[Any](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0L
+      var p = 0
+      while (p < numPlanes) {
+        val plane = t * numPlanes + p
+        var dot = 0.0
+        var j = 0
+        while (j < n) {
+          val r = SplitMix64.mix(plane.toLong * 1000003L + j).toDouble / Long.MaxValue.toDouble
+          dot += arr.getDouble(j) * (r * 2.0 - 1.0)
+          j += 1
+        }
+        bucket = (bucket << 1) | (if (dot >= 0) 1L else 0L)
+        p += 1
       }
-      bucket = (bucket << 1) | (if (dot >= 0) 1L else 0L)
-      p += 1
+      out(t) = bucket
+      t += 1
     }
-    bucket
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
@@ -280,6 +289,6 @@ object HashFunctions {
     Bridge.column(L2Normalize(Bridge.expression(c)))
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
-  def hyperplane_bucket(c: Column, numPlanes: Int): Column =
-    Bridge.column(HyperplaneBucket(Bridge.expression(c), numPlanes))
+  def hyperplane_buckets(c: Column, numPlanes: Int, numTables: Int): Column =
+    Bridge.column(HyperplaneBuckets(Bridge.expression(c), numPlanes, numTables))
 }

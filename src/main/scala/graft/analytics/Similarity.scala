@@ -44,20 +44,16 @@ object Similarity {
         col("neighbor_id"), col("cos_sim"))
   }
 
-  /** Random-hyperplane LSH bucket id (Charikar sketch) — custom
-    * expression; planes derived from splitmix64, recomputable anywhere.
-    */
-  def hyperplaneBucket(vec: Column, numPlanes: Int): Column =
-    hyperplane_bucket(vec, numPlanes)
-
   /** Embedding near-duplicate pairs above a cosine threshold.
     * method "brute" = block-nested pairing (correctness baseline);
-    * method "lsh" = hyperplane-bucketed candidate generation (the scale
-    * path: only vectors sharing a bucket are paired).
+    * method "lsh" = multi-table hyperplane LSH candidate generation
+    * (the scale path: only vectors sharing a (table, bucket) cell are
+    * paired; k planes tighten precision, L tables recover recall —
+    * tune (k, L) to the threshold: high thresholds allow larger k).
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
                   threshold: Double, method: String = "lsh",
-                  numPlanes: Int = 8): DataFrame = {
+                  numPlanes: Int = 4, numTables: Int = 12): DataFrame = {
     val base = df.select(col(idCol).as("vid"), normalize(col(vecCol)).as("nvec"))
     val candidates = method match {
       case "brute" =>
@@ -65,11 +61,17 @@ object Similarity {
         val b = base.select(col("vid").as("id_b"), col("nvec").as("vec_b"))
         a.join(b, col("id_a") < col("id_b"))
       case "lsh" =>
-        val bucketed = base.withColumn("bucket", hyperplaneBucket(col("nvec"), numPlanes))
-        val a = bucketed.select(col("bucket"), col("vid").as("id_a"), col("nvec").as("vec_a"))
-        val b = bucketed.select(col("bucket"), col("vid").as("id_b"), col("nvec").as("vec_b"))
-        a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-          .drop("bucket").distinct()
+        val bucketed = base
+          .withColumn("buckets", hyperplane_buckets(col("nvec"), numPlanes, numTables))
+          .select(col("vid"), col("nvec"),
+            posexplode(col("buckets")).as(Seq("table_id", "bucket")))
+        val a = bucketed.select(col("table_id"), col("bucket"),
+          col("vid").as("id_a"), col("nvec").as("vec_a"))
+        val b = bucketed.select(col("table_id"), col("bucket"),
+          col("vid").as("id_b"), col("nvec").as("vec_b"))
+        a.join(b, Seq("table_id", "bucket")).filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"))
+          .dropDuplicates("id_a", "id_b")
     }
     candidates
       .withColumn("cos_sim",

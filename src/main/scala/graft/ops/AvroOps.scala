@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.AvroCodec
+import graft.model.{Cdc, Ref}
+
+/** avro.encode / avro.decode (reference `impl/avro/encode.go:135`,
+  * `impl/avro/decode.go:114`): structured data ⇄ Confluent-wire-format
+  * Avro at a field ref. The reference fetches schemas from a registry;
+  * we support the `preRegistered` strategy with the schema inline in
+  * settings (`schema` = Avro JSON, `schema.id`) — a registry client is
+  * a straightforward extension point on top of the same codec. Binary
+  * Avro lives base64-encoded in the string slot (our payload columns
+  * are canonical-JSON/raw strings, FIXTURES §1).
+  */
+object AvroExpressions {
+  case class AvroEncodeExpr(child: Expression, schemaJson: String, schemaId: Int)
+      extends UnaryExpression with CodegenFallback {
+    @transient private lazy val schema = AvroCodec.parseSchema(schemaJson)
+    override def dataType: DataType = StructType(Seq(
+      StructField("value", StringType), StructField("error", StringType)))
+    override def nullable: Boolean = false
+    override def prettyName: String = "avro_encode"
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) return new GenericInternalRow(Array[Any](null, null))
+      try {
+        val bytes = AvroCodec.encode(v.asInstanceOf[UTF8String].toString, schema, schemaId)
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(java.util.Base64.getEncoder.encodeToString(bytes)), null))
+      } catch {
+        case e: Exception => new GenericInternalRow(Array[Any](v,
+          UTF8String.fromString(s"avro.encode: ${e.getMessage}")))
+      }
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  case class AvroDecodeExpr(child: Expression, schemaJson: String)
+      extends UnaryExpression with CodegenFallback {
+    @transient private lazy val schema = AvroCodec.parseSchema(schemaJson)
+    override def dataType: DataType = StructType(Seq(
+      StructField("value", StringType), StructField("error", StringType)))
+    override def nullable: Boolean = false
+    override def prettyName: String = "avro_decode"
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) return new GenericInternalRow(Array[Any](null, null))
+      try {
+        val bytes = java.util.Base64.getDecoder.decode(v.asInstanceOf[UTF8String].toString)
+        val (_, json) = AvroCodec.decode(bytes, schema)
+        new GenericInternalRow(Array[Any](UTF8String.fromString(json), null))
+      } catch {
+        case e: Exception => new GenericInternalRow(Array[Any](v,
+          UTF8String.fromString(s"avro.decode: ${e.getMessage}")))
+      }
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+}
+
+case class AvroEncode(ref: Ref, schemaJson: String, schemaId: Int)
+    extends ColumnProcessor {
+  val plugin = "avro.encode"
+  override def rewrites(df: DataFrame): Map[String, Column] = {
+    val slot = RefCols.column(ref)
+    val src = if (ref.sub.isEmpty) col(slot)
+      else graft.functions.JsonExpressions.jsonGet(col(slot), ref.sub, raw = false)
+    val encoded = Bridge.column(
+      AvroExpressions.AvroEncodeExpr(Bridge.expression(src), schemaJson, schemaId))
+    val value = encoded.getField("value")
+    Map(
+      slot -> (if (ref.sub.isEmpty) value
+        else graft.functions.JsonExpressions.jsonSet(col(slot), ref.sub, value)),
+      Cdc.Error -> coalesce(col(Cdc.Error), encoded.getField("error")))
+  }
+}
+
+case class AvroDecode(ref: Ref, schemaJson: String) extends ColumnProcessor {
+  val plugin = "avro.decode"
+  override def rewrites(df: DataFrame): Map[String, Column] = {
+    val slot = RefCols.column(ref)
+    val src = if (ref.sub.isEmpty) col(slot)
+      else graft.functions.JsonExpressions.jsonGet(col(slot), ref.sub, raw = true)
+    val decoded = Bridge.column(
+      AvroExpressions.AvroDecodeExpr(Bridge.expression(src), schemaJson))
+    val value = decoded.getField("value")
+    Map(
+      slot -> (if (ref.sub.isEmpty) value
+        else graft.functions.JsonExpressions.jsonSet(col(slot), ref.sub, value, rawJson = true)),
+      Cdc.Error -> coalesce(col(Cdc.Error), decoded.getField("error")))
+  }
+}

@@ -44,7 +44,10 @@ object Registry {
     "unwrap.debezium" -> (s => UnwrapDebezium(ref(s, ".Payload.After"))),
     "unwrap.kafkaconnect" -> (s => UnwrapKafkaConnect(ref(s, ".Payload.After"))),
     "unwrap.opencdc" -> (s => UnwrapOpencdc(ref(s, ".Payload.After"))),
-    "webhook.http" -> (s => WebhookHttp(s))
+    "webhook.http" -> (s => WebhookHttp(s)),
+    "avro.encode" -> (s => AvroEncode(ref(s, ".Payload.After"), s("schema"),
+      s.getOrElse("schema.id", "1").toInt)),
+    "avro.decode" -> (s => AvroDecode(ref(s, ".Payload.After"), s("schema")))
   )
 
   def create(plugin: String, settings: Map[String, String]): Processor =

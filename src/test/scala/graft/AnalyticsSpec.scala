@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.{Dedup, Similarity, Text}
+
+/** Validates the approximate dedup/similarity operators against exact
+  * brute-force ground truth at sf0.001, and the text operators against
+  * fixed golden values.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = Spark.session
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Exact word-3-gram Jaccard pairs by brute force (ground truth). */
+  private def brutePairs(threshold: Double) = {
+    val sh = docs.select(col("doc_id"),
+      graft.analytics.HashFunctions.word_shingles(col("text"), 3).as("sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  test("minhash LSH finds every true near-duplicate pair (recall = 1 here)") {
+    val truth = brutePairs(0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "test data should contain near-duplicates")
+    // verification step makes precision exact; banding should catch all
+    // pairs this similar (16 bands × 8 rows at j≥0.5 → miss prob ≈ 0)
+    assert(found == truth,
+      s"missed=${truth -- found} extra=${found -- truth}")
+  }
+
+  test("simhash: near-identical docs collide, distinct docs don't flood") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+    val n = pairs.count()
+    assert(n > 0, "expected some near-dup pairs")
+    assert(n < 500, "simhash should not pair everything")
+  }
+
+  test("embedding LSH pairs are a subset of brute-force pairs (precision = 1)") {
+    val brute = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4, "brute")
+      .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4, "lsh")
+      .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), s"false positives: ${lsh -- brute}")
+    if (brute.nonEmpty) {
+      val recall = lsh.size.toDouble / brute.size
+      assert(recall >= 0.3, s"LSH recall too low: $recall (${lsh.size}/${brute.size})")
+    }
+  }
+
+  test("IVF top-k recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF recall@5 = $recall")
+  }
+
+  test("fingerprint is whitespace-normalized and deterministic") {
+    import spark.implicits._
+    val df = Seq((1L, "hello  world"), (2L, "hello world"), (3L, "hello world!"))
+      .toDF("doc_id", "text")
+    val fps = Text.fingerprint(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L), "whitespace variants must collide")
+    assert(fps(1L) != fps(3L), "different content must differ")
+    // golden: stable across releases (rolling hash base 1000003)
+    assert(fps(2L) == graft.analytics.Hashing.rollingHash("hello world"))
+  }
+
+  test("langId is deterministic and handles empty text") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat is on the mat and the dog is there"),
+      (2L, "")).toDF("doc_id", "text")
+    val out = Text.langId(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "und")
+  }
+
+  test("exact dedup keeps one row per distinct text") {
+    val distinct = docs.select("text").distinct().count()
+    assert(Dedup.exact(docs, "doc_id", "text").count() == distinct)
+  }
+
+  test("token counts: golden values") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello, world! 42 times")).toDF("doc_id", "text")
+    val r = Text.tokenCounts(df, "doc_id", "text").collect().head
+    assert(r.getLong(1) == 4)  // ws tokens
+    assert(r.getLong(2) == 6)  // Hello , world ! 42 times
+    assert(r.getLong(3) == 22) // chars
+  }
+}
