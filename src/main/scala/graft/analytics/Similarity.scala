@@ -61,17 +61,20 @@ object Similarity {
         val b = base.select(col("vid").as("id_b"), col("nvec").as("vec_b"))
         a.join(b, col("id_a") < col("id_b"))
       case "lsh" =>
+        // bucket join + dedup on bare id pairs (8 bytes each) — the
+        // 64-dim vectors are joined back only for surviving pairs, so
+        // they never ride through the dedup shuffle
         val bucketed = base
           .withColumn("buckets", hyperplane_buckets(col("nvec"), numPlanes, numTables))
-          .select(col("vid"), col("nvec"),
-            posexplode(col("buckets")).as(Seq("table_id", "bucket")))
-        val a = bucketed.select(col("table_id"), col("bucket"),
-          col("vid").as("id_a"), col("nvec").as("vec_a"))
-        val b = bucketed.select(col("table_id"), col("bucket"),
-          col("vid").as("id_b"), col("nvec").as("vec_b"))
-        a.join(b, Seq("table_id", "bucket")).filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"))
-          .dropDuplicates("id_a", "id_b")
+          .select(col("vid"), posexplode(col("buckets")).as(Seq("table_id", "bucket")))
+        val a = bucketed.select(col("table_id"), col("bucket"), col("vid").as("id_a"))
+        val b = bucketed.select(col("table_id"), col("bucket"), col("vid").as("id_b"))
+        val idPairs = a.join(b, Seq("table_id", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+        idPairs
+          .join(base.select(col("vid").as("id_a"), col("nvec").as("vec_a")), "id_a")
+          .join(base.select(col("vid").as("id_b"), col("nvec").as("vec_b")), "id_b")
     }
     candidates
       .withColumn("cos_sim",

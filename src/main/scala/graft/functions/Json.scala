@@ -17,12 +17,21 @@ object JsonOps {
   private val F = JsonNodeFactory.instance
 
   def parse(s: String): JsonNode = mapper.readTree(s)
+  def parse(b: Array[Byte]): JsonNode = mapper.readTree(b)
   def render(n: JsonNode): String = mapper.writeValueAsString(n)
+  def renderBytes(n: JsonNode): Array[Byte] = mapper.writeValueAsBytes(n)
 
   /** Parse leniently: null/empty → empty object; non-JSON → TextNode. */
   def parseOrEmpty(s: String): JsonNode =
     if (s == null || s.trim.isEmpty) F.objectNode()
     else try parse(s) catch { case _: Exception => F.textNode(s) }
+
+  /** Byte-level lenient parse (hot path: avoids UTF8String → String). */
+  def parseOrEmpty(b: Array[Byte]): JsonNode =
+    if (b == null || b.length == 0) F.objectNode()
+    else try parse(b) catch {
+      case _: Exception => F.textNode(new String(b, "UTF-8"))
+    }
 
   def get(root: JsonNode, path: Seq[String]): Option[JsonNode] = {
     var cur = root

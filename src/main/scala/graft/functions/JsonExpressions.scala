@@ -42,20 +42,21 @@ object JsonExpressions {
     override def nullable: Boolean = true
     override def prettyName: String = "json_set_field"
     override def eval(input: InternalRow): Any = {
-      val json = str(left.eval(input))
-      val value = str(right.eval(input))
+      val json = left.eval(input).asInstanceOf[UTF8String]
+      val value = right.eval(input).asInstanceOf[UTF8String]
       val valueNode =
         if (value == null) F.nullNode()
-        else if (rawJson) JsonOps.parseOrEmpty(value)
-        else F.textNode(value)
+        else if (rawJson) JsonOps.parseOrEmpty(value.getBytes)
+        else F.textNode(value.toString)
       if (path.isEmpty) {
         // whole-slot assignment: the rendered value replaces the slot
         if (value == null) null
-        else if (rawJson) utf8(JsonOps.render(valueNode))
-        else utf8(value)
+        else if (rawJson) UTF8String.fromBytes(JsonOps.renderBytes(valueNode))
+        else value
       } else {
-        val root = if (json == null) F.objectNode() else JsonOps.parseOrEmpty(json)
-        utf8(JsonOps.render(JsonOps.set(root, path, valueNode)))
+        val root = if (json == null) F.objectNode()
+          else JsonOps.parseOrEmpty(json.getBytes)
+        UTF8String.fromBytes(JsonOps.renderBytes(JsonOps.set(root, path, valueNode)))
       }
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
@@ -206,6 +207,36 @@ object JsonExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** One-parse Debezium envelope extraction:
+    * struct(before, after, op, source, ts_ms) from the envelope JSON —
+    * six `get_json_object` calls would parse the document six times
+    * per row (reference semantics in `impl/unwrap/debezium.go:98+`).
+    */
+  case class DebeziumParts(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("before", StringType), StructField("after", StringType),
+      StructField("op", StringType), StructField("source", StringType),
+      StructField("ts_ms", StringType)))
+    override def nullable: Boolean = true
+    override def prettyName: String = "debezium_parts"
+    override def nullSafeEval(v: Any): Any = {
+      val root = JsonOps.parseOrEmpty(v.asInstanceOf[UTF8String].getBytes)
+      val payload = root.get("payload")
+      def field(name: String): UTF8String = {
+        if (payload == null) return null
+        val n = payload.get(name)
+        if (n == null || n.isNull) null
+        else if (n.isTextual) utf8(n.asText())
+        else if (n.isValueNode) utf8(n.asText())
+        else UTF8String.fromBytes(JsonOps.renderBytes(n))
+      }
+      new GenericInternalRow(Array[Any](
+        field("before"), field("after"), field("op"), field("source"), field("ts_ms")))
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** Render a full OpenCDC record as its wire JSON (the reference's
     * JSON rendering, FIXTURES.md §1): position base64, structured
     * key/payload embedded as trees, raw strings as JSON strings.
@@ -275,4 +306,5 @@ object JsonExpressions {
   def jsonSplit(json: Column, path: Seq[String]): Column =
     col(JsonSplitField(ex(json), path))
   def cdcToJson(cols: Seq[Column]): Column = col(CdcToJson(cols.map(ex)))
+  def debeziumParts(env: Column): Column = col(DebeziumParts(ex(env)))
 }

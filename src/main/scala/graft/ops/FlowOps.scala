@@ -84,18 +84,22 @@ case class SplitProc(ref: Ref) extends Processor {
   * its `payload` field (reference `impl/unwrap/debezium.go:98+`,
   * op table `debezium.go:33-38`).
   */
-case class UnwrapDebezium(ref: Ref) extends ColumnProcessor {
+case class UnwrapDebezium(ref: Ref) extends Processor {
   val plugin = "unwrap.debezium"
-  override def rewrites(df: DataFrame): Map[String, Column] = {
+  override def transform(df: DataFrame): DataFrame = {
     val slot = RefCols.column(ref)
-    val env = jsonGet(col(slot), ref.sub, raw = true)
-    val p = (f: String) => get_json_object(env, s"$$.payload.$f")
+    val base = Cdc.withErrorChannel(df)
+      // materialized in its own projection: DebeziumParts parses the
+      // envelope ONCE; CollapseProject keeps it (multi-referenced,
+      // non-cheap) instead of inlining six parses
+      .withColumn("_dbz", debeziumParts(jsonGet(col(slot), ref.sub, raw = true)))
+    val p = (f: String) => col("_dbz").getField(f)
     val op = p("op")
     val mappedOp = when(op === "c", "create").when(op === "u", "update")
       .when(op === "d", "delete").when(op === "r", "snapshot")
     val srcMap = from_json(p("source"), MapType(StringType, StringType))
     val tsMs = p("ts_ms")
-    Map(
+    base.withColumns(Map(
       Cdc.Operation -> coalesce(mappedOp, col(Cdc.Operation)),
       Cdc.Metadata -> map_concat(
         map_filter(coalesce(col(Cdc.Metadata), map()),
@@ -109,8 +113,9 @@ case class UnwrapDebezium(ref: Ref) extends ColumnProcessor {
       Cdc.PayloadAfter -> p("after"),
       Cdc.Key -> coalesce(jsonGet(col(Cdc.Key), Seq("payload"), raw = true), col(Cdc.Key)),
       Cdc.Error -> coalesce(col(Cdc.Error),
-        when(env.isNotNull && mappedOp.isNull,
-          concat(lit("unwrap.debezium: unknown operation "), coalesce(op, lit("<nil>"))))))
+        when(col("_dbz").isNotNull && mappedOp.isNull,
+          concat(lit("unwrap.debezium: unknown operation "), coalesce(op, lit("<nil>")))))))
+      .drop("_dbz")
   }
 }
 

@@ -26,9 +26,12 @@ object Analytics {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
 
+    // char-5-grams: 3-grams of a small shared vocabulary are near-
+    // universal across documents (every pair becomes an LSH candidate);
+    // 5-grams restore selectivity at the same shingling cost
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.8).select(col("id_a"), col("id_b"))),
+        n = 5, threshold = 0.8).select(col("id_a"), col("id_b"))),
 
     "dedup_embedding" -> ((s, dir) =>
       Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
