@@ -1,0 +1,65 @@
+package graft.pipeline
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Pipeline observability (reference §2.4):
+  *
+  *  - MetricsNode (`pkg/lifecycle/stream/metrics.go:24` — per-pipeline
+  *    record/byte throughput) → a `StreamingQueryListener` fed by
+  *    Spark's own progress events: no extra pass over the data.
+  *  - Inspector (`pkg/inspector/inspector.go:28,33,55` — live tap with
+  *    a bounded ring buffer, dropping when full) → a driver-side ring
+  *    fed from `foreachBatch` with a bounded `limit` collect per batch.
+  */
+object Metrics {
+
+  final case class QuerySnapshot(batches: Long, inputRows: Long,
+                                 lastRowsPerSecond: Double)
+
+  private val counters = new ConcurrentHashMap[String, (AtomicLong, AtomicLong)]()
+  @volatile private var lastRate = Map.empty[String, Double]
+
+  private def of(name: String) =
+    counters.computeIfAbsent(name, _ => (new AtomicLong, new AtomicLong))
+
+  /** Attach once per SparkSession. */
+  def listener: StreamingQueryListener = new StreamingQueryListener {
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val name = Option(e.progress.name).getOrElse(e.progress.id.toString)
+      val (batches, rows) = of(name)
+      batches.incrementAndGet()
+      rows.addAndGet(e.progress.numInputRows)
+      lastRate += name -> e.progress.processedRowsPerSecond
+    }
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  }
+
+  def snapshot(pipelineId: String): QuerySnapshot = {
+    val (batches, rows) = of(pipelineId)
+    QuerySnapshot(batches.get(), rows.get(), lastRate.getOrElse(pipelineId, 0.0))
+  }
+
+  /** Inspector ring buffer: last `capacity` wire-JSON records per tap
+    * session; excess records in a batch are dropped (reference
+    * drop-on-full semantics, buffer default 1000).
+    */
+  final class Inspector(val id: String, capacity: Int = 1000) {
+    private val ring = new java.util.concurrent.ArrayBlockingQueue[String](capacity)
+    private[pipeline] def offer(records: Seq[String]): Unit =
+      records.foreach { r => if (!ring.offer(r)) () } // drop when full
+    def drain(): Seq[String] = {
+      val out = new java.util.ArrayList[String]()
+      ring.drainTo(out)
+      scala.jdk.CollectionConverters.ListHasAsScala(out).asScala.toSeq
+    }
+  }
+
+  private val inspectors = new ConcurrentHashMap[String, Inspector]()
+  def inspector(id: String, capacity: Int = 1000): Inspector =
+    inspectors.computeIfAbsent(id, _ => new Inspector(id, capacity))
+  def inspectorFor(id: String): Option[Inspector] = Option(inspectors.get(id))
+}

@@ -167,6 +167,10 @@ object Runner {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.persist()
         try {
+          // inspector tap: bounded sample of the live stream
+          Metrics.inspectorFor(pipeline.id).foreach { ins =>
+            ins.offer(renderJson(batch.limit(100)).collect().map(_.getString(0)).toSeq)
+          }
           val ok = Cdc.ok(batch)
           val failed = Cdc.failed(batch)
           val nacks = failed.count()

@@ -142,6 +142,74 @@ object Relational {
       ev.groupBy(tsDay(ev).as("day"), col("event_type"))
         .agg(sum(col("value").cast(d2)).cast("double").as("total_value"),
           count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q13 shape: left outer join + per-customer count + histogram.
+    "q11_customer_distribution" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // Conditional aggregation (TPC-H Q12 shape): case-when sums.
+    "q12_priority_lines" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("low_line_count"))
+    }),
+
+    // String functions: like / substring / concat / upper.
+    "q13_string_funcs" -> ((s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_name").like("%gold%") || col("p_type").startsWith("SMALL"))
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_name"), 1, 5).as("prefix"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+          length(col("p_name")).cast("long").as("name_len"))
+    }),
+
+    // Set operations on key sets.
+    "q14_set_ops" -> ((s, dir) => {
+      val fromOrders = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      val highValue = t(s, dir, "orders").filter(col("o_totalprice") > 150000.0)
+        .select(col("o_custkey").as("k"))
+      fromOrders.distinct().except(highValue.distinct())
+        .withColumnRenamed("k", "custkey_low_only")
+    }),
+
+    // Correlated-subquery shape (TPC-H Q17): qty below 20% of the
+    // per-part average — expressed as aggregate + self-join (the
+    // decorrelation Catalyst would do anyway).
+    "q15_small_qty_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg((sum(col("l_quantity").cast(d2)) / count(lit(1))).cast("double").as("avg_qty"))
+      li.join(avgQty, col("l_partkey") === col("ap_partkey"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg(sum(col("l_extendedprice").cast(d2)).cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // Date arithmetic and truncation.
+    "q16_date_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+          datediff(to_date(lit("1998-12-31")), to_date(col("o_orderdate")))
+            .cast("long").as("age_days"))
     })
   )
 
@@ -207,6 +275,41 @@ object Relational {
       """SELECT CAST(ts AS DATE) AS day, event_type,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
          count(*) AS n
-         FROM events GROUP BY CAST(ts AS DATE), event_type"""
+         FROM events GROUP BY CAST(ts AS DATE), event_type""",
+    "q11_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey) GROUP BY c_count""",
+    "q12_priority_lines" ->
+      """SELECT l_linestatus,
+         sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+         sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY l_linestatus""",
+    "q13_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname, substr(p_name, 1, 5) AS prefix,
+         p_brand || '/' || p_type AS brand_type,
+         CAST(length(p_name) AS BIGINT) AS name_len
+         FROM part WHERE p_name LIKE '%gold%' OR p_type LIKE 'SMALL%'""",
+    "q14_set_ops" ->
+      """SELECT k AS custkey_low_only FROM (
+           SELECT DISTINCT o_custkey AS k FROM orders
+           EXCEPT
+           SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 150000.0)""",
+    "q15_small_qty_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         count(*) AS n_rows
+         FROM lineitem JOIN (
+           SELECT l_partkey AS ap_partkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) / count(*) AS DOUBLE) AS avg_qty
+           FROM lineitem GROUP BY l_partkey) ON l_partkey = ap_partkey
+         WHERE l_quantity < 0.5 * avg_qty""",
+    "q16_date_funcs" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y,
+         CAST(month(o_orderdate) AS BIGINT) AS m,
+         CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS age_days
+         FROM orders"""
   )
 }
