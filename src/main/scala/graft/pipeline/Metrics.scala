@@ -25,6 +25,14 @@ object Metrics {
   private def of(name: String) =
     counters.computeIfAbsent(name, _ => (new AtomicLong, new AtomicLong))
 
+  private val attached =
+    java.util.Collections.newSetFromMap(
+      new ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  /** Attach the listener once per session (idempotent). */
+  def attach(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (attached.add(spark)) spark.streams.addListener(listener)
+
   /** Attach once per SparkSession. */
   def listener: StreamingQueryListener = new StreamingQueryListener {
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()

@@ -154,6 +154,7 @@ object Runner {
   def start(spark: SparkSession, pipeline: PipelineConfig,
             checkpointDir: String,
             trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    Metrics.attach(spark)
     val stream = build(spark, pipeline, streaming = true)
     val nackWindow = pipeline.dlq.map(d =>
       new NackWindow(d.windowSize.toLong, d.windowNackThreshold.toLong))

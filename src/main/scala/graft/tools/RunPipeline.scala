@@ -12,12 +12,19 @@ import graft.pipeline.{Pipeline, Runner}
   * query, wait for completion (bounded sources) or until killed.
   *
   * Usage: runMain graft.tools.RunPipeline <pipeline.yaml> [--batch]
+  *        runMain graft.tools.RunPipeline <pipeline.yaml> --serve <port>
+  * (--serve registers the pipelines and exposes the REST control
+  *  plane instead of running them immediately.)
   */
 object RunPipeline {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: RunPipeline <pipeline.yaml> [--batch]")
+    require(args.nonEmpty, "usage: RunPipeline <pipeline.yaml> [--batch|--serve <port>]")
     val yamlPath = args(0)
     val batchMode = args.contains("--batch")
+    val servePort = args.indexOf("--serve") match {
+      case -1 => None
+      case i => Some(args(i + 1).toInt)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,6 +37,14 @@ object RunPipeline {
 
     val pipelines = Pipeline.fromYaml(Files.readString(Paths.get(yamlPath)))
     require(pipelines.nonEmpty, s"no pipelines in $yamlPath")
+    servePort.foreach { port =>
+      val cp = new graft.pipeline.ControlPlane(spark,
+        Files.createTempDirectory("graft-ckpt").toString)
+      pipelines.foreach(cp.register)
+      val bound = cp.start(port)
+      println(s"control plane listening on 127.0.0.1:$bound")
+      Thread.currentThread().join() // serve until killed
+    }
     pipelines.foreach { p =>
       if (batchMode) {
         val counts = Runner.runBatch(spark, p)

@@ -1,0 +1,77 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.JsonOps
+import graft.pipeline.ControlPlane
+
+/** Drives the REST control plane over HTTP: create from YAML, start,
+  * status, inspect, stop.
+  */
+class ControlPlaneSpec extends AnyFunSuite {
+  lazy val spark = Spark.session
+
+  private val yaml =
+    """version: 2.2
+      |pipelines:
+      |  - id: cp-demo
+      |    connectors:
+      |      - id: gen
+      |        type: source
+      |        plugin: builtin:generator
+      |        settings:
+      |          format.options.id: int
+      |          recordCount: "300"
+      |      - id: out
+      |        type: destination
+      |        plugin: memory
+      |""".stripMargin
+
+  test("pipeline lifecycle over REST") {
+    graft.pipeline.Runner.memorySinks.clear()
+    val ckpt = java.nio.file.Files.createTempDirectory("cp-ckpt").toString
+    val cp = new ControlPlane(spark, ckpt)
+    val port = cp.start(0)
+    val client = HttpClient.newHttpClient()
+    def url(p: String) = URI.create(s"http://127.0.0.1:$port/v1/pipelines$p")
+    def post(p: String, body: String = ""): String =
+      client.send(HttpRequest.newBuilder(url(p))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+    def get(p: String): String =
+      client.send(HttpRequest.newBuilder(url(p)).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+
+    try {
+      val created = post("", yaml)
+      assert(created.contains("cp-demo"), created)
+
+      val started = post("/cp-demo/start")
+      assert(started.contains("\"running\"") || started.contains("\"terminated\""), started)
+
+      // wait for the bounded source to drain
+      var waited = 0
+      while (graft.pipeline.Runner.memorySink("out").size < 300 && waited < 300) {
+        Thread.sleep(100); waited += 1
+      }
+      assert(graft.pipeline.Runner.memorySink("out").size == 300)
+
+      val st = get("/cp-demo/status")
+      val node = JsonOps.parse(st)
+      assert(node.get("id").asText() == "cp-demo")
+      assert(node.get("inputRows").asLong() >= 0)
+
+      val inspected = get("/cp-demo/inspect")
+      assert(inspected.startsWith("[") && inspected.contains("operation"), inspected.take(120))
+
+      val stopped = post("/cp-demo/stop")
+      assert(stopped.contains("\"stopped\""), stopped)
+
+      val notFound = get("/nope/status")
+      assert(notFound.contains("stopped") || notFound.contains("error"))
+    } finally cp.stop()
+  }
+}
