@@ -71,32 +71,38 @@ object AvroExpressions {
 case class AvroEncode(ref: Ref, schemaJson: String, schemaId: Int)
     extends ColumnProcessor {
   val plugin = "avro.encode"
-  override def rewrites(df: DataFrame): Map[String, Column] = {
+  override def tempColumns(df: DataFrame): Map[String, Column] = {
     val slot = RefCols.column(ref)
     val src = if (ref.sub.isEmpty) col(slot)
       else graft.functions.JsonExpressions.jsonGet(col(slot), ref.sub, raw = false)
-    val encoded = Bridge.column(
-      AvroExpressions.AvroEncodeExpr(Bridge.expression(src), schemaJson, schemaId))
-    val value = encoded.getField("value")
+    Map("_avro" -> Bridge.column(
+      AvroExpressions.AvroEncodeExpr(Bridge.expression(src), schemaJson, schemaId)))
+  }
+  override def rewrites(df: DataFrame): Map[String, Column] = {
+    val slot = RefCols.column(ref)
+    val value = col("_avro").getField("value")
     Map(
       slot -> (if (ref.sub.isEmpty) value
         else graft.functions.JsonExpressions.jsonSet(col(slot), ref.sub, value)),
-      Cdc.Error -> coalesce(col(Cdc.Error), encoded.getField("error")))
+      Cdc.Error -> coalesce(col(Cdc.Error), col("_avro").getField("error")))
   }
 }
 
 case class AvroDecode(ref: Ref, schemaJson: String) extends ColumnProcessor {
   val plugin = "avro.decode"
-  override def rewrites(df: DataFrame): Map[String, Column] = {
+  override def tempColumns(df: DataFrame): Map[String, Column] = {
     val slot = RefCols.column(ref)
     val src = if (ref.sub.isEmpty) col(slot)
       else graft.functions.JsonExpressions.jsonGet(col(slot), ref.sub, raw = true)
-    val decoded = Bridge.column(
-      AvroExpressions.AvroDecodeExpr(Bridge.expression(src), schemaJson))
-    val value = decoded.getField("value")
+    Map("_avro" -> Bridge.column(
+      AvroExpressions.AvroDecodeExpr(Bridge.expression(src), schemaJson)))
+  }
+  override def rewrites(df: DataFrame): Map[String, Column] = {
+    val slot = RefCols.column(ref)
+    val value = col("_avro").getField("value")
     Map(
       slot -> (if (ref.sub.isEmpty) value
         else graft.functions.JsonExpressions.jsonSet(col(slot), ref.sub, value, rawJson = true)),
-      Cdc.Error -> coalesce(col(Cdc.Error), decoded.getField("error")))
+      Cdc.Error -> coalesce(col(Cdc.Error), col("_avro").getField("error")))
   }
 }

@@ -14,17 +14,19 @@ import graft.functions.JsonExpressions._
   */
 case class JsonDecode(ref: Ref) extends ColumnProcessor {
   val plugin = "json.decode"
-  override def rewrites(df: DataFrame): Map[String, Column] = {
-    val slot = RefCols.column(ref)
+  override def tempColumns(df: DataFrame): Map[String, Column] = {
     val source = ref match {
       case KeyRef(Seq()) =>
         coalesce(col(Cdc.Key), col(Cdc.KeyRaw).cast(StringType))
-      case _ => col(slot)
+      case _ => col(RefCols.column(ref))
     }
-    val parsed = jsonParse(source, ref.sub)
+    Map("_decoded" -> jsonParse(source, ref.sub))
+  }
+  override def rewrites(df: DataFrame): Map[String, Column] = {
+    val slot = RefCols.column(ref)
     val base = Map(
-      slot -> parsed.getField("value"),
-      Cdc.Error -> coalesce(col(Cdc.Error), parsed.getField("error")))
+      slot -> col("_decoded").getField("value"),
+      Cdc.Error -> coalesce(col(Cdc.Error), col("_decoded").getField("error")))
     if (ref == KeyRef(Nil)) base + (Cdc.KeyRaw -> lit(null).cast(BinaryType))
     else base
   }

@@ -115,15 +115,17 @@ case class FieldExclude(refs: Seq[Ref]) extends ColumnProcessor {
   */
 case class FieldConvert(ref: Ref, targetType: String) extends ColumnProcessor {
   val plugin = "field.convert"
+  override def tempColumns(df: DataFrame): Map[String, Column] = ref match {
+    case MetadataRef(_) => Map.empty
+    case r => Map("_convert" -> jsonConvert(col(RefCols.column(r)), r.sub, targetType))
+  }
   override def rewrites(df: DataFrame): Map[String, Column] = ref match {
     case MetadataRef(Seq(k)) =>
       // metadata values are strings; only identity-ish converts apply
       Map(Cdc.Metadata -> col(Cdc.Metadata))
     case r =>
-      val slot = RefCols.column(r)
-      val converted = jsonConvert(col(slot), r.sub, targetType)
       Map(
-        slot -> converted.getField("value"),
-        Cdc.Error -> coalesce(col(Cdc.Error), converted.getField("error")))
+        RefCols.column(r) -> col("_convert").getField("value"),
+        Cdc.Error -> coalesce(col(Cdc.Error), col("_convert").getField("error")))
   }
 }

@@ -47,18 +47,32 @@ trait Processor extends Serializable {
 trait ColumnProcessor extends Processor {
   /** Column rewrites; key = CDC column name. */
   def rewrites(df: DataFrame): Map[String, Column]
+
+  /** Expensive shared subexpressions, materialized in their own
+    * projection before `rewrites` runs. A struct expression referenced
+    * by two rewrites (value + `_error`) would otherwise be COPIED into
+    * both trees and evaluated twice per row — multi-referenced
+    * non-cheap aliases are exactly what CollapseProject refuses to
+    * inline, so this splits the evaluation into one pass.
+    */
+  def tempColumns(df: DataFrame): Map[String, Column] = Map.empty
+
   override def transform(df: DataFrame): DataFrame = {
+    val tmp = tempColumns(df)
     val rw = rewrites(df)
-    val base = if (rw.contains(Cdc.Error)) Cdc.withErrorChannel(df) else df
-    base.withColumns(rw)
+    val base0 = if (rw.contains(Cdc.Error)) Cdc.withErrorChannel(df) else df
+    val base = if (tmp.isEmpty) base0 else base0.withColumns(tmp)
+    base.withColumns(rw).drop(tmp.keys.toSeq: _*)
   }
   override def transformConditional(df: DataFrame, cond: Column): DataFrame = {
+    val tmp = tempColumns(df)
     val rw = rewrites(df)
-    val base = if (rw.contains(Cdc.Error)) Cdc.withErrorChannel(df) else df
+    val base0 = if (rw.contains(Cdc.Error)) Cdc.withErrorChannel(df) else df
+    val base = if (tmp.isEmpty) base0 else base0.withColumns(tmp)
     val gated = rw.map { case (name, c) =>
       name -> when(coalesce(cond, lit(false)), c).otherwise(col(name))
     }
-    base.withColumns(gated)
+    base.withColumns(gated).drop(tmp.keys.toSeq: _*)
   }
 }
 
