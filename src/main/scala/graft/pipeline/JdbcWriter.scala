@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+
+import graft.functions.JsonOps
+import graft.model.Cdc
+
+/** JDBC destination: per-record keyed upsert (the reference's postgres
+  * destination semantics — `create|update|snapshot` upsert the row,
+  * `delete` removes it by key). Update-then-insert keeps it portable
+  * across dialects without MERGE; executed per partition with one
+  * connection and prepared-statement reuse.
+  *
+  * Settings: `url`, `table`, `key` (payload field = key column).
+  * Target columns are the payload's fields; idempotent by key, which
+  * upgrades at-least-once delivery to effectively-once (SURVEY §2.7).
+  */
+object JdbcWriter {
+  def write(df: DataFrame, settings: Map[String, String]): Unit = {
+    val url = settings("url")
+    val table = settings("table")
+    val keyCol = settings.getOrElse("key", "id")
+    df.select(col(Cdc.Operation), col(Cdc.PayloadAfter), col(Cdc.Key))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        val conn = DriverManager.getConnection(url)
+        conn.setAutoCommit(false)
+        try {
+          rows.foreach { r =>
+            val op = r.getString(0)
+            if (op == "delete") {
+              val keyNode = JsonOps.parseOrEmpty(r.getString(2))
+              val keyVal = jsonValue(keyNode.get(keyCol))
+              val del = conn.prepareStatement(
+                s"DELETE FROM $table WHERE $keyCol = ?")
+              del.setObject(1, keyVal); del.execute(); del.close()
+            } else if (r.getString(1) != null) {
+              val payload = JsonOps.parseOrEmpty(r.getString(1))
+              if (payload.isObject) {
+                val fields = scala.jdk.CollectionConverters
+                  .IteratorHasAsScala(payload.fieldNames()).asScala.toSeq
+                val values = fields.map(f => jsonValue(payload.get(f)))
+                val keyIdx = fields.indexOf(keyCol)
+                val setCols = fields.zipWithIndex.filter(_._1 != keyCol)
+                // update first …
+                var updated = 0
+                if (keyIdx >= 0 && setCols.nonEmpty) {
+                  val up = conn.prepareStatement(
+                    s"UPDATE $table SET ${setCols.map(_._1 + " = ?").mkString(", ")} WHERE $keyCol = ?")
+                  setCols.zipWithIndex.foreach { case ((_, vi), i) =>
+                    up.setObject(i + 1, values(vi))
+                  }
+                  up.setObject(setCols.size + 1, values(keyIdx))
+                  updated = up.executeUpdate(); up.close()
+                }
+                // … insert when absent
+                if (updated == 0) {
+                  val ins = conn.prepareStatement(
+                    s"INSERT INTO $table (${fields.mkString(", ")}) VALUES (${fields.map(_ => "?").mkString(", ")})")
+                  values.zipWithIndex.foreach { case (v, i) => ins.setObject(i + 1, v) }
+                  ins.execute(); ins.close()
+                }
+              }
+            }
+          }
+          conn.commit()
+        } finally conn.close()
+      }
+  }
+
+  private def jsonValue(n: com.fasterxml.jackson.databind.JsonNode): AnyRef = n match {
+    case null => null
+    case x if x.isNull => null
+    case x if x.isIntegralNumber => java.lang.Long.valueOf(x.asLong())
+    case x if x.isFloatingPointNumber => java.lang.Double.valueOf(x.asDouble())
+    case x if x.isBoolean => java.lang.Boolean.valueOf(x.asBoolean())
+    case x if x.isTextual => x.asText()
+    case x => JsonOps.render(x)
+  }
+}

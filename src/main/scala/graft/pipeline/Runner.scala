@@ -78,6 +78,11 @@ object Runner {
           if (streaming) spark.readStream.format("parquet").load(path)
           else spark.read.parquet(path)
         Cdc.wrap(df, cfg.settings.getOrElse("key", df.columns.head), cfg.id)
+      case "builtin:postgres" | "jdbc" =>
+        // query-based CDC: snapshot + incrementing-column change capture
+        if (streaming)
+          spark.readStream.format("conduit-jdbc").options(cfg.settings).load()
+        else spark.read.format("conduit-jdbc").options(cfg.settings).load()
       case other =>
         throw new IllegalArgumentException(s"unknown source plugin: $other")
     }
@@ -126,6 +131,11 @@ object Runner {
         val buf = memorySinks.computeIfAbsent(cfg.id,
           _ => new ConcurrentLinkedQueue[String]())
         renderJson(out).collect().foreach(r => buf.add(r.getString(0)))
+      case "builtin:postgres" | "jdbc" =>
+        // keyed upsert per record (update-then-insert — portable where
+        // MERGE isn't), the reference's destination semantics: `create/
+        // update/snapshot` upsert, `delete` deletes by key
+        JdbcWriter.write(out, cfg.settings)
       case other =>
         throw new IllegalArgumentException(s"unknown destination plugin: $other")
     }
