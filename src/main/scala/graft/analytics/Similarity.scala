@@ -91,8 +91,24 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val base = corpus.select(col(idCol).as("vid"), normalize(col(vecCol)).as("nvec"))
-    val centroids = base.orderBy(col("vid").asc).limit(nlist)
+    // seed centroids deterministically, then one Lloyd refinement:
+    // assign → mean per cell → renormalize (k-means on the sphere)
+    val seeds = base.orderBy(col("vid").asc).limit(nlist)
       .select(col("vid").as("cid"), col("nvec").as("cvec"))
+    val seedAssign = base.join(broadcast(seeds), lit(true))
+      .select(col("vid"), col("nvec"), col("cid"),
+        dot_product(col("nvec"), col("cvec")).as("cdot"))
+    val wSeed = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vid")).orderBy(col("cdot").desc, col("cid").asc)
+    // dimension-wise mean (distributed: (cid, dim) partial aggregates,
+    // never a whole cell in one row), then renormalize to the sphere
+    val centroids = seedAssign.withColumn("r", row_number().over(wSeed))
+      .filter(col("r") === 1)
+      .select(col("cid"), posexplode(col("nvec")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim")).agg(avg(col("x")).as("mx"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mx")))).as("dims"))
+      .select(col("cid"), normalize(expr("transform(dims, d -> d.mx)")).as("cvec"))
     // assign: argmax over centroids (broadcast) of dot product
     val assigned = base.join(broadcast(centroids), lit(true))
       .select(col("vid"), col("nvec"), col("cid"),
