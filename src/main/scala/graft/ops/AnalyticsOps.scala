@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.Cdc
+
+/** The full Spark relational surface exposed as a processor (SURVEY §7
+  * step 6): the micro-batch registers as a temp view and an arbitrary
+  * Spark SQL statement reshapes it — joins, aggregations, windows,
+  * anything Catalyst can plan. The result must keep the CDC schema
+  * (use `*` or explicit CDC columns); Catalyst does all the work.
+  *
+  * Settings: `query` (refers to the view `records`), optional
+  * `view` name override.
+  */
+case class SqlProc(query: String, view: String = "records") extends Processor {
+  val plugin = "sql"
+  override def transform(df: DataFrame): DataFrame = {
+    val name = s"${view}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    df.createOrReplaceTempView(name)
+    df.sparkSession.sql(query.replace(view, name))
+  }
+}
+
+/** Exact dedup as a pipeline processor: drops records whose content
+  * digest (payload_after by default, or a field ref) repeats within
+  * the batch, keeping the first by key order. The streaming analogue
+  * with watermark-bounded state lives in
+  * [[graft.streaming.StreamingOps.dedupStream]].
+  */
+case class DedupExact(field: Option[graft.model.Ref]) extends Processor {
+  val plugin = "dedup.exact"
+  override def transform(df: DataFrame): DataFrame = {
+    val content = field.map(RefCols.get).getOrElse(col(Cdc.PayloadAfter))
+    df.withColumn("_digest", sha2(coalesce(content, lit("")), 256))
+      .dropDuplicates("_digest")
+      .drop("_digest")
+  }
+}
+
+/** Text metrics as a pipeline processor: token/char counts and quality
+  * ratios computed from a payload text field, written back into the
+  * payload (the processor form of [[graft.analytics.Text]]).
+  */
+case class TextMetrics(field: graft.model.Ref) extends ColumnProcessor {
+  val plugin = "text.metrics"
+  override def rewrites(df: DataFrame): Map[String, Column] = {
+    val slot = RefCols.column(field)
+    val text = RefCols.get(field)
+    val tokens = size(split(trim(text), "\\s+")).cast("string")
+    val chars = length(text).cast("string")
+    val metrics = to_json(struct(
+      length(text).cast("long").as("n_chars"),
+      size(split(trim(text), "\\s+")).cast("long").as("n_tokens"),
+      graft.analytics.HashFunctions.rolling_fingerprint(
+        concat_ws(" ", split(lower(trim(text)), "\\s+"))).as("fingerprint")))
+    Map(slot -> graft.functions.JsonExpressions.jsonSet(
+      col(slot), Seq("text_metrics"), metrics, rawJson = true))
+  }
+}

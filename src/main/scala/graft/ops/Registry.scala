@@ -47,7 +47,11 @@ object Registry {
     "webhook.http" -> (s => WebhookHttp(s)),
     "avro.encode" -> (s => AvroEncode(ref(s, ".Payload.After"), s("schema"),
       s.getOrElse("schema.id", "1").toInt)),
-    "avro.decode" -> (s => AvroDecode(ref(s, ".Payload.After"), s("schema")))
+    "avro.decode" -> (s => AvroDecode(ref(s, ".Payload.After"), s("schema"))),
+    "sql" -> (s => SqlProc(s("query"), s.getOrElse("view", "records"))),
+    "dedup.exact" -> (s => DedupExact(s.get("field").map(Ref.parse))),
+    "text.metrics" -> (s => TextMetrics(Ref.parse(
+      s.getOrElse("field", ".Payload.After"))))
   )
 
   def create(plugin: String, settings: Map[String, String]): Processor =

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.JsonOps
+import graft.model.Cdc
+import graft.ops.Registry
+import graft.pipeline.{Pipeline, Runner}
+
+/** The sql / dedup.exact / text.metrics pipeline processors. */
+class AnalyticsOpsSpec extends AnyFunSuite {
+  lazy val spark = Spark.session
+
+  private def gen(n: Int) =
+    Runner.source(spark, graft.pipeline.ConnectorConfig("g", "builtin:generator",
+      Map("format.options.id" -> "int", "recordCount" -> n.toString)),
+      streaming = false)
+
+  test("sql processor reshapes the stream with arbitrary Spark SQL") {
+    val proc = Registry.create("sql", Map("query" ->
+      """SELECT position, operation, metadata, key_raw, key,
+         payload_before, payload_after
+         FROM records
+         WHERE CAST(get_json_object(payload_after, '$.id') AS LONG) % 2 = 0"""))
+    val out = proc(gen(100))
+    val n = out.count()
+    assert(n > 0 && n < 100)
+    assert(out.columns.toSeq == Cdc.columns)
+  }
+
+  test("dedup.exact drops payload duplicates within a batch") {
+    val base = gen(50).withColumn(Cdc.PayloadAfter,
+      when(col(Cdc.Key).contains("1"), lit("""{"dup":true}"""))
+        .otherwise(col(Cdc.PayloadAfter)))
+    val out = Registry.create("dedup.exact", Map.empty)(base)
+    val dupCount = out.filter(col(Cdc.PayloadAfter) === """{"dup":true}""").count()
+    assert(dupCount == 1, s"expected duplicates collapsed to 1, got $dupCount")
+  }
+
+  test("text.metrics annotates the payload with counts + fingerprint") {
+    val base = gen(3).withColumn(Cdc.PayloadAfter,
+      lit("""{"text":"hello  world again"}"""))
+    val proc = Registry.create("text.metrics", Map("field" -> ".Payload.After.text"))
+    val out = proc(base).collect().head
+    val payload = JsonOps.parse(out.getAs[String](Cdc.PayloadAfter))
+    val m = payload.get("text_metrics")
+    assert(m.get("n_tokens").asLong() == 3)
+    assert(m.get("n_chars").asLong() == 18)
+    assert(m.get("fingerprint").asLong() ==
+      graft.analytics.Hashing.rollingHash("hello world again"))
+  }
+
+  test("sql processor works inside a YAML pipeline") {
+    Runner.memorySinks.clear()
+    val p = Pipeline("sqlp")
+      .source("gen", "builtin:generator",
+        "format.options.id" -> "int", "recordCount" -> "60")
+      .processor("only-even", "sql",
+        "query" -> ("SELECT * FROM records WHERE " +
+          "CAST(get_json_object(payload_after, '$.id') AS LONG) % 3 = 0"))
+      .destination("out", "memory")
+    val counts = Runner.runBatch(spark, p)
+    assert(counts("ok") > 0 && counts("ok") < 60)
+  }
+}
