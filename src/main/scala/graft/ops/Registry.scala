@@ -54,9 +54,11 @@ object Registry {
       s.getOrElse("field", ".Payload.After"))))
   )
 
-  def create(plugin: String, settings: Map[String, String]): Processor =
-    factories.getOrElse(plugin,
+  def create(plugin: String, settings: Map[String, String]): Processor = {
+    val inner = factories.getOrElse(plugin,
       throw new IllegalArgumentException(s"unknown processor plugin: $plugin"))(settings)
+    SchemaMiddleware.wrap(inner, settings)
+  }
 
   def plugins: Set[String] = factories.keySet
 }

@@ -124,7 +124,9 @@ object Runner {
       case "parquet" =>
         out.drop(Cdc.Error).write.mode("append").parquet(cfg.settings("path"))
       case "builtin:log" | "log" | "console" =>
-        out.collect().take(20).foreach(r => println(s"[${cfg.id}] $r"))
+        // bounded sample only — never collect a whole batch driver-side
+        renderJson(out.limit(20)).collect()
+          .foreach(r => println(s"[${cfg.id}] ${r.getString(0)}"))
       case "null" | "/dev/null" | "noop" =>
         out.write.format("noop").mode("overwrite").save()
       case "memory" =>
