@@ -47,6 +47,11 @@ for d in sorted(glob.glob(f"{OUT_DIR}/*/")):
     if len(g) != len(w):
         results[name] = f"ROWCOUNT got={len(g)} want={len(w)}"
         continue
+    dtype_diff = [(c, str(g[c].dtype), str(w[c].dtype)) for c in g.columns
+                  if str(g[c].dtype) != str(w[c].dtype)]
+    if dtype_diff:
+        results[name] = f"DTYPE-DIFF {dtype_diff}"
+        continue
     mismatch = None
     for c in g.columns:
         gv, wv = g[c], w[c]

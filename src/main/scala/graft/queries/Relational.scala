@@ -139,7 +139,7 @@ object Relational {
     // Join fact to events-day aggregate: date-typed group key.
     "q10_daily_event_value" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      ev.groupBy(tsDay(ev).as("day"), col("event_type"))
+      ev.groupBy(tsDay(ev).cast("string").as("day"), col("event_type"))
         .agg(sum(col("value").cast(d2)).cast("double").as("total_value"),
           count(lit(1)).as("n"))
     }),
@@ -207,7 +207,7 @@ object Relational {
         .select(col("o_orderkey"),
           year(col("o_orderdate")).cast("long").as("y"),
           month(col("o_orderdate")).cast("long").as("m"),
-          date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+          date_add(to_date(col("o_orderdate")), 30).cast("string").as("due_date"),
           datediff(to_date(lit("1998-12-31")), to_date(col("o_orderdate")))
             .cast("long").as("age_days"))
     })
@@ -263,7 +263,7 @@ object Relational {
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "q9_user_sessions" ->
       """SELECT user_id,
-         sum(new_session) AS n_sessions, count(*) AS n_events FROM (
+         CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
            SELECT user_id,
              CASE WHEN prev_s IS NULL OR (ts_s - prev_s) > 1800 THEN 1 ELSE 0 END AS new_session
            FROM (SELECT user_id,
@@ -272,7 +272,7 @@ object Relational {
                PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_s
              FROM events)) GROUP BY user_id""",
     "q10_daily_event_value" ->
-      """SELECT CAST(ts AS DATE) AS day, event_type,
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
          count(*) AS n
          FROM events GROUP BY CAST(ts AS DATE), event_type""",
@@ -283,8 +283,8 @@ object Relational {
            GROUP BY c_custkey) GROUP BY c_count""",
     "q12_priority_lines" ->
       """SELECT l_linestatus,
-         sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-         sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+         CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY l_linestatus""",
     "q13_string_funcs" ->
@@ -308,7 +308,7 @@ object Relational {
     "q16_date_funcs" ->
       """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y,
          CAST(month(o_orderdate) AS BIGINT) AS m,
-         CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+         CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS due_date,
          CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS age_days
          FROM orders"""
   )
