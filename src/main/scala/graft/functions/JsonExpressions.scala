@@ -275,7 +275,16 @@ object JsonExpressions {
       def slot(v: Any): com.fasterxml.jackson.databind.JsonNode =
         if (v == null) F.nullNode()
         else JsonOps.parseOrEmpty(v.asInstanceOf[UTF8String].toString)
-      root.set[com.fasterxml.jackson.databind.JsonNode]("key", slot(children(4).eval(input)))
+      // raw-only keys (key_raw bytes, no structured key) render as the
+      // reference renders RawData: the UTF-8 string
+      val keyNode = children(4).eval(input) match {
+        case null => children(3).eval(input) match {
+          case null => F.nullNode()
+          case raw => F.textNode(new String(raw.asInstanceOf[Array[Byte]], "UTF-8"))
+        }
+        case k => slot(k)
+      }
+      root.set[com.fasterxml.jackson.databind.JsonNode]("key", keyNode)
       val payload = F.objectNode()
       payload.set[com.fasterxml.jackson.databind.JsonNode]("before", slot(children(5).eval(input)))
       payload.set[com.fasterxml.jackson.databind.JsonNode]("after", slot(children(6).eval(input)))

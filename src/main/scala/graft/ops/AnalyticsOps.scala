@@ -17,9 +17,10 @@ import graft.model.Cdc
 case class SqlProc(query: String, view: String = "records") extends Processor {
   val plugin = "sql"
   override def transform(df: DataFrame): DataFrame = {
-    val name = s"${view}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    df.createOrReplaceTempView(name)
-    df.sparkSession.sql(query.replace(view, name))
+    // register under the user-visible name verbatim — rewriting the SQL
+    // text would corrupt identifiers/literals containing the view name
+    df.createOrReplaceTempView(view)
+    df.sparkSession.sql(query)
   }
 }
 
@@ -33,9 +34,15 @@ case class DedupExact(field: Option[graft.model.Ref]) extends Processor {
   val plugin = "dedup.exact"
   override def transform(df: DataFrame): DataFrame = {
     val content = field.map(RefCols.get).getOrElse(col(Cdc.PayloadAfter))
+    // deterministic survivor: smallest key within each digest group
+    // (dropDuplicates keeps an arbitrary partition-order winner)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_digest"))
+      .orderBy(col(Cdc.Key).asc_nulls_last, col(Cdc.Operation).asc_nulls_last)
     df.withColumn("_digest", sha2(coalesce(content, lit("")), 256))
-      .dropDuplicates("_digest")
-      .drop("_digest")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_digest", "_rn")
   }
 }
 

@@ -27,6 +27,10 @@ object HttpTransport {
                       body: Array[Byte]): Response = {
       val conn = new java.net.URL(url).openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
+      // bounded: a hung endpoint must fail the record (→ DLQ), never
+      // stall the micro-batch forever
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(30000)
       conn.setRequestMethod(method)
       headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
       if (body != null && body.nonEmpty) {

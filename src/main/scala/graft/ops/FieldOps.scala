@@ -45,6 +45,7 @@ object RefCols {
   */
 case class FieldSet(ref: Ref, value: String) extends ColumnProcessor {
   require(ref != PositionRef, "field.set: .Position is forbidden")
+  require(ref != PayloadRef, "field.set: use .Payload.Before or .Payload.After")
   val plugin = "field.set"
   override def rewrites(df: DataFrame): Map[String, Column] = {
     val v = Conditions.template(value)
@@ -114,18 +115,17 @@ case class FieldExclude(refs: Seq[Ref]) extends ColumnProcessor {
   * (`impl/field/convert.go:84-153`); parse failure → `_error`/DLQ.
   */
 case class FieldConvert(ref: Ref, targetType: String) extends ColumnProcessor {
+  // the reference restricts convert to Key/Payload refs
+  // (validation regex `^.(Payload|Key).*`, `field/convert.go:49`)
+  require(ref match {
+    case KeyRef(_) | PayloadBeforeRef(_) | PayloadAfterRef(_) => true
+    case _ => false
+  }, s"field.convert: field must reference .Key or .Payload, got $ref")
   val plugin = "field.convert"
-  override def tempColumns(df: DataFrame): Map[String, Column] = ref match {
-    case MetadataRef(_) => Map.empty
-    case r => Map("_convert" -> jsonConvert(col(RefCols.column(r)), r.sub, targetType))
-  }
-  override def rewrites(df: DataFrame): Map[String, Column] = ref match {
-    case MetadataRef(Seq(k)) =>
-      // metadata values are strings; only identity-ish converts apply
-      Map(Cdc.Metadata -> col(Cdc.Metadata))
-    case r =>
-      Map(
-        RefCols.column(r) -> col("_convert").getField("value"),
-        Cdc.Error -> coalesce(col(Cdc.Error), col("_convert").getField("error")))
-  }
+  override def tempColumns(df: DataFrame): Map[String, Column] =
+    Map("_convert" -> jsonConvert(col(RefCols.column(ref)), ref.sub, targetType))
+  override def rewrites(df: DataFrame): Map[String, Column] =
+    Map(
+      RefCols.column(ref) -> col("_convert").getField("value"),
+      Cdc.Error -> coalesce(col(Cdc.Error), col("_convert").getField("error")))
 }

@@ -27,15 +27,19 @@ object JdbcWriter {
       .foreachPartition { (rows: Iterator[Row]) =>
         val conn = DriverManager.getConnection(url)
         conn.setAutoCommit(false)
+        // prepared statements cached by shape — one parse per
+        // partition per column set, not one per record
+        val stmtCache = scala.collection.mutable.Map.empty[String, java.sql.PreparedStatement]
+        def prepared(sql: String): java.sql.PreparedStatement =
+          stmtCache.getOrElseUpdate(sql, conn.prepareStatement(sql))
         try {
           rows.foreach { r =>
             val op = r.getString(0)
             if (op == "delete") {
               val keyNode = JsonOps.parseOrEmpty(r.getString(2))
               val keyVal = jsonValue(keyNode.get(keyCol))
-              val del = conn.prepareStatement(
-                s"DELETE FROM $table WHERE $keyCol = ?")
-              del.setObject(1, keyVal); del.execute(); del.close()
+              val del = prepared(s"DELETE FROM $table WHERE $keyCol = ?")
+              del.setObject(1, keyVal); del.execute()
             } else if (r.getString(1) != null) {
               val payload = JsonOps.parseOrEmpty(r.getString(1))
               if (payload.isObject) {
@@ -47,26 +51,29 @@ object JdbcWriter {
                 // update first …
                 var updated = 0
                 if (keyIdx >= 0 && setCols.nonEmpty) {
-                  val up = conn.prepareStatement(
+                  val up = prepared(
                     s"UPDATE $table SET ${setCols.map(_._1 + " = ?").mkString(", ")} WHERE $keyCol = ?")
                   setCols.zipWithIndex.foreach { case ((_, vi), i) =>
                     up.setObject(i + 1, values(vi))
                   }
                   up.setObject(setCols.size + 1, values(keyIdx))
-                  updated = up.executeUpdate(); up.close()
+                  updated = up.executeUpdate()
                 }
                 // … insert when absent
                 if (updated == 0) {
-                  val ins = conn.prepareStatement(
+                  val ins = prepared(
                     s"INSERT INTO $table (${fields.mkString(", ")}) VALUES (${fields.map(_ => "?").mkString(", ")})")
                   values.zipWithIndex.foreach { case (v, i) => ins.setObject(i + 1, v) }
-                  ins.execute(); ins.close()
+                  ins.execute()
                 }
               }
             }
           }
           conn.commit()
-        } finally conn.close()
+        } finally {
+          stmtCache.values.foreach(st => try st.close() catch { case _: Exception => () })
+          conn.close()
+        }
       }
   }
 

@@ -114,10 +114,22 @@ object Runner {
   def memorySink(id: String): Seq[String] =
     Option(memorySinks.get(id)).map(_.asScala.toSeq).getOrElse(Nil)
 
-  /** Write one (batch-of-a-)DataFrame to a destination connector. */
-  def writeBatch(df: DataFrame, cfg: ConnectorConfig): Unit = {
-    val out = cfg.processors.foldLeft(df)((acc, p) =>
-      Registry.create(p.plugin, p.settings)(acc, p.condition))
+  /** Write one (batch-of-a-)DataFrame to a destination connector.
+    * Destination-level processors may fail records; those are NOT
+    * written — they are returned so the caller routes them to the DLQ
+    * (the reference's destination-nack semantics).
+    */
+  def writeBatch(df: DataFrame, cfg: ConnectorConfig): DataFrame = {
+    val processed = Cdc.withErrorChannel(
+      cfg.processors.foldLeft(df)((acc, p) =>
+        Registry.create(p.plugin, p.settings)(acc, p.condition)))
+    val out = Cdc.ok(processed)
+    val failed = Cdc.failed(processed)
+    write(out, cfg)
+    failed
+  }
+
+  private def write(out: DataFrame, cfg: ConnectorConfig): Unit = {
     cfg.plugin match {
       case "builtin:file" | "file" =>
         renderJson(out).write.mode("append").text(cfg.settings("path"))
@@ -185,14 +197,16 @@ object Runner {
             ins.offer(renderJson(batch.limit(100)).collect().map(_.getString(0)).toSeq)
           }
           val ok = Cdc.ok(batch)
-          val failed = Cdc.failed(batch)
-          val nacks = failed.count()
-          val acks = batch.count() - nacks
+          val srcFailed = Cdc.failed(batch)
           // fan-out barrier: every destination writes before the batch
-          // (and so its offsets) commits — all-or-nothing ack
-          pipeline.destinations.foreach(d => writeBatch(ok, d))
+          // (and so its offsets) commits — all-or-nothing ack.
+          // Destination-level processor failures nack too.
+          val destFailed = pipeline.destinations.map(d => writeBatch(ok, d))
+          val failed = (srcFailed +: destFailed).reduce(_.unionByName(_))
+          val nacks = failed.count()
+          val acks = math.max(0L, batch.count() - nacks)
           if (nacks > 0) dlqSink match {
-            case Some(sink) => writeBatch(failed, sink)
+            case Some(sink) => write(Cdc.withErrorChannel(failed), sink)
             case None => throw new IllegalStateException(
               s"pipeline ${pipeline.id}: $nacks failed records and no DLQ configured")
           }
@@ -210,13 +224,15 @@ object Runner {
     df.persist()
     try {
       val ok = Cdc.ok(df)
-      val failed = Cdc.failed(df)
-      pipeline.destinations.foreach(d => writeBatch(ok, d))
+      val srcFailed = Cdc.failed(df)
+      val destFailed = pipeline.destinations.map(d => writeBatch(ok, d))
+      val failed = (srcFailed +: destFailed).reduce(_.unionByName(_))
       val dlqCount = failed.count()
       pipeline.dlq.foreach(d =>
         if (dlqCount > 0)
-          writeBatch(failed, ConnectorConfig(s"${pipeline.id}-dlq", d.plugin, d.settings)))
-      Map("ok" -> ok.count(), "dlq" -> dlqCount)
+          write(Cdc.withErrorChannel(failed),
+            ConnectorConfig(s"${pipeline.id}-dlq", d.plugin, d.settings)))
+      Map("ok" -> (ok.count() - destFailed.map(_.count()).sum), "dlq" -> dlqCount)
     } finally df.unpersist()
   }
 }

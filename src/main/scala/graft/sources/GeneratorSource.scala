@@ -134,8 +134,9 @@ class GeneratorPartitionReaderFactory(config: GeneratorConfig)
 class GeneratorStream(options: Map[String, String]) extends MicroBatchStream {
   private val config = GeneratorConfig(options)
   private val startMs = System.currentTimeMillis()
-  private val maxPerBatch =
-    options.getOrElse("maxRecordsPerBatch", "1000000").toLong
+  private val maxPerBatch = options
+    .map { case (k, v) => k.toLowerCase -> v }
+    .getOrElse("maxrecordsperbatch", "1000000").toLong
 
   private var lastEnd = 0L
   override def initialOffset(): Offset = CountOffset(0)

@@ -155,16 +155,33 @@ class JdbcCdcStream(config: JdbcConfig) extends MicroBatchStream {
       if (rs.next()) rs.getLong(1) else 0L
     } finally conn.close()
   }
+  @volatile private var lastEnd = -1L
   override def initialOffset(): Offset = CountOffset(-1)
-  override def latestOffset(): Offset = CountOffset(maxInc())
-  override def deserializeOffset(json: String): Offset = CountOffset(json.toLong)
+  override def latestOffset(): Offset = {
+    // bound each micro-batch: a large backlog drains in maxRows chunks
+    // instead of one giant first batch
+    val target = maxInc()
+    lastEnd = math.max(lastEnd, math.min(target, lastEnd + config.maxRows))
+    CountOffset(lastEnd)
+  }
+  override def deserializeOffset(json: String): Offset = {
+    val o = json.toLong
+    lastEnd = math.max(lastEnd, o)
+    CountOffset(o)
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CountOffset].count
     val e = end.asInstanceOf[CountOffset].count
     if (e <= s) Array.empty
-    else Array(JdbcRangePartition(s, e, snapshot = s < 0))
+    else {
+      // chunk wide ranges so the scan parallelizes across tasks
+      val chunks = math.max(1L, math.min(32L, (e - s) / 10000L + 1))
+      val step = math.max(1L, (e - s) / chunks)
+      (s until e by step).map(b =>
+        JdbcRangePartition(b, math.min(e, b + step), snapshot = s < 0)).toArray
+    }
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new JdbcReaderFactory(config)

@@ -105,6 +105,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(srcs == Map("one" -> 10, "two" -> 10))
   }
 
+  test("destination-level processor failures nack to the DLQ, not the sink") {
+    Runner.memorySinks.clear()
+    val p = Pipeline("p-dest-nack").copy(
+      sources = Seq(ConnectorConfig("gen", "builtin:generator",
+        Map("format.options.id" -> "int", "recordCount" -> "50"))),
+      destinations = Seq(ConnectorConfig("out", "memory",
+        processors = Seq(graft.pipeline.ProcessorConfig("boom", "error",
+          Map("message" -> "dest rejects"),
+          condition = Some("cast(.Payload.After.id as long) % 2 = 0"))))))
+      .withDlq("memory", windowSize = 0, nackThreshold = 0)
+    val counts = Runner.runBatch(spark, p)
+    val sunk = Runner.memorySink("out").size
+    val dlqd = Runner.memorySink("p-dest-nack-dlq").size
+    assert(dlqd > 0, "destination failures must reach the DLQ")
+    assert(sunk + dlqd == 50, s"sunk=$sunk dlq=$dlqd")
+    assert(counts("dlq") == dlqd)
+  }
+
   test("streaming: generator runs as a StructuredStreaming query to memory") {
     Runner.memorySinks.clear()
     val p = Pipeline("p6")
