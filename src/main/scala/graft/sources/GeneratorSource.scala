@@ -131,23 +131,37 @@ class GeneratorPartitionReaderFactory(config: GeneratorConfig)
   * `latestOffset` advances by rate×elapsed (or recordCount), each
   * batch splits its range into `defaultParallelism` partitions.
   */
-class GeneratorStream(options: Map[String, String]) extends MicroBatchStream {
+class GeneratorStream(options: Map[String, String]) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   private val config = GeneratorConfig(options)
   private val startMs = System.currentTimeMillis()
   private val maxPerBatch = options
     .map { case (k, v) => k.toLowerCase -> v }
     .getOrElse("maxrecordsperbatch", "1000000").toLong
 
-  private var lastEnd = 0L
-  override def initialOffset(): Offset = CountOffset(0)
-  override def latestOffset(): Offset = {
+  private var availableNowTarget: Option[Long] = None
+  private def target(): Long = {
     val elapsed = (System.currentTimeMillis() - startMs) / 1000.0
     val byRate = config.rate.map(r => (r * elapsed).toLong).getOrElse(Long.MaxValue)
-    val cap = config.recordCount.getOrElse(Long.MaxValue)
-    val target = math.min(cap, byRate)
-    lastEnd = math.max(lastEnd, math.min(target, lastEnd + maxPerBatch))
-    CountOffset(lastEnd)
+    math.min(config.recordCount.getOrElse(Long.MaxValue), byRate)
   }
+  // AvailableNow pins the drain target so multiple capped batches run
+  // to completion instead of one batch at the first latestOffset
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(config.recordCount.getOrElse(target()))
+  override def initialOffset(): Offset = CountOffset(0)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(start, limit)")
+  // SupportsAdmissionControl: advance from the engine-provided start —
+  // correct across checkpoint restarts (no driver-local state rewind)
+  override def latestOffset(start: Offset, limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val from = start.asInstanceOf[CountOffset].count
+    val t = availableNowTarget.getOrElse(target())
+    CountOffset(math.max(from, math.min(t, from + maxPerBatch)))
+  }
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = CountOffset(target())
   override def deserializeOffset(json: String): Offset = CountOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

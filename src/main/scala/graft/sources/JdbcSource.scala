@@ -146,7 +146,8 @@ class JdbcReaderFactory(config: JdbcConfig) extends PartitionReaderFactory {
 /** Micro-batch stream: the offset is the incrementing column's
   * high-water mark.
   */
-class JdbcCdcStream(config: JdbcConfig) extends MicroBatchStream {
+class JdbcCdcStream(config: JdbcConfig) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   private def maxInc(): Long = {
     val conn = config.connect()
     try {
@@ -155,20 +156,25 @@ class JdbcCdcStream(config: JdbcConfig) extends MicroBatchStream {
       if (rs.next()) rs.getLong(1) else 0L
     } finally conn.close()
   }
-  @volatile private var lastEnd = -1L
+  private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(maxInc())
   override def initialOffset(): Offset = CountOffset(-1)
-  override def latestOffset(): Offset = {
-    // bound each micro-batch: a large backlog drains in maxRows chunks
-    // instead of one giant first batch
-    val target = maxInc()
-    lastEnd = math.max(lastEnd, math.min(target, lastEnd + config.maxRows))
-    CountOffset(lastEnd)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(start, limit)")
+  // SupportsAdmissionControl: bound each micro-batch to maxRows past
+  // the engine-provided start — a large backlog drains in chunks and
+  // checkpoint restarts resume without driver-local state
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val from = start.asInstanceOf[CountOffset].count
+    val target = availableNowTarget.getOrElse(maxInc())
+    CountOffset(math.max(from, math.min(target, from + config.maxRows)))
   }
-  override def deserializeOffset(json: String): Offset = {
-    val o = json.toLong
-    lastEnd = math.max(lastEnd, o)
-    CountOffset(o)
-  }
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = CountOffset(maxInc())
+  override def deserializeOffset(json: String): Offset = CountOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
