@@ -72,6 +72,9 @@ object Ref {
       } else c match {
         case '.' => out += cur.result(); cur.clear()
         case '[' if i + 1 < s.length && s.charAt(i + 1) == '"' =>
+          // bracket access may follow a segment directly
+          // (`.Metadata["a.b"]`): flush the segment first
+          out += cur.result(); cur.clear()
           inBracket = true; i += 1
         case other => cur.append(other)
       }

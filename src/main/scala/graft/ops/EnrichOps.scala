@@ -80,10 +80,18 @@ object RecordTemplates {
     }
   }
 
-  /** Evaluate `text with {{ .Payload.After.x }} refs` against a row. */
+  private val printfForm = """^printf\s+"%s"\s+(\S+)$""".r
+
+  /** Evaluate `text with {{ .Payload.After.x }} refs` against a row;
+    * the reference's common `{{ printf "%s" .Ref }}` form passes
+    * through to the bare reference.
+    */
   def render(template: String, row: Row): String =
     tmpl.replaceAllIn(template, m => {
-      val body = m.group(1).trim
+      val body = m.group(1).trim match {
+        case printfForm(ref) => ref
+        case other => other
+      }
       java.util.regex.Matcher.quoteReplacement(
         Option(getRef(row, Ref.parse(body))).getOrElse(""))
     })
@@ -180,8 +188,14 @@ case class WebhookHttp(settings: Map[String, String],
           if (resp.status >= 400)
             RecordTemplates.setError(row, s"webhook.http: status ${resp.status}", names)
           else {
-            var out = RecordTemplates.setRef(row, rbRef,
-              new String(resp.body, "UTF-8"), names)
+            // raw response bytes: a whole-slot target becomes RawData
+            // (the plain string); a structured sub-field renders bytes
+            // the way Go's json.Marshal does — base64 (reference
+            // behavior, see webhook golden vectors)
+            val value =
+              if (rbRef.sub.isEmpty) new String(resp.body, "UTF-8")
+              else java.util.Base64.getEncoder.encodeToString(resp.body)
+            var out = RecordTemplates.setRef(row, rbRef, value, names)
             rsRef.foreach(r =>
               out = RecordTemplates.setRef(out, r, resp.status.toString, names))
             out

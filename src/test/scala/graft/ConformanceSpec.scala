@@ -23,7 +23,29 @@ class ConformanceSpec extends AnyFunSuite {
   private val specs = Seq("field.set", "field.rename", "field.exclude",
     "field.convert", "json.decode", "json.encode", "base64.encode",
     "base64.decode", "filter", "error", "clone", "split",
-    "unwrap.debezium", "unwrap.kafkaconnect", "unwrap.opencdc")
+    "unwrap.debezium", "unwrap.kafkaconnect", "unwrap.opencdc",
+    "webhook.http")
+
+  /** The webhook vectors call a live server on 127.0.0.1:54321 (the
+    * reference's RunExample does the same): respond "hello, <body>"
+    * at `/` and "hello, <path>!" elsewhere.
+    */
+  private lazy val webhookServer = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 54321), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val reply =
+        if (ex.getRequestURI.getPath == "/") s"hello, $body"
+        else s"hello, ${ex.getRequestURI.getPath.stripPrefix("/")}!"
+      val bytes = reply.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.getResponseBody.close()
+    })
+    server.start()
+    server
+  }
 
   /** Documented deviations (plugin, example summary) we intentionally
     * do not replicate — keep this list SHORT and justified.
@@ -104,6 +126,7 @@ class ConformanceSpec extends AnyFunSuite {
       val summary = Option(ex.get("summary")).map(_.asText()).getOrElse(s"example $i")
       test(s"$specName: $summary") {
         assume(!skips.contains((specName, summary)), "documented deviation")
+        if (specName == "webhook.http") webhookServer
         val config = Option(ex.get("config"))
           .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
           .getOrElse(Map.empty)

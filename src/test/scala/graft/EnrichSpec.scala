@@ -57,7 +57,11 @@ class EnrichSpec extends AnyFunSuite {
     val row = out.head
     assert(row.getAs[String](Cdc.Error) == null)
     val payload = JsonOps.parse(row.getAs[String](Cdc.PayloadAfter))
-    val echoUrl = payload.get("enriched").get("echo").get("url").asText()
+    // sub-field responses carry raw bytes base64'd (Go json.Marshal
+    // []byte rendering — see webhook golden vectors)
+    val echo = JsonOps.parse(new String(java.util.Base64.getDecoder
+      .decode(payload.get("enriched").asText()), "UTF-8"))
+    val echoUrl = echo.get("echo").get("url").asText()
     assert(echoUrl.startsWith("http://svc/enrich/"))
     assert(!echoUrl.contains("{{"), "template must be substituted")
     val meta = row.getAs[Map[String, String]](Cdc.Metadata)
