@@ -60,7 +60,7 @@ case class FieldSet(ref: Ref, value: String) extends ColumnProcessor {
         Map(Cdc.PayloadBefore -> jsonSet(col(Cdc.PayloadBefore), rest, v))
       case PayloadAfterRef(rest) =>
         Map(Cdc.PayloadAfter -> jsonSet(col(Cdc.PayloadAfter), rest, v))
-      case PositionRef => Map.empty
+      case PositionRef | PayloadRef => Map.empty // rejected by require
     }
   }
 }

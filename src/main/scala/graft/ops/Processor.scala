@@ -107,6 +107,7 @@ object Conditions {
       case PayloadBeforeRef(rest) => s"get_json_object(payload_before, '$$.${rest.mkString(".")}')"
       case PayloadAfterRef(Seq()) => "payload_after"
       case PayloadAfterRef(rest) => s"get_json_object(payload_after, '$$.${rest.mkString(".")}')"
+      case PayloadRef => "payload_after" // token grammar never emits bare .Payload
     }
   }
 
