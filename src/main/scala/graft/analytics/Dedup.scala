@@ -34,18 +34,64 @@ object Dedup {
     */
   def wordShingles(text: Column, n: Int): Column = word_shingles(text, n)
 
+  /** All unordered intra-bucket pairs with BOUNDED per-task work.
+    *
+    * The naive formulations — `collect_set` + in-row combinatorics, or
+    * a bare self-join on the bucket key — put an entire bucket's
+    * quadratic pair generation into ONE task: a boilerplate cluster of
+    * 1M near-identical documents would mean a single 10¹²-pair
+    * straggler/OOM at 100 TB. Here each bucket is hashed into
+    * `ceil(size/cap)` chunks and every chunk-block (i ≤ j) becomes its
+    * own join key, so no task ever compares more than cap×cap members
+    * and Spark spreads a hot bucket across the cluster. Buckets at or
+    * under `cap` (the overwhelmingly common case) degenerate to a plain
+    * self-join with a single (0,0) block — no extra replication.
+    *
+    * `bucketed` must have `keyCols` + `memberCol`; returns
+    * (pair_a, pair_b) with pair_a < pair_b, NOT yet de-duplicated
+    * across buckets (callers `.distinct()` on the id projection).
+    */
+  private[analytics] def boundedSelfPairs(
+      bucketed: DataFrame, keyCols: Seq[String], memberCol: String,
+      cap: Int): DataFrame = {
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    val member = bucketed
+      .withColumn("bucket_size", count(lit(1)).over(wB))
+      .filter(col("bucket_size") > 1)
+      .withColumn("num_chunks",
+        ceil(col("bucket_size").cast("double") / lit(cap)).cast("int"))
+      .withColumn("chunk",
+        pmod(xxhash64(col(memberCol)), col("num_chunks")).cast("int"))
+    val keys = keyCols.map(col)
+    val left = member
+      .withColumn("block_j", explode(sequence(col("chunk"), col("num_chunks") - 1)))
+      .select(keys ++ Seq(col("chunk").as("block_i"), col("block_j"),
+        col(memberCol).as("m_a")): _*)
+    val right = member
+      .withColumn("block_i", explode(sequence(lit(0), col("chunk"))))
+      .select(keys ++ Seq(col("block_i"), col("chunk").as("block_j"),
+        col(memberCol).as("m_b")): _*)
+    left.join(right, keyCols ++ Seq("block_i", "block_j"))
+      // same-chunk block holds both orderings; cross-chunk blocks hold
+      // each unordered pair exactly once
+      .filter(col("block_i") =!= col("block_j") || col("m_a") < col("m_b"))
+      .select(least(col("m_a"), col("m_b")).as("pair_a"),
+        greatest(col("m_a"), col("m_b")).as("pair_b"))
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * Pipeline: shingle → signature (row-local) → explode bands →
-    * group by band bucket → intra-bucket pairs → exact Jaccard verify
-    * on shingle sets → threshold. Returns (id_a, id_b, jaccard) with
-    * id_a < id_b, deduplicated across buckets.
+    * bucket by band hash → bounded intra-bucket pairs → exact Jaccard
+    * verify on shingle sets → threshold. Returns (id_a, id_b, jaccard)
+    * with id_a < id_b, deduplicated across buckets.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, numHashes: Int = 128,
                    numBands: Int = 16, threshold: Double = 0.8,
-                   charGrams: Boolean = false): DataFrame = {
-    val rowsPerBand = numHashes / numBands
+                   charGrams: Boolean = false,
+                   maxBucket: Int = 4096): DataFrame = {
     val shingled = df.select(
       col(idCol).as("doc_id"),
       (if (charGrams) char_shingles(col(textCol), shingleSize)
@@ -57,15 +103,11 @@ object Dedup {
 
     // Only (band_id, band_hash, id) shuffles for bucketing — the
     // signatures and shingles never leave their partition.
-    val buckets = signed
+    val bucketed = signed
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_id", "band_hash")))
-      .groupBy(col("band_id"), col("band_hash"))
-      .agg(collect_set(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-
-    val pairs = buckets
-      .select(explode(pairCombinations(col("ids"))).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+    val pairs = boundedSelfPairs(bucketed, Seq("band_id", "band_hash"),
+        "doc_id", maxBucket)
+      .select(col("pair_a").as("id_a"), col("pair_b").as("id_b"))
       .distinct()
 
     val sh = shingled.select(col("doc_id"), col("shingles"))
@@ -97,21 +139,18 @@ object Dedup {
     * a band when k < 4), verified with bit_count(xor) ≤ maxHamming.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
     val sigs = df.select(col(idCol).as("doc_id"),
       simhash64(split(lower(trim(col(textCol))), "\\s+")).as("sig"))
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    val banded = sigs.select(
+      struct(col("doc_id"), col("sig")).as("m"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band_id"),
           shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("band_val"))): _*))
         .as("band"))
-    val buckets = banded.groupBy(col("band"))
-      .agg(collect_set(struct(col("doc_id"), col("sig"))).as("members"))
-      .filter(size(col("members")) > 1)
-    buckets
-      .select(explode(pairCombinations(col("members"))).as("p"))
-      .select(col("p.a.doc_id").as("id_a"), col("p.a.sig").as("sig_a"),
-        col("p.b.doc_id").as("id_b"), col("p.b.sig").as("sig_b"))
+    boundedSelfPairs(banded, Seq("band"), "m", maxBucket)
+      .select(col("pair_a.doc_id").as("id_a"), col("pair_a.sig").as("sig_a"),
+        col("pair_b.doc_id").as("id_b"), col("pair_b.sig").as("sig_b"))
       .distinct()
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)

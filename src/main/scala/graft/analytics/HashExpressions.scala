@@ -275,6 +275,47 @@ case class HyperplaneBuckets(child: Expression, numPlanes: Int, numTables: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** nearest_centroids(array<double>, top) → array<int>: indices of the
+  * `top` nearest centroids by dot product (descending, ties → lower
+  * index). The trained centroid matrix is baked into the expression —
+  * nlist×dim doubles ride the serialized plan to every executor (the
+  * broadcast-model pattern), making assignment a single row-local pass:
+  * no join, no window, no shuffle.
+  */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
+                            top: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroids"
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = math.min(top, centroids.length)
+    // insertion into a size-n heap-by-scan: nlist is small (≤ thousands)
+    val bestIdx = Array.fill(n)(-1)
+    val bestDot = Array.fill(n)(Double.NegativeInfinity)
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      val m = math.min(arr.numElements(), cv.length)
+      var dot = 0.0
+      var j = 0
+      while (j < m) { dot += arr.getDouble(j) * cv(j); j += 1 }
+      if (dot > bestDot(n - 1)) {
+        var i = n - 1
+        while (i > 0 && bestDot(i - 1) < dot) {
+          bestDot(i) = bestDot(i - 1); bestIdx(i) = bestIdx(i - 1); i -= 1
+        }
+        bestDot(i) = dot; bestIdx(i) = c
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      bestIdx.filter(_ >= 0).map(java.lang.Integer.valueOf(_): Any))
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object HashFunctions {
   def simhash64(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
   def rolling_fingerprint(c: Column): Column =
@@ -291,4 +332,6 @@ object HashFunctions {
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
   def hyperplane_buckets(c: Column, numPlanes: Int, numTables: Int): Column =
     Bridge.column(HyperplaneBuckets(Bridge.expression(c), numPlanes, numTables))
+  def nearest_centroids(c: Column, centroids: Array[Array[Double]], top: Int): Column =
+    Bridge.column(NearestCentroids(Bridge.expression(c), centroids, top))
 }

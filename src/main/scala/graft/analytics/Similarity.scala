@@ -53,7 +53,8 @@ object Similarity {
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
                   threshold: Double, method: String = "lsh",
-                  numPlanes: Int = 4, numTables: Int = 12): DataFrame = {
+                  numPlanes: Int = 4, numTables: Int = 12,
+                  maxBucket: Int = 4096): DataFrame = {
     val base = df.select(col(idCol).as("vid"), normalize(col(vecCol)).as("nvec"))
     val candidates = method match {
       case "brute" =>
@@ -61,17 +62,18 @@ object Similarity {
         val b = base.select(col("vid").as("id_b"), col("nvec").as("vec_b"))
         a.join(b, col("id_a") < col("id_b"))
       case "lsh" =>
-        // bucket join + dedup on bare id pairs (8 bytes each) — the
-        // 64-dim vectors are joined back only for surviving pairs, so
-        // they never ride through the dedup shuffle
+        // bounded bucket join + dedup on bare id pairs (8 bytes each) —
+        // the 64-dim vectors are joined back only for surviving pairs,
+        // so they never ride through the dedup shuffle, and a hot
+        // (table, bucket) cell is chunked across tasks (boundedSelfPairs)
+        // instead of landing its whole quadratic block in one task.
         val bucketed = base
           .withColumn("buckets", hyperplane_buckets(col("nvec"), numPlanes, numTables))
           .select(col("vid"), posexplode(col("buckets")).as(Seq("table_id", "bucket")))
-        val a = bucketed.select(col("table_id"), col("bucket"), col("vid").as("id_a"))
-        val b = bucketed.select(col("table_id"), col("bucket"), col("vid").as("id_b"))
-        val idPairs = a.join(b, Seq("table_id", "bucket"))
-          .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b")).distinct()
+        val idPairs = Dedup.boundedSelfPairs(bucketed,
+            Seq("table_id", "bucket"), "vid", maxBucket)
+          .select(col("pair_a").as("id_a"), col("pair_b").as("id_b"))
+          .distinct()
         idPairs
           .join(base.select(col("vid").as("id_a"), col("nvec").as("vec_a")), "id_a")
           .join(base.select(col("vid").as("id_b"), col("nvec").as("vec_b")), "id_b")
@@ -83,49 +85,56 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
-  /** IVF-style ANN: corpus assigned to the nearest of `nlist` centroids
-    * (deterministic seed centroids = lowest-id vectors); queries probe
-    * the `nprobe` nearest centroids only. Returns the same shape as
-    * [[bruteForceTopK]]; recall < 1 by design, measured in tests.
+  /** IVF-style ANN: corpus assigned to the nearest of `nlist` centroids;
+    * queries probe the `nprobe` nearest centroids only. Returns the same
+    * shape as [[bruteForceTopK]]; recall < 1 by design, measured in
+    * tests.
+    *
+    * Training is a driver-side "fit" (the MLlib KMeans shape): seed
+    * centroids = lowest-id vectors, one distributed Lloyd step whose
+    * (cid, dim) partial means are the only thing collected — nlist×dim
+    * doubles, never corpus data. The trained centroids are then baked
+    * into the row-local [[HashFunctions.nearest_centroids]] expression,
+    * so corpus assignment is ONE codegen-friendly pass with zero joins,
+    * zero windows, zero shuffles — the old formulation pushed
+    * corpus×nlist rows through two row_number windows.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val base = corpus.select(col(idCol).as("vid"), normalize(col(vecCol)).as("nvec"))
-    // seed centroids deterministically, then one Lloyd refinement:
-    // assign → mean per cell → renormalize (k-means on the sphere)
-    val seeds = base.orderBy(col("vid").asc).limit(nlist)
-      .select(col("vid").as("cid"), col("nvec").as("cvec"))
-    val seedAssign = base.join(broadcast(seeds), lit(true))
-      .select(col("vid"), col("nvec"), col("cid"),
-        dot_product(col("nvec"), col("cvec")).as("cdot"))
-    val wSeed = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vid")).orderBy(col("cdot").desc, col("cid").asc)
-    // dimension-wise mean (distributed: (cid, dim) partial aggregates,
-    // never a whole cell in one row), then renormalize to the sphere
-    val centroids = seedAssign.withColumn("r", row_number().over(wSeed))
-      .filter(col("r") === 1)
+    val seeds: Array[Array[Double]] = base.orderBy(col("vid").asc).limit(nlist)
+      .select(col("nvec")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seeds.nonEmpty, "ivfTopK: empty corpus")
+    // one Lloyd refinement: assign to seed (row-local argmax), then
+    // dimension-wise mean per cell ((cid, dim) partial aggregates —
+    // never a whole cell in one row), renormalized to the sphere
+    val meanRows = base
+      .withColumn("cid", element_at(nearest_centroids(col("nvec"), seeds, 1), 1))
       .select(col("cid"), posexplode(col("nvec")).as(Seq("dim", "x")))
       .groupBy(col("cid"), col("dim")).agg(avg(col("x")).as("mx"))
-      .groupBy(col("cid"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("mx")))).as("dims"))
-      .select(col("cid"), normalize(expr("transform(dims, d -> d.mx)")).as("cvec"))
-    // assign: argmax over centroids (broadcast) of dot product
-    val assigned = base.join(broadcast(centroids), lit(true))
-      .select(col("vid"), col("nvec"), col("cid"),
-        dot_product(col("nvec"), col("cvec")).as("cdot"))
-    val w1 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vid")).orderBy(col("cdot").desc, col("cid").asc)
-    val corpusAssigned = assigned.withColumn("crank", row_number().over(w1))
-      .filter(col("crank") === 1).select(col("vid"), col("nvec"), col("cid"))
-    val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qvec"))
-    val qAssigned = q.join(broadcast(centroids), lit(true))
-      .select(col("query_id"), col("qvec"), col("cid"),
-        dot_product(col("qvec"), col("cvec")).as("cdot"))
-    val w2 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cdot").desc, col("cid").asc)
-    val qProbes = qAssigned.withColumn("crank", row_number().over(w2))
-      .filter(col("crank") <= nprobe).select(col("query_id"), col("qvec"), col("cid"))
-    val scored = qProbes.join(corpusAssigned, Seq("cid"))
+      .collect()
+    val dims = seeds.head.length
+    val sums = Array.fill[Array[Double]](seeds.length)(null)
+    meanRows.foreach { r =>
+      val c = r.getInt(0)
+      if (sums(c) == null) sums(c) = new Array[Double](dims)
+      sums(c)(r.getInt(1)) = r.getDouble(2)
+    }
+    val centroids = Array.tabulate(seeds.length) { c =>
+      val v = if (sums(c) == null) seeds(c) else sums(c) // empty cell keeps its seed
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      if (norm > 0) v.map(_ / norm) else v
+    }
+    // search: row-local assignment on both sides; the small probe side
+    // broadcasts, so the corpus is scanned exactly once with no shuffle
+    // before the final per-query top-k
+    val corpusAssigned = base.withColumn("cid",
+      element_at(nearest_centroids(col("nvec"), centroids, 1), 1))
+    val qProbes = queries
+      .select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qvec"))
+      .withColumn("cid", explode(nearest_centroids(col("qvec"), centroids, nprobe)))
+    val scored = corpusAssigned.join(broadcast(qProbes), Seq("cid"))
       .filter(col("query_id") =!= col("vid"))
       .select(col("query_id"), col("vid").as("neighbor_id"),
         dot_product(col("qvec"), col("nvec")).as("cos_sim"))

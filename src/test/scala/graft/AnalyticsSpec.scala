@@ -72,6 +72,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF recall@5 = $recall")
   }
 
+  test("bounded pair generation: hot-bucket chunking loses no pairs") {
+    import spark.implicits._
+    // 120 identical docs all land in one LSH bucket per band; with
+    // maxBucket=16 the bucket splits into 8 chunks × 36 blocks — every
+    // pair must still surface exactly once after the cross-band distinct
+    val dup = (1L to 120L).map(i =>
+      (i, "the same boilerplate text repeated again and again for chunking"))
+    val uniq = (200L to 210L).map(i =>
+      (i, s"unique document number $i with its own words entirely"))
+    val df = spark.createDataFrame(dup ++ uniq).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.9,
+      maxBucket = 16)
+    assert(pairs.count() == 120L * 119 / 2)
+    val h = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 0, maxBucket = 16)
+      .filter(col("id_a") <= 120 && col("id_b") <= 120)
+    assert(h.count() == 120L * 119 / 2)
+  }
+
   test("fingerprint is whitespace-normalized and deterministic") {
     import spark.implicits._
     val df = Seq((1L, "hello  world"), (2L, "hello world"), (3L, "hello world!"))
