@@ -61,6 +61,31 @@ object Cdc {
     )
   }
 
+  /** Typed fast-path wrap: payload_after is the row as a NATIVE struct
+    * column instead of canonical JSON. Field processors detect the
+    * struct dtype ([[isTypedSlot]]) and compile to withField/dropFields
+    * struct ops — no per-record JSON parse anywhere in the chain; call
+    * [[graft.functions.JsonExpressions.cdcToJson]] (or `to_json`) once
+    * at the edge when a sink needs wire JSON.
+    */
+  def wrapTyped(df: DataFrame, keyCol: String, collection: String,
+                operation: String = "create"): DataFrame = {
+    val payloadType = StructType(df.schema.fields)
+    df.select(
+      lit(null).cast(BinaryType).as(Position),
+      lit(operation).as(Operation),
+      map(lit("opencdc.collection"), lit(collection)).as(Metadata),
+      lit(null).cast(BinaryType).as(KeyRaw),
+      to_json(struct(col(keyCol))).as(Key),
+      lit(null).cast(payloadType).as(PayloadBefore),
+      struct(df.columns.map(col): _*).as(PayloadAfter)
+    )
+  }
+
+  /** True when `slot` carries a typed (struct) payload. */
+  def isTypedSlot(df: DataFrame, slot: String): Boolean =
+    df.columns.contains(slot) && df.schema(slot).dataType.isInstanceOf[StructType]
+
   /** True when the frame carries the error-channel column. */
   def hasError(df: DataFrame): Boolean = df.columns.contains(Error)
 

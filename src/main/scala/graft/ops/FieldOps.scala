@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, StringType, MapType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, DoubleType, LongType, MapType, StringType, StructType, TimestampType}
 
 import graft.model.{Cdc, Ref}
 import graft.model.Ref._
@@ -48,18 +48,22 @@ case class FieldSet(ref: Ref, value: String) extends ColumnProcessor {
   require(ref != PayloadRef, "field.set: use .Payload.Before or .Payload.After")
   val plugin = "field.set"
   override def rewrites(df: DataFrame): Map[String, Column] = {
-    val v = Conditions.template(value)
+    val v = Conditions.template(value, Conditions.typedSlots(df))
+    // typed slot → withField (codegen'd struct op); JSON slot → Jackson
+    def slotSet(slot: String, rest: Seq[String]): Map[String, Column] =
+      df.schema(slot).dataType match {
+        case st: StructType => Map(slot -> StructOps.set(col(slot), st, rest, v))
+        case _ => Map(slot -> jsonSet(col(slot), rest, v))
+      }
     ref match {
       case OperationRef => Map(Cdc.Operation -> v)
       case MetadataRef(Seq(k)) =>
         Map(Cdc.Metadata -> RefCols.metaSet(col(Cdc.Metadata), k, v))
       case MetadataRef(_) =>
         Map(Cdc.Metadata -> from_json(v, MapType(StringType, StringType)))
-      case KeyRef(rest) => Map(Cdc.Key -> jsonSet(col(Cdc.Key), rest, v))
-      case PayloadBeforeRef(rest) =>
-        Map(Cdc.PayloadBefore -> jsonSet(col(Cdc.PayloadBefore), rest, v))
-      case PayloadAfterRef(rest) =>
-        Map(Cdc.PayloadAfter -> jsonSet(col(Cdc.PayloadAfter), rest, v))
+      case KeyRef(rest) => slotSet(Cdc.Key, rest)
+      case PayloadBeforeRef(rest) => slotSet(Cdc.PayloadBefore, rest)
+      case PayloadAfterRef(rest) => slotSet(Cdc.PayloadAfter, rest)
       case PositionRef | PayloadRef => Map.empty // rejected by require
     }
   }
@@ -79,7 +83,11 @@ case class FieldRename(mapping: Seq[(Ref, String)]) extends ColumnProcessor {
           c = transform_keys(c, (key, _) => when(key === lit(k), lit(newName)).otherwise(key))
         Cdc.Metadata -> c
       case (slot, renames) =>
-        slot -> jsonRename(col(slot), renames.map { case (r, n) => (r.sub, n) })
+        val pairs = renames.map { case (r, n) => (r.sub, n) }
+        slot -> (df.schema(slot).dataType match {
+          case st: StructType => StructOps.rename(col(slot), st, pairs)
+          case _ => jsonRename(col(slot), pairs)
+        })
     }
   }
 }
@@ -103,9 +111,13 @@ case class FieldExclude(refs: Seq[Ref]) extends ColumnProcessor {
       case (Cdc.Operation, _) => Cdc.Operation -> col(Cdc.Operation) // not excludable
       case (slot, rs) =>
         val whole = rs.exists(_.sub.isEmpty)
-        slot -> (
-          if (whole) lit(null).cast(StringType)
-          else jsonDrop(col(slot), rs.map(_.sub).filter(_.nonEmpty)))
+        val paths = rs.map(_.sub).filter(_.nonEmpty)
+        slot -> (df.schema(slot).dataType match {
+          case st: StructType =>
+            if (whole) lit(null).cast(st) else StructOps.drop(col(slot), st, paths)
+          case _ =>
+            if (whole) lit(null).cast(StringType) else jsonDrop(col(slot), paths)
+        })
     }
   }
 }
@@ -122,10 +134,43 @@ case class FieldConvert(ref: Ref, targetType: String) extends ColumnProcessor {
     case _ => false
   }, s"field.convert: field must reference .Key or .Payload, got $ref")
   val plugin = "field.convert"
-  override def tempColumns(df: DataFrame): Map[String, Column] =
-    Map("_convert" -> jsonConvert(col(RefCols.column(ref)), ref.sub, targetType))
+  override def tempColumns(df: DataFrame): Map[String, Column] = {
+    val slot = RefCols.column(ref)
+    Map("_convert" -> (df.schema(slot).dataType match {
+      case st: StructType => typedConvert(col(slot), st)
+      case _ => jsonConvert(col(slot), ref.sub, targetType)
+    }))
+  }
   override def rewrites(df: DataFrame): Map[String, Column] =
     Map(
       RefCols.column(ref) -> col("_convert").getField("value"),
       Cdc.Error -> coalesce(col(Cdc.Error), col("_convert").getField("error")))
+
+  /** Typed path: a plain Catalyst cast inside codegen. Spark's casts
+    * cover the reference's string-intermediary matrix (numbers↔strings,
+    * bool words, epoch/ISO time); a failed cast yields null which flows
+    * to `_error`/DLQ exactly like the Jackson path.
+    */
+  private def typedConvert(slot: Column, st: StructType): Column = {
+    val target: DataType = targetType match {
+      case "string" => StringType
+      case "int" => LongType
+      case "float" => DoubleType
+      case "bool" => BooleanType
+      case "time" => TimestampType
+      case other =>
+        throw new IllegalArgumentException(s"field.convert: unknown type $other")
+    }
+    if (ref.sub.nonEmpty && !StructOps.has(st, ref.sub))
+      struct(slot.as("value"), lit(null).cast(StringType).as("error")) // absent → no-op
+    else {
+      val field = StructOps.get(slot, ref.sub)
+      val converted = field.try_cast(target) // ANSI-safe: null, not throw
+      struct(
+        StructOps.set(slot, st, ref.sub, converted).as("value"),
+        when(field.isNotNull && converted.isNull,
+          lit(s"field.convert: cannot convert to $targetType"))
+          .cast(StringType).as("error"))
+    }
+  }
 }

@@ -27,7 +27,7 @@ case class FilterProc() extends Processor {
 case class ErrorProc(message: String) extends ColumnProcessor {
   val plugin = "error"
   override def rewrites(df: DataFrame): Map[String, Column] =
-    Map(Cdc.Error -> Conditions.template(message))
+    Map(Cdc.Error -> Conditions.template(message, Conditions.typedSlots(df)))
 }
 
 /** `clone` — 1 record → `count`+1 copies with `clone.index` metadata
@@ -53,6 +53,26 @@ case class SplitProc(ref: Ref) extends Processor {
   override def transform(df: DataFrame): DataFrame = {
     val slot = RefCols.column(ref)
     val base = Cdc.withErrorChannel(df)
+    df.schema(slot).dataType match {
+      case st: org.apache.spark.sql.types.StructType =>
+        // typed: array-ness is a schema fact, so the error path is
+        // decided at plan time and the explode stays fully codegen'd
+        return (StructOps.fieldType(st, ref.sub) match {
+          case Some(_: org.apache.spark.sql.types.ArrayType) =>
+            base
+              .select(col("*"), posexplode(StructOps.get(col(slot), ref.sub))
+                .as(Seq("_split_idx", "_split_val")))
+              .withColumn(slot, StructOps.set(col(slot), st, ref.sub, col("_split_val")))
+              .withColumn(Cdc.Metadata,
+                RefCols.metaSet(col(Cdc.Metadata), "split.index",
+                  col("_split_idx").cast(StringType)))
+              .drop("_split_idx", "_split_val")
+          case _ =>
+            base.withColumn(Cdc.Error, coalesce(col(Cdc.Error),
+              lit(s"""split: field "$refString" is not an array""")))
+        })
+      case _ => ()
+    }
     val withArr = base.withColumn("_split_arr", jsonSplit(col(slot), ref.sub))
     val isErr = col("_split_arr").isNull
     withArr

@@ -39,7 +39,8 @@ trait Processor extends Serializable {
   final def apply(df: DataFrame, condition: Option[String] = None): DataFrame =
     condition match {
       case None => transform(df)
-      case Some(c) => transformConditional(df, Conditions.compile(c))
+      case Some(c) =>
+        transformConditional(df, Conditions.compile(c, Conditions.typedSlots(df)))
     }
 }
 
@@ -89,24 +90,38 @@ trait ColumnProcessor extends Processor {
 object Conditions {
   private val token = """\.(?:Payload\.(?:After|Before)|Metadata|Key|Operation|Position)(?:\.[A-Za-z_][A-Za-z0-9_.]*)?""".r
 
-  /** Rewrite reference field tokens into Spark SQL fragments. */
-  def rewriteTokens(s: String): String =
-    token.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(tokenToSql(m.matched)))
+  /** Slots of `df` carrying typed (struct) data — their tokens compile
+    * to native struct field access instead of `get_json_object`, which
+    * is both the typed fast path and required for correctness (JSON
+    * functions reject struct inputs).
+    */
+  def typedSlots(df: DataFrame): Set[String] =
+    Seq(Cdc.Key, Cdc.PayloadBefore, Cdc.PayloadAfter)
+      .filter(s => Cdc.isTypedSlot(df, s)).toSet
 
-  private def tokenToSql(t: String): String = {
+  /** Rewrite reference field tokens into Spark SQL fragments. */
+  def rewriteTokens(s: String, typed: Set[String] = Set.empty): String =
+    token.replaceAllIn(s,
+      m => java.util.regex.Matcher.quoteReplacement(tokenToSql(m.matched, typed)))
+
+  private def bt(parts: Seq[String]): String =
+    parts.map(p => "`" + p.replace("`", "``") + "`").mkString(".")
+
+  private def tokenToSql(t: String, typed: Set[String]): String = {
     import graft.model.Ref._
+    def slotPath(slot: String, rest: Seq[String]): String =
+      if (rest.isEmpty) slot
+      else if (typed(slot)) s"$slot.${bt(rest)}"
+      else s"get_json_object($slot, '$$.${rest.mkString(".")}')"
     graft.model.Ref.parse(t) match {
       case OperationRef => "operation"
       case PositionRef => "position"
       case MetadataRef(Seq()) => "metadata"
       case MetadataRef(Seq(k)) => s"metadata['$k']"
       case MetadataRef(_) => "metadata"
-      case KeyRef(Seq()) => "key"
-      case KeyRef(rest) => s"get_json_object(key, '$$.${rest.mkString(".")}')"
-      case PayloadBeforeRef(Seq()) => "payload_before"
-      case PayloadBeforeRef(rest) => s"get_json_object(payload_before, '$$.${rest.mkString(".")}')"
-      case PayloadAfterRef(Seq()) => "payload_after"
-      case PayloadAfterRef(rest) => s"get_json_object(payload_after, '$$.${rest.mkString(".")}')"
+      case KeyRef(rest) => slotPath("key", rest)
+      case PayloadBeforeRef(rest) => slotPath("payload_before", rest)
+      case PayloadAfterRef(rest) => slotPath("payload_after", rest)
       case PayloadRef => "payload_after" // token grammar never emits bare .Payload
     }
   }
@@ -114,22 +129,22 @@ object Conditions {
   private val goPrefixCmp = """^\s*(eq|ne)\s+(\S+)\s+(.+?)\s*$""".r
 
   /** One `{{ ... }}` body (or bare SQL) to a SQL fragment. */
-  private def bodyToSql(body: String): String = body.trim match {
+  private def bodyToSql(body: String, typed: Set[String]): String = body.trim match {
     case goPrefixCmp(op, a, b) =>
       val sql = if (op == "eq") "=" else "<>"
-      s"(${rewriteTokens(a)} $sql ${rewriteTokens(b)})"
-    case other => rewriteTokens(other)
+      s"(${rewriteTokens(a, typed)} $sql ${rewriteTokens(b, typed)})"
+    case other => rewriteTokens(other, typed)
   }
 
   /** Condition string → boolean Column. Accepts `{{ expr }}` (reference
     * style) or a bare Spark SQL boolean expression.
     */
-  def compile(condition: String): Column = {
+  def compile(condition: String, typed: Set[String] = Set.empty): Column = {
     val body = condition.trim match {
       case s if s.startsWith("{{") && s.endsWith("}}") => s.drop(2).dropRight(2)
       case s => s
     }
-    expr(bodyToSql(body)).cast("boolean")
+    expr(bodyToSql(body, typed)).cast("boolean")
   }
 
   private val tmpl = """\{\{(.*?)\}\}""".r
@@ -138,12 +153,12 @@ object Conditions {
     * `{{ expr }}` segments (reference `field/set.go:49-51`). Booleans
     * and numbers render via Spark's string cast ("true"/"false", etc.).
     */
-  def template(value: String): Column = {
+  def template(value: String, typed: Set[String] = Set.empty): Column = {
     val pieces = scala.collection.mutable.ArrayBuffer.empty[Column]
     var last = 0
     for (m <- tmpl.findAllMatchIn(value)) {
       if (m.start > last) pieces += lit(value.substring(last, m.start))
-      pieces += expr(bodyToSql(m.group(1))).cast("string")
+      pieces += expr(bodyToSql(m.group(1), typed)).cast("string")
       last = m.end
     }
     if (last < value.length) pieces += lit(value.substring(last))

@@ -33,7 +33,7 @@ object Registry {
     "field.exclude" -> (s => FieldExclude(
       s("fields").split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(Ref.parse))),
     "field.convert" -> (s => FieldConvert(Ref.parse(s("field")), s("type"))),
-    "json.decode" -> (s => JsonDecode(ref(s))),
+    "json.decode" -> (s => JsonDecode(ref(s), s.get("schema"))),
     "json.encode" -> (s => JsonEncode(ref(s))),
     "base64.encode" -> (s => Base64Encode(ref(s))),
     "base64.decode" -> (s => Base64Decode(ref(s))),
