@@ -19,8 +19,10 @@ import graft.model.{Cdc, Ref}
   * we support the `preRegistered` strategy with the schema inline in
   * settings (`schema` = Avro JSON, `schema.id`) — a registry client is
   * a straightforward extension point on top of the same codec. Binary
-  * Avro lives base64-encoded in the string slot (our payload columns
-  * are canonical-JSON/raw strings, FIXTURES §1).
+  * Avro lives in the string slot as the reference renders RawData: the
+  * wire bytes mapped 1:1 to chars (latin-1, lossless through
+  * UTF8String); decode also accepts base64 for round-trips through
+  * sinks that can't carry NUL bytes.
   */
 object AvroExpressions {
   case class AvroEncodeExpr(child: Expression, schemaJson: String, schemaId: Int)
@@ -36,7 +38,8 @@ object AvroExpressions {
       try {
         val bytes = AvroCodec.encode(v.asInstanceOf[UTF8String].toString, schema, schemaId)
         new GenericInternalRow(Array[Any](
-          UTF8String.fromString(java.util.Base64.getEncoder.encodeToString(bytes)), null))
+          UTF8String.fromString(new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)),
+          null))
       } catch {
         case e: Exception => new GenericInternalRow(Array[Any](v,
           UTF8String.fromString(s"avro.encode: ${e.getMessage}")))
@@ -56,7 +59,13 @@ object AvroExpressions {
       val v = child.eval(input)
       if (v == null) return new GenericInternalRow(Array[Any](null, null))
       try {
-        val bytes = java.util.Base64.getDecoder.decode(v.asInstanceOf[UTF8String].toString)
+        val s = v.asInstanceOf[UTF8String].toString
+        // Confluent framing always begins with magic byte 0x00: a
+        // leading NUL char means raw wire bytes (latin-1), else base64
+        val bytes =
+          if (s.nonEmpty && s.charAt(0) == '\u0000')
+            s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          else java.util.Base64.getDecoder.decode(s)
         val (_, json) = AvroCodec.decode(bytes, schema)
         new GenericInternalRow(Array[Any](UTF8String.fromString(json), null))
       } catch {

@@ -254,6 +254,75 @@ object Processors {
         col(s"${Cdc.PayloadAfter}.flagged").as("flagged"),
         col(s"${Cdc.PayloadAfter}.amount").cast("double").as("amount"),
         lit(!paFields.contains("ts")).as("ts_dropped"))
+    }),
+
+    // avro.encode → avro.decode round-trip (Confluent wire framing):
+    // the decoded values must hash-match the source table, and the
+    // intermediate slot must be framed binary, not JSON.
+    "proc_avro_roundtrip" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val recs = sup.select(
+        lit(null).cast("binary").as(Cdc.Position),
+        lit("create").as(Cdc.Operation),
+        map(lit("opencdc.collection"), lit("supplier")).as(Cdc.Metadata),
+        lit(null).cast("binary").as(Cdc.KeyRaw),
+        to_json(struct(col("s_suppkey"))).as(Cdc.Key),
+        lit(null).cast("string").as(Cdc.PayloadBefore),
+        to_json(struct(col("s_suppkey"), col("s_name"), col("s_acctbal")))
+          .as(Cdc.PayloadAfter))
+      val avroSchema =
+        """{"type":"record","name":"supplier","fields":[
+          |{"name":"s_suppkey","type":"long"},
+          |{"name":"s_name","type":"string"},
+          |{"name":"s_acctbal","type":"double"}]}""".stripMargin
+      val enc = Registry.create("avro.encode",
+        Map("field" -> ".Payload.After", "schema" -> avroSchema, "schema.id" -> "7"))
+      val dec = Registry.create("avro.decode",
+        Map("field" -> ".Payload.After", "schema" -> avroSchema))
+      val wired = enc(recs).withColumn("_wire", col(Cdc.PayloadAfter))
+      dec(wired).select(
+        get_json_object(col(Cdc.Key), "$.s_suppkey").cast("long").as("s_suppkey"),
+        pget("s_name").as("s_name"),
+        pget("s_acctbal").cast("double").as("s_acctbal"),
+        (substring(col("_wire"), 1, 1) === lit("\u0000")).as("wire_framed"))
+    }),
+
+    // sql processor: arbitrary Spark SQL over the records view (typed
+    // payload — predicate on a native struct field).
+    "proc_sql" -> ((s, dir) => {
+      val recs = Cdc.wrapTyped(t(s, dir, "orders"), "o_orderkey", "orders")
+      val proc = Registry.create("sql", Map(
+        "view" -> "records",
+        "query" -> "SELECT * FROM records WHERE payload_after.o_totalprice > 150000.0"))
+      proc(recs).select(
+        col(s"${Cdc.PayloadAfter}.o_orderkey").as("o_orderkey"),
+        col(s"${Cdc.PayloadAfter}.o_totalprice").as("o_totalprice"))
+    }),
+
+    // dedup.exact processor form: first record (by key order) per
+    // distinct content value survives within the batch.
+    "proc_dedup_exact" -> ((s, dir) => {
+      val recs = Cdc.wrap(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "documents")
+      val proc = Registry.create("dedup.exact", Map("field" -> ".Payload.After.lang"))
+      proc(recs).select(
+        get_json_object(col(Cdc.Key), "$.doc_id").cast("long").as("doc_id"),
+        pget("lang").as("lang"))
+    }),
+
+    // text.metrics processor: counts written back into the payload.
+    "proc_text_metrics" -> ((s, dir) => {
+      val recs = Cdc.wrap(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "documents")
+      val proc = Registry.create("text.metrics", Map("field" -> ".Payload.After.text"))
+      proc(recs).select(
+        get_json_object(col(Cdc.Key), "$.doc_id").cast("long").as("doc_id"),
+        get_json_object(col(Cdc.PayloadAfter), "$.text_metrics.n_chars")
+          .cast("long").as("n_chars"),
+        get_json_object(col(Cdc.PayloadAfter), "$.text_metrics.n_tokens")
+          .cast("long").as("n_tokens"))
     })
   )
 
@@ -298,6 +367,21 @@ object Processors {
          n_nationkey AS key_nationkey FROM nation""",
     "proc_chain" ->
       """SELECT event_id, event_type AS flagged, value AS amount, TRUE AS ts_dropped
-         FROM events WHERE event_type <> 'view'"""
+         FROM events WHERE event_type <> 'view'""",
+    "proc_avro_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_acctbal, TRUE AS wire_framed FROM supplier""",
+    "proc_sql" ->
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 150000.0""",
+    // survivor = lexicographically-smallest serialized key (the CDC key
+    // is the JSON '{"doc_id":N}' string, and dedup.exact orders by it)
+    "proc_dedup_exact" ->
+      """SELECT CAST(json_extract_string(min('{"doc_id":' || doc_id || '}'),
+           '$.doc_id') AS BIGINT) AS doc_id, lang
+         FROM documents GROUP BY lang""",
+    "proc_text_metrics" ->
+      """SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+         FROM documents"""
   )
 }

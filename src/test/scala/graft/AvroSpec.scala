@@ -42,7 +42,8 @@ class AvroSpec extends AnyFunSuite {
       Map("field" -> ".Payload.After", "schema" -> schema))
     val encoded = enc(recs)
     val encVal = encoded.select(col(Cdc.PayloadAfter)).first().getString(0)
-    assert(java.util.Base64.getDecoder.decode(encVal)(0) == 0, "wire-framed")
+    assert(encVal.charAt(0) == '\u0000', "wire-framed raw string")
+    assert(encVal.charAt(4) == '\u0003', "schema id in frame")
     val back = dec(encoded).select(col(Cdc.PayloadAfter)).first().getString(0)
     assert(JsonOps.parse(back) ==
       JsonOps.parse("""{"id":5,"name":"bob","scores":[1.0],"tags":{}}"""))

@@ -24,7 +24,16 @@ class ConformanceSpec extends AnyFunSuite {
     "field.convert", "json.decode", "json.encode", "base64.encode",
     "base64.decode", "filter", "error", "clone", "split",
     "unwrap.debezium", "unwrap.kafkaconnect", "unwrap.opencdc",
-    "webhook.http")
+    "webhook.http", "avro.decode", "avro.encode")
+
+  /** The avro examples fetch this schema from a registry (subject
+    * `example-decode`/`example-preRegistered`); we run the
+    * `preRegistered` strategy with it inlined (the schema text is
+    * spelled out in each example's description).
+    */
+  private val avroExampleSchema =
+    """{"type":"record","name":"record","fields":[
+      |{"name":"myString","type":"string"},{"name":"myInt","type":"int"}]}""".stripMargin
 
   /** The webhook vectors call a live server on 127.0.0.1:54321 (the
     * reference's RunExample does the same): respond "hello, <body>"
@@ -50,7 +59,11 @@ class ConformanceSpec extends AnyFunSuite {
   /** Documented deviations (plugin, example summary) we intentionally
     * do not replicate — keep this list SHORT and justified.
     */
-  private val skips: Set[(String, String)] = Set()
+  private val skips: Set[(String, String)] = Set(
+    // autoRegister infers a schema by reflection and registers it on
+    // the fly — we support the (recommended) preRegistered strategy;
+    // SURVEY §2.6 documents the registry-client gap.
+    ("avro.encode", "Auto-register schema"))
 
   private def loadSpec(name: String): JsonNode = {
     val in = getClass.getResourceAsStream(s"/conformance/$name.json")
@@ -130,7 +143,10 @@ class ConformanceSpec extends AnyFunSuite {
         val config = Option(ex.get("config"))
           .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
           .getOrElse(Map.empty)
-        val proc = Registry.create(specName, config.filterNot(_._1.startsWith("sdk.")))
+        val cleaned = config.filterNot(_._1.startsWith("sdk."))
+        val proc = Registry.create(specName,
+          if (specName.startsWith("avro.")) cleaned + ("schema" -> avroExampleSchema)
+          else cleaned)
         val in = haveToDf(ex.get("have"))
         val out = Cdc.withErrorChannel(proc(in))
         val rows = out.orderBy(col(Cdc.Metadata).getItem("clone.index").cast("int"),

@@ -36,10 +36,12 @@ class SchemaMiddlewareSpec extends AnyFunSuite {
       "sdk.schema.encode.key.enabled" -> "false"))
     val out = proc(recs).collect().head
     assert(out.getAs[String](Cdc.Error) == null)
-    // the output payload is Avro again; decode it to check the edit
-    val outB64 = out.getAs[String](Cdc.PayloadAfter)
+    // the output payload is Avro again (raw wire string, latin-1);
+    // decode it to check the edit
+    val outWire = out.getAs[String](Cdc.PayloadAfter)
     val (id, json) = AvroCodec.decode(
-      java.util.Base64.getDecoder.decode(outB64), AvroCodec.parseSchema(schema))
+      outWire.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+      AvroCodec.parseSchema(schema))
     assert(id == 5)
     val node = JsonOps.parse(json)
     assert(node.get("id").asLong() == 7)
