@@ -213,49 +213,83 @@ case class WebhookHttp(settings: Map[String, String],
   * `cohere.command`, `cohere.embed`, `cohere.rerank`,
   * `ollama.request` — reference §2.5): one engine, per-plugin request
   * shaping. Each reads a field ref, POSTs a JSON request, extracts the
-  * result path from the response, writes it back to a field ref. The
-  * HTTP boundary is the same pluggable transport as webhook.http, so
-  * tests run with a fake and production points at the real endpoint.
+  * per-record result from the response, writes it back to a field ref.
+  * The HTTP boundary is the same pluggable transport as webhook.http,
+  * so tests run with a fake and production points at the real endpoint.
+  *
+  * Batching + retry (reference `impl/cohere/embed.go:159`): the embed
+  * endpoints accept arrays, so the partition iterator is consumed in
+  * `batchSize` groups — ONE request per group, results distributed by
+  * index. 429/5xx retry with exponential backoff (`backoffRetry.*`,
+  * same knobs as webhook.http); an exhausted retry errors every record
+  * of the group to the DLQ, not the whole task. At 1M records/batch a
+  * per-record request is a rate-limit death sentence; batch-of-96 cuts
+  * the request count 96×.
   */
 case class LlmProcessor(pluginName: String, settings: Map[String, String],
                         transport: HttpTransport = HttpTransport.Default)
     extends Processor {
   val plugin = pluginName
 
-  private case class Shape(url: String, buildBody: String => String,
-                           resultPath: Seq[String])
+  /** `buildBody` takes the whole batch; `extract(resp, i)` pulls record
+    * i's result. Plugins whose API is single-input run with maxBatch=1
+    * through the same path.
+    */
+  private case class Shape(url: String, buildBody: Seq[String] => String,
+                           extract: (com.fasterxml.jackson.databind.JsonNode, Int) =>
+                             Option[com.fasterxml.jackson.databind.JsonNode],
+                           maxBatch: Int)
+
+  private def arr(items: Seq[String]) = {
+    val a = JsonOps.mapper.getNodeFactory.arrayNode()
+    items.foreach(a.add)
+    a
+  }
+
+  private def path(n: com.fasterxml.jackson.databind.JsonNode, segs: Seq[String]) =
+    segs.foldLeft(Option(n)) {
+      case (Some(x), seg) if x.isArray && seg.forall(_.isDigit) => Option(x.get(seg.toInt))
+      case (Some(x), seg) => Option(x.get(seg))
+      case (None, _) => None
+    }
 
   private def shape: Shape = pluginName match {
     case "openai.embed" => Shape(
       settings.getOrElse("url", "https://api.openai.com/v1/embeddings"),
-      in => JsonOps.render(obj("model" -> txt(settings.getOrElse("model", "text-embedding-3-small")),
-        "input" -> txt(in))),
-      Seq("data", "0", "embedding"))
+      ins => JsonOps.render(obj(
+        "model" -> txt(settings.getOrElse("model", "text-embedding-3-small")),
+        "input" -> arr(ins))),
+      (n, i) => path(n, Seq("data", i.toString, "embedding")),
+      maxBatch = 96)
     case "openai.textgen" => Shape(
       settings.getOrElse("url", "https://api.openai.com/v1/chat/completions"),
-      in => JsonOps.render(obj("model" -> txt(settings.getOrElse("model", "gpt-4o-mini")),
+      ins => JsonOps.render(obj("model" -> txt(settings.getOrElse("model", "gpt-4o-mini")),
         "messages" -> JsonOps.parse(
-          s"""[{"role":"user","content":${JsonOps.render(txt(in))}}]"""))),
-      Seq("choices", "0", "message", "content"))
+          s"""[{"role":"user","content":${JsonOps.render(txt(ins.head))}}]"""))),
+      (n, _) => path(n, Seq("choices", "0", "message", "content")),
+      maxBatch = 1)
     case "cohere.command" => Shape(
       settings.getOrElse("url", "https://api.cohere.ai/v1/chat"),
-      in => JsonOps.render(obj("message" -> txt(in))),
-      Seq("text"))
+      ins => JsonOps.render(obj("message" -> txt(ins.head))),
+      (n, _) => path(n, Seq("text")),
+      maxBatch = 1)
     case "cohere.embed" => Shape(
       settings.getOrElse("url", "https://api.cohere.ai/v1/embed"),
-      in => JsonOps.render(obj("texts" -> JsonOps.parse(
-        s"[${JsonOps.render(txt(in))}]"))),
-      Seq("embeddings", "0"))
+      ins => JsonOps.render(obj("texts" -> arr(ins))),
+      (n, i) => path(n, Seq("embeddings", i.toString)),
+      maxBatch = 96) // the reference's cohere maxBatchSize
     case "cohere.rerank" => Shape(
       settings.getOrElse("url", "https://api.cohere.ai/v1/rerank"),
-      in => JsonOps.render(obj("query" -> txt(settings.getOrElse("query", "")),
-        "documents" -> JsonOps.parse(s"[${JsonOps.render(txt(in))}]"))),
-      Seq("results"))
+      ins => JsonOps.render(obj("query" -> txt(settings.getOrElse("query", "")),
+        "documents" -> arr(ins))),
+      (n, _) => path(n, Seq("results")), // rank list per record
+      maxBatch = 1)
     case "ollama.request" => Shape(
       settings.getOrElse("url", "http://localhost:11434/api/generate"),
-      in => JsonOps.render(obj("model" -> txt(settings.getOrElse("model", "llama3")),
-        "prompt" -> txt(in), "stream" -> JsonOps.parse("false"))),
-      Seq("response"))
+      ins => JsonOps.render(obj("model" -> txt(settings.getOrElse("model", "llama3")),
+        "prompt" -> txt(ins.head), "stream" -> JsonOps.parse("false"))),
+      (n, _) => path(n, Seq("response")),
+      maxBatch = 1)
     case other => throw new IllegalArgumentException(s"unknown LLM plugin: $other")
   }
 
@@ -270,6 +304,12 @@ case class LlmProcessor(pluginName: String, settings: Map[String, String],
   private val outputRef = Ref.parse(
     settings.getOrElse("result.field", ".Payload.After.result"))
 
+  private def parseDuration(s: String): Long = s.trim match {
+    case d if d.endsWith("ms") => d.dropRight(2).toLong
+    case d if d.endsWith("s") => d.dropRight(1).toLong * 1000
+    case d => d.toLong
+  }
+
   override def transform(df: DataFrame): DataFrame = {
     val base = Cdc.withErrorChannel(df)
     val schema = base.schema
@@ -277,35 +317,46 @@ case class LlmProcessor(pluginName: String, settings: Map[String, String],
     val t = transport
     val sh = shape
     val (inRef, outRef) = (inputRef, outputRef)
+    val batchSize = math.max(1, math.min(sh.maxBatch,
+      settings.getOrElse("batchSize", sh.maxBatch.toString).toInt))
+    val retryCount = settings.getOrElse("backoffRetry.count", "0").toInt
+    val retryMinMs = parseDuration(settings.getOrElse("backoffRetry.min", "100ms"))
+    val retryMaxMs = parseDuration(settings.getOrElse("backoffRetry.max", "5s"))
+    val retryFactor = settings.getOrElse("backoffRetry.factor", "2").toDouble
     val auth = settings.get("apiKey").map(k => Map("Authorization" -> s"Bearer $k"))
       .getOrElse(Map.empty) + ("Content-Type" -> "application/json")
     implicit val enc = Encoders.row(schema)
     base.mapPartitions { rows =>
-      rows.map { row =>
+      rows.grouped(batchSize).flatMap { group =>
         try {
-          val in = Option(RecordTemplates.getRef(row, inRef)).getOrElse("")
-          val resp = t.send("POST", sh.url, auth, sh.buildBody(in).getBytes("UTF-8"))
+          val ins = group.map(r => Option(RecordTemplates.getRef(r, inRef)).getOrElse(""))
+          val body = sh.buildBody(ins).getBytes("UTF-8")
+          var attempt = 0
+          var resp = t.send("POST", sh.url, auth, body)
+          while ((resp.status == 429 || resp.status >= 500) && attempt < retryCount) {
+            val delay = math.min(retryMaxMs.toDouble,
+              retryMinMs * math.pow(retryFactor, attempt)).toLong
+            Thread.sleep(delay)
+            attempt += 1
+            resp = t.send("POST", sh.url, auth, body)
+          }
           if (resp.status >= 400)
-            RecordTemplates.setError(row, s"$pluginName: status ${resp.status}", names)
+            group.map(RecordTemplates.setError(_, s"$pluginName: status ${resp.status}", names))
           else {
             val node = JsonOps.parse(new String(resp.body, "UTF-8"))
-            val result = sh.resultPath.foldLeft(Option(node)) {
-              case (Some(n), seg) if n.isArray && seg.forall(_.isDigit) =>
-                Option(n.get(seg.toInt))
-              case (Some(n), seg) => Option(n.get(seg))
-              case (None, _) => None
-            }
-            result match {
-              case Some(r) =>
-                RecordTemplates.setRef(row, outRef,
-                  if (r.isTextual) r.asText() else JsonOps.render(r), names)
-              case None =>
-                RecordTemplates.setError(row, s"$pluginName: empty result", names)
+            group.zipWithIndex.map { case (row, i) =>
+              sh.extract(node, i) match {
+                case Some(r) =>
+                  RecordTemplates.setRef(row, outRef,
+                    if (r.isTextual) r.asText() else JsonOps.render(r), names)
+                case None =>
+                  RecordTemplates.setError(row, s"$pluginName: empty result", names)
+              }
             }
           }
         } catch {
           case e: Exception =>
-            RecordTemplates.setError(row, s"$pluginName: ${e.getMessage}", names)
+            group.map(RecordTemplates.setError(_, s"$pluginName: ${e.getMessage}", names))
         }
       }
     }

@@ -12,6 +12,36 @@ import graft.functions.JsonExpressions
 import graft.model.Cdc
 import graft.ops.Registry
 
+/** `builtin:s3` connector config mapping (reference
+  * `pkg/plugin/connector/builtin/registry.go:47`,
+  * conduit-connector-s3 settings: `aws.accessKeyId`,
+  * `aws.secretAccessKey`, `aws.region`, `aws.bucket`, `prefix`).
+  * Object storage is a Hadoop FileSystem in Spark — the mapping is
+  * credentials → `fs.s3a.*` conf + an `s3a://bucket/prefix` path; the
+  * file read/write machinery is then identical to `builtin:file`.
+  * `aws.url` points at MinIO/localstack-style endpoints; `scheme`
+  * overrides `s3a` so tests (and any other Hadoop FS) can run the
+  * same path without AWS.
+  */
+object S3Config {
+  def configure(spark: SparkSession, settings: Map[String, String]): String = {
+    val bucket = settings.getOrElse("aws.bucket",
+      throw new IllegalArgumentException("builtin:s3: missing aws.bucket"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    settings.get("aws.accessKeyId").foreach(conf.set("fs.s3a.access.key", _))
+    settings.get("aws.secretAccessKey").foreach(conf.set("fs.s3a.secret.key", _))
+    settings.get("aws.sessionToken").foreach(conf.set("fs.s3a.session.token", _))
+    settings.get("aws.region").foreach(conf.set("fs.s3a.endpoint.region", _))
+    settings.get("aws.url").foreach { u =>
+      conf.set("fs.s3a.endpoint", u)
+      conf.set("fs.s3a.path.style.access", "true")
+    }
+    val scheme = settings.getOrElse("scheme", "s3a")
+    val prefix = settings.get("prefix").filter(_.nonEmpty).map("/" + _).getOrElse("")
+    s"$scheme://$bucket$prefix"
+  }
+}
+
 /** Pipeline execution on Structured Streaming (SURVEY §2.4/§2.7).
   *
   * Topology mapping (reference `pkg/lifecycle/service.go:493-534`):
@@ -83,6 +113,30 @@ object Runner {
         if (streaming)
           spark.readStream.format("conduit-jdbc").options(cfg.settings).load()
         else spark.read.format("conduit-jdbc").options(cfg.settings).load()
+      case "builtin:s3" | "s3" =>
+        // reference semantics: one record per object — raw content as
+        // the payload, the object key as the record key
+        val path = S3Config.configure(spark, cfg.settings)
+        cfg.settings.get("format") match {
+          case Some("parquet") =>
+            val df =
+              if (streaming) spark.readStream.format("parquet").load(path)
+              else spark.read.parquet(path)
+            Cdc.wrap(df, cfg.settings.getOrElse("key", df.columns.head), cfg.id)
+          case _ =>
+            val objects =
+              if (streaming) spark.readStream.format("text")
+                .option("wholetext", "true").load(path)
+              else spark.read.option("wholetext", "true").text(path)
+            objects.select(
+              lit(null).cast("binary").as(Cdc.Position),
+              lit("create").as(Cdc.Operation),
+              map(lit("opencdc.collection"), lit(cfg.id)).as(Cdc.Metadata),
+              lit(null).cast("binary").as(Cdc.KeyRaw),
+              input_file_name().as(Cdc.Key),
+              lit(null).cast("string").as(Cdc.PayloadBefore),
+              col("value").as(Cdc.PayloadAfter))
+        }
       case other =>
         throw new IllegalArgumentException(s"unknown source plugin: $other")
     }
@@ -150,6 +204,14 @@ object Runner {
         // MERGE isn't), the reference's destination semantics: `create/
         // update/snapshot` upsert, `delete` deletes by key
         JdbcWriter.write(out, cfg.settings)
+      case "builtin:s3" | "s3" =>
+        val path = S3Config.configure(out.sparkSession, cfg.settings)
+        cfg.settings.get("format") match {
+          case Some("parquet") =>
+            out.drop(Cdc.Error).write.mode("append").parquet(path)
+          case _ => // reference default: JSON objects
+            renderJson(out).write.mode("append").text(path)
+        }
       case other =>
         throw new IllegalArgumentException(s"unknown destination plugin: $other")
     }

@@ -19,15 +19,21 @@ object FakeCalls {
 /** Echoes request facts back; programmable failures. Top-level (no
   * outer reference) so the mapPartitions closure serializes.
   */
-case class FakeTransport(name: String, failFirst: Int = 0) extends HttpTransport {
+case class FakeTransport(name: String, failFirst: Int = 0, failStatus: Int = 503)
+    extends HttpTransport {
   override def send(method: String, url: String, headers: Map[String, String],
                     body: Array[Byte]): HttpTransport.Response = {
     val n = FakeCalls.of(name).incrementAndGet()
-    if (n <= failFirst) HttpTransport.Response(503, "busy".getBytes)
-    else if (url.contains("embeddings") || url.contains("embed"))
-      HttpTransport.Response(200,
-        """{"data":[{"embedding":[0.1,0.2,0.3]}],"embeddings":[[0.1,0.2]]}""".getBytes)
-    else HttpTransport.Response(200,
+    if (n <= failFirst) HttpTransport.Response(failStatus, "busy".getBytes)
+    else if (url.contains("embeddings") || url.contains("embed")) {
+      // batch-aware: one embedding per input/text in the request
+      val req = JsonOps.parse(new String(body, "UTF-8"))
+      val k = Option(req.get("input")).orElse(Option(req.get("texts")))
+        .map(node => if (node.isArray) node.size() else 1).getOrElse(1)
+      val data = Seq.fill(k)("""{"embedding":[0.1,0.2,0.3]}""").mkString(",")
+      val embs = Seq.fill(k)("[0.1,0.2]").mkString(",")
+      HttpTransport.Response(200, s"""{"data":[$data],"embeddings":[$embs]}""".getBytes)
+    } else HttpTransport.Response(200,
       s"""{"echo":{"method":"$method","url":"$url","body":${JsonOps.render(
         JsonOps.mapper.getNodeFactory.textNode(new String(body, "UTF-8")))}}}""".getBytes)
   }
@@ -102,6 +108,36 @@ class EnrichSpec extends AnyFunSuite {
     assert(out.head.getAs[String](Cdc.Error) == null)
     val emb = JsonOps.parse(out.head.getAs[String](Cdc.PayloadAfter)).get("embedding")
     assert(emb.isArray && emb.size() == 3)
+  }
+
+  test("cohere.embed: one request per batch, results distributed by index") {
+    val t = FakeTransport("t5")
+    val proc = LlmProcessor("cohere.embed", Map(
+      "field" -> ".Payload.After.name",
+      "result.field" -> ".Payload.After.emb",
+      "batchSize" -> "5"), t)
+    val recs = genRecords(10).repartition(1).withColumn(Cdc.PayloadAfter,
+      org.apache.spark.sql.functions.lit("""{"name":"x"}"""))
+    val out = proc(recs).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getAs[String](Cdc.Error) == null))
+    assert(out.forall(r => JsonOps.parse(r.getAs[String](Cdc.PayloadAfter))
+      .get("emb").isArray))
+    assert(FakeCalls.of("t5").get() == 2, "10 records / batchSize 5 = 2 requests")
+  }
+
+  test("llm 429 retries with backoff then succeeds, one batch request") {
+    val t = FakeTransport("t6", failFirst = 2, failStatus = 429)
+    val proc = LlmProcessor("openai.embed", Map(
+      "field" -> ".Payload.After.name",
+      "result.field" -> ".Payload.After.emb",
+      "backoffRetry.count" -> "3",
+      "backoffRetry.min" -> "1ms"), t)
+    val recs = genRecords(3).repartition(1).withColumn(Cdc.PayloadAfter,
+      org.apache.spark.sql.functions.lit("""{"name":"x"}"""))
+    val out = proc(recs).collect()
+    assert(out.forall(_.getAs[String](Cdc.Error) == null))
+    assert(FakeCalls.of("t6").get() == 3, "two 429s + one success for the single batch")
   }
 
   test("ollama.request: text response written back") {
