@@ -11,18 +11,31 @@ import graft.model.Ref
   * `sdk.schema.decode.{key,payload}.enabled` /
   * `sdk.schema.encode.{key,payload}.enabled` (default true, reference
   * spec defaults). The schema comes from `sdk.schema.avro` +
-  * `sdk.schema.id` settings (the `preRegistered` strategy); a live
-  * Confluent registry client would resolve ids here instead.
+  * `sdk.schema.id` settings (inline `preRegistered`) or is resolved
+  * live from a Confluent-compatible registry via
+  * `sdk.schema.registry.url` + `sdk.schema.subject`/`sdk.schema.id`
+  * ([[SchemaRegistry]], cached driver-side).
   */
 object SchemaMiddleware {
   private def enabled(settings: Map[String, String], key: String): Boolean =
     settings.getOrElse(key, "true").trim.toBoolean
 
-  def wrap(inner: Processor, settings: Map[String, String]): Processor =
+  /** Test seam for the registry transport. */
+  @volatile var registryTransport: HttpTransport = HttpTransport.Default
+
+  private def resolveSchema(settings: Map[String, String]): Option[(Int, String)] =
     settings.get("sdk.schema.avro") match {
+      case Some(schema) => Some((settings.getOrElse("sdk.schema.id", "1").toInt, schema))
+      case None => settings.get("sdk.schema.registry.url").map { url =>
+        SchemaRegistry.resolve(url, settings.get("sdk.schema.subject"),
+          settings.get("sdk.schema.id").map(_.toInt), registryTransport)
+      }
+    }
+
+  def wrap(inner: Processor, settings: Map[String, String]): Processor =
+    resolveSchema(settings) match {
       case None => inner
-      case Some(schema) =>
-        val schemaId = settings.getOrElse("sdk.schema.id", "1").toInt
+      case Some((schemaId, schema)) =>
         val decodePayload = enabled(settings, "sdk.schema.decode.payload.enabled")
         val encodePayload = enabled(settings, "sdk.schema.encode.payload.enabled")
         val decodeKey = enabled(settings, "sdk.schema.decode.key.enabled")
