@@ -109,8 +109,15 @@ object Runner {
           else spark.read.parquet(path)
         Cdc.wrap(df, cfg.settings.getOrElse("key", df.columns.head), cfg.id)
       case "builtin:postgres" | "jdbc" =>
-        // query-based CDC: snapshot + incrementing-column change capture
-        if (streaming)
+        // two CDC modes, like the reference connector: log-based
+        // (LSN-offset change log with deletes + before images) when a
+        // logTable is configured, else query-based incrementing-column
+        val logBased = cfg.settings.contains("logTable") ||
+          cfg.settings.get("cdc.mode").contains("log")
+        if (logBased) {
+          require(streaming, "log-based CDC is a streaming source")
+          spark.readStream.format("conduit-cdc-log").options(cfg.settings).load()
+        } else if (streaming)
           spark.readStream.format("conduit-jdbc").options(cfg.settings).load()
         else spark.read.format("conduit-jdbc").options(cfg.settings).load()
       case "builtin:s3" | "s3" =>
