@@ -163,18 +163,34 @@ case class WebhookHttp(settings: Map[String, String],
     case d => d.toLong
   }
 
-  override def transform(df: DataFrame): DataFrame = {
-    val base = Cdc.withErrorChannel(df)
+  override def transform(df: DataFrame): DataFrame = run(df, None)
+
+  /** Single-scan conditional: the condition is evaluated as a column
+    * and misses stream through the SAME mapPartitions untouched — no
+    * split/union double-scan of the source, and no HTTP call for rows
+    * that fail the condition.
+    */
+  override def transformConditional(df: DataFrame,
+      cond: org.apache.spark.sql.Column): DataFrame = run(df, Some(cond))
+
+  private def run(df: DataFrame,
+                  cond: Option[org.apache.spark.sql.Column]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val base0 = Cdc.withErrorChannel(df)
+    val base = cond.map(c => base0.withColumn("_cond", coalesce(c, lit(false))))
+      .getOrElse(base0)
     val schema = base.schema
     val names = schema
+    val condIdx = cond.map(_ => schema.fieldIndex("_cond"))
     val t = transport
     val (u, m, b, h) = (urlTemplate, method, bodyTemplate, headers)
     val (rbRef, rsRef) = (responseBodyRef, responseStatusRef)
     val (rc, rMin, rMax, rFac) = (retryCount, retryMinMs, retryMaxMs, retryFactor)
     implicit val enc = Encoders.row(schema)
-    base.mapPartitions { rows =>
+    val mapped = base.mapPartitions { rows =>
       rows.map { row =>
-        try {
+        if (condIdx.exists(i => !row.getBoolean(i))) row
+        else try {
           val url = RecordTemplates.render(u, row)
           val body = RecordTemplates.render(b, row).getBytes("UTF-8")
           var attempt = 0
@@ -206,6 +222,7 @@ case class WebhookHttp(settings: Map[String, String],
         }
       }
     }
+    condIdx.map(_ => mapped.drop("_cond")).getOrElse(mapped)
   }
 }
 
@@ -310,10 +327,24 @@ case class LlmProcessor(pluginName: String, settings: Map[String, String],
     case d => d.toLong
   }
 
-  override def transform(df: DataFrame): DataFrame = {
-    val base = Cdc.withErrorChannel(df)
+  override def transform(df: DataFrame): DataFrame = run(df, None)
+
+  /** Single-scan conditional (same shape as webhook.http): misses pass
+    * through the partition iterator untouched — no request for them,
+    * no split/union re-scan of the source.
+    */
+  override def transformConditional(df: DataFrame,
+      cond: org.apache.spark.sql.Column): DataFrame = run(df, Some(cond))
+
+  private def run(df: DataFrame,
+                  cond: Option[org.apache.spark.sql.Column]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val base0 = Cdc.withErrorChannel(df)
+    val base = cond.map(c => base0.withColumn("_cond", coalesce(c, lit(false))))
+      .getOrElse(base0)
     val schema = base.schema
     val names = schema
+    val condIdx = cond.map(_ => schema.fieldIndex("_cond"))
     val t = transport
     val sh = shape
     val (inRef, outRef) = (inputRef, outputRef)
@@ -326,9 +357,15 @@ case class LlmProcessor(pluginName: String, settings: Map[String, String],
     val auth = settings.get("apiKey").map(k => Map("Authorization" -> s"Bearer $k"))
       .getOrElse(Map.empty) + ("Content-Type" -> "application/json")
     implicit val enc = Encoders.row(schema)
-    base.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { group =>
-        try {
+    val mapped = base.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { chunk =>
+        // condition misses stream through; only hits go in the request
+        val (group, pass) = condIdx match {
+          case Some(i) => chunk.partition(_.getBoolean(i))
+          case None => (chunk, Seq.empty[Row])
+        }
+        if (group.isEmpty) pass
+        else pass ++ (try {
           val ins = group.map(r => Option(RecordTemplates.getRef(r, inRef)).getOrElse(""))
           val body = sh.buildBody(ins).getBytes("UTF-8")
           var attempt = 0
@@ -357,8 +394,9 @@ case class LlmProcessor(pluginName: String, settings: Map[String, String],
         } catch {
           case e: Exception =>
             group.map(RecordTemplates.setError(_, s"$pluginName: ${e.getMessage}", names))
-        }
+        })
       }
     }
+    condIdx.map(_ => mapped.drop("_cond")).getOrElse(mapped)
   }
 }

@@ -7,9 +7,35 @@ import graft.model.Ref
   * (`pkg/plugin/processor/builtin/registry.go`). Parameter names and
   * defaults match the reference's exported specs
   * (`.../exampleutil/specs/` JSON files).
+  *
+  * Custom processors: the reference's escape hatch is an embedded JS
+  * engine (`impl/custom/javascript.go:151`); ours is the JVM itself —
+  * [[register]] installs any user `Processor` (or a plain
+  * `DataFrame => DataFrame`) under a plugin name, after which YAML
+  * provisioning, the builder DSL, conditions, and the schema
+  * middleware all treat it exactly like a builtin. A declarative
+  * `Column`-level function stays inside codegen, which is strictly
+  * faster than the reference's per-record JS bridge; the `sql`
+  * processor covers the no-compile case.
   */
 object Registry {
   type Factory = Map[String, String] => Processor
+
+  private val custom =
+    new java.util.concurrent.ConcurrentHashMap[String, Factory]()
+
+  /** Install a custom processor plugin (user extension point). */
+  def register(plugin: String, factory: Factory): Unit =
+    custom.put(plugin, factory)
+
+  /** Install a custom stateless transform under a plugin name. */
+  def registerTransform(name: String)
+                       (fn: (org.apache.spark.sql.DataFrame, Map[String, String]) =>
+                            org.apache.spark.sql.DataFrame): Unit =
+    register(name, settings => new Processor {
+      val plugin: String = name
+      override def transform(df: org.apache.spark.sql.DataFrame) = fn(df, settings)
+    })
 
   private def ref(settings: Map[String, String], default: String = null): Ref = {
     val f = settings.getOrElse("field",
@@ -55,10 +81,14 @@ object Registry {
   )
 
   def create(plugin: String, settings: Map[String, String]): Processor = {
-    val inner = factories.getOrElse(plugin,
-      throw new IllegalArgumentException(s"unknown processor plugin: $plugin"))(settings)
-    SchemaMiddleware.wrap(inner, settings)
+    val factory = Option(custom.get(plugin))
+      .orElse(factories.get(plugin))
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown processor plugin: $plugin"))
+    SchemaMiddleware.wrap(factory(settings), settings)
   }
 
-  def plugins: Set[String] = factories.keySet
+  def plugins: Set[String] =
+    factories.keySet ++ scala.jdk.CollectionConverters
+      .SetHasAsScala(custom.keySet()).asScala
 }

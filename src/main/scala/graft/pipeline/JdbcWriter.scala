@@ -19,10 +19,21 @@ import graft.model.Cdc
   * upgrades at-least-once delivery to effectively-once (SURVEY §2.7).
   */
 object JdbcWriter {
+  /** Config-supplied identifiers are interpolated into SQL; the control
+    * plane accepts YAML from users, so reject anything that isn't a
+    * plain (possibly qualified) identifier — quoting is not portable
+    * across dialects' case-folding rules, validation is.
+    */
+  private[pipeline] val identPattern = "[A-Za-z_][A-Za-z0-9_$]*(\\.[A-Za-z_][A-Za-z0-9_$]*)*".r
+  def checkIdent(s: String, what: String): String = {
+    require(identPattern.matches(s), s"$what is not a valid SQL identifier: $s")
+    s
+  }
+
   def write(df: DataFrame, settings: Map[String, String]): Unit = {
     val url = settings("url")
-    val table = settings("table")
-    val keyCol = settings.getOrElse("key", "id")
+    val table = checkIdent(settings("table"), "table")
+    val keyCol = checkIdent(settings.getOrElse("key", "id"), "key")
     df.select(col(Cdc.Operation), col(Cdc.PayloadAfter), col(Cdc.Key))
       .foreachPartition { (rows: Iterator[Row]) =>
         val conn = DriverManager.getConnection(url)
@@ -45,6 +56,9 @@ object JdbcWriter {
               if (payload.isObject) {
                 val fields = scala.jdk.CollectionConverters
                   .IteratorHasAsScala(payload.fieldNames()).asScala.toSeq
+                // payload keys are DATA and get interpolated as column
+                // names — reject non-identifiers (SQL injection guard)
+                fields.foreach(checkIdent(_, "payload field"))
                 val values = fields.map(f => jsonValue(payload.get(f)))
                 val keyIdx = fields.indexOf(keyCol)
                 val setCols = fields.zipWithIndex.filter(_._1 != keyCol)

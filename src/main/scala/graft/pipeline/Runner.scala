@@ -203,9 +203,12 @@ object Runner {
       case "null" | "/dev/null" | "noop" =>
         out.write.format("noop").mode("overwrite").save()
       case "memory" =>
+        // test-only sink; row cap guards a misconfigured prod pipeline
+        // from collecting an unbounded batch onto the driver
+        val cap = cfg.settings.getOrElse("maxRows", "100000").toInt
         val buf = memorySinks.computeIfAbsent(cfg.id,
           _ => new ConcurrentLinkedQueue[String]())
-        renderJson(out).collect().foreach(r => buf.add(r.getString(0)))
+        renderJson(out.limit(cap)).collect().foreach(r => buf.add(r.getString(0)))
       case "builtin:postgres" | "jdbc" =>
         // keyed upsert per record (update-then-insert — portable where
         // MERGE isn't), the reference's destination semantics: `create/

@@ -64,17 +64,18 @@ case class CdcLogConfig(url: String, logTable: String, lsnCol: String,
 object CdcLogConfig {
   def apply(options: Map[String, String]): CdcLogConfig = {
     val lower = options.map { case (k, v) => k.toLowerCase -> v }
+    val ck = graft.pipeline.JdbcWriter.checkIdent _ // identifiers → SQL
     CdcLogConfig(
       url = lower("url"),
-      logTable = lower.getOrElse("logtable", lower.getOrElse("log.table",
-        throw new IllegalArgumentException("cdc-log: missing logTable"))),
-      lsnCol = lower.getOrElse("lsn.column", "lsn"),
-      opCol = lower.getOrElse("op.column", "op"),
-      keyCol = lower.getOrElse("key.column", "key"),
-      beforeCol = lower.getOrElse("before.column", "before"),
-      afterCol = lower.getOrElse("after.column", "after"),
-      snapshotTable = lower.get("snapshot.table"),
-      snapshotKey = lower.getOrElse("snapshot.key", "id"),
+      logTable = ck(lower.getOrElse("logtable", lower.getOrElse("log.table",
+        throw new IllegalArgumentException("cdc-log: missing logTable"))), "logTable"),
+      lsnCol = ck(lower.getOrElse("lsn.column", "lsn"), "lsn.column"),
+      opCol = ck(lower.getOrElse("op.column", "op"), "op.column"),
+      keyCol = ck(lower.getOrElse("key.column", "key"), "key.column"),
+      beforeCol = ck(lower.getOrElse("before.column", "before"), "before.column"),
+      afterCol = ck(lower.getOrElse("after.column", "after"), "after.column"),
+      snapshotTable = lower.get("snapshot.table").map(ck(_, "snapshot.table")),
+      snapshotKey = ck(lower.getOrElse("snapshot.key", "id"), "snapshot.key"),
       collection = lower.getOrElse("collection", "cdc"),
       maxRows = lower.getOrElse("maxrowsperbatch", "100000").toLong)
   }

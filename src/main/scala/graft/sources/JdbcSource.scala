@@ -49,12 +49,14 @@ case class JdbcConfig(url: String, table: String, incCol: String,
 object JdbcConfig {
   def apply(options: Map[String, String]): JdbcConfig = {
     val lower = options.map { case (k, v) => k.toLowerCase -> v }
+    val ck = graft.pipeline.JdbcWriter.checkIdent _ // identifiers → SQL
     JdbcConfig(
       url = lower("url"),
-      table = lower("table"),
-      incCol = lower.getOrElse("incrementing.column",
-        lower.getOrElse("key", "id")),
-      keyCol = lower.getOrElse("key", lower.getOrElse("incrementing.column", "id")),
+      table = ck(lower("table"), "table"),
+      incCol = ck(lower.getOrElse("incrementing.column",
+        lower.getOrElse("key", "id")), "incrementing.column"),
+      keyCol = ck(lower.getOrElse("key",
+        lower.getOrElse("incrementing.column", "id")), "key"),
       collection = lower.getOrElse("collection", lower("table")),
       maxRows = lower.getOrElse("maxrowsperbatch", "100000").toLong)
   }

@@ -140,6 +140,43 @@ class EnrichSpec extends AnyFunSuite {
     assert(FakeCalls.of("t6").get() == 3, "two 429s + one success for the single batch")
   }
 
+  test("conditional llm: misses bypass without a request, single scan") {
+    val t = FakeTransport("t7")
+    val proc = LlmProcessor("openai.embed", Map(
+      "field" -> ".Payload.After.name",
+      "result.field" -> ".Payload.After.emb"), t)
+    val recs = genRecords(10).repartition(1).withColumn(Cdc.PayloadAfter,
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("""{"name":"x","pick":"""),
+        (org.apache.spark.sql.functions.monotonically_increasing_id() < 5).cast("string"),
+        org.apache.spark.sql.functions.lit("}")))
+    val out = proc(recs, condition = Some(
+      """cast(.Payload.After.pick as boolean)""")).collect()
+    assert(out.length == 10)
+    val enriched = out.count(r =>
+      JsonOps.parse(r.getAs[String](Cdc.PayloadAfter)).has("emb"))
+    assert(enriched == 5, s"only condition hits enriched, got $enriched")
+    assert(FakeCalls.of("t7").get() == 1, "one batched request for the 5 hits")
+  }
+
+  test("custom processor registration: user transform behaves like a builtin") {
+    graft.ops.Registry.registerTransform("custom.tag") { (df, settings) =>
+      df.withColumn(Cdc.Metadata, graft.ops.RefCols.metaSet(
+        org.apache.spark.sql.functions.col(Cdc.Metadata), "tag",
+        org.apache.spark.sql.functions.lit(settings.getOrElse("value", ""))))
+    }
+    assert(graft.ops.Registry.plugins.contains("custom.tag"))
+    val out = graft.ops.Registry.create("custom.tag", Map("value" -> "v1"))(genRecords(3))
+    assert(out.collect().forall(
+      _.getAs[Map[String, String]](Cdc.Metadata).get("tag").contains("v1")))
+    // conditions work on custom processors exactly like builtins
+    val gated = graft.ops.Registry.create("custom.tag", Map("value" -> "v2"))(
+      genRecords(4), condition = Some("cast(.Payload.After.id as int) % 2 = 0"))
+    val tags = gated.collect().flatMap(
+      _.getAs[Map[String, String]](Cdc.Metadata).get("tag"))
+    assert(tags.count(_ == "v2") > 0 && tags.count(_ == "v2") < 4)
+  }
+
   test("ollama.request: text response written back") {
     val t = FakeTransport("t4")
     val proc = LlmProcessor("ollama.request", Map(
