@@ -18,10 +18,16 @@ import graft.functions.JsonOps
   * Endpoints:
   *   GET    /v1/pipelines               list {id, status}
   *   POST   /v1/pipelines               body = provisioning YAML → create
+  *   POST   /v1/pipelines/import        alias of create (reference Import)
+  *   GET    /v1/pipelines/export        all registered pipelines as YAML
+  *   POST   /v1/pipelines/plan          YAML → diff vs registered (no change)
+  *   POST   /v1/pipelines/apply         YAML → register creates+updates
   *   POST   /v1/pipelines/{id}/start    start streaming query
   *   POST   /v1/pipelines/{id}/stop     stop query
   *   GET    /v1/pipelines/{id}/status   status + metrics snapshot
+  *   GET    /v1/pipelines/{id}/export   one pipeline as YAML
   *   GET    /v1/pipelines/{id}/inspect  drained inspector sample
+  *   DELETE /v1/pipelines/{id}          stop + unregister
   */
 class ControlPlane(spark: SparkSession, checkpointRoot: String) {
   private val configs = new ConcurrentHashMap[String, PipelineConfig]()
@@ -64,6 +70,28 @@ class ControlPlane(spark: SparkSession, checkpointRoot: String) {
     os.write(bytes); os.close()
   }
 
+  private def respondYaml(ex: HttpExchange, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "application/x-yaml")
+    ex.sendResponseHeaders(200, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes); os.close()
+  }
+
+  /** Terraform-style diff of a provisioning file against the registered
+    * state (reference plan/apply): create / update / unchanged, plus
+    * registered pipelines the file does not manage.
+    */
+  private def planJson(ps: Seq[PipelineConfig]): String = {
+    val (create, existing) = ps.partition(p => configs.get(p.id) == null)
+    val (unchanged, update) = existing.partition(p => configs.get(p.id) == p)
+    val unmanaged = registered.filterNot(id => ps.exists(_.id == id)).sorted
+    def ids(xs: Seq[PipelineConfig]) = xs.map(p => s""""${p.id}"""").mkString("[", ",", "]")
+    s"""{"create":${ids(create)},"update":${ids(update)},""" +
+      s""""unchanged":${ids(unchanged)},""" +
+      s""""unmanaged":${unmanaged.map(s => s""""$s"""").mkString("[", ",", "]")}}"""
+  }
+
   def start(port: Int): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/v1/pipelines", (ex: HttpExchange) => {
@@ -74,11 +102,33 @@ class ControlPlane(spark: SparkSession, checkpointRoot: String) {
           case ("GET", Nil) =>
             val items = registered.map(status).mkString("[", ",", "]")
             respond(ex, 200, items)
-          case ("POST", Nil) =>
+          case ("POST", Nil) | ("POST", "import" :: Nil) =>
             val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
             val ps = Pipeline.fromYaml(body)
             ps.foreach(register)
             respond(ex, 201, s"""{"created":[${ps.map(p => s""""${p.id}"""").mkString(",")}]}""")
+          case ("GET", "export" :: Nil) =>
+            val ps = registered.sorted.flatMap(id => Option(configs.get(id)))
+            respondYaml(ex, Pipeline.toYaml(ps))
+          case ("GET", id :: "export" :: Nil) =>
+            val cfg = configs.get(id)
+            if (cfg == null) respond(ex, 404, """{"error":"not found"}""")
+            else respondYaml(ex, Pipeline.toYaml(Seq(cfg)))
+          case ("POST", "plan" :: Nil) =>
+            val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+            respond(ex, 200, planJson(Pipeline.fromYaml(body)))
+          case ("POST", "apply" :: Nil) =>
+            val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+            val ps = Pipeline.fromYaml(body)
+            val plan = planJson(ps)
+            ps.foreach(register) // creates + updates; running queries
+                                 // pick the new config up on restart
+            respond(ex, 200, plan)
+          case ("DELETE", id :: Nil) =>
+            stopPipeline(id)
+            val existed = configs.remove(id) != null
+            respond(ex, if (existed) 200 else 404,
+              s"""{"deleted":${existed}}""")
           case ("POST", id :: "start" :: Nil) =>
             startPipeline(id)
             respond(ex, 200, status(id))

@@ -40,7 +40,15 @@ final case class PipelineConfig(
     sources: Seq[ConnectorConfig] = Nil,
     processors: Seq[ProcessorConfig] = Nil,
     destinations: Seq[ConnectorConfig] = Nil,
-    dlq: Option[DlqConfig] = None) {
+    dlq: Option[DlqConfig] = None,
+    ordered: Boolean = false) {
+
+  /** Strict per-source delivery order (reference §2.7 single-source
+    * total ordering): each micro-batch is sorted by position and
+    * written through one task. Costs parallelism at the sink —
+    * partition-parallel (order-narrowed) delivery is the default.
+    */
+  def withOrderedDelivery: PipelineConfig = copy(ordered = true)
 
   def source(id: String, plugin: String, settings: (String, String)*): PipelineConfig =
     copy(sources = sources :+ ConnectorConfig(id, plugin, settings.toMap))
@@ -97,6 +105,66 @@ object Pipeline {
       ConnectorConfig(str(n, "id"), str(n, "plugin"), settingsOf(n), procs))
   }
 
+  /** Render pipelines back to the v2 provisioning YAML — the inverse
+    * of [[fromYaml]] (reference Export/Import round trip,
+    * `proto/api/v1/api.proto` PipelineService.Export).
+    */
+  def toYaml(ps: Seq[PipelineConfig]): String = {
+    val f = yaml.getNodeFactory
+    def settingsNode(m: Map[String, String]) = {
+      val o = f.objectNode()
+      m.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
+      o
+    }
+    def procNode(p: ProcessorConfig) = {
+      val o = f.objectNode()
+      o.put("id", p.id); o.put("plugin", p.plugin)
+      if (p.settings.nonEmpty) o.set[JsonNode]("settings", settingsNode(p.settings))
+      p.condition.foreach(o.put("condition", _))
+      if (p.workers != 1) o.put("workers", p.workers)
+      o
+    }
+    def connNode(tpe: String, c: ConnectorConfig) = {
+      val o = f.objectNode()
+      o.put("type", tpe); o.put("id", c.id); o.put("plugin", c.plugin)
+      if (c.settings.nonEmpty) o.set[JsonNode]("settings", settingsNode(c.settings))
+      if (c.processors.nonEmpty) {
+        val arr = f.arrayNode(); c.processors.foreach(p => arr.add(procNode(p)))
+        o.set[JsonNode]("processors", arr)
+      }
+      o
+    }
+    val root = f.objectNode()
+    root.put("version", "2.2")
+    val arr = f.arrayNode()
+    ps.foreach { p =>
+      val o = f.objectNode()
+      o.put("id", p.id)
+      if (p.name.nonEmpty) o.put("name", p.name)
+      o.put("status", "running")
+      if (p.ordered) o.put("ordered", "true")
+      val conns = f.arrayNode()
+      p.sources.foreach(c => conns.add(connNode("source", c)))
+      p.destinations.foreach(c => conns.add(connNode("destination", c)))
+      o.set[JsonNode]("connectors", conns)
+      if (p.processors.nonEmpty) {
+        val procs = f.arrayNode(); p.processors.foreach(pr => procs.add(procNode(pr)))
+        o.set[JsonNode]("processors", procs)
+      }
+      p.dlq.foreach { d =>
+        val dn = f.objectNode()
+        dn.put("plugin", d.plugin)
+        if (d.settings.nonEmpty) dn.set[JsonNode]("settings", settingsNode(d.settings))
+        if (d.windowSize != 0) dn.put("window-size", d.windowSize)
+        if (d.windowNackThreshold != 0) dn.put("window-nack-threshold", d.windowNackThreshold)
+        o.set[JsonNode]("dead-letter-queue", dn)
+      }
+      arr.add(o)
+    }
+    root.set[JsonNode]("pipelines", arr)
+    yaml.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
   private def parsePipeline(n: JsonNode): PipelineConfig = {
     val connectors = Option(n.get("connectors")).map(_.elements().asScala.toSeq)
       .getOrElse(Nil).map(parseConnector)
@@ -116,6 +184,7 @@ object Pipeline {
       sources = connectors.filter(_._1 == "source").map(_._2),
       destinations = connectors.filter(_._1 == "destination").map(_._2),
       processors = processors,
-      dlq = dlq)
+      dlq = dlq,
+      ordered = str(n, "ordered") == "true")
   }
 }

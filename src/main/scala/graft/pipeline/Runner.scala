@@ -74,21 +74,28 @@ object Runner {
           spark.readStream.format("conduit-generator").options(cfg.settings).load()
         else spark.read.format("conduit-generator").options(cfg.settings).load()
       case "builtin:file" | "file" =>
-        // reference tails a file; Spark's file source streams whole new
-        // files in the directory (documented deviation: append-only
-        // directories instead of append-only files)
+        // reference semantics: tail ONE append-only file. When the
+        // path is a single file (or tail=true) the conduit-file-tail
+        // stream follows appended lines at byte offsets; a directory
+        // streams whole new files (the Spark-native extension).
         val path = cfg.settings("path")
-        val lines =
-          if (streaming) spark.readStream.format("text").load(path)
-          else spark.read.format("text").load(path)
-        lines.select(
-          lit(null).cast("binary").as(Cdc.Position),
-          lit("create").as(Cdc.Operation),
-          map(lit("opencdc.collection"), lit(cfg.id)).as(Cdc.Metadata),
-          lit(null).cast("binary").as(Cdc.KeyRaw),
-          lit(null).cast("string").as(Cdc.Key),
-          lit(null).cast("string").as(Cdc.PayloadBefore),
-          col("value").as(Cdc.PayloadAfter))
+        val tailMode = streaming && (cfg.settings.get("tail").contains("true") ||
+          new java.io.File(path).isFile)
+        if (tailMode)
+          spark.readStream.format("conduit-file-tail").options(cfg.settings).load()
+        else {
+          val lines =
+            if (streaming) spark.readStream.format("text").load(path)
+            else spark.read.format("text").load(path)
+          lines.select(
+            lit(null).cast("binary").as(Cdc.Position),
+            lit("create").as(Cdc.Operation),
+            map(lit("opencdc.collection"), lit(cfg.id)).as(Cdc.Metadata),
+            lit(null).cast("binary").as(Cdc.KeyRaw),
+            lit(null).cast("string").as(Cdc.Key),
+            lit(null).cast("string").as(Cdc.PayloadBefore),
+            col("value").as(Cdc.PayloadAfter))
+        }
       case "builtin:kafka" | "kafka" =>
         val reader =
           if (streaming) spark.readStream.format("kafka").options(cfg.settings).load()
@@ -174,6 +181,17 @@ object Runner {
   val memorySinks = new java.util.concurrent.ConcurrentHashMap[String, ConcurrentLinkedQueue[String]]()
   def memorySink(id: String): Seq[String] =
     Option(memorySinks.get(id)).map(_.asScala.toSeq).getOrElse(Nil)
+
+  /** Strict delivery order (PipelineConfig.ordered): one writer task,
+    * rows sorted by position. Sorting by (length, bytes) gives numeric
+    * order for the monotonic digit-string positions every builtin
+    * source emits (generator index, JDBC incrementing column, CDC-log
+    * LSN, file-tail byte offset) without requiring padded offsets.
+    */
+  private def ordered(df: DataFrame, pipeline: PipelineConfig): DataFrame =
+    if (!pipeline.ordered) df
+    else df.repartition(1)
+      .sortWithinPartitions(length(col(Cdc.Position)).asc, col(Cdc.Position).asc)
 
   /** Write one (batch-of-a-)DataFrame to a destination connector.
     * Destination-level processors may fail records; those are NOT
@@ -268,7 +286,7 @@ object Runner {
           Metrics.inspectorFor(pipeline.id).foreach { ins =>
             ins.offer(renderJson(batch.limit(100)).collect().map(_.getString(0)).toSeq)
           }
-          val ok = Cdc.ok(batch)
+          val ok = ordered(Cdc.ok(batch), pipeline)
           val srcFailed = Cdc.failed(batch)
           // fan-out barrier: every destination writes before the batch
           // (and so its offsets) commits — all-or-nothing ack.
@@ -295,7 +313,7 @@ object Runner {
     val df = build(spark, pipeline, streaming = false)
     df.persist()
     try {
-      val ok = Cdc.ok(df)
+      val ok = ordered(Cdc.ok(df), pipeline)
       val srcFailed = Cdc.failed(df)
       val destFailed = pipeline.destinations.map(d => writeBatch(ok, d))
       val failed = (srcFailed +: destFailed).reduce(_.unionByName(_))

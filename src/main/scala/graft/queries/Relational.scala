@@ -51,15 +51,19 @@ object Relational {
           count(lit(1)).as("count_order"))
     }),
 
-    // Revenue per nation: fact ⋈ 3 dims — dims are broadcast so the
-    // only shuffle is the final group-by on 25 nations.
+    // Revenue per nation: fact ⋈ 3 dims. Only the FIXED-cardinality
+    // dim (nation, 25 rows at every SF) gets an explicit broadcast
+    // hint; orders/customer scale with the fact table, so their join
+    // strategy is left to the size-gated planner + AQE — at sf0.1
+    // they auto-broadcast (same plan as before), at 100 TB they
+    // correctly become shuffle joins instead of OOMing the driver.
     "q2_revenue_by_nation" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
-      li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(sum((col("l_extendedprice").cast(d2) * (lit(1).cast(d2) - col("l_discount").cast(d2))))

@@ -72,6 +72,28 @@ class ControlPlaneSpec extends AnyFunSuite {
 
       val notFound = get("/nope/status")
       assert(notFound.contains("stopped") || notFound.contains("error"))
+
+      // export → YAML round-trips through the parser to the same config
+      val exported = get("/cp-demo/export")
+      val reparsed = graft.pipeline.Pipeline.fromYaml(exported)
+      assert(reparsed.map(_.id) == Seq("cp-demo"), exported.take(200))
+      assert(reparsed.head.sources.head.settings("recordCount") == "300")
+
+      // plan: same file → unchanged; new id → create; absent → unmanaged
+      val planSame = JsonOps.parse(post("/plan", exported))
+      assert(planSame.get("unchanged").toString.contains("cp-demo"), planSame)
+      val otherYaml = exported.replace("cp-demo", "cp-two")
+      val planNew = JsonOps.parse(post("/plan", otherYaml))
+      assert(planNew.get("create").toString.contains("cp-two"), planNew)
+      assert(planNew.get("unmanaged").toString.contains("cp-demo"), planNew)
+
+      // apply registers the new pipeline; delete removes it
+      post("/apply", otherYaml)
+      assert(get("").contains("cp-two"))
+      val del = client.send(HttpRequest.newBuilder(url("/cp-two")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      assert(del.contains("true"), del)
+      assert(!get("").contains("cp-two"))
     } finally cp.stop()
   }
 }
