@@ -92,14 +92,19 @@ object Dedup {
                    numBands: Int = 16, threshold: Double = 0.8,
                    charGrams: Boolean = false,
                    maxBucket: Int = 4096): DataFrame = {
-    val shingled = df.select(
-      col(idCol).as("doc_id"),
-      (if (charGrams) char_shingles(col(textCol), shingleSize)
-       else word_shingles(col(textCol), shingleSize)).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-    val signed = shingled.select(
-      col("doc_id"),
-      minhash_bands(col("shingles"), numHashes, numBands).as("bands"))
+    val shingle = (c: Column) =>
+      if (charGrams) char_shingles(c, shingleSize) else word_shingles(c, shingleSize)
+    // AGGREGATE BARRIER on the signatures: posexplode infers
+    // size/isnotnull predicates over its child, and predicate
+    // substitution inlines the whole shingle+minhash subtree into that
+    // Filter — 3-5 evaluations per document. first() over the
+    // doc-id group materializes the 16-long band array once per doc;
+    // the extra shuffle carries 128 bytes/doc. (Empty docs yield null
+    // bands — see MinHashBands — and drop out at the explode.)
+    val signed = df.select(
+        col(idCol).as("doc_id"),
+        minhash_bands(shingle(col(textCol)), numHashes, numBands).as("bands"))
+      .groupBy(col("doc_id")).agg(first(col("bands")).as("bands"))
 
     // Only (band_id, band_hash, id) shuffles for bucketing — the
     // signatures and shingles never leave their partition.
@@ -110,13 +115,22 @@ object Dedup {
       .select(col("pair_a").as("id_a"), col("pair_b").as("id_b"))
       .distinct()
 
-    val sh = shingled.select(col("doc_id"), col("shingles"))
+    // AGGREGATE BARRIER: the jaccard filter below becomes the join
+    // condition after predicate pushdown; without a barrier Catalyst
+    // inlines the Shingles expression into that condition and
+    // re-tokenizes the document PER CANDIDATE PAIR (millions of times
+    // for a hot bucket — observed 20+ min single-task on a 3k-dup
+    // cluster). An Aggregate is a pushdown/inline fence: shingles
+    // materialize exactly once per document on the build side.
+    // (no size>0 filter needed: shingle-less docs never bucket, so the
+    // inner join on pair ids cannot surface them — and the filter
+    // would re-inline the Shingles expression it guards)
+    val sh = df.select(col(idCol).as("doc_id"), shingle(col(textCol)).as("shingles"))
+      .groupBy(col("doc_id")).agg(first(col("shingles")).as("shingles"))
     pairs
       .join(sh.withColumnsRenamed(Map("doc_id" -> "id_a", "shingles" -> "sh_a")), "id_a")
       .join(sh.withColumnsRenamed(Map("doc_id" -> "id_b", "shingles" -> "sh_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", jaccard_sim(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -140,8 +154,12 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    // aggregate barrier: the 4 band structs below each reference `sig`;
+    // without it the tokenize+simhash subtree inlines into every band
+    // (5 evaluations per doc). 8 bytes/doc shuffle buys one-pass.
     val sigs = df.select(col(idCol).as("doc_id"),
-      simhash64(split(lower(trim(col(textCol))), "\\s+")).as("sig"))
+        simhash64(split(lower(trim(col(textCol))), "\\s+")).as("sig"))
+      .groupBy(col("doc_id")).agg(first(col("sig")).as("sig"))
     val banded = sigs.select(
       struct(col("doc_id"), col("sig")).as("m"),
       explode(array((0 until 4).map(b =>

@@ -151,10 +151,12 @@ case class MinHashBands(child: Expression, numHashes: Int, numBands: Int)
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val sig = Array.fill(numHashes)(Long.MaxValue)
+    var seen = false
     var s = 0
     while (s < arr.numElements()) {
       val sh = arr.getUTF8String(s)
       if (sh != null) {
+        seen = true
         val h = Hashing.fnv1a(sh.getBytes)
         var i = 0
         while (i < numHashes) {
@@ -165,6 +167,9 @@ case class MinHashBands(child: Expression, numHashes: Int, numBands: Int)
       }
       s += 1
     }
+    // no shingles → null, so exploding the bands drops the document
+    // instead of colliding every empty doc into one constant bucket
+    if (!seen) return null
     val rows = numHashes / numBands
     val bands = new Array[Any](numBands)
     var b = 0
@@ -275,6 +280,48 @@ case class HyperplaneBuckets(child: Expression, numPlanes: Int, numTables: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** jaccard_sim(array<string>, array<string>) → double: |∩| / |∪| in
+  * ONE pass (hash set of the left side, membership scan of the right).
+  * The `size(array_intersect)/size(array_union)` formulation walks both
+  * arrays twice and allocates two result arrays per row — this is the
+  * pair-verification hot loop of the dedup operators, evaluated
+  * millions of times per hot bucket, so one pass matters.
+  */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "jaccard_sim"
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val seen = new java.util.HashSet[UTF8String](a.numElements() * 2)
+    var i = 0
+    while (i < a.numElements()) {
+      val s = a.getUTF8String(i)
+      if (s != null) seen.add(s)
+      i += 1
+    }
+    val na = seen.size
+    var inter = 0
+    var nbDistinct = 0
+    val bSeen = new java.util.HashSet[UTF8String](b.numElements() * 2)
+    i = 0
+    while (i < b.numElements()) {
+      val s = b.getUTF8String(i)
+      if (s != null && bSeen.add(s)) {
+        nbDistinct += 1
+        if (seen.contains(s)) inter += 1
+      }
+      i += 1
+    }
+    val union = na + nbDistinct - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** nearest_centroids(array<double>, top) → array<int>: indices of the
   * `top` nearest centroids by dot product (descending, ties → lower
   * index). The trained centroid matrix is baked into the expression —
@@ -334,4 +381,6 @@ object HashFunctions {
     Bridge.column(HyperplaneBuckets(Bridge.expression(c), numPlanes, numTables))
   def nearest_centroids(c: Column, centroids: Array[Array[Double]], top: Int): Column =
     Bridge.column(NearestCentroids(Bridge.expression(c), centroids, top))
+  def jaccard_sim(a: Column, b: Column): Column =
+    Bridge.column(JaccardSim(Bridge.expression(a), Bridge.expression(b)))
 }

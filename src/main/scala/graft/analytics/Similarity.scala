@@ -67,7 +67,12 @@ object Similarity {
         // so they never ride through the dedup shuffle, and a hot
         // (table, bucket) cell is chunked across tasks (boundedSelfPairs)
         // instead of landing its whole quadratic block in one task.
-        val bucketed = base
+        // Aggregate barrier (see Dedup.minhashPairs): normalize each
+        // vector ONCE — posexplode's inferred predicates and the cosine
+        // join condition would otherwise re-run L2Normalize (and the
+        // 48-plane bucket hash) per reference.
+        val nb = base.groupBy(col("vid")).agg(first(col("nvec")).as("nvec"))
+        val bucketed = nb
           .withColumn("buckets", hyperplane_buckets(col("nvec"), numPlanes, numTables))
           .select(col("vid"), posexplode(col("buckets")).as(Seq("table_id", "bucket")))
         val idPairs = Dedup.boundedSelfPairs(bucketed,
@@ -75,8 +80,8 @@ object Similarity {
           .select(col("pair_a").as("id_a"), col("pair_b").as("id_b"))
           .distinct()
         idPairs
-          .join(base.select(col("vid").as("id_a"), col("nvec").as("vec_a")), "id_a")
-          .join(base.select(col("vid").as("id_b"), col("nvec").as("vec_b")), "id_b")
+          .join(nb.select(col("vid").as("id_a"), col("nvec").as("vec_a")), "id_a")
+          .join(nb.select(col("vid").as("id_b"), col("nvec").as("vec_b")), "id_b")
     }
     candidates
       .withColumn("cos_sim",

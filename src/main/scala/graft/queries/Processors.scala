@@ -250,7 +250,8 @@ object Processors {
       // removed the field from the struct SCHEMA, not just the value
       val paFields = out.schema(Cdc.PayloadAfter).dataType
         .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
-      out.select(get_json_object(col(Cdc.Key), "$.event_id").cast("long").as("event_id"),
+      // key lives in the typed payload too — zero JSON in the plan
+      out.select(col(s"${Cdc.PayloadAfter}.event_id").as("event_id"),
         col(s"${Cdc.PayloadAfter}.flagged").as("flagged"),
         col(s"${Cdc.PayloadAfter}.amount").cast("double").as("amount"),
         lit(!paFields.contains("ts")).as("ts_dropped"))

@@ -40,4 +40,54 @@ object StreamingOps {
     df.withWatermark(eventTimeCol, delay)
       .groupBy(session_window(col(eventTimeCol), gap) +: keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_events"))
+
+  /** One compacted row per key: (key, operation, position, payload). */
+  case class CompactedRecord(key: String, operation: String,
+                             position: String, payload_after: String)
+
+  /** Streaming CDC compaction via `flatMapGroupsWithState`: materialize
+    * the LATEST record per key from a create/update/delete stream (the
+    * consumer-side table view of the CDC sources). State = one
+    * (position, payload) per live key — a delete emits a tombstone and
+    * CLEARS the state, so the state store tracks live keys only, not
+    * history. Positions compare as (length, bytes), numeric order for
+    * every builtin source's digit-string positions; a stale redelivery
+    * (at-least-once) never overwrites a newer state entry.
+    */
+  def compactLatest(df: DataFrame): org.apache.spark.sql.Dataset[CompactedRecord] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    def newer(a: (String, String), b: (String, String)): Boolean = // (len, bytes)
+      a._1.length > b._1.length || (a._1.length == b._1.length && a._1 > b._1)
+    df.select(
+        col(graft.model.Cdc.Key).cast("string").as("key"),
+        col(graft.model.Cdc.Operation).as("operation"),
+        col(graft.model.Cdc.Position).cast("string").as("position"),
+        col(graft.model.Cdc.PayloadAfter).as("payload_after"))
+      .as[CompactedRecord]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CompactedRecord, CompactedRecord](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[CompactedRecord],
+         state: GroupState[CompactedRecord]) =>
+          val latest = rows.reduceOption { (a, b) =>
+            if (newer((b.position, ""), (a.position, ""))) b else a
+          }
+          latest match {
+            case None => Iterator.empty
+            case Some(rec) =>
+              val cur = state.getOption
+              if (cur.exists(c => !newer((rec.position, ""), (c.position, ""))))
+                Iterator.empty // stale redelivery: state already newer
+              else if (rec.operation == "delete") {
+                state.remove() // tombstone: key no longer live
+                Iterator.single(rec.copy(payload_after = null))
+              } else {
+                state.update(rec)
+                Iterator.single(rec)
+              }
+          }
+      }
+  }
 }

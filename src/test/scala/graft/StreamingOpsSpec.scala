@@ -49,6 +49,50 @@ class StreamingOpsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("compactLatest materializes newest record per key, deletes clear state") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Array[Byte], String, String, String)]
+    val cdc = in.toDF().toDF("position", "operation", "key", "payload_after")
+      .select(col("position"),
+        col("operation"),
+        map().cast("map<string,string>").as("metadata"),
+        lit(null).cast("binary").as("key_raw"),
+        col("key"),
+        lit(null).cast("string").as("payload_before"),
+        col("payload_after"))
+    val out = StreamingOps.compactLatest(cdc)
+    val q = out.writeStream.format("memory").queryName("compact_out")
+      .outputMode("update").start()
+    def pos(i: Int) = i.toString.getBytes("UTF-8")
+    // batch 1: two keys created, k1 updated in the same batch
+    in.addData((pos(1), "create", "k1", """{"v":1}"""),
+      (pos(2), "create", "k2", """{"v":2}"""),
+      (pos(3), "update", "k1", """{"v":3}"""))
+    q.processAllAvailable()
+    val b1 = spark.table("compact_out").collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[String]("payload_after")).toMap
+    assert(b1 == Map("k1" -> """{"v":3}""", "k2" -> """{"v":2}"""),
+      s"latest-per-key within the batch, got $b1")
+    // batch 2: stale redelivery of k1@1 ignored; k2 deleted (tombstone)
+    in.addData((pos(1), "create", "k1", """{"v":1}"""),
+      (pos(4), "delete", "k2", null))
+    q.processAllAvailable()
+    val rows = spark.table("compact_out").collect()
+    val k1Rows = rows.filter(_.getAs[String]("key") == "k1")
+    assert(k1Rows.length == 1, "stale redelivery must not re-emit k1")
+    val tombstone = rows.filter(r => r.getAs[String]("key") == "k2" &&
+      r.getAs[String]("operation") == "delete")
+    assert(tombstone.length == 1 && tombstone.head.getAs[String]("payload_after") == null)
+    // batch 3: k2 recreated after the delete — state was cleared
+    in.addData((pos(5), "create", "k2", """{"v":9}"""))
+    q.processAllAvailable()
+    val k2Latest = spark.table("compact_out").collect()
+      .filter(r => r.getAs[String]("key") == "k2" &&
+        r.getAs[String]("payload_after") == """{"v":9}""")
+    assert(k2Latest.length == 1)
+    q.stop()
+  }
+
   test("inspector tap samples a live pipeline") {
     graft.pipeline.Runner.memorySinks.clear()
     val ins = graft.pipeline.Metrics.inspector("p-inspect", capacity = 50)
