@@ -32,6 +32,7 @@ import graft.functions.JsonOps
 class ControlPlane(spark: SparkSession, checkpointRoot: String) {
   private val configs = new ConcurrentHashMap[String, PipelineConfig]()
   private val queries = new ConcurrentHashMap[String, StreamingQuery]()
+  private val supervisors = new ConcurrentHashMap[String, Supervisor]()
   private var server: HttpServer = _
 
   def registered: Seq[String] =
@@ -49,17 +50,37 @@ class ControlPlane(spark: SparkSession, checkpointRoot: String) {
     q
   }
 
-  def stopPipeline(id: String): Unit =
+  /** Start under supervision: crash → checkpoint restart with backoff,
+    * DEGRADED after maxRetries (reference recovery semantics,
+    * `pkg/lifecycle/service.go:238`); status surfaces the supervisor
+    * state + restart count.
+    */
+  def superviseStart(id: String, maxRetries: Int = 5): Supervisor = {
+    val cfg = configs.get(id)
+    require(cfg != null, s"unknown pipeline: $id")
+    Metrics.inspector(id)
+    val sup = Supervisor(spark, cfg, s"$checkpointRoot/$id",
+      Trigger.ProcessingTime("1 second"), maxRetries = maxRetries).start()
+    supervisors.put(id, sup)
+    sup
+  }
+
+  def stopPipeline(id: String): Unit = {
+    Option(supervisors.remove(id)).foreach(_.stop())
     Option(queries.remove(id)).foreach(_.stop())
+  }
 
   private def status(id: String): String = {
+    val sup = supervisors.get(id)
     val q = queries.get(id)
     val state =
-      if (q == null) "stopped"
+      if (sup != null) sup.status
+      else if (q == null) "stopped"
       else if (q.isActive) "running"
       else "terminated"
+    val restarts = if (sup == null) 0 else sup.restarts
     val snap = Metrics.snapshot(id)
-    s"""{"id":${JsonOps.render(JsonOps.mapper.getNodeFactory.textNode(id))},"status":"$state","batches":${snap.batches},"inputRows":${snap.inputRows},"rowsPerSecond":${snap.lastRowsPerSecond}}"""
+    s"""{"id":${JsonOps.render(JsonOps.mapper.getNodeFactory.textNode(id))},"status":"$state","restarts":$restarts,"batches":${snap.batches},"inputRows":${snap.inputRows},"rowsPerSecond":${snap.lastRowsPerSecond}}"""
   }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
@@ -130,7 +151,10 @@ class ControlPlane(spark: SparkSession, checkpointRoot: String) {
             respond(ex, if (existed) 200 else 404,
               s"""{"deleted":${existed}}""")
           case ("POST", id :: "start" :: Nil) =>
-            startPipeline(id)
+            // ?supervise=true → recovery loop instead of a bare query
+            if (Option(ex.getRequestURI.getQuery).exists(_.contains("supervise=true")))
+              superviseStart(id)
+            else startPipeline(id)
             respond(ex, 200, status(id))
           case ("POST", id :: "stop" :: Nil) =>
             stopPipeline(id)

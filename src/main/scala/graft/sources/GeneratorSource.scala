@@ -61,29 +61,63 @@ case class CountOffset(count: Long) extends Offset {
   override def json(): String = count.toString
 }
 
+/** One collection's record shape (reference multi-collection mode:
+  * `collections.<name>.format.options.*` / `.operations`).
+  */
+case class CollectionSpec(name: String, fields: Seq[(String, String)],
+                          operations: Seq[String])
+
 object GeneratorConfig {
+  private def duration(s: String): Long = s.trim match {
+    case d if d.endsWith("ms") => d.dropRight(2).toLong
+    case d if d.endsWith("s") => d.dropRight(1).toLong * 1000
+    case d => d.toLong
+  }
+
   def apply(options: Map[String, String]): GeneratorConfig = {
     val lower = options.map { case (k, v) => k.toLowerCase -> v }
-    val fields = lower.collect {
-      case (k, v) if k.startsWith("format.options.") =>
-        k.stripPrefix("format.options.") -> v
-    }.toSeq.sortBy(_._1)
+    val collPat = """collections\.([^.]+)\.format\.options\.(.+)""".r
+    val opsPat = """collections\.([^.]+)\.operations""".r
+    val collFields = lower.toSeq.collect {
+      case (collPat(c, f), v) => (c, f, v)
+    }.groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).sortBy(_._1)).toMap
+    val collOps = lower.collect { case (opsPat(c), v) => c -> v }
+    val collections =
+      if (collFields.nonEmpty)
+        collFields.toSeq.sortBy(_._1).map { case (name, fields) =>
+          CollectionSpec(name, fields,
+            collOps.getOrElse(name, "create").split(",").map(_.trim).toSeq)
+        }
+      else {
+        val fields = lower.collect {
+          case (k, v) if k.startsWith("format.options.") =>
+            k.stripPrefix("format.options.") -> v
+        }.toSeq.sortBy(_._1)
+        Seq(CollectionSpec(
+          lower.getOrElse("collection", "generator"),
+          if (fields.nonEmpty) fields else Seq("id" -> "int", "name" -> "string"),
+          lower.getOrElse("operations", "create").split(",").map(_.trim).toSeq))
+      }
     GeneratorConfig(
-      fields = if (fields.nonEmpty) fields else Seq("id" -> "int", "name" -> "string"),
+      collections = collections,
       recordCount = lower.get("recordcount").map(_.trim.toLong).filter(_ > 0),
       rate = lower.get("rate").map(_.trim.toDouble).filter(_ > 0),
-      operations = lower.getOrElse("operations", "create").split(",").map(_.trim).toSeq,
-      collection = lower.getOrElse("collection", "generator"))
+      burstGenerateMs = lower.get("burst.generatetime").map(duration),
+      burstSleepMs = lower.get("burst.sleeptime").map(duration))
   }
 }
 
-case class GeneratorConfig(fields: Seq[(String, String)], recordCount: Option[Long],
-                           rate: Option[Double], operations: Seq[String],
-                           collection: String) {
-  /** Deterministic OpenCDC record for a global index. */
+case class GeneratorConfig(collections: Seq[CollectionSpec],
+                           recordCount: Option[Long], rate: Option[Double],
+                           burstGenerateMs: Option[Long],
+                           burstSleepMs: Option[Long]) {
+  /** Deterministic OpenCDC record for a global index; indexes
+    * round-robin across collections (reference multi-collection mode).
+    */
   def record(i: Long): InternalRow = {
+    val spec = collections((i % collections.size).toInt)
     val payload = new StringBuilder("{")
-    fields.zipWithIndex.foreach { case ((name, tpe), fi) =>
+    spec.fields.zipWithIndex.foreach { case ((name, tpe), fi) =>
       if (fi > 0) payload.append(',')
       payload.append('"').append(name).append("\":")
       val r = SplitMix64.mix(i * 1000003L + fi)
@@ -98,17 +132,34 @@ case class GeneratorConfig(fields: Seq[(String, String)], recordCount: Option[Lo
       }
     }
     payload.append('}')
-    val op = operations((i % operations.size).toInt)
+    // cycle operations over the collection's own record sequence
+    val op = spec.operations(((i / collections.size) % spec.operations.size).toInt)
     new GenericInternalRow(Array[Any](
       i.toString.getBytes("UTF-8"), // position = record index
       UTF8String.fromString(op),
       ArrayBasedMapData(
         Array[Any](UTF8String.fromString("opencdc.collection")),
-        Array[Any](UTF8String.fromString(collection))),
+        Array[Any](UTF8String.fromString(spec.name))),
       null,
       UTF8String.fromString(s"""{"id":$i}"""),
       null,
       UTF8String.fromString(payload.result())))
+  }
+
+  /** Records available after `elapsedMs` under rate + burst shaping:
+    * generation only accrues inside `burst.generateTime` windows,
+    * separated by `burst.sleepTime` pauses (reference burst mode).
+    */
+  def availableAt(elapsedMs: Long): Long = {
+    val byRate = (rate, burstGenerateMs, burstSleepMs) match {
+      case (None, _, _) => Long.MaxValue
+      case (Some(r), Some(gen), Some(sleep)) if gen > 0 && sleep >= 0 =>
+        val cycle = gen + sleep
+        val active = (elapsedMs / cycle) * gen + math.min(elapsedMs % cycle, gen)
+        (r * active / 1000.0).toLong
+      case (Some(r), _, _) => (r * elapsedMs / 1000.0).toLong
+    }
+    math.min(recordCount.getOrElse(Long.MaxValue), byRate)
   }
 }
 
@@ -140,11 +191,8 @@ class GeneratorStream(options: Map[String, String]) extends MicroBatchStream
     .getOrElse("maxrecordsperbatch", "1000000").toLong
 
   private var availableNowTarget: Option[Long] = None
-  private def target(): Long = {
-    val elapsed = (System.currentTimeMillis() - startMs) / 1000.0
-    val byRate = config.rate.map(r => (r * elapsed).toLong).getOrElse(Long.MaxValue)
-    math.min(config.recordCount.getOrElse(Long.MaxValue), byRate)
-  }
+  private def target(): Long =
+    config.availableAt(System.currentTimeMillis() - startMs)
   // AvailableNow pins the drain target so multiple capped batches run
   // to completion instead of one batch at the first latestOffset
   override def prepareForTriggerAvailableNow(): Unit =
