@@ -90,6 +90,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(h.count() == 120L * 119 / 2)
   }
 
+  test("dedup plans evaluate per-doc expressions at most once per branch") {
+    // regression guard for the join-condition inlining trap (PERF.md):
+    // predicate pushdown + alias substitution can copy the Shingles /
+    // L2Normalize subtrees into join conditions and posexplode's
+    // inferred filters — per-candidate-pair re-evaluation. With the
+    // first()-aggregate barriers each expression appears at exactly
+    // its two intended sites (signature branch + verify branch).
+    // Project sites evaluate once per doc (self-join branches legally
+    // duplicate them); what must NEVER happen is these expressions in
+    // a Filter or Join line — those evaluate per candidate/row visit.
+    def conditionSites(plan: String, exprs: Seq[String]): Seq[String] =
+      plan.linesIterator.filter(l =>
+        (l.contains("Join") || l.contains("Filter")) &&
+          exprs.exists(l.contains)).toSeq
+    val mh = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .queryExecution.optimizedPlan.toString
+    val mhBad = conditionSites(mh, Seq("word_shingles", "minhash_bands"))
+    assert(mhBad.isEmpty, s"per-pair re-evaluation:\n${mhBad.mkString("\n")}")
+    val cp = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4, "lsh")
+      .queryExecution.optimizedPlan.toString
+    val cpBad = conditionSites(cp, Seq("l2_normalize", "hyperplane_buckets"))
+    assert(cpBad.isEmpty, s"per-pair re-evaluation:\n${cpBad.mkString("\n")}")
+  }
+
   test("fingerprint is whitespace-normalized and deterministic") {
     import spark.implicits._
     val df = Seq((1L, "hello  world"), (2L, "hello world"), (3L, "hello world!"))
