@@ -83,6 +83,36 @@ object Analytics {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents GROUP BY text""",
+    // brute-force exact-Jaccard oracle: the LSH pipeline's verification
+    // makes precision exact and the banding parameters make recall 1
+    // on this corpus (asserted against brute force in AnalyticsSpec),
+    // so the approximate operator must EQUAL the quadratic ground truth
+    "dedup_minhash" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             END AS s
+           FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                 FROM documents WHERE trim(text) <> ''))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""",
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             CASE WHEN length(s0) < 5 THEN [s0]
+                  ELSE list_distinct(list_transform(range(1, length(s0) - 3),
+                    i -> s0[i:i+4]))
+             END AS s
+           FROM (SELECT doc_id, trim(lower(text)) AS s0
+                 FROM documents WHERE trim(text) <> ''))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8""",
     "text_tokens" ->
       """SELECT doc_id,
          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
