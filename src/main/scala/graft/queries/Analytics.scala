@@ -83,6 +83,43 @@ object Analytics {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents GROUP BY text""",
+    // the whitespace-normalized polynomial rolling hash (base 1000003,
+    // wrap mod 2^64) is replicated with HUGEINT arithmetic; unicode()
+    // codepoints equal Java's UTF-16 units for this BMP-only corpus
+    "text_fingerprint" ->
+      """WITH norm AS (
+           SELECT doc_id,
+             array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ') AS s
+           FROM documents
+         ), h AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(string_split_regex(s, ''),
+                   c -> CAST(unicode(c) AS HUGEINT))),
+               (acc, c) -> (acc * 1000003 + c) %
+                 CAST(18446744073709551616 AS HUGEINT)) AS uh
+           FROM norm
+         )
+         SELECT doc_id,
+           CAST(CASE WHEN uh >= CAST(9223372036854775808 AS HUGEINT)
+             THEN uh - CAST(18446744073709551616 AS HUGEINT)
+             ELSE uh END AS BIGINT) AS fingerprint
+         FROM h""",
+    // the frame-sampler stub slices deterministic byte ranges, so the
+    // oracle replicates the slicing arithmetic over the UTF-8 lengths
+    "multimodal_frames" ->
+      """WITH m AS (
+           SELECT doc_id, octet_length(encode(text)) AS len FROM documents
+         ), f AS (
+           SELECT doc_id, len, greatest(1, len // 4) AS step FROM m
+         ), x AS (
+           SELECT doc_id, len, step,
+             unnest(range(0, least(4, len))) AS i FROM f
+         )
+         SELECT doc_id AS media_id, CAST(i AS INT) AS frame_index,
+           CAST(least(len, i*step + step) - i*step AS BIGINT) AS frame_bytes
+         FROM x""",
     // brute-force exact-Jaccard oracle: the LSH pipeline's verification
     // makes precision exact and the banding parameters make recall 1
     // on this corpus (asserted against brute force in AnalyticsSpec),
