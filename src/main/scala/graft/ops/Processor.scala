@@ -90,29 +90,43 @@ trait ColumnProcessor extends Processor {
 object Conditions {
   private val token = """\.(?:Payload\.(?:After|Before)|Metadata|Key|Operation|Position)(?:\.[A-Za-z_][A-Za-z0-9_.]*)?""".r
 
-  /** Slots of `df` carrying typed (struct) data — their tokens compile
-    * to native struct field access instead of `get_json_object`, which
-    * is both the typed fast path and required for correctness (JSON
-    * functions reject struct inputs).
+  /** Slots of `df` carrying typed (struct) data, with their schemas —
+    * their tokens compile to native struct field access instead of
+    * `get_json_object`, which is both the typed fast path and required
+    * for correctness (JSON functions reject struct inputs). The schema
+    * lets the compiler resolve ABSENT paths to null at plan time, so a
+    * condition on a missing field degrades to false per record (the
+    * JSON path / reference template behavior) instead of failing
+    * analysis.
     */
-  def typedSlots(df: DataFrame): Set[String] =
+  def typedSlots(df: DataFrame): Map[String, org.apache.spark.sql.types.StructType] =
     Seq(Cdc.Key, Cdc.PayloadBefore, Cdc.PayloadAfter)
-      .filter(s => Cdc.isTypedSlot(df, s)).toSet
+      .filter(s => Cdc.isTypedSlot(df, s))
+      .map(s => s -> df.schema(s).dataType.asInstanceOf[org.apache.spark.sql.types.StructType])
+      .toMap
 
   /** Rewrite reference field tokens into Spark SQL fragments. */
-  def rewriteTokens(s: String, typed: Set[String] = Set.empty): String =
+  def rewriteTokens(s: String,
+      typed: Map[String, org.apache.spark.sql.types.StructType] = Map.empty): String =
     token.replaceAllIn(s,
       m => java.util.regex.Matcher.quoteReplacement(tokenToSql(m.matched, typed)))
 
   private def bt(parts: Seq[String]): String =
     parts.map(p => "`" + p.replace("`", "``") + "`").mkString(".")
 
-  private def tokenToSql(t: String, typed: Set[String]): String = {
+  private def tokenToSql(t: String,
+      typed: Map[String, org.apache.spark.sql.types.StructType]): String = {
     import graft.model.Ref._
     def slotPath(slot: String, rest: Seq[String]): String =
       if (rest.isEmpty) slot
-      else if (typed(slot)) s"$slot.${bt(rest)}"
-      else s"get_json_object($slot, '$$.${rest.mkString(".")}')"
+      else typed.get(slot) match {
+        case Some(schema) =>
+          // absent path (or one through a scalar intermediate) → null,
+          // so conditions degrade to false instead of AnalysisException
+          if (StructOps.has(schema, rest)) s"$slot.${bt(rest)}"
+          else "CAST(NULL AS STRING)"
+        case None => s"get_json_object($slot, '$$.${rest.mkString(".")}')"
+      }
     graft.model.Ref.parse(t) match {
       case OperationRef => "operation"
       case PositionRef => "position"
@@ -129,7 +143,8 @@ object Conditions {
   private val goPrefixCmp = """^\s*(eq|ne)\s+(\S+)\s+(.+?)\s*$""".r
 
   /** One `{{ ... }}` body (or bare SQL) to a SQL fragment. */
-  private def bodyToSql(body: String, typed: Set[String]): String = body.trim match {
+  private def bodyToSql(body: String,
+      typed: Map[String, org.apache.spark.sql.types.StructType]): String = body.trim match {
     case goPrefixCmp(op, a, b) =>
       val sql = if (op == "eq") "=" else "<>"
       s"(${rewriteTokens(a, typed)} $sql ${rewriteTokens(b, typed)})"
@@ -139,7 +154,8 @@ object Conditions {
   /** Condition string → boolean Column. Accepts `{{ expr }}` (reference
     * style) or a bare Spark SQL boolean expression.
     */
-  def compile(condition: String, typed: Set[String] = Set.empty): Column = {
+  def compile(condition: String,
+      typed: Map[String, org.apache.spark.sql.types.StructType] = Map.empty): Column = {
     val body = condition.trim match {
       case s if s.startsWith("{{") && s.endsWith("}}") => s.drop(2).dropRight(2)
       case s => s
@@ -153,7 +169,8 @@ object Conditions {
     * `{{ expr }}` segments (reference `field/set.go:49-51`). Booleans
     * and numbers render via Spark's string cast ("true"/"false", etc.).
     */
-  def template(value: String, typed: Set[String] = Set.empty): Column = {
+  def template(value: String,
+      typed: Map[String, org.apache.spark.sql.types.StructType] = Map.empty): Column = {
     val pieces = scala.collection.mutable.ArrayBuffer.empty[Column]
     var last = 0
     for (m <- tmpl.findAllMatchIn(value)) {

@@ -43,26 +43,39 @@ class ControlPlane(spark: SparkSession, checkpointRoot: String) {
   def startPipeline(id: String): StreamingQuery = {
     val cfg = configs.get(id)
     require(cfg != null, s"unknown pipeline: $id")
-    Metrics.inspector(id) // attach a tap
-    val q = Runner.start(spark, cfg, s"$checkpointRoot/$id",
-      Trigger.ProcessingTime("1 second"))
-    queries.put(id, q)
-    q
+    queries.get(id) match {
+      case q: StreamingQuery if q.isActive => q // start is idempotent
+      case _ =>
+        stopPipeline(id) // clear a dead query / old supervisor first
+        Metrics.inspector(id) // attach a tap
+        val q = Runner.start(spark, cfg, s"$checkpointRoot/$id",
+          Trigger.ProcessingTime("1 second"))
+        queries.put(id, q)
+        q
+    }
   }
 
   /** Start under supervision: crash → checkpoint restart with backoff,
     * DEGRADED after maxRetries (reference recovery semantics,
     * `pkg/lifecycle/service.go:238`); status surfaces the supervisor
-    * state + restart count.
+    * state + restart count. Idempotent: a repeated start returns the
+    * running supervisor; a dead one (and any bare query holding the
+    * checkpoint) is stopped first, so no supervisor is ever orphaned
+    * out of reach of stopPipeline.
     */
   def superviseStart(id: String, maxRetries: Int = 5): Supervisor = {
     val cfg = configs.get(id)
     require(cfg != null, s"unknown pipeline: $id")
-    Metrics.inspector(id)
-    val sup = Supervisor(spark, cfg, s"$checkpointRoot/$id",
-      Trigger.ProcessingTime("1 second"), maxRetries = maxRetries).start()
-    supervisors.put(id, sup)
-    sup
+    supervisors.get(id) match {
+      case sup: Supervisor if sup.status == sup.Status.Running => sup
+      case _ =>
+        stopPipeline(id) // release the checkpoint + drop any stale handle
+        Metrics.inspector(id)
+        val sup = Supervisor(spark, cfg, s"$checkpointRoot/$id",
+          Trigger.ProcessingTime("1 second"), maxRetries = maxRetries).start()
+        supervisors.put(id, sup)
+        sup
+    }
   }
 
   def stopPipeline(id: String): Unit = {

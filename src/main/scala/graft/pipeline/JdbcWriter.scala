@@ -2,8 +2,8 @@ package graft.pipeline
 
 import java.sql.DriverManager
 
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
 
 import graft.functions.JsonOps
 import graft.model.Cdc
@@ -28,6 +28,34 @@ object JdbcWriter {
   def checkIdent(s: String, what: String): String = {
     require(identPattern.matches(s), s"$what is not a valid SQL identifier: $s")
     s
+  }
+
+  /** Mark records whose payload field names would fail [[checkIdent]]
+    * with `_error` so the runner routes them to the DLQ. Field names
+    * are DATA here (they become column names), so a bad one is a
+    * per-record fault, not a task failure — the engine's error-channel
+    * contract. Typed payloads carry their field names in the SCHEMA,
+    * so those are validated once, driver-side, at plan time.
+    */
+  def validate(df: DataFrame): DataFrame = {
+    val base = Cdc.withErrorChannel(df)
+    if (Cdc.isTypedSlot(df, Cdc.PayloadAfter)) {
+      df.schema(Cdc.PayloadAfter).dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.foreach(checkIdent(_, "payload field"))
+      base
+    } else {
+      val badField: Column = exists(
+        json_object_keys(col(Cdc.PayloadAfter)),
+        k => !k.rlike("^" + identPattern.regex + "$"))
+      base.withColumn(Cdc.Error,
+        when(col(Cdc.Error).isNull && col(Cdc.Operation) =!= "delete" &&
+          coalesce(badField, lit(false)),
+          concat(lit("jdbc: payload field is not a valid SQL identifier: "),
+            array_join(filter(json_object_keys(col(Cdc.PayloadAfter)),
+              k => !k.rlike("^" + identPattern.regex + "$")), ", ")))
+          .otherwise(col(Cdc.Error)))
+    }
   }
 
   def write(df: DataFrame, settings: Map[String, String]): Unit = {
@@ -57,8 +85,11 @@ object JdbcWriter {
                 val fields = scala.jdk.CollectionConverters
                   .IteratorHasAsScala(payload.fieldNames()).asScala.toSeq
                 // payload keys are DATA and get interpolated as column
-                // names — reject non-identifiers (SQL injection guard)
-                fields.foreach(checkIdent(_, "payload field"))
+                // names — a non-identifier is a per-record fault, never
+                // a task failure: [[validate]] already routed it to the
+                // DLQ in the runner path, so skip it here (SQL
+                // injection guard stays intact either way)
+                if (fields.forall(identPattern.matches)) {
                 val values = fields.map(f => jsonValue(payload.get(f)))
                 val keyIdx = fields.indexOf(keyCol)
                 val setCols = fields.zipWithIndex.filter(_._1 != keyCol)
@@ -79,6 +110,7 @@ object JdbcWriter {
                     s"INSERT INTO $table (${fields.mkString(", ")}) VALUES (${fields.map(_ => "?").mkString(", ")})")
                   values.zipWithIndex.foreach { case (v, i) => ins.setObject(i + 1, v) }
                   ins.execute()
+                }
                 }
               }
             }

@@ -199,9 +199,16 @@ object Runner {
     * (the reference's destination-nack semantics).
     */
   def writeBatch(df: DataFrame, cfg: ConnectorConfig): DataFrame = {
-    val processed = Cdc.withErrorChannel(
+    val chained = Cdc.withErrorChannel(
       cfg.processors.foldLeft(df)((acc, p) =>
         Registry.create(p.plugin, p.settings)(acc, p.condition)))
+    // destination-specific record validation: a record the sink cannot
+    // accept (e.g. a payload field name that is not a legal SQL
+    // identifier) nacks to the DLQ instead of failing the write task
+    val processed = cfg.plugin match {
+      case "builtin:postgres" | "jdbc" => JdbcWriter.validate(chained)
+      case _ => chained
+    }
     val out = Cdc.ok(processed)
     val failed = Cdc.failed(processed)
     write(out, cfg)

@@ -168,7 +168,12 @@ class FileTailStream(config: FileTailConfig) extends MicroBatchStream
     val from = start.asInstanceOf[CountOffset].count
     val fileLen = new java.io.File(config.path).length()
     if (from > fileLen) return CountOffset(0) // truncated: reopen at 0
-    val target = availableNowTarget.getOrElse(completeUpTo(from + config.maxBytes))
+    // Always respect maxBytesPerBatch — under Trigger.AvailableNow the
+    // pinned target is only an upper bound, and the drain spreads over
+    // as many batches as needed (a single unbounded batch would
+    // allocate the whole appended range in one reader buffer).
+    val capped = completeUpTo(from + config.maxBytes)
+    val target = availableNowTarget.fold(capped)(t => math.min(t, capped))
     CountOffset(math.max(from, target))
   }
   override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =

@@ -58,8 +58,14 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = df.sparkSession
     import spark.implicits._
-    def newer(a: (String, String), b: (String, String)): Boolean = // (len, bytes)
-      a._1.length > b._1.length || (a._1.length == b._1.length && a._1 > b._1)
+    // (len, bytes) order; null position (Cdc.wrap / parquet / s3 /
+    // directory-file sources) sorts as OLDEST so one such record can
+    // never crash or block the state — arrival order breaks ties below
+    def newer(a: String, b: String): Boolean = {
+      val x = if (a == null) "" else a
+      val y = if (b == null) "" else b
+      x.length > y.length || (x.length == y.length && x > y)
+    }
     df.select(
         col(graft.model.Cdc.Key).cast("string").as("key"),
         col(graft.model.Cdc.Operation).as("operation"),
@@ -71,15 +77,16 @@ object StreamingOps {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[CompactedRecord],
          state: GroupState[CompactedRecord]) =>
+          // later arrival wins ties — the only order null positions have
           val latest = rows.reduceOption { (a, b) =>
-            if (newer((b.position, ""), (a.position, ""))) b else a
+            if (newer(a.position, b.position)) a else b
           }
           latest match {
             case None => Iterator.empty
             case Some(rec) =>
               val cur = state.getOption
-              if (cur.exists(c => !newer((rec.position, ""), (c.position, ""))))
-                Iterator.empty // stale redelivery: state already newer
+              if (cur.exists(c => newer(c.position, rec.position)))
+                Iterator.empty // stale redelivery: state strictly newer
               else if (rec.operation == "delete") {
                 state.remove() // tombstone: key no longer live
                 Iterator.single(rec.copy(payload_after = null))

@@ -96,4 +96,30 @@ class ControlPlaneSpec extends AnyFunSuite {
       assert(!get("").contains("cp-two"))
     } finally cp.stop()
   }
+
+  test("repeated supervised start never orphans a supervisor") {
+    graft.pipeline.Runner.memorySinks.clear()
+    val ckpt = java.nio.file.Files.createTempDirectory("cp-sup-ckpt").toString
+    val cp = new ControlPlane(spark, ckpt)
+    try {
+      cp.register(graft.pipeline.Pipeline("cp-sup")
+        .source("gen", "builtin:generator",
+          "format.options.id" -> "int", "recordCount" -> "1000000", "rate" -> "1000")
+        .destination("out", "memory"))
+      val sup1 = cp.superviseStart("cp-sup")
+      // a second start while running returns the SAME supervisor — the
+      // old one used to be replaced in the map, unreachable from stop,
+      // while the new one crash-looped on the in-use checkpoint
+      val sup2 = cp.superviseStart("cp-sup")
+      assert(sup2 eq sup1, "running supervisor must be reused, not replaced")
+      cp.stopPipeline("cp-sup")
+      assert(sup1.status == sup1.Status.Stopped,
+        "stopPipeline must reach the one live supervisor")
+      // after a stop, a new supervised start gets a fresh supervisor
+      val sup3 = cp.superviseStart("cp-sup")
+      assert(!(sup3 eq sup1) && sup3.status == sup3.Status.Running)
+      cp.stopPipeline("cp-sup")
+      assert(sup3.status == sup3.Status.Stopped)
+    } finally cp.stop()
+  }
 }

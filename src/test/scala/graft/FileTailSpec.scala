@@ -67,6 +67,28 @@ class FileTailSpec extends AnyFunSuite {
     assert(unordered.size == 5000)
   }
 
+  test("AvailableNow respects maxBytesPerBatch: bounded batches, full drain") {
+    val file = Files.createTempFile("tail3", ".log").toString
+    (1 to 10).foreach(i => append(file, f"line-$i%02d\n")) // 8 bytes/line
+    Runner.memorySinks.clear()
+    val p = Pipeline("tail3")
+      .source("f", "builtin:file",
+        "path" -> file, "tail" -> "true", "maxBytesPerBatch" -> "20")
+      .destination("out", "memory")
+    val ckpt = Files.createTempDirectory("tail3-ckpt").toString
+    val q = Runner.start(spark, p, ckpt, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    val got = Runner.memorySink("out").map(l =>
+      JsonOps.parse(l).get("payload").get("after").asText())
+    assert(got == (1 to 10).map(i => f"line-$i%02d"),
+      s"AvailableNow must still drain everything, got $got")
+    // 80 bytes at ≤20 bytes/batch (complete-line boundary → 16) = ≥4
+    // batches; the unbounded-batch bug drained it all in one
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 4,
+      s"maxBytesPerBatch must bound every AvailableNow batch, got $dataBatches batches")
+  }
+
   test("positions are byte offsets and streaming tail follows a live writer") {
     val file = Files.createTempFile("tail2", ".log").toString
     append(file, "a\n")

@@ -34,6 +34,40 @@ class JdbcSourceSpec extends AnyFunSuite {
     st.setBoolean(4, active); st.execute()
   }
 
+  test("non-identifier payload field names nack to the DLQ, not the task") {
+    withConn { c =>
+      try c.createStatement().execute("DROP TABLE dlq_sink") catch { case _: Exception => () }
+      c.createStatement().execute(
+        "CREATE TABLE dlq_sink (id BIGINT PRIMARY KEY, name VARCHAR(64))")
+    }
+    val s = spark
+    import s.implicits._
+    val cdc = Seq(
+      ("""{"id":1}""", """{"id":1,"name":"ok"}"""),
+      ("""{"id":2}""", """{"id":2,"first-name":"bad column"}"""), // data, not config
+      ("""{"id":3}""", """{"id":3,"name":"also ok"}""")
+    ).toDF("key", "payload_after").select(
+      org.apache.spark.sql.functions.lit(null).cast("binary").as(Cdc.Position),
+      org.apache.spark.sql.functions.lit("create").as(Cdc.Operation),
+      org.apache.spark.sql.functions.map().cast("map<string,string>").as(Cdc.Metadata),
+      org.apache.spark.sql.functions.lit(null).cast("binary").as(Cdc.KeyRaw),
+      col("key"),
+      org.apache.spark.sql.functions.lit(null).cast("string").as(Cdc.PayloadBefore),
+      col("payload_after"))
+    val failed = graft.pipeline.Runner.writeBatch(cdc,
+      graft.pipeline.ConnectorConfig("db", "jdbc",
+        Map("url" -> url, "table" -> "dlq_sink", "key" -> "id")))
+    assert(failed.count() == 1, "exactly the bad-field record nacks")
+    assert(failed.collect().head.getAs[String](Cdc.Error).contains("first-name"))
+    val written = withConn { c =>
+      val rs = c.createStatement().executeQuery("SELECT id FROM dlq_sink ORDER BY id")
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (rs.next()) ids += rs.getLong(1)
+      ids.toSeq
+    }
+    assert(written == Seq(1L, 3L), s"healthy records still land, got $written")
+  }
+
   test("snapshot batch read produces OpenCDC snapshot records") {
     setup("emp")
     insert("emp", 1, "alice", 10.5, true)

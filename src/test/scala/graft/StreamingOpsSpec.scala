@@ -93,6 +93,31 @@ class StreamingOpsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("compactLatest tolerates null positions (wrap/parquet/s3 sources)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String, String)] // (operation, key, payload)
+    val cdc = in.toDF().toDF("operation", "key", "payload_after")
+      .select(lit(null).cast("binary").as("position"),
+        col("operation"),
+        map().cast("map<string,string>").as("metadata"),
+        lit(null).cast("binary").as("key_raw"),
+        col("key"),
+        lit(null).cast("string").as("payload_before"),
+        col("payload_after"))
+    val out = StreamingOps.compactLatest(cdc)
+    val q = out.writeStream.format("memory").queryName("compact_null_pos")
+      .outputMode("update").start()
+    in.addData(("create", "k1", """{"v":1}"""))
+    q.processAllAvailable() // would NPE before the null guard
+    in.addData(("update", "k1", """{"v":2}"""))
+    q.processAllAvailable() // null == null position: arrival order wins
+    val latest = spark.table("compact_null_pos").collect()
+      .map(r => r.getAs[String]("payload_after"))
+    assert(latest.contains("""{"v":2}"""),
+      s"later arrival must compact over an equal (null) position, got ${latest.toSeq}")
+    q.stop()
+  }
+
   test("inspector tap samples a live pipeline") {
     graft.pipeline.Runner.memorySinks.clear()
     val ins = graft.pipeline.Metrics.inspector("p-inspect", capacity = 50)

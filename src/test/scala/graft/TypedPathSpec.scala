@@ -75,6 +75,20 @@ class TypedPathSpec extends AnyFunSuite {
     assert(Cdc.failed(bad).count() == 3) // "click" etc. don't parse as int
   }
 
+  test("typed condition on an absent field degrades to false, not AnalysisException") {
+    val cond = Some("""{{ eq .Payload.After.nonexistent "x" }}""")
+    // JSON path: get_json_object → null → condition false, all bypass
+    val json = Registry.create("filter", Map.empty)(Cdc.wrap(table, "id", "t"), cond)
+    // typed path used to fail ANALYSIS on the missing struct field
+    val typed = Registry.create("filter", Map.empty)(Cdc.wrapTyped(table, "id", "t"), cond)
+    assert(json.count() == 3 && typed.count() == 3,
+      "absent-field condition must bypass every record on both paths")
+    // and a path through a scalar intermediate degrades the same way
+    val scalar = Registry.create("filter", Map.empty)(
+      Cdc.wrapTyped(table, "id", "t"), Some("""{{ eq .Payload.After.name.deep "x" }}"""))
+    assert(scalar.count() == 3)
+  }
+
   test("typed rename of an absent field is a no-op") {
     val recs = Cdc.wrapTyped(table, "id", "t")
     val out = Registry.create("field.rename",
