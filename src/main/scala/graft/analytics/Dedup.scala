@@ -54,16 +54,39 @@ object Dedup {
   private[analytics] def boundedSelfPairs(
       bucketed: DataFrame, keyCols: Seq[String], memberCol: String,
       cap: Int): DataFrame = {
-    val wB = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*)
-    val member = bucketed
-      .withColumn("bucket_size", count(lit(1)).over(wB))
-      .filter(col("bucket_size") > 1)
+    val keys = keyCols.map(col)
+    // HOT-KEY PREPASS. Only buckets larger than `cap` need the chunked
+    // machinery, and those are rare by construction (a bucket is a
+    // band-hash collision set). A map-side-combined count finds them —
+    // the shuffle carries one row per DISTINCT key, not per member, and
+    // the result is small enough for the size-gated planner/AQE to
+    // broadcast the membership probes. The old formulation learned
+    // sizes with count().over(partitionBy(keys)): a full shuffle+sort
+    // of every member row that dominated toy-scale runtime and bought
+    // nothing for the 99.99% of buckets at or under the cap.
+    val hot = bucketed.groupBy(keys: _*)
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > cap)
+    val flagged = bucketed.join(hot, keyCols, "left")
+
+    // cold buckets (size ≤ cap): plain self-join — singleton buckets
+    // pair with nothing, no size column, no explode, no replication
+    val cold = flagged.filter(col("bucket_size").isNull)
+    val coldPairs = cold.select(keys :+ col(memberCol).as("m_a"): _*)
+      .join(cold.select(keys :+ col(memberCol).as("m_b"): _*), keyCols)
+      .filter(col("m_a") < col("m_b"))
+      .select(col("m_a").as("pair_a"), col("m_b").as("pair_b"))
+
+    // hot buckets: hash members into ceil(size/cap) chunks and make
+    // every chunk-block (i ≤ j) its own join key, so no task ever
+    // compares more than cap×cap members and Spark spreads a hot
+    // bucket (a 1M-doc boilerplate cluster at 100 TB) across the
+    // cluster instead of one 10¹²-pair straggler/OOM.
+    val member = flagged.filter(col("bucket_size").isNotNull)
       .withColumn("num_chunks",
         ceil(col("bucket_size").cast("double") / lit(cap)).cast("int"))
       .withColumn("chunk",
         pmod(xxhash64(col(memberCol)), col("num_chunks")).cast("int"))
-    val keys = keyCols.map(col)
     val left = member
       .withColumn("block_j", explode(sequence(col("chunk"), col("num_chunks") - 1)))
       .select(keys ++ Seq(col("chunk").as("block_i"), col("block_j"),
@@ -72,12 +95,14 @@ object Dedup {
       .withColumn("block_i", explode(sequence(lit(0), col("chunk"))))
       .select(keys ++ Seq(col("block_i"), col("chunk").as("block_j"),
         col(memberCol).as("m_b")): _*)
-    left.join(right, keyCols ++ Seq("block_i", "block_j"))
+    val hotPairs = left.join(right, keyCols ++ Seq("block_i", "block_j"))
       // same-chunk block holds both orderings; cross-chunk blocks hold
       // each unordered pair exactly once
       .filter(col("block_i") =!= col("block_j") || col("m_a") < col("m_b"))
       .select(least(col("m_a"), col("m_b")).as("pair_a"),
         greatest(col("m_a"), col("m_b")).as("pair_b"))
+
+    coldPairs.unionByName(hotPairs)
   }
 
   /** MinHash + LSH near-duplicate pairs.
