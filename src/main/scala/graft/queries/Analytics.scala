@@ -45,10 +45,13 @@ object Analytics {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
+    // nprobe = nlist: every centroid cell is probed, so the IVF search
+    // is exact by construction and the brute-force oracle applies.
+    // AnalyticsSpec keeps measuring recall at the production nprobe=4.
     "sim_topk_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8),
-        "vec_id", "embedding", k = 5)
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 16)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
@@ -73,6 +76,152 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // nprobe=nlist probes every cell — exact search, brute-force oracle
+    // (identical to sim_topk_brute's, same query set)
+    "sim_topk_ivf" ->
+      """SELECT qid AS query_id, CAST(rk AS INT) AS rank, nid AS neighbor_id FROM (
+           SELECT q.vec_id qid, c.vec_id nid,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) rk
+           FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 8) WHERE rk <= 5""",
+    // Full HUGEINT mod-2^64 replication of the engine's SimHash
+    // (FNV-1a per whitespace token — ASCII corpus, so unicode() code-
+    // points equal UTF-8 bytes — then 64 per-bit votes), followed by a
+    // brute-force hamming join. The operator's 4×16 banding is recall-
+    // exact for hamming ≤ 3 (pigeonhole) and verification is exact, so
+    // the LSH output must EQUAL this quadratic ground truth.
+    "dedup_simhash" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+           FROM documents
+         ), whs AS (
+           SELECT w, CAST(CASE WHEN uh >= CAST(9223372036854775808 AS HUGEINT)
+             THEN uh - CAST(18446744073709551616 AS HUGEINT) ELSE uh END AS BIGINT) AS h
+           FROM (
+             SELECT w, list_reduce(
+               list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                 list_transform(list_filter(string_split_regex(w, ''), c -> c <> ''),
+                   c -> CAST(unicode(c) AS HUGEINT))),
+               (acc, c) -> (xor(acc, c) * 1099511628211) %
+                 CAST(18446744073709551616 AS HUGEINT)) AS uh
+             FROM (SELECT DISTINCT w FROM tok))
+         ), votes AS (
+           SELECT t.doc_id, b.b,
+             SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM tok t JOIN whs USING (w)
+           CROSS JOIN (SELECT unnest(range(64)) AS b) b
+           GROUP BY t.doc_id, b.b
+         ), sig AS (
+           SELECT doc_id, CAST(CASE WHEN us >= CAST(9223372036854775808 AS HUGEINT)
+             THEN us - CAST(18446744073709551616 AS HUGEINT) ELSE us END AS BIGINT) AS s
+           FROM (SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << CAST(b AS INT)
+                   ELSE CAST(0 AS HUGEINT) END) AS us
+             FROM votes GROUP BY doc_id)
+         )
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.s, b.s)) <= 3""",
+    // Full replication of the hyperplane-LSH pipeline: splitmix64 plane
+    // weights in HUGEINT mod-2^64 (64×64→64 multiply via 32-bit halves;
+    // HUGEINT→DOUBLE truncates, so signed values route through BIGINT
+    // for round-to-nearest parity), sequential-fold normalize and dot
+    // products for bit-identical IEEE sums, bucket cells, intra-cell
+    // candidate pairs, exact cosine ≥ 0.4 verification — the operator
+    // must EQUAL this independent DuckDB implementation exactly.
+    "dedup_embedding" ->
+      """WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+         pj AS (
+           SELECT t.t*4 + p.p AS plane, j.j AS j
+           FROM (SELECT unnest(range(12)) AS t) t
+           CROSS JOIN (SELECT unnest(range(4)) AS p) p
+           CROSS JOIN (SELECT unnest(range(64)) AS j) j
+         ),
+         m0 AS (SELECT plane, j,
+           (CAST(plane AS HUGEINT)*1000003 + j + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
+           FROM pj CROSS JOIN c),
+         ma AS (SELECT plane, j, xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
+         m1 AS (SELECT plane, j,
+           (x2 % 4294967296 * 484763065 +
+            ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+            * 4294967296) % m64 AS x3, m64 FROM ma),
+         mb AS (SELECT plane, j, xor(x3, x3 // 134217728) AS x4, m64 FROM m1),
+         m2 AS (SELECT plane, j,
+           (x4 % 4294967296 * 321982955 +
+            ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+            * 4294967296) % m64 AS x5, m64 FROM mb),
+         m3 AS (SELECT plane, j, xor(x5, x5 // 2147483648) AS x6, m64 FROM m2),
+         w AS (SELECT plane, j,
+           CAST(CAST(CASE WHEN x6 >= CAST(9223372036854775808 AS HUGEINT)
+             THEN x6 - m64 ELSE x6 END AS BIGINT) AS DOUBLE)
+             / CAST(9223372036854775807 AS DOUBLE) * CAST(2.0 AS DOUBLE)
+             - CAST(1.0 AS DOUBLE) AS wj FROM m3),
+         pws AS (SELECT plane, list(wj ORDER BY j) AS ws FROM w GROUP BY plane),
+         nv AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+           FROM embeddings
+         ), nrm AS (
+           SELECT vec_id, ed,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(ed, x -> x*x)), (a,b) -> a+b)) AS n
+           FROM nv
+         ), v AS (
+           SELECT vec_id, CASE WHEN n > 0 THEN list_transform(ed, x -> x/n) ELSE ed END AS nvec
+           FROM nrm
+         ), dots AS (
+           SELECT vec_id, plane,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, 65), i -> nvec[i] * ws[i])), (a,b) -> a+b) AS dt
+           FROM v CROSS JOIN pws
+         ), cells AS (
+           SELECT vec_id, plane // 4 AS t,
+             SUM(CASE WHEN dt >= 0 THEN 1 << CAST(3 - (plane % 4) AS INT) ELSE 0 END) AS bucket
+           FROM dots GROUP BY vec_id, plane // 4
+         ), cand AS (
+           SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+           FROM cells a JOIN cells b ON a.t = b.t AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+         )
+         SELECT cd.ia AS id_a, cd.ib AS id_b
+         FROM cand cd
+         JOIN v va ON va.vec_id = cd.ia
+         JOIN v vb ON vb.vec_id = cd.ib
+         WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65), i -> va.nvec[i] * vb.nvec[i])), (a,b) -> a+b)
+           >= 0.4""",
+    // Deterministic bigram-profile language ID: distinct 2-grams,
+    // per-language overlap ratio (single IEEE division of integer
+    // counts), argmax with (score, lang) struct ordering — ties break
+    // to the lexicographically larger language, like Spark's greatest.
+    "text_langid" ->
+      """WITH g AS (
+           SELECT doc_id,
+             CASE WHEN length(s0) < 2 THEN [s0]
+                  ELSE list_distinct(list_transform(range(1, length(s0)), i -> s0[i:i+1]))
+             END AS grams
+           FROM (SELECT doc_id, trim(lower(text)) AS s0 FROM documents)
+         ), sc AS (
+           SELECT doc_id,
+             CAST(len(list_intersect(grams, ['en','er','ch','de','ei','te','in','nd','ie','ge','st','ne','be','es','un','re','an','he','au','ng'])) AS DOUBLE)
+               / CAST(greatest(len(grams), 1) AS DOUBLE) AS s_de,
+             CAST(len(list_intersect(grams, ['th','he','in','er','an','re','on','at','en','nd','ti','es','or','te','of','ed','is','it','al','ar'])) AS DOUBLE)
+               / CAST(greatest(len(grams), 1) AS DOUBLE) AS s_en,
+             CAST(len(list_intersect(grams, ['de','es','en','el','la','os','on','as','er','ra','ad','ar','re','al','an','nt','ue','ci','co','se'])) AS DOUBLE)
+               / CAST(greatest(len(grams), 1) AS DOUBLE) AS s_es,
+             CAST(len(list_intersect(grams, ['es','le','de','en','re','nt','on','er','te','el','an','se','et','la','ai','it','me','ou','em','ie'])) AS DOUBLE)
+               / CAST(greatest(len(grams), 1) AS DOUBLE) AS s_fr
+           FROM g
+         )
+         SELECT doc_id,
+           CASE WHEN gs > 0 THEN
+             (CASE WHEN s_fr = gs THEN 'fr' WHEN s_es = gs THEN 'es'
+                   WHEN s_en = gs THEN 'en' ELSE 'de' END)
+           ELSE 'und' END AS pred_lang,
+           gs AS lang_score
+         FROM (SELECT doc_id, s_de, s_en, s_es, s_fr,
+                 greatest(s_de, s_en, s_es, s_fr) AS gs FROM sc)""",
     "sim_topk_brute" ->
       """SELECT qid AS query_id, CAST(rk AS INT) AS rank, nid AS neighbor_id FROM (
            SELECT q.vec_id qid, c.vec_id nid,
