@@ -42,30 +42,42 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results(name) = runNoop(fn(spark, sfDir))
+    def pass(): scala.collection.mutable.LinkedHashMap[String, Double] = {
+      val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        results(name) = runNoop(fn(spark, sfDir))
+      }
+      // reference-comparable pipeline throughput: 1M generated records
+      // through a processor into a sink (see BASELINE.md ground truth)
+      results("stream_gen_1m") = {
+        val p = graft.pipeline.Pipeline("bench")
+          .source("gen", "builtin:generator",
+            "format.options.id" -> "int", "format.options.name" -> "string",
+            "recordCount" -> "1000000")
+          .processor("set", "field.set",
+            "field" -> ".Payload.After.department", "value" -> "finance")
+        // ground-truth style: one pass source→processor→sink, no
+        // bookkeeping actions in the timed path (BASELINE.md rules)
+        runNoop(graft.model.Cdc.ok(
+          graft.pipeline.Runner.build(spark, p, streaming = false)))
+      }
+      results
     }
 
-    // reference-comparable pipeline throughput: 1M generated records
-    // through a processor into a sink (see BASELINE.md ground truth)
-    results("stream_gen_1m") = {
-      val p = graft.pipeline.Pipeline("bench")
-        .source("gen", "builtin:generator",
-          "format.options.id" -> "int", "format.options.name" -> "string",
-          "recordCount" -> "1000000")
-        .processor("set", "field.set",
-          "field" -> ".Payload.After.department", "value" -> "finance")
-      // ground-truth style: one pass source→processor→sink, no
-      // bookkeeping actions in the timed path (BASELINE.md rules)
-      runNoop(graft.model.Cdc.ok(
-        graft.pipeline.Runner.build(spark, p, streaming = false)))
-    }
+    // A/A methodology: two identical in-JVM passes. `queries` (pass 1,
+    // cold codegen/JIT — comparable with every earlier round's numbers)
+    // and `queries_steady` (pass 2, steady state). The per-query spread
+    // between the passes IS the single-shot noise floor: regressions
+    // smaller than the corresponding delta in PERF.md's A/A table are
+    // unadjudicable from one run.
+    val results = pass()
+    val steady = pass()
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def js(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalSteady = steady.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"queries_steady":${js(steady)},"total_steady":$totalSteady,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

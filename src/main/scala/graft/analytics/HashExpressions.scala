@@ -222,9 +222,16 @@ case class L2Normalize(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
-/** dot_product(array<double>, array<double>) → double, one pass. */
+/** dot_product(array<double>, array<double>) → double, one pass.
+  *
+  * Unlike the other expressions here (one call per DOCUMENT, where the
+  * per-call work dwarfs boxing), this runs once per CANDIDATE PAIR —
+  * millions of calls doing 64 multiply-adds each — so it participates
+  * in whole-stage codegen: the loop inlines into the join's generated
+  * code with no per-row boxing or virtual dispatch.
+  */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
@@ -237,6 +244,22 @@ case class DotProduct(left: Expression, right: Expression)
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     acc
   }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }

@@ -108,14 +108,18 @@ object Processors {
     }),
 
     // error + condition → DLQ channel: failed records carry _error.
+    // Typed fast path: the 600k-row lineitem payload rides as a native
+    // struct, so the condition and the DLQ projection are struct field
+    // reads — zero Jackson in the plan (the untyped Cdc.wrap version
+    // paid a full to_json + get_json_object per row: 3.6 s vs <1 s).
     "proc_error_dlq" -> ((s, dir) => {
-      val recs = Cdc.wrap(t(s, dir, "lineitem"), "l_orderkey", "lineitem")
+      val recs = Cdc.wrapTyped(t(s, dir, "lineitem"), "l_orderkey", "lineitem")
       val proc = Registry.create("error", Map("message" -> "high discount"))
       val out = proc(recs,
         condition = Some("cast(.Payload.After.l_discount as double) > 0.09"))
       Cdc.failed(out)
-        .select(get_json_object(col(Cdc.PayloadAfter), "$.l_orderkey").cast("long").as("l_orderkey"),
-          get_json_object(col(Cdc.PayloadAfter), "$.l_linenumber").cast("int").as("l_linenumber"),
+        .select(col(s"${Cdc.PayloadAfter}.l_orderkey").cast("long").as("l_orderkey"),
+          col(s"${Cdc.PayloadAfter}.l_linenumber").cast("int").as("l_linenumber"),
           col(Cdc.Error).as("error_msg"))
     }),
 
