@@ -141,10 +141,14 @@ object Conditions {
   }
 
   private val goPrefixCmp = """^\s*(eq|ne)\s+(\S+)\s+(.+?)\s*$""".r
+  // Go template `index .Metadata "k"` — the reference kafka
+  // destination's default topic template (metadata map lookup)
+  private val goIndexMeta = """^\s*index\s+\.Metadata\s+"([^"]+)"\s*$""".r
 
   /** One `{{ ... }}` body (or bare SQL) to a SQL fragment. */
   private def bodyToSql(body: String,
       typed: Map[String, org.apache.spark.sql.types.StructType]): String = body.trim match {
+    case goIndexMeta(k) => s"metadata['${k.replace("'", "''")}']"
     case goPrefixCmp(op, a, b) =>
       val sql = if (op == "eq") "=" else "<>"
       s"(${rewriteTokens(a, typed)} $sql ${rewriteTokens(b, typed)})"

@@ -97,18 +97,11 @@ object Runner {
             col("value").as(Cdc.PayloadAfter))
         }
       case "builtin:kafka" | "kafka" =>
+        val opts = KafkaMapping.sourceOptions(cfg.settings)
         val reader =
-          if (streaming) spark.readStream.format("kafka").options(cfg.settings).load()
-          else spark.read.format("kafka").options(cfg.settings).load()
-        reader.select(
-          to_binary(concat(col("topic"), lit("-"), col("partition").cast("string"),
-            lit("@"), col("offset").cast("string")), lit("utf-8")).as(Cdc.Position),
-          lit("create").as(Cdc.Operation),
-          map(lit("opencdc.collection"), col("topic")).as(Cdc.Metadata),
-          col("key").as(Cdc.KeyRaw),
-          col("key").cast("string").as(Cdc.Key),
-          lit(null).cast("string").as(Cdc.PayloadBefore),
-          col("value").cast("string").as(Cdc.PayloadAfter))
+          if (streaming) spark.readStream.format("kafka").options(opts).load()
+          else spark.read.format("kafka").options(opts).load()
+        KafkaMapping.fromKafka(reader)
       case "parquet" =>
         val path = cfg.settings("path")
         val df =
@@ -239,6 +232,13 @@ object Runner {
         // MERGE isn't), the reference's destination semantics: `create/
         // update/snapshot` upsert, `delete` deletes by key
         JdbcWriter.write(out, cfg.settings)
+      case "builtin:kafka" | "kafka" =>
+        // per-record topic from the reference's Go-template setting
+        // (default: the opencdc.collection metadata field)
+        KafkaMapping.toKafka(out,
+            cfg.settings.getOrElse("topic", KafkaMapping.DefaultTopicTemplate))
+          .write.format("kafka")
+          .options(KafkaMapping.sinkOptions(cfg.settings)).save()
       case "builtin:s3" | "s3" =>
         val path = S3Config.configure(out.sparkSession, cfg.settings)
         cfg.settings.get("format") match {
