@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.analytics.{Dedup, Multimodal, Similarity, Text}
 
 /** Training-data pipeline queries (dedup / similarity / text /
-  * multimodal). SQL-expressible ones carry DuckDB oracles; the
-  * hash-based ones (MinHash, SimHash, LSH, fingerprints) are checked
-  * by ScalaTest specs instead (driver records rows-only).
+  * multimodal). EVERY query carries a DuckDB oracle: the directly
+  * SQL-expressible ones as plain ANSI SQL, and the hash/LSH ones as
+  * full algorithm replications in HUGEINT mod-2^64 arithmetic (FNV-1a,
+  * splitmix64, SimHash bit votes, hyperplane buckets) — the operator
+  * must EQUAL an independent implementation of its documented
+  * algorithm, the strongest check an approximate operator can carry.
   */
 object Analytics {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =

@@ -1,0 +1,119 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve measurement: builds an sf1-equivalent corpus (10×
+  * sf0.1) in a scratch dir and times the same gate queries at both
+  * scales, reporting per-query scaling factors. A factor near 10 means
+  * the plan's work is linear in the data; well above 10 flags a
+  * super-linear stage (the kind of plan that dies at 100 TB).
+  *
+  * Corpus construction (synthetic, measurement-only — the correctness
+  * gate still runs exclusively on the driver's tables):
+  *  - fact tables: 10 key-shifted copies (every entity key + its
+  *    foreign references shift by copy·10⁷, so join selectivities and
+  *    per-key group sizes are preserved while key cardinality scales);
+  *  - dimension tables (region/nation) stay fixed, like real marts;
+  *  - documents: copies > 0 interleave a per-copy token after every
+  *    word, so no shingle survives across copies — near-dup structure
+  *    (and so pair counts) scale LINEARLY instead of quadratically;
+  *  - embeddings: copies > 0 add a deterministic per-element
+  *    perturbation, making each copy a fresh point cloud.
+  * The quadratic-adversary case (a giant duplicate cluster) is
+  * SkewBench's job, not this one.
+  */
+object ScaleBench {
+  private val Shift = 10000000L
+  private val keyCols = Set(
+    "c_custkey", "s_suppkey", "p_partkey", "o_orderkey", "o_custkey",
+    "l_orderkey", "l_partkey", "l_suppkey", "event_id", "user_id",
+    "doc_id", "vec_id")
+
+  def buildScaled(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
+    val fs = new java.io.File(dst)
+    if (new java.io.File(fs, "_DONE").exists()) return
+    fs.mkdirs()
+    for (t <- Seq("region", "nation"))
+      spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite")
+        .parquet(s"$dst/$t.parquet")
+    for (t <- Seq("customer", "supplier", "part", "orders", "lineitem", "events",
+                  "documents", "embeddings")) {
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      val scaled = (0 until copies).map { i =>
+        val shifted = base.columns.foldLeft(base) { (df, c) =>
+          if (keyCols(c)) df.withColumn(c, col(c) + lit(i * Shift)) else df
+        }
+        val mutated =
+          if (t == "documents" && i > 0)
+            shifted.withColumn("text",
+              array_join(transform(split(col("text"), "\\s+"),
+                x => concat(x, lit(s" z$i"))), " "))
+          else if (t == "embeddings" && i > 0)
+            shifted.withColumn("embedding",
+              transform(col("embedding"), (x, j) =>
+                (x + sin((col("vec_id") * 64 + j).cast("double")) * lit(0.3))
+                  .cast("float")))
+          else shifted
+        mutated
+      }.reduce(_.unionByName(_))
+      scaled.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    new java.io.File(fs, "_DONE").createNewFile()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dst = args.headOption.getOrElse("/tmp/graft_sf1")
+    val copies = sys.env.getOrElse("SCALE_COPIES", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scalebench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    println(s"[scale] building ${copies}x corpus at $dst from $src")
+    buildScaled(spark, src, dst, copies)
+
+    // linear-work queries only: relational aggregates/joins, processor
+    // chains, row-local text/multimodal, fixed-query-set ANN, exact
+    // dedup, and the interleave-linearized minhash pipeline
+    val names = Seq(
+      "q1_pricing_summary", "q2_revenue_by_nation", "q3_top_orders",
+      "q6_forecast_revenue", "q9_user_sessions",
+      "proc_field_set", "proc_error_dlq", "proc_chain", "proc_filter",
+      "dedup_exact", "dedup_minhash",
+      "text_quality", "text_tokens", "text_fingerprint",
+      "sim_topk_brute", "sim_topk_ivf")
+
+    def run(dir: String, name: String): Double = {
+      val t0 = System.nanoTime()
+      try graft.SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        println(s"[scale] $name@$dir FAILED: ${e.getMessage}"); return -1 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm both scan paths before timing
+    run(src, "q1_pricing_summary"); run(dst, "q1_pricing_summary")
+
+    println(f"${"query"}%-22s ${"sf0.1"}%8s ${"x" + copies}%8s ${"factor"}%8s")
+    val rows = names.map { n =>
+      val a = run(src, n)
+      val b = run(dst, n)
+      val f = if (a > 0 && b > 0) b / a else -1
+      println(f"$n%-22s $a%8.2f $b%8.2f $f%8.1f")
+      (n, a, b, f)
+    }
+    val js = rows.map { case (n, a, b, f) =>
+      s""""$n":{"small":$a,"scaled":$b,"factor":$f}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale","copies":$copies,"queries":$js}""")
+    spark.stop()
+  }
+}

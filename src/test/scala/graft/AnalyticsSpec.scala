@@ -72,6 +72,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF recall@5 = $recall")
   }
 
+  test("IVF with nprobe = nlist is exact (the gate configuration)") {
+    // probing every cell scores every (query, corpus) pair exactly once
+    // — identical output to brute force, which is why the gate runs
+    // this configuration against the brute-force DuckDB oracle
+    val queries = emb.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 16)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ivf == brute, "nprobe=nlist IVF must equal brute force")
+  }
+
   test("bounded pair generation: hot-bucket chunking loses no pairs") {
     import spark.implicits._
     // 120 identical docs all land in one LSH bucket per band; with
