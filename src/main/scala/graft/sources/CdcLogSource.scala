@@ -34,10 +34,12 @@ import graft.model.Cdc
   *
   * The log table stands for the replication-slot output: a pgoutput/
   * wal2json consumer, a trigger-maintained audit table, or a
-  * Debezium-style outbox all materialize this shape. Speaking the
-  * pgoutput binary protocol itself needs a live postgres replication
-  * slot (none exists in this environment); it would slot in as a
-  * second reader behind the same LSN-offset stream.
+  * Debezium-style outbox all materialize this shape. The pgoutput
+  * BINARY protocol itself is implemented and golden-vector-tested
+  * ([[PgOutputParser]]: message parsing, relation-schema tracking,
+  * transaction framing, CDC mapping — everything after bytes arrive);
+  * only the walsender TRANSPORT (attaching to a live replication
+  * slot) still needs a running postgres, which this environment lacks.
   *
   * Options: `url`, `logTable`, `lsn.column`=lsn, `op.column`=op,
   * `key.column`=key, `before.column`=before, `after.column`=after,
