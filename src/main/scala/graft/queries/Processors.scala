@@ -22,26 +22,33 @@ object Processors {
     get_json_object(col(Cdc.PayloadAfter), s"$$.$field")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // field.set with a template value referencing the record.
+    // field.set with a template value referencing the record — typed
+    // fast path (150k rows; the template compiles to struct reads).
+    // The untyped dynamic-JSON machinery keeps its own gate coverage
+    // via proc_filter / proc_field_convert / proc_json_* / proc_split.
     "proc_field_set" -> ((s, dir) => {
-      val recs = Cdc.wrap(t(s, dir, "orders"), "o_orderkey", "orders")
+      val recs = Cdc.wrapTyped(t(s, dir, "orders"), "o_orderkey", "orders")
       val proc = Registry.create("field.set",
         Map("field" -> ".Payload.After.status_tag",
             "value" -> "{{ .Payload.After.o_orderstatus }}-X"))
       proc(recs)
-        .select(get_json_object(col(Cdc.Key), "$.o_orderkey").cast("long").as("o_orderkey"),
-          pget("status_tag").as("status_tag"))
+        .select(col(s"${Cdc.PayloadAfter}.o_orderkey").as("o_orderkey"),
+          col(s"${Cdc.PayloadAfter}.status_tag").as("status_tag"))
     }),
 
-    // field.rename: payload field moves to a new name.
+    // field.rename on the typed path: the old field is gone from the
+    // struct SCHEMA (a plan-time fact), not merely nulled per row.
     "proc_field_rename" -> ((s, dir) => {
-      val recs = Cdc.wrap(t(s, dir, "orders"), "o_orderkey", "orders")
+      val recs = Cdc.wrapTyped(t(s, dir, "orders"), "o_orderkey", "orders")
       val proc = Registry.create("field.rename",
         Map("mapping" -> ".Payload.After.o_totalprice:price"))
-      proc(recs)
-        .select(get_json_object(col(Cdc.Key), "$.o_orderkey").cast("long").as("o_orderkey"),
-          pget("price").cast("double").as("price"),
-          pget("o_totalprice").as("gone"))
+      val out = proc(recs)
+      val paFields = out.schema(Cdc.PayloadAfter).dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+      assert(!paFields.contains("o_totalprice"), "rename must drop the old field")
+      out.select(col(s"${Cdc.PayloadAfter}.o_orderkey").as("o_orderkey"),
+        col(s"${Cdc.PayloadAfter}.price").cast("double").as("price"),
+        lit(null).cast("string").as("gone"))
     }),
 
     // field.exclude: dropped field reads back as null.
