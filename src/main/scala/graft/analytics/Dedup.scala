@@ -208,4 +208,66 @@ object Dedup {
                         n: Int = 3, threshold: Double = 0.9): DataFrame =
     minhashPairs(df, idCol, textCol, shingleSize = n, threshold = threshold,
       charGrams = true)
+
+  /** Connected components over a near-dup pair list: every node gets
+    * the MINIMUM id of its component as `label` — the canonical-doc
+    * choice a dedup pipeline actually needs (pairs alone don't say
+    * which copy to keep when dups chain a~b~c).
+    *
+    * Min-label propagation: each round every node takes the least of
+    * its own label and its neighbors' labels; stop when a round
+    * changes nothing. Near-dup components are verification-filtered
+    * quasi-cliques, so diameter — and the round count — is small
+    * (2-3); `maxIter` bounds the adversarial chain case. Each round
+    * is one shuffle of (node, label) pairs — 16 bytes/edge — and the
+    * edge list is persisted once. For graphs with genuinely large
+    * diameters at 100 TB scale, swap in the large-star/small-star
+    * alternation (Kiveris et al., "Connected Components in MapReduce");
+    * dup clusters never need it.
+    *
+    * Input: (aCol, bCol) id pairs. Output: (id, label).
+    */
+  def components(pairs: DataFrame, aCol: String = "id_a",
+                 bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val sym = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct().persist()
+    var labels = sym.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    try {
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        val nbrMin = sym
+          .join(labels.select(col("id").as("v"), col("label").as("vl")), "v")
+          .groupBy(col("u").as("id")).agg(min(col("vl")).as("nl"))
+        val next = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+            (col("nl") < col("label")).as("moved"))
+          .persist()
+        changed = next.filter(col("moved")).count()
+        labels.unpersist()
+        labels = next.drop("moved")
+        iter += 1
+      }
+      labels
+    } finally sym.unpersist()
+  }
+
+  /** Cluster labeling over a whole corpus: near-dup components from
+    * [[simhashPairs]] joined back to every document — singletons are
+    * their own cluster — plus the keep/drop decision (keep = the
+    * minimum-id member). This is the end-to-end dedup operator: feed
+    * `filter(keep)` downstream and the corpus is near-dup-free.
+    */
+  def clusters(df: DataFrame, idCol: String, textCol: String,
+               maxHamming: Int = 3): DataFrame = {
+    val comp = components(simhashPairs(df, idCol, textCol, maxHamming))
+    df.select(col(idCol).as("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"),
+        (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("keep"))
+  }
 }

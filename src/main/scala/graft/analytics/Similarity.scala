@@ -51,6 +51,10 @@ object Similarity {
     * paired; k planes tighten precision, L tables recover recall —
     * tune (k, L) to the threshold: high thresholds allow larger k).
     */
+  // NOTE: the dedup_embedding DuckDB oracle (queries/Analytics.scala)
+  // replicates the full LSH pipeline at the DEFAULT (numPlanes=4,
+  // numTables=12) — changing these defaults requires regenerating the
+  // oracle's plane/table ranges to match.
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
                   threshold: Double, method: String = "lsh",
                   numPlanes: Int = 4, numTables: Int = 12,

@@ -29,6 +29,11 @@ object Analytics {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
 
+    // end-to-end dedup: near-dup components (SimHash pairs → min-label
+    // connected components) + the keep/drop decision per document
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
+
     // char-5-grams: 3-grams of a small shared vocabulary are near-
     // universal across documents (every pair becomes an LSH candidate);
     // 5-grams restore selectivity at the same shingling cost
@@ -127,6 +132,56 @@ object Analytics {
            CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.s, b.s)) <= 3""",
+    // Same SimHash replication as dedup_simhash, extended with a
+    // recursive-CTE transitive closure over the hamming<=3 edges —
+    // every doc labeled with its component's minimum id (singletons
+    // label themselves), keep = is-the-minimum. The engine's iterative
+    // min-label propagation must converge to exactly this closure.
+    "dedup_clusters" ->
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+           FROM documents
+         ), whs AS (
+           SELECT w, CAST(CASE WHEN uh >= CAST(9223372036854775808 AS HUGEINT)
+             THEN uh - CAST(18446744073709551616 AS HUGEINT) ELSE uh END AS BIGINT) AS h
+           FROM (
+             SELECT w, list_reduce(
+               list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                 list_transform(list_filter(string_split_regex(w, ''), c -> c <> ''),
+                   c -> CAST(unicode(c) AS HUGEINT))),
+               (acc, c) -> (xor(acc, c) * 1099511628211) %
+                 CAST(18446744073709551616 AS HUGEINT)) AS uh
+             FROM (SELECT DISTINCT w FROM tok))
+         ), votes AS (
+           SELECT t.doc_id, b.b,
+             SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM tok t JOIN whs USING (w)
+           CROSS JOIN (SELECT unnest(range(64)) AS b) b
+           GROUP BY t.doc_id, b.b
+         ), sig AS (
+           SELECT doc_id, CAST(CASE WHEN us >= CAST(9223372036854775808 AS HUGEINT)
+             THEN us - CAST(18446744073709551616 AS HUGEINT) ELSE us END AS BIGINT) AS s
+           FROM (SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << CAST(b AS INT)
+                   ELSE CAST(0 AS HUGEINT) END) AS us
+             FROM votes GROUP BY doc_id)
+         ), pr AS (
+           SELECT a.doc_id AS ia, b.doc_id AS ib
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.s, b.s)) <= 3
+         ), edges AS (
+           SELECT ia AS u, ib AS v FROM pr UNION SELECT ib, ia FROM pr
+         ), reach AS (
+           SELECT u AS a, v AS b FROM edges
+           UNION
+           SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+         ), lab AS (
+           SELECT a AS doc_id, least(min(b), a) AS lbl FROM reach GROUP BY a
+         )
+         SELECT d.doc_id,
+           coalesce(l.lbl, d.doc_id) AS cluster_id,
+           coalesce(l.lbl, d.doc_id) = d.doc_id AS keep
+         FROM documents d LEFT JOIN lab l USING (doc_id)""",
     // Full replication of the hyperplane-LSH pipeline: splitmix64 plane
     // weights in HUGEINT mod-2^64 (64×64→64 multiply via 32-bit halves;
     // HUGEINT→DOUBLE truncates, so signed values route through BIGINT

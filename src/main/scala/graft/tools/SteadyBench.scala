@@ -34,7 +34,11 @@ object SteadyBench {
     val p = Pipeline("steady")
       .source("gen", "builtin:generator",
         "format.options.id" -> "int", "format.options.name" -> "string",
-        "maxRecordsPerBatch" -> sys.env.getOrElse("SPARK_GRAFT_BATCH", "250000"))
+        // 2M-record micro-batches are the OFFICIAL methodology
+        // (PERF.md headline; micro-batch fixed cost ≈0.9 s drowns
+        // throughput below ~1M records/batch — a bare run at 250k
+        // measures the fixed cost, not the engine)
+        "maxRecordsPerBatch" -> sys.env.getOrElse("SPARK_GRAFT_BATCH", "2000000"))
       .processor("set", "field.set",
         "field" -> ".Payload.After.department", "value" -> "finance")
       .destination("sink", "parquet", "path" -> out)

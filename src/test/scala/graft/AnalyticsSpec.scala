@@ -87,6 +87,42 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(ivf == brute, "nprobe=nlist IVF must equal brute force")
   }
 
+  test("connected components: chains, cliques, and singletons") {
+    import spark.implicits._
+    // chain 1-2-3-4-5-6-7-8 (diameter 7 → needs real iteration),
+    // clique 20-21-22, isolated pair 30-31
+    val pairs = ((1L to 7L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (20L, 22L), (21L, 22L), (30L, 31L)))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 8L).foreach(i => assert(labels(i) == 1L, s"chain node $i"))
+    Seq(20L, 21L, 22L).foreach(i => assert(labels(i) == 20L))
+    Seq(30L, 31L).foreach(i => assert(labels(i) == 30L))
+  }
+
+  test("cluster labeling keeps exactly one doc per near-dup component") {
+    val cl = Dedup.clusters(docs, "doc_id", "text")
+    val total = docs.count()
+    assert(cl.count() == total) // every doc labeled, singletons included
+    // keep is true iff the doc IS its cluster's minimum
+    val perCluster = cl.groupBy("cluster_id")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("keeps"),
+        min("doc_id").as("min_id"), first("cluster_id").as("cid"))
+    assert(perCluster.filter(col("keeps") =!= 1).count() == 0)
+    assert(perCluster.filter(col("min_id") =!= col("cid")).count() == 0)
+    // dropping non-keeps removes exactly the non-minimal dup members:
+    // multi-member clusters cover all pair nodes, one survivor each
+    val multi = cl.groupBy("cluster_id").count().filter(col("count") > 1)
+    val multiMembers = multi.agg(coalesce(sum("count"), lit(0L)))
+      .collect()(0).getLong(0)
+    val pairNodes = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+    val clustered = pairNodes.select(col("id_a").as("id"))
+      .unionByName(pairNodes.select(col("id_b").as("id"))).distinct().count()
+    assert(multiMembers == clustered)
+    assert(cl.filter(!col("keep")).count() == clustered - multi.count())
+  }
+
   test("bounded pair generation: hot-bucket chunking loses no pairs") {
     import spark.implicits._
     // 120 identical docs all land in one LSH bucket per band; with
