@@ -264,6 +264,34 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** splitmix64_hash(long) → long: the splitmix64 mixer as a column
+  * expression — the deterministic, engine-replicable hash behind
+  * [[Sampling]] (DuckDB has no xxhash64, so oracle parity needs a
+  * hash both engines can compute; the mix chain is 9 integer ops,
+  * replicated in HUGEINT mod-2^64 on the oracle side). Codegen'd:
+  * sampling filters run row-local inside the scan's generated loop.
+  */
+case class SplitMix64Hash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "splitmix64_hash"
+  override def nullSafeEval(v: Any): Any =
+    SplitMix64.mix(v.asInstanceOf[Long])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c => {
+      val x = ctx.freshName("x")
+      s"""
+         |long $x = $c + 0x9e3779b97f4a7c15L;
+         |$x = ($x ^ ($x >>> 30)) * 0xbf58476d1ce4e5b9L;
+         |$x = ($x ^ ($x >>> 27)) * 0x94d049bb133111ebL;
+         |${ev.value} = $x ^ ($x >>> 31);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** hyperplane_buckets(array<double>, numPlanes, numTables) →
   * array<long>: multi-table Charikar random-hyperplane LSH. Each table
   * ANDs `numPlanes` sign bits (precision), the tables OR each other
@@ -387,6 +415,8 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
 }
 
 object HashFunctions {
+  def splitmix64_hash(c: Column): Column =
+    Bridge.column(SplitMix64Hash(Bridge.expression(c)))
   def simhash64(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
   def rolling_fingerprint(c: Column): Column =
     Bridge.column(RollingFingerprint(Bridge.expression(c)))

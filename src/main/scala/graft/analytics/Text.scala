@@ -95,4 +95,17 @@ object Text {
     df.select(col(idCol),
       rolling_fingerprint(
         concat_ws(" ", split(lower(trim(col(textCol))), "\\s+"))).as("fingerprint"))
+
+  /** Corpus vocabulary statistics: global frequency of lowercase
+    * whitespace tokens at or above `minCount` — the input to BPE/vocab
+    * training and frequency-based filtering. One explode + one
+    * hash aggregation; partial (map-side) aggregation collapses each
+    * partition's counts before the shuffle, so the exchange carries
+    * distinct (token, partial_count) pairs, not token instances.
+    */
+  def vocab(df: DataFrame, textCol: String, minCount: Long = 2): DataFrame =
+    df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minCount)
 }

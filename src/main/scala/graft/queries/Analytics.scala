@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.{Dedup, Multimodal, Similarity, Text}
+import graft.analytics.{Dedup, Multimodal, Sampling, Similarity, Text}
 
 /** Training-data pipeline queries (dedup / similarity / text /
   * multimodal). EVERY query carries a DuckDB oracle: the directly
@@ -74,6 +74,18 @@ object Analytics {
 
     "text_fingerprint" -> ((s, dir) =>
       Text.fingerprint(t(s, dir, "documents"), "doc_id", "text")),
+
+    "text_vocab" -> ((s, dir) =>
+      Text.vocab(t(s, dir, "documents"), "text", minCount = 5)),
+
+    // deterministic 25% sample — same rows every run for seed 7
+    "sample_hash" -> ((s, dir) =>
+      Sampling.hashSample(t(s, dir, "documents"), "doc_id", 0.25, seed = 7)
+        .select(col("doc_id"))),
+
+    // deterministic global interleave order for training reads
+    "sample_interleave" -> ((s, dir) =>
+      Sampling.interleave(t(s, dir, "documents"), "doc_id", seed = 7)),
 
     "multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.fakeMediaTable(s, dir))
@@ -357,6 +369,55 @@ object Analytics {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8""",
+    "text_vocab" ->
+      """SELECT w AS token, count(*) AS freq
+         FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+               FROM documents)
+         WHERE w <> '' GROUP BY w HAVING count(*) >= 5""",
+    // splitmix64(doc_id + 7) replicated (same chain as dedup_embedding
+    // plane weights); bucket = bits 12..23 of the unsigned hash,
+    // keep bucket < floor(0.25 * 4096)
+    "sample_hash" ->
+      """WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+         m0 AS (SELECT doc_id,
+           (CAST(doc_id AS HUGEINT) + 7 + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
+           FROM documents CROSS JOIN c),
+         ma AS (SELECT doc_id, xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
+         m1 AS (SELECT doc_id,
+           (x2 % 4294967296 * 484763065 +
+            ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+            * 4294967296) % m64 AS x3, m64 FROM ma),
+         mb AS (SELECT doc_id, xor(x3, x3 // 134217728) AS x4, m64 FROM m1),
+         m2 AS (SELECT doc_id,
+           (x4 % 4294967296 * 321982955 +
+            ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+            * 4294967296) % m64 AS x5, m64 FROM mb),
+         m3 AS (SELECT doc_id, xor(x5, x5 // 2147483648) AS x6 FROM m2)
+         SELECT doc_id FROM m3 WHERE (x6 // 4096) % 4096 < 1024""",
+    // same hash; rank over the SIGNED 64-bit value (Spark's long
+    // ordering), ties broken by doc_id
+    "sample_interleave" ->
+      """WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+         m0 AS (SELECT doc_id,
+           (CAST(doc_id AS HUGEINT) + 7 + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
+           FROM documents CROSS JOIN c),
+         ma AS (SELECT doc_id, xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
+         m1 AS (SELECT doc_id,
+           (x2 % 4294967296 * 484763065 +
+            ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+            * 4294967296) % m64 AS x3, m64 FROM ma),
+         mb AS (SELECT doc_id, xor(x3, x3 // 134217728) AS x4, m64 FROM m1),
+         m2 AS (SELECT doc_id,
+           (x4 % 4294967296 * 321982955 +
+            ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+            * 4294967296) % m64 AS x5, m64 FROM mb),
+         m3 AS (SELECT doc_id, xor(x5, x5 // 2147483648) AS x6, m64 FROM m2),
+         sgn AS (SELECT doc_id,
+           CAST(CASE WHEN x6 >= CAST(9223372036854775808 AS HUGEINT)
+             THEN x6 - m64 ELSE x6 END AS BIGINT) AS s FROM m3)
+         SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY s ASC, doc_id ASC) - 1 AS BIGINT) AS shuffle_rank
+         FROM sgn""",
     "text_tokens" ->
       """SELECT doc_id,
          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
