@@ -50,4 +50,53 @@ object Sampling {
       .orderBy(splitmix64_hash(col(idCol) + lit(seed)).asc, col(idCol).asc)
     df.select(col(idCol), (row_number().over(w) - 1).cast("long").as("shuffle_rank"))
   }
+
+  /** Greedy sequence packing: documents are dealt into `streams` by
+    * interleave rank (round-robin — each stream is a deterministic
+    * pseudo-random subsequence), then each stream packs greedily in
+    * rank order — a pack closes when the next document would push it
+    * past `budget` tokens. Output: (id, pack_id, pack_pos) where
+    * `pack_id = stream * 2^32 + ordinal`.
+    *
+    * Determinism and scale: the stream assignment is pure arithmetic
+    * on the rank (no sampled partition bounds, no partition-id
+    * dependence), so the packing is identical on any cluster layout —
+    * re-derivable, like every operator here. Each stream packs
+    * independently inside `mapPartitions` after a hash exchange on
+    * the stream key and a per-partition sort; a 100 TB corpus runs
+    * thousands of streams in parallel, and the greedy scan is one
+    * pass over each stream's iterator. Documents exceeding `budget`
+    * alone get a pack of their own (they'd be truncated downstream).
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+                    budget: Long, streams: Int = 8, seed: Long = 0L): DataFrame = {
+    require(streams > 0 && budget > 0)
+    val ranked = interleave(df, idCol, seed)
+      .join(df.select(col(idCol), col(tokenCol).cast("long").as("_tokens")), idCol)
+      .select(col(idCol), col("shuffle_rank"), col("_tokens"))
+    val keyed = ranked
+      .withColumn("_stream", (col("shuffle_rank") % streams).cast("int"))
+    val session = df.sparkSession
+    import session.implicits._
+    val packed = keyed
+      .select(col("_stream"), col("shuffle_rank"), col(idCol).cast("long"), col("_tokens"))
+      .as[(Int, Long, Long, Long)]
+      .repartition(math.min(streams, 200), col("_stream"))
+      .sortWithinPartitions(col("_stream"), col("shuffle_rank"))
+      .mapPartitions { it =>
+        var stream = -1
+        var pack = -1L
+        var pos = -1
+        var acc = -1L // < 0 marks the start of a stream
+        it.map { case (s, _, id, tokens) =>
+          if (s != stream) { stream = s; pack = -1L; acc = -1L }
+          if (acc < 0 || acc + tokens > budget) { // close pack, open next
+            pack += 1; pos = 0; acc = tokens
+          } else { pos += 1; acc += tokens }
+          (id, s.toLong * 4294967296L + pack, pos)
+        }
+      }
+    packed.toDF(idCol, "pack_id", "pack_pos")
+      .select(col(idCol), col("pack_id"), col("pack_pos").cast("int").as("pack_pos"))
+  }
 }

@@ -87,6 +87,16 @@ object Analytics {
     "sample_interleave" -> ((s, dir) =>
       Sampling.interleave(t(s, dir, "documents"), "doc_id", seed = 7)),
 
+    // greedy sequence packing into 512-token context windows over the
+    // interleaved order (8 parallel packing streams)
+    "sample_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withTokens = docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      Sampling.packSequences(withTokens, "doc_id", "n_tokens",
+        budget = 512, streams = 8, seed = 7)
+    }),
+
     "multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.fakeMediaTable(s, dir))
         .select(col("media_id"), col("n_bytes"), col("sha256_prefix"))),
@@ -418,6 +428,51 @@ object Analytics {
          SELECT doc_id,
            CAST(row_number() OVER (ORDER BY s ASC, doc_id ASC) - 1 AS BIGINT) AS shuffle_rank
          FROM sgn""",
+    // interleave rank (splitmix64 chain) → stream = rank % 8 → linear
+    // recursion replicating the greedy packer: a pack closes when the
+    // next document would exceed the 512-token budget
+    "sample_pack" ->
+      """WITH RECURSIVE c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+         m0 AS (SELECT doc_id,
+           (CAST(doc_id AS HUGEINT) + 7 + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
+           FROM documents CROSS JOIN c),
+         ma AS (SELECT doc_id, xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
+         m1 AS (SELECT doc_id,
+           (x2 % 4294967296 * 484763065 +
+            ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+            * 4294967296) % m64 AS x3, m64 FROM ma),
+         mb AS (SELECT doc_id, xor(x3, x3 // 134217728) AS x4, m64 FROM m1),
+         m2 AS (SELECT doc_id,
+           (x4 % 4294967296 * 321982955 +
+            ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+            * 4294967296) % m64 AS x5, m64 FROM mb),
+         m3 AS (SELECT doc_id, xor(x5, x5 // 2147483648) AS x6, m64 FROM m2),
+         sgn AS (SELECT doc_id,
+           CAST(CASE WHEN x6 >= CAST(9223372036854775808 AS HUGEINT)
+             THEN x6 - m64 ELSE x6 END AS BIGINT) AS s FROM m3),
+         rnk AS (SELECT doc_id,
+           row_number() OVER (ORDER BY s ASC, doc_id ASC) - 1 AS rk FROM sgn),
+         tok AS (SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS t
+           FROM documents),
+         st AS (SELECT r.rk % 8 AS stream,
+           row_number() OVER (PARTITION BY r.rk % 8 ORDER BY r.rk) - 1 AS i,
+           r.doc_id, tk.t
+           FROM rnk r JOIN tok tk USING (doc_id)),
+         rec AS (
+           SELECT stream, i, doc_id, t,
+             CAST(0 AS BIGINT) AS pack, 0 AS pos, t AS acc
+           FROM st WHERE i = 0
+           UNION ALL
+           SELECT s.stream, s.i, s.doc_id, s.t,
+             CASE WHEN r.acc + s.t > 512 THEN r.pack + 1 ELSE r.pack END,
+             CASE WHEN r.acc + s.t > 512 THEN 0 ELSE r.pos + 1 END,
+             CASE WHEN r.acc + s.t > 512 THEN s.t ELSE r.acc + s.t END
+           FROM rec r JOIN st s ON s.stream = r.stream AND s.i = r.i + 1
+         )
+         SELECT doc_id, stream * 4294967296 + pack AS pack_id,
+           CAST(pos AS INT) AS pack_pos
+         FROM rec""",
     "text_tokens" ->
       """SELECT doc_id,
          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,

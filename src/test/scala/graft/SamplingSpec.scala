@@ -28,6 +28,36 @@ class SamplingSpec extends AnyFunSuite {
     assert(small.subsetOf(a))
   }
 
+  test("sequence packing: budget respected, complete, deterministic") {
+    import spark.implicits._
+    // token counts 1..400, some exceeding half the budget, one giant
+    val docs = (0L until 2000L).map(i => (i, (i * 37 % 400) + 1))
+      .toDF("id", "n_tokens")
+      .union(Seq((9999L, 5000L)).toDF("id", "n_tokens")) // over budget alone
+    val packed = Sampling.packSequences(docs, "id", "n_tokens",
+      budget = 512, streams = 4, seed = 1)
+    val rows = packed.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.length == 2001 && rows.map(_._1).distinct.length == 2001,
+      "every doc packed exactly once")
+    val tokens = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byPack = rows.groupBy(_._2)
+    byPack.foreach { case (pid, members) =>
+      val total = members.map(m => tokens(m._1)).sum
+      assert(total <= 512 || members.length == 1,
+        s"pack $pid overflows with ${members.length} members / $total tokens")
+      assert(members.map(_._3).sorted.toSeq == (0 until members.length),
+        s"pack $pid positions not contiguous")
+    }
+    // over-budget doc is alone in its pack
+    val giantPack = rows.find(_._1 == 9999L).get._2
+    assert(byPack(giantPack).length == 1)
+    // partition-layout independence
+    val again = Sampling.packSequences(docs.repartition(23), "id", "n_tokens",
+      budget = 512, streams = 4, seed = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again == rows.toSet)
+  }
+
   test("interleave is a deterministic permutation") {
     val r1 = Sampling.interleave(ids, "id", seed = 3).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
