@@ -229,30 +229,34 @@ object Dedup {
     */
   def components(pairs: DataFrame, aCol: String = "id_a",
                  bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    // LINEAGE TRUNCATION, not persist-chains: each round references
+    // `labels` twice (directly and inside the neighbor-min join), so a
+    // lineage that nests round over round doubles the recompute per
+    // round on any cache miss — observed as 2^iter blowup (110 s for a
+    // 667-node graph) before eager localCheckpoint made every round's
+    // result a storage-backed leaf. On a real cluster with lineage-
+    // loss concerns, swap localCheckpoint for reliable checkpoint(dir).
     val sym = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct().persist()
+      .distinct().localCheckpoint(true)
     var labels = sym.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
-    try {
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < maxIter) {
-        val nbrMin = sym
-          .join(labels.select(col("id").as("v"), col("label").as("vl")), "v")
-          .groupBy(col("u").as("id")).agg(min(col("vl")).as("nl"))
-        val next = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
-            (col("nl") < col("label")).as("moved"))
-          .persist()
-        changed = next.filter(col("moved")).count()
-        labels.unpersist()
-        labels = next.drop("moved")
-        iter += 1
-      }
-      labels
-    } finally sym.unpersist()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("v"), col("label").as("vl")), "v")
+        .groupBy(col("u").as("id")).agg(min(col("vl")).as("nl"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          (col("nl") < col("label")).as("moved"))
+        .localCheckpoint(true)
+      changed = next.filter(col("moved")).count()
+      labels = next.drop("moved")
+      iter += 1
+    }
+    labels
   }
 
   /** Cluster labeling over a whole corpus: near-dup components from
