@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -217,7 +217,11 @@ object JsonExpressions {
     override def dataType: DataType = StructType(Seq(
       StructField("before", StringType), StructField("after", StringType),
       StructField("op", StringType), StructField("source", StringType),
-      StructField("ts_ms", StringType)))
+      StructField("ts_ms", StringType),
+      // the source object flattened to a string map IN THE SAME PARSE —
+      // the unwrap's metadata merge needs it as a map, and a separate
+      // from_json(source) would be a second Jackson pass per record
+      StructField("source_map", MapType(StringType, StringType))))
     override def nullable: Boolean = true
     override def prettyName: String = "debezium_parts"
     override def nullSafeEval(v: Any): Any = {
@@ -231,10 +235,96 @@ object JsonExpressions {
         else if (n.isValueNode) utf8(n.asText())
         else UTF8String.fromBytes(JsonOps.renderBytes(n))
       }
+      val srcMap: Any = {
+        val n = if (payload == null) null else payload.get("source")
+        if (n == null || !n.isObject) null
+        else {
+          val keys = scala.collection.mutable.ArrayBuffer.empty[Any]
+          val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+          val it = n.fields()
+          while (it.hasNext) {
+            val e = it.next()
+            keys += utf8(e.getKey)
+            val vn = e.getValue
+            vals += (if (vn == null || vn.isNull) null
+              else if (vn.isValueNode) utf8(vn.asText())
+              else UTF8String.fromBytes(JsonOps.renderBytes(vn)))
+          }
+          new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(keys.toArray),
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(vals.toArray))
+        }
+      }
       new GenericInternalRow(Array[Any](
-        field("before"), field("after"), field("op"), field("source"), field("ts_ms")))
+        field("before"), field("after"), field("op"), field("source"),
+        field("ts_ms"), srcMap))
     }
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** One-pass Debezium metadata merge (replaces a chain of five
+    * interpreted map HOFs — map_filter, 2× map_contains_key,
+    * map_concat, from_json — that cost ~15 µs/record):
+    * existing metadata minus source-shadowed keys (minus readAt when
+    * ts_ms supplies it), plus `opencdc.readAt` = ts_ms·10⁶ ns, plus
+    * the flattened source (source wins), in exactly that key order.
+    */
+  case class DebeziumMetaMerge(meta: Expression, srcMap: Expression, tsMs: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def first: Expression = meta
+    override def second: Expression = srcMap
+    override def third: Expression = tsMs
+    override def dataType: DataType = MapType(StringType, StringType)
+    override def nullable: Boolean = false
+    override def prettyName: String = "debezium_meta_merge"
+    override def eval(input: InternalRow): Any = {
+      val m = meta.eval(input).asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+      val s = srcMap.eval(input).asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+      val ts = tsMs.eval(input).asInstanceOf[UTF8String]
+      val srcKeys = new java.util.HashSet[UTF8String]()
+      if (s != null) {
+        var i = 0
+        while (i < s.numElements()) { srcKeys.add(s.keyArray().getUTF8String(i)); i += 1 }
+      }
+      val readAt = utf8("opencdc.readAt")
+      val tsLong: java.lang.Long =
+        if (ts == null) null
+        else try java.lang.Long.valueOf(ts.toString.trim.toLong)
+        catch { case _: NumberFormatException => null }
+      val keys = scala.collection.mutable.ArrayBuffer.empty[Any]
+      val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+      if (m != null) {
+        var i = 0
+        while (i < m.numElements()) {
+          val k = m.keyArray().getUTF8String(i)
+          val drop = srcKeys.contains(k) || (tsLong != null && k == readAt)
+          if (!drop) {
+            keys += k
+            vals += (if (m.valueArray().isNullAt(i)) null
+              else m.valueArray().getUTF8String(i))
+          }
+          i += 1
+        }
+      }
+      if (tsLong != null && !srcKeys.contains(readAt)) {
+        keys += readAt
+        vals += utf8((tsLong * 1000000L).toString)
+      }
+      if (s != null) {
+        var i = 0
+        while (i < s.numElements()) {
+          keys += s.keyArray().getUTF8String(i)
+          vals += (if (s.valueArray().isNullAt(i)) null
+            else s.valueArray().getUTF8String(i))
+          i += 1
+        }
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(keys.toArray),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(vals.toArray))
+    }
+    override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+      copy(meta = f, srcMap = s, tsMs = t)
   }
 
   /** Render a full OpenCDC record as its wire JSON (the reference's
@@ -316,4 +406,6 @@ object JsonExpressions {
     col(JsonSplitField(ex(json), path))
   def cdcToJson(cols: Seq[Column]): Column = col(CdcToJson(cols.map(ex)))
   def debeziumParts(env: Column): Column = col(DebeziumParts(ex(env)))
+  def debeziumMetaMerge(meta: Column, srcMap: Column, tsMs: Column): Column =
+    col(DebeziumMetaMerge(ex(meta), ex(srcMap), ex(tsMs)))
 }
