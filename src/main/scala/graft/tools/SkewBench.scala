@@ -42,6 +42,31 @@ object SkewBench {
     println(f"""{"metric":"skew_dedup","dupDocs":$dups,"uniqueDocs":$uniq,""" +
       f""""cap":$cap,"pairs":$pairs,"expectedPairs":$expected,""" +
       f""""match":${pairs == expected},"seconds":$secs%.1f}""")
+
+    // adversarial clustering: the dup block is ONE clique component of
+    // C(dups,2) SimHash edges — components must label all of it with
+    // the minimum id in O(1) rounds (clique diameter 1) without a
+    // straggler, and every unique doc must keep itself
+    val t1 = System.nanoTime()
+    val cl = graft.analytics.Dedup.clusters(df, "doc_id", "text", maxHamming = 3)
+    val agg = cl.agg(
+      count(lit(1)).as("rows"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("keeps"),
+      countDistinct(col("cluster_id")).as("clusters"),
+      sum(when(col("cluster_id") === 0L, 1L).otherwise(0L)).as("inBigCluster"))
+      .collect()(0)
+    val secs2 = (System.nanoTime() - t1) / 1e9
+    val okRows = agg.getLong(0) == dups.toLong + uniq
+    // the whole boiler block labels 0 (its min id); exactly one keep
+    // per cluster. (The "unique" templated docs legitimately near-dup
+    // each other under SimHash too — only the count invariants are
+    // corpus-independent.)
+    val okCluster = agg.getLong(3) >= dups.toLong
+    val okKeeps = agg.getLong(1) == agg.getLong(2)
+    println(f"""{"metric":"skew_clusters","dupDocs":$dups,"uniqueDocs":$uniq,""" +
+      f""""rows":${agg.getLong(0)},"keeps":${agg.getLong(1)},""" +
+      f""""clusters":${agg.getLong(2)},"inBigCluster":${agg.getLong(3)},""" +
+      f""""match":${okRows && okCluster && okKeeps},"seconds":$secs2%.1f}""")
     spark.stop()
   }
 }
