@@ -156,6 +156,71 @@ class PgOutputSpec extends AnyFunSuite {
     }
   }
 
+  test("property: random tuples survive encode → parse for all DML shapes") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val value: Gen[Any] = Gen.oneOf(
+      Gen.const(null),
+      Gen.const('u'),
+      Gen.asciiPrintableStr.map(_.take(40): Any),
+      Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray: Any))
+    val tupleGen = Gen.nonEmptyListOf(value).map(_.take(8))
+    def expect(vals: Seq[Any]): IndexedSeq[TupleValue] = vals.map {
+      case null => NullValue
+      case 'u' => UnchangedToast
+      case s: String => TextValue(s)
+      case b: Array[Byte] => BinaryValue(b)
+    }.toIndexedSeq
+    def tvEq(a: IndexedSeq[TupleValue], b: IndexedSeq[TupleValue]): Boolean =
+      a.length == b.length && a.zip(b).forall {
+        case (BinaryValue(x), BinaryValue(y)) => x.sameElements(y)
+        case (x, y) => x == y
+      }
+    val prop = Prop.forAll(tupleGen, Gen.chooseNum(1, Int.MaxValue)) { (vals, oid) =>
+      val ins = parse(insertMsg(oid, vals: _*)) match {
+        case Insert(o, t) => o == oid && tvEq(t, expect(vals))
+        case _ => false
+      }
+      val updNoOld = parse(updateMsg(oid, None, Nil, vals)) match {
+        case Update(o, None, None, t) => o == oid && tvEq(t, expect(vals))
+        case _ => false
+      }
+      val updOld = parse(updateMsg(oid, Some('O'), vals, vals)) match {
+        case Update(o, Some('O'), Some(old), t) =>
+          o == oid && tvEq(old, expect(vals)) && tvEq(t, expect(vals))
+        case _ => false
+      }
+      val del = parse(deleteMsg(oid, 'K', vals: _*)) match {
+        case Delete(o, 'K', old) => o == oid && tvEq(old, expect(vals))
+        case _ => false
+      }
+      ins && updNoOld && updOld && del
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("property: random relation schemas survive encode → parse") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val name = Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(12))
+    val colGen = for {
+      f <- Gen.oneOf(0, 1)
+      n <- name
+      t <- Gen.chooseNum(16, 1700)
+      m <- Gen.chooseNum(-1, 100)
+    } yield (f, n, t, m)
+    val prop = Prop.forAll(Gen.chooseNum(1, Int.MaxValue), name, name,
+      Gen.nonEmptyListOf(colGen).map(_.take(10))) { (oid, ns, rn, cols) =>
+      parse(relationMsg(oid, ns, rn, 'd', cols: _*)) match {
+        case Relation(o, n1, n2, 'd', parsed) =>
+          o == oid && n1 == ns && n2 == rn &&
+            parsed.map(c => (c.flags, c.name, c.typeOid, c.typeMod)) == cols.toIndexedSeq
+        case _ => false
+      }
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("toCdc bridges an ordered message frame into the CDC schema") {
     val msgs: Seq[Array[Byte]] = Seq(
       usersRel,
