@@ -46,6 +46,28 @@ case class DedupExact(field: Option[graft.model.Ref]) extends Processor {
   }
 }
 
+/** Deterministic record sampling as a pipeline processor: keeps
+  * ≈`fraction` of records (4096-bucket granularity) by the hash of a
+  * field (default: the record key) — the SAME records every run, on
+  * any partitioning, unlike `rand()`-based sampling. The pipeline form
+  * of [[graft.analytics.Sampling.hashSample]]: data-mix construction
+  * at ingest (sample a noisy source down before it hits storage).
+  */
+case class SampleHash(field: Option[graft.model.Ref], fraction: Double,
+                      seed: Long) extends Processor {
+  require(fraction >= 0 && fraction <= 1, "sample.hash: fraction in [0,1]")
+  val plugin = "sample.hash"
+  override def transform(df: DataFrame): DataFrame = {
+    val content = field.map(RefCols.get).getOrElse(col(Cdc.Key))
+    val cut = math.floor(fraction * 4096).toLong
+    val bucket = shiftrightunsigned(
+      graft.analytics.HashFunctions.splitmix64_hash(
+        xxhash64(coalesce(content, lit("")), lit(seed))), 12)
+      .bitwiseAND(lit(4095L))
+    df.filter(bucket < lit(cut))
+  }
+}
+
 /** Text metrics as a pipeline processor: token/char counts and quality
   * ratios computed from a payload text field, written back into the
   * payload (the processor form of [[graft.analytics.Text]]).

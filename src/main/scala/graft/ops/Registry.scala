@@ -77,7 +77,10 @@ object Registry {
     "sql" -> (s => SqlProc(s("query"), s.getOrElse("view", "records"))),
     "dedup.exact" -> (s => DedupExact(s.get("field").map(Ref.parse))),
     "text.metrics" -> (s => TextMetrics(Ref.parse(
-      s.getOrElse("field", ".Payload.After"))))
+      s.getOrElse("field", ".Payload.After")))),
+    "sample.hash" -> (s => SampleHash(s.get("field").map(Ref.parse),
+      s.getOrElse("fraction", "0.1").toDouble,
+      s.getOrElse("seed", "0").toLong))
   )
 
   def create(plugin: String, settings: Map[String, String]): Processor = {

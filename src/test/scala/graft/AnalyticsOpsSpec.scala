@@ -51,6 +51,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       graft.analytics.Hashing.rollingHash("hello world again"))
   }
 
+  test("sample.hash keeps a deterministic fraction of records") {
+    val recs = gen(4000)
+    val proc = Registry.create("sample.hash",
+      Map("fraction" -> "0.25", "seed" -> "5"))
+    val a = proc(recs).select(col(Cdc.Key)).collect().map(_.getString(0)).toSet
+    val b = proc(recs.repartition(7)).select(col(Cdc.Key)).collect()
+      .map(_.getString(0)).toSet
+    assert(a == b, "same records regardless of partitioning")
+    val frac = a.size.toDouble / 4000
+    assert(math.abs(frac - 0.25) < 0.05, s"fraction $frac")
+    // a different seed samples a different subset
+    val c = Registry.create("sample.hash",
+      Map("fraction" -> "0.25", "seed" -> "6"))(recs)
+      .select(col(Cdc.Key)).collect().map(_.getString(0)).toSet
+    assert(a != c)
+  }
+
   test("sql processor works inside a YAML pipeline") {
     Runner.memorySinks.clear()
     val p = Pipeline("sqlp")
