@@ -38,17 +38,37 @@ object Sampling {
   }
 
   /** Deterministic global interleave: every row gets a stable
-    * pseudo-random position (dense rank of its hash; ties broken by
-    * id). Training pipelines read in `shuffle_rank` order to decorrel-
-    * ate adjacent source documents. The sort is a range exchange on an
-    * 8-byte key — at cluster scale Spark samples range bounds and
-    * sorts each partition independently (the standard total-order
-    * shuffle); no driver-side collection anywhere.
+    * pseudo-random position (its global rank by (hash, id)). Training
+    * pipelines read in `shuffle_rank` order to decorrelate adjacent
+    * source documents.
+    *
+    * NOT a global window: `row_number().over(orderBy(...))` plans an
+    * Exchange SinglePartition — every row through ONE task, dead at
+    * 100 TB. Instead: range-partition on the hash, sort within
+    * partitions, then `zipWithIndex` (one small job collecting P
+    * partition counts, then per-partition offsets). The assigned ranks
+    * depend only on the global (hash, id) ordering — NOT on the
+    * sampled range boundaries — so the output is identical on any
+    * cluster layout, and identical to what the single-partition window
+    * would have produced.
     */
   def interleave(df: DataFrame, idCol: String, seed: Long = 0L): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(splitmix64_hash(col(idCol) + lit(seed)).asc, col(idCol).asc)
-    df.select(col(idCol), (row_number().over(w) - 1).cast("long").as("shuffle_rank"))
+    val session = df.sparkSession
+    val sorted = df
+      .select(col(idCol), splitmix64_hash(col(idCol) + lit(seed)).as("_h"))
+      .repartitionByRange(col("_h"), col(idCol))
+      .sortWithinPartitions(col("_h"), col(idCol))
+    val idIdx = 0
+    val ranked = sorted.queryExecution.toRdd
+      .map(_.copy()) // InternalRow reuse: materialize before buffering in zip
+      .zipWithIndex()
+      .map { case (row, idx) => org.apache.spark.sql.Row(row.getLong(idIdx), idx) }
+    session.createDataFrame(ranked,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("shuffle_rank",
+          org.apache.spark.sql.types.LongType))))
   }
 
   /** Greedy sequence packing: documents are dealt into `streams` by
