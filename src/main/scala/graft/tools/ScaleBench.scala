@@ -89,7 +89,8 @@ object ScaleBench {
       "q6_forecast_revenue", "q9_user_sessions",
       "proc_field_set", "proc_error_dlq", "proc_chain", "proc_filter",
       "dedup_exact", "dedup_minhash",
-      "text_quality", "text_tokens", "text_fingerprint",
+      "text_quality", "text_tokens", "text_fingerprint", "text_vocab",
+      "sample_hash", "sample_interleave", "sample_pack",
       "sim_topk_brute", "sim_topk_ivf")
 
     def run(dir: String, name: String): Double = {
