@@ -209,6 +209,68 @@ object Dedup {
     minhashPairs(df, idCol, textCol, shingleSize = n, threshold = threshold,
       charGrams = true)
 
+  /** Cross-corpus segment-level dedup (the C4/RefinedWeb passage trick
+    * at fixed granularity): each document splits into consecutive
+    * `segTokens`-token chunks, and a chunk is kept only at its FIRST
+    * occurrence corpus-wide — first by (doc_id, seg_idx). Boilerplate
+    * passages repeated across documents (headers, license blocks,
+    * navigation text) drop everywhere but once; `filter(keep)` +
+    * per-doc reassembly yields the cleaned corpus.
+    *
+    * Scale shape: segmentation is row-local (one codegen'd pass per
+    * document); the global first-occurrence decision groups by the
+    * segment's sha-256 digest, so the shuffle carries 32 B + (id, idx)
+    * per segment — never the text. Same digest-shuffle design as
+    * [[exact]], at segment granularity.
+    */
+  def segments(df: DataFrame, idCol: String, textCol: String,
+               segTokens: Int = 10): DataFrame = {
+    require(segTokens > 0)
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val chunks = transform(
+      sequence(lit(0),
+        ceil(size(toks).cast("double") / segTokens).cast("int") - 1),
+      i => concat_ws(" ", slice(toks, i * segTokens + 1, lit(segTokens))))
+    val segs = df.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol).as("doc_id"), posexplode(chunks).as(Seq("seg_idx", "segment")))
+      .select(col("doc_id"), col("seg_idx"), sha2(col("segment"), 256).as("seg_hash"))
+    val keeper = segs.groupBy(col("seg_hash"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("k"))
+    segs.join(keeper, "seg_hash")
+      .select(col("doc_id"), col("seg_idx"),
+        (col("doc_id") === col("k.doc_id") && col("seg_idx") === col("k.seg_idx"))
+          .as("keep"))
+  }
+
+  /** Incremental (batch-vs-history) exact dedup: classify each new
+    * document as `kept` (first of its content anywhere), `dup_batch`
+    * (a smaller-id copy exists in the same batch), or `dup_history`
+    * (the content is already in the historical corpus). This is the
+    * ingest-time shape of dedup at 100 TB — the history never rescans;
+    * only its digest set participates.
+    *
+    * Scale shape: both sides reduce to sha-256 digests before any
+    * join; history collapses to distinct digests (one 32 B row per
+    * distinct historical content), and the batch's first-of-digest
+    * resolution is a digest-keyed aggregation. With a persisted digest
+    * store (bucketed by digest) the history join is co-located and
+    * shuffle-free.
+    */
+  def incremental(newDf: DataFrame, historyDf: DataFrame,
+                  idCol: String, textCol: String): DataFrame = {
+    val fresh = newDf.select(col(idCol).as("doc_id"),
+      sha2(col(textCol), 256).as("h"))
+    val hist = historyDf.select(sha2(col(textCol), 256).as("h")).distinct()
+      .withColumn("in_hist", lit(1))
+    val firstInBatch = fresh.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+    fresh.join(hist, Seq("h"), "left")
+      .join(firstInBatch, "h")
+      .select(col("doc_id"),
+        when(col("in_hist").isNotNull, lit("dup_history"))
+          .when(col("doc_id") =!= col("first_id"), lit("dup_batch"))
+          .otherwise(lit("kept")).as("status"))
+  }
+
   /** Connected components over a near-dup pair list: every node gets
     * the MINIMUM id of its component as `label` — the canonical-doc
     * choice a dedup pipeline actually needs (pairs alone don't say

@@ -331,6 +331,30 @@ case class HyperplaneBuckets(child: Expression, numPlanes: Int, numTables: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** nfc_normalize(string) → string: Unicode NFC canonical composition
+  * (java.text.Normalizer — the JDK's ICU-derived implementation).
+  * Spark has no normalization built-in; decomposed ("e" + U+0301) and
+  * composed ("é") spellings of the same text must dedup/fingerprint
+  * identically, so normalization is the first step of every text
+  * pipeline. Codegen'd — it runs per document inside the scan stage.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nfc_normalize"
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      v.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($c.toString(),
+         |    java.text.Normalizer.Form.NFC));""".stripMargin)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** jaccard_sim(array<string>, array<string>) → double: |∩| / |∪| in
   * ONE pass (hash set of the left side, membership scan of the right).
   * The `size(array_intersect)/size(array_union)` formulation walks both
@@ -436,4 +460,6 @@ object HashFunctions {
     Bridge.column(NearestCentroids(Bridge.expression(c), centroids, top))
   def jaccard_sim(a: Column, b: Column): Column =
     Bridge.column(JaccardSim(Bridge.expression(a), Bridge.expression(b)))
+  def nfc_normalize(c: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(c)))
 }

@@ -71,6 +71,31 @@ object Sampling {
           org.apache.spark.sql.types.LongType))))
   }
 
+  /** Deterministic stratified sampling: an exact quota of `perStratum`
+    * rows from every stratum, chosen by splitmix64 rank (ties by id) —
+    * the balanced-mix primitive (per-language / per-source quotas) of
+    * training-data curation, re-derivable from (seed, quota) alone.
+    *
+    * Scale shape: one hash exchange on the stratum key + a per-stratum
+    * sort for the rank window — strata counts are small (languages,
+    * sources), so the window never degenerates to a single global
+    * partition, but a HUGE stratum does serialize into one task's
+    * sort. When quotas are large enough to tolerate ±1/4096 error,
+    * [[hashSample]] with a per-stratum fraction is the constant-memory
+    * alternative (row-local filter, no exchange at all).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       perStratum: Int, seed: Long = 0L): DataFrame = {
+    require(perStratum > 0)
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(idCol), col(strataCol),
+        splitmix64_hash(col(idCol) + lit(seed)).as("_h"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col(strataCol)).orderBy(col("_h"), col(idCol))))
+      .filter(col("_rk") <= perStratum)
+      .select(col(idCol), col(strataCol))
+  }
+
   /** Greedy sequence packing: documents are dealt into `streams` by
     * interleave rank (round-robin — each stream is a deterministic
     * pseudo-random subsequence), then each stream packs greedily in

@@ -96,6 +96,116 @@ object Text {
       rolling_fingerprint(
         concat_ws(" ", split(lower(trim(col(textCol))), "\\s+"))).as("fingerprint"))
 
+  /** Canonical text normalization — the first stage of every training-
+    * data pipeline: Unicode NFC (composed/decomposed spellings unify),
+    * lowercase, control characters to spaces, whitespace runs collapsed
+    * to single spaces, trimmed. Row-local, fully codegen'd, zero
+    * shuffle — it streams at scan speed over 100 TB.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(nfc_normalize(text)), "[\\p{Cntrl}]", " "),
+      "\\s+", " "))
+
+  def normalize(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      normalizeText(col(textCol)).as("norm_text"),
+      length(normalizeText(col(textCol))).cast("long").as("n_chars_norm"))
+
+  // PII patterns deliberately restricted to constructs with identical
+  // semantics in Java regex and RE2 (the oracle's engine): character
+  // classes, bounded repetition, greedy quantifiers, ASCII \b. Phones
+  // require a leading '+' so a plain digit run is never swallowed.
+  private[analytics] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[analytics] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[analytics] val PhoneRe = "\\+\\d[\\d\\- ]{5,13}\\d"
+
+  /** PII redaction: emails, IPv4 addresses, and +-prefixed phone
+    * numbers replaced with typed placeholders, plus per-category match
+    * counts from the original text. Row-local regex work inside the
+    * scan's codegen stage — the 100 TB cost is the scan itself.
+    * Redaction order (email → ip → phone) is part of the contract:
+    * later patterns see the earlier placeholders, never the raw match.
+    */
+  def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+    df.select(col(idCol),
+      clean.as("clean_text"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"))
+  }
+
+  /** Gopher-style repetition features (Rae et al. 2021, §A1.1): the
+    * duplicate-word fraction (row-local) and the share of characters
+    * covered by the single most frequent word bigram. Occurrences
+    * count with overlap (the sliding window); the top bigram ties
+    * break to the lexicographically LARGEST gram (max of a
+    * (count, gram) struct — replicated by the oracle's ORDER BY).
+    *
+    * Scale shape: the bigram mode needs a per-(doc, gram) count — two
+    * hash aggregations keyed by doc id, shuffling one row per distinct
+    * (doc, bigram), never the documents. Everything else is row-local.
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = wsTokens(lower(trim(col(textCol))))
+    val base = df.select(col(idCol), toks.as("toks"))
+    val stats = base.select(col(idCol),
+      size(col("toks")).as("n"),
+      size(array_distinct(col("toks"))).as("nd"),
+      length(concat_ws(" ", col("toks"))).as("n_join_chars"))
+    val nm1 = greatest(size(col("toks")) - 1, lit(0))
+    val bigrams = base.select(col(idCol),
+      explode(zip_with(
+        slice(col("toks"), lit(1), nm1),
+        slice(col("toks"), lit(2), nm1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    val top = bigrams
+      .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(struct(col("c"), col("bigram"))).as("m"))
+      .select(col(idCol), col("m.c").as("top_c"), col("m.bigram").as("top_bigram"))
+    stats.join(top, Seq(idCol), "left").select(col(idCol),
+      ((col("n") - col("nd")).cast("double") / col("n").cast("double"))
+        .as("frac_dup_words"),
+      coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+      coalesce(
+        (col("top_c") * length(col("top_bigram"))).cast("double") /
+          col("n_join_chars").cast("double"),
+        lit(0.0)).as("frac_chars_top_bigram"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * `n`-token gram with the evaluation set (the standard 8-13-gram
+    * overlap check run before every serious pretraining job). Gram
+    * sets are per-document DISTINCT ([[graft.analytics.Shingles]]), so
+    * the hit count is the number of distinct contaminated grams.
+    *
+    * Scale shape: the eval set is small by definition — its distinct
+    * gram set is broadcast, so the corpus side is one scan + one
+    * row-local shingle pass + a broadcast semi-join-shaped inner join;
+    * the only aggregation is per-doc hit counting keyed by id. The
+    * corpus never shuffles its text.
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val hits = corpus
+      .select(col(idCol), explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
+    corpus.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("hits"), lit(0L)).as("n_contaminated_grams"),
+        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Corpus vocabulary statistics: global frequency of lowercase
     * whitespace tokens at or above `minCount` — the input to BPE/vocab
     * training and frequency-based filtering. One explode + one

@@ -97,6 +97,61 @@ object Analytics {
         budget = 512, streams = 8, seed = 7)
     }),
 
+    "text_normalize" -> ((s, dir) =>
+      Text.normalize(t(s, dir, "documents"), "doc_id", "text")),
+
+    // the corpus carries no PII, so the gate query injects a
+    // deterministic synthetic tail (email + IPv4 + phone derived from
+    // doc_id) — the oracle builds the identical input, so the
+    // hash-match exercises real redaction, not a no-op
+    "text_pii" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com at 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0.1 or +1-555-"),
+          (lit(1000) + col("doc_id") % 9000).cast("string")).as("text"))
+      Text.piiRedact(docs, "doc_id", "text")
+    }),
+
+    "text_repetition" -> ((s, dir) =>
+      Text.repetition(t(s, dir, "documents"), "doc_id", "text")),
+
+    // decontamination with real overlap by construction: the "benchmark"
+    // items are 20-token prefixes of every 50th corpus document — the
+    // way eval sets actually leak into web-scale training data — so the
+    // source docs (and their near-dups) must be flagged on 8-gram hits
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.filter(col("doc_id") % 50 === 0)
+        .select(concat_ws(" ",
+          slice(split(trim(col("text")), "\\s+"), 1, 20)).as("text"))
+      Text.decontaminate(docs, evalSet, "doc_id", "text", n = 8)
+    }),
+
+    // exact per-language quota: 20 docs per lang by splitmix64 rank
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+        perStratum = 20, seed = 7)),
+
+    // passage-level dedup: 10-token segments, keep = first occurrence
+    // corpus-wide by (doc_id, seg_idx)
+    "dedup_segments" -> ((s, dir) =>
+      Dedup.segments(t(s, dir, "documents"), "doc_id", "text", segTokens = 10)),
+
+    // ingest-time dedup: the corpus has no exact dups, so the gate
+    // constructs them — history = every 3rd doc, batch = all docs plus
+    // id-shifted copies of every 5th — exercising all three statuses
+    // (kept / dup_batch / dup_history) under the oracle
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val batch = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.incremental(batch, docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text")
+    }),
+
     "multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.fakeMediaTable(s, dir))
         .select(col("media_id"), col("n_bytes"), col("sha256_prefix"))),
@@ -473,6 +528,158 @@ object Analytics {
          SELECT doc_id, stream * 4294967296 + pack AS pack_id,
            CAST(pos AS INT) AS pack_pos
          FROM rec""",
+    // NFC + lower + control-chars→space + whitespace collapse + trim;
+    // [\x00-\x1f\x7f] is exactly Java's \p{Cntrl}
+    "text_normalize" ->
+      """SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+           '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text,
+         CAST(length(trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+           '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+         FROM documents""",
+    // identical injected input; patterns restricted to the Java-regex ∩
+    // RE2 common subset, replacement order email → ip → phone
+    "text_pii" ->
+      """WITH d AS (SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@example.com at 10.' || CAST(doc_id % 256 AS VARCHAR)
+             || '.0.1 or +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS t
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+\d[\d\- ]{5,13}\d', '<PHONE>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t,
+             '\+\d[\d\- ]{5,13}\d')) AS BIGINT) AS n_phones
+         FROM d""",
+    // duplicate-word fraction + most frequent word bigram (overlapping
+    // occurrences; ties break to the lexicographically largest gram,
+    // Spark's max-of-(count, gram)-struct) and its character share
+    "text_repetition" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+           FROM documents
+         ), st AS (
+           SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd,
+             length(array_to_string(t, ' ')) AS jc FROM tok
+         ), bg AS (
+           SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+           FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tok)
+         ), ct AS (
+           SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+         ), tp AS (
+           SELECT doc_id, bigram AS top_bigram, c AS top_c,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY c DESC, bigram DESC) AS rn
+           FROM ct
+         )
+         SELECT s.doc_id,
+           (s.n - s.nd) / CAST(s.n AS DOUBLE) AS frac_dup_words,
+           coalesce(tp.top_bigram, '') AS top_bigram,
+           coalesce(CAST(tp.top_c * length(tp.top_bigram) AS DOUBLE)
+             / CAST(s.jc AS DOUBLE), CAST(0 AS DOUBLE)) AS frac_chars_top_bigram
+         FROM st s LEFT JOIN tp ON tp.doc_id = s.doc_id AND tp.rn = 1""",
+    // 8-token distinct gram sets (the dedup_minhash shingle pattern at
+    // n=8); the eval set is the 20-token prefix of every 50th doc
+    "text_decontaminate" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 6),
+                    i -> array_to_string(t[i:i+7], ' ')))
+             END AS s
+           FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                 FROM documents WHERE trim(text) <> '')
+         ), evt AS (
+           SELECT array_to_string(t[1:20], ' ') AS etext
+           FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS t
+                 FROM documents WHERE doc_id % 50 = 0)
+         ), ev AS (
+           SELECT DISTINCT unnest(
+             CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 6),
+                    i -> array_to_string(t[i:i+7], ' ')))
+             END) AS gram
+           FROM (SELECT regexp_split_to_array(trim(lower(etext)), '\s+') AS t
+                 FROM evt WHERE trim(etext) <> '')
+         ), tr AS (
+           SELECT doc_id, unnest(s) AS gram FROM sh
+         ), hits AS (
+           SELECT tr.doc_id, count(*) AS h FROM tr JOIN ev USING (gram)
+           GROUP BY tr.doc_id
+         )
+         SELECT d.doc_id, coalesce(h.h, 0) AS n_contaminated_grams,
+           coalesce(h.h, 0) > 0 AS contaminated
+         FROM (SELECT doc_id FROM documents) d
+         LEFT JOIN hits h USING (doc_id)""",
+    // splitmix64(doc_id + 7) chain (same as sample_interleave), ranked
+    // within each lang by the SIGNED hash, quota 20 per lang
+    "sample_stratified" ->
+      """WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+         m0 AS (SELECT doc_id,
+           (CAST(doc_id AS HUGEINT) + 7 + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
+           FROM documents CROSS JOIN c),
+         ma AS (SELECT doc_id, xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
+         m1 AS (SELECT doc_id,
+           (x2 % 4294967296 * 484763065 +
+            ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+            * 4294967296) % m64 AS x3, m64 FROM ma),
+         mb AS (SELECT doc_id, xor(x3, x3 // 134217728) AS x4, m64 FROM m1),
+         m2 AS (SELECT doc_id,
+           (x4 % 4294967296 * 321982955 +
+            ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+            * 4294967296) % m64 AS x5, m64 FROM mb),
+         m3 AS (SELECT doc_id, xor(x5, x5 // 2147483648) AS x6, m64 FROM m2),
+         sgn AS (SELECT doc_id,
+           CAST(CASE WHEN x6 >= CAST(9223372036854775808 AS HUGEINT)
+             THEN x6 - m64 ELSE x6 END AS BIGINT) AS s FROM m3)
+         SELECT doc_id, lang FROM (
+           SELECT d.doc_id, d.lang,
+             row_number() OVER (PARTITION BY d.lang
+               ORDER BY g.s ASC, d.doc_id ASC) AS rk
+           FROM documents d JOIN sgn g USING (doc_id))
+         WHERE rk <= 20""",
+    // 10-token segmentation replicated; keep = first (doc_id, seg_idx)
+    // occurrence of the segment corpus-wide (sha-256 grouping in the
+    // engine ≡ direct segment-text grouping here)
+    "dedup_segments" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+           FROM documents WHERE trim(text) <> ''
+         ), segs AS (
+           SELECT doc_id, CAST(i AS INT) AS seg_idx,
+             array_to_string(t[(i*10+1):(i*10+10)], ' ') AS seg
+           FROM (SELECT doc_id, t,
+                   unnest(range(CAST(ceil(len(t) / 10.0) AS BIGINT))) AS i
+                 FROM tok)
+         )
+         SELECT doc_id, seg_idx,
+           row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1 AS keep
+         FROM segs""",
+    // sha-256 grouping in the engine ≡ direct text grouping here;
+    // batch = documents ∪ id-shifted copies of every 5th doc,
+    // history = every 3rd doc (the gate's constructed-dup scenario)
+    "dedup_incremental" ->
+      """WITH hist AS (
+           SELECT DISTINCT text FROM documents WHERE doc_id % 3 = 0
+         ), nw AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents
+           WHERE doc_id % 5 = 0
+         ), fb AS (
+           SELECT text, min(doc_id) AS first_id FROM nw GROUP BY text
+         )
+         SELECT n.doc_id,
+           CASE WHEN h.text IS NOT NULL THEN 'dup_history'
+                WHEN n.doc_id <> f.first_id THEN 'dup_batch'
+                ELSE 'kept' END AS status
+         FROM nw n LEFT JOIN hist h USING (text) JOIN fb f USING (text)""",
     "text_tokens" ->
       """SELECT doc_id,
          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
