@@ -355,6 +355,51 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** linear_text_score(array<string>) → struct<n_features:long,
+  * margin:double>: a fasttext-shaped linear text classifier over a
+  * hashed bag of features — the token array's unigrams followed by its
+  * adjacent-word bigrams — where the weight of feature f is derived on
+  * the fly as signed(splitmix64(fnv1a(f) + seed)) / 2^63 ∈ [-1, 1).
+  * A deterministic stand-in for trained weights with the exact
+  * execution shape of the real thing (hash → weight → sequential
+  * accumulate): swapping in a learned weight table changes one
+  * function, not the plan. `margin` is the mean feature weight,
+  * accumulated in feature order (unigrams then bigrams, left to
+  * right) so the IEEE sum is reproducible bit-for-bit by any engine
+  * that folds sequentially. One pass, no dictionary state, row-local —
+  * classification streams at scan speed over 100 TB.
+  */
+case class LinearTextScore(child: Expression, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_features", LongType, nullable = false),
+    StructField("margin", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "linear_text_score"
+  private def weight(s: String): Double =
+    SplitMix64.mix(Hashing.fnv1a(s) + seed).toDouble / 9.223372036854775808e18
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val u = arr.getUTF8String(i)
+      toks(i) = if (u == null) "" else u.toString
+      i += 1
+    }
+    var sum = 0.0
+    var count = 0L
+    i = 0
+    while (i < n) { sum += weight(toks(i)); count += 1; i += 1 }
+    i = 0
+    while (i < n - 1) { sum += weight(toks(i) + " " + toks(i + 1)); count += 1; i += 1 }
+    val margin = if (count == 0L) 0.0 else sum / count
+    org.apache.spark.sql.catalyst.InternalRow(count, margin)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** jaccard_sim(array<string>, array<string>) → double: |∩| / |∪| in
   * ONE pass (hash set of the left side, membership scan of the right).
   * The `size(array_intersect)/size(array_union)` formulation walks both
@@ -462,4 +507,6 @@ object HashFunctions {
     Bridge.column(JaccardSim(Bridge.expression(a), Bridge.expression(b)))
   def nfc_normalize(c: Column): Column =
     Bridge.column(NfcNormalize(Bridge.expression(c)))
+  def linear_text_score(c: Column, seed: Long): Column =
+    Bridge.column(LinearTextScore(Bridge.expression(c), seed))
 }

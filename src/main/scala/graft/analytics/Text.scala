@@ -206,6 +206,24 @@ object Text {
         (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Model-based quality classification: a linear classifier over
+    * hashed unigram+bigram features ([[LinearTextScore]]), weights
+    * derived deterministically from the seed. `margin` is the mean
+    * feature weight; `keep` is the sign — the sigmoid a real classifier
+    * would apply is monotone in the margin, so thresholding the margin
+    * IS thresholding the probability. Row-local, zero shuffle; the
+    * struct result is materialized once via a temp column (a
+    * multi-referenced non-cheap expression survives CollapseProject).
+    */
+  def classifierScore(df: DataFrame, idCol: String, textCol: String,
+                      seed: Long = 42L): DataFrame =
+    df.withColumn("_sc",
+        linear_text_score(wsTokens(lower(trim(col(textCol)))), seed))
+      .select(col(idCol),
+        col("_sc.n_features").as("n_features"),
+        col("_sc.margin").as("margin"),
+        (col("_sc.margin") > 0).as("keep"))
+
   /** Corpus vocabulary statistics: global frequency of lowercase
     * whitespace tokens at or above `minCount` — the input to BPE/vocab
     * training and frequency-based filtering. One explode + one

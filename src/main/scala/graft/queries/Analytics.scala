@@ -100,6 +100,12 @@ object Analytics {
     "text_normalize" -> ((s, dir) =>
       Text.normalize(t(s, dir, "documents"), "doc_id", "text")),
 
+    // model-based quality classification: hashed unigram+bigram linear
+    // model, weights derived from seed 42 — deterministic, so the
+    // oracle replays fnv1a + splitmix64 + the sequential IEEE fold
+    "text_classifier" -> ((s, dir) =>
+      Text.classifierScore(t(s, dir, "documents"), "doc_id", "text", seed = 42L)),
+
     // the corpus carries no PII, so the gate query injects a
     // deterministic synthetic tail (email + IPv4 + phone derived from
     // doc_id) — the oracle builds the identical input, so the
@@ -537,6 +543,56 @@ object Analytics {
          CAST(length(trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
            '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
          FROM documents""",
+    // full replication of the hashed linear classifier: FNV-1a per
+    // distinct feature (unigrams + adjacent bigrams, in order), weight
+    // = signed(splitmix64(h + 42)) / 2^63 via 32-bit-half multiplies,
+    // margin = sequential left-fold mean (list_reduce ≡ the engine's
+    // accumulation loop, bit-identical IEEE)
+    "text_classifier" ->
+      """WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+         tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+           FROM documents
+         ), fe AS (
+           SELECT doc_id, list_concat(t,
+             list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS f
+           FROM tok
+         ), dfeat AS (
+           SELECT DISTINCT unnest(f) AS w FROM fe
+         ), wh AS (
+           SELECT w, list_reduce(
+             list_prepend(CAST(14695981039346656037 AS HUGEINT),
+               list_transform(list_filter(string_split_regex(w, ''), ch -> ch <> ''),
+                 ch -> CAST(unicode(ch) AS HUGEINT))),
+             (acc, ch) -> (xor(acc, ch) * 1099511628211) %
+               CAST(18446744073709551616 AS HUGEINT)) AS uh
+           FROM dfeat
+         ), m0 AS (SELECT w,
+           (uh + 42 + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
+           FROM wh CROSS JOIN c),
+         ma AS (SELECT w, xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
+         m1 AS (SELECT w,
+           (x2 % 4294967296 * 484763065 +
+            ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+            * 4294967296) % m64 AS x3, m64 FROM ma),
+         mb AS (SELECT w, xor(x3, x3 // 134217728) AS x4, m64 FROM m1),
+         m2 AS (SELECT w,
+           (x4 % 4294967296 * 321982955 +
+            ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+            * 4294967296) % m64 AS x5, m64 FROM mb),
+         m3 AS (SELECT w, xor(x5, x5 // 2147483648) AS x6, m64 FROM m2),
+         wt AS (SELECT w,
+           CAST(CAST(CASE WHEN x6 >= CAST(9223372036854775808 AS HUGEINT)
+             THEN x6 - m64 ELSE x6 END AS BIGINT) AS DOUBLE)
+             / CAST(9223372036854775808 AS DOUBLE) AS wgt FROM m3),
+         ex AS (SELECT doc_id, unnest(f) AS w, unnest(range(len(f))) AS i FROM fe),
+         lw AS (SELECT doc_id, list(wgt ORDER BY i) AS ws
+                FROM ex JOIN wt USING (w) GROUP BY doc_id),
+         sm AS (SELECT doc_id, len(ws) AS nf,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE), ws),
+                    (a, b) -> a + b) AS s FROM lw)
+         SELECT doc_id, CAST(nf AS BIGINT) AS n_features,
+           s / nf AS margin, s / nf > 0 AS keep FROM sm""",
     // identical injected input; patterns restricted to the Java-regex ∩
     // RE2 common subset, replacement order email → ip → phone
     "text_pii" ->
