@@ -290,7 +290,8 @@ object Dedup {
     * Input: (aCol, bCol) id pairs. Output: (id, label).
     */
   def components(pairs: DataFrame, aCol: String = "id_a",
-                 bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+                 bCol: String = "id_b", maxIter: Int = 25,
+                 driverEdgeCap: Long = 1000000L): DataFrame = {
     // LINEAGE TRUNCATION, not persist-chains: each round references
     // `labels` twice (directly and inside the neighbor-min join), so a
     // lineage that nests round over round doubles the recompute per
@@ -301,6 +302,18 @@ object Dedup {
     val sym = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct().localCheckpoint(true)
+    // COUNT-GATED hybrid: the edge list after near-dup verification is
+    // O(duplicates), not O(corpus) — usually a few thousand pairs even
+    // when the corpus is 100 TB. When the (counted, never assumed)
+    // edge count fits comfortably on the driver, a single union-find
+    // pass replaces 2-25 join+shuffle rounds: ~10 Spark jobs become 1
+    // collect + 1 parallelize. Graphs above the cap (adversarial dup
+    // floods — SkewBench's 50M-edge clique) take the distributed
+    // min-label loop below, which never materializes edges anywhere.
+    if (sym.count() <= 2L * driverEdgeCap) {
+      val small = driverComponents(sym)
+      if (small.isDefined) return small.get
+    }
     var labels = sym.select(col("u").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
     var changed = 1L
@@ -319,6 +332,55 @@ object Dedup {
       iter += 1
     }
     labels
+  }
+
+  /** Driver-side union-find over a collected symmetric edge list —
+    * the small-graph fast path of [[components]]. Path-compressed,
+    * rank-unioned, then every node labeled with its component's
+    * minimum id. Returns None when the id type has no natural order
+    * we handle (caller falls back to the distributed loop).
+    */
+  private def driverComponents(sym: DataFrame): Option[DataFrame] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val idType = sym.schema("u").dataType
+    val ord: Ordering[Any] = idType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        Ordering.by((x: Any) => x.asInstanceOf[Number].longValue)
+      case StringType => Ordering.by((x: Any) => x.asInstanceOf[String])
+      case _ => return None
+    }
+    val edges = sym.filter(col("u") < col("v")).collect()
+    val parent = new java.util.HashMap[Any, Any]()
+    val rank = new java.util.HashMap[Any, Int]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { row =>
+      val (ru, rv) = (find(row.get(0)), find(row.get(1)))
+      if (ru != rv) {
+        val (cu, cv) = (rank.getOrDefault(ru, 0), rank.getOrDefault(rv, 0))
+        if (cu < cv) parent.put(ru, rv)
+        else if (cu > cv) parent.put(rv, ru)
+        else { parent.put(rv, ru); rank.put(ru, cu + 1) }
+      }
+    }
+    val nodes = edges.iterator.flatMap(r => Iterator(r.get(0), r.get(1))).toSet
+    val minOfRoot = new java.util.HashMap[Any, Any]()
+    nodes.foreach { n =>
+      val r = find(n)
+      val cur = minOfRoot.get(r)
+      if (cur == null || ord.lt(n, cur)) minOfRoot.put(r, n)
+    }
+    val rows = nodes.iterator.map(n => Row(n, minOfRoot.get(find(n)))).toSeq
+    val schema = StructType(Seq(
+      StructField("id", idType), StructField("label", idType)))
+    Some(sym.sparkSession.createDataFrame(
+      sym.sparkSession.sparkContext.parallelize(rows, 1), schema))
   }
 
   /** Cluster labeling over a whole corpus: near-dup components from

@@ -99,6 +99,11 @@ class AnalyticsSpec extends AnyFunSuite {
     (1L to 8L).foreach(i => assert(labels(i) == 1L, s"chain node $i"))
     Seq(20L, 21L, 22L).foreach(i => assert(labels(i) == 20L))
     Seq(30L, 31L).foreach(i => assert(labels(i) == 30L))
+    // the distributed min-label loop (edge cap 0 forces it) must agree
+    // with the driver union-find fast path exactly
+    val distributed = Dedup.components(pairs, driverEdgeCap = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == labels, "driver and distributed paths disagree")
   }
 
   test("cluster labeling keeps exactly one doc per near-dup component") {
