@@ -292,6 +292,27 @@ case class SplitMix64Hash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** java_ln(double) → double via `java.lang.Math.log` (the hardware
+  * intrinsic, correctly rounded on every probed argument — bitwise
+  * equal to DuckDB/glibc `ln`). Spark's own `log` routes through
+  * `StrictMath.log` (fdlibm) for cross-platform stability, which is
+  * off by one ulp from the correctly-rounded result on ~15% of
+  * arguments — enough to break hash-match oracles for ranking
+  * functions. Scoring operators that carry a DuckDB oracle use this.
+  */
+case class JavaLn(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "java_ln"
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Math.log(v.asInstanceOf[Double])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = java.lang.Math.log($c);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** hyperplane_buckets(array<double>, numPlanes, numTables) →
   * array<long>: multi-table Charikar random-hyperplane LSH. Each table
   * ANDs `numPlanes` sign bits (precision), the tables OR each other
@@ -509,4 +530,5 @@ object HashFunctions {
     Bridge.column(NfcNormalize(Bridge.expression(c)))
   def linear_text_score(c: Column, seed: Long): Column =
     Bridge.column(LinearTextScore(Bridge.expression(c), seed))
+  def java_ln(c: Column): Column = Bridge.column(JavaLn(Bridge.expression(c)))
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.{Dedup, Multimodal, Sampling, Similarity, Text}
+import graft.analytics.{Dedup, Multimodal, Retrieval, Sampling, Similarity, Text}
 
 /** Training-data pipeline queries (dedup / similarity / text /
   * multimodal). EVERY query carries a DuckDB oracle: the directly
@@ -158,6 +158,20 @@ object Analytics {
         "doc_id", "text")
     }),
 
+    // BM25 top-10 per query over the inverted-index plan; scores are
+    // sequential term-ordered IEEE folds, so the DuckDB oracle
+    // hash-matches a floating-point ranking function
+    "text_bm25" -> ((s, dir) =>
+      Retrieval.bm25(t(s, dir, "documents"), "doc_id", "text",
+        Seq("q1" -> Seq("hash", "join", "merge"),
+            "q2" -> Seq("dup", "stream", "window"),
+            "q3" -> Seq("vector", "query", "sort")),
+        topK = 10)),
+
+    // ltc-style tf·idf weights for every (doc, term) with df >= 5
+    "text_tfidf" -> ((s, dir) =>
+      Retrieval.tfidf(t(s, dir, "documents"), "doc_id", "text", minDf = 5)),
+
     "multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.fakeMediaTable(s, dir))
         .select(col("media_id"), col("n_bytes"), col("sha256_prefix"))),
@@ -167,6 +181,59 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // BM25 replication: same tokenization, posting-list tf/df, the
+    // published idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (DuckDB ln ==
+    // Java Math.log bitwise — both correctly rounded on these args),
+    // per-doc score = list_reduce fold in term order (== the engine's
+    // array_sort + sequential aggregate). Double literals are CAST —
+    // bare 1.2 parses as DECIMAL and decimal arithmetic diverges.
+    "text_bm25" ->
+      """WITH q(query_id, term) AS (VALUES
+           ('q1','hash'),('q1','join'),('q1','merge'),
+           ('q2','dup'),('q2','stream'),('q2','window'),
+           ('q3','vector'),('q3','query'),('q3','sort')),
+         dls AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM
+           (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+            FROM documents)),
+         stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+           FROM dls),
+         tf AS (SELECT doc_id, dl, w AS term, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, dl, unnest(t) AS w FROM dls)
+           WHERE w IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, dl, w),
+         dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         contrib AS (SELECT q.query_id, tf.doc_id, tf.term,
+           ln(CAST(1.0 AS DOUBLE) +
+              (CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+              (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))) *
+           (CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+           (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+             (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+               (CAST(tf.dl AS DOUBLE) / s.avgdl))) AS c
+           FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+           JOIN q ON q.term = tf.term),
+         scores AS (SELECT query_id, doc_id,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)),
+             (a, b) -> a + b) AS score
+           FROM contrib GROUP BY query_id, doc_id)
+         SELECT query_id, CAST(rk AS BIGINT) AS rank, doc_id, score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) AS rk
+           FROM scores) WHERE rk <= 10""",
+    "text_tfidf" ->
+      """WITH tok AS (SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+           FROM documents),
+         tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+           FROM tok WHERE w <> '' GROUP BY doc_id, w),
+         dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+           FROM tf GROUP BY w HAVING count(*) >= 5),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+         SELECT tf.doc_id, tf.w AS term, tf.tf, d.df,
+           (CAST(1.0 AS DOUBLE) + ln(CAST(tf.tf AS DOUBLE))) *
+             ln(CAST(nn.n AS DOUBLE) / CAST(d.df AS DOUBLE)) AS weight
+         FROM tf JOIN dfreq d USING (w) CROSS JOIN nn""",
     // nprobe=nlist probes every cell — exact search, brute-force oracle
     // (identical to sim_topk_brute's, same query set)
     "sim_topk_ivf" ->

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.Retrieval
+
+/** BM25 / TF-IDF ranking semantics on hand-built corpora with known
+  * orderings, plus the published saturation and length-normalization
+  * properties of the k1/b form.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = Spark.session
+  import spark.implicits._
+
+  private def corpus(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("bm25 ranks the document with more matching terms first") {
+    val docs = corpus(
+      1L -> "spark spark engine",
+      2L -> "spark query engine planner",
+      3L -> "unrelated words entirely here")
+    val out = Retrieval.bm25(docs, "doc_id", "text",
+      Seq("q" -> Seq("spark", "query")), topK = 10)
+      .orderBy("rank").collect()
+    // doc 2 matches both terms; doc 1 only 'spark'; doc 3 not returned
+    assert(out.map(_.getLong(2)).toSeq == Seq(2L, 1L))
+    assert(out.head.getDouble(3) > out(1).getDouble(3))
+  }
+
+  test("bm25 term-frequency saturation: tf gain is sublinear (k1 bound)") {
+    val docs = corpus(
+      1L -> ("term " * 1 + "pad " * 9).trim,
+      2L -> ("term " * 20 + "pad " * 9).trim,
+      3L -> "pad only filler")
+    val out = Retrieval.bm25(docs, "doc_id", "text",
+      Seq("q" -> Seq("term")), topK = 10)
+      .orderBy("doc_id").collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    // saturates: 20x the tf must stay under the (k1+1) multiple of tf=1
+    assert(out(2L) > out(1L))
+    assert(out(2L) < out(1L) * 2.2)
+  }
+
+  test("bm25 length normalization: same tf, shorter document wins") {
+    val docs = corpus(
+      1L -> ("term " + "pad " * 4).trim,
+      2L -> ("term " + "pad " * 40).trim,
+      3L -> "other text")
+    val out = Retrieval.bm25(docs, "doc_id", "text",
+      Seq("q" -> Seq("term")), topK = 10)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(out(1L) > out(2L))
+  }
+
+  test("bm25 scores multiple queries independently in one pass") {
+    val docs = corpus(
+      1L -> "alpha beta", 2L -> "gamma delta", 3L -> "alpha gamma")
+    val out = Retrieval.bm25(docs, "doc_id", "text",
+      Seq("qa" -> Seq("alpha"), "qg" -> Seq("gamma")), topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(out == Set(("qa", 1L), ("qa", 3L), ("qg", 2L), ("qg", 3L)))
+  }
+
+  test("tfidf: rarer terms weigh more; sub-minDf terms are dropped") {
+    val docs = corpus(
+      1L -> "common rare",
+      2L -> "common other",
+      3L -> "common thing",
+      4L -> "common rare")
+    val out = Retrieval.tfidf(docs, "doc_id", "text", minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4)).toMap
+    // 'rare' (df=2) outweighs 'common' (df=4) in the same doc
+    assert(out((1L, "rare")) > out((1L, "common")))
+    // df=1 terms are excluded by minDf
+    assert(!out.keySet.exists(_._2 == "other"))
+    // idf of an every-document term is ln(1) = 0
+    assert(out((1L, "common")) == 0.0)
+  }
+}
