@@ -47,19 +47,25 @@ object Retrieval {
         .toDF("query_id", "term"))
     val allTerms = queries.flatMap(_._2).distinct
 
-    val base = docs.select(col(idCol).as("doc_id"),
+    // ONE corpus scan: tokenize once, keep only the document length and
+    // the query-matched tokens (a few bytes/doc), and cache that slim
+    // frame — the stats branch and the posting-list branch both read it,
+    // so the full text is never scanned or tokenized twice. Lazy
+    // persist: the first branch to execute materializes it.
+    val termSet = array(allTerms.map(lit(_)): _*)
+    val slim = docs.select(col(idCol).as("doc_id"),
       Text.wsTokens(lower(trim(col(textCol)))).as("toks"))
-      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        filter(col("toks"), t => array_contains(termSet, t)).as("qtoks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // N and avgdl as a one-row frame: stays in the distributed plan.
-    val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    val stats = slim.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
       .select(col("n"),
         (col("sumdl").cast("double") / col("n").cast("double")).as("avgdl"))
 
-    val termSet = array(allTerms.map(lit(_)): _*)
-    val tf = base
-      .select(col("doc_id"), col("dl"),
-        explode(filter(col("toks"), t => array_contains(termSet, t))).as("term"))
+    val tf = slim
+      .select(col("doc_id"), col("dl"), explode(col("qtoks")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
 
@@ -102,12 +108,16 @@ object Retrieval {
             minDf: Long = 2): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"),
       Text.wsTokens(lower(trim(col(textCol)))).as("toks"))
-    val stats = base.agg(count(lit(1)).as("n"))
+    // count(*) only — column-pruned scan, no tokenization
+    val stats = docs.agg(count(lit(1)).as("n"))
+    // the inverted index itself: cached so the df aggregation and the
+    // final weight join share one tokenize+explode pass over the corpus
     val tf = base
       .select(col("doc_id"), explode(col("toks")).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
       .filter(col("df") >= minDf)
     tf.join(dfreq, "term")
