@@ -94,6 +94,38 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** Spherical k-means cluster assignment with deterministic seeding:
+    * centroids are the L2-normalized vectors of the `k` lowest ids
+    * (k-medoid-style seeds — reproducible on any cluster, no RNG state),
+    * every vector assigned to its max-cosine centroid (ties to the
+    * lowest cluster index). The topic-bucketing step of an embedding
+    * curation pipeline; refinement iterations are [[ivfTopK]]'s Lloyd
+    * step — this operator keeps the seed assignment exact so it can
+    * carry a bit-exact oracle.
+    *
+    * Scale shape: the driver collects k vectors (bounded, the IVF fit
+    * pattern); assignment is the row-local [[HashFunctions.nearest_centroids]]
+    * expression — one corpus scan, zero shuffles; the per-row cosine is
+    * recovered by a k-row broadcast join.
+    */
+  def clusterAssign(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).as("vec_id"), normalize(col(vecCol)).as("nvec"))
+    val seeds: Array[Array[Double]] = base.orderBy(col("vec_id").asc).limit(k)
+      .select(col("nvec")).collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.nonEmpty, "clusterAssign: empty corpus")
+    val seedDf = broadcast(
+      seeds.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+        .toDF("cluster", "cvec"))
+    base
+      .withColumn("cluster", element_at(nearest_centroids(col("nvec"), seeds, 1), 1))
+      .join(seedDf, "cluster")
+      .select(col("vec_id"), col("cluster").cast("int").as("cluster"),
+        dot_product(col("nvec"), col("cvec")).as("cos_sim"))
+  }
+
   /** IVF-style ANN: corpus assigned to the nearest of `nlist` centroids;
     * queries probe the `nprobe` nearest centroids only. Returns the same
     * shape as [[bruteForceTopK]]; recall < 1 by design, measured in

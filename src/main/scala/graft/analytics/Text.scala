@@ -224,6 +224,34 @@ object Text {
         col("_sc.margin").as("margin"),
         (col("_sc.margin") > 0).as("keep"))
 
+  /** Corpus composition profile: per-group (language × source) document
+    * counts, token totals, and character-length distribution (mean +
+    * exact continuous median). The first report every curation pipeline
+    * produces — it drives mix rebalancing and length filtering.
+    *
+    * Scale shape: one scan with row-local token/length columns, then a
+    * single hash aggregation keyed by the group columns — partial
+    * aggregation collapses each partition before the shuffle, so the
+    * exchange carries one row per (partition, group). `percentile` is
+    * exact (sorts per-group value multisets); at 100 TB swap for
+    * `percentile_approx` if the group value sets outgrow executors —
+    * the profile contract is the same.
+    */
+  def corpusProfile(df: DataFrame, textCol: String,
+                    groupCols: Seq[String]): DataFrame = {
+    val t = col(textCol)
+    val base = df.select(
+      groupCols.map(col) :+
+        size(wsTokens(t)).cast("long").as("_ntok") :+
+        length(t).cast("long").as("_nchars"): _*)
+    base.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("_ntok")).as("n_tokens"),
+      (sum(col("_nchars")).cast("double") /
+        count(lit(1)).cast("double")).as("mean_chars"),
+      percentile(col("_nchars"), lit(0.5)).as("median_chars"))
+  }
+
   /** Corpus vocabulary statistics: global frequency of lowercase
     * whitespace tokens at or above `minCount` — the input to BPE/vocab
     * training and frequency-based filtering. One explode + one

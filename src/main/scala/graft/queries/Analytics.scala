@@ -63,6 +63,10 @@ object Analytics {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
+    // spherical k-means assignment to 8 deterministic seed centroids
+    "sim_cluster_assign" -> ((s, dir) =>
+      Similarity.clusterAssign(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)),
+
     "text_tokens" -> ((s, dir) =>
       Text.tokenCounts(t(s, dir, "documents"), "doc_id", "text")),
 
@@ -172,6 +176,11 @@ object Analytics {
     "text_tfidf" -> ((s, dir) =>
       Retrieval.tfidf(t(s, dir, "documents"), "doc_id", "text", minDf = 5)),
 
+    // corpus composition: per-(lang, source) counts, token totals,
+    // mean and exact median character length
+    "text_profile" -> ((s, dir) =>
+      Text.corpusProfile(t(s, dir, "documents"), "text", Seq("lang", "source"))),
+
     "multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.fakeMediaTable(s, dir))
         .select(col("media_id"), col("n_bytes"), col("sha256_prefix"))),
@@ -221,6 +230,18 @@ object Analytics {
              row_number() OVER (PARTITION BY query_id
                ORDER BY score DESC, doc_id ASC) AS rk
            FROM scores) WHERE rk <= 10""",
+    // quantile_cont(0.5) and Spark's exact `percentile` share the
+    // continuous-quantile definition; for integer inputs < 2^52 the
+    // interpolation arithmetic is exact in IEEE on both engines
+    "text_profile" ->
+      """SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+             AS n_tokens,
+           CAST(CAST(sum(length(text)) AS BIGINT) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE) AS mean_chars,
+           quantile_cont(CAST(length(text) AS BIGINT), 0.5) AS median_chars
+         FROM documents GROUP BY lang, source""",
     "text_tfidf" ->
       """WITH tok AS (SELECT doc_id,
            unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
@@ -243,6 +264,34 @@ object Analytics {
                ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) rk
            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
            WHERE q.vec_id < 8) WHERE rk <= 5""",
+    // Seeded spherical k-means assignment replicated exactly: same
+    // L2-normalize sequential fold as dedup_embedding, centroids = the
+    // 8 lowest-id normalized vectors, argmax cosine with ties to the
+    // lowest cluster (row_number ORDER BY dt DESC, cluster ASC — the
+    // engine's strict-greater insertion scan)
+    "sim_cluster_assign" ->
+      """WITH nv AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+           FROM embeddings),
+         nrm AS (SELECT vec_id, ed,
+           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(ed, x -> x*x)), (a,b) -> a+b)) AS n FROM nv),
+         v AS (SELECT vec_id,
+           CASE WHEN n > 0 THEN list_transform(ed, x -> x/n) ELSE ed END AS nvec
+           FROM nrm),
+         seeds AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cluster,
+             nvec AS cvec
+           FROM (SELECT vec_id, nvec FROM v ORDER BY vec_id ASC LIMIT 8)),
+         dots AS (SELECT v.vec_id, s.cluster,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65), i -> v.nvec[i] * s.cvec[i])),
+             (a,b) -> a+b) AS dt
+           FROM v CROSS JOIN seeds s),
+         best AS (SELECT vec_id, cluster, dt,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY dt DESC, cluster ASC) AS rk FROM dots)
+         SELECT vec_id, CAST(cluster AS INT) AS cluster, dt AS cos_sim
+         FROM best WHERE rk = 1""",
     // Full HUGEINT mod-2^64 replication of the engine's SimHash
     // (FNV-1a per whitespace token — ASCII corpus, so unicode() code-
     // points equal UTF-8 bytes — then 64 per-bit votes), followed by a

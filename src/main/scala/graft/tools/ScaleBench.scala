@@ -91,7 +91,11 @@ object ScaleBench {
       "dedup_exact", "dedup_minhash",
       "text_quality", "text_tokens", "text_fingerprint", "text_vocab",
       "sample_hash", "sample_interleave", "sample_pack",
-      "sim_topk_brute", "sim_topk_ivf")
+      "sim_topk_brute", "sim_topk_ivf",
+      // round-6 operators: curation chain, clustering, retrieval
+      "text_normalize", "text_pii", "text_repetition", "text_classifier",
+      "text_decontaminate", "sample_stratified", "dedup_segments",
+      "dedup_incremental", "dedup_clusters", "text_bm25", "text_tfidf")
 
     def run(dir: String, name: String): Double = {
       val t0 = System.nanoTime()

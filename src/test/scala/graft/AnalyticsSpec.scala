@@ -205,4 +205,16 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getLong(2) == 6)  // Hello , world ! 42 times
     assert(r.getLong(3) == 22) // chars
   }
+
+  test("cluster assignment: every vector gets one cluster, seeds score 1") {
+    val out = Similarity.clusterAssign(emb, "vec_id", "embedding", k = 8)
+    val rows = out.collect()
+    assert(rows.length == emb.count())
+    assert(rows.map(_.getInt(1)).forall(c => c >= 0 && c < 8))
+    // a seed vector's cosine with its own centroid is exactly 1 unless
+    // an earlier seed is even closer — either way its best sim is >= its
+    // self-sim minus fp noise, so every seed scores ~1
+    val seedSims = rows.filter(_.getLong(0) < 8).map(_.getDouble(2))
+    assert(seedSims.forall(s => s > 0.999999))
+  }
 }
