@@ -224,6 +224,34 @@ object Text {
         col("_sc.margin").as("margin"),
         (col("_sc.margin") > 0).as("keep"))
 
+  /** Overlapping token-window chunking — the context-window prep step
+    * for RAG indexing and long-document training: each document yields
+    * ⌈n/stride⌉ chunks of `chunkTokens` whitespace tokens starting every
+    * `chunkTokens - overlap` tokens (the final chunks are shorter).
+    *
+    * Scale shape: row-local — tokenize once in the projection BELOW the
+    * Generate (posexplode is a projection barrier, so the split is not
+    * inlined per chunk), explode only the start offsets, slice the
+    * materialized token array per chunk. No shuffle; chunk output is
+    * ~(1 + overlap/stride)× the corpus size, streamed straight to the
+    * sink.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int = 100, overlap: Int = 20): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val stride = chunkTokens - overlap
+    df.select(col(idCol), wsTokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"), size(col("_toks")).as("_n"))
+      .select(col(idCol), col("_toks"), col("_n"),
+        posexplode(sequence(lit(0), col("_n") - 1, lit(stride)))
+          .as(Seq("chunk_idx", "_start")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("_toks"), col("_start") + 1, lit(chunkTokens)))
+          .as("chunk_text"),
+        least(lit(chunkTokens), col("_n") - col("_start")).cast("long")
+          .as("n_chunk_tokens"))
+  }
+
   /** Corpus composition profile: per-group (language × source) document
     * counts, token totals, and character-length distribution (mean +
     * exact continuous median). The first report every curation pipeline

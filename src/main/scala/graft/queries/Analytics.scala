@@ -176,6 +176,11 @@ object Analytics {
     "text_tfidf" -> ((s, dir) =>
       Retrieval.tfidf(t(s, dir, "documents"), "doc_id", "text", minDf = 5)),
 
+    // overlapping 50-token chunks every 40 tokens (RAG window prep)
+    "text_chunk" -> ((s, dir) =>
+      Text.chunk(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 50, overlap = 10)),
+
     // corpus composition: per-(lang, source) counts, token totals,
     // mean and exact median character length
     "text_profile" -> ((s, dir) =>
@@ -230,6 +235,17 @@ object Analytics {
              row_number() OVER (PARTITION BY query_id
                ORDER BY score DESC, doc_id ASC) AS rk
            FROM scores) WHERE rk <= 10""",
+    // same start offsets (range step = stride, starts < n), DuckDB's
+    // inclusive list slice == Spark's length-bounded slice (both clamp)
+    "text_chunk" ->
+      """WITH tok AS (SELECT doc_id,
+           regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+         st AS (SELECT doc_id, t, len(t) AS n,
+           unnest(range(0, len(t), 40)) AS s FROM tok)
+         SELECT doc_id, CAST(s // 40 AS BIGINT) AS chunk_idx,
+           array_to_string(t[s+1:s+50], ' ') AS chunk_text,
+           CAST(least(50, n - s) AS BIGINT) AS n_chunk_tokens
+         FROM st""",
     // quantile_cont(0.5) and Spark's exact `percentile` share the
     // continuous-quantile definition; for integer inputs < 2^52 the
     // interpolation arithmetic is exact in IEEE on both engines

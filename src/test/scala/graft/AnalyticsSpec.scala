@@ -206,6 +206,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getLong(3) == 22) // chars
   }
 
+  test("chunking: overlapping windows cover the document exactly") {
+    import spark.implicits._
+    val df = Seq((1L, (1 to 25).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Text.chunk(df, "doc_id", "text", chunkTokens = 10, overlap = 3)
+      .orderBy("chunk_idx").collect()
+    // stride 7: starts 0,7,14,21 → lengths 10,10,10,4
+    assert(out.length == 4)
+    assert(out.map(_.getLong(3)).toSeq == Seq(10L, 10L, 10L, 4L))
+    assert(out(0).getString(2).startsWith("w1 w2"))
+    assert(out(1).getString(2).startsWith("w8"))   // overlap of 3
+    assert(out(3).getString(2) == "w22 w23 w24 w25")
+  }
+
   test("cluster assignment: every vector gets one cluster, seeds score 1") {
     val out = Similarity.clusterAssign(emb, "vec_id", "embedding", k = 8)
     val rows = out.collect()
