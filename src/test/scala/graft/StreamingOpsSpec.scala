@@ -30,6 +30,30 @@ class StreamingOpsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("curation expressions run on streaming frames (quality + sample + langid)") {
+    // the row-local analytics layer (quality features, hash sampling,
+    // language ID, normalization) is expression-only, so ingest-time
+    // curation works unchanged under Structured Streaming
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val scored = graft.analytics.Text.qualityScore(docs, "doc_id", "text")
+      .join(graft.analytics.Text.langId(docs, "doc_id", "text"), "doc_id")
+      .withColumn("keep_sample",
+        graft.analytics.HashFunctions.splitmix64_hash(col("doc_id") + 7) % 4 === 0)
+    val q = scored.writeStream.format("memory").queryName("cur_out")
+      .outputMode("append").start()
+    in.addData((1L, "the quick brown fox jumps over the lazy dog."),
+      (2L, "der schnelle braune fuchs springt."))
+    q.processAllAvailable()
+    val rows = spark.table("cur_out").collect()
+    assert(rows.length == 2)
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    assert(r1.getAs[Double]("stopword_ratio") > 0)
+    assert(r1.getAs[String]("pred_lang") == "en")
+    q.stop()
+  }
+
   test("windowed counts aggregate per tumbling window") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, java.sql.Timestamp)]
