@@ -176,6 +176,29 @@ object Analytics {
     "text_tfidf" -> ((s, dir) =>
       Retrieval.tfidf(t(s, dir, "documents"), "doc_id", "text", minDf = 5)),
 
+    // the composed curation pipeline end-to-end: NFC-normalize →
+    // quality gate (>=30 tokens, mean token length in [3,8]) → exact
+    // dedup on the normalized text (keep lowest id) → deterministic
+    // 50% hash sample of survivors. One flagship row proving the
+    // operators compose; every stage reuses an individually-oracled op.
+    "curation_pipeline" -> ((s, dir) => {
+      // the corpus has no exact dups, so the gate adds id-shifted
+      // copies of every 10th doc — the dedup stage must collapse them
+      val base = t(s, dir, "documents")
+      val docs = base.select(col("doc_id"), col("text"))
+        .unionByName(base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      val normed = docs.select(col("doc_id"),
+        Text.normalizeText(col("text")).as("text"))
+      val qualityIds = Text.qualityScore(normed, "doc_id", "text")
+        .filter(col("n_tokens") >= 30 &&
+          col("mean_token_len") >= 3.0 && col("mean_token_len") <= 8.0)
+        .select(col("doc_id"))
+      val survivors = Dedup.exact(normed.join(qualityIds, "doc_id"), "doc_id", "text")
+        .select(col("keep_id").as("doc_id"), col("dup_count"))
+      Sampling.hashSample(survivors, "doc_id", 0.5, seed = 7)
+    }),
+
     // overlapping 50-token chunks every 40 tokens (RAG window prep)
     "text_chunk" -> ((s, dir) =>
       Text.chunk(t(s, dir, "documents"), "doc_id", "text",
@@ -235,6 +258,47 @@ object Analytics {
              row_number() OVER (PARTITION BY query_id
                ORDER BY score DESC, doc_id ASC) AS rk
            FROM scores) WHERE rk <= 10""",
+    // stage-by-stage replication: normalize (the text_normalize SQL),
+    // quality ratios (integer-count divisions), GROUP BY normalized
+    // text ≡ the engine's sha2-256 digest grouping, then the
+    // splitmix64(doc_id + 7) chain with cut floor(0.5 * 4096) = 2048
+    "curation_pipeline" ->
+      """WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents
+           WHERE doc_id % 10 = 0),
+         norm AS (SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+             '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS text
+           FROM docs),
+         qual AS (SELECT doc_id, text,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS DOUBLE) /
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS mtl
+           FROM norm),
+         keep AS (SELECT doc_id, text FROM qual
+           WHERE n_tokens >= 30 AND mtl >= CAST(3.0 AS DOUBLE)
+             AND mtl <= CAST(8.0 AS DOUBLE)),
+         ded AS (SELECT min(doc_id) AS doc_id,
+             CAST(count(*) AS BIGINT) AS dup_count
+           FROM keep GROUP BY text),
+         c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+         m0 AS (SELECT doc_id, dup_count,
+           (CAST(doc_id AS HUGEINT) + 7 + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
+           FROM ded CROSS JOIN c),
+         ma AS (SELECT doc_id, dup_count, xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
+         m1 AS (SELECT doc_id, dup_count,
+           (x2 % 4294967296 * 484763065 +
+            ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+            * 4294967296) % m64 AS x3, m64 FROM ma),
+         mb AS (SELECT doc_id, dup_count, xor(x3, x3 // 134217728) AS x4, m64 FROM m1),
+         m2 AS (SELECT doc_id, dup_count,
+           (x4 % 4294967296 * 321982955 +
+            ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+            * 4294967296) % m64 AS x5, m64 FROM mb),
+         m3 AS (SELECT doc_id, dup_count, xor(x5, x5 // 2147483648) AS x6 FROM m2)
+         SELECT doc_id, dup_count FROM m3 WHERE (x6 // 4096) % 4096 < 2048""",
     // same start offsets (range step = stride, starts < n), DuckDB's
     // inclusive list slice == Spark's length-bounded slice (both clamp)
     "text_chunk" ->
