@@ -224,6 +224,35 @@ object Text {
         col("_sc.margin").as("margin"),
         (col("_sc.margin") > 0).as("keep"))
 
+  /** Per-document Shannon token entropy (nats): −Σ p·ln p over the
+    * token distribution — low entropy flags repetitive/gibberish text,
+    * complementing the Gopher repetition features as a quality signal.
+    *
+    * Scale shape: one explode + a (doc, token) hash aggregation (the
+    * repetition-features shape — the exchange carries distinct pairs),
+    * then a per-doc sequential fold in token order so the IEEE sum is
+    * deterministic and oracle-matchable ([[HashFunctions.java_ln]] for
+    * the correctly-rounded ln).
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = wsTokens(lower(trim(col(textCol))))
+    val counts = df.select(col(idCol), explode(toks).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col(idCol)).agg(
+      sum(col("c")).cast("long").as("n_tokens"),
+      count(lit(1)).cast("long").as("n_distinct"),
+      aggregate(
+        array_sort(collect_list(struct(col("token"), col("c")))),
+        struct(lit(0.0).as("h"), sum(col("c")).cast("double").as("n")),
+        (acc, x) => struct(
+          (acc.getField("h") -
+            (x.getField("c").cast("double") / acc.getField("n")) *
+              HashFunctions.java_ln(
+                x.getField("c").cast("double") / acc.getField("n"))).as("h"),
+          acc.getField("n").as("n")),
+        acc => acc.getField("h")).as("entropy"))
+  }
+
   /** Overlapping token-window chunking — the context-window prep step
     * for RAG indexing and long-document training: each document yields
     * ⌈n/stride⌉ chunks of `chunkTokens` whitespace tokens starting every

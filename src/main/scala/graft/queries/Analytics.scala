@@ -204,6 +204,10 @@ object Analytics {
       Text.chunk(t(s, dir, "documents"), "doc_id", "text",
         chunkTokens = 50, overlap = 10)),
 
+    // per-doc Shannon token entropy (ordered fold, correctly-rounded ln)
+    "text_entropy" -> ((s, dir) =>
+      Text.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")),
+
     // corpus composition: per-(lang, source) counts, token totals,
     // mean and exact median character length
     "text_profile" -> ((s, dir) =>
@@ -310,6 +314,26 @@ object Analytics {
            array_to_string(t[s+1:s+50], ' ') AS chunk_text,
            CAST(least(50, n - s) AS BIGINT) AS n_chunk_tokens
          FROM st""",
+    // entropy fold: h := h − (c/n)·ln(c/n) over counts in token order —
+    // list_reduce's sequential left fold == the engine's aggregate fold
+    "text_entropy" ->
+      """WITH tok AS (SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+           FROM documents),
+         cnt AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY doc_id, w),
+         agg AS (SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           list(c ORDER BY w) AS cl
+           FROM cnt GROUP BY doc_id)
+         SELECT doc_id, n_tokens, n_distinct,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(cl, c ->
+               (CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE)) *
+               ln(CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE)))),
+             (a, b) -> a - b) AS entropy
+         FROM agg""",
     // quantile_cont(0.5) and Spark's exact `percentile` share the
     // continuous-quantile definition; for integer inputs < 2^52 the
     // interpolation arithmetic is exact in IEEE on both engines

@@ -206,6 +206,15 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getLong(3) == 22) // chars
   }
 
+  test("token entropy: golden values (uniform = ln k, constant = 0)") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "x x x x")).toDF("doc_id", "text")
+    val out = Text.tokenEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(math.abs(out(1L) - math.log(4.0)) < 1e-12)
+    assert(out(2L) == 0.0)
+  }
+
   test("chunking: overlapping windows cover the document exactly") {
     import spark.implicits._
     val df = Seq((1L, (1 to 25).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
