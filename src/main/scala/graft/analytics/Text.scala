@@ -309,6 +309,45 @@ object Text {
       percentile(col("_nchars"), lit(0.5)).as("median_chars"))
   }
 
+  /** Collocation extraction by pointwise mutual information:
+    * PMI(a,b) = ln(N_bi · c(a,b) / (c(a) · c(b))) over adjacent
+    * lowercase token pairs with bigram count ≥ `minCount` — the
+    * standard signal for multi-word vocabulary entries (Church & Hanks
+    * 1990). Unigram counts use the same token stream; N_bi is the
+    * total bigram count.
+    *
+    * Scale shape: two explode + hash-aggregate passes (unigrams,
+    * bigrams) with map-side partial aggregation; the filtered bigram
+    * table joins the (much smaller) unigram counts twice — both
+    * broadcast when the vocabulary is bounded, shuffle-hash otherwise.
+    * PMI itself is row-local arithmetic through the correctly-rounded
+    * [[HashFunctions.java_ln]].
+    */
+  def collocations(df: DataFrame, textCol: String,
+                   minCount: Long = 5): DataFrame = {
+    val toks = wsTokens(lower(trim(col(textCol))))
+    val base = df.select(toks.as("toks"))
+    val nm1 = greatest(size(col("toks")) - 1, lit(0))
+    val bigrams = base.select(explode(zip_with(
+        slice(col("toks"), lit(1), nm1),
+        slice(col("toks"), lit(2), nm1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bi"))
+      .select(col("bi.w1").as("w1"), col("bi.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).cast("long").as("c_ab"))
+    val unigrams = base.select(explode(col("toks")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("c"))
+    val nBi = bigrams.agg(sum(col("c_ab")).cast("long").as("n_bi"))
+    bigrams.filter(col("c_ab") >= minCount)
+      .join(unigrams.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(unigrams.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(nBi))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        HashFunctions.java_ln(
+          (col("n_bi").cast("double") * col("c_ab").cast("double")) /
+            (col("c_a").cast("double") * col("c_b").cast("double"))).as("pmi"))
+  }
+
   /** Corpus vocabulary statistics: global frequency of lowercase
     * whitespace tokens at or above `minCount` — the input to BPE/vocab
     * training and frequency-based filtering. One explode + one

@@ -204,6 +204,16 @@ object Analytics {
       Text.chunk(t(s, dir, "documents"), "doc_id", "text",
         chunkTokens = 50, overlap = 10)),
 
+    // PMI collocations over adjacent token pairs (c_ab >= 20). The
+    // gate compares PMI at 9 decimals: Math.log and glibc ln disagree
+    // by 1 ulp on ~0.1% of arguments (hit here, unlike bm25/entropy),
+    // and a 9-dp quantization absorbs it without a boundary straddle
+    // on any gate corpus (verified at sf0.001/0.01/0.1)
+    "text_collocations" -> ((s, dir) =>
+      Text.collocations(t(s, dir, "documents"), "text", minCount = 20)
+        .select(col("w1"), col("w2"), col("c_ab"),
+          round(col("pmi"), 9).as("pmi"))),
+
     // per-doc Shannon token entropy (ordered fold, correctly-rounded ln)
     "text_entropy" -> ((s, dir) =>
       Text.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")),
@@ -314,6 +324,26 @@ object Analytics {
            array_to_string(t[s+1:s+50], ' ') AS chunk_text,
            CAST(least(50, n - s) AS BIGINT) AS n_chunk_tokens
          FROM st""",
+    // PMI = ln(N_bi·c_ab / (c_a·c_b)); overlapping bigrams from the
+    // zipped adjacent-pair stream, unigrams from the same tokens
+    "text_collocations" ->
+      """WITH tok AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+           FROM documents),
+         bi AS (SELECT t[i] AS w1, t[i+1] AS w2
+           FROM tok, unnest(range(1, len(t))) AS r(i)),
+         bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+           FROM bi GROUP BY w1, w2),
+         uni AS (SELECT u.w AS w, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT unnest(t) AS w FROM tok) u WHERE u.w <> '' GROUP BY u.w),
+         nb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bi FROM bc)
+         SELECT bc.w1, bc.w2, bc.c_ab,
+           round(ln((CAST(nb.n_bi AS DOUBLE) * CAST(bc.c_ab AS DOUBLE)) /
+              (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))), 9) AS pmi
+         FROM bc
+         JOIN uni ua ON ua.w = bc.w1
+         JOIN uni ub ON ub.w = bc.w2
+         CROSS JOIN nb
+         WHERE bc.c_ab >= 20""",
     // entropy fold: h := h − (c/n)·ln(c/n) over counts in token order —
     // list_reduce's sequential left fold == the engine's aggregate fold
     "text_entropy" ->

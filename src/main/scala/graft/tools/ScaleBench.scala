@@ -15,9 +15,15 @@ import org.apache.spark.sql.functions._
   *    foreign references shift by copy·10⁷, so join selectivities and
   *    per-key group sizes are preserved while key cardinality scales);
   *  - dimension tables (region/nation) stay fixed, like real marts;
-  *  - documents: copies > 0 interleave a per-copy token after every
-  *    word, so no shingle survives across copies — near-dup structure
-  *    (and so pair counts) scale LINEARLY instead of quadratically;
+  *  - documents: copies > 0 suffix every word with a per-copy tag, so
+  *    neither a shingle NOR a token survives across copies — near-dup
+  *    structure (and so pair counts) scales LINEARLY for both
+  *    shingle-based (minhash/ngram) and token-multiset (simhash)
+  *    operators. (An earlier interleave mutation inserted the SAME tag
+  *    token after every word: shingles died but the shared
+  *    high-multiplicity token dominated SimHash's bit votes, welding
+  *    each copy into one giant near-dup cluster — a quadratic corpus
+  *    artifact, not an engine property.);
   *  - embeddings: copies > 0 add a deterministic per-element
   *    perturbation, making each copy a fresh point cloud.
   * The quadratic-adversary case (a giant duplicate cluster) is
@@ -48,7 +54,7 @@ object ScaleBench {
           if (t == "documents" && i > 0)
             shifted.withColumn("text",
               array_join(transform(split(col("text"), "\\s+"),
-                x => concat(x, lit(s" z$i"))), " "))
+                x => concat(x, lit(s"z$i"))), " "))
           else if (t == "embeddings" && i > 0)
             shifted.withColumn("embedding",
               transform(col("embedding"), (x, j) =>

@@ -206,6 +206,18 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getLong(3) == 22) // chars
   }
 
+  test("collocations: an always-adjacent pair gets the top PMI") {
+    import spark.implicits._
+    // "new york" always adjacent; 'the' heads two different bigrams,
+    // so its unigram count doubles and dilutes both PMIs
+    val df = Seq.tabulate(8)(i => (i.toLong, "new york the cat the dog"))
+      .toDF("doc_id", "text")
+    val out = Text.collocations(df, "text", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out(("new", "york")) > out(("the", "cat")))
+    assert(out(("new", "york")) > 0)
+  }
+
   test("token entropy: golden values (uniform = ln k, constant = 0)") {
     import spark.implicits._
     val df = Seq((1L, "a b c d"), (2L, "x x x x")).toDF("doc_id", "text")
