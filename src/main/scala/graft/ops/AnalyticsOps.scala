@@ -88,3 +88,59 @@ case class TextMetrics(field: graft.model.Ref) extends ColumnProcessor {
       col(slot), Seq("text_metrics"), metrics, rawJson = true))
   }
 }
+
+/** Quality gate as a pipeline processor: drops records whose payload
+  * text fails the length/shape thresholds (the ingest-time form of
+  * [[graft.analytics.Text.qualityScore]] + filter — cut junk before it
+  * hits storage). Row-local; the predicate runs inside the scan's
+  * codegen stage.
+  */
+case class QualityFilter(field: graft.model.Ref, minTokens: Long,
+                         minMeanTokenLen: Double, maxMeanTokenLen: Double)
+    extends Processor {
+  val plugin = "quality.filter"
+  override def transform(df: DataFrame): DataFrame = {
+    val text = RefCols.get(field)
+    val n = size(split(trim(text), "\\s+")).cast("long")
+    val mtl = length(text).cast("double") / n.cast("double")
+    df.filter(n >= minTokens &&
+      mtl >= minMeanTokenLen && mtl <= maxMeanTokenLen)
+  }
+}
+
+/** Overlapping token-window chunking as a pipeline processor: each
+  * record fans out into one record per chunk (the pipeline form of
+  * [[graft.analytics.Text.chunk]] — RAG/window prep at ingest). The
+  * chunk text replaces the referenced field; `chunk.index` lands in
+  * metadata (the `split.index` convention). Tokenization happens once
+  * below the posexplode barrier; no shuffle.
+  */
+case class TextChunk(field: graft.model.Ref, chunkTokens: Int, overlap: Int)
+    extends Processor {
+  require(overlap < chunkTokens, "text.chunk: overlap must be < chunkTokens")
+  val plugin = "text.chunk"
+  override def transform(df: DataFrame): DataFrame = {
+    val slot = RefCols.column(field)
+    val stride = chunkTokens - overlap
+    val chunkText = concat_ws(" ",
+      slice(col("_toks"), col("_start") + 1, lit(chunkTokens)))
+    val exploded = df
+      .withColumn("_toks", split(trim(RefCols.get(field)), "\\s+"))
+      .select(col("*"), posexplode(
+          sequence(lit(0), size(col("_toks")) - 1, lit(stride)))
+        .as(Seq("_chunk_idx", "_start")))
+    val written = df.schema(slot).dataType match {
+      case st: org.apache.spark.sql.types.StructType =>
+        exploded.withColumn(slot,
+          StructOps.set(col(slot), st, field.sub, chunkText))
+      case _ =>
+        exploded.withColumn(slot, graft.functions.JsonExpressions.jsonSet(
+          col(slot), field.sub, chunkText))
+    }
+    written
+      .withColumn(Cdc.Metadata,
+        RefCols.metaSet(col(Cdc.Metadata), "chunk.index",
+          col("_chunk_idx").cast(org.apache.spark.sql.types.StringType)))
+      .drop("_toks", "_chunk_idx", "_start")
+  }
+}

@@ -80,7 +80,14 @@ object Registry {
       s.getOrElse("field", ".Payload.After")))),
     "sample.hash" -> (s => SampleHash(s.get("field").map(Ref.parse),
       s.getOrElse("fraction", "0.1").toDouble,
-      s.getOrElse("seed", "0").toLong))
+      s.getOrElse("seed", "0").toLong)),
+    "quality.filter" -> (s => QualityFilter(ref(s, ".Payload.After"),
+      s.getOrElse("minTokens", "1").toLong,
+      s.getOrElse("minMeanTokenLen", "0").toDouble,
+      s.getOrElse("maxMeanTokenLen", "1000000").toDouble)),
+    "text.chunk" -> (s => TextChunk(ref(s, ".Payload.After"),
+      s.getOrElse("chunkTokens", "100").toInt,
+      s.getOrElse("overlap", "20").toInt))
   )
 
   def create(plugin: String, settings: Map[String, String]): Processor = {

@@ -68,6 +68,36 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(a != c)
   }
 
+  test("quality.filter drops records whose text fails the thresholds") {
+    import spark.implicits._
+    val base = Cdc.wrap(Seq(
+      (1L, "no"), (2L, "a solid document with enough words to keep here"),
+      (3L, "x y z"), (4L, "five ok words right here")).toDF("id", "text"),
+      "id", "docs")
+    val proc = Registry.create("quality.filter",
+      Map("field" -> ".Payload.After.text", "minTokens" -> "5"))
+    val out = proc(base).collect()
+    assert(out.length == 2)
+    assert(out.forall(r => r.getAs[String](Cdc.PayloadAfter).contains("solid") ||
+      r.getAs[String](Cdc.PayloadAfter).contains("five")))
+  }
+
+  test("text.chunk fans each record out into overlapping windows") {
+    val base = gen(1).withColumn(Cdc.PayloadAfter,
+      lit(s"""{"text":"${(1 to 25).map(i => s"w$i").mkString(" ")}","id":7}"""))
+    val proc = Registry.create("text.chunk",
+      Map("field" -> ".Payload.After.text",
+        "chunkTokens" -> "10", "overlap" -> "3"))
+    val rows = proc(base).orderBy(col(Cdc.Metadata).getItem("chunk.index"))
+      .collect()
+    assert(rows.length == 4) // stride 7: starts 0,7,14,21
+    val first = JsonOps.parse(rows.head.getAs[String](Cdc.PayloadAfter))
+    assert(first.get("text").asText().startsWith("w1 w2"))
+    assert(first.get("id").asInt() == 7) // other payload fields survive
+    val idxs = rows.map(_.getAs[Map[String, String]](Cdc.Metadata)("chunk.index"))
+    assert(idxs.toSeq == Seq("0", "1", "2", "3"))
+  }
+
   test("sql processor works inside a YAML pipeline") {
     Runner.memorySinks.clear()
     val p = Pipeline("sqlp")
