@@ -292,6 +292,47 @@ case class SplitMix64Hash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** quantize_int8(array<float|double>) → struct(scale double,
+  * qvec array<long>): symmetric int8 quantization, scale = max |x|,
+  * q = round-half-away-from-zero(x/scale·127). One pass — a
+  * higher-order-function formulation re-evaluates the max-abs subtree
+  * per element (the CollapseProject trap, see MinHashBands).
+  */
+case class QuantizeInt8(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType), StructField("qvec", ArrayType(LongType))))
+  override def nullable: Boolean = true
+  override def prettyName: String = "quantize_int8"
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val elemType = child.dataType.asInstanceOf[ArrayType].elementType
+    def at(i: Int): Double = elemType match {
+      case FloatType => arr.getFloat(i).toDouble
+      case _ => arr.getDouble(i)
+    }
+    var scale = 0.0
+    var i = 0
+    while (i < n) { val a = math.abs(at(i)); if (a > scale) scale = a; i += 1 }
+    val q = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      val x = at(i)
+      val qv = if (scale == 0.0) 0L
+        else {
+          val m = math.floor(math.abs(x) / scale * 127.0 + 0.5).toLong
+          if (x < 0) -m else m
+        }
+      q(i) = qv
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(scale,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(q))
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** java_ln(double) → double via `java.lang.Math.log` (the hardware
   * intrinsic, correctly rounded on every probed argument — bitwise
   * equal to DuckDB/glibc `ln`). Spark's own `log` routes through
@@ -531,4 +572,6 @@ object HashFunctions {
   def linear_text_score(c: Column, seed: Long): Column =
     Bridge.column(LinearTextScore(Bridge.expression(c), seed))
   def java_ln(c: Column): Column = Bridge.column(JavaLn(Bridge.expression(c)))
+  def quantize_int8(c: Column): Column =
+    Bridge.column(QuantizeInt8(Bridge.expression(c)))
 }

@@ -94,6 +94,18 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the 4×
+    * memory/IO reduction that makes a 100 TB embedding store
+    * ANN-servable. Per-vector scale = max |x|, q = round(x/scale·127)
+    * half away from zero; dot products on q approximate
+    * scale_a·scale_b/127² times the true dot. Row-local one-pass
+    * expression ([[HashFunctions.quantize_int8]]), zero shuffle.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.withColumn("_q", HashFunctions.quantize_int8(col(vecCol)))
+      .select(col(idCol).as("vec_id"),
+        col("_q.scale").as("scale"), col("_q.qvec").as("qvec"))
+
   /** Spherical k-means cluster assignment with deterministic seeding:
     * centroids are the L2-normalized vectors of the `k` lowest ids
     * (k-medoid-style seeds — reproducible on any cluster, no RNG state),

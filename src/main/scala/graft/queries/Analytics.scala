@@ -63,6 +63,14 @@ object Analytics {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
+    // int8 quantization, exploded to scalar rows for the exact compare
+    "sim_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          posexplode(col("qvec")).as(Seq("dim", "q")))
+        .select(col("vec_id"), col("scale"), col("dim").cast("long").as("dim"),
+          col("q"))),
+
     // spherical k-means assignment to 8 deterministic seed centroids
     "sim_cluster_assign" -> ((s, dir) =>
       Similarity.clusterAssign(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)),
@@ -398,6 +406,21 @@ object Analytics {
                ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) rk
            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
            WHERE q.vec_id < 8) WHERE rk <= 5""",
+    // scale = max |x| (exact float→double), q = round half away from
+    // zero of x/scale·127 — DuckDB round() ties away from zero ==
+    // floor(|v| + 0.5) with the sign reapplied
+    "sim_quantize" ->
+      """WITH nv AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+           FROM embeddings),
+         sc AS (SELECT vec_id, ed,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(ed, x -> abs(x))), (a,b) -> greatest(a,b)) AS scale
+           FROM nv)
+         SELECT vec_id, scale, CAST(i - 1 AS BIGINT) AS dim,
+           CASE WHEN scale = 0 THEN 0
+                ELSE CAST(round(ed[i] / scale * 127.0) AS BIGINT) END AS q
+         FROM sc, unnest(range(1, len(ed) + 1)) AS r(i)""",
     // Seeded spherical k-means assignment replicated exactly: same
     // L2-normalize sequential fold as dedup_embedding, centroids = the
     // 8 lowest-id normalized vectors, argmax cosine with ties to the

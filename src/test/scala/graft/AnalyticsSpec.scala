@@ -206,6 +206,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getLong(3) == 22) // chars
   }
 
+  test("int8 quantization: max element hits ±127, zero vector is safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Long](2))).toMap
+    assert(out(1L)._1 == 1.0)
+    assert(out(1L)._2 == Seq(64L, -127L, 32L)) // 0.5*127=63.5 → away from 0
+    assert(out(2L)._1 == 0.0 && out(2L)._2 == Seq(0L, 0L, 0L))
+  }
+
   test("collocations: an always-adjacent pair gets the top PMI") {
     import spark.implicits._
     // "new york" always adjacent; 'the' heads two different bigrams,
