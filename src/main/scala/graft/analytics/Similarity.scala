@@ -138,6 +138,56 @@ object Similarity {
         dot_product(col("nvec"), col("cvec")).as("cos_sim"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the corpus by seeded spherical
+    * k-means cluster ([[clusterAssign]] semantics — deterministic,
+    * no RNG state), generate candidate pairs only WITHIN a cluster,
+    * connect pairs above the cosine threshold, and keep one document
+    * (the minimum id) per connected component. Output:
+    * (vec_id, cluster, rep_id, keep) — `filter(keep)` downstream and
+    * the corpus is semantically deduplicated.
+    *
+    * Scale shape: assignment is the row-local
+    * [[HashFunctions.nearest_centroids]] expression (one corpus scan,
+    * zero shuffles); within-cluster pairing is the algorithm's
+    * intrinsic quadratic — SemDeDup controls it by CHOOSING k so that
+    * corpus/k ≈ a few thousand (50k clusters for 100M docs), and
+    * [[Dedup.boundedSelfPairs]] chunks any oversized cluster so no
+    * task exceeds cap² comparisons; the pair-dedup shuffle carries
+    * bare id pairs, vectors join back only for surviving candidates
+    * (the [[cosinePairs]] design). Components over the verified edges
+    * are O(duplicates), not O(corpus).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, threshold: Double,
+                    maxBucket: Int = 4096): DataFrame = {
+    val base = df.select(col(idCol).as("vid"), normalize(col(vecCol)).as("nvec"))
+    // aggregate barrier: normalize each vector ONCE — the cosine join
+    // condition and the assignment expression would otherwise re-run
+    // L2Normalize per reference (see cosinePairs / Dedup.minhashPairs)
+    val nb = base.groupBy(col("vid")).agg(first(col("nvec")).as("nvec"))
+    val seeds: Array[Array[Double]] = base.orderBy(col("vid").asc).limit(k)
+      .select(col("nvec")).collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.nonEmpty, "semanticDedup: empty corpus")
+    val assigned = nb.withColumn("cluster",
+      element_at(nearest_centroids(col("nvec"), seeds, 1), 1))
+    val idPairs = Dedup.boundedSelfPairs(
+        assigned.select(col("cluster"), col("vid")), Seq("cluster"), "vid", maxBucket)
+      .select(col("pair_a").as("id_a"), col("pair_b").as("id_b"))
+      .distinct()
+    val edges = idPairs
+      .join(nb.select(col("vid").as("id_a"), col("nvec").as("vec_a")), "id_a")
+      .join(nb.select(col("vid").as("id_b"), col("nvec").as("vec_b")), "id_b")
+      .filter(dot_product(col("vec_a"), col("vec_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val comp = Dedup.components(edges)
+    assigned.select(col("vid"), col("cluster"))
+      .join(comp.withColumnRenamed("id", "vid"), Seq("vid"), "left")
+      .select(col("vid").as("vec_id"), col("cluster").cast("int").as("cluster"),
+        coalesce(col("label"), col("vid")).as("rep_id"),
+        (coalesce(col("label"), col("vid")) === col("vid")).as("keep"))
+  }
+
   /** IVF-style ANN: corpus assigned to the nearest of `nlist` centroids;
     * queries probe the `nprobe` nearest centroids only. Returns the same
     * shape as [[bruteForceTopK]]; recall < 1 by design, measured in

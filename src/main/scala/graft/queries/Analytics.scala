@@ -75,6 +75,12 @@ object Analytics {
     "sim_cluster_assign" -> ((s, dir) =>
       Similarity.clusterAssign(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)),
 
+    // SemDeDup: 8 seeded clusters, within-cluster cosine >= 0.4 edges,
+    // connected components, keep = the minimum-id member per component
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, threshold = 0.4)),
+
     "text_tokens" -> ((s, dir) =>
       Text.tokenCounts(t(s, dir, "documents"), "doc_id", "text")),
 
@@ -538,6 +544,53 @@ object Analytics {
            coalesce(l.lbl, d.doc_id) AS cluster_id,
            coalesce(l.lbl, d.doc_id) = d.doc_id AS keep
          FROM documents d LEFT JOIN lab l USING (doc_id)""",
+    // SemDeDup replicated end-to-end: the sim_cluster_assign seeding +
+    // assignment CTEs, brute-force within-cluster cosine >= 0.4 edges
+    // (sequential IEEE folds), then the dedup_clusters recursive-CTE
+    // transitive closure — the engine's bounded-pair + min-label
+    // pipeline must EQUAL this independent quadratic ground truth.
+    "dedup_semantic" ->
+      """WITH RECURSIVE nv AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+           FROM embeddings),
+         nrm AS (SELECT vec_id, ed,
+           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(ed, x -> x*x)), (a,b) -> a+b)) AS n FROM nv),
+         v AS (SELECT vec_id,
+           CASE WHEN n > 0 THEN list_transform(ed, x -> x/n) ELSE ed END AS nvec
+           FROM nrm),
+         seeds AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cluster,
+             nvec AS cvec
+           FROM (SELECT vec_id, nvec FROM v ORDER BY vec_id ASC LIMIT 8)),
+         dots AS (SELECT v.vec_id, s.cluster,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65), i -> v.nvec[i] * s.cvec[i])),
+             (a,b) -> a+b) AS dt
+           FROM v CROSS JOIN seeds s),
+         best AS (SELECT vec_id, cluster, dt,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY dt DESC, cluster ASC) AS rk FROM dots),
+         asg AS (SELECT vec_id, cluster FROM best WHERE rk = 1),
+         pr AS (
+           SELECT a.vec_id AS ia, b.vec_id AS ib
+           FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           JOIN v va ON va.vec_id = a.vec_id
+           JOIN v vb ON vb.vec_id = b.vec_id
+           WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, 65), i -> va.nvec[i] * vb.nvec[i])),
+               (x,y) -> x+y) >= 0.4
+         ),
+         edges AS (SELECT ia AS u, ib AS w FROM pr UNION SELECT ib, ia FROM pr),
+         reach AS (
+           SELECT u AS a, w AS b FROM edges
+           UNION
+           SELECT r.a, e.w FROM reach r JOIN edges e ON r.b = e.u
+         ),
+         lab AS (SELECT a AS vec_id, least(min(b), a) AS lbl FROM reach GROUP BY a)
+         SELECT g.vec_id, CAST(g.cluster AS INT) AS cluster,
+           coalesce(l.lbl, g.vec_id) AS rep_id,
+           coalesce(l.lbl, g.vec_id) = g.vec_id AS keep
+         FROM asg g LEFT JOIN lab l USING (vec_id)""",
     // Full replication of the hyperplane-LSH pipeline: splitmix64 plane
     // weights in HUGEINT mod-2^64 (64×64→64 multiply via 32-bit halves;
     // HUGEINT→DOUBLE truncates, so signed values route through BIGINT

@@ -87,6 +87,48 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(ivf == brute, "nprobe=nlist IVF must equal brute force")
   }
 
+  test("semantic dedup matches brute-force within-cluster ground truth") {
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      k = 8, threshold = 0.4).collect()
+    assert(out.length == emb.count(), "one row per vector")
+    val rep = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out.foreach { r =>
+      assert(r.getBoolean(3) == (r.getLong(0) == r.getLong(2)),
+        "keep must mean vec is its own representative")
+    }
+    // independent ground truth: seeded assignment + brute-force
+    // within-cluster cosine edges + driver union-find
+    val assign = Similarity.clusterAssign(emb, "vec_id", "embedding", k = 8)
+      .select(col("vec_id"), col("cluster"))
+    val a = assign.join(emb, "vec_id")
+      .select(col("vec_id").as("id_a"), col("cluster"),
+        graft.analytics.HashFunctions.l2_normalize(col("embedding")).as("va"))
+    val b = assign.join(emb, "vec_id")
+      .select(col("vec_id").as("id_b"), col("cluster"),
+        graft.analytics.HashFunctions.l2_normalize(col("embedding")).as("vb"))
+    val edges = a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .filter(graft.analytics.HashFunctions.dot_product(col("va"), col("vb")) >= 0.4)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "corpus should contain semantic near-dups")
+    // transitive closure + minimality against the engine's labels
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    edges.foreach { case (u, v) => parent(find(u)) = find(v) }
+    val groundGroups = (edges.flatMap(e => Seq(e._1, e._2)).distinct)
+      .groupBy(find).values.map(_.toSet).toSet
+    groundGroups.foreach { g =>
+      val reps = g.map(rep)
+      assert(reps.size == 1, s"component $g split across reps $reps")
+      assert(reps.head == g.min, s"component $g rep ${reps.head} != min ${g.min}")
+    }
+    val connected = groundGroups.flatten
+    out.filter(r => !connected.contains(r.getLong(0))).foreach { r =>
+      assert(r.getLong(2) == r.getLong(0), "singleton must keep itself")
+    }
+  }
+
   test("connected components: chains, cliques, and singletons") {
     import spark.implicits._
     // chain 1-2-3-4-5-6-7-8 (diameter 7 → needs real iteration),
