@@ -271,6 +271,59 @@ object Dedup {
           .otherwise(lit("kept")).as("status"))
   }
 
+  /** Bloom-prefiltered incremental exact dedup: classify each batch
+    * document as `kept` or `dup_history` WITHOUT joining the whole
+    * batch against the history. The history's distinct digests build a
+    * Bloom filter (tree-aggregated, one filter per executor merged up),
+    * the filter rides the plan as a row-local probe
+    * ([[HashFunctions.bloom_might_contain]]), and only probe-positive
+    * rows — true dups plus an fpp-fraction of false positives — reach
+    * the confirming digest join. Probe-negative rows are DEFINITIVELY
+    * new (a Bloom filter has no false negatives), so the result is
+    * exact, not approximate.
+    *
+    * Scale shape: at ingest, batch ≪ history; the prefilter cuts the
+    * join's probe side from |batch| to ≈ dups + fpp·|batch|, so the
+    * shuffle carries almost nothing when the batch is mostly novel (the
+    * common case). The filter costs n·log₂(1/fpp)·1.44 bits — ~1.2 GB
+    * per 10⁹ digests at 1% — so it fits executor memory for bounded
+    * histories; beyond that, fall back to the digest-store bucket join
+    * ([[incremental]]) or shard the filter by digest prefix. Spark's
+    * own runtime row-level bloom join (spark.sql.optimizer.runtime.
+    * bloomFilter) applies the same idea planner-side; this operator
+    * makes it explicit and reusable against a PERSISTED history.
+    */
+  def bloomIncremental(newDf: DataFrame, historyDf: DataFrame,
+                       idCol: String, textCol: String,
+                       fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val batch = newDf.select(col(idCol).as("doc_id"),
+      sha2(col(textCol), 256).as("h"))
+    val hist = historyDf.select(sha2(col(textCol), 256).as("h")).distinct()
+    // expectedItems from a count of the (digest-deduped) history — one
+    // small extra job; a production digest store knows its cardinality
+    val n = math.max(hist.count(), 1L)
+    val bf = hist.rdd.treeAggregate(BloomFilter.create(n, fpp))(
+      (f, row) => {
+        f.putBinary(row.getString(0)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        f
+      },
+      (a, b) => a.mergeInPlace(b))
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val probe = HashFunctions.bloom_might_contain(col("h"), bos.toByteArray)
+    val flagged = batch.withColumn("maybe", probe)
+    val pos = flagged.filter(col("maybe"))
+      .join(hist.withColumn("in_hist", lit(1)), Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("in_hist").isNotNull, lit("dup_history"))
+          .otherwise(lit("kept")).as("status"))
+    val neg = flagged.filter(!col("maybe"))
+      .select(col("doc_id"), lit("kept").as("status"))
+    pos.unionByName(neg)
+  }
+
   /** Connected components over a near-dup pair list: every node gets
     * the MINIMUM id of its component as `label` — the canonical-doc
     * choice a dedup pipeline actually needs (pairs alone don't say

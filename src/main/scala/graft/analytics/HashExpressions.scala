@@ -545,6 +545,37 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** bloom_might_contain(string) → boolean: membership probe against a
+  * pre-built `org.apache.spark.util.sketch.BloomFilter` (Spark's public
+  * sketch API). The SERIALIZED filter rides the plan to every executor
+  * (the broadcast-model pattern of [[NearestCentroids]]) and is
+  * deserialized once per JVM-task; the probe itself is codegen'd so it
+  * runs inside the scan's whole-stage pipeline. No false negatives by
+  * construction — callers use it as an exact prefilter (rows that fail
+  * the probe are definitively absent from the build side; rows that
+  * pass are confirmed by a join over the ~fpp·batch survivors).
+  */
+case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bloom_might_contain"
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+  override def nullSafeEval(v: Any): Any =
+    bloom.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("bloomExpr", this, classOf[BloomMightContain].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.probe($c);")
+  }
+  /** Codegen entry point — keeps the lazy filter on the expression. */
+  def probe(s: UTF8String): Boolean = bloom.mightContainBinary(s.getBytes)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object HashFunctions {
   def splitmix64_hash(c: Column): Column =
     Bridge.column(SplitMix64Hash(Bridge.expression(c)))
@@ -574,4 +605,6 @@ object HashFunctions {
   def java_ln(c: Column): Column = Bridge.column(JavaLn(Bridge.expression(c)))
   def quantize_int8(c: Column): Column =
     Bridge.column(QuantizeInt8(Bridge.expression(c)))
+  def bloom_might_contain(c: Column, bloomBytes: Array[Byte]): Column =
+    Bridge.column(BloomMightContain(Bridge.expression(c), bloomBytes))
 }

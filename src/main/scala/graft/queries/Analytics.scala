@@ -176,6 +176,21 @@ object Analytics {
         "doc_id", "text")
     }),
 
+    // Bloom-prefiltered ingest dedup: history = every 3rd doc; batch =
+    // all docs plus id-shifted copies of every 7th (copies are
+    // dup_history only when the source doc is itself in the history,
+    // i.e. id % 21 == 0 — both probe branches exercised on both row
+    // kinds). Result is EXACT (prefilter + confirm join), so the
+    // oracle is a plain text-equality join.
+    "dedup_bloom" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val batch = base.select(col("doc_id"), col("text"))
+        .unionByName(base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      Dedup.bloomIncremental(batch, base.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text")
+    }),
+
     // BM25 top-10 per query over the inverted-index plan; scores are
     // sequential term-ordered IEEE folds, so the DuckDB oracle
     // hash-matches a floating-point ranking function
@@ -544,6 +559,20 @@ object Analytics {
            coalesce(l.lbl, d.doc_id) AS cluster_id,
            coalesce(l.lbl, d.doc_id) = d.doc_id AS keep
          FROM documents d LEFT JOIN lab l USING (doc_id)""",
+    // the Bloom prefilter + confirm join is exact by construction, so
+    // the oracle is the plain history-membership classification over
+    // text equality (digest grouping ≡ text equality, as dedup_exact)
+    "dedup_bloom" ->
+      """WITH batch AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 2000000 AS doc_id, text FROM documents
+           WHERE doc_id % 7 = 0),
+         hist AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 = 0)
+         SELECT b.doc_id,
+           CASE WHEN h.text IS NOT NULL THEN 'dup_history' ELSE 'kept' END
+             AS status
+         FROM batch b LEFT JOIN hist h ON h.text = b.text""",
     // SemDeDup replicated end-to-end: the sim_cluster_assign seeding +
     // assignment CTEs, brute-force within-cluster cosine >= 0.4 edges
     // (sequential IEEE folds), then the dedup_clusters recursive-CTE

@@ -129,6 +129,22 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom incremental dedup is exact regardless of fpp") {
+    import spark.implicits._
+    val hist = (0L until 200L).map(i => (i, s"hist doc $i")).toDF("doc_id", "text")
+    val batch = ((0L until 50L).map(i => (1000L + i, s"hist doc $i")) ++
+      (0L until 300L).map(i => (2000L + i, s"new doc $i"))).toDF("doc_id", "text")
+    // fpp 0.49 floods the confirm join with false positives; the
+    // result must not change — the filter is a prefilter, not an answer
+    for (fpp <- Seq(0.01, 0.49)) {
+      val out = Dedup.bloomIncremental(batch, hist, "doc_id", "text", fpp)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out.size == 350)
+      (0L until 50L).foreach(i => assert(out(1000L + i) == "dup_history"))
+      (0L until 300L).foreach(i => assert(out(2000L + i) == "kept"))
+    }
+  }
+
   test("connected components: chains, cliques, and singletons") {
     import spark.implicits._
     // chain 1-2-3-4-5-6-7-8 (diameter 7 → needs real iteration),
