@@ -96,6 +96,51 @@ object Sampling {
       .select(col(idCol), col(strataCol))
   }
 
+  /** Temperature-based source rebalancing (the multilingual-mix recipe
+    * of mT5/XLM-R: sample stratum s with probability ∝ cₛ^(1/τ)):
+    * flatten a skewed stratum distribution toward uniform by keeping a
+    * per-stratum fraction fₛ = min(1, (N·wₛ/Σw)/cₛ) with wₛ = cₛ^(1/τ)
+    * — head strata (big languages/domains) downsample, tail strata
+    * keep everything, total stays ≈ N. Row selection is the same
+    * deterministic splitmix64 bucket filter as [[hashSample]], so the
+    * mix is re-derivable from (τ, seed) alone and a stratum's sample
+    * is a SUBSET of any larger fraction's (nested samples — raising τ
+    * only removes rows).
+    *
+    * Scale shape: one map-side-combined count per stratum (strata are
+    * few: languages, domains), fractions computed on the driver in
+    * sorted-stratum order (the IEEE fold is reproducible — and
+    * replicated by the oracle), then a broadcast join + row-local
+    * bucket filter inside the scan: no shuffle of data rows at all.
+    * τ = 2 keeps the weight function on the correctly-rounded sqrt
+    * path so any IEEE engine derives bit-identical cuts; other τ go
+    * through Math.pow (documented 1-ulp, fine for production, not for
+    * bit-exact oracles).
+    */
+  def temperatureSample(df: DataFrame, idCol: String, strataCol: String,
+                        temperature: Double = 2.0, seed: Long = 0L): DataFrame = {
+    require(temperature >= 1.0, "temperature < 1 would upsample; this is a filter")
+    val exp = 1.0 / temperature
+    def w(c: Long): Double =
+      if (exp == 0.5) math.sqrt(c.toDouble) else math.pow(c.toDouble, exp)
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1)))
+      .sortBy(_._1)
+    val total = counts.iterator.map(_._2).sum
+    val sumW = counts.foldLeft(0.0)((acc, kv) => acc + w(kv._2))
+    val cuts = counts.map { case (k, c) =>
+      val target = total.toDouble * w(c) / sumW
+      val f = target / c.toDouble
+      (k, math.floor(math.min(1.0, f) * 4096.0).toLong)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cutDf = broadcast(cuts.toSeq.toDF(strataCol, "_cut"))
+    df.join(cutDf, strataCol)
+      .filter(bucketOf(col(idCol), seed) < col("_cut"))
+      .select(col(idCol), col(strataCol))
+  }
+
   /** Greedy sequence packing: documents are dealt into `streams` by
     * interleave rank (round-robin — each stream is a deterministic
     * pseudo-random subsequence), then each stream packs greedily in

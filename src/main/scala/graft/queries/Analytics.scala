@@ -158,6 +158,13 @@ object Analytics {
       Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
         perStratum = 20, seed = 7)),
 
+    // τ=2 temperature rebalancing over the skewed lang distribution:
+    // head langs downsample toward ∝ sqrt(count), tail langs clamp at
+    // keep-all — both branches exercised on this corpus
+    "sample_temperature" -> ((s, dir) =>
+      Sampling.temperatureSample(t(s, dir, "documents"), "doc_id", "lang",
+        temperature = 2.0, seed = 7)),
+
     // passage-level dedup: 10-token segments, keep = first occurrence
     // corpus-wide by (doc_id, seg_idx)
     "dedup_segments" -> ((s, dir) =>
@@ -820,6 +827,41 @@ object Analytics {
             * 4294967296) % m64 AS x5, m64 FROM mb),
          m3 AS (SELECT doc_id, xor(x5, x5 // 2147483648) AS x6 FROM m2)
          SELECT doc_id FROM m3 WHERE (x6 // 4096) % 4096 < 1024""",
+    // per-lang cut = floor(min(1, (N·sqrt(c)/Σsqrt)/c)·4096) with the
+    // Σ as a sorted-lang sequential fold (list_reduce ≡ the driver's
+    // foldLeft, bit-identical IEEE; sqrt is correctly rounded in both
+    // engines), then the sample_hash splitmix64 bucket filter
+    "sample_temperature" ->
+      """WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+         cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS cn
+           FROM documents GROUP BY lang),
+         tot AS (SELECT CAST(sum(cn) AS BIGINT) AS total FROM cnt),
+         sw AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(sqrt(CAST(cn AS DOUBLE)) ORDER BY lang)),
+             (a,b) -> a+b) AS s FROM cnt),
+         cut AS (SELECT lang,
+           CAST(floor(least(CAST(1.0 AS DOUBLE),
+             (CAST(tot.total AS DOUBLE) * sqrt(CAST(cn AS DOUBLE)) / sw.s)
+               / CAST(cn AS DOUBLE)) * CAST(4096.0 AS DOUBLE)) AS BIGINT)
+             AS cutv
+           FROM cnt CROSS JOIN tot CROSS JOIN sw),
+         m0 AS (SELECT doc_id, lang,
+           (CAST(doc_id AS HUGEINT) + 7 + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
+           FROM documents CROSS JOIN c),
+         ma AS (SELECT doc_id, lang, xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
+         m1 AS (SELECT doc_id, lang,
+           (x2 % 4294967296 * 484763065 +
+            ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+            * 4294967296) % m64 AS x3, m64 FROM ma),
+         mb AS (SELECT doc_id, lang, xor(x3, x3 // 134217728) AS x4, m64 FROM m1),
+         m2 AS (SELECT doc_id, lang,
+           (x4 % 4294967296 * 321982955 +
+            ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+            * 4294967296) % m64 AS x5, m64 FROM mb),
+         m3 AS (SELECT doc_id, lang, xor(x5, x5 // 2147483648) AS x6 FROM m2)
+         SELECT m3.doc_id, m3.lang
+         FROM m3 JOIN cut USING (lang)
+         WHERE (x6 // 4096) % 4096 < cutv""",
     // same hash; rank over the SIGNED 64-bit value (Spark's long
     // ordering), ties broken by doc_id
     "sample_interleave" ->

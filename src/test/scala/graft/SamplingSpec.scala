@@ -28,6 +28,37 @@ class SamplingSpec extends AnyFunSuite {
     assert(small.subsetOf(a))
   }
 
+  test("temperature sampling flattens a skewed mix and clamps the tail") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 8000 head + 500 mid + 120 tail rows
+    val df = spark.range(0, 8620).toDF("id")
+      .withColumn("src", when(col("id") < 8000, "head")
+        .when(col("id") < 8500, "mid").otherwise("tail"))
+    val out = Sampling.temperatureSample(df, "id", "src",
+      temperature = 2.0, seed = 3)
+    val by = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tail keep-fraction clamps at 1 → every tail row survives
+    assert(by("tail") == 120L, s"tail must keep all rows, got ${by("tail")}")
+    // head downsamples hard; expected fraction = min(1, (N·w/Σw)/c)
+    def w(c: Long) = math.sqrt(c.toDouble)
+    val sum = w(8000) + w(500) + w(120) // fold order: head, mid, tail (sorted)
+    val fHead = 8620.0 * w(8000) / sum / 8000.0
+    val cutHead = math.floor(math.min(1.0, fHead) * 4096.0) / 4096.0
+    assert(math.abs(by("head").toDouble / 8000.0 - cutHead) < 0.03,
+      s"head fraction ${by("head") / 8000.0} vs expected ≈ $cutHead")
+    // deterministic: same seed → identical sample
+    val again = Sampling.temperatureSample(df, "id", "src", 2.0, seed = 3)
+    assert(out.collect().map(_.getLong(0)).sorted
+      .sameElements(again.collect().map(_.getLong(0)).sorted))
+    // nested: a hotter (more uniform) τ=4 sample of the head is NOT
+    // required to nest, but same-τ different-seed must differ
+    val other = Sampling.temperatureSample(df, "id", "src", 2.0, seed = 4)
+    assert(!out.collect().map(_.getLong(0)).sorted
+      .sameElements(other.collect().map(_.getLong(0)).sorted))
+  }
+
   test("sequence packing: budget respected, complete, deterministic") {
     import spark.implicits._
     // token counts 1..400, some exceeding half the budget, one giant
