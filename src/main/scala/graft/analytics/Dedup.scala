@@ -105,6 +105,89 @@ object Dedup {
     coldPairs.unionByName(hotPairs)
   }
 
+  /** All cross-side (left, right) pairs sharing a bucket key, with
+    * BOUNDED per-task work — the A×B counterpart of
+    * [[boundedSelfPairs]] for batch-vs-history joins. Hot keys (either
+    * side larger than `cap`) are grid-chunked: left members hash into
+    * `nl` chunks and replicate across the right's `nr` chunks, right
+    * members symmetrically, so every (l, r) pair meets in exactly one
+    * (key, ci, cj) block of ≤ cap×cap comparisons and a hot bucket
+    * spreads across the cluster instead of one quadratic straggler.
+    * Cold keys (the common case) take a plain join with no replication.
+    */
+  private[analytics] def boundedCrossPairs(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      memberCol: String, cap: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val lsz = left.groupBy(keys: _*).agg(count(lit(1)).as("lsz"))
+    val rsz = right.groupBy(keys: _*).agg(count(lit(1)).as("rsz"))
+    // a key pairs only when present on BOTH sides, so the hot probe is
+    // an inner join of the two (small, map-side-combined) count sets
+    val hot = lsz.join(rsz, keyCols)
+      .filter(col("lsz") > cap || col("rsz") > cap)
+      .withColumn("nl", ceil(col("lsz").cast("double") / lit(cap)).cast("int"))
+      .withColumn("nr", ceil(col("rsz").cast("double") / lit(cap)).cast("int"))
+      .select(keys :+ col("nl") :+ col("nr"): _*)
+    val lf = left.join(hot, keyCols, "left")
+    val rf = right.join(hot, keyCols, "left")
+    val coldPairs = lf.filter(col("nl").isNull)
+      .select(keys :+ col(memberCol).as("m_a"): _*)
+      .join(rf.filter(col("nl").isNull)
+        .select(keys :+ col(memberCol).as("m_b"): _*), keyCols)
+      .select(col("m_a").as("pair_a"), col("m_b").as("pair_b"))
+    val hotL = lf.filter(col("nl").isNotNull)
+      .withColumn("ci", pmod(xxhash64(col(memberCol)), col("nl")).cast("int"))
+      .withColumn("cj", explode(sequence(lit(0), col("nr") - 1)))
+      .select(keys ++ Seq(col("ci"), col("cj"), col(memberCol).as("m_a")): _*)
+    val hotR = rf.filter(col("nl").isNotNull)
+      .withColumn("cj", pmod(xxhash64(col(memberCol)), col("nr")).cast("int"))
+      .withColumn("ci", explode(sequence(lit(0), col("nl") - 1)))
+      .select(keys ++ Seq(col("ci"), col("cj"), col(memberCol).as("m_b")): _*)
+    val hotPairs = hotL.join(hotR, keyCols ++ Seq("ci", "cj"))
+      .select(col("m_a").as("pair_a"), col("m_b").as("pair_b"))
+    coldPairs.unionByName(hotPairs)
+  }
+
+  /** Incremental NEAR-dup detection: MinHash-LSH candidate pairs
+    * BETWEEN a new batch and a historical corpus (never within either
+    * side), verified with exact Jaccard. The ingest-time shape of
+    * near-dedup at 100 TB — the history's signatures are computed once
+    * (in production: persisted alongside the digest store) and only
+    * (band, hash, id) tuples shuffle for the bucket join; candidate
+    * verification joins shingle sets for surviving id pairs only.
+    * Returns (new_id, hist_id, jaccard).
+    */
+  def crossMinhashPairs(newDf: DataFrame, histDf: DataFrame,
+                        idCol: String, textCol: String,
+                        shingleSize: Int = 3, numHashes: Int = 128,
+                        numBands: Int = 16, threshold: Double = 0.8,
+                        charGrams: Boolean = false,
+                        maxBucket: Int = 4096): DataFrame = {
+    val shingle = (c: Column) =>
+      if (charGrams) char_shingles(c, shingleSize) else word_shingles(c, shingleSize)
+    // aggregate barriers as in minhashPairs: signatures and shingles
+    // materialize once per document per side
+    def banded(df: DataFrame) = df.select(
+        col(idCol).as("doc_id"),
+        minhash_bands(shingle(col(textCol)), numHashes, numBands).as("bands"))
+      .groupBy(col("doc_id")).agg(first(col("bands")).as("bands"))
+      .select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_id", "band_hash")))
+    val pairs = boundedCrossPairs(banded(newDf), banded(histDf),
+        Seq("band_id", "band_hash"), "doc_id", maxBucket)
+      .select(col("pair_a").as("new_id"), col("pair_b").as("hist_id"))
+      .distinct()
+    def sh(df: DataFrame, id: String, shn: String) =
+      df.select(col(idCol).as(id), shingle(col(textCol)).as(shn))
+        .groupBy(col(id)).agg(first(col(shn)).as(shn))
+    pairs
+      .join(sh(newDf, "new_id", "sh_a"), "new_id")
+      .join(sh(histDf, "hist_id", "sh_b"), "hist_id")
+      .withColumn("jaccard", jaccard_sim(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("hist_id"), col("jaccard"))
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * Pipeline: shingle → signature (row-local) → explode bands →

@@ -183,6 +183,21 @@ object Analytics {
         "doc_id", "text")
     }),
 
+    // incremental NEAR-dup: batch = every 20th doc with its last token
+    // dropped and the id shifted (a realistic re-crawl mutation —
+    // Jaccard ≈ (n-3)/n vs its source), checked against the full
+    // corpus as history; LSH candidates between sides only, exact
+    // Jaccard >= 0.5 verification
+    "dedup_minhash_incr" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val toks = split(trim(col("text")), "\\s+")
+      val batch = base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"))
+      Dedup.crossMinhashPairs(batch, base, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+    }),
+
     // Bloom-prefiltered ingest dedup: history = every 3rd doc; batch =
     // all docs plus id-shifted copies of every 7th (copies are
     // dup_history only when the source doc is itself in the history,
@@ -566,6 +581,38 @@ object Analytics {
            coalesce(l.lbl, d.doc_id) AS cluster_id,
            coalesce(l.lbl, d.doc_id) = d.doc_id AS keep
          FROM documents d LEFT JOIN lab l USING (doc_id)""",
+    // brute-force cross-side exact-Jaccard oracle (the dedup_minhash
+    // playbook, A×B instead of self-join): batch texts rebuilt with the
+    // identical drop-last-token mutation, empty-shingle docs excluded
+    // on both sides exactly as the engine's banding drops them
+    "dedup_minhash_incr" ->
+      """WITH hsh AS (
+           SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             END AS s
+           FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                 FROM documents WHERE trim(text) <> '')),
+         bat AS (
+           SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(t[1:len(t)-1], ' ') AS text2
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                 FROM documents WHERE doc_id % 20 = 0)),
+         bsh AS (
+           SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             END AS s
+           FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text2)), '\s+') AS t
+                 FROM bat WHERE trim(text2) <> ''))
+         SELECT b.doc_id AS new_id, h.doc_id AS hist_id,
+           CAST(len(list_intersect(b.s, h.s)) AS DOUBLE) /
+             (len(b.s) + len(h.s) - len(list_intersect(b.s, h.s))) AS jaccard
+         FROM bsh b JOIN hsh h
+           ON CAST(len(list_intersect(b.s, h.s)) AS DOUBLE) /
+             (len(b.s) + len(h.s) - len(list_intersect(b.s, h.s))) >= 0.5""",
     // the Bloom prefilter + confirm join is exact by construction, so
     // the oracle is the plain history-membership classification over
     // text equality (digest grouping ≡ text equality, as dedup_exact)

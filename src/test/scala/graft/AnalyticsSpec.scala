@@ -129,6 +129,35 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-corpus minhash: batch-vs-history pairs match brute force") {
+    import graft.analytics.HashFunctions
+    val toks = split(trim(col("text")), "\\s+")
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"))
+    val found = Dedup.crossMinhashPairs(batch, docs, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.nonEmpty, "mutated copies must pair with their sources")
+    found.foreach { case (n, h) =>
+      assert(n >= 1000000 && h < 1000000, "pairs must be cross-side only")
+    }
+    val shB = batch.select(col("doc_id").as("id_a"),
+      HashFunctions.word_shingles(col("text"), 3).as("sh_a"))
+    val shH = docs.select(col("doc_id").as("id_b"),
+      HashFunctions.word_shingles(col("text"), 3).as("sh_b"))
+    val truth = shB.crossJoin(shH)
+      .filter(HashFunctions.jaccard_sim(col("sh_a"), col("sh_b")) >= 0.5)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == truth, s"missed=${truth -- found} extra=${found -- truth}")
+    // grid-chunked hot path (cap=2 makes every bucket hot): same pairs
+    val chunked = Dedup.crossMinhashPairs(batch, docs, "doc_id", "text",
+        threshold = 0.5, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(chunked == found, "bounded grid chunking must not change pairs")
+  }
+
   test("bloom incremental dedup is exact regardless of fpp") {
     import spark.implicits._
     val hist = (0L until 200L).map(i => (i, s"hist doc $i")).toDF("doc_id", "text")
