@@ -41,6 +41,57 @@ object StreamingOps {
       .groupBy(session_window(col(eventTimeCol), gap) +: keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_events"))
 
+  /** Streaming incremental dedup — the ingest-time twin of
+    * `Dedup.incremental`: every arriving document is classified as
+    * `kept` (first of its content anywhere), `dup_stream` (its content
+    * arrived earlier on this stream), or `dup_history` (the content is
+    * in the static historical corpus). History participates as a
+    * digest set via a stream-static join (broadcast when small, else
+    * a shuffle join the planner re-evaluates per micro-batch);
+    * stream-side first-occurrence is one boolean of
+    * `flatMapGroupsWithState` state per DISTINCT content digest.
+    *
+    * Scale shape: the state store holds 32-byte digests, not
+    * documents, and only for content NOT already in history (history
+    * dups resolve from the join alone). Within a micro-batch, copies
+    * of the same digest classify in arrival order (first = kept) —
+    * the streaming analogue of the batch operator's min-id rule.
+    * State is unbounded by design here (exactness); bound it with a
+    * watermarked variant ([[dedupStream]]) when the dedup horizon can
+    * be finite.
+    */
+  def incrementalDedup(stream: DataFrame, history: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val hist = history.select(sha2(col(textCol), 256).as("h")).distinct()
+      .withColumn("in_hist", lit(true))
+    val flagged = stream
+      .select(col(idCol).as("doc_id"), sha2(col(textCol), 256).as("h"))
+      .join(hist, Seq("h"), "left")
+      .select(col("h"), col("doc_id"),
+        coalesce(col("in_hist"), lit(false)).as("in_hist"))
+      .as[(String, Long, Boolean)]
+    flagged.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[(String, Long, Boolean)],
+         state: GroupState[Boolean]) => {
+          var seen = state.getOption.getOrElse(false)
+          val out = rows.map { case (_, id, inHist) =>
+            val status =
+              if (inHist) "dup_history"
+              else if (seen) "dup_stream"
+              else "kept"
+            if (!inHist) seen = true
+            (id, status)
+          }.toList
+          if (seen) state.update(true)
+          out.iterator
+        })
+      .toDF("doc_id", "status")
+  }
+
   /** One compacted row per key: (key, operation, position, payload). */
   case class CompactedRecord(key: String, operation: String,
                              position: String, payload_after: String)

@@ -30,6 +30,29 @@ class StreamingOpsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming incremental dedup classifies kept/dup_stream/dup_history") {
+    implicit val sqlCtx = spark.sqlContext
+    val history = Seq((100L, "old text one"), (101L, "old text two"))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val out = StreamingOps.incrementalDedup(
+      in.toDF().toDF("doc_id", "text"), history, "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("incr_dedup_out")
+      .outputMode("append").start()
+    // batch 1: a novel doc, a history dup, and a same-batch repeat
+    in.addData((1L, "fresh text"), (2L, "old text one"), (3L, "fresh text"))
+    q.processAllAvailable()
+    // batch 2: a cross-batch stream dup, another history dup, a new doc
+    in.addData((4L, "fresh text"), (5L, "old text two"), (6L, "brand new"))
+    q.processAllAvailable()
+    val got = spark.table("incr_dedup_out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "kept", 2L -> "dup_history", 3L -> "dup_stream",
+      4L -> "dup_stream", 5L -> "dup_history", 6L -> "kept"), got.toString)
+    q.stop()
+  }
+
   test("curation expressions run on streaming frames (quality + sample + langid)") {
     // the row-local analytics layer (quality features, hash sampling,
     // language ID, normalization) is expression-only, so ingest-time
