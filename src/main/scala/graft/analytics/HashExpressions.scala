@@ -264,6 +264,46 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** long_dot(array<long>, array<long>) → long: integer dot product —
+  * the scoring kernel of quantized (int8) similarity search. Exact
+  * 64-bit arithmetic (no rounding anywhere), codegen'd like
+  * [[DotProduct]] so the per-pair hot loop stays in whole-stage
+  * codegen.
+  */
+case class LongDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "long_dot"
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** splitmix64_hash(long) → long: the splitmix64 mixer as a column
   * expression — the deterministic, engine-replicable hash behind
   * [[Sampling]] (DuckDB has no xxhash64, so oracle parity needs a
@@ -607,4 +647,6 @@ object HashFunctions {
     Bridge.column(QuantizeInt8(Bridge.expression(c)))
   def bloom_might_contain(c: Column, bloomBytes: Array[Byte]): Column =
     Bridge.column(BloomMightContain(Bridge.expression(c), bloomBytes))
+  def long_dot(a: Column, b: Column): Column =
+    Bridge.column(LongDot(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -106,6 +106,39 @@ object Similarity {
       .select(col(idCol).as("vec_id"),
         col("_q.scale").as("scale"), col("_q.qvec").as("qvec"))
 
+  /** Brute-force top-k over int8-QUANTIZED vectors — the search side
+    * of [[quantizeInt8]]: both sides normalize → quantize, scoring is
+    * the exact integer dot product ([[HashFunctions.long_dot]], 64-dim
+    * int8 dot in whole-stage codegen) rescaled by
+    * scaleₐ·scale_b/127². The 4× smaller vectors are what actually
+    * scans at 100 TB — the float corpus stays in cold storage; recall
+    * vs float search is measured in AnalyticsSpec (ties in the
+    * quantized score break by neighbor id, so results are
+    * deterministic and engine-replicable: every arithmetic step is
+    * exact or a fixed-order IEEE op).
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    def qz(df: DataFrame, id: String, p: String) =
+      df.select(col(idCol).as(id),
+          HashFunctions.quantize_int8(l2_normalize(col(vecCol))).as("_q"))
+        .select(col(id), col("_q.scale").as(s"${p}_scale"),
+          col("_q.qvec").as(s"${p}_qvec"))
+    val q = qz(queries, "query_id", "q")
+    val c = qz(corpus, "neighbor_id", "c")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (HashFunctions.long_dot(col("q_qvec"), col("c_qvec")).cast("double")
+          * col("q_scale") * col("c_scale") / lit(16129.0)).as("approx_cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("approx_cos"))
+  }
+
   /** Spherical k-means cluster assignment with deterministic seeding:
     * centroids are the L2-normalized vectors of the `k` lowest ids
     * (k-medoid-style seeds — reproducible on any cluster, no RNG state),

@@ -63,6 +63,15 @@ object Analytics {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
+    // ANN over the int8-quantized store: integer dot products rescaled
+    // by the per-vector scales — every step exact or fixed-order IEEE,
+    // so the oracle replicates normalize → quantize → score → rank
+    "sim_topk_quantized" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5)
+    }),
+
     // int8 quantization, exploded to scalar rows for the exact compare
     "sim_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
@@ -449,6 +458,42 @@ object Analytics {
                ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) rk
            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
            WHERE q.vec_id < 8) WHERE rk <= 5""",
+    // normalize (sequential folds) → quantize (floor(|x|/s·127+0.5)
+    // with the sign reapplied) → exact BIGINT dot → rescale by
+    // (scale_a·scale_b)/127² in the engine's operation order → rank
+    "sim_topk_quantized" ->
+      """WITH nv AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+           FROM embeddings),
+         nrm AS (SELECT vec_id, ed,
+           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(ed, x -> x*x)), (a,b) -> a+b)) AS n FROM nv),
+         v AS (SELECT vec_id,
+           CASE WHEN n > 0 THEN list_transform(ed, x -> x/n) ELSE ed END AS nvec
+           FROM nrm),
+         sc AS (SELECT vec_id, nvec,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(nvec, x -> abs(x))), (a,b) -> greatest(a,b)) AS scale
+           FROM v),
+         qv AS (SELECT vec_id, scale,
+           list_transform(nvec, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(CASE WHEN x < 0
+               THEN -floor(abs(x) / scale * CAST(127.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+               ELSE floor(abs(x) / scale * CAST(127.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             END AS BIGINT) END) AS q
+           FROM sc),
+         d AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+           (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, 65), i -> a.q[i] * b.q[i])),
+              (x,y) -> x+y) AS DOUBLE)
+            * a.scale * b.scale) / CAST(16129.0 AS DOUBLE) AS ac
+           FROM qv a JOIN qv b ON a.vec_id < 8 AND b.vec_id <> a.vec_id)
+         SELECT qid AS query_id, CAST(rk AS INT) AS rank,
+           nid AS neighbor_id, ac AS approx_cos
+         FROM (SELECT qid, nid, ac,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY ac DESC, nid ASC) AS rk FROM d)
+         WHERE rk <= 5""",
     // scale = max |x| (exact float→double), q = round half away from
     // zero of x/scale·127 — DuckDB round() ties away from zero ==
     // floor(|v| + 0.5) with the sign reapplied

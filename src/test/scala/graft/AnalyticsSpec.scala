@@ -87,6 +87,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(ivf == brute, "nprobe=nlist IVF must equal brute force")
   }
 
+  test("quantized top-k tracks float brute-force search closely") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val floatTop = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val qTop = Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect()
+    assert(qTop.length == floatTop.size, "same result shape")
+    val qSet = qTop.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (qSet & floatTop).size.toDouble / floatTop.size
+    assert(recall >= 0.8, s"int8 recall vs float too low: $recall")
+    // deterministic: re-run is identical including scores
+    val again = Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect()
+    assert(qTop.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("semantic dedup matches brute-force within-cluster ground truth") {
     val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
       k = 8, threshold = 0.4).collect()
