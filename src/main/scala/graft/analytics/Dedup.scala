@@ -346,8 +346,12 @@ object Dedup {
     val hist = historyDf.select(sha2(col(textCol), 256).as("h")).distinct()
       .withColumn("in_hist", lit(1))
     val firstInBatch = fresh.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+    // LEFT joins so a null-text row (null digest: joins on h never
+    // match) still gets classified — as "kept", matching SQL equality
+    // semantics where NULL = NULL is not true, rather than silently
+    // vanishing from the output.
     fresh.join(hist, Seq("h"), "left")
-      .join(firstInBatch, "h")
+      .join(firstInBatch, Seq("h"), "left")
       .select(col("doc_id"),
         when(col("in_hist").isNotNull, lit("dup_history"))
           .when(col("doc_id") =!= col("first_id"), lit("dup_batch"))
@@ -395,8 +399,12 @@ object Dedup {
       (a, b) => a.mergeInPlace(b))
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
+    // coalesce(false): a null-text row has a null digest, and a null
+    // probe would be excluded by BOTH branch filters below — the row
+    // would vanish instead of being classified. Null digests are
+    // definitively "kept" (SQL equality: NULL never equals anything).
     val probe = HashFunctions.bloom_might_contain(col("h"), bos.toByteArray)
-    val flagged = batch.withColumn("maybe", probe)
+    val flagged = batch.withColumn("maybe", coalesce(probe, lit(false)))
     val pos = flagged.filter(col("maybe"))
       .join(hist.withColumn("in_hist", lit(1)), Seq("h"), "left")
       .select(col("doc_id"),
@@ -424,20 +432,38 @@ object Dedup {
     * dup clusters never need it.
     *
     * Input: (aCol, bCol) id pairs. Output: (id, label).
+    *
+    * `checkpointDir`: when set, every round truncates lineage by
+    * writing to RELIABLE storage (parquet under the dir) instead of
+    * `localCheckpoint` — localCheckpoint blocks live on executors and
+    * die with them, so on a real cluster with dynamic allocation or
+    * preemption the loop would recompute from a lost leaf or fail;
+    * pointing this at HDFS/S3 makes every round a durable leaf. The
+    * caller owns the directory's lifecycle (safe to delete after the
+    * RESULT is consumed or itself persisted).
     */
   def components(pairs: DataFrame, aCol: String = "id_a",
                  bCol: String = "id_b", maxIter: Int = 25,
-                 driverEdgeCap: Long = 1000000L): DataFrame = {
+                 driverEdgeCap: Long = 1000000L,
+                 checkpointDir: Option[String] = None): DataFrame = {
     // LINEAGE TRUNCATION, not persist-chains: each round references
     // `labels` twice (directly and inside the neighbor-min join), so a
     // lineage that nests round over round doubles the recompute per
     // round on any cache miss — observed as 2^iter blowup (110 s for a
     // 667-node graph) before eager localCheckpoint made every round's
-    // result a storage-backed leaf. On a real cluster with lineage-
-    // loss concerns, swap localCheckpoint for reliable checkpoint(dir).
-    val sym = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    // result a storage-backed leaf.
+    var ckptId = 0
+    def truncate(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val p = s"$dir/cc-$ckptId"
+        ckptId += 1
+        df.write.mode("overwrite").parquet(p)
+        df.sparkSession.read.parquet(p)
+      case None => df.localCheckpoint(true)
+    }
+    val sym = truncate(pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct().localCheckpoint(true)
+      .distinct())
     // COUNT-GATED hybrid: the edge list after near-dup verification is
     // O(duplicates), not O(corpus) — usually a few thousand pairs even
     // when the corpus is 100 TB. When the (counted, never assumed)
@@ -450,19 +476,18 @@ object Dedup {
       val small = driverComponents(sym)
       if (small.isDefined) return small.get
     }
-    var labels = sym.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+    var labels = truncate(sym.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val nbrMin = sym
         .join(labels.select(col("id").as("v"), col("label").as("vl")), "v")
         .groupBy(col("u").as("id")).agg(min(col("vl")).as("nl"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val next = truncate(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
-          (col("nl") < col("label")).as("moved"))
-        .localCheckpoint(true)
+          (col("nl") < col("label")).as("moved")))
       changed = next.filter(col("moved")).count()
       labels = next.drop("moved")
       iter += 1

@@ -47,29 +47,57 @@ object Retrieval {
         .toDF("query_id", "term"))
     val allTerms = queries.flatMap(_._2).distinct
 
-    // ONE corpus scan: tokenize once, keep only the document length and
-    // the query-matched tokens (a few bytes/doc), and cache that slim
-    // frame — the stats branch and the posting-list branch both read it,
-    // so the full text is never scanned or tokenized twice. Lazy
-    // persist: the first branch to execute materializes it.
-    val termSet = array(allTerms.map(lit(_)): _*)
+    // ONE corpus scan, NO cache. A prior version persisted the slim
+    // tokenized frame and never unpersisted it — a CacheManager entry
+    // leaked for the life of the session, degrading every later query
+    // under storage pressure. The leak-free single-scan shape instead
+    // makes the posting-list aggregate's own shuffle the sharing point:
+    // every consumer (tf, document frequencies, corpus stats) reads the
+    // SAME canonicalized Exchange(doc_id, dl, term), so ReuseExchange /
+    // AQE stage reuse materializes the tokenize+explode map stage
+    // exactly once and shuffle files are cleaned with the job.
+    //
+    // Two tricks keep the three subtree copies canonically identical
+    // (without them Catalyst prunes each copy differently and the scan
+    // runs three times):
+    //  - docs with NO query-matched token get a sentinel "" token, so
+    //    corpus stats (N, avgdl) can be computed from the exchange
+    //    output — every doc has >= 1 row. "" never matches a real query
+    //    term (empty terms are dropped from the query set), so the
+    //    sentinel rows vanish at the qdf join and are skipped for df.
+    //  - downstream branches that don't arithmetically need the count
+    //    gate on `tf > 0` (always true, but a filter on an aggregate
+    //    RESULT cannot be pushed below the aggregate) so the partial
+    //    count(1) survives pruning identically in every copy.
+    // The exchange carries one slim row per (doc, matched term) plus
+    // one sentinel per unmatched doc — ~20 B/row, never corpus text.
+    val termSet = array(allTerms.filter(_.nonEmpty).map(lit(_)): _*)
     val slim = docs.select(col(idCol).as("doc_id"),
       Text.wsTokens(lower(trim(col(textCol)))).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         filter(col("toks"), t => array_contains(termSet, t)).as("qtoks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // N and avgdl as a one-row frame: stays in the distributed plan.
-    val stats = slim.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
-      .select(col("n"),
-        (col("sumdl").cast("double") / col("n").cast("double")).as("avgdl"))
+      .select(col("doc_id"), col("dl"),
+        when(size(col("qtoks")) === 0, array(lit(""))).otherwise(col("qtoks"))
+          .as("qtoks"))
 
     val tf = slim
       .select(col("doc_id"), col("dl"), explode(col("qtoks")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
 
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+    // N and avgdl from the shared exchange (collapse to one row per
+    // doc, then count/sum), kept in the plan via a broadcast cross join.
+    val stats = tf.filter(col("tf") > 0)
+      .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+      .select(col("n"),
+        (col("sumdl").cast("double") / col("n").cast("double")).as("avgdl"))
+
+    // "" keeps its (meaningless) df row — filtering it here would push
+    // a grouping-key predicate below the shared exchange and break the
+    // canonical-equality reuse; it dies at the query-terms join instead.
+    val dfreq = tf.filter(col("tf") > 0)
+      .groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
 
     val idf = java_ln(lit(1.0) +
       (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
@@ -79,10 +107,12 @@ object Retrieval {
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
 
+    // qdf joins FIRST so sentinel rows (and non-query postings) drop
+    // before the dfreq/stats joins widen the rows.
     val contrib = tf
+      .join(qdf, "term")
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
-      .join(qdf, "term")
       .select(col("query_id"), col("doc_id"),
         struct(col("term"), termScore.as("c")).as("tc"))
 
@@ -110,15 +140,26 @@ object Retrieval {
       Text.wsTokens(lower(trim(col(textCol)))).as("toks"))
     // count(*) only — column-pruned scan, no tokenization
     val stats = docs.agg(count(lit(1)).as("n"))
-    // the inverted index itself: cached so the df aggregation and the
-    // final weight join share one tokenize+explode pass over the corpus
+    // the inverted index itself. NOT cached: the df aggregation and the
+    // final weight join both sit on the tf aggregate's own shuffle
+    // (Exchange hashpartitioning(doc_id, term)), so ReuseExchange / AQE
+    // stage reuse runs the tokenize+explode map side once and both
+    // consumers read the same shuffle files — no CacheManager entry to
+    // leak across the session (a prior persist here was never
+    // unpersisted and degraded long-lived sessions under storage
+    // pressure).
     val tf = base
       .select(col("doc_id"), explode(col("toks")).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+    // the `tf > 0` gate is always true but cannot be pushed below the
+    // aggregate (it filters an aggregate RESULT) — it forces this copy
+    // of the tf subtree to keep count(1) like the join copy does, so
+    // the two copies stay canonically identical and the exchange is
+    // reused instead of re-scanning the corpus.
+    val dfreq = tf.filter(col("tf") > 0)
+      .groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
       .filter(col("df") >= minDf)
     tf.join(dfreq, "term")
       .crossJoin(broadcast(stats))

@@ -6,10 +6,21 @@ import org.apache.spark.sql.functions._
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Scale design: the brute-force path broadcasts the (small) query set
-  * against the corpus — one scan, no shuffle, top-k via per-query heap
-  * (TakeOrdered after a window rank). The LSH/IVF paths bound the
-  * candidate set so a 100 TB corpus only scores vectors sharing a
-  * bucket/centroid with the query.
+  * against the corpus — one scan, no shuffle before the rank. The
+  * LSH/IVF paths bound the candidate set so a 100 TB corpus only
+  * scores vectors sharing a bucket/centroid with the query.
+  *
+  * Per-query top-k is written as `row_number().over(query window)
+  * .filter(<= k)` ON PURPOSE: Spark's `InferWindowGroupLimit`
+  * (SPARK-37099, 3.5+) plans this as WindowGroupLimit(Partial) BELOW
+  * the exchange → WindowGroupLimit(Final) above it, so each map task
+  * forwards at most k rows per query and the per-query reducer merges
+  * ≤ k × num_partitions rows — never the full candidate set. This is
+  * exactly the bounded per-partition partial top-k shape, with zero
+  * custom code; AnalyticsSpec guards the plan shape so a regression
+  * (e.g. a config lowering windowGroupLimitThreshold below k) fails
+  * loudly rather than silently reverting to a one-reducer-per-query
+  * full sort.
   */
 object Similarity {
   import HashFunctions._

@@ -273,6 +273,52 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(cpBad.isEmpty, s"per-pair re-evaluation:\n${cpBad.mkString("\n")}")
   }
 
+  test("per-query top-k plans as partial WindowGroupLimit below the shuffle") {
+    // Scale guard: `row_number().over(query).filter(<= k)` must plan as
+    //   WindowGroupLimit(Final) <- Exchange(query_id) <- WindowGroupLimit(Partial)
+    // (InferWindowGroupLimit, SPARK-37099) so each map task forwards at
+    // most k candidates per query and no reducer ever sorts a query's
+    // FULL candidate set (for brute force that set is the whole corpus).
+    // If a config change (e.g. windowGroupLimitThreshold < k) or a
+    // query rewrite drops the partial stage, this fails loudly.
+    def assertPartialTopK(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      val fin = plan.indexOf("WindowGroupLimit")
+      assert(fin >= 0, s"$what: no WindowGroupLimit in plan:\n$plan")
+      assert(plan.substring(fin).contains("Final"), s"$what: no final stage")
+      val ex = plan.indexOf("Exchange hashpartitioning(query_id", fin)
+      assert(ex > fin, s"$what: no per-query exchange below the final rank")
+      val part = plan.indexOf("WindowGroupLimit", ex)
+      assert(part > ex && plan.substring(part, part + 200).contains("Partial"),
+        s"$what: no PARTIAL WindowGroupLimit below the exchange — " +
+          s"per-query candidates would all land in one reducer:\n$plan")
+    }
+    val q = emb.limit(3)
+    assertPartialTopK(
+      Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5), "bruteForceTopK")
+    assertPartialTopK(
+      Similarity.quantizedTopK(emb, q, "vec_id", "embedding", 5), "quantizedTopK")
+    assertPartialTopK(
+      Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5), "ivfTopK")
+    assertPartialTopK(
+      graft.analytics.Retrieval.bm25(docs, "doc_id", "text",
+        Seq(("q1", Seq("the", "data")))), "bm25")
+  }
+
+  test("components with a reliable checkpoint dir matches localCheckpoint labels") {
+    // cluster-safe lineage truncation: parquet rounds under a caller
+    // dir instead of executor-resident localCheckpoint blocks
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    def labels(ckpt: Option[String]) =
+      Dedup.components(pairs, driverEdgeCap = 0L, checkpointDir = ckpt)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val expected = Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+    assert(labels(None) == expected)
+    assert(labels(Some(dir)) == expected)
+  }
+
   test("fingerprint is whitespace-normalized and deterministic") {
     import spark.implicits._
     val df = Seq((1L, "hello  world"), (2L, "hello world"), (3L, "hello world!"))
