@@ -51,26 +51,51 @@ object Processors {
         lit(null).cast("string").as("gone"))
     }),
 
-    // field.exclude: dropped field reads back as null.
+    // field.exclude on the typed path: the dropped fields are gone from
+    // the struct SCHEMA (a plan-time fact, like proc_field_rename) and
+    // the 200k-row payload never round-trips through Jackson. The
+    // untyped dynamic-JSON exclude keeps gate coverage via
+    // proc_untyped_json below.
     "proc_field_exclude" -> ((s, dir) => {
-      val recs = Cdc.wrap(t(s, dir, "part"), "p_partkey", "part")
+      val recs = Cdc.wrapTyped(t(s, dir, "part"), "p_partkey", "part")
       val proc = Registry.create("field.exclude",
         Map("fields" -> ".Payload.After.p_retailprice,.Payload.After.p_brand"))
-      proc(recs)
-        .select(get_json_object(col(Cdc.Key), "$.p_partkey").cast("long").as("p_partkey"),
-          pget("p_type").as("p_type"),
-          pget("p_retailprice").isNull.as("price_dropped"),
-          pget("p_brand").isNull.as("brand_dropped"))
+      val out = proc(recs)
+      val paFields = out.schema(Cdc.PayloadAfter).dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+      out.select(col(s"${Cdc.PayloadAfter}.p_partkey").as("p_partkey"),
+        col(s"${Cdc.PayloadAfter}.p_type").as("p_type"),
+        lit(!paFields.contains("p_retailprice")).as("price_dropped"),
+        lit(!paFields.contains("p_brand")).as("brand_dropped"))
     }),
 
-    // field.convert int→string via the reference's Go-format rules.
+    // field.convert int→string on the typed path: a plain codegen'd
+    // try_cast on a native struct field (the Go-format string rules and
+    // the Jackson path keep coverage via proc_untyped_json).
     "proc_field_convert" -> ((s, dir) => {
-      val recs = Cdc.wrap(t(s, dir, "part"), "p_partkey", "part")
+      val recs = Cdc.wrapTyped(t(s, dir, "part"), "p_partkey", "part")
       val proc = Registry.create("field.convert",
         Map("field" -> ".Payload.After.p_size", "type" -> "string"))
       proc(recs)
-        .select(get_json_object(col(Cdc.Key), "$.p_partkey").cast("long").as("p_partkey"),
-          pget("p_size").as("p_size_str"))
+        .select(col(s"${Cdc.PayloadAfter}.p_partkey").as("p_partkey"),
+          col(s"${Cdc.PayloadAfter}.p_size").as("p_size_str"))
+    }),
+
+    // Dedicated untyped-path gate: dynamic-JSON payload (Cdc.wrap) with
+    // exclude + convert chained, projected back out via get_json_object
+    // — keeps the Jackson machinery oracle-checked end to end without
+    // carrying it over a 200k-row table (nation: 25 rows).
+    "proc_untyped_json" -> ((s, dir) => {
+      val recs = Cdc.wrap(t(s, dir, "nation"), "n_nationkey", "nation")
+      val excl = Registry.create("field.exclude",
+        Map("fields" -> ".Payload.After.n_comment"))
+      val conv = Registry.create("field.convert",
+        Map("field" -> ".Payload.After.n_regionkey", "type" -> "string"))
+      conv(excl(recs))
+        .select(get_json_object(col(Cdc.Key), "$.n_nationkey").cast("int").as("n_nationkey"),
+          pget("n_name").as("n_name"),
+          pget("n_regionkey").as("n_regionkey_str"),
+          pget("n_comment").isNull.as("comment_dropped"))
     }),
 
     // json.decode of an embedded JSON string field (events.props).
@@ -347,6 +372,9 @@ object Processors {
       """SELECT p_partkey, p_type, TRUE AS price_dropped, TRUE AS brand_dropped FROM part""",
     "proc_field_convert" ->
       "SELECT p_partkey, CAST(p_size AS VARCHAR) AS p_size_str FROM part",
+    "proc_untyped_json" ->
+      """SELECT n_nationkey, n_name, CAST(n_regionkey AS VARCHAR) AS n_regionkey_str,
+         TRUE AS comment_dropped FROM nation""",
     "proc_json_decode" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events""",
     "proc_json_encode" ->
