@@ -613,6 +613,18 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
   }
   /** Codegen entry point — keeps the lazy filter on the expression. */
   def probe(s: UTF8String): Boolean = bloom.mightContainBinary(s.getBytes)
+  // Array[Byte] gets reference equality from the case class, which
+  // would make two semantically identical probes never compare equal —
+  // defeating expression canonicalization and subexpression
+  // elimination. Compare the filter bytes by content instead.
+  override def equals(other: Any): Boolean = other match {
+    case that: BloomMightContain =>
+      this.child == that.child &&
+        java.util.Arrays.equals(this.bloomBytes, that.bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 

@@ -123,9 +123,18 @@ object Sampling {
     val exp = 1.0 / temperature
     def w(c: Long): Double =
       if (exp == 0.5) math.sqrt(c.toDouble) else math.pow(c.toDouble, exp)
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.get(0).toString, r.getLong(1)))
-      .sortBy(_._1)
+    // Null strata are excluded up front: a null join key could never
+    // match a cut row anyway (SQL equality), so those rows were always
+    // unsampleable — filtering makes that explicit and keeps the
+    // driver-side fold null-safe. The collected stratum values keep
+    // their ORIGINAL type and ride back typed (no toString rebuild), so
+    // the cut join never depends on implicit cast semantics; the fold
+    // order sorts by the value's string rendering (what the oracle
+    // replicates with ORDER BY over string strata).
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.get(0), r.getLong(1)))
+      .sortBy(_._1.toString)
     val total = counts.iterator.map(_._2).sum
     val sumW = counts.foldLeft(0.0)((acc, kv) => acc + w(kv._2))
     val cuts = counts.map { case (k, c) =>
@@ -134,8 +143,13 @@ object Sampling {
       (k, math.floor(math.min(1.0, f) * 4096.0).toLong)
     }
     val spark = df.sparkSession
-    import spark.implicits._
-    val cutDf = broadcast(cuts.toSeq.toDF(strataCol, "_cut"))
+    val cutSchema = org.apache.spark.sql.types.StructType(Seq(
+      df.schema(strataCol).copy(name = strataCol),
+      org.apache.spark.sql.types.StructField("_cut",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val cutDf = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(cuts.map(kv =>
+        org.apache.spark.sql.Row(kv._1, kv._2)): _*), cutSchema))
     df.join(cutDf, strataCol)
       .filter(bucketOf(col(idCol), seed) < col("_cut"))
       .select(col(idCol), col(strataCol))

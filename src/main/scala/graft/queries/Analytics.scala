@@ -629,7 +629,16 @@ object Analytics {
     // brute-force cross-side exact-Jaccard oracle (the dedup_minhash
     // playbook, A×B instead of self-join): batch texts rebuilt with the
     // identical drop-last-token mutation, empty-shingle docs excluded
-    // on both sides exactly as the engine's banding drops them
+    // on both sides exactly as the engine's banding drops them.
+    // DATASET ASSUMPTION (same one dedup_minhash documents): oracle
+    // equality holds because every true pair here is the drop-last-token
+    // mutation at Jaccard ≈ (n-3)/n ≫ 0.5, where 16 bands × 8 hashes
+    // has miss probability ≈ 0, and the corpus has no incidental cross
+    // pairs in the marginal 0.5–0.6 band (where banding catches only
+    // ~6%). On a corpus WITH mid-band pairs the engine stays a correct
+    // candidate generator (precision exact via verification; recall
+    // tunable by banding) but would not equal this quadratic oracle —
+    // retune bands/rows toward the threshold before expecting equality.
     "dedup_minhash_incr" ->
       """WITH hsh AS (
            SELECT doc_id,

@@ -54,8 +54,11 @@ object StreamingOps {
     * Scale shape: the state store holds 32-byte digests, not
     * documents, and only for content NOT already in history (history
     * dups resolve from the join alone). Within a micro-batch, copies
-    * of the same digest classify in arrival order (first = kept) —
-    * the streaming analogue of the batch operator's min-id rule.
+    * of the same digest classify by the MINIMUM doc_id (winner =
+    * kept) — the batch operator's min-id rule. Iterator order inside
+    * `flatMapGroupsWithState` is NOT guaranteed to be arrival order
+    * after the group-by shuffle, so ranking by id is what makes the
+    * within-batch winner deterministic on any partitioning.
     * State is unbounded by design here (exactness); bound it with a
     * watermarked variant ([[dedupStream]]) when the dedup horizon can
     * be finite.
@@ -77,17 +80,20 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: String, rows: Iterator[(String, Long, Boolean)],
          state: GroupState[Boolean]) => {
-          var seen = state.getOption.getOrElse(false)
-          val out = rows.map { case (_, id, inHist) =>
+          val seen = state.getOption.getOrElse(false)
+          val batch = rows.toList
+          // deterministic winner: min doc_id among the batch's
+          // non-history copies (iterator order is shuffle-dependent)
+          val fresh = batch.collect { case (_, id, false) => id }
+          val winner = if (!seen && fresh.nonEmpty) Some(fresh.min) else None
+          if (fresh.nonEmpty && !seen) state.update(true)
+          batch.iterator.map { case (_, id, inHist) =>
             val status =
               if (inHist) "dup_history"
-              else if (seen) "dup_stream"
-              else "kept"
-            if (!inHist) seen = true
+              else if (winner.contains(id)) "kept"
+              else "dup_stream"
             (id, status)
-          }.toList
-          if (seen) state.update(true)
-          out.iterator
+          }
         })
       .toDF("doc_id", "status")
   }
