@@ -258,6 +258,18 @@ object PgOutputParser {
     * repartition freely afterwards. This is the decode seam
     * `CdcLogSource` documents: a live-slot transport would feed these
     * same bytes.
+    *
+    * Why `coalesce(1)` is correct AT SCALE (the FileTailSource
+    * rationale): the work is inherently ONE READER'S WORTH OF I/O.
+    * Postgres serializes a slot's WAL into a single ordered byte
+    * stream; Decoding it is bounded by the walsender's own send rate,
+    * not by cluster parallelism, and the StreamDecoder is stateful
+    * across messages (Relation cache, Begin/Commit framing, LSN
+    * ordering) — sharding mid-stream would replicate that state and
+    * still have to re-serialize for ordering. Scale-out happens at the
+    * SLOT level (one pipeline per slot/publication, each its own
+    * single-reader stream) and immediately downstream, where the
+    * decoded records fan out across the cluster.
     */
   def toCdc(df: org.apache.spark.sql.DataFrame, dataCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
