@@ -394,6 +394,28 @@ case class JavaLn(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** fnv1a_hash(string) → long: the 64-bit FNV-1a digest of the UTF-8
+  * bytes (public-domain hash; same fold the MinHash/SimHash family
+  * uses internally). Exposed as a Column so feature-hashing operators
+  * (DSIR bucketing) share one replicable primitive: the DuckDB oracle
+  * reproduces it as a HUGEINT list_reduce over unicode code points
+  * (valid for ASCII corpora; multi-byte code points hash byte-wise
+  * here and code-point-wise there — the gate corpus is ASCII).
+  */
+case class Fnv1aHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "fnv1a_hash"
+  override def nullSafeEval(v: Any): Any =
+    Hashing.fnv1a(v.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.analytics.Hashing.fnv1a($c.getBytes());")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** hyperplane_buckets(array<double>, numPlanes, numTables) →
   * array<long>: multi-table Charikar random-hyperplane LSH. Each table
   * ANDs `numPlanes` sign bits (precision), the tables OR each other
@@ -655,6 +677,7 @@ object HashFunctions {
   def linear_text_score(c: Column, seed: Long): Column =
     Bridge.column(LinearTextScore(Bridge.expression(c), seed))
   def java_ln(c: Column): Column = Bridge.column(JavaLn(Bridge.expression(c)))
+  def fnv1a_hash(c: Column): Column = Bridge.column(Fnv1aHash(Bridge.expression(c)))
   def quantize_int8(c: Column): Column =
     Bridge.column(QuantizeInt8(Bridge.expression(c)))
   def bloom_might_contain(c: Column, bloomBytes: Array[Byte]): Column =

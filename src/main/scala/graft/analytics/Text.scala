@@ -224,6 +224,72 @@ object Text {
         col("_sc.margin").as("margin"),
         (col("_sc.margin") > 0).as("keep"))
 
+  /** DSIR-style importance weighting (Xie et al. 2023,
+    * arXiv:2302.03169, "Data Selection for Language Models via
+    * Importance Resampling"): score every raw document by the log
+    * importance ratio of hashed bag-of-unigrams models fit on a
+    * TARGET corpus (the domain you want more of) vs the RAW corpus:
+    *
+    *   log w(d) = Σ_{token t ∈ d} [ ln p̂_tgt(b(t)) − ln p̂_raw(b(t)) ]
+    *
+    * with bucket b = fnv1a(token) mod `buckets` (a power of two, so
+    * signed bitwise-AND equals unsigned mod) and add-one smoothing
+    * p̂(b) = (count_b + 1)/(N + buckets). Keeping the top fraction by
+    * weight (the paper adds Gumbel noise for sampled selection)
+    * shifts the raw corpus toward the target domain. Output:
+    * (doc_id, n_tokens, log_weight) for every raw doc with ≥ 1 token.
+    *
+    * Scale shape: the raw corpus tokenizes ONCE — the corpus-level
+    * bucket histogram derives from the per-doc (doc, bucket) count
+    * aggregate, so both consumers share one canonical exchange
+    * (ReuseExchange; the `n > 0` gate pins the count through pruning —
+    * the [[Retrieval.tfidf]] discipline). Both histograms are
+    * `buckets`-row aggregates that broadcast; the per-doc score is a
+    * sequential fold in bucket order, so the IEEE sum is replicated
+    * bit-exactly by the DuckDB oracle ([[HashFunctions.java_ln]]).
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two (signed AND == unsigned mod)")
+    val mask = lit((buckets - 1).toLong)
+    def bucketed(df: DataFrame) =
+      df.select(col(idCol).as("doc_id"),
+          explode(wsTokens(lower(trim(col(textCol))))).as("tok"))
+        .filter(col("tok") =!= "")
+        .select(col("doc_id"), fnv1a_hash(col("tok")).bitwiseAND(mask).as("b"))
+
+    // ONE tokenize pass over raw: corpus histogram reuses this exchange
+    val docCounts = bucketed(raw).groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val rawHist = docCounts.filter(col("n") > 0)
+      .groupBy(col("b")).agg(sum(col("n")).as("c"))
+    val tgtHist = bucketed(target).groupBy(col("b"))
+      .agg(count(lit(1)).cast("long").as("c"))
+
+    val spark = raw.sparkSession
+    val allB = spark.range(buckets).select(col("id").as("b"))
+    val sm = lit(buckets.toDouble)
+    val lam = allB
+      .join(rawHist.withColumnRenamed("c", "rc"), Seq("b"), "left")
+      .join(tgtHist.withColumnRenamed("c", "tc"), Seq("b"), "left")
+      .crossJoin(broadcast(rawHist.agg(sum(col("c")).as("rn"))))
+      .crossJoin(broadcast(tgtHist.agg(sum(col("c")).as("tn"))))
+      .select(col("b"),
+        (java_ln((coalesce(col("tc"), lit(0L)).cast("double") + lit(1.0)) /
+           (coalesce(col("tn"), lit(0L)).cast("double") + sm)) -
+         java_ln((coalesce(col("rc"), lit(0L)).cast("double") + lit(1.0)) /
+           (coalesce(col("rn"), lit(0L)).cast("double") + sm))).as("lam"))
+
+    docCounts.join(broadcast(lam), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("n_tokens"),
+        aggregate(
+          array_sort(collect_list(struct(col("b"),
+            (col("n").cast("double") * col("lam")).as("w")))),
+          lit(0.0), (acc, x) => acc + x.getField("w")).as("log_weight"))
+  }
+
   /** Per-document Shannon token entropy (nats): −Σ p·ln p over the
     * token distribution — low entropy flags repetitive/gibberish text,
     * complementing the Gopher repetition features as a quality signal.

@@ -278,6 +278,15 @@ object Analytics {
     "text_entropy" -> ((s, dir) =>
       Text.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")),
 
+    // DSIR importance weights: target = the English slice, raw = the
+    // whole corpus — log importance ratio of hashed-unigram models,
+    // bucket-ordered IEEE fold replicated bit-exactly by the oracle
+    "text_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Text.dsirWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text")
+    }),
+
     // corpus composition: per-(lang, source) counts, token totals,
     // mean and exact median character length
     "text_profile" -> ((s, dir) =>
@@ -424,6 +433,48 @@ object Analytics {
                ln(CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE)))),
              (a, b) -> a - b) AS entropy
          FROM agg""",
+    // full DSIR replication: FNV-1a HUGEINT fold per distinct token
+    // (ASCII corpus: unicode(ch) == byte), power-of-two bucket mod,
+    // add-one-smoothed target/raw histograms over range(4096), glibc
+    // ln == java_ln, per-doc contributions folded in bucket order —
+    // the same sequential-IEEE-fold contract as text_entropy/bm25
+    "text_dsir" ->
+      """WITH tok AS (SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+           FROM documents),
+         tq AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+         dw AS (SELECT DISTINCT w FROM tq),
+         wb AS (
+           SELECT w, CAST(list_reduce(
+             list_prepend(CAST(14695981039346656037 AS HUGEINT),
+               list_transform(list_filter(string_split_regex(w, ''), ch -> ch <> ''),
+                 ch -> CAST(unicode(ch) AS HUGEINT))),
+             (acc, ch) -> (xor(acc, ch) * 1099511628211) %
+               CAST(18446744073709551616 AS HUGEINT)) % 4096 AS BIGINT) AS b
+           FROM dw),
+         occ AS (SELECT doc_id, b FROM tq JOIN wb USING (w)),
+         dc AS (SELECT doc_id, b, count(*) AS n FROM occ GROUP BY 1, 2),
+         rh AS (SELECT b, sum(n) AS rc FROM dc GROUP BY 1),
+         rt AS (SELECT sum(rc) AS rn FROM rh),
+         tocc AS (SELECT o.doc_id, o.b FROM occ o
+           JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+         th AS (SELECT b, count(*) AS tc FROM tocc GROUP BY 1),
+         tt AS (SELECT sum(tc) AS tn FROM th),
+         lam AS (
+           SELECT r.range AS b,
+             ln((coalesce(tc, 0) + 1.0) / (tn + 4096.0)) -
+             ln((coalesce(rc, 0) + 1.0) / (rn + 4096.0)) AS lam
+           FROM range(0, 4096) r
+           LEFT JOIN rh ON rh.b = r.range
+           LEFT JOIN th ON th.b = r.range
+           CROSS JOIN rt CROSS JOIN tt),
+         contrib AS (
+           SELECT dc.doc_id, dc.b, dc.n, dc.n * lam.lam AS wgt
+           FROM dc JOIN lam ON lam.b = dc.b)
+         SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(wgt ORDER BY b)), (a, x) -> a + x) AS log_weight
+         FROM contrib GROUP BY doc_id""",
     // quantile_cont(0.5) and Spark's exact `percentile` share the
     // continuous-quantile definition; for integer inputs < 2^52 the
     // interpolation arithmetic is exact in IEEE on both engines

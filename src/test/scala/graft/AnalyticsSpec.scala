@@ -305,6 +305,25 @@ class AnalyticsSpec extends AnyFunSuite {
         Seq(("q1", Seq("the", "data")))), "bm25")
   }
 
+  test("dsir weights rank target-domain documents above the rest") {
+    // target = the English slice: English docs must receive a higher
+    // mean log importance ratio than non-English docs (that is the
+    // operator's entire purpose), and every raw doc must be scored
+    val target = docs.filter(col("lang") === "en")
+    val w = graft.analytics.Text.dsirWeights(docs, target, "doc_id", "text")
+    val joined = w.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("lang") === "en", col("log_weight")).collect()
+    assert(joined.length == docs.count(), "every doc with tokens is scored")
+    val en = joined.filter(_.getBoolean(0)).map(_.getDouble(1))
+    val rest = joined.filterNot(_.getBoolean(0)).map(_.getDouble(1))
+    assert(en.nonEmpty && rest.nonEmpty)
+    val (mEn, mRest) = (en.sum / en.length, rest.sum / rest.length)
+    assert(mEn > mRest,
+      s"English mean log-weight $mEn must exceed non-English $mRest")
+    // weights are per-token sums; a doc's weight must be finite
+    assert(joined.forall(r => !r.getDouble(1).isNaN && !r.getDouble(1).isInfinite))
+  }
+
   test("components with a reliable checkpoint dir matches localCheckpoint labels") {
     // cluster-safe lineage truncation: parquet rounds under a caller
     // dir instead of executor-resident localCheckpoint blocks
