@@ -98,6 +98,102 @@ object StreamingOps {
       .toDF("doc_id", "status")
   }
 
+  /** Streaming NEAR-dup classification against a static history — the
+    * ingest-time twin of `Dedup.crossMinhashPairs` (re-crawl triage:
+    * "is this arriving page a near-copy of anything we already
+    * hold?"). Every arriving document is classified `kept` or
+    * `near_dup_history` with the best exact Jaccard and the number of
+    * verified history matches.
+    *
+    * Shape: MinHash-LSH banding on both sides; the history collapses
+    * to its (band_id, band_hash) bucket table ONCE (static side of a
+    * stream-static join, broadcast when small); arriving docs explode
+    * to their 16 band rows, join candidate buckets, and verify with
+    * the EXACT one-pass [[graft.analytics.HashFunctions.jaccard_sim]]
+    * on the carried shingle arrays — LSH only generates candidates,
+    * precision is exact. The per-doc verdict (ANY verified match) is
+    * a `flatMapGroupsWithState` group fold over the doc's ≤ numBands
+    * rows — a streaming aggregation in append mode without watermark
+    * gymnastics, no state retained (a doc's rows all land in its own
+    * micro-batch).
+    *
+    * Scale notes: history buckets larger than `maxBucket` are DROPPED
+    * (standard LSH hot-bucket hygiene — a degenerate band value would
+    * otherwise multiply every arriving doc by the bucket size; recall
+    * for such docs rests on their other 15 bands, the
+    * boundedSelfPairs rationale). Within-stream near-dup state is
+    * deliberately out of scope — compose with [[incrementalDedup]]
+    * for exact within-stream dedup, or run the batch operator over
+    * completed partitions.
+    */
+  def nearDupAgainstHistory(stream: DataFrame, history: DataFrame,
+                            idCol: String, textCol: String,
+                            shingleSize: Int = 3, numHashes: Int = 128,
+                            numBands: Int = 16, threshold: Double = 0.5,
+                            maxBucket: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.analytics.HashFunctions.{word_shingles, minhash_bands, jaccard_sim}
+    val spark = stream.sparkSession
+    import spark.implicits._
+
+    // static side: one bucket row per (band, hash, doc) + the doc's
+    // shingles for exact verification; oversized buckets dropped
+    val histSigned = history.select(col(idCol).as("hist_id"),
+        word_shingles(col(textCol), shingleSize).as("sh_h"))
+      .select(col("hist_id"), col("sh_h"),
+        minhash_bands(col("sh_h"), numHashes, numBands).as("bands"))
+      .groupBy(col("hist_id")).agg(first(col("sh_h")).as("sh_h"),
+        first(col("bands")).as("bands"))
+    val histBuckets = histSigned
+      .select(col("hist_id"), col("sh_h"),
+        posexplode(col("bands")).as(Seq("band_id", "band_hash")))
+    val bucketSizes = histBuckets.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("_bsz"))
+    val histBounded = histBuckets.join(bucketSizes, Seq("band_id", "band_hash"))
+      .filter(col("_bsz") <= maxBucket).drop("_bsz")
+
+    // stream side: shingles materialized below the posexplode barrier
+    // so the verify condition can't inline re-tokenization per match
+    val streamExploded = stream
+      .select(col(idCol).as("doc_id"),
+        word_shingles(col(textCol), shingleSize).as("sh_s"))
+      .select(col("doc_id"), col("sh_s"),
+        minhash_bands(col("sh_s"), numHashes, numBands).as("bands"))
+      .select(col("doc_id"), col("sh_s"),
+        posexplode_outer(col("bands")).as(Seq("band_id", "band_hash")))
+
+    val candidates = streamExploded
+      .join(histBounded, Seq("band_id", "band_hash"), "left")
+      .select(col("doc_id"),
+        when(col("hist_id").isNotNull,
+          jaccard_sim(col("sh_s"), col("sh_h"))).as("j"),
+        col("hist_id"))
+      .select(col("doc_id"),
+        (col("j").isNotNull && col("j") >= threshold).as("hit"),
+        when(col("j").isNotNull && col("j") >= threshold, col("j")).as("j"),
+        when(col("j").isNotNull && col("j") >= threshold, col("hist_id")).as("hist_id"))
+      .as[(Long, Boolean, Option[Double], Option[Long])]
+
+    candidates.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (doc: Long, rows: Iterator[(Long, Boolean, Option[Double], Option[Long])],
+         _: GroupState[Boolean]) => {
+          var best = Double.NaN
+          val seen = scala.collection.mutable.Set.empty[Long]
+          rows.foreach { case (_, hit, j, h) =>
+            if (hit) {
+              h.foreach(seen += _)
+              j.foreach(x => if (best.isNaN || x > best) best = x)
+            }
+          }
+          Iterator.single((doc,
+            if (seen.nonEmpty) "near_dup_history" else "kept",
+            if (best.isNaN) None else Some(best),
+            seen.size.toLong))
+        })
+      .toDF("doc_id", "status", "best_jaccard", "n_matches")
+  }
+
   /** One compacted row per key: (key, operation, position, payload). */
   case class CompactedRecord(key: String, operation: String,
                              position: String, payload_after: String)

@@ -53,6 +53,36 @@ class StreamingOpsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming near-dup against history: LSH candidates, exact verify, every doc classified") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val history = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"),
+      (101L, "completely different historical content describing spark analytics engines")
+    ).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val out = StreamingOps.nearDupAgainstHistory(
+      in.toDF().toDF("doc_id", "text"), history, "doc_id", "text", threshold = 0.5)
+    val q = out.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    // 1: near-copy of hist 100 (last token dropped, jaccard 7/8);
+    // 2: novel; 3: empty text (no shingles — must still classify)
+    in.addData(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "utterly novel text never seen before anywhere at all"),
+      (3L, ""))
+    q.processAllAvailable()
+    val got = spark.table("neardup_out").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)), r.getLong(3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), s"every arriving doc classified: $got")
+    assert(got(1L)._1 == "near_dup_history" && got(1L)._3 == 1L, got.toString)
+    assert(got(1L)._2.exists(j => math.abs(j.asInstanceOf[Double] - 7.0 / 8.0) < 1e-12),
+      s"exact jaccard verification: ${got(1L)._2}")
+    assert(got(2L) == ("kept", None, 0L), got.toString)
+    assert(got(3L) == ("kept", None, 0L), got.toString)
+    q.stop()
+  }
+
   test("curation expressions run on streaming frames (quality + sample + langid)") {
     // the row-local analytics layer (quality features, hash sampling,
     // language ID, normalization) is expression-only, so ingest-time
