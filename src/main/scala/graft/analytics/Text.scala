@@ -290,6 +290,44 @@ object Text {
           lit(0.0), (acc, x) => acc + x.getField("w")).as("log_weight"))
   }
 
+  /** The resampling half of DSIR: select `n` documents WITHOUT
+    * replacement with probability ∝ exp(log_weight / temperature),
+    * via the Gumbel top-k trick (Vieira 2014; Kool et al. 2019):
+    * perturb each score with an independent Gumbel draw and take the
+    * top n — exactly equivalent to sequential softmax sampling
+    * without replacement, but embarrassingly parallel. The Gumbel
+    * draw is DETERMINISTIC here: u = splitmix64(id + seed) mapped to
+    * (0,1) at 53-bit resolution, g = −ln(−ln u) — the mix is
+    * re-derivable from (seed) alone on any engine, which is what lets
+    * the selection carry a bit-exact oracle (java_ln == glibc ln).
+    *
+    * Scale shape: row-local perturbation inside the scan; the global
+    * top-n is a TakeOrdered (per-partition heaps, no full sort);
+    * ties (impossible with real hashes) break by doc_id.
+    *
+    * Input: the [[dsirWeights]] output (or anything with an id and a
+    * log-weight column). Output: the selected rows with their
+    * perturbed key, ranked.
+    */
+  def dsirSelect(weights: DataFrame, idCol: String, weightCol: String,
+                 n: Int, temperature: Double = 1.0,
+                 seed: Long = 0L): DataFrame = {
+    require(n > 0 && temperature > 0)
+    // u in (0,1): top 53 bits of the mixed hash over 2^53, +0.5 ulp so
+    // u is never exactly 0 or 1 (both would make the double ln blow up)
+    val u = (shiftrightunsigned(splitmix64_hash(col(idCol) + lit(seed)), 11)
+      .cast("double") + lit(0.5)) / lit(9007199254740992.0)
+    val gumbel = -java_ln(-java_ln(u))
+    weights
+      .withColumn("sel_key",
+        col(weightCol).cast("double") / lit(temperature) + gumbel)
+      .orderBy(col("sel_key").desc, col(idCol).asc)
+      .limit(n)
+      .withColumn("sel_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("sel_key").desc, col(idCol).asc)).cast("long"))
+  }
+
   /** Per-document Shannon token entropy (nats): −Σ p·ln p over the
     * token distribution — low entropy flags repetitive/gibberish text,
     * complementing the Gopher repetition features as a quality signal.

@@ -287,6 +287,18 @@ object Analytics {
         "doc_id", "text")
     }),
 
+    // the resampling half: Gumbel top-k over the DSIR weights —
+    // softmax sampling without replacement, deterministic from the
+    // seed, perturbed keys and ranks both hash-checked
+    "text_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = Text.dsirWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text")
+      Text.dsirSelect(w, "doc_id", "log_weight",
+          n = 50, temperature = 2.0, seed = 7L)
+        .select(col("doc_id"), col("sel_rank"), col("sel_key"))
+    }),
+
     // corpus composition: per-(lang, source) counts, token totals,
     // mean and exact median character length
     "text_profile" -> ((s, dir) =>
@@ -475,6 +487,72 @@ object Analytics {
            list_reduce(list_prepend(CAST(0 AS DOUBLE),
              list(wgt ORDER BY b)), (a, x) -> a + x) AS log_weight
          FROM contrib GROUP BY doc_id""",
+    // Gumbel top-k selection over the DSIR weights: splitmix64(doc_id
+    // + seed) replicated in HUGEINT (the text_classifier mix chain),
+    // u at 53-bit resolution, g = -ln(-ln u), key = lw/T + g — every
+    // step fixed-order IEEE, so keys AND ranks hash-match
+    "text_dsir_select" ->
+      """WITH tok AS (SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+           FROM documents),
+         tq AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+         dw AS (SELECT DISTINCT w FROM tq),
+         wb AS (
+           SELECT w, CAST(list_reduce(
+             list_prepend(CAST(14695981039346656037 AS HUGEINT),
+               list_transform(list_filter(string_split_regex(w, ''), ch -> ch <> ''),
+                 ch -> CAST(unicode(ch) AS HUGEINT))),
+             (acc, ch) -> (xor(acc, ch) * 1099511628211) %
+               CAST(18446744073709551616 AS HUGEINT)) % 4096 AS BIGINT) AS b
+           FROM dw),
+         occ AS (SELECT doc_id, b FROM tq JOIN wb USING (w)),
+         dc AS (SELECT doc_id, b, count(*) AS n FROM occ GROUP BY 1, 2),
+         rh AS (SELECT b, sum(n) AS rc FROM dc GROUP BY 1),
+         rt AS (SELECT sum(rc) AS rn FROM rh),
+         tocc AS (SELECT o.doc_id, o.b FROM occ o
+           JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+         th AS (SELECT b, count(*) AS tc FROM tocc GROUP BY 1),
+         tt AS (SELECT sum(tc) AS tn FROM th),
+         lam AS (
+           SELECT r.range AS b,
+             ln((coalesce(tc, 0) + 1.0) / (tn + 4096.0)) -
+             ln((coalesce(rc, 0) + 1.0) / (rn + 4096.0)) AS lam
+           FROM range(0, 4096) r
+           LEFT JOIN rh ON rh.b = r.range
+           LEFT JOIN th ON th.b = r.range
+           CROSS JOIN rt CROSS JOIN tt),
+         lw AS (
+           SELECT dc.doc_id,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(dc.n * lam.lam ORDER BY dc.b)), (a, x) -> a + x) AS log_weight
+           FROM dc JOIN lam ON lam.b = dc.b GROUP BY dc.doc_id),
+         c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+         m0 AS (SELECT doc_id, log_weight,
+           (CAST(doc_id AS HUGEINT) + 7 + CAST(11400714819323198485 AS HUGEINT))
+             % m64 AS x1, m64 FROM lw CROSS JOIN c),
+         ma AS (SELECT doc_id, log_weight, xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
+         m1 AS (SELECT doc_id, log_weight,
+           (x2 % 4294967296 * 484763065 +
+            ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+            * 4294967296) % m64 AS x3, m64 FROM ma),
+         mb AS (SELECT doc_id, log_weight, xor(x3, x3 // 134217728) AS x4, m64 FROM m1),
+         m2 AS (SELECT doc_id, log_weight,
+           (x4 % 4294967296 * 321982955 +
+            ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+            * 4294967296) % m64 AS x5, m64 FROM mb),
+         m3 AS (SELECT doc_id, log_weight, xor(x5, x5 // 2147483648) AS x6 FROM m2),
+         keyed AS (SELECT doc_id,
+           log_weight / 2.0 +
+             (- ln(- ln((CAST(x6 // 2048 AS DOUBLE) + 0.5) / 9007199254740992.0)))
+             AS sel_key
+           FROM m3),
+         top AS (SELECT doc_id, sel_key FROM keyed
+           ORDER BY sel_key DESC, doc_id ASC LIMIT 50)
+         SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY sel_key DESC, doc_id ASC) AS BIGINT)
+             AS sel_rank,
+           sel_key
+         FROM top""",
     // quantile_cont(0.5) and Spark's exact `percentile` share the
     // continuous-quantile definition; for integer inputs < 2^52 the
     // interpolation arithmetic is exact in IEEE on both engines
