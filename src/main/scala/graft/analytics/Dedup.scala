@@ -243,6 +243,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact substring-duplication coverage (the Lee et al. 2022,
+    * arXiv:2107.06499 "Deduplicating Training Data Makes Language
+    * Models Better" ExactSubstr metric, token-windowed): a position is
+    * duplicated if some `window`-token span covering it occurs ≥ 2
+    * times in the corpus (including self-repetition). Output per doc:
+    * (doc_id, n_tokens, dup_tokens, dup_fraction) — the removal /
+    * filtering signal; docs shorter than `window` score 0.
+    *
+    * Shape: every window hashes once (rolling windows over the
+    * tokenized doc — the aggregate barrier keeps the token array from
+    * re-splitting per position); the shuffle carries (hash, doc, pos)
+    * triples — linear in corpus tokens, the same weight class as the
+    * inverted-index ops; duplicated-window coverage per doc needs NO
+    * interval fold: equal-length intervals union to
+    * `window + Σ min(window, gap)` over consecutive duplicated
+    * positions, one `lag` window per doc (a doc's windows are one
+    * bounded partition). Hash equality stands in for string equality
+    * (64-bit FNV-1a; collision odds negligible and both engines hash
+    * identically, so the oracle still matches bit-for-bit).
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     window: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window > 0)
+    // aggregate barrier: materialize the token array once per doc so
+    // the per-position lambda below references an attribute, not the
+    // split() subtree (which CollapseProject would inline per element)
+    val base = df.select(col(idCol).as("doc_id"),
+        Text.wsTokens(lower(trim(col(textCol)))).as("toks"))
+      .groupBy(col("doc_id")).agg(first(col("toks")).as("toks"))
+    val withN = base.select(col("doc_id"), col("toks"),
+      size(col("toks")).cast("long").as("n"))
+    val wins = withN.filter(col("n") >= window)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), col("n").cast("int") - window),
+        i => HashFunctions.fnv1a_hash(
+          concat_ws(" ", slice(col("toks"), i + 1, lit(window))))))
+        .as(Seq("pos", "h")))
+    val dupHashes = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("h"))
+    val lagW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cov = wins.join(dupHashes, "h")
+      .withColumn("prev", lag(col("pos"), 1).over(lagW))
+      .select(col("doc_id"),
+        when(col("prev").isNull, lit(window.toLong))
+          .otherwise(least(lit(window.toLong), col("pos") - col("prev")))
+          .as("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).cast("long").as("dup_tokens"))
+    withN.select(col("doc_id"), col("n"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n").cast("double")).as("dup_fraction"))
+  }
+
   /** Character n-grams — one-pass custom expression. */
   def charNgrams(text: Column, n: Int): Column = char_shingles(text, n)
 

@@ -207,6 +207,14 @@ object Analytics {
         shingleSize = 3, threshold = 0.5)
     }),
 
+    // exact substring-duplication coverage (Lee et al. ExactSubstr
+    // metric): duplicated 20-token spans over the corpus — the near-dup
+    // documents in the corpus share long spans, so coverage is nonzero
+    // by construction; integer span arithmetic → exact hash match
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+        window = 20)),
+
     // Bloom-prefiltered ingest dedup: history = every 3rd doc; batch =
     // all docs plus id-shifted copies of every 7th (copies are
     // dup_history only when the source doc is itself in the history,
@@ -796,6 +804,46 @@ object Analytics {
          FROM bsh b JOIN hsh h
            ON CAST(len(list_intersect(b.s, h.s)) AS DOUBLE) /
              (len(b.s) + len(h.s) - len(list_intersect(b.s, h.s))) >= 0.5""",
+    // ExactSubstr replication: the same FNV window hashes over rolling
+    // 20-token spans, duplicated = global count >= 2, coverage via the
+    // equal-interval closed form (window + sum of min(window, gap))
+    // with lag() — all-integer span arithmetic, one double division
+    "dedup_substring" ->
+      """WITH tok AS (SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS t
+           FROM documents),
+         nn AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM tok),
+         wins AS (
+           SELECT doc_id, CAST(unnest(range(0, len(t) - 20 + 1)) AS BIGINT) AS pos, t
+           FROM tok WHERE len(t) >= 20),
+         wstr AS (SELECT doc_id, pos,
+           array_to_string(t[pos+1:pos+20], ' ') AS w FROM wins),
+         dw AS (SELECT DISTINCT w FROM wstr),
+         wh AS (
+           SELECT w, CAST(list_reduce(
+             list_prepend(CAST(14695981039346656037 AS HUGEINT),
+               list_transform(list_filter(string_split_regex(w, ''), ch -> ch <> ''),
+                 ch -> CAST(unicode(ch) AS HUGEINT))),
+             (acc, ch) -> (xor(acc, ch) * 1099511628211) %
+               CAST(18446744073709551616 AS HUGEINT)) AS HUGEINT) AS h
+           FROM dw),
+         occ AS (SELECT s.doc_id, s.pos, wh.h FROM wstr s JOIN wh USING (w)),
+         dup AS (
+           SELECT doc_id, pos FROM occ
+           WHERE h IN (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2)),
+         cov AS (
+           SELECT doc_id, CAST(sum(
+             CASE WHEN prev IS NULL THEN 20
+                  ELSE least(20, pos - prev) END) AS BIGINT) AS dup_tokens
+           FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                 FROM dup)
+           GROUP BY doc_id)
+         SELECT nn.doc_id, nn.n AS n_tokens,
+           coalesce(cov.dup_tokens, 0) AS dup_tokens,
+           CAST(coalesce(cov.dup_tokens, 0) AS DOUBLE) / CAST(nn.n AS DOUBLE)
+             AS dup_fraction
+         FROM nn LEFT JOIN cov USING (doc_id)""",
     // the Bloom prefilter + confirm join is exact by construction, so
     // the oracle is the plain history-membership classification over
     // text equality (digest grouping ≡ text equality, as dedup_exact)

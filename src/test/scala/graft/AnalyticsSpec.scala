@@ -305,6 +305,22 @@ class AnalyticsSpec extends AnyFunSuite {
         Seq(("q1", Seq("the", "data")))), "bm25")
   }
 
+  test("duplicateSpans: overlapping duplicated windows union correctly") {
+    import spark.implicits._
+    // doc 1 repeats its first five tokens (windows at 0 and 5 share
+    // the hash, and the two length-5 spans tile the whole doc);
+    // doc 2 shares only its opening span
+    val df = Seq(
+      (1L, "a b c d e a b c d e"),
+      (2L, "a b c d e x y z w q"),
+      (3L, "p q r s t u v w x y")).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(df, "doc_id", "text", window = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((10L, 10L, 1.0)), s"full coverage: ${out(1L)}")
+    assert(out(2L) == ((10L, 5L, 0.5)), s"opening span only: ${out(2L)}")
+    assert(out(3L) == ((10L, 0L, 0.0)), s"no dups: ${out(3L)}")
+  }
+
   test("dsir weights rank target-domain documents above the rest") {
     // target = the English slice: English docs must receive a higher
     // mean log importance ratio than non-English docs (that is the
