@@ -312,19 +312,19 @@ object Dedup {
         struct(a.as("a"), b.as("b")))))
   }
 
-  /** SimHash near-duplicates: 64-bit signature, candidates via 4×16-bit
-    * band blocking (two signatures within hamming distance k must share
-    * a band when k < 4), verified with bit_count(xor) ≤ maxHamming.
+  /** Candidate pairs within `maxHamming` bits over ANY 64-bit signature
+    * column — the banding engine shared by [[simhashPairs]] (text) and
+    * `Multimodal.nearDupMedia` (perceptual hashes): 4×16-bit band
+    * blocking (pigeonhole-complete — two signatures within hamming k
+    * MUST share a band when k < 4), bounded buckets, exact
+    * bit_count(xor) verification. Input must already be one row per
+    * (id, sig) — signature computation and its inline fencing belong
+    * to the caller.
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
-    // aggregate barrier: the 4 band structs below each reference `sig`;
-    // without it the tokenize+simhash subtree inlines into every band
-    // (5 evaluations per doc). 8 bytes/doc shuffle buys one-pass.
-    val sigs = df.select(col(idCol).as("doc_id"),
-        simhash64(split(lower(trim(col(textCol))), "\\s+")).as("sig"))
-      .groupBy(col("doc_id")).agg(first(col("sig")).as("sig"))
-    val banded = sigs.select(
+  def hamming64Pairs(sigs: DataFrame, idCol: String, sigCol: String,
+                     maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    val base = sigs.select(col(idCol).as("doc_id"), col(sigCol).as("sig"))
+    val banded = base.select(
       struct(col("doc_id"), col("sig")).as("m"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band_id"),
@@ -337,6 +337,21 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+  }
+
+  /** SimHash near-duplicates: 64-bit signature, candidates via 4×16-bit
+    * band blocking (two signatures within hamming distance k must share
+    * a band when k < 4), verified with bit_count(xor) ≤ maxHamming.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    // aggregate barrier: the 4 band structs below each reference `sig`;
+    // without it the tokenize+simhash subtree inlines into every band
+    // (5 evaluations per doc). 8 bytes/doc shuffle buys one-pass.
+    val sigs = df.select(col(idCol).as("doc_id"),
+        simhash64(split(lower(trim(col(textCol))), "\\s+")).as("sig"))
+      .groupBy(col("doc_id")).agg(first(col("sig")).as("sig"))
+    hamming64Pairs(sigs, "doc_id", "sig", maxHamming, maxBucket)
   }
 
   /** N-gram Jaccard similarity pairs: exact verification over character

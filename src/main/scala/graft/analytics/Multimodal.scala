@@ -47,6 +47,36 @@ object Multimodal {
         content.slice(i * step, math.min(content.length, i * step + step))
       }
     }
+
+    /** Perceptual hash of the decoded media — aHash shape: 64 cells,
+      * bit c set iff cell c's mean exceeds the global mean (compared
+      * by exact integer cross-multiplication, no float rounding).
+      * STUB decode: the "64-pixel downsample" is the content's 64
+      * byte-slice sums — locality-preserving exactly like a real
+      * image decode (a local byte edit perturbs one cell; it does NOT
+      * shift the rest), which is the property perceptual dedup needs.
+      * A real implementation replaces the slice sums with an 8×8
+      * grayscale resize and keeps everything else.
+      */
+    def perceptualHash(content: Array[Byte]): Long = {
+      val n = content.length
+      if (n == 0) return 0L
+      var tot = 0L
+      var i = 0
+      while (i < n) { tot += content(i) & 0xff; i += 1 }
+      var h = 0L
+      var c = 0
+      while (c < 64) {
+        val st = c * n / 64
+        val en = (c + 1) * n / 64
+        var cs = 0L
+        var j = st
+        while (j < en) { cs += content(j) & 0xff; j += 1 }
+        if (cs * n > tot * (en - st)) h |= (1L << c)
+        c += 1
+      }
+      h
+    }
   }
 
   /** Wrap the documents table as a fake media table (binary payloads)
@@ -77,6 +107,31 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  /** Perceptual 64-bit hash per media item — the signature side of
+    * [[nearDupMedia]]; same partition-batch shape as
+    * [[extractFeatures]] (a real codec initializes once per
+    * partition).
+    */
+  def perceptualHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map(r => (r.media_id, MediaCodecStub.perceptualHash(r.content)))
+    }.toDF("media_id", "phash")
+  }
+
+  /** Perceptual near-duplicate media pairs: aHash signatures through
+    * the shared 64-bit banding engine ([[Dedup.hamming64Pairs]] —
+    * 4×16-bit bands, pigeonhole-complete for maxHamming ≤ 3, bounded
+    * buckets, exact bit_count verify). The image-dedup counterpart of
+    * SimHash text dedup: 8 bytes/item shuffle regardless of payload
+    * size, so a 100 TB media store dedups on a ~1 GB signature table.
+    */
+  def nearDupMedia(media: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Int = 4096): DataFrame =
+    Dedup.hamming64Pairs(perceptualHashes(media), "media_id", "phash",
+      maxHamming, maxBucket)
 
   /** Frame sampling: 1 → N rows per media item via flatMap batches. */
   def sampleFrames(media: DataFrame, framesPerItem: Int): DataFrame = {

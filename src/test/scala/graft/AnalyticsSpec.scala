@@ -305,6 +305,30 @@ class AnalyticsSpec extends AnyFunSuite {
         Seq(("q1", Seq("the", "data")))), "bm25")
   }
 
+  test("perceptual hash: local byte edits stay near, shifts move far") {
+    import graft.analytics.Multimodal.MediaCodecStub.perceptualHash
+    val base = ("the quick brown fox jumps over the lazy dog " * 20).getBytes("UTF-8")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // a local edit (swap two bytes) flips at most 2 cells
+    val swapped = base.clone()
+    val (i, j) = (7, base.length - 11)
+    val t = swapped(i); swapped(i) = swapped(j); swapped(j) = t
+    assert(ham(perceptualHash(base), perceptualHash(swapped)) <= 2)
+    // a one-byte INSERTION shifts every slice — perceptually different
+    val shifted = ("x" + new String(base, "UTF-8")).getBytes("UTF-8")
+    assert(ham(perceptualHash(base), perceptualHash(shifted)) > 3,
+      "shifted content must not collide (that is content-hash territory)")
+    // and the banding engine finds exactly the near pair
+    import spark.implicits._
+    val media = Seq(
+      (1L, base), (2L, swapped), (3L, shifted))
+      .map { case (id, c) => (id, "application/octet-stream", c.length.toLong, c) }
+      .toDF("media_id", "mime", "n_bytes", "content")
+    val pairs = graft.analytics.Multimodal.nearDupMedia(media, maxHamming = 3)
+      .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("duplicateSpans: overlapping duplicated windows union correctly") {
     import spark.implicits._
     // doc 1 repeats its first five tokens (windows at 0 and 5 share
