@@ -24,6 +24,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // host-freeze armor (PERF.md round-6): the sandbox hypervisor
+      // suspends this VM for multi-minute chunks; with the default
+      // 10 s heartbeat a long freeze kills the in-process executor
+      // ("unable to send heartbeats ... 60 times", exit 56) and the
+      // whole bench with it. Generous timeouts keep a frozen-then-
+      // resumed run alive; they change nothing about measured work.
+      .config("spark.executor.heartbeatInterval", "120s")
+      .config("spark.network.timeout", "1200s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
