@@ -299,6 +299,51 @@ object Dedup {
           col("n").cast("double")).as("dup_fraction"))
   }
 
+  /** The removal ACTION for [[duplicateSpans]]: re-emit the corpus
+    * with every token covered by a duplicated window dropped — the
+    * ExactSubstr cleanup (this is the conservative variant that
+    * removes ALL occurrences; to keep one canonical copy compose with
+    * [[segments]], which is first-occurrence-keeping by design).
+    * Output: (doc_id, n_tokens, n_removed, clean_text).
+    *
+    * Shape: the duplicated-window decision is [[duplicateSpans]]'s
+    * (hash, doc, pos) pipeline; the doc's duplicated positions come
+    * back as ONE collected-list row per doc (bounded by doc length),
+    * and the text surgery is row-local higher-order functions —
+    * expand positions to covered indices, filter tokens by index,
+    * re-join. No token ever shuffles; only (doc, positions).
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           window: Int = 20): DataFrame = {
+    require(window > 0)
+    val base = df.select(col(idCol).as("doc_id"),
+        Text.wsTokens(lower(trim(col(textCol)))).as("toks"))
+      .groupBy(col("doc_id")).agg(first(col("toks")).as("toks"))
+    val withN = base.select(col("doc_id"), col("toks"),
+      size(col("toks")).cast("long").as("n"))
+    val wins = withN.filter(col("n") >= window)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), col("n").cast("int") - window),
+        i => HashFunctions.fnv1a_hash(
+          concat_ws(" ", slice(col("toks"), i + 1, lit(window))))))
+        .as(Seq("pos", "h")))
+    val dupHashes = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("h"))
+    val dupPos = wins.join(dupHashes, "h")
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("dup_pos"))
+    withN.join(dupPos, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"), col("n"),
+        coalesce(col("dup_pos"), array().cast("array<int>")).as("dup_pos"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        array_distinct(flatten(transform(col("dup_pos"),
+          p => sequence(p, p + window - 1)))).as("covered"))
+      .select(col("doc_id"),
+        col("n").as("n_tokens"),
+        size(col("covered")).cast("long").as("n_removed"),
+        concat_ws(" ", filter(col("toks"),
+          (_, i) => !array_contains(col("covered"), i))).as("clean_text"))
+  }
+
   /** Character n-grams — one-pass custom expression. */
   def charNgrams(text: Column, n: Int): Column = char_shingles(text, n)
 

@@ -215,6 +215,12 @@ object Analytics {
       Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text",
         window = 20)),
 
+    // the removal action: corpus re-emitted with every covered token
+    // dropped — string surgery is row-local HOFs, hash-checked exactly
+    "dedup_substring_clean" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+        window = 20)),
+
     // Bloom-prefiltered ingest dedup: history = every 3rd doc; batch =
     // all docs plus id-shifted copies of every 7th (copies are
     // dup_history only when the source doc is itself in the history,
@@ -922,6 +928,49 @@ object Analytics {
            CAST(coalesce(cov.dup_tokens, 0) AS DOUBLE) / CAST(nn.n AS DOUBLE)
              AS dup_fraction
          FROM nn LEFT JOIN cov USING (doc_id)""",
+    // removal-action replication: same dup-window decision, covered
+    // index set = distinct flattened ranges, token-level anti-join,
+    // ordered re-join — pure integer/string ops, exact hash match
+    "dedup_substring_clean" ->
+      """WITH tok AS (SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS t
+           FROM documents),
+         nn AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM tok),
+         wins AS (
+           SELECT doc_id, CAST(unnest(range(0, len(t) - 20 + 1)) AS BIGINT) AS pos, t
+           FROM tok WHERE len(t) >= 20),
+         wstr AS (SELECT doc_id, pos,
+           array_to_string(t[pos+1:pos+20], ' ') AS w FROM wins),
+         dw AS (SELECT DISTINCT w FROM wstr),
+         wh AS (
+           SELECT w, CAST(list_reduce(
+             list_prepend(CAST(14695981039346656037 AS HUGEINT),
+               list_transform(list_filter(string_split_regex(w, ''), ch -> ch <> ''),
+                 ch -> CAST(unicode(ch) AS HUGEINT))),
+             (acc, ch) -> (xor(acc, ch) * 1099511628211) %
+               CAST(18446744073709551616 AS HUGEINT)) AS HUGEINT) AS h
+           FROM dw),
+         occ AS (SELECT s.doc_id, s.pos, wh.h FROM wstr s JOIN wh USING (w)),
+         dup AS (
+           SELECT doc_id, pos FROM occ
+           WHERE h IN (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2)),
+         cov AS (SELECT DISTINCT doc_id,
+           CAST(unnest(range(pos, pos + 20)) AS BIGINT) AS idx FROM dup),
+         tokpos AS (SELECT doc_id,
+           CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS idx,
+           unnest(t) AS tokv FROM tok),
+         clean AS (
+           SELECT tp.doc_id,
+             array_to_string(list(tp.tokv ORDER BY tp.idx), ' ') AS ct
+           FROM tokpos tp LEFT JOIN cov
+             ON cov.doc_id = tp.doc_id AND cov.idx = tp.idx
+           WHERE cov.idx IS NULL GROUP BY tp.doc_id),
+         nrem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+           FROM cov GROUP BY doc_id)
+         SELECT nn.doc_id, nn.n AS n_tokens,
+           coalesce(nrem.n_removed, 0) AS n_removed,
+           coalesce(clean.ct, '') AS clean_text
+         FROM nn LEFT JOIN nrem USING (doc_id) LEFT JOIN clean USING (doc_id)""",
     // the Bloom prefilter + confirm join is exact by construction, so
     // the oracle is the plain history-membership classification over
     // text equality (digest grouping ≡ text equality, as dedup_exact)
