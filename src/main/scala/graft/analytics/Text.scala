@@ -328,6 +328,43 @@ object Text {
           .orderBy(col("sel_key").desc, col(idCol).asc)).cast("long"))
   }
 
+  /** CCNet-style language-model quality proxy (Wenzek et al. 2020 use
+    * a KenLM; the zero-dependency stand-in is the corpus' own unigram
+    * model): per-doc mean negative log probability of its tokens
+    * under the corpus unigram distribution, p̂(t) = c_t / N. Low =
+    * ordinary fluent text; high = rare-token soup (gibberish, wrong
+    * language for the corpus, boilerplate codes). No smoothing needed
+    * — every scored token is in the corpus by construction. Output:
+    * (doc_id, n_tokens, mean_neg_logprob); swap the corpus counts for
+    * a reference-corpus count table and this IS the cross-corpus
+    * CCNet filter.
+    *
+    * Scale shape: corpus counts are a vocab-row aggregate with
+    * map-side combine (the corpus tokenizes twice — two parallel
+    * scans beat shuffling the full (doc, pos, token) occurrence
+    * stream to share one, the bm25-stats-branch trade); the
+    * occurrence-side join lets AQE broadcast the counts when the
+    * vocabulary is small; the per-doc score is a position-ordered
+    * sequential fold (bit-replicable, java_ln).
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val occ = df.select(col(idCol).as("doc_id"),
+        posexplode(wsTokens(lower(trim(col(textCol))))).as(Seq("idx", "tok")))
+      .filter(col("tok") =!= "")
+    val counts = occ.groupBy(col("tok")).agg(count(lit(1)).cast("long").as("c"))
+    val total = counts.agg(sum(col("c")).cast("long").as("n_corpus"))
+    occ.join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), struct(col("idx"),
+        (-java_ln(col("c").cast("double") / col("n_corpus").cast("double")))
+          .as("nl")).as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        (aggregate(array_sort(collect_list(col("contrib"))), lit(0.0),
+          (acc, x) => acc + x.getField("nl")) /
+          count(lit(1)).cast("double")).as("mean_neg_logprob"))
+  }
+
   /** Per-document Shannon token entropy (nats): −Σ p·ln p over the
     * token distribution — low entropy flags repetitive/gibberish text,
     * complementing the Gopher repetition features as a quality signal.

@@ -292,6 +292,11 @@ object Analytics {
     "text_entropy" -> ((s, dir) =>
       Text.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")),
 
+    // CCNet-style unigram LM quality proxy: mean -ln p(token) under
+    // the corpus unigram model, position-ordered IEEE fold
+    "text_unigram_lm" -> ((s, dir) =>
+      Text.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
+
     // DSIR importance weights: target = the English slice, raw = the
     // whole corpus — log importance ratio of hashed-unigram models,
     // bucket-ordered IEEE fold replicated bit-exactly by the oracle
@@ -485,6 +490,27 @@ object Analytics {
                ln(CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE)))),
              (a, b) -> a - b) AS entropy
          FROM agg""",
+    // unigram-LM replication: corpus token counts, -ln(c/N) per
+    // occurrence folded in POSITION order, divided by the doc's count
+    "text_unigram_lm" ->
+      """WITH occ AS (
+           SELECT doc_id,
+             CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS idx,
+             unnest(t) AS tok
+           FROM (SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents)),
+         oq AS (SELECT doc_id, idx, tok FROM occ WHERE tok <> ''),
+         cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM oq GROUP BY tok),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_corpus FROM cnt),
+         contrib AS (
+           SELECT oq.doc_id, oq.idx,
+             -ln(CAST(c AS DOUBLE) / CAST(n_corpus AS DOUBLE)) AS nl
+           FROM oq JOIN cnt USING (tok) CROSS JOIN tot)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(nl ORDER BY idx)), (a, x) -> a + x) / count(*)
+             AS mean_neg_logprob
+         FROM contrib GROUP BY doc_id""",
     // full DSIR replication: FNV-1a HUGEINT fold per distinct token
     // (ASCII corpus: unicode(ch) == byte), power-of-two bucket mod,
     // add-one-smoothed target/raw histograms over range(4096), glibc
