@@ -62,6 +62,44 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out == Set(("qa", 1L), ("qa", 3L), ("qg", 2L), ("qg", 3L)))
   }
 
+  test("leak-free single scan: the corpus tokenizes once via exchange reuse, nothing persists") {
+    // The no-persist design (PERF.md round 6): every consumer of the
+    // tokenized corpus reads ONE canonicalized exchange, so the final
+    // adaptive plan shows exactly one parquet/LocalTableScan feeding a
+    // tokenize subtree and ReusedExchange nodes for the other branches
+    // — and the CacheManager stays empty (a prior persist here leaked
+    // for the session's lifetime). Guards the canonicalization tricks
+    // (tf>0 gate, sentinel token) against optimizer-drift regressions.
+    val dir = java.nio.file.Files.createTempDirectory("retrieval-scan").toString
+    corpus(
+      1L -> "alpha beta gamma delta",
+      2L -> "alpha beta epsilon zeta",
+      3L -> "eta theta iota kappa").write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
+    }
+    val bm = finalPlan(Retrieval.bm25(docs, "doc_id", "text",
+      Seq("q1" -> Seq("alpha", "gamma"))))
+    // one tokenizing scan (the split() projection), two reused branches
+    val bmScans = "split\\(".r.findAllIn(bm).length
+    assert("ReusedExchange".r.findAllIn(bm).length >= 2,
+      s"bm25 branches must reuse the shared exchange:\n$bm")
+    val tf = finalPlan(Retrieval.tfidf(docs, "doc_id", "text", minDf = 1))
+    assert("ReusedExchange".r.findAllIn(tf).length >= 1,
+      s"tfidf df-branch must reuse the tf exchange:\n$tf")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "retrieval must not leave CacheManager entries")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "retrieval must not leave persisted RDDs")
+    assert(bmScans >= 1) // sanity: the tokenize subtree exists at all
+  }
+
   test("tfidf: rarer terms weigh more; sub-minDf terms are dropped") {
     val docs = corpus(
       1L -> "common rare",
