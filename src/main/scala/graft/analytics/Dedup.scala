@@ -384,6 +384,29 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
   }
 
+  /** Cross-corpus variant of [[hamming64Pairs]]: batch signatures
+    * against history signatures, NO intra-side pairs — the incremental
+    * ingest-triage shape ([[crossMinhashPairs]]'s bounded A×B grid on
+    * the 64-bit banding engine). Output: (batch_id, hist_id, hamming).
+    */
+  def crossHamming64Pairs(batch: DataFrame, history: DataFrame,
+                          idCol: String, sigCol: String,
+                          maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    def banded(df: DataFrame) = df.select(
+      struct(col(idCol).as("doc_id"), col(sigCol).as("sig")).as("m"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col(sigCol), b * 16).bitwiseAND(lit(0xffffL)).as("band_val"))): _*))
+        .as("band"))
+    boundedCrossPairs(banded(batch), banded(history), Seq("band"), "m", maxBucket)
+      .select(col("pair_a.doc_id").as("batch_id"), col("pair_a.sig").as("sig_a"),
+        col("pair_b.doc_id").as("hist_id"), col("pair_b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("batch_id"), col("hist_id"), col("hamming").cast("int").as("hamming"))
+  }
+
   /** SimHash near-duplicates: 64-bit signature, candidates via 4×16-bit
     * band blocking (two signatures within hamming distance k must share
     * a band when k < 4), verified with bit_count(xor) ≤ maxHamming.

@@ -133,6 +133,17 @@ object Multimodal {
     Dedup.hamming64Pairs(perceptualHashes(media), "media_id", "phash",
       maxHamming, maxBucket)
 
+  /** Incremental perceptual dedup: a batch of arriving media checked
+    * against a media history — cross-side candidates only (no
+    * intra-batch, no intra-history pairs), the ingest-triage twin of
+    * [[nearDupMedia]]. Output: (batch_id, hist_id, hamming).
+    */
+  def nearDupMediaIncrement(batch: DataFrame, history: DataFrame,
+                            maxHamming: Int = 3,
+                            maxBucket: Int = 4096): DataFrame =
+    Dedup.crossHamming64Pairs(perceptualHashes(batch),
+      perceptualHashes(history), "media_id", "phash", maxHamming, maxBucket)
+
   /** Frame sampling: 1 → N rows per media item via flatMap batches. */
   def sampleFrames(media: DataFrame, framesPerItem: Int): DataFrame = {
     val spark = media.sparkSession

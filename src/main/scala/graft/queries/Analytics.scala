@@ -354,6 +354,27 @@ object Analytics {
           length(swapped).cast("long").as("n_bytes"),
           swapped.cast("binary").as("content"))
       Multimodal.nearDupMedia(media.unionByName(variants), maxHamming = 3)
+    }),
+
+    // incremental form: the variants ARE the arriving batch, the
+    // original media store is the history — cross-side pairs only
+    "multimodal_neardup_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = Multimodal.fakeMediaTable(s, dir)
+      val n = length(col("text")).cast("long")
+      val half = floor(n / 2).cast("long")
+      val p1 = (lit(1L) + pmod(col("doc_id") * 7, half - 1)).cast("int")
+      val p2 = (lit(1L) + half + pmod(col("doc_id") * 13, n - half - 1)).cast("int")
+      val c1 = col("text").substr(p1.cast("int"), lit(1))
+      val c2 = col("text").substr(p2.cast("int"), lit(1))
+      val swapped = overlay(overlay(col("text"), c2, p1, lit(1)), c1, p2, lit(1))
+      val variants = docs
+        .filter(col("doc_id") % 20 === 0 && length(col("text")) >= 8)
+        .select((col("doc_id") + 3000000L).as("media_id"),
+          lit("application/octet-stream").as("mime"),
+          length(swapped).cast("long").as("n_bytes"),
+          swapped.cast("binary").as("content"))
+      Multimodal.nearDupMediaIncrement(variants, media, maxHamming = 3)
     })
   )
 
@@ -913,6 +934,56 @@ object Analytics {
          SELECT a.media_id AS id_a, b.media_id AS id_b,
            CAST(bit_count(xor(a.p, b.p)) AS INT) AS hamming
          FROM ph a JOIN ph b ON a.media_id < b.media_id
+         WHERE bit_count(xor(a.p, b.p)) <= 3""",
+    // same construction, cross-side only: variants (the batch) against
+    // the original store (the history)
+    "multimodal_neardup_incr" ->
+      """WITH params AS (
+           SELECT doc_id, text AS t, length(text) AS n,
+             length(text) // 2 AS half
+           FROM documents WHERE doc_id % 20 = 0 AND length(text) >= 8),
+         pos AS (
+           SELECT doc_id, t, n,
+             CAST(1 + (doc_id * 7) % (half - 1) AS BIGINT) AS p1,
+             CAST(1 + half + (doc_id * 13) % (n - half - 1) AS BIGINT) AS p2
+           FROM params),
+         var AS (
+           SELECT doc_id + 3000000 AS media_id,
+             substr(t, 1, CAST(p1 - 1 AS INT)) || substr(t, CAST(p2 AS INT), 1) ||
+             substr(t, CAST(p1 + 1 AS INT), CAST(p2 - p1 - 1 AS INT)) ||
+             substr(t, CAST(p1 AS INT), 1) || substr(t, CAST(p2 + 1 AS INT)) AS t
+           FROM pos),
+         allm AS (
+           SELECT doc_id AS media_id, text AS t, 0 AS is_batch FROM documents
+           UNION ALL SELECT media_id, t, 1 AS is_batch FROM var),
+         codes AS (
+           SELECT media_id, is_batch,
+             list_transform(list_filter(string_split_regex(t, ''), c -> c <> ''),
+               c -> CAST(unicode(c) AS BIGINT)) AS cs
+           FROM allm),
+         stats AS (
+           SELECT media_id, is_batch, cs, len(cs) AS n,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), cs), (a, b) -> a + b) AS tot
+           FROM codes),
+         ph AS (
+           SELECT media_id, is_batch,
+             CAST(CASE WHEN us >= CAST(9223372036854775808 AS HUGEINT)
+               THEN us - CAST(18446744073709551616 AS HUGEINT) ELSE us END AS BIGINT) AS p
+           FROM (
+             SELECT media_id, is_batch,
+               list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(range(0, 64), c ->
+                   CASE WHEN
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       cs[c * n // 64 + 1 : (c + 1) * n // 64]), (a, b) -> a + b) * n
+                     > tot * ((c + 1) * n // 64 - c * n // 64)
+                   THEN CAST(1 AS HUGEINT) << CAST(c AS INT)
+                   ELSE CAST(0 AS HUGEINT) END)),
+                 (a, b) -> a + b) AS us
+             FROM stats))
+         SELECT a.media_id AS batch_id, b.media_id AS hist_id,
+           CAST(bit_count(xor(a.p, b.p)) AS INT) AS hamming
+         FROM ph a JOIN ph b ON a.is_batch = 1 AND b.is_batch = 0
          WHERE bit_count(xor(a.p, b.p)) <= 3""",
     // ExactSubstr replication: the same FNV window hashes over rolling
     // 20-token spans, duplicated = global count >= 2, coverage via the
