@@ -11,8 +11,75 @@ import org.apache.spark.sql.SparkSession
   * izes JVM/codegen warmup; `stream_gen_1m` is the reference-comparable
   * pipeline number (generator → field.set → sink, BASELINE ~338k rec/s
   * ground truth for the reference): reported as seconds for 1M records.
+  *
+  * ==Self-adjudication (round 7)==
+  * Two consecutive rounds the official artifact was contaminated by
+  * hypervisor stalls (PERF.md: ~1,358 s of /proc/stat steal in one
+  * boot; 176-s wall gaps with zero GC events). The bench now measures
+  * the host alongside the engine, per attempt:
+  *   - `/proc/stat` steal delta (CPU-seconds stolen by the hypervisor
+  *     while the attempt ran);
+  *   - a max-priority 50 ms heartbeat thread whose largest observed
+  *     wake-up gap bounds any whole-JVM freeze during the attempt;
+  *   - GC-time delta, to tell an honest GC pause from a host freeze.
+  * An attempt is `stall_suspect` when steal exceeds 1 CPU-s or a >1 s
+  * heartbeat gap is not explained by GC. Suspected steady attempts are
+  * re-run (≤3 total, short-circuiting on the first clean one); the
+  * JSON reports cold pass, steady pass, per-query min over all
+  * attempts, a `stall_suspects` map (empty ⇢ artifact trustworthy as
+  * printed), and whole-run `steal_delta_s`/`max_gap_s` in the header.
   */
 object Bench {
+
+  /** Hypervisor steal time, in USER_HZ jiffies (column 9 of the
+    * aggregate `cpu` line; USER_HZ=100 on every Linux this targets). */
+  private def stealJiffies(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val parts = src.getLines().next().trim.split("\\s+")
+        if (parts.length > 8) parts(8).toLong else 0L
+      } finally src.close()
+    } catch { case _: Throwable => 0L }
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime.max(0L)).sum
+  }
+
+  /** Freeze sentinel: sleeps 50 ms at max priority and tracks the
+    * largest wake-to-wake gap since the last reset. A multi-second gap
+    * with no matching GC time means the whole JVM was descheduled. */
+  private object Heartbeat {
+    private val maxGap = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val globalMax = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val t = new Thread(() => {
+      var last = System.nanoTime()
+      while (true) {
+        try Thread.sleep(50) catch { case _: InterruptedException => () }
+        val now = System.nanoTime()
+        val gap = now - last
+        last = now
+        maxGap.getAndAccumulate(gap, math.max)
+        globalMax.getAndAccumulate(gap, math.max)
+      }
+    }, "bench-heartbeat")
+    t.setDaemon(true)
+    t.setPriority(Thread.MAX_PRIORITY)
+    def start(): Unit = t.start()
+    def reset(): Unit = maxGap.set(0L)
+    def maxGapSecs(): Double = maxGap.get() / 1e9
+    def globalMaxSecs(): Double = globalMax.get() / 1e9
+  }
+
+  private final case class Attempt(secs: Double, stealS: Double, gapS: Double, gcS: Double) {
+    /** Host interference verdict, not engine quality: >1 CPU-s stolen,
+      * or a >1 s whole-JVM freeze that GC doesn't account for. */
+    def suspect: Boolean =
+      secs >= 0 && (stealS > 1.0 || (gapS > 1.0 && gapS > gcS + 0.5))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -34,12 +101,23 @@ object Bench {
       .config("spark.network.timeout", "1200s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    Heartbeat.start()
+    val benchSteal0 = stealJiffies()
 
     def runNoop(fn: => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn.write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
+    }
+
+    def instrument(run: () => Double): Attempt = {
+      val s0 = stealJiffies(); val g0 = gcMillis(); Heartbeat.reset()
+      val secs = run()
+      Attempt(secs,
+        (stealJiffies() - s0) / 100.0,
+        Heartbeat.maxGapSecs(),
+        (gcMillis() - g0) / 1000.0)
     }
 
     // warmup: touch every table + exercise codegen/JSON paths once
@@ -50,14 +128,13 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    def pass(): scala.collection.mutable.LinkedHashMap[String, Double] = {
-      val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        results(name) = runNoop(fn(spark, sfDir))
-      }
-      // reference-comparable pipeline throughput: 1M generated records
-      // through a processor into a sink (see BASELINE.md ground truth)
-      results("stream_gen_1m") = {
+    // the unit of measurement: name → a fresh full execution
+    val runnables: Seq[(String, () => Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        name -> (() => runNoop(fn(spark, sfDir)))
+      } :+ ("stream_gen_1m" -> { () =>
+        // reference-comparable pipeline throughput: 1M generated records
+        // through a processor into a sink (see BASELINE.md ground truth)
         val p = graft.pipeline.Pipeline("bench")
           .source("gen", "builtin:generator",
             "format.options.id" -> "int", "format.options.name" -> "string",
@@ -68,24 +145,62 @@ object Bench {
         // bookkeeping actions in the timed path (BASELINE.md rules)
         runNoop(graft.model.Cdc.ok(
           graft.pipeline.Runner.build(spark, p, streaming = false)))
-      }
-      results
-    }
+      })
+
+    val attempts = scala.collection.mutable.LinkedHashMap
+      .empty[String, List[Attempt]]
+    def record(name: String, a: Attempt): Unit =
+      attempts(name) = attempts.getOrElse(name, Nil) :+ a
 
     // A/A methodology: two identical in-JVM passes. `queries` (pass 1,
     // cold codegen/JIT — comparable with every earlier round's numbers)
     // and `queries_steady` (pass 2, steady state). The per-query spread
-    // between the passes IS the single-shot noise floor: regressions
-    // smaller than the corresponding delta in PERF.md's A/A table are
-    // unadjudicable from one run.
-    val results = pass()
-    val steady = pass()
+    // between the passes IS the single-shot noise floor. Steady attempts
+    // flagged by the host sentinel re-run (≤3 total) so `queries_min`
+    // is freeze-free without manual forensics.
+    val cold = runnables.map { case (name, run) =>
+      val a = instrument(run); record(name, a); name -> a.secs
+    }.to(scala.collection.mutable.LinkedHashMap)
 
+    val steady = runnables.map { case (name, run) =>
+      var a = instrument(run); record(name, a)
+      var tries = 1
+      while (a.suspect && tries < 3) {
+        a = instrument(run); record(name, a); tries += 1
+      }
+      name -> a.secs
+    }.to(scala.collection.mutable.LinkedHashMap)
+
+    val minMap = attempts.map { case (name, as) =>
+      val ok = as.map(_.secs).filter(_ >= 0)
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
+
+    def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     def js(m: scala.collection.Map[String, Double]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+      m.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    def arr(vs: Seq[Double]): String = vs.map(f).mkString("[", ",", "]")
+
+    // per-query dossier for anything the sentinel flagged; an empty map
+    // means the artifact needed no adjudication
+    val suspects = attempts.filter(_._2.exists(_.suspect)).map { case (name, as) =>
+      "\"" + name + "\":{" +
+        "\"secs\":" + arr(as.map(_.secs)) + "," +
+        "\"steal_s\":" + arr(as.map(_.stealS)) + "," +
+        "\"gap_s\":" + arr(as.map(_.gapS)) + "," +
+        "\"gc_s\":" + arr(as.map(_.gcS)) + "," +
+        "\"suspect\":" + arr(as.map(a => if (a.suspect) 1.0 else 0.0)) + "," +
+        "\"min_still_suspect\":" + {
+          val ok = as.filter(_.secs >= 0)
+          ok.nonEmpty && as.filter(_.secs >= 0).minBy(_.secs).suspect
+        } + "}"
+    }.mkString("{", ",", "}")
+
+    val total = cold.values.filter(_ >= 0).sum
     val totalSteady = steady.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"queries_steady":${js(steady)},"total_steady":$totalSteady,"sf":"$sfDir"}""")
+    val totalMin = minMap.values.filter(_ >= 0).sum
+    val stealTotal = (stealJiffies() - benchSteal0) / 100.0
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${js(cold)},"queries_steady":${js(steady)},"queries_min":${js(minMap)},"total_steady":${f(totalSteady)},"total_min":${f(totalMin)},"stall_suspects":$suspects,"steal_delta_s":${f(stealTotal)},"max_gap_s":${f(Heartbeat.globalMaxSecs())},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
