@@ -42,8 +42,12 @@ object Retrieval {
     val spark = docs.sparkSession
     import spark.implicits._
 
+    // empty terms are dropped HERE as well as from termSet below — a
+    // caller tokenizing "" gets [""], and an empty query term would
+    // otherwise join every unmatched doc's sentinel row into a score
     val qdf = broadcast(
-      queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+      queries.flatMap { case (q, ts) =>
+        ts.distinct.filter(_.nonEmpty).map(t => (q, t)) }
         .toDF("query_id", "term"))
     val allTerms = queries.flatMap(_._2).distinct
 

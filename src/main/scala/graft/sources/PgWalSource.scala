@@ -49,6 +49,16 @@ trait WalTransport extends Serializable {
     * correct without it, just retains more WAL.
     */
   def advance(upToInclusive: Long): Unit = ()
+
+  /** The slot's confirmed (already-consumed) position, used to seed a
+    * FRESH checkpoint's initial offset. Without it a slot whose
+    * confirmed LSN is already large starts at 0 and every early
+    * micro-batch advances only maxBytes while pull() replays the whole
+    * backlog — quadratic startup decode (correct, via the commit-LSN
+    * filter, but wasteful). Default 0 keeps scripted transports and
+    * embedded feeds unchanged.
+    */
+  def startLsn(): Long = 0L
 }
 
 object WalTransport {
@@ -79,18 +89,30 @@ object WalTransport {
     }
     override def pull(toInclusive: Long): Iterator[(Long, Array[Byte])] = {
       val c = connect()
-      val st = c.prepareStatement(
-        "SELECT lsn - '0/0', data FROM pg_logical_slot_peek_binary_changes(" +
-          "?, ('0/0'::pg_lsn + ?), NULL, 'proto_version', '1', " +
-          "'publication_names', ?)")
-      st.setString(1, slot)
-      st.setLong(2, toInclusive)
-      st.setString(3, publication)
-      val rs = st.executeQuery()
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
-      while (rs.next()) buf += ((rs.getLong(1), rs.getBytes(2)))
-      c.close()
-      buf.iterator
+      try {
+        val st = c.prepareStatement(
+          "SELECT lsn - '0/0', data FROM pg_logical_slot_peek_binary_changes(" +
+            "?, ('0/0'::pg_lsn + ?), NULL, 'proto_version', '1', " +
+            "'publication_names', ?)")
+        st.setString(1, slot)
+        st.setLong(2, toInclusive)
+        st.setString(3, publication)
+        val rs = st.executeQuery()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+        while (rs.next()) buf += ((rs.getLong(1), rs.getBytes(2)))
+        buf.iterator
+      } finally c.close()
+    }
+    override def startLsn(): Long = {
+      val c = connect()
+      try {
+        val st = c.prepareStatement(
+          "SELECT confirmed_flush_lsn - '0/0' FROM pg_replication_slots " +
+            "WHERE slot_name = ?")
+        st.setString(1, slot)
+        val rs = st.executeQuery()
+        if (rs.next()) rs.getLong(1) else 0L
+      } finally c.close()
     }
     override def advance(upToInclusive: Long): Unit = {
       val c = connect()
@@ -188,7 +210,11 @@ class PgWalStream(config: PgWalConfig) extends MicroBatchStream
   private var availableNowTarget: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(transport.currentLsn())
-  override def initialOffset(): Offset = CountOffset(0)
+  // only consulted for a FRESH checkpoint; seeded from the slot's
+  // confirmed position so startup doesn't quadratically re-decode an
+  // already-consumed backlog (restart uses the checkpointed offset)
+  private lazy val initial: Long = transport.startLsn()
+  override def initialOffset(): Offset = CountOffset(initial)
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
   override def latestOffset(start: Offset,

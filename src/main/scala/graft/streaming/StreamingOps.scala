@@ -106,8 +106,15 @@ object StreamingOps {
     * verified history matches.
     *
     * Shape: MinHash-LSH banding on both sides; the history collapses
-    * to its (band_id, band_hash) bucket table ONCE (static side of a
-    * stream-static join, broadcast when small); arriving docs explode
+    * to its (band_id, band_hash) bucket table via
+    * [[historyBucketTable]] — persisted here before the stream starts,
+    * because a stream-static join re-evaluates an unpersisted static
+    * side on EVERY micro-batch and re-shingling the whole history per
+    * batch defeats the triage design. The persist is a deliberately
+    * resident dimension (slim bucket rows, not documents) that lives
+    * for the query; callers wanting explicit lifetime control build
+    * the table themselves (write to storage, read back, pass to the
+    * overload below). Arriving docs explode
     * to their 16 band rows, join candidate buckets, and verify with
     * the EXACT one-pass [[graft.analytics.HashFunctions.jaccard_sim]]
     * on the carried shingle arrays — LSH only generates candidates,
@@ -131,13 +138,28 @@ object StreamingOps {
                             shingleSize: Int = 3, numHashes: Int = 128,
                             numBands: Int = 16, threshold: Double = 0.5,
                             maxBucket: Int = 4096): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    import graft.analytics.HashFunctions.{word_shingles, minhash_bands, jaccard_sim}
-    val spark = stream.sparkSession
-    import spark.implicits._
+    // materialize once, serve every micro-batch from memory/disk —
+    // without this, Spark re-runs the full shingle+minhash+bucket-size
+    // aggregation of the history on every batch
+    val histBounded = historyBucketTable(history, idCol, textCol,
+      shingleSize, numHashes, numBands, maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nearDupAgainstHistory(stream, histBounded, idCol, textCol,
+      shingleSize, numHashes, numBands, threshold)
+  }
 
-    // static side: one bucket row per (band, hash, doc) + the doc's
-    // shingles for exact verification; oversized buckets dropped
+  /** The static-side bucket table for [[nearDupAgainstHistory]]: one
+    * slim row per (band_id, band_hash, hist_id) with the doc's shingle
+    * array for exact verification; buckets larger than `maxBucket`
+    * dropped (LSH hot-bucket hygiene). Build it once, write it to
+    * storage (or persist), and pass it to the overload below to control
+    * the materialization lifetime yourself — e.g. refresh nightly while
+    * the triage stream keeps running.
+    */
+  def historyBucketTable(history: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int = 3, numHashes: Int = 128,
+                         numBands: Int = 16, maxBucket: Int = 4096): DataFrame = {
+    import graft.analytics.HashFunctions.{word_shingles, minhash_bands}
     val histSigned = history.select(col(idCol).as("hist_id"),
         word_shingles(col(textCol), shingleSize).as("sh_h"))
       .select(col("hist_id"), col("sh_h"),
@@ -149,8 +171,21 @@ object StreamingOps {
         posexplode(col("bands")).as(Seq("band_id", "band_hash")))
     val bucketSizes = histBuckets.groupBy(col("band_id"), col("band_hash"))
       .agg(count(lit(1)).as("_bsz"))
-    val histBounded = histBuckets.join(bucketSizes, Seq("band_id", "band_hash"))
+    histBuckets.join(bucketSizes, Seq("band_id", "band_hash"))
       .filter(col("_bsz") <= maxBucket).drop("_bsz")
+  }
+
+  /** [[nearDupAgainstHistory]] against a PREBUILT bucket table
+    * ([[historyBucketTable]] output, materialized by the caller).
+    */
+  def nearDupAgainstHistory(stream: DataFrame, histBounded: DataFrame,
+                            idCol: String, textCol: String,
+                            shingleSize: Int, numHashes: Int,
+                            numBands: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.analytics.HashFunctions.{word_shingles, minhash_bands, jaccard_sim}
+    val spark = stream.sparkSession
+    import spark.implicits._
 
     // stream side: shingles materialized below the posexplode barrier
     // so the verify condition can't inline re-tokenization per match
