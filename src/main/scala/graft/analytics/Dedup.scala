@@ -267,20 +267,11 @@ object Dedup {
                      window: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(window > 0)
-    // aggregate barrier: materialize the token array once per doc so
-    // the per-position lambda below references an attribute, not the
-    // split() subtree (which CollapseProject would inline per element)
-    val base = df.select(col(idCol).as("doc_id"),
-        Text.wsTokens(lower(trim(col(textCol)))).as("toks"))
-      .groupBy(col("doc_id")).agg(first(col("toks")).as("toks"))
-    val withN = base.select(col("doc_id"), col("toks"),
-      size(col("toks")).cast("long").as("n"))
-    val wins = withN.filter(col("n") >= window)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), col("n").cast("int") - window),
-        i => HashFunctions.fnv1a_hash(
-          concat_ws(" ", slice(col("toks"), i + 1, lit(window))))))
-        .as(Seq("pos", "h")))
+    // aggregate barrier inside spanWindows: the token array
+    // materializes once per doc so the per-position lambda references
+    // an attribute, not the split() subtree (which CollapseProject
+    // would inline per element)
+    val (withN, wins) = spanWindows(df, idCol, textCol, window)
     val dupHashes = wins.groupBy(col("h"))
       .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("h"))
     val lagW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -302,8 +293,8 @@ object Dedup {
   /** The removal ACTION for [[duplicateSpans]]: re-emit the corpus
     * with every token covered by a duplicated window dropped — the
     * ExactSubstr cleanup (this is the conservative variant that
-    * removes ALL occurrences; to keep one canonical copy compose with
-    * [[segments]], which is first-occurrence-keeping by design).
+    * removes ALL occurrences; [[removeDuplicateSpansKeepFirst]] is the
+    * first-occurrence-keeping variant — the Lee et al. action proper).
     * Output: (doc_id, n_tokens, n_removed, clean_text).
     *
     * Shape: the duplicated-window decision is [[duplicateSpans]]'s
@@ -316,6 +307,52 @@ object Dedup {
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
                            window: Int = 20): DataFrame = {
     require(window > 0)
+    val (withN, wins) = spanWindows(df, idCol, textCol, window)
+    val dupHashes = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("h"))
+    val dupPos = wins.join(dupHashes, "h")
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("dup_pos"))
+    spanSurgery(withN, dupPos, window)
+  }
+
+  /** The Lee et al. removal action proper — keep ONE canonical copy:
+    * for each duplicated window hash, the globally FIRST occurrence
+    * (minimum (doc_id, pos)) keeps its tokens; every LATER occurrence
+    * is removed. Unlike [[removeDuplicateSpans]] (which drops all
+    * occurrences — conservative filtering), this preserves the
+    * information content once, the actual training-data dedup action.
+    * Output: (doc_id, n_tokens, n_removed, clean_text).
+    *
+    * Shape: identical weight class to [[removeDuplicateSpans]] — the
+    * canonical occurrence per hash is one `min(struct(doc_id, pos))`
+    * inside the SAME per-hash aggregate that counts occurrences (no
+    * extra shuffle, no window function over the global occurrence
+    * list), and the later-occurrence filter is a row-local struct
+    * comparison after the hash join.
+    */
+  def removeDuplicateSpansKeepFirst(df: DataFrame, idCol: String,
+                                    textCol: String,
+                                    window: Int = 20): DataFrame = {
+    require(window > 0)
+    val (withN, wins) = spanWindows(df, idCol, textCol, window)
+    val canon = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("pos"))).as("first_occ"))
+      .filter(col("c") >= 2)
+      .select(col("h"), col("first_occ"))
+    val dupPos = wins.join(canon, "h")
+      .filter(struct(col("doc_id"), col("pos")) =!= col("first_occ"))
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("dup_pos"))
+    spanSurgery(withN, dupPos, window)
+  }
+
+  /** Shared ExactSubstr prefix: (per-doc token arrays with lengths,
+    * rolling `window`-token FNV-1a hashes as (doc_id, pos, h) rows).
+    * The aggregate barrier keeps the token array from re-splitting per
+    * position (see [[duplicateSpans]]).
+    */
+  private def spanWindows(df: DataFrame, idCol: String, textCol: String,
+                          window: Int): (DataFrame, DataFrame) = {
     val base = df.select(col(idCol).as("doc_id"),
         Text.wsTokens(lower(trim(col(textCol)))).as("toks"))
       .groupBy(col("doc_id")).agg(first(col("toks")).as("toks"))
@@ -327,10 +364,15 @@ object Dedup {
         i => HashFunctions.fnv1a_hash(
           concat_ws(" ", slice(col("toks"), i + 1, lit(window))))))
         .as(Seq("pos", "h")))
-    val dupHashes = wins.groupBy(col("h"))
-      .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("h"))
-    val dupPos = wins.join(dupHashes, "h")
-      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("dup_pos"))
+    (withN, wins)
+  }
+
+  /** Shared removal surgery: expand each doc's removable window
+    * positions to covered token indices (row-local HOFs), drop covered
+    * tokens, re-join. Only (doc, positions) ever shuffles.
+    */
+  private def spanSurgery(withN: DataFrame, dupPos: DataFrame,
+                          window: Int): DataFrame =
     withN.join(dupPos, Seq("doc_id"), "left")
       .select(col("doc_id"), col("toks"), col("n"),
         coalesce(col("dup_pos"), array().cast("array<int>")).as("dup_pos"))
@@ -342,7 +384,6 @@ object Dedup {
         size(col("covered")).cast("long").as("n_removed"),
         concat_ws(" ", filter(col("toks"),
           (_, i) => !array_contains(col("covered"), i))).as("clean_text"))
-  }
 
   /** Character n-grams — one-pass custom expression. */
   def charNgrams(text: Column, n: Int): Column = char_shingles(text, n)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analytics.{Dedup, Multimodal, Retrieval, Sampling, Similarity, Text}
+import graft.streaming.StreamingOps
 
 /** Training-data pipeline queries (dedup / similarity / text /
   * multimodal). EVERY query carries a DuckDB oracle: the directly
@@ -207,6 +208,41 @@ object Analytics {
         shingleSize = 3, threshold = 0.5)
     }),
 
+    // streaming near-dup triage driven END-TO-END as a real 2-batch
+    // stream (MemoryStream → stream-static LSH band join → exact
+    // Jaccard verify → flatMapGroupsWithState verdict → memory sink):
+    // the stream is the dedup_minhash_incr mutation (every 20th doc
+    // with ≥5 tokens, last token dropped, id+1000000), split
+    // deterministically across two micro-batches. Per-doc verdicts
+    // carry no cross-batch state, so the brute-force cross-Jaccard
+    // oracle applies batch-independently (same dataset assumption as
+    // dedup_minhash_incr, documented there). The driver .collect() is
+    // harness glue feeding MemoryStream — |docs|/20 short strings.
+    "dedup_stream_triage" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val base = t(s, dir, "documents")
+      val toks = split(trim(col("text")), "\\s+")
+      val streamDocs = base
+        .filter(col("doc_id") % 20 === 0 && size(toks) >= 5)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"))
+        .as[(Long, String)].collect()
+      val (b1, b2) = streamDocs.partition(_._1 % 40 == 0)
+      val in = MemoryStream[(Long, String)]
+      val out = StreamingOps.nearDupAgainstHistory(
+        in.toDF().toDF("doc_id", "text"), base, "doc_id", "text",
+        threshold = 0.5)
+      val q = out.writeStream.format("memory")
+        .queryName("dedup_stream_triage_out").outputMode("append").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table("dedup_stream_triage_out")
+    }),
+
     // exact substring-duplication coverage (Lee et al. ExactSubstr
     // metric): duplicated 20-token spans over the corpus — the near-dup
     // documents in the corpus share long spans, so coverage is nonzero
@@ -220,6 +256,13 @@ object Analytics {
     "dedup_substring_clean" -> ((s, dir) =>
       Dedup.removeDuplicateSpans(t(s, dir, "documents"), "doc_id", "text",
         window = 20)),
+
+    // the Lee et al. action proper: each duplicated span keeps its
+    // globally-first occurrence (min (doc_id, pos)), later copies
+    // removed — deterministic canonical choice, hash-checked exactly
+    "dedup_substring_keepone" -> ((s, dir) =>
+      Dedup.removeDuplicateSpansKeepFirst(t(s, dir, "documents"),
+        "doc_id", "text", window = 20)),
 
     // Bloom-prefiltered ingest dedup: history = every 3rd doc; batch =
     // all docs plus id-shifted copies of every 7th (copies are
@@ -1051,6 +1094,97 @@ object Analytics {
          dup AS (
            SELECT doc_id, pos FROM occ
            WHERE h IN (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2)),
+         cov AS (SELECT DISTINCT doc_id,
+           CAST(unnest(range(pos, pos + 20)) AS BIGINT) AS idx FROM dup),
+         tokpos AS (SELECT doc_id,
+           CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS idx,
+           unnest(t) AS tokv FROM tok),
+         clean AS (
+           SELECT tp.doc_id,
+             array_to_string(list(tp.tokv ORDER BY tp.idx), ' ') AS ct
+           FROM tokpos tp LEFT JOIN cov
+             ON cov.doc_id = tp.doc_id AND cov.idx = tp.idx
+           WHERE cov.idx IS NULL GROUP BY tp.doc_id),
+         nrem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+           FROM cov GROUP BY doc_id)
+         SELECT nn.doc_id, nn.n AS n_tokens,
+           coalesce(nrem.n_removed, 0) AS n_removed,
+           coalesce(clean.ct, '') AS clean_text
+         FROM nn LEFT JOIN nrem USING (doc_id) LEFT JOIN clean USING (doc_id)""",
+    // stream-triage replication: brute-force cross exact-Jaccard (the
+    // dedup_minhash_incr oracle) folded to the per-stream-doc verdict —
+    // status from match existence, best_jaccard = max (order-free),
+    // n_matches = distinct verified history ids. Batch boundaries are
+    // semantically invisible (no cross-batch state), so a batch oracle
+    // checks the streaming path exactly.
+    "dedup_stream_triage" ->
+      """WITH hsh AS (
+           SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             END AS s
+           FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                 FROM documents WHERE trim(text) <> '')),
+         bat AS (
+           SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(t[1:len(t)-1], ' ') AS text2
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                 FROM documents WHERE doc_id % 20 = 0)
+           WHERE len(t) >= 5),
+         bsh AS (
+           SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             END AS s
+           FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text2)), '\s+') AS t
+                 FROM bat WHERE trim(text2) <> '')),
+         m AS (
+           SELECT b.doc_id, h.doc_id AS hist_id,
+             CAST(len(list_intersect(b.s, h.s)) AS DOUBLE) /
+               (len(b.s) + len(h.s) - len(list_intersect(b.s, h.s))) AS j
+           FROM bsh b JOIN hsh h
+             ON CAST(len(list_intersect(b.s, h.s)) AS DOUBLE) /
+               (len(b.s) + len(h.s) - len(list_intersect(b.s, h.s))) >= 0.5)
+         SELECT b.doc_id,
+           CASE WHEN count(m.hist_id) > 0 THEN 'near_dup_history'
+                ELSE 'kept' END AS status,
+           max(m.j) AS best_jaccard,
+           CAST(count(DISTINCT m.hist_id) AS BIGINT) AS n_matches
+         FROM bat b LEFT JOIN m ON m.doc_id = b.doc_id
+         GROUP BY b.doc_id""",
+    // keep-first replication: identical windows/hash/surgery CTEs, but
+    // an occurrence is removable only when it is NOT the global first
+    // (row_number over (doc_id, pos) within its hash) — the Spark
+    // min(struct) canonical choice expressed as a window rank
+    "dedup_substring_keepone" ->
+      """WITH tok AS (SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS t
+           FROM documents),
+         nn AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM tok),
+         wins AS (
+           SELECT doc_id, CAST(unnest(range(0, len(t) - 20 + 1)) AS BIGINT) AS pos, t
+           FROM tok WHERE len(t) >= 20),
+         wstr AS (SELECT doc_id, pos,
+           array_to_string(t[pos+1:pos+20], ' ') AS w FROM wins),
+         dw AS (SELECT DISTINCT w FROM wstr),
+         wh AS (
+           SELECT w, CAST(list_reduce(
+             list_prepend(CAST(14695981039346656037 AS HUGEINT),
+               list_transform(list_filter(string_split_regex(w, ''), ch -> ch <> ''),
+                 ch -> CAST(unicode(ch) AS HUGEINT))),
+             (acc, ch) -> (xor(acc, ch) * 1099511628211) %
+               CAST(18446744073709551616 AS HUGEINT)) AS HUGEINT) AS h
+           FROM dw),
+         occ AS (SELECT s.doc_id, s.pos, wh.h FROM wstr s JOIN wh USING (w)),
+         dup AS (
+           SELECT doc_id, pos FROM (
+             SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY h) AS c,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+             FROM occ)
+           WHERE c >= 2 AND rn > 1),
          cov AS (SELECT DISTINCT doc_id,
            CAST(unnest(range(pos, pos + 20)) AS BIGINT) AS idx FROM dup),
          tokpos AS (SELECT doc_id,
