@@ -57,25 +57,61 @@ object Similarity {
 
   /** Embedding near-duplicate pairs above a cosine threshold.
     * method "brute" = block-nested pairing (correctness baseline);
-    * method "lsh" = multi-table hyperplane LSH candidate generation
-    * (the scale path: only vectors sharing a (table, bucket) cell are
-    * paired; k planes tighten precision, L tables recover recall —
-    * tune (k, L) to the threshold: high thresholds allow larger k).
+    * method "lsh" = multi-table hyperplane LSH candidate generation;
+    * method "ivf" = seeded-centroid cell partitioning (top-`nassign`
+    * cells per vector), pairs only within a cell.
+    *
+    * ==Which scale path (the round-7 sf1 lesson)==
+    * Hyperplane LSH at a LOW threshold needs few planes for recall
+    * (k=4 at cos 0.4), and k planes give at most 2^k buckets per
+    * table — a corpus-size-INDEPENDENT bucket count, so any two
+    * vectors (even unrelated: p≈1/2 per plane) collide in some table
+    * with probability ≈ L/2^k. Candidate work therefore grows
+    * quadratically with corpus size regardless of true duplicate
+    * density. That floor is intrinsic to the (k, L, threshold)
+    * geometry, not a plan defect; "lsh" is the right shape for HIGH
+    * thresholds (large k ⇒ exponentially fewer random collisions).
+    * "ivf" replaces the fixed 2^k bucket space with `nlist` seeded
+    * centroid cells: choose nlist ∝ corpus (cells stay ~constant
+    * size) and candidate work is ~2·n²/nlist — LINEAR in n at
+    * constant density, the 100 TB dedup path. nassign=2 recovers
+    * boundary-straddling pairs (standard IVF multi-assignment);
+    * recall vs brute is measured in AnalyticsSpec, precision is exact
+    * (every candidate verified with the float dot product).
     */
   // NOTE: the dedup_embedding DuckDB oracle (queries/Analytics.scala)
   // replicates the full LSH pipeline at the DEFAULT (numPlanes=4,
-  // numTables=12) — changing these defaults requires regenerating the
-  // oracle's plane/table ranges to match.
+  // numTables=12), and the dedup_embedding_ivf oracle replicates the
+  // seeded-cell pipeline at its gate parameters — changing defaults
+  // requires regenerating the oracles to match.
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
                   threshold: Double, method: String = "lsh",
                   numPlanes: Int = 4, numTables: Int = 12,
-                  maxBucket: Int = 4096): DataFrame = {
+                  maxBucket: Int = 4096,
+                  nlist: Int = 64, nassign: Int = 2): DataFrame = {
     val base = df.select(col(idCol).as("vid"), normalize(col(vecCol)).as("nvec"))
     val candidates = method match {
       case "brute" =>
         val a = base.select(col("vid").as("id_a"), col("nvec").as("vec_a"))
         val b = base.select(col("vid").as("id_b"), col("nvec").as("vec_b"))
         a.join(b, col("id_a") < col("id_b"))
+      case "ivf" =>
+        // aggregate barrier as in "lsh"; seeds = lowest-id vectors
+        // (deterministic, oracle-replicable — the clusterAssign /
+        // semanticDedup seeding; the collect is nlist×dim doubles)
+        val nb = base.groupBy(col("vid")).agg(first(col("nvec")).as("nvec"))
+        val seeds: Array[Array[Double]] = nb.orderBy(col("vid").asc)
+          .limit(nlist).select(col("nvec")).collect()
+          .map(_.getSeq[Double](0).toArray)
+        require(seeds.nonEmpty, "cosinePairs(ivf): empty corpus")
+        val cells = nb.select(col("vid"),
+            explode(nearest_centroids(col("nvec"), seeds, nassign)).as("cell"))
+        val idPairs = Dedup.boundedSelfPairs(cells, Seq("cell"), "vid", maxBucket)
+          .select(col("pair_a").as("id_a"), col("pair_b").as("id_b"))
+          .distinct()
+        idPairs
+          .join(nb.select(col("vid").as("id_a"), col("nvec").as("vec_a")), "id_a")
+          .join(nb.select(col("vid").as("id_b"), col("nvec").as("vec_b")), "id_b")
       case "lsh" =>
         // bounded bucket join + dedup on bare id pairs (8 bytes each) —
         // the 64-dim vectors are joined back only for surviving pairs,

@@ -47,6 +47,13 @@ object Analytics {
         threshold = 0.4, method = "lsh")
         .select(col("id_a"), col("id_b"))),
 
+    // the constant-density scale path (PERF round-7: hyperplane LSH at
+    // cos 0.4 has a ~L/2^k random-collision floor ⇒ quadratic
+    // candidates at any duplicate density; IVF cells scale with nlist)
+    "dedup_embedding_ivf" -> ((s, dir) =>
+      Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, method = "ivf", nlist = 8, nassign = 2)),
+
     "sim_topk_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
@@ -1263,6 +1270,43 @@ object Analytics {
            coalesce(l.lbl, g.vec_id) AS rep_id,
            coalesce(l.lbl, g.vec_id) = g.vec_id AS keep
          FROM asg g LEFT JOIN lab l USING (vec_id)""",
+    // IVF-cell replication: the dedup_semantic seeding/assignment CTEs
+    // with rk <= 2 (top-2 cells, ties dt DESC then cluster ASC — the
+    // NearestCentroids insertion order), distinct within-cell pairs,
+    // exact sequential-fold cosine >= 0.4 with the score emitted
+    "dedup_embedding_ivf" ->
+      """WITH nv AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+           FROM embeddings),
+         nrm AS (SELECT vec_id, ed,
+           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(ed, x -> x*x)), (a,b) -> a+b)) AS n FROM nv),
+         v AS (SELECT vec_id,
+           CASE WHEN n > 0 THEN list_transform(ed, x -> x/n) ELSE ed END AS nvec
+           FROM nrm),
+         seeds AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cluster,
+             nvec AS cvec
+           FROM (SELECT vec_id, nvec FROM v ORDER BY vec_id ASC LIMIT 8)),
+         dots AS (SELECT v.vec_id, s.cluster,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65), i -> v.nvec[i] * s.cvec[i])),
+             (a,b) -> a+b) AS dt
+           FROM v CROSS JOIN seeds s),
+         best AS (SELECT vec_id, cluster, dt,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY dt DESC, cluster ASC) AS rk FROM dots),
+         asg AS (SELECT vec_id, cluster FROM best WHERE rk <= 2),
+         cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+           FROM asg a JOIN asg b
+             ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+         sc AS (SELECT c.ia, c.ib,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65), i -> va.nvec[i] * vb.nvec[i])),
+             (x,y) -> x+y) AS cs
+           FROM cand c JOIN v va ON va.vec_id = c.ia
+           JOIN v vb ON vb.vec_id = c.ib)
+         SELECT ia AS id_a, ib AS id_b, cs AS cos_sim
+         FROM sc WHERE cs >= 0.4""",
     // Full replication of the hyperplane-LSH pipeline: splitmix64 plane
     // weights in HUGEINT mod-2^64 (64×64→64 multiply via 32-bit halves;
     // HUGEINT→DOUBLE truncates, so signed values route through BIGINT

@@ -60,6 +60,25 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding IVF pairs: exact precision, bounded recall vs brute") {
+    val brute = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4, "brute")
+      .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4, "ivf",
+      nlist = 8, nassign = 2)
+      .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.subsetOf(brute), s"false positives: ${ivf -- brute}")
+    if (brute.nonEmpty) {
+      val recall = ivf.size.toDouble / brute.size
+      assert(recall >= 0.3, s"IVF recall too low: $recall (${ivf.size}/${brute.size})")
+    }
+    // nassign = nlist degenerates to brute force (every vector in every
+    // cell's candidate set) — recall must be exactly 1
+    val full = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4, "ivf",
+      nlist = 4, nassign = 4)
+      .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute, s"missed=${brute -- full} extra=${full -- brute}")
+  }
+
   test("IVF top-k recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 8)
     val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
