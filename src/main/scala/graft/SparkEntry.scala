@@ -20,7 +20,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Processors.queries ++
-      graft.queries.Analytics.queries
+      graft.queries.Analytics.queries ++
+      graft.queries.Temporal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -29,5 +30,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Processors.oracles ++
-      graft.queries.Analytics.oracles
+      graft.queries.Analytics.oracles ++
+      graft.queries.Temporal.oracles
 }

@@ -1,0 +1,114 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import HashFunctions.{java_ln, splitmix64_hash}
+
+/** Distinct-count sketches. HyperLogLog (Flajolet et al. 2007, with
+  * the standard small-range linear-counting correction) expressed as
+  * a pure dataflow: hash → register/rank → two-level aggregation.
+  * That IS the distributed HLL merge — partial max-per-register on the
+  * map side, one shuffle keyed by (group, register) with at most
+  * groups × 2^p rows surviving, then a groups-sized final reduce.
+  * No UDAF, no binary blobs: every intermediate is a column Catalyst
+  * can see.
+  *
+  * Oracle strategy (why this is bit-reproducible): everything up to
+  * the final estimate is INTEGER arithmetic — splitmix64 hash, top-p
+  * register index, a binary-search bit-length (never floor(log2):
+  * log2(2^52−1) rounds UP to 52.0 in doubles), and register terms
+  * 2^(52−ρ+1) summed EXACTLY as decimal(38,0), which is
+  * order-independent, so partial aggregation order cannot change a
+  * bit. Doubles appear only in the last mile, as a fixed expression
+  * tree replayed verbatim by the DuckDB oracle (ln == [[java_ln]]).
+  */
+object Sketch {
+
+  /** Bit length (1-based index of the highest set bit; 0 for w = 0)
+    * of a non-negative long below 2^52, via 6-step binary search on
+    * integer compares — exact, unlike floor(log2(w)) in doubles.
+    * Evaluated only on aggregated per-register minima (≤ groups×2^p
+    * rows), so the 7-level expression tree costs nothing per data row.
+    */
+  private[graft] def bitLen(w0: Column): Column = {
+    var w = w0
+    var acc: Column = lit(0L)
+    for (k <- Seq(32, 16, 8, 4, 2, 1)) {
+      val cond = w >= lit(1L << k)
+      acc = acc + when(cond, lit(k.toLong)).otherwise(lit(0L))
+      w = when(cond, shiftrightunsigned(w, k)).otherwise(w)
+    }
+    acc + when(w >= lit(1L), lit(1L)).otherwise(lit(0L))
+  }
+
+  /** HyperLogLog distinct estimate of a long-valued column per group.
+    * p register-index bits (m = 2^p registers, standard error
+    * ≈ 1.04/sqrt(m)); returns one row per group:
+    * (groupCols..., n_registers, estimate).
+    *
+    * Register rank ρ = (leading zeros of the low 64−p hash bits) + 1.
+    * Since bitLen is monotone in w, max(ρ) per register ≡ ρ(min(w)) —
+    * so the shuffle carries only min(w) and the rank math runs once
+    * per REGISTER, not once per row.
+    */
+  def hllDistinct(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      p: Int = 12,
+      seed: Long = 7L): DataFrame = {
+    require(p >= 4 && p <= 18, s"p=$p out of range")
+    val m = 1 << p
+    val wBits = 64 - p
+    val wMask = (1L << wBits) - 1
+    val g = groupCols.map(col)
+
+    val regs = df
+      .filter(col(valueCol).isNotNull) // a null hashes to a phantom register
+      .select(g :+ splitmix64_hash(col(valueCol) + lit(seed)).as("_h"): _*)
+      .select(g ++ Seq(
+        shiftrightunsigned(col("_h"), wBits).as("_reg"),
+        (col("_h").bitwiseAND(lit(wMask))).as("_w")): _*)
+      .groupBy(g :+ col("_reg"): _*)
+      .agg(min(col("_w")).as("_mw"))
+
+    // term = 2^(wBits+1−ρ) = 2^bitLen(min w); the +1 register (ρ for
+    // w=0 is wBits+1, term 2^0 = 1) and absent registers (term
+    // 2^(wBits+1)) keep the harmonic sum S = Σ 2^(wBits+1−ρ_j) scaled
+    // by 2^(wBits+1) — integer-exact in decimal(38,0).
+    val termScale = wBits + 1 // 53 for p=12
+    val withBl = regs.withColumn("_bl", bitLen(col("_mw")))
+      .withColumn("_term",
+        expr("shiftleft(cast(1 as bigint), cast(_bl as int))").cast("decimal(38,0)"))
+
+    val agg = withBl
+      .groupBy(g: _*)
+      .agg(
+        count(lit(1)).as("n_registers"),
+        sum(col("_term")).as("_s_present"))
+      .withColumn("_v", lit(m.toLong) - col("n_registers"))
+      .withColumn("_s",
+        col("_s_present") +
+          col("_v").cast("decimal(38,0)") *
+            lit(1L << termScale).cast("decimal(38,0)"))
+      // split S (≤ m·2^53 = 2^65 for p=12) into exactly-representable
+      // halves before going to double: hi·4096.0 is a pure power-of-two
+      // scale (exact), + lo rounds once, identically in both engines
+      .withColumn("_lo", pmod(col("_s"), lit(4096).cast("decimal(38,0)")).cast("long"))
+      .withColumn("_hi", ((col("_s") - col("_lo")) / lit(4096).cast("decimal(38,0)")).cast("long"))
+      .withColumn("_sd", col("_hi").cast("double") * lit(4096.0) + col("_lo").cast("double"))
+
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val raw = alpha * lit(m.toDouble) * lit(m.toDouble) *
+      lit(math.pow(2.0, termScale.toDouble)) / col("_sd")
+    val estimate = when(
+      raw <= lit(2.5) * lit(m.toDouble) && col("_v") > lit(0L),
+      lit(m.toDouble) * java_ln(lit(m.toDouble) / col("_v").cast("double")))
+      .otherwise(raw)
+
+    agg.select(g ++ Seq(
+      col("n_registers"),
+      estimate.as("estimate")): _*)
+  }
+}

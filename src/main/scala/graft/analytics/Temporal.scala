@@ -1,0 +1,119 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators the built-in Spark surface lacks: as-of
+  * join and (pure, no-equi-key) range join. Both are composed from
+  * existing operators (brief preference order (a)) so Catalyst keeps
+  * full visibility — pushdown, AQE, whole-stage codegen all apply.
+  *
+  * Scale design:
+  *  - [[asOfJoin]] is the union–sort formulation: ONE hash shuffle on
+  *    the key + one per-partition sort, never a per-row probe or a
+  *    range-expanded join. At 100 TB this is the same shape as a
+  *    shuffle-hash aggregation — no build-side blowup, no skew
+  *    amplification beyond the key histogram itself.
+  *  - [[rangeJoinBinned]] turns an interval predicate into an
+  *    equi-join on a time bucket + a residual filter. Spark's planner
+  *    would otherwise fall back to BroadcastNestedLoop/cartesian for a
+  *    pure inequality join; binning restores a shuffle-partitionable
+  *    equi-key whose fan-out is ceil(intervalLen/bucketWidth)+1 per
+  *    interval — O(1) when the bucket width is chosen near the typical
+  *    interval length.
+  */
+object Temporal {
+
+  /** As-of join: for every left row, attach the right row with the
+    * greatest `rightTime` ≤ `leftTime` (or strictly < when
+    * `strict = true`) within the same key group; left rows with no
+    * such right row keep nulls (left-outer semantics).
+    *
+    * Implementation: tag both sides, union, then one cumulative
+    * `last(ignoreNulls)` window per key ordered by (time, side) —
+    * the right payload is carried as a single struct so the match is
+    * atomic (a null value INSIDE a right row can never inherit from
+    * an older right row).
+    *
+    * Preconditions (caller-enforced, asserted where cheap):
+    *  - `leftTime` / `rightTime` are the same orderable type
+    *    (normalize timestamps to epoch longs first);
+    *  - at most one right row per (key, time) — pre-reduce with
+    *    `max_by` otherwise the tie is nondeterministic;
+    *  - right value column names must not collide with left columns.
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightValueCols: Seq[String],
+      strict: Boolean = false): DataFrame = {
+    val lCols = left.columns.toSeq
+    require(rightValueCols.forall(c => !lCols.contains(c)),
+      s"right value columns ${rightValueCols.mkString(",")} collide with left columns")
+    // Inclusive (ts >= rt): right rows sort BEFORE left rows at a tied
+    // time so the tied right row is visible. Strict: left first.
+    val (sideL, sideR) = if (strict) (0, 1) else (1, 0)
+    val lSel: Seq[Column] =
+      Seq(col(leftKey).as("_k"), col(leftTime).as("_t"), lit(sideL).as("_side")) ++
+        lCols.map(c => col(c).as(s"_l_$c")) :+
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          rightValueCols.map(c => org.apache.spark.sql.types.StructField(
+            c, right.schema(c).dataType, nullable = true)))).as("_r")
+    val rSel: Seq[Column] =
+      Seq(col(rightKey).as("_k"), col(rightTime).as("_t"), lit(sideR).as("_side")) ++
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c")) :+
+        struct(rightValueCols.map(col): _*).as("_r")
+    val unioned = left.select(lSel: _*).unionByName(right.select(rSel: _*))
+    // Ties among LEFT rows at the same (key, time) are harmless: the
+    // cumulative last(_r) only reads right-side rows, which are unique
+    // per (key, time) by precondition — the frame ambiguity cannot
+    // change any output value.
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === sideL)
+      .select(lCols.map(c => col(s"_l_$c").as(c)) ++
+        rightValueCols.map(c => col(s"_match.$c").as(c)): _*)
+  }
+
+  /** Range join without an equi-key: pairs every `points` row whose
+    * `pointTime` falls in `[startCol, endCol)` of an `intervals` row.
+    * Returns INNER matches (interval columns ++ point columns);
+    * left-outer aggregation shapes compose on top (join the interval
+    * table back to the aggregated pairs).
+    *
+    * A point lives in exactly one bucket, so no pair is emitted twice
+    * even though an interval is replicated into every bucket it
+    * overlaps. Times must be non-negative longs (epoch-style) —
+    * `div` floor-division assumes it.
+    */
+  def rangeJoinBinned(
+      points: DataFrame,
+      pointTime: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(intervals.columns.toSet.intersect(points.columns.toSet).isEmpty,
+      "interval and point column names must be disjoint")
+    val iv = intervals.withColumn("_bucket",
+      explode(sequence(
+        expr(s"$startCol div ${bucketWidth}L"),
+        // end is exclusive; an interval ending exactly on a bucket
+        // boundary must not claim the next bucket
+        expr(s"($endCol - 1L) div ${bucketWidth}L"))))
+    val pt = points.withColumn("_bucket", expr(s"$pointTime div ${bucketWidth}L"))
+    iv.join(pt,
+        iv("_bucket") === pt("_bucket") &&
+          pt(pointTime) >= iv(startCol) && pt(pointTime) < iv(endCol))
+      .drop("_bucket")
+  }
+}

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Sketch, Temporal => TOps}
+
+/** Temporal-join and sketch gate rows. The DuckDB oracles are
+  * independent formulations: ASOF LEFT JOIN for the as-of operator
+  * (DuckDB's native implementation vs our union–sort plan), a plain
+  * inequality LEFT JOIN for the binned range join (DuckDB IEJoin vs
+  * our bucket equi-join), and a full HUGEINT replay of the HLL
+  * register pipeline (same splitmix64 chain as the sampling oracles).
+  */
+object Temporal {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val d2 = "decimal(18,2)"
+
+  /** events.ts is long nanos under nanosAsLong (sf parquet), or a real
+    * timestamp elsewhere — normalize to epoch seconds (integer math;
+    * double division would round above 2^53 ns).
+    */
+  private def tsEpochSeconds(df: DataFrame): Column =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      expr("ts div 1000000000")
+    else unix_timestamp(col("ts"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Purchase attribution: every click/view gets the same user's most
+    // recent purchase at-or-before it (left-outer as-of). The purchase
+    // side is pre-reduced to one row per (user, second) by max
+    // event_id so the as-of tie is deterministic.
+    "join_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val secs = tsEpochSeconds(ev)
+      val l = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_id"), secs.as("ts_s"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), secs.as("p_ts_s"),
+          col("event_id"), col("value"))
+        .groupBy(col("p_uid"), col("p_ts_s"))
+        .agg(max(col("event_id")).as("p_event_id"),
+          max_by(col("value"), col("event_id")).as("p_value"))
+      TOps.asOfJoin(l, r, "user_id", "p_uid", "ts_s", "p_ts_s",
+        Seq("p_event_id", "p_value", "p_ts_s"))
+    }),
+
+    // Promo-window analysis: each high-value purchase opens a 1-hour
+    // window; count/sum ALL events whose timestamp falls inside —
+    // a pure range join (no equi-key), planned as a bucket equi-join
+    // + residual instead of the nested-loop Spark would pick.
+    // Left semantics via joining the window table back to the
+    // aggregated pairs (empty windows keep n_events = 0).
+    "join_range" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val secs = tsEpochSeconds(ev)
+      val e = ev.select(col("event_id"), col("event_type"), col("value"),
+        secs.as("ts_s"))
+      val promo = e.filter(col("event_type") === "purchase" && col("value") >= 140.0)
+        .select(col("event_id").as("promo_id"), col("ts_s").as("w_start"),
+          (col("ts_s") + 3600L).as("w_end"))
+      val pts = e.select(col("event_id").as("e_id"), col("value").as("e_value"),
+        col("ts_s").as("e_ts"))
+      val pairs = TOps.rangeJoinBinned(pts, "e_ts", promo, "w_start", "w_end",
+        bucketWidth = 3600L)
+      val agg = pairs.groupBy(col("promo_id"))
+        .agg(count(col("e_id")).as("_n"),
+          sum(col("e_value").cast(d2)).as("_sv"))
+      promo.join(agg, Seq("promo_id"), "left_outer")
+        .select(col("promo_id"), col("w_start"),
+          coalesce(col("_n"), lit(0L)).as("n_events"),
+          coalesce(col("_sv"), lit(0).cast(d2)).cast("double").as("sum_value"))
+    }),
+
+    // HLL distinct users per event type (p=12, m=4096): small-range
+    // linear-counting branch at every SF (≤150 users/type at sf0.01).
+    "sketch_hll_users" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Sketch.hllDistinct(ev, Seq("event_type"), "user_id")
+    }),
+
+    // Global HLL over documents.doc_id — crosses into the raw
+    // harmonic-mean branch as the SF grows (≈6k distinct at sf0.01,
+    // ≈60k at sf0.1 vs the 2.5·m = 10240 threshold).
+    "sketch_hll_docs" -> ((s, dir) =>
+      Sketch.hllDistinct(t(s, dir, "documents"), Seq.empty, "doc_id"))
+  )
+
+  /** Shared splitmix64 HUGEINT chain (same as the sampling oracles)
+    * parameterized by input table/column/group, then the HLL register
+    * pipeline: reg = top 12 bits, w = low 52 bits, min(w) per
+    * register, bit-length by 6-step integer binary search (floor(log2)
+    * would round 2^52−1 up), exact HUGEINT harmonic sum scaled by
+    * 2^53, and the final double expression replayed verbatim.
+    */
+  private def hllOracle(table: String, valueCol: String, groupSel: String,
+      groupBy: String): String = {
+    val g = if (groupSel.isEmpty) "" else s"$groupSel, "
+    val gb = if (groupBy.isEmpty) "" else s"GROUP BY $groupBy"
+    val gbRegs = if (groupBy.isEmpty) "GROUP BY reg" else s"GROUP BY $groupBy, reg"
+    s"""WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+       m0 AS (SELECT $g(CAST($valueCol AS HUGEINT) + 7 + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
+              FROM $table CROSS JOIN c WHERE $valueCol IS NOT NULL),
+       ma AS (SELECT $g xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
+       m1 AS (SELECT $g (x2 % 4294967296 * 484763065 +
+              ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+              * 4294967296) % m64 AS x3, m64 FROM ma),
+       mb AS (SELECT $g xor(x3, x3 // 134217728) AS x4, m64 FROM m1),
+       m2 AS (SELECT $g (x4 % 4294967296 * 321982955 +
+              ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+              * 4294967296) % m64 AS x5, m64 FROM mb),
+       m3 AS (SELECT $g xor(x5, x5 // 2147483648) AS x6 FROM m2),
+       h AS (SELECT $g x6 // 4503599627370496 AS reg, x6 % 4503599627370496 AS w FROM m3),
+       r AS (SELECT $g reg, min(w) AS mw FROM h $gbRegs),
+       b1 AS (SELECT $g reg, CASE WHEN mw >= 4294967296 THEN 32 ELSE 0 END AS a1,
+              CASE WHEN mw >= 4294967296 THEN mw // 4294967296 ELSE mw END AS w1 FROM r),
+       b2 AS (SELECT $g reg, a1 + CASE WHEN w1 >= 65536 THEN 16 ELSE 0 END AS a2,
+              CASE WHEN w1 >= 65536 THEN w1 // 65536 ELSE w1 END AS w2 FROM b1),
+       b3 AS (SELECT $g reg, a2 + CASE WHEN w2 >= 256 THEN 8 ELSE 0 END AS a3,
+              CASE WHEN w2 >= 256 THEN w2 // 256 ELSE w2 END AS w3 FROM b2),
+       b4 AS (SELECT $g reg, a3 + CASE WHEN w3 >= 16 THEN 4 ELSE 0 END AS a4,
+              CASE WHEN w3 >= 16 THEN w3 // 16 ELSE w3 END AS w4 FROM b3),
+       b5 AS (SELECT $g reg, a4 + CASE WHEN w4 >= 4 THEN 2 ELSE 0 END AS a5,
+              CASE WHEN w4 >= 4 THEN w4 // 4 ELSE w4 END AS w5 FROM b4),
+       b6 AS (SELECT $g reg, a5 + CASE WHEN w5 >= 2 THEN 1 ELSE 0 END
+              + CASE WHEN (CASE WHEN w5 >= 2 THEN w5 // 2 ELSE w5 END) >= 1 THEN 1 ELSE 0 END AS bl FROM b5),
+       tt AS (SELECT $g CAST(power(2.0, bl) AS HUGEINT) AS term FROM b6),
+       a AS (SELECT $g count(*) AS n_registers, sum(term) AS sp FROM tt $gb),
+       sv AS (SELECT $g n_registers, 4096 - n_registers AS v,
+              sp + CAST(4096 - n_registers AS HUGEINT) * CAST(9007199254740992 AS HUGEINT) AS stot FROM a),
+       dd AS (SELECT $g n_registers, v,
+              CAST(CAST(stot // 4096 AS BIGINT) AS DOUBLE) * CAST(4096 AS DOUBLE) +
+              CAST(CAST(stot % 4096 AS BIGINT) AS DOUBLE) AS sd FROM sv)
+       SELECT $g n_registers,
+         CASE WHEN (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(4096 AS DOUBLE)))
+                   * CAST(4096 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(9007199254740992 AS DOUBLE) / sd
+                   <= CAST(2.5 AS DOUBLE) * CAST(4096 AS DOUBLE) AND v > 0
+              THEN CAST(4096 AS DOUBLE) * ln(CAST(4096 AS DOUBLE) / CAST(v AS DOUBLE))
+              ELSE (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(4096 AS DOUBLE)))
+                   * CAST(4096 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(9007199254740992 AS DOUBLE) / sd
+         END AS estimate
+       FROM dd"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "join_asof" ->
+      """WITH l AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s
+                    FROM events WHERE event_type IN ('click', 'view')),
+         r AS (SELECT user_id AS p_uid, epoch_ns(ts) // 1000000000 AS p_ts_s,
+                      max(event_id) AS p_event_id, max_by(value, event_id) AS p_value
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT l.user_id, l.event_id, l.ts_s, r.p_event_id, r.p_value, r.p_ts_s
+         FROM l ASOF LEFT JOIN r ON l.user_id = r.p_uid AND l.ts_s >= r.p_ts_s""",
+    "join_range" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+                    epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+         p AS (SELECT event_id AS promo_id, ts_s AS w_start, ts_s + 3600 AS w_end
+               FROM e WHERE event_type = 'purchase' AND value >= 140.0)
+         SELECT p.promo_id, p.w_start,
+           count(e2.event_id) AS n_events,
+           CAST(coalesce(sum(CAST(e2.value AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_value
+         FROM p LEFT JOIN e e2 ON e2.ts_s >= p.w_start AND e2.ts_s < p.w_end
+         GROUP BY 1, 2""",
+    "sketch_hll_users" ->
+      hllOracle("events", "user_id", "event_type", "event_type"),
+    "sketch_hll_docs" ->
+      hllOracle("documents", "doc_id", "", "")
+  )
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.{Sketch, Temporal}
+
+/** As-of join, binned range join, and the HLL sketch: semantics on
+  * hand-built frames (incl. the tie/boundary/atomic-match edges) plus
+  * plan-shape guards — the as-of must be ONE key shuffle + a window
+  * (no join operator at all), the range join must plan as an
+  * equi-hash/merge join on the bucket (never a nested loop).
+  */
+class TemporalSpec extends AnyFunSuite {
+  lazy val spark = Spark.session
+  import spark.implicits._
+
+  private def asof(strict: Boolean) = {
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 7L, "d"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (3L, 1L, 999.0))
+      .toDF("rk", "rt", "v")
+    Temporal.asOfJoin(l, r, "k", "rk", "t", "rt", Seq("v", "rt"), strict)
+      .select(col("tag"), col("v"), col("rt"))
+      .collect().map(x => x.getString(0) -> ((Option(x.get(1)), Option(x.get(2))))).toMap
+  }
+
+  test("asOfJoin: inclusive picks the row AT the probe time, left-outer keeps misses") {
+    val m = asof(strict = false)
+    assert(m("a") == ((Some(100.0), Some(10L)))) // tie: rt = t visible
+    assert(m("b") == ((Some(150.0), Some(15L)))) // latest of the two
+    assert(m("c") == ((None, None)))             // before first right row
+    assert(m("d") == ((None, None)))             // key with no right rows
+  }
+
+  test("asOfJoin: strict excludes the tied right row") {
+    val m = asof(strict = true)
+    assert(m("a") == ((None, None)))             // rt = 10 no longer visible
+    assert(m("b") == ((Some(150.0), Some(15L))))
+  }
+
+  test("asOfJoin: a null INSIDE the matched right row does not inherit from an older row") {
+    val l = Seq((1L, 30L)).toDF("k", "t")
+    val r = Seq((1L, 10L, Some(7.0)), (1L, 20L, None))
+      .toDF("rk", "rt", "v")
+    val row = Temporal.asOfJoin(l, r, "k", "rk", "t", "rt", Seq("v", "rt"))
+      .select(col("v"), col("rt")).collect().head
+    assert(row.isNullAt(0), "v must be the rt=20 row's null, not 7.0 from rt=10")
+    assert(row.getLong(1) == 20L)
+  }
+
+  test("asOfJoin plans as one key shuffle + window — no join operator") {
+    val l = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
+    val r = Seq((1L, 5L, 1.0)).toDF("rk", "rt", "v")
+    val plan = Temporal.asOfJoin(l, r, "k", "rk", "t", "rt", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join in as-of plan:\n$plan")
+    assert(plan.contains("Window"), s"expected window in as-of plan:\n$plan")
+  }
+
+  test("rangeJoinBinned matches brute force incl. bucket-spanning intervals and end-exclusive boundary") {
+    // intervals deliberately span 1-3 buckets of width 10; points sit on
+    // starts, ends, and bucket edges
+    val iv = Seq((1L, 5L, 25L), (2L, 10L, 20L), (3L, 17L, 18L), (4L, 90L, 95L))
+      .toDF("iid", "s", "e")
+    val pts = Seq.range(0L, 40L).toDF("pt")
+    val got = Temporal.rangeJoinBinned(pts.toDF("pt"), "pt", iv, "s", "e", 10L)
+      .select(col("iid"), col("pt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (iid, s, e) <- Seq((1L, 5L, 25L), (2L, 10L, 20L), (3L, 17L, 18L), (4L, 90L, 95L))
+      p <- 0L until 40L if p >= s && p < e
+    } yield (iid, p)).toSet
+    assert(got == want)
+    // no duplicate pairs despite interval replication across buckets
+    val raw = Temporal.rangeJoinBinned(pts.toDF("pt"), "pt", iv, "s", "e", 10L)
+      .select(col("iid"), col("pt")).collect()
+    assert(raw.length == want.size)
+  }
+
+  test("rangeJoinBinned plans as an equi-join on the bucket, not a nested loop") {
+    val iv = Seq((1L, 5L, 25L)).toDF("iid", "s", "e")
+    val pts = Seq(1L).toDF("pt")
+    val plan = Temporal.rangeJoinBinned(pts, "pt", iv, "s", "e", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join fell back to a non-equi plan:\n$plan")
+  }
+
+  test("hllDistinct estimates within theoretical error on both correction branches") {
+    // small-range branch: 1k distinct out of m = 4096 registers
+    val small = spark.range(0, 1000).toDF("id")
+    val e1 = Sketch.hllDistinct(small, Seq.empty, "id")
+      .select(col("estimate")).collect().head.getDouble(0)
+    assert(math.abs(e1 - 1000) / 1000.0 < 0.05, s"small-range estimate $e1")
+    // raw harmonic branch: 100k distinct >> 2.5m
+    val big = spark.range(0, 100000).toDF("id")
+    val e2 = Sketch.hllDistinct(big, Seq.empty, "id")
+      .select(col("estimate")).collect().head.getDouble(0)
+    assert(math.abs(e2 - 100000) / 100000.0 < 0.05, s"raw-branch estimate $e2")
+    // duplicates do not move the estimate: multiset vs set identical
+    val dup = small.union(small).union(small)
+    val e3 = Sketch.hllDistinct(dup, Seq.empty, "id")
+      .select(col("estimate")).collect().head.getDouble(0)
+    assert(e3 == e1)
+  }
+
+  test("bitLen: exact on powers of two and their neighbours (the floor(log2) trap)") {
+    val edges = Seq(0L, 1L, 2L, 3L, 4L, (1L << 52) - 1, 1L << 51, (1L << 51) - 1, 255L, 256L)
+    val got = edges.toDF("w")
+      .select(col("w"), Sketch.bitLen(col("w")).as("bl"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    edges.foreach { w =>
+      val want = 64 - java.lang.Long.numberOfLeadingZeros(w)
+      assert(got(w) == want.toLong, s"bitLen($w) = ${got(w)}, want $want")
+    }
+  }
+}
