@@ -42,36 +42,51 @@ object Sketch {
     acc + when(w >= lit(1L), lit(1L)).otherwise(lit(0L))
   }
 
-  /** HyperLogLog distinct estimate of a long-valued column per group.
-    * p register-index bits (m = 2^p registers, standard error
-    * ≈ 1.04/sqrt(m)); returns one row per group:
-    * (groupCols..., n_registers, estimate).
-    *
-    * Register rank ρ = (leading zeros of the low 64−p hash bits) + 1.
-    * Since bitLen is monotone in w, max(ρ) per register ≡ ρ(min(w)) —
-    * so the shuffle carries only min(w) and the rank math runs once
-    * per REGISTER, not once per row.
+  /** Register table of the sketch: one row per (group, register) with
+    * the MINIMUM low-bits value seen (bitLen is monotone, so
+    * min(w) ≡ max rank ρ). This is the mergeable state: the union of
+    * two sketches is a re-aggregation of their register tables with
+    * the same min — see the `sketch_hll_union` gate row, which checks
+    * merge(sketch A, sketch B) == sketch(A ∪ B) bit-for-bit.
     */
-  def hllDistinct(
+  def hllRegisters(
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
       p: Int = 12,
       seed: Long = 7L): DataFrame = {
     require(p >= 4 && p <= 18, s"p=$p out of range")
-    val m = 1 << p
     val wBits = 64 - p
     val wMask = (1L << wBits) - 1
     val g = groupCols.map(col)
-
-    val regs = df
-      .filter(col(valueCol).isNotNull) // a null hashes to a phantom register
+    df.filter(col(valueCol).isNotNull) // a null hashes to a phantom register
       .select(g :+ splitmix64_hash(col(valueCol) + lit(seed)).as("_h"): _*)
       .select(g ++ Seq(
         shiftrightunsigned(col("_h"), wBits).as("_reg"),
         (col("_h").bitwiseAND(lit(wMask))).as("_w")): _*)
       .groupBy(g :+ col("_reg"): _*)
       .agg(min(col("_w")).as("_mw"))
+  }
+
+  /** Merge register tables (sketch union): min(_mw) per register. */
+  def hllMerge(regTables: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    regTables.reduce(_ unionByName _)
+      .groupBy(g :+ col("_reg"): _*)
+      .agg(min(col("_mw")).as("_mw"))
+  }
+
+  /** Estimate from a register table produced by [[hllRegisters]] /
+    * [[hllMerge]]: one row per group, (groupCols..., n_registers,
+    * estimate).
+    */
+  def hllEstimate(
+      regs: DataFrame,
+      groupCols: Seq[String],
+      p: Int = 12): DataFrame = {
+    val m = 1 << p
+    val wBits = 64 - p
+    val g = groupCols.map(col)
 
     // term = 2^(wBits+1−ρ) = 2^bitLen(min w); the +1 register (ρ for
     // w=0 is wBits+1, term 2^0 = 1) and absent registers (term
@@ -110,5 +125,64 @@ object Sketch {
     agg.select(g ++ Seq(
       col("n_registers"),
       estimate.as("estimate")): _*)
+  }
+
+  /** HyperLogLog distinct estimate of a long-valued column per group. */
+  def hllDistinct(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      p: Int = 12,
+      seed: Long = 7L): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, valueCol, p, seed), groupCols, p)
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) counters from a
+    * pre-aggregated weighted item table: depth independent hash rows ×
+    * width counters, counter = Σ weights of items landing there.
+    * Pure integer dataflow (fnv1a over code points → splitmix64(h+row)
+    * → low bits), order-independent sums — bit-reproducible by the
+    * DuckDB oracle. The counter table is depth×width rows regardless
+    * of input size: the 100 TB story is one shuffle of (row, idx,
+    * partial-sum) with map-side combine, then a broadcast-sized
+    * result.
+    */
+  def cmsCounters(
+      counts: DataFrame,
+      itemCol: String,
+      weightCol: String,
+      depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 2)
+    counts
+      .select(col(weightCol).as("_wt"),
+        explode(array((0 until depth).map(i => struct(
+          lit(i.toLong).as("_row"),
+          pmod(splitmix64_hash(HashFunctions.fnv1a_hash(col(itemCol)) + lit(i.toLong)),
+            lit(width.toLong)).as("_idx"))): _*)).as("_e"))
+      .groupBy(col("_e._row").as("_row"), col("_e._idx").as("_idx"))
+      .agg(sum(col("_wt")).as("_c"))
+  }
+
+  /** Point estimates: min over the depth counters each probe item
+    * hashes to (the CMS upper bound). `counters` is broadcast-sized
+    * by construction.
+    */
+  def cmsLookup(
+      counters: DataFrame,
+      probes: DataFrame,
+      itemCol: String,
+      depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    val probeIdx = probes
+      .select(col(itemCol),
+        explode(array((0 until depth).map(i => struct(
+          lit(i.toLong).as("_row"),
+          pmod(splitmix64_hash(HashFunctions.fnv1a_hash(col(itemCol)) + lit(i.toLong)),
+            lit(width.toLong)).as("_idx"))): _*)).as("_e"))
+      .select(col(itemCol), col("_e._row").as("_row"), col("_e._idx").as("_idx"))
+    probeIdx
+      .join(broadcast(counters), Seq("_row", "_idx"))
+      .groupBy(col(itemCol))
+      .agg(min(col("_c")).as("cms_estimate"))
   }
 }

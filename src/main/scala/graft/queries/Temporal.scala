@@ -85,7 +85,40 @@ object Temporal {
     // harmonic-mean branch as the SF grows (≈6k distinct at sf0.01,
     // ≈60k at sf0.1 vs the 2.5·m = 10240 threshold).
     "sketch_hll_docs" -> ((s, dir) =>
-      Sketch.hllDistinct(t(s, dir, "documents"), Seq.empty, "doc_id"))
+      Sketch.hllDistinct(t(s, dir, "documents"), Seq.empty, "doc_id")),
+
+    // Sketch mergeability: two independently-built register tables
+    // (click users, purchase users) merged with min(_mw) must equal
+    // the direct sketch of the union — the oracle computes the
+    // latter, the query the former; a hash match PROVES the merge law
+    // on this data, not just the estimate.
+    "sketch_hll_union" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val a = Sketch.hllRegisters(
+        ev.filter(col("event_type") === "click"), Seq.empty, "user_id")
+      val b = Sketch.hllRegisters(
+        ev.filter(col("event_type") === "purchase"), Seq.empty, "user_id")
+      Sketch.hllEstimate(Sketch.hllMerge(Seq(a, b), Seq.empty), Seq.empty)
+    }),
+
+    // Count-min over the document token stream: width 16 forces real
+    // collisions on the ~31-token shared vocabulary, so the min-over-
+    // depth logic is exercised (estimate > true for colliding tokens).
+    // Probe set = every token; output compares true vs CMS count.
+    "sketch_cms_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val counts = docs
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as("true_count"))
+      val counters = Sketch.cmsCounters(counts, "token", "true_count",
+        depth = 4, width = 16)
+      counts.join(
+        Sketch.cmsLookup(counters, counts.select(col("token")), "token",
+          depth = 4, width = 16),
+        Seq("token"))
+        .select(col("token"), col("true_count"), col("cms_estimate"))
+    })
   )
 
   /** Shared splitmix64 HUGEINT chain (same as the sampling oracles)
@@ -166,6 +199,44 @@ object Temporal {
     "sketch_hll_users" ->
       hllOracle("events", "user_id", "event_type", "event_type"),
     "sketch_hll_docs" ->
-      hllOracle("documents", "doc_id", "", "")
+      hllOracle("documents", "doc_id", "", ""),
+    // the DIRECT sketch of the union set — the Spark side builds two
+    // sketches and merges registers, so a hash match proves the merge
+    "sketch_hll_union" ->
+      hllOracle("(SELECT user_id FROM events WHERE event_type IN ('click', 'purchase')) ev2",
+        "user_id", "", ""),
+    // fnv1a-over-code-points (text_dsir chain) + splitmix64(h + row),
+    // counter = exact HUGEINT sum, estimate = min over the 4 rows
+    "sketch_cms_tokens" ->
+      """WITH c64 AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+         tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+                 FROM documents),
+         cnt AS (SELECT token, count(*) AS tc FROM tok WHERE token <> '' GROUP BY token),
+         fh AS (SELECT token, tc, list_reduce(
+                  list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                    list_transform(list_filter(string_split_regex(token, ''), ch -> ch <> ''),
+                      ch -> CAST(unicode(ch) AS HUGEINT))),
+                  (acc, ch) -> (xor(acc, ch) * 1099511628211) %
+                    CAST(18446744073709551616 AS HUGEINT)) AS uh
+                FROM cnt),
+         rws AS (SELECT range AS i FROM range(0, 4)),
+         m0 AS (SELECT token, tc, i,
+                (uh + i + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
+                FROM fh CROSS JOIN rws CROSS JOIN c64),
+         ma AS (SELECT token, tc, i, xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
+         m1 AS (SELECT token, tc, i, (x2 % 4294967296 * 484763065 +
+                ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+                * 4294967296) % m64 AS x3, m64 FROM ma),
+         mb AS (SELECT token, tc, i, xor(x3, x3 // 134217728) AS x4, m64 FROM m1),
+         m2 AS (SELECT token, tc, i, (x4 % 4294967296 * 321982955 +
+                ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+                * 4294967296) % m64 AS x5, m64 FROM mb),
+         m3 AS (SELECT token, tc, i, xor(x5, x5 // 2147483648) AS x6 FROM m2),
+         ent AS (SELECT token, tc, i, x6 % 16 AS idx FROM m3),
+         counters AS (SELECT i, idx, sum(tc) AS cc FROM ent GROUP BY 1, 2)
+         SELECT e.token, CAST(max(e.tc) AS BIGINT) AS true_count,
+           CAST(min(ct.cc) AS BIGINT) AS cms_estimate
+         FROM ent e JOIN counters ct ON e.i = ct.i AND e.idx = ct.idx
+         GROUP BY e.token"""
   )
 }

@@ -105,6 +105,38 @@ class TemporalSpec extends AnyFunSuite {
     assert(e3 == e1)
   }
 
+  test("hllMerge obeys the union law: merge(sketch A, sketch B) == sketch(A ∪ B) exactly") {
+    val a = spark.range(0, 5000).toDF("id")
+    val b = spark.range(3000, 9000).toDF("id")
+    val merged = Sketch.hllEstimate(
+      Sketch.hllMerge(Seq(
+        Sketch.hllRegisters(a, Seq.empty, "id"),
+        Sketch.hllRegisters(b, Seq.empty, "id")), Seq.empty), Seq.empty)
+      .select(col("n_registers"), col("estimate")).collect().head
+    val direct = Sketch.hllDistinct(a.union(b), Seq.empty, "id")
+      .select(col("n_registers"), col("estimate")).collect().head
+    assert(merged.getLong(0) == direct.getLong(0))
+    assert(merged.getDouble(1) == direct.getDouble(1), "merge must be bit-identical")
+  }
+
+  test("CMS never underestimates and is exact without collisions") {
+    val counts = Seq(("alpha", 10L), ("beta", 3L), ("gamma", 7L))
+      .toDF("item", "n")
+    // wide sketch: no collisions plausible with 3 items × 4 rows
+    val wide = Sketch.cmsCounters(counts, "item", "n", depth = 4, width = 1024)
+    val exact = Sketch.cmsLookup(wide, counts.select(col("item")), "item",
+      depth = 4, width = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact == Map("alpha" -> 10L, "beta" -> 3L, "gamma" -> 7L))
+    // degenerate width 2: collisions certain; estimates only inflate
+    val narrow = Sketch.cmsCounters(counts, "item", "n", depth = 2, width = 2)
+    val est = Sketch.cmsLookup(narrow, counts.select(col("item")), "item",
+      depth = 2, width = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("alpha") >= 10L && est("beta") >= 3L && est("gamma") >= 7L)
+    assert(est.values.sum > 20L, "width 2 must collide somewhere")
+  }
+
   test("bitLen: exact on powers of two and their neighbours (the floor(log2) trap)") {
     val edges = Seq(0L, 1L, 2L, 3L, 4L, (1L << 52) - 1, 1L << 51, (1L << 51) - 1, 255L, 256L)
     val got = edges.toDF("w")
