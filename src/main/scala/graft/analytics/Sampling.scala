@@ -37,6 +37,30 @@ object Sampling {
     df.filter(bucketOf(col(idCol), seed) < lit(cut))
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis 2006,
+    * algorithm A-Res in log domain): key_i = ln(u_i) / w_i with
+    * u_i ∈ (0,1) a deterministic splitmix64 draw; the k LARGEST keys
+    * are a weight-proportional sample without replacement. Log domain
+    * avoids u^(1/w) (pow is not correctly rounded — ln is, in both
+    * engines, so the keys carry a bit-exact oracle).
+    *
+    * Scale shape: row-local key inside the scan, global top-k is a
+    * TakeOrdered (per-partition heaps, no full sort, no shuffle of
+    * the data — only k rows per partition reach the driver-side
+    * merge). Non-positive weights are clamped to 1 (a weight of 0
+    * would divide-by-zero; both engines replay the clamp).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: Long = 0L): DataFrame = {
+    require(k > 0)
+    val u = (shiftrightunsigned(splitmix64_hash(col(idCol) + lit(seed)), 11)
+      .cast("double") + lit(0.5)) / lit(9007199254740992.0)
+    df.withColumn("samp_key",
+        java_ln(u) / greatest(col(weightCol).cast("double"), lit(1.0)))
+      .orderBy(col("samp_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Deterministic global interleave: every row gets a stable
     * pseudo-random position (its global rank by (hash, id)). Training
     * pipelines read in `shuffle_rank` order to decorrelate adjacent

@@ -83,6 +83,64 @@ object Temporal {
         rightValueCols.map(c => col(s"_match.$c").as(c)): _*)
   }
 
+  /** Broadcast as-of join: same semantics as [[asOfJoin]] (inclusive
+    * ties, left-outer), different physical shape for a SMALL right
+    * side: versions collapse to one sorted array per key
+    * (`sort_array` orders structs by first field = time), ride a
+    * broadcast hash join, and each left row binary-searches with the
+    * codegen'd [[AsOfPick]] expression — the left side is never
+    * shuffled OR sorted, which is the right trade at 100 TB probes ×
+    * feature-store-sized dims. Also the stream-static formulation:
+    * `left` may be a streaming DataFrame (pass a pre-materialized
+    * right side — Spark re-evaluates static subtrees per micro-batch).
+    *
+    * Same preconditions as [[asOfJoin]]: unique (key, time) on the
+    * right, no name collisions.
+    */
+  def asOfJoinBroadcast(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightValueCols: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    require(rightValueCols.forall(c => !lCols.contains(c)),
+      s"right value columns ${rightValueCols.mkString(",")} collide with left columns")
+    val packed = right
+      .groupBy(col(rightKey).as("_pk"))
+      .agg(sort_array(collect_list(struct(
+        col(rightTime).as("_vt") +: rightValueCols.map(col): _*))).as("_versions"))
+    left.join(broadcast(packed), col(leftKey) === col("_pk"), "left_outer")
+      .withColumn("_m",
+        TemporalFunctions.as_of_pick(col("_versions"), col(leftTime)))
+      .select(lCols.map(col) ++
+        rightValueCols.map(c => col(s"_m.$c").as(c)): _*)
+  }
+
+  /** Gap-based sessionization: assigns each row a per-key session
+    * ordinal (1-based, in time order) — a new session starts when the
+    * gap to the previous row of the same key exceeds `gapSeconds`.
+    * `tieCol` must make (key, time, tie) a total order or the lag is
+    * nondeterministic. Both windows share one partitioning + sort, so
+    * the whole operator is a single shuffle.
+    */
+  def sessionize(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(tieCol).asc)
+    df.withColumn("_prev", lag(col(tsCol), 1).over(w))
+      .withColumn("session_seq",
+        sum(when(col("_prev").isNull ||
+          (col(tsCol) - col("_prev")) > gapSeconds, 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_prev")
+  }
+
   /** Range join without an equi-key: pairs every `points` row whose
     * `pointTime` falls in `[startCol, endCol)` of an `intervals` row.
     * Returns INNER matches (interval columns ++ point columns);

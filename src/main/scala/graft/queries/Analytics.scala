@@ -122,6 +122,15 @@ object Analytics {
     "sample_interleave" -> ((s, dir) =>
       Sampling.interleave(t(s, dir, "documents"), "doc_id", seed = 7)),
 
+    // weight-proportional sample without replacement (A-Res, log
+    // domain): longer documents proportionally more likely; keys are
+    // bit-exact (ln correctly rounded in both engines)
+    "sample_weighted" -> ((s, dir) =>
+      Sampling.weightedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 200, seed = 7)
+        .select(col("doc_id"), col("samp_key"))),
+
     // greedy sequence packing into 512-token context windows over the
     // interleaved order (8 parallel packing streams)
     "sample_pack" -> ((s, dir) => {
@@ -1507,6 +1516,30 @@ object Analytics {
             * 4294967296) % m64 AS x5, m64 FROM mb),
          m3 AS (SELECT doc_id, xor(x5, x5 // 2147483648) AS x6 FROM m2)
          SELECT doc_id FROM m3 WHERE (x6 // 4096) % 4096 < 1024""",
+    // same splitmix64(doc_id + 7) chain; u at 53-bit resolution,
+    // key = ln(u) / max(n_chars, 1), top-200 by (key DESC, doc_id)
+    "sample_weighted" ->
+      """WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+         m0 AS (SELECT doc_id, n_chars,
+           (CAST(doc_id AS HUGEINT) + 7 + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
+           FROM documents CROSS JOIN c),
+         ma AS (SELECT doc_id, n_chars, xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
+         m1 AS (SELECT doc_id, n_chars,
+           (x2 % 4294967296 * 484763065 +
+            ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+            * 4294967296) % m64 AS x3, m64 FROM ma),
+         mb AS (SELECT doc_id, n_chars, xor(x3, x3 // 134217728) AS x4, m64 FROM m1),
+         m2 AS (SELECT doc_id, n_chars,
+           (x4 % 4294967296 * 321982955 +
+            ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+            * 4294967296) % m64 AS x5, m64 FROM mb),
+         m3 AS (SELECT doc_id, n_chars, xor(x5, x5 // 2147483648) AS x6 FROM m2),
+         keyed AS (SELECT doc_id,
+           ln((CAST(x6 // 2048 AS DOUBLE) + 0.5) / 9007199254740992.0)
+             / greatest(CAST(n_chars AS DOUBLE), CAST(1.0 AS DOUBLE)) AS samp_key
+           FROM m3)
+         SELECT doc_id, samp_key FROM keyed
+         ORDER BY samp_key DESC, doc_id ASC LIMIT 200""",
     // per-lang cut = floor(min(1, (N·sqrt(c)/Σsqrt)/c)·4096) with the
     // Σ as a sorted-lang sequential fold (list_reduce ≡ the driver's
     // foldLeft, bit-identical IEEE; sqrt is correctly rounded in both

@@ -205,6 +205,23 @@ object Relational {
           count(lit(1)).as("n_rows"))
     }),
 
+    // RANGE-frame window: 7-day rolling revenue per customer. The
+    // frame is value-based (peers at the same day all included), the
+    // only window-frame kind the surface didn't cover yet. Decimal
+    // sums keep the rolling total order-independent.
+    "q17_rolling_revenue" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("od_s").asc)
+        .rangeBetween(-6 * 86400L, 0L)
+      o.select(col("o_orderkey"), col("o_custkey"),
+          unix_timestamp(col("o_orderdate")).as("od_s"),
+          col("o_totalprice"))
+        .select(col("o_orderkey"), col("o_custkey"), col("od_s"),
+          sum(col("o_totalprice").cast(d2)).over(w).cast("double").as("rolling_rev"),
+          count(lit(1)).over(w).as("n_orders_7d"))
+    }),
+
     // Date arithmetic and truncation.
     "q16_date_funcs" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -309,6 +326,13 @@ object Relational {
              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) / count(*) AS DOUBLE) AS avg_qty
            FROM lineitem GROUP BY l_partkey) ON l_partkey = ap_partkey
          WHERE l_quantity < 0.5 * avg_qty""",
+    "q17_rolling_revenue" ->
+      """SELECT o_orderkey, o_custkey, CAST(epoch(o_orderdate) AS BIGINT) AS od_s,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rolling_rev,
+         count(*) OVER w AS n_orders_7d
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT) ASC
+           RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)""",
     "q16_date_funcs" ->
       """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y,
          CAST(month(o_orderdate) AS BIGINT) AS m,

@@ -47,6 +47,25 @@ object Temporal {
         Seq("p_event_id", "p_value", "p_ts_s"))
     }),
 
+    // Same attribution, broadcast formulation: packed version arrays +
+    // the codegen'd as_of_pick binary search. Independent plan, same
+    // oracle — two implementations must agree with DuckDB AND each
+    // other.
+    "join_asof_broadcast" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val secs = tsEpochSeconds(ev)
+      val l = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_id"), secs.as("ts_s"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), secs.as("p_ts_s"),
+          col("event_id"), col("value"))
+        .groupBy(col("p_uid"), col("p_ts_s"))
+        .agg(max(col("event_id")).as("p_event_id"),
+          max_by(col("value"), col("event_id")).as("p_value"))
+      TOps.asOfJoinBroadcast(l, r, "user_id", "p_uid", "ts_s", "p_ts_s",
+        Seq("p_event_id", "p_value", "p_ts_s"))
+    }),
+
     // Promo-window analysis: each high-value purchase opens a 1-hour
     // window; count/sum ALL events whose timestamp falls inside —
     // a pure range join (no equi-key), planned as a bucket equi-join
@@ -86,6 +105,17 @@ object Temporal {
     // ≈60k at sf0.1 vs the 2.5·m = 10240 threshold).
     "sketch_hll_docs" -> ((s, dir) =>
       Sketch.hllDistinct(t(s, dir, "documents"), Seq.empty, "doc_id")),
+
+    // Gap sessionization as a reusable operator (q9 aggregates session
+    // COUNTS; this row checks the per-event session ASSIGNMENT, the
+    // harder deterministic surface).
+    "session_assign" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val e = ev.select(col("event_id"), col("user_id"),
+        tsEpochSeconds(ev).as("ts_s"))
+      TOps.sessionize(e, "user_id", "ts_s", "event_id", gapSeconds = 1800L)
+        .select(col("event_id"), col("user_id"), col("ts_s"), col("session_seq"))
+    }),
 
     // Sketch mergeability: two independently-built register tables
     // (click users, purchase users) merged with min(_mw) must equal
@@ -186,6 +216,14 @@ object Temporal {
                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
          SELECT l.user_id, l.event_id, l.ts_s, r.p_event_id, r.p_value, r.p_ts_s
          FROM l ASOF LEFT JOIN r ON l.user_id = r.p_uid AND l.ts_s >= r.p_ts_s""",
+    "join_asof_broadcast" ->
+      """WITH l AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s
+                    FROM events WHERE event_type IN ('click', 'view')),
+         r AS (SELECT user_id AS p_uid, epoch_ns(ts) // 1000000000 AS p_ts_s,
+                      max(event_id) AS p_event_id, max_by(value, event_id) AS p_value
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT l.user_id, l.event_id, l.ts_s, r.p_event_id, r.p_value, r.p_ts_s
+         FROM l ASOF LEFT JOIN r ON l.user_id = r.p_uid AND l.ts_s >= r.p_ts_s""",
     "join_range" ->
       """WITH e AS (SELECT event_id, event_type, value,
                     epoch_ns(ts) // 1000000000 AS ts_s FROM events),
@@ -200,6 +238,15 @@ object Temporal {
       hllOracle("events", "user_id", "event_type", "event_type"),
     "sketch_hll_docs" ->
       hllOracle("documents", "doc_id", "", ""),
+    "session_assign" ->
+      """SELECT event_id, user_id, ts_s,
+         CAST(sum(CASE WHEN prev_s IS NULL OR (ts_s - prev_s) > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+         FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_s,
+                 lag(epoch_ns(ts) // 1000000000, 1) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000000 ASC, event_id ASC) AS prev_s
+               FROM events)""",
     // the DIRECT sketch of the union set — the Spark side builds two
     // sketches and merges registers, so a hash match proves the merge
     "sketch_hll_union" ->

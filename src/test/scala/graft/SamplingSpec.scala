@@ -89,6 +89,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == rows.toSet)
   }
 
+  test("weighted sample is deterministic and weight-proportional") {
+    // two strata: ids < 1000 weigh 100, the rest weigh 1 — expected
+    // inclusion odds for a heavy id are ~100× a light id's
+    val df = ids.limit(10000)
+      .withColumn("w", when(col("id") < 1000, 100L).otherwise(1L))
+    val s1 = Sampling.weightedSample(df, "id", "w", k = 500, seed = 7)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.weightedSample(df, "id", "w", k = 500, seed = 7)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "same seed must select the same rows")
+    assert(s1.size == 500)
+    val heavy = s1.count(_ < 1000)
+    // heavy stratum holds 100k of 109k total weight → E[heavy] ≈ 459
+    assert(heavy > 380 && heavy <= 500,
+      s"heavy stratum got $heavy of 500, expected ≈459")
+    val s3 = Sampling.weightedSample(df, "id", "w", k = 500, seed = 8)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(s1 != s3, "different seed must move the sample")
+  }
+
   test("interleave is a deterministic permutation") {
     val r1 = Sampling.interleave(ids, "id", seed = 3).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

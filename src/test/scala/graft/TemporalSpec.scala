@@ -58,6 +58,63 @@ class TemporalSpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"expected window in as-of plan:\n$plan")
   }
 
+  test("asOfJoinBroadcast: same results as the union-sort formulation, broadcast plan, unsorted probe side") {
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 7L, "d"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (3L, 1L, 999.0))
+      .toDF("rk", "rt", "v")
+    val viaBroadcast = Temporal.asOfJoinBroadcast(l, r, "k", "rk", "t", "rt", Seq("v", "rt"))
+    val viaShuffle = Temporal.asOfJoin(l, r, "k", "rk", "t", "rt", Seq("v", "rt"))
+    val bc = viaBroadcast.collect().map(_.toSeq).toSet
+    val sh = viaShuffle.collect().map(_.toSeq).toSet
+    assert(bc == sh, s"broadcast and shuffle formulations disagree: $bc vs $sh")
+    val plan = viaBroadcast.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      s"probe side must not be sorted/windowed:\n$plan")
+  }
+
+  test("AsOfPick: empty version arrays and pre-first probes yield null, not a crash") {
+    val l = Seq((1L, 3L), (2L, 100L)).toDF("k", "t")
+    val r = Seq((2L, 50L, 1.5)).toDF("rk", "rt", "v") // key 1 absent entirely
+    val got = Temporal.asOfJoinBroadcast(l, r, "k", "rk", "t", "rt", Seq("v"))
+      .collect().map(x => x.getLong(0) -> (if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toMap
+    assert(got == Map(1L -> None, 2L -> Some(1.5)))
+    // probe before the first version of an existing key
+    val l2 = Seq((2L, 10L)).toDF("k", "t")
+    val got2 = Temporal.asOfJoinBroadcast(l2, r, "k", "rk", "t", "rt", Seq("v"))
+      .collect().head
+    assert(got2.isNullAt(2))
+  }
+
+  test("asOfJoinBroadcast enriches a stream (point-in-time lookup per micro-batch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, 10L, "v1"), (1L, 20L, "v2")).toDF("rk", "rt", "ver")
+    val in = MemoryStream[(Long, Long)]
+    val enriched = Temporal.asOfJoinBroadcast(
+      in.toDF().toDF("k", "t"), dim, "k", "rk", "t", "rt", Seq("ver"))
+    val q = enriched.writeStream.format("memory").queryName("pit_test")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 15L), (1L, 25L), (1L, 5L))
+      q.processAllAvailable()
+      val rows = spark.table("pit_test")
+        .collect().map(x => x.getLong(1) -> Option(x.getString(2))).toMap
+      assert(rows == Map(15L -> Some("v1"), 25L -> Some("v2"), 5L -> None))
+    } finally q.stop()
+  }
+
+  test("sessionize assigns deterministic per-key ordinals across gap boundaries") {
+    val df = Seq(
+      (1L, 100L, 1L), (1L, 200L, 2L), (1L, 5000L, 3L), (1L, 5100L, 4L),
+      (2L, 100L, 5L)).toDF("k", "ts", "id")
+    val got = Temporal.sessionize(df, "k", "ts", "id", gapSeconds = 1800L)
+      .select(col("id"), col("session_seq"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
   test("rangeJoinBinned matches brute force incl. bucket-spanning intervals and end-exclusive boundary") {
     // intervals deliberately span 1-3 buckets of width 10; points sit on
     // starts, ends, and bucket edges
