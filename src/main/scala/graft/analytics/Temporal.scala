@@ -141,6 +141,42 @@ object Temporal {
       .drop("_prev")
   }
 
+  /** Interval-overlap join: pairs every `a` row with every `b` row
+    * whose [start, end) ranges intersect — no equi-key. Both sides
+    * explode into their bucket ranges and equi-join on the bucket;
+    * since a pair shares every bucket in the intersection of its
+    * ranges, the pair is emitted ONLY in the first shared bucket
+    * (max of the two start buckets — always in both ranges when the
+    * intervals overlap), so no `distinct` pass is needed. Fan-out is
+    * ceil(len/bucketWidth)+1 per row per side; residual is the
+    * standard half-open overlap predicate.
+    */
+  def intervalOverlapJoin(
+      a: DataFrame,
+      b: DataFrame,
+      aStart: String, aEnd: String,
+      bStart: String, bEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(a.columns.toSet.intersect(b.columns.toSet).isEmpty,
+      "interval column names must be disjoint between sides")
+    val ae = a.withColumn("_bucket_a",
+      explode(sequence(
+        expr(s"$aStart div ${bucketWidth}L"),
+        expr(s"($aEnd - 1L) div ${bucketWidth}L"))))
+    val be = b.withColumn("_bucket_b",
+      explode(sequence(
+        expr(s"$bStart div ${bucketWidth}L"),
+        expr(s"($bEnd - 1L) div ${bucketWidth}L"))))
+    ae.join(be,
+        col("_bucket_a") === col("_bucket_b") &&
+          col(aStart) < col(bEnd) && col(bStart) < col(aEnd) &&
+          col("_bucket_a") === greatest(
+            expr(s"$aStart div ${bucketWidth}L"),
+            expr(s"$bStart div ${bucketWidth}L")))
+      .drop("_bucket_a", "_bucket_b")
+  }
+
   /** Range join without an equi-key: pairs every `points` row whose
     * `pointTime` falls in `[startCol, endCol)` of an `intervals` row.
     * Returns INNER matches (interval columns ++ point columns);

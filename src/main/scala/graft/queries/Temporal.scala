@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.{Sketch, Temporal => TOps}
+import graft.analytics.{Joins, Sketch, Temporal => TOps}
 
 /** Temporal-join and sketch gate rows. The DuckDB oracles are
   * independent formulations: ASOF LEFT JOIN for the as-of operator
@@ -105,6 +105,38 @@ object Temporal {
     // ≈60k at sf0.1 vs the 2.5·m = 10240 threshold).
     "sketch_hll_docs" -> ((s, dir) =>
       Sketch.hllDistinct(t(s, dir, "documents"), Seq.empty, "doc_id")),
+
+    // Interval × interval overlap (no equi-key): which promo windows
+    // collide? Emitted once per pair via the first-shared-bucket
+    // guard — no distinct pass.
+    "join_interval_overlap" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val secs = tsEpochSeconds(ev)
+      val promo = ev.filter(col("event_type") === "purchase" && col("value") >= 100.0)
+        .select(col("event_id"), secs.as("ts_s"))
+      val a = promo.select(col("event_id").as("pa_id"), col("ts_s").as("pa_s"),
+        (col("ts_s") + 3600L).as("pa_e"))
+      val b = promo.select(col("event_id").as("pb_id"), col("ts_s").as("pb_s"),
+        (col("ts_s") + 3600L).as("pb_e"))
+      TOps.intervalOverlapJoin(a, b, "pa_s", "pa_e", "pb_s", "pb_e",
+        bucketWidth = 3600L)
+        .filter(col("pa_id") < col("pb_id"))
+        .select(col("pa_id"), col("pb_id"))
+    }),
+
+    // Salting must be invisible in the result: the salted fact⋈dim
+    // join aggregates to EXACTLY the plain join's numbers (oracle is
+    // the plain join) while the physical key is (key, salt).
+    "join_salted" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      Joins.saltedJoin(li, o, "l_orderkey", "o_orderkey", "l_linenumber", salt = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice").cast(d2) *
+            (lit(1).cast(d2) - col("l_discount").cast(d2))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
 
     // Gap sessionization as a reusable operator (q9 aggregates session
     // COUNTS; this row checks the per-event session ASSIGNMENT, the
@@ -238,6 +270,19 @@ object Temporal {
       hllOracle("events", "user_id", "event_type", "event_type"),
     "sketch_hll_docs" ->
       hllOracle("documents", "doc_id", "", ""),
+    "join_interval_overlap" ->
+      """WITH e AS (SELECT event_id, epoch_ns(ts) // 1000000000 AS ts_s
+                    FROM events WHERE event_type = 'purchase' AND value >= 100.0)
+         SELECT a.event_id AS pa_id, b.event_id AS pb_id
+         FROM e a JOIN e b
+           ON a.ts_s < b.ts_s + 3600 AND b.ts_s < a.ts_s + 3600
+          AND a.event_id < b.event_id""",
+    "join_salted" ->
+      """SELECT o_orderpriority,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
     "session_assign" ->
       """SELECT event_id, user_id, ts_s,
          CAST(sum(CASE WHEN prev_s IS NULL OR (ts_s - prev_s) > 1800 THEN 1 ELSE 0 END)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.analytics.{Sketch, Temporal}
+import graft.analytics.{Joins, Sketch, Temporal}
 
 /** As-of join, binned range join, and the HLL sketch: semantics on
   * hand-built frames (incl. the tie/boundary/atomic-match edges) plus
@@ -142,6 +142,36 @@ class TemporalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
       s"range join fell back to a non-equi plan:\n$plan")
+  }
+
+  test("intervalOverlapJoin matches brute force; touching endpoints do not overlap; pairs emitted once") {
+    val a = Seq((1L, 0L, 10L), (2L, 5L, 35L), (3L, 90L, 95L)).toDF("aid", "as", "ae")
+    val b = Seq((10L, 10L, 20L), (11L, 8L, 9L), (12L, 30L, 100L)).toDF("bid", "bs", "be")
+    val got = Temporal.intervalOverlapJoin(a, b, "as", "ae", "bs", "be", bucketWidth = 10L)
+      .select(col("aid"), col("bid")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = for {
+      (aid, as_, ae) <- Seq((1L, 0L, 10L), (2L, 5L, 35L), (3L, 90L, 95L))
+      (bid, bs, be) <- Seq((10L, 10L, 20L), (11L, 8L, 9L), (12L, 30L, 100L))
+      if as_ < be && bs < ae
+    } yield (aid, bid)
+    assert(got.sorted.toSeq == want.sorted.toSeq,
+      s"got ${got.toSeq.sorted}, want ${want.sorted}")
+    assert(got.length == got.toSet.size, "a pair must be emitted exactly once")
+    // [0,10) vs [10,20) touch: not a pair
+    assert(!got.contains((1L, 10L)))
+  }
+
+  test("saltedJoin returns exactly the plain join's multiset") {
+    val l = Seq((1L, 1L, "x"), (1L, 2L, "y"), (2L, 1L, "z"), (3L, 1L, "w"))
+      .toDF("k", "line", "payload")
+    val r = Seq((1L, "dim1"), (2L, "dim2"), (4L, "dim4")).toDF("rk", "dim")
+    val salted = Joins.saltedJoin(l, r, "k", "rk", "line", salt = 4)
+      .select(col("k"), col("line"), col("dim"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val plain = l.join(r, col("k") === col("rk"))
+      .select(col("k"), col("line"), col("dim"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(salted.toSeq == plain.toSeq)
   }
 
   test("hllDistinct estimates within theoretical error on both correction branches") {
