@@ -163,6 +163,98 @@ object Sketch {
       .agg(sum(col("_wt")).as("_c"))
   }
 
+  /** HLL set algebra: |A ∩ B| ≈ |A| + |B| − |A ∪ B| by
+    * inclusion–exclusion over mergeable sketches. The union estimate
+    * comes from [[hllMerge]] of the two register tables — NOT a
+    * re-sketch of the concatenated inputs — so this is the operation
+    * a 100 TB pipeline actually runs: combine two already-built
+    * per-shard sketches without touching the raw data again (the
+    * `sketch_hll_union` gate row proves merge == direct-sketch
+    * bit-for-bit, which is what makes the composition sound). Output
+    * is one row: (est_a, est_b, est_union, est_intersect).
+    *
+    * Each register table is referenced twice (its own estimate + the
+    * merge); the tables end in a shuffle on `_reg`, so ReuseExchange
+    * computes each input sketch once.
+    */
+  def hllIntersect(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String,
+      p: Int = 12,
+      seed: Long = 7L): DataFrame = {
+    val ra = hllRegisters(a, Seq.empty, valueCol, p, seed)
+    val rb = hllRegisters(b, Seq.empty, valueCol, p, seed)
+    val ru = hllMerge(Seq(ra, rb), Seq.empty)
+    val ea = hllEstimate(ra, Seq.empty, p).select(col("estimate").as("est_a"))
+    val eb = hllEstimate(rb, Seq.empty, p).select(col("estimate").as("est_b"))
+    val eu = hllEstimate(ru, Seq.empty, p).select(col("estimate").as("est_union"))
+    ea.crossJoin(eb).crossJoin(eu) // three 1-row frames
+      .withColumn("est_intersect", col("est_a") + col("est_b") - col("est_union"))
+  }
+
+  /** EXACT heavy hitters (items with global count ≥ threshold) without
+    * shuffling the long tail. Two phases:
+    *
+    *  1. Per-partition Misra–Gries (1982) with `capacity` counters —
+    *     genuine imperative per-partition state, the documented
+    *     mapPartitions case. MG retains every item whose partition
+    *     count exceeds N_p/(capacity+1); summing over partitions, any
+    *     item with global count > N/(capacity+1) survives in at least
+    *     one partition, so with capacity ≥ N/threshold the candidate
+    *     set is a SUPERSET of the true heavy hitters.
+    *  2. A confirming exact count of candidate items only (broadcast
+    *     candidate join → groupBy → HAVING). False candidates are
+    *     filtered here, so the OUTPUT is exact and independent of
+    *     partitioning even though the candidate set is not.
+    *
+    * Scale shape: the shuffle carries only candidate-item rows
+    * (≤ partitions × capacity distinct items); the tail — the
+    * overwhelming bulk of a 100 TB token stream — is dropped at the
+    * map side by the broadcast membership probe.
+    *
+    * `capacity = 0` self-sizes to 2·⌈N/threshold⌉ (one counting pass)
+    * so the completeness bound holds at any scale factor.
+    */
+  def heavyHitters(
+      items: DataFrame,
+      itemCol: String,
+      threshold: Long,
+      capacity: Int = 0): DataFrame = {
+    require(threshold >= 1, "threshold must be >= 1")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val strs = items.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+    val cap: Int =
+      if (capacity > 0) capacity
+      else {
+        val n = strs.count()
+        val need = 2L * ((n + threshold - 1) / threshold)
+        math.max(64L, math.min(need, 1L << 20)).toInt
+      }
+    val candidates = strs.as[String].mapPartitions { it =>
+      val counts = new scala.collection.mutable.HashMap[String, Long]()
+      it.foreach { s =>
+        counts.get(s) match {
+          case Some(c) => counts.update(s, c + 1)
+          case None if counts.size < cap => counts.update(s, 1L)
+          case None => // MG decrement step: all counters down one
+            val dead = List.newBuilder[String]
+            counts.foreach { case (k, v) =>
+              if (v == 1L) dead += k else counts.update(k, v - 1)
+            }
+            dead.result().foreach(counts.remove)
+        }
+      }
+      counts.keysIterator
+    }.toDF("item").distinct()
+    strs.join(broadcast(candidates), Seq("item"))
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+  }
+
   /** Point estimates: min over the depth counters each probe item
     * hashes to (the CMS upper bound). `counters` is broadcast-sized
     * by construction.

@@ -177,6 +177,53 @@ object Temporal {
       .drop("_bucket_a", "_bucket_b")
   }
 
+  /** Regularize an irregular per-key time series: emit one row per
+    * key per multiple of `step` inside that key's observed span, with
+    * the value forward-filled from the latest observation at-or-before
+    * the grid instant (LOCF). The grid starts at ceil(min/step)·step —
+    * every grid point has a prior observation, so no nulls — and a key
+    * whose span contains no step multiple yields no rows.
+    *
+    * Same union–sort shape as [[asOfJoin]]: grid rows and observation
+    * rows union, ONE key shuffle + per-partition sort, cumulative
+    * last(ignoreNulls) window, keep grid rows. No per-grid-point probe
+    * join; cost is linear in observations + grid points. Observations
+    * at a grid instant win over earlier ones (obs sorts before grid at
+    * equal ts).
+    *
+    * `obs` must be unique per (keyCol, tsCol) — pre-aggregate ties
+    * (e.g. max_by) for a deterministic fill. Timestamps must be
+    * non-negative longs (epoch seconds/millis).
+    */
+  def resampleLocf(
+      obs: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      step: Long): DataFrame = {
+    require(step > 0, "step must be positive")
+    val valueType = obs.schema(valueCol).dataType
+    val grid = obs.groupBy(col(keyCol).as("_k"))
+      .agg(min(col(tsCol)).as("_mn"), max(col(tsCol)).as("_mx"))
+      // sequence(a, b) DESCENDS when a > b — guard the empty-span case
+      .withColumn("_gi", explode(expr(
+        s"CASE WHEN (_mn + ${step - 1}L) div ${step}L <= _mx div ${step}L " +
+          s"THEN sequence((_mn + ${step - 1}L) div ${step}L, _mx div ${step}L) " +
+          "ELSE array() END")))
+      .select(col("_k"), (col("_gi") * lit(step)).as("_t"))
+    val o = obs.select(col(keyCol).as("_k"), col(tsCol).cast("long").as("_t"),
+      lit(0).as("_tag"), col(valueCol).as("_v"))
+    val g = grid.select(col("_k"), col("_t"), lit(1).as("_tag"),
+      lit(null).cast(valueType).as("_v"))
+    val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.unionByName(g)
+      .withColumn("_fill", last(col("_v"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select(col("_k").as(keyCol), col("_t").as(tsCol),
+        col("_fill").as(valueCol))
+  }
+
   /** Range join without an equi-key: pairs every `points` row whose
     * `pointTime` falls in `[startCol, endCol)` of an `intervals` row.
     * Returns INNER matches (interval columns ++ point columns);

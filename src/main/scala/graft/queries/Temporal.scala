@@ -106,6 +106,51 @@ object Temporal {
     "sketch_hll_docs" -> ((s, dir) =>
       Sketch.hllDistinct(t(s, dir, "documents"), Seq.empty, "doc_id")),
 
+    // Sketch algebra: intersection of click-users and purchase-users
+    // by inclusion-exclusion over MERGED register tables (never
+    // re-reading the raw data for the union). Oracle replays all three
+    // estimates in HUGEINT.
+    "sketch_hll_intersect" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Sketch.hllIntersect(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        "user_id")
+    }),
+
+    // Exact heavy hitters over the token stream: Misra-Gries candidate
+    // pruning + confirming count. The oracle is the straight exact
+    // count — the whole point is that the pruned plan returns it.
+    "sketch_heavy_hitters" -> ((s, dir) =>
+      Sketch.heavyHitters(
+        t(s, dir, "documents")
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("item"))
+          .filter(col("item") =!= ""),
+        "item", threshold = 50L)),
+
+    // Bloom-pruned semi-join: lineitems of selective orders; result
+    // must equal the plain IN-subquery (exactness of the prefilter).
+    "join_bloom_prune" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sel = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") >= 200000.0)
+      Joins.bloomSemiJoin(li, sel, "l_orderkey", "o_orderkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
+    // LOCF resample: per-user purchase value forward-filled onto a
+    // 6-hour grid. Oracle: DuckDB generate_series + native ASOF join.
+    "ts_resample" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val secs = tsEpochSeconds(ev)
+      val obs = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), secs.as("ts_s"), col("value"), col("event_id"))
+        .groupBy(col("user_id"), col("ts_s"))
+        .agg(max_by(col("value"), col("event_id")).as("v"))
+      TOps.resampleLocf(obs, "user_id", "ts_s", "v", step = 21600L)
+    }),
+
     // Interval × interval overlap (no equi-key): which promo windows
     // collide? Emitted once per pair via the first-shared-bucket
     // guard — no distinct pass.
@@ -270,6 +315,40 @@ object Temporal {
       hllOracle("events", "user_id", "event_type", "event_type"),
     "sketch_hll_docs" ->
       hllOracle("documents", "doc_id", "", ""),
+    "sketch_hll_intersect" -> {
+      val a = hllOracle(
+        "(SELECT user_id FROM events WHERE event_type = 'click')",
+        "user_id", "", "")
+      val b = hllOracle(
+        "(SELECT user_id FROM events WHERE event_type = 'purchase')",
+        "user_id", "", "")
+      val u = hllOracle(
+        "(SELECT user_id FROM events WHERE event_type IN ('click', 'purchase'))",
+        "user_id", "", "")
+      s"""SELECT ea.estimate AS est_a, eb.estimate AS est_b,
+          eu.estimate AS est_union,
+          ea.estimate + eb.estimate - eu.estimate AS est_intersect
+          FROM ($a) ea, ($b) eb, ($u) eu"""
+    },
+    "sketch_heavy_hitters" ->
+      """SELECT w AS item, count(*) AS cnt
+         FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+               FROM documents)
+         WHERE w <> '' GROUP BY w HAVING count(*) >= 50""",
+    "join_bloom_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+           WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 200000.0)""",
+    "ts_resample" ->
+      """WITH o AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_s,
+                arg_max(value, event_id) AS v
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         b AS (SELECT user_id, (min(ts_s) + 21599) // 21600 AS gi0,
+                max(ts_s) // 21600 AS gi1 FROM o GROUP BY 1),
+         g AS (SELECT user_id, gi * 21600 AS ts_s
+               FROM b, LATERAL unnest(generate_series(gi0, gi1)) AS t(gi))
+         SELECT g.user_id, g.ts_s, o.v
+         FROM g ASOF LEFT JOIN o ON g.user_id = o.user_id AND g.ts_s >= o.ts_s""",
     "join_interval_overlap" ->
       """WITH e AS (SELECT event_id, epoch_ns(ts) // 1000000000 AS ts_s
                     FROM events WHERE event_type = 'purchase' AND value >= 100.0)

@@ -174,6 +174,55 @@ class TemporalSpec extends AnyFunSuite {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("bloomSemiJoin equals the plain left-semi join; null keys dropped like IN") {
+    val fact = Seq((Some(1L), "a"), (Some(1L), "b"), (Some(2L), "c"),
+      (Some(9L), "d"), (None, "e")).toDF("k", "payload")
+    val dim = Seq(1L, 3L).toDF("dk")
+    val got = Joins.bloomSemiJoin(fact, dim, "k", "dk")
+      .select(col("k"), col("payload"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == Seq((1L, "a"), (1L, "b")))
+  }
+
+  test("heavyHitters is exact vs brute force on skewed multi-partition data, any capacity") {
+    // 1 item × 500, 3 × 60, tail of 200 singletons, spread over 7 partitions
+    val rows = Seq.fill(500)("hot") ++
+      Seq("warm1", "warm2", "warm3").flatMap(w => Seq.fill(60)(w)) ++
+      (0 until 200).map(i => s"tail$i")
+    val df = rows.toDF("item").repartition(7)
+    val brute = df.groupBy("item").count().filter(col("count") >= 50)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    for (cap <- Seq(0, 64)) { // 0 = self-sized
+      val got = Sketch.heavyHitters(df, "item", threshold = 50L, capacity = cap)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(got == brute, s"capacity=$cap: got $got, want $brute")
+    }
+  }
+
+  test("hllIntersect: inclusion-exclusion is exact over the estimates and near the true overlap") {
+    val a = spark.range(0, 1000).toDF("id")
+    val b = spark.range(500, 1500).toDF("id")
+    val row = Sketch.hllIntersect(a, b, "id").collect().head
+    val (ea, eb, eu, ei) = (row.getDouble(0), row.getDouble(1),
+      row.getDouble(2), row.getDouble(3))
+    assert(ei == ea + eb - eu, "intersection must be exactly the composed estimate")
+    assert(math.abs(ei - 500.0) < 100.0, s"est_intersect=$ei far from true 500")
+    assert(math.abs(eu - 1500.0) < 75.0, s"est_union=$eu far from true 1500")
+  }
+
+  test("resampleLocf: grid inside span, forward fill, on-grid obs wins, empty span drops key") {
+    val obs = Seq(
+      ("u1", 5L, 1.0), ("u1", 25L, 2.0),   // grid 10, 20 → fill 1.0, 1.0
+      ("u2", 20L, 9.0), ("u2", 31L, 8.0),  // grid 20, 30 → 9.0 (on-grid), 9.0
+      ("u3", 11L, 7.0)                     // span [11, 11]: no multiple of 10
+    ).toDF("k", "t", "v")
+    val got = Temporal.resampleLocf(obs, "k", "t", "v", step = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    assert(got == Seq(("u1", 10L, 1.0), ("u1", 20L, 1.0),
+      ("u2", 20L, 9.0), ("u2", 30L, 9.0)))
+  }
+
   test("hllDistinct estimates within theoretical error on both correction branches") {
     // small-range branch: 1k distinct out of m = 4096 registers
     val small = spark.range(0, 1000).toDF("id")
