@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import HashFunctions.{java_ln, splitmix64_hash}
@@ -191,6 +192,51 @@ object Sketch {
     val eu = hllEstimate(ru, Seq.empty, p).select(col("estimate").as("est_union"))
     ea.crossJoin(eb).crossJoin(eu) // three 1-row frames
       .withColumn("est_intersect", col("est_a") + col("est_b") - col("est_union"))
+  }
+
+  /** Quantile estimates from a fixed-range histogram: bin the value
+    * into `bins` equal widths over [lo, lo + bins·width), clamp
+    * outliers to the edge bins, and report each requested quantile as
+    * the MIDPOINT of the first bin whose cumulative count reaches
+    * ⌈q·n⌉. Accuracy is ±width/2 by construction — choose width from
+    * the data's precision, not its size.
+    *
+    * Scale shape: the sketch state is ≤ groups × bins rows after ONE
+    * shuffle with map-side combine (compare a true percentile's full
+    * sort); quantile selection runs on that bounded table. The whole
+    * pipeline is integer counts + a fixed final float expression, so
+    * it is bit-reproducible under any partitioning — the
+    * `sketch_quantile_hist` gate row replays it in DuckDB.
+    */
+  def histogramQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      lo: Double,
+      width: Double,
+      bins: Int,
+      qs: Seq[Double]): DataFrame = {
+    require(bins >= 2 && width > 0 && qs.nonEmpty && qs.forall(q => q > 0 && q <= 1))
+    val g = groupCols.map(col)
+    val bin = least(greatest(
+      floor((col(valueCol) - lit(lo)) / lit(width)).cast("long"), lit(0L)),
+      lit(bins.toLong - 1))
+    val hist = df.filter(col(valueCol).isNotNull)
+      .select(g :+ bin.as("_bin"): _*)
+      .groupBy(g :+ col("_bin"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("_bin"))
+    val wAll = Window.partitionBy(g: _*)
+    hist
+      .withColumn("_cum", sum(col("_c")).over(wCum))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .filter(col("_cum") >= ceil(col("q") * col("_n")))
+      .groupBy(g :+ col("q"): _*)
+      .agg(min(col("_bin")).as("_qbin"))
+      .withColumn("est",
+        (col("_qbin").cast("double") + lit(0.5)) * lit(width) + lit(lo))
+      .drop("_qbin")
   }
 
   /** EXACT heavy hitters (items with global count ≥ threshold) without

@@ -231,7 +231,27 @@ object Relational {
           date_add(to_date(col("o_orderdate")), 30).cast("string").as("due_date"),
           datediff(to_date(lit("1998-12-31")), to_date(col("o_orderdate")))
             .cast("long").as("age_days"))
-    })
+    }),
+
+    // Wide pivot: per-user spend matrix over a FIXED value list (an
+    // explicit list keeps the plan one pass — inferring values adds a
+    // distinct job — and keeps the schema deterministic). Sums ride
+    // decimal for order-free bits.
+    "pivot_events" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(col("value").cast(d2)).cast("double"))
+    }),
+
+    // Unpivot (melt): lineitem charge columns to long form — the
+    // inverse reshape, one pass, no shuffle at all.
+    "unpivot_charges" -> ((s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "amount"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -338,6 +358,23 @@ object Relational {
          CAST(month(o_orderdate) AS BIGINT) AS m,
          CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS due_date,
          CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS age_days
-         FROM orders"""
+         FROM orders""",
+    "pivot_events" ->
+      """SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+         CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+         CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+         CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+         FROM events GROUP BY user_id""",
+    "unpivot_charges" ->
+      """SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS metric, l_extendedprice AS amount
+         FROM lineitem WHERE l_orderkey < 2000
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+         FROM lineitem WHERE l_orderkey < 2000
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+         FROM lineitem WHERE l_orderkey < 2000"""
   )
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.{Joins, Sketch, Temporal => TOps}
+import graft.analytics.{Joins, Layout, Sketch, Stats, Temporal => TOps}
 
 /** Temporal-join and sketch gate rows. The DuckDB oracles are
   * independent formulations: ASOF LEFT JOIN for the as-of operator
@@ -127,6 +127,31 @@ object Temporal {
           .select(explode(split(lower(trim(col("text"))), "\\s+")).as("item"))
           .filter(col("item") =!= ""),
         "item", threshold = 50L)),
+
+    // Per-type 3-sigma outliers with the z-test cleared of divisions:
+    // exact integer arithmetic, so the flag set is bit-stable under
+    // any partitioning (the oracle replays it in HUGEINT).
+    "stats_anomaly" -> ((s, dir) =>
+      Stats.zscoreOutliers(t(s, dir, "events"), Seq("event_type"), "value",
+          z = 3, scale = 2)
+        .select(col("event_id"), col("event_type"), col("value"))),
+
+    // Histogram-sketch quantiles: p50/p95/p99 of value per event type
+    // from a 1024-bin fixed histogram (state ≤ groups × bins).
+    "sketch_quantile_hist" -> ((s, dir) =>
+      Sketch.histogramQuantiles(t(s, dir, "events"), Seq("event_type"),
+        "value", lo = 0.0, width = 0.5, bins = 1024,
+        qs = Seq(0.5, 0.95, 0.99))),
+
+    // Morton (Z-order) layout key: the bit interleave a lakehouse
+    // writer sorts by for two-column min/max pruning. Pure column
+    // arithmetic — the oracle recomputes every bit in SQL.
+    "layout_zorder" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") < 5000)
+      li.select(col("l_orderkey"), col("l_partkey"),
+        Layout.zorderKey(col("l_orderkey"), col("l_partkey"), bits = 16)
+          .as("zkey"))
+    }),
 
     // Bloom-pruned semi-join: lineitems of selective orders; result
     // must equal the plain IN-subquery (exactness of the prefilter).
@@ -335,6 +360,37 @@ object Temporal {
          FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
                FROM documents)
          WHERE w <> '' GROUP BY w HAVING count(*) >= 50""",
+    "stats_anomaly" ->
+      """WITH v AS (SELECT event_id, event_type, value,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS vi
+              FROM events),
+         a AS (SELECT event_id, event_type, value, vi,
+                sum(vi) OVER (PARTITION BY event_type) AS s,
+                sum(vi * vi) OVER (PARTITION BY event_type) AS sq,
+                count(*) OVER (PARTITION BY event_type) AS n
+               FROM v)
+         SELECT event_id, event_type, value FROM a
+         WHERE (n * vi - s) * (n * vi - s) > 9 * (n * sq - s * s)""",
+    "sketch_quantile_hist" ->
+      """WITH h AS (SELECT event_type,
+                LEAST(GREATEST(CAST(floor(value / 0.5) AS BIGINT), 0), 1023) AS bin,
+                count(*) AS c
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         w AS (SELECT event_type, bin, c,
+                sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+                sum(c) OVER (PARTITION BY event_type) AS n FROM h),
+         qv AS (SELECT unnest([0.5, 0.95, 0.99]) AS q),
+         s AS (SELECT event_type, qv.q AS q, min(bin) AS qbin
+               FROM w, qv WHERE cum >= ceil(qv.q * n) GROUP BY 1, 2)
+         SELECT event_type, q, (CAST(qbin AS DOUBLE) + 0.5) * 0.5 AS est
+         FROM s""",
+    "layout_zorder" -> {
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"(((l_orderkey >> $i) & 1) << ${2 * i})",
+        s"(((l_partkey >> $i) & 1) << ${2 * i + 1})"))
+      s"""SELECT l_orderkey, l_partkey, ${terms.mkString(" | ")} AS zkey
+          FROM lineitem WHERE l_orderkey < 5000"""
+    },
     "join_bloom_prune" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          WHERE l_orderkey IN (SELECT o_orderkey FROM orders

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.{Layout, Sketch, Stats}
+
+/** Integer-exact z-score screen, histogram quantiles, Morton layout
+  * key: semantics on hand-built frames with known answers, plus the
+  * degenerate edges (zero variance, out-of-range clamp, multiset
+  * preservation under re-layout).
+  */
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = Spark.session
+  import spark.implicits._
+
+  test("zscoreOutliers flags exactly the far point; zero-variance group flags nothing") {
+    // n = 11, mean = 10, popvar = (10·81 + 8100)/11 = 810, σ ≈ 28.46:
+    // the 100 sits 3.16σ out, the 1s at 0.32σ. (A single extreme point
+    // can reach at most √(n−1) population σs, so n must be ≥ 10 for a
+    // 3σ flag to be possible at all.)
+    val df = (Seq.fill(10)(("a", 1.0)) ++ Seq(("a", 100.0)) ++
+      Seq(("b", 5.0), ("b", 5.0), ("b", 5.0))).toDF("g", "v")
+    val got = Stats.zscoreOutliers(df, Seq("g"), "v", z = 3, scale = 2)
+      .select(col("g"), col("v")).collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq == Seq(("a", 100.0)), s"got ${got.toSeq}")
+  }
+
+  test("zscoreOutliers matches the double-arithmetic definition on random-ish data") {
+    val vals = (1 to 400).map(i => ("g", ((i * 7919) % 100).toDouble)) ++
+      Seq(("g", 5000.0), ("g", -4000.0))
+    val df = vals.toDF("g", "v")
+    val got = Stats.zscoreOutliers(df, Seq("g"), "v", z = 3, scale = 2)
+      .select(col("v")).collect().map(_.getDouble(0)).sorted.toSeq
+    // brute force in doubles (population variance)
+    val xs = vals.map(_._2)
+    val n = xs.size.toDouble
+    val mean = xs.sum / n
+    val varp = xs.map(x => (x - mean) * (x - mean)).sum / n
+    val brute = xs.filter(x => math.abs(x - mean) > 3 * math.sqrt(varp)).sorted
+    assert(got == brute, s"got $got, want $brute")
+  }
+
+  test("histogramQuantiles: known uniform ladder, clamp of out-of-range values") {
+    val df = ((1 to 100).map(_.toDouble) ++ Seq(-50.0, 1e9)).toDF("v")
+      .withColumn("g", lit("all"))
+    val got = Sketch.histogramQuantiles(df, Seq("g"), "v",
+        lo = 0.0, width = 1.0, bins = 200, qs = Seq(0.5, 1.0))
+      .select(col("q"), col("est")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toMap
+    // n = 102; ceil(.5·102) = 51 ⇒ ranks 1..51: bin 0 (the clamped −50)
+    // then values 1..50 in bins 1..50 ⇒ quantile bin 50, midpoint 50.5
+    assert(got(0.5) == 50.5, s"p50 ${got(0.5)}")
+    // q = 1.0 ⇒ last occupied bin = 199 (clamped 1e9), midpoint 199.5
+    assert(got(1.0) == 199.5, s"p100 ${got(1.0)}")
+  }
+
+  test("zorderKey interleaves bits exactly; layout preserves the multiset") {
+    val df = Seq((5L, 3L)).toDF("x", "y")
+    val k = df.select(Layout.zorderKey(col("x"), col("y"), 3).as("z"))
+      .collect().head.getLong(0)
+    // x=101, y=011 → z bits (y2 x2 y1 x1 y0 x0) = 0 1 1 0 1 1 = 27
+    assert(k == 27L, s"zorder(5,3)=$k")
+
+    val rows = (0 until 1000).map(i => ((i * 37) % 256L, (i * 91) % 256L, i))
+    val src = rows.toDF("x", "y", "id")
+    val laid = Layout.zorderLayout(src, "x", "y", bits = 8, numPartitions = 4)
+    assert(laid.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      src.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    // within each partition the morton key must be nondecreasing
+    val perPart = laid
+      .withColumn("z", Layout.zorderKey(col("x"), col("y"), 8))
+      .withColumn("p", spark_partition_id())
+      .collect().groupBy(_.getAs[Int]("p"))
+    perPart.values.foreach { rs =>
+      val zs = rs.map(_.getAs[Long]("z")).toSeq
+      assert(zs == zs.sorted, "rows not z-sorted within partition")
+    }
+  }
+}
