@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import HashFunctions._
@@ -471,6 +472,61 @@ object Dedup {
                         n: Int = 3, threshold: Double = 0.9): DataFrame =
     minhashPairs(df, idCol, textCol, shingleSize = n, threshold = threshold,
       charGrams = true)
+
+  /** EXACT word-set Jaccard self-join by prefix filtering (SSJoin,
+    * Chaudhuri et al. ICDE 2006; PPJoin length filter, Xiao et al.
+    * WWW 2008): ALL pairs with Jaccard ≥ threshold, zero LSH miss
+    * probability — the exact complement to [[minhashPairs]] for
+    * corpora where recall must be provable.
+    *
+    * Completeness: two sets with J ≥ τ overlap in ≥ ⌈τ·|s|⌉ tokens,
+    * so by pigeonhole the prefix holding each set's
+    * |s| − ⌈τ·|s|⌉ + 1 globally RAREST tokens must contain at least
+    * one shared token of any qualifying pair — equi-joining prefixes
+    * yields a candidate SUPERSET, and the exact verify trims it.
+    *
+    * Scale shape: rarest-first ordering means prefix buckets are by
+    * construction the smallest in the corpus — the frequent-token
+    * floods that sink a naive token self-join never enter a prefix.
+    * The length filter (min size ≥ τ·max size) prunes cross-size
+    * candidates before the distinct. Shuffles: token df count, df
+    * join back, per-doc rank window, prefix self-join, verify join —
+    * all keyed, no cartesian anywhere.
+    */
+  def jaccardPrefixJoin(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold=$threshold")
+    val words = (c: Column) =>
+      array_remove(array_distinct(split(lower(trim(c)), "\\s+")), "")
+    val tok = df.select(col(idCol).as("doc_id"),
+        explode(words(col(textCol))).as("w"))
+    val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))
+    val wAll = Window.partitionBy(col("doc_id"))
+    val prefix = tok.join(freq, "w")
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("sz", count(lit(1)).over(wAll))
+      .filter(col("rn") <=
+        col("sz") - ceil(col("sz").cast("double") * lit(threshold)) + 1)
+      .select(col("w"), col("doc_id"), col("sz"))
+    val cand = prefix.select(col("w"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
+      .join(prefix.select(col("w"), col("doc_id").as("id_b"), col("sz").as("sz_b")),
+        Seq("w"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("sz_a"), col("sz_b")).cast("double") >=
+          lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // aggregate barrier: token sets materialize once per doc, not per
+    // candidate pair (same re-inlining hazard as minhashPairs)
+    val sets = df.select(col(idCol).as("doc_id"), words(col(textCol)).as("toks"))
+      .groupBy(col("doc_id")).agg(first(col("toks")).as("toks"))
+    cand
+      .join(sets.withColumnsRenamed(Map("doc_id" -> "id_a", "toks" -> "tk_a")), "id_a")
+      .join(sets.withColumnsRenamed(Map("doc_id" -> "id_b", "toks" -> "tk_b")), "id_b")
+      .withColumn("jaccard", jaccard_sim(col("tk_a"), col("tk_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 
   /** Cross-corpus segment-level dedup (the C4/RefinedWeb passage trick
     * at fixed granularity): each document splits into consecutive

@@ -177,6 +177,32 @@ object Temporal {
       .drop("_bucket_a", "_bucket_b")
   }
 
+  /** Interval union per key: merge overlapping OR touching [start,
+    * end) intervals into maximal disjoint spans (touching merges —
+    * [0,10) ∪ [10,20) = [0,20) — because the half-open union is
+    * contiguous). Classic running-max sweep: one key shuffle + sort;
+    * an interval starts a new group iff its start lies strictly beyond
+    * the furthest end seen so far. Duplicate intervals are harmless
+    * (tie order cannot move a group boundary).
+    */
+  def mergeIntervals(
+      df: DataFrame,
+      keyCol: String,
+      startCol: String,
+      endCol: String): DataFrame = {
+    val wOrd = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(endCol))
+    val runMax = max(col(endCol)).over(
+      wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("_new",
+        when(runMax.isNull || col(startCol) > runMax, 1L).otherwise(0L))
+      .withColumn("_gid", sum(col("_new")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("_gid"))
+      .agg(min(col(startCol)).as(startCol), max(col(endCol)).as(endCol))
+      .drop("_gid")
+  }
+
   /** Regularize an irregular per-key time series: emit one row per
     * key per multiple of `step` inside that key's observed span, with
     * the value forward-filled from the latest observation at-or-before

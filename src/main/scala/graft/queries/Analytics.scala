@@ -42,6 +42,13 @@ object Analytics {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 5, threshold = 0.8).select(col("id_a"), col("id_b"))),
 
+    // EXACT Jaccard join (prefix filtering): provable recall, oracle
+    // is the brute-force all-pairs — the operator must find exactly
+    // the pairs the quadratic scan finds.
+    "dedup_jaccard_prefix" -> ((s, dir) =>
+      Dedup.jaccardPrefixJoin(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.6)),
+
     "dedup_embedding" -> ((s, dir) =>
       Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, method = "lsh")
@@ -1478,6 +1485,22 @@ object Analytics {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""",
+    "dedup_jaccard_prefix" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(list_distinct(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> x <> ''))) AS w
+           FROM documents),
+         sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                   FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) AS jaccard
+         FROM pairs
+         JOIN sz na ON na.doc_id = id_a
+         JOIN sz nb ON nb.doc_id = id_b
+         WHERE CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) >= 0.6""",
     "dedup_ngram_jaccard" ->
       """WITH sh AS (
            SELECT doc_id,

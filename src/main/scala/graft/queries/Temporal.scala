@@ -128,6 +128,17 @@ object Temporal {
           .filter(col("item") =!= ""),
         "item", threshold = 50L)),
 
+    // Interval union: per-user purchase windows coalesced into maximal
+    // disjoint spans (running-max sweep, one key shuffle).
+    "interval_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val secs = tsEpochSeconds(ev)
+      val iv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), secs.as("start_s"),
+          (secs + 1800L).as("end_s"))
+      TOps.mergeIntervals(iv, "user_id", "start_s", "end_s")
+    }),
+
     // Per-type 3-sigma outliers with the z-test cleared of divisions:
     // exact integer arithmetic, so the flag set is bit-stable under
     // any partitioning (the oracle replays it in HUGEINT).
@@ -360,6 +371,21 @@ object Temporal {
          FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
                FROM documents)
          WHERE w <> '' GROUP BY w HAVING count(*) >= 50""",
+    "interval_merge" ->
+      """WITH iv AS (SELECT user_id, ts_s AS start_s, ts_s + 1800 AS end_s
+              FROM (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_s
+                    FROM events WHERE event_type = 'purchase')),
+         o AS (SELECT user_id, start_s, end_s,
+                max(end_s) OVER (PARTITION BY user_id ORDER BY start_s, end_s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+               FROM iv),
+         g AS (SELECT user_id, start_s, end_s,
+                sum(CASE WHEN rm IS NULL OR start_s > rm THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY start_s, end_s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+               FROM o)
+         SELECT user_id, min(start_s) AS start_s, max(end_s) AS end_s
+         FROM g GROUP BY user_id, gid""",
     "stats_anomaly" ->
       """WITH v AS (SELECT event_id, event_type, value,
                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS vi

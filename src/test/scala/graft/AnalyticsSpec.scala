@@ -41,6 +41,40 @@ class AnalyticsSpec extends AnyFunSuite {
       s"missed=${truth -- found} extra=${found -- truth}")
   }
 
+  test("jaccardPrefixJoin finds EXACTLY the brute-force pair set (provable recall)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over a lazy dog"), // high overlap w/ 1
+      (3L, "quick brown fox jumps over lazy dog"),       // subset of 1
+      (4L, "entirely different words about spark engines"),
+      (5L, "entirely different words about spark engines"), // identical to 4
+      (6L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val tau = 0.6
+    val got = graft.analytics.Dedup
+      .jaccardPrefixJoin(docs, "doc_id", "text", tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // brute force over word sets
+    val sets = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over a lazy dog",
+      3L -> "quick brown fox jumps over lazy dog",
+      4L -> "entirely different words about spark engines",
+      5L -> "entirely different words about spark engines",
+      6L -> "one two three four five six seven eight"
+    ).map { case (id, t) => id -> t.split("\\s+").toSet }.toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      uni = (sets(a) | sets(b)).size
+      j = inter.toDouble / uni if j >= tau
+    } yield (a, b) -> j).toMap
+    assert(got == brute, s"got $got, want $brute")
+    assert(got.contains((4L, 5L)) && got((4L, 5L)) == 1.0, "identical pair must score 1.0")
+  }
+
   test("simhash: near-identical docs collide, distinct docs don't flood") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
     val n = pairs.count()

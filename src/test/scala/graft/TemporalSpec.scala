@@ -210,6 +210,19 @@ class TemporalSpec extends AnyFunSuite {
     assert(math.abs(eu - 1500.0) < 75.0, s"est_union=$eu far from true 1500")
   }
 
+  test("mergeIntervals: overlap and touch merge, gaps split, duplicates harmless, keys isolated") {
+    val iv = Seq(
+      ("u1", 0L, 10L), ("u1", 5L, 12L),   // overlap → [0, 12)
+      ("u1", 12L, 20L),                    // touches → extends to [0, 20)
+      ("u1", 25L, 30L), ("u1", 25L, 30L),  // gap, duplicated → [25, 30)
+      ("u2", 0L, 5L)                       // other key untouched
+    ).toDF("k", "s", "e")
+    val got = Temporal.mergeIntervals(iv, "k", "s", "e")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got == Seq(("u1", 0L, 20L), ("u1", 25L, 30L), ("u2", 0L, 5L)))
+  }
+
   test("resampleLocf: grid inside span, forward fill, on-grid obs wins, empty span drops key") {
     val obs = Seq(
       ("u1", 5L, 1.0), ("u1", 25L, 2.0),   // grid 10, 20 → fill 1.0, 1.0
