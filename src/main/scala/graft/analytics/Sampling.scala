@@ -37,6 +37,34 @@ object Sampling {
     df.filter(bucketOf(col(idCol), seed) < lit(cut))
   }
 
+  /** Leakage-free dataset split: every row of a GROUP (user, domain,
+    * document family…) lands in the SAME split, decided by a
+    * deterministic hash of the group key against cumulative bucket
+    * cuts (granularity 1/4096). This is the split a training pipeline
+    * must use when rows of one group are correlated — splitting rows
+    * i.i.d. leaks group signal from train into eval. Row-local
+    * expression: no shuffle, no group materialization, and any two
+    * rows of a group agree on any executor, any run.
+    *
+    * Fractions are rounded to cumulative 1/4096 cuts; they must sum
+    * to 1.
+    */
+  def groupSplit(df: DataFrame, groupCol: String,
+                 fractions: Seq[(String, Double)],
+                 seed: Long = 0L): DataFrame = {
+    require(fractions.nonEmpty, "need at least one split")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val cuts = cum.map(f => math.round(f * Buckets))
+    val b = bucketOf(col(groupCol), seed)
+    val first = when(b < lit(cuts.head), lit(fractions.head._1))
+    val chain = fractions.tail.zip(cuts.tail).foldLeft(first) {
+      case (acc, ((name, _), cut)) => acc.when(b < lit(cut), lit(name))
+    }
+    df.withColumn("split", chain.otherwise(lit(fractions.last._1)))
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis 2006,
     * algorithm A-Res in log domain): key_i = ln(u_i) / w_i with
     * u_i ∈ (0,1) a deterministic splitmix64 draw; the k LARGEST keys

@@ -50,4 +50,50 @@ object Stats {
       .filter(dev * dev > lit(z.toLong * z.toLong).cast(d38) * spread)
       .drop("_v", "_s", "_sq", "_n")
   }
+
+  /** Robust (median/MAD) outlier screen: rows with
+    * |v − median| > k · MAD, where median is the LOWER median (the
+    * value at rank ⌈n/2⌉ of the sorted group) and MAD is the same
+    * median of the absolute deviations. Unlike the z-score, one wild
+    * point cannot drag the screen's own yardstick (50% breakdown).
+    *
+    * Everything runs on 10^scale-scaled integers: ranks select an
+    * ACTUAL data value (no interpolation), deviations and the k·MAD
+    * compare are integer arithmetic — bit-stable under any
+    * partitioning, replayed exactly by the oracle. Degenerate groups
+    * where over half the values are identical have MAD = 0 and flag
+    * every differing row (the standard MAD caveat — screen first).
+    *
+    * Shape: two rank windows + two group-keyed joins, all on the
+    * group key — the same shuffle reused, no broadcast of data-sized
+    * state.
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Int = 3,
+      scale: Int = 2): DataFrame = {
+    require(k >= 1 && scale >= 0 && scale <= 9)
+    val g = groupCols.map(col)
+    val vi = (col(valueCol).cast(s"decimal(18,$scale)") *
+      lit(math.pow(10, scale).toLong)).cast("long")
+    val wAll = Window.partitionBy(g: _*)
+    val base = df.withColumn("_v", vi)
+    val med = base
+      .withColumn("_rn", row_number().over(wAll.orderBy(col("_v"))))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .filter(col("_rn") === expr("(_n + 1) div 2"))
+      .select(groupCols.map(col) :+ col("_v").as("_med"): _*)
+    val withMed = base.join(med, groupCols)
+    val mad = withMed
+      .withColumn("_d", abs(col("_v") - col("_med")))
+      .withColumn("_rn", row_number().over(wAll.orderBy(col("_d"))))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .filter(col("_rn") === expr("(_n + 1) div 2"))
+      .select(groupCols.map(col) :+ col("_d").as("_mad"): _*)
+    withMed.join(mad, groupCols)
+      .filter(abs(col("_v") - col("_med")) > lit(k.toLong) * col("_mad"))
+      .drop("_v", "_med", "_mad")
+  }
 }

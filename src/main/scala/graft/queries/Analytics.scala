@@ -125,6 +125,13 @@ object Analytics {
       Sampling.hashSample(t(s, dir, "documents"), "doc_id", 0.25, seed = 7)
         .select(col("doc_id"))),
 
+    // leakage-free 80/10/10 split: ALL of a user's events land in the
+    // same split (group-hash, not row-i.i.d.)
+    "sample_split_group" -> ((s, dir) =>
+      Sampling.groupSplit(t(s, dir, "events"), "user_id",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 7)
+        .select(col("event_id"), col("user_id"), col("split"))),
+
     // deterministic global interleave order for training reads
     "sample_interleave" -> ((s, dir) =>
       Sampling.interleave(t(s, dir, "documents"), "doc_id", seed = 7)),
@@ -1539,6 +1546,30 @@ object Analytics {
             * 4294967296) % m64 AS x5, m64 FROM mb),
          m3 AS (SELECT doc_id, xor(x5, x5 // 2147483648) AS x6 FROM m2)
          SELECT doc_id FROM m3 WHERE (x6 // 4096) % 4096 < 1024""",
+    // same splitmix64 chain on user_id + 7; bucket bits 12..23,
+    // cumulative cuts round(.8·4096) = 3277, round(.9·4096) = 3686
+    "sample_split_group" ->
+      """WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+         m0 AS (SELECT event_id, user_id,
+           (CAST(user_id AS HUGEINT) + 7 + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
+           FROM events CROSS JOIN c),
+         ma AS (SELECT event_id, user_id, xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
+         m1 AS (SELECT event_id, user_id,
+           (x2 % 4294967296 * 484763065 +
+            ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+            * 4294967296) % m64 AS x3, m64 FROM ma),
+         mb AS (SELECT event_id, user_id, xor(x3, x3 // 134217728) AS x4, m64 FROM m1),
+         m2 AS (SELECT event_id, user_id,
+           (x4 % 4294967296 * 321982955 +
+            ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+            * 4294967296) % m64 AS x5, m64 FROM mb),
+         m3 AS (SELECT event_id, user_id, xor(x5, x5 // 2147483648) AS x6 FROM m2),
+         b AS (SELECT event_id, user_id, (x6 // 4096) % 4096 AS bk FROM m3)
+         SELECT event_id, user_id,
+           CASE WHEN bk < 3277 THEN 'train'
+                WHEN bk < 3686 THEN 'val'
+                ELSE 'test' END AS split
+         FROM b""",
     // same splitmix64(doc_id + 7) chain; u at 53-bit resolution,
     // key = ln(u) / max(n_chars, 1), top-200 by (key DESC, doc_id)
     "sample_weighted" ->

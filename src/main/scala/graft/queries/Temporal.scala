@@ -147,6 +147,13 @@ object Temporal {
           z = 3, scale = 2)
         .select(col("event_id"), col("event_type"), col("value"))),
 
+    // Robust outliers: |v − median| > 3·MAD on scaled integers (rank
+    // selection, no interpolation — the oracle replays the ranks).
+    "stats_mad" -> ((s, dir) =>
+      Stats.madOutliers(t(s, dir, "events"), Seq("event_type"), "value",
+          k = 3, scale = 2)
+        .select(col("event_id"), col("event_type"), col("value"))),
+
     // Histogram-sketch quantiles: p50/p95/p99 of value per event type
     // from a 1024-bin fixed histogram (state ≤ groups × bins).
     "sketch_quantile_hist" -> ((s, dir) =>
@@ -397,6 +404,20 @@ object Temporal {
                FROM v)
          SELECT event_id, event_type, value FROM a
          WHERE (n * vi - s) * (n * vi - s) > 9 * (n * sq - s * s)""",
+    "stats_mad" ->
+      """WITH v AS (SELECT event_id, event_type, value,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vi
+              FROM events),
+         r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY vi) AS rn,
+                count(*) OVER (PARTITION BY event_type) AS n FROM v),
+         med AS (SELECT event_type, vi AS mv FROM r WHERE rn = (n + 1) // 2),
+         d AS (SELECT v.event_id, v.event_type, v.value, v.vi, med.mv
+               FROM v JOIN med USING (event_type)),
+         r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY abs(vi - mv)) AS rn2,
+                count(*) OVER (PARTITION BY event_type) AS n2 FROM d),
+         mad AS (SELECT event_type, abs(vi - mv) AS madv FROM r2 WHERE rn2 = (n2 + 1) // 2)
+         SELECT event_id, event_type, value FROM d JOIN mad USING (event_type)
+         WHERE abs(vi - mv) > 3 * madv""",
     "sketch_quantile_hist" ->
       """WITH h AS (SELECT event_type,
                 LEAST(GREATEST(CAST(floor(value / 0.5) AS BIGINT), 0), 1023) AS bin,

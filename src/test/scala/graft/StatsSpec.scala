@@ -41,6 +41,40 @@ class StatsSpec extends AnyFunSuite {
     assert(got == brute, s"got $got, want $brute")
   }
 
+  test("madOutliers: hand-computed median/MAD, robust to the wild point itself") {
+    // vi = 100·v: median (rank 5 of 10) = 5.0, deviations sorted
+    // 0,1,1,2,2,3,3,4,4,95 → MAD (rank 5) = 2.0; flag |v−5| > 6 ⇒ only 100
+    val df = ((1 to 9).map(i => ("g", i.toDouble)) :+ ("g", 100.0)).toDF("g", "v")
+    val got = Stats.madOutliers(df, Seq("g"), "v", k = 3, scale = 2)
+      .select(col("v")).collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(100.0), s"got $got")
+    // degenerate group: >half identical ⇒ MAD 0 ⇒ any differing row flags
+    val dg = (Seq.fill(5)(("d", 7.0)) ++ Seq(("d", 7.5))).toDF("g", "v")
+    val flagged = Stats.madOutliers(dg, Seq("g"), "v").select(col("v"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(flagged == Seq(7.5))
+  }
+
+  test("groupSplit: rows of one group never straddle splits; partitioning-independent") {
+    val rows = (0 until 2000).map(i => (i.toLong % 97, i.toLong))
+    val df = rows.toDF("gk", "row_id")
+    val s1 = graft.analytics.Sampling
+      .groupSplit(df, "gk", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 7)
+    val perGroup = s1.groupBy("gk").agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(perGroup == 0, "a group straddled two splits")
+    val a = s1.select("row_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = graft.analytics.Sampling
+      .groupSplit(df.repartition(13), "gk",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 7)
+      .select("row_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "split changed under repartition")
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+  }
+
   test("histogramQuantiles: known uniform ladder, clamp of out-of-range values") {
     val df = ((1 to 100).map(_.toDouble) ++ Seq(-50.0, 1e9)).toDF("v")
       .withColumn("g", lit("all"))
