@@ -184,6 +184,23 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a"), (1L, "b")))
   }
 
+  test("bloomSemiJoin plan: probe filter sits below the confirming join") {
+    val fact = spark.range(0, 1000).toDF("k")
+    val dim = Seq(1L, 2L, 3L).toDF("dk")
+    val plan = Joins.bloomSemiJoin(fact, dim, "k", "dk")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"),
+      s"bloom probe missing from plan:\n$plan")
+  }
+
+  test("heavyHitters plan: confirming count joins candidates via broadcast") {
+    val df = (Seq.fill(100)("hot") ++ (0 until 50).map(i => s"t$i")).toDF("item")
+    val plan = Sketch.heavyHitters(df, "item", threshold = 50L, capacity = 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate join is not broadcast:\n$plan")
+  }
+
   test("heavyHitters is exact vs brute force on skewed multi-partition data, any capacity") {
     // 1 item × 500, 3 × 60, tail of 200 singletons, spread over 7 partitions
     val rows = Seq.fill(500)("hot") ++
