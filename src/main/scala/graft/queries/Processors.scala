@@ -22,6 +22,25 @@ object Processors {
     get_json_object(col(Cdc.PayloadAfter), s"$$.$field")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Batch CDC-log compaction: the TABLE a create/update/delete log
+    // describes — latest record per key under a total (pos, id) order,
+    // delete tombstones dropping the key. Events replay as the log:
+    // error = delete, everything else = upsert.
+    "cdc_materialize" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val pos =
+        if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          expr("ts div 1000000000")
+        else unix_timestamp(col("ts"))
+      val log = ev.select(col("user_id"), col("event_id"), pos.as("pos"),
+        when(col("event_type") === "error", lit("delete"))
+          .otherwise(lit("update")).as("op"),
+        col("value"))
+      Cdc.materializeLatest(log, Seq("user_id"),
+          Seq(col("pos"), col("event_id")), "op")
+        .select(col("user_id"), col("event_id"), col("pos"), col("value"))
+    }),
+
     // field.set with a template value referencing the record — typed
     // fast path (150k rows; the template compiles to struct reads).
     // The untyped dynamic-JSON machinery keeps its own gate coverage
@@ -364,6 +383,17 @@ object Processors {
   )
 
   val oracles: Map[String, String] = Map(
+    "cdc_materialize" ->
+      """WITH l AS (SELECT user_id, event_id,
+                epoch_ns(ts) // 1000000000 AS pos,
+                CASE WHEN event_type = 'error' THEN 'delete'
+                     ELSE 'update' END AS op, value
+              FROM events),
+         r AS (SELECT *, row_number() OVER
+                (PARTITION BY user_id ORDER BY pos DESC, event_id DESC) AS rn
+               FROM l)
+         SELECT user_id, event_id, pos, value
+         FROM r WHERE rn = 1 AND op <> 'delete'""",
     "proc_field_set" ->
       "SELECT o_orderkey, o_orderstatus || '-X' AS status_tag FROM orders",
     "proc_field_rename" ->

@@ -119,4 +119,24 @@ class CdcLogSpec extends AnyFunSuite {
       .map(l => JsonOps.parse(l).get("position").asText()).distinct
     assert(lsns.size == total, s"lost ${total - lsns.size} log entries")
   }
+
+  test("materializeLatest: last writer wins, tombstone drops the key, re-insert revives it") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val log = Seq(
+      // key 1: insert, update — latest update wins
+      (1L, 10L, "update", "a"), (1L, 20L, "update", "b"),
+      // key 2: insert then delete — gone
+      (2L, 10L, "update", "x"), (2L, 30L, "delete", null),
+      // key 3: delete then RE-INSERT at a later position — live again
+      (3L, 10L, "delete", null), (3L, 40L, "update", "z"),
+      // key 4: out-of-order redelivery — pos 50 wins over late-arriving 5
+      (4L, 50L, "update", "new"), (4L, 5L, "update", "old")
+    ).toDF("k", "pos", "op", "payload")
+    val got = Cdc.materializeLatest(log, Seq("k"),
+        Seq(col("pos")), "op")
+      .select(col("k"), col("payload")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "b", 3L -> "z", 4L -> "new"), s"got $got")
+  }
 }
