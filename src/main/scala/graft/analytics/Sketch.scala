@@ -175,8 +175,10 @@ object Sketch {
     * is one row: (est_a, est_b, est_union, est_intersect).
     *
     * Each register table is referenced twice (its own estimate + the
-    * merge); the tables end in a shuffle on `_reg`, so ReuseExchange
-    * computes each input sketch once.
+    * merge); the tables end in a shuffle on `_reg`, and AQE's exchange
+    * reuse computes each input sketch ONCE (the final adaptive plan
+    * carries 2 ReusedExchange and one scan per input — guarded by a
+    * TemporalSpec plan test).
     */
   def hllIntersect(
       a: DataFrame,

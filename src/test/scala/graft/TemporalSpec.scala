@@ -253,6 +253,20 @@ class TemporalSpec extends AnyFunSuite {
       ("u2", 20L, 9.0), ("u2", 30L, 9.0)))
   }
 
+  test("hllIntersect final plan: each input's register exchange is computed once") {
+    val a = spark.range(0, 2000).toDF("id")
+    val b = spark.range(1000, 3000).toDF("id")
+    val df = Sketch.hllIntersect(a, b, "id")
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        ad.executedPlan.toString
+      case p => p.toString
+    }
+    assert("ReusedExchange".r.findAllIn(plan).length >= 2,
+      s"register exchanges must be reused (own estimate + merge):\n$plan")
+  }
+
   test("hllDistinct estimates within theoretical error on both correction branches") {
     // small-range branch: 1k distinct out of m = 4096 registers
     val small = spark.range(0, 1000).toDF("id")
