@@ -253,6 +253,56 @@ class TemporalSpec extends AnyFunSuite {
       ("u2", 20L, 9.0), ("u2", 30L, 9.0)))
   }
 
+  test("mergeIntervals: 300 random keyed interval sets match the sweep-line brute force") {
+    val rnd = new scala.util.Random(42)
+    val rows = for {
+      k <- 0 until 300
+      _ <- 0 until (1 + rnd.nextInt(8))
+    } yield {
+      val s = rnd.nextInt(50).toLong
+      (s"k$k", s, s + 1 + rnd.nextInt(10).toLong)
+    }
+    val got = Temporal.mergeIntervals(rows.toDF("k", "s", "e"), "k", "s", "e")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (k, a) =>
+        k -> a.map(x => (x._2, x._3)).sorted.toSeq }
+    val want = rows.groupBy(_._1).map { case (k, ivs0) =>
+      val ivs = ivs0.map(x => (x._2, x._3)).sorted
+      val merged = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      for ((s, e) <- ivs) {
+        if (merged.nonEmpty && s <= merged.last._2)
+          merged(merged.size - 1) =
+            (merged.last._1, math.max(merged.last._2, e))
+        else merged += ((s, e))
+      }
+      k -> merged.toSeq
+    }
+    assert(got == want)
+  }
+
+  test("resampleLocf: 200 random series match brute force") {
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      k <- 0 until 200
+      _ <- 0 until (1 + rnd.nextInt(6))
+    } yield (s"k$k", rnd.nextInt(100).toLong, rnd.nextInt(1000).toDouble)
+    val uniq = rows.groupBy(r => (r._1, r._2))
+      .map { case ((k, t), g) => (k, t, g.map(_._3).max) }.toSeq
+    val step = 7L
+    val got = Temporal.resampleLocf(uniq.toDF("k", "t", "v"), "k", "t", "v", step)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = uniq.groupBy(_._1).flatMap { case (k, obs0) =>
+      val obs = obs0.map(o => (o._2, o._3)).sortBy(_._1)
+      val gi0 = (obs.head._1 + step - 1) / step
+      val gi1 = obs.last._1 / step
+      (gi0 to gi1).map { gi =>
+        val t = gi * step
+        (k, t, obs.takeWhile(_._1 <= t).last._2)
+      }
+    }.toSet
+    assert(got == want)
+  }
+
   test("hllIntersect final plan: each input's register exchange is computed once") {
     val a = spark.range(0, 2000).toDF("id")
     val b = spark.range(1000, 3000).toDF("id")
