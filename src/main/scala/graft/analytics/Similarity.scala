@@ -83,7 +83,9 @@ object Similarity {
   // replicates the full LSH pipeline at the DEFAULT (numPlanes=4,
   // numTables=12), and the dedup_embedding_ivf oracle replicates the
   // seeded-cell pipeline at its gate parameters — changing defaults
-  // requires regenerating the oracles to match.
+  // requires regenerating the oracles to match. nlist <= 0 selects
+  // auto nlist = max(8, ceil(n/25)); the ivf oracle computes the
+  // same formula in SQL, so the gate row is SF-independent.
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
                   threshold: Double, method: String = "lsh",
                   numPlanes: Int = 4, numTables: Int = 12,
@@ -100,8 +102,15 @@ object Similarity {
         // (deterministic, oracle-replicable — the clusterAssign /
         // semanticDedup seeding; the collect is nlist×dim doubles)
         val nb = base.groupBy(col("vid")).agg(first(col("nvec")).as("nvec"))
+        // nlist <= 0 ⇒ derive from corpus size: candidate work is
+        // ~nassign²·n²/(2·nlist), so nlist must grow WITH n for the
+        // linear-at-constant-density scale story (PERF round 7); the
+        // count is one cheap aggregate job vs the pairing it bounds.
+        val effNlist =
+          if (nlist > 0) nlist
+          else math.max(8L, math.ceil(nb.count() / 25.0).toLong).toInt
         val seeds: Array[Array[Double]] = nb.orderBy(col("vid").asc)
-          .limit(nlist).select(col("nvec")).collect()
+          .limit(effNlist).select(col("nvec")).collect()
           .map(_.getSeq[Double](0).toArray)
         require(seeds.nonEmpty, "cosinePairs(ivf): empty corpus")
         val cells = nb.select(col("vid"),

@@ -60,10 +60,13 @@ object Analytics {
 
     // the constant-density scale path (PERF round-7: hyperplane LSH at
     // cos 0.4 has a ~L/2^k random-collision floor ⇒ quadratic
-    // candidates at any duplicate density; IVF cells scale with nlist)
+    // candidates at any duplicate density; IVF cells scale with nlist).
+    // nlist = -1 ⇒ max(8, ceil(n/25)) derived from the corpus — the
+    // oracle computes the SAME formula, so the row stays hash-green
+    // at every SF while the bench exercises the real nlist∝n path.
     "dedup_embedding_ivf" -> ((s, dir) =>
       Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.4, method = "ivf", nlist = 8, nassign = 2)),
+        threshold = 0.4, method = "ivf", nlist = -1, nassign = 2)),
 
     "sim_topk_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1311,9 +1314,12 @@ object Analytics {
          v AS (SELECT vec_id,
            CASE WHEN n > 0 THEN list_transform(ed, x -> x/n) ELSE ed END AS nvec
            FROM nrm),
-         seeds AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cluster,
-             nvec AS cvec
-           FROM (SELECT vec_id, nvec FROM v ORDER BY vec_id ASC LIMIT 8)),
+         seeds AS (SELECT cluster, cvec FROM (
+             SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cluster,
+               nvec AS cvec FROM v) sq
+           WHERE sq.cluster <
+             (SELECT greatest(8, CAST(ceil(count(*) / 25.0) AS BIGINT))
+              FROM v)),
          dots AS (SELECT v.vec_id, s.cluster,
            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              list_transform(range(1, 65), i -> v.nvec[i] * s.cvec[i])),

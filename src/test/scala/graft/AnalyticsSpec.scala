@@ -113,6 +113,18 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(full == brute, s"missed=${brute -- full} extra=${full -- brute}")
   }
 
+  test("embedding IVF auto nlist equals the explicit max(8, ceil(n/25)) formula") {
+    val n = emb.select(col("vec_id")).distinct().count()
+    val expected = math.max(8L, math.ceil(n / 25.0).toLong).toInt
+    def pairs(nl: Int) =
+      Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4, "ivf",
+        nlist = nl, nassign = 2)
+        .select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(-1) == pairs(expected),
+      s"auto nlist must match the documented formula (n=$n, nlist=$expected)")
+  }
+
   test("IVF top-k recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 8)
     val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
