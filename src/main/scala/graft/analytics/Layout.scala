@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-layout keys for multi-dimensional clustering. Sorting a table
@@ -32,6 +33,46 @@ object Layout {
     * rectangle in (x, y) — min/max skipping then works on both
     * columns. Content is untouched (same multiset of rows).
     */
+  /** Bin-packing compaction plan over a file LISTING — the planner
+    * half of a lakehouse OPTIMIZE/rewrite (reference intent: keeping
+    * a 100 TB CDC-compacted table readable after many small streaming
+    * commits). Files already ≥ `targetBytes` are left in place
+    * (`bin = -1`, their own singleton group); the rest, ordered
+    * deterministically by `pathCol` within each table partition, pack
+    * by size quota: with exclusive running size c(f), file f goes to
+    * `bin = c(f) div targetBytes`. Quota packing (vs greedy re-fit)
+    * is one window over metadata rows — ~1 row per file, i.e. ~800k
+    * rows for 100 TB of 128 MB files, partitioned by the table's
+    * partition columns — and each bin overflows the target by less
+    * than one file by construction. No data rows move until the
+    * caller executes the plan (read bin, coalesce(1), rewrite).
+    */
+  def compactionPlan(
+      files: DataFrame,
+      pathCol: String,
+      sizeCol: String,
+      targetBytes: Long,
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    require(targetBytes > 0, s"targetBytes=$targetBytes must be positive")
+    val pc = partitionCols.map(col)
+    val isSmall = col(sizeCol) < lit(targetBytes)
+    val wCum = Window.partitionBy(pc :+ isSmall: _*)
+      .orderBy(col(pathCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBin = Window.partitionBy(pc :+ col("bin"): _*)
+    files
+      .withColumn("_cum", coalesce(sum(col(sizeCol)).over(wCum), lit(0L)))
+      .withColumn("bin",
+        when(isSmall, expr(s"_cum div ${targetBytes}L")).otherwise(lit(-1L)))
+      .withColumn("bin_bytes",
+        when(col("bin") === -1L, col(sizeCol).cast("long"))
+          .otherwise(sum(col(sizeCol)).over(wBin).cast("long")))
+      .withColumn("bin_files",
+        when(col("bin") === -1L, lit(1L)).otherwise(count(lit(1)).over(wBin)))
+      .select(pc ++ Seq(col(pathCol), col(sizeCol).cast("long").as("size_bytes"),
+        col("bin"), col("bin_bytes"), col("bin_files")): _*)
+  }
+
   def zorderLayout(
       df: DataFrame,
       xCol: String,

@@ -171,6 +171,18 @@ object Temporal {
           .as("zkey"))
     }),
 
+    // Small-file compaction plan: documents as a pseudo file listing
+    // (path = doc_id, size = n_chars) partitioned by source — quota
+    // bin packing at a 500 B target; files >= target keep bin -1.
+    // One window over metadata rows; the oracle replays every cumsum.
+    "layout_compaction" -> ((s, dir) => {
+      val files = t(s, dir, "documents")
+        .select(col("source"), col("doc_id").cast("string").as("path"),
+          col("n_chars").as("size_bytes"))
+      Layout.compactionPlan(files, "path", "size_bytes",
+        targetBytes = 500L, partitionCols = Seq("source"))
+    }),
+
     // Bloom-pruned semi-join: lineitems of selective orders; result
     // must equal the plain IN-subquery (exactness of the prefilter).
     "join_bloom_prune" -> ((s, dir) => {
@@ -438,6 +450,29 @@ object Temporal {
       s"""SELECT l_orderkey, l_partkey, ${terms.mkString(" | ")} AS zkey
           FROM lineitem WHERE l_orderkey < 5000"""
     },
+    // Quota bin packing replay: same exclusive cumsum over
+    // (source, small?) ordered by path; integer // division; HUGEINT
+    // sums routed back through BIGINT to match Spark's long dtypes.
+    "layout_compaction" ->
+      """WITH f AS (SELECT source, CAST(doc_id AS VARCHAR) AS path,
+           n_chars AS size_bytes FROM documents),
+         c AS (SELECT source, path, size_bytes,
+           coalesce(SUM(size_bytes) OVER (
+             PARTITION BY source, size_bytes < 500 ORDER BY path
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           FROM f),
+         b AS (SELECT source, path, size_bytes,
+           CAST(CASE WHEN size_bytes < 500 THEN cum // 500
+             ELSE -1 END AS BIGINT) AS bin
+           FROM c)
+         SELECT source, path, size_bytes, bin,
+           CAST(CASE WHEN bin = -1 THEN size_bytes
+             ELSE SUM(size_bytes) OVER (PARTITION BY source, bin)
+             END AS BIGINT) AS bin_bytes,
+           CAST(CASE WHEN bin = -1 THEN 1
+             ELSE COUNT(*) OVER (PARTITION BY source, bin)
+             END AS BIGINT) AS bin_files
+         FROM b""",
     "join_bloom_prune" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          WHERE l_orderkey IN (SELECT o_orderkey FROM orders

@@ -89,6 +89,40 @@ class StatsSpec extends AnyFunSuite {
     assert(got(1.0) == 199.5, s"p100 ${got(1.0)}")
   }
 
+  test("compactionPlan: quota packing bounds, keeps, contiguous bins") {
+    val target = 100L
+    val files = (0 until 60).map { i =>
+      (s"p${i % 3}", f"f$i%03d", 20L + (i * 37) % 130) // sizes 20..149
+    }.toDF("part", "path", "size")
+    val plan = Layout.compactionPlan(files, "path", "size", target, Seq("part"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(plan.length == 60, "listing multiset preserved")
+    // files >= target are singleton keeps
+    plan.filter(_._3 >= target).foreach { case (_, p, sz, bin, bb, bf) =>
+      assert(bin == -1L && bb == sz && bf == 1L, s"keep row wrong for $p")
+    }
+    plan.groupBy(_._1).foreach { case (part, rows) =>
+      val small = rows.filter(_._3 < target).sortBy(_._2)
+      if (small.nonEmpty) {
+        val bins = small.map(_._4)
+        // contiguous from 0, nondecreasing in path order (cum steps < target)
+        assert(bins.head == 0L && bins.distinct.sorted.sameElements(
+          0L to bins.max), s"$part bins not contiguous: ${bins.toSeq}")
+        assert(bins.sameElements(bins.sorted), s"$part bins not monotone")
+        val maxSmall = small.map(_._3).max
+        small.groupBy(_._4).foreach { case (bin, members) =>
+          val bytes = members.map(_._3).sum
+          assert(members.forall(m => m._5 == bytes && m._6 == members.length),
+            s"$part bin $bin stats wrong")
+          assert(bytes < target + maxSmall,
+            s"$part bin $bin overflows: $bytes")
+        }
+      }
+    }
+  }
+
   test("zorderKey interleaves bits exactly; layout preserves the multiset") {
     val df = Seq((5L, 3L)).toDF("x", "y")
     val k = df.select(Layout.zorderKey(col("x"), col("y"), 3).as("z"))
