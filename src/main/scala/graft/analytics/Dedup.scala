@@ -546,6 +546,78 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT edit-distance self-join by positional q-gram prefix
+    * filtering (Ed-Join, Xiao/Wang/Lin VLDB 2008; positional q-gram
+    * count bound, Gravano et al. VLDB 2001): ALL pairs of strings
+    * with levenshtein ≤ `maxDist` — the fuzzy-matching/record-linkage
+    * complement to [[jaccardPrefixJoin]] (token sets) for corpora
+    * where character-level edits matter (titles, URLs, names, OCR).
+    *
+    * Completeness: a string of length L has L−q+1 positional q-grams
+    * and ONE edit destroys at most q of them, so d edits destroy
+    * ≤ d·q — any pair within distance d shares ≥ L−q+1−d·q grams
+    * whose positions differ by ≤ d. Order all grams by global
+    * frequency (rarest first, ties by gram then position); since at
+    * most d·q prefix grams can be destroyed, the first d·q+1 grams of
+    * each string must contain one surviving shared gram of any
+    * qualifying pair. Equi-joining the d·q+1-gram prefixes with the
+    * |Δpos| ≤ d filter yields a candidate SUPERSET; the banded
+    * `levenshtein(a, b, maxDist)` verify trims it exactly.
+    *
+    * Scale shape: the index carries d·q+1 grams per string no matter
+    * how long the string is, and rarest-first ordering keeps prefix
+    * buckets the smallest in the corpus — frequent-gram floods never
+    * enter a prefix. The length filter (|len(a)−len(b)| ≤ d) prunes
+    * before the verify, and the verify itself is Spark's threshold
+    * levenshtein (banded DP, early exit past maxDist). Shuffles:
+    * gram df count + join back, per-string rank window, prefix
+    * self-join, verify join — all keyed, no cartesian anywhere.
+    *
+    * Contract: strings shorter than q·(maxDist+1) have no guaranteed
+    * surviving gram (d edits can destroy every gram they own) and are
+    * FILTERED OUT — callers wanting short strings should brute-force
+    * that residue separately. Same bounded-corpus honesty note as
+    * [[jaccardPrefixJoin]]: exactness is inherently quadratic on
+    * corpora where every string shares its rare grams.
+    *
+    * Returns (id_a, id_b, dist) with id_a < id_b, dist ≤ maxDist.
+    */
+  def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
+                       maxDist: Int, q: Int = 3): DataFrame = {
+    require(maxDist >= 0, s"maxDist=$maxDist")
+    require(q >= 1, s"q=$q")
+    val k = q * maxDist + 1 // Ed-Join prefix length
+    val s = df.select(col(idCol).as("doc_id"), col(strCol).as("s"))
+      .filter(length(col("s")) >= q * (maxDist + 1))
+    // positional q-grams, 0-based; one codegen'd pass per string
+    val grams = s.select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, length(s) - $q), i -> substring(s, i + 1, $q))")))
+      .select(col("doc_id"), col("pos"), col("col").as("g"))
+    val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("gf"))
+    val wOrd = Window.partitionBy(col("doc_id"))
+      .orderBy(col("gf"), col("g"), col("pos"))
+    val prefix = grams.join(freq, "g")
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") <= k)
+      .select(col("g"), col("doc_id"), col("pos"))
+    val cand = prefix.select(col("g"), col("doc_id").as("id_a"), col("pos").as("pos_a"))
+      .join(prefix.select(col("g"), col("doc_id").as("id_b"), col("pos").as("pos_b")),
+        Seq("g"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("pos_a") - col("pos_b")) <= maxDist)
+      .select(col("id_a"), col("id_b")).distinct()
+    // aggregate barrier: strings materialize once per id, not per pair
+    val strs = s.groupBy(col("doc_id")).agg(first(col("s")).as("s"))
+    cand
+      .join(strs.select(col("doc_id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(strs.select(col("doc_id").as("id_b"), col("s").as("s_b")), "id_b")
+      .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
+      .withColumn("dist", expr(s"levenshtein(s_a, s_b, $maxDist)").cast("long"))
+      .filter(col("dist") >= 0L)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** Cross-corpus segment-level dedup (the C4/RefinedWeb passage trick
     * at fixed granularity): each document splits into consecutive
     * `segTokens`-token chunks, and a chunk is kept only at its FIRST

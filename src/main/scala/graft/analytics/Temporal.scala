@@ -250,6 +250,130 @@ object Temporal {
         col("_fill").as(valueCol))
   }
 
+  /** Funnel analysis: how far through an ordered step sequence (e.g.
+    * view → click → purchase) each key progressed. A step counts as
+    * reached when an event of that type occurs at-or-after the FIRST
+    * time the previous step was reached — the classic min-cascade
+    * semantics (tᵢ = min time of step-i events with t ≥ tᵢ₋₁), which a
+    * single greedy pass over the key's time-ordered events computes
+    * exactly (each tᵢ is the earliest eligible instant, and nothing
+    * before tᵢ₋₁ can ever become eligible later).
+    *
+    * Returns (keyCol, steps_reached: int, step_times: array<long>) —
+    * steps_reached = 0 means the first step never occurred;
+    * step_times(i) is tᵢ₊₁ for the reached prefix.
+    *
+    * Scale shape: ONE key shuffle (the groupBy); the per-key fold is
+    * a codegen'd higher-order `aggregate` over the key's own events —
+    * no join chain, no step-count × corpus re-scans. Per-key state is
+    * that key's event list, the same envelope as sessionization;
+    * pre-filter to the step types (done here) to keep it minimal.
+    * Timestamp ties between different step types are resolved in step
+    * order (an earlier step sorts first), so a later step CAN be
+    * reached at the same instant as its predecessor — matching the
+    * min-cascade's `t >= prev` inequality.
+    */
+  def funnelSteps(
+      events: DataFrame,
+      keyCol: String,
+      typeCol: String,
+      timeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    require(steps.distinct.size == steps.size, "steps must be distinct")
+    // map each event to its step index (1-based); non-step events drop
+    val stepIdx = steps.zipWithIndex
+      .map { case (st, i) => (st, i + 1) }.toMap
+    val idxCol = stepIdx.foldLeft(lit(null).cast("int")) {
+      case (acc, (st, i)) => when(col(typeCol) === st, lit(i)).otherwise(acc)
+    }
+    val n = steps.size
+    events
+      .select(col(keyCol).as("_k"), col(timeCol).cast("long").as("_t"),
+        idxCol.as("_si"))
+      .filter(col("_si").isNotNull)
+      .groupBy(col("_k"))
+      .agg(sort_array(collect_list(struct(col("_t"), col("_si")))).as("_evs"))
+      .withColumn("_acc", expr(
+        // acc = (reached so far, times of reached steps); advance when
+        // the event is the NEXT step (sorted order guarantees t >= all
+        // recorded times, so the >= prev-time check is implicit)
+        s"""aggregate(_evs,
+              struct(0 AS r, CAST(array() AS array<bigint>) AS ts),
+              (a, e) -> IF(e._si = a.r + 1,
+                           struct(a.r + 1 AS r,
+                                  array_append(a.ts, e._t) AS ts),
+                           a))"""))
+      .select(col("_k").as(keyCol), col("_acc.r").as("steps_reached"),
+        col("_acc.ts").as("step_times"))
+  }
+
+  /** Linear-interpolation resample: like [[resampleLocf]] but each
+    * grid value is interpolated between the latest observation
+    * at-or-before and the earliest observation at-or-after the grid
+    * instant: v = vₚ + (vₙ − vₚ)·(t − tₚ)/(tₙ − tₚ). A grid point
+    * coinciding with an observation returns that observation exactly
+    * (guarded branch on tₚ = t — which also covers the series-end
+    * grid point, whose forward frame is empty). Grid spans
+    * ceil(min/step)·step to
+    * floor(max/step)·step per key, so both neighbours always exist —
+    * no extrapolation cases.
+    *
+    * Same union–sort shape as [[resampleLocf]]: ONE key shuffle, one
+    * sort, a backward last(ignoreNulls) and a forward
+    * first(ignoreNulls) window over the same sorted runs (Spark
+    * computes both in a single Window node — no second shuffle).
+    * Value must be DOUBLE; the arithmetic is fixed-order IEEE so the
+    * DuckDB oracle reproduces it bit-for-bit.
+    */
+  def resampleInterpolate(
+      obs: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      step: Long): DataFrame = {
+    require(step > 0, "step must be positive")
+    val grid = obs.groupBy(col(keyCol).as("_k"))
+      .agg(min(col(tsCol)).as("_mn"), max(col(tsCol)).as("_mx"))
+      .withColumn("_gi", explode(expr(
+        s"CASE WHEN (_mn + ${step - 1}L) div ${step}L <= _mx div ${step}L " +
+          s"THEN sequence((_mn + ${step - 1}L) div ${step}L, _mx div ${step}L) " +
+          "ELSE array() END")))
+      .select(col("_k"), (col("_gi") * lit(step)).as("_t"))
+    val o = obs.select(col(keyCol).as("_k"), col(tsCol).cast("long").as("_t"),
+      lit(0).as("_tag"), col(valueCol).cast("double").as("_v"))
+    val g = grid.select(col("_k"), col("_t"), lit(1).as("_tag"),
+      lit(null).cast("double").as("_v"))
+    // obs sorts before grid at an equal instant: the backward window
+    // sees it as "prev at distance 0" and the interpolation collapses
+    // to exactly that observation
+    val wb = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prevT = last(when(col("_tag") === 0, col("_t")), ignoreNulls = true).over(wb)
+    val prevV = last(col("_v"), ignoreNulls = true).over(wb)
+    val nextT = first(when(col("_tag") === 0, col("_t")), ignoreNulls = true).over(wf)
+    val nextV = first(col("_v"), ignoreNulls = true).over(wf)
+    o.unionByName(g)
+      .withColumn("_pt", prevT).withColumn("_pv", prevV)
+      .withColumn("_nt", nextT).withColumn("_nv", nextV)
+      .filter(col("_tag") === 1)
+      // _pt = _t ⟺ an observation sits ON the grid instant — return it
+      // exactly (also the only case where _nt can be null: a grid
+      // point tied with the LAST observation has no row at-or-after
+      // itself in the forward frame). Otherwise _pt < _t < _nt and
+      // both neighbours are non-null.
+      .withColumn("_iv",
+        when(col("_pt") === col("_t"), col("_pv"))
+          .otherwise(col("_pv") +
+            (col("_nv") - col("_pv")) *
+              ((col("_t") - col("_pt")).cast("double") /
+                (col("_nt") - col("_pt")).cast("double"))))
+      .select(col("_k").as(keyCol), col("_t").as(tsCol),
+        col("_iv").as(valueCol))
+  }
+
   /** Range join without an equi-key: pairs every `points` row whose
     * `pointTime` falls in `[startCol, endCol)` of an `intervals` row.
     * Returns INNER matches (interval columns ++ point columns);

@@ -53,6 +53,17 @@ object Analytics {
         t(s, dir, "documents").filter(col("doc_id") < 1000),
         "doc_id", "text", threshold = 0.6)),
 
+    // EXACT edit-distance join (Ed-Join positional q-gram prefixes):
+    // fuzzy record linkage on 48-char title keys, oracle is the
+    // brute-force all-pairs levenshtein scan. Same bounded-corpus
+    // contract as dedup_jaccard_prefix (exactness is quadratic on
+    // adversarially-uniform corpora; block first at open-web scale).
+    "dedup_editdist" -> ((s, dir) =>
+      Dedup.editDistanceJoin(
+        t(s, dir, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id"), substring(col("text"), 1, 48).as("s")),
+        "doc_id", "s", maxDist = 3)),
+
     "dedup_embedding" -> ((s, dir) =>
       Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, method = "lsh")
@@ -1518,6 +1529,17 @@ object Analytics {
          JOIN sz na ON na.doc_id = id_a
          JOIN sz nb ON nb.doc_id = id_b
          WHERE CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) >= 0.6""",
+    // brute-force all-pairs banded by the length filter; the Spark
+    // side must find EXACTLY these pairs through its gram prefixes
+    "dedup_editdist" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 48) AS s
+           FROM documents
+           WHERE doc_id < 400 AND length(substr(text, 1, 48)) >= 12)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+         FROM d a JOIN d b ON a.doc_id < b.doc_id
+         WHERE abs(length(a.s) - length(b.s)) <= 3
+           AND levenshtein(a.s, b.s) <= 3""",
     "dedup_ngram_jaccard" ->
       """WITH sh AS (
            SELECT doc_id,

@@ -251,7 +251,22 @@ object Relational {
         .unpivot(
           Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
-          "metric", "amount"))
+          "metric", "amount")),
+
+    // Cohort retention matrix: users bucketed by first-active day,
+    // counted on every later active day. Two shuffles total — the
+    // (user, day) distinct and the matrix groupBy; the per-user min
+    // rides the same distinct output. All-integer, order-free.
+    "q18_cohort_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val act = ev.select(col("user_id"), tsEpochSeconds(ev).as("ts_s"))
+        .select(col("user_id"), expr("ts_s div 86400").as("day"))
+        .distinct()
+      val coh = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      act.join(coh, "user_id")
+        .groupBy(col("cohort_day"), col("day"))
+        .agg(count(lit(1)).as("users"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -375,6 +390,14 @@ object Relational {
          FROM lineitem WHERE l_orderkey < 2000
          UNION ALL
          SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
-         FROM lineitem WHERE l_orderkey < 2000"""
+         FROM lineitem WHERE l_orderkey < 2000""",
+    "q18_cohort_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+             epoch_ns(ts) // 1000000000 // 86400 AS day
+           FROM events),
+         coh AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1)
+         SELECT cohort_day, day, count(*) AS users
+         FROM act JOIN coh USING (user_id)
+         GROUP BY 1, 2"""
   )
 }

@@ -206,6 +206,37 @@ object Temporal {
       TOps.resampleLocf(obs, "user_id", "ts_s", "v", step = 21600L)
     }),
 
+    // Linear-interpolation resample on the same grid as ts_resample.
+    // Oracle: full window replay (fixed-order IEEE arithmetic — the
+    // interpolation formula is transcribed term-for-term).
+    "ts_interpolate" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val secs = tsEpochSeconds(ev)
+      val obs = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), secs.as("ts_s"), col("value"), col("event_id"))
+        .groupBy(col("user_id"), col("ts_s"))
+        .agg(max_by(col("value"), col("event_id")).as("v"))
+      TOps.resampleInterpolate(obs, "user_id", "ts_s", "v", step = 21600L)
+    }),
+
+    // Funnel min-cascade per user (view → click → purchase). The
+    // operator is a greedy single-pass fold; the oracle is the
+    // independent min-cascade join chain — a hash match PROVES the
+    // greedy ≡ cascade equivalence on this data, per-user, with the
+    // reached-step times exposed.
+    "funnel_user" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val e = ev.select(col("user_id"), col("event_type"),
+        tsEpochSeconds(ev).as("ts_s"))
+      TOps.funnelSteps(e, "user_id", "event_type", "ts_s",
+          Seq("view", "click", "purchase"))
+        .select(col("user_id"),
+          col("steps_reached").cast("long").as("steps_reached"),
+          element_at(col("step_times"), 1).as("t1"),
+          element_at(col("step_times"), 2).as("t2"),
+          element_at(col("step_times"), 3).as("t3"))
+    }),
+
     // Interval × interval overlap (no equi-key): which promo windows
     // collide? Emitted once per pair via the first-shared-bucket
     // guard — no distinct pass.
@@ -487,6 +518,61 @@ object Temporal {
                FROM b, LATERAL unnest(generate_series(gi0, gi1)) AS t(gi))
          SELECT g.user_id, g.ts_s, o.v
          FROM g ASOF LEFT JOIN o ON g.user_id = o.user_id AND g.ts_s >= o.ts_s""",
+    // the union-sort + two-window replay, interpolation transcribed
+    // term-for-term (pv + (nv-pv) * (dt/den)) for bit-exact doubles
+    "ts_interpolate" ->
+      """WITH o AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_s,
+                arg_max(value, event_id) AS v
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         b AS (SELECT user_id, (min(ts_s) + 21599) // 21600 AS gi0,
+                max(ts_s) // 21600 AS gi1 FROM o GROUP BY 1),
+         g AS (SELECT user_id, gi * 21600 AS ts_s
+               FROM b, LATERAL unnest(generate_series(gi0, gi1)) AS t(gi)),
+         u AS (SELECT user_id, ts_s AS t, 0 AS tag, v FROM o
+               UNION ALL
+               SELECT user_id, ts_s, 1, NULL FROM g),
+         w AS (SELECT user_id, t, tag,
+                 last_value(CASE WHEN tag = 0 THEN t END IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY t, tag
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+                 last_value(v IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY t, tag
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                 first_value(CASE WHEN tag = 0 THEN t END IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY t, tag
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+                 first_value(v IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY t, tag
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+               FROM u)
+         SELECT user_id, t AS ts_s,
+           CASE WHEN pt = t THEN pv
+                ELSE pv + (nv - pv) *
+                  (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) END AS v
+         FROM w WHERE tag = 1""",
+    // independent min-cascade formulation: t1 = first view, t2 = first
+    // click at-or-after t1, t3 = first purchase at-or-after t2
+    "funnel_user" ->
+      """WITH e AS (SELECT user_id, event_type,
+                epoch_ns(ts) // 1000000000 AS ts_s
+              FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')),
+         u AS (SELECT DISTINCT user_id FROM e),
+         v AS (SELECT user_id, min(ts_s) AS t1 FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.ts_s) AS t2 FROM e JOIN v USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts_s >= v.t1 GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.ts_s) AS t3 FROM e JOIN c USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts_s >= c.t2 GROUP BY 1)
+         SELECT u.user_id,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS steps_reached,
+           t1, t2, t3
+         FROM u LEFT JOIN v USING (user_id)
+           LEFT JOIN c USING (user_id)
+           LEFT JOIN p USING (user_id)""",
     "join_interval_overlap" ->
       """WITH e AS (SELECT event_id, epoch_ns(ts) // 1000000000 AS ts_s
                     FROM events WHERE event_type = 'purchase' AND value >= 100.0)

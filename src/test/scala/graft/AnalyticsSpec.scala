@@ -75,6 +75,76 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.contains((4L, 5L)) && got((4L, 5L)) == 1.0, "identical pair must score 1.0")
   }
 
+  private def levRef(a: String, b: String): Int = {
+    val dp = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var prev = dp(0); dp(0) = i
+      for (j <- 1 to b.length) {
+        val cur = dp(j)
+        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(b.length)
+  }
+
+  test("editDistanceJoin: known edit pairs, distances exact, far pairs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"),  // identical → dist 0
+      (3L, "the quick browm fox jumps"),  // 1 substitution
+      (4L, "the quick brown fox jump"),   // 1 deletion
+      (5L, "a completely unrelated str"),
+      (6L, "xthe quick brown fox jumps")  // 1 insertion at front
+    ).toDF("doc_id", "s")
+    val got = Dedup.editDistanceJoin(docs, "doc_id", "s", maxDist = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got((1L, 2L)) == 0L)
+    assert(got((1L, 3L)) == 1L && got((1L, 4L)) == 1L && got((1L, 6L)) == 1L)
+    assert(got((2L, 3L)) == 1L && got((3L, 4L)) == 2L)
+    assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L), "unrelated string must not pair")
+  }
+
+  test("editDistanceJoin: 150 random mutated strings match the brute-force scan exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val alpha = "abcdef"
+    def randStr(n: Int) = (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    def mutate(s: String, edits: Int): String = {
+      var cur = s
+      for (_ <- 0 until edits if cur.length > 8) {
+        val i = rnd.nextInt(cur.length)
+        cur = rnd.nextInt(3) match {
+          case 0 => cur.updated(i, alpha(rnd.nextInt(alpha.length))) // sub
+          case 1 => cur.substring(0, i) + cur.substring(i + 1)       // del
+          case _ => cur.substring(0, i) +
+            alpha(rnd.nextInt(alpha.length)) + cur.substring(i)      // ins
+        }
+      }
+      cur
+    }
+    val base = (0 until 50).map(i => randStr(15 + rnd.nextInt(15)))
+    val strs = (base ++ base.map(mutate(_, 1 + rnd.nextInt(3))) ++
+      (0 until 50).map(_ => randStr(15 + rnd.nextInt(15))))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val d = 2
+    val got = Dedup.editDistanceJoin(strs.toDF("doc_id", "s"), "doc_id", "s",
+        maxDist = d, q = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val minLen = 2 * (d + 1) // the operator's documented length floor (q=2)
+    val eligible = strs.filter(_._2.length >= minLen)
+    val brute = (for {
+      (ia, sa) <- eligible; (ib, sb) <- eligible if ia < ib
+      if math.abs(sa.length - sb.length) <= d
+      dist = levRef(sa, sb) if dist <= d
+    } yield (ia, ib) -> dist.toLong).toMap
+    assert(got == brute,
+      s"missed=${(brute.keySet -- got.keySet).take(5)} extra=${(got.keySet -- brute.keySet).take(5)}")
+    assert(brute.nonEmpty, "test corpus must actually contain close pairs")
+  }
+
   test("simhash: near-identical docs collide, distinct docs don't flood") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
     val n = pairs.count()

@@ -303,6 +303,97 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("funnelSteps: cascade semantics on hand-built edges") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: full funnel in order
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "buy", 30L),
+      // u2: click BEFORE the first view never counts; the later one does
+      (2L, "click", 5L), (2L, "view", 10L), (2L, "click", 15L),
+      // u3: same-instant tie advances both steps (>= semantics)
+      (3L, "view", 10L), (3L, "click", 10L), (3L, "buy", 10L),
+      // u4: never views — 0 steps even with clicks/buys
+      (4L, "click", 1L), (4L, "buy", 2L),
+      // u5: noise types ignored; duplicate views keep the FIRST time
+      (5L, "noise", 1L), (5L, "view", 8L), (5L, "view", 3L)
+    ).toDF("u", "ty", "t")
+    val got = Temporal.funnelSteps(ev, "u", "ty", "t", Seq("view", "click", "buy"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getSeq[Long](2).toList))).toMap
+    assert(got(1L) == ((3, List(10L, 20L, 30L))))
+    assert(got(2L) == ((2, List(10L, 15L))))
+    assert(got(3L) == ((3, List(10L, 10L, 10L))))
+    assert(got(4L) == ((0, Nil)))
+    assert(got(5L) == ((1, List(3L))))
+  }
+
+  test("funnelSteps: 300 random event streams match the min-cascade reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val types = Vector("a", "b", "c", "x") // x = noise
+    val rows = for {
+      u <- 0 until 300
+      _ <- 0 until (1 + rnd.nextInt(12))
+    } yield (u.toLong, types(rnd.nextInt(types.length)), rnd.nextInt(40).toLong)
+    val steps = Seq("a", "b", "c")
+    val got = Temporal.funnelSteps(rows.toDF("u", "ty", "t"), "u", "ty", "t", steps)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getSeq[Long](2).toList))).toMap
+    val want = rows.filter(r => steps.contains(r._2)).groupBy(_._1)
+      .map { case (u, evs) =>
+        val ts = scala.collection.mutable.ArrayBuffer[Long]()
+        var prev = Long.MinValue
+        var ok = true
+        for (st <- steps if ok) {
+          val cand = evs.collect { case (_, `st`, t) if t >= prev => t }
+          if (cand.isEmpty) ok = false
+          else { prev = cand.min; ts += prev }
+        }
+        u -> ((ts.size, ts.toList))
+      }
+    assert(got == want)
+  }
+
+  test("resampleInterpolate: midpoint math, on-grid obs exact, series-end grid point") {
+    import spark.implicits._
+    // obs at t=5 (v=10) and t=15 (v=30): grid t=10 is the midpoint;
+    // obs at t=20 (v=100) sits ON the last grid point
+    val obs = Seq(("k", 5L, 10.0), ("k", 15L, 30.0), ("k", 20L, 100.0))
+      .toDF("k", "t", "v")
+    val got = Temporal.resampleInterpolate(obs, "k", "t", "v", step = 10L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == Map(10L -> 20.0, 20L -> 100.0))
+  }
+
+  test("resampleInterpolate: 200 random series match the brute-force reference bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = for {
+      k <- 0 until 200
+      _ <- 0 until (1 + rnd.nextInt(6))
+    } yield (s"k$k", rnd.nextInt(100).toLong, rnd.nextInt(1000).toDouble)
+    val uniq = rows.groupBy(r => (r._1, r._2))
+      .map { case ((k, t), g) => (k, t, g.map(_._3).max) }.toSeq
+    val step = 7L
+    val got = Temporal.resampleInterpolate(uniq.toDF("k", "t", "v"), "k", "t", "v", step)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = uniq.groupBy(_._1).flatMap { case (k, obs0) =>
+      val obs = obs0.map(o => (o._2, o._3)).sortBy(_._1)
+      val gi0 = (obs.head._1 + step - 1) / step
+      val gi1 = obs.last._1 / step
+      (gi0 to gi1).map { gi =>
+        val t = gi * step
+        val (pt, pv) = obs.takeWhile(_._1 <= t).last
+        val v = if (pt == t) pv else {
+          val (nt, nv) = obs.dropWhile(_._1 < t).head
+          pv + (nv - pv) * ((t - pt).toDouble / (nt - pt).toDouble)
+        }
+        (k, t, v)
+      }
+    }.toSet
+    assert(got == want)
+  }
+
   test("hllIntersect final plan: each input's register exchange is computed once") {
     val a = spark.range(0, 2000).toDF("id")
     val b = spark.range(1000, 3000).toDF("id")
