@@ -41,6 +41,36 @@ object Processors {
         .select(col("user_id"), col("event_id"), col("pos"), col("value"))
     }),
 
+    // Incremental aggregate view maintenance: the per-value-bucket
+    // (count, sum) view built at the Jan-16 snapshot, then maintained
+    // to the end of the log by delta processing ONLY — the base is
+    // touched by one semi-join prune, never re-aggregated. Oracle:
+    // full recompute over the whole log (the independent path the
+    // incremental math must reproduce bit-for-bit through decimal).
+    "cdc_incr_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val pos =
+        if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          expr("ts div 1000000000")
+        else unix_timestamp(col("ts"))
+      val log = ev.select(col("user_id"), col("event_id"), pos.as("pos"),
+        when(col("event_type") === "error", lit("delete"))
+          .otherwise(lit("update")).as("op"),
+        col("value"))
+      val splitPos = 1705363200L // 2024-01-16T00:00:00Z
+      val t0 = Cdc.materializeLatest(log.filter(col("pos") <= splitPos),
+        Seq("user_id"), Seq(col("pos"), col("event_id")), "op")
+      val bucket = expr("CAST(floor(value / 100) AS BIGINT)")
+      val v0 = t0.groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).as("sv"))
+      Cdc.maintainGroupedAgg(v0, t0, log.filter(col("pos") > splitPos),
+          Seq("user_id"), Seq(col("pos"), col("event_id")), "op",
+          bucket, col("value").cast("decimal(18,2)"))
+        .select(col("bucket"), col("cnt"),
+          col("sv").cast("double").as("sum_value"))
+    }),
+
     // field.set with a template value referencing the record — typed
     // fast path (150k rows; the template compiles to struct reads).
     // The untyped dynamic-JSON machinery keeps its own gate coverage
@@ -394,6 +424,22 @@ object Processors {
                FROM l)
          SELECT user_id, event_id, pos, value
          FROM r WHERE rn = 1 AND op <> 'delete'""",
+    // full recompute over the ENTIRE log — zero shared machinery with
+    // the snapshot + delta-maintenance path under test
+    "cdc_incr_agg" ->
+      """WITH l AS (SELECT user_id, event_id,
+                epoch_ns(ts) // 1000000000 AS pos,
+                CASE WHEN event_type = 'error' THEN 'delete'
+                     ELSE 'update' END AS op, value
+              FROM events),
+         r AS (SELECT *, row_number() OVER
+                (PARTITION BY user_id ORDER BY pos DESC, event_id DESC) AS rn
+               FROM l),
+         f AS (SELECT * FROM r WHERE rn = 1 AND op <> 'delete')
+         SELECT CAST(floor(value / 100) AS BIGINT) AS bucket,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM f GROUP BY 1""",
     "proc_field_set" ->
       "SELECT o_orderkey, o_orderstatus || '-X' AS status_tag FROM orders",
     "proc_field_rename" ->

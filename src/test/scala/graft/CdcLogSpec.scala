@@ -139,4 +139,33 @@ class CdcLogSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "b", 3L -> "z", 4L -> "new"), s"got $got")
   }
+
+  test("maintainGroupedAgg: snapshot + random delta == full recompute, at every split point") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    // 80 keys × random op sequences; value drives a CHANGING group
+    val log = (for {
+      k <- 0 until 80
+      i <- 0 until (1 + rnd.nextInt(6))
+    } yield (k.toLong, (k * 100 + i).toLong,
+        if (rnd.nextInt(5) == 0) "delete" else "update",
+        rnd.nextInt(1000) / 10.0)).toDF("k", "pos", "op", "v")
+    val bucket = expr("CAST(floor(v / 20) AS BIGINT)")
+    def viewOf(df: org.apache.spark.sql.DataFrame) =
+      Cdc.materializeLatest(df, Seq("k"), Seq(col("pos")), "op")
+        .groupBy(bucket.as("g"))
+        .agg(count(lit(1)).as("cnt"), sum(col("v").cast("decimal(18,2)")).as("sv"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).stripTrailingZeros())).toSet
+    for (split <- Seq(0L, 150L, 400L, 10000L)) {
+      val t0 = Cdc.materializeLatest(log.filter(col("pos") <= split),
+        Seq("k"), Seq(col("pos")), "op")
+      val v1 = Cdc.maintainGroupedAgg(viewOf(log.filter(col("pos") <= split)),
+        t0, log.filter(col("pos") > split), Seq("k"), Seq(col("pos")), "op",
+        bucket, col("v").cast("decimal(18,2)"))
+      assert(canon(v1) == canon(viewOf(log)), s"split=$split")
+    }
+  }
 }
