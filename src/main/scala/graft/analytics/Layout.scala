@@ -73,6 +73,40 @@ object Layout {
         col("bin"), col("bin_bytes"), col("bin_files")): _*)
   }
 
+  /** Per-file column statistics — the footer/metadata a lakehouse
+    * writer records for every file it closes: row count + min/max of
+    * each skipping column. One aggregation over data rows; at 100 TB
+    * the OUTPUT is ~1 row per file (~800k rows for 128 MB files), the
+    * working set every subsequent [[pruneFiles]] call plans against
+    * without touching data.
+    */
+  def fileStats(df: DataFrame, fileCol: String,
+                statCols: Seq[String]): DataFrame = {
+    require(statCols.nonEmpty, "statCols must be non-empty")
+    val aggs = statCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.groupBy(col(fileCol))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Min/max skipping decision over a [[fileStats]] listing: a file
+    * must be read iff EVERY range predicate `[lo, hi]` intersects the
+    * file's `[min, max]` on that column (`max ≥ lo AND min ≤ hi`) —
+    * the conservative test cannot skip a file containing a match.
+    * Under a [[zorderLayout]] write both dimensions prune; under a
+    * single-column sort only that column does. Pure metadata-row
+    * arithmetic: evaluating a 100 TB table's skip set costs one pass
+    * over ~800k stats rows, no data I/O.
+    */
+  def pruneFiles(stats: DataFrame,
+                 ranges: Seq[(String, Long, Long)]): DataFrame = {
+    require(ranges.nonEmpty, "ranges must be non-empty")
+    val mustRead = ranges.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+    }.reduce(_ && _)
+    stats.withColumn("must_read", mustRead)
+  }
+
   def zorderLayout(
       df: DataFrame,
       xCol: String,

@@ -171,6 +171,22 @@ object Temporal {
           .as("zkey"))
     }),
 
+    // Min/max file skipping over a Z-ordered layout: zkey ranges as
+    // deterministic pseudo-files, per-file stats, then the read-side
+    // skip decision for a two-column box predicate. The oracle
+    // replays every zkey bit, the stats, and the intersection test.
+    "layout_prune" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") < 5000)
+        .select(col("l_orderkey"), col("l_partkey"),
+          Layout.zorderKey(col("l_orderkey"), col("l_partkey"), bits = 16)
+            .as("zkey"))
+        .withColumn("file_id", expr("zkey div 16777216"))
+      val stats = Layout.fileStats(li, "file_id",
+        Seq("l_orderkey", "l_partkey"))
+      Layout.pruneFiles(stats,
+        Seq(("l_orderkey", 1000L, 2200L), ("l_partkey", 200L, 1500L)))
+    }),
+
     // Small-file compaction plan: documents as a pseudo file listing
     // (path = doc_id, size = n_chars) partitioned by source — quota
     // bin packing at a 500 B target; files >= target keep bin -1.
@@ -480,6 +496,25 @@ object Temporal {
         s"(((l_partkey >> $i) & 1) << ${2 * i + 1})"))
       s"""SELECT l_orderkey, l_partkey, ${terms.mkString(" | ")} AS zkey
           FROM lineitem WHERE l_orderkey < 5000"""
+    },
+    "layout_prune" -> {
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"(((l_orderkey >> $i) & 1) << ${2 * i})",
+        s"(((l_partkey >> $i) & 1) << ${2 * i + 1})"))
+      s"""WITH z AS (SELECT l_orderkey, l_partkey,
+              (${terms.mkString(" | ")}) // 16777216 AS file_id
+            FROM lineitem WHERE l_orderkey < 5000),
+          s AS (SELECT file_id, count(*) AS n_rows,
+              min(l_orderkey) AS min_l_orderkey,
+              max(l_orderkey) AS max_l_orderkey,
+              min(l_partkey) AS min_l_partkey,
+              max(l_partkey) AS max_l_partkey
+            FROM z GROUP BY 1)
+          SELECT file_id, n_rows, min_l_orderkey, max_l_orderkey,
+            min_l_partkey, max_l_partkey,
+            (max_l_orderkey >= 1000 AND min_l_orderkey <= 2200 AND
+             max_l_partkey >= 200 AND min_l_partkey <= 1500) AS must_read
+          FROM s"""
     },
     // Quota bin packing replay: same exclusive cumsum over
     // (source, small?) ordered by path; integer // division; HUGEINT

@@ -145,4 +145,34 @@ class StatsSpec extends AnyFunSuite {
       assert(zs == zs.sorted, "rows not z-sorted within partition")
     }
   }
+
+  test("fileStats + pruneFiles: never skips a matching row, and z-layout actually prunes") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 4000).map(i =>
+      (rnd.nextInt(256).toLong, rnd.nextInt(256).toLong, i.toLong))
+    // zkey-range pseudo-files: the deterministic stand-in for what a
+    // zorderLayout write produces (tight z-ranges per file)
+    val laid = rows.toDF("x", "y", "id")
+      .withColumn("zkey", Layout.zorderKey(col("x"), col("y"), 8))
+      .withColumn("file_id", expr("zkey div 4096"))
+    val stats = Layout.fileStats(laid, "file_id", Seq("x", "y"))
+    for (_ <- 0 until 20) {
+      val (xl, yl) = (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong)
+      val (xh, yh) = (xl + rnd.nextInt(56), yl + rnd.nextInt(56))
+      val pruned = Layout.pruneFiles(stats, Seq(("x", xl, xh), ("y", yl, yh)))
+        .collect().map(r => r.getAs[Long]("file_id") -> r.getAs[Boolean]("must_read"))
+        .toMap
+      // soundness: every matching row's file is marked must_read
+      val matches = rows.filter(r =>
+        r._1 >= xl && r._1 <= xh && r._2 >= yl && r._2 <= yh)
+      val fileOf = laid.collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("file_id")).toMap
+      matches.foreach { r =>
+        assert(pruned(fileOf(r._3)), s"file of matching row $r was skipped")
+      }
+      // effectiveness: a small box must not force reading every file
+      assert(pruned.values.count(!_) > 0,
+        s"box ($xl-$xh, $yl-$yh) pruned nothing out of ${pruned.size} files")
+    }
+  }
 }
