@@ -26,6 +26,44 @@ object Sampling {
     shiftrightunsigned(splitmix64_hash(id + lit(seed)), BucketBits)
       .bitwiseAND(lit((Buckets - 1).toLong))
 
+  /** Deterministic negative sampling for contrastive pairs: each row
+    * draws `k` pseudo-random partners from the corpus — the classic
+    * in-batch-negatives alternative that works ACROSS batches and is
+    * re-derivable from the recipe (id + seed), unlike `rand()`.
+    *
+    * Mechanism: ids hash into `2^bucketBits` buckets (top bits of
+    * splitmix64, identical on signed/unsigned interpretations); each
+    * bucket elects its smallest id as representative; draw i of row d
+    * re-hashes (h(d) + i) to a target bucket and takes that bucket's
+    * representative. Draws landing on the row itself (or on an empty
+    * bucket) are dropped — callers wanting exactly-k increase `k` or
+    * bucketBits.
+    *
+    * Scale shape: the representative table is ≤ 2^bucketBits rows —
+    * broadcast — so the corpus is never shuffled: one row-local
+    * explode(×k) + a broadcast join. The rep election shuffles only
+    * (bucket, id) pairs with map-side min. Returns
+    * (idCol, draw, neg_id).
+    */
+  def negativeSample(df: DataFrame, idCol: String, k: Int,
+                     bucketBits: Int = 6, seed: Long = 7L): DataFrame = {
+    require(k >= 1, s"k=$k")
+    require(bucketBits >= 1 && bucketBits <= 20, s"bucketBits=$bucketBits")
+    val ids = df.select(col(idCol).as("_id"))
+      .withColumn("_h", splitmix64_hash(col("_id") + lit(seed)))
+    val withB = ids.withColumn("_b",
+      shiftrightunsigned(col("_h"), 64 - bucketBits))
+    val reps = withB.groupBy(col("_b")).agg(min(col("_id")).as("_rep"))
+    val draws = ids
+      .withColumn("_i", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("_tb", shiftrightunsigned(
+        splitmix64_hash(col("_h") + col("_i")), 64 - bucketBits))
+    draws.join(broadcast(reps), draws("_tb") === reps("_b"))
+      .filter(col("_rep") =!= col("_id"))
+      .select(col("_id").as(idCol), col("_i").cast("long").as("draw"),
+        col("_rep").as("neg_id"))
+  }
+
   /** Deterministic hash sample: keeps ≈`fraction` of rows (granularity
     * 1/4096), the SAME rows every run for a given seed. A row-local
     * filter inside the scan — no shuffle, no RNG state, prunable.

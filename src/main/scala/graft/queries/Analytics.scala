@@ -154,6 +154,14 @@ object Analytics {
     "sample_interleave" -> ((s, dir) =>
       Sampling.interleave(t(s, dir, "documents"), "doc_id", seed = 7)),
 
+    // contrastive negatives: 4 pseudo-random bucket-representative
+    // partners per doc, re-derivable from (id, seed); corpus never
+    // shuffles (broadcast rep join). Oracle replays both splitmix64
+    // chains and the rep election.
+    "sample_negatives" -> ((s, dir) =>
+      Sampling.negativeSample(t(s, dir, "documents"), "doc_id",
+        k = 4, bucketBits = 6, seed = 7)),
+
     // weight-proportional sample without replacement (A-Res, log
     // domain): longer documents proportionally more likely; keys are
     // bit-exact (ln correctly rounded in both engines)
@@ -1578,6 +1586,47 @@ object Analytics {
             * 4294967296) % m64 AS x5, m64 FROM mb),
          m3 AS (SELECT doc_id, xor(x5, x5 // 2147483648) AS x6 FROM m2)
          SELECT doc_id FROM m3 WHERE (x6 // 4096) % 4096 < 1024""",
+    // two chained splitmix64 applications: h = sm64(doc_id + 7) gives
+    // the home bucket (top 6 bits = // 2^58) and rep election
+    // (min doc_id per bucket); draw i rehashes (h + i) to the target
+    // bucket; self-collisions drop
+    "sample_negatives" ->
+      """WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+         m0 AS (SELECT doc_id,
+           (CAST(doc_id AS HUGEINT) + 7 + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
+           FROM documents CROSS JOIN c),
+         ma AS (SELECT doc_id, xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
+         m1 AS (SELECT doc_id,
+           (x2 % 4294967296 * 484763065 +
+            ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+            * 4294967296) % m64 AS x3, m64 FROM ma),
+         mb AS (SELECT doc_id, xor(x3, x3 // 134217728) AS x4, m64 FROM m1),
+         m2 AS (SELECT doc_id,
+           (x4 % 4294967296 * 321982955 +
+            ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+            * 4294967296) % m64 AS x5, m64 FROM mb),
+         m3 AS (SELECT doc_id, xor(x5, x5 // 2147483648) AS h FROM m2),
+         reps AS (SELECT h // 288230376151711744 AS bkt, min(doc_id) AS rep
+                  FROM m3 GROUP BY 1),
+         d AS (SELECT doc_id, h, i
+               FROM m3 CROSS JOIN (SELECT range AS i FROM range(0, 4)) r),
+         n0 AS (SELECT doc_id, i,
+           (h + i + CAST(11400714819323198485 AS HUGEINT)) % m64 AS y1, m64
+           FROM d CROSS JOIN c),
+         na AS (SELECT doc_id, i, xor(y1, y1 // 1073741824) AS y2, m64 FROM n0),
+         n1 AS (SELECT doc_id, i,
+           (y2 % 4294967296 * 484763065 +
+            ((y2 % 4294967296 * 3210233709 + (y2 // 4294967296) * 484763065) % 4294967296)
+            * 4294967296) % m64 AS y3, m64 FROM na),
+         nb AS (SELECT doc_id, i, xor(y3, y3 // 134217728) AS y4, m64 FROM n1),
+         n2 AS (SELECT doc_id, i,
+           (y4 % 4294967296 * 321982955 +
+            ((y4 % 4294967296 * 2496678331 + (y4 // 4294967296) * 321982955) % 4294967296)
+            * 4294967296) % m64 AS y5, m64 FROM nb),
+         n3 AS (SELECT doc_id, i, xor(y5, y5 // 2147483648) AS y6 FROM n2)
+         SELECT n3.doc_id, CAST(n3.i AS BIGINT) AS draw, reps.rep AS neg_id
+         FROM n3 JOIN reps ON n3.y6 // 288230376151711744 = reps.bkt
+         WHERE reps.rep <> n3.doc_id""",
     // same splitmix64 chain on user_id + 7; bucket bits 12..23,
     // cumulative cuts round(.8·4096) = 3277, round(.9·4096) = 3686
     "sample_split_group" ->

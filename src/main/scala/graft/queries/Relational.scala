@@ -127,6 +127,18 @@ object Relational {
           (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus"))).cast("long").as("grp"))
     }),
 
+    // CUBE completes the grouping surface next to q8's ROLLUP: all
+    // four grouping sets incl. the linestatus-only marginals, with the
+    // grouping bitmask disambiguating aggregate rows from data rows.
+    "q19_cube_returns" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(d2)).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          (grouping(col("l_returnflag")) * 2 +
+            grouping(col("l_linestatus"))).cast("long").as("grp"))
+    }),
+
     // Event-stream windowing: per-user session counts via lag + gap>30m.
     "q9_user_sessions" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -317,6 +329,12 @@ object Relational {
          count(*) AS n_rows,
          CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS grp
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q19_cube_returns" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         count(*) AS n_rows,
+         CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS grp
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "q9_user_sessions" ->
       """SELECT user_id,
          CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (

@@ -109,6 +109,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(s1 != s3, "different seed must move the sample")
   }
 
+  test("negative sampling: deterministic, no self-pairs, partners spread across the corpus") {
+    val docs = spark.range(0, 5000).toDF("id")
+    val a = Sampling.negativeSample(docs, "id", k = 4, bucketBits = 6, seed = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Sampling.negativeSample(docs.repartition(13), "id", k = 4,
+        bucketBits = 6, seed = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b, "same pairs regardless of partitioning")
+    assert(a.forall { case (id, _, neg) => id != neg }, "no self-pairs")
+    assert(a.forall { case (_, draw, _) => draw >= 0 && draw < 4 })
+    // every row gets close to k draws (only self-collisions drop at
+    // this corpus/bucket ratio), and partners hit many distinct reps
+    assert(a.size > 5000 * 4 * 0.9, s"too many dropped draws: ${a.size}")
+    val partners = a.map(_._3)
+    assert(partners.size > 40, s"only ${partners.size} distinct partners for 64 buckets")
+  }
+
   test("interleave is a deterministic permutation") {
     val r1 = Sampling.interleave(ids, "id", seed = 3).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
