@@ -128,8 +128,12 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local scaling
+    // probes); the official artifact always runs the full set.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     // the unit of measurement: name → a fresh full execution
-    val runnables: Seq[(String, () => Double)] =
+    val runnables0: Seq[(String, () => Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> (() => runNoop(fn(spark, sfDir)))
       } :+ ("stream_gen_1m" -> { () =>
@@ -146,6 +150,10 @@ object Bench {
         runNoop(graft.model.Cdc.ok(
           graft.pipeline.Runner.build(spark, p, streaming = false)))
       })
+
+    val runnables: Seq[(String, () => Double)] =
+      if (only.isEmpty) runnables0
+      else runnables0.filter { case (name, _) => only(name) }
 
     val attempts = scala.collection.mutable.LinkedHashMap
       .empty[String, List[Attempt]]
