@@ -365,6 +365,47 @@ object Text {
           count(lit(1)).cast("double")).as("mean_neg_logprob"))
   }
 
+  /** Bigram-LM perplexity proxy with add-one smoothing: per-document
+    * mean of −ln P(wᵢ | wᵢ₋₁), P = (c(prev,w)+1)/(c(prev)+V) — the
+    * next step up from [[unigramLogProb]] as a fluency signal (word
+    * salad scores high even when its unigrams are common). Documents
+    * with fewer than two tokens have no bigrams and are omitted.
+    *
+    * Scale shape: bigram pairing is row-local (token array
+    * materialized in the projection BELOW the Generate — the posexplode
+    * projection barrier keeps the split un-inlined); the (prev, w) and
+    * context-count aggregations shuffle DISTINCT pairs with map-side
+    * combine, never occurrences; AQE broadcasts both count tables at
+    * real vocabulary sizes; the per-doc score is an idx-ordered
+    * sequential fold (bit-replicable, [[HashFunctions.java_ln]]).
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(wsTokens(lower(trim(col(textCol)))), x => x =!= "")
+    val vocab = df.select(explode(toks).as("tok"))
+      .agg(count_distinct(col("tok")).cast("long").as("v"))
+    val t1 = df.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val big = t1
+      .select(col("doc_id"), col("toks"),
+        posexplode(expr("sequence(1, size(toks) - 1)")))
+      .select(col("doc_id"), col("col").cast("long").as("idx"),
+        element_at(col("toks"), col("col")).as("prev"),
+        element_at(col("toks"), col("col") + 1).as("w"))
+    val cb = big.groupBy(col("prev"), col("w"))
+      .agg(count(lit(1)).cast("long").as("cb"))
+    val cc = cb.groupBy(col("prev")).agg(sum(col("cb")).cast("long").as("cc"))
+    big.join(cb, Seq("prev", "w")).join(cc, Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), struct(col("idx"),
+        (-java_ln((col("cb").cast("double") + lit(1.0)) /
+          (col("cc") + col("v")).cast("double"))).as("nl")).as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        (aggregate(array_sort(collect_list(col("contrib"))), lit(0.0),
+          (acc, x) => acc + x.getField("nl")) /
+          count(lit(1)).cast("double")).as("mean_neg_logprob2"))
+  }
+
   /** Per-document Shannon token entropy (nats): −Σ p·ln p over the
     * token distribution — low entropy flags repetitive/gibberish text,
     * complementing the Gopher repetition features as a quality signal.

@@ -396,6 +396,11 @@ object Analytics {
     "text_unigram_lm" -> ((s, dir) =>
       Text.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
 
+    // add-one-smoothed bigram fluency score: the oracle rebuilds the
+    // bigram/context counts and folds the same idx-ordered IEEE sum
+    "text_bigram_lm" -> ((s, dir) =>
+      Text.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
+
     // DSIR importance weights: target = the English slice, raw = the
     // whole corpus — log importance ratio of hashed-unigram models,
     // bucket-ordered IEEE fold replicated bit-exactly by the oracle
@@ -630,6 +635,31 @@ object Analytics {
            list_reduce(list_prepend(CAST(0 AS DOUBLE),
              list(nl ORDER BY idx)), (a, x) -> a + x) / count(*)
              AS mean_neg_logprob
+         FROM contrib GROUP BY doc_id""",
+    // bigram twin: vocab over ALL non-empty tokens, docs with < 2
+    // tokens omitted, P = (c(prev,w)+1)/(c(prev)+V), idx-ordered fold
+    "text_bigram_lm" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> x <> '') AS toks
+           FROM documents),
+         v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+               FROM (SELECT unnest(toks) AS tok FROM t)),
+         t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+         big AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
+             toks[i] AS prev, toks[i + 1] AS w
+           FROM t2, LATERAL unnest(range(1, len(toks))) AS r(i)),
+         cb AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS cb
+                FROM big GROUP BY 1, 2),
+         cc AS (SELECT prev, CAST(sum(cb) AS BIGINT) AS cc FROM cb GROUP BY 1),
+         contrib AS (
+           SELECT big.doc_id, big.idx,
+             -ln((CAST(cb AS DOUBLE) + 1.0) / CAST(cc + v AS DOUBLE)) AS nl
+           FROM big JOIN cb USING (prev, w) JOIN cc USING (prev) CROSS JOIN v)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(nl ORDER BY idx)), (a, x) -> a + x) / count(*)
+             AS mean_neg_logprob2
          FROM contrib GROUP BY doc_id""",
     // full DSIR replication: FNV-1a HUGEINT fold per distinct token
     // (ASCII corpus: unicode(ch) == byte), power-of-two bucket mod,

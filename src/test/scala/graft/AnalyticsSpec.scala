@@ -583,6 +583,18 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(2L) == 0.0)
   }
 
+  test("bigram LM: hand-computed add-one scores, single-token doc omitted") {
+    import spark.implicits._
+    // vocab {x,y,z} (V=3); cb: (x,y)=2 (y,x)=1 (x,z)=1; cc: x=3 y=1
+    val df = Seq((1L, "x y x y"), (2L, "x z"), (3L, "x")).toDF("doc_id", "text")
+    val out = Text.bigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // d1: -ln(3/6), -ln(2/4), -ln(3/6) → mean ln 2;  d2: -ln(2/6) = ln 3
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - math.log(2.0)) < 1e-12)
+    assert(out(2L)._1 == 1L && math.abs(out(2L)._2 - math.log(3.0)) < 1e-12)
+    assert(!out.contains(3L), "single-token doc has no bigrams")
+  }
+
   test("chunking: overlapping windows cover the document exactly") {
     import spark.implicits._
     val df = Seq((1L, (1 to 25).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
