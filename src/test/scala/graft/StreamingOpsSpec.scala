@@ -53,6 +53,51 @@ class StreamingOpsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming view maintenance: view == full recompute after every batch, deletes and group moves included") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("ivm").toString
+    val (viewDir, baseDir) = (s"$root/view", s"$root/base")
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val sink = StreamingOps.viewMaintenanceSink(viewDir, baseDir,
+      keyCols = Seq("k"), orderCols = Seq("pos"), opCol = "op",
+      groupExpr = expr("CAST(floor(v / 10) AS BIGINT)"),
+      valueExpr = col("v").cast("decimal(18,2)"))
+    val q = in.toDF().toDF("k", "pos", "op", "v")
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation", s"$root/ckpt").start()
+    val all = scala.collection.mutable.ArrayBuffer[(Long, Long, String, Double)]()
+    def check(batch: Seq[(Long, Long, String, Double)]): Unit = {
+      in.addData(batch: _*); q.processAllAvailable()
+      all ++= batch
+      // reference: full recompute over everything delivered so far
+      val live = all.groupBy(_._1).flatMap { case (_, rows) =>
+        val last = rows.maxBy(_._2)
+        if (last._3 == "delete") None else Some(last)
+      }
+      val want = live.groupBy(r => math.floor(r._4 / 10).toLong)
+        .map { case (g, rs) =>
+          (g, rs.size.toLong,
+            rs.map(r => BigDecimal(r._4).setScale(2)).sum) }.toSet
+      val latest = new java.io.File(viewDir).listFiles()
+        .map(_.getName.stripPrefix("batch=").toLong).max
+      val got = spark.read.parquet(s"$viewDir/batch=$latest").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          BigDecimal(r.getDecimal(2)).setScale(2))).toSet
+      assert(got == want, s"after ${all.size} rows: got $got want $want")
+    }
+    // batch 1: three creates across two groups
+    check(Seq((1L, 10L, "update", 5.0), (2L, 11L, "update", 15.0),
+      (3L, 12L, "update", 16.0)))
+    // batch 2: group MOVE (k=1 5.0→25.0), a delete, a new key
+    check(Seq((1L, 20L, "update", 25.0), (2L, 21L, "delete", 0.0),
+      (4L, 22L, "update", 7.0)))
+    // batch 3: stale redelivery (loses to pos 20), re-insert of the
+    // deleted key, same-batch churn on a new key
+    check(Seq((1L, 5L, "update", 99.0), (2L, 30L, "update", 44.0),
+      (5L, 31L, "update", 1.0), (5L, 32L, "update", 2.0)))
+    q.stop()
+  }
+
   test("streaming near-dup against history: LSH candidates, exact verify, every doc classified") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
