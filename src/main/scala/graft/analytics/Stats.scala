@@ -96,4 +96,43 @@ object Stats {
       .filter(abs(col("_v") - col("_med")) > lit(k.toLong) * col("_mad"))
       .drop("_v", "_med", "_mad")
   }
+
+  /** Winsorization at EXACT per-group order statistics: every value is
+    * clipped to [v₍ₖlo₎, v₍ₖhi₎] where kq = ⌈q·n⌉ — the robust
+    * pre-training clip for heavy-tailed features, deterministic
+    * because an order statistic depends only on the value multiset
+    * (tie order cannot change it) and clipping is pure
+    * least/greatest, no arithmetic on the values at all.
+    *
+    * Scale shape: one per-group sort window for the ranks (the same
+    * envelope as [[madOutliers]] — exact order statistics are a sort
+    * per group by nature; use [[Sketch.histogramQuantiles]] when an
+    * approximate cut is acceptable at 100 TB) and one bounds join
+    * back (two rows per group — AQE broadcasts it).
+    */
+  def winsorize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      loQ: Double = 0.05,
+      hiQ: Double = 0.95): DataFrame = {
+    require(loQ > 0 && hiQ < 1 && loQ < hiQ, s"bad quantiles [$loQ, $hiQ]")
+    val g = groupCols.map(col)
+    val wAll = Window.partitionBy(g: _*)
+    val bounds = df
+      .withColumn("_rn", row_number().over(wAll.orderBy(col(valueCol))))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .groupBy(g: _*)
+      .agg(
+        min(when(col("_rn") ===
+          ceil(lit(loQ) * col("_n")).cast("long"), col(valueCol)))
+          .as("_lo"),
+        min(when(col("_rn") ===
+          ceil(lit(hiQ) * col("_n")).cast("long"), col(valueCol)))
+          .as("_hi"))
+    df.join(bounds, groupCols)
+      .withColumn(s"${valueCol}_clipped",
+        least(greatest(col(valueCol), col("_lo")), col("_hi")))
+      .drop("_lo", "_hi")
+  }
 }

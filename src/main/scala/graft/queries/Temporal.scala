@@ -154,6 +154,14 @@ object Temporal {
           k = 3, scale = 2)
         .select(col("event_id"), col("event_type"), col("value"))),
 
+    // Winsorize at exact per-type order statistics [p05, p95] — pure
+    // rank-select + least/greatest, no value arithmetic anywhere.
+    "stats_winsorize" -> ((s, dir) =>
+      Stats.winsorize(
+        t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value")),
+        Seq("event_type"), "value", loQ = 0.05, hiQ = 0.95)),
+
     // Histogram-sketch quantiles: p50/p95/p99 of value per event type
     // from a 1024-bin fixed histogram (state ≤ groups × bins).
     "sketch_quantile_hist" -> ((s, dir) =>
@@ -463,6 +471,22 @@ object Temporal {
                FROM v)
          SELECT event_id, event_type, value FROM a
          WHERE (n * vi - s) * (n * vi - s) > 9 * (n * sq - s * s)""",
+    // same ceil(q*n) rank selection; DOUBLE ceil is the identical IEEE
+    // op in both engines, and the clip is least/greatest on raw values
+    "stats_winsorize" ->
+      """WITH r AS (SELECT event_id, event_type, value,
+                row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                count(*) OVER (PARTITION BY event_type) AS n
+              FROM events),
+         b AS (SELECT event_type,
+                min(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+                    THEN value END) AS lo,
+                min(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                    THEN value END) AS hi
+              FROM r GROUP BY 1)
+         SELECT event_id, event_type, value,
+           least(greatest(value, lo), hi) AS value_clipped
+         FROM events JOIN b USING (event_type)""",
     "stats_mad" ->
       """WITH v AS (SELECT event_id, event_type, value,
                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vi

@@ -55,6 +55,19 @@ class StatsSpec extends AnyFunSuite {
     assert(flagged == Seq(7.5))
   }
 
+  test("winsorize: exact rank cuts, tails clipped, interior untouched, groups isolated") {
+    val df = ((1 to 20).map(i => ("a", i.toLong, i.toDouble)) ++
+      Seq(("b", 100L, 5.0), ("b", 101L, 500.0))).toDF("g", "id", "v")
+    val out = Stats.winsorize(df, Seq("g"), "v", loQ = 0.1, hiQ = 0.9)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("v_clipped")).toMap
+    // group a: n=20 → lo = 2nd smallest (2.0), hi = 18th (18.0)
+    assert(out(1L) == 2.0 && out(2L) == 2.0, "low tail clips to p10")
+    assert(out(19L) == 18.0 && out(20L) == 18.0, "high tail clips to p90")
+    assert(out(10L) == 10.0, "interior value untouched")
+    // group b: n=2 → lo = hi-rank ceil(.1*2)=1 → lo=5.0, hi rank 2 → 500.0
+    assert(out(100L) == 5.0 && out(101L) == 500.0)
+  }
+
   test("groupSplit: rows of one group never straddle splits; partitioning-independent") {
     val rows = (0 until 2000).map(i => (i.toLong % 97, i.toLong))
     val df = rows.toDF("gk", "row_id")
