@@ -97,6 +97,53 @@ object Stats {
       .drop("_v", "_med", "_mad")
   }
 
+  /** Rolling z-score anomaly screen: flag a row when its value
+    * deviates more than k·σ from its OWN key's PRECEDING window of up
+    * to `windowRows` observations — the temporal variant of
+    * [[zscoreOutliers]], catching level shifts a global screen
+    * averages away. The current row is deliberately EXCLUDED from its
+    * frame: a sample containing the candidate bounds the achievable
+    * z² at n−1 (a lone spike in a 10-row inclusive frame can never
+    * exceed 3σ — the test would be vacuous), while scoring against
+    * prior history makes a genuine level shift arbitrarily many σ.
+    * Same division-free integer test on scaled values:
+    * (n·vᵢ − s)² > k²·(n·sq − s²) over the frame, bit-stable under
+    * any partitioning and replicated exactly in the oracle's integer
+    * arithmetic. Rows with fewer than `minObs` prior observations
+    * never flag (cold start), and a zero-variance history flags any
+    * departure from it.
+    *
+    * Scale shape: ONE key shuffle + per-partition sort; the frame
+    * sums are running window aggregates (no self-join, no per-row
+    * re-scan). State per key is the frame, bounded by `windowRows`.
+    */
+  def rollingZOutliers(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String,
+      windowRows: Int = 10,
+      k: Int = 3,
+      scale: Int = 2,
+      minObs: Int = 5): DataFrame = {
+    require(windowRows >= 2 && k >= 1 && minObs >= 2 && minObs <= windowRows)
+    require(scale >= 0 && scale <= 9)
+    val vi = (col(valueCol).cast(s"decimal(18,$scale)") *
+      lit(math.pow(10, scale).toLong)).cast("long")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-windowRows, -1)
+    df.withColumn("_vi", vi)
+      .withColumn("_s", sum(col("_vi")).over(w))
+      .withColumn("_sq", sum(col("_vi") * col("_vi")).over(w))
+      .withColumn("_n", count(lit(1)).over(w))
+      .filter(col("_n") >= minObs &&
+        (col("_n") * col("_vi") - col("_s")) *
+          (col("_n") * col("_vi") - col("_s")) >
+        lit(k.toLong * k) * (col("_n") * col("_sq") - col("_s") * col("_s")))
+      .drop("_vi", "_s", "_sq", "_n")
+  }
+
   /** Winsorization at EXACT per-group order statistics: every value is
     * clipped to [v₍ₖlo₎, v₍ₖhi₎] where kq = ⌈q·n⌉ — the robust
     * pre-training clip for heavy-tailed features, deterministic

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import HashFunctions._
@@ -542,4 +543,29 @@ object Text {
       .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minCount)
+
+  /** Per-group token leaderboard: the k most frequent tokens within
+    * each group (e.g. per language / per source), deterministic via
+    * the (freq desc, token asc) total order — the corpus-profiling
+    * view a mixture designer reads before weighting sources.
+    *
+    * Scale shape: one (group, token) count aggregation with map-side
+    * combine, then a rank window that Spark 4 plans with
+    * `WindowGroupLimit(Partial)` BELOW the exchange (SPARK-37099, the
+    * same shape the ANN top-k rows guard) — each map task forwards at
+    * most k rows per group, so the exchange carries ~k·|groups| rows
+    * no matter the vocabulary size.
+    */
+  def topTokensPerGroup(df: DataFrame, groupCol: String, textCol: String,
+                        k: Int): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val counts = df
+      .select(col(groupCol), explode(wsTokens(lower(trim(col(textCol))))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("freq").desc, col("token").asc)
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
 }

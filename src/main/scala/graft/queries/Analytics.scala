@@ -138,6 +138,11 @@ object Analytics {
     "text_vocab" -> ((s, dir) =>
       Text.vocab(t(s, dir, "documents"), "text", minCount = 5)),
 
+    // per-language token leaderboard (WindowGroupLimit partial top-k
+    // below the exchange — the mixture-design profiling view)
+    "text_top_tokens" -> ((s, dir) =>
+      Text.topTokensPerGroup(t(s, dir, "documents"), "lang", "text", k = 5)),
+
     // deterministic 25% sample — same rows every run for seed 7
     "sample_hash" -> ((s, dir) =>
       Sampling.hashSample(t(s, dir, "documents"), "doc_id", 0.25, seed = 7)
@@ -1596,6 +1601,18 @@ object Analytics {
          FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
                FROM documents)
          WHERE w <> '' GROUP BY w HAVING count(*) >= 5""",
+    "text_top_tokens" ->
+      """WITH c AS (SELECT lang, w AS token, count(*) AS freq
+           FROM (SELECT lang,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+                 FROM documents)
+           WHERE w <> '' GROUP BY 1, 2)
+         SELECT lang, token, freq,
+           CAST(rk AS BIGINT) AS rk
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY lang ORDER BY freq DESC, token ASC) AS rk
+               FROM c)
+         WHERE rk <= 5""",
     // splitmix64(doc_id + 7) replicated (same chain as dedup_embedding
     // plane weights); bucket = bits 12..23 of the unsigned hash,
     // keep bucket < floor(0.25 * 4096)

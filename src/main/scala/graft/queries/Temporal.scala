@@ -154,6 +154,17 @@ object Temporal {
           k = 3, scale = 2)
         .select(col("event_id"), col("event_type"), col("value"))),
 
+    // Rolling z-score over each user's trailing 10 events — the
+    // temporal anomaly screen; division-free integer test, exact.
+    "stats_anomaly_rolling" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val e = ev.select(col("event_id"), col("user_id"), col("value"),
+        tsEpochSeconds(ev).as("ts_s"))
+      Stats.rollingZOutliers(e, Seq("user_id"), Seq("ts_s", "event_id"),
+          "value", windowRows = 10, k = 3, scale = 2, minObs = 5)
+        .select(col("event_id"), col("user_id"), col("value"))
+    }),
+
     // Winsorize at exact per-type order statistics [p05, p95] — pure
     // rank-select + least/greatest, no value arithmetic anywhere.
     "stats_winsorize" -> ((s, dir) =>
@@ -471,6 +482,24 @@ object Temporal {
                FROM v)
          SELECT event_id, event_type, value FROM a
          WHERE (n * vi - s) * (n * vi - s) > 9 * (n * sq - s * s)""",
+    // preceding-frame integer replay (current row EXCLUDED — an
+    // inclusive frame caps z² at n−1 and the k=3 test goes vacuous);
+    // DuckDB widens the sums to HUGEINT but everything fits in 64 bits
+    "stats_anomaly_rolling" ->
+      """WITH v AS (SELECT event_id, user_id, value,
+                epoch_ns(ts) // 1000000000 AS ts_s,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vi
+              FROM events),
+         a AS (SELECT event_id, user_id, value, vi,
+                 sum(vi) OVER w AS s,
+                 sum(vi * vi) OVER w AS sq,
+                 count(*) OVER w AS n
+               FROM v
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id
+                 ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+         SELECT event_id, user_id, value FROM a
+         WHERE n >= 5
+           AND (n * vi - s) * (n * vi - s) > 9 * (n * sq - s * s)""",
     // same ceil(q*n) rank selection; DOUBLE ceil is the identical IEEE
     // op in both engines, and the clip is least/greatest on raw values
     "stats_winsorize" ->

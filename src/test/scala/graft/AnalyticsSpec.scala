@@ -440,6 +440,31 @@ class AnalyticsSpec extends AnyFunSuite {
         Seq(("q1", Seq("the", "data")))), "bm25")
   }
 
+  test("topTokensPerGroup: deterministic leaderboard with the partial-top-k plan shape") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", "a a a b b c"), (2L, "en", "b b d"),
+      (3L, "de", "x y y"), (4L, "de", "y")
+    ).toDF("doc_id", "lang", "text")
+    val out = Text.topTokensPerGroup(df, "lang", "text", k = 2)
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getLong(3)) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    // en: b=4 > a=3; de: y=3 > x=1 — freq desc, token asc is total
+    assert(got(("en", 1L)) == (("b", 4L)) && got(("en", 2L)) == (("a", 3L)))
+    assert(got(("de", 1L)) == (("y", 3L)) && got(("de", 2L)) == (("x", 1L)))
+    // scale guard: the rank must plan with a PARTIAL WindowGroupLimit
+    // below the per-group exchange (same contract as the ANN top-k)
+    val plan = out.queryExecution.executedPlan.toString
+    val fin = plan.indexOf("WindowGroupLimit")
+    assert(fin >= 0 && plan.substring(fin).contains("Final"), plan.take(800))
+    val ex = plan.indexOf("Exchange hashpartitioning(lang", fin)
+    val part = plan.indexOf("WindowGroupLimit", math.max(ex, fin + 1))
+    assert(ex > fin && part > ex &&
+      plan.substring(part, math.min(part + 200, plan.length)).contains("Partial"),
+      s"no partial top-k below the group exchange:\n$plan")
+  }
+
   test("perceptual hash: local byte edits stay near, shifts move far") {
     import graft.analytics.Multimodal.MediaCodecStub.perceptualHash
     val base = ("the quick brown fox jumps over the lazy dog " * 20).getBytes("UTF-8")

@@ -55,6 +55,20 @@ class StatsSpec extends AnyFunSuite {
     assert(flagged == Seq(7.5))
   }
 
+  test("rollingZOutliers: spike vs stable history flags; cold start, constants, and recovery don't") {
+    val rows = ((1 to 8).map(i => (1L, i.toLong, 10.0)) :+ ((1L, 9L, 100.0)) :+
+      ((1L, 10L, 10.0))) ++                       // spike at t=9, recovery at t=10
+      (1 to 10).map(i => (2L, i.toLong, 50.0)) ++ // constant series
+      (1 to 4).map(i => (3L, i.toLong, if (i % 2 == 0) 100.0 else 0.0)) // cold start
+    val flagged = Stats.rollingZOutliers(rows.toDF("u", "t", "v"),
+        Seq("u"), Seq("t"), "v", windowRows = 10, k = 3, scale = 2, minObs = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // t=9 scores against 8 stable rows (zero variance → any departure
+    // flags); t=10's history now CONTAINS the spike, variance inflated,
+    // return-to-normal correctly not flagged; u3 never reaches minObs
+    assert(flagged == Set((1L, 9L)), s"got $flagged")
+  }
+
   test("winsorize: exact rank cuts, tails clipped, interior untouched, groups isolated") {
     val df = ((1 to 20).map(i => ("a", i.toLong, i.toDouble)) ++
       Seq(("b", 100L, 5.0), ("b", 101L, 500.0))).toDF("g", "id", "v")
