@@ -203,6 +203,50 @@ object Temporal {
       .drop("_gid")
   }
 
+  /** Interval subtraction (A \ ∪B per key): the uncovered remainder of
+    * the availability intervals after removing every blackout — the
+    * missing third of the interval algebra next to [[mergeIntervals]]
+    * (union) and [[intervalOverlapJoin]] (intersection test). Both
+    * sides are half-open [s, e); overlapping A's union first (the
+    * sweep counts open intervals, not rows).
+    *
+    * Implementation: a boundary sweep — ±1 events at every interval
+    * edge, pre-aggregated per (key, instant) so ties apply atomically,
+    * ONE key shuffle + sort, running (openA, openB) counts, emit the
+    * segment to the next boundary wherever openA > 0 ∧ openB = 0, then
+    * [[mergeIntervals]] glues touching segments. Cost is linear in
+    * boundary count; no interval×interval join anywhere.
+    */
+  def intervalSubtract(
+      avail: DataFrame,
+      block: DataFrame,
+      keyCol: String,
+      startCol: String,
+      endCol: String): DataFrame = {
+    def edges(df: DataFrame, da: Int, db: Int): DataFrame =
+      df.filter(col(startCol) < col(endCol))
+        .select(col(keyCol).as("_k"), col(startCol).as("_t"),
+          lit(da.toLong).as("_da"), lit(db.toLong).as("_db"))
+        .unionByName(df.filter(col(startCol) < col(endCol))
+          .select(col(keyCol).as("_k"), col(endCol).as("_t"),
+            lit(-da.toLong).as("_da"), lit(-db.toLong).as("_db")))
+    val bounds = edges(avail, 1, 0).unionByName(edges(block, 0, 1))
+      .groupBy(col("_k"), col("_t"))
+      .agg(sum(col("_da")).as("_da"), sum(col("_db")).as("_db"))
+    val wc = Window.partitionBy(col("_k")).orderBy(col("_t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(col("_k")).orderBy(col("_t"))
+    val segs = bounds
+      .withColumn("_ca", sum(col("_da")).over(wc))
+      .withColumn("_cb", sum(col("_db")).over(wc))
+      .withColumn("_nt", lead(col("_t"), 1).over(wn))
+      .filter(col("_ca") > 0L && col("_cb") === 0L &&
+        col("_nt").isNotNull && col("_nt") > col("_t"))
+      .select(col("_k").as(keyCol), col("_t").as(startCol),
+        col("_nt").as(endCol))
+    mergeIntervals(segs, keyCol, startCol, endCol)
+  }
+
   /** Regularize an irregular per-key time series: emit one row per
     * key per multiple of `step` inside that key's observed span, with
     * the value forward-filled from the latest observation at-or-before

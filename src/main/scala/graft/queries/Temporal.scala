@@ -290,6 +290,22 @@ object Temporal {
         .select(col("pa_id"), col("pb_id"))
     }),
 
+    // Interval subtraction: purchase activity windows minus error
+    // blackouts per user (the A \ ∪B remainder). The operator is a
+    // boundary sweep; the oracle is the structurally different
+    // clip-and-gap formulation — independent algorithms must agree.
+    "interval_subtract" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val secs = tsEpochSeconds(ev)
+      val avail = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), secs.as("start_s"),
+          (secs + 7200L).as("end_s"))
+      val block = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), secs.as("start_s"),
+          (secs + 1800L).as("end_s"))
+      TOps.intervalSubtract(avail, block, "user_id", "start_s", "end_s")
+    }),
+
     // Salting must be invisible in the result: the salted fact⋈dim
     // join aggregates to EXACTLY the plain join's numbers (oracle is
     // the plain join) while the physical key is (key, salt).
@@ -471,6 +487,55 @@ object Temporal {
                FROM o)
          SELECT user_id, min(start_s) AS start_s, max(end_s) AS end_s
          FROM g GROUP BY user_id, gid""",
+    // clip-and-gap: merge each side, clip blackouts into each avail
+    // interval, emit the gaps via lag — no sweep state anywhere, so a
+    // hash match checks the sweep against a different algorithm
+    "interval_subtract" ->
+      """WITH pa AS (SELECT user_id, ts_s AS s, ts_s + 7200 AS e
+              FROM (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_s
+                    FROM events WHERE event_type = 'purchase')),
+         bb AS (SELECT user_id, ts_s AS s, ts_s + 1800 AS e
+              FROM (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_s
+                    FROM events WHERE event_type = 'error')),
+         ao AS (SELECT user_id, s, e,
+                 max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+                FROM pa),
+         ag AS (SELECT user_id, s, e,
+                 sum(CASE WHEN rm IS NULL OR s > rm THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+                FROM ao),
+         am AS (SELECT user_id, min(s) AS s, max(e) AS e
+                FROM ag GROUP BY user_id, gid),
+         bo AS (SELECT user_id, s, e,
+                 max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+                FROM bb),
+         bg AS (SELECT user_id, s, e,
+                 sum(CASE WHEN rm IS NULL OR s > rm THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+                FROM bo),
+         bm AS (SELECT user_id, min(s) AS s, max(e) AS e
+                FROM bg GROUP BY user_id, gid),
+         cb AS (SELECT am.user_id AS k, am.s AS ms, am.e AS me,
+                 greatest(bm.s, am.s) AS bs, least(bm.e, am.e) AS be
+                FROM am JOIN bm ON am.user_id = bm.user_id
+                  AND bm.s < am.e AND am.s < bm.e),
+         pts AS (SELECT k, ms, me, bs, be,
+                  lag(be) OVER (PARTITION BY k, ms ORDER BY bs) AS pe
+                 FROM cb),
+         gaps AS (
+           SELECT k, coalesce(pe, ms) AS s, bs AS e FROM pts
+           UNION ALL
+           SELECT k, max(be) AS s, me AS e FROM pts GROUP BY k, ms, me
+           UNION ALL
+           SELECT am.user_id, am.s, am.e FROM am
+           WHERE NOT EXISTS (SELECT 1 FROM cb
+             WHERE cb.k = am.user_id AND cb.ms = am.s))
+         SELECT k AS user_id, s AS start_s, e AS end_s
+         FROM gaps WHERE s < e""",
     "stats_anomaly" ->
       """WITH v AS (SELECT event_id, event_type, value,
                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS vi

@@ -280,6 +280,39 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("intervalSubtract: 200 random keyed sets match point-wise brute force, output canonical") {
+    val rnd = new scala.util.Random(17)
+    def ivs(n: Int) = (0 until n).map { _ =>
+      val s = rnd.nextInt(50).toLong; (s, s + 1 + rnd.nextInt(12).toLong)
+    }
+    val data = (0 until 200).map { k =>
+      (s"k$k", ivs(1 + rnd.nextInt(5)), ivs(rnd.nextInt(5)))
+    }
+    val avail = data.flatMap { case (k, as, _) => as.map(iv => (k, iv._1, iv._2)) }
+      .toDF("k", "s", "e")
+    val block = data.flatMap { case (k, _, bs) => bs.map(iv => (k, iv._1, iv._2)) }
+      .toDF("k", "s", "e")
+    val got = Temporal.intervalSubtract(avail, block, "k", "s", "e")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).sortBy(_._1).toSeq).toMap
+    data.foreach { case (k, as, bs) =>
+      val out = got.getOrElse(k, Seq.empty)
+      // exact point-wise semantics on the integer grid
+      (0L until 70L).foreach { p =>
+        val want = as.exists(iv => p >= iv._1 && p < iv._2) &&
+          !bs.exists(iv => p >= iv._1 && p < iv._2)
+        val have = out.exists(iv => p >= iv._1 && p < iv._2)
+        assert(have == want, s"key $k point $p: have=$have want=$want out=$out")
+      }
+      // canonical form: disjoint, non-touching, non-empty
+      out.foreach { case (s, e) => assert(s < e) }
+      out.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(s2 > e1, s"touching segments in $out")
+        case _ =>
+      }
+    }
+  }
+
   test("resampleLocf: 200 random series match brute force") {
     val rnd = new scala.util.Random(7)
     val rows = for {
