@@ -294,6 +294,46 @@ object Temporal {
         col("_fill").as(valueCol))
   }
 
+  /** Absence detection: the probe rows with NO event in the following
+    * window [t, t+window) on the same key — "clicks that never
+    * converted within two hours", the negative-space complement of
+    * [[asOfJoin]] (which attaches the most recent PAST event). An
+    * anti-join against a range predicate would plan as a broadcast
+    * nested loop; this is the union–sort formulation instead: ONE key
+    * shuffle, one sort, a forward first(ignoreNulls) window finds each
+    * probe's next event, and a row-local comparison decides absence.
+    * An event AT the probe instant counts as present (events sort
+    * after probes at ties, inside the forward frame).
+    *
+    * Returns the probe rows (original columns) that had no event.
+    */
+  def absentWithin(
+      probe: DataFrame,
+      events: DataFrame,
+      probeKey: String,
+      eventKey: String,
+      probeTime: String,
+      eventTime: String,
+      window: Long): DataFrame = {
+    require(window > 0, "window must be positive")
+    val pCols = probe.columns.toSeq
+    val pSel: Seq[Column] =
+      Seq(col(probeKey).as("_k"), col(probeTime).cast("long").as("_t"),
+        lit(0).as("_tag")) ++ pCols.map(c => col(c).as(s"_p_$c"))
+    val eSel: Seq[Column] =
+      Seq(col(eventKey).as("_k"), col(eventTime).cast("long").as("_t"),
+        lit(1).as("_tag")) ++
+        pCols.map(c => lit(null).cast(probe.schema(c).dataType).as(s"_p_$c"))
+    val wf = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    probe.select(pSel: _*).unionByName(events.select(eSel: _*))
+      .withColumn("_ne",
+        first(when(col("_tag") === 1, col("_t")), ignoreNulls = true).over(wf))
+      .filter(col("_tag") === 0 &&
+        (col("_ne").isNull || col("_ne") >= col("_t") + lit(window)))
+      .select(pCols.map(c => col(s"_p_$c").as(c)): _*)
+  }
+
   /** Funnel analysis: how far through an ordered step sequence (e.g.
     * view → click → purchase) each key progressed. A step counts as
     * reached when an event of that type occurs at-or-after the FIRST

@@ -254,6 +254,20 @@ object Temporal {
       TOps.resampleInterpolate(obs, "user_id", "ts_s", "v", step = 21600L)
     }),
 
+    // Absence detection: clicks with NO purchase in the next 2 hours
+    // (union-sort forward window, never a nested-loop anti-join).
+    // Oracle: the independent NOT EXISTS range subquery.
+    "ts_absence" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val secs = tsEpochSeconds(ev)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), secs.as("ts_s"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), secs.as("p_ts_s"))
+      TOps.absentWithin(clicks, purchases, "user_id", "p_uid",
+        "ts_s", "p_ts_s", window = 7200L)
+    }),
+
     // Funnel min-cascade per user (view → click → purchase). The
     // operator is a greedy single-pass fold; the oracle is the
     // independent min-cascade join chain — a hash match PROVES the
@@ -703,6 +717,17 @@ object Temporal {
                 ELSE pv + (nv - pv) *
                   (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) END AS v
          FROM w WHERE tag = 1""",
+    // the anti-join the operator deliberately avoids planning
+    "ts_absence" ->
+      """WITH c AS (SELECT event_id, user_id,
+                epoch_ns(ts) // 1000000000 AS ts_s
+              FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_s
+               FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id, c.ts_s FROM c
+         WHERE NOT EXISTS (SELECT 1 FROM p
+           WHERE p.user_id = c.user_id
+             AND p.ts_s >= c.ts_s AND p.ts_s < c.ts_s + 7200)""",
     // independent min-cascade formulation: t1 = first view, t2 = first
     // click at-or-after t1, t3 = first purchase at-or-after t2
     "funnel_user" ->

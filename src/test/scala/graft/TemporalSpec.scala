@@ -280,6 +280,33 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("absentWithin: tie at the probe instant counts as present; random sets match brute force") {
+    import spark.implicits._
+    val probe = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "t", "tag")
+    val events = Seq((1L, 10L), (1L, 35L)).toDF("ek", "et")
+    val got = Temporal.absentWithin(probe, events, "k", "ek", "t", "et", window = 10L)
+      .collect().map(_.getString(2)).toSet
+    // "a": event AT t=10 → present; "b": next event 35 ≥ 30 → absent;
+    // "c": key with no events → absent
+    assert(got == Set("b", "c"), got.toString)
+
+    val rnd = new scala.util.Random(23)
+    val ps = for (k <- 0 until 150; _ <- 0 until (1 + rnd.nextInt(4)))
+      yield (k.toLong, rnd.nextInt(100).toLong)
+    val es = for (k <- 0 until 150; _ <- 0 until rnd.nextInt(5))
+      yield (k.toLong, rnd.nextInt(100).toLong)
+    val w = 7L
+    val out = Temporal.absentWithin(
+        ps.toDF("k", "t"), es.toDF("ek", "et"), "k", "ek", "t", "et", w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = ps.filter { case (k, t) =>
+      !es.exists { case (ek, et) => ek == k && et >= t && et < t + w }
+    }.toSet
+    assert(out == want,
+      s"missing=${(want -- out).take(5)} extra=${(out -- want).take(5)}")
+  }
+
   test("intervalSubtract: 200 random keyed sets match point-wise brute force, output canonical") {
     val rnd = new scala.util.Random(17)
     def ivs(n: Int) = (0 until n).map { _ =>
