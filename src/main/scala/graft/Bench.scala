@@ -73,6 +73,28 @@ object Bench {
     def globalMaxSecs(): Double = globalMax.get() / 1e9
   }
 
+  /** ==In-artifact A/A calibration (round 8)==
+    * The round-7 artifact ran in a "sustained slow host" regime the
+    * discrete-freeze sentinel cannot flag: every query uniformly
+    * ~25-30% above the clean record with clean steal/heartbeat
+    * telemetry, so cross-artifact comparison needed a PERF.md note.
+    * The bench now carries its own yardstick: a fixed, data-free,
+    * CPU-bound codegen probe (xxhash64 fold over a 1B range on 32
+    * slices — no I/O, no shuffle beyond the single-row agg, immune to
+    * data-scale and plan changes; each sample = min of 3 executions)
+    * executed at bench start, middle and end. `CalibrationRefSecs` is
+    * its clean-host time (min over repeated full runs on a
+    * verified-clean host: steal 0.03 s, max gap 0.06 s; recorded
+    * round 8). `calibration_factor` = min(all probes)/ref — min,
+    * because a transient stall inflates some probes but only a
+    * SUSTAINED slow regime inflates all of them. factor ≈ 1 ⇒ the
+    * artifact compares directly across rounds; factor 1.3 ⇒ the host
+    * ran ~30% slow and `total_min_calibrated` (= total_min/factor)
+    * estimates the clean-host number in-artifact. The divisor is
+    * clamped at 1 so a fast host can never INFLATE the claim.
+    */
+  private val CalibrationRefSecs = 0.21
+
   private final case class Attempt(secs: Double, stealS: Double, gapS: Double, gcS: Double) {
     /** Host interference verdict, not engine quality: >1 CPU-s stolen,
       * or a >1 s whole-JVM freeze that GC doesn't account for. */
@@ -120,6 +142,23 @@ object Bench {
         (gcMillis() - g0) / 1000.0)
     }
 
+    // each sample = min of 3 executions: single executions of the 1B
+    // fold still jitter ±50 ms with JIT/scheduling noise; the min of 3
+    // is a stable host-speed estimate and total probe overhead stays
+    // ~6 s per bench run
+    def calibrationProbe(): Double = {
+      import org.apache.spark.sql.functions.{xxhash64, col => c, bit_xor}
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 1000000000L, 1L, 32)
+          .select(xxhash64(c("id")).as("h")).agg(bit_xor(c("h")))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      Seq(once(), once(), once()).min
+    }
+    val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+
     // warmup: touch every table + exercise codegen/JSON paths once
     SparkEntry.queries.get("q1_pricing_summary").foreach(q =>
       try q(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -153,7 +192,15 @@ object Bench {
 
     val runnables: Seq[(String, () => Double)] =
       if (only.isEmpty) runnables0
-      else runnables0.filter { case (name, _) => only(name) }
+      else {
+        // a typo must not yield an empty-but-valid-looking artifact
+        val known = runnables0.map(_._1).toSet
+        val unknown = only.diff(known)
+        require(unknown.isEmpty, "SPARK_GRAFT_ONLY names not runnable: " +
+          unknown.toSeq.sorted.mkString(", ") +
+          s" (known: ${known.toSeq.sorted.mkString(", ")})")
+        runnables0.filter { case (name, _) => only(name) }
+      }
 
     val attempts = scala.collection.mutable.LinkedHashMap
       .empty[String, List[Attempt]]
@@ -166,9 +213,14 @@ object Bench {
     // between the passes IS the single-shot noise floor. Steady attempts
     // flagged by the host sentinel re-run (≤3 total) so `queries_min`
     // is freeze-free without manual forensics.
+    // probe twice up front (the first touches the noop/codegen path)
+    calibrationProbe(); probes += calibrationProbe()
+
     val cold = runnables.map { case (name, run) =>
       val a = instrument(run); record(name, a); name -> a.secs
     }.to(scala.collection.mutable.LinkedHashMap)
+
+    probes += calibrationProbe() // mid-run host-speed sample
 
     val steady = runnables.map { case (name, run) =>
       var a = instrument(run); record(name, a)
@@ -204,11 +256,17 @@ object Bench {
         } + "}"
     }.mkString("{", ",", "}")
 
+    probes += calibrationProbe() // end-of-run host-speed sample
+
     val total = cold.values.filter(_ >= 0).sum
     val totalSteady = steady.values.filter(_ >= 0).sum
     val totalMin = minMap.values.filter(_ >= 0).sum
     val stealTotal = (stealJiffies() - benchSteal0) / 100.0
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${js(cold)},"queries_steady":${js(steady)},"queries_min":${js(minMap)},"total_steady":${f(totalSteady)},"total_min":${f(totalMin)},"stall_suspects":$suspects,"steal_delta_s":${f(stealTotal)},"max_gap_s":${f(Heartbeat.globalMaxSecs())},"sf":"$sfDir"}""")
+    val calFactor = probes.min / CalibrationRefSecs
+    val calJson = "{\"probe_s\":" + arr(probes.toSeq) +
+      ",\"ref_s\":" + f(CalibrationRefSecs) +
+      ",\"factor\":" + f(calFactor) + "}"
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${js(cold)},"queries_steady":${js(steady)},"queries_min":${js(minMap)},"total_steady":${f(totalSteady)},"total_min":${f(totalMin)},"calibration":$calJson,"total_min_calibrated":${f(totalMin / math.max(calFactor, 1.0))},"stall_suspects":$suspects,"steal_delta_s":${f(stealTotal)},"max_gap_s":${f(Heartbeat.globalMaxSecs())},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -580,6 +580,12 @@ object Dedup {
     * [[jaccardPrefixJoin]]: exactness is inherently quadratic on
     * corpora where every string shares its rare grams.
     *
+    * Ids must be unique per string: exact duplicate (id, s) rows are
+    * collapsed up front, but two DIFFERENT strings under one id fail
+    * loudly — otherwise both strings' grams would enter one prefix
+    * window and an arbitrary one would verify, yielding
+    * nondeterministic distances/missed pairs.
+    *
     * Returns (id_a, id_b, dist) with id_a < id_b, dist ≤ maxDist.
     */
   def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
@@ -587,8 +593,17 @@ object Dedup {
     require(maxDist >= 0, s"maxDist=$maxDist")
     require(q >= 1, s"q=$q")
     val k = q * maxDist + 1 // Ed-Join prefix length
+    // unique-id contract enforced before any gram enters the index
     val s = df.select(col(idCol).as("doc_id"), col(strCol).as("s"))
       .filter(length(col("s")) >= q * (maxDist + 1))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(first(col("s")).as("_s"), count(lit(1)).as("_c"))
+      .select(col("doc_id"),
+        when(col("_c") > 1, raise_error(concat(
+            lit("editDistanceJoin: conflicting strings under id "),
+            col("doc_id").cast("string"))).cast("string"))
+          .otherwise(col("_s")).as("s"))
     // positional q-grams, 0-based; one codegen'd pass per string
     val grams = s.select(col("doc_id"),
         posexplode(expr(
@@ -607,11 +622,11 @@ object Dedup {
       .filter(col("id_a") < col("id_b") &&
         abs(col("pos_a") - col("pos_b")) <= maxDist)
       .select(col("id_a"), col("id_b")).distinct()
-    // aggregate barrier: strings materialize once per id, not per pair
-    val strs = s.groupBy(col("doc_id")).agg(first(col("s")).as("s"))
+    // s is already one row per id (contract aggregate above), so it
+    // joins back directly — strings materialize once per id, not per pair
     cand
-      .join(strs.select(col("doc_id").as("id_a"), col("s").as("s_a")), "id_a")
-      .join(strs.select(col("doc_id").as("id_b"), col("s").as("s_b")), "id_b")
+      .join(s.select(col("doc_id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(s.select(col("doc_id").as("id_b"), col("s").as("s_b")), "id_b")
       .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
       .withColumn("dist", expr(s"levenshtein(s_a, s_b, $maxDist)").cast("long"))
       .filter(col("dist") >= 0L)

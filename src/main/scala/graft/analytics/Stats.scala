@@ -109,9 +109,14 @@ object Stats {
     * Same division-free integer test on scaled values:
     * (n·vᵢ − s)² > k²·(n·sq − s²) over the frame, bit-stable under
     * any partitioning and replicated exactly in the oracle's integer
-    * arithmetic. Rows with fewer than `minObs` prior observations
-    * never flag (cold start), and a zero-variance history flags any
-    * departure from it.
+    * arithmetic — computed in decimal(38,0) (128-bit, the oracle's
+    * HUGEINT domain), NOT long: the squared terms wrap 64 bits
+    * already at |value| ≈ 10⁷ with scale=2, silently inverting the
+    * flag. With |scaled value| ≤ 10¹⁹/(2·windowRows·k) every
+    * intermediate stays below 10³⁸; values beyond that bound fail
+    * loudly (raise_error) instead of corrupting the test. Rows with
+    * fewer than `minObs` prior observations never flag (cold start),
+    * and a zero-variance history flags any departure from it.
     *
     * Scale shape: ONE key shuffle + per-partition sort; the frame
     * sums are running window aggregates (no self-join, no per-row
@@ -128,8 +133,17 @@ object Stats {
       minObs: Int = 5): DataFrame = {
     require(windowRows >= 2 && k >= 1 && minObs >= 2 && minObs <= windowRows)
     require(scale >= 0 && scale <= 9)
-    val vi = (col(valueCol).cast(s"decimal(18,$scale)") *
+    val viLong = (col(valueCol).cast(s"decimal(18,$scale)") *
       lit(math.pow(10, scale).toLong)).cast("long")
+    // decimal(38,0)-safe magnitude bound: both test sides peak at
+    // ~4·windowRows²·vi² (lhs) and ~2·k²·windowRows²·vi² (rhs)
+    val maxVi = (1e19 / (2.0 * windowRows * k)).toLong
+    val vi = when(abs(viLong) > maxVi,
+        raise_error(concat(lit("rollingZOutliers: |value|*10^scale = "),
+          abs(viLong), lit(s" exceeds the 128-bit-safe bound $maxVi " +
+            s"(windowRows=$windowRows, k=$k, scale=$scale) — lower " +
+            "scale or pre-clip the value column"))).cast("decimal(38,0)"))
+      .otherwise(viLong.cast("decimal(38,0)"))
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(-windowRows, -1)

@@ -262,9 +262,25 @@ object Temporal {
     * equal ts).
     *
     * `obs` must be unique per (keyCol, tsCol) — pre-aggregate ties
-    * (e.g. max_by) for a deterministic fill. Timestamps must be
-    * non-negative longs (epoch seconds/millis).
+    * (e.g. max_by) for a deterministic fill. Negative (pre-1970)
+    * epochs are handled: the grid endpoints use floor/ceil-safe
+    * division, not Spark's truncate-toward-zero `div`.
     */
+  /** Grid index span ceil(_mn/step)..floor(_mx/step) as a SQL
+    * sequence, empty when the span contains no step multiple.
+    * Floor/ceil-SAFE division: Spark `div` truncates toward zero
+    * while the documented span (and DuckDB's `//` oracle) floors —
+    * for negative (pre-1970) epochs the truncating form shifts both
+    * endpoints up by one. floor = div minus one when the remainder is
+    * negative; ceil = div plus one when it is positive (Spark `%`
+    * takes the dividend's sign).
+    */
+  private def gridSpanSql(step: Long): String = {
+    val lo = s"((_mn div ${step}L) + (CASE WHEN _mn % ${step}L > 0 THEN 1L ELSE 0L END))"
+    val hi = s"((_mx div ${step}L) - (CASE WHEN _mx % ${step}L < 0 THEN 1L ELSE 0L END))"
+    s"CASE WHEN $lo <= $hi THEN sequence($lo, $hi) ELSE array() END"
+  }
+
   def resampleLocf(
       obs: DataFrame,
       keyCol: String,
@@ -276,10 +292,7 @@ object Temporal {
     val grid = obs.groupBy(col(keyCol).as("_k"))
       .agg(min(col(tsCol)).as("_mn"), max(col(tsCol)).as("_mx"))
       // sequence(a, b) DESCENDS when a > b — guard the empty-span case
-      .withColumn("_gi", explode(expr(
-        s"CASE WHEN (_mn + ${step - 1}L) div ${step}L <= _mx div ${step}L " +
-          s"THEN sequence((_mn + ${step - 1}L) div ${step}L, _mx div ${step}L) " +
-          "ELSE array() END")))
+      .withColumn("_gi", explode(expr(gridSpanSql(step))))
       .select(col("_k"), (col("_gi") * lit(step)).as("_t"))
     val o = obs.select(col(keyCol).as("_k"), col(tsCol).cast("long").as("_t"),
       lit(0).as("_tag"), col(valueCol).as("_v"))
@@ -419,10 +432,7 @@ object Temporal {
     require(step > 0, "step must be positive")
     val grid = obs.groupBy(col(keyCol).as("_k"))
       .agg(min(col(tsCol)).as("_mn"), max(col(tsCol)).as("_mx"))
-      .withColumn("_gi", explode(expr(
-        s"CASE WHEN (_mn + ${step - 1}L) div ${step}L <= _mx div ${step}L " +
-          s"THEN sequence((_mn + ${step - 1}L) div ${step}L, _mx div ${step}L) " +
-          "ELSE array() END")))
+      .withColumn("_gi", explode(expr(gridSpanSql(step))))
       .select(col("_k"), (col("_gi") * lit(step)).as("_t"))
     val o = obs.select(col(keyCol).as("_k"), col(tsCol).cast("long").as("_t"),
       lit(0).as("_tag"), col(valueCol).cast("double").as("_v"))

@@ -254,10 +254,13 @@ object StreamingOps {
     * prune, never re-aggregated) and base' = materializeLatest(base ∪
     * batch) (base rows carry their original order columns, so stale
     * redeliveries lose to the state they would regress). Both land in
-    * `batch=<id>` subdirectories; readers and the next batch resolve
-    * the highest committed id, so a crashed write of batch n is
-    * superseded by the re-run under the same id (idempotent restart —
-    * the at-least-once contract every sink in this engine gives).
+    * `batch=<id>` subdirectories; batch n reads its inputs ONLY from
+    * committed (`_SUCCESS`-marked) dirs with id < n, so a foreachBatch
+    * replay of batch n after a crash — even a crash BETWEEN the view
+    * write and the base write — recomputes from exactly the same
+    * pre-n state and overwrites its own partial output (idempotent
+    * restart); a mid-write partial dir can never be mistaken for
+    * committed state. Readers use the same committed-only rule.
     *
     * At 100 TB the view stays metadata-sized while the base rewrite
     * is the same cost envelope as any compacted streaming table; swap
@@ -273,14 +276,22 @@ object StreamingOps {
       groupExpr: Column,
       valueExpr: Column): (DataFrame, Long) => Unit = {
 
-    def latestDir(root: String): Option[String] = {
-      val d = new java.io.File(root)
-      Option(d.listFiles()).map(_.filter(f => f.isDirectory &&
-          f.getName.startsWith("batch=")).map(_.getName.stripPrefix("batch=").toLong))
-        .filter(_.nonEmpty).map(ids => s"$root/batch=${ids.max}")
-    }
-
     (batch: DataFrame, batchId: Long) => {
+      // committed-state resolution: ids STRICTLY below the current
+      // batch (a replay of batch n must not read its own partial
+      // output from the crashed attempt) and only dirs Spark's
+      // committer finished (_SUCCESS) — a mid-write crash leaves a
+      // marker-less dir that must never be read as state
+      def latestDir(root: String): Option[String] = {
+        val d = new java.io.File(root)
+        Option(d.listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+          .flatMap(f => scala.util.Try(
+            f.getName.stripPrefix("batch=").toLong).toOption.map(_ -> f))
+          .filter { case (id, f) =>
+            id < batchId && new java.io.File(f, "_SUCCESS").isFile }
+          .sortBy(_._1).lastOption.map { case (id, _) => s"$root/batch=$id" }
+      }
       val spark = batch.sparkSession
       val base = latestDir(baseDir).map(spark.read.parquet(_))
         .getOrElse(batch.limit(0))

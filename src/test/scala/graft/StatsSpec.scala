@@ -69,6 +69,28 @@ class StatsSpec extends AnyFunSuite {
     assert(flagged == Set((1L, 9L)), s"got $flagged")
   }
 
+  test("rollingZOutliers: large magnitudes don't wrap (128-bit test), out-of-bound values fail loudly") {
+    // |value| ~ 1e9 at scale 2: the squared terms reach ~6.4e23, far
+    // past Long — the old 64-bit formulation silently inverted flags
+    // above |value| ≈ 1e7
+    val rows = (1 to 8).map(i => (1L, i.toLong, 1.0e9)) :+ ((1L, 9L, 2.0e9))
+    val flagged = Stats.rollingZOutliers(rows.toDF("u", "t", "v"),
+        Seq("u"), Seq("t"), "v", windowRows = 10, k = 3, scale = 2, minObs = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged == Set((1L, 9L)), s"got $flagged")
+    // beyond the documented 128-bit-safe bound (but inside the
+    // decimal(18,2) scaling cast, which guards even larger values
+    // itself under ANSI): loud failure, never a silent wrong answer
+    val huge = (1 to 6).map(i => (1L, i.toLong, 5.0e15)).toDF("u", "t", "v")
+    val ex = intercept[Exception] {
+      Stats.rollingZOutliers(huge, Seq("u"), Seq("t"), "v",
+        windowRows = 10, k = 3, scale = 2, minObs = 5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("128-bit-safe bound")), ex.toString)
+  }
+
   test("winsorize: exact rank cuts, tails clipped, interior untouched, groups isolated") {
     val df = ((1 to 20).map(i => ("a", i.toLong, i.toDouble)) ++
       Seq(("b", 100L, 5.0), ("b", 101L, 500.0))).toDF("g", "id", "v")

@@ -98,6 +98,48 @@ class StreamingOpsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("view maintenance replay: re-running a batch after a crash does not double-count") {
+    // foreachBatch's at-least-once contract: batch n can re-run after a
+    // crash anywhere — including BETWEEN the view write and the base
+    // write. The sink must read state only from _SUCCESS-committed dirs
+    // with id < n, so the replay recomputes from the same pre-n state.
+    val root = java.nio.file.Files.createTempDirectory("ivm-replay").toString
+    val (viewDir, baseDir) = (s"$root/view", s"$root/base")
+    val sink = StreamingOps.viewMaintenanceSink(viewDir, baseDir,
+      keyCols = Seq("k"), orderCols = Seq("pos"), opCol = "op",
+      groupExpr = expr("CAST(floor(v / 10) AS BIGINT)"),
+      valueExpr = col("v").cast("decimal(18,2)"))
+    def df(rows: (Long, Long, String, Double)*) =
+      rows.toDF("k", "pos", "op", "v")
+    val b0 = df((1L, 10L, "update", 5.0), (2L, 11L, "update", 15.0))
+    val b1 = df((1L, 20L, "update", 25.0), (3L, 21L, "update", 16.0))
+    sink(b0, 0L)
+    sink(b1, 1L)
+    def view(id: Long) = spark.read.parquet(s"$viewDir/batch=$id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDecimal(2)).setScale(2))).toSet
+    val clean = view(1L)
+    // crash-replay of batch 1: the first attempt's outputs for batch=1
+    // exist (view written, base written or partial) — the re-run must
+    // IGNORE them and read batch=0 state, reproducing the same result
+    sink(b1, 1L)
+    assert(view(1L) == clean,
+      s"replay double-counted: got ${view(1L)} want $clean")
+    // the delta must have applied exactly once: k=1 moved bucket 0
+    // (5.0) -> bucket 2 (25.0); k3's 16.0 joins k2's 15.0 in bucket 1
+    val want = Set((1L, 2L, BigDecimal(31.0).setScale(2)),
+      (2L, 1L, BigDecimal(25.0).setScale(2)))
+    assert(clean == want, s"got $clean want $want")
+    // a marker-less (mid-write-crash) dir is never read as state: plant
+    // an empty batch=2 dir and run batch 3 — it must resolve batch=1
+    new java.io.File(s"$baseDir/batch=2").mkdirs()
+    new java.io.File(s"$viewDir/batch=2").mkdirs()
+    sink(df((2L, 30L, "delete", 0.0)), 3L)
+    val after = view(3L)
+    assert(after == Set((1L, 1L, BigDecimal(16.0).setScale(2)),
+      (2L, 1L, BigDecimal(25.0).setScale(2))), s"got $after")
+  }
+
   test("streaming near-dup against history: LSH candidates, exact verify, every doc classified") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -253,6 +253,25 @@ class TemporalSpec extends AnyFunSuite {
       ("u2", 20L, 9.0), ("u2", 30L, 9.0)))
   }
 
+  test("resample grids floor correctly on negative (pre-1970) epochs") {
+    // span [-25, -5], step 10: floor semantics give grid {-20, -10};
+    // truncate-toward-zero `div` would give {-10, 0} — 0 is OUTSIDE
+    // the span (extrapolation, and divergent from the DuckDB // oracle)
+    val obs = Seq(("k", -25L, 1.0), ("k", -5L, 2.0)).toDF("k", "t", "v")
+    val locf = Temporal.resampleLocf(obs, "k", "t", "v", step = 10L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(locf == Seq((-20L, 1.0), (-10L, 1.0)), s"got $locf")
+    val interp = Temporal.resampleInterpolate(obs, "k", "t", "v", step = 10L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sorted.toSeq
+    // linear between (-25, 1.0) and (-5, 2.0): v(-20)=1.25, v(-10)=1.75
+    assert(interp == Seq((-20L, 1.25), (-10L, 1.75)), s"got $interp")
+    // span straddling zero keeps every step multiple inside it
+    val straddle = Seq(("k", -15L, 1.0), ("k", 15L, 4.0)).toDF("k", "t", "v")
+    val g = Temporal.resampleLocf(straddle, "k", "t", "v", step = 10L)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(g == Seq(-10L, 0L, 10L), s"got $g")
+  }
+
   test("mergeIntervals: 300 random keyed interval sets match the sweep-line brute force") {
     val rnd = new scala.util.Random(42)
     val rows = for {
