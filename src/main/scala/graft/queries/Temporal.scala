@@ -181,13 +181,16 @@ object Temporal {
         qs = Seq(0.5, 0.95, 0.99))),
 
     // Morton (Z-order) layout key: the bit interleave a lakehouse
-    // writer sorts by for two-column min/max pruning. Pure column
-    // arithmetic — the oracle recomputes every bit in SQL.
+    // writer sorts by for multi-column min/max pruning — exercised at
+    // the common THREE-column clustering case (order, part, supplier;
+    // 48-bit key). Pure column arithmetic — the oracle recomputes
+    // every bit in SQL.
     "layout_zorder" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").filter(col("l_orderkey") < 5000)
-      li.select(col("l_orderkey"), col("l_partkey"),
-        Layout.zorderKey(col("l_orderkey"), col("l_partkey"), bits = 16)
-          .as("zkey"))
+      li.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        Layout.zorderKey(
+          Seq(col("l_orderkey"), col("l_partkey"), col("l_suppkey")),
+          bits = 16).as("zkey"))
     }),
 
     // Min/max file skipping over a Z-ordered layout: zkey ranges as
@@ -623,10 +626,13 @@ object Temporal {
          SELECT event_type, q, (CAST(qbin AS DOUBLE) + 0.5) * 0.5 AS est
          FROM s""",
     "layout_zorder" -> {
+      // bit i of column j → key position i*3 + j (round-robin interleave)
       val terms = (0 until 16).flatMap(i => Seq(
-        s"(((l_orderkey >> $i) & 1) << ${2 * i})",
-        s"(((l_partkey >> $i) & 1) << ${2 * i + 1})"))
-      s"""SELECT l_orderkey, l_partkey, ${terms.mkString(" | ")} AS zkey
+        s"(((l_orderkey >> $i) & 1) << ${3 * i})",
+        s"(((l_partkey >> $i) & 1) << ${3 * i + 1})",
+        s"(((l_suppkey >> $i) & 1) << ${3 * i + 2})"))
+      s"""SELECT l_orderkey, l_partkey, l_suppkey,
+            ${terms.mkString(" | ")} AS zkey
           FROM lineitem WHERE l_orderkey < 5000"""
     },
     "layout_prune" -> {

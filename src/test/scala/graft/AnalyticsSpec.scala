@@ -107,6 +107,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L), "unrelated string must not pair")
   }
 
+  test("editDistanceJoin: exact duplicate rows collapse; conflicting strings under one id fail loudly") {
+    import spark.implicits._
+    // exact (id, s) duplicates are legal and collapse to one row
+    val dup = Seq(
+      (1L, "the quick brown fox jumps"), (1L, "the quick brown fox jumps"),
+      (2L, "the quick browm fox jumps")).toDF("doc_id", "s")
+    val got = Dedup.editDistanceJoin(dup, "doc_id", "s", maxDist = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == Map((1L, 2L) -> 1L), s"got $got")
+    // two DIFFERENT strings under one id: grams from both would enter
+    // one prefix window and an arbitrary string would verify — the
+    // operator must fail, not answer nondeterministically
+    val conflict = Seq(
+      (1L, "the quick brown fox jumps"), (1L, "a wholly different string"),
+      (2L, "the quick browm fox jumps")).toDF("doc_id", "s")
+    val ex = intercept[Exception] {
+      Dedup.editDistanceJoin(conflict, "doc_id", "s", maxDist = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("conflicting strings")), ex.toString)
+  }
+
   test("editDistanceJoin: 150 random mutated strings match the brute-force scan exactly") {
     import spark.implicits._
     val rnd = new scala.util.Random(1234)
@@ -193,6 +216,34 @@ class AnalyticsSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs(-1) == pairs(expected),
       s"auto nlist must match the documented formula (n=$n, nlist=$expected)")
+  }
+
+  test("chooseGeometry: ivf at low thresholds, lsh (with sane planes/tables) at high; auto path routes accordingly") {
+    // the round-7 measured wall: at cos 0.4 no affordable plane count
+    // reaches recall without a quadratic collision floor → ivf
+    assert(Similarity.chooseGeometry(0.4)._1 == "ivf")
+    assert(Similarity.chooseGeometry(0.6)._1 == "ivf")
+    // high thresholds: many planes are viable → exponentially small
+    // random-collision floor → lsh
+    val (m95, k95, l95) = Similarity.chooseGeometry(0.95)
+    assert(m95 == "lsh" && k95 >= 8 && l95 >= 1 && l95 <= 32,
+      s"got ($m95, $k95, $l95)")
+    // the chosen geometry honors its own contract: floor within budget
+    assert(l95 / math.pow(2.0, k95) <= 0.005)
+    // monotone handoff: once lsh wins, higher thresholds keep it
+    val regimes = Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95, 0.99)
+      .map(t => Similarity.chooseGeometry(t)._1)
+    assert(!regimes.containsSlice(Seq("lsh", "ivf")),
+      s"geometry flip-flops across thresholds: $regimes")
+    assert(regimes.head == "ivf" && regimes.last == "lsh", regimes.toString)
+    // the auto path is the ivf path at the gate threshold — identical
+    // pairs, so the gate oracle (seeded-cell SQL) applies verbatim
+    def pairsOf(method: String) =
+      Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4, method,
+        nlist = -1, nassign = 2)
+        .select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsOf("auto") == pairsOf("ivf"))
   }
 
   test("IVF top-k recall vs brute force") {
