@@ -59,40 +59,79 @@ object StreamingOps {
     * `flatMapGroupsWithState` is NOT guaranteed to be arrival order
     * after the group-by shuffle, so ranking by id is what makes the
     * within-batch winner deterministic on any partitioning.
-    * State is unbounded by design here (exactness); bound it with a
-    * watermarked variant ([[dedupStream]]) when the dedup horizon can
-    * be finite.
+    * State is unbounded by default (exactness — a duplicate is caught
+    * no matter how old its first occurrence); pass `eventTimeCol` +
+    * `horizon` for WATERMARK-DRIVEN TTL: the input is watermarked at
+    * `horizon`, each digest's state carries an event-time timeout
+    * refreshed to (that digest's latest event time + horizon), and a
+    * digest unseen for a full horizon of event time is evicted when
+    * the watermark passes it — state stays bounded by the horizon's
+    * digest cardinality on a weeks-running 100 TB stream, and a
+    * re-arrival AFTER eviction classifies `kept` again (the
+    * documented finite-horizon semantics; verdicts INSIDE the horizon
+    * are unchanged — the eviction spec proves both).
     */
   def incrementalDedup(stream: DataFrame, history: DataFrame,
-                       idCol: String, textCol: String): DataFrame = {
+                       idCol: String, textCol: String,
+                       eventTimeCol: Option[String] = None,
+                       horizon: String = "10 minutes"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = stream.sparkSession
     import spark.implicits._
     val hist = history.select(sha2(col(textCol), 256).as("h")).distinct()
       .withColumn("in_hist", lit(true))
-    val flagged = stream
-      .select(col(idCol).as("doc_id"), sha2(col(textCol), 256).as("h"))
+    val in = eventTimeCol match {
+      case Some(tc) => stream.withWatermark(tc, horizon)
+      case None => stream
+    }
+    // no cast: withWatermark already requires TimestampType, and an
+    // Alias only inherits the watermark metadata from a BARE attribute
+    // (a cast in between would strip it and fail analysis)
+    val et = eventTimeCol.map(col)
+      .getOrElse(lit(null).cast("timestamp"))
+    val flagged = in
+      .select(col(idCol).as("doc_id"), sha2(col(textCol), 256).as("h"),
+        et.as("_et"))
       .join(hist, Seq("h"), "left")
       .select(col("h"), col("doc_id"),
-        coalesce(col("in_hist"), lit(false)).as("in_hist"))
-      .as[(String, Long, Boolean)]
+        coalesce(col("in_hist"), lit(false)).as("in_hist"), col("_et"))
+      .as[(String, Long, Boolean, Option[java.sql.Timestamp])]
+    val timeoutConf =
+      if (eventTimeCol.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     flagged.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: String, rows: Iterator[(String, Long, Boolean)],
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (_: String, rows: Iterator[(String, Long, Boolean, Option[java.sql.Timestamp])],
          state: GroupState[Boolean]) => {
-          val seen = state.getOption.getOrElse(false)
-          val batch = rows.toList
-          // deterministic winner: min doc_id among the batch's
-          // non-history copies (iterator order is shuffle-dependent)
-          val fresh = batch.collect { case (_, id, false) => id }
-          val winner = if (!seen && fresh.nonEmpty) Some(fresh.min) else None
-          if (fresh.nonEmpty && !seen) state.update(true)
-          batch.iterator.map { case (_, id, inHist) =>
-            val status =
-              if (inHist) "dup_history"
-              else if (winner.contains(id)) "kept"
-              else "dup_stream"
-            (id, status)
+          if (state.hasTimedOut) {
+            // horizon of event time elapsed with no arrival: forget
+            state.remove()
+            Iterator.empty
+          } else {
+            val seen = state.getOption.getOrElse(false)
+            val batch = rows.toList
+            // deterministic winner: min doc_id among the batch's
+            // non-history copies (iterator order is shuffle-dependent)
+            val fresh = batch.collect { case (_, id, false, _) => id }
+            val winner = if (!seen && fresh.nonEmpty) Some(fresh.min) else None
+            if (fresh.nonEmpty && !seen) state.update(true)
+            if (state.exists && timeoutConf == GroupStateTimeout.EventTimeTimeout) {
+              // sliding TTL: any arrival refreshes the digest's horizon.
+              // Base clamped above the watermark — a straggler older
+              // than the watermark must still set a LEGAL (future)
+              // timeout rather than throw
+              val maxEt = batch.flatMap(_._4).map(_.getTime).maxOption
+              val wm = state.getCurrentWatermarkMs()
+              maxEt.foreach(ms =>
+                state.setTimeoutTimestamp(math.max(ms, wm + 1), horizon))
+            }
+            batch.iterator.map { case (_, id, inHist, _) =>
+              val status =
+                if (inHist) "dup_history"
+                else if (winner.contains(id)) "kept"
+                else "dup_stream"
+              (id, status)
+            }
           }
         })
       .toDF("doc_id", "status")
@@ -323,7 +362,25 @@ object StreamingOps {
     }
   }
 
-  def compactLatest(df: DataFrame): org.apache.spark.sql.Dataset[CompactedRecord] = {
+  /** `eventTimeCol` + `ttl`: optional WATERMARK-DRIVEN TTL for the
+    * per-key state — the input is watermarked at `ttl`, every arrival
+    * refreshes its key's event-time timeout to (arrival time + ttl),
+    * and a key quiet for a full ttl of event time is dropped from the
+    * state store once the watermark passes (its latest row was
+    * already emitted downstream), bounding state on a weeks-running
+    * high-cardinality stream. Event-time (not processing-time) on
+    * purpose: eviction is then deterministic under replay, and the
+    * engine does not have to run empty batches continuously to poll
+    * wall-clock timeouts. The only semantic trade: an at-least-once
+    * redelivery arriving AFTER its key's eviction is no longer
+    * suppressed and re-emits the old row (downstream keyed sinks
+    * overwrite-by-position, so the materialized table is unaffected).
+    * Positions order totally, so a re-created key after eviction
+    * still compacts correctly.
+    */
+  def compactLatest(df: DataFrame, eventTimeCol: Option[String] = None,
+                    ttl: String = "1 hour")
+      : org.apache.spark.sql.Dataset[CompactedRecord] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = df.sparkSession
     import spark.implicits._
@@ -335,34 +392,63 @@ object StreamingOps {
       val y = if (b == null) "" else b
       x.length > y.length || (x.length == y.length && x > y)
     }
-    df.select(
+    val in = eventTimeCol match {
+      case Some(tc) => df.withWatermark(tc, ttl)
+      case None => df
+    }
+    // bare attribute (no cast) so the alias keeps the watermark tag
+    val et = eventTimeCol.map(col)
+      .getOrElse(lit(null).cast("timestamp"))
+    val timeoutConf =
+      if (eventTimeCol.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    in.select(
         col(graft.model.Cdc.Key).cast("string").as("key"),
         col(graft.model.Cdc.Operation).as("operation"),
         col(graft.model.Cdc.Position).cast("string").as("position"),
-        col(graft.model.Cdc.PayloadAfter).as("payload_after"))
-      .as[CompactedRecord]
-      .groupByKey(_.key)
+        col(graft.model.Cdc.PayloadAfter).as("payload_after"),
+        et.as("_et"))
+      .as[(String, String, String, String, Option[java.sql.Timestamp])]
+      .groupByKey(_._1)
       .flatMapGroupsWithState[CompactedRecord, CompactedRecord](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[CompactedRecord],
+        OutputMode.Update, timeoutConf) {
+        (key: String,
+         rows: Iterator[(String, String, String, String, Option[java.sql.Timestamp])],
          state: GroupState[CompactedRecord]) =>
-          // later arrival wins ties — the only order null positions have
-          val latest = rows.reduceOption { (a, b) =>
-            if (newer(a.position, b.position)) a else b
-          }
-          latest match {
-            case None => Iterator.empty
-            case Some(rec) =>
-              val cur = state.getOption
-              if (cur.exists(c => newer(c.position, rec.position)))
-                Iterator.empty // stale redelivery: state strictly newer
-              else if (rec.operation == "delete") {
-                state.remove() // tombstone: key no longer live
-                Iterator.single(rec.copy(payload_after = null))
-              } else {
-                state.update(rec)
-                Iterator.single(rec)
+          if (state.hasTimedOut) {
+            state.remove() // quiet past the TTL: evict, nothing to emit
+            Iterator.empty
+          } else {
+            val batch = rows.toList
+            // later arrival wins ties — the only order null positions have
+            val latest = batch
+              .map { case (k, op, pos, pay, _) => CompactedRecord(k, op, pos, pay) }
+              .reduceOption { (a, b) =>
+                if (newer(a.position, b.position)) a else b
               }
+            val out = latest match {
+              case None => Iterator.empty
+              case Some(rec) =>
+                val cur = state.getOption
+                if (cur.exists(c => newer(c.position, rec.position)))
+                  Iterator.empty // stale redelivery: state strictly newer
+                else if (rec.operation == "delete") {
+                  state.remove() // tombstone: key no longer live
+                  Iterator.single(rec.copy(payload_after = null))
+                } else {
+                  state.update(rec)
+                  Iterator.single(rec)
+                }
+            }
+            // any arrival on a live key refreshes its event-time TTL
+            // (base clamped above the watermark so stragglers set a
+            // legal future timeout rather than throw)
+            if (state.exists && timeoutConf == GroupStateTimeout.EventTimeTimeout) {
+              val wm = state.getCurrentWatermarkMs()
+              batch.flatMap(_._5).map(_.getTime).maxOption
+                .foreach(ms => state.setTimeoutTimestamp(math.max(ms, wm + 1), ttl))
+            }
+            out
           }
       }
   }

@@ -98,6 +98,99 @@ class StreamingOpsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("incremental dedup event-time TTL: in-horizon verdicts unchanged, idle digests evicted, state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val history = Seq((100L, "old text one")).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = StreamingOps.incrementalDedup(
+      in.toDF().toDF("doc_id", "text", "ts"), history, "doc_id", "text",
+      eventTimeCol = Some("ts"), horizon = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("ttl_dedup_out")
+      .outputMode("append").start()
+    def stateRows: Long = {
+      val p = q.lastProgress
+      if (p == null || p.stateOperators.isEmpty) -1L
+      else p.stateOperators.map(_.numRowsTotal).sum
+    }
+    // b1 @10:00: novel A kept, history dup classified
+    in.addData((1L, "fresh text", ts("2026-01-01 10:00:00")),
+      (2L, "old text one", ts("2026-01-01 10:00:30")))
+    q.processAllAvailable()
+    // b2 @10:05 (inside horizon): A re-arrival is dup_stream —
+    // verdicts inside the horizon identical to the unbounded operator
+    in.addData((3L, "fresh text", ts("2026-01-01 10:05:00")))
+    q.processAllAvailable()
+    val stateAfterB2 = stateRows // {A} — one digest live
+    // b3 @11:00: pushes the watermark to 10:50, past A's (10:05 +
+    // 10 min) timeout — the watermark-advance batch inside this
+    // processAllAvailable fires the eviction, so afterwards the store
+    // holds ONLY b3's new digest (2 rows here would mean no eviction)
+    in.addData((4L, "unrelated body", ts("2026-01-01 11:00:00")))
+    q.processAllAvailable()
+    val stateAfterB3 = stateRows
+    // b4 @11:10: another live digest accumulates normally
+    in.addData((5L, "another different doc", ts("2026-01-01 11:10:00")))
+    q.processAllAvailable()
+    // b5 @11:12: A re-arrives AFTER eviction — classified kept again
+    // (the documented finite-horizon semantics)
+    in.addData((6L, "fresh text", ts("2026-01-01 11:12:00")))
+    q.processAllAvailable()
+    val got = spark.table("ttl_dedup_out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "kept", 2L -> "dup_history", 3L -> "dup_stream",
+      4L -> "kept", 5L -> "kept", 6L -> "kept"), got.toString)
+    // eviction actually bounded the store: A left as B arrived
+    assert(stateAfterB2 == 1 && stateAfterB3 == 1,
+      s"expected A evicted as B entered: b2=$stateAfterB2 b3=$stateAfterB3")
+    q.stop()
+  }
+
+  test("compactLatest event-time TTL evicts quiet keys; post-eviction redelivery re-emits (documented trade)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Array[Byte], String, String, String, java.sql.Timestamp)]
+    val cdc = in.toDF().toDF("position", "operation", "key", "payload_after", "ts")
+      .select(col("position"), col("operation"),
+        map().cast("map<string,string>").as("metadata"),
+        lit(null).cast("binary").as("key_raw"),
+        col("key"),
+        lit(null).cast("string").as("payload_before"),
+        col("payload_after"),
+        col("ts"))
+    val out = StreamingOps.compactLatest(cdc,
+      eventTimeCol = Some("ts"), ttl = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("compact_ttl_out")
+      .outputMode("update").start()
+    def stateRows: Long = {
+      val p = q.lastProgress
+      if (p == null || p.stateOperators.isEmpty) -1L
+      else p.stateOperators.map(_.numRowsTotal).sum
+    }
+    def pos(i: Int) = i.toString.getBytes("UTF-8")
+    in.addData((pos(2), "create", "k1", """{"v":2}""", ts("2026-01-01 10:00:00")))
+    q.processAllAvailable()
+    // in-TTL stale redelivery: suppressed by live state (refreshes TTL)
+    in.addData((pos(1), "create", "k1", """{"v":1}""", ts("2026-01-01 10:02:00")))
+    q.processAllAvailable()
+    assert(spark.table("compact_ttl_out").count() == 1, "stale suppressed while state live")
+    val liveBefore = stateRows // {k1} = 1
+    // k2 @11:00 pushes the watermark past k1's (10:02 + 10 min)
+    // timeout; the watermark-advance batch inside this
+    // processAllAvailable fires the eviction — the store then holds
+    // ONLY k2 (2 rows here would mean k1 was never evicted)
+    in.addData((pos(9), "create", "k2", """{"v":9}""", ts("2026-01-01 11:00:00")))
+    q.processAllAvailable()
+    assert(liveBefore == 1 && stateRows == 1,
+      s"expected k1 evicted as k2 entered: before=$liveBefore after=$stateRows")
+    // post-eviction stale redelivery re-emits — proves k1 was evicted
+    in.addData((pos(1), "create", "k1", """{"v":1}""", ts("2026-01-01 11:06:00")))
+    q.processAllAvailable()
+    val k1Emits = spark.table("compact_ttl_out").collect()
+      .count(_.getAs[String]("key") == "k1")
+    assert(k1Emits == 2,
+      s"evicted key's redelivery must re-emit (got $k1Emits emits)")
+    q.stop()
+  }
+
   test("view maintenance replay: re-running a batch after a crash does not double-count") {
     // foreachBatch's at-least-once contract: batch n can re-run after a
     // crash anywhere — including BETWEEN the view write and the base
