@@ -39,8 +39,12 @@ object Temporal {
     * Preconditions (caller-enforced, asserted where cheap):
     *  - `leftTime` / `rightTime` are the same orderable type
     *    (normalize timestamps to epoch longs first);
-    *  - at most one right row per (key, time) — pre-reduce with
-    *    `max_by` otherwise the tie is nondeterministic;
+    *  - at most one right row per (key, time) — pass
+    *    `dedupRight = true` to have the operator enforce it (a
+    *    max-struct pre-reduce per (key, time): deterministic because
+    *    a struct max depends only on the value multiset, never on
+    *    partitioning or arrival order), or pre-reduce yourself;
+    *    otherwise the tie is nondeterministic;
     *  - right value column names must not collide with left columns.
     */
   def asOfJoin(
@@ -51,10 +55,14 @@ object Temporal {
       leftTime: String,
       rightTime: String,
       rightValueCols: Seq[String],
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false,
+      dedupRight: Boolean = false): DataFrame = {
     val lCols = left.columns.toSeq
     require(rightValueCols.forall(c => !lCols.contains(c)),
       s"right value columns ${rightValueCols.mkString(",")} collide with left columns")
+    val right1 = if (dedupRight)
+      dedupRightByMaxStruct(right, rightKey, rightTime, rightValueCols)
+    else right
     // Inclusive (ts >= rt): right rows sort BEFORE left rows at a tied
     // time so the tied right row is visible. Strict: left first.
     val (sideL, sideR) = if (strict) (0, 1) else (1, 0)
@@ -63,12 +71,12 @@ object Temporal {
         lCols.map(c => col(c).as(s"_l_$c")) :+
         lit(null).cast(org.apache.spark.sql.types.StructType(
           rightValueCols.map(c => org.apache.spark.sql.types.StructField(
-            c, right.schema(c).dataType, nullable = true)))).as("_r")
+            c, right1.schema(c).dataType, nullable = true)))).as("_r")
     val rSel: Seq[Column] =
       Seq(col(rightKey).as("_k"), col(rightTime).as("_t"), lit(sideR).as("_side")) ++
         lCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c")) :+
         struct(rightValueCols.map(col): _*).as("_r")
-    val unioned = left.select(lSel: _*).unionByName(right.select(rSel: _*))
+    val unioned = left.select(lSel: _*).unionByName(right1.select(rSel: _*))
     // Ties among LEFT rows at the same (key, time) are harmless: the
     // cumulative last(_r) only reads right-side rows, which are unique
     // per (key, time) by precondition — the frame ambiguity cannot
@@ -95,7 +103,8 @@ object Temporal {
     * right side — Spark re-evaluates static subtrees per micro-batch).
     *
     * Same preconditions as [[asOfJoin]]: unique (key, time) on the
-    * right, no name collisions.
+    * right (`dedupRight = true` enforces it with the same max-struct
+    * pre-reduce), no name collisions.
     */
   def asOfJoinBroadcast(
       left: DataFrame,
@@ -104,11 +113,15 @@ object Temporal {
       rightKey: String,
       leftTime: String,
       rightTime: String,
-      rightValueCols: Seq[String]): DataFrame = {
+      rightValueCols: Seq[String],
+      dedupRight: Boolean = false): DataFrame = {
     val lCols = left.columns.toSeq
     require(rightValueCols.forall(c => !lCols.contains(c)),
       s"right value columns ${rightValueCols.mkString(",")} collide with left columns")
-    val packed = right
+    val right1 = if (dedupRight)
+      dedupRightByMaxStruct(right, rightKey, rightTime, rightValueCols)
+    else right
+    val packed = right1
       .groupBy(col(rightKey).as("_pk"))
       .agg(sort_array(collect_list(struct(
         col(rightTime).as("_vt") +: rightValueCols.map(col): _*))).as("_versions"))
@@ -118,6 +131,22 @@ object Temporal {
       .select(lCols.map(col) ++
         rightValueCols.map(c => col(s"_m.$c").as(c)): _*)
   }
+
+  /** The documented (key, time)-uniqueness pre-reduce for the as-of
+    * joins: per (key, time), keep the row whose VALUE STRUCT is the
+    * field-wise maximum — a pure function of the value multiset, so
+    * the winner is identical on any partitioning, shuffle order, or
+    * cluster size (a `first()`-style reduce would not be). One extra
+    * key shuffle, only when requested.
+    */
+  private def dedupRightByMaxStruct(right: DataFrame, rightKey: String,
+                                    rightTime: String,
+                                    rightValueCols: Seq[String]): DataFrame =
+    right
+      .groupBy(col(rightKey), col(rightTime))
+      .agg(max(struct(rightValueCols.map(col): _*)).as("_rv"))
+      .select(col(rightKey) +: col(rightTime) +:
+        rightValueCols.map(c => col(s"_rv.$c").as(c)): _*)
 
   /** Gap-based sessionization: assigns each row a per-key session
     * ordinal (1-based, in time order) — a new session starts when the

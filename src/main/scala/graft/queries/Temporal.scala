@@ -348,6 +348,42 @@ object Temporal {
         .select(col("event_id"), col("user_id"), col("ts_s"), col("session_seq"))
     }),
 
+    // Streaming sessionize twin driven END-TO-END as a real 2-batch
+    // stream (MemoryStream → flatMapGroupsWithState fold → memory
+    // sink): the event log splits by TIME at the fixed Jan-16 instant
+    // (the cdc_incr_agg snapshot point), so every user active on both
+    // sides has a session ordinal that must carry ACROSS the
+    // micro-batch boundary — sessions open at the split must continue
+    // numbering, not restart (the interesting edge; per-key state is
+    // one (last ts, ordinal) pair). The stream arrives in time order,
+    // so the batch window sessionization over the whole log is the
+    // exact oracle. The driver .collect() is harness glue feeding
+    // MemoryStream, same as dedup_stream_triage.
+    "session_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = t(s, dir, "events")
+      val rows = ev.select(col("event_id"), col("user_id"),
+          tsEpochSeconds(ev).as("ts_s"))
+        .as[(Long, Long, Long)].collect()
+      val split = 1705363200L // 2024-01-16T00:00:00Z
+      val (b1, b2) = rows.partition(_._3 <= split)
+      val in = MemoryStream[(Long, Long, Long)]
+      val out = graft.streaming.StreamingOps.sessionizeStream(
+        in.toDF().toDF("event_id", "user_id", "ts_s"),
+        "user_id", "ts_s", "event_id", gapSeconds = 1800L)
+      val q = out.writeStream.format("memory")
+        .queryName("session_stream_out").outputMode("append").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table("session_stream_out")
+        .select(col("event_id"), col("user_id"), col("ts_s"),
+          col("session_seq"))
+    }),
+
     // Sketch mergeability: two independently-built register tables
     // (click users, purchase users) merged with min(_mw) must equal
     // the direct sketch of the union — the oracle computes the
@@ -771,6 +807,18 @@ object Temporal {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority""",
     "session_assign" ->
+      """SELECT event_id, user_id, ts_s,
+         CAST(sum(CASE WHEN prev_s IS NULL OR (ts_s - prev_s) > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+         FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_s,
+                 lag(epoch_ns(ts) // 1000000000, 1) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000000 ASC, event_id ASC) AS prev_s
+               FROM events)""",
+    // the streaming twin must equal the batch sessionization of the
+    // whole log — time-ordered arrival makes the same window SQL the
+    // exact oracle, INCLUDING sessions spanning the micro-batch split
+    "session_stream" ->
       """SELECT event_id, user_id, ts_s,
          CAST(sum(CASE WHEN prev_s IS NULL OR (ts_s - prev_s) > 1800 THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC

@@ -268,6 +268,47 @@ object StreamingOps {
       .toDF("doc_id", "status", "best_jaccard", "n_matches")
   }
 
+  /** Streaming gap sessionization — the ingest-time twin of
+    * [[graft.analytics.Temporal.sessionize]]: every arriving event is
+    * assigned its key's 1-based session ordinal, with sessions that
+    * SPAN micro-batch boundaries numbered continuously (the state is
+    * one (last event time, current ordinal) pair per key — 16 bytes,
+    * not the session's events). Within a batch a key's events are
+    * sorted by (time, tie) before folding, so intra-batch order is
+    * deterministic on any partitioning; ACROSS batches events must
+    * arrive in nondecreasing time order per key (the micro-batch
+    * pipeline's natural order — replaying out-of-order history is the
+    * batch operator's job). Output matches the batch operator exactly
+    * on an in-order stream, which is how the gate row oracles it.
+    *
+    * Key, time and tie columns must be long-castable; output is
+    * (keyCol, tsCol, tieCol, session_seq).
+    */
+  def sessionizeStream(df: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long"), col(tsCol).cast("long"),
+        col(tieCol).cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (k: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long)]) => {
+          val evs = rows.toArray.sortBy(e => (e._2, e._3))
+          var (lastTs, seq) = state.getOption.getOrElse((0L, 0L))
+          val out = evs.map { case (_, ts, tie) =>
+            if (seq == 0L || ts - lastTs > gapSeconds) seq += 1
+            lastTs = ts
+            (k, ts, tie, seq)
+          }
+          if (evs.nonEmpty) state.update((lastTs, seq))
+          out.iterator
+        })
+      .toDF(keyCol, tsCol, tieCol, "session_seq")
+  }
+
   /** One compacted row per key: (key, operation, position, payload). */
   case class CompactedRecord(key: String, operation: String,
                              position: String, payload_after: String)

@@ -375,6 +375,29 @@ class StreamingOpsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("sessionizeStream: session spanning the micro-batch boundary keeps its ordinal; new session after gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long)] // (event_id, user_id, ts)
+    val out = StreamingOps.sessionizeStream(
+      in.toDF().toDF("event_id", "user_id", "ts"),
+      "user_id", "ts", "event_id", gapSeconds = 50L)
+    val q = out.writeStream.format("memory").queryName("sess_stream_out")
+      .outputMode("append").start()
+    // batch 1: u1 session 1 open (events 30s apart); u2 starts its own
+    in.addData((1L, 1L, 100L), (2L, 1L, 130L), (3L, 2L, 100L))
+    q.processAllAvailable()
+    // batch 2: u1's 160 continues session 1 ACROSS the boundary
+    // (gap 30 <= 50); 300 opens session 2; u2's 500 opens session 2
+    in.addData((4L, 1L, 160L), (5L, 1L, 300L), (6L, 2L, 500L))
+    q.processAllAvailable()
+    val got = spark.table("sess_stream_out").collect()
+      .map(r => r.getLong(2) -> (r.getLong(0), r.getLong(3))).toMap
+      // keyed by event_id (3rd col = tieCol) → (user, seq)
+    assert(got == Map(1L -> (1L, 1L), 2L -> (1L, 1L), 3L -> (2L, 1L),
+      4L -> (1L, 1L), 5L -> (1L, 2L), 6L -> (2L, 2L)), got.toString)
+    q.stop()
+  }
+
   test("inspector tap samples a live pipeline") {
     graft.pipeline.Runner.memorySinks.clear()
     val ins = graft.pipeline.Metrics.inspector("p-inspect", capacity = 50)

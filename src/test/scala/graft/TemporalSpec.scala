@@ -74,6 +74,33 @@ class TemporalSpec extends AnyFunSuite {
       s"probe side must not be sorted/windowed:\n$plan")
   }
 
+  test("asOfJoin dedupRight: duplicate right timestamps resolve to the max-struct winner, identically in both formulations and under repartition") {
+    val l = Seq((1L, 10L, "a"), (1L, 25L, "b")).toDF("k", "t", "tag")
+    // three right rows tied at (k=1, rt=10) with different values, plus
+    // a later unique row — without dedup the tie winner is
+    // partitioning-dependent; with dedupRight it is the struct max
+    // (v=300.0 at rt=10), a pure function of the value multiset
+    val r = Seq((1L, 10L, 100.0, "x"), (1L, 10L, 300.0, "z"),
+      (1L, 10L, 200.0, "y"), (1L, 20L, 150.0, "w"))
+      .toDF("rk", "rt", "v", "src")
+    def run(right: org.apache.spark.sql.DataFrame) = {
+      val viaShuffle = Temporal.asOfJoin(l, right, "k", "rk", "t", "rt",
+        Seq("v", "src"), dedupRight = true)
+      val viaBroadcast = Temporal.asOfJoinBroadcast(l, right, "k", "rk", "t", "rt",
+        Seq("v", "src"), dedupRight = true)
+      (viaShuffle.select(col("tag"), col("v"), col("src")).collect()
+         .map(x => (x.getString(0), x.getDouble(1), x.getString(2))).toSet,
+       viaBroadcast.select(col("tag"), col("v"), col("src")).collect()
+         .map(x => (x.getString(0), x.getDouble(1), x.getString(2))).toSet)
+    }
+    val want = Set(("a", 300.0, "z"), ("b", 150.0, "w"))
+    val (s1, b1) = run(r)
+    assert(s1 == want && b1 == want, s"got shuffle=$s1 broadcast=$b1")
+    // partitioning cannot change the winner
+    val (s2, b2) = run(r.repartition(7))
+    assert(s2 == want && b2 == want, s"repartition changed the winner: $s2 $b2")
+  }
+
   test("AsOfPick: empty version arrays and pre-first probes yield null, not a crash") {
     val l = Seq((1L, 3L), (2L, 100L)).toDF("k", "t")
     val r = Seq((2L, 50L, 1.5)).toDF("rk", "rt", "v") // key 1 absent entirely
