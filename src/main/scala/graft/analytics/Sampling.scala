@@ -245,6 +245,55 @@ object Sampling {
       .select(col(idCol), col(strataCol))
   }
 
+  /** Mixture sampling to explicit TARGET proportions — the
+    * data-mixing step of a training recipe ("the corpus must be
+    * 50% en / 20% de / 20% fr / 10% zh"): keeps the LARGEST
+    * deterministic subset whose per-stratum shares hit the targets.
+    * Total budget B = min over strata of cₛ/pₛ (the binding stratum
+    * is kept whole), per-stratum keep fraction fₛ = pₛ·B/cₛ,
+    * membership by the splitmix64 bucket filter (granularity 1/4096,
+    * reproducible across runs/partitionings — the same recipe
+    * re-derives the same mix). Strata not named in `targets` are
+    * dropped entirely (weight 0); every named stratum must be present
+    * (a zero-count target would force an empty sample — fail loudly
+    * instead).
+    *
+    * Scale shape ([[temperatureSample]]'s envelope): one
+    * map-side-combined count per stratum, a broadcast cut join, and
+    * a row-local bucket filter inside the scan — data rows never
+    * shuffle. Every arithmetic step ((p·B)/c in that order, min over
+    * c/p, floor·4096) is fixed-order IEEE, replicated by the DuckDB
+    * oracle.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, strataCol: String,
+                    targets: Seq[(String, Double)],
+                    seed: Long = 0L): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      "targets must be non-empty with positive proportions")
+    require(math.abs(targets.map(_._2).sum - 1.0) < 1e-9,
+      "target proportions must sum to 1")
+    require(targets.map(_._1).distinct.size == targets.size,
+      "duplicate target stratum")
+    val tmap = targets.toMap
+    val counts = df
+      .filter(col(strataCol).isin(targets.map(_._1): _*))
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val missing = tmap.keySet -- counts.map(_._1)
+    require(missing.isEmpty,
+      s"target strata with no rows: ${missing.toSeq.sorted.mkString(", ")}")
+    val budget = counts.map { case (k, c) => c.toDouble / tmap(k) }.min
+    val cuts = counts.map { case (k, c) =>
+      (k, math.floor(math.min(1.0, tmap(k) * budget / c.toDouble) * 4096.0).toLong)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cutDf = broadcast(cuts.toSeq.toDF(strataCol, "_cut"))
+    df.join(cutDf, strataCol)
+      .filter(bucketOf(col(idCol), seed) < col("_cut"))
+      .select(col(idCol), col(strataCol))
+  }
+
   /** Greedy sequence packing: documents are dealt into `streams` by
     * interleave rank (round-robin — each stream is a deterministic
     * pseudo-random subsequence), then each stream packs greedily in

@@ -217,16 +217,56 @@ object Sketch {
       lo: Double,
       width: Double,
       bins: Int,
-      qs: Seq[Double]): DataFrame = {
-    require(bins >= 2 && width > 0 && qs.nonEmpty && qs.forall(q => q > 0 && q <= 1))
+      qs: Seq[Double]): DataFrame =
+    histogramQuantilesFromBins(
+      histogramBins(df, groupCols, valueCol, lo, width, bins),
+      groupCols, lo, width, qs)
+
+  /** The histogram SKETCH itself: ≤ groups × bins integer-count rows.
+    * This is the mergeable state — two sketches built over disjoint
+    * slices merge with [[histogramMerge]] into exactly the sketch of
+    * the union (integer counts add losslessly, the same merge law as
+    * HLL registers but exact), so per-partition / per-day histograms
+    * roll up without touching data rows again.
+    */
+  def histogramBins(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      lo: Double,
+      width: Double,
+      bins: Int): DataFrame = {
+    require(bins >= 2 && width > 0)
     val g = groupCols.map(col)
     val bin = least(greatest(
       floor((col(valueCol) - lit(lo)) / lit(width)).cast("long"), lit(0L)),
       lit(bins.toLong - 1))
-    val hist = df.filter(col(valueCol).isNotNull)
+    df.filter(col(valueCol).isNotNull)
       .select(g :+ bin.as("_bin"): _*)
       .groupBy(g :+ col("_bin"): _*)
       .agg(count(lit(1)).as("_c"))
+  }
+
+  /** Merge histogram sketches ([[histogramBins]] outputs with the same
+    * (lo, width, bins) geometry): counts add per (group, bin). */
+  def histogramMerge(sketches: Seq[DataFrame],
+                     groupCols: Seq[String]): DataFrame = {
+    require(sketches.nonEmpty)
+    sketches.reduce(_.unionByName(_))
+      .groupBy((groupCols.map(col) :+ col("_bin")): _*)
+      .agg(sum(col("_c")).as("_c"))
+  }
+
+  /** Quantile selection over a [[histogramBins]] sketch (the second
+    * half of [[histogramQuantiles]]). */
+  def histogramQuantilesFromBins(
+      hist: DataFrame,
+      groupCols: Seq[String],
+      lo: Double,
+      width: Double,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1))
+    val g = groupCols.map(col)
     val wCum = Window.partitionBy(g: _*).orderBy(col("_bin"))
     val wAll = Window.partitionBy(g: _*)
     hist

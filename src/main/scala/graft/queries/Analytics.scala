@@ -250,6 +250,13 @@ object Analytics {
       Sampling.temperatureSample(t(s, dir, "documents"), "doc_id", "lang",
         temperature = 2.0, seed = 7)),
 
+    // explicit-proportion data mixing: 50/20/20/10 en/de/fr/zh (es
+    // dropped — weight 0), budget = min stratum count/proportion, the
+    // binding stratum kept whole; deterministic splitmix64 membership
+    "sample_mixture" -> ((s, dir) =>
+      Sampling.mixtureSample(t(s, dir, "documents"), "doc_id", "lang",
+        Seq(("en", 0.5), ("de", 0.2), ("fr", 0.2), ("zh", 0.1)), seed = 7)),
+
     // passage-level dedup: 10-token segments, keep = first occurrence
     // corpus-wide by (doc_id, seg_idx)
     "dedup_segments" -> ((s, dir) =>
@@ -1779,6 +1786,41 @@ object Analytics {
     // Σ as a sorted-lang sequential fold (list_reduce ≡ the driver's
     // foldLeft, bit-identical IEEE; sqrt is correctly rounded in both
     // engines), then the sample_hash splitmix64 bucket filter
+    // target-proportion mixing replay: budget = min(count/p) over the
+    // named strata, cut = floor(least(1, (p·B)/c)·4096) in the same
+    // IEEE op order, then the sample_hash splitmix64 bucket filter
+    "sample_mixture" ->
+      """WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+         sel AS (SELECT * FROM (VALUES
+             ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.2 AS DOUBLE)),
+             ('fr', CAST(0.2 AS DOUBLE)), ('zh', CAST(0.1 AS DOUBLE)))
+           t(lang, p)),
+         cnt AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS cn
+           FROM documents d JOIN sel USING (lang) GROUP BY d.lang),
+         bud AS (SELECT min(CAST(cn AS DOUBLE) / p) AS b
+           FROM cnt JOIN sel USING (lang)),
+         cut AS (SELECT lang,
+           CAST(floor(least(CAST(1.0 AS DOUBLE),
+             (p * bud.b) / CAST(cn AS DOUBLE)) * CAST(4096.0 AS DOUBLE))
+             AS BIGINT) AS cutv
+           FROM cnt JOIN sel USING (lang) CROSS JOIN bud),
+         m0 AS (SELECT doc_id, lang,
+           (CAST(doc_id AS HUGEINT) + 7 + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
+           FROM documents CROSS JOIN c),
+         ma AS (SELECT doc_id, lang, xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
+         m1 AS (SELECT doc_id, lang,
+           (x2 % 4294967296 * 484763065 +
+            ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+            * 4294967296) % m64 AS x3, m64 FROM ma),
+         mb AS (SELECT doc_id, lang, xor(x3, x3 // 134217728) AS x4, m64 FROM m1),
+         m2 AS (SELECT doc_id, lang,
+           (x4 % 4294967296 * 321982955 +
+            ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+            * 4294967296) % m64 AS x5, m64 FROM mb),
+         m3 AS (SELECT doc_id, lang, xor(x5, x5 // 2147483648) AS x6 FROM m2)
+         SELECT m3.doc_id, m3.lang
+         FROM m3 JOIN cut USING (lang)
+         WHERE (x6 // 4096) % 4096 < cutv""",
     "sample_temperature" ->
       """WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
          cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS cn

@@ -180,6 +180,27 @@ object Temporal {
         "value", lo = 0.0, width = 0.5, bins = 1024,
         qs = Seq(0.5, 0.95, 0.99))),
 
+    // Histogram MERGE LAW: two sketches built independently over
+    // disjoint time halves, merged by integer count addition, then
+    // quantile-selected — must EQUAL the direct sketch of the whole
+    // log (the oracle computes the latter; exact, unlike HLL's
+    // probabilistic registers, because counts add losslessly). This is
+    // the per-day/per-partition rollup shape at 100 TB: data rows are
+    // touched once per slice, merges touch only ≤ groups × bins rows.
+    "sketch_hist_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val pos = tsEpochSeconds(ev)
+      val split = 1705363200L // 2024-01-16T00:00:00Z
+      def half(p: Column => Column) = Sketch.histogramBins(
+        ev.filter(p(pos)), Seq("event_type"), "value",
+        lo = 0.0, width = 0.5, bins = 1024)
+      Sketch.histogramQuantilesFromBins(
+        Sketch.histogramMerge(
+          Seq(half(_ <= split), half(_ > split)), Seq("event_type")),
+        Seq("event_type"), lo = 0.0, width = 0.5,
+        qs = Seq(0.5, 0.95, 0.99))
+    }),
+
     // Morton (Z-order) layout key: the bit interleave a lakehouse
     // writer sorts by for multi-column min/max pruning — exercised at
     // the common THREE-column clustering case (order, part, supplier;
@@ -284,9 +305,54 @@ object Temporal {
           Seq("view", "click", "purchase"))
         .select(col("user_id"),
           col("steps_reached").cast("long").as("steps_reached"),
-          element_at(col("step_times"), 1).as("t1"),
-          element_at(col("step_times"), 2).as("t2"),
-          element_at(col("step_times"), 3).as("t3"))
+          // try_: an unreached step is a NULL time (ANSI element_at
+          // would throw on the shorter array)
+          try_element_at(col("step_times"), lit(1)).as("t1"),
+          try_element_at(col("step_times"), lit(2)).as("t2"),
+          try_element_at(col("step_times"), lit(3)).as("t3"))
+    }),
+
+    // Streaming funnel twin driven END-TO-END as a real 2-batch stream
+    // (same time-split harness as session_stream): per-key greedy
+    // min-cascade state carries across the micro-batch boundary — a
+    // funnel whose view landed before the split and whose click lands
+    // after must still advance (the interesting edge). The Update-mode
+    // stream emits the key's current progression each batch; the final
+    // table is max(struct(...)) per key (steps_reached is monotone and
+    // reached-step times never change), which the batch min-cascade
+    // join-chain oracle checks exactly.
+    "funnel_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = t(s, dir, "events")
+      val rows = ev
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_type"),
+          tsEpochSeconds(ev).as("ts_s"))
+        .as[(Long, String, Long)].collect()
+      val split = 1705363200L // 2024-01-16T00:00:00Z
+      val (b1, b2) = rows.partition(_._3 <= split)
+      val in = MemoryStream[(Long, String, Long)]
+      val out = graft.streaming.StreamingOps.funnelStepsStream(
+        in.toDF().toDF("user_id", "event_type", "ts_s"),
+        "user_id", "event_type", "ts_s", Seq("view", "click", "purchase"))
+      val q = out.writeStream.format("memory")
+        .queryName("funnel_stream_out").outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table("funnel_stream_out")
+        .select(col("user_id"),
+          struct(col("steps_reached"),
+            try_element_at(col("step_times"), lit(1)).as("t1"),
+            try_element_at(col("step_times"), lit(2)).as("t2"),
+            try_element_at(col("step_times"), lit(3)).as("t3")).as("_p"))
+        .groupBy(col("user_id")).agg(max(col("_p")).as("_p"))
+        .select(col("user_id"),
+          col("_p.steps_reached").cast("long").as("steps_reached"),
+          col("_p.t1"), col("_p.t2"), col("_p.t3"))
     }),
 
     // Interval × interval overlap (no equi-key): which promo windows
@@ -661,6 +727,21 @@ object Temporal {
                FROM w, qv WHERE cum >= ceil(qv.q * n) GROUP BY 1, 2)
          SELECT event_type, q, (CAST(qbin AS DOUBLE) + 0.5) * 0.5 AS est
          FROM s""",
+    // merge law: the merged-sketch quantiles must EQUAL the direct
+    // sketch of the whole log — same SQL as sketch_quantile_hist
+    "sketch_hist_merge" ->
+      """WITH h AS (SELECT event_type,
+                LEAST(GREATEST(CAST(floor(value / 0.5) AS BIGINT), 0), 1023) AS bin,
+                count(*) AS c
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         w AS (SELECT event_type, bin, c,
+                sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+                sum(c) OVER (PARTITION BY event_type) AS n FROM h),
+         qv AS (SELECT unnest([0.5, 0.95, 0.99]) AS q),
+         s AS (SELECT event_type, qv.q AS q, min(bin) AS qbin
+               FROM w, qv WHERE cum >= ceil(qv.q * n) GROUP BY 1, 2)
+         SELECT event_type, q, (CAST(qbin AS DOUBLE) + 0.5) * 0.5 AS est
+         FROM s""",
     "layout_zorder" -> {
       // bit i of column j → key position i*3 + j (round-robin interleave)
       val terms = (0 until 16).flatMap(i => Seq(
@@ -773,6 +854,30 @@ object Temporal {
     // independent min-cascade formulation: t1 = first view, t2 = first
     // click at-or-after t1, t3 = first purchase at-or-after t2
     "funnel_user" ->
+      """WITH e AS (SELECT user_id, event_type,
+                epoch_ns(ts) // 1000000000 AS ts_s
+              FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')),
+         u AS (SELECT DISTINCT user_id FROM e),
+         v AS (SELECT user_id, min(ts_s) AS t1 FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.ts_s) AS t2 FROM e JOIN v USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts_s >= v.t1 GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.ts_s) AS t3 FROM e JOIN c USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts_s >= c.t2 GROUP BY 1)
+         SELECT u.user_id,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS steps_reached,
+           t1, t2, t3
+         FROM u LEFT JOIN v USING (user_id)
+           LEFT JOIN c USING (user_id)
+           LEFT JOIN p USING (user_id)""",
+    // the streaming funnel twin must equal the batch min-cascade —
+    // time-ordered arrival makes funnel_user's join chain the exact
+    // oracle, INCLUDING funnels advancing across the micro-batch split
+    "funnel_stream" ->
       """WITH e AS (SELECT user_id, event_type,
                 epoch_ns(ts) // 1000000000 AS ts_s
               FROM events

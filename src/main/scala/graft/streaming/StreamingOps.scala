@@ -309,6 +309,57 @@ object StreamingOps {
       .toDF(keyCol, tsCol, tieCol, "session_seq")
   }
 
+  /** Streaming funnel progression — the ingest-time twin of
+    * [[graft.analytics.Temporal.funnelSteps]]: per key, the greedy
+    * min-cascade fold (advance to step i+1 on the first step-(i+1)
+    * event at-or-after step i's time) continues ACROSS micro-batches;
+    * state is (steps_reached, reached-step times) — a few dozen
+    * bytes per key, never the key's events. Within a batch the key's
+    * events sort by (time, step index) exactly like the batch
+    * operator; across batches events must arrive in nondecreasing
+    * time order per key (the micro-batch pipeline's natural order).
+    *
+    * Emits the key's CURRENT (steps_reached, step_times) whenever it
+    * receives events (Update-mode semantics). steps_reached is
+    * monotone and a reached step's time never changes, so the final
+    * funnel table is `max(struct(steps_reached, times…))` per key —
+    * which is how the gate row reduces the update stream, and why it
+    * can be oracle-checked against the batch min-cascade join chain.
+    *
+    * Key and time must be long-castable; output is
+    * (keyCol, steps_reached, step_times).
+    */
+  def funnelStepsStream(df: DataFrame, keyCol: String, typeCol: String,
+                        timeCol: String, steps: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "steps must be non-empty and distinct")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idxCol = steps.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (st, i)) => when(col(typeCol) === st, lit(i + 1)).otherwise(acc)
+    }
+    df.select(col(keyCol).cast("long"), col(timeCol).cast("long"),
+        idxCol.as("_si"))
+      .filter(col("_si").isNotNull)
+      .as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (k: Long, rows: Iterator[(Long, Long, Int)],
+         state: GroupState[(Int, Seq[Long])]) => {
+          var (r, ts) = state.getOption.getOrElse((0, Seq.empty[Long]))
+          // same tie order as the batch fold: earlier step sorts first
+          // at an equal instant, so a later step CAN be reached at the
+          // same time as its predecessor
+          rows.toArray.sortBy(e => (e._2, e._3)).foreach { case (_, t, si) =>
+            if (si == r + 1) { r += 1; ts = ts :+ t }
+          }
+          state.update((r, ts))
+          Iterator.single((k, r, ts))
+        })
+      .toDF(keyCol, "steps_reached", "step_times")
+  }
+
   /** One compacted row per key: (key, operation, position, payload). */
   case class CompactedRecord(key: String, operation: String,
                              position: String, payload_after: String)

@@ -59,6 +59,41 @@ class SamplingSpec extends AnyFunSuite {
       .sameElements(other.collect().map(_.getLong(0)).sorted))
   }
 
+  test("mixture sampling hits target proportions, keeps the binding stratum whole, drops unnamed strata") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 8000 a + 1000 b + 300 c + 500 junk; targets 70/20/10 over a/b/c:
+    // budget = min(8000/.7, 1000/.2, 300/.1) = 3000 (c binding, kept whole)
+    val df = spark.range(0, 9800).toDF("id")
+      .withColumn("src", when(col("id") < 8000, "a")
+        .when(col("id") < 9000, "b")
+        .when(col("id") < 9300, "c").otherwise("junk"))
+    val out = Sampling.mixtureSample(df, "id", "src",
+      Seq(("a", 0.7), ("b", 0.2), ("c", 0.1)), seed = 3)
+    val by = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!by.contains("junk"), "unnamed stratum must be dropped")
+    assert(by("c") == 300L, s"binding stratum kept whole, got ${by("c")}")
+    // a keeps ≈ .7·3000/8000 = 26.25% (floor to 1/4096 grid), b ≈ 60%
+    def cut(p: Double, c: Long) =
+      math.floor(math.min(1.0, p * 3000.0 / c) * 4096.0) / 4096.0
+    assert(math.abs(by("a").toDouble / 8000.0 - cut(0.7, 8000)) < 0.03,
+      s"a fraction ${by("a") / 8000.0} vs ${cut(0.7, 8000)}")
+    assert(math.abs(by("b").toDouble / 1000.0 - cut(0.2, 1000)) < 0.06,
+      s"b fraction ${by("b") / 1000.0} vs ${cut(0.2, 1000)}")
+    // deterministic under repartition and across runs
+    val again = Sampling.mixtureSample(df.repartition(13), "id", "src",
+      Seq(("a", 0.7), ("b", 0.2), ("c", 0.1)), seed = 3)
+    assert(out.collect().map(_.getLong(0)).sorted
+      .sameElements(again.collect().map(_.getLong(0)).sorted))
+    // a named stratum with zero rows must fail loudly, not sample empty
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(df, "id", "src",
+        Seq(("a", 0.5), ("nope", 0.5)), seed = 3)
+    }
+    assert(ex.getMessage.contains("nope"), ex.getMessage)
+  }
+
   test("sequence packing: budget respected, complete, deterministic") {
     import spark.implicits._
     // token counts 1..400, some exceeding half the budget, one giant

@@ -138,6 +138,22 @@ class StatsSpec extends AnyFunSuite {
     assert(got(1.0) == 199.5, s"p100 ${got(1.0)}")
   }
 
+  test("histogram sketch merge law: merged disjoint-slice sketches equal the direct sketch") {
+    val df = (1 to 500).map(i => (s"g${i % 3}", (i % 97).toDouble, i))
+      .toDF("g", "v", "i")
+    val direct = Sketch.histogramQuantiles(df, Seq("g"), "v",
+        lo = 0.0, width = 1.0, bins = 100, qs = Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    def half(p: org.apache.spark.sql.Column) = Sketch.histogramBins(
+      df.filter(p), Seq("g"), "v", lo = 0.0, width = 1.0, bins = 100)
+    val merged = Sketch.histogramQuantilesFromBins(
+        Sketch.histogramMerge(Seq(half(col("i") <= 250), half(col("i") > 250)),
+          Seq("g")),
+        Seq("g"), lo = 0.0, width = 1.0, qs = Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(merged == direct, s"merge law violated: $merged vs $direct")
+  }
+
   test("compactionPlan: quota packing bounds, keeps, contiguous bins") {
     val target = 100L
     val files = (0 until 60).map { i =>

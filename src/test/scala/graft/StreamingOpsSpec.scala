@@ -398,6 +398,35 @@ class StreamingOpsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("funnelStepsStream: funnel advances across the micro-batch boundary; final row is the max-struct reduce") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)] // (user, type, ts)
+    val out = StreamingOps.funnelStepsStream(
+      in.toDF().toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+    val q = out.writeStream.format("memory").queryName("funnel_stream_ut")
+      .outputMode("update").start()
+    // batch 1: u1 view@10; u2 click@5 (no view yet — must not advance)
+    in.addData((1L, "view", 10L), (2L, "click", 5L))
+    q.processAllAvailable()
+    // batch 2: u1 click@20 then purchase@20 (tie: purchase CAN land at
+    // the same instant as the click it follows); u2 view@30 then
+    // click@40 — the early click@5 stays consumed-nothing
+    in.addData((1L, "click", 20L), (1L, "purchase", 20L),
+      (2L, "view", 30L), (2L, "click", 40L))
+    q.processAllAvailable()
+    val finalRows = spark.table("funnel_stream_ut")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("steps_reached"), col("step_times"))).as("p"))
+      .select(col("user_id"), col("p.steps_reached"), col("p.step_times"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getSeq[Long](2).toList))).toMap
+    assert(finalRows == Map(
+      1L -> ((3, List(10L, 20L, 20L))),
+      2L -> ((2, List(30L, 40L)))), finalRows.toString)
+    q.stop()
+  }
+
   test("inspector tap samples a live pipeline") {
     graft.pipeline.Runner.memorySinks.clear()
     val ins = graft.pipeline.Metrics.inspector("p-inspect", capacity = 50)
