@@ -158,6 +158,44 @@ object Stats {
       .drop("_vi", "_s", "_sq", "_n")
   }
 
+  /** Exponentially-decayed event count per group — the "trending"
+    * score of a monitoring/rec pipeline: recent events count ~1, an
+    * event `halfLife` old counts 1/2, and so on. Decay is BUCKETED to
+    * whole half-lives on purpose: weight = 2^(−⌊(ref − t)/halfLife⌋),
+    * a dyadic rational that doubles represent EXACTLY, so the grouped
+    * sum is order-independent bit for bit (a continuous e^{−λΔt}
+    * rides libm pow/exp, which is not correctly rounded — the sum
+    * would then depend on partial-aggregation order and could never
+    * carry a hash oracle). Events after `ref` and events beyond
+    * `maxBuckets` half-lives are dropped (weight would round to
+    * nothing anyway; 2^-60 ≈ 1e-18).
+    *
+    * Scale shape: row-local weight inside the scan, one grouped sum
+    * with map-side partial aggregation — the cheapest aggregate shape
+    * there is. Exactness bound: weights are multiples of
+    * 2^−maxBuckets, so the double sum is exact while
+    * n · 2^maxBuckets ≤ 2^53 (gate: 60 buckets ⇒ documented for
+    * n ≤ ~8M rows per group at the default; raise buckets only with
+    * that bound in mind).
+    */
+  def decayedCount(
+      df: DataFrame,
+      groupCols: Seq[String],
+      tsCol: String,
+      refTime: Long,
+      halfLifeSeconds: Long,
+      maxBuckets: Int = 60): DataFrame = {
+    require(halfLifeSeconds > 0 && maxBuckets >= 1 && maxBuckets <= 60)
+    val age = lit(refTime) - col(tsCol).cast("long")
+    // integer `div`, not double `/`: the bucket must floor exactly at
+    // every boundary (the DuckDB oracle uses `//` on integers)
+    val bucket = expr(
+      s"(${refTime}L - CAST($tsCol AS BIGINT)) div ${halfLifeSeconds}L")
+    df.filter(age >= 0 && bucket < maxBuckets)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(pow(lit(2.0), -bucket.cast("double"))).as("decayed_count"))
+  }
+
   /** Winsorization at EXACT per-group order statistics: every value is
     * clipped to [v₍ₖlo₎, v₍ₖhi₎] where kq = ⌈q·n⌉ — the robust
     * pre-training clip for heavy-tailed features, deterministic

@@ -165,6 +165,19 @@ object Temporal {
         .select(col("event_id"), col("user_id"), col("value"))
     }),
 
+    // Exponentially-decayed "trending" count per event type: weights
+    // are whole-half-life dyadics 2^-k — exactly representable, so the
+    // grouped double sum is order-independent and hash-oracle-able
+    // (a continuous e^-λΔt would ride libm and could not be).
+    "stats_decayed" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Stats.decayedCount(
+        ev.select(col("event_type"), tsEpochSeconds(ev).as("ts_s")),
+        Seq("event_type"), "ts_s",
+        refTime = 1706745600L, // 2024-02-01T00:00:00Z
+        halfLifeSeconds = 86400L)
+    }),
+
     // Winsorize at exact per-type order statistics [p05, p95] — pure
     // rank-select + least/greatest, no value arithmetic anywhere.
     "stats_winsorize" -> ((s, dir) =>
@@ -727,6 +740,17 @@ object Temporal {
                FROM w, qv WHERE cum >= ceil(qv.q * n) GROUP BY 1, 2)
          SELECT event_type, q, (CAST(qbin AS DOUBLE) + 0.5) * 0.5 AS est
          FROM s""",
+    // dyadic decay replay: same integer floor-division bucket, same
+    // exact 2^-k weights — sums of dyadics are order-independent
+    "stats_decayed" ->
+      """SELECT event_type,
+           sum(power(2.0, -CAST(
+             (1706745600 - epoch_ns(ts) // 1000000000) // 86400
+             AS DOUBLE))) AS decayed_count
+         FROM events
+         WHERE (1706745600 - epoch_ns(ts) // 1000000000) >= 0
+           AND (1706745600 - epoch_ns(ts) // 1000000000) // 86400 < 60
+         GROUP BY event_type""",
     // merge law: the merged-sketch quantiles must EQUAL the direct
     // sketch of the whole log — same SQL as sketch_quantile_hist
     "sketch_hist_merge" ->

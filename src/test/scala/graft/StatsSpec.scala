@@ -138,6 +138,25 @@ class StatsSpec extends AnyFunSuite {
     assert(got(1.0) == 199.5, s"p100 ${got(1.0)}")
   }
 
+  test("decayedCount: dyadic half-life weights, future and beyond-horizon rows dropped, exact sum") {
+    val ref = 1000000L; val hl = 100L
+    val rows = Seq(
+      ("a", ref),            // bucket 0 → 1.0
+      ("a", ref - hl),       // bucket 1 → 0.5
+      ("a", ref - 250L),     // bucket 2 → 0.25
+      ("a", ref + 5L),       // future → dropped
+      ("a", ref - 61L * hl), // beyond maxBuckets=60 → dropped
+      ("b", ref - 99L)       // bucket 0 → 1.0
+    ).toDF("g", "ts")
+    val got = Stats.decayedCount(rows, Seq("g"), "ts", ref, hl)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a" -> 1.75, "b" -> 1.0), got.toString) // exact ==
+    // order-independence is structural (dyadic weights): repartition
+    val again = Stats.decayedCount(rows.repartition(7), Seq("g"), "ts", ref, hl)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(again == got)
+  }
+
   test("histogram sketch merge law: merged disjoint-slice sketches equal the direct sketch") {
     val df = (1 to 500).map(i => (s"g${i % 3}", (i % 97).toDouble, i))
       .toDF("g", "v", "i")

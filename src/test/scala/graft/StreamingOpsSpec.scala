@@ -427,6 +427,71 @@ class StreamingOpsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("randomized: streaming sessionize and funnel equal their batch operators over any in-order batch split") {
+    // structurally independent equivalence: 400 random events, 60
+    // keys, split into THREE micro-batches at random time cuts — the
+    // streaming twins must reproduce the batch operators' output
+    // exactly, for any split (cross-batch state is the thing tested)
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(20260814)
+    val types = Seq("view", "click", "purchase", "other")
+    val events = (1 to 400).map { i =>
+      (i.toLong, rnd.nextInt(60).toLong + 1L,
+        types(rnd.nextInt(types.length)), rnd.nextInt(5000).toLong)
+    } // (event_id, user, type, ts)
+    val cut1 = 1500L; val cut2 = 3200L
+    val batches = Seq(
+      events.filter(_._4 <= cut1),
+      events.filter(e => e._4 > cut1 && e._4 <= cut2),
+      events.filter(_._4 > cut2))
+
+    // sessionize twin
+    val sIn = MemoryStream[(Long, Long, String, Long)]
+    val sOut = StreamingOps.sessionizeStream(
+      sIn.toDF().toDF("event_id", "user_id", "event_type", "ts"),
+      "user_id", "ts", "event_id", gapSeconds = 300L)
+    val sq = sOut.writeStream.format("memory").queryName("rand_sess_out")
+      .outputMode("append").start()
+    batches.foreach { b => sIn.addData(b); sq.processAllAvailable() }
+    sq.stop()
+    val gotSess = spark.table("rand_sess_out").collect()
+      .map(r => (r.getLong(2), r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val wantSess = graft.analytics.Temporal.sessionize(
+        events.toDF("event_id", "user_id", "event_type", "ts"),
+        "user_id", "ts", "event_id", gapSeconds = 300L)
+      .select(col("event_id"), col("user_id"), col("ts"), col("session_seq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotSess == wantSess,
+      s"sessionize twin diverged: extra=${gotSess -- wantSess} missing=${wantSess -- gotSess}")
+
+    // funnel twin (max-struct reduce of the update stream)
+    val fIn = MemoryStream[(Long, Long, String, Long)]
+    val fOut = StreamingOps.funnelStepsStream(
+      fIn.toDF().toDF("event_id", "user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+    val fq = fOut.writeStream.format("memory").queryName("rand_funnel_out")
+      .outputMode("update").start()
+    batches.foreach { b => fIn.addData(b); fq.processAllAvailable() }
+    fq.stop()
+    val gotFun = spark.table("rand_funnel_out")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("steps_reached"), col("step_times"))).as("p"))
+      .select(col("user_id"), col("p.steps_reached"), col("p.step_times"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Long](2).toList))).toMap
+    val wantFun = graft.analytics.Temporal.funnelSteps(
+        events.toDF("event_id", "user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getSeq[Long](2).toList))).toMap
+    assert(gotFun == wantFun, {
+      val diff = (gotFun.keySet ++ wantFun.keySet)
+        .filter(k => gotFun.get(k) != wantFun.get(k)).take(5)
+      s"funnel twin diverged on ${diff.map(k => (k, gotFun.get(k), wantFun.get(k)))}"
+    })
+  }
+
   test("inspector tap samples a live pipeline") {
     graft.pipeline.Runner.memorySinks.clear()
     val ins = graft.pipeline.Metrics.inspector("p-inspect", capacity = 50)
