@@ -137,6 +137,41 @@ object Sketch {
       seed: Long = 7L): DataFrame =
     hllEstimate(hllRegisters(df, groupCols, valueCol, p, seed), groupCols, p)
 
+  /** Rolling `windowDays`-day distinct count per day via register
+    * ALGEBRA: build each day's register table once, explode every
+    * (day, register) row over the `windowDays` trailing windows it
+    * contributes to, and min-merge per (window-end day, register) —
+    * the sliding-window union is a sketch merge, never a re-read of
+    * the raw rows. Emits one row per day PRESENT in the data; early
+    * days report their partial (shorter) trailing window.
+    *
+    * Scale shape — the 100 TB dashboard pattern: raw rows are touched
+    * exactly once (the daily register build, one shuffle with map-side
+    * min combine); everything after operates on ≤ days × 2^p register
+    * rows × windowDays exploded copies — metadata scale. A naive
+    * `COUNT(DISTINCT)` per sliding window re-shuffles every data row
+    * `windowDays` times.
+    */
+  def hllSlidingDistinct(
+      df: DataFrame,
+      dayCol: String,
+      valueCol: String,
+      windowDays: Int,
+      p: Int = 12,
+      seed: Long = 7L): DataFrame = {
+    require(windowDays >= 1, s"windowDays=$windowDays must be >= 1")
+    val daily = hllRegisters(df, Seq(dayCol), valueCol, p, seed)
+    val contrib = daily.select(
+      explode(sequence(col(dayCol), col(dayCol) + lit(windowDays - 1L)))
+        .as(dayCol),
+      col("_reg"), col("_mw"))
+    val merged = contrib.groupBy(col(dayCol), col("_reg"))
+      .agg(min(col("_mw")).as("_mw"))
+    val presentDays = daily.select(col(dayCol)).distinct()
+    hllEstimate(merged.join(broadcast(presentDays), Seq(dayCol)),
+      Seq(dayCol), p)
+  }
+
   /** Count-min sketch (Cormode & Muthukrishnan 2005) counters from a
     * pre-aggregated weighted item table: depth independent hash rows ×
     * width counters, counter = Σ weights of items landing there.

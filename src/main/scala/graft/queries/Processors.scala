@@ -71,6 +71,27 @@ object Processors {
           col("sv").cast("double").as("sum_value"))
     }),
 
+    // SCD Type-2 dimension history from the same replayed CDC log:
+    // every surviving version with its [valid_from, valid_to) span,
+    // deletes closing the prior version without emitting one. One key
+    // shuffle + lead() window; twin of cdc_materialize (which keeps
+    // only each chain's head).
+    "cdc_scd2" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val pos =
+        if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          expr("ts div 1000000000")
+        else unix_timestamp(col("ts"))
+      val log = ev.select(col("user_id"), col("event_id"), pos.as("pos"),
+        when(col("event_type") === "error", lit("delete"))
+          .otherwise(lit("update")).as("op"),
+        col("value"))
+      Cdc.scd2(log, Seq("user_id"), Seq(col("pos"), col("event_id")),
+          col("pos"), "op")
+        .select(col("user_id"), col("event_id"), col("valid_from"),
+          col("valid_to"), col("value"), col("is_current"))
+    }),
+
     // field.set with a template value referencing the record — typed
     // fast path (150k rows; the template compiles to struct reads).
     // The untyped dynamic-JSON machinery keeps its own gate coverage
@@ -440,6 +461,22 @@ object Processors {
            count(*) AS cnt,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM f GROUP BY 1""",
+    // independent formulation: lead() over the full log BEFORE the
+    // delete filter, so tombstones close intervals exactly as the
+    // operator's window does
+    "cdc_scd2" ->
+      """WITH l AS (SELECT user_id, event_id,
+                epoch_ns(ts) // 1000000000 AS pos,
+                CASE WHEN event_type = 'error' THEN 'delete'
+                     ELSE 'update' END AS op, value
+              FROM events),
+         o AS (SELECT *, pos AS valid_from,
+                lead(pos) OVER
+                  (PARTITION BY user_id ORDER BY pos, event_id) AS valid_to
+               FROM l)
+         SELECT user_id, event_id, valid_from, valid_to, value,
+           (valid_to IS NULL) AS is_current
+         FROM o WHERE op <> 'delete'""",
     "proc_field_set" ->
       "SELECT o_orderkey, o_orderstatus || '-X' AS status_tag FROM orders",
     "proc_field_rename" ->

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.{Joins, Layout, Sketch, Stats, Temporal => TOps}
+import graft.analytics.{Baskets, Joins, Layout, Sketch, Stats, Temporal => TOps}
 
 /** Temporal-join and sketch gate rows. The DuckDB oracles are
   * independent formulations: ASOF LEFT JOIN for the as-of operator
@@ -105,6 +105,57 @@ object Temporal {
     // ≈60k at sf0.1 vs the 2.5·m = 10240 threshold).
     "sketch_hll_docs" -> ((s, dir) =>
       Sketch.hllDistinct(t(s, dir, "documents"), Seq.empty, "doc_id")),
+
+    // Last-touch conversion attribution: each purchase credits the
+    // user's most recent click/view within a 2-hour lookback —
+    // revenue per channel. The as-of union-sort shape (one key
+    // shuffle, no join explosion) with the tolerance applied after
+    // the pick; unattributed conversions land in 'none'.
+    "attribution_last_touch" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val secs = tsEpochSeconds(ev)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), secs.as("ts_s"),
+          col("value"))
+      // unique-(key, time) pre-reduce, same shape as the join_asof
+      // rows: max touch_id wins a tied second (ids are unique)
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("t_uid"), secs.as("touch_ts"),
+          col("event_id"), col("event_type"))
+        .groupBy(col("t_uid"), col("touch_ts"))
+        .agg(max(col("event_id")).as("touch_id"),
+          max_by(col("event_type"), col("event_id")).as("touch_type"))
+      TOps.asOfJoin(purchases, touches, "user_id", "t_uid",
+          "ts_s", "touch_ts", Seq("touch_id", "touch_type", "touch_ts"))
+        .select(col("value"),
+          when(col("touch_ts").isNotNull &&
+              col("ts_s") - col("touch_ts") <= 7200L, col("touch_type"))
+            .otherwise(lit("none")).as("channel"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("conversions"),
+          sum(col("value").cast("decimal(18,2)")).as("_r"))
+        .select(col("channel"), col("conversions"),
+          col("_r").cast("double").as("revenue"))
+    }),
+
+    // Market-basket frequent pairs over order baskets with Apriori
+    // support pruning — rare items never reach the within-basket
+    // self-join. Pure integer counts: exact under any partitioning.
+    "basket_pairs" -> ((s, dir) =>
+      Baskets.frequentPairs(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minSupport = 2L)),
+
+    // Rolling 7-day distinct users per day, sliding the window by
+    // register algebra: raw rows are hashed once (per-day registers),
+    // each register row is exploded over the 7 windows it serves, and
+    // the window union is a min-merge over ≤ days × 4096 rows. Oracle
+    // replays the explode + merge + estimate in HUGEINT.
+    "sketch_hll_sliding" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val e = ev.select(tsEpochSeconds(ev).as("_secs"), col("user_id"))
+        .select(expr("_secs div 86400").as("day"), col("user_id"))
+      Sketch.hllSlidingDistinct(e, "day", "user_id", windowDays = 7)
+    }),
 
     // Sketch algebra: intersection of click-users and purchase-users
     // by inclusion-exclusion over MERGED register tables (never
@@ -509,7 +560,18 @@ object Temporal {
     val g = if (groupSel.isEmpty) "" else s"$groupSel, "
     val gb = if (groupBy.isEmpty) "" else s"GROUP BY $groupBy"
     val gbRegs = if (groupBy.isEmpty) "GROUP BY reg" else s"GROUP BY $groupBy, reg"
-    s"""WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+    s"""WITH ${hllRegsCtes(table, valueCol, g, gbRegs)},
+       rf AS (SELECT * FROM r),
+       ${hllTailSql(g, gb)}"""
+  }
+
+  /** The splitmix64 chain + register table as a CTE block ending in
+    * `r` ($g reg, mw) — shared by [[hllOracle]] and the sliding
+    * variant below.
+    */
+  private def hllRegsCtes(table: String, valueCol: String, g: String,
+      gbRegs: String): String =
+    s"""c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
        m0 AS (SELECT $g(CAST($valueCol AS HUGEINT) + 7 + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
               FROM $table CROSS JOIN c WHERE $valueCol IS NOT NULL),
        ma AS (SELECT $g xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
@@ -522,9 +584,15 @@ object Temporal {
               * 4294967296) % m64 AS x5, m64 FROM mb),
        m3 AS (SELECT $g xor(x5, x5 // 2147483648) AS x6 FROM m2),
        h AS (SELECT $g x6 // 4503599627370496 AS reg, x6 % 4503599627370496 AS w FROM m3),
-       r AS (SELECT $g reg, min(w) AS mw FROM h $gbRegs),
-       b1 AS (SELECT $g reg, CASE WHEN mw >= 4294967296 THEN 32 ELSE 0 END AS a1,
-              CASE WHEN mw >= 4294967296 THEN mw // 4294967296 ELSE mw END AS w1 FROM r),
+       r AS (SELECT $g reg, min(w) AS mw FROM h $gbRegs)"""
+
+  /** The estimate tail (bit-length binary search, HUGEINT harmonic
+    * sum, final double expression) over a register CTE named `rf`
+    * ($g reg, mw).
+    */
+  private def hllTailSql(g: String, gb: String): String =
+    s"""b1 AS (SELECT $g reg, CASE WHEN mw >= 4294967296 THEN 32 ELSE 0 END AS a1,
+              CASE WHEN mw >= 4294967296 THEN mw // 4294967296 ELSE mw END AS w1 FROM rf),
        b2 AS (SELECT $g reg, a1 + CASE WHEN w1 >= 65536 THEN 16 ELSE 0 END AS a2,
               CASE WHEN w1 >= 65536 THEN w1 // 65536 ELSE w1 END AS w2 FROM b1),
        b3 AS (SELECT $g reg, a2 + CASE WHEN w2 >= 256 THEN 8 ELSE 0 END AS a3,
@@ -551,7 +619,22 @@ object Temporal {
                    * CAST(4096 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(9007199254740992 AS DOUBLE) / sd
          END AS estimate
        FROM dd"""
-  }
+
+  /** Sliding-window HLL oracle: per-day register tables from the same
+    * hash chain, each day's registers exploded over the `windowDays`
+    * trailing windows they contribute to, min-merged per (day, reg),
+    * restricted to days present in the data, then the shared estimate
+    * tail grouped by day.
+    */
+  private def hllSlidingOracle(table: String, valueCol: String,
+      windowDays: Int): String =
+    s"""WITH ${hllRegsCtes(table, valueCol, "day, ", "GROUP BY day, reg")},
+       ds AS (SELECT DISTINCT day FROM r),
+       ex AS (SELECT r.day + gs.g AS day, reg, mw
+              FROM r, generate_series(0, ${windowDays - 1}) AS gs(g)),
+       rm AS (SELECT day, reg, min(mw) AS mw FROM ex GROUP BY day, reg),
+       rf AS (SELECT rm.day, reg, mw FROM rm JOIN ds USING (day)),
+       ${hllTailSql("day, ", "GROUP BY day")}"""
 
   val oracles: Map[String, String] = Map(
     "join_asof" ->
@@ -580,10 +663,43 @@ object Temporal {
            CAST(coalesce(sum(CAST(e2.value AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_value
          FROM p LEFT JOIN e e2 ON e2.ts_s >= p.w_start AND e2.ts_s < p.w_end
          GROUP BY 1, 2""",
+    "attribution_last_touch" ->
+      """WITH p AS (SELECT user_id, event_id,
+                epoch_ns(ts) // 1000000000 AS ts_s, value
+              FROM events WHERE event_type = 'purchase'),
+         tch AS (SELECT user_id AS t_uid,
+                epoch_ns(ts) // 1000000000 AS touch_ts,
+                max(event_id) AS touch_id,
+                max_by(event_type, event_id) AS touch_type
+              FROM events WHERE event_type IN ('click', 'view')
+              GROUP BY 1, 2),
+         j AS (SELECT p.value,
+                CASE WHEN t.touch_ts IS NOT NULL
+                       AND p.ts_s - t.touch_ts <= 7200
+                     THEN t.touch_type ELSE 'none' END AS channel
+               FROM p ASOF LEFT JOIN tch t
+                 ON p.user_id = t.t_uid AND p.ts_s >= t.touch_ts)
+         SELECT channel, count(*) AS conversions,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM j GROUP BY 1""",
+    "basket_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+              FROM lineitem),
+         s AS (SELECT i, count(*) AS supp FROM items
+               GROUP BY i HAVING count(*) >= 2),
+         p AS (SELECT items.b, items.i, s.supp FROM items JOIN s USING (i))
+         SELECT a.i AS item_a, bb.i AS item_b, count(*) AS pair_cnt,
+           max(a.supp) AS supp_a, max(bb.supp) AS supp_b
+         FROM p a JOIN p bb ON a.b = bb.b AND a.i < bb.i
+         GROUP BY 1, 2 HAVING count(*) >= 2""",
     "sketch_hll_users" ->
       hllOracle("events", "user_id", "event_type", "event_type"),
     "sketch_hll_docs" ->
       hllOracle("documents", "doc_id", "", ""),
+    "sketch_hll_sliding" ->
+      hllSlidingOracle(
+        "(SELECT epoch_ns(ts) // 1000000000 // 86400 AS day, user_id FROM events)",
+        "user_id", 7),
     "sketch_hll_intersect" -> {
       val a = hllOracle(
         "(SELECT user_id FROM events WHERE event_type = 'click')",
