@@ -234,4 +234,102 @@ object Stats {
         least(greatest(col(valueCol), col("_lo")), col("_hi")))
       .drop("_lo", "_hi")
   }
+
+  /** Population Stability Index (the classic model-monitoring drift
+    * score; see e.g. Yurdakul 2018 for its distribution): values are
+    * binned into `bins` fixed widths over [lo, lo + bins·width)
+    * (outliers clamped to the edge bins), the rows matching `refCond`
+    * form the reference distribution and the rest the current one, and
+    * PSI = Σ_bins (p_i − q_i)·ln(p_i / q_i) with add-one (Laplace)
+    * smoothing — p_i = (c_i + 1)/(n + bins) — so empty bins stay
+    * finite. PSI ≳ 0.2 conventionally flags a shifted feature.
+    *
+    * Scale shape: ONE scan with conditional counts (no second pass per
+    * side), one (group, bin) shuffle with map-side combine; everything
+    * after operates on ≤ groups × bins integer rows. The float tail is
+    * a per-group sequential fold in bin order over exactly `bins`
+    * terms ([[HashFunctions.java_ln]] for glibc ln parity) — IEEE
+    * deterministic under any partitioning, so the gate hash-checks it.
+    */
+  def psiDrift(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      refCond: Column,
+      lo: Double,
+      width: Double,
+      bins: Int): DataFrame = {
+    require(bins >= 2 && width > 0, s"bad geometry bins=$bins width=$width")
+    val g = groupCols.map(col)
+    val bin = least(greatest(
+      floor((col(valueCol) - lit(lo)) / lit(width)).cast("long"), lit(0L)),
+      lit(bins.toLong - 1))
+    val counts = df.filter(col(valueCol).isNotNull)
+      .select(g ++ Seq(bin.as("_bin"),
+        when(refCond, lit(1L)).otherwise(lit(0L)).as("_isref")): _*)
+      .groupBy(g :+ col("_bin"): _*)
+      .agg(sum(col("_isref")).as("_cr"),
+        (count(lit(1)) - sum(col("_isref"))).as("_cc"))
+    // full bin grid per group: absent bins still carry a smoothed term
+    val grid = counts.select(g: _*).distinct()
+      .select(g :+ explode(sequence(lit(0L), lit(bins.toLong - 1)))
+        .as("_bin"): _*)
+    val full = grid
+      .join(counts, groupCols :+ "_bin", "left_outer")
+      .na.fill(0L, Seq("_cr", "_cc"))
+    val totals = full.groupBy(g: _*)
+      .agg(sum(col("_cr")).as("n_ref"), sum(col("_cc")).as("n_cur"))
+    val b = lit(bins.toDouble)
+    val p = (col("_cr") + lit(1L)).cast("double") /
+      (col("n_ref").cast("double") + b)
+    val q = (col("_cc") + lit(1L)).cast("double") /
+      (col("n_cur").cast("double") + b)
+    full.join(totals, groupCols)
+      .withColumn("_term", (p - q) * HashFunctions.java_ln(p / q))
+      .groupBy(g: _*)
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        aggregate(
+          array_sort(collect_list(struct(col("_bin"), col("_term")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("_term")).as("psi"))
+  }
+
+  /** Precision/recall operating points of a scored classifier at fixed
+    * decision thresholds: one row per threshold with the exact
+    * confusion counts (tp, fp, fn, tn) over rows where both score and
+    * label are non-null. Precision/recall/F1 are one division away —
+    * the output stays integer so it is bit-exact under any
+    * partitioning.
+    *
+    * Scale shape — deliberately NOT the sort-based curve: K thresholds
+    * become 2K+2 conditional sums in a SINGLE aggregation pass (fully
+    * map-side combined, one 1-row reduce), so a 100 TB score table is
+    * scanned once with no global sort and no shuffle of data rows. The
+    * sklearn-style every-unique-score curve needs a total order; at
+    * pipeline scale you pick the operating grid up front.
+    */
+  def prCurve(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: Column,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val clean = df.filter(col(scoreCol).isNotNull && labelCol.isNotNull)
+      .select(col(scoreCol).as("_s"), labelCol.as("_y"))
+    val aggs: Seq[Column] =
+      Seq(sum(when(col("_y"), lit(1L)).otherwise(lit(0L))).as("_pos"),
+        sum(when(!col("_y"), lit(1L)).otherwise(lit(0L))).as("_neg")) ++
+        thresholds.zipWithIndex.flatMap { case (th, i) => Seq(
+          sum(when(col("_s") >= lit(th) && col("_y"), lit(1L))
+            .otherwise(lit(0L))).as(s"_tp$i"),
+          sum(when(col("_s") >= lit(th) && !col("_y"), lit(1L))
+            .otherwise(lit(0L))).as(s"_fp$i")) }
+    val base = clean.agg(aggs.head, aggs.tail: _*)
+    base.select(explode(array(thresholds.zipWithIndex.map { case (th, i) =>
+        struct(lit(th).as("threshold"),
+          col(s"_tp$i").as("tp"), col(s"_fp$i").as("fp"),
+          (col("_pos") - col(s"_tp$i")).as("fn"),
+          (col("_neg") - col(s"_fp$i")).as("tn")) }: _*)).as("_r"))
+      .select(col("_r.*"))
+  }
 }

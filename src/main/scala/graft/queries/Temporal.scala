@@ -229,6 +229,32 @@ object Temporal {
         halfLifeSeconds = 86400L)
     }),
 
+    // Classifier evaluation at fixed operating points: exact confusion
+    // counts per threshold in ONE aggregation pass (2K+2 conditional
+    // sums, no global sort) — length-vs-English as the deterministic
+    // score/label pair; the classifier composition is spec-covered.
+    "stats_pr_curve" -> ((s, dir) =>
+      Stats.prCurve(
+        t(s, dir, "documents")
+          .select(col("n_chars").cast("double").as("score"),
+            col("lang"), col("doc_id")),
+        "score", col("lang") === "en",
+        thresholds = Seq(100.0, 250.0, 500.0, 1000.0, 2000.0, 4000.0))),
+
+    // Feature-drift screen: PSI of the value distribution per event
+    // type between the first and second halves of the log (16 fixed
+    // bins, add-one smoothing). One scan + one (type, bin) shuffle;
+    // the float tail is a 16-term fold the oracle replays exactly.
+    "stats_psi_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Stats.psiDrift(
+        ev.select(col("event_type"), col("value"),
+          tsEpochSeconds(ev).as("_secs")),
+        Seq("event_type"), "value",
+        refCond = col("_secs") <= 1705363200L, // 2024-01-16T00:00:00Z
+        lo = 0.0, width = 25.0, bins = 16)
+    }),
+
     // Winsorize at exact per-type order statistics [p05, p95] — pure
     // rank-select + least/greatest, no value arithmetic anywhere.
     "stats_winsorize" -> ((s, dir) =>
@@ -663,6 +689,47 @@ object Temporal {
            CAST(coalesce(sum(CAST(e2.value AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_value
          FROM p LEFT JOIN e e2 ON e2.ts_s >= p.w_start AND e2.ts_s < p.w_end
          GROUP BY 1, 2""",
+    "stats_pr_curve" ->
+      """WITH d AS (SELECT CAST(n_chars AS DOUBLE) AS s, (lang = 'en') AS y
+              FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+         th AS (SELECT unnest([CAST(100 AS DOUBLE), CAST(250 AS DOUBLE),
+                 CAST(500 AS DOUBLE), CAST(1000 AS DOUBLE),
+                 CAST(2000 AS DOUBLE), CAST(4000 AS DOUBLE)]) AS threshold)
+         SELECT th.threshold,
+           CAST(sum(CASE WHEN d.s >= th.threshold AND d.y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN d.s >= th.threshold AND NOT d.y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN d.s < th.threshold AND d.y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN d.s < th.threshold AND NOT d.y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         FROM th CROSS JOIN d GROUP BY 1""",
+    // full replication: grid join keeps empty bins, list_reduce is the
+    // same sequential fold in bin order, ln == java_ln (glibc)
+    "stats_psi_drift" ->
+      """WITH e AS (SELECT event_type AS g,
+              least(greatest(CAST(floor((value - 0.0) / 25.0) AS BIGINT), 0), 15) AS bin,
+              CASE WHEN epoch_ns(ts) // 1000000000 <= 1705363200
+                   THEN 1 ELSE 0 END AS isref
+            FROM events WHERE value IS NOT NULL),
+         c AS (SELECT g, bin, CAST(sum(isref) AS BIGINT) AS cr,
+                CAST(count(*) - sum(isref) AS BIGINT) AS cc
+               FROM e GROUP BY 1, 2),
+         grid AS (SELECT DISTINCT g FROM c),
+         bl AS (SELECT g, gs.b AS bin
+                FROM grid, generate_series(0, 15) AS gs(b)),
+         f AS (SELECT bl.g, bl.bin, coalesce(cr, 0) AS cr,
+                coalesce(cc, 0) AS cc
+               FROM bl LEFT JOIN c ON bl.g = c.g AND bl.bin = c.bin),
+         tt AS (SELECT g, CAST(sum(cr) AS BIGINT) AS n_ref,
+                CAST(sum(cc) AS BIGINT) AS n_cur FROM f GROUP BY 1),
+         tm AS (SELECT f.g, f.bin, tt.n_ref, tt.n_cur,
+                ((CAST(cr + 1 AS DOUBLE) / (CAST(n_ref AS DOUBLE) + CAST(16 AS DOUBLE)))
+                 - (CAST(cc + 1 AS DOUBLE) / (CAST(n_cur AS DOUBLE) + CAST(16 AS DOUBLE)))) *
+                ln((CAST(cr + 1 AS DOUBLE) / (CAST(n_ref AS DOUBLE) + CAST(16 AS DOUBLE)))
+                   / (CAST(cc + 1 AS DOUBLE) / (CAST(n_cur AS DOUBLE) + CAST(16 AS DOUBLE)))) AS t
+               FROM f JOIN tt ON f.g = tt.g)
+         SELECT g AS event_type, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t ORDER BY bin)),
+             (a, b) -> a + b) AS psi
+         FROM tm GROUP BY 1""",
     "attribution_last_touch" ->
       """WITH p AS (SELECT user_id, event_id,
                 epoch_ns(ts) // 1000000000 AS ts_s, value

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.{Baskets, Sketch, Stats}
+import graft.model.Cdc
+
+/** Semantics of the round-8 additions: SCD2 history, basket pairs,
+  * sliding HLL, PSI drift, PR operating points — each against a
+  * hand-computed or independently-derived reference.
+  */
+class AffinitySpec extends AnyFunSuite {
+  lazy val spark = Spark.session
+  import spark.implicits._
+
+  test("scd2: versions chain, deletes close, last survivor open") {
+    // key 1: v@10, v@20, delete@30, v@40  -> [10,20), [20,30), [40,null)
+    // key 2: delete@5 only                -> no versions
+    val log = Seq(
+      (1L, 100L, 10L, "update", "a"),
+      (1L, 101L, 20L, "update", "b"),
+      (1L, 102L, 30L, "delete", null),
+      (1L, 103L, 40L, "update", "c"),
+      (2L, 200L, 5L, "delete", null)
+    ).toDF("k", "id", "pos", "op", "v")
+    val out = Cdc.scd2(log, Seq("k"), Seq(col("pos"), col("id")),
+        col("pos"), "op")
+      .select("k", "id", "valid_from", "valid_to", "is_current")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+    assert(out == Set(
+      (1L, 100L, 10L, 20L, false),
+      (1L, 101L, 20L, 30L, false),
+      (1L, 103L, 40L, -1L, true)))
+  }
+
+  test("scd2: a key ending in delete has no current version") {
+    val log = Seq((7L, 1L, 10L, "update"), (7L, 2L, 20L, "delete"))
+      .toDF("k", "id", "pos", "op")
+    val out = Cdc.scd2(log, Seq("k"), Seq(col("pos"), col("id")),
+      col("pos"), "op")
+    assert(out.filter(col("is_current")).count() == 0L)
+    assert(out.count() == 1L) // the closed [10,20) version survives
+  }
+
+  test("basket pairs: apriori prune drops rare items before the join") {
+    // baskets: {a,b,c}, {a,b}, {a,b,d}, {c,d} — with minSupport=2:
+    // supports a=3 b=3 c=2 d=2; pairs (a,b)=3, (a,c)=1, (b,c)=1,
+    // (a,d)=1, (b,d)=1, (c,d)=1 -> only (a,b) survives pair_cnt>=2
+    val items = Seq(
+      (1, "a"), (1, "b"), (1, "c"),
+      (2, "a"), (2, "b"),
+      (3, "a"), (3, "b"), (3, "d"),
+      (4, "c"), (4, "d")
+    ).toDF("basket", "item")
+    val out = Baskets.frequentPairs(items, "basket", "item", 2L).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("item_a") == "a" &&
+      r.getAs[String]("item_b") == "b" &&
+      r.getAs[Long]("pair_cnt") == 3L &&
+      r.getAs[Long]("supp_a") == 3L && r.getAs[Long]("supp_b") == 3L)
+  }
+
+  test("basket pairs: duplicate item rows in one basket count once") {
+    val items = Seq((1, "x"), (1, "x"), (1, "y"), (2, "x"), (2, "y"))
+      .toDF("b", "i")
+    val out = Baskets.frequentPairs(items, "b", "i", 2L).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("pair_cnt") == 2L)
+  }
+
+  test("sliding HLL == direct HLL of each trailing window's rows") {
+    // independent reference: re-sketch the union of each 3-day window
+    // directly from the raw rows — the register-algebra slide must
+    // produce identical estimates (same hash, same registers)
+    val rows = (0 until 500).map { i =>
+      (i.toLong % 7L, (i * 37 % 211).toLong) // (day, user)
+    }
+    val df = rows.toDF("day", "u")
+    val slid = Sketch.hllSlidingDistinct(df, "day", "u", windowDays = 3)
+      .select("day", "estimate").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val days = rows.map(_._1).distinct.sorted
+    for (d <- days) {
+      val direct = Sketch.hllDistinct(
+        df.filter(col("day") >= d - 2 && col("day") <= d), Seq.empty, "u")
+        .select("estimate").head().getDouble(0)
+      assert(slid(d) == direct, s"day $d: slide ${slid(d)} != direct $direct")
+    }
+  }
+
+  test("psi: identical halves score ~0, shifted halves score high") {
+    val same = (1 to 2000).map(i => ("t", (i % 100).toDouble, i <= 1000))
+      .toDF("g", "v", "isref")
+    val psiSame = Stats.psiDrift(same, Seq("g"), "v", col("isref"),
+      lo = 0.0, width = 10.0, bins = 10)
+      .select("psi").head().getDouble(0)
+    assert(math.abs(psiSame) < 0.01, s"identical halves psi=$psiSame")
+
+    val shifted = (1 to 2000).map { i =>
+      val v = if (i <= 1000) (i % 50).toDouble else 50.0 + (i % 50)
+      ("t", v, i <= 1000)
+    }.toDF("g", "v", "isref")
+    val psiShift = Stats.psiDrift(shifted, Seq("g"), "v", col("isref"),
+      lo = 0.0, width = 10.0, bins = 10)
+      .select("psi").head().getDouble(0)
+    assert(psiShift > 1.0, s"disjoint supports psi=$psiShift")
+  }
+
+  test("psi is invariant under repartitioning (deterministic fold)") {
+    val d = (1 to 997).map(i => ("g", (i % 37).toDouble * 3, i % 3 == 0))
+      .toDF("g", "v", "isref")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Stats.psiDrift(df, Seq("g"), "v", col("isref"), 0.0, 12.5, 8)
+        .select("psi").head().getDouble(0)
+    assert(run(d) == run(d.repartition(13)))
+  }
+
+  test("pr curve counts match a direct filter per threshold") {
+    val d = (1 to 300).map(i => (i.toDouble, i % 3 == 0))
+      .toDF("score", "y")
+    val out = Stats.prCurve(d, "score", col("y"), Seq(100.0, 200.0))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def ref(th: Double) = {
+      val tp = (1 to 300).count(i => i >= th && i % 3 == 0).toLong
+      val fp = (1 to 300).count(i => i >= th && i % 3 != 0).toLong
+      val fn = (1 to 300).count(i => i < th && i % 3 == 0).toLong
+      val tn = (1 to 300).count(i => i < th && i % 3 != 0).toLong
+      (tp, fp, fn, tn)
+    }
+    assert(out(100.0) == ref(100.0) && out(200.0) == ref(200.0))
+  }
+
+  test("pr curve composes with the text classifier scores") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val scored = graft.analytics.Text.classifierScore(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val curve = Stats.prCurve(scored, "margin", col("lang") === "en",
+      Seq(-0.1, 0.0, 0.1))
+    val rows = curve.collect()
+    assert(rows.length == 3)
+    val n = docs.count()
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4) == n)
+    }
+  }
+}
