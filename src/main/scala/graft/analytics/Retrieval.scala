@@ -171,4 +171,45 @@ object Retrieval {
         ((lit(1.0) + java_ln(col("tf").cast("double"))) *
           java_ln(col("n").cast("double") / col("df").cast("double"))).as("weight"))
   }
+
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    * fuse N ranked lists into one by score(d) = Σ_systems
+    * 1/(k0 + rank_s(d)) — the standard hybrid-retrieval combiner
+    * (e.g. BM25 + dense ANN), robust because it reads only RANKS, so
+    * incomparable score scales never matter.
+    *
+    * Each input is a (query, doc, rank) table — typically already a
+    * per-query top-K, so the fuse operates on K·|systems| rows per
+    * query regardless of corpus size: union → one (query, doc)
+    * shuffle → per-query top-K (Spark plans the row_number filter as
+    * a bounded partial below the exchange). The score sum folds in
+    * system order (not union order), so the double result is
+    * deterministic under any partitioning and N.
+    */
+  def rrfFuse(systems: Seq[(String, DataFrame)],
+              queryCol: String, docCol: String, rankCol: String,
+              k0: Int = 60, topK: Int = 10): DataFrame = {
+    require(systems.nonEmpty, "need at least one ranking")
+    require(k0 >= 1 && topK >= 1)
+    val tagged = systems.zipWithIndex.map { case ((_, df), i) =>
+      df.select(col(queryCol).as("query_id"), col(docCol).as("doc_id"),
+        lit(i).as("_sys"),
+        (lit(1.0) / (lit(k0.toDouble) + col(rankCol).cast("double")))
+          .as("_term")) }
+    val scored = tagged.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("_sys"), col("_term")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("_term")).as("rrf_score"),
+        count(lit(1)).as("n_systems"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    scored.withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= topK)
+      .select(col("query_id"), col("fused_rank"), col("doc_id"),
+        col("rrf_score"), col("n_systems"))
+  }
 }

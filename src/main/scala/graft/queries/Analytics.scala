@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.{Dedup, Multimodal, Retrieval, Sampling, Similarity, Text}
+import graft.analytics.{Dedup, Multimodal, Retrieval, Sampling, Similarity, Text, Urls}
 import graft.streaming.StreamingOps
 
 /** Training-data pipeline queries (dedup / similarity / text /
@@ -21,6 +21,32 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+
+    // URL canonicalization dedup: the crawl-store first pass. The test
+    // corpus carries no URLs, so the gate row constructs one per doc
+    // with deterministic case/port/utm/param-order/fragment noise —
+    // the oracle builds the IDENTICAL input but derives the canonical
+    // form from the construction arithmetic in closed form, so the
+    // hash match proves the parser inverts every noise dimension.
+    "dedup_url" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 2 === 0, lit("http")).otherwise(lit("HtTp")),
+        lit("://"),
+        when(id % 3 === 0, lit("www.site")).otherwise(lit("WWW.Site")),
+        (id % 40).cast("string"), lit(".example.COM"),
+        when(id % 4 === 0, lit(":80")).otherwise(lit("")),
+        lit("/p/"), (id % 25).cast("string"),
+        when(id % 2 === 0, lit("?a=1&b=2&utm_source=feed"))
+          .otherwise(lit("?b=2&utm_campaign=x&a=1")),
+        when(id % 5 === 0, concat(lit("#sec"), id.cast("string")))
+          .otherwise(lit("")))
+      Urls.dedupByCanonical(
+          t(s, dir, "documents").select(id, url.as("url")),
+          "doc_id", "url")
+        .select(col("doc_id"), col("url"), col("canonical_url"),
+          col("keep"))
+    }),
 
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -375,6 +401,30 @@ object Analytics {
     "text_tfidf" -> ((s, dir) =>
       Retrieval.tfidf(t(s, dir, "documents"), "doc_id", "text", minDf = 5)),
 
+    // Hybrid-retrieval rank fusion: BM25 top-10 + a document-length
+    // prior (global top-10 via TakeOrdered — no full-corpus window),
+    // RRF-combined. Fusion operates on K·systems rows per query.
+    "rrf_fusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bm = Retrieval.bm25(docs, "doc_id", "text",
+        Seq("q1" -> Seq("hash", "join", "merge"),
+            "q2" -> Seq("dup", "stream", "window"),
+            "q3" -> Seq("vector", "query", "sort")),
+        topK = 10).select(col("query_id"), col("doc_id"), col("rank"))
+      val top = docs.select(col("doc_id"), col("n_chars"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc).limit(10)
+      val ranked = top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_chars").desc, col("doc_id").asc)).cast("long"))
+      val qids = s.range(0, 3)
+        .select(concat(lit("q"), (col("id") + 1).cast("string"))
+          .as("query_id"))
+      val prior = qids.crossJoin(ranked)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq("bm25" -> bm, "length_prior" -> prior),
+        "query_id", "doc_id", "rank", k0 = 60, topK = 10)
+    }),
+
     // the composed curation pipeline end-to-end: NFC-normalize →
     // quality gate (>=30 tokens, mean token length in [3,8]) → exact
     // dedup on the normalized text (keep lowest id) → deterministic
@@ -508,15 +558,15 @@ object Analytics {
     })
   )
 
-  val oracles: Map[String, String] = Map(
-    // BM25 replication: same tokenization, posting-list tf/df, the
-    // published idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (DuckDB ln ==
-    // Java Math.log bitwise — both correctly rounded on these args),
-    // per-doc score = list_reduce fold in term order (== the engine's
-    // array_sort + sequential aggregate). Double literals are CAST —
-    // bare 1.2 parses as DECIMAL and decimal arithmetic diverges.
-    "text_bm25" ->
-      """WITH q(query_id, term) AS (VALUES
+  // BM25 replication: same tokenization, posting-list tf/df, the
+  // published idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (DuckDB ln ==
+  // Java Math.log bitwise — both correctly rounded on these args),
+  // per-doc score = list_reduce fold in term order (== the engine's
+  // array_sort + sequential aggregate). Double literals are CAST —
+  // bare 1.2 parses as DECIMAL and decimal arithmetic diverges.
+  // A named val so the RRF oracle can nest it as its first system.
+  private val bm25OracleSql: String =
+    """WITH q(query_id, term) AS (VALUES
            ('q1','hash'),('q1','join'),('q1','merge'),
            ('q2','dup'),('q2','stream'),('q2','window'),
            ('q3','vector'),('q3','query'),('q3','sort')),
@@ -548,7 +598,41 @@ object Analytics {
            SELECT query_id, doc_id, score,
              row_number() OVER (PARTITION BY query_id
                ORDER BY score DESC, doc_id ASC) AS rk
-           FROM scores) WHERE rk <= 10""",
+           FROM scores) WHERE rk <= 10"""
+
+  val oracles: Map[String, String] = Map(
+    "text_bm25" -> bm25OracleSql,
+    // fuse = nested bm25 oracle + a closed-form length-prior ranking,
+    // term fold in system order (list_reduce ≡ the engine's ordered
+    // aggregate), final top-10 by (score DESC, doc_id ASC)
+    "rrf_fusion" ->
+      s"""WITH bm AS (SELECT query_id, doc_id, rank FROM ($bm25OracleSql)),
+         pr0 AS (SELECT doc_id, rnk FROM (
+             SELECT doc_id, row_number() OVER
+               (ORDER BY n_chars DESC, doc_id ASC) AS rnk
+             FROM documents) WHERE rnk <= 10),
+         qq(query_id) AS (VALUES ('q1'), ('q2'), ('q3')),
+         pr AS (SELECT qq.query_id, pr0.doc_id, pr0.rnk AS rank
+                FROM qq CROSS JOIN pr0),
+         u AS (SELECT query_id, doc_id, 0 AS sys,
+                 CAST(1.0 AS DOUBLE) /
+                 (CAST(60 AS DOUBLE) + CAST(rank AS DOUBLE)) AS term
+               FROM bm
+               UNION ALL
+               SELECT query_id, doc_id, 1 AS sys,
+                 CAST(1.0 AS DOUBLE) /
+                 (CAST(60 AS DOUBLE) + CAST(rank AS DOUBLE)) AS term
+               FROM pr),
+         sc AS (SELECT query_id, doc_id,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(term ORDER BY sys)), (a, b) -> a + b) AS rrf_score,
+                 CAST(count(*) AS BIGINT) AS n_systems
+                FROM u GROUP BY 1, 2)
+         SELECT query_id, CAST(rk AS BIGINT) AS fused_rank, doc_id,
+           rrf_score, n_systems
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf_score DESC, doc_id ASC) AS rk FROM sc)
+         WHERE rk <= 10""",
     // stage-by-stage replication: normalize (the text_normalize SQL),
     // quality ratios (integer-count divisions), GROUP BY normalized
     // text ≡ the engine's sha2-256 digest grouping, then the
@@ -1562,6 +1646,26 @@ object Analytics {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents GROUP BY text""",
+    // closed-form canonical from the construction arithmetic — zero
+    // shared parsing machinery with the operator under test
+    "dedup_url" ->
+      """WITH u AS (SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HtTp' END) || '://' ||
+           (CASE WHEN doc_id % 3 = 0 THEN 'www.site' ELSE 'WWW.Site' END) ||
+           CAST(doc_id % 40 AS VARCHAR) || '.example.COM' ||
+           (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END) ||
+           '/p/' || CAST(doc_id % 25 AS VARCHAR) ||
+           (CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2&utm_source=feed'
+                 ELSE '?b=2&utm_campaign=x&a=1' END) ||
+           (CASE WHEN doc_id % 5 = 0 THEN '#sec' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END) AS url,
+           'http://www.site' || CAST(doc_id % 40 AS VARCHAR) ||
+           '.example.com/p/' || CAST(doc_id % 25 AS VARCHAR) ||
+           '?a=1&b=2' AS canonical_url
+         FROM documents)
+         SELECT doc_id, url, canonical_url,
+           (doc_id = min(doc_id) OVER (PARTITION BY canonical_url)) AS keep
+         FROM u""",
     // the whitespace-normalized polynomial rolling hash (base 1000003,
     // wrap mod 2^64) is replicated with HUGEINT arithmetic; unicode()
     // codepoints equal Java's UTF-16 units for this BMP-only corpus

@@ -134,6 +134,39 @@ class AffinitySpec extends AnyFunSuite {
     assert(out(100.0) == ref(100.0) && out(200.0) == ref(200.0))
   }
 
+  test("url canonicalize: every RFC-3986 noise dimension inverts") {
+    val cases = Seq(
+      // case + default port + utm + param order + fragment
+      ("HTTP://WWW.Ex.COM:80/a?b=2&utm_source=x&a=1#f",
+        "http://www.ex.com/a?a=1&b=2"),
+      // https default port; only utm params -> query dropped
+      ("https://Ex.com:443/p?utm_a=1&utm_b=2", "https://ex.com/p"),
+      // non-default port kept; empty path -> /
+      ("http://ex.com:8080?z=1", "http://ex.com:8080/?z=1"),
+      // no query, trailing fragment only
+      ("http://EX.com/path#x", "http://ex.com/path"),
+      // malformed (no scheme) passes through untouched
+      ("not a url", "not a url"))
+    val df = cases.toDF("u", "want")
+      .withColumn("got", graft.analytics.Urls.canonicalize(col("u")))
+    val bad = df.filter(col("got") =!= col("want")).collect()
+    assert(bad.isEmpty, bad.map(r => s"${r.getString(0)}: got ${r.getString(2)}").mkString("; "))
+  }
+
+  test("rrf fusion: agreement ranks above either single system") {
+    // doc 1 is rank 1 in both systems; doc 2 top in A only, doc 3 top
+    // in B only -> fused order must put 1 first
+    val a = Seq(("q", 1L, 1L), ("q", 2L, 2L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq(("q", 1L, 1L), ("q", 3L, 2L)).toDF("query_id", "doc_id", "rank")
+    val out = graft.analytics.Retrieval.rrfFuse(
+      Seq("a" -> a, "b" -> b), "query_id", "doc_id", "rank")
+      .orderBy("fused_rank").collect()
+    assert(out.head.getAs[Long]("doc_id") == 1L)
+    assert(out.head.getAs[Long]("n_systems") == 2L)
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L))
+    // 2 and 3 have identical scores (same single rank) -> doc_id tiebreak
+  }
+
   test("pr curve composes with the text classifier scores") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val scored = graft.analytics.Text.classifierScore(docs, "doc_id", "text")
