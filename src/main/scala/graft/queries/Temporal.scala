@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.{Baskets, Joins, Layout, Sketch, Stats, Temporal => TOps}
+import graft.analytics.{Baskets, Graph, Joins, Layout, Sketch, Stats, Temporal => TOps}
 
 /** Temporal-join and sketch gate rows. The DuckDB oracles are
   * independent formulations: ASOF LEFT JOIN for the as-of operator
@@ -105,6 +105,22 @@ object Temporal {
     // ≈60k at sf0.1 vs the 2.5·m = 10240 threshold).
     "sketch_hll_docs" -> ((s, dir) =>
       Sketch.hllDistinct(t(s, dir, "documents"), Seq.empty, "doc_id")),
+
+    // PageRank over the customer→supplier order graph (5 budgeted
+    // power iterations, teleport-only formulation): per iteration one
+    // src join + one dst shuffle. Deterministic mode folds in-neighbor
+    // contributions in src order so the oracle replays every IEEE step
+    // through all five rounds.
+    "graph_pagerank" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (lit(1000000L) + col("l_suppkey")).as("dst"))
+      Graph.pageRank(edges, "src", "dst", iterations = 5,
+          damping = 0.85, deterministic = true)
+        .select(col("node"), col("rank").as("pagerank"))
+    }),
 
     // Last-touch conversion attribution: each purchase credits the
     // user's most recent click/view within a 2-hour lookback —
@@ -662,7 +678,43 @@ object Temporal {
        rf AS (SELECT rm.day, reg, mw FROM rm JOIN ds USING (day)),
        ${hllTailSql("day, ", "GROUP BY day")}"""
 
+  /** Unrolled power-iteration replication: each round's in-neighbor
+    * sum is a list_reduce fold in src order (== the engine's
+    * deterministic mode), teleport/damping literals printed from the
+    * same Scala doubles the engine uses.
+    */
+  private def pageRankOracle(iterations: Int, damping: Double): String = {
+    val tp = s"CAST(${1.0 - damping} AS DOUBLE)"
+    val d = s"CAST($damping AS DOUBLE)"
+    val iters = (1 to iterations).map { k =>
+      s"""r$k AS (SELECT n.node,
+           $tp / CAST(nn.n AS DOUBLE) +
+             $d * coalesce(s.s, CAST(0.0 AS DOUBLE)) AS rank
+         FROM nodes n CROSS JOIN nc nn
+         LEFT JOIN (SELECT e.dst AS node,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(r.rank / CAST(e.deg AS DOUBLE) ORDER BY e.src)),
+               (a, b) -> a + b) AS s
+           FROM ew e JOIN r${k - 1} r ON r.node = e.src
+           GROUP BY e.dst) s ON s.node = n.node)"""
+    }.mkString(",\n")
+    s"""WITH edges AS (SELECT DISTINCT o.o_custkey AS src,
+            1000000 + l.l_suppkey AS dst
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       nodes AS (SELECT DISTINCT node FROM
+         (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+       nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+               FROM edges GROUP BY src),
+       ew AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+       r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS rank
+              FROM nodes CROSS JOIN nc nn),
+       $iters
+       SELECT node, rank AS pagerank FROM r$iterations"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> pageRankOracle(5, 0.85),
     "join_asof" ->
       """WITH l AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s
                     FROM events WHERE event_type IN ('click', 'view')),

@@ -167,6 +167,36 @@ class AffinitySpec extends AnyFunSuite {
     // 2 and 3 have identical scores (same single rank) -> doc_id tiebreak
   }
 
+  test("pagerank: a sink-pointing chain ranks the sink highest") {
+    // star 1->3, 2->3 plus chain 3->4: 4 collects through 3
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val r = graft.analytics.Graph.pageRank(e, "s", "d",
+      iterations = 10, deterministic = true)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(3) > r(1) && r(3) > r(2))
+    assert(r(4) > r(3), s"sink 4 must outrank its feeder: $r")
+    assert(r(1) == r(2)) // symmetric sources
+    // teleport floor: every node holds at least (1-d)/N
+    assert(r.values.forall(_ >= 0.15 / 4 - 1e-15))
+  }
+
+  test("pagerank deterministic mode is repartition-invariant and " +
+    "agrees with the production sum to float noise") {
+    val edges = (1 to 400).map(i =>
+      ((i % 57).toLong, ((i * 13) % 31).toLong + 100L)).toDF("s", "d")
+    def run(df: org.apache.spark.sql.DataFrame, det: Boolean) =
+      graft.analytics.Graph.pageRank(df, "s", "d", iterations = 3,
+        deterministic = det)
+        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val a = run(edges, det = true)
+    val b = run(edges.repartition(17), det = true)
+    assert(a == b, "deterministic fold must not depend on partitioning")
+    val c = run(edges, det = false)
+    assert(a.keySet == c.keySet)
+    a.foreach { case (k, v) =>
+      assert(math.abs(v - c(k)) < 1e-12, s"node $k: $v vs ${c(k)}") }
+  }
+
   test("pr curve composes with the text classifier scores") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val scored = graft.analytics.Text.classifierScore(docs, "doc_id", "text")
