@@ -294,6 +294,54 @@ object Stats {
           (acc, x) => acc + x.getField("_term")).as("psi"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic per group — the
+    * distribution-drift twin of [[psiDrift]] that needs NO binning
+    * choice: D = max_x |F_ref(x) − F_cur(x)| over the empirical CDFs,
+    * evaluated after ties at every distinct value. Reported as the
+    * EXACT rational d_num/(n_ref·n_cur) (cross-multiplied in
+    * decimal(38,0) — no division until the final display column, so
+    * the statistic is bit-stable at any row count, including
+    * n_ref·n_cur beyond 2^63) plus the conventional double `d`.
+    *
+    * Scale shape: one (group, value) pre-aggregation with map-side
+    * combine, then one window pass over the ≤ |distinct values| rows
+    * per group (single key shuffle — the same sort the ECDF needs).
+    * No all-pairs, no resort per sample.
+    */
+  def ksTest(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      refCond: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val g = groupCols.map(col)
+    val counts = df.filter(col(valueCol).isNotNull)
+      .select(g ++ Seq(col(valueCol).as("_v"),
+        when(refCond, lit(1L)).otherwise(lit(0L)).as("_isref")): _*)
+      .groupBy(g :+ col("_v"): _*)
+      .agg(sum(col("_isref")).as("_c1"),
+        (count(lit(1)) - sum(col("_isref"))).as("_c2"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("_v"))
+    val wAll = Window.partitionBy(g: _*)
+    counts
+      .withColumn("_r1", sum(col("_c1")).over(wCum))
+      .withColumn("_r2", sum(col("_c2")).over(wCum))
+      .withColumn("_n1", sum(col("_c1")).over(wAll))
+      .withColumn("_n2", sum(col("_c2")).over(wAll))
+      .withColumn("_diff", abs(
+        col("_r1").cast(d38) * col("_n2").cast(d38) -
+          col("_r2").cast(d38) * col("_n1").cast(d38)))
+      .groupBy(g: _*)
+      .agg(max(col("_diff")).as("_dn"),
+        max(col("_n1")).as("n_ref"), max(col("_n2")).as("n_cur"))
+      .select(g ++ Seq(
+        col("_dn").as("d_num"),
+        col("n_ref"), col("n_cur"),
+        (col("_dn").cast("double") /
+          (col("n_ref").cast("double") * col("n_cur").cast("double")))
+          .as("d")): _*)
+  }
+
   /** Precision/recall operating points of a scored classifier at fixed
     * decision thresholds: one row per threshold with the exact
     * confusion counts (tp, fp, fn, tn) over rows where both score and

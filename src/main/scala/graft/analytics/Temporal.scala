@@ -148,6 +148,78 @@ object Temporal {
       .select(col(rightKey) +: col(rightTime) +:
         rightValueCols.map(c => col(s"_rv.$c").as(c)): _*)
 
+  /** Nearest-in-time join: each left row picks the right row with the
+    * CLOSEST time in either direction, within `maxGap` (feature-store
+    * alignment where a reading may arrive just before OR just after
+    * the probe — as-of's backward-only pick loses the nearer forward
+    * observation). Equidistant ties prefer the backward row; a right
+    * row at the exact probe time wins with distance 0. Left-outer:
+    * unmatched probes keep null right columns and a null `direction`
+    * (otherwise 'prev'/'next').
+    *
+    * Same union-sort shape as [[asOfJoin]] — ONE key shuffle + one
+    * sort, with the backward pick (cumulative last) and the forward
+    * pick (first over the following frame) computed over the same
+    * sort; never a range join or nested loop. Precondition: unique
+    * right (key, time) — use the max-struct pre-reduce if unsure.
+    */
+  def nearestJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightValueCols: Seq[String],
+      maxGap: Long): DataFrame = {
+    require(maxGap >= 0, s"maxGap=$maxGap")
+    val lCols = left.columns.toSeq
+    require(rightValueCols.forall(c => !lCols.contains(c)),
+      s"right value columns ${rightValueCols.mkString(",")} collide with left columns")
+    val rStruct = struct(col(rightTime).as("_rt") +:
+      rightValueCols.map(col): _*)
+    val rType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("_rt",
+        right.schema(rightTime).dataType, nullable = true) +:
+        rightValueCols.map(c => org.apache.spark.sql.types.StructField(
+          c, right.schema(c).dataType, nullable = true)))
+    // right rows sort BEFORE left at a tied time: the tied row lands
+    // in the backward frame with distance 0 (minimal), so tie
+    // preference needs no special case
+    val lSel: Seq[Column] =
+      Seq(col(leftKey).as("_k"), col(leftTime).as("_t"), lit(1).as("_side")) ++
+        lCols.map(c => col(c).as(s"_l_$c")) :+
+        lit(null).cast(rType).as("_r")
+    val rSel: Seq[Column] =
+      Seq(col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_side")) ++
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c")) :+
+        rStruct.as("_r")
+    val unioned = left.select(lSel: _*).unionByName(right.select(rSel: _*))
+    val sort = Seq(col("_t").asc, col("_side").asc)
+    val wPrev = Window.partitionBy(col("_k")).orderBy(sort: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("_k")).orderBy(sort: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prevD = col("_t") - col("_prev._rt")
+    val nextD = col("_next._rt") - col("_t")
+    val prevOk = col("_prev").isNotNull && prevD <= maxGap
+    val nextOk = col("_next").isNotNull && nextD <= maxGap
+    val pick = when(prevOk && (!nextOk || prevD <= nextD), col("_prev"))
+      .when(nextOk, col("_next"))
+    val dir = when(prevOk && (!nextOk || prevD <= nextD), lit("prev"))
+      .when(nextOk, lit("next")).otherwise(lit(null).cast("string"))
+    unioned
+      .withColumn("_prev", last(col("_r"), ignoreNulls = true).over(wPrev))
+      .withColumn("_next", first(col("_r"), ignoreNulls = true).over(wNext))
+      .filter(col("_side") === 1)
+      .withColumn("_m", pick)
+      .withColumn("direction", dir)
+      .select(lCols.map(c => col(s"_l_$c").as(c)) ++
+        Seq(col("_m._rt").as(s"near_$rightTime")) ++
+        rightValueCols.map(c => col(s"_m.$c").as(c)) :+
+        col("direction"): _*)
+  }
+
   /** Gap-based sessionization: assigns each row a per-key session
     * ordinal (1-based, in time order) — a new session starts when the
     * gap to the previous row of the same key exceeds `gapSeconds`.

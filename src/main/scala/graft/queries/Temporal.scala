@@ -245,6 +245,39 @@ object Temporal {
         halfLifeSeconds = 86400L)
     }),
 
+    // Nearest-in-time join: each click aligns to the CLOSEST purchase
+    // within ±1 h, either direction (as-of only looks back). Same
+    // single-shuffle union-sort shape; oracle = two DuckDB ASOF joins
+    // (backward + forward) + the tie-preferring choose.
+    "ts_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val secs = tsEpochSeconds(ev)
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), secs.as("ts_s"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), secs.as("p_ts_s"),
+          col("event_id"), col("value"))
+        .groupBy(col("p_uid"), col("p_ts_s"))
+        .agg(max(col("event_id")).as("p_event_id"),
+          max_by(col("value"), col("event_id")).as("p_value"))
+      TOps.nearestJoin(l, r, "user_id", "p_uid", "ts_s", "p_ts_s",
+        Seq("p_event_id", "p_value"), maxGap = 3600L)
+    }),
+
+    // Binning-free drift screen beside PSI: exact two-sample KS
+    // statistic as the cross-multiplied rational (decimal(38,0) — no
+    // division until the display column), one (type, value) shuffle.
+    "stats_ks_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Stats.ksTest(
+        ev.select(col("event_type"), col("value"),
+          tsEpochSeconds(ev).as("_secs")),
+        Seq("event_type"), "value",
+        refCond = col("_secs") <= 1705363200L)
+        .select(col("event_type"), col("d_num").cast("long").as("d_num"),
+          col("n_ref"), col("n_cur"), col("d"))
+    }),
+
     // Classifier evaluation at fixed operating points: exact confusion
     // counts per threshold in ONE aggregation pass (2K+2 conditional
     // sums, no global sort) — length-vs-English as the deterministic
@@ -741,6 +774,63 @@ object Temporal {
            CAST(coalesce(sum(CAST(e2.value AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_value
          FROM p LEFT JOIN e e2 ON e2.ts_s >= p.w_start AND e2.ts_s < p.w_end
          GROUP BY 1, 2""",
+    // two independent ASOF passes + choose — no shared window
+    // machinery with the union-sort operator under test
+    "ts_nearest" ->
+      """WITH l AS (SELECT user_id, event_id,
+                epoch_ns(ts) // 1000000000 AS ts_s
+              FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id AS p_uid, epoch_ns(ts) // 1000000000 AS p_ts_s,
+                max(event_id) AS p_event_id, max_by(value, event_id) AS p_value
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         b AS (SELECT l.user_id, l.event_id, l.ts_s, r.p_ts_s AS b_ts,
+                r.p_event_id AS b_id, r.p_value AS b_v
+               FROM l ASOF LEFT JOIN r
+                 ON l.user_id = r.p_uid AND l.ts_s >= r.p_ts_s),
+         f AS (SELECT l.user_id, l.event_id, l.ts_s, r.p_ts_s AS f_ts,
+                r.p_event_id AS f_id, r.p_value AS f_v
+               FROM l ASOF LEFT JOIN r
+                 ON l.user_id = r.p_uid AND l.ts_s <= r.p_ts_s),
+         j AS (SELECT b.user_id, b.event_id, b.ts_s,
+                b_ts, b_id, b_v, f_ts, f_id, f_v,
+                (b_ts IS NOT NULL AND b.ts_s - b_ts <= 3600) AS bok,
+                (f_ts IS NOT NULL AND f_ts - b.ts_s <= 3600) AS fok
+               FROM b JOIN f ON b.user_id = f.user_id
+                 AND b.event_id = f.event_id),
+         p AS (SELECT *,
+                (bok AND (NOT fok OR ts_s - b_ts <= f_ts - ts_s)) AS takeb
+               FROM j)
+         SELECT user_id, event_id, ts_s,
+           CASE WHEN takeb THEN b_ts WHEN fok THEN f_ts END AS near_p_ts_s,
+           CASE WHEN takeb THEN b_id WHEN fok THEN f_id END AS p_event_id,
+           CASE WHEN takeb THEN b_v WHEN fok THEN f_v END AS p_value,
+           CASE WHEN takeb THEN 'prev' WHEN fok THEN 'next' END AS direction
+         FROM p""",
+    "stats_ks_drift" ->
+      """WITH e AS (SELECT event_type AS g, value AS v,
+              CASE WHEN epoch_ns(ts) // 1000000000 <= 1705363200
+                   THEN 1 ELSE 0 END AS isref
+            FROM events WHERE value IS NOT NULL),
+         c AS (SELECT g, v, CAST(sum(isref) AS BIGINT) AS c1,
+                CAST(count(*) - sum(isref) AS BIGINT) AS c2
+               FROM e GROUP BY 1, 2),
+         r AS (SELECT g, v,
+                sum(c1) OVER (PARTITION BY g ORDER BY v) AS r1,
+                sum(c2) OVER (PARTITION BY g ORDER BY v) AS r2,
+                sum(c1) OVER (PARTITION BY g) AS n1,
+                sum(c2) OVER (PARTITION BY g) AS n2
+               FROM c),
+         dd AS (SELECT g,
+                abs(CAST(r1 AS HUGEINT) * CAST(n2 AS HUGEINT) -
+                    CAST(r2 AS HUGEINT) * CAST(n1 AS HUGEINT)) AS diff,
+                n1, n2 FROM r)
+         SELECT g AS event_type,
+           CAST(max(diff) AS BIGINT) AS d_num,
+           CAST(max(n1) AS BIGINT) AS n_ref,
+           CAST(max(n2) AS BIGINT) AS n_cur,
+           CAST(CAST(max(diff) AS BIGINT) AS DOUBLE) /
+             (CAST(max(n1) AS DOUBLE) * CAST(max(n2) AS DOUBLE)) AS d
+         FROM dd GROUP BY 1""",
     "stats_pr_curve" ->
       """WITH d AS (SELECT CAST(n_chars AS DOUBLE) AS s, (lang = 'en') AS y
               FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),

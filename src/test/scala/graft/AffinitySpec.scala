@@ -197,6 +197,58 @@ class AffinitySpec extends AnyFunSuite {
       assert(math.abs(v - c(k)) < 1e-12, s"node $k: $v vs ${c(k)}") }
   }
 
+  test("ks test: hand-computed D on a tiny two-sample case") {
+    // ref = {1,2,3}, cur = {3,4,5}: ECDF gap peaks at x=2 or 3:
+    // at v=2: |2*3 - 0*3| = 6; at v=3: |3*3-1*3|=6 -> d_num=6, d=6/9
+    val d = Seq(("g", 1.0, true), ("g", 2.0, true), ("g", 3.0, true),
+      ("g", 3.0, false), ("g", 4.0, false), ("g", 5.0, false))
+      .toDF("g", "v", "isref")
+    val r = Stats.ksTest(d, Seq("g"), "v", col("isref")).collect().head
+    assert(r.getAs[java.math.BigDecimal]("d_num").longValueExact == 6L)
+    assert(r.getAs[Long]("n_ref") == 3L && r.getAs[Long]("n_cur") == 3L)
+    assert(r.getAs[Double]("d") == 6.0 / 9.0)
+  }
+
+  test("ks test: identical samples give D = 0; disjoint give D = 1") {
+    // i 1..50 and 51..100 produce the same value multiset mod 10
+    val same = (1 to 100).map(i => ("g", (i % 10).toDouble, i <= 50))
+      .toDF("g", "v", "isref")
+    val r0 = Stats.ksTest(same, Seq("g"), "v", col("isref")).collect().head
+    assert(r0.getAs[Double]("d") == 0.0)
+    val disj = ((1 to 50).map(i => ("g", i.toDouble, true)) ++
+      (1 to 50).map(i => ("g", 100.0 + i, false))).toDF("g", "v", "isref")
+    val r1 = Stats.ksTest(disj, Seq("g"), "v", col("isref")).collect().head
+    assert(r1.getAs[Double]("d") == 1.0)
+  }
+
+  test("nearest join: direction choice, tie to prev, gap exclusion") {
+    val l = Seq((1L, 10L, 100L), (1L, 11L, 205L), (1L, 12L, 900L),
+      (2L, 20L, 50L)).toDF("k", "id", "t")
+    val r = Seq((1L, 90L, 95.0, 1L), (1L, 210L, 96.0, 2L),
+      (1L, 300L, 97.0, 3L)).toDF("rk", "rt", "rv", "rid")
+    val out = graft.analytics.Temporal.nearestJoin(
+      l, r, "k", "rk", "t", "rt", Seq("rv", "rid"), maxGap = 100L)
+      .collect().map(x => x.getAs[Long]("id") ->
+        (Option(x.getAs[Any]("near_rt")), x.getAs[String]("direction"))).toMap
+    // id 10 @100: prev 90 (d=10) vs next 210 (d=110, over gap) -> prev
+    assert(out(10L) == (Some(90L), "prev"))
+    // id 11 @205: prev 90 (d=115 > gap), next 210 (d=5) -> next
+    assert(out(11L) == (Some(210L), "next"))
+    // id 12 @900: nothing within 100 -> null
+    assert(out(12L) == ((None, null)))
+    // key 2 has no right rows at all
+    assert(out(20L) == ((None, null)))
+  }
+
+  test("nearest join: equidistant tie prefers the backward row") {
+    val l = Seq((1L, 1L, 100L)).toDF("k", "id", "t")
+    val r = Seq((1L, 90L, 1.0), (1L, 110L, 2.0)).toDF("rk", "rt", "rv")
+    val out = graft.analytics.Temporal.nearestJoin(
+      l, r, "k", "rk", "t", "rt", Seq("rv"), maxGap = 50L).collect().head
+    assert(out.getAs[Long]("near_rt") == 90L &&
+      out.getAs[String]("direction") == "prev")
+  }
+
   test("pr curve composes with the text classifier scores") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val scored = graft.analytics.Text.classifierScore(docs, "doc_id", "text")
