@@ -589,6 +589,69 @@ object Temporal {
           col("session_seq"))
     }),
 
+    // Streaming HLL twin: the register state min-merged across a real
+    // 2-batch stream must equal the batch sketch of the whole log —
+    // the merge law under micro-batch delivery. Oracle = the direct
+    // batch HLL replication.
+    "sketch_hll_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = t(s, dir, "events")
+      val rows = ev.select(col("event_type"), col("user_id"),
+          tsEpochSeconds(ev).as("ts_s"))
+        .as[(String, Long, Long)].collect()
+      val split = 1705363200L // 2024-01-16T00:00:00Z
+      val (b1, b2) = rows.partition(_._3 <= split)
+      val state = java.nio.file.Files
+        .createTempDirectory("hll_stream").toString
+      val in = MemoryStream[(String, Long, Long)]
+      val q = in.toDF().toDF("event_type", "user_id", "ts_s")
+        .writeStream
+        .foreachBatch(graft.streaming.StreamingOps.hllRegisterSink(
+          state, Seq("event_type"), "user_id"))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      Sketch.hllEstimate(s.read.parquet(s"$state/batch=1"),
+        Seq("event_type"))
+    }),
+
+    // Streaming SCD2 twin: version history maintained across a real
+    // 2-batch stream — versions opened in batch 1 must be CLOSED by
+    // batch 2's first change per key. Oracle = the batch cdc_scd2
+    // formulation over the whole log.
+    "scd2_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = t(s, dir, "events")
+      val rows = ev.select(col("user_id"), col("event_id"),
+          tsEpochSeconds(ev).as("pos"),
+          when(col("event_type") === "error", lit("delete"))
+            .otherwise(lit("update")).as("op"), col("value"))
+        .as[(Long, Long, Long, String, Double)].collect()
+      val split = 1705363200L
+      val (b1, b2) = rows.partition(_._3 <= split)
+      val state = java.nio.file.Files
+        .createTempDirectory("scd2_stream").toString
+      val in = MemoryStream[(Long, Long, Long, String, Double)]
+      val q = in.toDF().toDF("user_id", "event_id", "pos", "op", "value")
+        .writeStream
+        .foreachBatch(graft.streaming.StreamingOps.scd2Sink(
+          state, Seq("user_id"), Seq("pos", "event_id"), "pos", "op"))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$state/batch=1")
+        .select(col("user_id"), col("event_id"), col("valid_from"),
+          col("valid_to"), col("value"), col("is_current"))
+    }),
+
     // Sketch mergeability: two independently-built register tables
     // (click users, purchase users) merged with min(_mw) must equal
     // the direct sketch of the union — the oracle computes the
@@ -903,6 +966,25 @@ object Temporal {
          GROUP BY 1, 2 HAVING count(*) >= 2""",
     "sketch_hll_users" ->
       hllOracle("events", "user_id", "event_type", "event_type"),
+    // the streaming register state must equal the batch sketch of the
+    // whole log — same oracle as sketch_hll_users by design
+    "sketch_hll_stream" ->
+      hllOracle("events", "user_id", "event_type", "event_type"),
+    // the streaming version history must equal the batch SCD2 build —
+    // same formulation as Processors' cdc_scd2 oracle
+    "scd2_stream" ->
+      """WITH l AS (SELECT user_id, event_id,
+                epoch_ns(ts) // 1000000000 AS pos,
+                CASE WHEN event_type = 'error' THEN 'delete'
+                     ELSE 'update' END AS op, value
+              FROM events),
+         o AS (SELECT *, pos AS valid_from,
+                lead(pos) OVER
+                  (PARTITION BY user_id ORDER BY pos, event_id) AS valid_to
+               FROM l)
+         SELECT user_id, event_id, valid_from, valid_to, value,
+           (valid_to IS NULL) AS is_current
+         FROM o WHERE op <> 'delete'""",
     "sketch_hll_docs" ->
       hllOracle("documents", "doc_id", "", ""),
     "sketch_hll_sliding" ->

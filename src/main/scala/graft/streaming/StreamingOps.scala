@@ -10,6 +10,24 @@ import org.apache.spark.sql.functions._
   */
 object StreamingOps {
 
+  /** Committed-state resolution shared by the foreachBatch sinks:
+    * the newest `batch=<id>` dir with id STRICTLY below the current
+    * batch (a replay must not read its own partial output) carrying
+    * the committer's `_SUCCESS` marker (a mid-write crash leaves a
+    * marker-less dir that must never be read as state).
+    */
+  private[streaming] def latestCommittedDir(root: String,
+                                            batchId: Long): Option[String] = {
+    val d = new java.io.File(root)
+    Option(d.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .flatMap(f => scala.util.Try(
+        f.getName.stripPrefix("batch=").toLong).toOption.map(_ -> f))
+      .filter { case (id, f) =>
+        id < batchId && new java.io.File(f, "_SUCCESS").isFile }
+      .sortBy(_._1).lastOption.map { case (id, _) => s"$root/batch=$id" }
+  }
+
   /** Exact streaming dedup on a content hash: watermark bounds the
     * dedup state (a key older than `delay` is forgotten — at 100 TB/day
     * unbounded dedup state is the first thing that falls over).
@@ -408,21 +426,8 @@ object StreamingOps {
       valueExpr: Column): (DataFrame, Long) => Unit = {
 
     (batch: DataFrame, batchId: Long) => {
-      // committed-state resolution: ids STRICTLY below the current
-      // batch (a replay of batch n must not read its own partial
-      // output from the crashed attempt) and only dirs Spark's
-      // committer finished (_SUCCESS) — a mid-write crash leaves a
-      // marker-less dir that must never be read as state
-      def latestDir(root: String): Option[String] = {
-        val d = new java.io.File(root)
-        Option(d.listFiles()).toSeq.flatten
-          .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-          .flatMap(f => scala.util.Try(
-            f.getName.stripPrefix("batch=").toLong).toOption.map(_ -> f))
-          .filter { case (id, f) =>
-            id < batchId && new java.io.File(f, "_SUCCESS").isFile }
-          .sortBy(_._1).lastOption.map { case (id, _) => s"$root/batch=$id" }
-      }
+      def latestDir(root: String): Option[String] =
+        latestCommittedDir(root, batchId)
       val spark = batch.sparkSession
       val base = latestDir(baseDir).map(spark.read.parquet(_))
         .getOrElse(batch.limit(0))
@@ -451,6 +456,91 @@ object StreamingOps {
         col(v1.columns(2)).cast(sumType).as("sv"))
       v1Stable.write.mode("overwrite").parquet(s"$viewDir/batch=$batchId")
       b1.write.mode("overwrite").parquet(s"$baseDir/batch=$batchId")
+    }
+  }
+
+  /** Streaming HLL maintenance — the sketch twin of
+    * [[viewMaintenanceSink]]: each micro-batch is hashed into a
+    * register table once and min-MERGED into the committed register
+    * state ([[graft.analytics.Sketch.hllMerge]] — the same merge law
+    * the `sketch_hll_union` gate row proves bit-exact), so the
+    * running distinct-count state stays ≤ groups × 2^p rows no matter
+    * how much stream has passed. `batch=` versioning + `_SUCCESS`
+    * committed-only reads make replays idempotent (min-merge is
+    * itself idempotent, so even a double-applied batch cannot corrupt
+    * the registers — the versioning guards against PARTIAL writes,
+    * not double counts). Estimate any committed state with
+    * [[graft.analytics.Sketch.hllEstimate]].
+    */
+  def hllRegisterSink(
+      stateDir: String,
+      groupCols: Seq[String],
+      valueCol: String,
+      p: Int = 12,
+      seed: Long = 7L): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val newRegs = graft.analytics.Sketch.hllRegisters(
+        batch, groupCols, valueCol, p, seed)
+      val merged = latestCommittedDir(stateDir, batchId) match {
+        case Some(prev) => graft.analytics.Sketch.hllMerge(
+          Seq(spark.read.parquet(prev), newRegs), groupCols)
+        case None => newRegs
+      }
+      merged.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    }
+  }
+
+  /** Streaming SCD Type-2 maintenance — the incremental twin of
+    * [[graft.model.Cdc.scd2]]: the committed state is the full
+    * version history; each micro-batch chains its own versions
+    * (within-batch [[graft.model.Cdc.scd2]]), closes the state's open
+    * versions at the batch's first change per key, and appends.
+    * Batch positions must be at-or-after the state's per key —
+    * stale redeliveries (a position at or below the key's newest
+    * `valid_from`) are DROPPED by the same order guard
+    * [[viewMaintenanceSink]] uses, so at-least-once delivery cannot
+    * re-open closed history. `batch=` versioning + committed-only
+    * reads give idempotent restarts.
+    *
+    * Scale: the state append is delta-sized; the close touches only
+    * keys present in the batch (semi-join shape). The full-history
+    * rewrite per batch is the parquet-dir simplification — swap for a
+    * keyed upsert store exactly like viewMaintenanceSink's base.
+    */
+  def scd2Sink(
+      stateDir: String,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      posCol: String,
+      opCol: String): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val prev = latestCommittedDir(stateDir, batchId)
+        .map(spark.read.parquet(_))
+      val versions = prev.getOrElse {
+        graft.model.Cdc.scd2(batch.limit(0), keyCols,
+          orderCols.map(col), col(posCol), opCol)
+      }
+      // stale-redelivery guard: the newest version start per key is
+      // the high-water mark; batch rows at or below it were processed
+      val hwm = versions.groupBy(keyCols.map(col): _*)
+        .agg(max(col("valid_from")).as("_hwm"))
+      val guarded = batch.join(hwm, keyCols, "left")
+        .filter(col("_hwm").isNull || col(posCol) > col("_hwm"))
+        .drop("_hwm")
+      val dNew = graft.model.Cdc.scd2(guarded, keyCols,
+        orderCols.map(col), col(posCol), opCol)
+      val firstPerKey = guarded.groupBy(keyCols.map(col): _*)
+        .agg(min(col(posCol)).as("_fp"))
+      val closed = versions.join(firstPerKey, keyCols, "left")
+        .withColumn("valid_to",
+          when(col("is_current") && col("_fp").isNotNull, col("_fp"))
+            .otherwise(col("valid_to")))
+        .withColumn("is_current", col("is_current") && col("_fp").isNull)
+        .drop("_fp")
+      closed.unionByName(dNew)
+        .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
     }
   }
 

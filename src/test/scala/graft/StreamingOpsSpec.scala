@@ -233,6 +233,67 @@ class StreamingOpsSpec extends AnyFunSuite {
       (2L, 1L, BigDecimal(25.0).setScale(2))), s"got $after")
   }
 
+  test("hllRegisterSink: replay-idempotent merge; marker-less dirs never read") {
+    val dir = java.nio.file.Files.createTempDirectory("hll-sink").toString
+    val sink = StreamingOps.hllRegisterSink(dir, Seq("g"), "u", p = 12)
+    def df(rows: (String, Long)*) = rows.toDF("g", "u")
+    sink(df((1 to 300).map(i => ("a", (i % 97).toLong)): _*), 0L)
+    sink(df((1 to 300).map(i => ("a", (i % 113 + 50).toLong)): _*), 1L)
+    def regs(id: Long) = spark.read.parquet(s"$dir/batch=$id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val clean = regs(1L)
+    // crash replay of batch 1 must reproduce identical registers
+    sink(df((1 to 300).map(i => ("a", (i % 113 + 50).toLong)): _*), 1L)
+    assert(regs(1L) == clean)
+    // the merged state equals the direct sketch of the union
+    val direct = graft.analytics.Sketch.hllRegisters(
+      df(((1 to 300).map(i => ("a", (i % 97).toLong)) ++
+        (1 to 300).map(i => ("a", (i % 113 + 50).toLong))): _*),
+      Seq("g"), "u").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(clean == direct, "stream-merged registers != direct sketch")
+    // marker-less dir is ignored as state
+    new java.io.File(s"$dir/batch=2").mkdirs()
+    sink(df(("a", 9999L)), 3L)
+    assert(regs(3L).size >= clean.size)
+  }
+
+  test("scd2Sink: cross-batch close, delete semantics, stale redelivery dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("scd2-sink").toString
+    val sink = StreamingOps.scd2Sink(dir, Seq("k"), Seq("pos", "id"),
+      "pos", "op")
+    def df(rows: (Long, Long, Long, String)*) = rows.toDF("k", "id", "pos", "op")
+    // batch 0: k1 opens v@10; k2 opens v@15
+    sink(df((1L, 100L, 10L, "update"), (2L, 200L, 15L, "update")), 0L)
+    // batch 1: k1 changes @20 (closes [10,20)), k2 deleted @25,
+    // plus a STALE redelivery of k1@10 (must be dropped)
+    sink(df((1L, 101L, 20L, "update"), (2L, 201L, 25L, "delete"),
+      (1L, 100L, 10L, "update")), 1L)
+    def hist(id: Long) = spark.read.parquet(s"$dir/batch=$id").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("id"),
+        r.getAs[Long]("valid_from"), Option(r.getAs[Any]("valid_to")),
+        r.getAs[Boolean]("is_current"))).toSet
+    val got = hist(1L)
+    val want = Set(
+      (1L, 100L, 10L, Some(20L), false),
+      (1L, 101L, 20L, None, true),
+      (2L, 200L, 15L, Some(25L), false))
+    assert(got == want, s"got $got want $want")
+    // replay of batch 1 reproduces the same history
+    sink(df((1L, 101L, 20L, "update"), (2L, 201L, 25L, "delete"),
+      (1L, 100L, 10L, "update")), 1L)
+    assert(hist(1L) == want)
+    // streaming result == batch scd2 over the concatenated log
+    val full = graft.model.Cdc.scd2(
+      df((1L, 100L, 10L, "update"), (2L, 200L, 15L, "update"),
+        (1L, 101L, 20L, "update"), (2L, 201L, 25L, "delete")),
+      Seq("k"), Seq(col("pos"), col("id")), col("pos"), "op")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("id"),
+        r.getAs[Long]("valid_from"), Option(r.getAs[Any]("valid_to")),
+        r.getAs[Boolean]("is_current"))).toSet
+    assert(got == full, "streaming history != batch scd2")
+  }
+
   test("streaming near-dup against history: LSH candidates, exact verify, every doc classified") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
