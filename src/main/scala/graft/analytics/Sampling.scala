@@ -342,4 +342,61 @@ object Sampling {
     packed.toDF(idCol, "pack_id", "pack_pos")
       .select(col(idCol), col("pack_id"), col("pack_pos").cast("int").as("pack_pos"))
   }
+
+  /** Poisson(1) inverse-CDF thresholds on the top-52-bit hash lane:
+    * k = |{t_j ≤ u52}| caps at 8 (P(X > 8) ≈ 1e-6 — the truncation is
+    * part of the documented estimator). Computed once in Scala and
+    * printed into the oracle, so both engines compare against
+    * IDENTICAL integer constants.
+    */
+  private[graft] val poissonThresholds: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    val probs = Iterator.iterate(e1 :: Nil) { acc =>
+      (acc.head / (acc.length).toDouble) :: acc }
+      .drop(7).next().reverse // p_k = e^-1 / k!, k = 0..7
+    probs.scanLeft(0.0)(_ + _).tail
+      .map(c => math.floor(c * math.pow(2.0, 52)).toLong)
+  }
+
+  /** Poisson bootstrap (Chamandy et al. 2012, "Estimating Uncertainty
+    * for Massive Data Streams"; the one-pass limit of resampling-with-
+    * replacement): each row enters replicate r with weight
+    * k ~ Poisson(1), drawn deterministically from
+    * splitmix64(id + seed + r), so the R resampled estimates of
+    * (count, total) arrive in a SINGLE scan with map-side combine —
+    * no per-replicate shuffle, no materialized resamples. The spread
+    * across replicates is the bootstrap uncertainty of the total.
+    *
+    * Exactness: weights are integers from fixed thresholds and the
+    * value total is summed in decimal(18,2), so every replicate
+    * estimate is bit-stable under any partitioning (gate-hashable).
+    */
+  def poissonBootstrap(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      replicates: Int = 3,
+      seed: Long = 7L): DataFrame = {
+    require(replicates >= 1 && replicates <= 64, s"replicates=$replicates")
+    val reps = explode(array((0 until replicates).map(lit): _*)).as("replicate")
+    // replicate lanes stride by the 32-bit golden constant — plain
+    // `id + r` would make lane r a 1-shifted copy of lane r-1 (almost
+    // perfectly correlated resamples); ids stay far below the stride
+    val u52 = shiftrightunsigned(
+      splitmix64_hash(col(idCol) +
+        col("replicate").cast("long") * lit(2654435769L) + lit(seed)),
+      12)
+    val k = poissonThresholds.zipWithIndex
+      .foldRight(lit(poissonThresholds.length.toLong)) {
+        case ((t, i), rest) => when(u52 < lit(t), lit(i.toLong)).otherwise(rest)
+      }
+    df.select(col(idCol), col(valueCol), reps)
+      .withColumn("_k", k)
+      .groupBy(col("replicate"))
+      .agg(count(lit(1)).as("n_orig"),
+        sum(col("_k")).as("n_resampled"),
+        sum(col(valueCol).cast("decimal(18,2)") * col("_k")).as("_sv"))
+      .select(col("replicate"), col("n_orig"), col("n_resampled"),
+        col("_sv").cast("double").as("sum_value"))
+  }
 }

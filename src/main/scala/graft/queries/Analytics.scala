@@ -188,6 +188,17 @@ object Analytics {
       Sampling.hashSample(t(s, dir, "documents"), "doc_id", 0.25, seed = 7)
         .select(col("doc_id"))),
 
+    // Poisson bootstrap: 3 deterministic resampled estimates of the
+    // events value total in ONE scan (per-row Poisson(1) weights from
+    // the hash lane — no materialized resamples). The oracle replays
+    // the splitmix chain per (row, replicate) and the same integer
+    // inverse-CDF thresholds.
+    "sample_bootstrap" -> ((s, dir) =>
+      Sampling.poissonBootstrap(t(s, dir, "events"), "event_id", "value",
+          replicates = 3, seed = 7)
+        .select(col("replicate").cast("long").as("replicate"),
+          col("n_orig"), col("n_resampled"), col("sum_value"))),
+
     // leakage-free 80/10/10 split: ALL of a user's events land in the
     // same split (group-hash, not row-i.i.d.)
     "sample_split_group" -> ((s, dir) =>
@@ -1780,6 +1791,36 @@ object Analytics {
     // splitmix64(doc_id + 7) replicated (same chain as dedup_embedding
     // plane weights); bucket = bits 12..23 of the unsigned hash,
     // keep bucket < floor(0.25 * 4096)
+    "sample_bootstrap" -> {
+      val ts = graft.analytics.Sampling.poissonThresholds
+      val kCase = ts.zipWithIndex
+        .map { case (t, i) => s"WHEN u52 < $t THEN $i" }
+        .mkString("CASE ", " ", s" ELSE ${ts.length} END")
+      s"""WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+         base AS (SELECT event_id, value, gs.r
+                  FROM events CROSS JOIN generate_series(0, 2) AS gs(r)),
+         m0 AS (SELECT value, r,
+           (CAST(event_id AS HUGEINT) + r * 2654435769 + 7 + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
+           FROM base CROSS JOIN c),
+         ma AS (SELECT value, r, xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
+         m1 AS (SELECT value, r,
+           (x2 % 4294967296 * 484763065 +
+            ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+            * 4294967296) % m64 AS x3, m64 FROM ma),
+         mb AS (SELECT value, r, xor(x3, x3 // 134217728) AS x4, m64 FROM m1),
+         m2 AS (SELECT value, r,
+           (x4 % 4294967296 * 321982955 +
+            ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+            * 4294967296) % m64 AS x5, m64 FROM mb),
+         m3 AS (SELECT value, r, xor(x5, x5 // 2147483648) AS x6 FROM m2),
+         kk AS (SELECT value, r, $kCase AS k
+                FROM (SELECT value, r, x6 // 4096 AS u52 FROM m3))
+         SELECT CAST(r AS BIGINT) AS replicate,
+           count(*) AS n_orig,
+           CAST(sum(k) AS BIGINT) AS n_resampled,
+           CAST(sum(CAST(value AS DECIMAL(18,2)) * k) AS DOUBLE) AS sum_value
+         FROM kk GROUP BY 1"""
+    },
     "sample_hash" ->
       """WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
          m0 AS (SELECT doc_id,

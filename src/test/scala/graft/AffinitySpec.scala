@@ -4,7 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.analytics.{Baskets, Sketch, Stats}
+import graft.analytics.{Baskets, Sampling, Sketch, Stats}
 import graft.model.Cdc
 
 /** Semantics of the round-8 additions: SCD2 history, basket pairs,
@@ -247,6 +247,26 @@ class AffinitySpec extends AnyFunSuite {
       l, r, "k", "rk", "t", "rt", Seq("rv"), maxGap = 50L).collect().head
     assert(out.getAs[Long]("near_rt") == 90L &&
       out.getAs[String]("direction") == "prev")
+  }
+
+  test("poisson bootstrap: replicates track the true total and are " +
+    "repartition-invariant") {
+    val d = (1 to 5000).map(i => (i.toLong, 10.0)).toDF("id", "v")
+    val out = Sampling.poissonBootstrap(d, "id", "v", replicates = 3)
+      .collect().map(r => (r.getAs[Int]("replicate"),
+        r.getAs[Long]("n_resampled"), r.getAs[Double]("sum_value")))
+    assert(out.length == 3)
+    out.foreach { case (_, n, sv) =>
+      // Poisson(1) weights: resampled count within ~4 sigma of n
+      assert(math.abs(n - 5000L) < 300, s"resampled $n")
+      assert(sv == n * 10.0)
+    }
+    val again = Sampling.poissonBootstrap(d.repartition(13), "id", "v",
+      replicates = 3).collect().map(r => (r.getAs[Int]("replicate"),
+        r.getAs[Long]("n_resampled"), r.getAs[Double]("sum_value")))
+    assert(out.toSet == again.toSet)
+    // distinct replicates draw distinct weights
+    assert(out.map(_._2).distinct.length > 1)
   }
 
   test("pr curve composes with the text classifier scores") {
