@@ -900,4 +900,55 @@ object Dedup {
         coalesce(col("label"), col("doc_id")).as("cluster_id"),
         (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("keep"))
   }
+
+  /** Sorted-neighborhood near-dup candidates (Hernández & Stolfo,
+    * SIGMOD 1995): sort each block by a normalized key, compare every
+    * row to its next `windowSize − 1` sort neighbors, verify by exact
+    * token Jaccard. The classic record-linkage alternative to LSH
+    * banding — deterministic, no hash geometry to tune, recall limited
+    * to duplicates whose keys sort adjacently (prefix-stable edits;
+    * complements [[minhashPairs]], which catches prefix-breaking
+    * edits).
+    *
+    * Scale shape: one shuffle on `blockCol` + an in-partition sort;
+    * the window emits ≤ (windowSize − 1) candidate pairs per row —
+    * LINEAR in the corpus, never quadratic, with the verify math
+    * row-local on the paired token arrays. Block by a coarser prefix
+    * when a single block (language) outgrows a partition.
+    */
+  def sortedNeighborhoodPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      keyLen: Int = 32,
+      windowSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(windowSize >= 2 && keyLen >= 1 && threshold > 0)
+    val norm = array_join(split(trim(lower(col(textCol))), "\\s+"), " ")
+    val base = df.select(col(blockCol).as("_b"), col(idCol).as("_id"),
+      substring(norm, 1, keyLen).as("_k"),
+      array_distinct(split(trim(lower(col(textCol))), "\\s+")).as("_toks"))
+    val w = Window.partitionBy(col("_b")).orderBy(col("_k"), col("_id"))
+    // windows first (a generator cannot host window expressions),
+    // then the explode over plain columns
+    val withLeads = (1 until windowSize).foldLeft(base) { (acc, j) =>
+      acc.withColumn(s"_nbr$j",
+        lead(struct(col("_id"), col("_toks")), j).over(w))
+    }
+    withLeads
+      .withColumn("_nbr", explode(array(
+        (1 until windowSize).map(j => col(s"_nbr$j")): _*)))
+      .filter(col("_nbr").isNotNull)
+      .withColumn("_ni",
+        size(array_intersect(col("_toks"), col("_nbr._toks"))))
+      .withColumn("jaccard",
+        col("_ni").cast("double") /
+          (size(col("_toks")) + size(col("_nbr._toks")) - col("_ni"))
+            .cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("_id"), col("_nbr._id")).as("id_a"),
+        greatest(col("_id"), col("_nbr._id")).as("id_b"),
+        col("jaccard"))
+  }
 }

@@ -294,6 +294,88 @@ object Stats {
           (acc, x) => acc + x.getField("_term")).as("psi"))
   }
 
+  /** Kaplan–Meier survival curve (Kaplan & Meier 1958) per group from
+    * right-censored durations: S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) over
+    * distinct event times, with censored subjects leaving the at-risk
+    * set without contributing an event (their factor is exactly 1.0,
+    * so censor-only times need no special case). The classic
+    * churn/retention estimator.
+    *
+    * Scale shape: ONE subject-level aggregation collapses any row
+    * count to ≤ groups × distinct-durations rows (integer d/c/n —
+    * exact); the cumulative product then runs on that metadata-sized
+    * table via a bounded self-join + t-ordered IEEE fold (bit-stable,
+    * oracle-replayable — a window cumulative PRODUCT does not exist
+    * as an exact primitive, and k² on ≤ thousands of distinct times
+    * is free).
+    */
+  def kaplanMeier(
+      df: DataFrame,
+      groupCols: Seq[String],
+      durationCol: String,
+      observedCol: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val agg = df
+      .select(g ++ Seq(col(durationCol).as("t"),
+        when(observedCol, lit(1L)).otherwise(lit(0L)).as("_o")): _*)
+      .groupBy(g :+ col("t"): _*)
+      .agg(sum(col("_o")).as("n_churn"),
+        (count(lit(1)) - sum(col("_o"))).as("n_censored"))
+    val wAll = Window.partitionBy(g: _*)
+    val wPrior = Window.partitionBy(g: _*).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withN = agg
+      .withColumn("_drop", col("n_churn") + col("n_censored"))
+      .withColumn("n_risk",
+        sum(col("_drop")).over(wAll) -
+          coalesce(sum(col("_drop")).over(wPrior), lit(0L)))
+      .drop("_drop")
+      .withColumn("_f",
+        lit(1.0) - col("n_churn").cast("double") /
+          col("n_risk").cast("double"))
+    val factors = withN.select(
+      (groupCols.map(c => col(c).as(s"_g_$c")) :+
+        col("t").as("_t2") :+ col("_f").as("_f2")): _*)
+    val joinCond = groupCols.map(c => col(c) === col("_g_" + c))
+      .foldLeft(col("_t2") <= col("t"))(_ && _)
+    withN.join(factors, joinCond)
+      .groupBy((g :+ col("t") :+ col("n_risk") :+ col("n_churn") :+
+        col("n_censored")): _*)
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("_t2"), col("_f2")))),
+        lit(1.0),
+        (acc, x) => acc * x.getField("_f2")).as("survival"))
+      .select((g :+ col("t").as("t_days") :+ col("n_risk") :+
+        col("n_churn") :+ col("n_censored") :+ col("survival")): _*)
+  }
+
+  /** One-sided CUSUM change detection (Page 1954) over a per-group
+    * time series of INTEGER values (e.g. daily event counts), via the
+    * scan-free identity CUSUM⁺_t = S_t − min_{j≤t} S_j with
+    * S = Σ (x − k): the classic recursive max(0, prev + x − k) needs a
+    * sequential scan, but the identity is a window cumulative sum plus
+    * a running minimum — two frames on ONE key shuffle + sort, exact
+    * integer arithmetic end to end (k is the reference level plus
+    * slack, in the same integer units). `alarm` marks rows where the
+    * statistic crosses `h` — a sustained upward level shift.
+    */
+  def cusum(
+      df: DataFrame,
+      groupCols: Seq[String],
+      timeCol: String,
+      valueCol: String,
+      k: Long,
+      h: Long): DataFrame = {
+    val g = groupCols.map(col)
+    val wCum = Window.partitionBy(g: _*).orderBy(col(timeCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_s", sum(col(valueCol).cast("long") - lit(k)).over(wCum))
+      .withColumn("_m", min(least(col("_s"), lit(0L))).over(wCum))
+      .withColumn("cusum", col("_s") - col("_m"))
+      .withColumn("alarm", col("cusum") > lit(h))
+      .drop("_s", "_m")
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic per group — the
     * distribution-drift twin of [[psiDrift]] that needs NO binning
     * choice: D = max_x |F_ref(x) − F_cur(x)| over the empirical CDFs,

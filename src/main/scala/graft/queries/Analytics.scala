@@ -53,6 +53,21 @@ object Analytics {
         shingleSize = 3, numHashes = 128, numBands = 16, threshold = 0.5)
         .select(col("id_a"), col("id_b"))),
 
+    // Sorted-neighborhood blocking: the corpus gets tail-mutated
+    // copies (prefix-stable, so they sort adjacently), and the window
+    // sweep must find them. Fully deterministic — the oracle replays
+    // the sort, the leads, and the token-Jaccard verify.
+    "dedup_sorted_nbr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val dups = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text"), col("lang"))
+      val corpus = docs.select(col("doc_id"), col("text"), col("lang"))
+        .unionByName(dups)
+      Dedup.sortedNeighborhoodPairs(corpus, "doc_id", "text", "lang",
+        keyLen = 32, windowSize = 3, threshold = 0.5)
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
 
@@ -1791,6 +1806,35 @@ object Analytics {
     // splitmix64(doc_id + 7) replicated (same chain as dedup_embedding
     // plane weights); bucket = bits 12..23 of the unsigned hash,
     // keep bucket < floor(0.25 * 4096)
+    // lead() over the identical (block, key, id) sort + the same
+    // size-arithmetic Jaccard; i.u. = intersection count, union =
+    // na + nb - ni so neither engine's list-union semantics matter
+    "dedup_sorted_nbr" ->
+      """WITH corpus AS (
+           SELECT doc_id, text, lang FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' v2', lang FROM documents
+           WHERE doc_id % 10 = 0),
+         base AS (SELECT lang AS b, doc_id AS id,
+           substr(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' '), 1, 32) AS k,
+           list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+           FROM corpus),
+         led AS (SELECT b, id, k, toks,
+           lead(id, 1) OVER (PARTITION BY b ORDER BY k, id) AS id1,
+           lead(toks, 1) OVER (PARTITION BY b ORDER BY k, id) AS toks1,
+           lead(id, 2) OVER (PARTITION BY b ORDER BY k, id) AS id2,
+           lead(toks, 2) OVER (PARTITION BY b ORDER BY k, id) AS toks2
+           FROM base),
+         pairs AS (
+           SELECT id, id1 AS nid, toks, toks1 AS ntoks FROM led WHERE id1 IS NOT NULL
+           UNION ALL
+           SELECT id, id2, toks, toks2 FROM led WHERE id2 IS NOT NULL),
+         jac AS (SELECT id, nid,
+           CAST(len(list_intersect(toks, ntoks)) AS DOUBLE) /
+           CAST(len(toks) + len(ntoks) - len(list_intersect(toks, ntoks)) AS DOUBLE) AS jaccard
+           FROM pairs)
+         SELECT least(id, nid) AS id_a, greatest(id, nid) AS id_b, jaccard
+         FROM jac WHERE jaccard >= CAST(0.5 AS DOUBLE)""",
     "sample_bootstrap" -> {
       val ts = graft.analytics.Sampling.poissonThresholds
       val kCase = ts.zipWithIndex

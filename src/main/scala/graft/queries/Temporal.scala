@@ -245,6 +245,36 @@ object Temporal {
         halfLifeSeconds = 86400L)
     }),
 
+    // Kaplan-Meier churn curve over user lifetimes: users whose last
+    // event predates Jan-25 churned at (last - first); the rest are
+    // right-censored at the log end. The raw pass collapses to
+    // ≤ distinct-duration rows; the cumulative product is a bounded
+    // self-join + t-ordered IEEE fold the oracle replays exactly.
+    "stats_survival" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val u = ev.select(col("user_id"), tsEpochSeconds(ev).as("_s"))
+        .groupBy(col("user_id"))
+        .agg(min(col("_s")).as("fs"), max(col("_s")).as("ls"))
+      val subj = u.select(
+        when(col("ls") < 1706140800L, expr("(ls - fs) div 86400"))
+          .otherwise(expr("(1706745600 - fs) div 86400")).as("t"),
+        (col("ls") < 1706140800L).as("obs"))
+      Stats.kaplanMeier(subj, Seq.empty, "t", col("obs"))
+    }),
+
+    // CUSUM level-shift detection over daily event counts per type:
+    // the recursive max(0, prev + x - k) computed scan-free as
+    // cumsum - running-min (two frames, one key shuffle, all integer).
+    "stats_cusum" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev.select(col("event_type"),
+          tsEpochSeconds(ev).as("_secs"))
+        .select(col("event_type"), expr("_secs div 86400").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("x"))
+      Stats.cusum(daily, Seq("event_type"), "day", "x", k = 60L, h = 100L)
+    }),
+
     // Nearest-in-time join: each click aligns to the CLOSEST purchase
     // within ±1 h, either direction (as-of only looks back). Same
     // single-shuffle union-sort shape; oracle = two DuckDB ASOF joins
@@ -837,6 +867,54 @@ object Temporal {
            CAST(coalesce(sum(CAST(e2.value AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_value
          FROM p LEFT JOIN e e2 ON e2.ts_s >= p.w_start AND e2.ts_s < p.w_end
          GROUP BY 1, 2""",
+    // d=0 censor-only times multiply by exactly 1.0, so both engines
+    // fold the same factor list; list(ORDER BY) in GROUP BY context
+    // == the engine's array_sort + sequential fold
+    "stats_survival" ->
+      """WITH u AS (SELECT user_id,
+              min(epoch_ns(ts) // 1000000000) AS fs,
+              max(epoch_ns(ts) // 1000000000) AS ls
+            FROM events GROUP BY 1),
+         s AS (SELECT CASE WHEN ls < 1706140800
+                      THEN (ls - fs) // 86400
+                      ELSE (1706745600 - fs) // 86400 END AS t,
+                (ls < 1706140800) AS obs FROM u),
+         a AS (SELECT t,
+                CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                CAST(count(*) - sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS c
+               FROM s GROUP BY 1),
+         w1 AS (SELECT t, d, c,
+                CAST(sum(d + c) OVER () AS BIGINT) -
+                CAST(coalesce(sum(d + c) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n
+               FROM a),
+         w2 AS (SELECT t, d, c, n,
+                CAST(1.0 AS DOUBLE) - CAST(d AS DOUBLE) / CAST(n AS DOUBLE) AS f
+               FROM w1)
+         SELECT x.t AS t_days, x.n AS n_risk, x.d AS n_churn,
+           x.c AS n_censored,
+           list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+             list(y.f ORDER BY y.t)), (a, b) -> a * b) AS survival
+         FROM w2 x JOIN w2 y ON y.t <= x.t
+         GROUP BY 1, 2, 3, 4""",
+    "stats_cusum" ->
+      """WITH e AS (SELECT event_type AS g,
+              epoch_ns(ts) // 1000000000 // 86400 AS day,
+              CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+         s AS (SELECT g, day, x,
+                sum(x - 60) OVER (PARTITION BY g ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS srun
+               FROM e),
+         m AS (SELECT g, day, x, srun,
+                min(least(srun, 0)) OVER (PARTITION BY g ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mrun
+               FROM s)
+         SELECT g AS event_type, day, x,
+           CAST(srun - mrun AS BIGINT) AS cusum,
+           (srun - mrun > 100) AS alarm
+         FROM m""",
     // two independent ASOF passes + choose — no shared window
     // machinery with the union-sort operator under test
     "ts_nearest" ->

@@ -269,6 +269,53 @@ class AffinitySpec extends AnyFunSuite {
     assert(out.map(_._2).distinct.length > 1)
   }
 
+  test("cusum window identity == the recursive max(0, prev + x - k)") {
+    val xs = Seq(5L, 7L, 6L, 20L, 22L, 21L, 4L, 5L, 30L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i.toLong, x) }
+      .toDF("g", "t", "x")
+    val got = Stats.cusum(df, Seq("g"), "t", "x", k = 8L, h = 15L)
+      .orderBy("t").collect()
+      .map(r => (r.getAs[Long]("cusum"), r.getAs[Boolean]("alarm")))
+    var c = 0L
+    val want = xs.map { x =>
+      c = math.max(0L, c + x - 8L); (c, c > 15L)
+    }
+    assert(got.toSeq == want, s"got ${got.toSeq} want $want")
+  }
+
+  test("kaplan-meier: hand-computed curve with censoring") {
+    // t=1: 1 churn of 5 at risk -> S=0.8; t=2: censor only -> S=0.8
+    // t=3: 1 churn of 3 at risk -> S=0.8*(2/3); t=4: censor -> same
+    val subj = Seq((1L, true), (2L, false), (3L, true), (4L, false),
+      (4L, false)).toDF("t", "obs")
+    val out = Stats.kaplanMeier(subj, Seq.empty, "t", col("obs"))
+      .orderBy("t_days").collect()
+      .map(r => (r.getAs[Long]("t_days"), r.getAs[Long]("n_risk"),
+        r.getAs[Double]("survival")))
+    assert(out(0) == ((1L, 5L, 1.0 - 1.0 / 5.0)))
+    assert(out(1) == ((2L, 4L, (1.0 - 1.0 / 5.0) * (1.0 - 0.0 / 4.0))))
+    assert(out(2)._2 == 3L)
+    assert(math.abs(out(2)._3 - 0.8 * 2.0 / 3.0) < 1e-15)
+    assert(out(3)._3 == out(2)._3) // censor-only time: curve flat
+  }
+
+  test("sorted-neighborhood: adjacent-sorting dup found, prefix-broken missed") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en"),
+      (2L, "alpha beta gamma delta epsilon v2", "en"), // tail edit: sorts adjacent
+      (3L, "zzz alpha beta gamma delta epsilon", "en"), // prefix edit: sorts away
+      (4L, "totally different words here now", "en"))
+      .toDF("doc_id", "text", "lang")
+    val pairs = graft.analytics.Dedup.sortedNeighborhoodPairs(
+      docs, "doc_id", "text", "lang", keyLen = 16, windowSize = 2,
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"adjacent dup not found: $pairs")
+    // the documented recall limit: 3 is a true near-dup of 1 but its
+    // key starts with 'zzz' — a w=2 window cannot see it
+    assert(!pairs.contains((1L, 3L)))
+  }
+
   test("pr curve composes with the text classifier scores") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val scored = graft.analytics.Text.classifierScore(docs, "doc_id", "text")
