@@ -901,6 +901,70 @@ object Dedup {
         (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("keep"))
   }
 
+  /** EXACT containment self-join (asymmetric overlap): all ordered
+    * pairs with |tok(A) ∩ tok(B)| / |tok(A)| ≥ threshold — quote,
+    * excerpt, and subset detection, where Jaccard fails by
+    * construction (a 10-token quote of a 500-token article has
+    * Jaccard ≈ 0.02 but containment 1.0). Complements
+    * [[duplicateSpans]] (ordered substrings) with the order-free
+    * set form.
+    *
+    * Completeness bound: if A is t-contained in B it misses at most
+    * ⌊(1−t)·|A|⌋ of its tokens, so among A's ⌊(1−t)·|A|⌋+1 globally
+    * RAREST tokens at least one appears in B — those form A's probe
+    * prefix, joined against the full inverted index of the corpus.
+    * Candidates are bounded by rare-token posting lists (the prefix
+    * is rarest-first on purpose); a `|B| ≥ t·|A|` size filter prunes
+    * before the exact verify. Same bounded-corpus caveat as
+    * [[jaccardPrefixJoin]]: exactness is quadratic when the DATA is
+    * (tiny shared vocabularies) — LSH is the open-web path.
+    */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold=$threshold")
+    val words = (c: Column) =>
+      array_remove(array_distinct(split(lower(trim(c)), "\\s+")), "")
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(words(col(textCol))).as("w"))
+    val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))
+    val wAll = Window.partitionBy(col("doc_id"))
+    // minimal overlap that passes the DOUBLE verify (ni/sz >= t as
+    // IEEE doubles — a floor/ceil of t·sz can be off by one when t·sz
+    // rounds across an integer, so probe the ceil's neighbors with
+    // the verify's own predicate)
+    def minOverlap(sz: Column): Column = {
+      val c = ceil(lit(threshold) * sz.cast("double"))
+      def ok(ni: Column) =
+        ni.cast("double") / sz.cast("double") >= lit(threshold)
+      when(ok(c - 1), c - 1).when(ok(c), c).otherwise(c + 1)
+    }
+    val probe = tok.join(freq, "w")
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("sz", count(lit(1)).over(wAll))
+      .filter(col("rn") <= col("sz") - minOverlap(col("sz")) + 1)
+      .select(col("w"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz_b"))
+    val index = tok.join(sizes, "doc_id")
+      .select(col("w"), col("doc_id").as("id_b"), col("sz_b"))
+    val cand = probe.join(index, Seq("w"))
+      .filter(col("id_a") =!= col("id_b") &&
+        col("sz_b") >= minOverlap(col("sz_a")))
+      .select(col("id_a"), col("id_b")).distinct()
+    // aggregate barrier: token sets materialize once per doc, not per
+    // candidate pair (same re-inlining hazard as minhashPairs)
+    val sets = df.select(col(idCol).as("doc_id"), words(col(textCol)).as("toks"))
+      .groupBy(col("doc_id")).agg(first(col("toks")).as("toks"))
+    cand
+      .join(sets.withColumnsRenamed(Map("doc_id" -> "id_a", "toks" -> "tk_a")), "id_a")
+      .join(sets.withColumnsRenamed(Map("doc_id" -> "id_b", "toks" -> "tk_b")), "id_b")
+      .withColumn("containment",
+        size(array_intersect(col("tk_a"), col("tk_b"))).cast("double") /
+          size(col("tk_a")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** Sorted-neighborhood near-dup candidates (Hernández & Stolfo,
     * SIGMOD 1995): sort each block by a normalized key, compare every
     * row to its next `windowSize − 1` sort neighbors, verify by exact

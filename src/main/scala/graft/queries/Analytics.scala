@@ -53,6 +53,21 @@ object Analytics {
         shingleSize = 3, numHashes = 128, numBands = 16, threshold = 0.5)
         .select(col("id_a"), col("id_b"))),
 
+    // Containment join (quote detection): every 20th doc contributes
+    // a 10-token excerpt; the probe-prefix + inverted-index plan must
+    // recover each excerpt→source pair EXACTLY (oracle = brute-force
+    // all-pairs containment on the bounded corpus).
+    "dedup_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 800)
+      val quotes = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 10),
+            " ").as("text"))
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(quotes)
+      Dedup.containmentJoin(corpus, "doc_id", "text", threshold = 0.8)
+    }),
+
     // Sorted-neighborhood blocking: the corpus gets tail-mutated
     // copies (prefix-stable, so they sort adjacently), and the window
     // sweep must find them. Fully deterministic — the oracle replays
@@ -1806,6 +1821,25 @@ object Analytics {
     // splitmix64(doc_id + 7) replicated (same chain as dedup_embedding
     // plane weights); bucket = bits 12..23 of the unsigned hash,
     // keep bucket < floor(0.25 * 4096)
+    // brute-force all-pairs containment over the bounded corpus — the
+    // strongest oracle an index-pruned exact join can carry
+    "dedup_containment" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id < 800
+           UNION ALL
+           SELECT doc_id + 1000000,
+             array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[1:10], ' ')
+           FROM documents WHERE doc_id < 800 AND doc_id % 20 = 0),
+         tt AS (SELECT doc_id,
+           list_filter(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')),
+             x -> x <> '') AS toks
+           FROM corpus),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+           CAST(len(a.toks) AS DOUBLE) AS containment
+           FROM tt a JOIN tt b ON a.doc_id <> b.doc_id)
+         SELECT id_a, id_b, containment FROM p
+         WHERE containment >= CAST(0.8 AS DOUBLE)""",
     // lead() over the identical (block, key, id) sort + the same
     // size-arithmetic Jaccard; i.u. = intersection count, union =
     // na + nb - ni so neither engine's list-union semantics matter

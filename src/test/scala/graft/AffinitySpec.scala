@@ -316,6 +316,31 @@ class AffinitySpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("containment join equals brute force on a randomized corpus") {
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 120).map(i => s"w$i")
+    val docs = (0 until 60).map { i =>
+      val n = 5 + rnd.nextInt(20)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // add explicit excerpts: doc i+1000 = first 4 tokens of doc i
+    val quotes = (0 until 60 by 7).map { i =>
+      (i + 1000L, docs(i)._2.split(" ").take(4).mkString(" ")) }
+    val df = (docs ++ quotes).toDF("doc_id", "text")
+    val got = graft.analytics.Dedup.containmentJoin(df, "doc_id", "text", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force reference in Scala
+    def toks(s: String) = s.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSet
+    val all = (docs ++ quotes).map { case (id, s) => id -> toks(s) }
+    val want = (for {
+      (a, ta) <- all; (b, tb) <- all if a != b
+      if ta.intersect(tb).size.toDouble / ta.size >= 0.7
+    } yield (a, b)).toSet
+    assert(got == want,
+      s"missed ${(want -- got).take(5)}, extra ${(got -- want).take(5)}")
+    assert(want.exists(_._1 >= 1000L), "corpus must contain quote pairs")
+  }
+
   test("pr curve composes with the text classifier scores") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val scored = graft.analytics.Text.classifierScore(docs, "doc_id", "text")
