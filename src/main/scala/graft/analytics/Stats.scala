@@ -294,6 +294,49 @@ object Stats {
           (acc, x) => acc + x.getField("_term")).as("psi"))
   }
 
+  /** Two-proportion z-test per group (pooled variance), DIVISION- and
+    * SQRT-FREE: clearing denominators turns |z| ≥ z_α into
+    * `den · n · (x1·n2 − x2·n1)² ≥ num · n1·n2·x·(n−x)` with
+    * z_α² = num/den exactly (α = 0.05 ⟹ 1.96² = 2401/625), evaluated
+    * in decimal(38,0) — the significance flag is bit-stable under any
+    * partitioning, like the [[zscoreOutliers]] family. Groups where
+    * either variant is empty or the pooled rate is degenerate (x = 0
+    * or x = n) report not-significant.
+    *
+    * One aggregation pass (4 conditional sums per group). The exact
+    * path needs the cross terms inside 38 decimal digits — fine to
+    * ~1e8 rows per variant per group; beyond that, sample or accept
+    * the float z.
+    */
+  def abTest(
+      df: DataFrame,
+      groupCols: Seq[String],
+      variantACond: Column,
+      successCond: Column,
+      zAlphaSqNum: Long = 2401,
+      zAlphaSqDen: Long = 625): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val g = groupCols.map(col)
+    val one = lit(1L)
+    val zero = lit(0L)
+    val agg = df.groupBy(g: _*)
+      .agg(
+        sum(when(variantACond, one).otherwise(zero)).as("n1"),
+        sum(when(variantACond && successCond, one).otherwise(zero)).as("x1"),
+        sum(when(!variantACond, one).otherwise(zero)).as("n2"),
+        sum(when(!variantACond && successCond, one).otherwise(zero)).as("x2"))
+    val n = (col("n1") + col("n2")).cast(d38)
+    val x = (col("x1") + col("x2")).cast(d38)
+    val diff = col("x1").cast(d38) * col("n2").cast(d38) -
+      col("x2").cast(d38) * col("n1").cast(d38)
+    val lhs = lit(zAlphaSqDen).cast(d38) * n * diff * diff
+    val rhs = lit(zAlphaSqNum).cast(d38) *
+      col("n1").cast(d38) * col("n2").cast(d38) * x * (n - x)
+    agg.withColumn("significant",
+      col("n1") > 0L && col("n2") > 0L &&
+        x > lit(0L).cast(d38) && x < n && lhs >= rhs)
+  }
+
   /** Kaplan–Meier survival curve (Kaplan & Meier 1958) per group from
     * right-censored durations: S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) over
     * distinct event times, with censored subjects leaving the at-risk

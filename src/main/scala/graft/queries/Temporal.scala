@@ -245,6 +245,15 @@ object Temporal {
         halfLifeSeconds = 86400L)
     }),
 
+    // Two-proportion A/B significance per event type (variant = user
+    // parity, success = value >= 50): the z-test with denominators
+    // AND the square root cleared — decimal(38,0) cross-multiply, so
+    // the flag is exact and the oracle replays it in HUGEINT.
+    "stats_abtest" -> ((s, dir) =>
+      Stats.abTest(t(s, dir, "events"), Seq("event_type"),
+        variantACond = col("user_id") % 2 === 0,
+        successCond = col("value") >= 50.0)),
+
     // Kaplan-Meier churn curve over user lifetimes: users whose last
     // event predates Jan-25 churned at (last - first); the rest are
     // right-censored at the log end. The raw pass collapses to
@@ -867,6 +876,22 @@ object Temporal {
            CAST(coalesce(sum(CAST(e2.value AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_value
          FROM p LEFT JOIN e e2 ON e2.ts_s >= p.w_start AND e2.ts_s < p.w_end
          GROUP BY 1, 2""",
+    "stats_abtest" ->
+      """WITH a AS (SELECT event_type,
+              CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+              CAST(sum(CASE WHEN user_id % 2 = 0 AND value >= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+              CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+              CAST(sum(CASE WHEN user_id % 2 <> 0 AND value >= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS x2
+            FROM events GROUP BY 1)
+         SELECT event_type, n1, x1, n2, x2,
+           (n1 > 0 AND n2 > 0 AND x1 + x2 > 0 AND x1 + x2 < n1 + n2 AND
+            625 * CAST(n1 + n2 AS HUGEINT) *
+              (CAST(x1 AS HUGEINT) * n2 - CAST(x2 AS HUGEINT) * n1) *
+              (CAST(x1 AS HUGEINT) * n2 - CAST(x2 AS HUGEINT) * n1)
+            >= 2401 * CAST(n1 AS HUGEINT) * n2 *
+               CAST(x1 + x2 AS HUGEINT) *
+               CAST(n1 + n2 - x1 - x2 AS HUGEINT)) AS significant
+         FROM a""",
     // d=0 censor-only times multiply by exactly 1.0, so both engines
     // fold the same factor list; list(ORDER BY) in GROUP BY context
     // == the engine's array_sort + sequential fold

@@ -341,6 +341,41 @@ class AffinitySpec extends AnyFunSuite {
     assert(want.exists(_._1 >= 1000L), "corpus must contain quote pairs")
   }
 
+  test("ab test: integer decision matches the float z-test on random cells") {
+    val rnd = new scala.util.Random(7)
+    val cells = (0 until 40).map { i =>
+      val n1 = 50 + rnd.nextInt(500); val n2 = 50 + rnd.nextInt(500)
+      val x1 = rnd.nextInt(n1 + 1); val x2 = rnd.nextInt(n2 + 1)
+      (s"g$i", n1, x1, n2, x2)
+    }
+    val rows = cells.flatMap { case (gg, n1, x1, n2, x2) =>
+      (0 until n1).map(j => (gg, 0L, j < x1)) ++
+        (0 until n2).map(j => (gg, 1L, j < x2))
+    }
+    val df = rows.toDF("g", "variant", "succ")
+    val got = Stats.abTest(df, Seq("g"), col("variant") === 0L, col("succ"))
+      .collect().map(r => r.getString(0) -> r.getAs[Boolean]("significant"))
+      .toMap
+    cells.foreach { case (gg, n1, x1, n2, x2) =>
+      val n = (n1 + n2).toDouble; val x = (x1 + x2).toDouble
+      val want =
+        if (x == 0 || x == n) false
+        else {
+          val p1 = x1.toDouble / n1; val p2 = x2.toDouble / n2
+          val p = x / n
+          val z2 = (p1 - p2) * (p1 - p2) / (p * (1 - p) * (1.0 / n1 + 1.0 / n2))
+          z2 >= 3.8416 - 1e-9 // float ref; exact test is the arbiter at the boundary
+        }
+      // allow disagreement only within float noise of the boundary
+      if (got(gg) != want) {
+        val p1 = x1.toDouble / n1; val p2 = x2.toDouble / n2; val p = x / n
+        val z2 = (p1 - p2) * (p1 - p2) / (p * (1 - p) * (1.0 / n1 + 1.0 / n2))
+        assert(math.abs(z2 - 3.8416) < 1e-6,
+          s"$gg: exact=${got(gg)} float=$want z2=$z2")
+      }
+    }
+  }
+
   test("pr curve composes with the text classifier scores") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val scored = graft.analytics.Text.classifierScore(docs, "doc_id", "text")
