@@ -568,4 +568,70 @@ object Text {
     counts.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
   }
+
+  /** Byte-pair-encoding merge TRAINING (Sennrich et al., ACL 2016;
+    * Gage 1994) over whitespace-symbol sequences: each round counts
+    * every adjacent symbol pair across the corpus, adopts the most
+    * frequent as a merge (ties: count desc, then pair lexicographic),
+    * and rewrites every sequence with the pair fused ("a b" becomes
+    * one symbol). Returns the learned merge table
+    * (round, sym_a, sym_b, pair_count) — the artifact a tokenizer
+    * trainer ships.
+    *
+    * Two deliberate deviations from reference BPE, both documented:
+    * symbols are whitespace tokens (word-level merges — run it on
+    * pre-split characters for the classic subword form), and
+    * self-pairs (x, x) are excluded from adoption so the rewrite is a
+    * row-local unambiguous filter+transform (left-greedy overlap
+    * resolution for runs needs a sequential scan per sequence; with
+    * a ≠ b adjacent matches can never overlap).
+    *
+    * Scale shape per round: ONE (pair) shuffle with map-side combine
+    * for the counts, a 1-row bounded driver collect for the argmax
+    * (same class as the IVF seeds), and a row-local HOF rewrite — the
+    * corpus is scanned once per round with no join anywhere.
+    * Production trainers batch many non-conflicting merges per pass;
+    * the per-round machinery is identical.
+    */
+  def bpeTrain(df: DataFrame, idCol: String, textCol: String,
+               rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds=$rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var seqs = df.select(col(idCol).as("_id"),
+      wsTokens(lower(trim(col(textCol)))).as("_toks"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (round <- 1 to rounds) {
+      val pairs = seqs.select(posexplode(col("_toks")).as(Seq("_i", "_a")),
+          col("_toks"))
+        .filter(col("_i") < size(col("_toks")) - 1)
+        .select(col("_a"), element_at(col("_toks"), col("_i") + 2).as("_b"))
+        .filter(col("_a") =!= col("_b"))
+        .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_c"))
+      val top = pairs.orderBy(col("_c").desc, col("_a").asc, col("_b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) {
+        return merges.toSeq.toDF("round", "sym_a", "sym_b", "pair_count")
+      }
+      val (a, b, c) = (top(0).getString(0), top(0).getString(1),
+        top(0).getLong(2))
+      merges += ((round, a, b, c))
+      val la = lit(a); val lb = lit(b)
+      val t = col("_toks")
+      val n = size(t)
+      // drop index j when it is the SECOND half of a match; fuse at i
+      // (sequence(1, 0) would count DOWN — guard the empty case)
+      val idxs = when(n >= 1, sequence(lit(1), n))
+        .otherwise(array().cast("array<int>"))
+      val keepIdx = filter(idxs, j =>
+        !(j > 1 && element_at(t, j - 1) === la && element_at(t, j) === lb))
+      val rewritten = transform(keepIdx, i =>
+        when(i < n && element_at(t, i) === la &&
+            element_at(t, i + 1) === lb,
+          concat(la, lit(" "), lb))
+          .otherwise(element_at(t, i)))
+      seqs = seqs.select(col("_id"), rewritten.as("_toks"))
+    }
+    merges.toSeq.toDF("round", "sym_a", "sym_b", "pair_count")
+  }
 }

@@ -53,6 +53,16 @@ object Analytics {
         shingleSize = 3, numHashes = 128, numBands = 16, threshold = 0.5)
         .select(col("id_a"), col("id_b"))),
 
+    // BPE merge training, 3 rounds over word-level symbols: per round
+    // one pair-count shuffle + a 1-row argmax + a row-local rewrite.
+    // The oracle unrolls all three rounds (count -> argmax -> list
+    // comprehension rewrite), so the hash match proves the whole
+    // train loop — adopted pairs AND their counts — end to end.
+    "text_bpe_train" -> ((s, dir) =>
+      Text.bpeTrain(t(s, dir, "documents"), "doc_id", "text", rounds = 3)
+        .select(col("round").cast("long").as("round"), col("sym_a"),
+          col("sym_b"), col("pair_count"))),
+
     // Containment join (quote detection): every 20th doc contributes
     // a 10-token excerpt; the probe-prefix + inverted-index plan must
     // recover each excerpt→source pair EXACTLY (oracle = brute-force
@@ -1821,6 +1831,30 @@ object Analytics {
     // splitmix64(doc_id + 7) replicated (same chain as dedup_embedding
     // plane weights); bucket = bits 12..23 of the unsigned hash,
     // keep bucket < floor(0.25 * 4096)
+    "text_bpe_train" -> {
+      val rounds = 3
+      val blocks = (1 to rounds).map { k =>
+        s"""p$k AS (SELECT l[i] AS a, l[i + 1] AS b
+             FROM seqs${k - 1}, unnest(range(1, len(l))) AS u(i)
+             WHERE l[i] <> l[i + 1]),
+           c$k AS (SELECT a, b, count(*) AS c FROM p$k GROUP BY 1, 2),
+           m$k AS (SELECT a, b, c FROM c$k ORDER BY c DESC, a, b LIMIT 1),
+           seqs$k AS (SELECT doc_id,
+             [CASE WHEN i < len(l) AND l[i] = m.a AND l[i + 1] = m.b
+                   THEN m.a || ' ' || m.b ELSE l[i] END
+              FOR i IN range(1, len(l) + 1)
+              IF NOT (i > 1 AND l[i - 1] = m.a AND l[i] = m.b)] AS l
+             FROM seqs${k - 1}, m$k m)"""
+      }.mkString(",\n")
+      val out = (1 to rounds).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS round, a AS sym_a, b AS sym_b, CAST(c AS BIGINT) AS pair_count FROM m$k")
+        .mkString(" UNION ALL ")
+      s"""WITH seqs0 AS (SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS l
+           FROM documents),
+         $blocks
+         $out"""
+    },
     // brute-force all-pairs containment over the bounded corpus — the
     // strongest oracle an index-pruned exact join can carry
     "dedup_containment" ->

@@ -376,6 +376,21 @@ class AffinitySpec extends AnyFunSuite {
     }
   }
 
+  test("bpe train: hand-checked merges, repeated patterns fuse greedily") {
+    // "a b" occurs 4x (incl. twice in doc 3's "a b a b"), "b c" 2x
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b a b"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val m = graft.analytics.Text.bpeTrain(docs, "doc_id", "text", 2)
+      .orderBy("round").collect()
+      .map(r => (r.getAs[Int]("round"), r.getString(1), r.getString(2),
+        r.getAs[Long]("pair_count")))
+    assert(m(0) == ((1, "a", "b", 4L)), s"round 1: ${m(0)}")
+    // after fusing: docs are ["a b","c"], ["a b","c"], ["a b","a b"], [x,y]
+    // pairs now: ("a b","c")=2, ("a b","a b") excluded (self), ("x","y")=1
+    assert(m(1) == ((2, "a b", "c", 2L)), s"round 2: ${m(1)}")
+  }
+
   test("pr curve composes with the text classifier scores") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val scored = graft.analytics.Text.classifierScore(docs, "doc_id", "text")
