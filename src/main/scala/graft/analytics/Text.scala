@@ -601,6 +601,14 @@ object Text {
     var seqs = df.select(col(idCol).as("_id"),
       wsTokens(lower(trim(col(textCol)))).as("_toks"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // every round's rewrite is persisted before the next references
+    // it: without the cache fence, CollapseProject inlines round r−1's
+    // whole transform into round r's lambdas PER ELEMENT (the
+    // documented nested-HOF trap — measured super-quadratic at sf0.1).
+    // The caches are released before returning; the merge table
+    // itself is driver data.
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     for (round <- 1 to rounds) {
       val pairs = seqs.select(posexplode(col("_toks")).as(Seq("_i", "_a")),
           col("_toks"))
@@ -611,6 +619,7 @@ object Text {
       val top = pairs.orderBy(col("_c").desc, col("_a").asc, col("_b").asc)
         .limit(1).collect()
       if (top.isEmpty) {
+        cached.foreach(_.unpersist(false))
         return merges.toSeq.toDF("round", "sym_a", "sym_b", "pair_count")
       }
       val (a, b, c) = (top(0).getString(0), top(0).getString(1),
@@ -630,8 +639,10 @@ object Text {
             element_at(t, i + 1) === lb,
           concat(la, lit(" "), lb))
           .otherwise(element_at(t, i)))
-      seqs = seqs.select(col("_id"), rewritten.as("_toks"))
+      seqs = seqs.select(col("_id"), rewritten.as("_toks")).persist(storage)
+      cached += seqs
     }
+    cached.foreach(_.unpersist(false))
     merges.toSeq.toDF("round", "sym_a", "sym_b", "pair_count")
   }
 }
