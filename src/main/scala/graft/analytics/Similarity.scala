@@ -387,4 +387,87 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("neighbor_id"), col("cos_sim"))
   }
+
+  /** Product-quantization ANN (Jégou, Douze & Schmid, TPAMI 2011):
+    * vectors are split into `m` subvectors, each encoded as the index
+    * of its nearest of `ksub` per-subspace centroids, and query↔code
+    * distance is the asymmetric (ADC) sum of per-subspace
+    * query-to-centroid distances — m byte-ish lookups + adds per
+    * pair instead of a D-dimensional dot product, and the corpus
+    * shrinks to m small ints per vector (the memory story at 1e9+
+    * vectors; this engine's int8 quantization is the coarse sibling).
+    *
+    * Deterministic codebooks: subspace-j centroids are the subvectors
+    * of the `ksub` lowest-id corpus vectors (the [[clusterAssign]]
+    * seeding convention — no RNG, bit-reproducible, oracle-able; a
+    * production fit would Lloyd-refine them without changing any
+    * shape below). Encode and the per-query distance table are
+    * row-local sequential folds, so every double is IEEE-replayable.
+    *
+    * Scale shape: one bounded driver collect (ksub vectors), one
+    * corpus scan to encode, broadcast queries with their distance
+    * tables, per-query top-k planned as bounded partial below the
+    * exchange. Approximate by construction — AnalyticsSpec measures
+    * recall against [[bruteForceTopK]]; the gate hash-checks the ADC
+    * math itself.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 8,
+             ksub: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).as("neighbor_id"),
+      normalize(col(vecCol)).as("nvec"))
+    val seeds: Array[Array[Double]] = base.orderBy(col("neighbor_id").asc)
+      .limit(ksub).select(col("nvec")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seeds.length == ksub, s"corpus smaller than ksub=$ksub")
+    val dim = seeds(0).length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    // codebook literal: cb[j][c] = subvector j of seed c
+    val cbSeq: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
+      (0 until ksub).map(c => seeds(c).slice(j * dsub, (j + 1) * dsub).toSeq))
+    val cb = typedLit(cbSeq)
+    def sqDist(sub: Column, cvec: Column): Column =
+      aggregate(zip_with(sub, cvec, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    // encode: per subspace, the argmin centroid (ties -> lowest index
+    // via lexicographic struct min on (dist, cid))
+    def codesOf(v: Column): Column =
+      transform(sequence(lit(1), lit(m)), j => {
+        val sub = slice(v, (j - 1) * lit(dsub) + 1, lit(dsub))
+        array_min(transform(sequence(lit(1), lit(ksub)), c =>
+          struct(sqDist(sub, element_at(element_at(cb, j), c)).as("d"),
+            (c - 1).as("cid")))).getField("cid")
+      })
+    // per-query flattened distance table: dtable[(j-1)*ksub + c]
+    def dtableOf(v: Column): Column =
+      transform(sequence(lit(1), lit(m * ksub)), i => {
+        // Column./ is DOUBLE division — floor it back to int (exact
+        // for these tiny indices)
+        val j = floor((i - 1).cast("double") / lit(ksub)).cast("int") + 1
+        val c = ((i - 1) % ksub) + 1
+        sqDist(slice(v, (j - 1) * lit(dsub) + 1, lit(dsub)),
+          element_at(element_at(cb, j), c))
+      })
+    val enc = base.select(col("neighbor_id"), codesOf(col("nvec")).as("_codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+        normalize(col(vecCol)).as("_qv"))
+      .select(col("query_id"), dtableOf(col("_qv")).as("_dt"))
+    val adc = aggregate(
+      transform(sequence(lit(1), lit(m)), j =>
+        element_at(col("_dt"),
+          (j - 1) * ksub + element_at(col("_codes"), j) + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = enc.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc_dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("adc_dist"))
+  }
 }

@@ -53,6 +53,16 @@ object Analytics {
         shingleSize = 3, numHashes = 128, numBands = 16, threshold = 0.5)
         .select(col("id_a"), col("id_b"))),
 
+    // Product-quantization ANN: m=8 subspaces x 16 seeded centroids,
+    // asymmetric-distance top-5. The oracle replays codebook seeding,
+    // per-subspace argmin encoding, and the j-ordered ADC fold — the
+    // full PQ pipeline hash-checked end to end.
+    "sim_topk_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, m = 8, ksub = 16)
+    }),
+
     // BPE merge training, 3 rounds over word-level symbols: per round
     // one pair-count shuffle + a 1-row argmax + a row-local rewrite.
     // The oracle unrolls all three rounds (count -> argmax -> list
@@ -1831,6 +1841,45 @@ object Analytics {
     // splitmix64(doc_id + 7) replicated (same chain as dedup_embedding
     // plane weights); bucket = bits 12..23 of the unsigned hash,
     // keep bucket < floor(0.25 * 4096)
+    "sim_topk_pq" ->
+      """WITH nv AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+           FROM embeddings),
+         nrm AS (SELECT vec_id, ed,
+           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(ed, x -> x*x)), (a,b) -> a+b)) AS n FROM nv),
+         v AS (SELECT vec_id,
+           CASE WHEN n > 0 THEN list_transform(ed, x -> x/n) ELSE ed END AS nvec
+           FROM nrm),
+         seeds AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+             nvec AS cvec
+           FROM (SELECT vec_id, nvec FROM v ORDER BY vec_id ASC LIMIT 16)),
+         grid AS (SELECT gj.j, cid, cvec FROM seeds,
+           unnest(range(1, 9)) AS gj(j)),
+         dists AS (SELECT v.vec_id, g.j, g.cid,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             [ (v.nvec[(g.j-1)*8 + i] - g.cvec[(g.j-1)*8 + i]) *
+               (v.nvec[(g.j-1)*8 + i] - g.cvec[(g.j-1)*8 + i])
+               FOR i IN range(1, 9) ]),
+             (a, b) -> a + b) AS d
+           FROM v CROSS JOIN grid g),
+         codes AS (SELECT vec_id AS neighbor_id, j, cid AS code FROM (
+             SELECT vec_id, j, cid, row_number() OVER
+               (PARTITION BY vec_id, j ORDER BY d ASC, cid ASC) AS rk
+             FROM dists) WHERE rk = 1),
+         qd AS (SELECT vec_id AS query_id, j, cid, d FROM dists
+                WHERE vec_id < 8),
+         adc AS (SELECT q.query_id, c.neighbor_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(q.d ORDER BY q.j)), (a, b) -> a + b) AS adc_dist
+           FROM codes c JOIN qd q ON q.j = c.j AND q.cid = c.code
+             AND q.query_id <> c.neighbor_id
+           GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY adc_dist ASC, neighbor_id ASC) AS rk FROM adc)
+         SELECT query_id, CAST(rk AS INT) AS rank, neighbor_id, adc_dist
+         FROM r WHERE rk <= 5""",
     "text_bpe_train" -> {
       val rounds = 3
       val blocks = (1 to rounds).map { k =>

@@ -391,6 +391,25 @@ class AffinitySpec extends AnyFunSuite {
     assert(m(1) == ((2, "a b", "c", 2L)), s"round 2: ${m(1)}")
   }
 
+  test("pq top-k: reasonable recall vs brute force; codes within range") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val pq = graft.analytics.Similarity.pqTopK(emb, queries,
+      "vec_id", "embedding", k = 10, m = 8, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = graft.analytics.Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = brute.keys.toSeq.map { q =>
+      pq.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / 10.0 }
+    val mean = recalls.sum / recalls.length
+    // 16 seeded (unrefined) centroids per subspace: coarse but must
+    // beat random by a wide margin (random ~ k/n = 10/600)
+    assert(mean >= 0.25, s"PQ mean recall@10 too low: $mean")
+  }
+
   test("pr curve composes with the text classifier scores") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val scored = graft.analytics.Text.classifierScore(docs, "doc_id", "text")
