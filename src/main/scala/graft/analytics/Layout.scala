@@ -121,6 +121,49 @@ object Layout {
     stats.withColumn("must_read", mustRead)
   }
 
+  /** Per-file 64-bit Bloom masks for POINT-lookup skipping — the
+    * complement of [[fileStats]]'s min/max ranges (which cannot skip
+    * on a high-cardinality key scattered across every file's range).
+    * Each row sets `kProbes` bits chosen by golden-strided splitmix64
+    * lanes; the file mask is the `bit_or` of its rows — one shuffle
+    * of (file, 8-byte mask) partials with map-side combine, metadata
+    * scale thereafter. 64 bits keeps the mask an integer COLUMN (no
+    * binary blobs, fully oracle-replayable); production file-level
+    * blooms are KB-sized — same algebra, wider array.
+    */
+  def bloomFileStats(df: DataFrame, fileCol: String, keyCol: String,
+                     kProbes: Int = 2, seed: Long = 7L): DataFrame = {
+    require(kProbes >= 1 && kProbes <= 8)
+    val bits = (0 until kProbes).map { p =>
+      call_function("shiftleft", lit(1L),
+        pmod(HashFunctions.splitmix64_hash(
+          col(keyCol) + lit(seed + p * 2654435769L)), lit(64L)).cast("int"))
+    }.reduce(_ bitwiseOR _)
+    df.select(col(fileCol), bits.as("_bits"))
+      .groupBy(col(fileCol))
+      .agg(expr("bit_or(_bits)").as("bloom_mask"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Skip decision per (file, probe key): read the file iff every
+    * probe bit is set in its mask (`mask & probe == probe`) —
+    * conservative like [[pruneFiles]]: a false positive reads a file
+    * needlessly, a containing file can never be skipped.
+    */
+  def bloomPrune(stats: DataFrame, probes: DataFrame, probeCol: String,
+                 kProbes: Int = 2, seed: Long = 7L): DataFrame = {
+    val bits = (0 until kProbes).map { p =>
+      call_function("shiftleft", lit(1L),
+        pmod(HashFunctions.splitmix64_hash(
+          col(probeCol) + lit(seed + p * 2654435769L)), lit(64L)).cast("int"))
+    }.reduce(_ bitwiseOR _)
+    stats.crossJoin(broadcast(probes.select(col(probeCol))))
+      .withColumn("_probe", bits)
+      .withColumn("might_contain",
+        col("bloom_mask").bitwiseAND(col("_probe")) === col("_probe"))
+      .drop("_probe")
+  }
+
   def zorderLayout(
       df: DataFrame,
       xCol: String,

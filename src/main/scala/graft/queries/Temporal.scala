@@ -408,6 +408,23 @@ object Temporal {
         Seq(("l_orderkey", 1000L, 2200L), ("l_partkey", 200L, 1500L)))
     }),
 
+    // Per-file Bloom skipping: 64-bit masks over l_partkey per
+    // zorder-derived file, probed with 20 point-lookup keys — the
+    // high-cardinality complement of min/max pruning. Integer masks,
+    // every bit oracle-replayed; soundness (never skip a containing
+    // file) is spec-proven.
+    "layout_bloom" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") < 5000)
+        .select(col("l_partkey"),
+          Layout.zorderKey(col("l_orderkey"), col("l_partkey"), bits = 16)
+            .as("zkey"))
+        .withColumn("file_id", expr("zkey div 16777216"))
+      val stats = Layout.bloomFileStats(li, "file_id", "l_partkey")
+      val probes = t(s, dir, "part").filter(col("p_partkey") <= 20)
+        .select(col("p_partkey").as("l_partkey"))
+      Layout.bloomPrune(stats, probes, "l_partkey")
+    }),
+
     // Small-file compaction plan: documents as a pseudo file listing
     // (path = doc_id, size = n_chars) partitioned by source — quota
     // bin packing at a 500 B target; files >= target keep bin -1.
@@ -1285,6 +1302,50 @@ object Temporal {
       s"""SELECT l_orderkey, l_partkey, l_suppkey,
             ${terms.mkString(" | ")} AS zkey
           FROM lineitem WHERE l_orderkey < 5000"""
+    },
+    "layout_bloom" -> {
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"(((l_orderkey >> $i) & 1) << ${2 * i})",
+        s"(((l_partkey >> $i) & 1) << ${2 * i + 1})"))
+      val zkey = terms.mkString(" + ")
+      s"""WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+         src AS (SELECT ($zkey) // 16777216 AS file_id, l_partkey AS v,
+             'f' AS side
+           FROM lineitem WHERE l_orderkey < 5000),
+         pr AS (SELECT CAST(NULL AS BIGINT) AS file_id, p_partkey AS v,
+             'p' AS side
+           FROM part WHERE p_partkey <= 20),
+         lanes AS (SELECT file_id, v, side, a.addend
+           FROM (SELECT * FROM src UNION ALL SELECT * FROM pr),
+             (SELECT unnest([7, ${7L + 2654435769L}]) AS addend) a),
+         m0 AS (SELECT file_id, v, side,
+           (CAST(v AS HUGEINT) + addend + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
+           FROM lanes CROSS JOIN c),
+         ma AS (SELECT file_id, v, side, xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
+         m1 AS (SELECT file_id, v, side,
+           (x2 % 4294967296 * 484763065 +
+            ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+            * 4294967296) % m64 AS x3, m64 FROM ma),
+         mb AS (SELECT file_id, v, side, xor(x3, x3 // 134217728) AS x4, m64 FROM m1),
+         m2 AS (SELECT file_id, v, side,
+           (x4 % 4294967296 * 321982955 +
+            ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+            * 4294967296) % m64 AS x5, m64 FROM mb),
+         m3 AS (SELECT file_id, v, side, xor(x5, x5 // 2147483648) AS x6 FROM m2),
+         bitsrc AS (SELECT file_id, v, side,
+           CAST(CASE WHEN ub >= CAST(9223372036854775808 AS HUGEINT)
+                THEN ub - CAST(18446744073709551616 AS HUGEINT)
+                ELSE ub END AS BIGINT) AS bit
+           FROM (SELECT file_id, v, side,
+             CAST(1 AS HUGEINT) << CAST(x6 % 64 AS INT) AS ub FROM m3)),
+         masks AS (SELECT file_id, bit_or(bit) AS bloom_mask
+           FROM bitsrc WHERE side = 'f' GROUP BY 1),
+         nrows AS (SELECT file_id, count(*) AS n_rows FROM src GROUP BY 1),
+         probes AS (SELECT v AS l_partkey, bit_or(bit) AS pbits
+           FROM bitsrc WHERE side = 'p' GROUP BY 1)
+         SELECT m.file_id, m.bloom_mask, n.n_rows, p.l_partkey,
+           ((m.bloom_mask & p.pbits) = p.pbits) AS might_contain
+         FROM masks m JOIN nrows n USING (file_id) CROSS JOIN probes p"""
     },
     "layout_prune" -> {
       val terms = (0 until 16).flatMap(i => Seq(

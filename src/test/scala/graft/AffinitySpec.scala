@@ -410,6 +410,27 @@ class AffinitySpec extends AnyFunSuite {
     assert(mean >= 0.25, s"PQ mean recall@10 too low: $mean")
   }
 
+  test("bloom file skipping is SOUND: a containing file is never skipped") {
+    val rows = (1 to 4000).map(i => ((i % 23).toLong, (i * 37 % 500).toLong))
+      .toDF("file_id", "key")
+    val stats = graft.analytics.Layout.bloomFileStats(rows, "file_id", "key")
+    val probes = (0L until 500L by 7L).toDF("key")
+    val pruned = graft.analytics.Layout.bloomPrune(stats, probes, "key")
+      .select("file_id", "key", "might_contain").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    val truth = rows.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // soundness: every true (file, key) must say might_contain
+    probes.collect().map(_.getLong(0)).foreach { k =>
+      (0L until 23L).foreach { f =>
+        if (truth.contains((f, k)))
+          assert(pruned((f, k)), s"skipped a containing file ($f, $k)")
+      }
+    }
+    // usefulness: some absent keys actually get skipped somewhere
+    val skips = pruned.count { case ((f, k), mc) => !mc && !truth.contains((f, k)) }
+    assert(skips > 0, "bloom never skipped anything — vacuous")
+  }
+
   test("pr curve composes with the text classifier scores") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val scored = graft.analytics.Text.classifierScore(docs, "doc_id", "text")
