@@ -294,6 +294,53 @@ object Stats {
           (acc, x) => acc + x.getField("_term")).as("psi"))
   }
 
+  /** Per-group ordinary-least-squares trend line from closed-form
+    * sums: slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²), computed on
+    * INTEGER sums (x re-based to each group's minimum, y scaled by
+    * 10^scale through decimal) so numerator and denominator are exact
+    * under any partitioning; the float slope/intercept derive from
+    * the two exact longs in one fixed expression. The daily-revenue-
+    * trend shape: one window (group min) + one aggregation.
+    *
+    * Exactness window: the cross terms must fit a signed 64-bit long
+    * (n·Σxy ≲ 9.2e18) — holds to ~1e5 rows/group at cent precision
+    * and x-spans of weeks; widen to decimal output past that.
+    */
+  def linearTrend(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      valueCol: String,
+      scale: Int = 2): DataFrame = {
+    require(scale >= 0 && scale <= 6)
+    val d38 = "decimal(38,0)"
+    val g = groupCols.map(col)
+    val wAll = Window.partitionBy(g: _*)
+    val y = (col(valueCol).cast(s"decimal(18,$scale)") *
+      lit(math.pow(10, scale).toLong)).cast(d38)
+    val x = (col(xCol) - min(col(xCol)).over(wAll)).cast(d38)
+    val s = df
+      .withColumn("_x", x).withColumn("_y", y)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).cast(d38).as("_n"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"))
+    val num = (col("_n") * col("_sxy") - col("_sx") * col("_sy"))
+      .cast("long")
+    val den = (col("_n") * col("_sxx") - col("_sx") * col("_sx"))
+      .cast("long")
+    val slope = num.cast("double") / den.cast("double")
+    val nD = col("_n").cast("long").cast("double")
+    val intercept = (col("_sy").cast("long").cast("double") / nD -
+      slope * col("_sx").cast("long").cast("double") / nD) /
+      lit(math.pow(10, scale))
+    s.select(g ++ Seq(col("_n").cast("long").as("n"),
+      num.as("slope_num"), den.as("slope_den"),
+      (slope / lit(math.pow(10, scale))).as("slope"),
+      intercept.as("intercept")): _*)
+  }
+
   /** Two-proportion z-test per group (pooled variance), DIVISION- and
     * SQRT-FREE: clearing denominators turns |z| ≥ z_α into
     * `den · n · (x1·n2 − x2·n1)² ≥ num · n1·n2·x·(n−x)` with

@@ -286,6 +286,41 @@ object Temporal {
     * the furthest end seen so far. Duplicate intervals are harmless
     * (tie order cannot move a group boundary).
     */
+  /** Concurrency profile of half-open intervals per group: the classic
+    * +1/−1 boundary sweep — at each boundary timestamp, how many
+    * intervals are open just AFTER it. `max(concurrency)` per group is
+    * peak load; the profile is the ops view of session/connection
+    * tables. End-before-start ordering at a tied timestamp (half-open
+    * [s, e): an interval ending exactly when another starts does not
+    * overlap it).
+    *
+    * One key shuffle + one window cumsum over 2 rows per interval —
+    * integer-exact under any partitioning, linear in interval count.
+    */
+  def concurrency(
+      df: DataFrame,
+      keyCol: String,
+      startCol: String,
+      endCol: String): DataFrame = {
+    val starts = df.select(col(keyCol).as("_k"), col(startCol).as("_t"),
+      lit(1L).as("_d"))
+    val ends = df.select(col(keyCol).as("_k"), col(endCol).as("_t"),
+      lit(-1L).as("_d"))
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t").asc, col("_d").asc) // -1 before +1 at ties
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    starts.unionByName(ends)
+      .groupBy(col("_k"), col("_t"), col("_d"))
+      .agg(sum(col("_d")).as("_dd"))
+      .withColumn("concurrency", sum(col("_dd")).over(w))
+      .select(col("_k").as(keyCol), col("_t").as("at_time"),
+        col("concurrency"))
+      // collapse the two boundary rows (start/end at one instant) to
+      // the final value at that instant
+      .groupBy(col(keyCol), col("at_time"))
+      .agg(max(col("concurrency")).as("concurrency"))
+  }
+
   def mergeIntervals(
       df: DataFrame,
       keyCol: String,

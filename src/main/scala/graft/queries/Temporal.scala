@@ -245,6 +245,34 @@ object Temporal {
         halfLifeSeconds = 86400L)
     }),
 
+    // Concurrency profile: +1/-1 boundary sweep over 30-min activity
+    // windows per event type — concurrency after each boundary
+    // instant, half-open semantics (end ties before start). Integer
+    // cumsum, one key shuffle.
+    "ts_concurrency" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val secs = tsEpochSeconds(ev)
+      val iv = ev.select(col("event_type"), secs.as("s_s"),
+        (secs + 1800L).as("e_s"))
+      TOps.concurrency(iv, "event_type", "s_s", "e_s")
+    }),
+
+    // OLS daily-revenue trend per event type from exact integer sums
+    // (x re-based, y in cents): slope as an exact rational plus the
+    // derived doubles the oracle replays step for step.
+    "stats_trend" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev.select(col("event_type"),
+          tsEpochSeconds(ev).as("_secs"), col("value"))
+        .select(col("event_type"), expr("_secs div 86400").as("day"),
+          col("value"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("_rev"))
+        .select(col("event_type"), col("day"),
+          col("_rev").cast("double").as("rev"))
+      Stats.linearTrend(daily, Seq("event_type"), "day", "rev", scale = 2)
+    }),
+
     // Two-proportion A/B significance per event type (variant = user
     // parity, success = value >= 50): the z-test with denominators
     // AND the square root cleared — decimal(38,0) cross-multiply, so
@@ -893,6 +921,48 @@ object Temporal {
            CAST(coalesce(sum(CAST(e2.value AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_value
          FROM p LEFT JOIN e e2 ON e2.ts_s >= p.w_start AND e2.ts_s < p.w_end
          GROUP BY 1, 2""",
+    "ts_concurrency" ->
+      """WITH iv AS (SELECT event_type AS k,
+              epoch_ns(ts) // 1000000000 AS s,
+              epoch_ns(ts) // 1000000000 + 1800 AS e
+            FROM events),
+         b AS (SELECT k, s AS t, 1 AS d FROM iv
+               UNION ALL SELECT k, e, -1 FROM iv),
+         gg AS (SELECT k, t, d, CAST(sum(d) AS BIGINT) AS dd
+                FROM b GROUP BY 1, 2, 3),
+         cc AS (SELECT k, t, dd,
+                sum(dd) OVER (PARTITION BY k ORDER BY t, d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+                FROM gg)
+         SELECT k AS event_type, t AS at_time,
+           CAST(max(conc) AS BIGINT) AS concurrency
+         FROM cc GROUP BY 1, 2""",
+    "stats_trend" ->
+      """WITH daily AS (SELECT event_type AS g,
+              epoch_ns(ts) // 1000000000 // 86400 AS day,
+              CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS rev
+            FROM events GROUP BY 1, 2),
+         b AS (SELECT g, day - min(day) OVER (PARTITION BY g) AS x,
+                CAST(CAST(rev AS DECIMAL(18,2)) * 100 AS HUGEINT) AS y
+               FROM daily),
+         a AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+                CAST(sum(x) AS HUGEINT) AS sx, sum(y) AS sy,
+                sum(CAST(x AS HUGEINT) * y) AS sxy,
+                CAST(sum(x * x) AS HUGEINT) AS sxx
+               FROM b GROUP BY 1)
+         SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           (CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE) /
+            CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE)) /
+            CAST(100 AS DOUBLE) AS slope,
+           (CAST(CAST(sy AS BIGINT) AS DOUBLE) / CAST(CAST(n AS BIGINT) AS DOUBLE)
+            - (CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE) /
+               CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE))
+              * CAST(CAST(sx AS BIGINT) AS DOUBLE)
+              / CAST(CAST(n AS BIGINT) AS DOUBLE)) /
+            CAST(100 AS DOUBLE) AS intercept
+         FROM a""",
     "stats_abtest" ->
       """WITH a AS (SELECT event_type,
               CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,

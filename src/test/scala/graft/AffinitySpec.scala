@@ -431,6 +431,29 @@ class AffinitySpec extends AnyFunSuite {
     assert(skips > 0, "bloom never skipped anything — vacuous")
   }
 
+  test("concurrency sweep: hand case with half-open touch and peak") {
+    // [0,10) [5,15) [10,20): at t=5 two open; at t=10 the first ends
+    // as the third starts -> still 2 (half-open), never 3
+    val iv = Seq(("k", 0L, 10L), ("k", 5L, 15L), ("k", 10L, 20L))
+      .toDF("g", "s", "e")
+    val out = graft.analytics.Temporal.concurrency(iv, "g", "s", "e")
+      .orderBy("at_time").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 1L), (5L, 2L), (10L, 2L),
+      (15L, 1L), (20L, 0L)), out.toSeq.toString)
+  }
+
+  test("linear trend recovers an exact synthetic slope") {
+    // y = 3.5 + 0.25 * day (exactly representable in cents)
+    val d = (0 to 20).map(i => ("g", (100L + i), 3.5 + 0.25 * i))
+      .toDF("g", "day", "v")
+    val r = Stats.linearTrend(d, Seq("g"), "day", "v").collect().head
+    assert(r.getAs[Double]("slope") == 0.25, r.toString)
+    assert(math.abs(r.getAs[Double]("intercept") - 3.5) < 1e-12)
+    // exact rational: slope_num/slope_den = 25 cents/day
+    assert(r.getAs[Long]("slope_num") * 4 == r.getAs[Long]("slope_den") * 100)
+  }
+
   test("pr curve composes with the text classifier scores") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val scored = graft.analytics.Text.classifierScore(docs, "doc_id", "text")
