@@ -488,6 +488,51 @@ class StreamingOpsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("randomized: scd2Sink and hllRegisterSink equal their batch operators over any in-order batch split") {
+    val rnd = new scala.util.Random(8157)
+    // random CDC log: 300 ops over 40 keys, strictly increasing pos
+    val log = (1 to 300).map { i =>
+      (rnd.nextInt(40).toLong + 1L, i.toLong, i.toLong * 10L,
+        if (rnd.nextInt(5) == 0) "delete" else "update")
+    } // (k, id, pos, op)
+    for (trial <- 1 to 3) {
+      val cuts = Seq.fill(2)(rnd.nextInt(300) + 1).sorted
+      val parts = Seq(log.filter(_._2 <= cuts(0)),
+        log.filter(e => e._2 > cuts(0) && e._2 <= cuts(1)),
+        log.filter(_._2 > cuts(1))).filter(_.nonEmpty)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"scd2-prop-$trial").toString
+      val sink = StreamingOps.scd2Sink(dir, Seq("k"), Seq("pos", "id"),
+        "pos", "op")
+      parts.zipWithIndex.foreach { case (p, i) =>
+        sink(p.toDF("k", "id", "pos", "op"), i.toLong) }
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("id"),
+          r.getAs[Long]("valid_from"), Option(r.getAs[Any]("valid_to")),
+          r.getAs[Boolean]("is_current"))).toSet
+      val streamed = canon(spark.read.parquet(
+        s"$dir/batch=${parts.length - 1}"))
+      val batch = canon(graft.model.Cdc.scd2(
+        log.toDF("k", "id", "pos", "op"), Seq("k"),
+        Seq(col("pos"), col("id")), col("pos"), "op"))
+      assert(streamed == batch,
+        s"trial $trial cuts $cuts: stream != batch scd2")
+
+      // HLL register sink over the same splits (values = key stream)
+      val hdir = java.nio.file.Files
+        .createTempDirectory(s"hll-prop-$trial").toString
+      val hsink = StreamingOps.hllRegisterSink(hdir, Seq.empty, "k")
+      parts.zipWithIndex.foreach { case (p, i) =>
+        hsink(p.toDF("k", "id", "pos", "op"), i.toLong) }
+      val sregs = spark.read.parquet(s"$hdir/batch=${parts.length - 1}")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val dregs = graft.analytics.Sketch.hllRegisters(
+        log.toDF("k", "id", "pos", "op"), Seq.empty, "k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(sregs == dregs, s"trial $trial: register state != direct sketch")
+    }
+  }
+
   test("randomized: streaming sessionize and funnel equal their batch operators over any in-order batch split") {
     // structurally independent equivalence: 400 random events, 60
     // keys, split into THREE micro-batches at random time cuts — the
