@@ -901,6 +901,32 @@ object Dedup {
         (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("keep"))
   }
 
+  /** Canonical-copy selection: [[clusters]] keeps the minimum-id
+    * member, which is the right tie-break but the wrong POLICY when
+    * near-duplicates genuinely differ (truncated mirrors, stripped
+    * boilerplate) — curation pipelines keep the RICHEST copy. One row
+    * per cluster with the canonical member chosen by maximum
+    * `sizeCol`, ties to the smaller id — a total order, so the choice
+    * is deterministic under any partitioning.
+    *
+    * Scale shape: the argmax rides the cluster aggregate as a single
+    * `max(struct(size, −id))` — lexicographic struct max, map-side
+    * combined, no join-back or window pass over the corpus.
+    */
+  def canonical(df: DataFrame, idCol: String, textCol: String,
+                sizeCol: String, maxHamming: Int = 3): DataFrame = {
+    val cl = clusters(df, idCol, textCol, maxHamming)
+    cl.join(df.select(col(idCol).as("doc_id"), col(sizeCol).as("_sz")),
+        Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("_sz").as("_s"), (-col("doc_id")).as("_negid")))
+          .as("_best"))
+      .select(col("cluster_id"), col("n_docs"),
+        (-col("_best._negid")).as("canonical_id"),
+        col("_best._s").as("canonical_size"))
+  }
+
   /** EXACT containment self-join (asymmetric overlap): all ordered
     * pairs with |tok(A) ∩ tok(B)| / |tok(A)| ≥ threshold — quote,
     * excerpt, and subset detection, where Jaccard fails by

@@ -105,4 +105,64 @@ object Graph {
     nodes.unpersist(false)
     edges.sparkSession.read.parquet(out)
   }
+
+  /** Exact triangle enumeration by degree-oriented node iteration
+    * (Chiba & Nishizeki 1985; the MapReduce formulation of Suri &
+    * Vassilvitskii, WWW 2011). Triangles are the local clustering
+    * signal of a co-occurrence graph — tightly connected item or
+    * document neighborhoods in the [[Baskets.frequentPairs]] output.
+    *
+    * Each undirected edge is ORIENTED from its lower-(degree, id)
+    * endpoint to the higher one; wedges are then built only from a
+    * node's outgoing edges and confirmed against the undirected edge
+    * set. Every triangle has exactly one vertex with two outgoing
+    * edges inside it, so each is found exactly once — and the wedge
+    * count is Σ outdeg² ≤ O(m^1.5) regardless of skew: a celebrity
+    * node of degree d contributes d² wedges in the naive scheme but
+    * near-zero here, because almost all its edges are oriented INTO
+    * it. Output rows carry the triangle's vertices sorted by id
+    * (node_a < node_b < node_c) — a deterministic set under any
+    * partitioning.
+    *
+    * Scale shape: two equi-join shuffles (wedge build on the pivot,
+    * confirm on the closing edge) over the edge list, no nested-loop
+    * products. On 100 TB-derived graphs the edge list is the small
+    * output of an upstream prune (frequent pairs, similarity pairs),
+    * so both joins are AQE-broadcastable when it collapses.
+    */
+  def triangles(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("_u"),
+        greatest(col(srcCol), col(dstCol)).as("_v"))
+      .filter(col("_u") =!= col("_v") && col("_u").isNotNull)
+      .distinct()
+    val deg = e0.select(explode(array(col("_u"), col("_v"))).as("_n"))
+      .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
+    val withDeg = e0
+      .join(deg.select(col("_n").as("_u"), col("_d").as("_du")), "_u")
+      .join(deg.select(col("_n").as("_v"), col("_d").as("_dv")), "_v")
+    val oriented = withDeg.select(
+      when(col("_du") < col("_dv") ||
+        (col("_du") === col("_dv") && col("_u") < col("_v")),
+        struct(col("_u").as("_s"), col("_v").as("_t")))
+        .otherwise(struct(col("_v").as("_s"), col("_u").as("_t")))
+        .as("_e"))
+      .select(col("_e._s").as("_s"), col("_e._t").as("_t"))
+    val wedges = oriented.as("e1")
+      .join(oriented.select(col("_s"), col("_t").as("_t2")).as("e2"),
+        col("e1._s") === col("e2._s") && col("e1._t") < col("_t2"))
+      .select(col("e1._s").as("_p"), col("e1._t").as("_q"),
+        col("_t2").as("_r"))
+    wedges
+      .join(e0,
+        least(col("_q"), col("_r")) === col("_u") &&
+          greatest(col("_q"), col("_r")) === col("_v"))
+      .select(array_sort(array(col("_p"), col("_q"), col("_r"))).as("_tri"))
+      .select(col("_tri").getItem(0).as("node_a"),
+        col("_tri").getItem(1).as("node_b"),
+        col("_tri").getItem(2).as("node_c"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -186,6 +186,41 @@ object Retrieval {
     * system order (not union order), so the double result is
     * deterministic under any partitioning and N.
     */
+  /** Exact phrase matching: how many times does the consecutive token
+    * sequence `phrase` occur in each document (whitespace tokens,
+    * lowercased — the house tokenization)? Emits only matching docs
+    * (doc_id, n_matches ≥ 1).
+    *
+    * Scale shape — deliberately ROW-LOCAL, not an inverted-index join:
+    * a phrase test inside one document needs no other document, so the
+    * right 100 TB plan is a codegen'd higher-order filter over the
+    * token array (count start positions where every phrase term lines
+    * up) on a single scan — zero shuffles, zero joins, in contrast to
+    * the posting-list intersection a search engine with a PREBUILT
+    * positional index would run ([[bm25]] covers the index-shaped
+    * workload). Overlapping occurrences count individually
+    * ("a a a" contains "a a" twice).
+    */
+  def phraseCount(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val terms = phrase.map(_.toLowerCase)
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val matchAt = terms.zipWithIndex.map { case (w, i) =>
+      (p: Column) => element_at(col("_t"), (p + lit(i + 1)).cast("int")) === lit(w)
+    }.reduce[(Column => Column)]((f, g) => p => f(p) && g(p))
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("_t"))
+      .filter(size(col("_t")) >= phrase.size)
+      .select(col("doc_id"),
+        size(filter(sequence(lit(0), size(col("_t")) - lit(phrase.size)),
+          p => matchAt(p))).cast("long").as("n_matches"))
+      .filter(col("n_matches") >= 1L)
+  }
+
   def rrfFuse(systems: Seq[(String, DataFrame)],
               queryCol: String, docCol: String, rankCol: String,
               k0: Int = 60, topK: Int = 10): DataFrame = {

@@ -1,0 +1,51 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics: per-entity ordered streams reduced to
+  * transition statistics. The sequence-mining counterpart of the
+  * funnel/sessionize family in [[Temporal]] — funnels ask "did this
+  * fixed pattern occur", transitions ask "what follows what, how
+  * often" (the first-order Markov view of a clickstream).
+  */
+object Sequences {
+
+  /** First-order Markov transition counts: for each entity's
+    * time-ordered event stream, count consecutive (prev → next) state
+    * pairs globally, with the row-conditional probability alongside.
+    * Ties on the order column are broken by `tieCol` so the sequence —
+    * and therefore every count — is deterministic under any
+    * partitioning. `cnt` and `prev_total` are exact integers;
+    * `p = cnt / prev_total` is one IEEE division on the final
+    * states² table (oracle-replayable).
+    *
+    * Scale shape: ONE shuffle on the entity key for the lag window
+    * (the same sort sessionize rides), then a (prev, next) count
+    * aggregate with map-side combine — the output is ≤ states² rows
+    * no matter the input size. No self-join: the lag window sees each
+    * row once.
+    */
+  def transitionMatrix(
+      df: DataFrame,
+      entityCols: Seq[String],
+      orderCol: Column,
+      tieCol: Column,
+      stateCol: Column): DataFrame = {
+    val keyed = df.select(entityCols.map(col) ++
+      Seq(orderCol.as("_ord"), tieCol.as("_tie"), stateCol.as("_st")): _*)
+    val w = Window.partitionBy(entityCols.map(col): _*)
+      .orderBy(col("_ord"), col("_tie"))
+    val pairs = keyed
+      .withColumn("_prev", lag(col("_st"), 1).over(w))
+      .filter(col("_prev").isNotNull)
+    val counts = pairs.groupBy(col("_prev").as("prev"), col("_st").as("next"))
+      .agg(count(lit(1)).as("cnt"))
+    val wPrev = Window.partitionBy(col("prev"))
+    counts
+      .withColumn("prev_total", sum(col("cnt")).over(wPrev))
+      .withColumn("p",
+        col("cnt").cast("double") / col("prev_total").cast("double"))
+  }
+}

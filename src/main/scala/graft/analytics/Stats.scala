@@ -552,4 +552,158 @@ object Stats {
           (col("_neg") - col(s"_fp$i")).as("tn")) }: _*)).as("_r"))
       .select(col("_r.*"))
   }
+
+  /** Mann–Whitney U rank-sum test (Mann & Whitney 1947) per group:
+    * does the distribution of `valueCol` differ between variant A
+    * (`variantACond`) and the rest? Rank-based, so it screens shifts
+    * the mean-based [[abTest]] misses and is robust to outliers — the
+    * standard nonparametric two-sample drift test.
+    *
+    * Exactness: midranks are kept DOUBLED (2·rank is always an
+    * integer, ties or not), so R1, U1 and the tie correction
+    * Σ(t³−t) are exact integers, and the normal-approximation
+    * significance test is the usual |U−n1n2/2| ≥ z·σ with both the
+    * division and the square root cleared:
+    *
+    *   (2U1 − n1n2)² · zDen · 3n(n−1)  ≥  zNum · n1n2 · (n(n+1)(n−1) − T)
+    *
+    * in decimal(38,0) — bit-stable under any partitioning. Magnitude
+    * bound: the left side is ~(n/2)⁴·1875·n², inside 38 digits for
+    * groups up to ~900k rows; beyond that ANSI decimal overflow fails
+    * loudly (pre-aggregate or sample first — at that n the test's
+    * power saturates anyway).
+    *
+    * Scale shape: one (group, value) aggregation collapses data rows
+    * to ≤ groups × distinct-values rows; the rank cumsum is a window
+    * on that collapsed table (one key shuffle + sort); the verdict is
+    * a 1-row-per-group aggregate. No data-row sort.
+    */
+  def mannWhitney(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      variantACond: Column,
+      zAlphaSqNum: Long = 2401,
+      zAlphaSqDen: Long = 625): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val g = groupCols.map(col)
+    val counts = df.filter(col(valueCol).isNotNull)
+      .select(g ++ Seq(col(valueCol).as("_v"),
+        when(variantACond, lit(1L)).otherwise(lit(0L)).as("_isa")): _*)
+      .groupBy(g :+ col("_v"): _*)
+      .agg(sum(col("_isa")).as("_a"), count(lit(1)).as("_t"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("_v"))
+    // doubled midrank of every observation tied at _v:
+    // 2·(count below) + (count at _v) + 1 — integer by construction
+    val ranked = counts
+      .withColumn("_below", sum(col("_t")).over(wCum) - col("_t"))
+      .withColumn("_r2",
+        lit(2L) * col("_below") + col("_t") + lit(1L))
+    val agg = ranked.groupBy(g: _*).agg(
+      sum(col("_a")).as("n1"),
+      (sum(col("_t")) - sum(col("_a"))).as("n2"),
+      sum(col("_a").cast(d38) * col("_r2").cast(d38)).as("_2r1"),
+      sum(col("_t").cast(d38) * col("_t").cast(d38) *
+        col("_t").cast(d38) - col("_t").cast(d38)).as("tie_term"))
+    val n1 = col("n1").cast(d38)
+    val n2 = col("n2").cast(d38)
+    val n = n1 + n2
+    val u1x2 = col("_2r1") - n1 * (n1 + lit(1L).cast(d38))
+    val dev = u1x2 - n1 * n2
+    val varTerm = n1 * n2 * (n * (n + lit(1L).cast(d38)) *
+      (n - lit(1L).cast(d38)) - col("tie_term"))
+    val lhs = dev * dev * lit(3L * zAlphaSqDen).cast(d38) *
+      n * (n - lit(1L).cast(d38))
+    val rhs = lit(zAlphaSqNum).cast(d38) * varTerm
+    agg.select(g ++ Seq(
+      col("n1"), col("n2"),
+      u1x2.as("u1_x2"),
+      col("tie_term"),
+      (col("n1") > 0L && col("n2") > 0L &&
+        varTerm > lit(0L).cast(d38) && lhs >= rhs).as("significant")): _*)
+  }
+
+  /** Chi-square goodness-of-fit against the UNIFORM distribution over
+    * `k` categories, per group (Pearson 1900): are observations spread
+    * evenly across k fixed buckets (day-of-week, hour-of-day, shard
+    * id)? The load-balance / periodicity drift screen beside the
+    * two-sample [[psiDrift]]/[[ksTest]].
+    *
+    * Exactness: with uniform expected counts E = N/k the statistic
+    * collapses to χ² = k·ΣO²/N − N, so the decision χ² ≥ crit clears
+    * its denominator to (k·ΣO² − N²)·critDen ≥ critNum·N — pure
+    * integer, no division. Categories absent from the data contribute
+    * O = 0 and need no row. Default crit = 12.592 (α = 0.05, df = 6 —
+    * the day-of-week case); pass the critical value matching your
+    * k − 1 degrees of freedom.
+    *
+    * Scale shape: one (group, category) count aggregation (map-side
+    * combined), then a ≤ groups × k-row reduce. Scan-bound at 100 TB.
+    */
+  def chisqUniform(
+      df: DataFrame,
+      groupCols: Seq[String],
+      catCol: Column,
+      k: Int,
+      critNum: Long = 12592,
+      critDen: Long = 1000): DataFrame = {
+    require(k >= 2, s"k=$k categories must be >= 2")
+    val d38 = "decimal(38,0)"
+    val g = groupCols.map(col)
+    val counts = df
+      .select(g :+ catCol.as("_cat"): _*)
+      .groupBy(g :+ col("_cat"): _*)
+      .agg(count(lit(1)).as("_o"))
+    val agg = counts.groupBy(g: _*).agg(
+      sum(col("_o")).as("n"),
+      sum(col("_o").cast(d38) * col("_o").cast(d38)).as("_ss"),
+      count(lit(1)).as("n_cats"))
+    val nD = col("n").cast(d38)
+    val stat = lit(k.toLong).cast(d38) * col("_ss") - nD * nD
+    agg.select(g ++ Seq(
+      col("n"), col("n_cats"),
+      stat.cast("long").as("stat_num"),
+      (stat.cast("double") / col("n").cast("double")).as("chisq"),
+      (col("n") > 0L &&
+        stat * lit(critDen).cast(d38) >= lit(critNum).cast(d38) * nD)
+        .as("significant")): _*)
+  }
+
+  /** Seasonal-naive anomaly screen: each period bucket's INTEGER value
+    * is compared to the SAME bucket one season earlier (day vs day−7,
+    * hour vs hour−168) — the classic baseline that [[cusum]] (level
+    * shifts) and [[rollingZOutliers]] (local spikes) both miss when
+    * the series is strongly periodic. A row alarms when the deviation
+    * is large both relatively (|Δ|·relDen > relNum·prev) and
+    * absolutely (|Δ| ≥ minAbs, suppressing noise on tiny counts) —
+    * pure integer comparisons, bit-stable anywhere.
+    *
+    * The seasonal reference is fetched by VALUE, not row offset: a
+    * range window frame pinned at exactly [−period, −period] (time
+    * buckets are unique per group, so the frame sum IS the lagged
+    * value, null when that bucket is missing — gaps never misalign
+    * the season the way a row-lag would). One key shuffle + sort.
+    */
+  def seasonalNaive(
+      df: DataFrame,
+      groupCols: Seq[String],
+      timeCol: String,
+      valueCol: String,
+      period: Long,
+      minAbs: Long = 20L,
+      relNum: Long = 3L,
+      relDen: Long = 10L): DataFrame = {
+    require(period >= 1, s"period=$period")
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col(timeCol))
+      .rangeBetween(-period, -period)
+    df.select(g ++ Seq(col(timeCol), col(valueCol)): _*)
+      .withColumn("prev", sum(col(valueCol)).over(w))
+      .withColumn("diff",
+        when(col("prev").isNotNull, col(valueCol) - col("prev")))
+      .withColumn("alarm",
+        col("prev").isNotNull &&
+          abs(col("diff")) * lit(relDen) > lit(relNum) * col("prev") &&
+          abs(col("diff")) >= lit(minAbs))
+  }
 }

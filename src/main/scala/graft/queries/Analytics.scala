@@ -111,6 +111,16 @@ object Analytics {
     "dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
 
+    // Canonical-copy selection per near-dup cluster: keep the RICHEST
+    // member (max n_chars, tie to smaller id) via a single
+    // max(struct(size, -id)) cluster aggregate — the curation policy
+    // layer on top of dedup_clusters. The oracle nests the full
+    // clusters closure and picks the canonical row by join-back (an
+    // independent argmax formulation).
+    "dedup_canonical" -> ((s, dir) =>
+      Dedup.canonical(t(s, dir, "documents"), "doc_id", "text",
+        "n_chars", maxHamming = 3)),
+
     // char-5-grams: 3-grams of a small shared vocabulary are near-
     // universal across documents (every pair becomes an LSH candidate);
     // 5-grams restore selectivity at the same shingling cost
@@ -462,6 +472,14 @@ object Analytics {
     "text_tfidf" -> ((s, dir) =>
       Retrieval.tfidf(t(s, dir, "documents"), "doc_id", "text", minDf = 5)),
 
+    // Exact phrase occurrence counting — deliberately ROW-LOCAL (a
+    // codegen'd HOF over the token array on one scan, zero shuffles),
+    // in contrast to the posting-list plans above: phrase tests need
+    // no cross-document state, so nothing should move.
+    "retrieval_phrase" -> ((s, dir) =>
+      Retrieval.phraseCount(t(s, dir, "documents"), "doc_id", "text",
+        Seq("fast", "sort"))),
+
     // Hybrid-retrieval rank fusion: BM25 top-10 + a document-length
     // prior (global top-10 via TakeOrdered — no full-corpus window),
     // RRF-combined. Fusion operates on K·systems rows per query.
@@ -618,6 +636,55 @@ object Analytics {
       Multimodal.nearDupMediaIncrement(variants, media, maxHamming = 3)
     })
   )
+
+
+  // SimHash + recursive-closure replication, shared by the
+  // dedup_clusters row and (nested as a subquery) dedup_canonical.
+  private val dedupClustersOracleSql: String =
+    """WITH RECURSIVE tok AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+           FROM documents
+         ), whs AS (
+           SELECT w, CAST(CASE WHEN uh >= CAST(9223372036854775808 AS HUGEINT)
+             THEN uh - CAST(18446744073709551616 AS HUGEINT) ELSE uh END AS BIGINT) AS h
+           FROM (
+             SELECT w, list_reduce(
+               list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                 list_transform(list_filter(string_split_regex(w, ''), c -> c <> ''),
+                   c -> CAST(unicode(c) AS HUGEINT))),
+               (acc, c) -> (xor(acc, c) * 1099511628211) %
+                 CAST(18446744073709551616 AS HUGEINT)) AS uh
+             FROM (SELECT DISTINCT w FROM tok))
+         ), votes AS (
+           SELECT t.doc_id, b.b,
+             SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM tok t JOIN whs USING (w)
+           CROSS JOIN (SELECT unnest(range(64)) AS b) b
+           GROUP BY t.doc_id, b.b
+         ), sig AS (
+           SELECT doc_id, CAST(CASE WHEN us >= CAST(9223372036854775808 AS HUGEINT)
+             THEN us - CAST(18446744073709551616 AS HUGEINT) ELSE us END AS BIGINT) AS s
+           FROM (SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << CAST(b AS INT)
+                   ELSE CAST(0 AS HUGEINT) END) AS us
+             FROM votes GROUP BY doc_id)
+         ), pr AS (
+           SELECT a.doc_id AS ia, b.doc_id AS ib
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.s, b.s)) <= 3
+         ), edges AS (
+           SELECT ia AS u, ib AS v FROM pr UNION SELECT ib, ia FROM pr
+         ), reach AS (
+           SELECT u AS a, v AS b FROM edges
+           UNION
+           SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+         ), lab AS (
+           SELECT a AS doc_id, least(min(b), a) AS lbl FROM reach GROUP BY a
+         )
+         SELECT d.doc_id,
+           coalesce(l.lbl, d.doc_id) AS cluster_id,
+           coalesce(l.lbl, d.doc_id) = d.doc_id AS keep
+         FROM documents d LEFT JOIN lab l USING (doc_id)"""
 
   // BM25 replication: same tokenization, posting-list tf/df, the
   // published idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (DuckDB ln ==
@@ -1097,51 +1164,32 @@ object Analytics {
     // every doc labeled with its component's minimum id (singletons
     // label themselves), keep = is-the-minimum. The engine's iterative
     // min-label propagation must converge to exactly this closure.
-    "dedup_clusters" ->
-      """WITH RECURSIVE tok AS (
-           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
-           FROM documents
-         ), whs AS (
-           SELECT w, CAST(CASE WHEN uh >= CAST(9223372036854775808 AS HUGEINT)
-             THEN uh - CAST(18446744073709551616 AS HUGEINT) ELSE uh END AS BIGINT) AS h
-           FROM (
-             SELECT w, list_reduce(
-               list_prepend(CAST(14695981039346656037 AS HUGEINT),
-                 list_transform(list_filter(string_split_regex(w, ''), c -> c <> ''),
-                   c -> CAST(unicode(c) AS HUGEINT))),
-               (acc, c) -> (xor(acc, c) * 1099511628211) %
-                 CAST(18446744073709551616 AS HUGEINT)) AS uh
-             FROM (SELECT DISTINCT w FROM tok))
-         ), votes AS (
-           SELECT t.doc_id, b.b,
-             SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-           FROM tok t JOIN whs USING (w)
-           CROSS JOIN (SELECT unnest(range(64)) AS b) b
-           GROUP BY t.doc_id, b.b
-         ), sig AS (
-           SELECT doc_id, CAST(CASE WHEN us >= CAST(9223372036854775808 AS HUGEINT)
-             THEN us - CAST(18446744073709551616 AS HUGEINT) ELSE us END AS BIGINT) AS s
-           FROM (SELECT doc_id,
-               SUM(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << CAST(b AS INT)
-                   ELSE CAST(0 AS HUGEINT) END) AS us
-             FROM votes GROUP BY doc_id)
-         ), pr AS (
-           SELECT a.doc_id AS ia, b.doc_id AS ib
-           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-           WHERE bit_count(xor(a.s, b.s)) <= 3
-         ), edges AS (
-           SELECT ia AS u, ib AS v FROM pr UNION SELECT ib, ia FROM pr
-         ), reach AS (
-           SELECT u AS a, v AS b FROM edges
-           UNION
-           SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
-         ), lab AS (
-           SELECT a AS doc_id, least(min(b), a) AS lbl FROM reach GROUP BY a
-         )
-         SELECT d.doc_id,
-           coalesce(l.lbl, d.doc_id) AS cluster_id,
-           coalesce(l.lbl, d.doc_id) = d.doc_id AS keep
-         FROM documents d LEFT JOIN lab l USING (doc_id)""",
+    "dedup_clusters" -> dedupClustersOracleSql,
+    // the full clusters closure nested as a subquery + an independent
+    // join-back argmax (vs the engine's single struct-max aggregate)
+    "dedup_canonical" ->
+      ("WITH cl AS (" + dedupClustersOracleSql + """),
+         j AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars
+               FROM cl JOIN documents d USING (doc_id)),
+         a AS (SELECT cluster_id, count(*) AS n_docs,
+                max(n_chars) AS mc
+               FROM j GROUP BY 1)
+         SELECT a.cluster_id, a.n_docs,
+           min(j.doc_id) AS canonical_id,
+           CAST(a.mc AS BIGINT) AS canonical_size
+         FROM a JOIN j ON j.cluster_id = a.cluster_id
+           AND j.n_chars = a.mc
+         GROUP BY 1, 2, 4"""),
+    "retrieval_phrase" ->
+      """WITH t AS (SELECT doc_id,
+              regexp_split_to_array(trim(lower(text)), '\s+') AS w
+            FROM documents),
+         m AS (SELECT doc_id,
+                CAST(len(list_filter(range(1, len(w)),
+                  p -> w[p] = 'fast' AND w[p + 1] = 'sort')) AS BIGINT)
+                  AS n_matches
+               FROM t WHERE len(w) >= 2)
+         SELECT doc_id, n_matches FROM m WHERE n_matches >= 1""",
     // brute-force cross-side exact-Jaccard oracle (the dedup_minhash
     // playbook, A×B instead of self-join): batch texts rebuilt with the
     // identical drop-last-token mutation, empty-shingle docs excluded

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.{Baskets, Graph, Joins, Layout, Sketch, Stats, Temporal => TOps}
+import graft.analytics.{Baskets, Graph, Joins, Layout, Sequences, Sketch, Stats, Temporal => TOps}
 
 /** Temporal-join and sketch gate rows. The DuckDB oracles are
   * independent formulations: ASOF LEFT JOIN for the as-of operator
@@ -767,6 +767,110 @@ object Temporal {
           depth = 4, width = 16),
         Seq("token"))
         .select(col("token"), col("true_count"), col("cms_estimate"))
+    }),
+
+    // Triangle enumeration over the frequent-pair co-occurrence graph:
+    // degree-oriented wedges (Σ outdeg² ≤ O(m^1.5)) + closing-edge
+    // confirm. The oracle is the structurally independent id-ordered
+    // 3-way self-join — two different algorithms must agree exactly.
+    "graph_triangles" -> ((s, dir) =>
+      Graph.triangles(
+        Baskets.frequentPairs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2L),
+        "item_a", "item_b")),
+
+    // Mann–Whitney U rank-sum drift test per event type (variant =
+    // user parity): doubled midranks keep R1/U1/tie-term exact
+    // integers; the normal-approx significance inequality is cleared
+    // of division AND square root in decimal(38,0).
+    "stats_mannwhitney" -> ((s, dir) =>
+      Stats.mannWhitney(t(s, dir, "events"), Seq("event_type"),
+        "value", col("user_id") % 2 === 0)
+        .select(col("event_type"), col("n1"), col("n2"),
+          col("u1_x2").cast("long").as("u1_x2"),
+          col("tie_term").cast("long").as("tie_term"),
+          col("significant"))),
+
+    // Chi-square goodness-of-fit against uniform day-of-week per
+    // event type (epoch day + 4 ≡ Thursday-origin): the uniform-E
+    // collapse k·ΣO² − N² makes the decision pure integer.
+    "stats_chisq_gof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dowed = ev.select(col("event_type"), tsEpochSeconds(ev).as("_secs"))
+        .select(col("event_type"),
+          pmod(expr("_secs div 86400") + lit(4L), lit(7L)).as("dow"))
+      Stats.chisqUniform(dowed, Seq("event_type"), col("dow"), k = 7)
+    }),
+
+    // First-order Markov transition matrix of per-user event streams:
+    // one entity-key window shuffle, then a ≤ states² count table
+    // with exact integer counts + one IEEE division for p.
+    "seq_transitions" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Sequences.transitionMatrix(ev, Seq("user_id"),
+        tsEpochSeconds(ev), col("event_id"), col("event_type"))
+    }),
+
+    // Seasonal-naive anomaly screen: daily event counts vs the same
+    // weekday one week earlier, fetched by VALUE (range frame pinned
+    // at [-7,-7]) so date gaps never misalign the season. Integer
+    // relative+absolute alarm rule.
+    "stats_seasonal" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev.select(col("event_type"), tsEpochSeconds(ev).as("_secs"))
+        .select(col("event_type"), expr("_secs div 86400").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("x"))
+      Stats.seasonalNaive(daily, Seq("event_type"), "day", "x",
+        period = 7L)
+    }),
+
+    // Schema-wide column profiler over lineitem: one scan, one
+    // aggregation (Expand-based exact multi-distinct), min/max split
+    // into numeric/string pairs for a fixed output schema.
+    "profile_columns" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        // shipdate is TIMESTAMP_NTZ; session TZ is UTC, so the
+        // NTZ→TZ hop is the identity and →long is epoch seconds
+        .withColumn("l_ship_s",
+          col("l_shipdate").cast("timestamp").cast("long"))
+      graft.analytics.Profiling.columnProfile(li,
+        numCols = Seq("l_orderkey", "l_partkey", "l_quantity",
+          "l_extendedprice", "l_ship_s"),
+        strCols = Seq("l_returnflag", "l_linestatus"))
+    }),
+
+    // Streaming count-min twin: counter tables are LINEAR, so the
+    // summed state across a real 2-batch stream must equal the batch
+    // sketch of the whole token log — the additive merge law, with
+    // _SUCCESS-committed batch dirs making replays idempotent (sum is
+    // not idempotent the way HLL's min-merge is). Oracle = the direct
+    // batch counter replication (same splitmix chain as sketch_cms).
+    "sketch_cm_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = t(s, dir, "documents")
+      val rows = docs.select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.partition(_._1 < 250L)
+      val state = java.nio.file.Files
+        .createTempDirectory("cms_stream").toString
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "token")
+        .writeStream
+        .foreachBatch(graft.streaming.StreamingOps.cmsCounterSink(
+          state, "token", depth = 4, width = 16))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$state/batch=1")
+        .select(col("_row").as("cms_row"), col("_idx").as("cms_idx"),
+          col("_c").cast("long").as("cnt"))
     })
   )
 
@@ -1634,6 +1738,170 @@ object Temporal {
          SELECT e.token, CAST(max(e.tc) AS BIGINT) AS true_count,
            CAST(min(ct.cc) AS BIGINT) AS cms_estimate
          FROM ent e JOIN counters ct ON e.i = ct.i AND e.idx = ct.idx
-         GROUP BY e.token"""
+         GROUP BY e.token""",
+    // structurally independent formulation: id-ordered 3-way self-join
+    // over the same frequent-pair edge set (no orientation machinery)
+    "graph_triangles" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+              FROM lineitem),
+         s AS (SELECT i FROM items GROUP BY i HAVING count(*) >= 2),
+         p AS (SELECT items.b, items.i FROM items JOIN s USING (i)),
+         e AS (SELECT a.i AS u, bb.i AS v
+               FROM p a JOIN p bb ON a.b = bb.b AND a.i < bb.i
+               GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT e1.u AS node_a, e1.v AS node_b, e2.v AS node_c
+         FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+         JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""",
+    "stats_mannwhitney" ->
+      """WITH c AS (SELECT event_type AS g, value AS v,
+              CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS HUGEINT) AS a,
+              CAST(count(*) AS HUGEINT) AS t
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         r AS (SELECT g, a, t,
+                CAST(coalesce(sum(t) OVER (PARTITION BY g ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS HUGEINT) AS below
+               FROM c),
+         agg AS (SELECT g,
+                CAST(sum(a) AS HUGEINT) AS n1,
+                CAST(sum(t) - sum(a) AS HUGEINT) AS n2,
+                CAST(sum(a * (2 * below + t + 1)) AS HUGEINT) AS r2sum,
+                CAST(sum(t * t * t - t) AS HUGEINT) AS ties
+               FROM r GROUP BY 1)
+         SELECT g AS event_type,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(r2sum - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(ties AS BIGINT) AS tie_term,
+           (n1 > 0 AND n2 > 0 AND
+            n1 * n2 * ((n1 + n2) * (n1 + n2 + 1) * (n1 + n2 - 1) - ties)
+              > 0 AND
+            (r2sum - n1 * (n1 + 1) - n1 * n2) *
+              (r2sum - n1 * (n1 + 1) - n1 * n2) * 1875 *
+              (n1 + n2) * (n1 + n2 - 1)
+            >= 2401 * n1 * n2 *
+               ((n1 + n2) * (n1 + n2 + 1) * (n1 + n2 - 1) - ties))
+             AS significant
+         FROM agg""",
+    "stats_chisq_gof" ->
+      """WITH e AS (SELECT event_type AS g,
+              (epoch_ns(ts) // 1000000000 // 86400 + 4) % 7 AS dow
+            FROM events),
+         c AS (SELECT g, dow, CAST(count(*) AS HUGEINT) AS o
+               FROM e GROUP BY 1, 2),
+         a AS (SELECT g, CAST(sum(o) AS HUGEINT) AS n,
+                CAST(sum(o * o) AS HUGEINT) AS ss,
+                count(*) AS n_cats
+               FROM c GROUP BY 1)
+         SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+           CAST(n_cats AS BIGINT) AS n_cats,
+           CAST(7 * ss - n * n AS BIGINT) AS stat_num,
+           CAST(7 * ss - n * n AS DOUBLE) / CAST(n AS DOUBLE) AS chisq,
+           (n > 0 AND (7 * ss - n * n) * 1000 >= 12592 * n) AS significant
+         FROM a""",
+    "seq_transitions" ->
+      """WITH e AS (SELECT user_id, event_type AS st,
+              epoch_ns(ts) // 1000000000 AS ts_s, event_id
+            FROM events),
+         p AS (SELECT user_id, st,
+                lag(st) OVER (PARTITION BY user_id
+                  ORDER BY ts_s, event_id) AS prev
+               FROM e),
+         c AS (SELECT prev, st AS next, CAST(count(*) AS BIGINT) AS cnt
+               FROM p WHERE prev IS NOT NULL GROUP BY 1, 2)
+         SELECT prev, next, cnt,
+           CAST(sum(cnt) OVER (PARTITION BY prev) AS BIGINT)
+             AS prev_total,
+           CAST(cnt AS DOUBLE) /
+             CAST(sum(cnt) OVER (PARTITION BY prev) AS DOUBLE) AS p
+         FROM c""",
+    "stats_seasonal" ->
+      """WITH e AS (SELECT event_type AS g,
+              epoch_ns(ts) // 1000000000 // 86400 AS day,
+              CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+         p AS (SELECT g, day, x,
+                CAST(sum(x) OVER (PARTITION BY g ORDER BY day
+                  RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS BIGINT)
+                  AS prev
+               FROM e)
+         SELECT g AS event_type, day, x, prev,
+           CASE WHEN prev IS NOT NULL THEN x - prev END AS diff,
+           (prev IS NOT NULL AND abs(x - prev) * 10 > 3 * prev
+             AND abs(x - prev) >= 20) AS alarm
+         FROM p""",
+    "profile_columns" ->
+      """WITH li AS (SELECT *, epoch_ns(l_shipdate) // 1000000000
+              AS l_ship_s FROM lineitem)
+         SELECT 'l_orderkey' AS "column",
+           CAST(count(l_orderkey) AS BIGINT) AS n_nonnull,
+           CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(l_orderkey) AS DOUBLE) AS min_num,
+           CAST(max(l_orderkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         FROM li
+         UNION ALL SELECT 'l_partkey', CAST(count(l_partkey) AS BIGINT),
+           CAST(count(*) - count(l_partkey) AS BIGINT),
+           CAST(count(DISTINCT l_partkey) AS BIGINT),
+           CAST(min(l_partkey) AS DOUBLE), CAST(max(l_partkey) AS DOUBLE),
+           NULL, NULL FROM li
+         UNION ALL SELECT 'l_quantity', CAST(count(l_quantity) AS BIGINT),
+           CAST(count(*) - count(l_quantity) AS BIGINT),
+           CAST(count(DISTINCT l_quantity) AS BIGINT),
+           CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE),
+           NULL, NULL FROM li
+         UNION ALL SELECT 'l_extendedprice',
+           CAST(count(l_extendedprice) AS BIGINT),
+           CAST(count(*) - count(l_extendedprice) AS BIGINT),
+           CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+           CAST(min(l_extendedprice) AS DOUBLE),
+           CAST(max(l_extendedprice) AS DOUBLE), NULL, NULL FROM li
+         UNION ALL SELECT 'l_ship_s', CAST(count(l_ship_s) AS BIGINT),
+           CAST(count(*) - count(l_ship_s) AS BIGINT),
+           CAST(count(DISTINCT l_ship_s) AS BIGINT),
+           CAST(min(l_ship_s) AS DOUBLE), CAST(max(l_ship_s) AS DOUBLE),
+           NULL, NULL FROM li
+         UNION ALL SELECT 'l_returnflag', CAST(count(l_returnflag) AS BIGINT),
+           CAST(count(*) - count(l_returnflag) AS BIGINT),
+           CAST(count(DISTINCT l_returnflag) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           min(l_returnflag), max(l_returnflag) FROM li
+         UNION ALL SELECT 'l_linestatus', CAST(count(l_linestatus) AS BIGINT),
+           CAST(count(*) - count(l_linestatus) AS BIGINT),
+           CAST(count(DISTINCT l_linestatus) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           min(l_linestatus), max(l_linestatus) FROM li""",
+    // the counters CTE of the sketch_cms_tokens oracle, surfaced
+    // directly — the stream state must equal the batch counters
+    "sketch_cm_stream" ->
+      """WITH c64 AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+         tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+                 FROM documents),
+         cnt AS (SELECT token, count(*) AS tc FROM tok WHERE token <> '' GROUP BY token),
+         fh AS (SELECT token, tc, list_reduce(
+                  list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                    list_transform(list_filter(string_split_regex(token, ''), ch -> ch <> ''),
+                      ch -> CAST(unicode(ch) AS HUGEINT))),
+                  (acc, ch) -> (xor(acc, ch) * 1099511628211) %
+                    CAST(18446744073709551616 AS HUGEINT)) AS uh
+                FROM cnt),
+         rws AS (SELECT range AS i FROM range(0, 4)),
+         m0 AS (SELECT token, tc, i,
+                (uh + i + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
+                FROM fh CROSS JOIN rws CROSS JOIN c64),
+         ma AS (SELECT token, tc, i, xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
+         m1 AS (SELECT token, tc, i, (x2 % 4294967296 * 484763065 +
+                ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+                * 4294967296) % m64 AS x3, m64 FROM ma),
+         mb AS (SELECT token, tc, i, xor(x3, x3 // 134217728) AS x4, m64 FROM m1),
+         m2 AS (SELECT token, tc, i, (x4 % 4294967296 * 321982955 +
+                ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+                * 4294967296) % m64 AS x5, m64 FROM mb),
+         m3 AS (SELECT token, tc, i, xor(x5, x5 // 2147483648) AS x6 FROM m2),
+         ent AS (SELECT token, tc, i, x6 % 16 AS idx FROM m3)
+         SELECT CAST(i AS BIGINT) AS cms_row, CAST(idx AS BIGINT) AS cms_idx,
+           CAST(sum(tc) AS BIGINT) AS cnt
+         FROM ent GROUP BY 1, 2"""
   )
 }

@@ -491,6 +491,40 @@ object StreamingOps {
     }
   }
 
+  /** Streaming count-min maintenance — the additive sibling of
+    * [[hllRegisterSink]]: each micro-batch's token counts become a
+    * depth×width counter table ([[graft.analytics.Sketch.cmsCounters]])
+    * SUMMED into the committed state. Counter addition is linear, so
+    * the state after any prefix of the stream equals the batch sketch
+    * of that prefix exactly — the merge law the `sketch_cm_stream`
+    * gate row proves bit-for-bit. Unlike the HLL min-merge, addition
+    * is NOT idempotent, so the `batch=` versioning + `_SUCCESS`
+    * committed-only reads here are what make foreachBatch replays
+    * safe (a re-run of batch n recomputes from the same pre-n state).
+    * State is ≤ depth × width rows — constant — no matter how much
+    * stream has passed.
+    */
+  def cmsCounterSink(
+      stateDir: String,
+      itemCol: String,
+      depth: Int = 4,
+      width: Int = 1024): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val counts = batch.groupBy(col(itemCol))
+        .agg(count(lit(1)).as("_n"))
+      val newC = graft.analytics.Sketch.cmsCounters(
+        counts, itemCol, "_n", depth, width)
+      val merged = latestCommittedDir(stateDir, batchId) match {
+        case Some(prev) => spark.read.parquet(prev).unionByName(newC)
+          .groupBy(col("_row"), col("_idx"))
+          .agg(sum(col("_c")).as("_c"))
+        case None => newC
+      }
+      merged.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    }
+  }
+
   /** Streaming SCD Type-2 maintenance — the incremental twin of
     * [[graft.model.Cdc.scd2]]: the committed state is the full
     * version history; each micro-batch chains its own versions
