@@ -1,0 +1,60 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy screens for released aggregates. Training corpora and the
+  * telemetry around them leak through small groups, not big ones —
+  * k-anonymity (Sweeney 2002) is the standard release gate: no
+  * quasi-identifier combination may describe fewer than k rows.
+  */
+object Privacy {
+
+  /** k-anonymous generalization by a suppress-from-the-right ladder:
+    * quasi-identifier groups with at least `minK` rows are released at
+    * full detail (level 0); smaller groups are re-aggregated with the
+    * LAST column generalized away (level 1), then the next (level 2),
+    * and so on — the final remainder collapses into one fully-
+    * suppressed row (level = #columns) regardless of size, so the
+    * output always accounts for every input row. Order `qiCols` from
+    * most essential to most expendable. Generalized columns are null;
+    * counts are exact integers.
+    *
+    * Scale shape: ONE data-sized aggregation (the level-0 groupBy,
+    * map-side combined); every further level re-aggregates only the
+    * FAILING GROUP ROWS of the previous one — metadata-sized by
+    * definition (each carries < minK source rows). The driver loop
+    * runs #qiCols ≤ a handful of times over lazily-composed frames;
+    * nothing collects.
+    */
+  def kAnonymize(
+      df: DataFrame,
+      qiCols: Seq[String],
+      minK: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier")
+    require(minK >= 2, s"minK=$minK")
+    def shaped(frame: DataFrame, level: Int): DataFrame = {
+      val kept = qiCols.take(qiCols.size - level)
+      frame.select(
+        lit(level.toLong).as("level") +:
+          qiCols.map(c => if (kept.contains(c)) col(c)
+            else lit(null).cast(df.schema(c).dataType).as(c)) :+
+          col("_n").as("n"): _*)
+    }
+    var cur = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+    var out = shaped(cur.filter(col("_n") >= minK), 0)
+    for (level <- 1 to qiCols.size) {
+      val failing = cur.filter(col("_n") < minK)
+      val kept = qiCols.take(qiCols.size - level)
+      cur =
+        if (kept.isEmpty) failing.agg(sum(col("_n")).as("_n"))
+        else failing.groupBy(kept.map(col): _*)
+          .agg(sum(col("_n")).as("_n"))
+      val pass = if (level == qiCols.size) cur.filter(col("_n") > 0L)
+        else cur.filter(col("_n") >= minK)
+      out = out.unionByName(shaped(pass, level))
+    }
+    out
+  }
+}

@@ -16,53 +16,49 @@ object Profiling {
     * string columns in the `_str` pair — the other pair is null, so
     * the output schema is fixed regardless of the profiled mix).
     *
-    * Scale shape: ONE aggregation over a single scan. The exact
-    * distinct counts compile to Catalyst's Expand-based
-    * multi-distinct rewrite — one shuffle carrying (column-tag, value)
-    * rows, map-side partially aggregated; there is no per-column scan
-    * and no driver loop. The row-per-column pivot at the end is an
-    * explode of a k-element array on a 1-row frame. For columns where
-    * exact cardinality is not worth the Expand shuffle at 100 TB,
-    * profile them with [[Sketch.hllRegisters]] instead — here the
-    * contract is exactness (the oracle replays every count).
+    * Scale shape: a MANUAL unpivot — explode each row into k tagged
+    * (column, value) entries — followed by two hash aggregations:
+    * distinct (tag, value) rows with their multiplicities, then the
+    * per-tag rollup. Everything stays in HashAggregate with map-side
+    * partial combine, so the shuffle carries only each column's
+    * distinct values. Deliberately NOT the built-in multi-
+    * `count_distinct` single aggregate: Catalyst plans that via
+    * set-valued SortAggregate buffers — measured 6× slower at sf0.1
+    * (12.5 s vs ~2 s) because it sorts the k-times-expanded rows.
+    * The k× scan amplification is the price of exact one-pass
+    * profiling; for cheap approximate cardinalities at 100 TB use
+    * [[Sketch.hllRegisters]] per column instead — here the contract
+    * is exactness (the oracle replays every count).
+    *
+    * Numeric values are profiled through `double` (distinctness above
+    * 2^53 integer range would collapse colliding values — profile
+    * such ids as strings).
     */
   def columnProfile(
       df: DataFrame,
       numCols: Seq[String],
       strCols: Seq[String]): DataFrame = {
     require(numCols.nonEmpty || strCols.nonEmpty, "no columns to profile")
-    val aggs: Seq[Column] =
-      Seq(count(lit(1)).as("_total")) ++
-        numCols.flatMap { c => Seq(
-          count(col(c)).as(s"_cnt_$c"),
-          count_distinct(col(c)).as(s"_dst_$c"),
-          min(col(c)).cast("double").as(s"_min_$c"),
-          max(col(c)).cast("double").as(s"_max_$c")) } ++
-        strCols.flatMap { c => Seq(
-          count(col(c)).as(s"_cnt_$c"),
-          count_distinct(col(c)).as(s"_dst_$c"),
-          min(col(c)).as(s"_smin_$c"),
-          max(col(c)).as(s"_smax_$c")) }
-    val base = df.agg(aggs.head, aggs.tail: _*)
-    val rows: Seq[Column] =
-      numCols.map { c => struct(
-        lit(c).as("column"),
-        col(s"_cnt_$c").as("n_nonnull"),
-        (col("_total") - col(s"_cnt_$c")).as("n_null"),
-        col(s"_dst_$c").as("n_distinct"),
-        col(s"_min_$c").as("min_num"),
-        col(s"_max_$c").as("max_num"),
-        lit(null).cast("string").as("min_str"),
-        lit(null).cast("string").as("max_str")) } ++
-      strCols.map { c => struct(
-        lit(c).as("column"),
-        col(s"_cnt_$c").as("n_nonnull"),
-        (col("_total") - col(s"_cnt_$c")).as("n_null"),
-        col(s"_dst_$c").as("n_distinct"),
-        lit(null).cast("double").as("min_num"),
-        lit(null).cast("double").as("max_num"),
-        col(s"_smin_$c").as("min_str"),
-        col(s"_smax_$c").as("max_str")) }
-    base.select(explode(array(rows: _*)).as("_r")).select(col("_r.*"))
+    val entries: Seq[Column] =
+      numCols.map { c => struct(lit(c).as("_tag"),
+        col(c).cast("double").as("_nv"),
+        lit(null).cast("string").as("_sv")) } ++
+      strCols.map { c => struct(lit(c).as("_tag"),
+        lit(null).cast("double").as("_nv"),
+        col(c).as("_sv")) }
+    val nonNull = col("_nv").isNotNull || col("_sv").isNotNull
+    df.select(explode(array(entries: _*)).as("_e"))
+      .select(col("_e._tag").as("_tag"), col("_e._nv").as("_nv"),
+        col("_e._sv").as("_sv"))
+      .groupBy(col("_tag"), col("_nv"), col("_sv"))
+      .agg(count(lit(1)).as("_cnt"))
+      .groupBy(col("_tag"))
+      .agg(
+        coalesce(sum(when(nonNull, col("_cnt"))), lit(0L)).as("n_nonnull"),
+        coalesce(sum(when(!nonNull, col("_cnt"))), lit(0L)).as("n_null"),
+        count(when(nonNull, lit(1))).as("n_distinct"),
+        min(col("_nv")).as("min_num"), max(col("_nv")).as("max_num"),
+        min(col("_sv")).as("min_str"), max(col("_sv")).as("max_str"))
+      .withColumnRenamed("_tag", "column")
   }
 }

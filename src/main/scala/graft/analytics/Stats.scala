@@ -706,4 +706,136 @@ object Stats {
           abs(col("diff")) * lit(relDen) > lit(relNum) * col("prev") &&
           abs(col("diff")) >= lit(minAbs))
   }
+
+  /** Gini concentration coefficient per group over non-negative
+    * INTEGER values (cents, counts): G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) /
+    * (n·Σx) with x₍ᵢ₎ the ascending sort — how concentrated is
+    * revenue per user, token mass per type, traffic per domain. The
+    * numerator and denominator are EXACT integers (decimal(38,0)
+    * internally; emitted as long — valid while n·max|x| stays under
+    * 2^63, i.e. any realistic count/cents table); the coefficient is
+    * one IEEE division at the end.
+    *
+    * Rank ties: Σ i·x over a run of EQUAL values is invariant under
+    * any rank assignment inside the run, so `row_number` ordered by
+    * value alone is deterministic here — no tie column needed.
+    *
+    * Scale shape: one key shuffle + sort for the rank window, then a
+    * per-group aggregate. Same cost class as any grouped order
+    * statistic; nothing quadratic.
+    */
+  def gini(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col(valueCol))
+    val ranked = df.select(g :+ col(valueCol).as("_x"): _*)
+      .withColumn("_i", row_number().over(
+        Window.partitionBy(g: _*).orderBy(col("_x"))))
+    val agg = ranked.groupBy(g: _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("_x")).as("total"),
+      sum(col("_i").cast(d38) * col("_x").cast(d38)).as("_ix"))
+    val nD = col("n").cast(d38)
+    val num = lit(2L).cast(d38) * col("_ix") -
+      (nD + lit(1L).cast(d38)) * col("total").cast(d38)
+    val den = nD * col("total").cast(d38)
+    agg.select(g ++ Seq(col("n"), col("total"),
+      num.cast("long").as("gini_num"),
+      den.cast("long").as("gini_den"),
+      when(col("total") > 0L,
+        num.cast("double") / den.cast("double")).as("gini")): _*)
+  }
+
+  /** Lag-k autocorrelation per group of an INTEGER time series:
+    * Pearson correlation over the (x_t, x_{t−lag}) pairs where BOTH
+    * buckets exist — the seasonal reference is fetched by VALUE (the
+    * same pinned range frame [[seasonalNaive]] uses), so gaps drop
+    * the pair instead of misaligning it. The five sums are exact
+    * integers; r = num / √(den1·den2) is two IEEE casts, one multiply,
+    * one sqrt, one divide — bit-replicable. Long-emission bound:
+    * n·Σx² under 2^63 (counts: always; large cents: pre-scale).
+    *
+    * Scale shape: one key shuffle + sort for the window, one grouped
+    * aggregate — the series table is already metadata-sized (one row
+    * per time bucket).
+    */
+  def autocorr(
+      df: DataFrame,
+      groupCols: Seq[String],
+      timeCol: String,
+      valueCol: String,
+      lag: Long): DataFrame = {
+    require(lag >= 1, s"lag=$lag")
+    val d38 = "decimal(38,0)"
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col(timeCol))
+      .rangeBetween(-lag, -lag)
+    val pairs = df.select(g ++ Seq(col(timeCol), col(valueCol).as("_y")): _*)
+      .withColumn("_x", sum(col("_y")).over(w))
+      .filter(col("_x").isNotNull)
+    val agg = pairs.groupBy(g: _*).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+      sum(col("_x").cast(d38) * col("_y").cast(d38)).as("_sxy"),
+      sum(col("_x").cast(d38) * col("_x").cast(d38)).as("_sxx"),
+      sum(col("_y").cast(d38) * col("_y").cast(d38)).as("_syy"))
+    val nD = col("n_pairs").cast(d38)
+    val num = nD * col("_sxy") - col("_sx").cast(d38) * col("_sy").cast(d38)
+    val den1 = nD * col("_sxx") - col("_sx").cast(d38) * col("_sx").cast(d38)
+    val den2 = nD * col("_syy") - col("_sy").cast(d38) * col("_sy").cast(d38)
+    agg.select(g ++ Seq(col("n_pairs"),
+      num.cast("long").as("r_num"),
+      den1.cast("long").as("r_den1"),
+      den2.cast("long").as("r_den2"),
+      when(den1 > lit(0L).cast(d38) && den2 > lit(0L).cast(d38),
+        num.cast("double") /
+          sqrt(den1.cast("double") * den2.cast("double"))).as("r")): _*)
+  }
+
+  /** Theil–Sen robust trend (Theil 1950; Sen 1968) per group: the
+    * MEDIAN of all pairwise slopes (y_j − y_i)/(t_j − t_i) — immune
+    * to outliers that wreck the OLS line from [[linearTrend]]. Each
+    * slope is carried as the exact rational (Δy, Δt); the median is
+    * selected positionally (lower median) over the order
+    * (double-slope, Δy, Δt) — the double division is one exactly-
+    * rounded IEEE op on integer inputs, so both engines sort
+    * identically, and the trailing exact pair makes the order total.
+    *
+    * Scale contract: pairwise slopes are quadratic in the SERIES
+    * length, which for a per-time-bucket series is calendar-bounded
+    * metadata (a year of days = 365 rows → 66k slope rows per group),
+    * not data-bounded — same bounded-self-join class as
+    * [[kaplanMeier]]'s factor join. Do not feed raw event rows.
+    */
+  def theilSen(
+      df: DataFrame,
+      groupCols: Seq[String],
+      timeCol: String,
+      valueCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val base = df.select(g ++ Seq(col(timeCol).as("_t"),
+      col(valueCol).as("_y")): _*)
+    val a = base.select(groupCols.map(c => col(c).as(s"_ga_$c")) ++
+      Seq(col("_t").as("_ti"), col("_y").as("_yi")): _*)
+    val joinCond = groupCols.map(c => col(s"_ga_$c") === col(c))
+      .foldLeft(col("_t") > col("_ti"))(_ && _)
+    val slopes = base.join(a, joinCond)
+      .select(g ++ Seq((col("_y") - col("_yi")).as("dy"),
+        (col("_t") - col("_ti")).as("dt")): _*)
+      .withColumn("_s", col("dy").cast("double") / col("dt").cast("double"))
+    val wOrd = Window.partitionBy(g: _*)
+      .orderBy(col("_s"), col("dy"), col("dt"))
+    val wAll = Window.partitionBy(g: _*)
+    slopes
+      .withColumn("_rn", row_number().over(wOrd))
+      .withColumn("n_slopes", count(lit(1)).over(wAll))
+      // integer div — Spark's `/` on longs is DOUBLE division
+      .filter(col("_rn") === expr("(n_slopes + 1) div 2"))
+      .select(g ++ Seq(col("n_slopes"),
+        col("dy").as("med_num"), col("dt").as("med_den"),
+        col("_s").as("slope")): _*)
+  }
 }

@@ -645,4 +645,56 @@ object Text {
     cached.foreach(_.unpersist(false))
     merges.toSeq.toDF("round", "sym_a", "sym_b", "pair_count")
   }
+
+  /** Apply an ordered merge list from [[bpeTrain]] to a corpus and
+    * return the resulting token vocabulary with counts (merged
+    * symbols keep their space-joined spelling, so "fast sort" is one
+    * token after the (fast, sort) merge). This is the ENCODE side of
+    * BPE: train once on a sample, apply everywhere — the apply pass
+    * is what runs at 100 TB, and it is embarrassingly row-local (one
+    * rewrite per merge, no shuffles until the final vocab count).
+    *
+    * Same per-merge semantics as training (drop the second half of
+    * each match, fuse at the first; a token can join only one match
+    * per round) and the same per-round persist fences — the nested-
+    * HOF inlining trap applies to ANY iterated rewrite, not just the
+    * training loop.
+    */
+  def bpeApply(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty && merges.size <= 64, s"merges=${merges.size}")
+    var seqs = df.select(col(idCol).as("_id"),
+      wsTokens(lower(trim(col(textCol)))).as("_toks"))
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    for ((a, b) <- merges) {
+      val la = lit(a); val lb = lit(b)
+      val t = col("_toks")
+      val n = size(t)
+      val idxs = when(n >= 1, sequence(lit(1), n))
+        .otherwise(array().cast("array<int>"))
+      val keepIdx = filter(idxs, j =>
+        !(j > 1 && element_at(t, j - 1) === la && element_at(t, j) === lb))
+      val rewritten = transform(keepIdx, i =>
+        when(i < n && element_at(t, i) === la &&
+            element_at(t, i + 1) === lb,
+          concat(la, lit(" "), lb))
+          .otherwise(element_at(t, i)))
+      seqs = seqs.select(col("_id"), rewritten.as("_toks")).persist(storage)
+      cached += seqs
+    }
+    val out = seqs.select(explode(col("_toks")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    // eager like pageRank/components: materialize before releasing
+    // the per-round fences (the vocab table is tiny)
+    val rows = out.collect().toSeq
+    cached.foreach(_.unpersist(false))
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+  }
 }

@@ -73,6 +73,19 @@ object Analytics {
         .select(col("round").cast("long").as("round"), col("sym_a"),
           col("sym_b"), col("pair_count"))),
 
+    // The ENCODE side: train 3 merges, apply them corpus-wide, emit
+    // the resulting vocabulary (merged symbols keep their space-joined
+    // spelling). The oracle re-derives the merges itself via the same
+    // unrolled rounds and counts the round-3 corpus — so the hash
+    // match proves train AND apply agree end to end.
+    "text_bpe_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Text.bpeTrain(docs, "doc_id", "text", rounds = 3)
+        .orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Text.bpeApply(docs, "doc_id", "text", merges)
+    }),
+
     // Containment join (quote detection): every 20th doc contributes
     // a 10-token excerpt; the probe-prefix + inverted-index plan must
     // recover each excerpt→source pair EXACTLY (oracle = brute-force
@@ -637,6 +650,25 @@ object Analytics {
     })
   )
 
+
+  // One BPE training round unrolled per k: pair counts -> argmax ->
+  // list-comprehension rewrite. Shared by the text_bpe_train oracle
+  // (emits the merge list) and text_bpe_apply (counts the final
+  // corpus).
+  private def bpeUnrollBlocks(rounds: Int): String =
+    (1 to rounds).map { k =>
+      s"""p$k AS (SELECT l[i] AS a, l[i + 1] AS b
+           FROM seqs${k - 1}, unnest(range(1, len(l))) AS u(i)
+           WHERE l[i] <> l[i + 1]),
+         c$k AS (SELECT a, b, count(*) AS c FROM p$k GROUP BY 1, 2),
+         m$k AS (SELECT a, b, c FROM c$k ORDER BY c DESC, a, b LIMIT 1),
+         seqs$k AS (SELECT doc_id,
+           [CASE WHEN i < len(l) AND l[i] = m.a AND l[i + 1] = m.b
+                 THEN m.a || ' ' || m.b ELSE l[i] END
+            FOR i IN range(1, len(l) + 1)
+            IF NOT (i > 1 AND l[i - 1] = m.a AND l[i] = m.b)] AS l
+           FROM seqs${k - 1}, m$k m)"""
+    }.mkString(",\n")
 
   // SimHash + recursive-closure replication, shared by the
   // dedup_clusters row and (nested as a subquery) dedup_canonical.
@@ -1929,29 +1961,25 @@ object Analytics {
          SELECT query_id, CAST(rk AS INT) AS rank, neighbor_id, adc_dist
          FROM r WHERE rk <= 5""",
     "text_bpe_train" -> {
-      val rounds = 3
-      val blocks = (1 to rounds).map { k =>
-        s"""p$k AS (SELECT l[i] AS a, l[i + 1] AS b
-             FROM seqs${k - 1}, unnest(range(1, len(l))) AS u(i)
-             WHERE l[i] <> l[i + 1]),
-           c$k AS (SELECT a, b, count(*) AS c FROM p$k GROUP BY 1, 2),
-           m$k AS (SELECT a, b, c FROM c$k ORDER BY c DESC, a, b LIMIT 1),
-           seqs$k AS (SELECT doc_id,
-             [CASE WHEN i < len(l) AND l[i] = m.a AND l[i + 1] = m.b
-                   THEN m.a || ' ' || m.b ELSE l[i] END
-              FOR i IN range(1, len(l) + 1)
-              IF NOT (i > 1 AND l[i - 1] = m.a AND l[i] = m.b)] AS l
-             FROM seqs${k - 1}, m$k m)"""
-      }.mkString(",\n")
-      val out = (1 to rounds).map(k =>
+      val out = (1 to 3).map(k =>
         s"SELECT CAST($k AS BIGINT) AS round, a AS sym_a, b AS sym_b, CAST(c AS BIGINT) AS pair_count FROM m$k")
         .mkString(" UNION ALL ")
       s"""WITH seqs0 AS (SELECT doc_id,
              regexp_split_to_array(trim(lower(text)), '\\s+') AS l
            FROM documents),
-         $blocks
+         ${bpeUnrollBlocks(3)}
          $out"""
     },
+    // same unrolled train rounds; the final select counts the
+    // round-3 corpus instead of listing the merges
+    "text_bpe_apply" ->
+      s"""WITH seqs0 AS (SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS l
+           FROM documents),
+         ${bpeUnrollBlocks(3)},
+         toks AS (SELECT unnest(l) AS token FROM seqs3)
+         SELECT token, CAST(count(*) AS BIGINT) AS cnt
+         FROM toks WHERE token <> '' GROUP BY 1""",
     // brute-force all-pairs containment over the bounded corpus — the
     // strongest oracle an index-pruned exact join can carry
     "dedup_containment" ->

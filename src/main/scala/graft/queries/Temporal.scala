@@ -871,6 +871,56 @@ object Temporal {
       s.read.parquet(s"$state/batch=1")
         .select(col("_row").as("cms_row"), col("_idx").as("cms_idx"),
           col("_c").cast("long").as("cnt"))
+    }),
+
+    // Gini concentration of per-user revenue within each event type:
+    // exact integer numerator/denominator via a rank window over
+    // cents, one IEEE division for the coefficient.
+    "stats_gini" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val perUser = ev.groupBy(col("event_type"), col("user_id"))
+        .agg((sum(col("value").cast(d2)) * lit(100))
+          .cast("long").as("cents"))
+      Stats.gini(perUser, Seq("event_type"), "cents")
+    }),
+
+    // Lag-1 autocorrelation of the daily event-count series per type:
+    // five exact integer sums over value-aligned (x_t, x_{t-1}) pairs,
+    // r = one cast + sqrt + divide (bit-replicable IEEE).
+    "stats_autocorr" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev.select(col("event_type"), tsEpochSeconds(ev).as("_secs"))
+        .select(col("event_type"), expr("_secs div 86400").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("x"))
+      Stats.autocorr(daily, Seq("event_type"), "day", "x", lag = 1L)
+    }),
+
+    // Theil–Sen robust trend over the same daily series: median of
+    // pairwise slopes carried as exact (Δy, Δt) rationals; selection
+    // order (IEEE slope, Δy, Δt) is total, so both engines pick the
+    // identical median row.
+    "stats_theil_sen" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev.select(col("event_type"), tsEpochSeconds(ev).as("_secs"))
+        .select(col("event_type"), expr("_secs div 86400").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("x"))
+      Stats.theilSen(daily, Seq("event_type"), "day", "x")
+    }),
+
+    // k-anonymity release gate over (event_type, user-bucket, week)
+    // quasi-identifiers: suppress-from-the-right ladder, every level
+    // beyond the first re-aggregates only failing group rows.
+    "privacy_kanon" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.select(col("event_type"),
+          expr("user_id div 100").as("user_bucket"),
+          tsEpochSeconds(ev).as("_secs"))
+        .select(col("event_type"), col("user_bucket"),
+          expr("_secs div 86400 div 7").as("week"))
+      graft.analytics.Privacy.kAnonymize(base,
+        Seq("event_type", "user_bucket", "week"), minK = 10L)
     })
   )
 
@@ -1902,6 +1952,96 @@ object Temporal {
          ent AS (SELECT token, tc, i, x6 % 16 AS idx FROM m3)
          SELECT CAST(i AS BIGINT) AS cms_row, CAST(idx AS BIGINT) AS cms_idx,
            CAST(sum(tc) AS BIGINT) AS cnt
-         FROM ent GROUP BY 1, 2"""
+         FROM ent GROUP BY 1, 2""",
+    "stats_gini" ->
+      """WITH u AS (SELECT event_type AS g, user_id,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                AS cents
+            FROM events GROUP BY 1, 2),
+         r AS (SELECT g, cents, row_number() OVER
+                (PARTITION BY g ORDER BY cents) AS i
+               FROM u),
+         a AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+                CAST(sum(cents) AS HUGEINT) AS tot,
+                CAST(sum(CAST(i AS HUGEINT) * cents) AS HUGEINT) AS ix
+               FROM r GROUP BY 1)
+         SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+           CAST(tot AS BIGINT) AS total,
+           CAST(2 * ix - (n + 1) * tot AS BIGINT) AS gini_num,
+           CAST(n * tot AS BIGINT) AS gini_den,
+           CASE WHEN tot > 0 THEN
+             CAST(CAST(2 * ix - (n + 1) * tot AS BIGINT) AS DOUBLE) /
+             CAST(CAST(n * tot AS BIGINT) AS DOUBLE) END AS gini
+         FROM a""",
+    "stats_autocorr" ->
+      """WITH e AS (SELECT event_type AS g,
+              epoch_ns(ts) // 1000000000 // 86400 AS day,
+              CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+         p AS (SELECT g, day, y,
+                CAST(sum(y) OVER (PARTITION BY g ORDER BY day
+                  RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS BIGINT)
+                  AS x
+               FROM e),
+         q AS (SELECT * FROM p WHERE x IS NOT NULL),
+         a AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+                CAST(sum(x) AS HUGEINT) AS sx,
+                CAST(sum(y) AS HUGEINT) AS sy,
+                CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+               FROM q GROUP BY 1)
+         SELECT g AS event_type, CAST(n AS BIGINT) AS n_pairs,
+           CAST(n * sxy - sx * sy AS BIGINT) AS r_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS r_den1,
+           CAST(n * syy - sy * sy AS BIGINT) AS r_den2,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             THEN CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE) /
+               sqrt(CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE) *
+                 CAST(CAST(n * syy - sy * sy AS BIGINT) AS DOUBLE))
+             END AS r
+         FROM a""",
+    "stats_theil_sen" ->
+      """WITH e AS (SELECT event_type AS g,
+              epoch_ns(ts) // 1000000000 // 86400 AS day,
+              CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+         s AS (SELECT a.g, b.x - a.x AS dy, b.day - a.day AS dt
+               FROM e a JOIN e b ON a.g = b.g AND b.day > a.day),
+         r AS (SELECT g, dy, dt,
+                CAST(dy AS DOUBLE) / CAST(dt AS DOUBLE) AS sl,
+                row_number() OVER (PARTITION BY g ORDER BY
+                  CAST(dy AS DOUBLE) / CAST(dt AS DOUBLE), dy, dt) AS rn,
+                CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS cnt
+               FROM s)
+         SELECT g AS event_type, cnt AS n_slopes, dy AS med_num,
+           dt AS med_den, sl AS slope
+         FROM r WHERE rn = (cnt + 1) // 2""",
+    "privacy_kanon" ->
+      """WITH base AS (SELECT event_type AS et, user_id // 100 AS ub,
+              epoch_ns(ts) // 1000000000 // 86400 // 7 AS wk
+            FROM events),
+         l0 AS (SELECT et, ub, wk, CAST(count(*) AS BIGINT) AS n
+               FROM base GROUP BY 1, 2, 3),
+         p0 AS (SELECT CAST(0 AS BIGINT) AS level, et, ub, wk, n
+               FROM l0 WHERE n >= 10),
+         f0 AS (SELECT et, ub, CAST(sum(n) AS BIGINT) AS n
+               FROM l0 WHERE n < 10 GROUP BY 1, 2),
+         p1 AS (SELECT CAST(1 AS BIGINT), et, ub, CAST(NULL AS BIGINT), n
+               FROM f0 WHERE n >= 10),
+         f1 AS (SELECT et, CAST(sum(n) AS BIGINT) AS n
+               FROM f0 WHERE n < 10 GROUP BY 1),
+         p2 AS (SELECT CAST(2 AS BIGINT), et, CAST(NULL AS BIGINT),
+                CAST(NULL AS BIGINT), n
+               FROM f1 WHERE n >= 10),
+         f2 AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM f1 WHERE n < 10),
+         p3 AS (SELECT CAST(3 AS BIGINT), CAST(NULL AS VARCHAR),
+                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), n
+               FROM f2 WHERE n > 0)
+         SELECT level, et AS event_type, ub AS user_bucket, wk AS week, n
+         FROM p0
+         UNION ALL SELECT * FROM p1
+         UNION ALL SELECT * FROM p2
+         UNION ALL SELECT * FROM p3"""
   )
 }
