@@ -838,4 +838,51 @@ object Stats {
         col("dy").as("med_num"), col("dt").as("med_den"),
         col("_s").as("slope")): _*)
   }
+
+  /** Benford leading-digit expectations, parts-per-million: round
+    * (log10((d+1)/d) · 1e6) — fixed rational approximations so the
+    * deviation test stays integer-exact (the irrational logs never
+    * enter the arithmetic).
+    */
+  val benfordPpm: Map[Int, Long] = Map(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** Benford first-digit screen (Newcomb 1881; Benford 1938) per
+    * group over POSITIVE integer values (cents, counts): a fabricated
+    * or truncated numeric column drifts from the log-digit law long
+    * before summary stats notice. Each digit row flags when observed
+    * count deviates more than `relNum/relDen` RELATIVELY from the
+    * Benford expectation: |O·1e6 − N·ppm_d| · relDen > relNum · N ·
+    * ppm_d — pure integer cross-multiplication against the fixed
+    * [[benfordPpm]] rationals.
+    *
+    * Scale shape: leading digit is row-local string arithmetic; one
+    * (group, digit) count aggregate (≤ groups × 9 rows) + a group
+    * window for N. Scan-bound.
+    */
+  def benford(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      relNum: Long = 1L,
+      relDen: Long = 5L): DataFrame = {
+    val g = groupCols.map(col)
+    val counts = df.filter(col(valueCol) > 0L)
+      .select(g :+ substring(col(valueCol).cast("string"), 1, 1)
+        .cast("long").as("digit"): _*)
+      .groupBy(g :+ col("digit"): _*)
+      .agg(count(lit(1)).as("observed"))
+    val ppmCol = benfordPpm.foldLeft(lit(null).cast("long")) {
+      case (acc, (d, ppm)) =>
+        when(col("digit") === d.toLong, lit(ppm)).otherwise(acc)
+    }
+    val wAll = Window.partitionBy(g: _*)
+    counts
+      .withColumn("n", sum(col("observed")).over(wAll))
+      .withColumn("expected_ppm", ppmCol)
+      .withColumn("flag",
+        abs(col("observed") * lit(1000000L) - col("n") * col("expected_ppm"))
+          * lit(relDen) > lit(relNum) * col("n") * col("expected_ppm"))
+  }
 }

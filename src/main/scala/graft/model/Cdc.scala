@@ -225,4 +225,41 @@ object Cdc {
     if (hasError(df)) df.filter(col(Error).isNull).drop(Error) else df
   def failed(df: DataFrame): DataFrame =
     if (hasError(df)) df.filter(col(Error).isNotNull) else df.limit(0)
+
+  /** Snapshot differ — the INVERSE of [[materializeLatest]]: given two
+    * keyed table snapshots, emit the change log that turns `old` into
+    * `new` (op ∈ insert/update/delete, with both value sides carried;
+    * unchanged keys are dropped). This is how a pipeline bootstraps
+    * CDC from systems that only expose periodic dumps, and how it
+    * audits a CDC stream against a ground-truth snapshot.
+    *
+    * Scale shape: one full outer equi-join on the key (the canonical
+    * two-big-sides shuffle — AQE broadcasts if a side collapses),
+    * row-local op classification, and the unchanged filter drops the
+    * (typically dominant) no-op mass before anything else consumes
+    * it. Comparison columns are checked null-safely (`<=>`).
+    */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty)
+    val o = oldSnap.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("_in_old", lit(true))
+    val n = newSnap.select(keyCols.map(col) ++
+      compareCols.map(c => col(c).as(s"_new_$c")): _*)
+      .withColumn("_in_new", lit(true))
+    val j = o.join(n, keyCols, "full_outer")
+    val changed = compareCols.map(c =>
+      !(col(c) <=> col(s"_new_$c"))).reduce(_ || _)
+    j.withColumn("op",
+        when(col("_in_old").isNull, lit("insert"))
+          .when(col("_in_new").isNull, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("op").isNotNull)
+      .select(keyCols.map(col) :+ col("op") :++
+        compareCols.map(c => col(c).as(s"old_$c")) :++
+        compareCols.map(c => col(s"_new_$c").as(s"new_$c")): _*)
+  }
 }

@@ -921,6 +921,111 @@ object Temporal {
           expr("_secs div 86400 div 7").as("week"))
       graft.analytics.Privacy.kAnonymize(base,
         Seq("event_type", "user_bucket", "week"), minK = 10L)
+    }),
+
+    // Common-neighbor link prediction over the frequent-pair graph:
+    // unconnected distance-2 pairs scored by neighborhood Jaccard
+    // (integer counts + inclusion–exclusion union; one IEEE division).
+    "graph_links" -> ((s, dir) =>
+      Graph.jaccardLinks(
+        Baskets.frequentPairs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2L),
+        "item_a", "item_b", minJaccard = 0.4)),
+
+    // Benford first-digit screen over event value cents per type:
+    // fixed ppm rationals keep the deviation test integer-exact.
+    "stats_benford" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cents = ev.select(col("event_type"),
+        (col("value").cast(d2) * lit(100)).cast("long").as("cents"))
+      Stats.benford(cents, Seq("event_type"), "cents")
+    }),
+
+    // Snapshot differ: reconstruct the change log between two keyed
+    // dumps (insert/update/delete, unchanged dropped) — one full
+    // outer join + null-safe compares.
+    "cdc_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val oldSnap = o.filter(col("o_orderkey") % 17 =!= 3)
+      val newSnap = o.filter(col("o_orderkey") % 13 =!= 5)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      graft.model.Cdc.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderstatus"))
+    }),
+
+    // Incremental JOIN view maintenance across a real 2-batch tagged
+    // stream: delta-join rule (dL⋈R ∪ L⋈dR ∪ dL⋈dR); the final view
+    // must equal the batch join of both full tables.
+    "cdc_incr_join" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ords = t(s, dir, "orders").select(col("o_custkey"),
+        col("o_orderkey"), col("o_totalprice"))
+        .as[(Long, Long, Double)].collect()
+      val custs = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_name"), col("c_mktsegment")).as[(Long, String, String)]
+        .collect()
+      type R = (String, Long, Option[Long], Option[Double],
+        Option[String], Option[String])
+      def lRow(o: (Long, Long, Double)): R =
+        ("l", o._1, Some(o._2), Some(o._3), None, None)
+      def rRow(c: (Long, String, String)): R =
+        ("r", c._1, None, None, Some(c._2), Some(c._3))
+      val b1: Seq[R] = ords.filter(_._2 % 2 == 0).map(lRow).toSeq ++
+        custs.filter(_._1 % 3 != 0).map(rRow).toSeq
+      val b2: Seq[R] = ords.filter(_._2 % 2 != 0).map(lRow).toSeq ++
+        custs.filter(_._1 % 3 == 0).map(rRow).toSeq
+      val state = java.nio.file.Files
+        .createTempDirectory("join_view").toString
+      val in = MemoryStream[(String, Long, Option[Long], Option[Double],
+        Option[String], Option[String])]
+      val q = in.toDF().toDF("_side", "cust", "o_orderkey", "o_total",
+          "c_name", "c_seg")
+        .writeStream
+        .foreachBatch(graft.streaming.StreamingOps.joinViewSink(
+          state, "cust", Seq("o_orderkey", "o_total"),
+          Seq("c_name", "c_seg")))
+        .outputMode("update").start()
+      try {
+        in.addData(b1); q.processAllAvailable()
+        in.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$state/view/batch=1")
+        .select(col("cust"), col("o_orderkey"), col("o_total"),
+          col("c_name"), col("c_seg"))
+    }),
+
+    // Tumbling-window streaming aggregation twin: Spark's built-in
+    // window() groupBy in complete mode over a 2-batch stream must
+    // equal the batch hourly rollup — the mapping proof for the
+    // engine's windowed-agg surface.
+    "window_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = t(s, dir, "events")
+      val rows = ev.select(col("event_type"), tsEpochSeconds(ev).as("ts_s"))
+        .as[(String, Long)].collect()
+      val split = 1705363200L
+      val (b1, b2) = rows.partition(_._2 <= split)
+      val in = MemoryStream[(String, Long)]
+      val agg = in.toDF().toDF("event_type", "ts_s")
+        .withColumn("_ts", timestamp_seconds(col("ts_s")))
+        .groupBy(window(col("_ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val q = agg.writeStream.format("memory")
+        .queryName("window_stream_out").outputMode("complete").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table("window_stream_out")
+        .select(col("event_type"),
+          col("window.start").cast("long").as("window_start_s"),
+          col("cnt"))
     })
   )
 
@@ -2042,6 +2147,85 @@ object Temporal {
          FROM p0
          UNION ALL SELECT * FROM p1
          UNION ALL SELECT * FROM p2
-         UNION ALL SELECT * FROM p3"""
+         UNION ALL SELECT * FROM p3""",
+    "graph_links" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+              FROM lineitem),
+         s AS (SELECT i FROM items GROUP BY i HAVING count(*) >= 2),
+         p AS (SELECT items.b, items.i FROM items JOIN s USING (i)),
+         e AS (SELECT a.i AS u, bb.i AS v
+               FROM p a JOIN p bb ON a.b = bb.b AND a.i < bb.i
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         adj AS (SELECT u AS n, v AS nbr FROM e
+               UNION ALL SELECT v, u FROM e),
+         deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+               FROM adj GROUP BY 1),
+         cm AS (SELECT a1.nbr AS x, a2.nbr AS y,
+                CAST(count(*) AS BIGINT) AS common
+               FROM adj a1 JOIN adj a2
+                 ON a1.n = a2.n AND a1.nbr < a2.nbr
+               GROUP BY 1, 2),
+         ul AS (SELECT cm.* FROM cm LEFT JOIN e
+                 ON cm.x = e.u AND cm.y = e.v
+               WHERE e.u IS NULL)
+         SELECT x AS node_a, y AS node_b, common,
+           da.d AS deg_a, db.d AS deg_b,
+           CAST(common AS DOUBLE) /
+             CAST(da.d + db.d - common AS DOUBLE) AS jaccard
+         FROM ul JOIN deg da ON x = da.n JOIN deg db ON y = db.n
+         WHERE CAST(common AS DOUBLE) /
+           CAST(da.d + db.d - common AS DOUBLE) >= CAST(0.4 AS DOUBLE)""",
+    "stats_benford" ->
+      """WITH v AS (SELECT event_type AS g,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+            FROM events),
+         c AS (SELECT g,
+                CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                  AS digit,
+                CAST(count(*) AS BIGINT) AS observed
+               FROM v WHERE cents > 0 GROUP BY 1, 2),
+         ppm(digit, ppm) AS (VALUES (1, 301030), (2, 176091),
+           (3, 124939), (4, 96910), (5, 79181), (6, 66947),
+           (7, 57992), (8, 51153), (9, 45757)),
+         w AS (SELECT g, digit, observed,
+                CAST(sum(observed) OVER (PARTITION BY g) AS BIGINT) AS n
+               FROM c)
+         SELECT g AS event_type, w.digit, observed, n,
+           CAST(p.ppm AS BIGINT) AS expected_ppm,
+           (abs(observed * 1000000 - n * p.ppm) * 5 > n * p.ppm) AS flag
+         FROM w JOIN ppm p ON w.digit = p.digit""",
+    "cdc_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+              FROM orders WHERE o_orderkey % 17 <> 3),
+         n AS (SELECT o_orderkey,
+                CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+                     ELSE o_totalprice END AS o_totalprice,
+                o_orderstatus
+               FROM orders WHERE o_orderkey % 13 <> 5),
+         j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+                o.o_totalprice AS otp, o.o_orderstatus AS ost,
+                n.o_totalprice AS ntp, n.o_orderstatus AS nst,
+                (o.o_orderkey IS NOT NULL) AS io,
+                (n.o_orderkey IS NOT NULL) AS inn
+               FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey),
+         d AS (SELECT k AS o_orderkey,
+                CASE WHEN NOT io THEN 'insert'
+                     WHEN NOT inn THEN 'delete'
+                     WHEN otp IS DISTINCT FROM ntp
+                       OR ost IS DISTINCT FROM nst THEN 'update' END AS op,
+                otp AS old_o_totalprice, ost AS old_o_orderstatus,
+                ntp AS new_o_totalprice, nst AS new_o_orderstatus
+               FROM j)
+         SELECT * FROM d WHERE op IS NOT NULL""",
+    // the final streamed view must equal the batch join
+    "cdc_incr_join" ->
+      """SELECT o_custkey AS cust, o_orderkey, o_totalprice AS o_total,
+           c_name, c_mktsegment AS c_seg
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
+    "window_stream" ->
+      """SELECT event_type,
+           (epoch_ns(ts) // 1000000000 // 3600) * 3600 AS window_start_s,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM events GROUP BY 1, 2"""
   )
 }

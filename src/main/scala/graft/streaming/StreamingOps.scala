@@ -525,6 +525,57 @@ object StreamingOps {
     }
   }
 
+  /** Incremental JOIN view maintenance for two INSERT-ONLY sides —
+    * the delta-join rule (classic IVM, e.g. Gupta & Mumick's survey):
+    * with batch deltas ΔL, ΔR against accumulated sides L, R,
+    *
+    *   Δ(L ⋈ R) = ΔL ⋈ R  ∪  L ⋈ ΔR  ∪  ΔL ⋈ ΔR
+    *
+    * so each micro-batch touches delta-sized join probes instead of
+    * recomputing the join — the aggregate-view sibling is
+    * [[viewMaintenanceSink]]. The stream carries both sides tagged by
+    * `_side` ('l'/'r'), each projected to the other side's columns as
+    * nulls; the view appends its delta; sides append their rows.
+    * `batch=` + `_SUCCESS` committed-only reads make replays
+    * recompute from the same pre-batch state (idempotent restarts).
+    *
+    * Scale: per batch, two delta×accumulated probes (broadcast the
+    * delta side) + one delta×delta. The full-history rewrite per
+    * batch is the parquet-dir simplification — swap for appendable
+    * storage exactly like scd2Sink's note says.
+    */
+  def joinViewSink(
+      stateDir: String,
+      keyCol: String,
+      leftCols: Seq[String],
+      rightCols: Seq[String]): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val dl = batch.filter(col("_side") === "l")
+        .select(col(keyCol) +: leftCols.map(col): _*)
+      val dr = batch.filter(col("_side") === "r")
+        .select(col(keyCol) +: rightCols.map(col): _*)
+      val prevL = latestCommittedDir(s"$stateDir/left", batchId)
+        .map(spark.read.parquet(_)).getOrElse(dl.limit(0))
+      val prevR = latestCommittedDir(s"$stateDir/right", batchId)
+        .map(spark.read.parquet(_)).getOrElse(dr.limit(0))
+      val prevV = latestCommittedDir(s"$stateDir/view", batchId)
+      val delta = dl.join(prevR, keyCol)
+        .unionByName(prevL.join(dr, keyCol))
+        .unionByName(dl.join(dr, keyCol))
+      val view = prevV match {
+        case Some(p) => spark.read.parquet(p).unionByName(delta)
+        case None => delta
+      }
+      view.write.mode("overwrite")
+        .parquet(s"$stateDir/view/batch=$batchId")
+      prevL.unionByName(dl).write.mode("overwrite")
+        .parquet(s"$stateDir/left/batch=$batchId")
+      prevR.unionByName(dr).write.mode("overwrite")
+        .parquet(s"$stateDir/right/batch=$batchId")
+    }
+  }
+
   /** Streaming SCD Type-2 maintenance — the incremental twin of
     * [[graft.model.Cdc.scd2]]: the committed state is the full
     * version history; each micro-batch chains its own versions
