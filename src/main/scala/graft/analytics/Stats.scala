@@ -885,4 +885,83 @@ object Stats {
         abs(col("observed") * lit(1000000L) - col("n") * col("expected_ppm"))
           * lit(relDen) > lit(relNum) * col("n") * col("expected_ppm"))
   }
+
+  /** EXACT rank-select quantiles per group: for each requested p, the
+    * value at rank max(1, ⌈p·n⌉) of the ascending sort — the
+    * lower-step empirical quantile, no interpolation, so the answer
+    * is always a REAL data value and two engines agree bit-for-bit
+    * (p·n and its ceiling are the same IEEE ops everywhere). The
+    * exactness sibling of the mergeable histogram-quantile sketch in
+    * [[Sketch]]: use this when the per-group sort is affordable and
+    * the answer must be exact; use the sketch at 100 TB rollup scale.
+    *
+    * Scale shape: ONE key shuffle + sort carrying the data rows (the
+    * unavoidable cost of exact order statistics), a rank window, and
+    * a row-local k-way probe (each row tests the k requested ranks —
+    * no join, no second pass).
+    */
+  def quantilesExact(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"ps=$ps")
+    val g = groupCols.map(col)
+    val wOrd = Window.partitionBy(g: _*).orderBy(col("value"))
+    val wAll = Window.partitionBy(g: _*)
+    df.filter(col(valueCol).isNotNull)
+      .select(g :+ col(valueCol).as("value"): _*)
+      .withColumn("_rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .select(g ++ Seq(col("_rn"), col("n"), col("value"),
+        explode(array(ps.map(lit): _*)).as("p")): _*)
+      .filter(col("_rn") === greatest(lit(1L),
+        ceil(col("p") * col("n")).cast("long")))
+      .select(g ++ Seq(col("p"), col("n"), col("value")): _*)
+  }
+
+  /** RFM scoring (recency / frequency / monetary, the classic
+    * direct-marketing segmentation): per entity, days since last
+    * activity, activity count, and total spend in cents — each then
+    * quintile-ranked WITHIN its segment with `ntile(5)` under a TOTAL
+    * order (metric, entity id), so tile assignment is deterministic
+    * under any partitioning. Tile orientation: 1 = best (most recent,
+    * most frequent, highest spend). `rfm_cell` = r·100 + f·10 + m.
+    *
+    * Scale shape: one entity aggregation over the event scan, then
+    * three ntile windows over the ENTITY table (rows = distinct
+    * entities, not events), partitioned by `segmentCols` — which is
+    * both the analytically right form (compare customers against
+    * their peer segment) and what keeps the sort distributed. An
+    * empty segment degrades to a single-partition global window —
+    * fine for bounded entity tables, wrong at 100 TB; segment first.
+    */
+  def rfm(
+      df: DataFrame,
+      segmentCols: Seq[String],
+      entityCols: Seq[String],
+      timeCol: String,
+      valueCentsCol: String,
+      asOfSeconds: Long): DataFrame = {
+    val g = (segmentCols ++ entityCols).map(col)
+    val per = df.groupBy(g: _*).agg(
+      ((lit(asOfSeconds) - max(col(timeCol))) / lit(86400L))
+        .cast("long").as("recency_days"),
+      count(lit(1)).as("frequency"),
+      sum(col(valueCentsCol)).as("monetary_cents"))
+    val seg = segmentCols.map(col)
+    val tieCols = entityCols.map(col)
+    val wR = Window.partitionBy(seg: _*)
+      .orderBy(col("recency_days") +: tieCols: _*)
+    val wF = Window.partitionBy(seg: _*)
+      .orderBy(col("frequency").desc +: tieCols: _*)
+    val wM = Window.partitionBy(seg: _*)
+      .orderBy(col("monetary_cents").desc +: tieCols: _*)
+    per
+      .withColumn("r", ntile(5).over(wR))
+      .withColumn("f", ntile(5).over(wF))
+      .withColumn("m", ntile(5).over(wM))
+      .withColumn("rfm_cell",
+        (col("r") * 100 + col("f") * 10 + col("m")).cast("long"))
+  }
 }

@@ -1026,6 +1026,33 @@ object Temporal {
         .select(col("event_type"),
           col("window.start").cast("long").as("window_start_s"),
           col("cnt"))
+    }),
+
+    // Exact rank-select quantiles (p50/p90/p99) of value per event
+    // type: the value at rank ceil(p·n) — always a real data value,
+    // bit-identical across engines. The exactness sibling of the
+    // mergeable histogram sketch.
+    "stats_quantiles" -> ((s, dir) =>
+      Stats.quantilesExact(t(s, dir, "events"), Seq("event_type"),
+        "value", Seq(0.5, 0.9, 0.99))),
+
+    // RFM segmentation of customers within their market segment:
+    // entity aggregate + three within-segment ntile(5) windows under
+    // total (metric, id) orders — integer tiles, deterministic.
+    "stats_rfm" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val base = o.join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_custkey").as("cust"),
+          col("o_orderdate").cast("timestamp").cast("long").as("ts"),
+          (col("o_totalprice").cast(d2) * lit(100)).cast("long").as("cents"))
+      // as-of anchor: 2001-09-01T00:00:00Z, just past the newest order
+      Stats.rfm(base, Seq("seg"), Seq("cust"), "ts", "cents",
+          asOfSeconds = 999302400L)
+        .select(col("seg"), col("cust"), col("recency_days"),
+          col("frequency"), col("monetary_cents"),
+          col("r").cast("long").as("r"), col("f").cast("long").as("f"),
+          col("m").cast("long").as("m"), col("rfm_cell"))
     })
   )
 
@@ -2226,6 +2253,39 @@ object Temporal {
       """SELECT event_type,
            (epoch_ns(ts) // 1000000000 // 3600) * 3600 AS window_start_s,
            CAST(count(*) AS BIGINT) AS cnt
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+    "stats_quantiles" ->
+      """WITH r AS (SELECT event_type AS g, value AS v,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY value) AS rn,
+              CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+            FROM events WHERE value IS NOT NULL),
+         ps(p) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+           (CAST(0.99 AS DOUBLE)))
+         SELECT g AS event_type, p, n, v AS value
+         FROM r JOIN ps ON rn = greatest(1, CAST(ceil(p * n) AS BIGINT))""",
+    "stats_rfm" ->
+      """WITH base AS (SELECT c_mktsegment AS seg, o_custkey AS cust,
+              epoch_ns(o_orderdate) // 1000000000 AS ts,
+              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                AS cents
+            FROM orders JOIN customer ON o_custkey = c_custkey),
+         per AS (SELECT seg, cust,
+                CAST((999302400 - max(ts)) // 86400 AS BIGINT)
+                  AS recency_days,
+                CAST(count(*) AS BIGINT) AS frequency,
+                CAST(sum(cents) AS BIGINT) AS monetary_cents
+               FROM base GROUP BY 1, 2),
+         t AS (SELECT *,
+                CAST(ntile(5) OVER (PARTITION BY seg
+                  ORDER BY recency_days, cust) AS BIGINT) AS r,
+                CAST(ntile(5) OVER (PARTITION BY seg
+                  ORDER BY frequency DESC, cust) AS BIGINT) AS f,
+                CAST(ntile(5) OVER (PARTITION BY seg
+                  ORDER BY monetary_cents DESC, cust) AS BIGINT) AS m
+               FROM per)
+         SELECT seg, cust, recency_days, frequency, monetary_cents,
+           r, f, m, r * 100 + f * 10 + m AS rfm_cell
+         FROM t"""
   )
 }
