@@ -57,4 +57,28 @@ object Privacy {
     }
     out
   }
+
+  /** l-diversity check (Machanavajjhala et al. 2006): k-anonymity is
+    * not enough when everyone in a released group shares the same
+    * SENSITIVE value — each quasi-identifier group must also carry at
+    * least `l` distinct sensitive values. One aggregation: group
+    * size, exact distinct-sensitive count, and the pass flag.
+    *
+    * Scale shape: a single (qi..., sensitive) hash-distinct pass then
+    * the per-group rollup — the same two-hash-aggregate shape as
+    * [[Profiling.columnProfile]], map-side combined throughout.
+    */
+  def lDiversity(
+      df: DataFrame,
+      qiCols: Seq[String],
+      sensitiveCol: String,
+      minL: Long): DataFrame = {
+    require(qiCols.nonEmpty && minL >= 2, s"minL=$minL")
+    df.groupBy(qiCols.map(col) :+ col(sensitiveCol).as("_s"): _*)
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(qiCols.map(col): _*)
+      .agg(sum(col("_n")).as("n"),
+        count(lit(1)).as("diversity"))
+      .withColumn("ok", col("diversity") >= minL)
+  }
 }

@@ -964,4 +964,50 @@ object Stats {
       .withColumn("rfm_cell",
         (col("r") * 100 + col("f") * 10 + col("m")).cast("long"))
   }
+
+  /** Tukey IQR fences per group (Tukey 1977, the box-plot rule):
+    * quartiles by exact rank selection (the [[quantilesExact]] rule,
+    * rank ⌈p·n⌉ — real data values), fences q1 − 1.5·IQR and
+    * q3 + 1.5·IQR, and the count of rows outside them. The fence
+    * arithmetic is four IEEE ops on two data values — bit-replicable.
+    * The distribution-free cousin of [[zscoreOutliers]] (no moments,
+    * so one wild value cannot widen its own fence).
+    *
+    * Scale shape: one key shuffle + sort for the rank window, the
+    * quartile pick as a max(when(rn = target)) aggregate on the same
+    * pass, then one broadcast join of the ≤ groups-row fence table
+    * back onto the data for the outlier count (second scan — fence
+    * membership needs the fences first; at 100 TB the rescan is
+    * cheaper than sorting twice).
+    */
+  def tukeyFences(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val wOrd = Window.partitionBy(g: _*).orderBy(col("_v"))
+    val wAll = Window.partitionBy(g: _*)
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .select(g :+ col(valueCol).as("_v"): _*)
+      .withColumn("_rn", row_number().over(wOrd))
+      .withColumn("_n", count(lit(1)).over(wAll))
+    def at(p: Double) = max(when(col("_rn") === greatest(lit(1L),
+      ceil(lit(p) * col("_n")).cast("long")), col("_v")))
+    val fences = ranked.groupBy(g: _*)
+      .agg(at(0.25).as("q1"), at(0.75).as("q3"))
+      .withColumn("fence_lo",
+        col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("fence_hi",
+        col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    df.filter(col(valueCol).isNotNull)
+      .select(g :+ col(valueCol).as("_v"): _*)
+      .join(broadcast(fences), groupCols)
+      .groupBy(g: _*)
+      .agg(max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+        max(col("fence_lo")).as("fence_lo"),
+        max(col("fence_hi")).as("fence_hi"),
+        sum(when(col("_v") < col("fence_lo") ||
+          col("_v") > col("fence_hi"), lit(1L)).otherwise(lit(0L)))
+          .as("n_outliers"))
+  }
 }

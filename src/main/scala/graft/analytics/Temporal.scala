@@ -637,4 +637,41 @@ object Temporal {
           pt(pointTime) >= iv(startCol) && pt(pointTime) < iv(endCol))
       .drop("_bucket")
   }
+
+  /** Time-weighted average of a stepwise (LOCF) signal per key: each
+    * observation holds its INTEGER value until the next one; the last
+    * extends to `endTs`. TWA = Σ vᵢ·(tᵢ₊₁ − tᵢ) / (endTs − t₁) — the
+    * metrics-correct mean for irregularly sampled gauges (a price
+    * held for 9 minutes must weigh 9× one held for a minute, which
+    * the plain row mean gets wrong). The weighted sum and span are
+    * exact integers (value·seconds through decimal(38,0), emitted as
+    * long); the average is one IEEE division.
+    *
+    * Duplicate timestamps per key pre-reduce to their MAX value (a
+    * total, partitioning-independent choice). Observations after
+    * `endTs` are excluded. One key shuffle + sort (the lead window)
+    * over the pre-reduced observation table.
+    */
+  def twa(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      endTs: Long): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val g = keyCols.map(col)
+    val obs = df.filter(col(tsCol) <= lit(endTs))
+      .groupBy(g :+ col(tsCol).as("_t"): _*)
+      .agg(max(col(valueCol)).as("_v"))
+    val w = Window.partitionBy(g: _*).orderBy(col("_t"))
+    obs
+      .withColumn("_nxt", coalesce(lead(col("_t"), 1).over(w), lit(endTs)))
+      .groupBy(g: _*)
+      .agg(
+        (lit(endTs) - min(col("_t"))).as("span_s"),
+        sum(col("_v").cast(d38) * (col("_nxt") - col("_t")).cast(d38))
+          .cast("long").as("weighted_sum"))
+      .withColumn("twa", when(col("span_s") > 0L,
+        col("weighted_sum").cast("double") / col("span_s").cast("double")))
+  }
 }

@@ -1053,6 +1053,36 @@ object Temporal {
           col("frequency"), col("monetary_cents"),
           col("r").cast("long").as("r"), col("f").cast("long").as("f"),
           col("m").cast("long").as("m"), col("rfm_cell"))
+    }),
+
+    // Time-weighted average of each user's value signal (LOCF step
+    // function to the log end): exact integer value·seconds, one
+    // IEEE division — the metrics-correct mean for irregular gauges.
+    "ts_twa" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val obs = ev.select(col("user_id"), tsEpochSeconds(ev).as("ts_s"),
+        (col("value").cast(d2) * lit(100)).cast("long").as("cents"))
+      TOps.twa(obs, Seq("user_id"), "ts_s", "cents",
+        endTs = 1706745600L)
+    }),
+
+    // Tukey IQR fences per event type: exact rank-select quartiles,
+    // four IEEE ops for the fences, outlier count on a broadcast
+    // join-back.
+    "stats_tukey" -> ((s, dir) =>
+      Stats.tukeyFences(t(s, dir, "events"), Seq("event_type"), "value")),
+
+    // l-diversity release check on (event_type, user-bucket) groups
+    // with the value-decade as the sensitive attribute.
+    "privacy_ldiv" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.select(col("event_type"),
+          expr("user_id div 100").as("user_bucket"),
+          (col("value").cast(d2) * lit(100)).cast("long").as("_c"))
+        .select(col("event_type"), col("user_bucket"),
+          expr("_c div 1000").as("sens"))
+      graft.analytics.Privacy.lDiversity(base,
+        Seq("event_type", "user_bucket"), "sens", minL = 3L)
     })
   )
 
@@ -2286,6 +2316,62 @@ object Temporal {
                FROM per)
          SELECT seg, cust, recency_days, frequency, monetary_cents,
            r, f, m, r * 100 + f * 10 + m AS rfm_cell
-         FROM t"""
+         FROM t""",
+    "ts_twa" ->
+      """WITH o AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS t,
+              max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+            FROM events
+            WHERE epoch_ns(ts) // 1000000000 <= 1706745600
+            GROUP BY 1, 2),
+         l AS (SELECT user_id, t, v,
+                coalesce(lead(t) OVER (PARTITION BY user_id ORDER BY t),
+                  1706745600) AS nxt
+               FROM o)
+         SELECT user_id,
+           CAST(1706745600 - min(t) AS BIGINT) AS span_s,
+           CAST(sum(CAST(v AS HUGEINT) * (nxt - t)) AS BIGINT)
+             AS weighted_sum,
+           CASE WHEN 1706745600 - min(t) > 0 THEN
+             CAST(CAST(sum(CAST(v AS HUGEINT) * (nxt - t)) AS BIGINT)
+               AS DOUBLE) /
+             CAST(CAST(1706745600 - min(t) AS BIGINT) AS DOUBLE) END
+             AS twa
+         FROM l GROUP BY 1""",
+    "stats_tukey" ->
+      """WITH r AS (SELECT event_type AS g, value AS v,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY value) AS rn,
+              CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+            FROM events WHERE value IS NOT NULL),
+         q AS (SELECT g,
+                max(CASE WHEN rn = greatest(1,
+                  CAST(ceil(CAST(0.25 AS DOUBLE) * n) AS BIGINT))
+                  THEN v END) AS q1,
+                max(CASE WHEN rn = greatest(1,
+                  CAST(ceil(CAST(0.75 AS DOUBLE) * n) AS BIGINT))
+                  THEN v END) AS q3
+               FROM r GROUP BY 1),
+         f AS (SELECT g, q1, q3,
+                q1 - CAST(1.5 AS DOUBLE) * (q3 - q1) AS lo,
+                q3 + CAST(1.5 AS DOUBLE) * (q3 - q1) AS hi
+               FROM q)
+         SELECT f.g AS event_type, max(q1) AS q1, max(q3) AS q3,
+           max(lo) AS fence_lo, max(hi) AS fence_hi,
+           CAST(sum(CASE WHEN r.v < lo OR r.v > hi THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers
+         FROM f JOIN r ON f.g = r.g GROUP BY 1""",
+    "privacy_ldiv" ->
+      """WITH base AS (SELECT event_type, user_id // 100 AS user_bucket,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000
+                AS sens
+            FROM events),
+         d AS (SELECT event_type, user_bucket, sens,
+                CAST(count(*) AS BIGINT) AS c
+               FROM base GROUP BY 1, 2, 3)
+         SELECT event_type, user_bucket,
+           CAST(sum(c) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS diversity,
+           (count(*) >= 3) AS ok
+         FROM d GROUP BY 1, 2"""
   )
 }

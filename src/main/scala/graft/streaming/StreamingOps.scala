@@ -302,27 +302,60 @@ object StreamingOps {
     * Key, time and tie columns must be long-castable; output is
     * (keyCol, tsCol, tieCol, session_seq).
     */
+  /** `eventTimeCol` + `ttl`: optional watermark-driven state TTL, the
+    * same mechanics as [[compactLatest]]'s — a key quiet for a full
+    * ttl of EVENT time is evicted once the watermark passes. With
+    * ttl ≥ the session gap, eviction cannot move a session BOUNDARY
+    * (the next event would have opened a new session anyway); the
+    * only trade is that the evicted key's per-key ordinal restarts at
+    * 1 instead of continuing — which is why the gate row runs without
+    * TTL (exact ordinal parity with the batch operator) and a
+    * weeks-running 100 TB stream runs with it (16 bytes per key
+    * FOREVER is the alternative).
+    */
   def sessionizeStream(df: DataFrame, keyCol: String, tsCol: String,
-                       tieCol: String, gapSeconds: Long): DataFrame = {
+                       tieCol: String, gapSeconds: Long,
+                       eventTimeCol: Option[String] = None,
+                       ttl: String = "1 hour"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(keyCol).cast("long"), col(tsCol).cast("long"),
-        col(tieCol).cast("long"))
-      .as[(Long, Long, Long)]
+    val in = eventTimeCol match {
+      case Some(tc) => df.withWatermark(tc, ttl)
+      case None => df
+    }
+    val et = eventTimeCol.map(col).getOrElse(lit(null).cast("timestamp"))
+    val timeoutConf =
+      if (eventTimeCol.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    in.select(col(keyCol).cast("long"), col(tsCol).cast("long"),
+        col(tieCol).cast("long"), et.as("_et"))
+      .as[(Long, Long, Long, Option[java.sql.Timestamp])]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (k: Long, rows: Iterator[(Long, Long, Long)],
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (k: Long, rows: Iterator[(Long, Long, Long, Option[java.sql.Timestamp])],
          state: GroupState[(Long, Long)]) => {
-          val evs = rows.toArray.sortBy(e => (e._2, e._3))
-          var (lastTs, seq) = state.getOption.getOrElse((0L, 0L))
-          val out = evs.map { case (_, ts, tie) =>
-            if (seq == 0L || ts - lastTs > gapSeconds) seq += 1
-            lastTs = ts
-            (k, ts, tie, seq)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = rows.toArray.sortBy(e => (e._2, e._3))
+            var (lastTs, seq) = state.getOption.getOrElse((0L, 0L))
+            val out = evs.map { case (_, ts, tie, _) =>
+              if (seq == 0L || ts - lastTs > gapSeconds) seq += 1
+              lastTs = ts
+              (k, ts, tie, seq)
+            }
+            if (evs.nonEmpty) {
+              state.update((lastTs, seq))
+              if (timeoutConf == GroupStateTimeout.EventTimeTimeout) {
+                val wm = state.getCurrentWatermarkMs()
+                evs.flatMap(_._4).map(_.getTime).maxOption.foreach(ms =>
+                  state.setTimeoutTimestamp(math.max(ms, wm + 1), ttl))
+              }
+            }
+            out.iterator
           }
-          if (evs.nonEmpty) state.update((lastTs, seq))
-          out.iterator
         })
       .toDF(keyCol, tsCol, tieCol, "session_seq")
   }
