@@ -1010,4 +1010,30 @@ object Stats {
           col("_v") > col("fence_hi"), lit(1L)).otherwise(lit(0L)))
           .as("n_outliers"))
   }
+
+  /** Exact mode per group over an INTEGER value column: the most
+    * frequent value, ties to the SMALLEST value — a total rule, so
+    * the answer is deterministic under any partitioning (Spark's
+    * built-in `mode()` leaves ties unspecified, which would
+    * hash-differ run to run).
+    *
+    * Scale shape: one (group, value) count aggregate (map-side
+    * combined), then a per-group `max(struct(count, −value))` — the
+    * same single-pass argmax idiom as [[graft.analytics.Dedup]]'s
+    * canonical selection. No sort, no window.
+    */
+  def exactMode(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(g :+ col(valueCol).as("_v"): _*)
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(g: _*)
+      .agg(max(struct(col("_c").as("_cnt"), (-col("_v")).as("_negv")))
+        .as("_best"))
+      .select(g ++ Seq((-col("_best._negv")).as("mode_value"),
+        col("_best._cnt").as("mode_count")): _*)
+  }
 }

@@ -674,4 +674,88 @@ object Temporal {
       .withColumn("twa", when(col("span_s") > 0L,
         col("weighted_sum").cast("double") / col("span_s").cast("double")))
   }
+
+  /** LTTB-style series downsampling (Steinarsson 2013, the
+    * largest-triangle-three-buckets family): keep both endpoints plus,
+    * from each of `buckets`−2 equal-time interior buckets, the point
+    * forming the largest triangle with its neighbor buckets' mean
+    * points. PARALLEL-ANCHOR variant: anchors are the nearest
+    * non-empty neighbor buckets' means (endpoints where none), not
+    * the previously SELECTED point — the canonical selection is a
+    * sequential per-series scan, this one is one window pass, and it
+    * is the standard parallelization of the algorithm. Every triangle
+    * area is compared as an EXACT integer (the 2×2 cross product with
+    * both anchor denominators cleared into decimal(38,0)), ties to
+    * the earlier timestamp — fully deterministic. Duplicate
+    * timestamps per key pre-reduce to max value.
+    *
+    * Scale shape: one key shuffle (range/min-max join + bucket means +
+    * neighbor lag all ride it), candidates evaluated row-local, one
+    * struct-max per bucket. Nothing sequential, nothing collected.
+    */
+  def lttb(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 3 && buckets <= 4096, s"buckets=$buckets")
+    val d38 = "decimal(38,0)"
+    val kInner = buckets - 2
+    val g = keyCols.map(col)
+    val obs = df.groupBy(g :+ col(tsCol).as("_t"): _*)
+      .agg(max(col(valueCol)).as("_v"))
+    val rng = obs.groupBy(g: _*)
+      .agg(min(col("_t")).as("_tmin"), max(col("_t")).as("_tmax"),
+        max_by(col("_v"), -col("_t")).as("_vmin"),
+        max_by(col("_v"), col("_t")).as("_vmax"))
+    val j = obs.join(rng, keyCols)
+    val endpoints = j.filter(col("_t") === col("_tmin") ||
+        col("_t") === col("_tmax"))
+      .select(g ++ Seq(col("_t").as("t"), col("_v").as("v")): _*)
+    val interior = j.filter(col("_t") > col("_tmin") &&
+        col("_t") < col("_tmax"))
+      .withColumn("_b", expr(
+        s"((_t - _tmin) * ${kInner}L) div (_tmax - _tmin + 1)"))
+    val means = interior.groupBy(g :+ col("_b"): _*)
+      .agg(sum(col("_t").cast(d38)).as("_st"),
+        sum(col("_v").cast(d38)).as("_sv"),
+        count(lit(1)).cast(d38).as("_c"),
+        max(col("_tmin")).as("_tmin"), max(col("_tmax")).as("_tmax"),
+        max(col("_vmin")).as("_vmin"), max(col("_vmax")).as("_vmax"))
+    val wB = Window.partitionBy(g: _*).orderBy(col("_b"))
+    val one = lit(1L).cast(d38)
+    val anchored = means
+      .withColumn("_lst", coalesce(lag(col("_st"), 1).over(wB),
+        col("_tmin").cast(d38)))
+      .withColumn("_lsv", coalesce(lag(col("_sv"), 1).over(wB),
+        col("_vmin").cast(d38)))
+      .withColumn("_lc", coalesce(lag(col("_c"), 1).over(wB), one))
+      .withColumn("_rst", coalesce(lead(col("_st"), 1).over(wB),
+        col("_tmax").cast(d38)))
+      .withColumn("_rsv", coalesce(lead(col("_sv"), 1).over(wB),
+        col("_vmax").cast(d38)))
+      .withColumn("_rc", coalesce(lead(col("_c"), 1).over(wB), one))
+      .select(g ++ Seq(col("_b"), col("_lst"), col("_lsv"), col("_lc"),
+        col("_rst"), col("_rsv"), col("_rc")): _*)
+    val cand = interior.select(g ++ Seq(col("_b"), col("_t"),
+        col("_v")): _*)
+      .join(anchored, keyCols :+ "_b")
+    val tD = col("_t").cast(d38)
+    val vD = col("_v").cast(d38)
+    // triangle cross product with both anchor denominators cleared:
+    // E·cl²·cr = (lst·rc − rst·lc)(v·lc − lsv) − (lst − t·lc)(lsv·rc − rsv·lc)
+    val e = (col("_lst") * col("_rc") - col("_rst") * col("_lc")) *
+      (vD * col("_lc") - col("_lsv")) -
+      (col("_lst") - tD * col("_lc")) *
+        (col("_lsv") * col("_rc") - col("_rsv") * col("_lc"))
+    val picked = cand
+      .withColumn("_area", abs(e))
+      .groupBy(g :+ col("_b"): _*)
+      .agg(max(struct(col("_area").as("_a"), (-col("_t")).as("_negt"),
+        col("_v").as("_pv"))).as("_best"))
+      .select(g ++ Seq((-col("_best._negt")).as("t"),
+        col("_best._pv").as("v")): _*)
+    endpoints.unionByName(picked)
+  }
 }

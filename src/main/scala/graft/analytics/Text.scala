@@ -646,6 +646,42 @@ object Text {
     merges.toSeq.toDF("round", "sym_a", "sym_b", "pair_count")
   }
 
+  /** Per-document n-gram novelty against the id-ordered corpus: the
+    * fraction of a document's DISTINCT word n-grams whose FIRST
+    * occurrence (minimum doc id) is this document. High novelty =
+    * fresh content; near-zero = recombination of earlier material —
+    * the longitudinal cousin of [[decontaminate]] (which screens
+    * against a fixed eval set, while this screens each doc against
+    * everything before it). Documents shorter than n tokens carry no
+    * grams and are omitted.
+    *
+    * Scale shape: one distinct-(doc, gram) explode, one gram-keyed
+    * min aggregate (the global first-occurrence table — map-side
+    * combined), one join back, one per-doc rollup. Counts exact; the
+    * ratio is one IEEE division.
+    */
+  def novelty(df: DataFrame, idCol: String, textCol: String,
+              n: Int = 3): DataFrame = {
+    require(n >= 1 && n <= 16, s"n=$n")
+    val toks = wsTokens(lower(trim(col(textCol))))
+    val grams = df.select(col(idCol).as("_id"), toks.as("_t"))
+      .filter(size(col("_t")) >= n)
+      .select(col("_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("_t")) - lit(n)),
+          i => concat_ws(" ", (0 until n).map(j =>
+            element_at(col("_t"), (i + lit(j + 1)).cast("int"))): _*))))
+        .as("_g"))
+    val first = grams.groupBy(col("_g")).agg(min(col("_id")).as("_owner"))
+    grams.join(first, "_g")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_owner") === col("_id"), lit(1L))
+          .otherwise(lit(0L))).as("n_novel"))
+      .select(col("_id").as("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .as("novelty"))
+  }
+
   /** Apply an ordered merge list from [[bpeTrain]] to a corpus and
     * return the resulting token vocabulary with counts (merged
     * symbols keep their space-joined spelling, so "fast sort" is one

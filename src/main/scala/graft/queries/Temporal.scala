@@ -1083,6 +1083,49 @@ object Temporal {
           expr("_c div 1000").as("sens"))
       graft.analytics.Privacy.lDiversity(base,
         Seq("event_type", "user_bucket"), "sens", minL = 3L)
+    }),
+
+    // Connected components of the frequent-pair graph via the
+    // engine's iterative min-label propagation; oracle = recursive-
+    // CTE transitive closure (the dedup_clusters playbook on a
+    // different graph).
+    "graph_components" -> ((s, dir) =>
+      graft.analytics.Dedup.components(
+        Baskets.frequentPairs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2L)
+          .select(col("item_a").as("id_a"), col("item_b").as("id_b")))
+        .select(col("id").as("node"), col("label").as("component"))),
+
+    // Deterministic exact mode of value cents per event type (ties to
+    // the smallest value — Spark's builtin mode() leaves ties
+    // unspecified); oracle = independent max-count join-back.
+    "stats_mode" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cents = ev.filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (col("value").cast(d2) * lit(100)).cast("long").as("cents"))
+      Stats.exactMode(cents, Seq("event_type"), "cents")
+    }),
+
+    // Per-document 3-gram novelty vs the id-ordered corpus: fraction
+    // of distinct grams FIRST seen in this document.
+    "text_novelty" -> ((s, dir) =>
+      graft.analytics.Text.novelty(t(s, dir, "documents"),
+        "doc_id", "text", n = 3)),
+
+    // LTTB-style downsampling of the daily revenue series per type
+    // (parallel-anchor variant): endpoints + the largest-triangle
+    // point per interior bucket, every area compared as an exact
+    // cleared-denominator integer.
+    "ts_lttb" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev.select(col("event_type"), tsEpochSeconds(ev).as("_secs"),
+          (col("value").cast(d2) * lit(100)).cast("long").as("_cents"))
+        .select(col("event_type"), expr("_secs div 86400").as("day"),
+          col("_cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("_cents")).as("cents"))
+      TOps.lttb(daily, Seq("event_type"), "day", "cents", buckets = 8)
     })
   )
 
@@ -2372,6 +2415,87 @@ object Temporal {
            CAST(sum(c) AS BIGINT) AS n,
            CAST(count(*) AS BIGINT) AS diversity,
            (count(*) >= 3) AS ok
-         FROM d GROUP BY 1, 2"""
+         FROM d GROUP BY 1, 2""",
+    "graph_components" ->
+      """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS b,
+              l_partkey AS i FROM lineitem),
+         s AS (SELECT i FROM items GROUP BY i HAVING count(*) >= 2),
+         p AS (SELECT items.b, items.i FROM items JOIN s USING (i)),
+         e AS (SELECT a.i AS u, bb.i AS v
+               FROM p a JOIN p bb ON a.b = bb.b AND a.i < bb.i
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         edges AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+         reach AS (SELECT u AS a, v AS b FROM edges
+               UNION
+               SELECT r.a, e2.v FROM reach r JOIN edges e2 ON r.b = e2.u),
+         lab AS (SELECT a AS node, least(min(b), a) AS component
+               FROM reach GROUP BY a)
+         SELECT node, component FROM lab""",
+    // independent max-count join-back vs the engine's struct-max
+    "stats_mode" ->
+      """WITH c AS (SELECT event_type AS g,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+            FROM events WHERE value IS NOT NULL),
+         cc AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+               FROM c GROUP BY 1, 2),
+         m AS (SELECT g, max(c) AS mc FROM cc GROUP BY 1)
+         SELECT cc.g AS event_type, CAST(min(cc.v) AS BIGINT)
+             AS mode_value,
+           CAST(max(cc.c) AS BIGINT) AS mode_count
+         FROM cc JOIN m ON cc.g = m.g AND cc.c = m.mc GROUP BY 1""",
+    "text_novelty" ->
+      """WITH t AS (SELECT doc_id,
+              regexp_split_to_array(trim(lower(text)), '\s+') AS w
+            FROM documents),
+         g AS (SELECT DISTINCT doc_id,
+                array_to_string(w[i:i+2], ' ') AS gram
+               FROM t, unnest(range(1, len(w) - 1)) AS u(i)
+               WHERE len(w) >= 3),
+         f AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY 1)
+         SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.owner = g.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN f.owner = g.doc_id THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+         FROM g JOIN f USING (gram) GROUP BY 1""",
+    "ts_lttb" ->
+      """WITH e AS (SELECT event_type AS g,
+              epoch_ns(ts) // 1000000000 // 86400 AS t,
+              CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                AS BIGINT)) AS BIGINT) AS v
+            FROM events GROUP BY 1, 2),
+         r AS (SELECT g, min(t) AS tmin, max(t) AS tmax,
+                arg_min(v, t) AS vmin, arg_max(v, t) AS vmax
+               FROM e GROUP BY 1),
+         j AS (SELECT e.*, r.tmin, r.tmax, r.vmin, r.vmax
+               FROM e JOIN r USING (g)),
+         ep AS (SELECT g, t, v FROM j WHERE t = tmin OR t = tmax),
+         i AS (SELECT *, ((t - tmin) * 6) // (tmax - tmin + 1) AS b
+               FROM j WHERE t > tmin AND t < tmax),
+         m AS (SELECT g, b, CAST(sum(t) AS HUGEINT) AS st,
+                CAST(sum(v) AS HUGEINT) AS sv,
+                CAST(count(*) AS HUGEINT) AS c,
+                max(tmin) AS tmin, max(tmax) AS tmax,
+                max(vmin) AS vmin, max(vmax) AS vmax
+               FROM i GROUP BY 1, 2),
+         a AS (SELECT g, b,
+                coalesce(lag(st) OVER w, CAST(tmin AS HUGEINT)) AS lst,
+                coalesce(lag(sv) OVER w, CAST(vmin AS HUGEINT)) AS lsv,
+                coalesce(lag(c) OVER w, CAST(1 AS HUGEINT)) AS lc,
+                coalesce(lead(st) OVER w, CAST(tmax AS HUGEINT)) AS rst,
+                coalesce(lead(sv) OVER w, CAST(vmax AS HUGEINT)) AS rsv,
+                coalesce(lead(c) OVER w, CAST(1 AS HUGEINT)) AS rc
+               FROM m WINDOW w AS (PARTITION BY g ORDER BY b)),
+         cd AS (SELECT i.g, i.b, i.t, i.v,
+                abs((a.lst * a.rc - a.rst * a.lc) *
+                    (CAST(i.v AS HUGEINT) * a.lc - a.lsv)
+                  - (a.lst - CAST(i.t AS HUGEINT) * a.lc) *
+                    (a.lsv * a.rc - a.rsv * a.lc)) AS area
+               FROM i JOIN a ON i.g = a.g AND i.b = a.b),
+         pk AS (SELECT g, b, t, v, row_number() OVER (PARTITION BY g, b
+                ORDER BY area DESC, t ASC) AS rn
+               FROM cd)
+         SELECT g AS event_type, t, v FROM ep
+         UNION ALL SELECT g, t, v FROM pk WHERE rn = 1"""
   )
 }

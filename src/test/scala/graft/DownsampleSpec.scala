@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.{Stats, Text, Temporal => TOps}
+
+/** Semantics of the round-8 seventh continuation: LTTB downsampling,
+  * n-gram novelty, exact mode.
+  */
+class DownsampleSpec extends AnyFunSuite {
+  lazy val spark = Spark.session
+  import spark.implicits._
+
+  test("lttb: endpoints kept, spike survives, output deterministic") {
+    // flat series with one spike at t=50
+    val pts = (0L to 100L).map(t => ("g", t, if (t == 50L) 1000L else 10L))
+    val df = pts.toDF("g", "t", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TOps.lttb(d, Seq("g"), "t", "v", buckets = 6)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val got = run(df)
+    assert(got.contains((0L, 10L)) && got.contains((100L, 10L)),
+      s"endpoints missing: $got")
+    assert(got.contains((50L, 1000L)), s"spike dropped: $got")
+    // 2 endpoints + 4 interior buckets
+    assert(got.size == 6, s"size ${got.size}: $got")
+    assert(got == run(df.repartition(7)))
+  }
+
+  test("lttb: tiny series emits endpoints plus whatever buckets exist") {
+    val df = Seq(("g", 1L, 5L), ("g", 9L, 7L)).toDF("g", "t", "v")
+    val got = TOps.lttb(df, Seq("g"), "t", "v", buckets = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 5L), (9L, 7L)))
+  }
+
+  test("novelty: first doc is 1.0, verbatim copy is 0.0, mix in between") {
+    val df = Seq(
+      (1L, "a b c d e"),          // all 3 grams novel
+      (2L, "a b c d e"),          // verbatim copy: zero novel
+      (3L, "a b c x y z")         // 'a b c' seen; 3 of 4 novel
+    ).toDF("doc_id", "text")
+    val got = Text.novelty(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == (3L, 3L, 1.0))
+    assert(got(2L) == (3L, 0L, 0.0))
+    assert(got(3L) == (4L, 3L, 0.75))
+  }
+
+  test("exact mode: max count wins, ties to smallest value") {
+    val df = Seq(("g", 5L), ("g", 5L), ("g", 3L), ("g", 3L), ("g", 9L))
+      .toDF("g", "v")
+    val r = Stats.exactMode(df, Seq("g"), "v").collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L) // tie 3 vs 5 -> 3
+  }
+}
