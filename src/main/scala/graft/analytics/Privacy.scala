@@ -81,4 +81,39 @@ object Privacy {
         count(lit(1)).as("diversity"))
       .withColumn("ok", col("diversity") >= minL)
   }
+
+  /** Laplace-mechanism noisy counts: per-group count plus
+    * Laplace(1/ε) noise drawn by inverse CDF from a SEEDED uniform
+    * (splitmix64 over the group key), so the release is reproducible
+    * and oracle-replayable — the machinery of differential privacy
+    * with an honest caveat: seeded noise derived FROM the group key
+    * is pseudo-random, not the fresh randomness formal ε-DP requires;
+    * swap the seed source for a secure draw per release to get the
+    * real guarantee. Noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|) with
+    * u = (low 52 hash bits)/2^52 — one codegen'd hash chain + one
+    * `ln` (bit-compatible with the oracle's, like the BM25 scores).
+    *
+    * Scale shape: the count aggregate IS the work; noise is row-local
+    * arithmetic on the ≤ groups-row result.
+    */
+  def noisyCount(
+      df: DataFrame,
+      groupCols: Seq[String],
+      epsilon: Double,
+      seed: Long): DataFrame = {
+    require(epsilon > 0, s"epsilon=$epsilon")
+    import HashFunctions.{fnv1a_hash, java_ln, splitmix64_hash}
+    val g = groupCols.map(col)
+    val counts = df.groupBy(g: _*).agg(count(lit(1)).as("n"))
+    val keyStr = concat_ws("|", g.map(_.cast("string")): _*)
+    val u = splitmix64_hash(fnv1a_hash(keyStr) + lit(seed))
+      .bitwiseAND(lit((1L << 52) - 1)).cast("double") /
+      lit(4503599627370496.0)
+    val c = u - lit(0.5)
+    val noise = lit(-1.0 / epsilon) * signum(c) *
+      java_ln(lit(1.0) - lit(2.0) * abs(c))
+    counts
+      .withColumn("noise", noise)
+      .withColumn("noisy_n", col("n").cast("double") + col("noise"))
+  }
 }

@@ -1126,6 +1126,72 @@ object Temporal {
         .groupBy(col("event_type"), col("day"))
         .agg(sum(col("_cents")).as("cents"))
       TOps.lttb(daily, Seq("event_type"), "day", "cents", buckets = 8)
+    }),
+
+    // Seeded Laplace-mechanism noisy counts per event type: inverse
+    // CDF from the splitmix64 uniform, ln bit-compatible with the
+    // oracle's — the DP release machinery, reproducibly seeded.
+    "privacy_noise" -> ((s, dir) =>
+      graft.analytics.Privacy.noisyCount(t(s, dir, "events"),
+        Seq("event_type"), epsilon = 0.5, seed = 7L)),
+
+    // File-range overlap depth: fileStats min/max ranges swept with
+    // the interval concurrency operator — the clustering-quality
+    // metric that justifies Z-order/compaction (depth 1 = perfectly
+    // clustered, depth = #files = fully interleaved).
+    "layout_overlap" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("file", expr("l_orderkey div 1500"))
+        .withColumn("ship_s",
+          col("l_shipdate").cast("timestamp").cast("long"))
+      val ranges = Layout.fileStats(li, "file", Seq("ship_s"))
+        .select(lit("l_shipdate").as("colname"),
+          col("min_ship_s").as("lo"), (col("max_ship_s") + 1L).as("hi"))
+      TOps.concurrency(ranges, "colname", "lo", "hi")
+    }),
+
+    // Built-in stream-stream interval join across a 2-batch split:
+    // clicks x purchases of the same user within ±1 h. Inner joins
+    // emit on match, so the final table equals the batch interval
+    // join — the all-pairs-in-window sibling of ts_nearest.
+    "stream_join" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = t(s, dir, "events")
+      val secs = tsEpochSeconds(ev)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), secs.as("ts_s"))
+        .as[(Long, Long, Long)].collect()
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), secs.as("ts_s"))
+        .as[(Long, Long, Long)].collect()
+      val split = 1705363200L
+      val inC = MemoryStream[(Long, Long, Long)]
+      val inP = MemoryStream[(Long, Long, Long)]
+      val c = inC.toDF().toDF("c_uid", "c_id", "c_ts_s")
+        .withColumn("c_ts", timestamp_seconds(col("c_ts_s")))
+        .withWatermark("c_ts", "2 hours")
+      val p = inP.toDF().toDF("p_uid", "p_id", "p_ts_s")
+        .withColumn("p_ts", timestamp_seconds(col("p_ts_s")))
+        .withWatermark("p_ts", "2 hours")
+      val joined = c.join(p,
+        col("c_uid") === col("p_uid") &&
+          col("p_ts") >= col("c_ts") - expr("interval 1 hour") &&
+          col("p_ts") <= col("c_ts") + expr("interval 1 hour"))
+      val q = joined.writeStream.format("memory")
+        .queryName("stream_join_out").outputMode("append").start()
+      try {
+        inC.addData(clicks.filter(_._3 <= split).toSeq)
+        inP.addData(purch.filter(_._3 <= split).toSeq)
+        q.processAllAvailable()
+        inC.addData(clicks.filter(_._3 > split).toSeq)
+        inP.addData(purch.filter(_._3 > split).toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("stream_join_out")
+        .select(col("c_uid").as("user_id"), col("c_id"), col("c_ts_s"),
+          col("p_id"), col("p_ts_s"))
     })
   )
 
@@ -2496,6 +2562,71 @@ object Temporal {
                 ORDER BY area DESC, t ASC) AS rn
                FROM cd)
          SELECT g AS event_type, t, v FROM ep
-         UNION ALL SELECT g, t, v FROM pk WHERE rn = 1"""
+         UNION ALL SELECT g, t, v FROM pk WHERE rn = 1""",
+    // fnv1a + splitmix64 chain (the sketch-oracle steps) on the group
+    // key + seed 7, low 52 bits -> uniform, inverse-CDF Laplace;
+    // DuckDB ln is bitwise Java Math.log (the bm25 parity)
+    "privacy_noise" ->
+      """WITH c64 AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+         g AS (SELECT event_type AS k, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+         fh AS (SELECT k, n, list_reduce(
+                  list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                    list_transform(list_filter(string_split_regex(k, ''), ch -> ch <> ''),
+                      ch -> CAST(unicode(ch) AS HUGEINT))),
+                  (acc, ch) -> (xor(acc, ch) * 1099511628211) %
+                    CAST(18446744073709551616 AS HUGEINT)) AS uh
+                FROM g),
+         m0 AS (SELECT k, n, (uh + 7 + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
+                FROM fh CROSS JOIN c64),
+         ma AS (SELECT k, n, xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
+         m1 AS (SELECT k, n, (x2 % 4294967296 * 484763065 +
+                ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+                * 4294967296) % m64 AS x3, m64 FROM ma),
+         mb AS (SELECT k, n, xor(x3, x3 // 134217728) AS x4, m64 FROM m1),
+         m2 AS (SELECT k, n, (x4 % 4294967296 * 321982955 +
+                ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+                * 4294967296) % m64 AS x5, m64 FROM mb),
+         m3 AS (SELECT k, n, xor(x5, x5 // 2147483648) AS x6 FROM m2),
+         u AS (SELECT k, n,
+                CAST(x6 % 4503599627370496 AS DOUBLE) /
+                  CAST(4503599627370496 AS DOUBLE) AS uu
+               FROM m3)
+         SELECT k AS event_type, n,
+           CAST(-2.0 AS DOUBLE) * sign(uu - CAST(0.5 AS DOUBLE)) *
+             ln(CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) *
+               abs(uu - CAST(0.5 AS DOUBLE))) AS noise,
+           CAST(n AS DOUBLE) +
+             CAST(-2.0 AS DOUBLE) * sign(uu - CAST(0.5 AS DOUBLE)) *
+             ln(CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) *
+               abs(uu - CAST(0.5 AS DOUBLE))) AS noisy_n
+         FROM u""",
+    "layout_overlap" ->
+      """WITH li AS (SELECT l_orderkey // 1500 AS f,
+              epoch_ns(l_shipdate) // 1000000000 AS s
+            FROM lineitem),
+         fs AS (SELECT f, min(s) AS lo, max(s) + 1 AS hi
+               FROM li GROUP BY 1),
+         b AS (SELECT lo AS t, 1 AS d FROM fs
+               UNION ALL SELECT hi, -1 FROM fs),
+         gg AS (SELECT t, d, CAST(sum(d) AS BIGINT) AS dd
+                FROM b GROUP BY 1, 2),
+         cc AS (SELECT t, dd,
+                sum(dd) OVER (ORDER BY t, d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+                FROM gg)
+         SELECT 'l_shipdate' AS colname, t AS at_time,
+           CAST(max(conc) AS BIGINT) AS concurrency
+         FROM cc GROUP BY 2""",
+    "stream_join" ->
+      """WITH c AS (SELECT user_id, event_id AS c_id,
+              epoch_ns(ts) // 1000000000 AS c_ts_s
+            FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id AS p_uid, event_id AS p_id,
+              epoch_ns(ts) // 1000000000 AS p_ts_s
+            FROM events WHERE event_type = 'purchase')
+         SELECT c.user_id, c_id, c_ts_s, p_id, p_ts_s
+         FROM c JOIN p ON c.user_id = p_uid
+           AND p_ts_s >= c_ts_s - 3600 AND p_ts_s <= c_ts_s + 3600"""
   )
 }

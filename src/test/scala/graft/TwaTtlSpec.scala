@@ -52,6 +52,23 @@ class TwaTtlSpec extends AnyFunSuite {
     assert(out("b") == (4L, 3L, true))
   }
 
+  test("noisy count: reproducible under reruns/repartition, seed-sensitive") {
+    val df = (1 to 300).map(i => (s"g${i % 4}", i)).toDF("g", "x")
+    def run(d: org.apache.spark.sql.DataFrame, seed: Long) =
+      graft.analytics.Privacy.noisyCount(d, Seq("g"), epsilon = 0.5, seed)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val a = run(df, 7L)
+    assert(a == run(df.repartition(5), 7L), "not partition-stable")
+    assert(a.values.forall { case (n, noise, noisy) =>
+      noisy == n.toDouble + noise })
+    // a different seed must actually change the draw
+    val b = run(df, 8L)
+    assert(a.exists { case (k, (_, noise, _)) => b(k)._2 != noise })
+    // Laplace(2) draws are overwhelmingly within |noise| < 50
+    assert(a.values.forall { case (_, noise, _) => math.abs(noise) < 50 })
+  }
+
   test("sessionizeStream TTL: continuity inside horizon, idle keys evicted, state bounded") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, Long, java.sql.Timestamp)]
