@@ -675,6 +675,36 @@ object Temporal {
         col("weighted_sum").cast("double") / col("span_s").cast("double")))
   }
 
+  /** Point-in-time join against an interval-versioned (SCD2) history:
+    * each fact resolves the dimension version whose
+    * [valid_from, valid_to) span contains the fact instant — the
+    * lookup versioned dimensions exist for. Because versions
+    * partition the timeline per key (each closes at the NEXT change,
+    * so spans never overlap), the latest valid_from ≤ fact time is
+    * the ONLY candidate: the plan is the as-of union-sort (one key
+    * shuffle, no join operator) plus a row-local validity filter that
+    * nulls the payload when the candidate closed before the fact
+    * (deleted keys). Same-second version chains (valid_from ties)
+    * resolve by the as-of dedupRight max-struct rule — the later
+    * version wins, matching the empty-interval semantics of the
+    * containment formulation the oracle runs.
+    */
+  def pitJoin(
+      facts: DataFrame,
+      hist: DataFrame,
+      factKey: String,
+      histKey: String,
+      factTime: String,
+      validFrom: String,
+      validTo: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val joined = asOfJoin(facts, hist, factKey, histKey, factTime,
+      validFrom, payloadCols :+ validTo, dedupRight = true)
+    val live = col(validTo).isNull || col(factTime) < col(validTo)
+    joined.select(facts.columns.map(col) ++
+      payloadCols.map(c => when(live, col(c)).as(c)): _*)
+  }
+
   /** LTTB-style series downsampling (Steinarsson 2013, the
     * largest-triangle-three-buckets family): keep both endpoints plus,
     * from each of `buckets`−2 equal-time interior buckets, the point

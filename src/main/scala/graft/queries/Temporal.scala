@@ -1192,6 +1192,48 @@ object Temporal {
       s.table("stream_join_out")
         .select(col("c_uid").as("user_id"), col("c_id"), col("c_ts_s"),
           col("p_id"), col("p_ts_s"))
+    }),
+
+    // Point-in-time join to SCD2 history — the lookup SCD2 exists
+    // for: each purchase resolves its user's dimension version AS OF
+    // the purchase instant. As-of union-sort on valid_from + validity
+    // filter (non-overlapping intervals make the latest-from version
+    // the only candidate); same-second version chains resolve by the
+    // dedupRight max-struct rule.
+    "join_scd2_pit" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val pos = tsEpochSeconds(ev)
+      val log = ev.select(col("user_id"), col("event_id"), pos.as("pos"),
+        when(col("event_type") === "error", lit("delete"))
+          .otherwise(lit("update")).as("op"),
+        col("value"))
+      val hist = graft.model.Cdc.scd2(log, Seq("user_id"),
+          Seq(col("pos"), col("event_id")), col("pos"), "op")
+        .select(col("user_id").as("h_uid"), col("event_id").as("v_id"),
+          col("valid_from"), col("valid_to"), col("value").as("v_value"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("f_id"), pos.as("f_ts"))
+      TOps.pitJoin(facts, hist, "user_id", "h_uid", "f_ts",
+          "valid_from", "valid_to", Seq("v_id", "v_value"))
+        .select(col("user_id"), col("f_id"), col("f_ts"),
+          col("v_id").as("version_id"), col("v_value").as("version_value"))
+    }),
+
+    // Session-level rollup on top of sessionize: start/end/duration,
+    // event count and revenue per (user, session) — the base table of
+    // product analytics, one window pass + one aggregate.
+    "session_metrics" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val e = ev.select(col("user_id"), tsEpochSeconds(ev).as("ts_s"),
+        col("event_id"),
+        (col("value").cast(d2) * lit(100)).cast("long").as("cents"))
+      TOps.sessionize(e, "user_id", "ts_s", "event_id",
+          gapSeconds = 1800L)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts_s")).as("start_s"), max(col("ts_s")).as("end_s"),
+          count(lit(1)).as("n_events"),
+          sum(col("cents")).as("revenue_cents"))
+        .withColumn("duration_s", col("end_s") - col("start_s"))
     })
   )
 
@@ -2627,6 +2669,53 @@ object Temporal {
             FROM events WHERE event_type = 'purchase')
          SELECT c.user_id, c_id, c_ts_s, p_id, p_ts_s
          FROM c JOIN p ON c.user_id = p_uid
-           AND p_ts_s >= c_ts_s - 3600 AND p_ts_s <= c_ts_s + 3600"""
+           AND p_ts_s >= c_ts_s - 3600 AND p_ts_s <= c_ts_s + 3600""",
+    // interval-containment LEFT JOIN — non-overlapping [from, next)
+    // spans make the match unique; structurally independent of the
+    // engine's as-of + validity-filter plan
+    "join_scd2_pit" ->
+      """WITH l AS (SELECT user_id, event_id,
+              epoch_ns(ts) // 1000000000 AS pos,
+              CASE WHEN event_type = 'error' THEN 'delete'
+                   ELSE 'update' END AS op, value
+            FROM events),
+         o AS (SELECT *, pos AS valid_from,
+                lead(pos) OVER
+                  (PARTITION BY user_id ORDER BY pos, event_id) AS valid_to
+               FROM l),
+         h AS (SELECT user_id, event_id AS v_id, valid_from, valid_to,
+                value AS v_value
+               FROM o WHERE op <> 'delete'),
+         f AS (SELECT user_id, event_id AS f_id,
+                epoch_ns(ts) // 1000000000 AS f_ts
+               FROM events WHERE event_type = 'purchase')
+         SELECT f.user_id, f.f_id, f.f_ts, h.v_id AS version_id,
+           h.v_value AS version_value
+         FROM f LEFT JOIN h ON f.user_id = h.user_id
+           AND h.valid_from <= f.f_ts
+           AND (h.valid_to IS NULL OR f.f_ts < h.valid_to)""",
+    "session_metrics" ->
+      """WITH s AS (SELECT user_id, ts_s, cents,
+              CAST(sum(CASE WHEN prev_s IS NULL OR (ts_s - prev_s) > 1800
+                THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_seq
+              FROM (SELECT event_id, user_id,
+                      epoch_ns(ts) // 1000000000 AS ts_s,
+                      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        AS cents,
+                      lag(epoch_ns(ts) // 1000000000, 1) OVER (
+                        PARTITION BY user_id
+                        ORDER BY epoch_ns(ts) // 1000000000 ASC,
+                          event_id ASC) AS prev_s
+                    FROM events))
+         SELECT user_id, session_seq,
+           CAST(min(ts_s) AS BIGINT) AS start_s,
+           CAST(max(ts_s) AS BIGINT) AS end_s,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           CAST(max(ts_s) - min(ts_s) AS BIGINT) AS duration_s
+         FROM s GROUP BY 1, 2"""
   )
 }

@@ -49,6 +49,29 @@ class DownsampleSpec extends AnyFunSuite {
     assert(got(3L) == (4L, 3L, 0.75))
   }
 
+  test("pit join: deletes null out, same-second chains pick the later version") {
+    import graft.model.Cdc
+    // user 1: v@10(id 100), delete@20(id 101), then a same-second
+    // chain at 30: v(id 102) immediately superseded by v(id 103)
+    val log = Seq((1L, 100L, 10L, "update", "a"),
+      (1L, 101L, 20L, "delete", null),
+      (1L, 102L, 30L, "update", "b"),
+      (1L, 103L, 30L, "update", "c")).toDF("k", "id", "pos", "op", "v")
+    val hist = Cdc.scd2(log, Seq("k"), Seq(col("pos"), col("id")),
+        col("pos"), "op")
+      .select(col("k").as("h_k"), col("id").as("v_id"),
+        col("valid_from"), col("valid_to"), col("v").as("v_val"))
+    val facts = Seq((1L, 1L, 5L), (1L, 2L, 15L), (1L, 3L, 25L),
+      (1L, 4L, 30L), (1L, 5L, 99L)).toDF("k", "f_id", "f_ts")
+    val got = TOps.pitJoin(facts, hist, "k", "h_k", "f_ts",
+        "valid_from", "valid_to", Seq("v_id", "v_val"))
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3),
+          Option(r.getString(4)).orNull)).toMap
+    assert(got == Map(1L -> (-1L, null), 2L -> (100L, "a"),
+      3L -> (-1L, null), 4L -> (103L, "c"), 5L -> (103L, "c")), got.toString)
+  }
+
   test("exact mode: max count wins, ties to smallest value") {
     val df = Seq(("g", 5L), ("g", 5L), ("g", 3L), ("g", 3L), ("g", 9L))
       .toDF("g", "v")
