@@ -200,6 +200,35 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** Approximate kNN graph over a corpus: each vector's top-k nearest
+    * neighbors BY COSINE among its IVF candidates — the building
+    * block of graph-based ANN indexes, semantic cluster maps, and
+    * kNN-classification over an embedding store. Candidates come from
+    * the same nlist∝n cell geometry as [[cosinePairs]] (linear
+    * candidate count at constant density, the measured scale path);
+    * the per-node top-k ranks only candidate edges (row_number +
+    * filter ⇒ WindowGroupLimit partial below the exchange), with the
+    * (cos desc, neighbor asc) total order making the graph
+    * deterministic. Recall vs the exact kNN graph is the IVF recall —
+    * measured in spec, not assumed.
+    */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String,
+               k: Int, nlist: Int = -1, nassign: Int = 2,
+               maxBucket: Int = 4096): DataFrame = {
+    require(k >= 1 && k <= 1024, s"k=$k")
+    val pairs = cosinePairs(df, idCol, vecCol, threshold = -1.0,
+      method = "ivf", nlist = nlist, nassign = nassign,
+      maxBucket = maxBucket)
+    val sym = pairs.select(col("id_a").as("node"), col("id_b").as("nbr"),
+        col("cos_sim"))
+      .unionByName(pairs.select(col("id_b").as("node"),
+        col("id_a").as("nbr"), col("cos_sim")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("cos_sim").desc, col("nbr").asc)
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Symmetric int8 quantization of an embedding column — the 4×
     * memory/IO reduction that makes a 100 TB embedding store
     * ANN-servable. Per-vector scale = max |x|, q = round(x/scale·127)

@@ -1011,6 +1011,40 @@ object Stats {
           .as("n_outliers"))
   }
 
+  /** Seasonal-naive forecast backtest: predict each period bucket
+    * from the SAME bucket one season earlier ([[seasonalNaive]]'s
+    * reference, fetched by value so gaps drop the comparison), score
+    * the whole history in one pass. Errors aggregate as exact
+    * integers; MAE = Σ|e|/n and WAPE = Σ|e|/Σactual are one IEEE
+    * division each — WAPE deliberately instead of MAPE (no per-row
+    * division, no zero-actual blowups, the demand-forecasting
+    * standard). This is the baseline every fancier forecaster must
+    * beat; shipping the backtest IS the operator.
+    */
+  def forecastBacktest(
+      df: DataFrame,
+      groupCols: Seq[String],
+      timeCol: String,
+      valueCol: String,
+      period: Long): DataFrame = {
+    require(period >= 1, s"period=$period")
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col(timeCol))
+      .rangeBetween(-period, -period)
+    df.select(g ++ Seq(col(timeCol), col(valueCol).as("_x")): _*)
+      .withColumn("_f", sum(col("_x")).over(w))
+      .filter(col("_f").isNotNull)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_forecasts"),
+        sum(abs(col("_x") - col("_f"))).as("sum_abs_err"),
+        sum(col("_x")).as("sum_actual"))
+      .withColumn("mae", col("sum_abs_err").cast("double") /
+        col("n_forecasts").cast("double"))
+      .withColumn("wape", when(col("sum_actual") > 0L,
+        col("sum_abs_err").cast("double") /
+          col("sum_actual").cast("double")))
+  }
+
   /** Exact mode per group over an INTEGER value column: the most
     * frequent value, ties to the SMALLEST value — a total rule, so
     * the answer is deterministic under any partitioning (Spark's

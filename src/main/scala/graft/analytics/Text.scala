@@ -646,6 +646,34 @@ object Text {
     merges.toSeq.toDF("round", "sym_a", "sym_b", "pair_count")
   }
 
+  /** Per-document out-of-vocabulary rate against a TRAINING corpus
+    * vocabulary ([[vocab]], count ≥ minCount): the coverage check run
+    * before committing a tokenizer/vocab to a new data drop — a
+    * source whose OOV rate spikes needs vocab work, not more
+    * training. Token INSTANCES are measured (not distinct types):
+    * rate = oov instances / all instances per doc.
+    *
+    * Scale shape: the vocab is a token-keyed aggregate of the train
+    * corpus; the eval side explodes once and LEFT-joins the vocab on
+    * the token key (broadcast when the vocab collapses). Counts
+    * exact; one IEEE division.
+    */
+  def oovRate(train: DataFrame, eval_ : DataFrame, idCol: String,
+              textCol: String, minCount: Long = 2): DataFrame = {
+    val v = vocab(train, textCol, minCount).select(col("token"),
+      lit(true).as("_inv"))
+    eval_.select(col(idCol).as("doc_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .join(v, Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_inv").isNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Per-document n-gram novelty against the id-ordered corpus: the
     * fraction of a document's DISTINCT word n-grams whose FIRST
     * occurrence (minimum doc id) is this document. High novelty =

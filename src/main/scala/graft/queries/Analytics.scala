@@ -192,6 +192,27 @@ object Analytics {
       Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, method = "ivf", nlist = -1, nassign = 2)),
 
+    // Approximate kNN graph: per-vector top-5 by cosine among the
+    // same derived-nlist IVF candidates — the oracle replays cells,
+    // candidate pairs, exact-fold cosines AND the (cos desc, nbr asc)
+    // rank, so the whole graph is hash-checked.
+    "sim_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 5, nlist = -1, nassign = 2)
+        .select(col("node"), col("nbr"), col("cos_sim"),
+          col("rank").cast("long").as("rank"))),
+
+    // Out-of-vocabulary rate of odd-id docs against the even-id
+    // training vocabulary (count >= 2): the coverage screen before
+    // trusting a tokenizer on a new drop.
+    "text_oov" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.analytics.Text.oovRate(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", minCount = 2)
+    }),
+
     "sim_topk_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
@@ -650,6 +671,45 @@ object Analytics {
     })
   )
 
+
+
+  // IVF scored-candidate replication (seeds, top-2 cells, distinct
+  // within-cell pairs, exact-fold cosines) shared by the
+  // dedup_embedding_ivf row and the sim_knn_graph rank extension.
+  private val ivfScoredPairsSql: String =
+    """WITH nv AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+           FROM embeddings),
+         nrm AS (SELECT vec_id, ed,
+           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(ed, x -> x*x)), (a,b) -> a+b)) AS n FROM nv),
+         v AS (SELECT vec_id,
+           CASE WHEN n > 0 THEN list_transform(ed, x -> x/n) ELSE ed END AS nvec
+           FROM nrm),
+         seeds AS (SELECT cluster, cvec FROM (
+             SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cluster,
+               nvec AS cvec FROM v) sq
+           WHERE sq.cluster <
+             (SELECT greatest(8, CAST(ceil(count(*) / 25.0) AS BIGINT))
+              FROM v)),
+         dots AS (SELECT v.vec_id, s.cluster,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65), i -> v.nvec[i] * s.cvec[i])),
+             (a,b) -> a+b) AS dt
+           FROM v CROSS JOIN seeds s),
+         best AS (SELECT vec_id, cluster, dt,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY dt DESC, cluster ASC) AS rk FROM dots),
+         asg AS (SELECT vec_id, cluster FROM best WHERE rk <= 2),
+         cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+           FROM asg a JOIN asg b
+             ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+         sc AS (SELECT c.ia, c.ib,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65), i -> va.nvec[i] * vb.nvec[i])),
+             (x,y) -> x+y) AS cs
+           FROM cand c JOIN v va ON va.vec_id = c.ia
+           JOIN v vb ON vb.vec_id = c.ib)"""
 
   // One BPE training round unrolled per k: pair counts -> argmax ->
   // list-comprehension rewrite. Shared by the text_bpe_train oracle
@@ -1605,41 +1665,36 @@ object Analytics {
     // NearestCentroids insertion order), distinct within-cell pairs,
     // exact sequential-fold cosine >= 0.4 with the score emitted
     "dedup_embedding_ivf" ->
-      """WITH nv AS (SELECT vec_id,
-           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
-           FROM embeddings),
-         nrm AS (SELECT vec_id, ed,
-           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list_transform(ed, x -> x*x)), (a,b) -> a+b)) AS n FROM nv),
-         v AS (SELECT vec_id,
-           CASE WHEN n > 0 THEN list_transform(ed, x -> x/n) ELSE ed END AS nvec
-           FROM nrm),
-         seeds AS (SELECT cluster, cvec FROM (
-             SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cluster,
-               nvec AS cvec FROM v) sq
-           WHERE sq.cluster <
-             (SELECT greatest(8, CAST(ceil(count(*) / 25.0) AS BIGINT))
-              FROM v)),
-         dots AS (SELECT v.vec_id, s.cluster,
-           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list_transform(range(1, 65), i -> v.nvec[i] * s.cvec[i])),
-             (a,b) -> a+b) AS dt
-           FROM v CROSS JOIN seeds s),
-         best AS (SELECT vec_id, cluster, dt,
-           row_number() OVER (PARTITION BY vec_id
-             ORDER BY dt DESC, cluster ASC) AS rk FROM dots),
-         asg AS (SELECT vec_id, cluster FROM best WHERE rk <= 2),
-         cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
-           FROM asg a JOIN asg b
-             ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
-         sc AS (SELECT c.ia, c.ib,
-           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list_transform(range(1, 65), i -> va.nvec[i] * vb.nvec[i])),
-             (x,y) -> x+y) AS cs
-           FROM cand c JOIN v va ON va.vec_id = c.ia
-           JOIN v vb ON vb.vec_id = c.ib)
+      (ivfScoredPairsSql + """
          SELECT ia AS id_a, ib AS id_b, cs AS cos_sim
-         FROM sc WHERE cs >= 0.4""",
+         FROM sc WHERE cs >= 0.4"""),
+    // same scored candidates, symmetrized + per-node (cos desc,
+    // nbr asc) rank — the whole kNN graph hash-checked
+    "sim_knn_graph" ->
+      (ivfScoredPairsSql + """,
+         sym AS (SELECT ia AS node, ib AS nbr, cs FROM sc
+               UNION ALL SELECT ib, ia, cs FROM sc),
+         rk AS (SELECT node, nbr, cs, row_number() OVER
+                (PARTITION BY node ORDER BY cs DESC, nbr ASC) AS rank
+               FROM sym)
+         SELECT node, nbr, cs AS cos_sim, CAST(rank AS BIGINT) AS rank
+         FROM rk WHERE rank <= 5"""),
+    "text_oov" ->
+      """WITH train AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+         voc AS (SELECT t AS token FROM (
+                SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+                FROM train) x
+               WHERE t <> '' GROUP BY 1 HAVING count(*) >= 2),
+         ev AS (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+               FROM documents WHERE doc_id % 2 <> 0),
+         e2 AS (SELECT doc_id, t FROM ev WHERE t <> '')
+         SELECT e2.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN voc.token IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_oov,
+           CAST(sum(CASE WHEN voc.token IS NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+         FROM e2 LEFT JOIN voc ON e2.t = voc.token GROUP BY 1""",
     // auto(0.4) resolves to the IVF geometry (chooseGeometry): the
     // oracle is the same seeded-cell replication as dedup_embedding_ivf
     // projecting the row's (id_a, id_b) shape

@@ -1234,6 +1234,19 @@ object Temporal {
           count(lit(1)).as("n_events"),
           sum(col("cents")).as("revenue_cents"))
         .withColumn("duration_s", col("end_s") - col("start_s"))
+    }),
+
+    // Seasonal-naive forecast backtest over the daily count series:
+    // exact integer error sums, MAE + WAPE one IEEE division each —
+    // the baseline every fancier forecaster must beat.
+    "ts_backtest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev.select(col("event_type"), tsEpochSeconds(ev).as("_secs"))
+        .select(col("event_type"), expr("_secs div 86400").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("x"))
+      Stats.forecastBacktest(daily, Seq("event_type"), "day", "x",
+        period = 7L)
     })
   )
 
@@ -2716,6 +2729,27 @@ object Temporal {
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(cents) AS BIGINT) AS revenue_cents,
            CAST(max(ts_s) - min(ts_s) AS BIGINT) AS duration_s
-         FROM s GROUP BY 1, 2"""
+         FROM s GROUP BY 1, 2""",
+    "ts_backtest" ->
+      """WITH e AS (SELECT event_type AS g,
+              epoch_ns(ts) // 1000000000 // 86400 AS day,
+              CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+         p AS (SELECT g, day, x,
+                CAST(sum(x) OVER (PARTITION BY g ORDER BY day
+                  RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS BIGINT)
+                  AS f
+               FROM e),
+         q AS (SELECT * FROM p WHERE f IS NOT NULL)
+         SELECT g AS event_type,
+           CAST(count(*) AS BIGINT) AS n_forecasts,
+           CAST(sum(abs(x - f)) AS BIGINT) AS sum_abs_err,
+           CAST(sum(x) AS BIGINT) AS sum_actual,
+           CAST(sum(abs(x - f)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS mae,
+           CASE WHEN sum(x) > 0 THEN
+             CAST(sum(abs(x - f)) AS DOUBLE) / CAST(sum(x) AS DOUBLE)
+             END AS wape
+         FROM q GROUP BY 1"""
   )
 }

@@ -72,6 +72,56 @@ class DownsampleSpec extends AnyFunSuite {
       3L -> (-1L, null), 4L -> (103L, "c"), 5L -> (103L, "c")), got.toString)
   }
 
+  test("knn graph: high recall vs the exact graph; deterministic edges") {
+    val rnd = new scala.util.Random(99)
+    // 3 well-separated gaussian blobs in 8-d
+    val centers = Seq.fill(3)(Array.fill(8)(rnd.nextGaussian() * 5))
+    val vecs = (0 until 120).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = graft.analytics.Similarity.knnGraph(df, "vec_id",
+        "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact graph by brute force
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      def n(v: Seq[Float]) = math.sqrt(v.map(x => x * x.toDouble).sum)
+      v2dot(a, b) / (n(a) * n(b))
+    }
+    def v2dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val exact = vecs.flatMap { case (i, v) =>
+      vecs.filter(_._1 != i).map { case (j, w) => (i, j, cos(v, w)) }
+        .sortBy { case (_, j, c) => (-c, j) }.take(3).map(t => (i, t._2))
+    }.toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+    assert(got.size == exact.size) // k edges per node
+  }
+
+  test("oov rate: unseen and sub-minCount tokens count as OOV") {
+    val train = Seq((2L, "a a b b c")).toDF("doc_id", "text") // c freq 1
+    val eval_ = Seq((1L, "a b c z"), (3L, "a a")).toDF("doc_id", "text")
+    val got = graft.analytics.Text.oovRate(train, eval_, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == (4L, 2L, 0.5)) // c (freq 1) and z are OOV
+    assert(got(3L) == (2L, 0L, 0.0))
+  }
+
+  test("forecast backtest: hand errors, gaps drop forecasts") {
+    // days 0..13 except 8: day t forecast = x(t-7)
+    val rows = (0L to 13L).filter(_ != 8L).map(d => ("g", d, 100L + d))
+    val r = graft.analytics.Stats.forecastBacktest(rows.toDF("g", "d", "x"),
+      Seq("g"), "d", "x", period = 7L).collect().head
+    // forecastable days: 7,9..13 minus day 9 NOT dropped (day 2 exists)
+    // -> days 7,9,10,11,12,13 = 6 forecasts, each error exactly 7
+    assert(r.getAs[Long]("n_forecasts") == 6L)
+    assert(r.getAs[Long]("sum_abs_err") == 42L)
+    assert(r.getAs[Double]("mae") == 7.0)
+  }
+
   test("exact mode: max count wins, ties to smallest value") {
     val df = Seq(("g", 5L), ("g", 5L), ("g", 3L), ("g", 3L), ("g", 9L))
       .toDF("g", "v")
