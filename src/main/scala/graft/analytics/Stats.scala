@@ -1011,6 +1011,57 @@ object Stats {
           .as("n_outliers"))
   }
 
+  /** Wald–Wolfowitz runs test (1940) per group: is the ORDER of a
+    * binary sequence random, or do like outcomes clump? The screen
+    * that catches autocorrelated residuals and regime stickiness that
+    * every value-distribution test (PSI/KS/χ²) is blind to — those
+    * would pass a sequence sorted by outcome. R = number of runs via
+    * one lag window; the normal-approximation significance inequality
+    * clears mean AND variance denominators:
+    *
+    *   (R·n − n − 2·n1·n2)² · (n−1) · zDen ≥ zNum · 2n1n2 · (2n1n2 − n)
+    *
+    * — exact decimal(38,0) integers; 2n1n2 ≤ n (degenerate variance)
+    * reports not-significant.
+    *
+    * Scale shape: one key shuffle + sort for the lag window, then a
+    * per-group aggregate. Same cost class as sessionize.
+    */
+  def runsTest(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCol: Column,
+      tieCol: Column,
+      cond: Column,
+      zAlphaSqNum: Long = 2401,
+      zAlphaSqDen: Long = 625): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col("_ord"), col("_tie"))
+    val seq0 = df.select(g ++ Seq(orderCol.as("_ord"), tieCol.as("_tie"),
+        cond.cast("boolean").as("_x")): _*)
+      .filter(col("_x").isNotNull)
+      .withColumn("_prev", lag(col("_x"), 1).over(w))
+    val agg = seq0.groupBy(g: _*).agg(
+      sum(when(col("_x"), lit(1L)).otherwise(lit(0L))).as("n1"),
+      sum(when(!col("_x"), lit(1L)).otherwise(lit(0L))).as("n2"),
+      (lit(1L) + sum(when(col("_prev").isNotNull &&
+        col("_prev") =!= col("_x"), lit(1L)).otherwise(lit(0L))))
+        .as("runs"))
+    val n1 = col("n1").cast(d38)
+    val n2 = col("n2").cast(d38)
+    val n = n1 + n2
+    val two = lit(2L).cast(d38)
+    val dev = col("runs").cast(d38) * n - n - two * n1 * n2
+    val lhs = dev * dev * (n - lit(1L).cast(d38)) *
+      lit(zAlphaSqDen).cast(d38)
+    val rhs = lit(zAlphaSqNum).cast(d38) * two * n1 * n2 *
+      (two * n1 * n2 - n)
+    agg.withColumn("significant",
+      col("n1") > 0L && col("n2") > 0L &&
+        two * n1 * n2 > n && lhs >= rhs)
+  }
+
   /** Seasonal-naive forecast backtest: predict each period bucket
     * from the SAME bucket one season earlier ([[seasonalNaive]]'s
     * reference, fetched by value so gaps drop the comparison), score

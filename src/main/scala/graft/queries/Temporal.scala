@@ -1247,6 +1247,49 @@ object Temporal {
         .agg(count(lit(1)).as("x"))
       Stats.forecastBacktest(daily, Seq("event_type"), "day", "x",
         period = 7L)
+    }),
+
+    // Wald–Wolfowitz runs test on the (ts, id)-ordered high/low value
+    // sequence per type — the ORDER-randomness screen the value-
+    // distribution tests are blind to. Exact integer decision.
+    "stats_runs" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Stats.runsTest(
+        ev.select(col("event_type"), tsEpochSeconds(ev).as("ts_s"),
+          col("event_id"), col("value")),
+        Seq("event_type"), col("ts_s"), col("event_id"),
+        col("value") >= 50.0)
+    }),
+
+    // Streaming histogram twin: additive bin state across a real
+    // 2-batch stream must equal the batch histogram sketch — the
+    // third sketch sink (HLL min-merge, CMS sum, histogram sum).
+    "sketch_hist_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = t(s, dir, "events")
+      val rows = ev.select(col("event_type"), tsEpochSeconds(ev).as("ts_s"),
+          col("value"))
+        .as[(String, Long, Double)].collect()
+      val split = 1705363200L
+      val (b1, b2) = rows.partition(_._2 <= split)
+      val state = java.nio.file.Files
+        .createTempDirectory("hist_stream").toString
+      val in = MemoryStream[(String, Long, Double)]
+      val q = in.toDF().toDF("event_type", "ts_s", "value")
+        .writeStream
+        .foreachBatch(graft.streaming.StreamingOps.histogramBinSink(
+          state, Seq("event_type"), "value",
+          lo = 0.0, width = 0.5, bins = 1024))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$state/batch=1")
+        .select(col("event_type"), col("_bin").as("bin"),
+          col("_c").cast("long").as("cnt"))
     })
   )
 
@@ -2750,6 +2793,37 @@ object Temporal {
            CASE WHEN sum(x) > 0 THEN
              CAST(sum(abs(x - f)) AS DOUBLE) / CAST(sum(x) AS DOUBLE)
              END AS wape
-         FROM q GROUP BY 1"""
+         FROM q GROUP BY 1""",
+    "stats_runs" ->
+      """WITH s AS (SELECT event_type AS g,
+              (value >= 50.0) AS x,
+              lag(value >= 50.0) OVER (PARTITION BY event_type
+                ORDER BY epoch_ns(ts) // 1000000000 ASC, event_id ASC)
+                AS prev
+            FROM events WHERE value IS NOT NULL),
+         a AS (SELECT g,
+                CAST(sum(CASE WHEN x THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+                CAST(sum(CASE WHEN x THEN 0 ELSE 1 END) AS HUGEINT) AS n2,
+                CAST(1 + sum(CASE WHEN prev IS NOT NULL AND prev <> x
+                  THEN 1 ELSE 0 END) AS HUGEINT) AS runs
+               FROM s GROUP BY 1)
+         SELECT g AS event_type,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(runs AS BIGINT) AS runs,
+           (n1 > 0 AND n2 > 0 AND 2 * n1 * n2 > n1 + n2 AND
+            (runs * (n1 + n2) - (n1 + n2) - 2 * n1 * n2) *
+              (runs * (n1 + n2) - (n1 + n2) - 2 * n1 * n2) *
+              (n1 + n2 - 1) * 625
+            >= 2401 * 2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)))
+             AS significant
+         FROM a""",
+    // the streamed additive bin state must equal the batch histogram
+    // sketch of the whole log (the sketch_hist_merge h CTE, surfaced)
+    "sketch_hist_stream" ->
+      """SELECT event_type,
+           LEAST(GREATEST(CAST(floor(value / 0.5) AS BIGINT), 0), 1023)
+             AS bin,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM events WHERE value IS NOT NULL GROUP BY 1, 2"""
   )
 }

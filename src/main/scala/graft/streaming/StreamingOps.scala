@@ -609,6 +609,37 @@ object StreamingOps {
     }
   }
 
+  /** Streaming histogram maintenance — the third additive sketch sink
+    * beside [[hllRegisterSink]] (min-merge) and [[cmsCounterSink]]
+    * (sum-merge): per-batch [[graft.analytics.Sketch.histogramBins]]
+    * summed into the committed state via
+    * [[graft.analytics.Sketch.histogramMerge]], so the state after
+    * any stream prefix equals the batch sketch of that prefix and
+    * quantiles are one [[graft.analytics.Sketch.histogramQuantilesFromBins]]
+    * call away at any moment. State ≤ groups × bins rows; the same
+    * `batch=` + `_SUCCESS` guard makes non-idempotent sum replays
+    * safe.
+    */
+  def histogramBinSink(
+      stateDir: String,
+      groupCols: Seq[String],
+      valueCol: String,
+      lo: Double,
+      width: Double,
+      bins: Int): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val newH = graft.analytics.Sketch.histogramBins(
+        batch, groupCols, valueCol, lo, width, bins)
+      val merged = latestCommittedDir(stateDir, batchId) match {
+        case Some(prev) => graft.analytics.Sketch.histogramMerge(
+          Seq(spark.read.parquet(prev), newH), groupCols)
+        case None => newH
+      }
+      merged.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    }
+  }
+
   /** Streaming SCD Type-2 maintenance — the incremental twin of
     * [[graft.model.Cdc.scd2]]: the committed state is the full
     * version history; each micro-batch chains its own versions

@@ -75,6 +75,47 @@ class ProfilePhraseSpec extends AnyFunSuite {
     assert(out == Set((1L, 3L, 2L, 30L), (9L, 1L, 9L, 7L)))
   }
 
+  test("runs test: clumped and alternating flagged, balanced-random not") {
+    import graft.analytics.Stats
+    def run(xs: Seq[Boolean]) = Stats.runsTest(
+      xs.zipWithIndex.map { case (x, i) => ("g", i.toLong, x) }
+        .toDF("g", "t", "x"),
+      Seq("g"), col("t"), col("t"), col("x")).collect().head
+    // 30 trues then 30 falses: 2 runs — wildly too few
+    val clump = run(Seq.fill(30)(true) ++ Seq.fill(30)(false))
+    assert(clump.getAs[Long]("runs") == 2L &&
+      clump.getAs[Boolean]("significant"))
+    // perfect alternation: 60 runs — too many (two-sided)
+    val alt = run((0 until 60).map(_ % 2 == 0))
+    assert(alt.getAs[Long]("runs") == 60L &&
+      alt.getAs[Boolean]("significant"))
+    // deterministic pseudo-random balanced sequence: not significant
+    val rnd = new scala.util.Random(5)
+    val mixed = run(rnd.shuffle((Seq.fill(30)(true) ++
+      Seq.fill(30)(false)).toVector))
+    assert(!mixed.getAs[Boolean]("significant"),
+      s"runs=${mixed.getAs[Long]("runs")}")
+  }
+
+  test("histogramBinSink: streamed state == batch bins; replay safe") {
+    val dir = java.nio.file.Files.createTempDirectory("hist-sink").toString
+    val sink = StreamingOps.histogramBinSink(dir, Seq("g"), "v",
+      lo = 0.0, width = 1.0, bins = 16)
+    val all = (1 to 300).map(i => ("a", (i % 20).toDouble))
+    val (b0, b1) = all.splitAt(140)
+    sink(b0.toDF("g", "v"), 0L)
+    sink(b1.toDF("g", "v"), 1L)
+    def state(id: Long) = spark.read.parquet(s"$dir/batch=$id").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val clean = state(1L)
+    sink(b1.toDF("g", "v"), 1L) // replay must not double-count
+    assert(state(1L) == clean)
+    val direct = Sketch.histogramBins(all.toDF("g", "v"), Seq("g"), "v",
+      0.0, 1.0, 16).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(clean == direct)
+  }
+
   test("cmsCounterSink: streamed state == batch counters; replay safe") {
     val dir = java.nio.file.Files.createTempDirectory("cms-sink").toString
     val sink = StreamingOps.cmsCounterSink(dir, "w", depth = 4, width = 16)
