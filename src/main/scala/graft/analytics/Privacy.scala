@@ -82,6 +82,25 @@ object Privacy {
       .withColumn("ok", col("diversity") >= minL)
   }
 
+  /** Keyed pseudonymization: replace identifier columns with
+    * splitmix64(fnv1a(value) + secret) — consistent within a release
+    * (the same id maps to the same pseudonym everywhere, so joins and
+    * group-bys still line up across tables) while unlinkable without
+    * the secret. Row-local codegen'd hash chain, zero shuffle — rotate
+    * the secret per release to prevent cross-release linkage. This is
+    * pseudonymization (GDPR art. 4(5)), not anonymization: k-anonymity
+    * / l-diversity on the quasi-identifiers still apply.
+    */
+  def pseudonymize(
+      df: DataFrame,
+      idCols: Seq[String],
+      secret: Long): DataFrame = {
+    import HashFunctions.{fnv1a_hash, splitmix64_hash}
+    require(idCols.nonEmpty)
+    idCols.foldLeft(df)((d, c) => d.withColumn(c,
+      splitmix64_hash(fnv1a_hash(col(c).cast("string")) + lit(secret))))
+  }
+
   /** Laplace-mechanism noisy counts: per-group count plus
     * Laplace(1/ε) noise drawn by inverse CDF from a SEEDED uniform
     * (splitmix64 over the group key), so the release is reproducible

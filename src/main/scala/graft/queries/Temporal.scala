@@ -1290,6 +1290,18 @@ object Temporal {
       s.read.parquet(s"$state/batch=1")
         .select(col("event_type"), col("_bin").as("bin"),
           col("_c").cast("long").as("cnt"))
+    }),
+
+    // Keyed pseudonymization: user ids replaced by the seeded hash,
+    // consistently — per-pseudonym activity counts must equal the
+    // per-user counts under the replayed mapping.
+    "privacy_pseudonym" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.analytics.Privacy.pseudonymize(
+          ev.select(col("user_id"), col("event_type")),
+          Seq("user_id"), secret = 99L)
+        .groupBy(col("user_id").as("pseudo_uid"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
     })
   )
 
@@ -2824,6 +2836,38 @@ object Temporal {
            LEAST(GREATEST(CAST(floor(value / 0.5) AS BIGINT), 0), 1023)
              AS bin,
            CAST(count(*) AS BIGINT) AS cnt
-         FROM events WHERE value IS NOT NULL GROUP BY 1, 2"""
+         FROM events WHERE value IS NOT NULL GROUP BY 1, 2""",
+    // fnv1a(decimal string of the id) + secret 99 through the same
+    // splitmix chain; signed reinterpretation matches the engine's
+    // long output
+    "privacy_pseudonym" ->
+      """WITH c64 AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+         g AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+         fh AS (SELECT user_id, event_type, n, list_reduce(
+                  list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                    list_transform(list_filter(
+                      string_split_regex(CAST(user_id AS VARCHAR), ''),
+                      ch -> ch <> ''),
+                      ch -> CAST(unicode(ch) AS HUGEINT))),
+                  (acc, ch) -> (xor(acc, ch) * 1099511628211) %
+                    CAST(18446744073709551616 AS HUGEINT)) AS uh
+                FROM g),
+         m0 AS (SELECT *, (uh + 99 + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1
+                FROM fh CROSS JOIN c64),
+         ma AS (SELECT *, xor(x1, x1 // 1073741824) AS x2 FROM m0),
+         m1 AS (SELECT *, (x2 % 4294967296 * 484763065 +
+                ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+                * 4294967296) % m64 AS x3 FROM ma),
+         mb AS (SELECT *, xor(x3, x3 // 134217728) AS x4 FROM m1),
+         m2 AS (SELECT *, (x4 % 4294967296 * 321982955 +
+                ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+                * 4294967296) % m64 AS x5 FROM mb),
+         m3 AS (SELECT *, xor(x5, x5 // 2147483648) AS x6 FROM m2)
+         SELECT CAST(CASE WHEN x6 >= CAST(9223372036854775808 AS HUGEINT)
+             THEN x6 - CAST(18446744073709551616 AS HUGEINT)
+             ELSE x6 END AS BIGINT) AS pseudo_uid,
+           event_type, n
+         FROM m3"""
   )
 }

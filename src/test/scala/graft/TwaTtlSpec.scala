@@ -52,6 +52,23 @@ class TwaTtlSpec extends AnyFunSuite {
     assert(out("b") == (4L, 3L, true))
   }
 
+  test("pseudonymize: consistent across tables (joins survive), secret-sensitive") {
+    import graft.analytics.Privacy
+    val a = Seq((1L, "x"), (2L, "y")).toDF("uid", "pa")
+    val b = Seq((1L, "m"), (3L, "n")).toDF("uid", "pb")
+    val pa = Privacy.pseudonymize(a, Seq("uid"), secret = 5L)
+    val pb = Privacy.pseudonymize(b, Seq("uid"), secret = 5L)
+    val j = pa.join(pb, "uid").collect()
+    assert(j.length == 1 && j.head.getString(1) == "x" &&
+      j.head.getString(2) == "m") // uid 1 still joins
+    // pseudonyms differ from raw ids and across secrets
+    val raw = pa.select("uid").collect().map(_.getLong(0)).toSet
+    assert(!raw.contains(1L) && !raw.contains(2L))
+    val pa2 = Privacy.pseudonymize(a, Seq("uid"), secret = 6L)
+      .select("uid").collect().map(_.getLong(0)).toSet
+    assert((raw & pa2).isEmpty)
+  }
+
   test("noisy count: reproducible under reruns/repartition, seed-sensitive") {
     val df = (1 to 300).map(i => (s"g${i % 4}", i)).toDF("g", "x")
     def run(d: org.apache.spark.sql.DataFrame, seed: Long) =
