@@ -94,6 +94,46 @@ object SplitMix64 {
   }
 }
 
+/** 2-D Hilbert curve index (the classic xy2d bit loop — Hamilton's
+  * compact algorithm as given on the public Hilbert-curve literature):
+  * order-`order` curve over [0, 2^order)², returning the cell's
+  * position along the curve. Unlike the Morton/Z-order interleave,
+  * CONSECUTIVE indexes are always 4-adjacent cells (no Z-jumps), so
+  * range scans over a Hilbert-sorted layout touch tighter rectangles.
+  */
+object Hilbert {
+  def xy2d(order: Int, x0: Long, y0: Long): Long = {
+    var x = x0; var y = y0; var d = 0L
+    var s: Long = 1L << (order - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+}
+
+/** hilbert_index(x, y) → long (order fixed at construction; inputs
+  * must lie in [0, 2^order)).
+  */
+case class HilbertIndex(left: Expression, right: Expression, order: Int)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hilbert_index"
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Hilbert.xy2d(order, l.asInstanceOf[Long], r.asInstanceOf[Long])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** word_shingles(text, n) / char_shingles(text, n) → array<string>:
   * distinct lowercase n-gram shingles, computed in ONE pass per row.
   * A higher-order-function formulation re-evaluates the tokenizer per
@@ -653,6 +693,9 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
 object HashFunctions {
   def splitmix64_hash(c: Column): Column =
     Bridge.column(SplitMix64Hash(Bridge.expression(c)))
+  def hilbert_index(x: Column, y: Column, order: Int): Column =
+    Bridge.column(HilbertIndex(Bridge.expression(x),
+      Bridge.expression(y), order))
   def simhash64(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
   def rolling_fingerprint(c: Column): Column =
     Bridge.column(RollingFingerprint(Bridge.expression(c)))

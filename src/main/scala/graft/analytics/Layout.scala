@@ -41,6 +41,21 @@ object Layout {
     zorderKey(Seq(x, y), bits)
   }
 
+  /** Two-column Hilbert key — the locality upgrade over [[zorderKey]]:
+    * consecutive key values are always 4-adjacent grid cells (the
+    * defining curve property, asserted in spec), where the Morton
+    * order takes cross-quadrant "Z jumps", so Hilbert-sorted files
+    * cover tighter (x, y) rectangles and min/max pruning discards
+    * more. Inputs must lie in [0, 2^bits) — mask or bucket upstream.
+    * Cost: the 2-D curve only (the rotation state has no clean
+    * N-column closed form; for 3+ columns use [[zorderKey]], which is
+    * why both ship).
+    */
+  def hilbertKey(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits=$bits out of range")
+    HashFunctions.hilbert_index(x.cast("long"), y.cast("long"), bits)
+  }
+
   /** Cluster `df` for two-dimensional range pruning: range-partition
     * then sort within partitions by the Morton key of (xCol, yCol).
     * Writing the result gives each file a tight z-range, i.e. a tight

@@ -1292,6 +1292,19 @@ object Temporal {
           col("_c").cast("long").as("cnt"))
     }),
 
+    // Hilbert-curve layout key (the locality upgrade over Z-order:
+    // consecutive keys are always 4-adjacent cells, no Z-jumps) —
+    // custom codegen'd expression; the oracle unrolls all 16 rotation
+    // levels of the xy2d loop in SQL.
+    "layout_hilbert" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") < 5000)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          pmod(col("l_partkey"), lit(65536L)).as("hx"),
+          pmod(col("l_suppkey"), lit(65536L)).as("hy"))
+        .withColumn("hkey",
+          Layout.hilbertKey(col("hx"), col("hy"), bits = 16))
+    }),
+
     // Keyed pseudonymization: user ids replaced by the seeded hash,
     // consistently — per-pseudonym activity counts must equal the
     // per-user counts under the replayed mapping.
@@ -2837,6 +2850,35 @@ object Temporal {
              AS bin,
            CAST(count(*) AS BIGINT) AS cnt
          FROM events WHERE value IS NOT NULL GROUP BY 1, 2""",
+    // every rotation level of the xy2d loop unrolled: rx/ry from
+    // TWO'S-COMPLEMENT bit tests ((v >> p) & 1 — intermediates go
+    // negative after flips, where floor-div/mod would diverge from
+    // the engine's long arithmetic; DuckDB's >> is arithmetic like
+    // Java's), d += s²·xor(3rx, ry), flip+swap per the standard
+    // algorithm
+    "layout_hilbert" -> {
+      val levels = (15 to 0 by -1).zipWithIndex.map { case (p, k) =>
+        val s = 1L << p
+        val ss = s * s
+        s"""h${k + 1} AS (SELECT l_orderkey, l_linenumber, hx, hy,
+             d$k + $ss * xor(3 * rx, ry) AS d${k + 1},
+             CASE WHEN ry = 0 THEN (CASE WHEN rx = 1
+               THEN ${s - 1} - y$k ELSE y$k END) ELSE x$k END AS x${k + 1},
+             CASE WHEN ry = 0 THEN (CASE WHEN rx = 1
+               THEN ${s - 1} - x$k ELSE x$k END) ELSE y$k END AS y${k + 1}
+           FROM (SELECT *, CAST(((x$k >> $p) & 1) AS BIGINT) AS rx,
+                 CAST(((y$k >> $p) & 1) AS BIGINT) AS ry FROM h$k) t$k)"""
+      }.mkString(",\n")
+      s"""WITH h0 AS (SELECT l_orderkey, l_linenumber,
+            l_partkey % 65536 AS hx, l_suppkey % 65536 AS hy,
+            CAST(l_partkey % 65536 AS BIGINT) AS x0,
+            CAST(l_suppkey % 65536 AS BIGINT) AS y0,
+            CAST(0 AS BIGINT) AS d0
+          FROM lineitem WHERE l_orderkey < 5000),
+         $levels
+         SELECT l_orderkey, l_linenumber, hx, hy, d16 AS hkey FROM h16"""
+    },
+
     // fnv1a(decimal string of the id) + secret 99 through the same
     // splitmix chain; signed reinterpretation matches the engine's
     // long output

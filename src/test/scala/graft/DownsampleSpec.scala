@@ -122,6 +122,32 @@ class DownsampleSpec extends AnyFunSuite {
     assert(r.getAs[Double]("mae") == 7.0)
   }
 
+  test("hilbert key: bijective, consecutive cells 4-adjacent (z-order is not)") {
+    import graft.analytics.Layout
+    val order = 4 // 16x16 grid
+    val cells = for (x <- 0 until 16; y <- 0 until 16)
+      yield (x.toLong, y.toLong)
+    val keyed = Layout.hilbertKey(col("x"), col("y"), bits = order)
+    val got = cells.toDF("x", "y").withColumn("k", keyed)
+      .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    // bijection onto 0..255
+    assert(got.map(_._1).toSeq == (0L until 256L))
+    // the defining curve property: every consecutive pair of keys is
+    // Manhattan-distance 1 apart
+    val steps = got.map(_._2).toSeq.sliding(2).map { case Seq((x1, y1), (x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) }.toSeq
+    assert(steps.forall(_ == 1L), s"max step ${steps.max}")
+    // contrast: the Morton order takes cross-quadrant jumps
+    val zgot = cells.toDF("x", "y")
+      .withColumn("k", Layout.zorderKey(col("x"), col("y"), bits = order))
+      .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val zsteps = zgot.map(_._2).toSeq.sliding(2).map { case Seq((x1, y1), (x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) }.toSeq
+    assert(zsteps.max > 1L, "expected Z-jumps in the Morton order")
+  }
+
   test("exact mode: max count wins, ties to smallest value") {
     val df = Seq(("g", 5L), ("g", 5L), ("g", 3L), ("g", 3L), ("g", 9L))
       .toDF("g", "v")
