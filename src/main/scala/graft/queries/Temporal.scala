@@ -1305,6 +1305,36 @@ object Temporal {
           Layout.hilbertKey(col("hx"), col("hy"), bits = 16))
     }),
 
+    // The Hilbert adjacency property turned into the metric that
+    // matters: lay the same rows out as 16 files under the Hilbert
+    // vs the Morton key (deterministic ntile over the key order — the
+    // oracle-replicable stand-in for repartitionByRange, whose
+    // sampling is nondeterministic), collect min/max file stats on
+    // (hx, hy), and count files a rectangle query must read. Tighter
+    // curves ⇒ tighter per-file bounding boxes ⇒ fewer files.
+    "layout_hilbert_prune" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") < 5000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          pmod(col("l_partkey"), lit(256L)).as("hx"),
+          pmod(col("l_orderkey"), lit(256L)).as("hy"))
+      def layout(name: String, key: org.apache.spark.sql.Column) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(key, col("l_orderkey"), col("l_linenumber"))
+        val files = Layout.fileStats(
+          li.withColumn("file", ntile(16).over(w)), "file",
+          Seq("hx", "hy"))
+        files.agg(count(lit(1)).as("files_total"),
+          sum(when(col("min_hx") <= 143L && col("max_hx") >= 112L &&
+            col("min_hy") <= 143L && col("max_hy") >= 112L, lit(1L))
+            .otherwise(lit(0L))).as("files_read"))
+          .select(lit(name).as("layout"), col("files_total"),
+            col("files_read"))
+      }
+      layout("hilbert", Layout.hilbertKey(col("hx"), col("hy"), 8))
+        .unionByName(layout("zorder",
+          Layout.zorderKey(col("hx"), col("hy"), 8)))
+    }),
+
     // Keyed pseudonymization: user ids replaced by the seeded hash,
     // consistently — per-pseudonym activity counts must equal the
     // per-user counts under the replayed mapping.
@@ -2877,6 +2907,52 @@ object Temporal {
           FROM lineitem WHERE l_orderkey < 5000),
          $levels
          SELECT l_orderkey, l_linenumber, hx, hy, d16 AS hkey FROM h16"""
+    },
+
+    // both layouts replayed end to end: the 8-level hilbert unroll /
+    // morton interleave, the deterministic ntile file assignment, the
+    // min/max stats and the rectangle read-set count
+    "layout_hilbert_prune" -> {
+      val levels = (7 to 0 by -1).zipWithIndex.map { case (p, k) =>
+        val s = 1L << p
+        val ss = s * s
+        s"""h${k + 1} AS (SELECT l_orderkey, l_linenumber, hx, hy,
+             d$k + $ss * xor(3 * rx, ry) AS d${k + 1},
+             CASE WHEN ry = 0 THEN (CASE WHEN rx = 1
+               THEN ${s - 1} - y$k ELSE y$k END) ELSE x$k END AS x${k + 1},
+             CASE WHEN ry = 0 THEN (CASE WHEN rx = 1
+               THEN ${s - 1} - x$k ELSE x$k END) ELSE y$k END AS y${k + 1}
+           FROM (SELECT *, CAST(((x$k >> $p) & 1) AS BIGINT) AS rx,
+                 CAST(((y$k >> $p) & 1) AS BIGINT) AS ry FROM h$k) t$k)"""
+      }.mkString(",\n")
+      val zkey = (0 until 8).flatMap(i => Seq(
+        s"(((hx >> $i) & 1) << ${2 * i})",
+        s"(((hy >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""WITH base AS (SELECT l_orderkey, l_linenumber,
+            l_partkey % 256 AS hx, l_orderkey % 256 AS hy
+          FROM lineitem WHERE l_orderkey < 5000),
+         h0 AS (SELECT *, CAST(hx AS BIGINT) AS x0,
+            CAST(hy AS BIGINT) AS y0, CAST(0 AS BIGINT) AS d0 FROM base),
+         $levels,
+         hfile AS (SELECT hx, hy, ntile(16) OVER (ORDER BY d8,
+            l_orderkey, l_linenumber) AS f FROM h8),
+         hstat AS (SELECT f, min(hx) AS mnx, max(hx) AS mxx,
+            min(hy) AS mny, max(hy) AS mxy FROM hfile GROUP BY 1),
+         hagg AS (SELECT 'hilbert' AS layout,
+            CAST(count(*) AS BIGINT) AS files_total,
+            CAST(sum(CASE WHEN mnx <= 143 AND mxx >= 112 AND mny <= 143
+              AND mxy >= 112 THEN 1 ELSE 0 END) AS BIGINT) AS files_read
+           FROM hstat),
+         zfile AS (SELECT hx, hy, ntile(16) OVER (ORDER BY ($zkey),
+            l_orderkey, l_linenumber) AS f FROM base),
+         zstat AS (SELECT f, min(hx) AS mnx, max(hx) AS mxx,
+            min(hy) AS mny, max(hy) AS mxy FROM zfile GROUP BY 1),
+         zagg AS (SELECT 'zorder' AS layout,
+            CAST(count(*) AS BIGINT) AS files_total,
+            CAST(sum(CASE WHEN mnx <= 143 AND mxx >= 112 AND mny <= 143
+              AND mxy >= 112 THEN 1 ELSE 0 END) AS BIGINT) AS files_read
+           FROM zstat)
+         SELECT * FROM hagg UNION ALL SELECT * FROM zagg"""
     },
 
     // fnv1a(decimal string of the id) + secret 99 through the same
