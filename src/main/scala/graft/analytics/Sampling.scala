@@ -16,6 +16,28 @@ import HashFunctions._
   */
 object Sampling {
 
+  /** Leakage-free TEMPORAL train/test split with an embargo gap
+    * (the purged split of de Prado's backtesting literature): train =
+    * strictly before `splitAt − embargo`, test = at/after `splitAt`,
+    * and the embargo window in between is DROPPED — rows whose
+    * influence straddles the boundary (trailing features, label
+    * horizons) can otherwise leak test information into training.
+    * The group-hash split in this file protects against ENTITY
+    * leakage; this one protects against TIME leakage — a forecasting
+    * eval needs both. Row-local assignment, zero shuffle.
+    */
+  def timeSplit(
+      df: DataFrame,
+      timeCol: String,
+      splitAt: Long,
+      embargo: Long): DataFrame = {
+    require(embargo >= 0, s"embargo=$embargo")
+    df.withColumn("split",
+      when(col(timeCol) < lit(splitAt - embargo), lit("train"))
+        .when(col(timeCol) >= lit(splitAt), lit("test"))
+        .otherwise(lit("embargo")))
+  }
+
   /** 4096 hash buckets via bit extraction — shift/mask is identical on
     * signed and unsigned interpretations, so engine parity is trivial.
     */

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.{Baskets, Graph, Joins, Layout, Sequences, Sketch, Stats, Temporal => TOps}
+import graft.analytics.{Baskets, Graph, Joins, Layout, Sampling, Sequences, Sketch, Stats, Temporal => TOps}
 
 /** Temporal-join and sketch gate rows. The DuckDB oracles are
   * independent formulations: ASOF LEFT JOIN for the as-of operator
@@ -1333,6 +1333,19 @@ object Temporal {
       layout("hilbert", Layout.hilbertKey(col("hx"), col("hy"), 8))
         .unionByName(layout("zorder",
           Layout.zorderKey(col("hx"), col("hy"), 8)))
+    }),
+
+    // Leakage-free temporal split with a 1-day embargo: train strictly
+    // before split−embargo, test at/after split, the gap dropped —
+    // the TIME-leakage counterpart of the hash-based grouped split.
+    "sample_time_split" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Sampling.timeSplit(
+          ev.select(col("event_type"), tsEpochSeconds(ev).as("ts_s")),
+          "ts_s", splitAt = 1705363200L, embargo = 86400L)
+        .groupBy(col("split"), col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("ts_s")).as("min_ts"),
+          max(col("ts_s")).as("max_ts"))
     }),
 
     // Keyed pseudonymization: user ids replaced by the seeded hash,
@@ -2955,6 +2968,19 @@ object Temporal {
          SELECT * FROM hagg UNION ALL SELECT * FROM zagg"""
     },
 
+    "sample_time_split" ->
+      """WITH e AS (SELECT event_type,
+              epoch_ns(ts) // 1000000000 AS ts_s
+            FROM events),
+         s AS (SELECT event_type, ts_s,
+                CASE WHEN ts_s < 1705276800 THEN 'train'
+                     WHEN ts_s >= 1705363200 THEN 'test'
+                     ELSE 'embargo' END AS split
+               FROM e)
+         SELECT split, event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(ts_s) AS BIGINT) AS min_ts,
+           CAST(max(ts_s) AS BIGINT) AS max_ts
+         FROM s GROUP BY 1, 2""",
     // fnv1a(decimal string of the id) + secret 99 through the same
     // splitmix chain; signed reinterpretation matches the engine's
     // long output

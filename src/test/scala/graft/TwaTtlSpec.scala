@@ -52,6 +52,16 @@ class TwaTtlSpec extends AnyFunSuite {
     assert(out("b") == (4L, 3L, true))
   }
 
+  test("time split: embargo rows dropped from both sides, boundaries half-open") {
+    import graft.analytics.Sampling
+    val df = Seq(99L, 100L, 149L, 150L, 199L, 200L, 201L)
+      .map(("e", _)).toDF("g", "t")
+    val got = Sampling.timeSplit(df, "t", splitAt = 200L, embargo = 50L)
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(got == Map(99L -> "train", 100L -> "train", 149L -> "train",
+      150L -> "embargo", 199L -> "embargo", 200L -> "test", 201L -> "test"))
+  }
+
   test("pseudonymize: consistent across tables (joins survive), secret-sensitive") {
     import graft.analytics.Privacy
     val a = Seq((1L, "x"), (2L, "y")).toDF("uid", "pa")
