@@ -1016,9 +1016,13 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(windowSize >= 2 && keyLen >= 1 && threshold > 0)
     val norm = array_join(split(trim(lower(col(textCol))), "\\s+"), " ")
+    // array_remove("") as in containmentJoin's words(): a blank or
+    // whitespace-only document otherwise carries the single token
+    // [""] and Jaccard-matches every other blank doc at 1.0
     val base = df.select(col(blockCol).as("_b"), col(idCol).as("_id"),
       substring(norm, 1, keyLen).as("_k"),
-      array_distinct(split(trim(lower(col(textCol))), "\\s+")).as("_toks"))
+      array_remove(array_distinct(
+        split(trim(lower(col(textCol))), "\\s+")), "").as("_toks"))
     val w = Window.partitionBy(col("_b")).orderBy(col("_k"), col("_id"))
     // windows first (a generator cannot host window expressions),
     // then the explode over plain columns
@@ -1032,10 +1036,13 @@ object Dedup {
       .filter(col("_nbr").isNotNull)
       .withColumn("_ni",
         size(array_intersect(col("_toks"), col("_nbr._toks"))))
+      .withColumn("_nu",
+        size(col("_toks")) + size(col("_nbr._toks")) - col("_ni"))
+      // two empty token sets (blank docs) have union 0: no pair, not
+      // a 0/0 (ANSI division error / false jaccard-1.0 match)
       .withColumn("jaccard",
-        col("_ni").cast("double") /
-          (size(col("_toks")) + size(col("_nbr._toks")) - col("_ni"))
-            .cast("double"))
+        when(col("_nu") > 0,
+          col("_ni").cast("double") / col("_nu").cast("double")))
       .filter(col("jaccard") >= threshold)
       .select(least(col("_id"), col("_nbr._id")).as("id_a"),
         greatest(col("_id"), col("_nbr._id")).as("id_b"),

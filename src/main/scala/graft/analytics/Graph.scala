@@ -26,11 +26,20 @@ object Graph {
     * checkpoint is needed for small iteration budgets; persist the
     * edge list upstream if the input scan is expensive.
     *
-    * `deterministic = true` replaces the in-neighbor `sum` with a
-    * sequential fold in src order (the gate/oracle mode — bit-stable
-    * under any partitioning). Production mode uses the plain
-    * map-side-combined sum: at 1e-16-level reorder noise per
-    * iteration, rank ORDER is what downstream consumers read.
+    * MODE CONTRACT — `deterministic = true` is the ORACLE mode, not
+    * the production mode: it replaces the in-neighbor `sum` with a
+    * sequential fold in src order (`collect_list` + `array_sort`),
+    * bit-stable under any partitioning so a DuckDB replay can hash-
+    * match, but it builds each node's full in-neighbor list in ONE
+    * aggregation buffer — a hub with 10^7 in-edges means a 10^7-
+    * element array on one task. Use it only for conformance replay
+    * on bounded graphs (`maxInDegree` enforces this loudly: the
+    * deterministic pass first asserts no node's in-degree exceeds
+    * it, failing fast instead of OOMing an executor). Production
+    * mode (`deterministic = false`, the default) is the 100 TB path:
+    * a plain map-side-combined `sum` — constant-size aggregation
+    * state per node, 1e-16-level reorder noise per iteration, and
+    * rank ORDER is what downstream consumers read.
     */
   def pageRank(
       edges: DataFrame,
@@ -40,9 +49,11 @@ object Graph {
       damping: Double = 0.85,
       deterministic: Boolean = false,
       eager: Boolean = true,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      maxInDegree: Int = 1000000): DataFrame = {
     require(iterations >= 1 && iterations <= 50, s"iterations=$iterations")
     require(damping > 0 && damping < 1, s"damping=$damping")
+    require(maxInDegree >= 1, s"maxInDegree=$maxInDegree")
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
       .distinct()
     // nodes and the degree-annotated edge list are referenced every
@@ -60,6 +71,17 @@ object Graph {
     require(n > 0, "empty graph")
     val outdeg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
     val ew = e.join(outdeg, "_src").persist(storage)
+    if (deterministic) {
+      // oracle mode builds per-node in-neighbor arrays: fail fast on
+      // hub graphs instead of OOMing one aggregation buffer (the
+      // production sum path has no such limit).
+      val hubs = e.groupBy(col("_dst")).agg(count(lit(1)).as("_ind"))
+        .filter(col("_ind") > maxInDegree).limit(1).count()
+      require(hubs == 0,
+        s"deterministic pageRank: a node exceeds maxInDegree=$maxInDegree " +
+          "(oracle mode collects in-neighbor lists; use deterministic=false " +
+          "for hub graphs or raise maxInDegree)")
+    }
     val teleport = 1.0 - damping
     var ranks = nodes.select(col("node"), lit(1.0 / n.toDouble).as("rank"))
     for (_ <- 1 to iterations) {
@@ -93,12 +115,23 @@ object Graph {
     // leaking into the caller's session. Parquet-spill, NOT
     // localCheckpoint: Dataset.localCheckpoint plans through .rdd,
     // which bypasses AQE — measured 8 s of extra sort-merge work on
-    // the sf0.1 gate graph where the adaptive plan broadcasts. The
-    // default temp dir is single-node; pass `checkpointDir` on a
-    // shared filesystem for clusters (`eager = false` opts out and
+    // the sf0.1 gate graph where the adaptive plan broadcasts. Spill
+    // dir resolution: explicit `checkpointDir`, else the session's
+    // configured checkpoint dir (a shared filesystem on clusters),
+    // else a driver-local temp dir ONLY in local mode — on a cluster
+    // a local path is not visible to executors, so we fail loudly
+    // instead of writing partial data (`eager = false` opts out and
     // leaves the caches to the caller).
-    val dir = checkpointDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft-pagerank").toString)
+    val sc = edges.sparkSession.sparkContext
+    val dir = checkpointDir
+      .orElse(sc.getCheckpointDir)
+      .getOrElse {
+        require(sc.isLocal,
+          "pageRank(eager=true) on a cluster needs a shared-filesystem " +
+            "spill dir: pass checkpointDir or set " +
+            "SparkContext.setCheckpointDir (or use eager=false)")
+        java.nio.file.Files.createTempDirectory("graft-pagerank").toString
+      }
     val out = dir + "/ranks"
     ranks.write.mode("overwrite").parquet(out)
     ew.unpersist(false)
@@ -178,18 +211,30 @@ object Graph {
     * score is one IEEE division.
     *
     * Scale shape: candidates are generated by the wedge join (common
-    * neighbor as the join key), so the pair space is Σ deg² — the
-    * degree-capped wedge bound, never all-pairs. One anti-join drops
-    * already-connected pairs; degree lookups are two joins against a
-    * node-sized table. Cap hub degrees upstream (drop stopword-like
-    * hub nodes) exactly as text pipelines cap document frequency.
+    * neighbor as the join key), so the pair space is Σ deg² — and a
+    * single celebrity pivot of degree d would emit d² candidate rows
+    * in one key's bucket. `maxDegree` ENFORCES the bound (the
+    * `maxBucket`/`boundedSelfPairs` discipline applied to the wedge
+    * join): nodes whose degree exceeds it are excluded as PIVOTS
+    * (common neighbors), capping candidate generation at
+    * Σ deg² ≤ maxDegree · 2m rows, exactly as text pipelines cap document
+    * frequency — a stopword-like hub mediating millions of pairs
+    * carries no linkage signal anyway. Endpoint degrees in the
+    * Jaccard denominator stay the TRUE degrees, so scores for
+    * surviving pairs are exact over the capped candidate set; the
+    * recall contract is "pairs whose only common neighbors are hubs
+    * above the cap are not scored". One anti-join drops already-
+    * connected pairs; degree lookups are two joins against a
+    * node-sized table.
     */
   def jaccardLinks(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double,
+      maxDegree: Int = 100000): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1, s"minJaccard=$minJaccard")
+    require(maxDegree >= 2, s"maxDegree=$maxDegree")
     val e0 = edges
       .select(least(col(srcCol), col(dstCol)).as("_u"),
         greatest(col(srcCol), col(dstCol)).as("_v"))
@@ -198,8 +243,12 @@ object Graph {
     val adj = e0.select(col("_u").as("_n"), col("_v").as("_nbr"))
       .union(e0.select(col("_v").as("_n"), col("_u").as("_nbr")))
     val deg = adj.groupBy(col("_n")).agg(count(lit(1)).as("_d"))
-    val common = adj.as("a1")
-      .join(adj.select(col("_n"), col("_nbr").as("_nbr2")).as("a2"),
+    // pivot side: hub nodes above the cap never mediate candidates —
+    // the wedge join's per-key fan-out is ≤ maxDegree² by construction
+    val pivotAdj = adj.join(
+        deg.filter(col("_d") <= maxDegree).select(col("_n")), "_n")
+    val common = pivotAdj.as("a1")
+      .join(pivotAdj.select(col("_n"), col("_nbr").as("_nbr2")).as("a2"),
         col("a1._n") === col("a2._n") && col("a1._nbr") < col("_nbr2"))
       .groupBy(col("a1._nbr").as("_x"), col("_nbr2").as("_y"))
       .agg(count(lit(1)).as("common"))

@@ -302,9 +302,14 @@ object Stats {
     * the two exact longs in one fixed expression. The daily-revenue-
     * trend shape: one window (group min) + one aggregation.
     *
-    * Exactness window: the cross terms must fit a signed 64-bit long
-    * (n·Σxy ≲ 9.2e18) — holds to ~1e5 rows/group at cent precision
-    * and x-spans of weeks; widen to decimal output past that.
+    * Exactness window: the rational is computed in decimal(38,0)
+    * (never overflows in practice); the convenience `slope_num`/
+    * `slope_den` LONG columns are populated only while the rational
+    * fits a signed 64-bit value (n·Σxy ≲ 9.2e18, ~1e5 rows/group at
+    * cent precision and x-spans of weeks) — beyond it they are null
+    * and the boolean `exact` column flips to false LOUDLY instead of
+    * a silent non-ANSI null-cast, while `slope`/`intercept` keep
+    * flowing from the decimal rational (double-rounded, not lost).
     */
   def linearTrend(
       df: DataFrame,
@@ -326,17 +331,22 @@ object Stats {
         sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
         sum(col("_x") * col("_y")).as("_sxy"),
         sum(col("_x") * col("_x")).as("_sxx"))
-    val num = (col("_n") * col("_sxy") - col("_sx") * col("_sy"))
-      .cast("long")
-    val den = (col("_n") * col("_sxx") - col("_sx") * col("_sx"))
-      .cast("long")
-    val slope = num.cast("double") / den.cast("double")
-    val nD = col("_n").cast("long").cast("double")
-    val intercept = (col("_sy").cast("long").cast("double") / nD -
-      slope * col("_sx").cast("long").cast("double") / nD) /
+    val numD = col("_n") * col("_sxy") - col("_sx") * col("_sy")
+    val denD = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+    val maxL = lit("9223372036854775807").cast(d38)
+    val inRange = abs(numD) <= maxL && abs(denD) <= maxL
+    // the doubles derive from the DECIMAL rational (BigDecimal
+    // round-to-nearest — identical to long→double inside the long
+    // window, still correct beyond it), never from a silent long cast
+    val slope = numD.cast("double") / denD.cast("double")
+    val nD = col("_n").cast("double")
+    val intercept = (col("_sy").cast("double") / nD -
+      slope * col("_sx").cast("double") / nD) /
       lit(math.pow(10, scale))
     s.select(g ++ Seq(col("_n").cast("long").as("n"),
-      num.as("slope_num"), den.as("slope_den"),
+      when(inRange, numD.cast("long")).as("slope_num"),
+      when(inRange, denD.cast("long")).as("slope_den"),
+      inRange.as("exact"),
       (slope / lit(math.pow(10, scale))).as("slope"),
       intercept.as("intercept")): _*)
   }

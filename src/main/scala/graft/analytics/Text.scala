@@ -750,15 +750,30 @@ object Text {
       seqs = seqs.select(col("_id"), rewritten.as("_toks")).persist(storage)
       cached += seqs
     }
-    val out = seqs.select(explode(col("_toks")).as("token"))
+    val out = seqs
+      .select(explode(col("_toks")).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    // eager like pageRank/components: materialize before releasing
-    // the per-round fences (the vocab table is tiny)
-    val rows = out.collect().toSeq
-    cached.foreach(_.unpersist(false))
+    // eager like pageRank/components — but the vocab STAYS
+    // DISTRIBUTED: an open-vocabulary token table over a 100 TB
+    // corpus is tens of millions of rows, so collecting it to the
+    // driver (the pre-round-9 shape) is an OOM + single-partition
+    // bottleneck. Parquet-spill (pageRank's eager-tail pattern, with
+    // the same dir resolution: session checkpoint dir on clusters,
+    // local temp only in local mode) materializes the table so the
+    // per-round fences can be released without leaking a persisted
+    // frame into the caller's session.
     val spark = df.sparkSession
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), out.schema)
+    val sc = spark.sparkContext
+    val dir = sc.getCheckpointDir.getOrElse {
+      require(sc.isLocal,
+        "bpeApply on a cluster needs a shared-filesystem spill dir: " +
+          "set SparkContext.setCheckpointDir")
+      java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    }
+    val path = dir + "/bpe-vocab-" + java.util.UUID.randomUUID().toString
+    out.write.mode("overwrite").parquet(path)
+    cached.foreach(_.unpersist(false))
+    spark.read.parquet(path)
   }
 }

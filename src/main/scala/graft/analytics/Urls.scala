@@ -19,7 +19,11 @@ object Urls {
 
   /** Syntax-canonical form of an absolute URL:
     *  - fragment dropped;
-    *  - scheme and host lowercased;
+    *  - `userinfo@` dropped (credentials never identify a page, and
+    *    the crawl store must not key on them);
+    *  - scheme and host lowercased; bracketed IPv6 literals
+    *    (`[::1]:8080`) keep their brackets and split host/port on the
+    *    colon AFTER the closing bracket, not inside the address;
     *  - default port stripped (`:80` for http, `:443` for https);
     *  - empty path normalized to `/`;
     *  - query parameters: `utm_*` tracking params and empty segments
@@ -36,9 +40,22 @@ object Urls {
     // authority ends at the first '/' OR '?' (fragment already gone)
     val hostport = substring_index(substring_index(rest, "/", 1), "?", 1)
     val pathq = rest.substr(length(hostport) + 1, lit(1 << 20))
-    val host = lower(substring_index(hostport, ":", 1))
-    val port = when(hostport.contains(":"),
-      substring_index(hostport, ":", -1)).otherwise(lit(""))
+    // userinfo (user:pass@) stripped BEFORE host/port splitting —
+    // otherwise 'pass@host' masquerades as the port and the host is
+    // never isolated; substring_index(-1) takes after the LAST '@'
+    val auth = when(hostport.contains("@"),
+      substring_index(hostport, "@", -1)).otherwise(hostport)
+    // bracketed IPv6: host is everything through ']', the port split
+    // is on ']:' — a bare ':' inside the address is not a port
+    val bracketed = auth.startsWith("[")
+    val host = lower(when(bracketed,
+      concat(substring_index(auth, "]", 1), lit("]")))
+      .otherwise(substring_index(auth, ":", 1)))
+    val port = when(bracketed,
+      when(auth.contains("]:"), substring_index(auth, "]:", -1))
+        .otherwise(lit("")))
+      .otherwise(when(auth.contains(":"),
+        substring_index(auth, ":", -1)).otherwise(lit("")))
     val keepPort = port =!= "" &&
       !(scheme === "http" && port === "80") &&
       !(scheme === "https" && port === "443")

@@ -2065,7 +2065,7 @@ object Analytics {
            WHERE doc_id % 10 = 0),
          base AS (SELECT lang AS b, doc_id AS id,
            substr(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' '), 1, 32) AS k,
-           list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+           list_filter(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')), t -> t <> '') AS toks
            FROM corpus),
          led AS (SELECT b, id, k, toks,
            lead(id, 1) OVER (PARTITION BY b ORDER BY k, id) AS id1,
@@ -2078,8 +2078,10 @@ object Analytics {
            UNION ALL
            SELECT id, id2, toks, toks2 FROM led WHERE id2 IS NOT NULL),
          jac AS (SELECT id, nid,
-           CAST(len(list_intersect(toks, ntoks)) AS DOUBLE) /
-           CAST(len(toks) + len(ntoks) - len(list_intersect(toks, ntoks)) AS DOUBLE) AS jaccard
+           CASE WHEN len(toks) + len(ntoks) - len(list_intersect(toks, ntoks)) > 0
+             THEN CAST(len(list_intersect(toks, ntoks)) AS DOUBLE) /
+             CAST(len(toks) + len(ntoks) - len(list_intersect(toks, ntoks)) AS DOUBLE)
+           END AS jaccard
            FROM pairs)
          SELECT least(id, nid) AS id_a, greatest(id, nid) AS id_b, jaccard
          FROM jac WHERE jaccard >= CAST(0.5 AS DOUBLE)""",

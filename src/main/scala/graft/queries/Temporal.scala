@@ -1542,8 +1542,14 @@ object Temporal {
                 CAST(sum(x * x) AS HUGEINT) AS sxx
                FROM b GROUP BY 1)
          SELECT g AS event_type, CAST(n AS BIGINT) AS n,
-           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
-           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CASE WHEN abs(n * sxy - sx * sy) <= CAST('9223372036854775807' AS HUGEINT) AND
+                     abs(n * sxx - sx * sx) <= CAST('9223372036854775807' AS HUGEINT)
+             THEN CAST(n * sxy - sx * sy AS BIGINT) END AS slope_num,
+           CASE WHEN abs(n * sxy - sx * sy) <= CAST('9223372036854775807' AS HUGEINT) AND
+                     abs(n * sxx - sx * sx) <= CAST('9223372036854775807' AS HUGEINT)
+             THEN CAST(n * sxx - sx * sx AS BIGINT) END AS slope_den,
+           (abs(n * sxy - sx * sy) <= CAST('9223372036854775807' AS HUGEINT) AND
+            abs(n * sxx - sx * sx) <= CAST('9223372036854775807' AS HUGEINT)) AS exact,
            (CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE) /
             CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE)) /
             CAST(100 AS DOUBLE) AS slope,
