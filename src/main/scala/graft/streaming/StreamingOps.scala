@@ -379,9 +379,24 @@ object StreamingOps {
     *
     * Key and time must be long-castable; output is
     * (keyCol, steps_reached, step_times).
+    *
+    * `eventTimeCol` + `ttl`: optional watermark-driven state TTL, the
+    * same mechanics as [[sessionizeStream]]'s — a key quiet for a
+    * full ttl of EVENT time is evicted once the watermark passes
+    * (EventTimeTimeout with the straggler-safe clamp: the timeout
+    * target is max(batch-max event time, watermark + 1) + ttl, so a
+    * late batch can never request a timestamp the store rejects).
+    * Eviction forgets a dormant key's funnel progress — events
+    * arriving after eviction restart it at step 0 — so pick ttl ≥
+    * the funnel's conversion window; within the horizon, emitted
+    * (steps_reached, step_times) are UNCHANGED by TTL (the gate row
+    * runs without it for exact batch parity, a weeks-running stream
+    * runs with it because per-key state forever is the alternative).
     */
   def funnelStepsStream(df: DataFrame, keyCol: String, typeCol: String,
-                        timeCol: String, steps: Seq[String]): DataFrame = {
+                        timeCol: String, steps: Seq[String],
+                        eventTimeCol: Option[String] = None,
+                        ttl: String = "1 hour"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       "steps must be non-empty and distinct")
@@ -390,23 +405,42 @@ object StreamingOps {
     val idxCol = steps.zipWithIndex.foldLeft(lit(null).cast("int")) {
       case (acc, (st, i)) => when(col(typeCol) === st, lit(i + 1)).otherwise(acc)
     }
-    df.select(col(keyCol).cast("long"), col(timeCol).cast("long"),
-        idxCol.as("_si"))
+    val in = eventTimeCol match {
+      case Some(tc) => df.withWatermark(tc, ttl)
+      case None => df
+    }
+    val et = eventTimeCol.map(col).getOrElse(lit(null).cast("timestamp"))
+    val timeoutConf =
+      if (eventTimeCol.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    in.select(col(keyCol).cast("long"), col(timeCol).cast("long"),
+        idxCol.as("_si"), et.as("_et"))
       .filter(col("_si").isNotNull)
-      .as[(Long, Long, Int)]
+      .as[(Long, Long, Int, Option[java.sql.Timestamp])]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (k: Long, rows: Iterator[(Long, Long, Int)],
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(
+        (k: Long, rows: Iterator[(Long, Long, Int, Option[java.sql.Timestamp])],
          state: GroupState[(Int, Seq[Long])]) => {
-          var (r, ts) = state.getOption.getOrElse((0, Seq.empty[Long]))
-          // same tie order as the batch fold: earlier step sorts first
-          // at an equal instant, so a later step CAN be reached at the
-          // same time as its predecessor
-          rows.toArray.sortBy(e => (e._2, e._3)).foreach { case (_, t, si) =>
-            if (si == r + 1) { r += 1; ts = ts :+ t }
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var (r, ts) = state.getOption.getOrElse((0, Seq.empty[Long]))
+            // same tie order as the batch fold: earlier step sorts first
+            // at an equal instant, so a later step CAN be reached at the
+            // same time as its predecessor
+            val evs = rows.toArray.sortBy(e => (e._2, e._3))
+            evs.foreach { case (_, t, si, _) =>
+              if (si == r + 1) { r += 1; ts = ts :+ t }
+            }
+            state.update((r, ts))
+            if (timeoutConf == GroupStateTimeout.EventTimeTimeout) {
+              val wm = state.getCurrentWatermarkMs()
+              evs.flatMap(_._4).map(_.getTime).maxOption.foreach(ms =>
+                state.setTimeoutTimestamp(math.max(ms, wm + 1), ttl))
+            }
+            Iterator.single((k, r, ts))
           }
-          state.update((r, ts))
-          Iterator.single((k, r, ts))
         })
       .toDF(keyCol, "steps_reached", "step_times")
   }

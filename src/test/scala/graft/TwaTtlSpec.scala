@@ -153,4 +153,69 @@ class TwaTtlSpec extends AnyFunSuite {
       assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
     } finally q.stop()
   }
+
+  test("funnelStepsStream TTL: in-horizon funnel unchanged, idle keys evicted, state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long, java.sql.Timestamp)]
+    val out = StreamingOps.funnelStepsStream(
+      in.toDF().toDF("user", "etype", "ts_s", "ts"),
+      "user", "etype", "ts_s", Seq("view", "cart", "buy"),
+      eventTimeCol = Some("ts"), ttl = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("funnel_ttl_out")
+      .outputMode("update").start()
+    def stateRows: Long = {
+      val p = q.lastProgress
+      if (p == null || p.stateOperators.isEmpty) -1L
+      else p.stateOperators.map(_.numRowsTotal).sum
+    }
+    try {
+      // b1: u1 views+carts — funnel advances to 2 within the batch
+      in.addData((1L, "view", 36000L, ts("2026-01-01 10:00:00")),
+        (1L, "cart", 36060L, ts("2026-01-01 10:01:00")))
+      q.processAllAvailable()
+      // b2 inside the horizon: buy completes the funnel ACROSS batches
+      in.addData((1L, "buy", 36240L, ts("2026-01-01 10:04:00")))
+      q.processAllAvailable()
+      // b3: u2 an hour later pushes the watermark past u1's timeout
+      in.addData((2L, "view", 39600L, ts("2026-01-01 11:00:00")))
+      q.processAllAvailable()
+      val afterEvict = stateRows
+      // b4: u1 returns after eviction — progress forgotten, restarts
+      // at step 1 (the documented TTL trade)
+      in.addData((1L, "view", 39900L, ts("2026-01-01 11:05:00")))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_ttl_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
+      // in-horizon emissions are exactly the no-TTL fold: u1 reaches
+      // 2 in b1 then 3 in b2 with the reached-step times preserved
+      assert(rows.contains((1L, 2, Seq(36000L, 36060L))), rows.mkString(";"))
+      assert(rows.contains((1L, 3, Seq(36000L, 36060L, 36240L))),
+        rows.mkString(";"))
+      assert(afterEvict == 1L,
+        s"u1 should be evicted after the watermark passed: $afterEvict")
+      assert(rows.contains((1L, 1, Seq(39900L))),
+        s"post-eviction u1 must restart at step 1: ${rows.mkString(";")}")
+    } finally q.stop()
+  }
+
+  test("funnelStepsStream without TTL matches the TTL path inside the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long, java.sql.Timestamp)]
+    val out = StreamingOps.funnelStepsStream(
+      in.toDF().toDF("user", "etype", "ts_s", "ts"),
+      "user", "etype", "ts_s", Seq("view", "cart", "buy"))
+    val q = out.writeStream.format("memory").queryName("funnel_nottl_out")
+      .outputMode("update").start()
+    try {
+      in.addData((1L, "view", 36000L, ts("2026-01-01 10:00:00")),
+        (1L, "cart", 36060L, ts("2026-01-01 10:01:00")))
+      q.processAllAvailable()
+      in.addData((1L, "buy", 36240L, ts("2026-01-01 10:04:00")))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_nottl_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2))).toSet
+      assert(rows == Set((1L, 2, Seq(36000L, 36060L)),
+        (1L, 3, Seq(36000L, 36060L, 36240L))), rows.mkString(";"))
+    } finally q.stop()
+  }
 }
