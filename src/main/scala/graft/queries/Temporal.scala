@@ -27,6 +27,26 @@ object Temporal {
       expr("ts div 1000000000")
     else unix_timestamp(col("ts"))
 
+  /** The streaming-twin gate rows drive REAL multi-batch streams via
+    * a MemoryStream harness; their cost is dominated not by data but
+    * by per-micro-batch state-store machinery proportional to
+    * `spark.sql.shuffle.partitions` (e.g. stream_join: 32 state
+    * partitions × 2 sides × 2 batches of store init/commit for 40k
+    * fed rows). A real deployment sizes state partitions to key
+    * cardinality; for a few-thousand-key harness feed, 4 is the
+    * honest setting. Scoped to the harness-driven query ONLY — the
+    * session value is restored before the returned (batch) frame is
+    * executed, and join/fold results are partition-count-invariant,
+    * so gate hashes are unchanged (measured: stream_join 13.4 → ~4 s,
+    * PERF round 9).
+    */
+  private def withScopedShuffle[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Purchase attribution: every click/view gets the same user's most
     // recent purchase at-or-before it (left-outer as-of). The purchase
@@ -556,16 +576,18 @@ object Temporal {
         .as[(Long, String, Long)].collect()
       val split = 1705363200L // 2024-01-16T00:00:00Z
       val (b1, b2) = rows.partition(_._3 <= split)
-      val in = MemoryStream[(Long, String, Long)]
-      val out = graft.streaming.StreamingOps.funnelStepsStream(
-        in.toDF().toDF("user_id", "event_type", "ts_s"),
-        "user_id", "event_type", "ts_s", Seq("view", "click", "purchase"))
-      val q = out.writeStream.format("memory")
-        .queryName("funnel_stream_out").outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String, Long)]
+        val out = graft.streaming.StreamingOps.funnelStepsStream(
+          in.toDF().toDF("user_id", "event_type", "ts_s"),
+          "user_id", "event_type", "ts_s", Seq("view", "click", "purchase"))
+        val q = out.writeStream.format("memory")
+          .queryName("funnel_stream_out").outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.table("funnel_stream_out")
         .select(col("user_id"),
           struct(col("steps_reached"),
@@ -658,16 +680,18 @@ object Temporal {
         .as[(Long, Long, Long)].collect()
       val split = 1705363200L // 2024-01-16T00:00:00Z
       val (b1, b2) = rows.partition(_._3 <= split)
-      val in = MemoryStream[(Long, Long, Long)]
-      val out = graft.streaming.StreamingOps.sessionizeStream(
-        in.toDF().toDF("event_id", "user_id", "ts_s"),
-        "user_id", "ts_s", "event_id", gapSeconds = 1800L)
-      val q = out.writeStream.format("memory")
-        .queryName("session_stream_out").outputMode("append").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, Long, Long)]
+        val out = graft.streaming.StreamingOps.sessionizeStream(
+          in.toDF().toDF("event_id", "user_id", "ts_s"),
+          "user_id", "ts_s", "event_id", gapSeconds = 1800L)
+        val q = out.writeStream.format("memory")
+          .queryName("session_stream_out").outputMode("append").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.table("session_stream_out")
         .select(col("event_id"), col("user_id"), col("ts_s"),
           col("session_seq"))
@@ -1011,17 +1035,19 @@ object Temporal {
         .as[(String, Long)].collect()
       val split = 1705363200L
       val (b1, b2) = rows.partition(_._2 <= split)
-      val in = MemoryStream[(String, Long)]
-      val agg = in.toDF().toDF("event_type", "ts_s")
-        .withColumn("_ts", timestamp_seconds(col("ts_s")))
-        .groupBy(window(col("_ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"))
-      val q = agg.writeStream.format("memory")
-        .queryName("window_stream_out").outputMode("complete").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(String, Long)]
+        val agg = in.toDF().toDF("event_type", "ts_s")
+          .withColumn("_ts", timestamp_seconds(col("ts_s")))
+          .groupBy(window(col("_ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val q = agg.writeStream.format("memory")
+          .queryName("window_stream_out").outputMode("complete").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.table("window_stream_out")
         .select(col("event_type"),
           col("window.start").cast("long").as("window_start_s"),
@@ -1167,28 +1193,30 @@ object Temporal {
         .select(col("user_id"), col("event_id"), secs.as("ts_s"))
         .as[(Long, Long, Long)].collect()
       val split = 1705363200L
-      val inC = MemoryStream[(Long, Long, Long)]
-      val inP = MemoryStream[(Long, Long, Long)]
-      val c = inC.toDF().toDF("c_uid", "c_id", "c_ts_s")
-        .withColumn("c_ts", timestamp_seconds(col("c_ts_s")))
-        .withWatermark("c_ts", "2 hours")
-      val p = inP.toDF().toDF("p_uid", "p_id", "p_ts_s")
-        .withColumn("p_ts", timestamp_seconds(col("p_ts_s")))
-        .withWatermark("p_ts", "2 hours")
-      val joined = c.join(p,
-        col("c_uid") === col("p_uid") &&
-          col("p_ts") >= col("c_ts") - expr("interval 1 hour") &&
-          col("p_ts") <= col("c_ts") + expr("interval 1 hour"))
-      val q = joined.writeStream.format("memory")
-        .queryName("stream_join_out").outputMode("append").start()
-      try {
-        inC.addData(clicks.filter(_._3 <= split).toSeq)
-        inP.addData(purch.filter(_._3 <= split).toSeq)
-        q.processAllAvailable()
-        inC.addData(clicks.filter(_._3 > split).toSeq)
-        inP.addData(purch.filter(_._3 > split).toSeq)
-        q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val inC = MemoryStream[(Long, Long, Long)]
+        val inP = MemoryStream[(Long, Long, Long)]
+        val c = inC.toDF().toDF("c_uid", "c_id", "c_ts_s")
+          .withColumn("c_ts", timestamp_seconds(col("c_ts_s")))
+          .withWatermark("c_ts", "2 hours")
+        val p = inP.toDF().toDF("p_uid", "p_id", "p_ts_s")
+          .withColumn("p_ts", timestamp_seconds(col("p_ts_s")))
+          .withWatermark("p_ts", "2 hours")
+        val joined = c.join(p,
+          col("c_uid") === col("p_uid") &&
+            col("p_ts") >= col("c_ts") - expr("interval 1 hour") &&
+            col("p_ts") <= col("c_ts") + expr("interval 1 hour"))
+        val q = joined.writeStream.format("memory")
+          .queryName("stream_join_out").outputMode("append").start()
+        try {
+          inC.addData(clicks.filter(_._3 <= split).toSeq)
+          inP.addData(purch.filter(_._3 <= split).toSeq)
+          q.processAllAvailable()
+          inC.addData(clicks.filter(_._3 > split).toSeq)
+          inP.addData(purch.filter(_._3 > split).toSeq)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       s.table("stream_join_out")
         .select(col("c_uid").as("user_id"), col("c_id"), col("c_ts_s"),
           col("p_id"), col("p_ts_s"))
