@@ -1,0 +1,211 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.model.{Cdc, Ref}
+
+/** The round-8 analytics families (graph, SCD2, privacy, layout)
+  * exposed on the pipeline/registry surface, so YAML/DSL users reach
+  * them with `Map[String,String]` settings and no Scala — the same
+  * promotion [[SqlProc]]/[[DedupExact]] gave the earlier families.
+  *
+  * Two shapes:
+  *  - record-local annotators (`privacy.pseudonymize`, `layout.key`,
+  *    `cdc.scd2`) keep the CDC schema and rewrite columns in place —
+  *    they compose mid-chain like any field processor;
+  *  - batch reshapes (`privacy.kanon`, `privacy.noise`,
+  *    `graph.pagerank`, `graph.links`) compute an analytic table from
+  *    payload fields and re-enter the CDC surface via [[Cdc.wrap]]
+  *    (every result row becomes a create record), the [[SqlProc]]
+  *    convention for aggregate outputs.
+  */
+object Analytics2Ops {
+
+  /** Read a payload field as a string column, typed or JSON slot. */
+  private[ops] def fieldCol(df: DataFrame, ref: Ref): Column = {
+    val slot = RefCols.column(ref)
+    df.schema(slot).dataType match {
+      case _: StructType =>
+        StructOps.get(col(slot), ref.sub).cast("string")
+      case _ => RefCols.get(ref)
+    }
+  }
+
+  /** ANSI-safe numeric read: non-numeric strings become null instead
+    * of a runtime cast error. */
+  private[ops] def asLong(c: Column): Column =
+    when(c.rlike("^-?[0-9]{1,18}$"), c.cast("long"))
+}
+
+/** `privacy.pseudonymize` — keyed pseudonymization of payload id
+  * fields in place (the pipeline form of
+  * [[graft.analytics.Privacy.pseudonymize]]): each named field is
+  * replaced by splitmix64(fnv1a(value) + secret) rendered as a
+  * string. Deterministic within a release (joins still work),
+  * unlinkable without the secret; rotate the secret per release.
+  * Row-local, codegen'd, no shuffle.
+  */
+case class PseudonymizeProc(fields: Seq[Ref], secret: Long) extends Processor {
+  require(fields.nonEmpty, "privacy.pseudonymize: need fields")
+  val plugin = "privacy.pseudonymize"
+  override def transform(df: DataFrame): DataFrame = {
+    import graft.analytics.HashFunctions.{fnv1a_hash, splitmix64_hash}
+    fields.foldLeft(df) { (d, ref) =>
+      val slot = RefCols.column(ref)
+      val v = splitmix64_hash(
+        fnv1a_hash(Analytics2Ops.fieldCol(d, ref).cast("string")) +
+          lit(secret)).cast("string")
+      d.schema(slot).dataType match {
+        case st: StructType =>
+          d.withColumn(slot, StructOps.set(col(slot), st, ref.sub, v))
+        case _ =>
+          d.withColumn(slot, graft.functions.JsonExpressions.jsonSet(
+            col(slot), ref.sub, v))
+      }
+    }
+  }
+}
+
+/** `layout.key` — annotate each record with a space-filling-curve
+  * sort key over numeric payload fields (metadata `layout.key`), so a
+  * downstream sink can range-sort/cluster files for min/max skipping
+  * (the ingest-time form of [[graft.analytics.Layout]]). `kind` =
+  * `zorder` (N fields) or `hilbert` (2 fields, better locality).
+  * Row-local bit interleaving, no shuffle; the SORT is the sink's
+  * choice, the key is cheap to carry.
+  */
+case class LayoutKeyProc(fields: Seq[Ref], bits: Int, kind: String)
+    extends ColumnProcessor {
+  require(fields.size >= 2, "layout.key: need >= 2 fields")
+  require(kind == "zorder" || kind == "hilbert",
+    s"layout.key: kind must be zorder|hilbert, got $kind")
+  require(kind != "hilbert" || fields.size == 2,
+    "layout.key: hilbert is 2-D")
+  val plugin = "layout.key"
+  override def rewrites(df: DataFrame): Map[String, Column] = {
+    def num(r: Ref): Column =
+      Analytics2Ops.asLong(Analytics2Ops.fieldCol(df, r))
+    val key =
+      if (kind == "hilbert")
+        graft.analytics.Layout.hilbertKey(num(fields(0)), num(fields(1)), bits)
+      else graft.analytics.Layout.zorderKey(fields.map(num), bits)
+    Map(Cdc.Metadata -> RefCols.metaSet(col(Cdc.Metadata), "layout.key",
+      key.cast("string")))
+  }
+}
+
+/** `cdc.scd2` — in-stream SCD2 versioning: each record gains
+  * `scd2.valid_from` / `scd2.valid_to` / `scd2.is_current` metadata
+  * derived from its key's position order within the batch, and
+  * deletes close their predecessor's interval then drop (the
+  * processor form of [[graft.model.Cdc.scd2]]; pair with the
+  * [[graft.streaming.StreamingOps.scd2Sink]] for cross-batch
+  * history). `order.field` overrides the default numeric-position
+  * order for sources whose positions don't sort numerically.
+  */
+case class Scd2Proc(orderRef: Option[Ref], deleteOp: String) extends Processor {
+  val plugin = "cdc.scd2"
+  override def transform(df: DataFrame): DataFrame = {
+    val ord = orderRef
+      .map(r => Analytics2Ops.asLong(Analytics2Ops.fieldCol(df, r)))
+      .getOrElse(Analytics2Ops.asLong(col(Cdc.Position).cast("string")))
+    val tie = col(Cdc.Position).cast("string")
+    val w = Window.partitionBy(col(Cdc.Key)).orderBy(ord.asc, tie.asc)
+    val meta = col(Cdc.Metadata)
+    df.withColumn("_vf", ord)
+      .withColumn("_vt", lead(col("_vf"), 1).over(w))
+      .filter(col(Cdc.Operation) =!= lit(deleteOp))
+      .withColumn(Cdc.Metadata,
+        RefCols.metaSet(
+          RefCols.metaSet(
+            RefCols.metaSet(meta, "scd2.valid_from",
+              coalesce(col("_vf").cast("string"), lit(""))),
+            "scd2.valid_to",
+            coalesce(col("_vt").cast("string"), lit(""))),
+          "scd2.is_current", (col("_vt").isNull).cast("string")))
+      .drop("_vf", "_vt")
+  }
+}
+
+/** `privacy.kanon` — k-anonymity generalization ladder over payload
+  * quasi-identifiers ([[graft.analytics.Privacy.kAnonymize]]): the
+  * batch reshapes into one create record per surviving group (level,
+  * generalized QIs, count), keyed by the generalized tuple. An
+  * aggregate output, so it re-enters the CDC surface via
+  * [[Cdc.wrap]] — run it as the last processor before a sink.
+  */
+case class KAnonProc(fields: Seq[Ref], minK: Long) extends Processor {
+  require(fields.nonEmpty, "privacy.kanon: need fields")
+  val plugin = "privacy.kanon"
+  override def transform(df: DataFrame): DataFrame = {
+    val names = fields.map(r => r.sub.lastOption.getOrElse("field"))
+    val flat = df.select(fields.zip(names).map { case (r, n) =>
+      Analytics2Ops.fieldCol(df, r).as(n) }: _*)
+    val out = graft.analytics.Privacy.kAnonymize(flat, names, minK)
+    val keyed = out.withColumn("_k",
+      concat_ws("|", (col("level") +: names.map(col)): _*))
+    Cdc.wrap(keyed, "_k", "privacy.kanon")
+  }
+}
+
+/** `privacy.noise` — seeded Laplace-mechanism noisy counts per
+  * payload group ([[graft.analytics.Privacy.noisyCount]]): one create
+  * record per group with (n, noise, noisy_n), keyed by the group
+  * tuple. Aggregate output via [[Cdc.wrap]].
+  */
+case class NoisyCountProc(fields: Seq[Ref], epsilon: Double, seed: Long)
+    extends Processor {
+  require(fields.nonEmpty, "privacy.noise: need fields")
+  val plugin = "privacy.noise"
+  override def transform(df: DataFrame): DataFrame = {
+    val names = fields.map(r => r.sub.lastOption.getOrElse("field"))
+    val flat = df.select(fields.zip(names).map { case (r, n) =>
+      Analytics2Ops.fieldCol(df, r).as(n) }: _*)
+    val out = graft.analytics.Privacy.noisyCount(flat, names, epsilon, seed)
+    val keyed = out.withColumn("_k", concat_ws("|", names.map(col): _*))
+    Cdc.wrap(keyed, "_k", "privacy.noise")
+  }
+}
+
+/** `graph.pagerank` — PageRank over an edge stream: each record
+  * supplies one (src, dst) edge from payload fields; the batch
+  * reshapes into one create record per node with its rank
+  * ([[graft.analytics.Graph.pageRank]], production mode, lazy tail —
+  * no spill dir needed inside a pipeline). Aggregate output via
+  * [[Cdc.wrap]].
+  */
+case class PageRankProc(src: Ref, dst: Ref, iterations: Int,
+                        damping: Double) extends Processor {
+  val plugin = "graph.pagerank"
+  override def transform(df: DataFrame): DataFrame = {
+    val edges = df.select(Analytics2Ops.fieldCol(df, src).as("_src"),
+        Analytics2Ops.fieldCol(df, dst).as("_dst"))
+      .filter(col("_src").isNotNull && col("_dst").isNotNull)
+    val ranks = graft.analytics.Graph.pageRank(edges, "_src", "_dst",
+      iterations, damping, eager = false)
+    Cdc.wrap(ranks, "node", "graph.pagerank")
+  }
+}
+
+/** `graph.links` — common-neighbor link prediction over an edge
+  * stream ([[graft.analytics.Graph.jaccardLinks]], hub-capped wedge
+  * join): one create record per predicted pair above the Jaccard
+  * threshold, keyed by the pair. Aggregate output via [[Cdc.wrap]].
+  */
+case class LinkPredictProc(src: Ref, dst: Ref, minJaccard: Double,
+                           maxDegree: Int) extends Processor {
+  val plugin = "graph.links"
+  override def transform(df: DataFrame): DataFrame = {
+    val edges = df.select(Analytics2Ops.fieldCol(df, src).as("_src"),
+        Analytics2Ops.fieldCol(df, dst).as("_dst"))
+      .filter(col("_src").isNotNull && col("_dst").isNotNull)
+    val links = graft.analytics.Graph.jaccardLinks(edges, "_src", "_dst",
+      minJaccard, maxDegree)
+    val keyed = links.withColumn("_k",
+      concat_ws("|", col("node_a"), col("node_b")))
+    Cdc.wrap(keyed, "_k", "graph.links")
+  }
+}

@@ -37,6 +37,11 @@ object Registry {
       override def transform(df: org.apache.spark.sql.DataFrame) = fn(df, settings)
     })
 
+  private def refs(settings: Map[String, String], key: String): Seq[Ref] =
+    settings.getOrElse(key,
+        throw new IllegalArgumentException(s"missing required setting: $key"))
+      .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(Ref.parse)
+
   private def ref(settings: Map[String, String], default: String = null): Ref = {
     val f = settings.getOrElse("field",
       if (default != null) default
@@ -87,7 +92,31 @@ object Registry {
       s.getOrElse("maxMeanTokenLen", "1000000").toDouble)),
     "text.chunk" -> (s => TextChunk(ref(s, ".Payload.After"),
       s.getOrElse("chunkTokens", "100").toInt,
-      s.getOrElse("overlap", "20").toInt))
+      s.getOrElse("overlap", "20").toInt)),
+    // round-8 analytics families on the config surface (Analytics2Ops)
+    "privacy.pseudonymize" -> (s => PseudonymizeProc(
+      refs(s, "fields"), s.getOrElse("secret", "0").toLong)),
+    "privacy.kanon" -> (s => KAnonProc(
+      refs(s, "fields"), s.getOrElse("k", "2").toLong)),
+    "privacy.noise" -> (s => NoisyCountProc(
+      refs(s, "fields"),
+      s.getOrElse("epsilon", "1.0").toDouble,
+      s.getOrElse("seed", "0").toLong)),
+    "layout.key" -> (s => LayoutKeyProc(
+      refs(s, "fields"),
+      s.getOrElse("bits", "16").toInt,
+      s.getOrElse("kind", "zorder"))),
+    "cdc.scd2" -> (s => Scd2Proc(
+      s.get("order.field").map(Ref.parse),
+      s.getOrElse("deleteOp", "delete"))),
+    "graph.pagerank" -> (s => PageRankProc(
+      Ref.parse(s("src")), Ref.parse(s("dst")),
+      s.getOrElse("iterations", "5").toInt,
+      s.getOrElse("damping", "0.85").toDouble)),
+    "graph.links" -> (s => LinkPredictProc(
+      Ref.parse(s("src")), Ref.parse(s("dst")),
+      s.getOrElse("minJaccard", "0.5").toDouble,
+      s.getOrElse("maxDegree", "100000").toInt))
   )
 
   def create(plugin: String, settings: Map[String, String]): Processor = {

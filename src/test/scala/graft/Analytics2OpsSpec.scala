@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.JsonOps
+import graft.model.Cdc
+import graft.ops.Registry
+import graft.pipeline.{ConnectorConfig, PipelineConfig, ProcessorConfig, Pipeline => Dsl}
+
+/** The round-8 analytics families on the registry/YAML surface:
+  * privacy.pseudonymize / kanon / noise, layout.key, cdc.scd2,
+  * graph.pagerank / links — each created from pure string settings
+  * and checked against its Scala operator.
+  */
+class Analytics2OpsSpec extends AnyFunSuite {
+  lazy val spark = Spark.session
+  import spark.implicits._
+
+  private def wrap(df: org.apache.spark.sql.DataFrame, key: String) =
+    Cdc.wrap(df, key, "t")
+
+  test("privacy.pseudonymize rewrites id fields via the keyed hash") {
+    val base = wrap(Seq((1L, "alice", "x"), (2L, "bob", "y"))
+      .toDF("id", "user", "v"), "id")
+    val proc = Registry.create("privacy.pseudonymize",
+      Map("fields" -> ".Payload.After.user", "secret" -> "42"))
+    val out = proc(base).collect()
+    val users = out.map(r =>
+      JsonOps.parse(r.getAs[String](Cdc.PayloadAfter)).get("user").asText).toSet
+    // matches the Scala operator bit for bit
+    val want = graft.analytics.Privacy.pseudonymize(
+        Seq(("alice"), ("bob")).toDF("user"), Seq("user"), 42L)
+      .collect().map(_.getLong(0).toString).toSet
+    assert(users == want, s"$users vs $want")
+    // other fields untouched
+    assert(out.forall(r =>
+      JsonOps.parse(r.getAs[String](Cdc.PayloadAfter)).has("v")))
+  }
+
+  test("layout.key annotates metadata with the interleaved sort key") {
+    val base = wrap(Seq((1L, 3L, 5L), (2L, 100L, 7L))
+      .toDF("id", "x", "y"), "id")
+    val z = Registry.create("layout.key",
+      Map("fields" -> ".Payload.After.x,.Payload.After.y", "bits" -> "8"))
+    val zk = z(base).select(col(Cdc.Metadata).getItem("layout.key"))
+      .collect().map(_.getString(0)).toSet
+    val want = Seq((3L, 5L), (100L, 7L)).toDF("x", "y")
+      .select(graft.analytics.Layout.zorderKey(
+        Seq(col("x"), col("y")), 8).cast("string"))
+      .collect().map(_.getString(0)).toSet
+    assert(zk == want)
+    val h = Registry.create("layout.key",
+      Map("fields" -> ".Payload.After.x,.Payload.After.y", "bits" -> "8",
+        "kind" -> "hilbert"))
+    val hk = h(base).select(col(Cdc.Metadata).getItem("layout.key"))
+      .collect().map(_.getString(0)).toSet
+    assert(hk.size == 2 && hk != zk)
+  }
+
+  test("cdc.scd2 stamps validity metadata and drops deletes") {
+    import org.apache.spark.sql.types.BinaryType
+    // key 1: create@10, update@20, delete@30; key 2: create@5
+    val log = Seq(
+      ("""{"id":1}""", "create", "10", """{"id":1,"v":"a"}"""),
+      ("""{"id":1}""", "update", "20", """{"id":1,"v":"b"}"""),
+      ("""{"id":1}""", "delete", "30", null),
+      ("""{"id":2}""", "create", "5", """{"id":2,"v":"z"}"""))
+      .toDF("key", "operation", "pos", "payload_after")
+      .select(col("pos").cast(BinaryType).as(Cdc.Position),
+        col("operation").as(Cdc.Operation),
+        map(lit("k"), lit("v")).as(Cdc.Metadata),
+        lit(null).cast(BinaryType).as(Cdc.KeyRaw),
+        col("key").as(Cdc.Key),
+        lit(null).cast("string").as(Cdc.PayloadBefore),
+        col("payload_after").as(Cdc.PayloadAfter))
+    val out = Registry.create("cdc.scd2", Map.empty)(log)
+      .select(col(Cdc.Key), col(Cdc.Metadata)).collect()
+      .map(r => (r.getString(0), r.getMap[String, String](1)))
+    assert(out.length == 3) // the delete row dropped
+    val k1 = out.filter(_._1 == """{"id":1}""").sortBy(_._2("scd2.valid_from"))
+    assert(k1.map(_._2("scd2.valid_from")).toSeq == Seq("10", "20"))
+    assert(k1.map(_._2("scd2.valid_to")).toSeq == Seq("20", "30"))
+    assert(k1.map(_._2("scd2.is_current")).toSeq == Seq("false", "false"))
+    val k2 = out.filter(_._1 == """{"id":2}""").head._2
+    assert(k2("scd2.valid_from") == "5" && k2("scd2.valid_to") == "" &&
+      k2("scd2.is_current") == "true")
+  }
+
+  test("privacy.kanon reshapes into the generalization-ladder records") {
+    val rows = (1 to 20).map(i => (i.toLong, s"z${i % 2}", s"j${i % 7}"))
+    val base = wrap(rows.toDF("id", "zip", "job"), "id")
+    val out = Registry.create("privacy.kanon",
+      Map("fields" -> ".Payload.After.zip,.Payload.After.job", "k" -> "5"))(base)
+    assert(out.columns.toSeq == Cdc.columns)
+    val payloads = out.select(col(Cdc.PayloadAfter)).collect()
+      .map(r => JsonOps.parse(r.getString(0)))
+    val want = graft.analytics.Privacy.kAnonymize(
+        rows.map { case (_, z, j) => (z, j) }.toDF("zip", "job"),
+        Seq("zip", "job"), 5L)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n"))).sorted
+    val got = payloads
+      .map(p => (p.get("level").asLong, p.get("n").asLong)).sorted
+    assert(got.nonEmpty && got.toSeq == want.toSeq, s"$got vs $want")
+  }
+
+  test("privacy.noise emits one seeded noisy count per group") {
+    val base = wrap((1 to 300).map(i => (i.toLong, s"g${i % 4}"))
+      .toDF("id", "g"), "id")
+    val out = Registry.create("privacy.noise",
+      Map("fields" -> ".Payload.After.g", "epsilon" -> "0.5",
+        "seed" -> "7"))(base)
+    val got = out.select(col(Cdc.PayloadAfter)).collect()
+      .map(r => JsonOps.parse(r.getString(0)))
+      .map(p => p.get("g").asText -> p.get("noisy_n").asDouble).toMap
+    val want = graft.analytics.Privacy.noisyCount(
+        (1 to 300).map(i => s"g${i % 4}").toDF("g"), Seq("g"), 0.5, 7L)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("noisy_n")).toMap
+    assert(got == want)
+  }
+
+  test("graph.pagerank reshapes an edge batch into node-rank records") {
+    val base = wrap(Seq((1L, "1", "3"), (2L, "2", "3"), (3L, "3", "4"))
+      .toDF("id", "s", "d"), "id")
+    val out = Registry.create("graph.pagerank",
+      Map("src" -> ".Payload.After.s", "dst" -> ".Payload.After.d",
+        "iterations" -> "10"))(base)
+    val ranks = out.select(col(Cdc.PayloadAfter)).collect()
+      .map(r => JsonOps.parse(r.getString(0)))
+      .map(p => p.get("node").asText -> p.get("rank").asDouble).toMap
+    assert(ranks.size == 4)
+    assert(ranks("4") > ranks("3") && ranks("3") > ranks("1"))
+  }
+
+  test("graph.links predicts the wedge pair from string settings") {
+    val base = wrap(Seq((1L, "a", "b"), (2L, "b", "c"))
+      .toDF("id", "s", "d"), "id")
+    val out = Registry.create("graph.links",
+      Map("src" -> ".Payload.After.s", "dst" -> ".Payload.After.d",
+        "minJaccard" -> "0.5"))(base)
+    val pairs = out.select(col(Cdc.PayloadAfter)).collect()
+      .map(r => JsonOps.parse(r.getString(0)))
+      .map(p => (p.get("node_a").asText, p.get("node_b").asText,
+        p.get("jaccard").asDouble))
+    assert(pairs.toSeq == Seq(("a", "c", 1.0)))
+  }
+
+  test("new factories survive the YAML export/import round trip") {
+    val procs = Seq(
+      ProcessorConfig("p1", "privacy.pseudonymize",
+        Map("fields" -> ".Payload.After.user", "secret" -> "42"), None),
+      ProcessorConfig("p2", "layout.key",
+        Map("fields" -> ".Payload.After.x,.Payload.After.y",
+          "kind" -> "hilbert", "bits" -> "8"), None),
+      ProcessorConfig("p3", "cdc.scd2", Map("deleteOp" -> "delete"), None),
+      ProcessorConfig("p4", "privacy.kanon",
+        Map("fields" -> ".Payload.After.zip", "k" -> "3"), None),
+      ProcessorConfig("p5", "privacy.noise",
+        Map("fields" -> ".Payload.After.g", "epsilon" -> "0.5"), None),
+      ProcessorConfig("p6", "graph.pagerank",
+        Map("src" -> ".Payload.After.s", "dst" -> ".Payload.After.d"), None),
+      ProcessorConfig("p7", "graph.links",
+        Map("src" -> ".Payload.After.s", "dst" -> ".Payload.After.d",
+          "minJaccard" -> "0.25"), None))
+    val cfg = PipelineConfig("pl", "analytics families",
+      processors = procs)
+    val back = Dsl.fromYaml(Dsl.toYaml(Seq(cfg)))
+    assert(back == Seq(cfg))
+    // every named plugin resolves through the registry
+    back.head.processors.foreach { p =>
+      assert(Registry.create(p.plugin, p.settings) != null, p.plugin)
+    }
+  }
+}
