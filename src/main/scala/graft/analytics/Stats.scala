@@ -1131,4 +1131,100 @@ object Stats {
       .select(g ++ Seq((-col("_best._negv")).as("mode_value"),
         col("_best._cnt").as("mode_count")): _*)
   }
+
+  /** Per-group Spearman rank correlation (Spearman 1904) between two
+    * columns, EXACT through the rank arithmetic: average ranks with
+    * ties are half-integers, so DOUBLED average ranks
+    * r2 = 2·rank_min + ties − 1 are integers (the ×2 cancels in ρ),
+    * and the Pearson-on-ranks cross sums accumulate in decimal(38,0)
+    * — bit-stable under any partitioning. ρ = num/√(denx·deny) is
+    * derived from the exact pieces with the long→double rounding
+    * route both engines share; the exact pieces themselves
+    * (spearman_num, den_x, den_y) are emitted alongside (null past
+    * the signed-64 window, like [[linearTrend]]).
+    *
+    * Scale shape: two rank windows (one shuffle on the group key,
+    * in-partition sorts) + one hash aggregation. Ranks within a group
+    * must fit one partition's sort — the per-group contract every
+    * rank-based screen here shares.
+    */
+  def spearman(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      yCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val g = groupCols.map(col)
+    def r2(c: String): Column = {
+      val wOrd = Window.partitionBy(g: _*).orderBy(col(c))
+      val wTie = Window.partitionBy(g :+ col(c): _*)
+      (lit(2) * rank().over(wOrd) + count(lit(1)).over(wTie) - lit(1))
+        .cast("long")
+    }
+    val ranked = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .withColumn("_rx", r2(xCol))
+      .withColumn("_ry", r2(yCol))
+      .select(g ++ Seq(col("_rx").cast(d38).as("_rx"),
+        col("_ry").cast(d38).as("_ry")): _*)
+    val s = ranked.groupBy(g: _*)
+      .agg(count(lit(1)).cast(d38).as("_n"),
+        sum(col("_rx")).as("_sx"), sum(col("_ry")).as("_sy"),
+        sum(col("_rx") * col("_ry")).as("_sxy"),
+        sum(col("_rx") * col("_rx")).as("_sxx"),
+        sum(col("_ry") * col("_ry")).as("_syy"))
+    val num = col("_n") * col("_sxy") - col("_sx") * col("_sy")
+    val dx = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+    val dy = col("_n") * col("_syy") - col("_sy") * col("_sy")
+    val maxL = lit("9223372036854775807").cast(d38)
+    val inR = abs(num) <= maxL && dx <= maxL && dy <= maxL
+    // in-window ρ routes decimal→long→double (round-to-nearest, the
+    // route an independent HUGEINT replay shares); past the window it
+    // degrades to the direct decimal→double cast — still correct to
+    // an ulp, with the exact pieces nulled as the loud flag
+    val rho = when(dx > 0 && dy > 0,
+      when(inR,
+        num.cast("long").cast("double") /
+          sqrt(dx.cast("long").cast("double") *
+            dy.cast("long").cast("double")))
+        .otherwise(num.cast("double") /
+          sqrt(dx.cast("double") * dy.cast("double"))))
+    s.select(g ++ Seq(col("_n").cast("long").as("n"),
+      when(inR, num.cast("long")).as("spearman_num"),
+      when(inR, dx.cast("long")).as("den_x"),
+      when(inR, dy.cast("long")).as("den_y"),
+      rho.as("spearman")): _*)
+  }
+
+  /** Cohort retention matrix: each entity's cohort is the period of
+    * its FIRST activity; cell (cohort, offset) counts the cohort's
+    * entities active `offset` periods later — the canonical retention
+    * triangle, in exact integers (period = floor(ts/periodSeconds)).
+    *
+    * Scale shape: one aggregation to per-(entity, period) activity,
+    * one window min per entity (or self-aggregate), one final count
+    * per (cohort, offset) — everything keyed, map-side combined; the
+    * matrix itself is (periods²/2) rows, metadata-sized.
+    */
+  def cohortRetention(
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      periodSeconds: Long): DataFrame = {
+    require(periodSeconds >= 1, s"periodSeconds=$periodSeconds")
+    // floor division via pmod (exact: the numerator is divisible, so
+    // the intermediate double division cannot round)
+    val ts = col(tsCol).cast("long")
+    val p = ((ts - pmod(ts, lit(periodSeconds))) / lit(periodSeconds))
+      .cast("long")
+    val active = df.select(col(entityCol).as("_e"), p.as("_p"))
+      .filter(col("_e").isNotNull)
+      .distinct()
+    val wE = Window.partitionBy(col("_e"))
+    active
+      .withColumn("_cohort", min(col("_p")).over(wE))
+      .groupBy(col("_cohort").as("cohort"),
+        (col("_p") - col("_cohort")).as("offset"))
+      .agg(count(lit(1)).as("active_entities"))
+  }
 }

@@ -293,6 +293,44 @@ object Temporal {
       Stats.linearTrend(daily, Seq("event_type"), "day", "rev", scale = 2)
     }),
 
+    // Spearman rank correlation between event time and value per
+    // event type, on a hash-thinned entity subset that keeps the
+    // exact cross sums inside the signed-64 window at every SF (the
+    // operator's documented exactness window, ~4n^4): doubled average
+    // ranks are integers, so the oracle replays rank-for-rank.
+    "stats_spearman" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Stats.spearman(
+        ev.filter(col("user_id") % 64 === 0)
+          .select(col("event_type"), tsEpochSeconds(ev).as("ts_s"),
+            col("value")),
+        Seq("event_type"), "ts_s", "value")
+    }),
+
+    // Weekly cohort retention triangle over user activity: cohort =
+    // first active week, cell counts actives at each offset — exact
+    // integers end to end.
+    "stats_cohort" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Stats.cohortRetention(
+        ev.select(col("user_id"), tsEpochSeconds(ev).as("ts_s")),
+        "user_id", "ts_s", periodSeconds = 604800L)
+    }),
+
+    // Relational pivot: per-user wide activity counts (the
+    // fixed-vocabulary pivot every BI export needs). Spark's pivot
+    // compiles to one hash aggregation with conditional counts — the
+    // oracle is the explicit CASE formulation.
+    "pivot_events" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "view", "purchase", "error"))
+        .select(col("user_id"), col("click").as("n_click"),
+          col("view").as("n_view"), col("purchase").as("n_purchase"),
+          col("error").as("n_error"))),
+
     // Two-proportion A/B significance per event type (variant = user
     // parity, success = value >= 50): the z-test with denominators
     // AND the square root cleared — decimal(38,0) cross-multiply, so
@@ -1588,6 +1626,57 @@ object Temporal {
               / CAST(CAST(n AS BIGINT) AS DOUBLE)) /
             CAST(100 AS DOUBLE) AS intercept
          FROM a""",
+    // doubled average ranks (2*rank + ties - 1, integers) replayed
+    // with DuckDB's identical min-rank window; HUGEINT sums routed
+    // BIGINT->DOUBLE exactly like the operator's in-window path
+    "stats_spearman" ->
+      """WITH base AS (SELECT event_type AS g,
+              epoch_ns(ts) // 1000000000 AS x, value AS y
+            FROM events WHERE user_id % 64 = 0
+              AND ts IS NOT NULL AND value IS NOT NULL),
+         rk AS (SELECT g,
+              2 * rank() OVER (PARTITION BY g ORDER BY x)
+                + count(*) OVER (PARTITION BY g, x) - 1 AS rx,
+              2 * rank() OVER (PARTITION BY g ORDER BY y)
+                + count(*) OVER (PARTITION BY g, y) - 1 AS ry
+            FROM base),
+         a AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+              CAST(sum(rx) AS HUGEINT) AS sx, CAST(sum(ry) AS HUGEINT) AS sy,
+              sum(CAST(rx AS HUGEINT) * ry) AS sxy,
+              sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+              sum(CAST(ry AS HUGEINT) * ry) AS syy
+            FROM rk GROUP BY 1),
+         d AS (SELECT g, n,
+              n * sxy - sx * sy AS num,
+              n * sxx - sx * sx AS dx,
+              n * syy - sy * sy AS dy
+            FROM a)
+         SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+           CAST(num AS BIGINT) AS spearman_num,
+           CAST(dx AS BIGINT) AS den_x,
+           CAST(dy AS BIGINT) AS den_y,
+           CASE WHEN dx > 0 AND dy > 0 THEN
+             CAST(CAST(num AS BIGINT) AS DOUBLE) /
+             sqrt(CAST(CAST(dx AS BIGINT) AS DOUBLE) *
+                  CAST(CAST(dy AS BIGINT) AS DOUBLE)) END AS spearman
+         FROM d""",
+    "stats_cohort" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+              (epoch_ns(ts) // 1000000000) // 604800 AS p
+            FROM events WHERE user_id IS NOT NULL),
+         c AS (SELECT user_id, p,
+              min(p) OVER (PARTITION BY user_id) AS cohort
+            FROM act)
+         SELECT cohort, p - cohort AS "offset",
+           count(*) AS active_entities
+         FROM c GROUP BY 1, 2""",
+    "pivot_events" ->
+      """SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+         FROM events GROUP BY 1""",
     "stats_abtest" ->
       """WITH a AS (SELECT event_type,
               CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,

@@ -95,6 +95,44 @@ class Round9FixSpec extends AnyFunSuite {
     assert(r.count() == 51)
   }
 
+  test("spearman: hand case with ties, perfect and inverse correlation") {
+    // perfect monotone -> 1; reversed -> -1
+    val up = (1 to 10).map(i => ("up", i.toLong, i * 3.0))
+    val dn = (1 to 10).map(i => ("dn", i.toLong, -i * 2.0))
+    // ties: x = (1,1,2,2), y = (5,5,9,9) -> doubled avg ranks equal -> 1
+    val tied = Seq(("t", 1L, 5.0), ("t", 1L, 5.0), ("t", 2L, 9.0),
+      ("t", 2L, 9.0))
+    val df = (up ++ dn ++ tied).toDF("g", "x", "y")
+    val out = Stats.spearman(df, Seq("g"), "x", "y").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("up").getAs[Double]("spearman") == 1.0)
+    assert(out("dn").getAs[Double]("spearman") == -1.0)
+    assert(out("t").getAs[Double]("spearman") == 1.0)
+    // exact pieces: num = den for rho = 1
+    assert(out("up").getAs[Long]("spearman_num") ==
+      out("up").getAs[Long]("den_x"))
+    // partition invariance of the exact pieces
+    val rep = Stats.spearman(df.repartition(7), Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("spearman_num"), r.getAs[Long]("den_x"))).toMap
+    assert(rep("up") == (out("up").getAs[Long]("spearman_num"),
+      out("up").getAs[Long]("den_x")))
+  }
+
+  test("cohort retention: hand triangle with a returning user") {
+    // u1 active weeks 0,1,3; u2 weeks 1,2; u3 week 0 only
+    val rows = Seq((1L, 0L), (1L, 700000L), (1L, 1900000L),
+      (2L, 700000L), (2L, 1300000L), (3L, 10L))
+      .toDF("user", "ts")
+    val out = Stats.cohortRetention(rows, "user", "ts", 604800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // cohort 0 = {u1,u3}: offsets 0(2), 1(u1), 3(u1)
+    // cohort 1 = {u2}: offsets 0, 1
+    assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L), out.toString)
+  }
+
   test("linear trend degrades loudly past the long window") {
     // in-window group: exact rational present, exact = true
     val small = (0 to 20).map(i => ("g", 100L + i, 3.5 + 0.25 * i))
