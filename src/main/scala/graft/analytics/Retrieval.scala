@@ -172,6 +172,27 @@ object Retrieval {
           java_ln(col("n").cast("double") / col("df").cast("double"))).as("weight"))
   }
 
+  /** Per-document keyword extraction: the top-`k` terms of each
+    * document by its [[tfidf]] weight — the zero-model keyword/tag
+    * signal (corpus-rare terms the document repeats), with the
+    * (weight desc, term asc) total order making the cut
+    * deterministic under any partitioning. Same two-aggregation
+    * inverted-index shape as tfidf plus one per-doc window; Spark
+    * plans the row_number ≤ k filter as a partial group-limit below
+    * the exchange, so the shuffle carries at most k·docs rows.
+    */
+  def keywords(docs: DataFrame, idCol: String, textCol: String,
+               k: Int, minDf: Long = 2): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("weight").desc, col("term").asc)
+    tfidf(docs, idCol, textCol, minDf)
+      .withColumn("kw_rank", row_number().over(w).cast("long"))
+      .filter(col("kw_rank") <= k)
+      .select(col("doc_id"), col("kw_rank"), col("term"),
+        col("tf"), col("df"), col("weight"))
+  }
+
   /** Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
     * fuse N ranked lists into one by score(d) = Σ_systems
     * 1/(k0 + rank_s(d)) — the standard hybrid-retrieval combiner

@@ -506,6 +506,29 @@ object Analytics {
     "text_tfidf" -> ((s, dir) =>
       Retrieval.tfidf(t(s, dir, "documents"), "doc_id", "text", minDf = 5)),
 
+    // Per-document keyword extraction: top-5 tf-idf terms under the
+    // (weight desc, term asc) total order — the doubles are already
+    // proven bit-identical by text_tfidf, so the oracle replays the
+    // cut rank for rank.
+    "text_keywords" -> ((s, dir) =>
+      Retrieval.keywords(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, minDf = 5)),
+
+    // Declarative data-quality suite over lineitem: the contract gate
+    // in front of a sink — every metric an exact integer, fraction
+    // thresholds cross-multiplied, so verdicts replay bit for bit.
+    "dq_validate" -> ((s, dir) => {
+      import graft.analytics.DataQuality._
+      validate(t(s, dir, "lineitem"), Seq(
+        NotNull("orderkey_notnull", "l_orderkey"),
+        NotNull("returnflag_notnull", "l_returnflag", maxNullFraction = 0.5),
+        Unique("pk_unique", Seq("l_orderkey", "l_linenumber")),
+        InRange("qty_range", "l_quantity", 1.0, 50.0),
+        InRange("discount_range", "l_discount", 0.0, 0.05),
+        ValuesIn("returnflag_domain", "l_returnflag", Seq("A", "N", "R")),
+        DistinctCountBetween("linestatus_card", "l_linestatus", 1L, 3L)))
+    }),
+
     // Exact phrase occurrence counting — deliberately ROW-LOCAL (a
     // codegen'd HOF over the token array on one scan, zero shuffles),
     // in contrast to the posting-list plans above: phrase tests need
@@ -1124,6 +1147,69 @@ object Analytics {
            (CAST(1.0 AS DOUBLE) + ln(CAST(tf.tf AS DOUBLE))) *
              ln(CAST(nn.n AS DOUBLE) / CAST(d.df AS DOUBLE)) AS weight
          FROM tf JOIN dfreq d USING (w) CROSS JOIN nn""",
+    "text_keywords" ->
+      """WITH tok AS (SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+           FROM documents),
+         tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+           FROM tok WHERE w <> '' GROUP BY doc_id, w),
+         dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+           FROM tf GROUP BY w HAVING count(*) >= 5),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         wt AS (SELECT tf.doc_id, tf.w AS term, tf.tf, d.df,
+           (CAST(1.0 AS DOUBLE) + ln(CAST(tf.tf AS DOUBLE))) *
+             ln(CAST(nn.n AS DOUBLE) / CAST(d.df AS DOUBLE)) AS weight
+           FROM tf JOIN dfreq d USING (w) CROSS JOIN nn)
+         SELECT doc_id, kw_rank, term, tf, df, weight FROM (
+           SELECT doc_id, term, tf, df, weight,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY weight DESC, term ASC) AS BIGINT) AS kw_rank
+           FROM wt) WHERE kw_rank <= 5""",
+    "dq_validate" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem)
+         SELECT 'orderkey_notnull' AS check_id, 'not_null' AS check_type,
+           'l_orderkey' AS "column", n.n AS n_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_orderkey IS NULL) AS metric,
+           (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) * 1000000 <= 0 * n.n AS passed
+         FROM n
+         UNION ALL
+         SELECT 'returnflag_notnull', 'not_null', 'l_returnflag', n.n,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_returnflag IS NULL),
+           (SELECT count(*) FROM lineitem WHERE l_returnflag IS NULL) * 1000000 <= 500000 * n.n
+         FROM n
+         UNION ALL
+         SELECT 'pk_unique', 'unique', 'l_orderkey,l_linenumber', n.n,
+           (SELECT CAST(sum(c - 1) AS BIGINT) FROM
+             (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)),
+           (SELECT sum(c - 1) FROM
+             (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)) = 0
+         FROM n
+         UNION ALL
+         SELECT 'qty_range', 'in_range', 'l_quantity', n.n,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+             WHERE l_quantity IS NOT NULL AND (l_quantity < 1.0 OR l_quantity > 50.0)),
+           (SELECT count(*) FROM lineitem
+             WHERE l_quantity IS NOT NULL AND (l_quantity < 1.0 OR l_quantity > 50.0)) = 0
+         FROM n
+         UNION ALL
+         SELECT 'discount_range', 'in_range', 'l_discount', n.n,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+             WHERE l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.05)),
+           (SELECT count(*) FROM lineitem
+             WHERE l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.05)) = 0
+         FROM n
+         UNION ALL
+         SELECT 'returnflag_domain', 'values_in', 'l_returnflag', n.n,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+             WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N', 'R')),
+           (SELECT count(*) FROM lineitem
+             WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N', 'R')) = 0
+         FROM n
+         UNION ALL
+         SELECT 'linestatus_card', 'distinct_between', 'l_linestatus', n.n,
+           (SELECT CAST(count(DISTINCT l_linestatus) AS BIGINT) FROM lineitem),
+           (SELECT count(DISTINCT l_linestatus) FROM lineitem) BETWEEN 1 AND 3
+         FROM n""",
     // nprobe=nlist probes every cell — exact search, brute-force oracle
     // (identical to sim_topk_brute's, same query set)
     "sim_topk_ivf" ->
