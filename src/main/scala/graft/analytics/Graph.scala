@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Link-graph analytics as pure dataflow. PageRank is the standard
@@ -137,6 +137,106 @@ object Graph {
     ew.unpersist(false)
     nodes.unpersist(false)
     edges.sparkSession.read.parquet(out)
+  }
+
+  /** HITS hubs-and-authorities (Kleinberg, JACM 1999) by power
+    * iteration with L1 normalization: auth(v) = Σ_{u→v} hub(u),
+    * hub(u) = Σ_{u→v} auth(v), each vector divided by its sum after
+    * every half-step (L1 keeps the normalizer a plain sum — no sqrt —
+    * so the scores stay one IEEE division from exact-order folds).
+    * On bipartite interaction graphs (customer→supplier, query→doc)
+    * the authority side ranks the right-hand entities by weighted
+    * endorsement while PageRank-style prestige needs the transpose
+    * walk — the classic complement to [[pageRank]].
+    *
+    * MODE CONTRACT — same as [[pageRank]]: `deterministic = true` is
+    * the ORACLE mode (per-node sums fold in neighbor order and each
+    * normalizer folds in node order — bit-stable under any
+    * partitioning, but the normalizer builds one n-element array;
+    * bounded-graph replay only). Production mode uses plain map-side
+    * combined sums.
+    *
+    * Scale shape: per iteration two keyed join+aggregate shuffles
+    * (src then dst) over the persisted edge list, plus one 1-row
+    * normalizer aggregate whose single double is a documented
+    * bounded collect (the pageRank-N class) — collecting it also
+    * fences each round's lineage, so iterations stay linear.
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 3,
+      deterministic: Boolean = false): DataFrame = {
+    require(iterations >= 1 && iterations <= 20, s"iterations=$iterations")
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      .filter(col("_src").isNotNull && col("_dst").isNotNull)
+      .distinct().persist(storage)
+    val srcs = e.select(col("_src").as("node")).distinct()
+    val dsts = e.select(col("_dst").as("node")).distinct()
+
+    def foldSum(tagged: Column): Column =
+      if (deterministic)
+        aggregate(array_sort(collect_list(tagged)), lit(0.0),
+          (acc, x) => acc + x.getField("_c"))
+      else sum(tagged.getField("_c"))
+
+    // normalizer: ONE double; deterministic mode folds in node order
+    def l1(df: DataFrame, scoreCol: String): Double = {
+      val row =
+        if (deterministic)
+          df.agg(aggregate(
+            array_sort(collect_list(struct(col("node").as("_k"),
+              col(scoreCol).as("_c")))), lit(0.0),
+            (acc, x) => acc + x.getField("_c")).as("s")).collect().head
+        else df.agg(sum(col(scoreCol)).as("s")).collect().head
+      row.getDouble(0)
+    }
+
+    val fences = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var hub = srcs.select(col("node"), lit(1.0).as("hub"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val aRaw = e.join(hub.withColumnRenamed("node", "_src"), "_src")
+        .groupBy(col("_dst").as("node"))
+        .agg(foldSum(struct(col("_src").as("_k"), col("hub").as("_c")))
+          .as("a"))
+        .persist(storage)
+      fences += aRaw
+      val aSum = l1(aRaw, "a")
+      auth = aRaw.select(col("node"), (col("a") / lit(aSum)).as("authority"))
+      val hRaw = e.join(auth.withColumnRenamed("node", "_dst"), "_dst")
+        .groupBy(col("_src").as("node"))
+        .agg(foldSum(struct(col("_dst").as("_k"),
+          col("authority").as("_c"))).as("h"))
+        .persist(storage)
+      fences += hRaw
+      val hSum = l1(hRaw, "h")
+      hub = hRaw.select(col("node"), (col("h") / lit(hSum)).as("hub"))
+    }
+    val out = dsts.join(auth, Seq("node"), "left_outer")
+      .na.fill(0.0, Seq("authority"))
+      .join(srcs.join(hub, Seq("node"), "left_outer")
+        .na.fill(0.0, Seq("hub")), Seq("node"), "full_outer")
+      .na.fill(0.0, Seq("authority", "hub"))
+      .select(col("node"), col("authority"), col("hub"))
+    // eager parquet-spill tail (pageRank's pattern + dir resolution):
+    // materialize, then release every per-round fence instead of
+    // leaking persisted frames into the caller's session
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val dir = sc.getCheckpointDir.getOrElse {
+      require(sc.isLocal,
+        "hits on a cluster needs a shared-filesystem spill dir: set " +
+          "SparkContext.setCheckpointDir")
+      java.nio.file.Files.createTempDirectory("graft-hits").toString
+    }
+    val path = dir + "/hits-" + java.util.UUID.randomUUID().toString
+    out.write.mode("overwrite").parquet(path)
+    fences.foreach(_.unpersist(false))
+    e.unpersist(false)
+    spark.read.parquet(path)
   }
 
   /** Exact triangle enumeration by degree-oriented node iteration

@@ -61,4 +61,52 @@ object Profiling {
         min(col("_sv")).as("min_str"), max(col("_sv")).as("max_str"))
       .withColumnRenamed("_tag", "column")
   }
+
+  /** Schema drift between two snapshots of "the same" table: one row
+    * per column name with its canonical type in each snapshot and a
+    * status in {unchanged, type_changed, added, removed} — the check
+    * an ingest pipeline runs BEFORE a drop lands, so upstream
+    * producers renaming or retyping columns fail the contract gate
+    * loudly instead of poisoning the sink. Operates on schema
+    * METADATA (one driver-side row per column — the documented
+    * bounded class, like pageRank's N); no data is scanned.
+    *
+    * Canonical type names are SQL-ish (`bigint`, `double`,
+    * `varchar`, `timestamp`, …) so drift verdicts survive engine
+    * round trips.
+    */
+  def schemaDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    def canon(dt: DataType): String = dt match {
+      case LongType => "bigint"
+      case IntegerType => "integer"
+      case ShortType => "smallint"
+      case ByteType => "tinyint"
+      case DoubleType => "double"
+      case FloatType => "float"
+      case StringType => "varchar"
+      case BooleanType => "boolean"
+      // both Spark timestamp flavors canonicalize to the SQL name:
+      // parquet timestamp[us] without tz reads as TIMESTAMP_NTZ in
+      // Spark and plain TIMESTAMP in DuckDB — same wall-clock type
+      case TimestampType | TimestampNTZType => "timestamp"
+      case DateType => "date"
+      case BinaryType => "blob"
+      case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+      case ArrayType(e, _) => s"${canon(e)}[]"
+      case other => other.simpleString
+    }
+    val spark = a.sparkSession
+    import spark.implicits._
+    val ta = a.schema.fields.toSeq.map(f => (f.name, canon(f.dataType)))
+      .toDF("column", "type_a")
+    val tb = b.schema.fields.toSeq.map(f => (f.name, canon(f.dataType)))
+      .toDF("column", "type_b")
+    ta.join(tb, Seq("column"), "full_outer")
+      .select(col("column"), col("type_a"), col("type_b"),
+        when(col("type_a").isNull, lit("added"))
+          .when(col("type_b").isNull, lit("removed"))
+          .when(col("type_a") =!= col("type_b"), lit("type_changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
 }

@@ -1132,6 +1132,47 @@ object Stats {
         col("_best._cnt").as("mode_count")): _*)
   }
 
+  /** Per-group trimmed mean: drop the lowest and highest
+    * ⌊trim·n⌋ values (ppm-exact: k = (n·round(trim·10⁶)) div 10⁶ —
+    * integer arithmetic, no float cut), then average the survivors
+    * through an exact decimal sum — the robust location estimate
+    * between the mean (trim 0) and the median (trim → 0.5). The
+    * row_number tie order inside equal values is arbitrary but
+    * harmless: ties straddling the cut are equal VALUES, so the kept
+    * multiset — and the exact sum — is deterministic anyway.
+    *
+    * One rank window + one aggregation; per-group sort contract as
+    * all rank screens here.
+    */
+  def trimmedMean(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      trimFraction: Double,
+      scale: Int = 2): DataFrame = {
+    require(trimFraction >= 0 && trimFraction < 0.5, s"trim=$trimFraction")
+    require(scale >= 0 && scale <= 6)
+    val g = groupCols.map(col)
+    val t = math.round(trimFraction * 1000000L)
+    val w = Window.partitionBy(g: _*).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(g: _*)
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_k",
+        ((col("_n") * lit(t) - pmod(col("_n") * lit(t), lit(1000000L)))
+          / lit(1000000L)).cast("long"))
+    ranked.filter(col("_rn") > col("_k") && col("_rn") <= col("_n") - col("_k"))
+      .groupBy(g: _*)
+      .agg(max(col("_n")).as("n"), max(col("_k")).as("n_trimmed_each"),
+        count(lit(1)).as("n_kept"),
+        sum(col(valueCol).cast(s"decimal(18,$scale)")).as("_s"))
+      .select(g ++ Seq(col("n"), col("n_trimmed_each"), col("n_kept"),
+        col("_s").cast("double").as("sum_kept"),
+        (col("_s").cast("double") / col("n_kept").cast("double"))
+          .as("trimmed_mean")): _*)
+  }
+
   /** Per-group Spearman rank correlation (Spearman 1904) between two
     * columns, EXACT through the rank arithmetic: average ranks with
     * ties are half-integers, so DOUBLED average ranks

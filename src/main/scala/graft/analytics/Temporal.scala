@@ -788,4 +788,68 @@ object Temporal {
         col("_best._pv").as("v")): _*)
     endpoints.unionByName(picked)
   }
+
+  /** Linear (equal-credit) multi-touch attribution: every touch in a
+    * conversion's lookback window shares the conversion's value
+    * equally — the complement of the last-touch pick, at PER-
+    * CONVERSION granularity: one output row per (conversion, channel)
+    * with the exact credit rational (touches-of-channel k_c over
+    * total touches n) plus the one-IEEE-division credit value.
+    * Conversions with no touch in the window emit channel 'none'
+    * with full credit. Channel ROLLUPS are left to the caller
+    * deliberately: summing the per-conversion doubles is aggregation-
+    * order-dependent; sum the (value·k_c, n) rationals instead if a
+    * bit-stable report matters.
+    *
+    * Scale shape: one equi-join on the entity key with the window
+    * predicate applied as a join filter (pairs per key bounded by
+    * that key's activity — the per-key contract all the temporal
+    * joins here share), then one (conversion, channel) aggregation
+    * and one conversion-window count. No cross-key or all-pairs
+    * products anywhere.
+    */
+  def linearAttribution(
+      conversions: DataFrame,
+      convIdCol: String,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      touches: DataFrame,
+      touchKeyCol: String,
+      touchTsCol: String,
+      channelCol: String,
+      lookbackSeconds: Long): DataFrame = {
+    require(lookbackSeconds >= 1, s"lookbackSeconds=$lookbackSeconds")
+    val conv = conversions.select(col(convIdCol).as("_cid"),
+      col(keyCol).as("_k"), col(tsCol).cast("long").as("_ts"),
+      col(valueCol).as("_val"))
+    val tch = touches.select(col(touchKeyCol).as("_k"),
+      col(touchTsCol).cast("long").as("_tts"),
+      col(channelCol).as("_ch"))
+    val inWindow = conv.join(tch,
+      conv("_k") === tch("_k") &&
+        col("_tts") <= col("_ts") &&
+        col("_ts") - col("_tts") <= lit(lookbackSeconds))
+      .groupBy(col("_cid"), col("_ch"))
+      .agg(count(lit(1)).as("k_c"),
+        max(col("_ts")).as("_ts"), max(conv("_k")).as("_k"),
+        max(col("_val")).as("_val"))
+    val wConv = Window.partitionBy(col("_cid"))
+    val credited = inWindow
+      .withColumn("n_touches", sum(col("k_c")).over(wConv))
+      .select(col("_cid"), col("_k"), col("_ts"), col("_val"),
+        col("_ch"), col("k_c"), col("n_touches"))
+    val attributed = credited.select(col("_cid").as("conversion_id"),
+      col("_k").as("entity"), col("_ts").as("ts"), col("_ch").as("channel"),
+      col("k_c"), col("n_touches"),
+      (col("_val").cast("double") * col("k_c").cast("double") /
+        col("n_touches").cast("double")).as("credit"))
+    val unattributed = conv.join(
+        credited.select(col("_cid")).distinct(), Seq("_cid"), "left_anti")
+      .select(col("_cid").as("conversion_id"), col("_k").as("entity"),
+        col("_ts").as("ts"), lit("none").as("channel"),
+        lit(0L).as("k_c"), lit(0L).as("n_touches"),
+        col("_val").cast("double").as("credit"))
+    attributed.unionByName(unattributed)
+  }
 }

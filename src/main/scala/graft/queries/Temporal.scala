@@ -142,6 +142,20 @@ object Temporal {
         .select(col("node"), col("rank").as("pagerank"))
     }),
 
+    // HITS over the same customer->supplier interaction graph:
+    // authority ranks suppliers by weighted customer endorsement,
+    // hubs rank customers — deterministic-fold oracle mode, 3 rounds
+    // of the L1-normalized power iteration replayed sum for sum.
+    "graph_hits" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (lit(1000000L) + col("l_suppkey")).as("dst"))
+      Graph.hits(edges, "src", "dst", iterations = 3,
+        deterministic = true)
+    }),
+
     // Last-touch conversion attribution: each purchase credits the
     // user's most recent click/view within a 2-hour lookback —
     // revenue per channel. The as-of union-sort shape (one key
@@ -172,6 +186,24 @@ object Temporal {
           sum(col("value").cast("decimal(18,2)")).as("_r"))
         .select(col("channel"), col("conversions"),
           col("_r").cast("double").as("revenue"))
+    }),
+
+    // Linear multi-touch attribution at per-conversion granularity:
+    // every click/view in the 2-hour lookback shares the purchase
+    // value equally — exact (k_c, n) rationals plus the one-division
+    // credit; 'none' rows carry unattributed conversions.
+    "attribution_linear" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val secs = tsEpochSeconds(ev)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), secs.as("ts_s"),
+          col("value"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("t_uid"), secs.as("touch_ts"),
+          col("event_type"))
+      TOps.linearAttribution(purchases, "event_id", "user_id", "ts_s",
+        "value", touches, "t_uid", "touch_ts", "event_type",
+        lookbackSeconds = 7200L)
     }),
 
     // Market-basket frequent pairs over order baskets with Apriori
@@ -291,6 +323,26 @@ object Temporal {
         .select(col("event_type"), col("day"),
           col("_rev").cast("double").as("rev"))
       Stats.linearTrend(daily, Seq("event_type"), "day", "rev", scale = 2)
+    }),
+
+    // 10%-trimmed mean of value per event type: ppm-exact cut counts,
+    // survivors summed through decimal — the robust location screen
+    // between stats_mad's median and the plain mean.
+    "stats_trimmed" -> ((s, dir) =>
+      Stats.trimmedMean(
+        t(s, dir, "events").select(col("event_type"), col("value")),
+        Seq("event_type"), "value", trimFraction = 0.1)),
+
+    // Schema drift between two snapshots: the ingest contract gate on
+    // METADATA (no data scanned) — the oracle derives both sides from
+    // DuckDB's own DESCRIBE, so the canonical-type mapping is checked
+    // against an independent engine's schema reader.
+    "schema_drift" -> ((s, dir) => {
+      val a = t(s, dir, "orders")
+      val b = a.drop("o_orderpriority")
+        .withColumn("o_custkey", col("o_custkey").cast("int"))
+        .withColumn("o_flag", lit("x"))
+      graft.analytics.Profiling.schemaDrift(a, b)
     }),
 
     // Spearman rank correlation between event time and value per
@@ -1550,8 +1602,47 @@ object Temporal {
        SELECT node, rank AS pagerank FROM r$iterations"""
   }
 
+  /** HITS replay: the deterministic-fold L1 power iteration, fold
+    * orders identical to the operator's (per-node sums in neighbor
+    * order, normalizers in node order). */
+  private def hitsOracle(iterations: Int): String = {
+    val iters = (1 to iterations).map { k =>
+      val prevHub = if (k == 1) "h0" else s"hub${k - 1}"
+      s"""araw$k AS (SELECT e.dst AS node,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(h.hub ORDER BY e.src)), (a, b) -> a + b) AS a
+         FROM edges e JOIN $prevHub h ON h.node = e.src
+         GROUP BY e.dst),
+       asum$k AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(a ORDER BY node)), (x, y) -> x + y) AS s FROM araw$k),
+       auth$k AS (SELECT node, a / (SELECT s FROM asum$k) AS authority
+                  FROM araw$k),
+       hraw$k AS (SELECT e.src AS node,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(a.authority ORDER BY e.dst)), (x, y) -> x + y) AS h
+         FROM edges e JOIN auth$k a ON a.node = e.dst
+         GROUP BY e.src),
+       hsum$k AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(h ORDER BY node)), (x, y) -> x + y) AS s FROM hraw$k),
+       hub$k AS (SELECT node, h / (SELECT s FROM hsum$k) AS hub
+                 FROM hraw$k)"""
+    }.mkString(",\n")
+    s"""WITH edges AS (SELECT DISTINCT o.o_custkey AS src,
+            1000000 + l.l_suppkey AS dst
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       h0 AS (SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS hub
+              FROM edges),
+       $iters
+       SELECT coalesce(a.node, h.node) AS node,
+         coalesce(a.authority, CAST(0.0 AS DOUBLE)) AS authority,
+         coalesce(h.hub, CAST(0.0 AS DOUBLE)) AS hub
+       FROM auth$iterations a FULL OUTER JOIN hub$iterations h
+         ON a.node = h.node"""
+  }
+
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracle(5, 0.85),
+    "graph_hits" -> hitsOracle(3),
     "join_asof" ->
       """WITH l AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s
                     FROM events WHERE event_type IN ('click', 'view')),
@@ -1626,6 +1717,40 @@ object Temporal {
               / CAST(CAST(n AS BIGINT) AS DOUBLE)) /
             CAST(100 AS DOUBLE) AS intercept
          FROM a""",
+    "stats_trimmed" ->
+      """WITH base AS (SELECT event_type AS g, value AS v
+            FROM events WHERE value IS NOT NULL),
+         r AS (SELECT g, v,
+              row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+              count(*) OVER (PARTITION BY g) AS n
+            FROM base),
+         kk AS (SELECT g, v, rn, n, (n * 100000) // 1000000 AS k FROM r)
+         SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+           CAST(max(k) AS BIGINT) AS n_trimmed_each,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_kept,
+           CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE) AS trimmed_mean
+         FROM kk WHERE rn > k AND rn <= n - k GROUP BY 1""",
+    // both snapshots' schemas come from DuckDB's own DESCRIBE — an
+    // independent engine's schema reader checks the canonical-type
+    // mapping, not just the drift join
+    "schema_drift" ->
+      """WITH ca AS (SELECT column_name AS col,
+              lower(column_type) AS type_a
+            FROM (DESCRIBE SELECT * FROM orders)),
+         cb AS (SELECT column_name AS col,
+              lower(column_type) AS type_b
+            FROM (DESCRIBE SELECT * EXCLUDE (o_orderpriority)
+                    REPLACE (CAST(o_custkey AS INTEGER) AS o_custkey),
+                  'x' AS o_flag FROM orders))
+         SELECT coalesce(ca.col, cb.col) AS "column",
+           ca.type_a, cb.type_b,
+           CASE WHEN ca.type_a IS NULL THEN 'added'
+                WHEN cb.type_b IS NULL THEN 'removed'
+                WHEN ca.type_a <> cb.type_b THEN 'type_changed'
+                ELSE 'unchanged' END AS status
+         FROM ca FULL OUTER JOIN cb ON ca.col = cb.col""",
     // doubled average ranks (2*rank + ties - 1, integers) replayed
     // with DuckDB's identical min-rank window; HUGEINT sums routed
     // BIGINT->DOUBLE exactly like the operator's in-window path
@@ -1858,6 +1983,31 @@ object Temporal {
          SELECT channel, count(*) AS conversions,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM j GROUP BY 1""",
+    "attribution_linear" ->
+      """WITH p AS (SELECT event_id, user_id,
+                epoch_ns(ts) // 1000000000 AS ts_s, value
+              FROM events WHERE event_type = 'purchase'),
+         tch AS (SELECT user_id AS t_uid,
+                epoch_ns(ts) // 1000000000 AS touch_ts, event_type
+              FROM events WHERE event_type IN ('click', 'view')),
+         hit AS (SELECT p.event_id AS cid, p.user_id, p.ts_s, p.value,
+                t.event_type AS channel, count(*) AS k_c
+              FROM p JOIN tch t ON p.user_id = t.t_uid
+                AND t.touch_ts <= p.ts_s AND p.ts_s - t.touch_ts <= 7200
+              GROUP BY 1, 2, 3, 4, 5),
+         win AS (SELECT cid, user_id, ts_s, value, channel, k_c,
+                sum(k_c) OVER (PARTITION BY cid) AS n_touches
+              FROM hit)
+         SELECT cid AS conversion_id, user_id AS entity, ts_s AS ts,
+           channel, CAST(k_c AS BIGINT) AS k_c,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(value AS DOUBLE) * CAST(k_c AS DOUBLE) /
+             CAST(n_touches AS DOUBLE) AS credit
+         FROM win
+         UNION ALL
+         SELECT p.event_id, p.user_id, p.ts_s, 'none',
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(p.value AS DOUBLE)
+         FROM p WHERE p.event_id NOT IN (SELECT cid FROM hit)""",
     "basket_pairs" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
               FROM lineitem),
