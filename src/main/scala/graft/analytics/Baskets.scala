@@ -55,4 +55,47 @@ object Baskets {
         max(col("_sb")).as("supp_b"))
       .filter(col("pair_cnt") >= minSupport)
   }
+
+  /** Association rules from [[frequentPairs]]: both directions of
+    * every frequent pair as antecedent → consequent with the classic
+    * strengths — confidence = supp(AB)/supp(A), lift =
+    * confidence / (supp(B)/N) = supp(AB)·N / (supp(A)·supp(B)) — and
+    * the rule kept when confidence ≥ `minConfidence` by EXACT
+    * cross-multiply (pair_cnt·10⁶ ≥ conf_ppm·supp_A: the verdict is
+    * integer, only the reported strengths are one-division doubles).
+    *
+    * Cost on top of the pair mining: one 1-row basket count
+    * (broadcast) and a row-local projection — the pair table is
+    * already metadata-sized relative to the corpus.
+    */
+  def associationRules(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupport: Long,
+      minConfidence: Double): DataFrame = {
+    require(minConfidence > 0 && minConfidence <= 1,
+      s"minConfidence=$minConfidence")
+    val confPpm = math.round(minConfidence * 1000000L)
+    val n = df.select(col(basketCol)).distinct()
+      .agg(count(lit(1)).as("_n"))
+    val pairs = frequentPairs(df, basketCol, itemCol, minSupport)
+    val fwd = pairs.select(col("item_a").as("antecedent"),
+      col("item_b").as("consequent"), col("pair_cnt"),
+      col("supp_a").as("supp_ante"), col("supp_b").as("supp_cons"))
+    val rev = pairs.select(col("item_b").as("antecedent"),
+      col("item_a").as("consequent"), col("pair_cnt"),
+      col("supp_b").as("supp_ante"), col("supp_a").as("supp_cons"))
+    fwd.unionByName(rev)
+      .filter(col("pair_cnt") * lit(1000000L) >=
+        lit(confPpm) * col("supp_ante"))
+      .crossJoin(broadcast(n))
+      .select(col("antecedent"), col("consequent"), col("pair_cnt"),
+        col("supp_ante"), col("supp_cons"), col("_n").as("n_baskets"),
+        (col("pair_cnt").cast("double") / col("supp_ante").cast("double"))
+          .as("confidence"),
+        (col("pair_cnt").cast("double") * col("_n").cast("double") /
+          (col("supp_ante").cast("double") * col("supp_cons").cast("double")))
+          .as("lift"))
+  }
 }

@@ -299,6 +299,78 @@ object Graph {
         col("_tri").getItem(2).as("node_c"))
   }
 
+  /** k-core membership by bounded iterative peeling (Seidman 1983;
+    * the MapReduce formulation of the degeneracy peel): repeatedly
+    * drop nodes of undirected degree < k and the edges they carry,
+    * up to `maxRounds` times or until a round removes nothing —
+    * surviving nodes form the k-core (when converged) with their
+    * within-core degree. The standard densest-region prefilter for
+    * community detection and spam-farm isolation on co-occurrence
+    * graphs.
+    *
+    * Determinism: pure integer degrees — the surviving set after R
+    * rounds is a function of the edge multiset only. Peeling is
+    * MONOTONE (a stable subgraph stays stable), so early exit on a
+    * no-change round equals running the full budget: a fixed-R
+    * replay agrees with the early-exited run whenever either
+    * converges within R.
+    *
+    * Scale shape: per round one degree aggregation + two semi-joins
+    * of the edge list against the (node-sized) survivor set; the
+    * per-round `count()` that detects convergence doubles as the
+    * persist fence keeping lineage linear (1 long to the driver per
+    * round — the documented bounded class).
+    */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxRounds: Int = 10): DataFrame = {
+    require(k >= 1 && maxRounds >= 1, s"k=$k maxRounds=$maxRounds")
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def adj(e: DataFrame): DataFrame =
+      e.select(col("_u").as("_n"), col("_v").as("_nbr"))
+        .union(e.select(col("_v").as("_n"), col("_u").as("_nbr")))
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).as("_u"),
+        greatest(col(srcCol), col(dstCol)).as("_v"))
+      .filter(col("_u") =!= col("_v") && col("_u").isNotNull)
+      .distinct().persist(storage)
+    var m = e.count()
+    val fences = scala.collection.mutable.ArrayBuffer[DataFrame](e)
+    var round = 0
+    var stable = false
+    while (round < maxRounds && !stable && m > 0) {
+      val keep = adj(e).groupBy(col("_n")).agg(count(lit(1)).as("_d"))
+        .filter(col("_d") >= k).select(col("_n"))
+      val e2 = e
+        .join(keep.withColumnRenamed("_n", "_u"), Seq("_u"), "left_semi")
+        .join(keep.withColumnRenamed("_n", "_v"), Seq("_v"), "left_semi")
+        .persist(storage)
+      fences += e2
+      val m2 = e2.count()
+      stable = m2 == m
+      m = m2
+      e = e2
+      round += 1
+    }
+    val out = adj(e).groupBy(col("_n").as("node"))
+      .agg(count(lit(1)).as("core_degree"))
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val dir = sc.getCheckpointDir.getOrElse {
+      require(sc.isLocal,
+        "kCore on a cluster needs a shared-filesystem spill dir: set " +
+          "SparkContext.setCheckpointDir")
+      java.nio.file.Files.createTempDirectory("graft-kcore").toString
+    }
+    val path = dir + "/kcore-" + java.util.UUID.randomUUID().toString
+    out.write.mode("overwrite").parquet(path)
+    fences.foreach(_.unpersist(false))
+    spark.read.parquet(path)
+  }
+
   /** Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003,
     * Jaccard variant): for every UNCONNECTED node pair at distance 2,
     * |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — "these two items are never

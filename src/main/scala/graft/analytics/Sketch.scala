@@ -400,4 +400,68 @@ object Sketch {
       .groupBy(col(itemCol))
       .agg(min(col("_c")).as("cms_estimate"))
   }
+
+  /** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.
+    * 2002; Beyer et al. SIGMOD 2007): per group keep the k SMALLEST
+    * distinct 64-bit hashes of the value; the k-th minimum θ
+    * estimates the cardinality as (k−1)·2⁶⁴/θ (unbiased). The
+    * mergeable-state sibling of [[hllRegisters]] with a different
+    * trade: exact ≤ k−1 small cardinalities (the state IS the
+    * distinct hash set) and a set-intersectable state (HLL registers
+    * only union) — at the price of k·8 bytes/group vs 2^p registers.
+    *
+    * State rows: (group, kmv_rank, _h) with rank 1..k over distinct
+    * hashes — integer-exact, partial-agg safe (the k smallest of a
+    * union = k smallest of the concatenated per-partition k-mins, so
+    * Spark's partial TopK under the window limit is the map-side
+    * combine). Hashes shift to 63-bit non-negative so the θ ratio
+    * stays in positive long arithmetic.
+    */
+  def kmvState(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Int = 256,
+      seed: Long = 7L): DataFrame = {
+    require(k >= 16 && k <= 65536, s"k=$k")
+    val g = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("_h"))
+    df.filter(col(valueCol).isNotNull)
+      .select(g :+ shiftrightunsigned(
+        splitmix64_hash(col(valueCol) + lit(seed)), 1).as("_h"): _*)
+      .distinct()
+      .withColumn("kmv_rank", row_number().over(w).cast("long"))
+      .filter(col("kmv_rank") <= k)
+  }
+
+  /** Merge KMV states (sketch union): k smallest distinct hashes of
+    * the union of states — re-rank after the concat, exactly the
+    * partial-combine law the state's own construction uses. */
+  def kmvMerge(states: Seq[DataFrame], groupCols: Seq[String],
+               k: Int = 256): DataFrame = {
+    val g = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("_h"))
+    states.reduce(_ unionByName _)
+      .select(g :+ col("_h"): _*).distinct()
+      .withColumn("kmv_rank", row_number().over(w).cast("long"))
+      .filter(col("kmv_rank") <= k)
+  }
+
+  /** Cardinality estimate from a KMV state: exact count when the
+    * group holds fewer than k hashes (the state is the whole distinct
+    * set), else (k−1)·2⁶³/θ with θ = the k-th minimum — one division
+    * on integer-exact inputs. */
+  def kmvEstimate(state: DataFrame, groupCols: Seq[String],
+                  k: Int = 256): DataFrame = {
+    val g = groupCols.map(col)
+    state.groupBy(g: _*)
+      .agg(count(lit(1)).as("_cnt"), max(col("_h")).as("_theta"))
+      .select(g ++ Seq(col("_cnt").as("n_state"),
+        when(col("_cnt") < k, col("_cnt").cast("double"))
+          .otherwise(lit((k - 1).toDouble) *
+            lit(9223372036854775807.0) / col("_theta").cast("double"))
+          .as("estimate")): _*)
+  }
 }

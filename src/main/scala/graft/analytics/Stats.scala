@@ -1132,6 +1132,42 @@ object Stats {
         col("_best._cnt").as("mode_count")): _*)
   }
 
+  /** Per-group Shannon entropy of a categorical column, with the
+    * −Σ p·ln p sum folded in CATEGORY order (the PSI/pagerank
+    * deterministic-fold device) so the double is bit-stable under any
+    * partitioning — the class-balance / label-skew screen a training
+    * mix needs next to [[abTest]] and the drift family. Also emits
+    * the ln(k)-normalized form (1 = uniform over observed
+    * categories).
+    *
+    * One (group, category) count aggregation + one per-group fold
+    * over ≤ k category rows — the category table is metadata-sized.
+    */
+  def categoricalEntropy(
+      df: DataFrame,
+      groupCols: Seq[String],
+      catCol: String): DataFrame = {
+    import HashFunctions.java_ln
+    val g = groupCols.map(col)
+    val counts = df.filter(col(catCol).isNotNull)
+      .groupBy(g :+ col(catCol).as("_c"): _*)
+      .agg(count(lit(1)).as("_cnt"))
+    val wAll = Window.partitionBy(g: _*)
+    val p = col("_cnt").cast("double") / col("_n").cast("double")
+    counts
+      .withColumn("_n", sum(col("_cnt")).over(wAll))
+      .withColumn("_t", struct(col("_c").as("_k"),
+        (lit(0.0) - p * java_ln(p)).as("_term")))
+      .groupBy(g: _*)
+      .agg(max(col("_n")).as("n"),
+        count(lit(1)).as("n_categories"),
+        aggregate(array_sort(collect_list(col("_t"))), lit(0.0),
+          (acc, x) => acc + x.getField("_term")).as("entropy"))
+      .withColumn("normalized",
+        when(col("n_categories") > 1, col("entropy") /
+          java_ln(col("n_categories").cast("double"))))
+  }
+
   /** Per-group trimmed mean: drop the lowest and highest
     * ⌊trim·n⌋ values (ppm-exact: k = (n·round(trim·10⁶)) div 10⁶ —
     * integer arithmetic, no float cut), then average the survivors

@@ -213,6 +213,49 @@ object Temporal {
       Baskets.frequentPairs(t(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", minSupport = 2L)),
 
+    // Association rules on top of the frequent pairs: both rule
+    // directions, confidence gated by exact cross-multiply, lift from
+    // the broadcast basket count — integer verdicts, one-division
+    // strengths.
+    "basket_rules" -> ((s, dir) =>
+      Baskets.associationRules(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minSupport = 2L,
+        minConfidence = 0.5)),
+
+    // KMV distinct sketch: k smallest splitmix64 hashes per event
+    // type — the mergeable cardinality state with exact-below-k
+    // semantics; the oracle replays the hash chain and the k-th-min
+    // estimator in HUGEINT.
+    "sketch_kmv" -> ((s, dir) => {
+      val st = Sketch.kmvState(t(s, dir, "events"),
+        Seq("event_type"), "user_id", k = 64)
+      Sketch.kmvEstimate(st, Seq("event_type"), k = 64)
+    }),
+
+    // 3-core of the customer->supplier interaction graph by bounded
+    // peeling — pure integer degrees, early exit equals the fixed
+    // budget by monotonicity, which is exactly how the oracle replays
+    // it.
+    "graph_kcore" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (lit(1000000L) + col("l_suppkey")).as("dst"))
+      Graph.kCore(edges, "src", "dst", k = 3, maxRounds = 8)
+    }),
+
+    // Per-day Shannon entropy of the event-type mix: the label-skew
+    // screen, with the -sum p ln p fold in category order so the
+    // double replays bit for bit.
+    "stats_entropy" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Stats.categoricalEntropy(
+        ev.select(tsEpochSeconds(ev).as("ts_s"), col("event_type"))
+          .select(expr("ts_s div 86400").as("day"), col("event_type")),
+        Seq("day"), "event_type")
+    }),
+
     // Rolling 7-day distinct users per day, sliding the window by
     // register algebra: raw rows are hashed once (per-day registers),
     // each register row is exploded over the 7 windows it serves, and
@@ -1640,9 +1683,111 @@ object Temporal {
          ON a.node = h.node"""
   }
 
+  /** Bounded k-core peel replay: fixed `rounds` of degree-filter
+    * CTEs — by monotonicity extra rounds past convergence are no-ops,
+    * matching the operator's early exit. */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val iters = (1 to rounds).map { r =>
+      s"""keep$r AS MATERIALIZED (SELECT n FROM (
+           SELECT n, count(*) AS d FROM (
+             SELECT u AS n FROM e${r - 1}
+             UNION ALL SELECT v FROM e${r - 1}) GROUP BY n)
+         WHERE d >= $k),
+       e$r AS MATERIALIZED (SELECT u, v FROM e${r - 1}
+         WHERE u IN (SELECT n FROM keep$r)
+           AND v IN (SELECT n FROM keep$r))"""
+    }.mkString(",\n")
+    s"""WITH edges AS (SELECT DISTINCT o.o_custkey AS src,
+            1000000 + l.l_suppkey AS dst
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       e0 AS MATERIALIZED (SELECT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM edges WHERE src <> dst),
+       $iters
+       SELECT n AS node, CAST(count(*) AS BIGINT) AS core_degree FROM (
+         SELECT u AS n FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+       GROUP BY n"""
+  }
+
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracle(5, 0.85),
     "graph_hits" -> hitsOracle(3),
+    "graph_kcore" -> kCoreOracle(3, 8),
+    // the splitmix64 chain (seed 7) >> 1, k smallest distinct hashes,
+    // (k-1)*2^63/theta estimator — BIGINT->DOUBLE rounding route
+    "sketch_kmv" ->
+      """WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+         m0 AS (SELECT event_type AS g,
+              (CAST(user_id AS HUGEINT) + 7 + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
+              FROM events CROSS JOIN c WHERE user_id IS NOT NULL),
+         ma AS (SELECT g, xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
+         m1 AS (SELECT g, (x2 % 4294967296 * 484763065 +
+              ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+              * 4294967296) % m64 AS x3, m64 FROM ma),
+         mb AS (SELECT g, xor(x3, x3 // 134217728) AS x4, m64 FROM m1),
+         m2 AS (SELECT g, (x4 % 4294967296 * 321982955 +
+              ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+              * 4294967296) % m64 AS x5, m64 FROM mb),
+         m3 AS (SELECT g, xor(x5, x5 // 2147483648) AS x6 FROM m2),
+         hh AS (SELECT DISTINCT g, x6 // 2 AS h FROM m3),
+         rk AS (SELECT g, h,
+              row_number() OVER (PARTITION BY g ORDER BY h) AS r
+            FROM hh),
+         st AS (SELECT g, h FROM rk WHERE r <= 64),
+         est AS (SELECT g, count(*) AS cnt, max(h) AS theta FROM st GROUP BY g)
+         SELECT g AS event_type, CAST(cnt AS BIGINT) AS n_state,
+           CASE WHEN cnt < 64 THEN CAST(CAST(cnt AS BIGINT) AS DOUBLE)
+             ELSE CAST(63 AS DOUBLE) * CAST(9223372036854775807 AS DOUBLE)
+               / CAST(CAST(theta AS BIGINT) AS DOUBLE) END AS estimate
+         FROM est""",
+    // counts + list_reduce fold in category order; same ln
+    "stats_entropy" ->
+      """WITH base AS (SELECT (epoch_ns(ts) // 1000000000) // 86400 AS day,
+              event_type AS c
+            FROM events WHERE event_type IS NOT NULL),
+         cnts AS (SELECT day, c, CAST(count(*) AS BIGINT) AS cnt
+            FROM base GROUP BY 1, 2),
+         wn AS (SELECT day, c, cnt,
+              sum(cnt) OVER (PARTITION BY day) AS n
+            FROM cnts),
+         terms AS (SELECT day, c, cnt, n,
+              0.0 - (CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) *
+                ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) AS term
+            FROM wn)
+         SELECT day, CAST(max(n) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_categories,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(term ORDER BY c)), (a, b) -> a + b) AS entropy,
+           CASE WHEN count(*) > 1 THEN
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(term ORDER BY c)), (a, b) -> a + b) /
+             ln(CAST(count(*) AS DOUBLE)) END AS normalized
+         FROM terms GROUP BY day""",
+    "basket_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+              FROM lineitem),
+         s AS (SELECT i, count(*) AS supp FROM items
+               GROUP BY i HAVING count(*) >= 2),
+         p AS (SELECT items.b, items.i, s.supp FROM items JOIN s USING (i)),
+         pairs AS (SELECT a.i AS item_a, bb.i AS item_b,
+             CAST(count(*) AS BIGINT) AS pair_cnt,
+             CAST(max(a.supp) AS BIGINT) AS supp_a,
+             CAST(max(bb.supp) AS BIGINT) AS supp_b
+           FROM p a JOIN p bb ON a.b = bb.b AND a.i < bb.i
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+                FROM lineitem),
+         bidir AS (
+           SELECT item_a AS antecedent, item_b AS consequent, pair_cnt,
+             supp_a AS supp_ante, supp_b AS supp_cons FROM pairs
+           UNION ALL
+           SELECT item_b, item_a, pair_cnt, supp_b, supp_a FROM pairs)
+         SELECT antecedent, consequent, pair_cnt, supp_ante, supp_cons,
+           nb.n AS n_baskets,
+           CAST(pair_cnt AS DOUBLE) / CAST(supp_ante AS DOUBLE) AS confidence,
+           CAST(pair_cnt AS DOUBLE) * CAST(nb.n AS DOUBLE) /
+             (CAST(supp_ante AS DOUBLE) * CAST(supp_cons AS DOUBLE)) AS lift
+         FROM bidir CROSS JOIN nb
+         WHERE pair_cnt * 1000000 >= 500000 * supp_ante""",
     "join_asof" ->
       """WITH l AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s
                     FROM events WHERE event_type IN ('click', 'view')),
