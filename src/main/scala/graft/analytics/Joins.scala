@@ -86,4 +86,40 @@ object Joins {
     fact.filter(coalesce(probe, lit(false)))
       .join(keys, col(factKey).cast("string") === col("_k"), "left_semi")
   }
+
+  /** Per-group 2-D skyline (Börzsönyi, Kossmann & Stocker, ICDE
+    * 2001): rows not DOMINATED in the maximize-both sense — p
+    * dominates q when p ≥ q in both dims and > in at least one
+    * (duplicate points survive together). The Pareto-frontier query
+    * of every "best price for the size" analysis.
+    *
+    * Sort-free-of-quadratics formulation: per (group, x) class the
+    * class max-y, a prefix max over classes with strictly larger x
+    * (one row per distinct x — metadata-sized relative to the data),
+    * then one equi-join back: q is dominated iff prefixMax(x' > x)
+    * ≥ q.y (strict x beats, tied-or-better y) or classMax(x) > q.y
+    * (tied x, strictly better y). Two keyed shuffles, no self-join —
+    * the classic nested-loop skyline is quadratic; this is n log n.
+    * Exact comparisons only, so the surviving SET is deterministic
+    * under any partitioning.
+    */
+  def skyline2D(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      yCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val cls = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(g :+ col(xCol): _*)
+      .agg(max(col(yCol)).as("_clsMax"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col(xCol).desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cls2 = cls.withColumn("_prefMax", max(col("_clsMax")).over(w))
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .join(cls2, groupCols :+ xCol)
+      .filter(!((col("_prefMax").isNotNull && col("_prefMax") >= col(yCol)) ||
+        col("_clsMax") > col(yCol)))
+      .drop("_clsMax", "_prefMax")
+  }
 }

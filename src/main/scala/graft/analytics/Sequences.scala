@@ -48,4 +48,51 @@ object Sequences {
       .withColumn("p",
         col("cnt").cast("double") / col("prev_total").cast("double"))
   }
+
+  /** Per-entity sequence log-likelihood under the corpus' own
+    * first-order Markov model ([[transitionMatrix]]): the sum of
+    * ln p(next | prev) over the entity's consecutive transitions,
+    * folded in (order, tie) sequence position — the "how typical is
+    * this clickstream" fluency score, the behavioral sibling of
+    * [[Text.unigramLogProb]] (bot/fraud streams score far from the
+    * mass). Emits n_transitions, total and per-transition mean
+    * negative log-likelihood; entities with no transitions are
+    * omitted (no model evidence either way). Unseen transitions
+    * cannot occur by construction — the model is fit on the same
+    * corpus; fit on a reference corpus instead to score drift, and
+    * pre-smooth the matrix if the corpora may differ.
+    *
+    * Scale shape: the transition matrix is a ≤ states² broadcast; the
+    * scoring pass reuses the same one-shuffle lag window, then one
+    * per-entity fold over its own transitions.
+    */
+  def sequenceLikelihood(
+      df: DataFrame,
+      entityCols: Seq[String],
+      orderCol: Column,
+      tieCol: Column,
+      stateCol: Column): DataFrame = {
+    import HashFunctions.java_ln
+    val model = transitionMatrix(df, entityCols, orderCol, tieCol, stateCol)
+      .select(col("prev"), col("next"), col("p"))
+    val keyed = df.select(entityCols.map(col) ++
+      Seq(orderCol.as("_ord"), tieCol.as("_tie"), stateCol.as("_st")): _*)
+    val w = Window.partitionBy(entityCols.map(col): _*)
+      .orderBy(col("_ord"), col("_tie"))
+    val pairs = keyed
+      .withColumn("_prev", lag(col("_st"), 1).over(w))
+      .filter(col("_prev").isNotNull)
+    pairs
+      .join(broadcast(model),
+        col("_prev") === col("prev") && col("_st") === col("next"))
+      .select(entityCols.map(col) :+
+        struct(col("_ord").as("_k1"), col("_tie").as("_k2"),
+          (lit(0.0) - java_ln(col("p"))).as("_nll")).as("_t"): _*)
+      .groupBy(entityCols.map(col): _*)
+      .agg(count(lit(1)).as("n_transitions"),
+        aggregate(array_sort(collect_list(col("_t"))), lit(0.0),
+          (acc, x) => acc + x.getField("_nll")).as("nll_total"))
+      .withColumn("nll_mean",
+        col("nll_total") / col("n_transitions").cast("double"))
+  }
 }

@@ -206,6 +206,27 @@ object Temporal {
         lookbackSeconds = 7200L)
     }),
 
+    // Per-brand Pareto frontier of parts (maximize size AND price):
+    // the n log n prefix-max skyline vs the oracle's INDEPENDENT
+    // quadratic NOT-EXISTS formulation — structurally different
+    // plans, same surviving set.
+    "join_skyline" -> ((s, dir) =>
+      Joins.skyline2D(
+        t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
+          col("p_size"), col("p_retailprice")),
+        Seq("p_brand"), "p_size", "p_retailprice")),
+
+    // Per-user clickstream log-likelihood under the corpus' own
+    // Markov transition model: fold in sequence position, ln
+    // bit-compatible — the behavioral fluency screen.
+    "seq_likelihood" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Sequences.sequenceLikelihood(
+        ev.select(col("user_id"), tsEpochSeconds(ev).as("ts_s"),
+          col("event_id"), col("event_type")),
+        Seq("user_id"), col("ts_s"), col("event_id"), col("event_type"))
+    }),
+
     // Market-basket frequent pairs over order baskets with Apriori
     // support pruning — rare items never reach the within-basket
     // self-join. Pure integer counts: exact under any partitioning.
@@ -1762,6 +1783,42 @@ object Temporal {
                list(term ORDER BY c)), (a, b) -> a + b) /
              ln(CAST(count(*) AS DOUBLE)) END AS normalized
          FROM terms GROUP BY day""",
+    // deliberately quadratic NOT EXISTS — an independent formulation
+    // of domination, not a replay of the prefix-max plan
+    "join_skyline" ->
+      """SELECT p_partkey, p_brand, p_size, p_retailprice
+         FROM part p
+         WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+           AND NOT EXISTS (
+             SELECT 1 FROM part q
+             WHERE q.p_brand = p.p_brand
+               AND q.p_size >= p.p_size
+               AND q.p_retailprice >= p.p_retailprice
+               AND (q.p_size > p.p_size OR q.p_retailprice > p.p_retailprice))""",
+    "seq_likelihood" ->
+      """WITH seq AS (SELECT user_id,
+              epoch_ns(ts) // 1000000000 AS ts_s, event_id, event_type,
+              lag(event_type) OVER (PARTITION BY user_id
+                ORDER BY epoch_ns(ts) // 1000000000, event_id) AS prev
+            FROM events),
+         tr AS (SELECT prev, event_type AS next,
+              CAST(count(*) AS BIGINT) AS cnt
+            FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+         model AS (SELECT prev, next, CAST(cnt AS DOUBLE) /
+              CAST(sum(cnt) OVER (PARTITION BY prev) AS DOUBLE) AS p
+            FROM tr),
+         scored AS (SELECT s.user_id, s.ts_s, s.event_id,
+              0.0 - ln(m.p) AS nll
+            FROM seq s JOIN model m
+              ON s.prev = m.prev AND s.event_type = m.next)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_transitions,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(nll ORDER BY ts_s, event_id)), (a, b) -> a + b)
+             AS nll_total,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(nll ORDER BY ts_s, event_id)), (a, b) -> a + b) /
+             CAST(count(*) AS DOUBLE) AS nll_mean
+         FROM scored GROUP BY user_id""",
     "basket_rules" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
               FROM lineitem),

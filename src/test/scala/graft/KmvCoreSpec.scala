@@ -76,6 +76,51 @@ class KmvCoreSpec extends AnyFunSuite {
     assert(Graph.kCore(e, "u", "v", k = 3).count() == 0)
   }
 
+  test("skyline: frontier membership, tie semantics, duplicates survive") {
+    import graft.analytics.Joins
+    // (5,1) and (1,5) on frontier; (3,3) on frontier; (2,2) dominated
+    // by (3,3); (5,0) dominated by (5,1) (tied x, lower y);
+    // duplicate (3,3) both survive
+    val df = Seq((1, "g", 5L, 1.0), (2, "g", 1L, 5.0), (3, "g", 3L, 3.0),
+      (4, "g", 2L, 2.0), (5, "g", 5L, 0.0), (6, "g", 3L, 3.0))
+      .toDF("id", "g", "x", "y")
+    val out = Joins.skyline2D(df, Seq("g"), "x", "y")
+      .collect().map(_.getAs[Int]("id")).toSet
+    assert(out == Set(1, 2, 3, 6), out.toString)
+    // matches brute force on a randomized instance
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 200).map(i =>
+      (i, "r", rnd.nextInt(30).toLong, rnd.nextInt(30).toDouble))
+    val rdf = pts.toDF("id", "g", "x", "y")
+    val got = Joins.skyline2D(rdf, Seq("g"), "x", "y")
+      .collect().map(_.getAs[Int]("id")).toSet
+    val want = pts.filter { case (_, _, x, y) =>
+      !pts.exists { case (_, _, x2, y2) =>
+        x2 >= x && y2 >= y && (x2 > x || y2 > y) } }.map(_._1).toSet
+    assert(got == want)
+  }
+
+  test("sequence likelihood: deterministic chain scores 0 nll") {
+    import graft.analytics.Sequences
+    // user 1: a->b->a->b (deterministic transitions, p=1, nll=0)
+    // user 2: a->b->b (b->b and a->b split b-successors)
+    val df = Seq((1L, 1L, 10L, "a"), (1L, 2L, 11L, "b"),
+      (1L, 3L, 12L, "a"), (1L, 4L, 13L, "b"),
+      (2L, 5L, 10L, "a"), (2L, 6L, 11L, "b"), (2L, 7L, 12L, "b"))
+      .toDF("u", "id", "ts", "st")
+    val out = Sequences.sequenceLikelihood(df, Seq("u"), col("ts"),
+        col("id"), col("st"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_transitions"), r.getAs[Double]("nll_total")))
+      .toMap
+    // transitions: a->b x3 (p=1), b->a x1, b->b x1 (p=1/2 each)
+    assert(out(1L)._1 == 3L)
+    // user1: a->b,b->a,a->b = 0 + ln2 + 0
+    assert(math.abs(out(1L)._2 - math.log(2.0)) < 1e-12, out.toString)
+    // user2: a->b,b->b = 0 + ln2
+    assert(math.abs(out(2L)._2 - math.log(2.0)) < 1e-12)
+  }
+
   test("categorical entropy: uniform=ln k, single category=0, fold stable") {
     val df = (Seq.fill(10)("a") ++ Seq.fill(10)("b") ++ Seq.fill(10)("c"))
       .map(("g1", _)) ++ Seq.fill(7)(("g2", "only"))
