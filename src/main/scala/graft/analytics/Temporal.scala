@@ -789,6 +789,31 @@ object Temporal {
     endpoints.unionByName(picked)
   }
 
+  /** Per-key strict local maxima of a series: a row is a peak when
+    * its value exceeds BOTH neighbors under the (time, tie) order —
+    * boundary rows and plateau members are not peaks (strictness
+    * makes the verdict deterministic; detect plateaus with
+    * [[sessionize]]-style runs if needed). The spike-finding
+    * primitive under alerting and seasonality eyeballing.
+    *
+    * One lag + one lead on the same window sort — a single key
+    * shuffle, then row-local comparisons.
+    */
+  def localPeaks(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      valueCol: String): DataFrame = {
+    val g = keyCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col(tsCol), col(tieCol))
+    df.withColumn("_prev", lag(col(valueCol), 1).over(w))
+      .withColumn("_next", lead(col(valueCol), 1).over(w))
+      .filter(col("_prev").isNotNull && col("_next").isNotNull &&
+        col(valueCol) > col("_prev") && col(valueCol) > col("_next"))
+      .drop("_prev", "_next")
+  }
+
   /** Linear (equal-credit) multi-touch attribution: every touch in a
     * conversion's lookback window shares the conversion's value
     * equally — the complement of the last-touch pick, at PER-

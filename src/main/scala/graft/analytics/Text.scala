@@ -776,4 +776,50 @@ object Text {
     cached.foreach(_.unpersist(false))
     spark.read.parquet(path)
   }
+
+  /** Per-document script composition: counts of Latin letters,
+    * digits, Cyrillic, CJK, whitespace and everything else, with the
+    * Latin fraction and the dominant script label — the
+    * script-mixing screen of multilingual corpus cleaning (mixed-
+    * script spam, mislabeled languages, mojibake all show up here
+    * before any language model runs). Complements [[langId]]: langId
+    * classifies WITHIN a script, this catches the wrong-script drop.
+    *
+    * Row-local `regexp_count` projections — codegen'd, zero shuffle;
+    * char counts are UTF-16 units, matching codepoints for BMP text
+    * (the corpus contract shared with [[fingerprint]]).
+    */
+  def scriptProfile(df: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val t = col(textCol)
+    val n = length(t)
+    def cnt(re: String) = regexp_count(t, lit(re))
+    val latin = cnt("[A-Za-z]")
+    val digit = cnt("[0-9]")
+    val cyr = cnt("[Ѐ-ӿ]")
+    val cjk = cnt("[一-鿿]")
+    val ws = cnt("[ \\t\\n\\x0B\\f\\r]")
+    val scored = df.select(col(idCol).as("doc_id"),
+      n.cast("long").as("n_chars"),
+      latin.cast("long").as("n_latin"), digit.cast("long").as("n_digit"),
+      cyr.cast("long").as("n_cyrillic"), cjk.cast("long").as("n_cjk"),
+      ws.cast("long").as("n_space"))
+    scored
+      .withColumn("n_other",
+        col("n_chars") - col("n_latin") - col("n_digit") -
+          col("n_cyrillic") - col("n_cjk") - col("n_space"))
+      .withColumn("latin_frac",
+        when(col("n_chars") > 0,
+          col("n_latin").cast("double") / col("n_chars").cast("double")))
+      // dominant non-space class; ties break by the fixed label order
+      // (the struct max reads (count, label))
+      .withColumn("dominant_script",
+        greatest(
+          struct(col("n_latin").as("_c"), lit("latin").as("_l")),
+          struct(col("n_digit").as("_c"), lit("digit").as("_l")),
+          struct(col("n_cyrillic").as("_c"), lit("cyrillic").as("_l")),
+          struct(col("n_cjk").as("_c"), lit("cjk").as("_l")),
+          struct(col("n_other").as("_c"), lit("other").as("_l")))
+          .getField("_l"))
+  }
 }

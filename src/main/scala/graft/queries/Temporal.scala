@@ -206,6 +206,37 @@ object Temporal {
         lookbackSeconds = 7200L)
     }),
 
+    // Fellegi-Sunter record-linkage scoring: customer self-linkage
+    // blocked on nation, three agreement fields with driver-computed
+    // log-likelihood weights (the SAME double literals land in the
+    // oracle — no runtime ln anywhere).
+    "link_score" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("bal_pos", (col("c_acctbal") >= 0).cast("string"))
+        .withColumn("name_last",
+          substring(col("c_name"), -1, 1))
+      graft.analytics.Linkage.linkageScore(c, c, "c_custkey", "c_custkey",
+        "c_nationkey",
+        Seq(("c_mktsegment", 0.9, 0.2), ("bal_pos", 0.7, 0.5),
+          ("name_last", 0.95, 0.1)),
+        minScore = 2.0, selfPairs = true)
+    }),
+
+    // Per-document script composition: the wrong-script/mojibake
+    // screen — row-local regexp counts, dominant label by struct max.
+    "text_scripts" -> ((s, dir) =>
+      graft.analytics.Text.scriptProfile(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Strict local maxima of value per event type over (ts, id) —
+    // the spike primitive; boundaries and plateaus excluded.
+    "ts_peaks" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      TOps.localPeaks(
+        ev.select(col("event_type"), tsEpochSeconds(ev).as("ts_s"),
+          col("event_id"), col("value")),
+        Seq("event_type"), "ts_s", "event_id", "value")
+    }),
+
     // Per-brand Pareto frontier of parts (maximize size AND price):
     // the n log n prefix-max skyline vs the oracle's INDEPENDENT
     // quadratic NOT-EXISTS formulation — structurally different
@@ -1783,6 +1814,73 @@ object Temporal {
                list(term ORDER BY c)), (a, b) -> a + b) /
              ln(CAST(count(*) AS DOUBLE)) END AS normalized
          FROM terms GROUP BY day""",
+    // the same driver-computed log-likelihood weights as the
+    // operator (Double.toString round-trips the exact bits); plain
+    // equality suffices — every compared field is non-null
+    "link_score" -> {
+      // weights derived EXACTLY as the operator derives them — via
+      // (1 - m)/(1 - u) on the same doubles (1 - 0.9 is not the
+      // double 0.1), StrictMath for JIT-independent bits
+      def w(x: Double) = s"CAST('${x}' AS DOUBLE)"
+      def aw(m: Double, u: Double) = w(StrictMath.log(m / u))
+      def dw(m: Double, u: Double) = w(StrictMath.log((1 - m) / (1 - u)))
+      val (mkA, mkD) = (aw(0.9, 0.2), dw(0.9, 0.2))
+      val (bpA, bpD) = (aw(0.7, 0.5), dw(0.7, 0.5))
+      val (nlA, nlD) = (aw(0.95, 0.1), dw(0.95, 0.1))
+      s"""WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+              CAST(c_acctbal >= 0 AS VARCHAR) AS bal_pos,
+              substr(c_name, length(c_name), 1) AS name_last
+            FROM customer),
+         p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+              (CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END +
+               CASE WHEN a.bal_pos = b.bal_pos THEN 1 ELSE 0 END +
+               CASE WHEN a.name_last = b.name_last THEN 1 ELSE 0 END)
+                AS n_agree,
+              (CASE WHEN a.c_mktsegment = b.c_mktsegment THEN $mkA ELSE $mkD END +
+               CASE WHEN a.bal_pos = b.bal_pos THEN $bpA ELSE $bpD END +
+               CASE WHEN a.name_last = b.name_last THEN $nlA ELSE $nlD END)
+                AS score
+            FROM c a JOIN c b
+              ON a.c_nationkey = b.c_nationkey
+             AND a.c_custkey < b.c_custkey)
+         SELECT id_a, id_b, CAST(n_agree AS BIGINT) AS n_agree, score
+         FROM p WHERE score >= CAST(2.0 AS DOUBLE)"""
+    },
+    "text_scripts" ->
+      """WITH base AS (SELECT doc_id, text,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_latin,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+           CAST(len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS BIGINT) AS n_cyrillic,
+           CAST(len(regexp_extract_all(text, '[一-鿿]')) AS BIGINT) AS n_cjk,
+           CAST(len(regexp_extract_all(text, '[ \t\n\x0B\f\r]')) AS BIGINT) AS n_space
+           FROM documents),
+         ext AS (SELECT *,
+           n_chars - n_latin - n_digit - n_cyrillic - n_cjk - n_space AS n_other
+           FROM base)
+         SELECT doc_id, n_chars, n_latin, n_digit, n_cyrillic, n_cjk,
+           n_space, n_other,
+           CASE WHEN n_chars > 0 THEN
+             CAST(n_latin AS DOUBLE) / CAST(n_chars AS DOUBLE) END AS latin_frac,
+           CASE
+             WHEN n_other = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_other) THEN 'other'
+             WHEN n_latin = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_other) THEN 'latin'
+             WHEN n_digit = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_other) THEN 'digit'
+             WHEN n_cyrillic = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_other) THEN 'cyrillic'
+             ELSE 'cjk'
+           END AS dominant_script
+         FROM ext""",
+    "ts_peaks" ->
+      """WITH s AS (SELECT event_type,
+              epoch_ns(ts) // 1000000000 AS ts_s, event_id, value,
+              lag(value) OVER (PARTITION BY event_type
+                ORDER BY epoch_ns(ts) // 1000000000, event_id) AS pv,
+              lead(value) OVER (PARTITION BY event_type
+                ORDER BY epoch_ns(ts) // 1000000000, event_id) AS nv
+            FROM events)
+         SELECT event_type, ts_s, event_id, value
+         FROM s WHERE pv IS NOT NULL AND nv IS NOT NULL
+           AND value > pv AND value > nv""",
     // deliberately quadratic NOT EXISTS — an independent formulation
     // of domination, not a replay of the prefix-max plan
     "join_skyline" ->
