@@ -1048,4 +1048,57 @@ object Dedup {
         greatest(col("_id"), col("_nbr._id")).as("id_b"),
         col("jaccard"))
   }
+
+  /** Content-defined chunking (the FastCDC/LBFS idea at token
+    * granularity): a chunk boundary falls AFTER any token whose
+    * hash has its low `boundaryBits` bits zero, so expected chunk
+    * length is 2^boundaryBits tokens and — the whole point versus
+    * fixed windows — boundaries RESYNCHRONIZE after an insertion:
+    * shifting a document's prefix only perturbs the chunks that
+    * overlap the edit, and every later chunk hashes identically
+    * again. Per chunk: its token count, content hash, how many
+    * documents share that exact chunk, and the deterministic
+    * keep-first verdict — the storage-level dedup layer under
+    * [[segments]]' fixed windows.
+    *
+    * Scale shape: one posexplode + per-document window (the
+    * sessionize shuffle), one (doc, chunk) aggregation, one
+    * chunk-hash aggregation joined back by hash digest only — the
+    * shuffles carry token rows and 8-byte digests, never documents.
+    */
+  def cdcChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      boundaryBits: Int = 4): DataFrame = {
+    require(boundaryBits >= 1 && boundaryBits <= 16,
+      s"boundaryBits=$boundaryBits")
+    val modulus = 1L << boundaryBits
+    val toks = array_remove(split(trim(lower(col(textCol))), "\\s+"), "")
+    val base = df.select(col(idCol).as("doc_id"), toks.as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .select(col("doc_id"),
+        posexplode(col("_toks")).as(Seq("_pos", "_tok")))
+    val bflag = when(
+      pmod(splitmix64_hash(fnv1a_hash(col("_tok"))), lit(modulus)) === 0,
+      lit(1L)).otherwise(lit(0L))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("_pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunked = base
+      .withColumn("_b", bflag)
+      .withColumn("chunk_idx", coalesce(sum(col("_b")).over(w), lit(0L)))
+    val chunks = chunked.groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_tokens"),
+        fnv1a_hash(array_join(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+          x => x.getField("_tok")), " ")).as("chunk_hash"))
+    val share = chunks.groupBy(col("chunk_hash"))
+      .agg(count_distinct(col("doc_id")).as("n_docs_sharing"),
+        min(struct(col("doc_id"), col("chunk_idx"))).as("_first"))
+    chunks.join(share, "chunk_hash")
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        col("chunk_hash"), col("n_docs_sharing"),
+        (struct(col("doc_id"), col("chunk_idx")) === col("_first"))
+          .as("keep"))
+  }
 }

@@ -132,6 +132,69 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty, SIGIR 2001) — the language-modeling complement of
+    * [[bm25]]: score(q,d) = Σ_{t∈q} ln((tf + μ·p(t|C)) / (dl + μ)),
+    * decomposed doc-at-a-time as Σ_{matched t} ln(1 + tf·|C|/(μ·cf))
+    * + |q|·ln(μ/(dl+μ)) so only matched postings are joined — the
+    * zero-tf terms collapse into the per-document length prior.
+    * Candidate set = docs sharing ≥ 1 query term, ranked per query by
+    * (score desc, doc_id). Matched contributions fold in term order
+    * (the [[bm25]] determinism device); the prior adds once after the
+    * fold.
+    *
+    * Scale shape: same posting-list dataflow as bm25 — slim
+    * (doc, dl, matched-term) rows, |vocab(Q)|-row collection
+    * frequencies broadcast back, per-query top-k behind a window.
+    */
+  def queryLikelihood(docs: DataFrame, idCol: String, textCol: String,
+                      queries: Seq[(String, Seq[String])],
+                      mu: Double = 2000.0, topK: Int = 10): DataFrame = {
+    require(mu > 0, s"mu=$mu")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = queries.map { case (q, ts) =>
+      (q, ts.distinct.filter(_.nonEmpty)) }
+    val qdf = broadcast(qterms.flatMap { case (q, ts) =>
+      ts.map(t => (q, t)) }.toDF("query_id", "term"))
+    val nq = broadcast(qterms.map { case (q, ts) =>
+      (q, ts.size.toLong) }.toDF("query_id", "nq"))
+    val termSet = array(qterms.flatMap(_._2).distinct.map(lit(_)): _*)
+    val dls = docs.select(col(idCol).as("doc_id"),
+        Text.wsTokens(lower(trim(col(textCol)))).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        filter(col("toks"), t => array_contains(termSet, t)).as("qtoks"))
+    val stats = dls.agg(sum(col("dl")).as("total"))
+    val tf = dls
+      .select(col("doc_id"), col("dl"), explode(col("qtoks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val cf = tf.groupBy(col("term"))
+      .agg(sum(col("tf")).as("cf"))
+    val c = java_ln(lit(1.0) +
+      col("tf").cast("double") * col("total").cast("double") /
+        (lit(mu) * col("cf").cast("double")))
+    val contrib = tf
+      .join(qdf, "term")
+      .join(broadcast(cf), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), col("dl"),
+        struct(col("term"), c.as("c")).as("tc"))
+    val scores = contrib.groupBy(col("query_id"), col("doc_id"), col("dl"))
+      .agg(aggregate(array_sort(collect_list(col("tc"))), lit(0.0),
+        (acc, x) => acc + x.getField("c")).as("_s"))
+      .join(nq, "query_id")
+      .select(col("query_id"), col("doc_id"),
+        (col("_s") + col("nq").cast("double") *
+          java_ln(lit(mu) / (col("dl").cast("double") + lit(mu))))
+          .as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scores.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
   /** TF-IDF weights of every (document, term) with the term's corpus
     * document frequency at or above `minDf`. The weight is the standard
     * ltc-style tf·idf: (1 + ln tf) · ln(N / df). One explode + two hash

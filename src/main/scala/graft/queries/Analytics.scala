@@ -393,6 +393,20 @@ object Analytics {
     "dedup_segments" -> ((s, dir) =>
       Dedup.segments(t(s, dir, "documents"), "doc_id", "text", segTokens = 10)),
 
+    // content-defined chunking: copies get a PREFIX insertion — the
+    // exact edit fixed-window segmentation cannot absorb — and the
+    // hash-cut boundaries must resynchronize so later chunks still
+    // dedup (n_docs_sharing = 2) against the originals.
+    "dedup_cdc_chunks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edited = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("freshly inserted preamble "), col("text")).as("text"))
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(edited)
+      Dedup.cdcChunks(corpus, "doc_id", "text", boundaryBits = 4)
+    }),
+
     // ingest-time dedup: the corpus has no exact dups, so the gate
     // constructs them — history = every 3rd doc, batch = all docs plus
     // id-shifted copies of every 5th — exercising all three statuses
@@ -501,6 +515,16 @@ object Analytics {
             "q2" -> Seq("dup", "stream", "window"),
             "q3" -> Seq("vector", "query", "sort")),
         topK = 10)),
+
+    // Dirichlet query-likelihood over the same query set — the
+    // language-modeling ranking next to BM25's probabilistic one;
+    // matched-term folds + the closed-form length prior.
+    "text_qld" -> ((s, dir) =>
+      Retrieval.queryLikelihood(t(s, dir, "documents"), "doc_id", "text",
+        Seq("q1" -> Seq("hash", "join", "merge"),
+            "q2" -> Seq("dup", "stream", "window"),
+            "q3" -> Seq("vector", "query", "sort")),
+        mu = 2000.0, topK = 10)),
 
     // ltc-style tf·idf weights for every (doc, term) with df >= 5
     "text_tfidf" -> ((s, dir) =>
@@ -843,8 +867,108 @@ object Analytics {
                ORDER BY score DESC, doc_id ASC) AS rk
            FROM scores) WHERE rk <= 10"""
 
+  /** FNV-1a 64 over a string's UTF-16 units as an unsigned HUGEINT
+    * fold (the text_classifier idiom, factored for reuse). */
+  private def fnvFoldSql(expr: String): String =
+    s"""list_reduce(
+         list_prepend(CAST(14695981039346656037 AS HUGEINT),
+           list_transform(list_filter(string_split_regex($expr, ''), ch -> ch <> ''),
+             ch -> CAST(unicode(ch) AS HUGEINT))),
+         (acc, ch) -> (xor(acc, ch) * 1099511628211) %
+           CAST(18446744073709551616 AS HUGEINT))"""
+
   val oracles: Map[String, String] = Map(
     "text_bm25" -> bm25OracleSql,
+    // fnv1a token hash -> splitmix (no seed) low-bits boundary cut,
+    // prefix-sum chunk ids, chunk-content fnv, digest-grouped sharing
+    "dedup_cdc_chunks" ->
+      s"""WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, 'freshly inserted preamble ' || text
+           FROM documents WHERE doc_id % 10 = 0),
+         c64 AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+         dls AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+               x -> x <> '') AS t
+           FROM corpus),
+         tokpos AS (SELECT doc_id, t,
+             unnest(generate_series(1, len(t))) AS pos
+           FROM dls WHERE len(t) > 0),
+         tok AS (SELECT doc_id, pos, t[pos] AS w FROM tokpos),
+         wfh AS (SELECT w, ${fnvFoldSql("w")} AS uh
+           FROM (SELECT DISTINCT w FROM tok)),
+         m0 AS (SELECT w, (uh + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
+                FROM wfh CROSS JOIN c64),
+         ma AS (SELECT w, xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
+         m1 AS (SELECT w, (x2 % 4294967296 * 484763065 +
+                ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+                * 4294967296) % m64 AS x3, m64 FROM ma),
+         mb AS (SELECT w, xor(x3, x3 // 134217728) AS x4, m64 FROM m1),
+         m2 AS (SELECT w, (x4 % 4294967296 * 321982955 +
+                ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+                * 4294967296) % m64 AS x5, m64 FROM mb),
+         m3 AS (SELECT w, xor(x5, x5 // 2147483648) AS x6 FROM m2),
+         wflag AS (SELECT w, CASE WHEN x6 % 16 = 0 THEN 1 ELSE 0 END AS b FROM m3),
+         flags AS (SELECT t.doc_id, t.pos, t.w, f.b
+           FROM tok t JOIN wflag f USING (w)),
+         cidx AS (SELECT doc_id, pos, w,
+             coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+           FROM flags),
+         ctext AS (SELECT doc_id, chunk_idx,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             string_agg(w, ' ' ORDER BY pos) AS ct
+           FROM cidx GROUP BY 1, 2),
+         chash AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             n_tokens,
+             CAST(CASE WHEN uh2 >= CAST(9223372036854775808 AS HUGEINT)
+               THEN uh2 - CAST(18446744073709551616 AS HUGEINT)
+               ELSE uh2 END AS BIGINT) AS chunk_hash
+           FROM (SELECT doc_id, chunk_idx, n_tokens,
+               ${fnvFoldSql("ct")} AS uh2 FROM ctext)),
+         share AS (SELECT chunk_hash,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_sharing,
+             min(struct_pack(d := doc_id, i := chunk_idx)) AS f
+           FROM chash GROUP BY 1)
+         SELECT c.doc_id, c.chunk_idx, c.n_tokens, c.chunk_hash,
+           s.n_docs_sharing,
+           (struct_pack(d := c.doc_id, i := c.chunk_idx) = s.f) AS keep
+         FROM chash c JOIN share s USING (chunk_hash)""",
+    "text_qld" ->
+      """WITH q(query_id, term) AS (VALUES
+           ('q1','hash'),('q1','join'),('q1','merge'),
+           ('q2','dup'),('q2','stream'),('q2','window'),
+           ('q3','vector'),('q3','query'),('q3','sort')),
+         nq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS nq
+                FROM q GROUP BY 1),
+         dls AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM
+           (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+            FROM documents)),
+         stats AS (SELECT CAST(sum(dl) AS BIGINT) AS total FROM dls),
+         tf AS (SELECT doc_id, dl, w AS term, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, dl, unnest(t) AS w FROM dls)
+           WHERE w IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, dl, w),
+         cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+         contrib AS (SELECT q.query_id, tf.doc_id, tf.dl, tf.term,
+           ln(CAST(1.0 AS DOUBLE) +
+              CAST(tf.tf AS DOUBLE) * CAST(s.total AS DOUBLE) /
+              (CAST(2000.0 AS DOUBLE) * CAST(c.cf AS DOUBLE))) AS c
+           FROM tf JOIN cf c USING (term) CROSS JOIN stats s
+           JOIN q ON q.term = tf.term),
+         scores AS (SELECT co.query_id, co.doc_id,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(co.c ORDER BY co.term)),
+             (a, b) -> a + b) +
+           CAST(max(n.nq) AS DOUBLE) *
+             ln(CAST(2000.0 AS DOUBLE) /
+                (CAST(max(co.dl) AS DOUBLE) + CAST(2000.0 AS DOUBLE))) AS score
+           FROM contrib co JOIN nq n USING (query_id)
+           GROUP BY co.query_id, co.doc_id)
+         SELECT query_id, CAST(rk AS BIGINT) AS rank, doc_id, score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) AS rk
+           FROM scores) WHERE rk <= 10""",
     // fuse = nested bm25 oracle + a closed-form length-prior ranking,
     // term fold in system order (list_reduce ≡ the engine's ordered
     // aggregate), final top-10 by (score DESC, doc_id ASC)
