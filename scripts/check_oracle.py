@@ -13,6 +13,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 con = duckdb.connect()
+# bound the native thread pool: the sf0.1 iterative-CTE oracles spawn
+# threads per pipeline and the default (= all cores) exhausts the VM
+# ("Resource temporarily unavailable" abort mid-sweep)
+con.execute("PRAGMA threads=8")
+con.execute("PRAGMA memory_limit='24GB'")
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
