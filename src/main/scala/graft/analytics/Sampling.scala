@@ -97,6 +97,21 @@ object Sampling {
     df.filter(bucketOf(col(idCol), seed) < lit(cut))
   }
 
+  /** Deterministic k-fold assignment for cross-validation: fold =
+    * splitmix64(id + seed) mod k — every row's fold is re-derivable
+    * from the recipe on any executor, any run (the `rand()`
+    * alternative that survives retries and re-partitioning), and the
+    * folds are near-equal-sized by hash uniformity. Row-local, zero
+    * shuffle; group-correlated data should pass the GROUP key as
+    * `idCol` (the [[groupSplit]] leakage rule applies to folds too).
+    */
+  def kFold(df: DataFrame, idCol: String, k: Int,
+            seed: Long = 0L): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k=$k")
+    df.withColumn("fold",
+      pmod(splitmix64_hash(col(idCol) + lit(seed)), lit(k.toLong)))
+  }
+
   /** Leakage-free dataset split: every row of a GROUP (user, domain,
     * document family…) lands in the SAME split, decided by a
     * deterministic hash of the group key against cumulative bucket

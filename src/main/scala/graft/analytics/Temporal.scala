@@ -789,6 +789,63 @@ object Temporal {
     endpoints.unionByName(picked)
   }
 
+  /** Per-key inter-arrival (gap) statistics: event count, time span,
+    * max/min gap, and the exact sample-variance rational of the gaps
+    * — the heartbeat-health screen (dying producers show growing
+    * max_gap; bursty ones high variance) next to [[absence]]'s
+    * point-in-time alerts. Σgaps telescopes to the span, so mean gap
+    * is span/(n−1) without a gap aggregate; Σgap² accumulates in
+    * decimal(38,0) and the variance rational follows the
+    * [[graft.analytics.Stats.linearTrend]] discipline — long
+    * convenience columns nulled past the signed-64 window with
+    * doubles still flowing from the decimals.
+    *
+    * One key-window sort + one aggregation; keys with < 2 events
+    * report zero gaps and null gap stats.
+    */
+  def interArrival(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      tieCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val g = keyCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col(tsCol), col(tieCol))
+    val gapped = df
+      .withColumn("_gap", col(tsCol).cast("long") -
+        lag(col(tsCol).cast("long"), 1).over(w))
+    val s = gapped.groupBy(g: _*)
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol).cast("long")).as("_t0"),
+        max(col(tsCol).cast("long")).as("_t1"),
+        min(col("_gap")).as("min_gap"),
+        max(col("_gap")).as("max_gap"),
+        sum(col("_gap").cast(d38) * col("_gap").cast(d38)).as("_sg2"))
+    val m = (col("n_events") - lit(1L)).cast(d38)
+    val span = (col("_t1") - col("_t0")).cast(d38)
+    val varNum = m * col("_sg2") - span * span
+    val varDen = m * (m - lit(1).cast(d38))
+    val maxL = lit("9223372036854775807").cast(d38)
+    val inR = abs(varNum) <= maxL && varDen <= maxL
+    s.select(g ++ Seq(col("n_events"),
+      (col("n_events") - lit(1L)).as("n_gaps"),
+      (col("_t1") - col("_t0")).as("span_s"),
+      when(col("n_events") > 1,
+        (col("_t1") - col("_t0")).cast("double") /
+          (col("n_events") - lit(1L)).cast("double")).as("mean_gap"),
+      col("min_gap"), col("max_gap"),
+      when(inR, varNum.cast("long")).as("gap_var_num"),
+      when(inR, varDen.cast("long")).as("gap_var_den"),
+      coalesce(inR, lit(false)).as("exact"),
+      // long-routed double inside the window (HUGEINT replay parity),
+      // decimal-routed degradation past it
+      when(col("n_events") > 2,
+        when(inR, varNum.cast("long").cast("double") /
+            varDen.cast("long").cast("double"))
+          .otherwise(varNum.cast("double") / varDen.cast("double")))
+        .as("gap_var")): _*)
+  }
+
   /** Per-key strict local maxima of a series: a row is a peak when
     * its value exceeds BOTH neighbors under the (time, tie) order —
     * boundary rows and plateau members are not peaks (strictness

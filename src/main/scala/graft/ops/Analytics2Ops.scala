@@ -190,6 +190,87 @@ case class PageRankProc(src: Ref, dst: Ref, iterations: Int,
   }
 }
 
+/** `dq.validate` — the declarative data-quality suite
+  * ([[graft.analytics.DataQuality.validate]]) on the config surface:
+  * `checks` is a `;`-separated list of `type:field[:args]` specs —
+  * `not_null:REF[:maxFrac]`, `in_range:REF:lo:hi`,
+  * `values_in:REF:a|b|c`, `unique:REF[+REF…]`,
+  * `distinct_between:REF:lo:hi`. The batch reshapes into one create
+  * record per verdict via [[Cdc.wrap]] — the contract gate a YAML
+  * pipeline puts right before its sink.
+  */
+case class DqValidateProc(specs: Seq[String]) extends Processor {
+  require(specs.nonEmpty, "dq.validate: need checks")
+  val plugin = "dq.validate"
+  override def transform(df: DataFrame): DataFrame = {
+    import graft.analytics.DataQuality._
+    // flatten every referenced field once, named by its spec position
+    val parsed = specs.zipWithIndex.map { case (s, i) =>
+      val parts = s.split(":").toSeq.map(_.trim)
+      (parts.head, parts.tail, s"c$i")
+    }
+    val refsByName = scala.collection.mutable.LinkedHashMap.empty[String, Ref]
+    def colName(refStr: String): String = {
+      val r = Ref.parse(refStr)
+      val n = "f_" + r.sub.mkString("_")
+      refsByName.getOrElseUpdate(n, r)
+      n
+    }
+    val checks = parsed.map {
+      case ("not_null", args, id) =>
+        NotNull(id, colName(args.head),
+          args.lift(1).map(_.toDouble).getOrElse(0.0))
+      case ("in_range", args, id) =>
+        InRange(id, colName(args.head), args(1).toDouble, args(2).toDouble)
+      case ("values_in", args, id) =>
+        ValuesIn(id, colName(args.head), args(1).split("\\|").toSeq)
+      case ("unique", args, id) =>
+        Unique(id, args.head.split("\\+").toSeq.map(colName))
+      case ("distinct_between", args, id) =>
+        DistinctCountBetween(id, colName(args.head),
+          args(1).toLong, args(2).toLong)
+      case (other, _, _) =>
+        throw new IllegalArgumentException(s"dq.validate: unknown check $other")
+    }
+    val flat = df.select(refsByName.toSeq.map { case (n, r) =>
+      Analytics2Ops.fieldCol(df, r).as(n) }: _*)
+    val out = validate(flat, checks)
+    Cdc.wrap(out, "check_id", "dq.validate")
+  }
+}
+
+/** `text.scripts` — script-composition annotation
+  * ([[graft.analytics.Text.scriptProfile]]'s row-local core) written
+  * into metadata: `script.dominant` and `script.latin_frac` — the
+  * ingest-time wrong-script gate (pair with a `filter` condition on
+  * the metadata key).
+  */
+case class TextScriptsProc(field: Ref) extends ColumnProcessor {
+  val plugin = "text.scripts"
+  override def rewrites(df: DataFrame): Map[String, Column] = {
+    val t = Analytics2Ops.fieldCol(df, field)
+    val n = length(t)
+    def cnt(re: String) = regexp_count(t, lit(re))
+    val latin = cnt("[A-Za-z]")
+    val digit = cnt("[0-9]")
+    val cyr = cnt("[Ѐ-ӿ]")
+    val cjk = cnt("[一-鿿]")
+    val ws = cnt("[ \\t\\n\\x0B\\f\\r]")
+    val other = n - latin - digit - cyr - cjk - ws
+    val dominant = greatest(
+      struct(latin.as("_c"), lit("latin").as("_l")),
+      struct(digit.as("_c"), lit("digit").as("_l")),
+      struct(cyr.as("_c"), lit("cyrillic").as("_l")),
+      struct(cjk.as("_c"), lit("cjk").as("_l")),
+      struct(other.as("_c"), lit("other").as("_l"))).getField("_l")
+    val frac = when(n > 0,
+      latin.cast("double") / n.cast("double")).otherwise(lit(null))
+    Map(Cdc.Metadata -> RefCols.metaSet(
+      RefCols.metaSet(col(Cdc.Metadata), "script.dominant", dominant),
+      "script.latin_frac", frac.cast("string")))
+  }
+}
+
 /** `graph.links` — common-neighbor link prediction over an edge
   * stream ([[graft.analytics.Graph.jaccardLinks]], hub-capped wedge
   * join): one create record per predicted pair above the Jaccard

@@ -116,7 +116,10 @@ object Registry {
     "graph.links" -> (s => LinkPredictProc(
       Ref.parse(s("src")), Ref.parse(s("dst")),
       s.getOrElse("minJaccard", "0.5").toDouble,
-      s.getOrElse("maxDegree", "100000").toInt))
+      s.getOrElse("maxDegree", "100000").toInt)),
+    "dq.validate" -> (s => DqValidateProc(
+      s("checks").split(";").toSeq.map(_.trim).filter(_.nonEmpty))),
+    "text.scripts" -> (s => TextScriptsProc(ref(s, ".Payload.After")))
   )
 
   def create(plugin: String, settings: Map[String, String]): Processor = {

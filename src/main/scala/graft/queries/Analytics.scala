@@ -374,6 +374,15 @@ object Analytics {
       Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
         perStratum = 20, seed = 7)),
 
+    // deterministic k-fold assignment: fold = splitmix64(id+seed) mod
+    // 5 — rerun/retry/partition-stable cross-validation folds; the
+    // oracle replays the chain with the signed-pmod subtlety (2^64
+    // mod 5 = 1, so the unsigned residue is NOT the signed pmod).
+    "sample_kfold" -> ((s, dir) =>
+      Sampling.kFold(
+        t(s, dir, "events").select(col("event_id")),
+        "event_id", k = 5, seed = 7L)),
+
     // τ=2 temperature rebalancing over the skewed lang distribution:
     // head langs downsample toward ∝ sqrt(count), tail langs clamp at
     // keep-all — both branches exercised on this corpus

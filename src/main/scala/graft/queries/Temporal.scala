@@ -227,6 +227,17 @@ object Temporal {
     "text_scripts" -> ((s, dir) =>
       graft.analytics.Text.scriptProfile(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Inter-arrival gap statistics per event type: the heartbeat-
+    // health screen — span-telescoped mean, max/min gap, exact
+    // variance rational (linearTrend's overflow discipline).
+    "ts_gaps" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      TOps.interArrival(
+        ev.select(col("event_type"), tsEpochSeconds(ev).as("ts_s"),
+          col("event_id")),
+        Seq("event_type"), "ts_s", "event_id")
+    }),
+
     // Strict local maxima of value per event type over (ts, id) —
     // the spike primitive; boundaries and plateaus excluded.
     "ts_peaks" -> ((s, dir) => {
@@ -1870,6 +1881,62 @@ object Temporal {
              ELSE 'cjk'
            END AS dominant_script
          FROM ext""",
+    "ts_gaps" ->
+      """WITH seq AS (SELECT event_type AS g,
+              epoch_ns(ts) // 1000000000 AS ts_s,
+              epoch_ns(ts) // 1000000000 -
+                lag(epoch_ns(ts) // 1000000000) OVER (
+                  PARTITION BY event_type
+                  ORDER BY epoch_ns(ts) // 1000000000, event_id) AS gap
+            FROM events),
+         a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+              CAST(min(ts_s) AS BIGINT) AS t0,
+              CAST(max(ts_s) AS BIGINT) AS t1,
+              CAST(min(gap) AS BIGINT) AS min_gap,
+              CAST(max(gap) AS BIGINT) AS max_gap,
+              sum(CAST(gap AS HUGEINT) * gap) AS sg2
+            FROM seq GROUP BY 1),
+         d AS (SELECT g, n, t0, t1, min_gap, max_gap,
+              CAST(n - 1 AS HUGEINT) * sg2 -
+                CAST(t1 - t0 AS HUGEINT) * (t1 - t0) AS vnum,
+              CAST(n - 1 AS HUGEINT) * (n - 2) AS vden
+            FROM a)
+         SELECT g AS event_type, n AS n_events,
+           CAST(n - 1 AS BIGINT) AS n_gaps,
+           CAST(t1 - t0 AS BIGINT) AS span_s,
+           CASE WHEN n > 1 THEN CAST(t1 - t0 AS DOUBLE) /
+             CAST(n - 1 AS DOUBLE) END AS mean_gap,
+           min_gap, max_gap,
+           CAST(vnum AS BIGINT) AS gap_var_num,
+           CAST(vden AS BIGINT) AS gap_var_den,
+           coalesce(abs(vnum) <= CAST('9223372036854775807' AS HUGEINT) AND
+            vden <= CAST('9223372036854775807' AS HUGEINT), false) AS exact,
+           CASE WHEN n > 2 THEN CAST(CAST(vnum AS BIGINT) AS DOUBLE) /
+             CAST(CAST(vden AS BIGINT) AS DOUBLE) END AS gap_var
+         FROM d""",
+    // signed-pmod fold assignment: s = two's-complement x6, fold =
+    // ((s % 5) + 5) % 5 — NOT x6 % 5 (2^64 ≡ 1 mod 5)
+    "sample_kfold" ->
+      """WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+         m0 AS (SELECT event_id,
+              (CAST(event_id AS HUGEINT) + 7 + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
+              FROM events CROSS JOIN c),
+         ma AS (SELECT event_id, xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
+         m1 AS (SELECT event_id, (x2 % 4294967296 * 484763065 +
+              ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+              * 4294967296) % m64 AS x3, m64 FROM ma),
+         mb AS (SELECT event_id, xor(x3, x3 // 134217728) AS x4, m64 FROM m1),
+         m2 AS (SELECT event_id, (x4 % 4294967296 * 321982955 +
+              ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+              * 4294967296) % m64 AS x5, m64 FROM mb),
+         m3 AS (SELECT event_id, xor(x5, x5 // 2147483648) AS x6, m64 FROM m2),
+         sg AS (SELECT event_id,
+              CASE WHEN x6 >= CAST(9223372036854775808 AS HUGEINT)
+                THEN x6 - m64 ELSE x6 END AS sv
+            FROM m3)
+         SELECT event_id,
+           CAST(((sv % 5) + 5) % 5 AS BIGINT) AS fold
+         FROM sg""",
     "ts_peaks" ->
       """WITH s AS (SELECT event_type,
               epoch_ns(ts) // 1000000000 AS ts_s, event_id, value,

@@ -145,6 +145,55 @@ class Analytics2OpsSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq(("a", "c", 1.0)))
   }
 
+  test("dq.validate processor runs a parsed suite and wraps verdicts") {
+    val base = Cdc.wrap((1 to 20).map(i =>
+      (i.toLong, if (i % 5 == 0) null else s"v$i", i * 10.0))
+      .toDF("id", "name", "score"), "id", "t")
+    val proc = Registry.create("dq.validate", Map("checks" ->
+      ("not_null:.Payload.After.name:0.3;" +
+        "in_range:.Payload.After.score:0:150;" +
+        "unique:.Payload.After.id;" +
+        "distinct_between:.Payload.After.name:10:20")))
+    val out = proc(base)
+    assert(out.columns.toSeq == Cdc.columns)
+    val verdicts = out.select(col(Cdc.PayloadAfter)).collect()
+      .map(r => JsonOps.parse(r.getString(0)))
+      .map(p => p.get("check_id").asText -> p.get("passed").asBoolean).toMap
+    // 4 nulls / 20 = 0.2 <= 0.3 passes; 160..200 > 150 fails range;
+    // ids unique; 16 distinct names in [10,20]
+    assert(verdicts == Map("c0" -> true, "c1" -> false, "c2" -> true,
+      "c3" -> true), verdicts.toString)
+  }
+
+  test("text.scripts processor annotates metadata with script stats") {
+    import org.apache.spark.sql.functions.col
+    val base = Cdc.wrap(Seq((1L, "hello world"), (2L, "привет мир"))
+      .toDF("id", "text"), "id", "t")
+    val proc = Registry.create("text.scripts",
+      Map("field" -> ".Payload.After.text"))
+    val out = proc(base)
+      .select(col(Cdc.Key), col(Cdc.Metadata).getItem("script.dominant"),
+        col(Cdc.Metadata).getItem("script.latin_frac"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(out("""{"id":1}""")._1 == "latin")
+    assert(out("""{"id":2}""")._1 == "cyrillic")
+    assert(out("""{"id":1}""")._2.toDouble > 0.8)
+  }
+
+  test("sample.kfold-style operator: folds deterministic and balanced") {
+    import spark.implicits._
+    val df = (1L to 4000L).toDF("id")
+    val a = graft.analytics.Sampling.kFold(df, "id", k = 5, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = graft.analytics.Sampling.kFold(df.repartition(7), "id", 5, 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "folds must be partition-stable")
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.size == 5 && sizes.values.forall(s =>
+      s > 600 && s < 1000), sizes.toMap.toString)
+  }
+
   test("new factories survive the YAML export/import round trip") {
     val procs = Seq(
       ProcessorConfig("p1", "privacy.pseudonymize",
