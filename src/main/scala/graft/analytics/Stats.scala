@@ -1132,6 +1132,78 @@ object Stats {
         col("_best._cnt").as("mode_count")): _*)
   }
 
+  /** Benjamini–Hochberg FDR control (Benjamini & Hochberg 1995) over
+    * a table of test p-values: within each group, rank p ascending
+    * and reject ranks ≤ k* where k* = max{k : p_(k)·m ≤ k·α} — the
+    * multiple-comparisons gate every wide screen (one test per
+    * segment/metric) needs before acting on its "significant" rows.
+    * Both comparison sides are single double products of exact
+    * inputs, so the verdict is deterministic; ties in p break by
+    * `idCol` for a stable ranking.
+    *
+    * One rank window + one max window over the same partition — two
+    * passes over a tests-sized (not data-sized) table.
+    */
+  def fdrBH(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      pCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha=$alpha")
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col(pCol), col(idCol))
+    val wAll = Window.partitionBy(g: _*)
+    df.filter(col(pCol).isNotNull)
+      .withColumn("p_rank", row_number().over(w).cast("long"))
+      .withColumn("_m", count(lit(1)).over(wAll))
+      .withColumn("_ok",
+        col(pCol) * col("_m").cast("double") <=
+          col("p_rank").cast("double") * lit(alpha))
+      .withColumn("k_star",
+        coalesce(max(when(col("_ok"), col("p_rank"))).over(wAll), lit(0L)))
+      .withColumn("rejected", col("p_rank") <= col("k_star"))
+      .drop("_m", "_ok")
+  }
+
+  /** Additive seasonal phase effects: for a per-period series, the
+    * mean at each seasonal phase (e.g. day-of-week for daily data)
+    * against the group's overall mean — the decomposition's seasonal
+    * component as exact decimal sums with one final division each,
+    * the quantitative sibling of the seasonal-naive screen. Phase =
+    * (period index) mod `phases`.
+    */
+  def seasonalEffect(
+      df: DataFrame,
+      groupCols: Seq[String],
+      periodCol: String,
+      valueCol: String,
+      phases: Int,
+      scale: Int = 2): DataFrame = {
+    require(phases >= 2 && phases <= 1000, s"phases=$phases")
+    require(scale >= 0 && scale <= 6)
+    val d = s"decimal(18,$scale)"
+    val g = groupCols.map(col)
+    val phase = pmod(col(periodCol).cast("long"), lit(phases.toLong))
+    val byPhase = df
+      .withColumn("_ph", phase)
+      .groupBy(g :+ col("_ph").as("phase"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast(d)).as("_s"))
+    val wAll = Window.partitionBy(g: _*)
+    byPhase
+      .withColumn("_tn", sum(col("n")).over(wAll))
+      .withColumn("_ts", sum(col("_s")).over(wAll))
+      .select(g ++ Seq(col("phase"), col("n"),
+        (col("_s").cast("double") / col("n").cast("double"))
+          .as("phase_mean"),
+        (col("_ts").cast("double") / col("_tn").cast("double"))
+          .as("overall_mean"),
+        (col("_s").cast("double") / col("n").cast("double") -
+          col("_ts").cast("double") / col("_tn").cast("double"))
+          .as("effect")): _*)
+  }
+
   /** Per-group Shannon entropy of a categorical column, with the
     * −Σ p·ln p sum folded in CATEGORY order (the PSI/pagerank
     * deterministic-fold device) so the double is bit-stable under any

