@@ -954,6 +954,39 @@ object Temporal {
         Seq("event_type"))
     }),
 
+    // Streaming KMV twin: the k-min state min-merged across a real
+    // 2-batch stream must equal the batch sketch of the whole log
+    // (k-smallest-of-a-union law) — oracle = the batch sketch_kmv
+    // formulation.
+    "sketch_kmv_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = t(s, dir, "events")
+      val rows = ev.select(col("event_type"), col("user_id"),
+          tsEpochSeconds(ev).as("ts_s"))
+        .as[(String, Long, Long)].collect()
+      val split = 1705363200L
+      val (b1, b2) = rows.partition(_._3 <= split)
+      val state = java.nio.file.Files
+        .createTempDirectory("kmv_stream").toString
+      val in = MemoryStream[(String, Long, Long)]
+      val q = withScopedShuffle(s, 4) {
+        val qq = in.toDF().toDF("event_type", "user_id", "ts_s")
+          .writeStream
+          .foreachBatch(graft.streaming.StreamingOps.kmvSink(
+            state, Seq("event_type"), "user_id", k = 64))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); qq.processAllAvailable()
+          in.addData(b2.toSeq); qq.processAllAvailable()
+        } finally qq.stop()
+        qq
+      }
+      Sketch.kmvEstimate(s.read.parquet(s"$state/batch=1"),
+        Seq("event_type"), k = 64)
+    }),
+
     // Streaming SCD2 twin: version history maintained across a real
     // 2-batch stream — versions opened in batch 1 must be CLOSED by
     // batch 2's first change per key. Oracle = the batch cdc_scd2
@@ -1802,14 +1835,8 @@ object Temporal {
        GROUP BY n"""
   }
 
-  val oracles: Map[String, String] = Map(
-    "graph_pagerank" -> pageRankOracle(5, 0.85),
-    "graph_hits" -> hitsOracle(3),
-    "graph_kcore" -> kCoreOracle(3, 8),
-    // the splitmix64 chain (seed 7) >> 1, k smallest distinct hashes,
-    // (k-1)*2^63/theta estimator — BIGINT->DOUBLE rounding route
-    "sketch_kmv" ->
-      """WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+  private val oraclesKmvSql: String =
+    """WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
          m0 AS (SELECT event_type AS g,
               (CAST(user_id AS HUGEINT) + 7 + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
               FROM events CROSS JOIN c WHERE user_id IS NOT NULL),
@@ -1832,7 +1859,15 @@ object Temporal {
            CASE WHEN cnt < 64 THEN CAST(CAST(cnt AS BIGINT) AS DOUBLE)
              ELSE CAST(63 AS DOUBLE) * CAST(9223372036854775807 AS DOUBLE)
                / CAST(CAST(theta AS BIGINT) AS DOUBLE) END AS estimate
-         FROM est""",
+         FROM est"""
+
+  val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> pageRankOracle(5, 0.85),
+    "graph_hits" -> hitsOracle(3),
+    "graph_kcore" -> kCoreOracle(3, 8),
+    // the splitmix64 chain (seed 7) >> 1, k smallest distinct hashes,
+    // (k-1)*2^63/theta estimator — BIGINT->DOUBLE rounding route
+    "sketch_kmv" -> oraclesKmvSql,
     // counts + list_reduce fold in category order; same ln
     "stats_entropy" ->
       """WITH base AS (SELECT (epoch_ns(ts) // 1000000000) // 86400 AS day,
@@ -2004,6 +2039,9 @@ object Temporal {
            CASE WHEN n > 2 THEN CAST(CAST(vnum AS BIGINT) AS DOUBLE) /
              CAST(CAST(vden AS BIGINT) AS DOUBLE) END AS gap_var
          FROM d""",
+    // the streaming KMV state must equal the batch sketch of the
+    // whole log — same oracle as sketch_kmv by the merge law
+    "sketch_kmv_stream" -> oraclesKmvSql,
     // signed-pmod fold assignment: s = two's-complement x6, fold =
     // ((s % 5) + 5) % 5 — NOT x6 % 5 (2^64 ≡ 1 mod 5)
     "sample_kfold" ->

@@ -558,6 +558,36 @@ object StreamingOps {
     }
   }
 
+  /** Streaming KMV maintenance — the k-minimum-values sibling of
+    * [[hllRegisterSink]]: each micro-batch's KMV state
+    * ([[graft.analytics.Sketch.kmvState]]) min-merges into the
+    * committed state via [[graft.analytics.Sketch.kmvMerge]]. The
+    * k-smallest-of-a-union law makes the merge idempotent AND
+    * associative, so the state after any prefix of the stream equals
+    * the batch sketch of that prefix exactly (the merge law the
+    * `sketch_kmv_stream` gate row proves bit-for-bit); `batch=`
+    * versioning + `_SUCCESS` committed-only reads give replay
+    * safety. State is ≤ groups × k hash rows forever.
+    */
+  def kmvSink(
+      stateDir: String,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Int = 256,
+      seed: Long = 7L): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val newState = graft.analytics.Sketch.kmvState(
+        batch, groupCols, valueCol, k, seed)
+      val merged = latestCommittedDir(stateDir, batchId) match {
+        case Some(prev) => graft.analytics.Sketch.kmvMerge(
+          Seq(spark.read.parquet(prev), newState), groupCols, k)
+        case None => newState
+      }
+      merged.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    }
+  }
+
   /** Streaming count-min maintenance — the additive sibling of
     * [[hllRegisterSink]]: each micro-batch's token counts become a
     * depth×width counter table ([[graft.analytics.Sketch.cmsCounters]])
