@@ -157,10 +157,15 @@ object Graph {
     * combined sums.
     *
     * Scale shape: per iteration two keyed join+aggregate shuffles
-    * (src then dst) over the persisted edge list, plus one 1-row
-    * normalizer aggregate whose single double is a documented
-    * bounded collect (the pageRank-N class) — collecting it also
-    * fences each round's lineage, so iterations stay linear.
+    * (src then dst) over the persisted edge list. The L1 normalizer
+    * is a 1-row aggregate folded back as a BROADCAST scalar join
+    * (same fold, same bits as a collected literal — the division
+    * doesn't care which side of the driver the double crossed), so
+    * each round runs exactly ONE driver-blocking action: the count
+    * on the round's second half-step, which doubles as the lineage
+    * fence. Round r−1's persisted frames are released inside the
+    * loop once round r is materialized, so peak residency is two
+    * node-sized frames, not 2·iterations.
     */
   def hits(
       edges: DataFrame,
@@ -173,6 +178,9 @@ object Graph {
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
       .filter(col("_src").isNotNull && col("_dst").isNotNull)
       .distinct().persist(storage)
+    require(!e.isEmpty,
+      "hits: empty edge set (no non-null distinct edges) — the L1 " +
+        "normalizer is undefined on an empty graph")
     val srcs = e.select(col("_src").as("node")).distinct()
     val dsts = e.select(col("_dst").as("node")).distinct()
 
@@ -182,19 +190,17 @@ object Graph {
           (acc, x) => acc + x.getField("_c"))
       else sum(tagged.getField("_c"))
 
-    // normalizer: ONE double; deterministic mode folds in node order
-    def l1(df: DataFrame, scoreCol: String): Double = {
-      val row =
-        if (deterministic)
-          df.agg(aggregate(
-            array_sort(collect_list(struct(col("node").as("_k"),
-              col(scoreCol).as("_c")))), lit(0.0),
-            (acc, x) => acc + x.getField("_c")).as("s")).collect().head
-        else df.agg(sum(col(scoreCol)).as("s")).collect().head
-      row.getDouble(0)
-    }
+    // normalizer: a 1-row frame, broadcast-joined below; deterministic
+    // mode folds in node order (bit-stable under any partitioning)
+    def l1(df: DataFrame, scoreCol: String): DataFrame =
+      if (deterministic)
+        df.agg(aggregate(
+          array_sort(collect_list(struct(col("node").as("_k"),
+            col(scoreCol).as("_c")))), lit(0.0),
+          (acc, x) => acc + x.getField("_c")).as("_norm"))
+      else df.agg(sum(col(scoreCol)).as("_norm"))
 
-    val fences = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var prevFences: Seq[DataFrame] = Nil
     var hub = srcs.select(col("node"), lit(1.0).as("hub"))
     var auth: DataFrame = null
     for (_ <- 1 to iterations) {
@@ -203,17 +209,22 @@ object Graph {
         .agg(foldSum(struct(col("_src").as("_k"), col("hub").as("_c")))
           .as("a"))
         .persist(storage)
-      fences += aRaw
-      val aSum = l1(aRaw, "a")
-      auth = aRaw.select(col("node"), (col("a") / lit(aSum)).as("authority"))
+      auth = aRaw.crossJoin(broadcast(l1(aRaw, "a")))
+        .select(col("node"), (col("a") / col("_norm")).as("authority"))
       val hRaw = e.join(auth.withColumnRenamed("node", "_dst"), "_dst")
         .groupBy(col("_src").as("node"))
         .agg(foldSum(struct(col("_dst").as("_k"),
           col("authority").as("_c"))).as("h"))
         .persist(storage)
-      fences += hRaw
-      val hSum = l1(hRaw, "h")
-      hub = hRaw.select(col("node"), (col("h") / lit(hSum)).as("hub"))
+      // the round's ONE action: materializes hRaw (and, through its
+      // plan, aRaw) into cache and fences the lineage — after which
+      // the previous round's frames are dead and released here, not
+      // at the tail
+      hRaw.count()
+      prevFences.foreach(_.unpersist(false))
+      prevFences = Seq(aRaw, hRaw)
+      hub = hRaw.crossJoin(broadcast(l1(hRaw, "h")))
+        .select(col("node"), (col("h") / col("_norm")).as("hub"))
     }
     val out = dsts.join(auth, Seq("node"), "left_outer")
       .na.fill(0.0, Seq("authority"))
@@ -234,7 +245,7 @@ object Graph {
     }
     val path = dir + "/hits-" + java.util.UUID.randomUUID().toString
     out.write.mode("overwrite").parquet(path)
-    fences.foreach(_.unpersist(false))
+    prevFences.foreach(_.unpersist(false))
     e.unpersist(false)
     spark.read.parquet(path)
   }
@@ -389,15 +400,25 @@ object Graph {
     * `maxBucket`/`boundedSelfPairs` discipline applied to the wedge
     * join): nodes whose degree exceeds it are excluded as PIVOTS
     * (common neighbors), capping candidate generation at
-    * Σ deg² ≤ maxDegree · 2m rows, exactly as text pipelines cap document
-    * frequency — a stopword-like hub mediating millions of pairs
-    * carries no linkage signal anyway. Endpoint degrees in the
-    * Jaccard denominator stay the TRUE degrees, so scores for
-    * surviving pairs are exact over the capped candidate set; the
-    * recall contract is "pairs whose only common neighbors are hubs
-    * above the cap are not scored". One anti-join drops already-
-    * connected pairs; degree lookups are two joins against a
-    * node-sized table.
+    * Σ deg² ≤ maxDegree · 2m rows, exactly as text pipelines cap
+    * document frequency — a stopword-like hub mediating millions of
+    * pairs carries no linkage signal anyway. The recall contract is
+    * "pairs whose only common neighbors are hubs above the cap are
+    * not scored".
+    *
+    * Scores for SURVIVING pairs are EXACT, hub neighbors included:
+    * the capped wedge count is only a lower bound when hub common
+    * neighbors exist, so candidates whose endpoints both touch hubs
+    * are re-counted exactly by re-expanding ONE endpoint's true
+    * neighbor list against the other's (driven by the candidate
+    * pairs — never generates new pairs). An upper-bound prune
+    * (common ≤ capped + min(hub-degree of either endpoint)) runs
+    * first, which also bounds the re-expansion: a surviving pair has
+    * deg_a + deg_b ≤ (1 + 1/minJaccard)·min(deg_a, deg_b), so a
+    * celebrity endpoint paired with a small node is pruned before
+    * its neighbor list is ever expanded. Pairs with no hub neighbors
+    * on either endpoint (the entire graph under the default cap)
+    * skip the re-count — their capped count is already exact.
     */
   def jaccardLinks(
       edges: DataFrame,
@@ -415,6 +436,11 @@ object Graph {
     val adj = e0.select(col("_u").as("_n"), col("_v").as("_nbr"))
       .union(e0.select(col("_v").as("_n"), col("_u").as("_nbr")))
     val deg = adj.groupBy(col("_n")).agg(count(lit(1)).as("_d"))
+    val hubs = deg.filter(col("_d") > maxDegree).select(col("_n"))
+    // hub-degree per node: how many of its neighbors are above the
+    // cap (node-sized; empty under the default cap on sane graphs)
+    val hubDeg = adj.join(hubs.withColumnRenamed("_n", "_nbr"), "_nbr")
+      .groupBy(col("_n")).agg(count(lit(1)).as("_hd"))
     // pivot side: hub nodes above the cap never mediate candidates —
     // the wedge join's per-key fan-out is ≤ maxDegree² by construction
     val pivotAdj = adj.join(
@@ -423,16 +449,47 @@ object Graph {
       .join(pivotAdj.select(col("_n"), col("_nbr").as("_nbr2")).as("a2"),
         col("a1._n") === col("a2._n") && col("a1._nbr") < col("_nbr2"))
       .groupBy(col("a1._nbr").as("_x"), col("_nbr2").as("_y"))
-      .agg(count(lit(1)).as("common"))
+      .agg(count(lit(1)).as("_capped"))
     val unlinked = common.join(e0,
       col("_x") === col("_u") && col("_y") === col("_v"), "left_anti")
-    unlinked
+    val annotated = unlinked
       .join(deg.select(col("_n").as("_x"), col("_d").as("deg_a")), "_x")
       .join(deg.select(col("_n").as("_y"), col("_d").as("deg_b")), "_y")
+      .join(hubDeg.select(col("_n").as("_x"), col("_hd").as("_hdx")),
+        Seq("_x"), "left")
+      .join(hubDeg.select(col("_n").as("_y"), col("_hd").as("_hdy")),
+        Seq("_y"), "left")
+      .na.fill(0L, Seq("_hdx", "_hdy"))
+      // upper bound on the true common count: hub commons number at
+      // most min(hub-degree of x, hub-degree of y)
+      .withColumn("_ub", col("_capped") + least(col("_hdx"), col("_hdy")))
+      .filter(col("_ub").cast("double") /
+        (col("deg_a") + col("deg_b") - col("_ub")).cast("double")
+        >= lit(minJaccard))
+    def score(df: DataFrame, commonCol: Column) = df
+      .withColumn("common", commonCol)
       .withColumn("jaccard", col("common").cast("double") /
         (col("deg_a") + col("deg_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= lit(minJaccard))
       .select(col("_x").as("node_a"), col("_y").as("node_b"),
         col("common"), col("deg_a"), col("deg_b"), col("jaccard"))
+    // no hub neighbors on either endpoint ⇒ the capped count IS the
+    // true count (a common neighbor above the cap would appear in
+    // both endpoints' hub-degrees)
+    val fast = score(
+      annotated.filter(least(col("_hdx"), col("_hdy")) === 0L),
+      col("_capped"))
+    // exact re-count for the hub-touching survivors: expand x's TRUE
+    // neighbor list (bounded by the upper-bound prune) and keep the
+    // neighbors that are also y's
+    val slow = annotated.filter(least(col("_hdx"), col("_hdy")) > 0L)
+    val exact = slow.select(col("_x"), col("_y"))
+      .join(adj.select(col("_n").as("_x"), col("_nbr")), "_x")
+      .join(adj.select(col("_n").as("_y"), col("_nbr")), Seq("_y", "_nbr"),
+        "left_semi")
+      .groupBy(col("_x"), col("_y")).agg(count(lit(1)).as("_exact"))
+    val slowScored = score(
+      slow.join(exact, Seq("_x", "_y")), col("_exact"))
+    fast.unionByName(slowScored)
   }
 }

@@ -13,6 +13,89 @@ import org.apache.spark.sql.functions._
   */
 object Linkage {
 
+  /** The blocked pair join with ENFORCED per-task bounds — the
+    * [[Dedup.boundedSelfPairs]]/`boundedCrossPairs` discipline applied
+    * to the linkage block key, carrying full comparison-field rows
+    * instead of bare member ids. A hot-block prepass (one count row
+    * per DISTINCT block, map-side combined) finds blocks where either
+    * side exceeds `maxBlock` rows; those are grid-chunked so no join
+    * key ever holds more than maxBlock×maxBlock comparisons and a
+    * degenerate low-cardinality blocking key (the 10¹²-pair failure
+    * mode) spreads across the cluster instead of one straggler/OOM.
+    * Cold blocks — the overwhelmingly common case under a sane
+    * blocking key — take the plain equi-join with no replication, so
+    * the default cap is a no-op there.
+    *
+    * `selfPairs = true` uses the triangular chunk layout (left emits
+    * blocks j ≥ own chunk, right emits i ≤ own chunk) so each
+    * unordered pair meets exactly once across chunks; same-chunk
+    * blocks hold both orderings and are de-duplicated by the id
+    * filter. Output keeps the internal `_ci`/`_cj` chunk-block
+    * columns (null on the cold path) so specs can assert the
+    * per-key-group pair bound; [[linkageScore]] drops them.
+    */
+  private[graft] def boundedBlockedJoin(
+      aa: DataFrame,
+      bb: DataFrame,
+      selfPairs: Boolean,
+      maxBlock: Int): DataFrame = {
+    val lsz = aa.groupBy(col("_blk")).agg(count(lit(1)).as("_lsz"))
+    val rsz =
+      if (selfPairs) lsz.select(col("_blk"), col("_lsz").as("_rsz"))
+      else bb.groupBy(col("_blk")).agg(count(lit(1)).as("_rsz"))
+    val hot = lsz.join(rsz, Seq("_blk"))
+      .filter(col("_lsz") > maxBlock || col("_rsz") > maxBlock)
+      .withColumn("_nl",
+        ceil(col("_lsz").cast("double") / lit(maxBlock)).cast("int"))
+      .withColumn("_nr",
+        ceil(col("_rsz").cast("double") / lit(maxBlock)).cast("int"))
+      .select(col("_blk"), col("_nl"), col("_nr"))
+    val lf = aa.join(hot, Seq("_blk"), "left")
+    val rf = bb.join(hot, Seq("_blk"), "left")
+
+    // cold blocks: the plain blocked join, exactly the pre-cap plan
+    val cold = lf.filter(col("_nl").isNull).drop("_nl", "_nr")
+      .join(rf.filter(col("_nl").isNull).drop("_nl", "_nr"), Seq("_blk"))
+      .withColumn("_ci", lit(null).cast("int"))
+      .withColumn("_cj", lit(null).cast("int"))
+
+    val hotPairs =
+      if (selfPairs) {
+        // triangular layout on the shared chunk hash: cross-chunk
+        // blocks (i < j) hold each unordered pair once, same-chunk
+        // blocks both orderings (the caller's id filter dedupes)
+        val m = lf.filter(col("_nl").isNotNull)
+          .withColumn("_chunk",
+            pmod(xxhash64(col("_id_a")), col("_nl")).cast("int"))
+        val right = rf.filter(col("_nl").isNotNull)
+          .withColumn("_chunk",
+            pmod(xxhash64(col("_id_b")), col("_nl")).cast("int"))
+        val left = m
+          .withColumn("_cj",
+            explode(sequence(col("_chunk"), col("_nl") - 1)))
+          .withColumnRenamed("_chunk", "_ci")
+          .drop("_nl", "_nr")
+        val r = right
+          .withColumn("_ci", explode(sequence(lit(0), col("_chunk"))))
+          .withColumnRenamed("_chunk", "_cj")
+          .drop("_nl", "_nr")
+        left.join(r, Seq("_blk", "_ci", "_cj"))
+      } else {
+        val hl = lf.filter(col("_nl").isNotNull)
+          .withColumn("_ci",
+            pmod(xxhash64(col("_id_a")), col("_nl")).cast("int"))
+          .withColumn("_cj", explode(sequence(lit(0), col("_nr") - 1)))
+          .drop("_nl", "_nr")
+        val hr = rf.filter(col("_nl").isNotNull)
+          .withColumn("_cj",
+            pmod(xxhash64(col("_id_b")), col("_nr")).cast("int"))
+          .withColumn("_ci", explode(sequence(lit(0), col("_nl") - 1)))
+          .drop("_nl", "_nr")
+        hl.join(hr, Seq("_blk", "_ci", "_cj"))
+      }
+    cold.unionByName(hotPairs)
+  }
+
   /** Score blocked candidate pairs of `a` × `b`. Every weight is a
     * DRIVER-computed double literal (the same constant lands in any
     * replay — no runtime ln anywhere), the per-pair score is a
@@ -21,14 +104,20 @@ object Linkage {
     * Pairs below `minScore` are dropped.
     *
     * `selfPairs = true` treats a/b as the same table and keeps only
-    * id_a < id_b (each unordered pair once).
+    * id_a < id_b (each unordered pair once — valid because the
+    * agreement pattern, and hence the score, is symmetric in the
+    * pair).
     *
-    * Scale shape: one equi-join on the block key — the classic
-    * blocked-quadratic linkage contract (pairs per block =
-    * |block_a|·|block_b|): like [[Dedup.sortedNeighborhoodPairs]]'
-    * window and LSH's `maxBucket`, the BLOCKING choice is the scale
-    * lever; keep blocks bounded (add fields to the key) when a block
-    * outgrows ~10⁴ rows. Scoring itself is row-local codegen.
+    * Scale shape: one equi-join on the block key, with the blocked-
+    * quadratic contract (pairs per block = |block_a|·|block_b|) now
+    * ENFORCED by `maxBlock` via [[boundedBlockedJoin]]: blocks whose
+    * either side exceeds it are grid-chunked so no task compares more
+    * than maxBlock² pairs — a degenerate low-cardinality blocking key
+    * degrades to distributed (still quadratic-in-pairs) work instead
+    * of a single straggler/OOM task. Results are IDENTICAL for any
+    * cap (chunking repartitions the pair space, never drops pairs);
+    * under a sane blocking key (blocks ≤ maxBlock) the plan is the
+    * plain pre-cap equi-join. Scoring itself is row-local codegen.
     */
   def linkageScore(
       a: DataFrame,
@@ -38,19 +127,29 @@ object Linkage {
       blockCol: String,
       fields: Seq[(String, Double, Double)],
       minScore: Double,
-      selfPairs: Boolean = false): DataFrame = {
+      selfPairs: Boolean = false,
+      maxBlock: Int = 10000): DataFrame = {
     require(fields.nonEmpty, "need at least one comparison field")
+    require(maxBlock >= 1, s"maxBlock=$maxBlock")
     fields.foreach { case (f, m, u) =>
       require(m > 0 && m < 1 && u > 0 && u < 1 && m > u,
         s"field $f: need 0 < u < m < 1, got m=$m u=$u") }
     def side(df: DataFrame, idCol: String, idAs: String, p: String) =
       df.select(Seq(col(idCol).as(idAs), col(blockCol).as("_blk")) ++
         fields.map { case (f, _, _) => col(f).as(s"${p}$f") }: _*)
-    val aa = side(a, idColA, "id_a", "_a_")
-    val bb = side(b, idColB, "id_b", "_b_")
-    val joined = aa.join(bb, Seq("_blk"))
-    val pairs = if (selfPairs) joined.filter(col("id_a") < col("id_b"))
-                else joined
+    val aa = side(a, idColA, "_id_a", "_a_")
+    val bb = side(b, idColB, "_id_b", "_b_")
+    val joined = boundedBlockedJoin(aa, bb, selfPairs, maxBlock)
+    // selfPairs: cold + same-chunk blocks hold both orderings (drop
+    // the duplicate), cross-chunk blocks each unordered pair exactly
+    // once (arbitrary id order — reordered in the output projection;
+    // valid because the agreement pattern is symmetric in the pair)
+    val pairs =
+      if (selfPairs)
+        joined.filter(
+          when(col("_ci").isNull || col("_ci") === col("_cj"),
+            col("_id_a") < col("_id_b")).otherwise(lit(true)))
+      else joined
     val agrees = fields.map { case (f, _, _) =>
       col(s"_a_$f") <=> col(s"_b_$f") }
     // StrictMath, not Math: the HotSpot Math.log intrinsic may change
@@ -67,7 +166,11 @@ object Linkage {
       .withColumn("n_agree", nAgree)
       .withColumn("score", score)
       .filter(col("score") >= minScore)
-      .select(Seq(col("id_a"), col("id_b"), col("n_agree"),
-        col("score")): _*)
+      .select(
+        (if (selfPairs) least(col("_id_a"), col("_id_b"))
+         else col("_id_a")).as("id_a"),
+        (if (selfPairs) greatest(col("_id_a"), col("_id_b"))
+         else col("_id_b")).as("id_b"),
+        col("n_agree"), col("score"))
   }
 }

@@ -209,10 +209,15 @@ case class DqValidateProc(specs: Seq[String]) extends Processor {
       val parts = s.split(":").toSeq.map(_.trim)
       (parts.head, parts.tail, s"c$i")
     }
+    // collision-free flattened names: one f_<index> per DISTINCT Ref
+    // (a readable "f_" + sub.mkString("_") scheme collides — e.g.
+    // refs ["a","b"] vs ["a_b"] — and would silently validate the
+    // wrong field; the check_id in the output is the user-facing name)
     val refsByName = scala.collection.mutable.LinkedHashMap.empty[String, Ref]
+    val nameByRef = scala.collection.mutable.LinkedHashMap.empty[Ref, String]
     def colName(refStr: String): String = {
       val r = Ref.parse(refStr)
-      val n = "f_" + r.sub.mkString("_")
+      val n = nameByRef.getOrElseUpdate(r, s"f_${nameByRef.size}")
       refsByName.getOrElseUpdate(n, r)
       n
     }

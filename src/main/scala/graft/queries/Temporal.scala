@@ -311,10 +311,14 @@ object Temporal {
     // directions, confidence gated by exact cross-multiply, lift from
     // the broadcast basket count — integer verdicts, one-division
     // strengths.
+    // minConfidence 0.05, not 0.5: TPC-H-ish baskets have per-part
+    // supports ~30, so pair confidences sit near 2/30 — 0.5 made the
+    // gate row vacuously empty on BOTH engines (r9 ADVICE); 0.05
+    // keeps a non-empty result to hash-compare while still gating.
     "basket_rules" -> ((s, dir) =>
       Baskets.associationRules(t(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", minSupport = 2L,
-        minConfidence = 0.5)),
+        minConfidence = 0.05)),
 
     // KMV distinct sketch: k smallest splitmix64 hashes per event
     // type — the mergeable cardinality state with exact-below-k
@@ -2137,7 +2141,7 @@ object Temporal {
            CAST(pair_cnt AS DOUBLE) * CAST(nb.n AS DOUBLE) /
              (CAST(supp_ante AS DOUBLE) * CAST(supp_cons AS DOUBLE)) AS lift
          FROM bidir CROSS JOIN nb
-         WHERE pair_cnt * 1000000 >= 500000 * supp_ante""",
+         WHERE pair_cnt * 1000000 >= 50000 * supp_ante""",
     "join_asof" ->
       """WITH l AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s
                     FROM events WHERE event_type IN ('click', 'view')),
@@ -2202,16 +2206,30 @@ object Temporal {
              THEN CAST(n * sxx - sx * sx AS BIGINT) END AS slope_den,
            (abs(n * sxy - sx * sy) <= CAST('9223372036854775807' AS HUGEINT) AND
             abs(n * sxx - sx * sx) <= CAST('9223372036854775807' AS HUGEINT)) AS exact,
-           (CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE) /
-            CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE)) /
+           (CASE WHEN abs(n * sxy - sx * sy) <= CAST('9223372036854775807' AS HUGEINT) AND
+                      abs(n * sxx - sx * sx) <= CAST('9223372036854775807' AS HUGEINT)
+             THEN CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE) /
+                  CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE)
+             ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+                  CAST(n * sxx - sx * sx AS DOUBLE) END) /
             CAST(100 AS DOUBLE) AS slope,
            (CAST(CAST(sy AS BIGINT) AS DOUBLE) / CAST(CAST(n AS BIGINT) AS DOUBLE)
-            - (CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE) /
-               CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE))
+            - (CASE WHEN abs(n * sxy - sx * sy) <= CAST('9223372036854775807' AS HUGEINT) AND
+                         abs(n * sxx - sx * sx) <= CAST('9223372036854775807' AS HUGEINT)
+               THEN CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE) /
+                    CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE)
+               ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+                    CAST(n * sxx - sx * sx AS DOUBLE) END)
               * CAST(CAST(sx AS BIGINT) AS DOUBLE)
               / CAST(CAST(n AS BIGINT) AS DOUBLE)) /
             CAST(100 AS DOUBLE) AS intercept
          FROM a""",
+    // stats_trend's slope/intercept mirror the operator's degraded
+    // route: out of the signed-64 window the rational casts
+    // HUGEINT->DOUBLE directly (verified this round: DuckDB rounds
+    // that cast to nearest, same as Spark's decimal->double), so a
+    // larger-SF sweep compares the degraded doubles instead of
+    // hard-erroring on the BIGINT cast.
     "stats_trimmed" ->
       """WITH base AS (SELECT event_type AS g, value AS v
             FROM events WHERE value IS NOT NULL),

@@ -43,6 +43,54 @@ class LinkageScriptSpec extends AnyFunSuite {
     assert(nOut.getLong(2) == 1L)
   }
 
+  test("linkage: maxBlock chunk-join bounds per-task pairs, results identical") {
+    // degenerate corpus: ONE block of 120 rows (the 10^12-pair failure
+    // mode scaled down) — with the cap the block must be grid-chunked
+    // so no join key group exceeds maxBlock^2 pairs, while the scored
+    // output stays IDENTICAL to the uncapped run
+    val rows = (1 to 120).map(i =>
+      (i.toLong, 1L, s"v${i % 7}", s"w${i % 3}"))
+    val df = rows.toDF("id", "blk", "f1", "f2")
+    val fields = Seq(("f1", 0.9, 0.3), ("f2", 0.8, 0.4))
+    def run(cap: Int) = Linkage.linkageScore(df, df, "id", "id", "blk",
+        fields, minScore = -100.0, selfPairs = true, maxBlock = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val uncapped = run(100000)
+    val capped = run(25)
+    assert(uncapped.size == 120 * 119 / 2)
+    assert(capped == uncapped)
+    // the internal chunked join never holds more than cap^2 pairs per
+    // (block, chunk-block) key group
+    def side(p: String, idAs: String) = df.select(
+      col("id").as(idAs), col("blk").as("_blk"),
+      col("f1").as(s"${p}f1"), col("f2").as(s"${p}f2"))
+    val joined = Linkage.boundedBlockedJoin(
+      side("_a_", "_id_a"), side("_b_", "_id_b"),
+      selfPairs = true, maxBlock = 25)
+    val perKey = joined.groupBy(col("_blk"), col("_ci"), col("_cj"))
+      .agg(count(lit(1)).as("n")).collect()
+    assert(perKey.forall(r => !r.isNullAt(1)), "hot block must chunk")
+    // chunks are hash-assigned: sizes center on cap with binomial
+    // jitter, so the per-key bound is O(cap^2), not exactly cap^2 —
+    // assert within 4x of the nominal bound and far below the
+    // unchunked block's 120^2 single-task pair count
+    assert(perKey.length >= 15, "5 chunks -> >= 15 triangular blocks")
+    assert(perKey.forall(_.getAs[Long]("n") <= 4L * 25L * 25L),
+      s"per-key pair bound violated: ${perKey.mkString(",")}")
+    // cross-table (selfPairs = false) linkage under the cap is also
+    // unchanged, and ids keep their table sides
+    val b = rows.map { case (id, blk, f1, f2) => (id + 1000L, blk, f1, f2) }
+      .toDF("id", "blk", "f1", "f2")
+    def runX(cap: Int) = Linkage.linkageScore(df, b, "id", "id", "blk",
+        fields, minScore = -100.0, maxBlock = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val x = runX(25)
+    assert(x == runX(100000))
+    assert(x.keys.forall { case (ia, ib) => ia <= 120L && ib > 1000L })
+  }
+
   test("script profile: mixed-script doc counts and dominant label") {
     val docs = Seq(
       (1L, "hello world 42"),

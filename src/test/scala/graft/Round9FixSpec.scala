@@ -64,13 +64,14 @@ class Round9FixSpec extends AnyFunSuite {
     // node 100 (deg 2) pivots (1,2); hub-mediated pairs like (3,4) gone
     assert(capped.contains((1L, 2L)), s"non-hub wedge lost: $capped")
     assert(!capped.contains((3L, 4L)), s"hub-mediated pair leaked: $capped")
-    // degrees in the score stay TRUE degrees: (1,2) have deg 2 each,
-    // one common neighbor in the candidate set -> 1/(2+2-1)
+    // scores for SURVIVING pairs are exact, hub neighbors included:
+    // (1,2) share {hub 0, node 100} -> common 2, jaccard 2/(2+2-2)=1
     val full = Graph.jaccardLinks(edges, "u", "v",
         minJaccard = 0.0001, maxDegree = 10)
       .filter(col("node_a") === 1 && col("node_b") === 2).collect().head
     assert(full.getAs[Long]("deg_a") == 2L && full.getAs[Long]("deg_b") == 2L)
-    assert(math.abs(full.getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-15)
+    assert(full.getAs[Long]("common") == 2L)
+    assert(math.abs(full.getAs[Double]("jaccard") - 1.0) < 1e-15)
     // default cap is a no-op on this graph: same rows as an explicit
     // cap above every degree
     val dflt = Graph.jaccardLinks(edges, "u", "v", minJaccard = 0.0001)
