@@ -172,7 +172,8 @@ object Graph {
       srcCol: String,
       dstCol: String,
       iterations: Int = 3,
-      deterministic: Boolean = false): DataFrame = {
+      deterministic: Boolean = false,
+      eager: Boolean = true): DataFrame = {
     require(iterations >= 1 && iterations <= 20, s"iterations=$iterations")
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
@@ -232,6 +233,10 @@ object Graph {
         .na.fill(0.0, Seq("hub")), Seq("node"), "full_outer")
       .na.fill(0.0, Seq("authority", "hub"))
       .select(col("node"), col("authority"), col("hub"))
+    // eager=false (pageRank's contract): return the lazy plan and
+    // leave the final round's caches to the caller — the in-pipeline
+    // mode, where no spill dir may exist
+    if (!eager) return out
     // eager parquet-spill tail (pageRank's pattern + dir resolution):
     // materialize, then release every per-round fence instead of
     // leaking persisted frames into the caller's session
@@ -337,7 +342,8 @@ object Graph {
       srcCol: String,
       dstCol: String,
       k: Int,
-      maxRounds: Int = 10): DataFrame = {
+      maxRounds: Int = 10,
+      eager: Boolean = true): DataFrame = {
     require(k >= 1 && maxRounds >= 1, s"k=$k maxRounds=$maxRounds")
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def adj(e: DataFrame): DataFrame =
@@ -368,6 +374,14 @@ object Graph {
     }
     val out = adj(e).groupBy(col("_n").as("node"))
       .agg(count(lit(1)).as("core_degree"))
+    if (!eager) {
+      // in-pipeline mode: no spill dir may exist — return the lazy
+      // plan over the FINAL surviving edge frame (still cached; its
+      // release is the caller's) and drop the earlier rounds' caches,
+      // which the convergence counts already materialized past
+      fences.filter(_ ne e).foreach(_.unpersist(false))
+      return out
+    }
     val spark = edges.sparkSession
     val sc = spark.sparkContext
     val dir = sc.getCheckpointDir.getOrElse {

@@ -276,6 +276,139 @@ case class TextScriptsProc(field: Ref) extends ColumnProcessor {
   }
 }
 
+/** `sketch.kmv` — KMV distinct-count sketch per payload group
+  * ([[graft.analytics.Sketch.kmvState]] + `kmvEstimate`): one create
+  * record per group with (n_state, estimate), keyed by the group
+  * tuple. Aggregate output via [[Cdc.wrap]] — the config-surface
+  * cardinality monitor a YAML pipeline puts before its sink.
+  */
+case class KmvProc(groupFields: Seq[Ref], valueField: Ref, k: Int,
+                   seed: Long) extends Processor {
+  require(groupFields.nonEmpty, "sketch.kmv: need groups")
+  val plugin = "sketch.kmv"
+  override def transform(df: DataFrame): DataFrame = {
+    import graft.analytics.HashFunctions.fnv1a_hash
+    val names = groupFields.map(r => r.sub.lastOption.getOrElse("group"))
+    // payload fields arrive as strings: pre-hash to a long (fnv1a,
+    // injective w.h.p.) since the KMV chain hashes numerically
+    val flat = df.select(groupFields.zip(names).map { case (r, n) =>
+      Analytics2Ops.fieldCol(df, r).as(n) } :+
+      fnv1a_hash(Analytics2Ops.fieldCol(df, valueField).cast("string"))
+        .as("_value"): _*)
+    val st = graft.analytics.Sketch.kmvState(flat, names, "_value", k, seed)
+    val out = graft.analytics.Sketch.kmvEstimate(st, names, k)
+    val keyed = out.withColumn("_k", concat_ws("|", names.map(col): _*))
+    Cdc.wrap(keyed, "_k", "sketch.kmv")
+  }
+}
+
+/** `graph.hits` — HITS hubs-and-authorities over an edge stream
+  * ([[graft.analytics.Graph.hits]], production mode, lazy tail — no
+  * spill dir needed inside a pipeline): one create record per node
+  * with (authority, hub). Aggregate output via [[Cdc.wrap]].
+  */
+case class HitsProc(src: Ref, dst: Ref, iterations: Int) extends Processor {
+  val plugin = "graph.hits"
+  override def transform(df: DataFrame): DataFrame = {
+    val edges = df.select(Analytics2Ops.fieldCol(df, src).as("_src"),
+        Analytics2Ops.fieldCol(df, dst).as("_dst"))
+      .filter(col("_src").isNotNull && col("_dst").isNotNull)
+    val out = graft.analytics.Graph.hits(edges, "_src", "_dst",
+      iterations, eager = false)
+    Cdc.wrap(out, "node", "graph.hits")
+  }
+}
+
+/** `graph.kcore` — k-core membership over an edge stream
+  * ([[graft.analytics.Graph.kCore]], bounded peel, lazy tail): one
+  * create record per surviving node with its within-core degree.
+  * Aggregate output via [[Cdc.wrap]].
+  */
+case class KCoreProc(src: Ref, dst: Ref, k: Int, maxRounds: Int)
+    extends Processor {
+  val plugin = "graph.kcore"
+  override def transform(df: DataFrame): DataFrame = {
+    val edges = df.select(Analytics2Ops.fieldCol(df, src).as("_src"),
+        Analytics2Ops.fieldCol(df, dst).as("_dst"))
+      .filter(col("_src").isNotNull && col("_dst").isNotNull)
+    val out = graft.analytics.Graph.kCore(edges, "_src", "_dst",
+      k, maxRounds, eager = false)
+    Cdc.wrap(out, "node", "graph.kcore")
+  }
+}
+
+/** `linkage.score` — Fellegi–Sunter self-linkage over the batch
+  * ([[graft.analytics.Linkage.linkageScore]], `maxBlock`-capped
+  * blocked join): `fields` is a `;`-separated list of `REF:m:u`
+  * comparisons; one create record per surviving pair with
+  * (n_agree, score), keyed by the pair. Aggregate output via
+  * [[Cdc.wrap]].
+  */
+case class LinkageScoreProc(idField: Ref, blockField: Ref,
+                            fields: Seq[(Ref, Double, Double)],
+                            minScore: Double, maxBlock: Int)
+    extends Processor {
+  require(fields.nonEmpty, "linkage.score: need fields")
+  val plugin = "linkage.score"
+  override def transform(df: DataFrame): DataFrame = {
+    val names = fields.indices.map(i => s"f_$i")
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id") +:
+      Analytics2Ops.fieldCol(df, blockField).as("_block") +:
+      fields.zip(names).map { case ((r, _, _), n) =>
+        Analytics2Ops.fieldCol(df, r).as(n) }: _*)
+    val scored = graft.analytics.Linkage.linkageScore(flat, flat,
+      "_id", "_id", "_block",
+      names.zip(fields).map { case (n, (_, m, u)) => (n, m, u) },
+      minScore, selfPairs = true, maxBlock = maxBlock)
+    val keyed = scored.withColumn("_k",
+      concat_ws("|", col("id_a"), col("id_b")))
+    Cdc.wrap(keyed, "_k", "linkage.score")
+  }
+}
+
+/** `retrieval.keywords` — per-document TF-IDF keyword extraction
+  * ([[graft.analytics.Retrieval.keywords]]): one create record per
+  * (doc, rank) with the term and its weight, keyed by the pair.
+  * Aggregate output via [[Cdc.wrap]].
+  */
+case class KeywordsProc(idField: Ref, textField: Ref, k: Int,
+                        minDf: Long) extends Processor {
+  val plugin = "retrieval.keywords"
+  override def transform(df: DataFrame): DataFrame = {
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_doc"),
+      Analytics2Ops.fieldCol(df, textField).as("_text"))
+    val out = graft.analytics.Retrieval.keywords(flat, "_doc", "_text",
+      k, minDf)
+    val keyed = out.withColumn("_k",
+      concat_ws("|", col("doc_id"), col("kw_rank")))
+    Cdc.wrap(keyed, "_k", "retrieval.keywords")
+  }
+}
+
+/** `joins.skyline` — 2-D Pareto frontier over numeric payload fields
+  * ([[graft.analytics.Joins.skyline2D]], the n log n class-max /
+  * prefix-max shape): one create record per non-dominated row,
+  * keyed by the (group, x, y) tuple. Aggregate output via
+  * [[Cdc.wrap]].
+  */
+case class SkylineProc(groupFields: Seq[Ref], xField: Ref, yField: Ref)
+    extends Processor {
+  val plugin = "joins.skyline"
+  override def transform(df: DataFrame): DataFrame = {
+    val names = groupFields.map(r => r.sub.lastOption.getOrElse("group"))
+    val flat = df.select(groupFields.zip(names).map { case (r, n) =>
+      Analytics2Ops.fieldCol(df, r).as(n) } ++ Seq(
+      Analytics2Ops.asLong(Analytics2Ops.fieldCol(df, xField)).as("_x"),
+      Analytics2Ops.asLong(Analytics2Ops.fieldCol(df, yField)).as("_y")): _*)
+    val out = graft.analytics.Joins.skyline2D(flat, names, "_x", "_y")
+    val keyed = out.withColumn("_k",
+      concat_ws("|", (names.map(col) ++ Seq(col("_x"), col("_y"))): _*))
+    Cdc.wrap(keyed, "_k", "joins.skyline")
+  }
+}
+
 /** `graph.links` — common-neighbor link prediction over an edge
   * stream ([[graft.analytics.Graph.jaccardLinks]], hub-capped wedge
   * join): one create record per predicted pair above the Jaccard

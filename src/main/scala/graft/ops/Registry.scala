@@ -119,7 +119,35 @@ object Registry {
       s.getOrElse("maxDegree", "100000").toInt)),
     "dq.validate" -> (s => DqValidateProc(
       s("checks").split(";").toSeq.map(_.trim).filter(_.nonEmpty))),
-    "text.scripts" -> (s => TextScriptsProc(ref(s, ".Payload.After")))
+    "text.scripts" -> (s => TextScriptsProc(ref(s, ".Payload.After"))),
+    // round-9 analytics families on the config surface (Analytics2Ops)
+    "sketch.kmv" -> (s => KmvProc(
+      refs(s, "groups"), Ref.parse(s("value")),
+      s.getOrElse("k", "256").toInt,
+      s.getOrElse("seed", "7").toLong)),
+    "graph.hits" -> (s => HitsProc(
+      Ref.parse(s("src")), Ref.parse(s("dst")),
+      s.getOrElse("iterations", "3").toInt)),
+    "graph.kcore" -> (s => KCoreProc(
+      Ref.parse(s("src")), Ref.parse(s("dst")),
+      s.getOrElse("k", "3").toInt,
+      s.getOrElse("maxRounds", "10").toInt)),
+    "linkage.score" -> (s => LinkageScoreProc(
+      Ref.parse(s("id")), Ref.parse(s("block")),
+      s("fields").split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { spec =>
+        val parts = spec.split(":")
+        require(parts.length == 3,
+          s"linkage.score: field spec must be REF:m:u, got $spec")
+        (Ref.parse(parts(0)), parts(1).toDouble, parts(2).toDouble)
+      },
+      s.getOrElse("minScore", "0.0").toDouble,
+      s.getOrElse("maxBlock", "10000").toInt)),
+    "retrieval.keywords" -> (s => KeywordsProc(
+      Ref.parse(s("id")), ref(s, ".Payload.After"),
+      s.getOrElse("k", "10").toInt,
+      s.getOrElse("minDf", "2").toLong)),
+    "joins.skyline" -> (s => SkylineProc(
+      refs(s, "groups"), Ref.parse(s("x")), Ref.parse(s("y"))))
   )
 
   def create(plugin: String, settings: Map[String, String]): Processor = {

@@ -210,7 +210,27 @@ class Analytics2OpsSpec extends AnyFunSuite {
         Map("src" -> ".Payload.After.s", "dst" -> ".Payload.After.d"), None),
       ProcessorConfig("p7", "graph.links",
         Map("src" -> ".Payload.After.s", "dst" -> ".Payload.After.d",
-          "minJaccard" -> "0.25"), None))
+          "minJaccard" -> "0.25"), None),
+      // round-9 families, promoted round 10
+      ProcessorConfig("p8", "sketch.kmv",
+        Map("groups" -> ".Payload.After.g", "value" -> ".Payload.After.v",
+          "k" -> "64"), None),
+      ProcessorConfig("p9", "graph.hits",
+        Map("src" -> ".Payload.After.s", "dst" -> ".Payload.After.d",
+          "iterations" -> "2"), None),
+      ProcessorConfig("p10", "graph.kcore",
+        Map("src" -> ".Payload.After.s", "dst" -> ".Payload.After.d",
+          "k" -> "2"), None),
+      ProcessorConfig("p11", "linkage.score",
+        Map("id" -> ".Payload.After.id", "block" -> ".Payload.After.blk",
+          "fields" -> ".Payload.After.a:0.9:0.3;.Payload.After.b:0.8:0.4",
+          "minScore" -> "-10"), None),
+      ProcessorConfig("p12", "retrieval.keywords",
+        Map("id" -> ".Payload.After.doc", "field" -> ".Payload.After.text",
+          "k" -> "3"), None),
+      ProcessorConfig("p13", "joins.skyline",
+        Map("groups" -> ".Payload.After.g", "x" -> ".Payload.After.x",
+          "y" -> ".Payload.After.y"), None))
     val cfg = PipelineConfig("pl", "analytics families",
       processors = procs)
     val back = Dsl.fromYaml(Dsl.toYaml(Seq(cfg)))
@@ -219,5 +239,101 @@ class Analytics2OpsSpec extends AnyFunSuite {
     back.head.processors.foreach { p =>
       assert(Registry.create(p.plugin, p.settings) != null, p.plugin)
     }
+  }
+
+  test("sketch.kmv processor matches the Scala sketch estimate") {
+    val base = wrap((1 to 300).map(i => (i.toLong, s"g${i % 2}", s"u${i % 37}"))
+      .toDF("id", "g", "u"), "id")
+    val proc = Registry.create("sketch.kmv",
+      Map("groups" -> ".Payload.After.g", "value" -> ".Payload.After.u",
+        "k" -> "64"))
+    val got = proc(base).select(col(Cdc.PayloadAfter)).collect()
+      .map(r => JsonOps.parse(r.getString(0)))
+      .map(p => p.get("g").asText -> p.get("estimate").asDouble).toMap
+    // 37 distinct < k=64: the sketch is EXACT per group
+    assert(got == Map("g0" -> 37.0, "g1" -> 37.0), got.toString)
+  }
+
+  test("graph.hits / graph.kcore processors rank and peel via the operators") {
+    // bipartite: customers 1,2,3 all touch supplier 10; 3 also 11
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (3L, 11L))
+    val base = wrap(edges.zipWithIndex.map { case ((s, d), i) =>
+      (i.toLong, s, d) }.toDF("id", "s", "d"), "id")
+    val hits = Registry.create("graph.hits",
+      Map("src" -> ".Payload.After.s", "dst" -> ".Payload.After.d",
+        "iterations" -> "2"))
+    val auth = hits(base).select(col(Cdc.PayloadAfter)).collect()
+      .map(r => JsonOps.parse(r.getString(0)))
+      .map(p => p.get("node").asText -> p.get("authority").asDouble).toMap
+    assert(auth("10") > auth("11"), auth.toString)
+    val kcore = Registry.create("graph.kcore",
+      Map("src" -> ".Payload.After.s", "dst" -> ".Payload.After.d",
+        "k" -> "2"))
+    // no node has undirected degree >= 2 on both endpoints after the
+    // peel except none — a triangle graph keeps its 2-core
+    val tri = wrap(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 9L))
+      .zipWithIndex.map { case ((s, d), i) => (i.toLong, s, d) }
+      .toDF("id", "s", "d"), "id")
+    val nodes = kcore(tri).select(col(Cdc.PayloadAfter)).collect()
+      .map(r => JsonOps.parse(r.getString(0)).get("node").asText).toSet
+    assert(nodes == Set("1", "2", "3"), nodes.toString)
+  }
+
+  test("linkage.score / retrieval.keywords / joins.skyline processors") {
+    val link = Registry.create("linkage.score",
+      Map("id" -> ".Payload.After.id", "block" -> ".Payload.After.blk",
+        "fields" -> ".Payload.After.f1:0.9:0.3",
+        "minScore" -> "-100"))
+    val base = wrap(Seq((1L, 10L, "x"), (2L, 10L, "x"), (3L, 99L, "x"))
+      .toDF("id", "blk", "f1"), "id")
+    val pairs = link(base).select(col(Cdc.PayloadAfter)).collect()
+      .map(r => JsonOps.parse(r.getString(0)))
+      .map(p => (p.get("id_a").asText, p.get("id_b").asText,
+        p.get("n_agree").asLong))
+    assert(pairs.toSeq == Seq(("1", "2", 1L)), pairs.mkString(","))
+
+    val kw = Registry.create("retrieval.keywords",
+      Map("id" -> ".Payload.After.doc", "field" -> ".Payload.After.text",
+        "k" -> "2", "minDf" -> "1"))
+    val docs = wrap(Seq((1L, "alpha alpha beta"), (2L, "beta gamma"))
+      .toDF("doc", "text"), "doc")
+    val terms = kw(docs).select(col(Cdc.PayloadAfter)).collect()
+      .map(r => JsonOps.parse(r.getString(0)))
+      .map(p => p.get("doc_id").asText -> p.get("term").asText)
+    assert(terms.contains(("1", "alpha")), terms.mkString(","))
+
+    val sky = Registry.create("joins.skyline",
+      Map("groups" -> ".Payload.After.g", "x" -> ".Payload.After.x",
+        "y" -> ".Payload.After.y"))
+    val pts = wrap(Seq((1L, "a", 1L, 9L), (2L, "a", 9L, 1L),
+      (3L, "a", 2L, 2L), (4L, "a", 9L, 9L))
+      .toDF("id", "g", "x", "y"), "id")
+    val kept = sky(pts).select(col(Cdc.PayloadAfter)).collect()
+      .map(r => JsonOps.parse(r.getString(0)))
+      .map(p => (p.get("_x").asLong, p.get("_y").asLong)).toSet
+    // (9,9) dominates everything else; (2,2) etc. are dominated
+    assert(kept == Set((9L, 9L)), kept.toString)
+  }
+
+  test("a YAML pipeline drives a round-9 family end to end") {
+    val p = Dsl("kmv-e2e")
+      .source("gen", "builtin:generator",
+        "format.options.id" -> "int", "recordCount" -> "500")
+      .processor("kmv", "sketch.kmv",
+        "groups" -> ".Operation", "value" -> ".Payload.After.id",
+        "k" -> "4096")
+    // through YAML and back, then the batch runner
+    val cfg = Dsl.fromYaml(Dsl.toYaml(Seq(p))).head
+    val out = graft.pipeline.Runner.build(spark, cfg, streaming = false)
+    val rows = graft.model.Cdc.ok(out).select(col(Cdc.PayloadAfter))
+      .collect().map(r => JsonOps.parse(r.getString(0)))
+    assert(rows.length == 1)
+    // generator ids are splitmix64 mod 1e6 — 500 draws collide a few
+    // times (the documented birthday trap) — and the count sits far
+    // below k, so the estimate is the EXACT distinct count
+    val est = rows.head.get("estimate").asDouble
+    assert(est >= 490.0 && est <= 500.0, rows.head.toString)
+    assert(est == rows.head.get("n_state").asLong.toDouble,
+      "below k the sketch is the exact distinct set")
   }
 }
