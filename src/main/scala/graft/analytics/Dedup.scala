@@ -502,10 +502,18 @@ object Dedup {
     * That is inherent to exactness, not the plan: use
     * [[minhashPairs]] at open-web scale and this operator where
     * recall must be provable on a bounded (filtered/blocked) corpus.
+    * The contract is ENFORCED by `maxCandidates`: before the join
+    * runs, Σ_w (prefix-postings choose 2) — an exact upper bound on
+    * the candidate fan-out, computed from one small per-token count
+    * (1-row collect, the documented bounded class) — must not exceed
+    * it, else the operator fails LOUDLY naming the LSH escape route
+    * instead of silently entering the quadratic regime.
     */
   def jaccardPrefixJoin(df: DataFrame, idCol: String, textCol: String,
-                        threshold: Double): DataFrame = {
+                        threshold: Double,
+                        maxCandidates: Long = 100000000L): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold=$threshold")
+    require(maxCandidates >= 1, s"maxCandidates=$maxCandidates")
     val words = (c: Column) =>
       array_remove(array_distinct(split(lower(trim(c)), "\\s+")), "")
     val tok = df.select(col(idCol).as("doc_id"),
@@ -519,6 +527,22 @@ object Dedup {
       .filter(col("rn") <=
         col("sz") - ceil(col("sz").cast("double") * lit(threshold)) + 1)
       .select(col("w"), col("doc_id"), col("sz"), col("rn"))
+    // candidate-count guard: the prefix self-join emits exactly
+    // Σ_w c_w·(c_w−1)/2 rows before filters — decimal(38,0) so a
+    // degenerate corpus can't overflow the bound itself
+    val boundRow = prefix.groupBy(col("w"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("c"))
+      .agg(sum(col("c") * (col("c") - 1)).as("b")).collect().head
+    val bound =
+      if (boundRow.isNullAt(0)) java.math.BigDecimal.ZERO
+      else boundRow.getDecimal(0).divide(java.math.BigDecimal.valueOf(2))
+    if (bound.compareTo(java.math.BigDecimal.valueOf(maxCandidates)) > 0)
+      throw new IllegalStateException(
+        s"jaccardPrefixJoin: candidate upper bound $bound exceeds " +
+          s"maxCandidates=$maxCandidates — the corpus vocabulary is too " +
+          "small/uniform for exact prefix filtering (quadratic regime). " +
+          "Use minhashPairs (LSH) at this scale, block/filter the corpus " +
+          "first, or raise maxCandidates explicitly.")
     val cand = prefix.select(col("w"), col("doc_id").as("id_a"),
         col("sz").as("sz_a"), col("rn").as("rn_a"))
       .join(prefix.select(col("w"), col("doc_id").as("id_b"),
@@ -943,11 +967,16 @@ object Dedup {
     * is rarest-first on purpose); a `|B| ≥ t·|A|` size filter prunes
     * before the exact verify. Same bounded-corpus caveat as
     * [[jaccardPrefixJoin]]: exactness is quadratic when the DATA is
-    * (tiny shared vocabularies) — LSH is the open-web path.
+    * (tiny shared vocabularies) — LSH is the open-web path — and the
+    * same `maxCandidates` ENFORCEMENT: the probe×index fan-out bound
+    * (Σ_w probe_w·index_w, one small per-token count) must stay
+    * under the cap or the operator fails loudly before joining.
     */
   def containmentJoin(df: DataFrame, idCol: String, textCol: String,
-                      threshold: Double): DataFrame = {
+                      threshold: Double,
+                      maxCandidates: Long = 100000000L): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold=$threshold")
+    require(maxCandidates >= 1, s"maxCandidates=$maxCandidates")
     val words = (c: Column) =>
       array_remove(array_distinct(split(lower(trim(c)), "\\s+")), "")
     val tok = df.select(col(idCol).as("doc_id"),
@@ -973,6 +1002,24 @@ object Dedup {
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz_b"))
     val index = tok.join(sizes, "doc_id")
       .select(col("w"), col("doc_id").as("id_b"), col("sz_b"))
+    // candidate-count guard: the probe×index join emits exactly
+    // Σ_w probe_w·index_w rows before filters
+    val pc = probe.groupBy(col("w"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("pc"))
+    val ic = index.groupBy(col("w"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("ic"))
+    val boundRow = pc.join(ic, Seq("w"))
+      .agg(sum(col("pc") * col("ic")).as("b")).collect().head
+    val bound =
+      if (boundRow.isNullAt(0)) java.math.BigDecimal.ZERO
+      else boundRow.getDecimal(0)
+    if (bound.compareTo(java.math.BigDecimal.valueOf(maxCandidates)) > 0)
+      throw new IllegalStateException(
+        s"containmentJoin: candidate upper bound $bound exceeds " +
+          s"maxCandidates=$maxCandidates — the corpus vocabulary is too " +
+          "small/uniform for exact prefix filtering (quadratic regime). " +
+          "Use minhashPairs (LSH) at this scale, block/filter the corpus " +
+          "first, or raise maxCandidates explicitly.")
     val cand = probe.join(index, Seq("w"))
       .filter(col("id_a") =!= col("id_b") &&
         col("sz_b") >= minOverlap(col("sz_a")))
