@@ -115,4 +115,41 @@ object DataQuality {
 
     (rowVerdicts ++ keyedVerdicts).reduce(_.unionByName(_))
   }
+
+  /** Row-level reconciliation of two snapshots of the same table —
+    * the CDC-pipeline acceptance check ("did the replica converge?"):
+    * a FULL OUTER join on the key classifies every key as `only_a`,
+    * `only_b`, `mismatch` or `match`, and names the differing columns
+    * (sorted, comma-joined) so a drifted field is directly visible.
+    * Null-safe per-column equality (two nulls agree).
+    *
+    * Scale shape: one keyed full-outer join (AQE-broadcastable when a
+    * side collapses); the per-column comparison is row-local codegen.
+    * Pair with [[graft.queries]] `schema_drift` (structure) — this is
+    * the VALUE-level half of snapshot diffing.
+    */
+  def reconcile(
+      a: DataFrame,
+      b: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty,
+      "need key and compare columns")
+    val k = keyCols.map(col)
+    def side(df: DataFrame, p: String) =
+      df.select(k ++ compareCols.map(c => col(c).as(s"${p}$c")) :+
+        lit(1).as(s"${p}present"): _*)
+    val joined = side(a, "_a_").join(side(b, "_b_"), keyCols, "full_outer")
+    val diffs = compareCols.map(c =>
+      when(!(col(s"_a_$c") <=> col(s"_b_$c")), lit(c)))
+    val mismatchCols = concat_ws(",",
+      array_sort(filter(array(diffs: _*), x => x.isNotNull)))
+    joined.select(k ++ Seq(
+      when(col("_b_present").isNull, lit("only_a"))
+        .when(col("_a_present").isNull, lit("only_b"))
+        .when(mismatchCols =!= "", lit("mismatch"))
+        .otherwise(lit("match")).as("status"),
+      when(col("_a_present").isNotNull && col("_b_present").isNotNull,
+        mismatchCols).otherwise(lit("")).as("mismatch_cols")): _*)
+  }
 }

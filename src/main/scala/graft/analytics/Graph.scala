@@ -315,6 +315,88 @@ object Graph {
         col("_tri").getItem(2).as("node_c"))
   }
 
+  /** Local clustering coefficient per node (Watts & Strogatz 1998):
+    * cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) with T(v) = triangles
+    * through v — the per-node cohesion signal on co-occurrence
+    * graphs, complementing the global [[triangles]] enumeration.
+    *
+    * Exactness: T and deg are integers under any partitioning; the
+    * coefficient is one IEEE division. Nodes of degree < 2 report 0.
+    *
+    * Scale shape: the [[triangles]] wedge join (Σ outdeg² ≤ O(m^1.5))
+    * plus one explode + keyed count over its output and a degree
+    * join — no new quadratic surface.
+    */
+  def clusteringCoefficient(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("_u"),
+        greatest(col(srcCol), col(dstCol)).as("_v"))
+      .filter(col("_u") =!= col("_v") && col("_u").isNotNull)
+      .distinct()
+    val deg = e0.select(explode(array(col("_u"), col("_v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val triCnt = triangles(e0, "_u", "_v")
+      .select(explode(array(col("node_a"), col("node_b"), col("node_c")))
+        .as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(triCnt, Seq("node"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          (col("n_triangles") * 2).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)))
+      .select(col("node"), col("degree"), col("n_triangles"),
+        col("clustering"))
+  }
+
+  /** Degree assortativity (Newman, PRL 2002): the Pearson correlation
+    * of endpoint degrees over all directed edge instances (each
+    * undirected edge counted both ways). Positive on social-style
+    * graphs (hubs link hubs), negative on web/biology-style graphs —
+    * the one-number mixing diagnostic for a curated link corpus.
+    *
+    * Exactness: with both directions included, Σx = Σy and
+    * Σx² = Σy², so r = (M·Σxy − Σx·Σy) / (M·Σx² − (Σx)²) — NO square
+    * root. All sums are integers folded in decimal(38,0); the output
+    * doubles derive from the exact rationals in one fixed expression
+    * (the [[Stats.linearTrend]] discipline).
+    *
+    * Scale shape: one degree aggregation + two node-sized joins onto
+    * the edge list + one global 1-row aggregate. No self-join.
+    */
+  def assortativity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("_u"),
+        greatest(col(srcCol), col(dstCol)).as("_v"))
+      .filter(col("_u") =!= col("_v") && col("_u").isNotNull)
+      .distinct()
+    val both = e0.select(col("_u").as("_a"), col("_v").as("_b"))
+      .union(e0.select(col("_v").as("_a"), col("_u").as("_b")))
+    val deg = both.groupBy(col("_a").as("_n"))
+      .agg(count(lit(1)).as("_d"))
+    val xy = both
+      .join(deg.select(col("_n").as("_a"), col("_d").as("_x")), "_a")
+      .join(deg.select(col("_n").as("_b"), col("_d").as("_y")), "_b")
+      .select(col("_x").cast(d38).as("_x"), col("_y").cast(d38).as("_y"))
+    val s = xy.agg(count(lit(1)).cast(d38).as("_m"),
+      sum(col("_x")).as("_sx"),
+      sum(col("_x") * col("_y")).as("_sxy"),
+      sum(col("_x") * col("_x")).as("_sxx"))
+    val num = col("_m") * col("_sxy") - col("_sx") * col("_sx")
+    val den = col("_m") * col("_sxx") - col("_sx") * col("_sx")
+    s.select(col("_m").cast("long").as("m_directed_edges"),
+      when(den =!= 0,
+        num.cast("double") / den.cast("double")).as("assortativity"))
+  }
+
   /** k-core membership by bounded iterative peeling (Seidman 1983;
     * the MapReduce formulation of the degeneracy peel): repeatedly
     * drop nodes of undirected degree < k and the edges they carry,

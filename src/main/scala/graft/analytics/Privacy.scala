@@ -135,4 +135,60 @@ object Privacy {
       .withColumn("noise", noise)
       .withColumn("noisy_n", col("n").cast("double") + col("noise"))
   }
+
+  /** t-closeness audit per quasi-identifier group (Li, Li &
+    * Venkatasubramanian, ICDE 2007) for an ORDERED sensitive
+    * attribute: the Earth-Mover's Distance between each group's
+    * sensitive-value distribution and the global one, computed as
+    * Σ_i |cumP_i − cumQ_i| / (m − 1) over the m ordered categories —
+    * the stronger-than-l-diversity disclosure screen (a group can be
+    * diverse yet skewed toward one end of the value range).
+    *
+    * Exactness: cumulative counts are integers; each |cumP − cumQ|
+    * term clears denominators to |cum_g·N − cum_all·n_g| in
+    * decimal(38,0), and the EMD is ONE division of the exact sum by
+    * n_g·N·(m−1). Bit-stable under any partitioning.
+    *
+    * Scale shape: one (group × category) count + one global category
+    * count; the cumulative window runs over the group×category GRID
+    * (metadata-sized — groups × m rows, never the data), built by a
+    * broadcast cross of the two distinct sets so empty cells
+    * cumulate correctly.
+    */
+  def tCloseness(
+      df: DataFrame,
+      qiCols: Seq[String],
+      sensCol: String): DataFrame = {
+    require(qiCols.nonEmpty, "need quasi-identifier columns")
+    val d38 = "decimal(38,0)"
+    val g = qiCols.map(col)
+    val base = df.filter(col(sensCol).isNotNull)
+      .select(g :+ col(sensCol).as("_s"): _*)
+    val cell = base.groupBy(g :+ col("_s"): _*)
+      .agg(count(lit(1)).cast(d38).as("_c"))
+    val groups = cell.groupBy(g: _*).agg(sum(col("_c")).as("_ng"))
+    val cats = cell.groupBy(col("_s")).agg(sum(col("_c")).as("_cAll"))
+    val nTot = cats.agg(sum(col("_cAll")).as("_nTot"))
+    val m = cats.agg(count(lit(1)).as("_m"))
+    // full grid: every (group, category) — zero cells must cumulate
+    val grid = groups.crossJoin(broadcast(cats))
+      .join(cell, qiCols :+ "_s", "left")
+      .withColumn("_c", coalesce(col("_c"), lit(0).cast(d38)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("_s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = grid
+      .withColumn("_cumG", sum(col("_c")).over(w))
+      .withColumn("_cumAll", sum(col("_cAll")).over(w))
+    cum.crossJoin(broadcast(nTot))
+      .groupBy((g :+ col("_ng") :+ col("_nTot")): _*)
+      .agg(sum(abs(col("_cumG") * col("_nTot") -
+        col("_cumAll") * col("_ng"))).as("_num"))
+      .crossJoin(broadcast(m))
+      .select(g ++ Seq(col("_ng").cast("long").as("n"),
+        when(col("_m") > 1,
+          col("_num").cast("double") /
+            (col("_ng") * col("_nTot") * (col("_m") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("emd")): _*)
+  }
 }

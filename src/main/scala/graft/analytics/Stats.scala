@@ -1376,4 +1376,184 @@ object Stats {
         (col("_p") - col("_cohort")).as("offset"))
       .agg(count(lit(1)).as("active_entities"))
   }
+
+  /** Kendall's τ-b per group (Kendall 1938; tie-corrected form):
+    * concordant/discordant pair counts over all within-group pairs,
+    * τ_b = (C − D) / sqrt((n₀ − n₁)(n₀ − n₂)) with n₀ = n(n−1)/2 and
+    * n₁/n₂ the tie terms — the rank-correlation complement to
+    * [[spearman]] that is robust to monotone re-scaling AND reads
+    * directly as a probability difference.
+    *
+    * Exactness: C, D and the tie terms are pure integer counts
+    * (deterministic under any partitioning); τ derives from the exact
+    * longs with one correctly-rounded sqrt — the same
+    * integers-then-one-float discipline as [[mannWhitney]].
+    *
+    * Scale shape: the pair count is QUADRATIC per group by definition
+    * (τ has no sufficient-statistic decomposition with ties) — the
+    * documented bounded-group contract shared with the oracle-mode
+    * graph folds: sample groups to ~10⁴ rows (the gate row uses the
+    * [[spearman]] row's user-parity sample). The join is one keyed
+    * self-join on the group; everything after is a map-side-combined
+    * count.
+    */
+  def kendallTau(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      yCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*)
+      .orderBy(col(xCol), col(yCol))
+    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .withColumn("_i", row_number().over(w).cast("long"))
+      .select(g ++ Seq(col(xCol).as("_x"), col(yCol).as("_y"),
+        col("_i")): _*)
+    val pairs = rows.as("a").join(
+      rows.select(g ++ Seq(col("_x").as("_x2"), col("_y").as("_y2"),
+        col("_i").as("_i2")): _*).as("b"),
+      groupCols)
+      .filter(col("_i") < col("_i2"))
+    val cls = pairs.select(g ++ Seq(
+      when(col("_x") === col("_x2") && col("_y") === col("_y2"), "txy")
+        .when(col("_x") === col("_x2"), "tx")
+        .when(col("_y") === col("_y2"), "ty")
+        .when((col("_x") < col("_x2")) === (col("_y") < col("_y2")), "c")
+        .otherwise("d").as("_cls")): _*)
+    val agg = cls.groupBy(g: _*).agg(
+      sum(when(col("_cls") === "c", 1L).otherwise(0L)).cast(d38).as("_c"),
+      sum(when(col("_cls") === "d", 1L).otherwise(0L)).cast(d38).as("_d"),
+      sum(when(col("_cls") === "tx", 1L).otherwise(0L)).cast(d38).as("_tx"),
+      sum(when(col("_cls") === "ty", 1L).otherwise(0L)).cast(d38).as("_ty"),
+      sum(when(col("_cls") === "txy", 1L).otherwise(0L)).cast(d38).as("_txy"),
+      count(lit(1)).cast(d38).as("_np"))
+    // pairs tied on x (incl. both) / tied on y (incl. both)
+    val n1 = col("_tx") + col("_txy")
+    val n2 = col("_ty") + col("_txy")
+    val dx = col("_np") - n1
+    val dy = col("_np") - n2
+    agg.select(g ++ Seq(
+      col("_c").cast("long").as("concordant"),
+      col("_d").cast("long").as("discordant"),
+      n1.cast("long").as("ties_x"),
+      n2.cast("long").as("ties_y"),
+      when(dx > 0 && dy > 0,
+        (col("_c") - col("_d")).cast("long").cast("double") /
+          sqrt(dx.cast("long").cast("double") *
+            dy.cast("long").cast("double"))).as("kendall_tau")): _*)
+  }
+
+  /** One-way ANOVA F per grouping dimension (Fisher): between/within
+    * variance ratio across the category groups, from the exact
+    * per-category integer sums (value at cent precision). The classic
+    * "does the mean differ across segments" screen next to the
+    * rank-based [[mannWhitney]]/[[kruskalWallis]].
+    *
+    * Determinism: Σv and Σv² per category are exact decimals; the
+    * categories fold into SSB/SSW in CATEGORY ORDER (sorted fold, the
+    * deterministic-mode discipline) so the double accumulation replays
+    * bit for bit; F is a fixed expression over those doubles.
+    *
+    * Scale shape: one keyed aggregation to category sums (map-side
+    * combined), then a k-row sorted fold — the category table is
+    * metadata-sized.
+    */
+  def anovaF(
+      df: DataFrame,
+      catCol: String,
+      valueCol: String,
+      scale: Int = 2): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val v = (col(valueCol).cast(s"decimal(18,$scale)") *
+      lit(math.pow(10, scale).toLong)).cast(d38)
+    val cats = df.filter(col(valueCol).isNotNull && col(catCol).isNotNull)
+      .select(col(catCol).as("_g"), v.as("_v"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).cast(d38).as("_n"), sum(col("_v")).as("_s"),
+        sum(col("_v") * col("_v")).as("_ss"))
+    // sorted fold over the k category rows: group means enter the
+    // between-group sum in category order — bit-stable
+    val folded = cats.agg(
+      count(lit(1)).cast("long").as("k"),
+      sum(col("_n")).cast("long").as("_nTot"),
+      sum(col("_s")).as("_sTot"),
+      sum(col("_ss")).as("_ssTot"),
+      aggregate(
+        array_sort(collect_list(struct(col("_g").as("_k"),
+          (col("_s").cast("double") * col("_s").cast("double") /
+            col("_n").cast("double")).as("_c")))),
+        lit(0.0), (acc, x) => acc + x.getField("_c")).as("_sqMeans"))
+    val nD = col("_nTot").cast("double")
+    val grand = col("_sTot").cast("double")
+    val ssb = col("_sqMeans") - grand * grand / nD
+    val ssw = col("_ssTot").cast("double") - col("_sqMeans")
+    val dfb = (col("k") - 1).cast("double")
+    val dfw = (col("_nTot") - col("k")).cast("double")
+    folded.select(col("k"), col("_nTot").as("n"),
+      ssb.as("ss_between"), ssw.as("ss_within"),
+      when(col("k") > 1 && col("_nTot") > col("k") && ssw > 0,
+        (ssb / dfb) / (ssw / dfw)).as("f_stat"))
+  }
+
+  /** Kruskal–Wallis H per grouping dimension (Kruskal & Wallis 1952,
+    * tie-corrected): the k-sample generalization of [[mannWhitney]] —
+    * are the value distributions across categories stochastically
+    * equal? Doubled mid-ranks (2·rank + ties − 1) keep every rank sum
+    * an exact integer; H and its tie correction derive from the exact
+    * decimals in one fixed expression, with the per-category fold in
+    * category order (bit-stable).
+    *
+    * Scale shape: ranks come from DISTINCT-value cumulative counts
+    * (the [[mannWhitney]] 'below' trick) — the only window runs over
+    * the distinct-value table, not the rows, so no row-level global
+    * sort exists anywhere; plus one keyed aggregation and a k-row
+    * fold.
+    */
+  def kruskalWallis(
+      df: DataFrame,
+      catCol: String,
+      valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull && col(catCol).isNotNull)
+      .select(col(catCol).as("_g"), col(valueCol).as("_v"))
+    val cv = base.groupBy(col("_g"), col("_v"))
+      .agg(count(lit(1)).cast(d38).as("_cnt"))
+    val vs = cv.groupBy(col("_v")).agg(sum(col("_cnt")).as("_t"))
+    // distinct-value table: metadata-sized relative to the rows, so
+    // the single-partition cumulative window is bounded
+    val wv = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rankOf = vs.withColumn("_below",
+        coalesce(sum(col("_t")).over(wv), lit(0).cast(d38)))
+      // doubled midrank of every row holding value v:
+      // 2·min_rank + t − 1 = 2·below + t + 1 (exact integer)
+      .withColumn("_r2", lit(2) * col("_below") + col("_t") + 1)
+    val cats = cv.join(rankOf.select(col("_v"), col("_r2")), "_v")
+      .groupBy(col("_g"))
+      .agg(sum(col("_cnt")).as("_n"),
+        sum(col("_cnt") * col("_r2")).as("_rs"))
+    val ties = rankOf
+      .agg(coalesce(sum(col("_t") * col("_t") * col("_t") - col("_t")),
+        lit(0).cast(d38)).as("_tie"))
+    val folded = cats.agg(
+      count(lit(1)).cast("long").as("k"),
+      sum(col("_n")).cast("long").as("_nTot"),
+      aggregate(
+        array_sort(collect_list(struct(col("_g").as("_k"),
+          (col("_rs").cast("double") * col("_rs").cast("double") /
+            col("_n").cast("double")).as("_c")))),
+        lit(0.0), (acc, x) => acc + x.getField("_c")).as("_sqRank"))
+      .crossJoin(broadcast(ties))
+    val nD = col("_nTot").cast("double")
+    // H on doubled ranks: Σ(R2_g)²/n_g = 4·ΣR_g²/n_g, so
+    // H = 3/(N(N+1)) · Σ(R2)²/n − 3(N+1)
+    val h = lit(3.0) / (nD * (nD + 1.0)) * col("_sqRank") -
+      lit(3.0) * (nD + 1.0)
+    val corr = lit(1.0) -
+      col("_tie").cast("double") / (nD * nD * nD - nD)
+    folded.select(col("k"), col("_nTot").as("n"),
+      col("_tie").cast("long").as("tie_term"),
+      when(col("_nTot") > col("k") && corr > 0, h / corr).as("h_stat"))
+  }
 }

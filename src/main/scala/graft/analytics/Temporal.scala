@@ -934,4 +934,145 @@ object Temporal {
         col("_val").cast("double").as("credit"))
     attributed.unionByName(unattributed)
   }
+
+  /** Holt double exponential smoothing per group (Holt 1957): level
+    * and trend recursion l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1}),
+    * b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, zero-initial-trend
+    * variant (l₁ = y₁, b₁ = 0) — the one-step-ahead forecaster for
+    * per-segment daily series, complementing the seasonal-mean
+    * forecaster with a trend term.
+    *
+    * Determinism: the recursion is a SEQUENTIAL fold in x order over
+    * the group's (x, y) pairs — bit-stable under any partitioning
+    * (the [[graft.analytics.Graph.pageRank]] deterministic-fold
+    * discipline), and replayable term for term by an independent
+    * engine's ordered list fold.
+    *
+    * Scale shape: one aggregation collects each group's series into
+    * a single buffer — the bounded-group contract (a daily series is
+    * a few thousand points; this is per-GROUP state, not per-corpus).
+    */
+  def holt(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      valueCol: String,
+      alpha: Double,
+      beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha")
+    require(beta >= 0 && beta <= 1, s"beta=$beta")
+    val g = groupCols.map(col)
+    val series = df
+      .filter(col(xCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_points"),
+        array_sort(collect_list(struct(col(xCol).as("_x"),
+          col(valueCol).cast("double").as("_y")))).as("_s"))
+    // fold accumulator = [level, trend]; the trend line recomputes
+    // the new level expression — identical ops in identical order on
+    // both engines, so the duplication is bit-safe
+    val a = lit(alpha); val b = lit(beta)
+    def newLevel(acc: Column, y: Column): Column =
+      a * y + (lit(1.0) - a) * (element_at(acc, 1) + element_at(acc, 2))
+    val state = aggregate(
+      slice(col("_s"), lit(2), greatest(size(col("_s")) - 1, lit(0))),
+      array(element_at(col("_s"), 1).getField("_y"), lit(0.0)),
+      (acc, x) => {
+        val y = x.getField("_y")
+        array(newLevel(acc, y),
+          b * (newLevel(acc, y) - element_at(acc, 1)) +
+            (lit(1.0) - b) * element_at(acc, 2))
+      })
+    series.filter(col("n_points") >= 1)
+      .withColumn("_st", state)
+      .select(g ++ Seq(col("n_points"),
+        element_at(col("_st"), 1).as("level"),
+        element_at(col("_st"), 2).as("trend"),
+        (element_at(col("_st"), 1) + element_at(col("_st"), 2))
+          .as("forecast")): _*)
+  }
+
+  /** Lagged cross-correlation between two aligned series (the
+    * lead/lag dependence screen: does series A at day d predict
+    * series B at day d+lag?). Pearson r per lag in [−maxLag, maxLag]
+    * over the inner-joined (x, x+lag) pairs.
+    *
+    * Exactness: both series are integer-valued aggregates (counts or
+    * cent-scaled sums); all five sufficient statistics fold exactly
+    * in decimal(38,0) and r derives from them in one fixed double
+    * expression (sqrt is IEEE-correctly-rounded on both engines —
+    * the [[graft.analytics.Stats.spearman]] discipline).
+    *
+    * Scale shape: per lag one equi-join of the two (day-grained,
+    * metadata-sized) series tables — the lag set is a constant;
+    * everything map-side combines.
+    */
+  def crossCorrelation(
+      a: DataFrame,
+      b: DataFrame,
+      xCol: String,
+      valueCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 64, s"maxLag=$maxLag")
+    val d38 = "decimal(38,0)"
+    val lags = (-maxLag to maxLag).map(l => lit(l.toLong)).toSeq
+    val aa = a.select(col(xCol).cast("long").as("_x"),
+      col(valueCol).cast(d38).as("_va"))
+    val bb = b.select(col(xCol).cast("long").as("_xb"),
+      col(valueCol).cast(d38).as("_vb"))
+    val lagged = aa.withColumn("lag", explode(array(lags: _*)))
+      .join(bb, col("_xb") === col("_x") + col("lag"))
+    val s = lagged.groupBy(col("lag"))
+      .agg(count(lit(1)).cast(d38).as("_n"),
+        sum(col("_va")).as("_sa"), sum(col("_vb")).as("_sb"),
+        sum(col("_va") * col("_vb")).as("_sab"),
+        sum(col("_va") * col("_va")).as("_saa"),
+        sum(col("_vb") * col("_vb")).as("_sbb"))
+    val num = col("_n") * col("_sab") - col("_sa") * col("_sb")
+    val da = col("_n") * col("_saa") - col("_sa") * col("_sa")
+    val dbb = col("_n") * col("_sbb") - col("_sb") * col("_sb")
+    s.select(col("lag"), col("_n").cast("long").as("n_days"),
+      when(da > 0 && dbb > 0,
+        num.cast("double") /
+          sqrt(da.cast("double") * dbb.cast("double"))).as("xcorr"))
+  }
+
+  /** Per-period OHLC bars (open/high/low/close) per group: open and
+    * close pick the first/last value by (time, id) — the id
+    * tie-break makes the bar DETERMINISTIC under any partitioning
+    * even when two events share a timestamp. The standard
+    * market-style downsample for dashboard pipelines.
+    *
+    * Scale shape: one keyed aggregation (min/max/min_by/max_by all
+    * map-side combine on the struct ordering); no window, no sort.
+    */
+  def ohlc(
+      df: DataFrame,
+      groupCols: Seq[String],
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      periodSeconds: Long): DataFrame = {
+    require(periodSeconds >= 1, s"periodSeconds=$periodSeconds")
+    val g = groupCols.map(col)
+    val ts = col(tsCol).cast("long")
+    val p = ((ts - pmod(ts, lit(periodSeconds))) / lit(periodSeconds))
+      .cast("long")
+    val v = col(valueCol).cast("decimal(18,2)")
+    df.filter(col(valueCol).isNotNull)
+      .select(g ++ Seq(p.as("period"), ts.as("_t"),
+        col(idCol).as("_id"), v.as("_v")): _*)
+      .groupBy(g :+ col("period"): _*)
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("_t"), col("_id"), col("_v"))).as("_first"),
+        max(struct(col("_t"), col("_id"), col("_v"))).as("_last"),
+        max(col("_v")).as("high"), min(col("_v")).as("low"))
+      .select(g ++ Seq(col("period"), col("n_events"),
+        // decimal(18,2)→double is exact at these magnitudes; double
+        // output matches the oracle bridge (DECIMAL renders as float)
+        col("_first._v").cast("double").as("open"),
+        col("high").cast("double").as("high"),
+        col("low").cast("double").as("low"),
+        col("_last._v").cast("double").as("close")): _*)
+  }
 }

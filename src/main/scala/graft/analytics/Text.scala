@@ -822,4 +822,45 @@ object Text {
           struct(col("n_other").as("_c"), lit("other").as("_l")))
           .getField("_l"))
   }
+
+  /** The signed hashing trick (Weinberger et al., ICML 2009):
+    * fixed-dimension sparse bag-of-words features with no vocabulary
+    * pass — bucket = fnv1a(token) & (dim−1), sign = ±1 from the
+    * splitmix64 remix's top bit (the unbiased-inner-product variant:
+    * hash-collision contributions cancel in expectation). One row per
+    * NON-ZERO (doc, bucket) with the signed count — the
+    * train-anywhere featurizer whose dimension is a constant, not a
+    * corpus property.
+    *
+    * Exactness: buckets, signs and counts are pure integer hashing —
+    * bit-stable under any partitioning and replayable by the oracle's
+    * fnv1a + splitmix64 HUGEINT chain.
+    *
+    * Scale shape: one tokenize pass + one (doc, bucket) keyed count
+    * (map-side combined) — never a vocabulary table, never a join;
+    * the output is bounded by docs × dim but in practice docs × their
+    * distinct-token count.
+    */
+  def hashingTrick(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 1024): DataFrame = {
+    require(dim > 0 && (dim & (dim - 1)) == 0,
+      "dim must be a power of two (signed AND == unsigned mod)")
+    val mask = lit((dim - 1).toLong)
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(wsTokens(lower(trim(col(textCol))))).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("_h", fnv1a_hash(col("tok")))
+    toks
+      .select(col("doc_id"), col("_h").bitwiseAND(mask).as("bucket"),
+        // splitmix remix: sign bit independent of the bucket bits
+        when(splitmix64_hash(col("_h")) >= 0, lit(1L))
+          .otherwise(lit(-1L)).as("_sgn"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("_sgn")).as("feature"),
+        count(lit(1)).as("n_tokens"))
+      .filter(col("feature") =!= 0L)
+  }
 }

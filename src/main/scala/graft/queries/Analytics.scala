@@ -260,6 +260,13 @@ object Analytics {
     "text_tokens" -> ((s, dir) =>
       Text.tokenCounts(t(s, dir, "documents"), "doc_id", "text")),
 
+    // signed hashing-trick features (dim 256): fnv1a bucket, splitmix
+    // sign bit — vocabulary-free fixed-width featurization; the
+    // oracle replays both hash chains in HUGEINT.
+    "text_hashing" -> ((s, dir) =>
+      Text.hashingTrick(t(s, dir, "documents"), "doc_id", "text",
+        dim = 256)),
+
     "text_quality" -> ((s, dir) =>
       Text.qualityScore(t(s, dir, "documents"), "doc_id", "text")),
 
@@ -888,6 +895,36 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "text_bm25" -> bm25OracleSql,
+    // fnv1a bucket (low 8 bits) + splitmix64 sign bit per distinct
+    // token, signed count per (doc, bucket) — both hash chains
+    // replayed in HUGEINT mod 2^64
+    "text_hashing" ->
+      s"""WITH tok AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+           FROM documents),
+         tf AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+         c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+         whs AS (SELECT w, ${fnvFoldSql("w")} AS uh
+           FROM (SELECT DISTINCT w FROM tf)),
+         m0 AS (SELECT w, uh, (uh + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
+           FROM whs CROSS JOIN c),
+         ma AS (SELECT w, uh, xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
+         m1 AS (SELECT w, uh, (x2 % 4294967296 * 484763065 +
+              ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+              * 4294967296) % m64 AS x3, m64 FROM ma),
+         mb AS (SELECT w, uh, xor(x3, x3 // 134217728) AS x4, m64 FROM m1),
+         m2 AS (SELECT w, uh, (x4 % 4294967296 * 321982955 +
+              ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+              * 4294967296) % m64 AS x5, m64 FROM mb),
+         m3 AS (SELECT w, uh % 256 AS bucket,
+              CASE WHEN xor(x5, x5 // 2147483648) <
+                CAST(9223372036854775808 AS HUGEINT)
+                THEN 1 ELSE -1 END AS sgn FROM m2)
+         SELECT t.doc_id, CAST(m.bucket AS BIGINT) AS bucket,
+           CAST(sum(m.sgn) AS BIGINT) AS feature,
+           CAST(count(*) AS BIGINT) AS n_tokens
+         FROM tf t JOIN m3 m USING (w)
+         GROUP BY 1, 2 HAVING sum(m.sgn) <> 0""",
     // fnv1a token hash -> splitmix (no seed) low-bits boundary cut,
     // prefix-sum chunk ids, chunk-content fnv, digest-grouped sharing
     "dedup_cdc_chunks" ->

@@ -500,6 +500,127 @@ object Temporal {
         Seq("event_type"), "ts_s", "value")
     }),
 
+    // ===== round-10 rows =====
+
+    // Kendall τ-b on the same user-parity sample as spearman: pure
+    // integer concordant/discordant/tie counts, one sqrt at the end.
+    "stats_kendall" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Stats.kendallTau(
+        ev.filter(col("user_id") % 64 === 0)
+          .select(col("event_type"), tsEpochSeconds(ev).as("ts_s"),
+            col("value")),
+        Seq("event_type"), "ts_s", "value")
+    }),
+
+    // One-way ANOVA F across event types on cent-exact values; the
+    // between-group fold runs in category order so the doubles replay.
+    "stats_anova" -> ((s, dir) =>
+      Stats.anovaF(t(s, dir, "events"), "event_type", "value")),
+
+    // Kruskal–Wallis H across event types: doubled midranks from
+    // distinct-value cumulative counts (no row-level global sort),
+    // tie-corrected, category-order fold.
+    "stats_kruskal" -> ((s, dir) =>
+      Stats.kruskalWallis(t(s, dir, "events"), "event_type", "value")),
+
+    // Local clustering coefficient over the frequent-pair graph (the
+    // graph_triangles edge set): integer triangle/degree counts per
+    // node, one division.
+    "graph_clustering" -> ((s, dir) =>
+      Graph.clusteringCoefficient(
+        Baskets.frequentPairs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2L),
+        "item_a", "item_b")),
+
+    // Degree assortativity of the customer→supplier interaction graph
+    // (the pagerank/hits edge set): exact decimal sufficient
+    // statistics, sqrt-free by symmetry.
+    "graph_assort" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (lit(1000000L) + col("l_suppkey")).as("dst"))
+      Graph.assortativity(edges, "src", "dst")
+    }),
+
+    // Holt double exponential smoothing of per-type daily revenue:
+    // sequential fold in day order (bit-stable), zero-initial-trend
+    // variant, one-step forecast.
+    "ts_holt" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev
+        .select(col("event_type"), tsEpochSeconds(ev).as("_secs"),
+          col("value"))
+        .select(col("event_type"), expr("_secs div 86400").as("day"),
+          col("value"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("value").cast(d2)).cast(d2).cast("double").as("rev"))
+      TOps.holt(daily, Seq("event_type"), "day", "rev",
+        alpha = 0.5, beta = 0.25)
+    }),
+
+    // Lagged cross-correlation between daily click and purchase
+    // counts (lags −3..3): integer sufficient statistics, one
+    // correctly-rounded sqrt.
+    "ts_crosscorr" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def daily(tpe: String) = ev.filter(col("event_type") === tpe)
+        .select(tsEpochSeconds(ev).as("_secs"))
+        .select(expr("_secs div 86400").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n"))
+      TOps.crossCorrelation(daily("click"), daily("purchase"),
+        "day", "n", maxLag = 3)
+    }),
+
+    // Daily OHLC bars per event type: open/close by (ts, event_id)
+    // order — deterministic under timestamp ties; decimal(18,2)
+    // exact high/low.
+    "ts_ohlc" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      TOps.ohlc(ev.withColumn("ts_s", tsEpochSeconds(ev)),
+        Seq("event_type"), "ts_s", "event_id", "value",
+        periodSeconds = 86400L)
+    }),
+
+    // t-closeness audit: market segment groups vs the global
+    // account-balance distribution over 6 ordered buckets — EMD by
+    // cross-multiplied integer cumulative counts, one division.
+    "privacy_tclose" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val cents = (col("c_acctbal").cast(d2) * 100).cast("long")
+      // +100000 keeps the dividend non-negative so truncation ==
+      // floor on BOTH engines; subtract-pmod makes the numerator
+      // divisible, so the double division is exact (cohortRetention's
+      // trick)
+      val shifted = cents + 100000L
+      val bucket =
+        ((shifted - pmod(shifted, lit(200000L))) / 200000L).cast("long")
+      graft.analytics.Privacy.tCloseness(
+        c.select(col("c_mktsegment"), bucket.as("bal_bucket")),
+        Seq("c_mktsegment"), "bal_bucket")
+    }),
+
+    // Row-level snapshot reconciliation: orders vs a perturbed copy
+    // (price bumped on 1/97 of keys, 1/101 of keys dropped, status
+    // flipped on 1/89) — the CDC convergence check.
+    "dq_reconcile" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast(d2).as("o_totalprice"),
+          col("o_orderstatus"))
+      val b = o.filter(col("o_orderkey") % 101 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderkey") % 97 === 0,
+            (col("o_totalprice") + lit(1).cast(d2)).cast(d2))
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          when(col("o_orderkey") % 89 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"))
+      graft.analytics.DataQuality.reconcile(o, b, Seq("o_orderkey"),
+        Seq("o_custkey", "o_totalprice", "o_orderstatus"))
+    }),
+
     // Weekly cohort retention triangle over user activity: cohort =
     // first active week, cell counts actives at each offset — exact
     // integers end to end.
@@ -1866,6 +1987,286 @@ object Temporal {
          FROM est"""
 
   val oracles: Map[String, String] = Map(
+    // ===== round-10 oracles =====
+    // pair-class counting over the same user-parity sample: the pair
+    // MULTISET is numbering-invariant, so DuckDB's own row_number is a
+    // valid dedupe; integer class counts, one correctly-rounded sqrt
+    "stats_kendall" ->
+      """WITH base AS (SELECT event_type AS g,
+              epoch_ns(ts) // 1000000000 AS x, value AS y
+            FROM events WHERE user_id % 64 = 0 AND value IS NOT NULL),
+         rn AS (SELECT g, x, y,
+              row_number() OVER (PARTITION BY g ORDER BY x, y) AS i
+            FROM base),
+         p AS (SELECT a.g,
+              CASE WHEN a.x = b.x AND a.y = b.y THEN 'txy'
+                   WHEN a.x = b.x THEN 'tx'
+                   WHEN a.y = b.y THEN 'ty'
+                   WHEN (a.x < b.x) = (a.y < b.y) THEN 'c'
+                   ELSE 'd' END AS cls
+            FROM rn a JOIN rn b ON a.g = b.g AND a.i < b.i),
+         agg AS (SELECT g,
+              CAST(sum(CASE WHEN cls = 'c' THEN 1 ELSE 0 END) AS HUGEINT) AS c,
+              CAST(sum(CASE WHEN cls = 'd' THEN 1 ELSE 0 END) AS HUGEINT) AS d,
+              CAST(sum(CASE WHEN cls = 'tx' THEN 1 ELSE 0 END) AS HUGEINT) AS tx,
+              CAST(sum(CASE WHEN cls = 'ty' THEN 1 ELSE 0 END) AS HUGEINT) AS ty,
+              CAST(sum(CASE WHEN cls = 'txy' THEN 1 ELSE 0 END) AS HUGEINT) AS txy,
+              CAST(count(*) AS HUGEINT) AS np
+            FROM p GROUP BY g)
+         SELECT g AS event_type,
+           CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant,
+           CAST(tx + txy AS BIGINT) AS ties_x,
+           CAST(ty + txy AS BIGINT) AS ties_y,
+           CASE WHEN np - tx - txy > 0 AND np - ty - txy > 0 THEN
+             CAST(CAST(c - d AS BIGINT) AS DOUBLE) /
+             sqrt(CAST(CAST(np - tx - txy AS BIGINT) AS DOUBLE) *
+                  CAST(CAST(np - ty - txy AS BIGINT) AS DOUBLE)) END
+             AS kendall_tau
+         FROM agg""",
+    // cent-exact HUGEINT sufficient statistics; the between-group sum
+    // folds in category order exactly as the operator's sorted fold
+    "stats_anova" ->
+      """WITH b AS (SELECT event_type AS g,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS v
+            FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         cats AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+              sum(v) AS s, sum(v * v) AS ss FROM b GROUP BY g),
+         f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+              CAST(sum(n) AS BIGINT) AS ntot,
+              CAST(sum(s) AS DOUBLE) AS grand,
+              CAST(sum(ss) AS DOUBLE) AS sstot,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+                     CAST(n AS DOUBLE) ORDER BY g)),
+                (a, b) -> a + b) AS sqmeans
+            FROM cats)
+         SELECT k, ntot AS n,
+           sqmeans - grand * grand / CAST(ntot AS DOUBLE) AS ss_between,
+           sstot - sqmeans AS ss_within,
+           CASE WHEN k > 1 AND ntot > k AND sstot - sqmeans > 0 THEN
+             ((sqmeans - grand * grand / CAST(ntot AS DOUBLE)) /
+              CAST(k - 1 AS DOUBLE)) /
+             ((sstot - sqmeans) / CAST(ntot - k AS DOUBLE)) END AS f_stat
+         FROM f""",
+    // doubled midranks from distinct-value cumulative counts (the
+    // operator's windowless rank), tie-corrected H, category fold
+    "stats_kruskal" ->
+      """WITH b AS (SELECT event_type AS g, value AS v FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         cv AS (SELECT g, v, CAST(count(*) AS HUGEINT) AS cnt
+            FROM b GROUP BY 1, 2),
+         vs AS (SELECT v, sum(cnt) AS t FROM cv GROUP BY v),
+         rk AS (SELECT v, t,
+              coalesce(sum(t) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                CAST(0 AS HUGEINT)) AS below
+            FROM vs),
+         r2 AS (SELECT v, 2 * below + t + 1 AS r2 FROM rk),
+         cats AS (SELECT g, sum(cnt) AS n, sum(cnt * r2.r2) AS rs
+            FROM cv JOIN r2 USING (v) GROUP BY g),
+         ties AS (SELECT coalesce(sum(t * t * t - t),
+              CAST(0 AS HUGEINT)) AS tie FROM vs),
+         f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+              CAST(sum(n) AS BIGINT) AS ntot,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE) /
+                     CAST(n AS DOUBLE) ORDER BY g)),
+                (a, b) -> a + b) AS sqrank
+            FROM cats)
+         SELECT k, ntot AS n, CAST(tie AS BIGINT) AS tie_term,
+           CASE WHEN ntot > k AND
+             CAST(1.0 AS DOUBLE) - CAST(tie AS DOUBLE) /
+               (CAST(ntot AS DOUBLE) * CAST(ntot AS DOUBLE) *
+                CAST(ntot AS DOUBLE) - CAST(ntot AS DOUBLE)) > 0 THEN
+             (CAST(3.0 AS DOUBLE) / (CAST(ntot AS DOUBLE) *
+                (CAST(ntot AS DOUBLE) + CAST(1.0 AS DOUBLE))) * sqrank -
+              CAST(3.0 AS DOUBLE) *
+                (CAST(ntot AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+             (CAST(1.0 AS DOUBLE) - CAST(tie AS DOUBLE) /
+               (CAST(ntot AS DOUBLE) * CAST(ntot AS DOUBLE) *
+                CAST(ntot AS DOUBLE) - CAST(ntot AS DOUBLE))) END AS h_stat
+         FROM f CROSS JOIN ties""",
+    // triangles via the independent id-ordered 3-way self-join (the
+    // graph_triangles oracle), exploded per vertex + degree join
+    "graph_clustering" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+              FROM lineitem),
+         s AS (SELECT i FROM items GROUP BY i HAVING count(*) >= 2),
+         p AS (SELECT items.b, items.i FROM items JOIN s USING (i)),
+         e AS (SELECT a.i AS u, bb.i AS v
+               FROM p a JOIN p bb ON a.b = bb.b AND a.i < bb.i
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+              (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+              GROUP BY 1),
+         tris AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+              JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+         tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM
+              (SELECT a AS node FROM tris UNION ALL
+               SELECT b FROM tris UNION ALL SELECT c FROM tris)
+              GROUP BY 1)
+         SELECT d.node, d.degree,
+           coalesce(t.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.degree >= 2 THEN
+             CAST(coalesce(t.n_triangles, 0) * 2 AS DOUBLE) /
+             CAST(d.degree * (d.degree - 1) AS DOUBLE)
+           ELSE CAST(0.0 AS DOUBLE) END AS clustering
+         FROM deg d LEFT JOIN tc t USING (node)""",
+    // sqrt-free by symmetry: both directions included so Σx = Σy and
+    // the denominator is a plain rational; HUGEINT exact sums
+    "graph_assort" ->
+      """WITH edges AS (SELECT DISTINCT o.o_custkey AS src,
+              1000000 + l.l_suppkey AS dst
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         bidir AS (SELECT src AS a, dst AS b FROM edges
+                   UNION ALL SELECT dst, src FROM edges),
+         deg AS (SELECT a AS n, CAST(count(*) AS HUGEINT) AS d
+                 FROM bidir GROUP BY 1),
+         xy AS (SELECT da.d AS x, db.d AS y
+                FROM bidir j JOIN deg da ON da.n = j.a
+                JOIN deg db ON db.n = j.b),
+         st AS (SELECT CAST(count(*) AS HUGEINT) AS m,
+                sum(x) AS sx, sum(x * y) AS sxy, sum(x * x) AS sxx
+                FROM xy)
+         SELECT CAST(m AS BIGINT) AS m_directed_edges,
+           CASE WHEN m * sxx - sx * sx <> 0 THEN
+             CAST(m * sxy - sx * sx AS DOUBLE) /
+             CAST(m * sxx - sx * sx AS DOUBLE) END AS assortativity
+         FROM st""",
+    // the level/trend recursion as an ordered list fold with a
+    // [level, trend] accumulator — term-for-term the operator's
+    // sequential fold, duplicated new-level expression included
+    "ts_holt" ->
+      """WITH daily AS (SELECT event_type AS g,
+              epoch_ns(ts) // 1000000000 // 86400 AS day,
+              CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS rev
+            FROM events GROUP BY 1, 2),
+         ser AS (SELECT g, CAST(count(*) AS BIGINT) AS n_points,
+              list([rev, CAST(0.0 AS DOUBLE)] ORDER BY day) AS ys
+            FROM daily GROUP BY g),
+         folded AS (SELECT g, n_points,
+              list_reduce(
+                list_prepend([ys[1][1], CAST(0.0 AS DOUBLE)], ys[2:]),
+                (acc, x) ->
+                  [CAST(0.5 AS DOUBLE) * x[1] +
+                     (CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE)) *
+                       (acc[1] + acc[2]),
+                   CAST(0.25 AS DOUBLE) *
+                     ((CAST(0.5 AS DOUBLE) * x[1] +
+                       (CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE)) *
+                         (acc[1] + acc[2])) - acc[1]) +
+                   (CAST(1.0 AS DOUBLE) - CAST(0.25 AS DOUBLE)) * acc[2]])
+                AS st
+            FROM ser)
+         SELECT g AS event_type, n_points, st[1] AS level, st[2] AS trend,
+           st[1] + st[2] AS forecast
+         FROM folded""",
+    // integer daily counts, HUGEINT sufficient statistics per lag,
+    // one correctly-rounded sqrt
+    "ts_crosscorr" ->
+      """WITH a AS (SELECT epoch_ns(ts) // 1000000000 // 86400 AS day,
+              CAST(count(*) AS HUGEINT) AS va
+            FROM events WHERE event_type = 'click' GROUP BY 1),
+         b AS (SELECT epoch_ns(ts) // 1000000000 // 86400 AS day,
+              CAST(count(*) AS HUGEINT) AS vb
+            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         lags AS (SELECT unnest(range(-3, 4)) AS lag),
+         j AS (SELECT l.lag, a.va, b.vb
+               FROM a CROSS JOIN lags l
+               JOIN b ON b.day = a.day + l.lag),
+         st AS (SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+              sum(va) AS sa, sum(vb) AS sb, sum(va * vb) AS sab,
+              sum(va * va) AS saa, sum(vb * vb) AS sbb
+            FROM j GROUP BY lag)
+         SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
+             CAST(n * sab - sa * sb AS DOUBLE) /
+             sqrt(CAST(n * saa - sa * sa AS DOUBLE) *
+                  CAST(n * sbb - sb * sb AS DOUBLE)) END AS xcorr
+         FROM st""",
+    // open/close by (ts, event_id) row_number — the same total order
+    // as the operator's struct min/max; decimal-exact high/low
+    "ts_ohlc" ->
+      """WITH e AS (SELECT event_type,
+              epoch_ns(ts) // 1000000000 AS t, event_id AS id,
+              CAST(value AS DECIMAL(18,2)) AS v
+            FROM events WHERE value IS NOT NULL),
+         p AS (SELECT event_type, t // 86400 AS period, t, id, v FROM e),
+         r AS (SELECT *,
+              row_number() OVER (PARTITION BY event_type, period
+                ORDER BY t, id) AS rf,
+              row_number() OVER (PARTITION BY event_type, period
+                ORDER BY t DESC, id DESC) AS rl
+            FROM p)
+         SELECT event_type, CAST(period AS BIGINT) AS period,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(CASE WHEN rf = 1 THEN v END) AS DOUBLE) AS open,
+           CAST(max(v) AS DOUBLE) AS high, CAST(min(v) AS DOUBLE) AS low,
+           CAST(max(CASE WHEN rl = 1 THEN v END) AS DOUBLE) AS close
+         FROM r GROUP BY 1, 2""",
+    // EMD by cross-multiplied integer cumulative counts over the full
+    // (segment x bucket) grid, one division
+    "privacy_tclose" ->
+      """WITH c0 AS (SELECT c_mktsegment AS seg,
+              (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                + 100000) // 200000 AS bkt
+            FROM customer),
+         cell AS (SELECT seg, bkt, CAST(count(*) AS HUGEINT) AS c
+            FROM c0 GROUP BY 1, 2),
+         grp AS (SELECT seg, sum(c) AS ng FROM cell GROUP BY 1),
+         cat AS (SELECT bkt, sum(c) AS call FROM cell GROUP BY 1),
+         tot AS (SELECT sum(call) AS nt FROM cat),
+         mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM cat),
+         grid AS (SELECT g.seg, g.ng, k.bkt, k.call,
+              coalesce(cl.c, CAST(0 AS HUGEINT)) AS c
+            FROM grp g CROSS JOIN cat k
+            LEFT JOIN cell cl ON cl.seg = g.seg AND cl.bkt = k.bkt),
+         cum AS (SELECT seg, ng,
+              sum(c) OVER (PARTITION BY seg ORDER BY bkt
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumg,
+              sum(call) OVER (PARTITION BY seg ORDER BY bkt
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumall
+            FROM grid),
+         agg AS (SELECT seg, ng,
+              sum(abs(cumg * t.nt - cumall * ng)) AS num, max(t.nt) AS nt
+            FROM cum CROSS JOIN tot t GROUP BY 1, 2)
+         SELECT seg AS c_mktsegment, CAST(ng AS BIGINT) AS n,
+           CASE WHEN m.m > 1 THEN
+             CAST(num AS DOUBLE) / CAST(ng * nt * (m.m - 1) AS DOUBLE)
+           ELSE CAST(0.0 AS DOUBLE) END AS emd
+         FROM agg CROSS JOIN mm m""",
+    // full-outer key classification with null-safe column compares;
+    // mismatch columns named in sorted order
+    "dq_reconcile" ->
+      """WITH a AS (SELECT o_orderkey, o_custkey,
+              CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+              o_orderstatus AS st FROM orders),
+         b AS (SELECT o_orderkey, o_custkey,
+              CASE WHEN o_orderkey % 97 = 0
+                THEN CAST(p + CAST(1 AS DECIMAL(18,2)) AS DECIMAL(18,2))
+                ELSE p END AS p,
+              CASE WHEN o_orderkey % 89 = 0 THEN 'X' ELSE st END AS st
+            FROM a WHERE o_orderkey % 101 <> 0),
+         j AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+              a.o_orderkey IS NOT NULL AS ina,
+              b.o_orderkey IS NOT NULL AS inb,
+              a.o_custkey IS NOT DISTINCT FROM b.o_custkey AS eqc,
+              a.p IS NOT DISTINCT FROM b.p AS eqp,
+              a.st IS NOT DISTINCT FROM b.st AS eqs
+            FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+         SELECT o_orderkey,
+           CASE WHEN NOT inb THEN 'only_a'
+                WHEN NOT ina THEN 'only_b'
+                WHEN NOT (eqc AND eqp AND eqs) THEN 'mismatch'
+                ELSE 'match' END AS status,
+           CASE WHEN ina AND inb THEN concat_ws(',',
+               CASE WHEN NOT eqc THEN 'o_custkey' END,
+               CASE WHEN NOT eqs THEN 'o_orderstatus' END,
+               CASE WHEN NOT eqp THEN 'o_totalprice' END)
+           ELSE '' END AS mismatch_cols
+         FROM j""",
     "graph_pagerank" -> pageRankOracle(5, 0.85),
     "graph_hits" -> hitsOracle(3),
     "graph_kcore" -> kCoreOracle(3, 8),
