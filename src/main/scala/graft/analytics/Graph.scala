@@ -397,6 +397,38 @@ object Graph {
         num.cast("double") / den.cast("double")).as("assortativity"))
   }
 
+  /** Reciprocity of a DIRECTED graph (Wasserman & Faust 1994):
+    * the fraction of directed edges whose reverse edge also exists —
+    * the mutual-interaction diagnostic for event-transition and
+    * mention graphs (near 0 = broadcast-shaped, near 1 = dialog-
+    * shaped). Self-loops are excluded.
+    *
+    * Exactness: pure integer edge counts under any partitioning;
+    * the ratio is one IEEE division.
+    *
+    * Scale shape: one distinct + one self-equi-join on the reversed
+    * key (left-semi, AQE-broadcastable) + a 1-row aggregate.
+    */
+  def reciprocity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("_s"), col(dstCol).as("_t"))
+      .filter(col("_s").isNotNull && col("_t").isNotNull &&
+        col("_s") =!= col("_t"))
+      .distinct()
+    val mutual = e.join(
+      e.select(col("_t").as("_s"), col("_s").as("_t")),
+      Seq("_s", "_t"), "left_semi")
+    val m = e.agg(count(lit(1)).as("m_edges"))
+    val r = mutual.agg(count(lit(1)).as("n_reciprocal"))
+    m.crossJoin(broadcast(r))
+      .select(col("m_edges"), col("n_reciprocal"),
+        when(col("m_edges") > 0,
+          col("n_reciprocal").cast("double") /
+            col("m_edges").cast("double")).as("reciprocity"))
+  }
+
   /** k-core membership by bounded iterative peeling (Seidman 1983;
     * the MapReduce formulation of the degeneracy peel): repeatedly
     * drop nodes of undirected degree < k and the edges they carry,

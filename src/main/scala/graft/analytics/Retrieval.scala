@@ -331,4 +331,46 @@ object Retrieval {
       .select(col("query_id"), col("fused_rank"), col("doc_id"),
         col("rrf_score"), col("n_systems"))
   }
+
+  /** Ranked-retrieval evaluation against a relevance set: per query,
+    * precision@k and the reciprocal rank of the first relevant hit —
+    * the offline quality loop for the [[bm25]]/[[rrfFuse]] output
+    * (nDCG is deliberately omitted: its log2 discount is the one
+    * piece that isn't an exact rational).
+    *
+    * Exactness: hit counts and first-relevant ranks are integers;
+    * P@k and RR are one division each. Queries with no relevant hit
+    * in the top k report rr = 0 (the standard MRR convention).
+    *
+    * Scale shape: one equi-join of the (query, doc) ranking against
+    * the qrels (both metadata-sized relative to the corpus) + one
+    * keyed aggregate; a left join keeps queries with zero hits.
+    */
+  def rankEval(
+      ranked: DataFrame,
+      qrels: DataFrame,
+      queryCol: String,
+      rankCol: String,
+      docCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val r = ranked.select(col(queryCol).as("query_id"),
+      col(rankCol).cast("long").as("_rk"), col(docCol).as("_doc"))
+      .filter(col("_rk") <= k)
+    val q = qrels.select(col(queryCol).as("query_id"),
+      col(docCol).as("_doc")).distinct()
+      .withColumn("_rel", lit(1L))
+    r.join(q, Seq("query_id", "_doc"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_ranked"),
+        sum(when(col("_rel").isNotNull, 1L).otherwise(0L))
+          .as("n_relevant"),
+        min(when(col("_rel").isNotNull, col("_rk"))).as("first_rel_rank"))
+      .withColumn("precision_at_k",
+        col("n_relevant").cast("double") / lit(k.toDouble))
+      .withColumn("reciprocal_rank",
+        when(col("first_rel_rank").isNotNull,
+          lit(1.0) / col("first_rel_rank").cast("double"))
+          .otherwise(lit(0.0)))
+  }
 }

@@ -436,4 +436,35 @@ object Sampling {
       .select(col("replicate"), col("n_orig"), col("n_resampled"),
         col("_sv").cast("double").as("sum_value"))
   }
+
+  /** Deterministic fixed-SIZE sample: exactly min(k, |group|) rows
+    * per group, chosen by the seeded splitmix64 hash order of the id
+    * — the "give me 10k examples per language" primitive the
+    * fraction-based [[hashSample]] can't express (a fraction can't
+    * guarantee a count). Reproducible across runs and engines; a new
+    * seed draws an independent sample.
+    *
+    * Scale shape: one per-group rank window over the hash order;
+    * Spark plans the rank ≤ k filter as a partial WindowGroupLimit
+    * below the exchange (the [[Sketch.kmvState]] shape), so the
+    * shuffle carries at most k rows per group per partition — never
+    * the full group.
+    */
+  def fixedSizeSample(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      k: Int,
+      seed: Long = 0L): DataFrame = {
+    require(k >= 1, s"k=$k")
+    import graft.analytics.HashFunctions.splitmix64_hash
+    val g = groupCols.map(col)
+    val h = splitmix64_hash(col(idCol) + lit(seed))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("_h"), col(idCol))
+    df.withColumn("_h", h)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .drop("_h")
+  }
 }

@@ -1496,6 +1496,51 @@ object Stats {
         (ssb / dfb) / (ssw / dfw)).as("f_stat"))
   }
 
+  /** Brown–Forsythe variance-equality screen (Brown & Forsythe 1974;
+    * Levene's test with the median center): one-way ANOVA F on the
+    * absolute deviations from each category's MEDIAN — the robust
+    * "are the spreads equal" companion to [[anovaF]]'s "are the means
+    * equal".
+    *
+    * Exactness: deviations are computed on DOUBLED cent values
+    * (|2·cents − doubled-median|, an exact integer even for
+    * even-sized groups whose median falls between two observations),
+    * so the entire deviation table is integer-exact and the F
+    * statistic inherits [[anovaF]]'s category-order fold discipline.
+    *
+    * Scale shape: one per-category sort window for the two middle
+    * ranks + the [[anovaF]] aggregation — two keyed shuffles total.
+    */
+  def brownForsythe(
+      df: DataFrame,
+      catCol: String,
+      valueCol: String,
+      scale: Int = 2): DataFrame = {
+    val cents = (col(valueCol).cast(s"decimal(18,$scale)") *
+      lit(math.pow(10, scale).toLong)).cast("long")
+    val base = df.filter(col(valueCol).isNotNull && col(catCol).isNotNull)
+      .select(col(catCol).as("_g"), cents.as("_c"))
+    val wOrd = Window.partitionBy(col("_g")).orderBy(col("_c"))
+    val wAll = Window.partitionBy(col("_g"))
+    // doubled median = x_ceil(n/2) + x_(n/2+1) (1-indexed; equal for
+    // odd n) — exact integer, no halving
+    val ranked = base
+      .withColumn("_rn", row_number().over(wOrd).cast("long"))
+      .withColumn("_n", count(lit(1)).over(wAll))
+    // subtract-pmod keeps the rank arithmetic in exact integers
+    // (bare long/long division is double in Spark)
+    val mid1 = ((col("_n") + 1 - pmod(col("_n") + 1, lit(2))) / 2)
+      .cast("long")
+    val mid2 = ((col("_n") - pmod(col("_n"), lit(2))) / 2 + 1).cast("long")
+    val med2 = ranked
+      .filter(col("_rn") === mid1 || col("_rn") === mid2)
+      .groupBy(col("_g"))
+      .agg((sum(col("_c")) * 2 / count(lit(1))).cast("long").as("_m2"))
+    val dev = ranked.join(med2, "_g")
+      .select(col("_g"), abs(col("_c") * 2 - col("_m2")).as("_d"))
+    anovaF(dev, "_g", "_d", scale = 0)
+  }
+
   /** Kruskal–Wallis H per grouping dimension (Kruskal & Wallis 1952,
     * tie-corrected): the k-sample generalization of [[mannWhitney]] —
     * are the value distributions across categories stochastically

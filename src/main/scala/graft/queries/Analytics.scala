@@ -580,6 +580,26 @@ object Analytics {
     // Hybrid-retrieval rank fusion: BM25 top-10 + a document-length
     // prior (global top-10 via TakeOrdered — no full-corpus window),
     // RRF-combined. Fusion operates on K·systems rows per query.
+    // offline ranking-quality loop: precision@10 and MRR of the BM25
+    // run against a deterministic synthetic relevance set
+    // ((doc_id + query index) % 7 == 0) — exact hit counts and first
+    // ranks, one division each.
+    "retrieval_eval" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val bm = Retrieval.bm25(docs, "doc_id", "text",
+        Seq("q1" -> Seq("hash", "join", "merge"),
+            "q2" -> Seq("dup", "stream", "window"),
+            "q3" -> Seq("vector", "query", "sort")),
+        topK = 10)
+      val qidx = Seq(("q1", 1L), ("q2", 2L), ("q3", 3L))
+        .toDF("query_id", "_qi")
+      val qrels = docs.select(col("doc_id")).crossJoin(broadcast(qidx))
+        .filter((col("doc_id") + col("_qi")) % 7 === 0)
+        .select(col("query_id"), col("doc_id"))
+      Retrieval.rankEval(bm, qrels, "query_id", "rank", "doc_id", k = 10)
+    }),
+
     "rrf_fusion" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val bm = Retrieval.bm25(docs, "doc_id", "text",
@@ -895,6 +915,33 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "text_bm25" -> bm25OracleSql,
+    // P@10 / MRR over the nested BM25 run vs the synthetic qrels
+    "retrieval_eval" ->
+      s"""WITH ranked AS (SELECT query_id, doc_id, rank
+             FROM ($bm25OracleSql)),
+         qi(query_id, qidx) AS (VALUES ('q1', 1), ('q2', 2), ('q3', 3)),
+         qrels AS (SELECT qi.query_id, d.doc_id
+             FROM documents d CROSS JOIN qi
+             WHERE (d.doc_id + qi.qidx) % 7 = 0),
+         j AS (SELECT r.query_id, r.rank,
+              CASE WHEN q.doc_id IS NOT NULL THEN 1 END AS rel
+            FROM ranked r LEFT JOIN qrels q
+              ON q.query_id = r.query_id AND q.doc_id = r.doc_id
+            WHERE r.rank <= 10)
+         SELECT query_id, CAST(count(*) AS BIGINT) AS n_ranked,
+           CAST(sum(CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_relevant,
+           CAST(min(CASE WHEN rel IS NOT NULL THEN rank END) AS BIGINT)
+             AS first_rel_rank,
+           CAST(sum(CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(10 AS DOUBLE) AS precision_at_k,
+           CASE WHEN min(CASE WHEN rel IS NOT NULL THEN rank END)
+               IS NOT NULL THEN
+             CAST(1.0 AS DOUBLE) /
+             CAST(CAST(min(CASE WHEN rel IS NOT NULL THEN rank END)
+               AS BIGINT) AS DOUBLE)
+           ELSE CAST(0.0 AS DOUBLE) END AS reciprocal_rank
+         FROM j GROUP BY 1""",
     // fnv1a bucket (low 8 bits) + splitmix64 sign bit per distinct
     // token, signed count per (doc, bucket) — both hash chains
     // replayed in HUGEINT mod 2^64

@@ -602,6 +602,35 @@ object Temporal {
         Seq("c_mktsegment"), "bal_bucket")
     }),
 
+    // Brown–Forsythe (median-centered Levene): ANOVA F on integer
+    // doubled deviations from each category's doubled median — the
+    // robust equal-spread screen next to stats_anova's equal-mean.
+    "stats_levene" -> ((s, dir) =>
+      Stats.brownForsythe(t(s, dir, "events"), "event_type", "value")),
+
+    // Reciprocity of the directed event-type transition graph (per
+    // user, time-ordered): integer edge counts, one division.
+    "graph_recip" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("_secs"), col("event_id"))
+      val tr = ev.select(col("user_id"), col("event_id"),
+          col("event_type"), tsEpochSeconds(ev).as("_secs"))
+        .withColumn("_prev", lag(col("event_type"), 1).over(w))
+        .filter(col("_prev").isNotNull)
+      Graph.reciprocity(
+        tr.select(col("_prev").as("src"), col("event_type").as("dst")),
+        "src", "dst")
+    }),
+
+    // Deterministic fixed-size sample: exactly 50 events per type by
+    // seeded splitmix64 hash order — the oracle replays the chain and
+    // the (hash, id) rank.
+    "sample_fixed" -> ((s, dir) =>
+      Sampling.fixedSizeSample(
+        t(s, dir, "events").select(col("event_id"), col("event_type")),
+        Seq("event_type"), "event_id", k = 50, seed = 11L)),
+
     // Row-level snapshot reconciliation: orders vs a perturbed copy
     // (price bumped on 1/97 of keys, 1/101 of keys dropped, status
     // flipped on 1/89) — the CDC convergence check.
@@ -2237,6 +2266,90 @@ object Temporal {
              CAST(num AS DOUBLE) / CAST(ng * nt * (m.m - 1) AS DOUBLE)
            ELSE CAST(0.0 AS DOUBLE) END AS emd
          FROM agg CROSS JOIN mm m""",
+    // the ANOVA tail on integer doubled deviations from the doubled
+    // median (rank-position values are sorted-multiset positions —
+    // tie order inside row_number cannot change them)
+    "stats_levene" ->
+      """WITH b AS (SELECT event_type AS g,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+            FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         rk AS (SELECT g, c,
+              row_number() OVER (PARTITION BY g ORDER BY c) AS rn,
+              count(*) OVER (PARTITION BY g) AS n FROM b),
+         med AS (SELECT g, CAST((sum(c) * 2) // count(*) AS BIGINT) AS m2
+            FROM rk WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+            GROUP BY g),
+         dev AS (SELECT rk.g,
+              CAST(abs(rk.c * 2 - med.m2) AS HUGEINT) AS v
+            FROM rk JOIN med USING (g)),
+         cats AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+              sum(v) AS s, sum(v * v) AS ss FROM dev GROUP BY g),
+         f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+              CAST(sum(n) AS BIGINT) AS ntot,
+              CAST(sum(s) AS DOUBLE) AS grand,
+              CAST(sum(ss) AS DOUBLE) AS sstot,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+                     CAST(n AS DOUBLE) ORDER BY g)),
+                (a, b) -> a + b) AS sqmeans
+            FROM cats)
+         SELECT k, ntot AS n,
+           sqmeans - grand * grand / CAST(ntot AS DOUBLE) AS ss_between,
+           sstot - sqmeans AS ss_within,
+           CASE WHEN k > 1 AND ntot > k AND sstot - sqmeans > 0 THEN
+             ((sqmeans - grand * grand / CAST(ntot AS DOUBLE)) /
+              CAST(k - 1 AS DOUBLE)) /
+             ((sstot - sqmeans) / CAST(ntot - k AS DOUBLE)) END AS f_stat
+         FROM f""",
+    // distinct directed transition edges + an EXISTS reverse probe
+    "graph_recip" ->
+      """WITH s AS (SELECT user_id, event_id, event_type,
+              epoch_ns(ts) // 1000000000 AS t FROM events),
+         tr AS (SELECT user_id, event_type,
+              lag(event_type) OVER (PARTITION BY user_id
+                ORDER BY t, event_id) AS prev
+            FROM s),
+         e AS (SELECT DISTINCT prev AS s2, event_type AS t2 FROM tr
+               WHERE prev IS NOT NULL AND prev <> event_type),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM e),
+         r AS (SELECT CAST(count(*) AS BIGINT) AS n_reciprocal FROM e a
+               WHERE EXISTS (SELECT 1 FROM e b
+                 WHERE b.s2 = a.t2 AND b.t2 = a.s2))
+         SELECT m_edges, n_reciprocal,
+           CASE WHEN m_edges > 0 THEN
+             CAST(n_reciprocal AS DOUBLE) / CAST(m_edges AS DOUBLE) END
+             AS reciprocity
+         FROM m CROSS JOIN r""",
+    // the splitmix64(id + 11) chain, signed reinterpretation, then
+    // the (hash, id) rank per type
+    "sample_fixed" ->
+      """WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+         m0 AS (SELECT event_id, event_type,
+              (CAST(event_id AS HUGEINT) + 11 +
+               CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
+            FROM events CROSS JOIN c),
+         ma AS (SELECT event_id, event_type,
+              xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
+         m1 AS (SELECT event_id, event_type, (x2 % 4294967296 * 484763065 +
+              ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+              * 4294967296) % m64 AS x3, m64 FROM ma),
+         mb AS (SELECT event_id, event_type,
+              xor(x3, x3 // 134217728) AS x4, m64 FROM m1),
+         m2 AS (SELECT event_id, event_type, (x4 % 4294967296 * 321982955 +
+              ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+              * 4294967296) % m64 AS x5, m64 FROM mb),
+         m3 AS (SELECT event_id, event_type,
+              xor(x5, x5 // 2147483648) AS x6 FROM m2),
+         sg AS (SELECT event_id, event_type,
+              CAST(CASE WHEN x6 >= CAST(9223372036854775808 AS HUGEINT)
+                THEN x6 - CAST(18446744073709551616 AS HUGEINT)
+                ELSE x6 END AS BIGINT) AS h FROM m3),
+         rk AS (SELECT event_id, event_type,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY h, event_id) AS sample_rank FROM sg)
+         SELECT event_id, event_type, CAST(sample_rank AS BIGINT)
+           AS sample_rank
+         FROM rk WHERE sample_rank <= 50""",
     // full-outer key classification with null-safe column compares;
     // mismatch columns named in sorted order
     "dq_reconcile" ->

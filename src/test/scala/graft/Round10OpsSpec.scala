@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.analytics.{DataQuality, Graph, Privacy, Stats, Text, Temporal => TOps}
+import graft.analytics.{DataQuality, Graph, Privacy, Sampling, Stats, Text, Temporal => TOps}
 
 /** Round-10 operator semantics, hand-verified: clustering coefficient,
   * assortativity, Holt smoothing, cross-correlation, OHLC, Kendall,
@@ -147,6 +147,66 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(r(2L) == ("mismatch", "p,s"))
     assert(r(3L) == ("only_a", ""))
     assert(r(4L) == ("only_b", ""))
+  }
+
+  test("reciprocity: hand graph, self-loops and duplicates ignored") {
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (4L, 3L),
+      (5L, 5L), (1L, 2L)).toDF("s", "d")
+    val r = Graph.reciprocity(e, "s", "d").collect().head
+    // distinct non-loop edges: 1→2,2→1,1→3,3→4,4→3 = 5; mutual: 4
+    assert(r.getLong(0) == 5L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 0.8)
+  }
+
+  test("brown-forsythe: equal-spread groups give F exactly 0") {
+    // both groups have deviations {1,0,1} around their medians
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 11.0), ("b", 12.0), ("b", 13.0)).toDF("g", "v")
+    val r = Stats.brownForsythe(df, "g", "v").collect().head
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Double]("ss_between") == 0.0)
+    // unequal spreads: {1,2,3} vs {1,100,199} (even-size medians too)
+    val df2 = Seq(("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 199.0))
+      .toDF("g", "v")
+    val r2 = Stats.brownForsythe(df2, "g", "v").collect().head
+    // doubled medians: a=400 cents, b=20000; deviations a: {200,200},
+    // b: {19800,19800} -> within-group SS = 0 -> F undefined (null)
+    assert(r2.isNullAt(r2.fieldIndex("f_stat")))
+    assert(r2.getAs[Double]("ss_within") == 0.0)
+  }
+
+  test("fixed-size sample: exact k per group, deterministic, seed-sensitive") {
+    val df = (1 to 500).map(i => (i.toLong, s"g${i % 3}"))
+      .toDF("id", "g")
+    val s1 = Sampling.fixedSizeSample(df, Seq("g"), "id", k = 20, seed = 1L)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(s1.groupBy(_._1).forall(_._2.size == 20))
+    val s1b = Sampling.fixedSizeSample(df, Seq("g"), "id", k = 20, seed = 1L)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(s1 == s1b, "same seed must reproduce")
+    val s2 = Sampling.fixedSizeSample(df, Seq("g"), "id", k = 20, seed = 2L)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(s1 != s2, "a new seed draws a different sample")
+    // k above the group size returns the whole group
+    val tiny = Sampling.fixedSizeSample(
+      Seq((1L, "x"), (2L, "x")).toDF("id", "g"), Seq("g"), "id", 10)
+    assert(tiny.count() == 2L)
+  }
+
+  test("rank eval: hand P@k and MRR, zero-hit convention") {
+    val ranked = Seq(("q1", 1L, 10L), ("q1", 2L, 11L), ("q1", 3L, 12L),
+      ("q2", 1L, 20L), ("q2", 2L, 21L)).toDF("query_id", "rank", "doc_id")
+    val qrels = Seq(("q1", 11L), ("q1", 12L), ("q2", 99L))
+      .toDF("query_id", "doc_id")
+    val r = graft.analytics.Retrieval.rankEval(ranked, qrels,
+        "query_id", "rank", "doc_id", k = 3)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("q1").getAs[Long]("n_relevant") == 2L)
+    assert(r("q1").getAs[Double]("precision_at_k") == 2.0 / 3.0)
+    assert(r("q1").getAs[Double]("reciprocal_rank") == 0.5)
+    assert(r("q2").getAs[Long]("n_relevant") == 0L)
+    assert(r("q2").getAs[Double]("reciprocal_rank") == 0.0)
+    assert(r("q2").isNullAt(r("q2").fieldIndex("first_rel_rank")))
   }
 
   test("hashing trick: signed counts, fixed dimension, repeat doubling") {
