@@ -157,15 +157,19 @@ object Graph {
     * combined sums.
     *
     * Scale shape: per iteration two keyed join+aggregate shuffles
-    * (src then dst) over the persisted edge list. The L1 normalizer
-    * is a 1-row aggregate folded back as a BROADCAST scalar join
-    * (same fold, same bits as a collected literal — the division
-    * doesn't care which side of the driver the double crossed), so
-    * each round runs exactly ONE driver-blocking action: the count
-    * on the round's second half-step, which doubles as the lineage
-    * fence. Round r−1's persisted frames are released inside the
-    * loop once round r is materialized, so peak residency is two
-    * node-sized frames, not 2·iterations.
+    * (src then dst) over the persisted edge list, plus one 1-row
+    * normalizer collect per half-step. The collect is DELIBERATE:
+    * it is simultaneously the half-step's materialization fence and
+    * the normalizer, so each half-step computes exactly once. The
+    * measured alternative — folding the normalizer back as a
+    * broadcast scalar join with one count-fence per round — ran
+    * 2.5× SLOWER at sf0.1 (21–26 s vs ~8.5 s): a broadcast stage
+    * materializes before its main stage, so the normalizer aggregate
+    * recomputed the not-yet-cached half-step from lineage every
+    * round (PERF round 10). Round r−1's persisted frames are
+    * released inside the loop once round r is materialized, so peak
+    * residency is two node-sized frames, not 2·iterations — the
+    * r9-flagged fence-lifetime fix, kept.
     */
   def hits(
       edges: DataFrame,
@@ -191,15 +195,20 @@ object Graph {
           (acc, x) => acc + x.getField("_c"))
       else sum(tagged.getField("_c"))
 
-    // normalizer: a 1-row frame, broadcast-joined below; deterministic
-    // mode folds in node order (bit-stable under any partitioning)
-    def l1(df: DataFrame, scoreCol: String): DataFrame =
-      if (deterministic)
-        df.agg(aggregate(
-          array_sort(collect_list(struct(col("node").as("_k"),
-            col(scoreCol).as("_c")))), lit(0.0),
-          (acc, x) => acc + x.getField("_c")).as("_norm"))
-      else df.agg(sum(col(scoreCol)).as("_norm"))
+    // normalizer: ONE double per half-step, collected — the action
+    // doubles as the half-step's cache-materialization fence;
+    // deterministic mode folds in node order (bit-stable under any
+    // partitioning)
+    def l1(df: DataFrame, scoreCol: String): Double = {
+      val row =
+        if (deterministic)
+          df.agg(aggregate(
+            array_sort(collect_list(struct(col("node").as("_k"),
+              col(scoreCol).as("_c")))), lit(0.0),
+            (acc, x) => acc + x.getField("_c")).as("s")).collect().head
+        else df.agg(sum(col(scoreCol)).as("s")).collect().head
+      row.getDouble(0)
+    }
 
     var prevFences: Seq[DataFrame] = Nil
     var hub = srcs.select(col("node"), lit(1.0).as("hub"))
@@ -210,22 +219,20 @@ object Graph {
         .agg(foldSum(struct(col("_src").as("_k"), col("hub").as("_c")))
           .as("a"))
         .persist(storage)
-      auth = aRaw.crossJoin(broadcast(l1(aRaw, "a")))
-        .select(col("node"), (col("a") / col("_norm")).as("authority"))
+      val aSum = l1(aRaw, "a")
+      auth = aRaw.select(col("node"), (col("a") / lit(aSum)).as("authority"))
       val hRaw = e.join(auth.withColumnRenamed("node", "_dst"), "_dst")
         .groupBy(col("_src").as("node"))
         .agg(foldSum(struct(col("_dst").as("_k"),
           col("authority").as("_c"))).as("h"))
         .persist(storage)
-      // the round's ONE action: materializes hRaw (and, through its
-      // plan, aRaw) into cache and fences the lineage — after which
-      // the previous round's frames are dead and released here, not
-      // at the tail
-      hRaw.count()
+      val hSum = l1(hRaw, "h")
+      hub = hRaw.select(col("node"), (col("h") / lit(hSum)).as("hub"))
+      // both half-steps are now cached; the previous round's frames
+      // are dead — released HERE, not at the tail (peak residency 2
+      // node-sized frames instead of 2·iterations)
       prevFences.foreach(_.unpersist(false))
       prevFences = Seq(aRaw, hRaw)
-      hub = hRaw.crossJoin(broadcast(l1(hRaw, "h")))
-        .select(col("node"), (col("h") / col("_norm")).as("hub"))
     }
     val out = dsts.join(auth, Seq("node"), "left_outer")
       .na.fill(0.0, Seq("authority"))
