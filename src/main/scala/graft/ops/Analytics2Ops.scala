@@ -409,6 +409,79 @@ case class SkylineProc(groupFields: Seq[Ref], xField: Ref, yField: Ref)
   }
 }
 
+/** `dq.reconcile` — row-level reconciliation of the batch against a
+  * REFERENCE parquet snapshot ([[graft.analytics.DataQuality
+  * .reconcile]]): one create record per key with (status,
+  * mismatch_cols) — the CDC convergence gate a YAML pipeline puts
+  * after a sink it wants to audit. `table` is the reference path;
+  * key/compare fields address the record payload, and the reference
+  * columns are matched by each field's LAST path segment.
+  */
+case class ReconcileProc(keyFields: Seq[Ref], compareFields: Seq[Ref],
+                         table: String) extends Processor {
+  require(keyFields.nonEmpty && compareFields.nonEmpty,
+    "dq.reconcile: need key and compare fields")
+  val plugin = "dq.reconcile"
+  override def transform(df: DataFrame): DataFrame = {
+    def names(rs: Seq[Ref]) = rs.map(r => r.sub.lastOption.getOrElse("f"))
+    val kn = names(keyFields); val cn = names(compareFields)
+    val flat = df.select((keyFields ++ compareFields)
+      .zip(kn ++ cn).map { case (r, n) =>
+        Analytics2Ops.fieldCol(df, r).as(n) }: _*)
+    val ref = df.sparkSession.read.parquet(table)
+      .select((kn ++ cn).map(n => col(n).cast("string").as(n)): _*)
+    val out = graft.analytics.DataQuality.reconcile(flat, ref, kn, cn)
+    val keyed = out.withColumn("_k", concat_ws("|", kn.map(col): _*))
+    Cdc.wrap(keyed, "_k", "dq.reconcile")
+  }
+}
+
+/** `sample.fixed` — deterministic fixed-SIZE sampling: keep exactly
+  * min(k, |group|) records per payload group by the seeded hash
+  * order of the id field ([[graft.analytics.Sampling
+  * .fixedSizeSample]]). A true FILTER — the CDC schema passes
+  * through untouched, so it composes mid-chain like `sample.hash`,
+  * but with a count guarantee a fraction cannot give.
+  */
+case class SampleFixedProc(groupFields: Seq[Ref], idField: Ref,
+                           k: Int, seed: Long) extends Processor {
+  require(groupFields.nonEmpty, "sample.fixed: need groups")
+  val plugin = "sample.fixed"
+  override def transform(df: DataFrame): DataFrame = {
+    import graft.analytics.HashFunctions.{fnv1a_hash, splitmix64_hash}
+    // the fixedSizeSample rank inline on the CDC frame (string ids
+    // hash through fnv1a, the KmvProc idiom) — no self-join, so it
+    // works for sources whose positions are absent (wrapped batches)
+    val id = Analytics2Ops.fieldCol(df, idField).cast("string")
+    val h = splitmix64_hash(fnv1a_hash(id) + lit(seed))
+    val w = Window
+      .partitionBy(groupFields.map(r => Analytics2Ops.fieldCol(df, r)): _*)
+      .orderBy(h, id)
+    df.withColumn("_sfr", row_number().over(w))
+      .filter(col("_sfr") <= k)
+      .drop("_sfr")
+  }
+}
+
+/** `text.hashing` — signed hashing-trick features per record
+  * ([[graft.analytics.Text.hashingTrick]]): the batch reshapes into
+  * one create record per non-zero (doc, bucket) with the signed
+  * count. Aggregate output via [[Cdc.wrap]].
+  */
+case class HashingProc(idField: Ref, textField: Ref, dim: Int)
+    extends Processor {
+  val plugin = "text.hashing"
+  override def transform(df: DataFrame): DataFrame = {
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_doc"),
+      Analytics2Ops.fieldCol(df, textField).as("_text"))
+    val out = graft.analytics.Text.hashingTrick(flat, "_doc", "_text", dim)
+    val keyed = out.withColumn("_k",
+      concat_ws("|", col("doc_id"), col("bucket")))
+    Cdc.wrap(keyed, "_k", "text.hashing")
+  }
+}
+
 /** `graph.links` — common-neighbor link prediction over an edge
   * stream ([[graft.analytics.Graph.jaccardLinks]], hub-capped wedge
   * join): one create record per predicted pair above the Jaccard

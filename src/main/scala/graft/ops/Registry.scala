@@ -147,7 +147,17 @@ object Registry {
       s.getOrElse("k", "10").toInt,
       s.getOrElse("minDf", "2").toLong)),
     "joins.skyline" -> (s => SkylineProc(
-      refs(s, "groups"), Ref.parse(s("x")), Ref.parse(s("y"))))
+      refs(s, "groups"), Ref.parse(s("x")), Ref.parse(s("y")))),
+    // round-10 families on the config surface
+    "dq.reconcile" -> (s => ReconcileProc(
+      refs(s, "key"), refs(s, "compare"), s("table"))),
+    "sample.fixed" -> (s => SampleFixedProc(
+      refs(s, "groups"), Ref.parse(s("id")),
+      s.getOrElse("k", "1000").toInt,
+      s.getOrElse("seed", "0").toLong)),
+    "text.hashing" -> (s => HashingProc(
+      Ref.parse(s("id")), ref(s, ".Payload.After"),
+      s.getOrElse("dim", "1024").toInt))
   )
 
   def create(plugin: String, settings: Map[String, String]): Processor = {

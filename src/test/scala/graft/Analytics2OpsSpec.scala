@@ -230,7 +230,17 @@ class Analytics2OpsSpec extends AnyFunSuite {
           "k" -> "3"), None),
       ProcessorConfig("p13", "joins.skyline",
         Map("groups" -> ".Payload.After.g", "x" -> ".Payload.After.x",
-          "y" -> ".Payload.After.y"), None))
+          "y" -> ".Payload.After.y"), None),
+      // round-10 families
+      ProcessorConfig("p14", "dq.reconcile",
+        Map("key" -> ".Payload.After.id", "compare" -> ".Payload.After.v",
+          "table" -> "/tmp/ref"), None),
+      ProcessorConfig("p15", "sample.fixed",
+        Map("groups" -> ".Payload.After.g", "id" -> ".Payload.After.id",
+          "k" -> "100"), None),
+      ProcessorConfig("p16", "text.hashing",
+        Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text",
+          "dim" -> "256"), None))
     val cfg = PipelineConfig("pl", "analytics families",
       processors = procs)
     val back = Dsl.fromYaml(Dsl.toYaml(Seq(cfg)))
@@ -313,6 +323,47 @@ class Analytics2OpsSpec extends AnyFunSuite {
       .map(p => (p.get("_x").asLong, p.get("_y").asLong)).toSet
     // (9,9) dominates everything else; (2,2) etc. are dominated
     assert(kept == Set((9L, 9L)), kept.toString)
+  }
+
+  test("sample.fixed / text.hashing / dq.reconcile processors") {
+    // fixed-size sampling keeps the CDC schema and exactly k per group
+    val base = wrap((1 to 200).map(i => (i.toLong, s"g${i % 2}"))
+      .toDF("id", "grp"), "id")
+    val proc = Registry.create("sample.fixed",
+      Map("groups" -> ".Payload.After.grp", "id" -> ".Payload.After.id",
+        "k" -> "10", "seed" -> "3"))
+    val out = proc(base)
+    assert(out.columns.toSeq == Cdc.columns)
+    val perGroup = out.select(col(Cdc.PayloadAfter)).collect()
+      .map(r => JsonOps.parse(r.getString(0)).get("grp").asText)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(perGroup == Map("g0" -> 10, "g1" -> 10), perGroup.toString)
+
+    val hash = Registry.create("text.hashing",
+      Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.txt",
+        "dim" -> "64"))
+    val docs = wrap(Seq((1L, "alpha alpha"), (2L, "beta"))
+      .toDF("id", "txt"), "id")
+    val feats = hash(docs).select(col(Cdc.PayloadAfter)).collect()
+      .map(r => JsonOps.parse(r.getString(0)))
+      .map(p => p.get("doc_id").asText ->
+        math.abs(p.get("feature").asLong)).toMap
+    assert(feats == Map("1" -> 2L, "2" -> 1L), feats.toString)
+
+    val refDir = java.nio.file.Files.createTempDirectory("recon").toString
+    Seq((1L, "x"), (2L, "CHANGED"), (3L, "z"))
+      .toDF("id", "v")
+      .select(col("id").cast("string").as("id"), col("v"))
+      .write.mode("overwrite").parquet(refDir)
+    val recon = Registry.create("dq.reconcile",
+      Map("key" -> ".Payload.After.id", "compare" -> ".Payload.After.v",
+        "table" -> refDir))
+    val cur = wrap(Seq((1L, "x"), (2L, "y")).toDF("id", "v"), "id")
+    val statuses = recon(cur).select(col(Cdc.PayloadAfter)).collect()
+      .map(r => JsonOps.parse(r.getString(0)))
+      .map(p => p.get("id").asText -> p.get("status").asText).toMap
+    assert(statuses == Map("1" -> "match", "2" -> "mismatch",
+      "3" -> "only_b"), statuses.toString)
   }
 
   test("a YAML pipeline drives a round-9 family end to end") {
