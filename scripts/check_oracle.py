@@ -12,14 +12,22 @@ OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-con = duckdb.connect()
-# bound the native thread pool: the sf0.1 iterative-CTE oracles spawn
-# threads per pipeline and the default (= all cores) exhausts the VM
-# ("Resource temporarily unavailable" abort mid-sweep)
-con.execute("PRAGMA threads=8")
-con.execute("PRAGMA memory_limit='24GB'")
-for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+# a FRESH connection per oracle: one list-heavy quadratic query can
+# fragment/poison a long-lived connection's allocator so every later
+# oracle fails "bad allocation" (seen in the sf0.1 sweep) — view setup
+# is microseconds, isolation is worth it. Thread pool bounded: the
+# sf0.1 iterative-CTE oracles spawn threads per pipeline and the
+# default (= all cores) exhausts the VM.
+def fresh_con():
+    c = duckdb.connect()
+    c.execute(f"PRAGMA threads={os.environ.get('DUCKDB_THREADS', '8')}")
+    c.execute("PRAGMA memory_limit='24GB'")
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+# CHECK_ONLY=name1,name2 restricts the run (resume after a crash)
+ONLY = set(x for x in os.environ.get("CHECK_ONLY", "").split(",") if x)
 
 oracles = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
 
@@ -32,6 +40,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 results = {}
 for d in sorted(glob.glob(f"{OUT_DIR}/*/")):
     name = os.path.basename(d.rstrip("/"))
+    if ONLY and name not in ONLY:
+        continue
     try:
         got = pd.read_parquet(d)
     except Exception as e:
@@ -41,7 +51,9 @@ for d in sorted(glob.glob(f"{OUT_DIR}/*/")):
         results[name] = f"rows-only ({len(got)} rows)" + (" EMPTY!" if len(got) == 0 else "")
         continue
     try:
+        con = fresh_con()
         want = con.execute(oracles[name]).df()
+        con.close()
     except Exception as e:
         results[name] = f"ORACLE-SQL-FAIL {e}"
         continue
@@ -76,8 +88,10 @@ for d in sorted(glob.glob(f"{OUT_DIR}/*/")):
                         f"got={gv.iloc[i]!r} want={wv.iloc[i]!r}")
             break
     results[name] = "OK" if mismatch is None else f"VALUE-MISMATCH {mismatch}"
+    print(f"progress: {name} {results[name][:40]}", file=sys.stderr, flush=True)
 
-for name in sorted(set(list(results) + [k for k in oracles if k not in results])):
+for name in sorted(set(list(results) +
+    [k for k in oracles if k not in results and (not ONLY or k in ONLY)])):
     if name not in results:
         results[name] = "NO-PARQUET-OUTPUT"
     print(f"{name:28s} {results[name]}")

@@ -2246,19 +2246,33 @@ object Analytics {
          FROM d a JOIN d b ON a.doc_id < b.doc_id
          WHERE abs(length(a.s) - length(b.s)) <= 3
            AND levenshtein(a.s, b.s) <= 3""",
+    // row-based reformulation (round 10): the original per-pair
+    // list_intersect over 5000 ~1000-element lists segfaulted/OOM'd
+    // DuckDB at sf0.1; exploding shingles to rows and counting
+    // intersections with a grouped shingle self-join is the same math
+    // (pairs sharing no shingle have J = 0 < τ, so the join is
+    // complete), still structurally independent of the engine, and
+    // hash-aggregation-shaped instead of allocator-hostile
     "dedup_ngram_jaccard" ->
-      """WITH sh AS (
-           SELECT doc_id,
-             CASE WHEN length(s0) < 5 THEN [s0]
-                  ELSE list_distinct(list_transform(range(1, length(s0) - 3),
-                    i -> s0[i:i+4]))
-             END AS s
-           FROM (SELECT doc_id, trim(lower(text)) AS s0
-                 FROM documents WHERE trim(text) <> ''))
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8""",
+      """WITH base AS (SELECT doc_id, trim(lower(text)) AS s0
+              FROM documents WHERE trim(text) <> ''),
+         sh AS (
+           SELECT DISTINCT doc_id, g FROM (
+             SELECT doc_id, unnest(list_transform(range(1, length(s0) - 3),
+                 i -> s0[i:i+4])) AS g
+             FROM base WHERE length(s0) >= 5
+             UNION ALL
+             SELECT doc_id, s0 AS g FROM base WHERE length(s0) < 5)),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+              count(*) AS c
+            FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+         SELECT ia AS id_a, ib AS id_b
+         FROM inter
+         JOIN sz sa ON sa.doc_id = ia
+         JOIN sz sb ON sb.doc_id = ib
+         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8""",
     "text_vocab" ->
       """SELECT w AS token, count(*) AS freq
          FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
