@@ -1390,23 +1390,38 @@ object Stats {
     * integers-then-one-float discipline as [[mannWhitney]].
     *
     * Scale shape: the pair count is QUADRATIC per group by definition
-    * (τ has no sufficient-statistic decomposition with ties) — the
-    * documented bounded-group contract shared with the oracle-mode
-    * graph folds: sample groups to ~10⁴ rows (the gate row uses the
-    * [[spearman]] row's user-parity sample). The join is one keyed
-    * self-join on the group; everything after is a map-side-combined
-    * count.
+    * (τ has no sufficient-statistic decomposition with ties) — and
+    * the contract is ENFORCED: `maxGroupRows` (default 10⁵ ⇒ ≤ 5·10⁹
+    * pairs per group) fails FAST with guidance before the self-join
+    * runs when any group exceeds it (one map-side-combined count, a
+    * 1-row probe — the linkage-`maxBlock` discipline; chunking can't
+    * help here because τ needs every pair, so the right fix is
+    * sampling, as the gate row does with the [[spearman]] user-parity
+    * sample). The join is one keyed self-join on the group;
+    * everything after is a map-side-combined count.
     */
   def kendallTau(
       df: DataFrame,
       groupCols: Seq[String],
       xCol: String,
-      yCol: String): DataFrame = {
+      yCol: String,
+      maxGroupRows: Long = 100000L): DataFrame = {
+    require(maxGroupRows >= 2, s"maxGroupRows=$maxGroupRows")
     val d38 = "decimal(38,0)"
     val g = groupCols.map(col)
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val over = base.groupBy(g: _*).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > maxGroupRows).limit(1).collect()
+    if (over.nonEmpty)
+      throw new IllegalStateException(
+        s"kendallTau: a group holds ${over.head.getLong(over.head.length - 1)} " +
+          s"rows (> maxGroupRows=$maxGroupRows ⇒ >" +
+          s" ${maxGroupRows * (maxGroupRows - 1) / 2} pairs). τ needs every" +
+          " pair — SAMPLE the group first (the spearman-sample pattern)" +
+          " or raise maxGroupRows explicitly.")
     val w = Window.partitionBy(g: _*)
       .orderBy(col(xCol), col(yCol))
-    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val rows = base
       .withColumn("_i", row_number().over(w).cast("long"))
       .select(g ++ Seq(col(xCol).as("_x"), col(yCol).as("_y"),
         col("_i")): _*)

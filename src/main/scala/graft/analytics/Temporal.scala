@@ -949,8 +949,13 @@ object Temporal {
     * engine's ordered list fold.
     *
     * Scale shape: one aggregation collects each group's series into
-    * a single buffer — the bounded-group contract (a daily series is
-    * a few thousand points; this is per-GROUP state, not per-corpus).
+    * a single buffer — a per-GROUP state contract ENFORCED by
+    * `maxPoints` (default 10⁶): any group over it fails FAST via a
+    * 1-row count probe before the collect, instead of OOMing one
+    * aggregation buffer (the pageRank-`maxInDegree` discipline; a
+    * daily series is a few thousand points, so the default never
+    * bites on time-grained series — it bites when a caller
+    * accidentally feeds raw events).
     */
   def holt(
       df: DataFrame,
@@ -958,12 +963,20 @@ object Temporal {
       xCol: String,
       valueCol: String,
       alpha: Double,
-      beta: Double): DataFrame = {
+      beta: Double,
+      maxPoints: Long = 1000000L): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha=$alpha")
     require(beta >= 0 && beta <= 1, s"beta=$beta")
+    require(maxPoints >= 1, s"maxPoints=$maxPoints")
     val g = groupCols.map(col)
-    val series = df
-      .filter(col(xCol).isNotNull && col(valueCol).isNotNull)
+    val base = df.filter(col(xCol).isNotNull && col(valueCol).isNotNull)
+    val over = base.groupBy(g: _*).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > maxPoints).limit(1).count()
+    require(over == 0,
+      s"holt: a group exceeds maxPoints=$maxPoints series points (the " +
+        "fold builds one buffer per group) — aggregate to a coarser " +
+        "time grain first or raise maxPoints explicitly")
+    val series = base
       .groupBy(g: _*)
       .agg(count(lit(1)).as("n_points"),
         array_sort(collect_list(struct(col(xCol).as("_x"),

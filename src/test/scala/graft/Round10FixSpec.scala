@@ -44,6 +44,24 @@ class Round10FixSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("kendall and holt enforce their per-group bounds loudly") {
+    val big = (1 to 300).map(i => ("g", i.toLong, i.toDouble))
+      .toDF("g", "x", "y")
+    val exK = intercept[IllegalStateException] {
+      graft.analytics.Stats.kendallTau(big, Seq("g"), "x", "y",
+        maxGroupRows = 100L)
+    }
+    assert(exK.getMessage.contains("SAMPLE"), exK.getMessage)
+    // under the cap the same frame answers
+    assert(graft.analytics.Stats.kendallTau(big, Seq("g"), "x", "y")
+      .collect().head.getAs[Double]("kendall_tau") == 1.0)
+    val exH = intercept[IllegalArgumentException] {
+      graft.analytics.Temporal.holt(big.withColumnRenamed("y", "v"),
+        Seq("g"), "x", "v", 0.5, 0.25, maxPoints = 100L)
+    }
+    assert(exH.getMessage.contains("maxPoints"), exH.getMessage)
+  }
+
   test("hits refuses an empty edge set with a clear message") {
     val empty = Seq.empty[(Long, Long)].toDF("s", "d")
     val ex = intercept[IllegalArgumentException] {
