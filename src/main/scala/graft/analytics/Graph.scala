@@ -404,6 +404,28 @@ object Graph {
         num.cast("double") / den.cast("double")).as("assortativity"))
   }
 
+  /** Undirected degree histogram: how many nodes have each degree —
+    * the one-table shape diagnostic (power-law vs bounded) a crawl
+    * curator reads before choosing hub caps like
+    * [[jaccardLinks]]'s `maxDegree`. Pure integer counts.
+    *
+    * Scale shape: one degree aggregation + one count aggregation —
+    * the histogram is at most max-degree rows.
+    */
+  def degreeHistogram(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("_u"),
+        greatest(col(srcCol), col(dstCol)).as("_v"))
+      .filter(col("_u") =!= col("_v") && col("_u").isNotNull)
+      .distinct()
+    e0.select(explode(array(col("_u"), col("_v"))).as("_n"))
+      .groupBy(col("_n")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** Reciprocity of a DIRECTED graph (Wasserman & Faust 1994):
     * the fraction of directed edges whose reverse edge also exists —
     * the mutual-interaction diagnostic for event-transition and

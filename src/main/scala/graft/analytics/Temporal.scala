@@ -1050,6 +1050,57 @@ object Temporal {
           sqrt(da.cast("double") * dbb.cast("double"))).as("xcorr"))
   }
 
+  /** Rolling Bollinger bands per group (Bollinger 1980s): over the
+    * trailing `window` periods, mean ± k·σ of the period value — the
+    * classic adaptive-envelope anomaly screen for metric streams
+    * (complements the fixed-threshold and seasonal-naive screens).
+    *
+    * Determinism: the rolling Σ and Σ² fold in exact decimal cents
+    * over a ROWS frame ordered by (x) within the group — integer
+    * sums under any partitioning; mean, population σ (one sqrt) and
+    * the bands derive from the exact decimals in one fixed double
+    * expression, so an independent engine's window replays them bit
+    * for bit.
+    *
+    * Scale shape: one keyed sort window, two running decimal sums —
+    * no self-join, no explode.
+    */
+  def bollinger(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      valueCol: String,
+      window: Int,
+      k: Double,
+      scale: Int = 2): DataFrame = {
+    require(window >= 2, s"window=$window")
+    require(k > 0, s"k=$k")
+    val d38 = "decimal(38,0)"
+    val g = groupCols.map(col)
+    val cents = (col(valueCol).cast(s"decimal(18,$scale)") *
+      lit(math.pow(10, scale).toLong)).cast(d38)
+    val w = Window.partitionBy(g: _*).orderBy(col(xCol))
+      .rowsBetween(-(window - 1), 0)
+    val base = df.filter(col(xCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("_c", cents)
+      .withColumn("_n", count(lit(1)).over(w).cast(d38))
+      .withColumn("_s", sum(col("_c")).over(w))
+      .withColumn("_ss", sum(col("_c") * col("_c")).over(w))
+    val nD = col("_n").cast("double")
+    val unit = lit(math.pow(10, scale))
+    val mean = col("_s").cast("double") / nD / unit
+    // population variance from the exact sums: (n·Σx² − (Σx)²)/n²
+    val varD = (col("_n") * col("_ss") - col("_s") * col("_s"))
+      .cast("double") / (nD * nD) / (unit * unit)
+    val sd = sqrt(varD)
+    base.select(g ++ Seq(col(xCol).as("x"),
+      col("_n").cast("long").as("n_window"),
+      (col("_c").cast("double") / unit).as("value"),
+      mean.as("mean"), sd.as("stddev"),
+      (mean + lit(k) * sd).as("upper"),
+      (mean - lit(k) * sd).as("lower")): _*)
+  }
+
   /** Per-period OHLC bars (open/high/low/close) per group: open and
     * close pick the first/last value by (time, id) — the id
     * tie-break makes the bar DETERMINISTIC under any partitioning

@@ -602,6 +602,30 @@ object Temporal {
         Seq("c_mktsegment"), "bal_bucket")
     }),
 
+    // Rolling Bollinger bands over per-type daily revenue (20-day
+    // trailing window, k=2): exact decimal running sums, bands in one
+    // fixed double expression.
+    "ts_bollinger" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev
+        .select(col("event_type"), tsEpochSeconds(ev).as("_secs"),
+          col("value"))
+        .select(col("event_type"), expr("_secs div 86400").as("day"),
+          col("value"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("value").cast(d2)).cast(d2).cast("double").as("rev"))
+      TOps.bollinger(daily, Seq("event_type"), "day", "rev",
+        window = 20, k = 2.0)
+    }),
+
+    // Undirected degree histogram of the frequent-pair graph — the
+    // hub-cap sizing diagnostic, pure integer counts.
+    "graph_degrees" -> ((s, dir) =>
+      Graph.degreeHistogram(
+        Baskets.frequentPairs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2L),
+        "item_a", "item_b")),
+
     // Brown–Forsythe (median-centered Levene): ANOVA F on integer
     // doubled deviations from each category's doubled median — the
     // robust equal-spread screen next to stats_anova's equal-mean.
@@ -2266,6 +2290,55 @@ object Temporal {
              CAST(num AS DOUBLE) / CAST(ng * nt * (m.m - 1) AS DOUBLE)
            ELSE CAST(0.0 AS DOUBLE) END AS emd
          FROM agg CROSS JOIN mm m""",
+    // exact decimal running sums over the same 20-row frame; bands
+    // replayed in the operator's fixed double expression order
+    "ts_bollinger" ->
+      """WITH daily AS (SELECT event_type AS g,
+              epoch_ns(ts) // 1000000000 // 86400 AS day,
+              CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS rev
+            FROM events GROUP BY 1, 2),
+         c AS (SELECT g, day,
+              CAST(CAST(rev AS DECIMAL(18,2)) * 100 AS HUGEINT) AS cts
+            FROM daily),
+         wnd AS (SELECT g, day, cts,
+              CAST(count(*) OVER win AS HUGEINT) AS n,
+              sum(cts) OVER win AS s,
+              sum(cts * cts) OVER win AS ss
+            FROM c WINDOW win AS (PARTITION BY g ORDER BY day
+              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         SELECT g AS event_type, day AS x, CAST(n AS BIGINT) AS n_window,
+           CAST(cts AS DOUBLE) / CAST(100 AS DOUBLE) AS value,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / CAST(100 AS DOUBLE)
+             AS mean,
+           sqrt(CAST(n * ss - s * s AS DOUBLE) /
+             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) /
+             (CAST(100 AS DOUBLE) * CAST(100 AS DOUBLE))) AS stddev,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / CAST(100 AS DOUBLE) +
+             CAST(2.0 AS DOUBLE) *
+             sqrt(CAST(n * ss - s * s AS DOUBLE) /
+               (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) /
+               (CAST(100 AS DOUBLE) * CAST(100 AS DOUBLE))) AS upper,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / CAST(100 AS DOUBLE) -
+             CAST(2.0 AS DOUBLE) *
+             sqrt(CAST(n * ss - s * s AS DOUBLE) /
+               (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) /
+               (CAST(100 AS DOUBLE) * CAST(100 AS DOUBLE))) AS lower
+         FROM wnd""",
+    // degree histogram over the independent frequent-pair edge set
+    "graph_degrees" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+              FROM lineitem),
+         s AS (SELECT i FROM items GROUP BY i HAVING count(*) >= 2),
+         p AS (SELECT items.b, items.i FROM items JOIN s USING (i)),
+         e AS (SELECT a.i AS u, bb.i AS v
+               FROM p a JOIN p bb ON a.b = bb.b AND a.i < bb.i
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+              (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+              GROUP BY 1)
+         SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+         FROM deg GROUP BY 1""",
     // the ANOVA tail on integer doubled deviations from the doubled
     // median (rank-position values are sorted-multiset positions —
     // tie order inside row_number cannot change them)

@@ -209,6 +209,30 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(r("q2").isNullAt(r("q2").fieldIndex("first_rel_rank")))
   }
 
+  test("bollinger: hand window, exact mean/sd, bands symmetric") {
+    val s = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0))
+      .toDF("g", "x", "v")
+    val out = TOps.bollinger(s, Seq("g"), "x", "v", window = 2, k = 2.0)
+      .collect().map(r => r.getAs[Long]("x") -> r).toMap
+    // at x=2: window {10,20}: mean 15, pop sd 5 -> bands 25/5
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_window") == 2L)
+    assert(r2.getAs[Double]("mean") == 15.0)
+    assert(r2.getAs[Double]("stddev") == 5.0)
+    assert(r2.getAs[Double]("upper") == 25.0)
+    assert(r2.getAs[Double]("lower") == 5.0)
+    // first row: window of one -> sd 0, bands collapse to the value
+    assert(out(1L).getAs[Double]("stddev") == 0.0)
+    assert(out(1L).getAs[Double]("upper") == 10.0)
+  }
+
+  test("degree histogram: star graph = one hub row + n leaf rows") {
+    val star = (1 to 6).map(i => (0L, i.toLong)).toDF("u", "v")
+    val h = Graph.degreeHistogram(star, "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h == Map(6L -> 1L, 1L -> 6L), h.toString)
+  }
+
   test("hashing trick: signed counts, fixed dimension, repeat doubling") {
     val docs = Seq((1L, "alpha"), (2L, "alpha alpha"), (3L, "alpha beta"))
       .toDF("doc_id", "text")
