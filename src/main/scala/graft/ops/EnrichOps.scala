@@ -234,28 +234,67 @@ case class WebhookHttp(settings: Map[String, String],
   * The HTTP boundary is the same pluggable transport as webhook.http,
   * so tests run with a fake and production points at the real endpoint.
   *
+  * Config keys and request/response shapes follow the reference
+  * processors (each also accepts the engine's uniform `field` /
+  * `result.field` / `backoffRetry.*` spellings):
+  *  - `openai.embeddings` (`impl/openai/embeddings.go`): `api_key`,
+  *    `model`, `field`, `dimensions`, `encoding_format`, `user`,
+  *    `max_retries`/`initial_backoff`/`max_backoff`/`backoff_factor`;
+  *    the JSON-marshaled embedding replaces the field.
+  *  - `openai.textgen` (`impl/openai/textgen.go:159`): `developer_message`
+  *    system turn + the field as the user turn; `choices[0].message
+  *    .content` replaces the field.
+  *  - `cohere.command` (`impl/cohere/command.go:154`): `content =
+  *    Sprintf(prompt, input)` (Go verb semantics incl. the
+  *    `%!(EXTRA ...)` suffix), POST v2/chat, `message.content[0].text`
+  *    written to `response.body`.
+  *  - `cohere.embed` (`impl/cohere/embed.go:234-255`): batch of
+  *    `maxTextsPerRequest` texts per v2/embed call, result JSON
+  *    zstd-compressed (base64'd here — our payload slots are strings,
+  *    the reference's are raw bytes) into `outputField`, and
+  *    `cohere.embed.model` metadata stamped.
+  *  - `cohere.rerank` (`impl/cohere/rerank.go:203-213`): one v2/rerank
+  *    call per batch with `return_documents=true`, results distributed
+  *    back by their `index` field, each record getting its result
+  *    object's JSON.
+  *  - `ollama` (`impl/ollama/ollama.go:158-236`): POST
+  *    `<url>/api/generate` with the instruction-wrapped prompt
+  *    (validated: 3..4096 chars, injection patterns blocked),
+  *    `format=json`, model allow-list (`llama3.2`); the `response`
+  *    string must parse as JSON and replaces the field.
+  *
   * Batching + retry (reference `impl/cohere/embed.go:159`): the embed
-  * endpoints accept arrays, so the partition iterator is consumed in
-  * `batchSize` groups — ONE request per group, results distributed by
-  * index. 429/5xx retry with exponential backoff (`backoffRetry.*`,
-  * same knobs as webhook.http); an exhausted retry errors every record
-  * of the group to the DLQ, not the whole task. At 1M records/batch a
-  * per-record request is a rate-limit death sentence; batch-of-96 cuts
-  * the request count 96×.
+  * and rerank endpoints accept arrays, so the partition iterator is
+  * consumed in `batchSize` groups — ONE request per group, results
+  * distributed by index. 429/5xx retry with exponential backoff
+  * (`backoffRetry.*`, same knobs as webhook.http); an exhausted retry
+  * errors every record of the group to the DLQ, not the whole task. At
+  * 1M records/batch a per-record request is a rate-limit death
+  * sentence; batch-of-96 cuts the request count 96×.
   */
 case class LlmProcessor(pluginName: String, settings: Map[String, String],
                         transport: HttpTransport = HttpTransport.Default)
     extends Processor {
   val plugin = pluginName
 
+  /** First present key wins — reference spelling first, engine-uniform
+    * spelling as fallback.
+    */
+  private def opt(keys: String*): Option[String] =
+    keys.collectFirst { case k if settings.contains(k) => settings(k) }
+
   /** `buildBody` takes the whole batch; `extract(resp, i)` pulls record
     * i's result. Plugins whose API is single-input run with maxBatch=1
-    * through the same path.
+    * through the same path. `render` turns the extracted node into the
+    * stored string; `metaAdd` is stamped on every enriched record.
     */
   private case class Shape(url: String, buildBody: Seq[String] => String,
                            extract: (com.fasterxml.jackson.databind.JsonNode, Int) =>
                              Option[com.fasterxml.jackson.databind.JsonNode],
-                           maxBatch: Int)
+                           maxBatch: Int,
+                           render: com.fasterxml.jackson.databind.JsonNode => String =
+                             n => if (n.isTextual) n.asText() else JsonOps.render(n),
+                           metaAdd: Map[String, String] = Map.empty)
 
   private def arr(items: Seq[String]) = {
     val a = JsonOps.mapper.getNodeFactory.arrayNode()
@@ -270,43 +309,141 @@ case class LlmProcessor(pluginName: String, settings: Map[String, String],
       case (None, _) => None
     }
 
+  /** Go `fmt.Sprintf(format, arg)` for the string-verb subset the
+    * reference's cohere.command prompt uses: first `%s` substituted,
+    * a formatless prompt gets Go's `%!(EXTRA string=...)` suffix
+    * (`command.go:154` runs the record input through the prompt this
+    * way, extra-arg noise included).
+    */
+  private def goSprintf(format: String, arg: String): String =
+    if (format.contains("%s"))
+      format.replaceFirst("%s", java.util.regex.Matcher.quoteReplacement(arg))
+    else s"$format%!(EXTRA string=$arg)"
+
+  /** reference `impl/ollama/ollama.go:45` */
+  private val ollamaAllowedModels = Set("llama3.2")
+
+  /** reference `impl/ollama/ollama.go:200-214` — instruction-wrapped
+    * prompt (we render the record slot verbatim where Go prints its
+    * map form) + the validation gate (`:244-270`).
+    */
+  private def ollamaPrompt(userPrompt: String, record: String): String = {
+    val suffix = "For the prompt, return a valid json following the " +
+      "instructions provided. Only send back records in the json format " +
+      "with no explanation."
+    val prompt = s"Instructions: {$userPrompt}\n Record: {$record} \n Suffix {$suffix}"
+    require(prompt.length >= 3, s"prompt with length ${prompt.length} is too short")
+    require(prompt.length <= 4096, s"prompt with length ${prompt.length} is too long")
+    val blocked = Seq("rm -rf", "DROP TABLE", "<script>", "javascript:", "data:text/html")
+    blocked.foreach(p => require(!prompt.contains(p), s"prompt contains blocked pattern $p"))
+    prompt
+  }
+
+  private def zstdB64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      com.github.luben.zstd.Zstd.compress(s.getBytes("UTF-8")))
+
   private def shape: Shape = pluginName match {
-    case "openai.embed" => Shape(
-      settings.getOrElse("url", "https://api.openai.com/v1/embeddings"),
-      ins => JsonOps.render(obj(
-        "model" -> txt(settings.getOrElse("model", "text-embedding-3-small")),
-        "input" -> arr(ins))),
-      (n, i) => path(n, Seq("data", i.toString, "embedding")),
-      maxBatch = 96)
-    case "openai.textgen" => Shape(
-      settings.getOrElse("url", "https://api.openai.com/v1/chat/completions"),
-      ins => JsonOps.render(obj("model" -> txt(settings.getOrElse("model", "gpt-4o-mini")),
-        "messages" -> JsonOps.parse(
-          s"""[{"role":"user","content":${JsonOps.render(txt(ins.head))}}]"""))),
-      (n, _) => path(n, Seq("choices", "0", "message", "content")),
-      maxBatch = 1)
-    case "cohere.command" => Shape(
-      settings.getOrElse("url", "https://api.cohere.ai/v1/chat"),
-      ins => JsonOps.render(obj("message" -> txt(ins.head))),
-      (n, _) => path(n, Seq("text")),
-      maxBatch = 1)
-    case "cohere.embed" => Shape(
-      settings.getOrElse("url", "https://api.cohere.ai/v1/embed"),
-      ins => JsonOps.render(obj("texts" -> arr(ins))),
-      (n, i) => path(n, Seq("embeddings", i.toString)),
-      maxBatch = 96) // the reference's cohere maxBatchSize
-    case "cohere.rerank" => Shape(
-      settings.getOrElse("url", "https://api.cohere.ai/v1/rerank"),
-      ins => JsonOps.render(obj("query" -> txt(settings.getOrElse("query", "")),
-        "documents" -> arr(ins))),
-      (n, _) => path(n, Seq("results")), // rank list per record
-      maxBatch = 1)
-    case "ollama.request" => Shape(
-      settings.getOrElse("url", "http://localhost:11434/api/generate"),
-      ins => JsonOps.render(obj("model" -> txt(settings.getOrElse("model", "llama3")),
-        "prompt" -> txt(ins.head), "stream" -> JsonOps.parse("false"))),
-      (n, _) => path(n, Seq("response")),
-      maxBatch = 1)
+    case "openai.embed" =>
+      val body = obj("model" -> txt(settings.getOrElse("model", "text-embedding-3-small")))
+      opt("dimensions").foreach(d => body.put("dimensions", d.toInt))
+      opt("encoding_format").foreach(f => body.put("encoding_format", f))
+      opt("user").foreach(u => body.put("user", u))
+      Shape(
+        settings.getOrElse("url", "https://api.openai.com/v1/embeddings"),
+        ins => JsonOps.render(body.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+          .set("input", arr(ins))),
+        (n, i) => path(n, Seq("data", i.toString, "embedding")),
+        maxBatch = 96)
+    case "openai.textgen" =>
+      val dev = opt("developer_message")
+      Shape(
+        settings.getOrElse("url", "https://api.openai.com/v1/chat/completions"),
+        ins => {
+          val msgs = JsonOps.mapper.getNodeFactory.arrayNode()
+          dev.foreach(d => msgs.add(obj("role" -> txt("developer"), "content" -> txt(d))))
+          msgs.add(obj("role" -> txt("user"), "content" -> txt(ins.head)))
+          val body = obj("model" -> txt(settings.getOrElse("model", "gpt-4o-mini")))
+          opt("temperature").foreach(t => body.put("temperature", t.toDouble))
+          opt("top_p").foreach(t => body.put("top_p", t.toDouble))
+          opt("max_tokens").foreach(t => body.put("max_tokens", t.toInt))
+          opt("max_completion_tokens").foreach(t => body.put("max_completion_tokens", t.toInt))
+          JsonOps.render(body.set("messages", msgs))
+        },
+        (n, _) => path(n, Seq("choices", "0", "message", "content")),
+        maxBatch = 1)
+    case "cohere.command" =>
+      val prompt = settings.getOrElse("prompt", "%s")
+      Shape(
+        settings.getOrElse("url", "https://api.cohere.com/v2/chat"),
+        ins => JsonOps.render(obj(
+          "model" -> txt(settings.getOrElse("model", "command")),
+          "messages" -> {
+            val msgs = JsonOps.mapper.getNodeFactory.arrayNode()
+            msgs.add(obj("role" -> txt("user"),
+              "content" -> txt(goSprintf(prompt, ins.head))))
+            msgs
+          })),
+        (n, _) => path(n, Seq("message", "content", "0", "text")),
+        maxBatch = 1)
+    case "cohere.embed" =>
+      val model = settings.getOrElse("model", "embed-english-v2.0")
+      val inputType = opt("inputType")
+      require(model.contains("v2") || inputType.nonEmpty,
+        s"inputType is required for model \"$model\" (v3 or higher)")
+      Shape(
+        settings.getOrElse("url", "https://api.cohere.com/v2/embed"),
+        ins => {
+          val body = obj("model" -> txt(model), "texts" -> arr(ins),
+            "embedding_types" -> arr(Seq("float")))
+          inputType.foreach(t => body.put("input_type", t))
+          JsonOps.render(body)
+        },
+        // v2 response nests under embeddings.float; tolerate the v1
+        // flat array so older mocks/endpoints keep working
+        (n, i) => path(n, Seq("embeddings", "float", i.toString))
+          .orElse(path(n, Seq("embeddings", i.toString))),
+        maxBatch = 96, // the reference's cohere maxTextsPerRequest cap
+        render = n => zstdB64(JsonOps.render(n)),
+        metaAdd = Map("cohere.embed.model" -> model))
+    case "cohere.rerank" =>
+      Shape(
+        settings.getOrElse("url", "https://api.cohere.com/v2/rerank"),
+        ins => JsonOps.render(obj(
+          "model" -> txt(settings.getOrElse("model", "rerank-v3.5")),
+          "query" -> txt(settings.getOrElse("query", "")),
+          "documents" -> arr(ins),
+          "return_documents" -> JsonOps.parse("true"))),
+        // reference builds resultMap[result.index] — distribute by the
+        // result's own index field, not response order
+        (n, i) => path(n, Seq("results")).flatMap { rs =>
+          import scala.jdk.CollectionConverters._
+          rs.elements().asScala.find(r =>
+            Option(r.get("index")).exists(_.asInt(-1) == i))
+        },
+        maxBatch = 96)
+    case "ollama.request" =>
+      val base = settings.getOrElse("url", "http://localhost:11434")
+      val model = settings.getOrElse("model", "llama3.2")
+      val prompt = settings.getOrElse("prompt", "")
+      Shape(
+        if (base.endsWith("/api/generate")) base else s"$base/api/generate",
+        ins => {
+          require(ollamaAllowedModels.contains(model),
+            s"model {$model} not allowed by processor. Allowed models: " +
+              ollamaAllowedModels.mkString("[", " ", "]"))
+          JsonOps.render(obj("model" -> txt(model),
+            "prompt" -> txt(ollamaPrompt(prompt, Option(ins.head).getOrElse(""))),
+            "format" -> txt("json"),
+            "stream" -> JsonOps.parse("false")))
+        },
+        // done must be true and response must itself be valid JSON
+        // (ollama.go:218-236); a parse failure errors the record
+        (n, _) =>
+          if (!Option(n.get("done")).exists(_.asBoolean(false))) None
+          else Option(n.get("response")).filter(_.isTextual)
+            .map(r => JsonOps.parse(r.asText())),
+        maxBatch = 1)
     case other => throw new IllegalArgumentException(s"unknown LLM plugin: $other")
   }
 
@@ -317,9 +454,25 @@ case class LlmProcessor(pluginName: String, settings: Map[String, String],
   }
   private def txt(s: String) = JsonOps.mapper.getNodeFactory.textNode(s)
 
-  private val inputRef = Ref.parse(settings.getOrElse("field", ".Payload.After"))
-  private val outputRef = Ref.parse(
-    settings.getOrElse("result.field", ".Payload.After.result"))
+  /** In/out refs, reference spelling first: cohere.embed uses
+    * `inputField`/`outputField`, command/rerank use `request.body`/
+    * `response.body`, openai/ollama use `field` (result written back
+    * in place, like the reference — `result.field` still redirects).
+    */
+  private val (inputRef, outputRef) = {
+    val (in, out) = pluginName match {
+      case "cohere.embed" =>
+        val in = opt("inputField", "field").getOrElse(".Payload.After")
+        (in, opt("outputField", "result.field").getOrElse(in))
+      case "cohere.command" | "cohere.rerank" =>
+        val in = opt("request.body", "field").getOrElse(".Payload.After")
+        (in, opt("response.body", "result.field").getOrElse(in))
+      case _ =>
+        val in = opt("field").getOrElse(".Payload.After")
+        (in, opt("result.field").getOrElse(in))
+    }
+    (Ref.parse(in), Ref.parse(out))
+  }
 
   private def parseDuration(s: String): Long = s.trim match {
     case d if d.endsWith("ms") => d.dropRight(2).toLong
@@ -349,12 +502,12 @@ case class LlmProcessor(pluginName: String, settings: Map[String, String],
     val sh = shape
     val (inRef, outRef) = (inputRef, outputRef)
     val batchSize = math.max(1, math.min(sh.maxBatch,
-      settings.getOrElse("batchSize", sh.maxBatch.toString).toInt))
-    val retryCount = settings.getOrElse("backoffRetry.count", "0").toInt
-    val retryMinMs = parseDuration(settings.getOrElse("backoffRetry.min", "100ms"))
-    val retryMaxMs = parseDuration(settings.getOrElse("backoffRetry.max", "5s"))
-    val retryFactor = settings.getOrElse("backoffRetry.factor", "2").toDouble
-    val auth = settings.get("apiKey").map(k => Map("Authorization" -> s"Bearer $k"))
+      opt("batchSize", "maxTextsPerRequest").getOrElse(sh.maxBatch.toString).toInt))
+    val retryCount = opt("backoffRetry.count", "max_retries").getOrElse("0").toDouble.toInt
+    val retryMinMs = parseDuration(opt("backoffRetry.min", "initial_backoff").getOrElse("100ms"))
+    val retryMaxMs = parseDuration(opt("backoffRetry.max", "max_backoff").getOrElse("5s"))
+    val retryFactor = opt("backoffRetry.factor", "backoff_factor").getOrElse("2").toDouble
+    val auth = opt("apiKey", "api_key").map(k => Map("Authorization" -> s"Bearer $k"))
       .getOrElse(Map.empty) + ("Content-Type" -> "application/json")
     implicit val enc = Encoders.row(schema)
     val mapped = base.mapPartitions { rows =>
@@ -384,8 +537,11 @@ case class LlmProcessor(pluginName: String, settings: Map[String, String],
             group.zipWithIndex.map { case (row, i) =>
               sh.extract(node, i) match {
                 case Some(r) =>
-                  RecordTemplates.setRef(row, outRef,
-                    if (r.isTextual) r.asText() else JsonOps.render(r), names)
+                  var out = RecordTemplates.setRef(row, outRef, sh.render(r), names)
+                  sh.metaAdd.foreach { case (k, v) =>
+                    out = RecordTemplates.setRef(out, Ref.MetadataRef(Seq(k)), v, names)
+                  }
+                  out
                 case None =>
                   RecordTemplates.setError(row, s"$pluginName: empty result", names)
               }

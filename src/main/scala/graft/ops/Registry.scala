@@ -49,10 +49,15 @@ object Registry {
     Ref.parse(f)
   }
 
-  private val llmFactories: Map[String, Factory] =
-    Seq("openai.embed", "openai.textgen", "cohere.command", "cohere.embed",
-      "cohere.rerank", "ollama.request").map(p =>
+  private val llmFactories: Map[String, Factory] = {
+    val canonical = Seq("openai.embed", "openai.textgen", "cohere.command",
+      "cohere.embed", "cohere.rerank", "ollama.request").map(p =>
       p -> ((s: Map[String, String]) => LlmProcessor(p, s): Processor)).toMap
+    // the reference's own spec names as aliases (specs/*.json)
+    canonical ++ Map(
+      "openai.embeddings" -> canonical("openai.embed"),
+      "ollama" -> canonical("ollama.request"))
+  }
 
   val factories: Map[String, Factory] = llmFactories ++ Map[String, Factory](
     "field.set" -> (s => FieldSet(Ref.parse(s("field")), s("value"))),

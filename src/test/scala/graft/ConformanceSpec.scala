@@ -9,7 +9,61 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.JsonOps
 import graft.model.Cdc
-import graft.ops.Registry
+import graft.ops.{HttpTransport, LlmProcessor, Registry, SchemaMiddleware}
+
+/** Shared-JVM request log for the LLM conformance mocks (local mode:
+  * executors share the JVM, so the mapPartitions closures see it).
+  */
+object LlmMockLog {
+  val requests = new java.util.concurrent.ConcurrentHashMap[String,
+    java.util.concurrent.ConcurrentLinkedQueue[(String, Map[String, String], String)]]()
+  def of(spec: String): java.util.concurrent.ConcurrentLinkedQueue[(String, Map[String, String], String)] =
+    requests.computeIfAbsent(spec,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[(String, Map[String, String], String)]())
+}
+
+/** Emulates the per-plugin mock clients the reference's example specs
+  * were generated against (`*_examples_test.go`), recording every
+  * request for shape assertions. Top-level so the closure serializes.
+  */
+case class LlmMockTransport(spec: String) extends HttpTransport {
+  override def send(method: String, url: String, headers: Map[String, String],
+                    body: Array[Byte]): HttpTransport.Response = {
+    val text = new String(body, "UTF-8")
+    LlmMockLog.of(spec).add((url, headers, text))
+    val req = JsonOps.parse(text)
+    def ok(s: String) = HttpTransport.Response(200, s.getBytes("UTF-8"))
+    spec match {
+      case "openai.embeddings" =>
+        val k = req.get("input").size()
+        ok(s"""{"data":[${Seq.fill(k)(
+          """{"embedding":[0.1,0.2,0.3,0.4,0.5]}""").mkString(",")}]}""")
+      case "openai.textgen" =>
+        // the example's mock model follows the developer_message: it
+        // uppercases the user turn — so the assertion implicitly checks
+        // the request carried the payload as the user message
+        val msgs = req.get("messages")
+        val user = msgs.get(msgs.size() - 1).get("content").asText()
+        ok(s"""{"choices":[{"message":{"content":${JsonOps.render(
+          JsonOps.mapper.getNodeFactory.textNode(user.toUpperCase))}}}]}""")
+      case "cohere.command" =>
+        ok("""{"message":{"content":[{"type":"text","text":"cohere command response content"}]}}""")
+      case "cohere.embed" =>
+        val k = req.get("texts").size()
+        ok(s"""{"embeddings":{"float":[${Seq.fill(k)("[0.1,0.2,0.3]").mkString(",")}]}}""")
+      case "cohere.rerank" =>
+        // echo documents back, one result per document, by index
+        val docs = scala.jdk.CollectionConverters
+          .IteratorHasAsScala(req.get("documents").elements()).asScala.toSeq
+        ok(s"""{"results":[${docs.zipWithIndex.map { case (d, i) =>
+          s"""{"document":{"text":${JsonOps.render(d)}},"index":$i,"relevance_score":0.9}"""
+        }.mkString(",")}]}""")
+      case "ollama" =>
+        ok("""{"response":"{\"test-field\": 124}","done":true}""")
+      case other => HttpTransport.Response(500, s"no mock for $other".getBytes)
+    }
+  }
+}
 
 /** Replays the reference's golden processor examples (vendored from
   * `pkg/plugin/processor/builtin/internal/exampleutil/specs/` per
@@ -24,7 +78,18 @@ class ConformanceSpec extends AnyFunSuite {
     "field.convert", "json.decode", "json.encode", "base64.encode",
     "base64.decode", "filter", "error", "clone", "split",
     "unwrap.debezium", "unwrap.kafkaconnect", "unwrap.opencdc",
-    "webhook.http", "avro.decode", "avro.encode")
+    "webhook.http", "avro.decode", "avro.encode",
+    "openai.embeddings", "openai.textgen", "cohere.command",
+    "cohere.embed", "cohere.rerank", "ollama")
+
+  /** spec name → canonical LlmProcessor plugin (these run against the
+    * mock transport, like the reference's examples run against mocked
+    * clients).
+    */
+  private val llmSpecs = Map(
+    "openai.embeddings" -> "openai.embed", "openai.textgen" -> "openai.textgen",
+    "cohere.command" -> "cohere.command", "cohere.embed" -> "cohere.embed",
+    "cohere.rerank" -> "cohere.rerank", "ollama" -> "ollama.request")
 
   /** The avro examples fetch this schema from a registry (subject
     * `example-decode`/`example-preRegistered`); we run the
@@ -144,15 +209,45 @@ class ConformanceSpec extends AnyFunSuite {
           .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
           .getOrElse(Map.empty)
         val cleaned = config.filterNot(_._1.startsWith("sdk."))
-        val proc = Registry.create(specName,
-          if (specName.startsWith("avro.")) cleaned + ("schema" -> avroExampleSchema)
-          else cleaned)
+        val proc =
+          if (llmSpecs.contains(specName)) {
+            LlmMockLog.of(specName).clear()
+            SchemaMiddleware.wrap(
+              LlmProcessor(llmSpecs(specName), cleaned, LlmMockTransport(specName)),
+              cleaned)
+          } else Registry.create(specName,
+            if (specName.startsWith("avro.")) cleaned + ("schema" -> avroExampleSchema)
+            else cleaned)
         val in = haveToDf(ex.get("have"))
         val out = Cdc.withErrorChannel(proc(in))
-        val rows = out.orderBy(col(Cdc.Metadata).getItem("clone.index").cast("int"),
-          col(Cdc.Metadata).getItem("split.index").cast("int")).collect()
+        // sort driver-side (a handful of rows): a global orderBy would
+        // range-sample the plan and evaluate the processor lineage twice,
+        // which breaks the request-count assertions below
+        val rows = out.collect().sortBy { r =>
+          val m = Option(r.getAs[Map[String, String]](Cdc.Metadata)).getOrElse(Map.empty)
+          (m.get("clone.index").map(_.toInt).getOrElse(0),
+            m.get("split.index").map(_.toInt).getOrElse(0))
+        }
         val want = ex.get("want")
-        if (want.isObject && want.properties().asScala.isEmpty) {
+        if (specName == "cohere.embed") {
+          // the reference's exporter UTF-8-mangled the zstd frame in this
+          // fixture's want payload (the raw bytes aren't valid UTF-8), so
+          // compare semantically: everything but the payload exactly, then
+          // decompress the payload and match the embedding JSON.
+          assert(rows.length == 1, s"expected 1 record, got ${rows.length}")
+          val row = rows.head
+          assert(row.getAs[String](Cdc.Error) == null)
+          assert(row.getString(1) == want.get("operation").asText(), "operation")
+          val wantMeta = want.get("metadata").properties().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap
+          assert(row.getAs[Map[String, String]](Cdc.Metadata) == wantMeta,
+            "metadata must carry cohere.embed.model")
+          val packed = java.util.Base64.getDecoder.decode(row.getString(6))
+          val json = new String(com.github.luben.zstd.Zstd.decompress(
+            packed, com.github.luben.zstd.Zstd.getFrameContentSize(packed).toInt), "UTF-8")
+          assert(JsonOps.parse(json) == JsonOps.parse("[0.1,0.2,0.3]"),
+            s"decompressed embedding: $json")
+        } else if (want.isObject && want.properties().asScala.isEmpty) {
           // FilterRecord: dropped
           assert(rows.isEmpty, s"expected record dropped, got ${rows.length}")
         } else if (want.isObject && want.has("error")) {
@@ -170,6 +265,56 @@ class ConformanceSpec extends AnyFunSuite {
           assert(rows.head.getAs[String](Cdc.Error) == null,
             s"unexpected error: ${rows.head.getAs[String](Cdc.Error)}")
           compareRecord(rows.head, want, "record")
+        }
+        // request-shape assertions: the mock recorded every HTTP call
+        if (llmSpecs.contains(specName)) {
+          val reqs = LlmMockLog.of(specName).asScala.toSeq
+          assert(reqs.length == 1, s"expected 1 request, got ${reqs.length}")
+          val (url, headers, body) = reqs.head
+          val req = JsonOps.parse(body)
+          specName match {
+            case "openai.embeddings" =>
+              assert(headers.get("Authorization").contains(s"Bearer ${config("api_key")}"))
+              assert(req.get("model").asText() == config("model"))
+              assert(req.get("input").size() == 1)
+              assert(req.get("input").get(0).asText() ==
+                "This is a sample text to generate embeddings for.")
+            case "openai.textgen" =>
+              assert(req.get("model").asText() == config("model"))
+              val msgs = req.get("messages")
+              assert(msgs.size() == 2)
+              assert(msgs.get(0).get("role").asText() == "developer")
+              assert(msgs.get(0).get("content").asText() == config("developer_message"))
+              assert(msgs.get(1).get("role").asText() == "user")
+              assert(msgs.get(1).get("content").asText() == "hello world")
+            case "cohere.command" =>
+              assert(headers.get("Authorization").contains(s"Bearer ${config("apiKey")}"))
+              assert(req.get("model").asText() == config("model"))
+              // Go Sprintf("hello", input) — formatless prompt keeps the
+              // EXTRA suffix (command.go:154)
+              assert(req.get("messages").get(0).get("content").asText() ==
+                "hello%!(EXTRA string=who are you?)")
+            case "cohere.embed" =>
+              assert(req.get("model").asText() == config("model"))
+              assert(req.get("texts").size() == 1)
+              assert(req.get("texts").get(0).asText() == "test input")
+              assert(req.get("embedding_types").get(0).asText() == "float")
+            case "cohere.rerank" =>
+              assert(req.get("model").asText() == config("model"))
+              assert(req.get("query").asText() == config("query"))
+              assert(req.get("return_documents").asBoolean())
+              assert(req.get("documents").size() == 1)
+            case "ollama" =>
+              assert(url == s"${config("url")}/api/generate")
+              assert(req.get("model").asText() == config("model"))
+              assert(req.get("format").asText() == "json")
+              assert(!req.get("stream").asBoolean())
+              val prompt = req.get("prompt").asText()
+              assert(prompt.contains(config("prompt")), "instructions embedded")
+              assert(prompt.contains("test-field"), "record embedded")
+              assert(prompt.contains("Only send back records in the json format"))
+            case _ =>
+          }
         }
       }
     }

@@ -32,10 +32,29 @@ case class FakeTransport(name: String, failFirst: Int = 0, failStatus: Int = 503
         .map(node => if (node.isArray) node.size() else 1).getOrElse(1)
       val data = Seq.fill(k)("""{"embedding":[0.1,0.2,0.3]}""").mkString(",")
       val embs = Seq.fill(k)("[0.1,0.2]").mkString(",")
-      HttpTransport.Response(200, s"""{"data":[$data],"embeddings":[$embs]}""".getBytes)
+      // openai response shape + cohere v2 embeddings.float shape
+      HttpTransport.Response(200,
+        s"""{"data":[$data],"embeddings":{"float":[$embs]}}""".getBytes)
     } else HttpTransport.Response(200,
       s"""{"echo":{"method":"$method","url":"$url","body":${JsonOps.render(
         JsonOps.mapper.getNodeFactory.textNode(new String(body, "UTF-8")))}}}""".getBytes)
+  }
+}
+
+/** Returns rerank results in reverse order, index fields intact, to
+  * prove distribution goes by the result's own index.
+  */
+case class RerankReverseTransport() extends HttpTransport {
+  override def send(method: String, url: String, headers: Map[String, String],
+                    body: Array[Byte]): HttpTransport.Response = {
+    FakeCalls.of("rerank-rev").incrementAndGet()
+    val req = JsonOps.parse(new String(body, "UTF-8"))
+    val docs = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(req.get("documents").elements()).asScala.toSeq
+    val results = docs.zipWithIndex.reverse.map { case (d, i) =>
+      s"""{"document":{"text":${JsonOps.render(d)}},"index":$i,"relevance_score":0.5}"""
+    }.mkString(",")
+    HttpTransport.Response(200, s"""{"results":[$results]}""".getBytes)
   }
 }
 
@@ -121,8 +140,17 @@ class EnrichSpec extends AnyFunSuite {
     val out = proc(recs).collect()
     assert(out.length == 10)
     assert(out.forall(_.getAs[String](Cdc.Error) == null))
-    assert(out.forall(r => JsonOps.parse(r.getAs[String](Cdc.PayloadAfter))
-      .get("emb").isArray))
+    // reference compresses the embedding JSON with zstd (embed.go:244);
+    // our string-typed payload slots carry it base64'd
+    out.foreach { r =>
+      val b64 = JsonOps.parse(r.getAs[String](Cdc.PayloadAfter)).get("emb").asText()
+      val packed = java.util.Base64.getDecoder.decode(b64)
+      val json = new String(com.github.luben.zstd.Zstd.decompress(
+        packed, com.github.luben.zstd.Zstd.getFrameContentSize(packed).toInt), "UTF-8")
+      assert(JsonOps.parse(json).isArray)
+      assert(r.getAs[Map[String, String]](Cdc.Metadata)
+        .get("cohere.embed.model").contains("embed-english-v2.0"))
+    }
     assert(FakeCalls.of("t5").get() == 2, "10 records / batchSize 5 = 2 requests")
   }
 
@@ -175,6 +203,33 @@ class EnrichSpec extends AnyFunSuite {
     val tags = gated.collect().flatMap(
       _.getAs[Map[String, String]](Cdc.Metadata).get("tag"))
     assert(tags.count(_ == "v2") > 0 && tags.count(_ == "v2") < 4)
+  }
+
+  test("cohere.rerank: batched, results distributed by their index field") {
+    // returns results in REVERSE order — distribution must go by the
+    // result's own index (reference resultMap, rerank.go:203-213)
+    val t = RerankReverseTransport()
+    val proc = LlmProcessor("cohere.rerank", Map(
+      "query" -> "q", "apiKey" -> "k",
+      "request.body" -> ".Payload.After.doc",
+      "response.body" -> ".Payload.After.rank"), t)
+    val recs = genRecords(4).repartition(1).withColumn(Cdc.PayloadAfter,
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("""{"doc":"d"""),
+        org.apache.spark.sql.functions.get_json_object(
+          org.apache.spark.sql.functions.col(Cdc.PayloadAfter), "$.id"),
+        org.apache.spark.sql.functions.lit(""""}""")))
+    val out = proc(recs).collect()
+    assert(out.forall(_.getAs[String](Cdc.Error) == null))
+    out.foreach { r =>
+      val p = JsonOps.parse(r.getAs[String](Cdc.PayloadAfter))
+      // sub-field setRef embeds parseable values as structured JSON
+      val rank = if (p.get("rank").isTextual) JsonOps.parse(p.get("rank").asText())
+                 else p.get("rank")
+      assert(rank.get("document").get("text").asText() == p.get("doc").asText(),
+        "each record must get its OWN document's result back")
+    }
+    assert(FakeCalls.of("rerank-rev").get() == 1, "one request for the batch of 4")
   }
 
   test("ollama.request: text response written back") {
