@@ -103,6 +103,45 @@ object AvroCodec {
     case other => throw new IllegalArgumentException(s"unsupported Avro type: $other")
   }
 
+  /** Infer an Avro schema from canonical JSON, mirroring the shape the
+    * reference's autoRegister strategy extracts from structured data
+    * (`impl/avro/internal/encoder.go:68-95`, verified against the
+    * Auto-register golden vector): objects become records with fields
+    * sorted alphabetically (heterogeneous maps are records, not avro
+    * maps), booleans → boolean, non-integral numbers → double. JSON
+    * numbers carry no width, so integral numbers infer as long (same
+    * varint wire encoding as the reference's int). Nulls infer as
+    * ["null","string"]; array element types come from the first
+    * element. Nested record names take the field name with the parent's
+    * fullname as namespace, keeping fullnames unique.
+    */
+  def inferSchema(node: JsonNode, name: String = "record",
+                  namespace: String = null): Schema = {
+    import Schema.Type
+    if (node == null || node.isNull)
+      Schema.createUnion(Schema.create(Type.NULL), Schema.create(Type.STRING))
+    else if (node.isObject) {
+      val rec = Schema.createRecord(name, null, namespace, false)
+      val ns = Option(namespace).map(_ + "." + name).getOrElse(name)
+      val fields = node.properties().asScala.toSeq.sortBy(_.getKey).map { e =>
+        new Schema.Field(e.getKey, inferSchema(e.getValue, e.getKey, ns), null)
+      }
+      rec.setFields(fields.asJava)
+      rec
+    }
+    else if (node.isTextual) Schema.create(Type.STRING)
+    else if (node.isBoolean) Schema.create(Type.BOOLEAN)
+    else if (node.isIntegralNumber) Schema.create(Type.LONG)
+    else if (node.isNumber) Schema.create(Type.DOUBLE)
+    else if (node.isArray) {
+      val elem =
+        if (node.size() == 0) Schema.create(Type.STRING)
+        else inferSchema(node.get(0), name + "_item", namespace)
+      Schema.createArray(elem)
+    }
+    else throw new IllegalArgumentException(s"cannot infer Avro type for $node")
+  }
+
   /** canonical JSON text → Confluent-framed Avro bytes. */
   def encode(json: String, schema: Schema, schemaId: Int): Array[Byte] = {
     val datum = jsonToAvro(JsonOps.parse(json), schema)

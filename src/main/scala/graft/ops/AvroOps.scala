@@ -48,6 +48,39 @@ object AvroExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** `avro.encode` with the reference's default `autoRegister` strategy
+    * (`impl/avro/internal/encoder.go:68-95`): infer the schema from each
+    * record's structured payload, register it under the subject, encode
+    * with the returned id. Inference + registration are cached per
+    * schema text ([[SchemaRegistry.register]]), so a homogeneous stream
+    * costs one registry call per executor JVM, then pure encoding.
+    */
+  case class AvroAutoEncodeExpr(child: Expression, subject: String,
+                                registryUrl: String, transport: HttpTransport)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("value", StringType), StructField("error", StringType)))
+    override def nullable: Boolean = false
+    override def prettyName: String = "avro_encode_auto"
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) return new GenericInternalRow(Array[Any](null, null))
+      try {
+        val json = v.asInstanceOf[UTF8String].toString
+        val schema = AvroCodec.inferSchema(graft.functions.JsonOps.parse(json))
+        val id = SchemaRegistry.register(registryUrl, subject, schema.toString, transport)
+        val bytes = AvroCodec.encode(json, schema, id)
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)),
+          null))
+      } catch {
+        case e: Exception => new GenericInternalRow(Array[Any](v,
+          UTF8String.fromString(s"avro.encode: ${e.getMessage}")))
+      }
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   case class AvroDecodeExpr(child: Expression, schemaJson: String)
       extends UnaryExpression with CodegenFallback {
     @transient private lazy val schema = AvroCodec.parseSchema(schemaJson)
@@ -86,6 +119,31 @@ case class AvroEncode(ref: Ref, schemaJson: String, schemaId: Int)
       else graft.functions.JsonExpressions.jsonGet(col(slot), ref.sub, raw = false)
     Map("_avro" -> Bridge.column(
       AvroExpressions.AvroEncodeExpr(Bridge.expression(src), schemaJson, schemaId)))
+  }
+  override def rewrites(df: DataFrame): Map[String, Column] = {
+    val slot = RefCols.column(ref)
+    val value = col("_avro").getField("value")
+    Map(
+      slot -> (if (ref.sub.isEmpty) value
+        else graft.functions.JsonExpressions.jsonSet(col(slot), ref.sub, value)),
+      Cdc.Error -> coalesce(col(Cdc.Error), col("_avro").getField("error")))
+  }
+}
+
+/** The autoRegister strategy as a processor: per-record schema
+  * inference, subject registration, Confluent-framed encode.
+  */
+case class AvroEncodeAuto(ref: Ref, subject: String, registryUrl: String,
+                          transport: HttpTransport = HttpTransport.Default)
+    extends ColumnProcessor {
+  val plugin = "avro.encode"
+  override def tempColumns(df: DataFrame): Map[String, Column] = {
+    val slot = RefCols.column(ref)
+    val src = if (ref.sub.isEmpty) col(slot)
+      else graft.functions.JsonExpressions.jsonGet(col(slot), ref.sub, raw = true)
+    Map("_avro" -> Bridge.column(
+      AvroExpressions.AvroAutoEncodeExpr(Bridge.expression(src), subject,
+        registryUrl, transport)))
   }
   override def rewrites(df: DataFrame): Map[String, Column] = {
     val slot = RefCols.column(ref)

@@ -81,8 +81,18 @@ object Registry {
     "unwrap.kafkaconnect" -> (s => UnwrapKafkaConnect(ref(s, ".Payload.After"))),
     "unwrap.opencdc" -> (s => UnwrapOpencdc(ref(s, ".Payload.After"))),
     "webhook.http" -> (s => WebhookHttp(s)),
-    "avro.encode" -> (s => AvroEncode(ref(s, ".Payload.After"), s("schema"),
-      s.getOrElse("schema.id", "1").toInt)),
+    "avro.encode" -> (s => s.get("schema.strategy") match {
+      // reference default strategy: infer from payload + register
+      case Some("autoRegister") => AvroEncodeAuto(ref(s, ".Payload.After"),
+        s.getOrElse("schema.autoRegister.subject",
+          throw new IllegalArgumentException(
+            "avro.encode autoRegister: missing schema.autoRegister.subject")),
+        s.getOrElse("schema.registry.url",
+          throw new IllegalArgumentException(
+            "avro.encode autoRegister: missing schema.registry.url")))
+      case _ => AvroEncode(ref(s, ".Payload.After"), s("schema"),
+        s.getOrElse("schema.id", "1").toInt)
+    }),
     "avro.decode" -> (s => AvroDecode(ref(s, ".Payload.After"), s("schema"))),
     "sql" -> (s => SqlProc(s("query"), s.getOrElse("view", "records"))),
     "dedup.exact" -> (s => DedupExact(s.get("field").map(Ref.parse))),

@@ -42,6 +42,35 @@ object SchemaRegistry {
     })
   }
 
+  private val registered = new ConcurrentHashMap[String, Int]()
+
+  /** Register a schema under a subject (`POST /subjects/{subject}/
+    * versions`, the Confluent API the reference's CreateSchema speaks —
+    * `impl/avro/internal/encoder.go:80-88`) and return its id. Cached
+    * per (url, subject, schema) for the JVM: on a cluster each executor
+    * registers a distinct schema at most once, and the registry dedups
+    * identical schema text to the same id, so re-registration across
+    * executors is idempotent (the standard Confluent-serializer
+    * client-side-cache pattern).
+    */
+  def register(baseUrl: String, subject: String, schemaJson: String,
+               transport: HttpTransport = HttpTransport.Default): Int = {
+    val url = s"${baseUrl.stripSuffix("/")}/subjects/$subject/versions"
+    registered.computeIfAbsent(s"$url|$schemaJson", { _ =>
+      val body = JsonOps.mapper.getNodeFactory.objectNode()
+      body.put("schema", schemaJson)
+      body.put("schemaType", "AVRO")
+      val resp = transport.send("POST", url,
+        Map("Content-Type" -> "application/vnd.schemaregistry.v1+json"),
+        JsonOps.render(body).getBytes("UTF-8"))
+      if (resp.status >= 400)
+        throw new RuntimeException(s"schema registry: $url returned ${resp.status}")
+      val node = JsonOps.parse(new String(resp.body, "UTF-8"))
+      Option(node.get("id")).map(_.asInt()).getOrElse(throw new RuntimeException(
+        s"schema registry: no id in response from $url"))
+    })
+  }
+
   /** Test hook: drop cached resolutions. */
-  def clearCache(): Unit = cache.clear()
+  def clearCache(): Unit = { cache.clear(); registered.clear() }
 }

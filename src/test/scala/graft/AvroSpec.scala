@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -47,6 +49,43 @@ class AvroSpec extends AnyFunSuite {
     val back = dec(encoded).select(col(Cdc.PayloadAfter)).first().getString(0)
     assert(JsonOps.parse(back) ==
       JsonOps.parse("""{"id":5,"name":"bob","scores":[1.0],"tags":{}}"""))
+  }
+
+  test("inferSchema: records sorted, long/double/bool/null/array mapping") {
+    val s = graft.functions.AvroCodec.inferSchema(JsonOps.parse(
+      """{"z":1,"a":2.5,"m":{"y":true,"x":null},"arr":[1,2],"s":"hi"}"""))
+    assert(s.getType == org.apache.avro.Schema.Type.RECORD)
+    assert(s.getFields.asScala.map(_.name()).toSeq == Seq("a", "arr", "m", "s", "z"))
+    assert(s.getField("z").schema().getType == org.apache.avro.Schema.Type.LONG)
+    assert(s.getField("a").schema().getType == org.apache.avro.Schema.Type.DOUBLE)
+    assert(s.getField("s").schema().getType == org.apache.avro.Schema.Type.STRING)
+    assert(s.getField("arr").schema().getType == org.apache.avro.Schema.Type.ARRAY)
+    assert(s.getField("arr").schema().getElementType.getType ==
+      org.apache.avro.Schema.Type.LONG)
+    val m = s.getField("m").schema()
+    assert(m.getType == org.apache.avro.Schema.Type.RECORD, "objects become records")
+    assert(m.getField("x").schema().getType == org.apache.avro.Schema.Type.UNION)
+    assert(m.getField("y").schema().getType == org.apache.avro.Schema.Type.BOOLEAN)
+    // a homogeneous stream re-registers nothing: encode 10 rows against a
+    // counting transport and expect exactly one POST
+    graft.ops.SchemaRegistry.clearCache()
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val t = new graft.ops.HttpTransport {
+      override def send(method: String, url: String, headers: Map[String, String],
+                        body: Array[Byte]) = {
+        counter.incrementAndGet()
+        graft.ops.HttpTransport.Response(200, """{"id":7}""".getBytes)
+      }
+    }
+    val recs = Runner.source(spark, graft.pipeline.ConnectorConfig("g", "builtin:generator",
+      Map("format.options.id" -> "int", "recordCount" -> "10")), streaming = false)
+      .withColumn(Cdc.PayloadAfter, lit("""{"k":1,"v":"x"}"""))
+    val out = graft.ops.AvroEncodeAuto(graft.model.Ref.parse(".Payload.After"),
+      "subj", "http://registry.local", t)(recs).collect()
+    assert(out.length == 10)
+    assert(out.forall(r => r.getAs[String](Cdc.PayloadAfter).charAt(4) == '\u0007'),
+      "registered id in every frame")
+    assert(counter.get() == 1, "one registration for a homogeneous stream")
   }
 
   test("avro.decode of garbage routes to the error channel") {

@@ -122,13 +122,31 @@ class ConformanceSpec extends AnyFunSuite {
   }
 
   /** Documented deviations (plugin, example summary) we intentionally
-    * do not replicate — keep this list SHORT and justified.
+    * do not replicate — keep this list SHORT and justified. (Currently
+    * empty: every ported example runs.)
     */
-  private val skips: Set[(String, String)] = Set(
-    // autoRegister infers a schema by reflection and registers it on
-    // the fly — we support the (recommended) preRegistered strategy;
-    // SURVEY §2.6 documents the registry-client gap.
-    ("avro.encode", "Auto-register schema"))
+  private val skips: Set[(String, String)] = Set.empty
+
+  /** Mock Confluent registry for the autoRegister strategy: accepts
+    * `POST /subjects/{subject}/versions`, records (path, body), returns
+    * id 1 (the id the golden vector was generated with).
+    */
+  private val registryPosts =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+  private lazy val registryServer = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 54322), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      registryPosts.add((ex.getRequestURI.getPath, body))
+      val bytes = """{"id":1}""".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.getResponseBody.close()
+    })
+    server.start()
+    server
+  }
 
   private def loadSpec(name: String): JsonNode = {
     val in = getClass.getResourceAsStream(s"/conformance/$name.json")
@@ -205,6 +223,8 @@ class ConformanceSpec extends AnyFunSuite {
       test(s"$specName: $summary") {
         assume(!skips.contains((specName, summary)), "documented deviation")
         if (specName == "webhook.http") webhookServer
+        val autoRegister = specName == "avro.encode" && summary == "Auto-register schema"
+        if (autoRegister) { registryServer; graft.ops.SchemaRegistry.clearCache() }
         val config = Option(ex.get("config"))
           .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
           .getOrElse(Map.empty)
@@ -216,7 +236,9 @@ class ConformanceSpec extends AnyFunSuite {
               LlmProcessor(llmSpecs(specName), cleaned, LlmMockTransport(specName)),
               cleaned)
           } else Registry.create(specName,
-            if (specName.startsWith("avro.")) cleaned + ("schema" -> avroExampleSchema)
+            if (autoRegister)
+              cleaned + ("schema.registry.url" -> "http://127.0.0.1:54322")
+            else if (specName.startsWith("avro.")) cleaned + ("schema" -> avroExampleSchema)
             else cleaned)
         val in = haveToDf(ex.get("have"))
         val out = Cdc.withErrorChannel(proc(in))
@@ -229,7 +251,39 @@ class ConformanceSpec extends AnyFunSuite {
             m.get("split.index").map(_.toInt).getOrElse(0))
         }
         val want = ex.get("want")
-        if (specName == "cohere.embed") {
+        if (autoRegister) {
+          // the exporter UTF-8-mangled the avro wire bytes >0x7F in this
+          // fixture (each bad byte → one U+FFFD, so positions align):
+          // compare every clean byte positionally, then prove the rest by
+          // decoding with the schema the processor actually registered.
+          assert(rows.length == 1, s"expected 1 record, got ${rows.length}")
+          val row = rows.head
+          assert(row.getAs[String](Cdc.Error) == null,
+            s"unexpected error: ${row.getAs[String](Cdc.Error)}")
+          assert(row.getString(1) == want.get("operation").asText(), "operation")
+          val got = row.getString(6)
+          val wantAfter = want.get("payload").get("after").asText()
+          assert(got.length == wantAfter.length,
+            s"wire length: got ${got.length} want ${wantAfter.length}")
+          wantAfter.zipWithIndex.foreach { case (c, i) =>
+            if (c != '�')
+              assert(got(i) == c, s"wire byte $i: got ${got(i).toInt} want ${c.toInt}")
+          }
+          // exactly one registration, under the configured subject
+          val posts = registryPosts.asScala.toSeq
+          assert(posts.map(_._1).distinct ==
+            Seq(s"/subjects/${config("schema.autoRegister.subject")}/versions"))
+          val registered = JsonOps.parse(posts.last._2).get("schema").asText()
+          val schema = graft.functions.AvroCodec.parseSchema(registered)
+          assert(schema.getFields.asScala.map(_.name()).toSeq ==
+            Seq("myFloat", "myInt", "myMap", "myString", "myStruct"),
+            "inferred record fields, sorted")
+          val bytes = got.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          val (id, json) = graft.functions.AvroCodec.decode(bytes, schema)
+          assert(id == 1, "Confluent header carries the registered id")
+          assert(json == JsonOps.render(ex.get("have").get("payload").get("after")),
+            s"roundtrip: $json")
+        } else if (specName == "cohere.embed") {
           // the reference's exporter UTF-8-mangled the zstd frame in this
           // fixture's want payload (the raw bytes aren't valid UTF-8), so
           // compare semantically: everything but the payload exactly, then
