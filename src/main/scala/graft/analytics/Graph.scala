@@ -50,7 +50,8 @@ object Graph {
       deterministic: Boolean = false,
       eager: Boolean = true,
       checkpointDir: Option[String] = None,
-      maxInDegree: Int = 1000000): DataFrame = {
+      maxInDegree: Int = 1000000,
+      onFences: Seq[DataFrame] => Unit = null): DataFrame = {
     require(iterations >= 1 && iterations <= 50, s"iterations=$iterations")
     require(damping > 0 && damping < 1, s"damping=$damping")
     require(maxInDegree >= 1, s"maxInDegree=$maxInDegree")
@@ -108,7 +109,14 @@ object Graph {
     // final table is materialized to storage-backed blocks so the
     // loop-invariant caches can be released here instead of leaking
     // into the caller's session (RetrievalSpec's cache hygiene).
-    if (!eager) return ranks
+    // eager=false hands the still-needed caches to `onFences` so a
+    // recurring caller (a per-batch pipeline processor) can release
+    // them once the batch is materialized — without the hook each
+    // batch would strand two node-sized frames in the CacheManager.
+    if (!eager) {
+      if (onFences != null) onFences(Seq(ew, nodes))
+      return ranks
+    }
     // Like Dedup.components, the iterative operator is EAGER by
     // default: the final table is spilled to parquet and read back so
     // the loop-invariant caches can be released here instead of
@@ -177,7 +185,8 @@ object Graph {
       dstCol: String,
       iterations: Int = 3,
       deterministic: Boolean = false,
-      eager: Boolean = true): DataFrame = {
+      eager: Boolean = true,
+      onFences: Seq[DataFrame] => Unit = null): DataFrame = {
     require(iterations >= 1 && iterations <= 20, s"iterations=$iterations")
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
@@ -241,9 +250,13 @@ object Graph {
       .na.fill(0.0, Seq("authority", "hub"))
       .select(col("node"), col("authority"), col("hub"))
     // eager=false (pageRank's contract): return the lazy plan and
-    // leave the final round's caches to the caller — the in-pipeline
-    // mode, where no spill dir may exist
-    if (!eager) return out
+    // hand the final round's caches (plus the edge frame) to
+    // `onFences` so a per-batch caller can release them after
+    // materialization instead of stranding them in the CacheManager
+    if (!eager) {
+      if (onFences != null) onFences(prevFences :+ e)
+      return out
+    }
     // eager parquet-spill tail (pageRank's pattern + dir resolution):
     // materialize, then release every per-round fence instead of
     // leaking persisted frames into the caller's session
@@ -486,7 +499,8 @@ object Graph {
       dstCol: String,
       k: Int,
       maxRounds: Int = 10,
-      eager: Boolean = true): DataFrame = {
+      eager: Boolean = true,
+      onFences: Seq[DataFrame] => Unit = null): DataFrame = {
     require(k >= 1 && maxRounds >= 1, s"k=$k maxRounds=$maxRounds")
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def adj(e: DataFrame): DataFrame =
@@ -520,9 +534,11 @@ object Graph {
     if (!eager) {
       // in-pipeline mode: no spill dir may exist — return the lazy
       // plan over the FINAL surviving edge frame (still cached; its
-      // release is the caller's) and drop the earlier rounds' caches,
-      // which the convergence counts already materialized past
+      // release is the caller's, via `onFences`) and drop the earlier
+      // rounds' caches, which the convergence counts already
+      // materialized past
       fences.filter(_ ne e).foreach(_.unpersist(false))
+      if (onFences != null) onFences(Seq(e))
       return out
     }
     val spark = edges.sparkSession
@@ -640,6 +656,20 @@ object Graph {
     // neighbor list (bounded by the upper-bound prune) and keep the
     // neighbors that are also y's
     val slow = annotated.filter(least(col("_hdx"), col("_hdy")) > 0L)
+    // expansion budget (hub regime only — the isEmpty probe costs one
+    // degree scan, far below the wedge join; the budget aggregate is
+    // the documented bounded 1-row collect class and recomputes the
+    // candidate lineage once, the price of entering the risky regime)
+    if (!hubs.isEmpty) {
+      val expansion = slow.agg(coalesce(sum(col("deg_a")), lit(0L)).as("_e"))
+        .collect().head.getLong(0)
+      require(expansion <= maxExpansion,
+        s"jaccardLinks: exact hub re-scoring would expand $expansion " +
+          s"adjacency rows (> maxExpansion=$maxExpansion) — minJaccard=" +
+          s"$minJaccard is small enough to re-admit the quadratic surface " +
+          "the maxDegree cap removed; raise minJaccard, lower maxDegree, " +
+          "or raise maxExpansion explicitly")
+    }
     val exact = slow.select(col("_x"), col("_y"))
       .join(adj.select(col("_n").as("_x"), col("_nbr")), "_x")
       .join(adj.select(col("_n").as("_y"), col("_nbr")), Seq("_y", "_nbr"),

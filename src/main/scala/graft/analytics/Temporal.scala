@@ -1025,14 +1025,26 @@ object Temporal {
       b: DataFrame,
       xCol: String,
       valueCol: String,
-      maxLag: Int): DataFrame = {
+      maxLag: Int,
+      scale: Int = 0): DataFrame = {
     require(maxLag >= 0 && maxLag <= 64, s"maxLag=$maxLag")
+    require(scale >= 0 && scale <= 6, s"scale=$scale")
     val d38 = "decimal(38,0)"
+    // fractional series: Pearson r is invariant under positive affine
+    // maps, so `scale` fixes the decimal precision the inputs fold at
+    // (values × 10^scale, the bollinger cent-scaling pattern) without
+    // perturbing r — scale=0 keeps the integer-series contract (and
+    // silently floors genuinely fractional inputs; pass scale > 0 for
+    // those)
+    val vcast = (c: Column) =>
+      if (scale == 0) c.cast(d38)
+      else (c.cast(s"decimal(38,$scale)") *
+        lit(BigDecimal(10).pow(scale))).cast(d38)
     val lags = (-maxLag to maxLag).map(l => lit(l.toLong)).toSeq
     val aa = a.select(col(xCol).cast("long").as("_x"),
-      col(valueCol).cast(d38).as("_va"))
+      vcast(col(valueCol)).as("_va"))
     val bb = b.select(col(xCol).cast("long").as("_xb"),
-      col(valueCol).cast(d38).as("_vb"))
+      vcast(col(valueCol)).as("_vb"))
     val lagged = aa.withColumn("lag", explode(array(lags: _*)))
       .join(bb, col("_xb") === col("_x") + col("lag"))
     val s = lagged.groupBy(col("lag"))
@@ -1123,7 +1135,11 @@ object Temporal {
     val p = ((ts - pmod(ts, lit(periodSeconds))) / lit(periodSeconds))
       .cast("long")
     val v = col(valueCol).cast("decimal(18,2)")
-    df.filter(col(valueCol).isNotNull)
+    // null ts/id would aggregate into a spurious null-period bar (and
+    // a null leg in the min/max struct ordering) — filter every input
+    // column, like the sibling operators
+    df.filter(col(valueCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull)
       .select(g ++ Seq(p.as("period"), ts.as("_t"),
         col(idCol).as("_id"), v.as("_v")): _*)
       .groupBy(g :+ col("period"): _*)

@@ -177,15 +177,35 @@ case class NoisyCountProc(fields: Seq[Ref], epsilon: Double, seed: Long)
   * no spill dir needed inside a pipeline). Aggregate output via
   * [[Cdc.wrap]].
   */
+/** Per-batch cache hygiene for the iterative graph processors: the
+  * lazy (`eager=false`) tails keep their final round's frames
+  * persisted so the sink write doesn't recompute the loop — but in a
+  * recurring pipeline each batch would strand those frames in the
+  * CacheManager forever. Batch n's fences are released when batch n+1
+  * arrives (n's sink write has materialized and consumed them by
+  * then); a one-shot call retains at most one batch's worth, bounded.
+  */
+trait BatchFenceRelease {
+  @transient private var lastFences: Seq[DataFrame] = Nil
+  /** Release the previous batch's frames; returns the registrar to
+    * pass as `onFences`.
+    */
+  protected def rotateFences(): Seq[DataFrame] => Unit = {
+    lastFences.foreach(_.unpersist(false))
+    lastFences = Nil
+    f => lastFences = f
+  }
+}
+
 case class PageRankProc(src: Ref, dst: Ref, iterations: Int,
-                        damping: Double) extends Processor {
+                        damping: Double) extends Processor with BatchFenceRelease {
   val plugin = "graph.pagerank"
   override def transform(df: DataFrame): DataFrame = {
     val edges = df.select(Analytics2Ops.fieldCol(df, src).as("_src"),
         Analytics2Ops.fieldCol(df, dst).as("_dst"))
       .filter(col("_src").isNotNull && col("_dst").isNotNull)
     val ranks = graft.analytics.Graph.pageRank(edges, "_src", "_dst",
-      iterations, damping, eager = false)
+      iterations, damping, eager = false, onFences = rotateFences())
     Cdc.wrap(ranks, "node", "graph.pagerank")
   }
 }
@@ -307,14 +327,15 @@ case class KmvProc(groupFields: Seq[Ref], valueField: Ref, k: Int,
   * spill dir needed inside a pipeline): one create record per node
   * with (authority, hub). Aggregate output via [[Cdc.wrap]].
   */
-case class HitsProc(src: Ref, dst: Ref, iterations: Int) extends Processor {
+case class HitsProc(src: Ref, dst: Ref, iterations: Int)
+    extends Processor with BatchFenceRelease {
   val plugin = "graph.hits"
   override def transform(df: DataFrame): DataFrame = {
     val edges = df.select(Analytics2Ops.fieldCol(df, src).as("_src"),
         Analytics2Ops.fieldCol(df, dst).as("_dst"))
       .filter(col("_src").isNotNull && col("_dst").isNotNull)
     val out = graft.analytics.Graph.hits(edges, "_src", "_dst",
-      iterations, eager = false)
+      iterations, eager = false, onFences = rotateFences())
     Cdc.wrap(out, "node", "graph.hits")
   }
 }
@@ -325,14 +346,14 @@ case class HitsProc(src: Ref, dst: Ref, iterations: Int) extends Processor {
   * Aggregate output via [[Cdc.wrap]].
   */
 case class KCoreProc(src: Ref, dst: Ref, k: Int, maxRounds: Int)
-    extends Processor {
+    extends Processor with BatchFenceRelease {
   val plugin = "graph.kcore"
   override def transform(df: DataFrame): DataFrame = {
     val edges = df.select(Analytics2Ops.fieldCol(df, src).as("_src"),
         Analytics2Ops.fieldCol(df, dst).as("_dst"))
       .filter(col("_src").isNotNull && col("_dst").isNotNull)
     val out = graft.analytics.Graph.kCore(edges, "_src", "_dst",
-      k, maxRounds, eager = false)
+      k, maxRounds, eager = false, onFences = rotateFences())
     Cdc.wrap(out, "node", "graph.kcore")
   }
 }
