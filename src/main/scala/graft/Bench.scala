@@ -269,7 +269,16 @@ object Bench {
     val calJson = "{\"probe_s\":" + arr(probes.toSeq) +
       ",\"ref_s\":" + f(CalibrationRefSecs) +
       ",\"factor\":" + f(calFactor) + "}"
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${js(cold)},"queries_steady":${js(steady)},"queries_min":${js(minMap)},"total_steady":${f(totalSteady)},"total_min":${f(totalMin)},"calibration":$calJson,"total_min_calibrated":${f(totalMin / math.max(calFactor, 1.0))},"stall_suspects":$suspects,"steal_delta_s":${f(stealTotal)},"max_gap_s":${f(Heartbeat.globalMaxSecs())},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${js(cold)},"queries_steady":${js(steady)},"queries_min":${js(minMap)},"total_steady":${f(totalSteady)},"total_min":${f(totalMin)},"calibration":$calJson,"total_min_calibrated":${f(totalMin / math.max(calFactor, 1.0))},"stall_suspects":$suspects,"steal_delta_s":${f(stealTotal)},"max_gap_s":${f(Heartbeat.globalMaxSecs())},"sf":"$sfDir"}"""
+    println(line)
+    // Durable copy: the driver captures stdout's tail, which has twice
+    // truncated the (long) line into `parsed: null`. BENCH_LOCAL.json
+    // in the CWD (also overridable) survives any tail window.
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

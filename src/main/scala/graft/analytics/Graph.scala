@@ -598,9 +598,11 @@ object Graph {
       srcCol: String,
       dstCol: String,
       minJaccard: Double,
-      maxDegree: Int = 100000): DataFrame = {
+      maxDegree: Int = 100000,
+      maxExpansion: Long = 100000000L): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1, s"minJaccard=$minJaccard")
     require(maxDegree >= 2, s"maxDegree=$maxDegree")
+    require(maxExpansion > 0, s"maxExpansion=$maxExpansion")
     val e0 = edges
       .select(least(col(srcCol), col(dstCol)).as("_u"),
         greatest(col(srcCol), col(dstCol)).as("_v"))

@@ -317,7 +317,11 @@ case class LlmProcessor(pluginName: String, settings: Map[String, String],
     */
   private def goSprintf(format: String, arg: String): String =
     if (format.contains("%s"))
-      format.replaceFirst("%s", java.util.regex.Matcher.quoteReplacement(arg))
+      format
+        .replaceFirst("%s", java.util.regex.Matcher.quoteReplacement(arg))
+        // Go marks string verbs beyond the single supplied arg as
+        // missing: fmt.Sprintf("%s %s", x) == "x %!s(MISSING)"
+        .replace("%s", "%!s(MISSING)")
     else s"$format%!(EXTRA string=$arg)"
 
   /** reference `impl/ollama/ollama.go:45` */
@@ -334,8 +338,12 @@ case class LlmProcessor(pluginName: String, settings: Map[String, String],
     val prompt = s"Instructions: {$userPrompt}\n Record: {$record} \n Suffix {$suffix}"
     require(prompt.length >= 3, s"prompt with length ${prompt.length} is too short")
     require(prompt.length <= 4096, s"prompt with length ${prompt.length} is too long")
+    // reference `ollama.go:267-268` lowercases BOTH sides before the
+    // containment check — 'DROP table', 'RM -RF', '<SCRIPT>' all match
     val blocked = Seq("rm -rf", "DROP TABLE", "<script>", "javascript:", "data:text/html")
-    blocked.foreach(p => require(!prompt.contains(p), s"prompt contains blocked pattern $p"))
+    val lp = prompt.toLowerCase
+    blocked.foreach(p =>
+      require(!lp.contains(p.toLowerCase), s"prompt contains blocked pattern $p"))
     prompt
   }
 
