@@ -464,4 +464,169 @@ object Sketch {
             lit(9223372036854775807.0) / col("_theta").cast("double"))
           .as("estimate")): _*)
   }
+
+  // ==================== KLL-style quantile sketch ====================
+  //
+  // Mergeable quantile sketch in KLL's level structure (Karnin-Lang-
+  // Liberty 2016): items live at geometric levels, an item at level
+  // ℓ has weight 2^ℓ, and rank(v) is estimated by the weighted count
+  // of retained items ≤ v. The one deliberate deviation from the
+  // paper: KLL's sequential compactor flips a coin per compaction, so
+  // the sketch depends on arrival order — which no distributed
+  // engine can reproduce (Spark's partition order is nondeterministic,
+  // and the gate hashes results bit-for-bit). Here each item's level
+  // is decided by ITS OWN coin flips — the number of trailing zero
+  // bits of its splitmix64 row hash, so P(level ≥ ℓ) = 2^-ℓ, exactly
+  // the survival probability ℓ rounds of KLL compaction give an item.
+  // The group then retains every item at or above the smallest level
+  // L whose population fits the budget k (so all retained items carry
+  // one weight 2^L, like KLL's top compactor). Sample-quantile error
+  // is O(1/√k) per the level-sampling analysis (Frahling-Indyk-Sohler
+  // style), and the construction buys three properties the sequential
+  // compactor cannot give:
+  //   - ORDER-FREE determinism: the state is a pure function of the
+  //     row multiset — bit-reproducible under any partitioning;
+  //   - EXACT mergeability: level membership is per-item, so
+  //     merge(sketch A, sketch B) == sketch(A ∪ B) exactly (the
+  //     union's cut level L* ≥ each part's cut by count monotonicity,
+  //     so no row the union needs was discarded by a part) — the law
+  //     the `sketch_kll_merge`/`sketch_kll_stream` gate rows prove
+  //     bit-for-bit;
+  //   - INTEGER-EXACT replay: hash, trailing zeros, level cut and
+  //     weighted ranks are all integer arithmetic a DuckDB oracle
+  //     replays verbatim.
+  //
+  // Scale: one (group, level) histogram shuffle to find the cut, one
+  // broadcast join to filter — the state is ≤ ~2k rows per group no
+  // matter how many rows went in, and the 100 TB path never sorts or
+  // collects the data (the only per-group sort in kllQuantiles runs
+  // on the ≤ 2k-row state).
+
+  /** Trailing zero bits of a positive 63-bit hash (the item's "coin
+    * flips survived"): isolate the lowest set bit with h & -h, then
+    * reuse [[bitLen]] (integer binary search, never a double log).
+    * h = 0 (probability 2^-63) caps at 62.
+    */
+  private def trailingZeros(h: Column): Column =
+    when(h === 0L, lit(62L))
+      .otherwise(bitLen(h.bitwiseAND(-h)) - lit(1L))
+
+  /** Per-group cut level: the smallest L with |{tz ≥ L}| ≤ k, i.e.
+    * 1 + the highest level whose at-or-above population still
+    * exceeds k (0 when the whole group fits). `rows` must carry
+    * groupCols + `_tz`; returns one row per group with `_lraw`.
+    */
+  private def kllCutLevel(rows: DataFrame, groupCols: Seq[String],
+                          k: Int): DataFrame = {
+    val g = groupCols.map(col)
+    val hist = rows.groupBy(g :+ col("_tz"): _*).agg(count(lit(1)).as("_c"))
+    val wDesc = Window.partitionBy(g: _*).orderBy(col("_tz").desc)
+    hist.withColumn("_cge", sum(col("_c")).over(wDesc))
+      .groupBy(g: _*)
+      .agg(sum(col("_c")).as("_nrows"),
+        coalesce(max(when(col("_cge") > k, col("_tz"))) + lit(1L), lit(0L))
+          .as("_lraw"))
+  }
+
+  /** Build the KLL state: one row per retained item —
+    * (group, kll_n exact rows, kll_l cut level, _v value, _h hash,
+    * _tz item level). `idCol` must uniquely identify a row (the
+    * hash's coin flips must be independent per ROW, not per value —
+    * quantiles weigh duplicates). ≤ ~2k rows per group (k at the cut
+    * level, a halving tail above it).
+    */
+  def kllState(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      idCol: String,
+      k: Int = 256,
+      seed: Long = 7L): DataFrame = {
+    require(k >= 16 && k <= 65536, s"k=$k")
+    val g = groupCols.map(col)
+    val base = df
+      .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .select(g ++ Seq(col(valueCol).as("_v"),
+        shiftrightunsigned(
+          splitmix64_hash(col(idCol) + lit(seed)), 1).as("_h")): _*)
+      .withColumn("_tz", trailingZeros(col("_h")))
+    val lv = kllCutLevel(base, groupCols, k)
+      .select(g ++ Seq(col("_nrows").as("kll_n"),
+        col("_lraw").as("kll_l")): _*)
+    val joined =
+      if (groupCols.isEmpty) base.crossJoin(broadcast(lv))
+      else base.join(broadcast(lv), groupCols)
+    joined.filter(col("_tz") >= col("kll_l"))
+      .select(g ++ Seq(col("kll_n"), col("kll_l"),
+        col("_v"), col("_h"), col("_tz")): _*)
+  }
+
+  /** Merge KLL states (sketch union): exact row counts add; the
+    * union's cut level is recomputed over the surviving items,
+    * floored at the parts' max cut (levels below it are partially
+    * counted in the union of states, but count monotonicity puts the
+    * true union cut at or above every part's cut, so the floor never
+    * loses a level the union could have kept). The result is
+    * bit-identical to kllState over the concatenated inputs.
+    */
+  def kllMerge(states: Seq[DataFrame], groupCols: Seq[String],
+               k: Int = 256): DataFrame = {
+    val g = groupCols.map(col)
+    // per-part (n, cut) — constant within a part's group rows
+    val parts = states.map(_.groupBy(g: _*)
+      .agg(first(col("kll_n")).as("_pn"), first(col("kll_l")).as("_pl")))
+    val ntab = parts.reduce(_ unionByName _).groupBy(g: _*)
+      .agg(sum(col("_pn")).as("kll_n"), max(col("_pl")).as("_lfloor"))
+    val all = states.reduce(_ unionByName _)
+      .select(g ++ Seq(col("_v"), col("_h"), col("_tz")): _*)
+    val lv = kllCutLevel(all, groupCols, k).drop("_nrows")
+    val cut =
+      if (groupCols.isEmpty) ntab.crossJoin(lv)
+      else ntab.join(lv, groupCols)
+    val lvl = cut.select(g ++ Seq(col("kll_n"),
+      greatest(col("_lfloor"), col("_lraw")).as("kll_l")): _*)
+    val joined =
+      if (groupCols.isEmpty) all.crossJoin(broadcast(lvl))
+      else all.join(broadcast(lvl), groupCols)
+    joined.filter(col("_tz") >= col("kll_l"))
+      .select(g ++ Seq(col("kll_n"), col("kll_l"),
+        col("_v"), col("_h"), col("_tz")): _*)
+  }
+
+  /** Quantile estimates from a KLL state: retained items sorted by
+    * (value, hash), item i's estimated rank is i·2^L, and the q-
+    * quantile is the first item whose estimated rank reaches the
+    * target rank ⌈q·n⌉ against the EXACT row count n (falling back
+    * to the max when the weighted mass under-covers n). Quantiles
+    * are given in BASIS POINTS (p50 → 5000) so the target rank is
+    * pure integer arithmetic — ⌈q·n⌉ = (n·bp + 9999) div 10000 —
+    * never a double ceil (whose rounding DuckDB's decimal ceil would
+    * not reproduce). Runs on the ≤ 2k-row state — the window sort
+    * never sees the data.
+    */
+  def kllQuantiles(
+      state: DataFrame,
+      groupCols: Seq[String],
+      qs: Seq[(String, Int)] =
+        Seq("p50" -> 5000, "p90" -> 9000, "p99" -> 9900)): DataFrame = {
+    require(qs.forall { case (_, bp) => bp >= 1 && bp <= 10000 },
+      s"quantiles are basis points in [1, 10000]: $qs")
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col("_v").asc, col("_h").asc)
+    val ranked = state
+      .withColumn("_i", row_number().over(w).cast("long"))
+      .withColumn("_r",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(kll_l AS INT))") * col("_i"))
+    val aggs =
+      Seq(first(col("kll_n")).as("n_rows"),
+        first(col("kll_l")).as("kll_level"),
+        count(lit(1)).as("m_state")) ++
+      qs.map { case (name, bp) =>
+        coalesce(
+          min(when(col("_r") >=
+            expr(s"(kll_n * $bp + 9999) div 10000"), col("_v"))),
+          max(col("_v"))).as(name)
+      }
+    ranked.groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

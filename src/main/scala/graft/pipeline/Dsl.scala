@@ -41,14 +41,25 @@ final case class PipelineConfig(
     processors: Seq[ProcessorConfig] = Nil,
     destinations: Seq[ConnectorConfig] = Nil,
     dlq: Option[DlqConfig] = None,
-    ordered: Boolean = false) {
+    ordered: String = "") {
 
   /** Strict per-source delivery order (reference §2.7 single-source
     * total ordering): each micro-batch is sorted by position and
     * written through one task. Costs parallelism at the sink —
     * partition-parallel (order-narrowed) delivery is the default.
     */
-  def withOrderedDelivery: PipelineConfig = copy(ordered = true)
+  def withOrderedDelivery: PipelineConfig = copy(ordered = "global")
+
+  /** Keyed delivery order (reference §2.7 per-key ordering, SURVEY
+    * §7): records sharing a key stay in position order relative to
+    * each other, but distinct keys deliver in parallel — the batch is
+    * hash-repartitioned by key and sorted (key, position) within each
+    * partition. This is the scale mode: parallelism = shuffle
+    * partitions instead of the global mode's single writer task,
+    * which is exactly the per-entity guarantee CDC consumers need
+    * (all changes to row X in order; rows X and Y unordered).
+    */
+  def withKeyOrderedDelivery: PipelineConfig = copy(ordered = "key")
 
   def source(id: String, plugin: String, settings: (String, String)*): PipelineConfig =
     copy(sources = sources :+ ConnectorConfig(id, plugin, settings.toMap))
@@ -142,7 +153,10 @@ object Pipeline {
       o.put("id", p.id)
       if (p.name.nonEmpty) o.put("name", p.name)
       o.put("status", "running")
-      if (p.ordered) o.put("ordered", "true")
+      // "true" (not "global") for the single-writer mode: round-trip
+      // compatibility with configs written before the keyed mode
+      if (p.ordered == "global") o.put("ordered", "true")
+      else if (p.ordered.nonEmpty) o.put("ordered", p.ordered)
       val conns = f.arrayNode()
       p.sources.foreach(c => conns.add(connNode("source", c)))
       p.destinations.foreach(c => conns.add(connNode("destination", c)))
@@ -185,6 +199,10 @@ object Pipeline {
       destinations = connectors.filter(_._1 == "destination").map(_._2),
       processors = processors,
       dlq = dlq,
-      ordered = str(n, "ordered") == "true")
+      ordered = str(n, "ordered") match {
+        case "true" | "global" => "global"
+        case "key"             => "key"
+        case _                 => ""
+      })
   }
 }

@@ -182,9 +182,22 @@ object Runner {
     * LSN, file-tail byte offset) without requiring padded offsets.
     */
   private def ordered(df: DataFrame, pipeline: PipelineConfig): DataFrame =
-    if (!pipeline.ordered) df
-    else df.repartition(1)
-      .sortWithinPartitions(length(col(Cdc.Position)).asc, col(Cdc.Position).asc)
+    pipeline.ordered match {
+      case "global" =>
+        df.repartition(1)
+          .sortWithinPartitions(length(col(Cdc.Position)).asc, col(Cdc.Position).asc)
+      case "key" =>
+        // Per-key order at full sink parallelism: hash-shuffle on the
+        // record key co-locates each key, the within-partition sort
+        // puts its records in position order, and the sink's
+        // sequential per-partition iteration preserves that order.
+        // Distinct keys interleave freely — the per-entity guarantee
+        // CDC consumers need, without the global mode's 1-task funnel.
+        df.repartition(col(Cdc.Key))
+          .sortWithinPartitions(col(Cdc.Key).asc,
+            length(col(Cdc.Position)).asc, col(Cdc.Position).asc)
+      case _ => df
+    }
 
   /** Write one (batch-of-a-)DataFrame to a destination connector.
     * Destination-level processors may fail records; those are NOT

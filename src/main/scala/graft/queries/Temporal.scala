@@ -330,6 +330,34 @@ object Temporal {
       Sketch.kmvEstimate(st, Seq("event_type"), k = 64)
     }),
 
+    // KLL-style quantile sketch: per-row hash coins pick each item's
+    // level (order-free determinism), the group keeps everything at
+    // or above the smallest level that fits k, and p50/p90/p99 come
+    // from weighted ranks against the exact row count — all integer
+    // arithmetic the oracle replays (splitmix64 chain, trailing
+    // zeros via a powers join, `div`-based target ranks).
+    "sketch_kll" -> ((s, dir) => {
+      val st = Sketch.kllState(t(s, dir, "events"),
+        Seq("event_type"), "value", "event_id", k = 64)
+      Sketch.kllQuantiles(st, Seq("event_type"))
+    }),
+
+    // KLL MERGE LAW: two sketches built independently over disjoint
+    // halves of the log (split by event_id parity), merged, then
+    // quantile-selected — must EQUAL the direct sketch of the whole
+    // log bit-for-bit (per-item levels make the union's cut a pure
+    // function of the row multiset). Oracle = the direct replay.
+    "sketch_kll_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val a = Sketch.kllState(ev.filter(col("event_id") % 2 === 0),
+        Seq("event_type"), "value", "event_id", k = 64)
+      val b = Sketch.kllState(ev.filter(col("event_id") % 2 === 1),
+        Seq("event_type"), "value", "event_id", k = 64)
+      Sketch.kllQuantiles(
+        Sketch.kllMerge(Seq(a, b), Seq("event_type"), k = 64),
+        Seq("event_type"))
+    }),
+
     // 3-core of the customer->supplier interaction graph by bounded
     // peeling — pure integer degrees, early exit equals the fixed
     // budget by monotonicity, which is exactly how the oracle replays
@@ -1163,6 +1191,39 @@ object Temporal {
       }
       Sketch.kmvEstimate(s.read.parquet(s"$state/batch=1"),
         Seq("event_type"), k = 64)
+    }),
+
+    // Streaming KLL twin: the quantile state kll-merged across a real
+    // 2-batch stream must equal the batch sketch of the whole log
+    // (per-item hash levels make the merge exact) — oracle = the
+    // batch sketch_kll replay.
+    "sketch_kll_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = t(s, dir, "events")
+      val rows = ev.filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"), col("event_id"),
+          tsEpochSeconds(ev).as("ts_s"))
+        .as[(String, Double, Long, Long)].collect()
+      val split = 1705363200L
+      val (b1, b2) = rows.partition(_._4 <= split)
+      val state = java.nio.file.Files
+        .createTempDirectory("kll_stream").toString
+      val in = MemoryStream[(String, Double, Long, Long)]
+      withScopedShuffle(s, 4) {
+        val qq = in.toDF().toDF("event_type", "value", "event_id", "ts_s")
+          .writeStream
+          .foreachBatch(graft.streaming.StreamingOps.kllSink(
+            state, Seq("event_type"), "value", "event_id", k = 64))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); qq.processAllAvailable()
+          in.addData(b2.toSeq); qq.processAllAvailable()
+        } finally qq.stop()
+      }
+      Sketch.kllQuantiles(s.read.parquet(s"$state/batch=1"),
+        Seq("event_type"))
     }),
 
     // Streaming SCD2 twin: version history maintained across a real
@@ -2039,6 +2100,61 @@ object Temporal {
                / CAST(CAST(theta AS BIGINT) AS DOUBLE) END AS estimate
          FROM est"""
 
+  /** KLL replay: same splitmix64 chain as the KMV oracle (on event_id
+    * — per ROW coins, no DISTINCT: quantiles weigh duplicates),
+    * trailing zeros by isolating the lowest set bit and looking it up
+    * in a 63-row powers-of-two table (pure integer — no float log2),
+    * the cut level from a descending cumulative count, weighted ranks
+    * i·2^l via the same powers table, and `//`-division target ranks
+    * — every step integer-exact, so the merge-law and streaming twins
+    * reuse it verbatim.
+    */
+  private val oraclesKllSql: String = {
+    val powers = (0 to 62).map(i => s"($i, ${1L << i})").mkString(", ")
+    s"""WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+         m0 AS (SELECT event_type AS g, value AS v,
+              (CAST(event_id AS HUGEINT) + 7 + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
+              FROM events CROSS JOIN c
+              WHERE value IS NOT NULL AND event_id IS NOT NULL),
+         ma AS (SELECT g, v, xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
+         m1 AS (SELECT g, v, (x2 % 4294967296 * 484763065 +
+              ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+              * 4294967296) % m64 AS x3, m64 FROM ma),
+         mb AS (SELECT g, v, xor(x3, x3 // 134217728) AS x4, m64 FROM m1),
+         m2 AS (SELECT g, v, (x4 % 4294967296 * 321982955 +
+              ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+              * 4294967296) % m64 AS x5, m64 FROM mb),
+         m3 AS (SELECT g, v, xor(x5, x5 // 2147483648) AS x6 FROM m2),
+         hh AS (SELECT g, v, CAST(x6 // 2 AS BIGINT) AS h FROM m3),
+         pw(i, p) AS (VALUES $powers),
+         tz AS (SELECT g, v, h,
+              CAST(CASE WHEN h = 0 THEN 62 ELSE pw.i END AS BIGINT) AS t
+            FROM hh LEFT JOIN pw ON pw.p = (h & (-h))),
+         hist AS (SELECT g, t, count(*) AS cnt FROM tz GROUP BY g, t),
+         cum AS (SELECT g, t,
+              SUM(cnt) OVER (PARTITION BY g ORDER BY t DESC) AS cge FROM hist),
+         lv AS (SELECT g,
+              COALESCE(MAX(CASE WHEN cge > 64 THEN t END) + 1, 0) AS l
+            FROM cum GROUP BY g),
+         nn AS (SELECT g, count(*) AS n FROM tz GROUP BY g),
+         kept AS (SELECT tz.g AS g, v, h, l, n FROM tz
+              JOIN lv ON tz.g = lv.g JOIN nn ON tz.g = nn.g
+              WHERE t >= l),
+         rk AS (SELECT g, v, l, n,
+              row_number() OVER (PARTITION BY g ORDER BY v, h) AS i FROM kept),
+         wr AS (SELECT g, v, l, n, CAST(rk.i AS BIGINT) * pl.p AS r
+            FROM rk JOIN pw pl ON pl.i = l),
+         est AS (SELECT g, MAX(n) AS n, MAX(l) AS l, count(*) AS m,
+              COALESCE(MIN(CASE WHEN r >= (n * 5000 + 9999) // 10000 THEN v END), MAX(v)) AS p50,
+              COALESCE(MIN(CASE WHEN r >= (n * 9000 + 9999) // 10000 THEN v END), MAX(v)) AS p90,
+              COALESCE(MIN(CASE WHEN r >= (n * 9900 + 9999) // 10000 THEN v END), MAX(v)) AS p99
+            FROM wr GROUP BY g)
+         SELECT g AS event_type, CAST(n AS BIGINT) AS n_rows,
+           CAST(l AS BIGINT) AS kll_level, CAST(m AS BIGINT) AS m_state,
+           p50, p90, p99
+         FROM est"""
+  }
+
   val oracles: Map[String, String] = Map(
     // ===== round-10 oracles =====
     // pair-class counting over the same user-parity sample: the pair
@@ -2459,6 +2575,10 @@ object Temporal {
     // the splitmix64 chain (seed 7) >> 1, k smallest distinct hashes,
     // (k-1)*2^63/theta estimator — BIGINT->DOUBLE rounding route
     "sketch_kmv" -> oraclesKmvSql,
+    "sketch_kll" -> oraclesKllSql,
+    // merge(s(A), s(B)) == s(A ∪ B) exactly (per-item levels), so the
+    // direct replay is the oracle for the merged formulation too
+    "sketch_kll_merge" -> oraclesKllSql,
     // counts + list_reduce fold in category order; same ln
     "stats_entropy" ->
       """WITH base AS (SELECT (epoch_ns(ts) // 1000000000) // 86400 AS day,
@@ -2633,6 +2753,9 @@ object Temporal {
     // the streaming KMV state must equal the batch sketch of the
     // whole log — same oracle as sketch_kmv by the merge law
     "sketch_kmv_stream" -> oraclesKmvSql,
+    // 2-batch stream state == batch sketch of the whole log — same
+    // direct replay by the KLL merge law
+    "sketch_kll_stream" -> oraclesKllSql,
     // signed-pmod fold assignment: s = two's-complement x6, fold =
     // ((s % 5) + 5) % 5 — NOT x6 % 5 (2^64 ≡ 1 mod 5)
     "sample_kfold" ->

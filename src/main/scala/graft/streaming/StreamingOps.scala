@@ -588,6 +588,37 @@ object StreamingOps {
     }
   }
 
+  /** Streaming KLL maintenance — the quantile sibling of [[kmvSink]]:
+    * each micro-batch's KLL state
+    * ([[graft.analytics.Sketch.kllState]]) merges into the committed
+    * state via [[graft.analytics.Sketch.kllMerge]]. Item levels are
+    * per-row hash coins, so the merged state after any prefix of the
+    * stream is bit-identical to the batch sketch of that prefix (the
+    * law the `sketch_kll_stream` gate row proves); `batch=`
+    * versioning + `_SUCCESS` committed-only reads keep foreachBatch
+    * replays safe (exact counts re-add from the same pre-batch
+    * state). State stays ≤ ~2k rows per group forever.
+    */
+  def kllSink(
+      stateDir: String,
+      groupCols: Seq[String],
+      valueCol: String,
+      idCol: String,
+      k: Int = 256,
+      seed: Long = 7L): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val newState = graft.analytics.Sketch.kllState(
+        batch, groupCols, valueCol, idCol, k, seed)
+      val merged = latestCommittedDir(stateDir, batchId) match {
+        case Some(prev) => graft.analytics.Sketch.kllMerge(
+          Seq(spark.read.parquet(prev), newState), groupCols, k)
+        case None => newState
+      }
+      merged.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    }
+  }
+
   /** Streaming count-min maintenance — the additive sibling of
     * [[hllRegisterSink]]: each micro-batch's token counts become a
     * depth×width counter table ([[graft.analytics.Sketch.cmsCounters]])

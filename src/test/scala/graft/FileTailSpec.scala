@@ -60,7 +60,7 @@ class FileTailSpec extends AnyFunSuite {
       "strict per-source total order (reference §2.7 single-source mode)")
     // control: the default order-narrowed mode interleaves partitions
     Runner.memorySinks.clear()
-    Runner.runBatch(spark, p.copy(ordered = false))
+    Runner.runBatch(spark, p.copy(ordered = ""))
     val unordered = Runner.memorySink("out").map(l => new String(
       java.util.Base64.getDecoder.decode(
         JsonOps.parse(l).get("position").asText()), "UTF-8").toLong)

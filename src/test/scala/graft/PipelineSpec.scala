@@ -196,6 +196,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(p.dlq.exists(d => d.windowSize == 20 && d.windowNackThreshold == 10))
   }
 
+  test("keyed ordered delivery: per-key position order at shuffle parallelism") {
+    assert(spark.conf.get("spark.sql.shuffle.partitions").toInt > 1,
+      "the keyed mode must be exercised with more than one shuffle partition")
+    Runner.memorySinks.clear()
+    // 4 collections round-robin over 8000 records; field.set collapses
+    // the key to the collection name → 4 keys, 2000 records each, with
+    // globally interleaved positions (0,4,8,... / 1,5,9,... / ...)
+    val p = Pipeline("orderedkey1")
+      .source("gen", "builtin:generator",
+        "collections.a.format.options.id" -> "int",
+        "collections.b.format.options.id" -> "int",
+        "collections.c.format.options.id" -> "int",
+        "collections.d.format.options.id" -> "int",
+        "recordCount" -> "8000")
+      .processor("setkey", "field.set",
+        "field" -> ".Key", "value" -> "{{ index .Metadata \"opencdc.collection\" }}")
+      .destination("out", "memory")
+      .withKeyOrderedDelivery
+    Runner.runBatch(spark, p)
+    val rows = Runner.memorySink("out").map { l =>
+      val j = JsonOps.parse(l)
+      val pos = new String(java.util.Base64.getDecoder.decode(
+        j.get("position").asText()), "UTF-8").toLong
+      j.get("key").asText() -> pos
+    }
+    assert(rows.size == 8000)
+    assert(rows.map(_._1).distinct.size == 4, rows.map(_._1).distinct)
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      val ps = rs.map(_._2)
+      assert(ps == ps.sorted, s"key $k delivered out of position order")
+      assert(ps.size == 2000)
+    }
+    // and it is NOT the global single-writer order: the collected
+    // sequence groups by key partition, so globally positions interleave
+    val global = rows.map(_._2)
+    assert(global != global.sorted,
+      "keyed mode must not collapse to the global 1-task total order")
+  }
+
+  test("ordered setting YAML round-trip: global stays 'true', key is 'key'") {
+    val g = Pipeline("pg").source("s", "builtin:generator")
+      .destination("d", "memory").withOrderedDelivery
+    val k = Pipeline("pk").source("s", "builtin:generator")
+      .destination("d", "memory").withKeyOrderedDelivery
+    val yaml = Pipeline.toYaml(Seq(g, k))
+    assert(yaml.contains("ordered: \"true\"") || yaml.contains("ordered: true"),
+      s"global mode must serialize as the backward-compatible 'true':\n$yaml")
+    assert(yaml.contains("ordered: \"key\"") || yaml.contains("ordered: key"), yaml)
+    val back = Pipeline.fromYaml(yaml)
+    assert(back.map(_.ordered) == Seq("global", "key"))
+    // pre-keyed-mode configs ('true') still parse as the global mode
+    assert(Pipeline.fromYaml(yaml.replace("key", "true")).map(_.ordered) ==
+      Seq("global", "global"))
+  }
+
   test("generator rate limiting bounds batch size") {
     val df = spark.read.format("conduit-generator")
       .option("format.options.id", "int").option("recordCount", "1000").load()
