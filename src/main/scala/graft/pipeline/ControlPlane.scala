@@ -83,6 +83,29 @@ class ControlPlane(spark: SparkSession, checkpointRoot: String) {
     Option(queries.remove(id)).foreach(_.stop())
   }
 
+  /** One pipeline's status document (shared by the REST and gRPC
+    * facades). */
+  def statusJson(id: String): String = status(id)
+
+  /** True when `id` is registered. */
+  def isRegistered(id: String): Boolean = configs.get(id) != null
+
+  /** Registered config (null-safe). */
+  def config(id: String): Option[PipelineConfig] = Option(configs.get(id))
+
+  /** Stop + unregister; true when the pipeline existed. */
+  def remove(id: String): Boolean = {
+    stopPipeline(id)
+    configs.remove(id) != null
+  }
+
+  /** Plan document for a provisioning set (shared by REST/gRPC). */
+  def planFor(ps: Seq[PipelineConfig]): String = planJson(ps)
+
+  /** Drained inspector sample for a pipeline (shared by REST/gRPC). */
+  def inspect(id: String): Seq[String] =
+    Metrics.inspectorFor(id).map(_.drain()).getOrElse(Nil)
+
   private def status(id: String): String = {
     val sup = supervisors.get(id)
     val q = queries.get(id)
