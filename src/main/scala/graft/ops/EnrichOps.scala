@@ -315,14 +315,29 @@ case class LlmProcessor(pluginName: String, settings: Map[String, String],
     * (`command.go:154` runs the record input through the prompt this
     * way, extra-arg noise included).
     */
-  private def goSprintf(format: String, arg: String): String =
-    if (format.contains("%s"))
-      format
-        .replaceFirst("%s", java.util.regex.Matcher.quoteReplacement(arg))
+  private def goSprintf(format: String, arg: String): String = {
+    // Go treats `%%` as an escaped literal percent: split those out
+    // first so "100%%s off" renders as the literal "100%s off" (plus
+    // the extra-arg marker) instead of consuming the arg.
+    val segments = format.split("%%", -1)
+    var consumed = false
+    val rendered = segments.map { seg =>
+      if (!seg.contains("%s")) seg
+      else {
+        val first =
+          if (consumed) seg
+          else {
+            consumed = true
+            seg.replaceFirst("%s",
+              java.util.regex.Matcher.quoteReplacement(arg))
+          }
         // Go marks string verbs beyond the single supplied arg as
         // missing: fmt.Sprintf("%s %s", x) == "x %!s(MISSING)"
-        .replace("%s", "%!s(MISSING)")
-    else s"$format%!(EXTRA string=$arg)"
+        first.replace("%s", "%!s(MISSING)")
+      }
+    }.mkString("%")
+    if (consumed) rendered else s"$rendered%!(EXTRA string=$arg)"
+  }
 
   /** reference `impl/ollama/ollama.go:45` */
   private val ollamaAllowedModels = Set("llama3.2")

@@ -90,6 +90,14 @@ class ControlPlane(spark: SparkSession, checkpointRoot: String) {
   /** True when `id` is registered. */
   def isRegistered(id: String): Boolean = configs.get(id) != null
 
+  /** True while the pipeline's streaming query (or supervisor) is
+    * live — config mutations against a live pipeline are rejected by
+    * the facades so status never reports "running" for a config that
+    * is not what's executing. */
+  def isActive(id: String): Boolean =
+    Option(supervisors.get(id)).exists(_.status != "stopped") ||
+      Option(queries.get(id)).exists(_.isActive)
+
   /** Registered config (null-safe). */
   def config(id: String): Option[PipelineConfig] = Option(configs.get(id))
 

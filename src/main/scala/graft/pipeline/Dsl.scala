@@ -202,7 +202,10 @@ object Pipeline {
       ordered = str(n, "ordered") match {
         case "true" | "global" => "global"
         case "key"             => "key"
-        case _                 => ""
+        case "" | "false"      => ""
+        case other =>
+          throw new IllegalArgumentException(
+            s"unknown ordered value '$other' (expected one of: true, false, global, key)")
       })
   }
 }

@@ -4,24 +4,33 @@ import java.io.{ByteArrayInputStream, InputStream}
 import java.nio.charset.StandardCharsets.UTF_8
 
 import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.ObjectNode
 import org.sparkproject.connect.grpc.{CallOptions, ManagedChannel, MethodDescriptor, Server, ServerCallHandler, ServerServiceDefinition, Status}
 import org.sparkproject.connect.grpc.inprocess.{InProcessChannelBuilder, InProcessServerBuilder}
 import org.sparkproject.connect.grpc.netty.NettyServerBuilder
 import org.sparkproject.connect.grpc.stub.{ClientCalls, ServerCalls, StreamObserver}
 
 import graft.functions.JsonOps
+import graft.ops.Registry
 
 /** gRPC facade over [[ControlPlane]] — the engine's analogue of the
-  * reference's `api.v1.PipelineService`
-  * (`proto/api/v1/api.proto:318`: List/Create/Get/Delete/Start/Stop/
-  * DLQ/Export/Import/Plan/Apply; implementations
-  * `pkg/http/api/pipeline_v1.go` delegating to the orchestrator).
-  * Here each RPC delegates to the same [[ControlPlane]] the REST
-  * facade wraps — one registry, two wire surfaces, exactly the
+  * reference's `api.v1` gRPC surface:
+  *
+  *  - `PipelineService` (`proto/api/v1/api.proto:318`:
+  *    List/Create/Get/Update/Delete/Start/Stop/DLQ/Export/Import/
+  *    Plan/Apply; implementations `pkg/http/api/pipeline_v1.go`).
+  *  - `ConnectorService` (`api.proto:767`: List/Inspect(stream)/Get/
+  *    Create/Validate/Update/Delete/ListConnectorPlugins).
+  *  - `ProcessorService` (`api.proto:1003`: List/InspectIn(stream)/
+  *    InspectOut(stream)/Get/Create/Update/Delete/
+  *    ListProcessorPlugins).
+  *
+  * Each RPC delegates to the same [[ControlPlane]] the REST facade
+  * wraps — one registry, multiple wire surfaces, exactly the
   * reference's grpc-gateway arrangement in reverse.
   *
   * ==Wire format (documented deviation)==
-  * Method names and semantics mirror the proto service, but message
+  * Method names and semantics mirror the proto services, but message
   * bodies travel as the messages' JSON mapping (a custom gRPC
   * marshaller — the `application/grpc` framing with a JSON codec)
   * instead of protobuf binary. The container has no protoc and the
@@ -33,6 +42,23 @@ import graft.functions.JsonOps
   * Import vocabulary), statuses as the same documents the REST
   * facade serves.
   *
+  * ==Addressing (documented deviation)==
+  * The reference keys connectors and processors by the composite id
+  * `pipelineID:componentID` (`pkg/provisioning/service.go`); this
+  * facade accepts either that composite in `id` or split
+  * `pipeline_id` + `id` fields.
+  *
+  * ==Tap points (documented deviation)==
+  * The engine has ONE inspector tap per pipeline (after source +
+  * processors, before the destination barrier — `Runner.scala`'s
+  * foreachBatch). `InspectConnector` / `InspectProcessorIn` /
+  * `InspectProcessorOut` therefore all stream that tap, each call in
+  * its own bounded session buffer (reference `pkg/inspector/
+  * inspector.go:33` per-session semantics), rather than per-edge
+  * taps — per-edge taps would require materializing every
+  * intermediate DataFrame per micro-batch, an extra pass over the
+  * data the reference's in-process channels get for free.
+  *
   * Scale note: this is a control plane — requests touch the driver's
   * registry and streaming-query handles only, never data. The shaded
   * Netty transport serves real sockets ([[serve]]); tests and
@@ -43,7 +69,7 @@ class GrpcControlPlane(cp: ControlPlane) {
 
   private var server: Server = _
 
-  // ---- handlers -----------------------------------------------------
+  // ---- shared helpers ----------------------------------------------
 
   private def node(s: String): JsonNode = JsonOps.parseOrEmpty(s)
   private def text(n: JsonNode, field: String): String =
@@ -56,6 +82,33 @@ class GrpcControlPlane(cp: ControlPlane) {
     require(id.nonEmpty, "missing field: id")
     require(cp.isRegistered(id), s"unknown pipeline: $id")
     id
+  }
+
+  /** Composite `pipeline:component` or split pipeline_id + id. */
+  private def splitId(n: JsonNode): (String, String) = {
+    val pid = text(n, "pipeline_id")
+    val id = text(n, "id")
+    if (pid.nonEmpty) { require(id.nonEmpty, "missing field: id"); (pid, id) }
+    else {
+      val i = id.indexOf(':')
+      require(i > 0 && i < id.length - 1,
+        "missing field: pipeline_id (or composite id 'pipeline:component')")
+      (id.substring(0, i), id.substring(i + 1))
+    }
+  }
+
+  private def configOf(pid: String): PipelineConfig =
+    cp.config(pid).getOrElse(
+      throw new IllegalArgumentException(s"unknown pipeline: $pid"))
+
+  /** Config for a topology mutation: the pipeline must exist AND be
+    * stopped — mutating a running pipeline would leave status
+    * reporting a config that is not what's executing. */
+  private def mutableConfig(pid: String): PipelineConfig = {
+    val cfg = configOf(pid)
+    if (cp.isActive(pid)) throw new IllegalStateException(
+      s"pipeline $pid is running; stop it before changing its configuration")
+    cfg
   }
 
   /** Pipelines named by a request: a provisioning `yaml` field, or a
@@ -74,18 +127,25 @@ class GrpcControlPlane(cp: ControlPlane) {
     }
   }
 
-  private val handlers: Map[String, String => String] = Map(
+  // ---- PipelineService ----------------------------------------------
+
+  private val pipelineHandlers: Map[String, String => String] = Map(
     "ListPipelines" -> { _ =>
       s"""{"pipelines":${cp.registered.sorted.map(cp.statusJson)
         .mkString("[", ",", "]")}}"""
     },
     "CreatePipeline" -> { req =>
       val ps = pipelinesOf(node(req))
-      ps.foreach { p =>
-        require(!cp.isRegistered(p.id), s"already exists: ${p.id}")
-        cp.register(p)
-      }
-      s"""{"pipeline":${cp.statusJson(ps.head.id)}}"""
+      // validate the whole batch before registering anything, so a
+      // duplicate later in a multi-pipeline YAML can't leave earlier
+      // entries registered behind an INVALID_ARGUMENT response
+      require(ps.map(_.id).distinct.size == ps.size,
+        s"duplicate ids in request: ${ps.map(_.id).mkString(", ")}")
+      val dup = ps.filter(p => cp.isRegistered(p.id))
+      require(dup.isEmpty, s"already exists: ${dup.map(_.id).mkString(", ")}")
+      ps.foreach(cp.register)
+      s"""{"pipeline":${cp.statusJson(ps.head.id)},"pipelines":${
+        ps.map(p => cp.statusJson(p.id)).mkString("[", ",", "]")}}"""
     },
     "GetPipeline" -> { req =>
       s"""{"pipeline":${cp.statusJson(requireId(node(req)))}}"""
@@ -93,6 +153,8 @@ class GrpcControlPlane(cp: ControlPlane) {
     "UpdatePipeline" -> { req =>
       val n = node(req)
       val id = requireId(n)
+      if (cp.isActive(id)) throw new IllegalStateException(
+        s"pipeline $id is running; stop it before updating")
       val ps = pipelinesOf(n)
       require(ps.size == 1 && ps.head.id == id,
         s"update body must describe pipeline $id")
@@ -131,7 +193,9 @@ class GrpcControlPlane(cp: ControlPlane) {
       val id = requireId(n)
       val d = Option(n.get("dlq")).getOrElse(
         throw new IllegalArgumentException("missing field: dlq"))
-      val cfg = cp.config(id).get
+      // re-fetch through the Option: a concurrent delete between
+      // requireId and here maps to INVALID_ARGUMENT, not INTERNAL
+      val cfg = configOf(id)
       cp.register(cfg.copy(dlq = Some(DlqConfig(
         plugin = Option(d.get("plugin")).map(_.asText("builtin:log"))
           .getOrElse("builtin:log"),
@@ -142,7 +206,7 @@ class GrpcControlPlane(cp: ControlPlane) {
     },
     "ExportPipeline" -> { req =>
       val id = requireId(node(req))
-      s"""{"yaml":${jstr(Pipeline.toYaml(Seq(cp.config(id).get)))}}"""
+      s"""{"yaml":${jstr(Pipeline.toYaml(Seq(configOf(id))))}}"""
     },
     "ImportPipeline" -> { req =>
       val ps = pipelinesOf(node(req))
@@ -160,56 +224,441 @@ class GrpcControlPlane(cp: ControlPlane) {
     })
 
   private def handlersDlqEcho(id: String): String =
-    handlers("GetDLQ")(s"""{"id":${jstr(id)}}""")
+    pipelineHandlers("GetDLQ")(s"""{"id":${jstr(id)}}""")
 
-  private def serviceDefinition(): ServerServiceDefinition = {
-    val b = ServerServiceDefinition.builder(ServiceName)
-    handlers.foreach { case (name, fn) =>
-      b.addMethod(methodOf(name), unaryHandler(fn))
+  // ---- ConnectorService ----------------------------------------------
+
+  private def connectorDoc(pid: String, kind: String,
+                           c: ConnectorConfig): ObjectNode = {
+    val o = JsonOps.mapper.createObjectNode()
+    o.put("id", s"$pid:${c.id}")
+    o.put("pipeline_id", pid)
+    o.put("connector_id", c.id)
+    o.put("type", kind)
+    o.put("plugin", c.plugin)
+    val s = o.putObject("settings")
+    c.settings.foreach { case (k, v) => s.put(k, v) }
+    val pr = o.putArray("processor_ids")
+    c.processors.foreach(p => pr.add(s"$pid:${p.id}"))
+    o
+  }
+
+  private def findConnector(cfg: PipelineConfig,
+                            cid: String): (String, ConnectorConfig) =
+    cfg.sources.find(_.id == cid).map(("source", _))
+      .orElse(cfg.destinations.find(_.id == cid).map(("destination", _)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown connector: ${cfg.id}:$cid"))
+
+  private def connectorSettingsOf(n: JsonNode): Map[String, String] = {
+    val holder = Option(n.get("config")).getOrElse(n)
+    Option(holder.get("settings")).map { s =>
+      val b = Map.newBuilder[String, String]
+      s.properties().forEach(e => b += e.getKey -> e.getValue.asText(""))
+      b.result()
+    }.getOrElse(Map.empty)
+  }
+
+  private val connectorHandlers: Map[String, String => String] = Map(
+    "ListConnectors" -> { req =>
+      val pid = text(node(req), "pipeline_id")
+      val pids = if (pid.nonEmpty) Seq(pid) else cp.registered.sorted
+      val docs = pids.flatMap { p =>
+        cp.config(p).toSeq.flatMap { cfg =>
+          cfg.sources.map(connectorDoc(p, "source", _)) ++
+            cfg.destinations.map(connectorDoc(p, "destination", _))
+        }
+      }
+      s"""{"connectors":${docs.map(JsonOps.render).mkString("[", ",", "]")}}"""
+    },
+    "GetConnector" -> { req =>
+      val (pid, cid) = splitId(node(req))
+      val (kind, c) = findConnector(configOf(pid), cid)
+      s"""{"connector":${JsonOps.render(connectorDoc(pid, kind, c))}}"""
+    },
+    "CreateConnector" -> { req =>
+      val n = node(req)
+      val pid = text(n, "pipeline_id")
+      require(pid.nonEmpty, "missing field: pipeline_id")
+      val cfg = mutableConfig(pid)
+      val kind = text(n, "type")
+      require(kind == "source" || kind == "destination",
+        s"type must be source|destination, got '$kind'")
+      val plugin = text(n, "plugin")
+      require(plugin.nonEmpty, "missing field: plugin")
+      val cid = Seq(text(n, "id"),
+        Option(n.get("config")).map(c => text(c, "name")).getOrElse(""))
+        .find(_.nonEmpty).getOrElse(
+          throw new IllegalArgumentException("missing field: id or config.name"))
+      validatePlugin(kind, plugin, connectorSettingsOf(n))
+      require(cfg.sources.forall(_.id != cid) &&
+        cfg.destinations.forall(_.id != cid),
+        s"connector already exists: $pid:$cid")
+      val conn = ConnectorConfig(cid, plugin, connectorSettingsOf(n))
+      val updated =
+        if (kind == "source") cfg.copy(sources = cfg.sources :+ conn)
+        else cfg.copy(destinations = cfg.destinations :+ conn)
+      cp.register(updated)
+      s"""{"connector":${JsonOps.render(connectorDoc(pid, kind, conn))}}"""
+    },
+    "ValidateConnector" -> { req =>
+      val n = node(req)
+      val kind = text(n, "type")
+      require(kind == "source" || kind == "destination",
+        s"type must be source|destination, got '$kind'")
+      validatePlugin(kind, text(n, "plugin"), connectorSettingsOf(n))
+      "{}"
+    },
+    "UpdateConnector" -> { req =>
+      val n = node(req)
+      val (pid, cid) = splitId(n)
+      val cfg = mutableConfig(pid)
+      val (kind, old) = findConnector(cfg, cid)
+      val plugin = Option(text(n, "plugin")).filter(_.nonEmpty)
+        .getOrElse(old.plugin)
+      val settings =
+        if (n.has("settings") ||
+          Option(n.get("config")).exists(_.has("settings")))
+          connectorSettingsOf(n)
+        else old.settings
+      validatePlugin(kind, plugin, settings)
+      val conn = old.copy(plugin = plugin, settings = settings)
+      val updated =
+        if (kind == "source")
+          cfg.copy(sources = cfg.sources.map(c => if (c.id == cid) conn else c))
+        else
+          cfg.copy(destinations =
+            cfg.destinations.map(c => if (c.id == cid) conn else c))
+      cp.register(updated)
+      s"""{"connector":${JsonOps.render(connectorDoc(pid, kind, conn))}}"""
+    },
+    "DeleteConnector" -> { req =>
+      val (pid, cid) = splitId(node(req))
+      val cfg = mutableConfig(pid)
+      val (kind, _) = findConnector(cfg, cid)
+      val updated =
+        if (kind == "source") cfg.copy(sources = cfg.sources.filterNot(_.id == cid))
+        else cfg.copy(destinations = cfg.destinations.filterNot(_.id == cid))
+      cp.register(updated)
+      "{}"
+    },
+    "ListConnectorPlugins" -> { req =>
+      val regex = Option(text(node(req), "regex")).filter(_.nonEmpty)
+        .map(_.r)
+      val docs = ConnectorPlugins.collect {
+        case (name, (kinds, required))
+            if regex.forall(_.findFirstIn(name).isDefined) =>
+          val o = JsonOps.mapper.createObjectNode()
+          o.put("name", name)
+          val t = o.putArray("types"); kinds.foreach(t.add)
+          val r = o.putArray("required"); required.foreach(r.add)
+          JsonOps.render(o)
+      }.toSeq.sorted
+      s"""{"plugins":${docs.mkString("[", ",", "]")}}"""
+    })
+
+  private def validatePlugin(kind: String, plugin: String,
+                             settings: Map[String, String]): Unit = {
+    val (kinds, required) = ConnectorPlugins.getOrElse(plugin,
+      throw new IllegalArgumentException(s"unknown connector plugin: $plugin"))
+    require(kinds.contains(kind), s"plugin $plugin is not a $kind")
+    val missing = required.filterNot(settings.contains)
+    require(missing.isEmpty,
+      s"$plugin: missing required settings: ${missing.mkString(", ")}")
+  }
+
+  // ---- ProcessorService ----------------------------------------------
+
+  private def processorDoc(pid: String, parent: Option[String],
+                           p: ProcessorConfig): ObjectNode = {
+    val o = JsonOps.mapper.createObjectNode()
+    o.put("id", s"$pid:${p.id}")
+    o.put("pipeline_id", pid)
+    o.put("processor_id", p.id)
+    o.put("plugin", p.plugin)
+    parent.foreach(c => o.put("parent_connector_id", c))
+    p.condition.foreach(c => o.put("condition", c))
+    o.put("workers", p.workers)
+    val s = o.putObject("settings")
+    p.settings.foreach { case (k, v) => s.put(k, v) }
+    o
+  }
+
+  /** All processors of a pipeline: pipeline-level + connector-level. */
+  private def allProcessors(cfg: PipelineConfig)
+      : Seq[(Option[String], ProcessorConfig)] =
+    cfg.processors.map((None, _)) ++
+      (cfg.sources ++ cfg.destinations).flatMap(c =>
+        c.processors.map((Some(c.id): Option[String], _)))
+
+  private def findProcessor(cfg: PipelineConfig, procId: String)
+      : (Option[String], ProcessorConfig) =
+    allProcessors(cfg).find(_._2.id == procId).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown processor: ${cfg.id}:$procId"))
+
+  private def processorOf(n: JsonNode, id: String): ProcessorConfig = {
+    val plugin = text(n, "plugin")
+    require(plugin.nonEmpty, "missing field: plugin")
+    require(Registry.plugins.contains(plugin),
+      s"unknown processor plugin: $plugin")
+    ProcessorConfig(
+      id = id,
+      plugin = plugin,
+      settings = connectorSettingsOf(n),
+      condition = Option(text(n, "condition")).filter(_.nonEmpty),
+      workers = Option(n.get("workers")).map(_.asInt(1)).getOrElse(1))
+  }
+
+  private val processorHandlers: Map[String, String => String] = Map(
+    "ListProcessors" -> { req =>
+      val pid = text(node(req), "pipeline_id")
+      val pids = if (pid.nonEmpty) Seq(pid) else cp.registered.sorted
+      val docs = pids.flatMap(p => cp.config(p).toSeq.flatMap(cfg =>
+        allProcessors(cfg).map { case (parent, proc) =>
+          JsonOps.render(processorDoc(p, parent, proc)) }))
+      s"""{"processors":${docs.mkString("[", ",", "]")}}"""
+    },
+    "GetProcessor" -> { req =>
+      val (pid, procId) = splitId(node(req))
+      val (parent, proc) = findProcessor(configOf(pid), procId)
+      s"""{"processor":${JsonOps.render(processorDoc(pid, parent, proc))}}"""
+    },
+    "CreateProcessor" -> { req =>
+      val n = node(req)
+      val pid = text(n, "pipeline_id")
+      require(pid.nonEmpty, "missing field: pipeline_id")
+      val cfg = mutableConfig(pid)
+      val procId = text(n, "id")
+      require(procId.nonEmpty, "missing field: id")
+      require(allProcessors(cfg).forall(_._2.id != procId),
+        s"processor already exists: $pid:$procId")
+      val proc = processorOf(n, procId)
+      val parent = Option(text(n, "parent_connector_id")).filter(_.nonEmpty)
+      val updated = parent match {
+        case None => cfg.copy(processors = cfg.processors :+ proc)
+        case Some(cid) =>
+          val (kind, conn) = findConnector(cfg, cid)
+          val c2 = conn.copy(processors = conn.processors :+ proc)
+          if (kind == "source")
+            cfg.copy(sources = cfg.sources.map(c => if (c.id == cid) c2 else c))
+          else cfg.copy(destinations =
+            cfg.destinations.map(c => if (c.id == cid) c2 else c))
+      }
+      cp.register(updated)
+      s"""{"processor":${JsonOps.render(processorDoc(pid, parent, proc))}}"""
+    },
+    "UpdateProcessor" -> { req =>
+      val n = node(req)
+      val (pid, procId) = splitId(n)
+      val cfg = mutableConfig(pid)
+      val (parent, old) = findProcessor(cfg, procId)
+      val proc = old.copy(
+        plugin = Option(text(n, "plugin")).filter(_.nonEmpty)
+          .getOrElse(old.plugin),
+        settings =
+          if (n.has("settings") ||
+            Option(n.get("config")).exists(_.has("settings")))
+            connectorSettingsOf(n)
+          else old.settings,
+        condition = Option(text(n, "condition")).filter(_.nonEmpty)
+          .orElse(old.condition),
+        workers = Option(n.get("workers")).map(_.asInt(old.workers))
+          .getOrElse(old.workers))
+      require(Registry.plugins.contains(proc.plugin),
+        s"unknown processor plugin: ${proc.plugin}")
+      val updated = replaceProcessor(cfg, parent, procId, Some(proc))
+      cp.register(updated)
+      s"""{"processor":${JsonOps.render(processorDoc(pid, parent, proc))}}"""
+    },
+    "DeleteProcessor" -> { req =>
+      val (pid, procId) = splitId(node(req))
+      val cfg = mutableConfig(pid)
+      val (parent, _) = findProcessor(cfg, procId)
+      cp.register(replaceProcessor(cfg, parent, procId, None))
+      "{}"
+    },
+    "ListProcessorPlugins" -> { req =>
+      val regex = Option(text(node(req), "regex")).filter(_.nonEmpty).map(_.r)
+      val names = Registry.plugins.toSeq.sorted
+        .filter(n => regex.forall(_.findFirstIn(n).isDefined))
+      val docs = names.map { n =>
+        val o = JsonOps.mapper.createObjectNode()
+        o.put("name", n)
+        JsonOps.render(o)
+      }
+      s"""{"plugins":${docs.mkString("[", ",", "]")}}"""
+    })
+
+  /** Replace (Some) or remove (None) a processor in the right list. */
+  private def replaceProcessor(cfg: PipelineConfig, parent: Option[String],
+                               procId: String,
+                               proc: Option[ProcessorConfig]): PipelineConfig = {
+    def patch(ps: Seq[ProcessorConfig]): Seq[ProcessorConfig] =
+      ps.flatMap(p => if (p.id == procId) proc.toSeq else Seq(p))
+    parent match {
+      case None => cfg.copy(processors = patch(cfg.processors))
+      case Some(cid) =>
+        val (kind, conn) = findConnector(cfg, cid)
+        val c2 = conn.copy(processors = patch(conn.processors))
+        if (kind == "source")
+          cfg.copy(sources = cfg.sources.map(c => if (c.id == cid) c2 else c))
+        else cfg.copy(destinations =
+          cfg.destinations.map(c => if (c.id == cid) c2 else c))
+    }
+  }
+
+  // ---- streaming inspect ----------------------------------------------
+
+  /** Stream the pipeline tap for the component named by the request.
+    * Each message is `{"record": <wire JSON>}`; the stream completes
+    * after `limit` records (default 100) or `duration_ms` (default
+    * 5000 ms), whichever first — the reference streams until client
+    * cancel, which the blocking JSON client here can't express.
+    */
+  private def inspectStream(req: String,
+                            observer: StreamObserver[String]): Unit = {
+    val n = node(req)
+    val (pid, compId) = splitId(n)
+    val cfg = configOf(pid)
+    // the component must exist — connector or processor
+    val known = cfg.sources.exists(_.id == compId) ||
+      cfg.destinations.exists(_.id == compId) ||
+      allProcessors(cfg).exists(_._2.id == compId)
+    require(known, s"unknown component: $pid:$compId")
+    val limit = Option(n.get("limit")).map(_.asInt(100)).getOrElse(100)
+    val durationMs = Option(n.get("duration_ms")).map(_.asLong(5000L))
+      .getOrElse(5000L)
+    val ins = Metrics.inspector(pid)
+    val session = ins.openSession()
+    try {
+      val deadline = System.currentTimeMillis() + durationMs
+      var sent = 0
+      while (sent < limit && System.currentTimeMillis() < deadline) {
+        val batch = ins.drainSession(session)
+        batch.take(limit - sent).foreach { r =>
+          observer.onNext(s"""{"record":$r}""")
+          sent += 1
+        }
+        if (sent < limit) Thread.sleep(100)
+      }
+      observer.onCompleted()
+    } finally ins.closeSession(session)
+  }
+
+  private val connectorStreams: Map[String, (String, StreamObserver[String]) => Unit] =
+    Map("InspectConnector" -> inspectStream)
+  private val processorStreams: Map[String, (String, StreamObserver[String]) => Unit] =
+    Map("InspectProcessorIn" -> inspectStream,
+      "InspectProcessorOut" -> inspectStream)
+
+  // ---- service wiring ----------------------------------------------
+
+  private def serviceDefinition(
+      service: String,
+      unary: Map[String, String => String],
+      streaming: Map[String, (String, StreamObserver[String]) => Unit])
+      : ServerServiceDefinition = {
+    val b = ServerServiceDefinition.builder(service)
+    unary.foreach { case (name, fn) =>
+      b.addMethod(methodOf(service, name), unaryHandler(fn))
+    }
+    streaming.foreach { case (name, fn) =>
+      b.addMethod(streamMethodOf(service, name), streamHandler(fn))
     }
     b.build()
+  }
+
+  private def services: Seq[ServerServiceDefinition] = Seq(
+    serviceDefinition(ServiceName, pipelineHandlers, Map.empty),
+    serviceDefinition(ConnectorServiceName, connectorHandlers,
+      connectorStreams),
+    serviceDefinition(ProcessorServiceName, processorHandlers,
+      processorStreams))
+
+  private def onError(observer: StreamObserver[String], e: Exception): Unit = {
+    val status = e match {
+      case _: IllegalArgumentException => Status.INVALID_ARGUMENT
+      case _: IllegalStateException => Status.FAILED_PRECONDITION
+      case _ => Status.INTERNAL
+    }
+    observer.onError(status
+      .withDescription(String.valueOf(e.getMessage)).asRuntimeException())
   }
 
   private def unaryHandler(fn: String => String): ServerCallHandler[String, String] =
     ServerCalls.asyncUnaryCall(new ServerCalls.UnaryMethod[String, String] {
       override def invoke(request: String,
-                          observer: StreamObserver[String]): Unit = {
+                          observer: StreamObserver[String]): Unit =
         try {
           observer.onNext(fn(request))
           observer.onCompleted()
-        } catch {
-          case e: IllegalArgumentException =>
-            observer.onError(Status.INVALID_ARGUMENT
-              .withDescription(String.valueOf(e.getMessage))
-              .asRuntimeException())
-          case e: Exception =>
-            observer.onError(Status.INTERNAL
-              .withDescription(String.valueOf(e.getMessage))
-              .asRuntimeException())
-        }
-      }
+        } catch { case e: Exception => onError(observer, e) }
     })
+
+  private def streamHandler(fn: (String, StreamObserver[String]) => Unit)
+      : ServerCallHandler[String, String] =
+    ServerCalls.asyncServerStreamingCall(
+      new ServerCalls.ServerStreamingMethod[String, String] {
+        override def invoke(request: String,
+                            observer: StreamObserver[String]): Unit =
+          try fn(request, observer)
+          catch { case e: Exception => onError(observer, e) }
+      })
 
   /** Serve on a real TCP port (shaded Netty transport); returns the
     * bound port (pass 0 for ephemeral). */
   def serve(port: Int): Int = {
-    server = NettyServerBuilder.forPort(port)
-      .addService(serviceDefinition()).build().start()
+    require(server == null, "server already started; stop() it first")
+    val b = NettyServerBuilder.forPort(port)
+    services.foreach(b.addService)
+    server = b.build().start()
     server.getPort
   }
 
   /** Serve over the in-process transport under `name` (tests,
     * embedded runtimes — the reference's embedded-API analogue). */
   def serveInProcess(name: String): Unit = {
-    server = InProcessServerBuilder.forName(name).directExecutor()
-      .addService(serviceDefinition()).build().start()
+    require(server == null, "server already started; stop() it first")
+    val b = InProcessServerBuilder.forName(name).directExecutor()
+    services.foreach(b.addService)
+    server = b.build().start()
   }
 
-  def stop(): Unit = if (server != null) server.shutdownNow()
+  def stop(): Unit = if (server != null) { server.shutdownNow(); server = null }
 }
 
 object GrpcControlPlane {
   val ServiceName = "api.v1.PipelineService"
+  val ConnectorServiceName = "api.v1.ConnectorService"
+  val ProcessorServiceName = "api.v1.ProcessorService"
+
+  /** Connector plugin catalogue: name → (served types, required
+    * settings). Mirrors `Runner.source`/`Runner.write`'s dispatch —
+    * the facade's ListConnectorPlugins/Validate vocabulary
+    * (reference `api.proto:824,921`). */
+  val ConnectorPlugins: Map[String, (Seq[String], Seq[String])] = {
+    val both = Seq("source", "destination")
+    Map(
+      "builtin:generator" -> (Seq("source"), Nil),
+      "generator" -> (Seq("source"), Nil),
+      "builtin:file" -> (both, Seq("path")),
+      "file" -> (both, Seq("path")),
+      "parquet" -> (both, Seq("path")),
+      "builtin:kafka" -> (both, Seq("servers")),
+      "kafka" -> (both, Seq("servers")),
+      "builtin:postgres" -> (both, Seq("url", "table")),
+      "jdbc" -> (both, Seq("url", "table")),
+      "builtin:s3" -> (both, Seq("aws.bucket")),
+      "s3" -> (both, Seq("aws.bucket")),
+      "builtin:log" -> (Seq("destination"), Nil),
+      "log" -> (Seq("destination"), Nil),
+      "console" -> (Seq("destination"), Nil),
+      "memory" -> (Seq("destination"), Nil),
+      "null" -> (Seq("destination"), Nil),
+      "/dev/null" -> (Seq("destination"), Nil),
+      "noop" -> (Seq("destination"), Nil))
+  }
 
   /** gRPC marshaller for the JSON codec: message bytes are UTF-8
     * JSON, surfaced to handlers as strings. */
@@ -223,10 +672,22 @@ object GrpcControlPlane {
   /** Descriptor for `api.v1.PipelineService/<name>` — shared by the
     * server and [[client]] so both ends agree on the codec. */
   def methodOf(name: String): MethodDescriptor[String, String] =
+    methodOf(ServiceName, name)
+
+  def methodOf(service: String, name: String): MethodDescriptor[String, String] =
     MethodDescriptor.newBuilder[String, String]()
       .setType(MethodDescriptor.MethodType.UNARY)
       .setFullMethodName(
-        MethodDescriptor.generateFullMethodName(ServiceName, name))
+        MethodDescriptor.generateFullMethodName(service, name))
+      .setRequestMarshaller(JsonMarshaller)
+      .setResponseMarshaller(JsonMarshaller)
+      .build()
+
+  def streamMethodOf(service: String, name: String): MethodDescriptor[String, String] =
+    MethodDescriptor.newBuilder[String, String]()
+      .setType(MethodDescriptor.MethodType.SERVER_STREAMING)
+      .setFullMethodName(
+        MethodDescriptor.generateFullMethodName(service, name))
       .setRequestMarshaller(JsonMarshaller)
       .setResponseMarshaller(JsonMarshaller)
       .build()
@@ -234,8 +695,20 @@ object GrpcControlPlane {
   /** Minimal blocking client (one unary call per invocation). */
   final class Client(channel: ManagedChannel) {
     def call(method: String, requestJson: String): String =
+      call(ServiceName, method, requestJson)
+    def call(service: String, method: String, requestJson: String): String =
       ClientCalls.blockingUnaryCall(
-        channel, methodOf(method), CallOptions.DEFAULT, requestJson)
+        channel, methodOf(service, method), CallOptions.DEFAULT, requestJson)
+    /** Collect a server-streaming call to completion. */
+    def stream(service: String, method: String,
+               requestJson: String): Seq[String] = {
+      val it = ClientCalls.blockingServerStreamingCall(
+        channel, streamMethodOf(service, method), CallOptions.DEFAULT,
+        requestJson)
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) buf += it.next()
+      buf.toSeq
+    }
     def close(): Unit = channel.shutdownNow()
   }
 

@@ -57,13 +57,38 @@ object Metrics {
     */
   final class Inspector(val id: String, capacity: Int = 1000) {
     private val ring = new java.util.concurrent.ArrayBlockingQueue[String](capacity)
-    private[pipeline] def offer(records: Seq[String]): Unit =
+    private val sessions =
+      new ConcurrentHashMap[String, java.util.concurrent.ArrayBlockingQueue[String]]()
+    private val sessionSeq = new AtomicLong()
+    private[pipeline] def offer(records: Seq[String]): Unit = {
       records.foreach { r => if (!ring.offer(r)) () } // drop when full
+      sessions.forEach { (_, q) =>
+        records.foreach { r => if (!q.offer(r)) () }
+      }
+    }
     def drain(): Seq[String] = {
       val out = new java.util.ArrayList[String]()
       ring.drainTo(out)
       scala.jdk.CollectionConverters.ListHasAsScala(out).asScala.toSeq
     }
+
+    /** Open a private tap session (reference `inspector.go:33` — each
+      * Inspect call gets its own bounded buffer, so concurrent
+      * inspectors never steal each other's records). Close it when the
+      * stream ends or the buffer leaks. */
+    def openSession(capacity: Int = 1000): String = {
+      val key = s"$id-session-${sessionSeq.incrementAndGet()}"
+      sessions.put(key,
+        new java.util.concurrent.ArrayBlockingQueue[String](capacity))
+      key
+    }
+    def drainSession(key: String): Seq[String] =
+      Option(sessions.get(key)).map { q =>
+        val out = new java.util.ArrayList[String]()
+        q.drainTo(out)
+        scala.jdk.CollectionConverters.ListHasAsScala(out).asScala.toSeq
+      }.getOrElse(Nil)
+    def closeSession(key: String): Unit = sessions.remove(key)
   }
 
   private val inspectors = new ConcurrentHashMap[String, Inspector]()

@@ -130,6 +130,228 @@ class GrpcControlPlaneSpec extends AnyFunSuite {
     } finally { cli.close(); svc.stop(); cp.stop() }
   }
 
+  test("CreatePipeline is atomic for multi-pipeline YAML and returns all created") {
+    val cp = new ControlPlane(spark,
+      java.nio.file.Files.createTempDirectory("grpc_cp4").toString)
+    val svc = new GrpcControlPlane(cp)
+    svc.serveInProcess("grpc-spec-4")
+    val cli = GrpcControlPlane.inProcessClient("grpc-spec-4")
+    try {
+      cli.call("CreatePipeline", s"""{"yaml":${quote(yamlFor("ga2"))}}""")
+      // ga1 is new, ga2 already exists: NOTHING may be registered
+      val both = Pipeline.toYaml(Seq(
+        Pipeline.fromYaml(yamlFor("ga1")).head,
+        Pipeline.fromYaml(yamlFor("ga2")).head))
+      val ex = intercept[Exception] {
+        cli.call("CreatePipeline", s"""{"yaml":${quote(both)}}""")
+      }
+      assert(ex.getMessage.contains("already exists"), ex.getMessage)
+      assert(!cp.isRegistered("ga1"),
+        "atomicity: the earlier pipeline must not stay registered")
+
+      // multi-create success reports every created pipeline
+      val two = Pipeline.toYaml(Seq(
+        Pipeline.fromYaml(yamlFor("gb1")).head,
+        Pipeline.fromYaml(yamlFor("gb2")).head))
+      val created = JsonOps.parse(
+        cli.call("CreatePipeline", s"""{"yaml":${quote(two)}}"""))
+      assert(created.get("pipelines").size() == 2)
+      assert(created.get("pipelines").get(1).get("id").asText() == "gb2")
+    } finally { cli.close(); svc.stop(); cp.stop() }
+  }
+
+  test("UpdatePipeline and topology mutations are rejected while running") {
+    val cp = new ControlPlane(spark,
+      java.nio.file.Files.createTempDirectory("grpc_cp5").toString)
+    val svc = new GrpcControlPlane(cp)
+    svc.serveInProcess("grpc-spec-5")
+    val cli = GrpcControlPlane.inProcessClient("grpc-spec-5")
+    try {
+      val yaml = Pipeline.toYaml(Seq(
+        Pipeline("gr1")
+          .source("gen", "builtin:generator",
+            "format.options.id" -> "int", "rate" -> "100")
+          .destination("out", "null")))
+      cli.call("CreatePipeline", s"""{"yaml":${quote(yaml)}}""")
+      cli.call("StartPipeline", """{"id":"gr1"}""")
+      try {
+        val ex = intercept[Exception] {
+          cli.call("UpdatePipeline", s"""{"id":"gr1","yaml":${quote(yaml)}}""")
+        }
+        assert(ex.getMessage.contains("FAILED_PRECONDITION"), ex.getMessage)
+        val ex2 = intercept[Exception] {
+          cli.call(GrpcControlPlane.ConnectorServiceName, "DeleteConnector",
+            """{"id":"gr1:out"}""")
+        }
+        assert(ex2.getMessage.contains("FAILED_PRECONDITION"), ex2.getMessage)
+      } finally cli.call("StopPipeline", """{"id":"gr1"}""")
+      // stopped: the same update goes through
+      cli.call("UpdatePipeline", s"""{"id":"gr1","yaml":${quote(yaml)}}""")
+    } finally { cli.close(); svc.stop(); cp.stop() }
+  }
+
+  test("ConnectorService: CRUD, validate, plugin catalogue") {
+    val cp = new ControlPlane(spark,
+      java.nio.file.Files.createTempDirectory("grpc_cp6").toString)
+    val svc = new GrpcControlPlane(cp)
+    svc.serveInProcess("grpc-spec-6")
+    val cli = GrpcControlPlane.inProcessClient("grpc-spec-6")
+    val Conn = GrpcControlPlane.ConnectorServiceName
+    try {
+      cli.call("CreatePipeline", s"""{"yaml":${quote(yamlFor("gc1"))}}""")
+
+      // list: source + destination from the YAML
+      val listed = JsonOps.parse(cli.call(Conn, "ListConnectors",
+        """{"pipeline_id":"gc1"}"""))
+      assert(listed.get("connectors").size() == 2)
+
+      // get by composite id
+      val got = JsonOps.parse(cli.call(Conn, "GetConnector",
+        """{"id":"gc1:gen"}"""))
+      assert(got.get("connector").get("plugin").asText() == "builtin:generator")
+      assert(got.get("connector").get("type").asText() == "source")
+
+      // create a second destination
+      val created = JsonOps.parse(cli.call(Conn, "CreateConnector",
+        """{"pipeline_id":"gc1","type":"destination","id":"out2","plugin":"builtin:file","settings":{"path":"/tmp/gc1-out"}}"""))
+      assert(created.get("connector").get("id").asText() == "gc1:out2")
+      assert(cp.config("gc1").get.destinations.size == 2)
+
+      // update its settings
+      val upd = JsonOps.parse(cli.call(Conn, "UpdateConnector",
+        """{"id":"gc1:out2","settings":{"path":"/tmp/gc1-out-b"}}"""))
+      assert(upd.get("connector").get("settings").get("path").asText()
+        == "/tmp/gc1-out-b")
+
+      // delete it
+      cli.call(Conn, "DeleteConnector", """{"id":"gc1:out2"}""")
+      assert(cp.config("gc1").get.destinations.size == 1)
+
+      // validate: ok / unknown plugin / missing required setting
+      cli.call(Conn, "ValidateConnector",
+        """{"type":"source","plugin":"builtin:s3","settings":{"aws.bucket":"b"}}""")
+      val bad = intercept[Exception] {
+        cli.call(Conn, "ValidateConnector",
+          """{"type":"source","plugin":"builtin:nope"}""")
+      }
+      assert(bad.getMessage.contains("unknown connector plugin"), bad.getMessage)
+      val missing = intercept[Exception] {
+        cli.call(Conn, "ValidateConnector",
+          """{"type":"destination","plugin":"builtin:file"}""")
+      }
+      assert(missing.getMessage.contains("missing required settings"),
+        missing.getMessage)
+
+      // plugin catalogue, with regex filter (api.proto:921)
+      val plugins = JsonOps.parse(cli.call(Conn, "ListConnectorPlugins",
+        """{"regex":"^builtin:"}"""))
+      val names = (0 until plugins.get("plugins").size())
+        .map(plugins.get("plugins").get(_).get("name").asText())
+      assert(names.contains("builtin:kafka") && names.contains("builtin:s3"))
+      assert(!names.contains("memory"))
+    } finally { cli.close(); svc.stop(); cp.stop() }
+  }
+
+  test("ProcessorService: CRUD + plugin catalogue") {
+    val cp = new ControlPlane(spark,
+      java.nio.file.Files.createTempDirectory("grpc_cp7").toString)
+    val svc = new GrpcControlPlane(cp)
+    svc.serveInProcess("grpc-spec-7")
+    val cli = GrpcControlPlane.inProcessClient("grpc-spec-7")
+    val Proc = GrpcControlPlane.ProcessorServiceName
+    try {
+      cli.call("CreatePipeline", s"""{"yaml":${quote(yamlFor("gd1"))}}""")
+
+      // create a pipeline-level processor
+      val created = JsonOps.parse(cli.call(Proc, "CreateProcessor",
+        """{"pipeline_id":"gd1","id":"p1","plugin":"field.set","settings":{"field":".Payload.After.x","value":"1"}}"""))
+      assert(created.get("processor").get("id").asText() == "gd1:p1")
+      assert(cp.config("gd1").get.processors.map(_.id) == Seq("p1"))
+
+      // unknown plugin is rejected up front
+      val bad = intercept[Exception] {
+        cli.call(Proc, "CreateProcessor",
+          """{"pipeline_id":"gd1","id":"p2","plugin":"no.such.plugin"}""")
+      }
+      assert(bad.getMessage.contains("unknown processor plugin"), bad.getMessage)
+
+      // get / list / update / delete
+      val got = JsonOps.parse(cli.call(Proc, "GetProcessor", """{"id":"gd1:p1"}"""))
+      assert(got.get("processor").get("plugin").asText() == "field.set")
+      val listed = JsonOps.parse(cli.call(Proc, "ListProcessors",
+        """{"pipeline_id":"gd1"}"""))
+      assert(listed.get("processors").size() == 1)
+      val upd = JsonOps.parse(cli.call(Proc, "UpdateProcessor",
+        """{"id":"gd1:p1","condition":"{{ eq .Operation \"create\" }}"}"""))
+      assert(upd.get("processor").get("condition").asText().contains("create"))
+      cli.call(Proc, "DeleteProcessor", """{"id":"gd1:p1"}""")
+      assert(cp.config("gd1").get.processors.isEmpty)
+
+      // connector-scoped processor (parent_connector_id)
+      cli.call(Proc, "CreateProcessor",
+        """{"pipeline_id":"gd1","id":"p3","plugin":"field.exclude","parent_connector_id":"gen","settings":{"fields":".Payload.After.y"}}""")
+      assert(cp.config("gd1").get.sources.head.processors.map(_.id) == Seq("p3"))
+
+      // plugin catalogue serves the full registry
+      val plugins = JsonOps.parse(cli.call(Proc, "ListProcessorPlugins",
+        """{"regex":"^field\\."}"""))
+      val names = (0 until plugins.get("plugins").size())
+        .map(plugins.get("plugins").get(_).get("name").asText())
+      assert(names.contains("field.set") && names.contains("field.rename"))
+      assert(names.forall(_.startsWith("field.")))
+    } finally { cli.close(); svc.stop(); cp.stop() }
+  }
+
+  test("streaming inspect: InspectConnector streams live records over gRPC") {
+    val cp = new ControlPlane(spark,
+      java.nio.file.Files.createTempDirectory("grpc_cp8").toString)
+    val svc = new GrpcControlPlane(cp)
+    svc.serveInProcess("grpc-spec-8")
+    val cli = GrpcControlPlane.inProcessClient("grpc-spec-8")
+    try {
+      val yaml = Pipeline.toYaml(Seq(
+        Pipeline("gi1")
+          .source("gen", "builtin:generator",
+            "format.options.id" -> "int", "rate" -> "500")
+          .destination("out", "null")))
+      cli.call("CreatePipeline", s"""{"yaml":${quote(yaml)}}""")
+      cli.call("StartPipeline", """{"id":"gi1"}""")
+      try {
+        val records = cli.stream(GrpcControlPlane.ConnectorServiceName,
+          "InspectConnector",
+          """{"id":"gi1:gen","limit":5,"duration_ms":60000}""")
+        assert(records.size == 5, s"got ${records.size} records")
+        records.foreach { r =>
+          val n = JsonOps.parse(r)
+          assert(n.has("record"), r)
+        }
+        // processor-side inspect shares the tap vocabulary
+        val ex = intercept[Exception] {
+          cli.stream(GrpcControlPlane.ProcessorServiceName,
+            "InspectProcessorIn", """{"id":"gi1:nope"}""").size
+        }
+        assert(ex.getMessage.contains("unknown component"), ex.getMessage)
+      } finally cli.call("StopPipeline", """{"id":"gi1"}""")
+    } finally { cli.close(); svc.stop(); cp.stop() }
+  }
+
+  test("serve() refuses a second start on the same facade") {
+    val cp = new ControlPlane(spark,
+      java.nio.file.Files.createTempDirectory("grpc_cp9").toString)
+    val svc = new GrpcControlPlane(cp)
+    svc.serveInProcess("grpc-spec-9")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        svc.serveInProcess("grpc-spec-9b")
+      }
+      assert(ex.getMessage.contains("already started"))
+    } finally { svc.stop(); cp.stop() }
+    // after stop() a fresh serve is fine
+    svc.serveInProcess("grpc-spec-9c")
+    svc.stop()
+    cp.stop()
+  }
+
   private def quote(s: String): String =
     JsonOps.render(JsonOps.mapper.getNodeFactory.textNode(s))
 }
