@@ -279,6 +279,12 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    // Compact totals-only line LAST: the driver's stdout tail window
+    // (~2 KB) truncates the full per-query line, so every BENCH_r*.json
+    // parsed as null. This one is a few hundred bytes and printed
+    // last, so it always survives the tail; per-query data lives in
+    // the full line above / BENCH_LOCAL.json.
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","total_steady":${f(totalSteady)},"total_min":${f(totalMin)},"total_min_calibrated":${f(totalMin / math.max(calFactor, 1.0))},"cal_factor":${f(calFactor)},"n_queries":${minMap.size},"steal_delta_s":${f(stealTotal)},"max_gap_s":${f(Heartbeat.globalMaxSecs())},"detail":"BENCH_LOCAL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

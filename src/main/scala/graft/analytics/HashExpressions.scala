@@ -372,6 +372,32 @@ case class SplitMix64Hash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** trailing_zeros63(long) → long: trailing zero bits of a positive
+  * 63-bit hash, capped at 62 for h = 0 (probability 2^-63) — the KLL
+  * per-item "coin flips survived" (Sketch.kllState). Exists because
+  * the Column-level binary-search formulation references its
+  * predecessor three times per level: the expression tree grows
+  * ~3^6-fold, and compiling the generated code cost seconds of janino
+  * time PER PLAN SHAPE — the dominant term of the sketch_kll* bench
+  * rows, re-paid every run because codegen cache keys contain fresh
+  * exprIds. One intrinsic keeps the hot path a single JVM instruction.
+  */
+case class TrailingZeros63(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "trailing_zeros63"
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[Long]
+    if (x == 0L) 62L else java.lang.Long.numberOfTrailingZeros(x).toLong
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ($c == 0L) ? 62L : (long) java.lang.Long.numberOfTrailingZeros($c);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** quantize_int8(array<float|double>) → struct(scale double,
   * qvec array<long>): symmetric int8 quantization, scale = max |x|,
   * q = round-half-away-from-zero(x/scale·127). One pass — a
@@ -693,6 +719,8 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
 object HashFunctions {
   def splitmix64_hash(c: Column): Column =
     Bridge.column(SplitMix64Hash(Bridge.expression(c)))
+  def trailing_zeros63(c: Column): Column =
+    Bridge.column(TrailingZeros63(Bridge.expression(c)))
   def hilbert_index(x: Column, y: Column, order: Int): Column =
     Bridge.column(HilbertIndex(Bridge.expression(x),
       Bridge.expression(y), order))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import HashFunctions.{java_ln, splitmix64_hash}
+import HashFunctions.{java_ln, splitmix64_hash, trailing_zeros63}
 
 /** Distinct-count sketches. HyperLogLog (Flajolet et al. 2007, with
   * the standard small-range linear-counting correction) expressed as
@@ -503,13 +503,14 @@ object Sketch {
   // on the ≤ 2k-row state).
 
   /** Trailing zero bits of a positive 63-bit hash (the item's "coin
-    * flips survived"): isolate the lowest set bit with h & -h, then
-    * reuse [[bitLen]] (integer binary search, never a double log).
-    * h = 0 (probability 2^-63) caps at 62.
+    * flips survived"); h = 0 (probability 2^-63) caps at 62. A single
+    * codegen'd intrinsic ([[HashExpressions]] TrailingZeros63) — the
+    * earlier bitLen(h & -h) - 1 when-chain formulation produced a
+    * ~3^6-node expression tree whose janino compile dominated the
+    * sketch_kll* bench rows (same value bit-for-bit; the oracle
+    * replays it via the powers join either way).
     */
-  private def trailingZeros(h: Column): Column =
-    when(h === 0L, lit(62L))
-      .otherwise(bitLen(h.bitwiseAND(-h)) - lit(1L))
+  private def trailingZeros(h: Column): Column = trailing_zeros63(h)
 
   /** Per-group cut level: the smallest L with |{tz ≥ L}| ≤ k, i.e.
     * 1 + the highest level whose at-or-above population still
@@ -572,8 +573,19 @@ object Sketch {
   def kllMerge(states: Seq[DataFrame], groupCols: Seq[String],
                k: Int = 256): DataFrame = {
     val g = groupCols.map(col)
+    // Fence each input state first: the merge references every state
+    // THREE times (per-part counts, the union's cut histogram, the
+    // union's filter join), and an unfenced state re-derives its whole
+    // input lineage per reference — measured ~12 scans of the raw log
+    // for a 2-way merge. The state is ≤ ~2k rows per group, so the
+    // eager localCheckpoint is a storage-backed leaf that costs one
+    // state build (reliable checkpoint(dir) is the cluster-grade
+    // equivalent per NOTES; parquet-backed states, e.g. the streaming
+    // sink's committed batches, are already leaves but re-fencing
+    // those ≤2k-row reads is noise).
+    val fenced = states.map(_.localCheckpoint(true))
     // per-part (n, cut) — constant within a part's group rows
-    val parts = states.map(_.groupBy(g: _*)
+    val parts = fenced.map(_.groupBy(g: _*)
       .agg(first(col("kll_n")).as("_pn"), first(col("kll_l")).as("_pl")))
     val ntab = parts.reduce(_ unionByName _).groupBy(g: _*)
       .agg(sum(col("_pn")).as("kll_n"), max(col("_pl")).as("_lfloor"))
