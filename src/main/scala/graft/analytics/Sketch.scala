@@ -641,4 +641,86 @@ object Sketch {
       }
     ranked.groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  // ==================== Distributed Bloom filter ====================
+  //
+  // Bloom filter (Bloom 1970) as a MERGEABLE word table: one row per
+  // 64-bit word with any bit set — (word_idx, bits). Each item sets
+  // kHashes positions pos_i = splitmix64(item + seed + i) mod m; a
+  // word's bits are the OR of 1 << (pos mod 64). This is the
+  // cross-batch membership primitive at 100 TB: where
+  // `Dedup.bloomIncremental` tree-aggregates a DRIVER-sized
+  // util.sketch filter and broadcasts it, this state lives in parquet
+  // across batches, costs one (word, partial-OR) shuffle with
+  // map-side combine, and merges by word-wise OR — the union law
+  // merge(bloom A, bloom B) == bloom(A ∪ B) holds EXACTLY because OR
+  // is idempotent/associative/commutative (the `sketch_bloom_merge`
+  // gate row proves it bit-for-bit, and idempotence is what makes
+  // foreachBatch replays of the streaming sink safe with no
+  // committed-state versioning subtleties).
+  //
+  // mBits must be a power of two: the DuckDB oracle replays the
+  // position chain in unsigned HUGEINT while Spark's pmod sees the
+  // signed reinterpretation, and the two moduli agree exactly on the
+  // low bits (two's complement) only for power-of-two m. itemCol must
+  // be integral — route strings through fnv1a_hash first.
+
+  /** Build the word table over `df`'s items: (word_idx, bits), at
+    * most m/64 rows regardless of input size. */
+  def bloomWords(
+      df: DataFrame,
+      itemCol: String,
+      mBits: Int = 1 << 16,
+      kHashes: Int = 4,
+      seed: Long = 7L): DataFrame = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"mBits=$mBits must be a power of two >= 64")
+    require(kHashes >= 1 && kHashes <= 16, s"kHashes=$kHashes")
+    bloomPositions(df, itemCol, mBits, kHashes, seed)
+      .select(expr("_pos div 64").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))")
+          .as("_mask"))
+      .groupBy(col("word_idx"))
+      .agg(expr("bit_or(_mask)").as("bits"))
+  }
+
+  private def bloomPositions(df: DataFrame, itemCol: String, mBits: Int,
+                             kHashes: Int, seed: Long): DataFrame =
+    df.filter(col(itemCol).isNotNull)
+      .select(col(itemCol), explode(array((0 until kHashes).map(i =>
+        pmod(splitmix64_hash(col(itemCol) + lit(seed + i)),
+          lit(mBits.toLong))): _*)).as("_pos"))
+
+  /** Word-wise OR of word tables (bloom union). */
+  def bloomMerge(words: Seq[DataFrame]): DataFrame =
+    words.reduce(_ unionByName _)
+      .groupBy(col("word_idx"))
+      .agg(expr("bit_or(bits)").as("bits"))
+
+  /** Membership probe: one row per distinct candidate with
+    * `bloom_hit` 1 ⇔ ALL k positions are set (no false negatives;
+    * FP ≈ (1 − e^{−kn/m})^k). The word table is broadcast (≤ m/64
+    * rows); candidates never shuffle beyond their own distinct.
+    */
+  def bloomProbe(
+      words: DataFrame,
+      candidates: DataFrame,
+      itemCol: String,
+      mBits: Int = 1 << 16,
+      kHashes: Int = 4,
+      seed: Long = 7L): DataFrame = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"mBits=$mBits must be a power of two >= 64")
+    val pos = bloomPositions(candidates, itemCol, mBits, kHashes, seed)
+      .select(col(itemCol),
+        expr("_pos div 64").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))")
+          .as("_mask"))
+    pos.join(broadcast(words), Seq("word_idx"), "left")
+      .select(col(itemCol),
+        when(coalesce(col("bits"), lit(0L)).bitwiseAND(col("_mask")) =!= 0L,
+          lit(1L)).otherwise(lit(0L)).as("_set"))
+      .groupBy(col(itemCol))
+      .agg(min(col("_set")).as("bloom_hit"))
+  }
 }

@@ -358,6 +358,42 @@ object Temporal {
         Seq("event_type"))
     }),
 
+    // Distributed Bloom filter: membership word table over purchase
+    // users, probed with every user — the cross-batch "seen before?"
+    // primitive. Hash-matching (user, bloom_hit, is_member) against
+    // the oracle's position-set replay proves BOTH the exact bit
+    // layout and the no-false-negatives law (is_member=1 ⇒ hit=1) on
+    // every row.
+    "sketch_bloom" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val members = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+      val words = Sketch.bloomWords(members, "user_id",
+        mBits = 1 << 16, kHashes = 4)
+      val probed = Sketch.bloomProbe(words,
+        ev.select(col("user_id")).distinct(), "user_id",
+        mBits = 1 << 16, kHashes = 4)
+      probed.join(members.withColumn("is_member", lit(1L)),
+          Seq("user_id"), "left")
+        .select(col("user_id"), col("bloom_hit"),
+          coalesce(col("is_member"), lit(0L)).as("is_member"))
+    }),
+
+    // BLOOM UNION LAW: word tables built independently over clicks
+    // and purchases, OR-merged — must equal the direct filter of the
+    // union bit-for-bit (OR is idempotent/associative). Oracle = the
+    // direct replay; output is the raw (word_idx, bits) state.
+    "sketch_bloom_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val a = Sketch.bloomWords(
+        ev.filter(col("event_type") === "click").select(col("user_id")),
+        "user_id", mBits = 1 << 16, kHashes = 4)
+      val b = Sketch.bloomWords(
+        ev.filter(col("event_type") === "purchase").select(col("user_id")),
+        "user_id", mBits = 1 << 16, kHashes = 4)
+      Sketch.bloomMerge(Seq(a, b))
+    }),
+
     // 3-core of the customer->supplier interaction graph by bounded
     // peeling — pure integer degrees, early exit equals the fixed
     // budget by monotonicity, which is exactly how the oracle replays
@@ -1224,6 +1260,37 @@ object Temporal {
       }
       Sketch.kllQuantiles(s.read.parquet(s"$state/batch=1"),
         Seq("event_type"))
+    }),
+
+    // Streaming Bloom twin: the word table OR-merged across a real
+    // 2-batch stream of purchase users must equal the batch filter of
+    // the whole set (OR idempotence/associativity) — oracle = the
+    // direct position-set replay.
+    "sketch_bloom_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = t(s, dir, "events")
+      val rows = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), tsEpochSeconds(ev).as("ts_s"))
+        .as[(Long, Long)].collect()
+      val split = 1705363200L
+      val (b1, b2) = rows.partition(_._2 <= split)
+      val state = java.nio.file.Files
+        .createTempDirectory("bloom_stream").toString
+      val in = MemoryStream[(Long, Long)]
+      withScopedShuffle(s, 4) {
+        val qq = in.toDF().toDF("user_id", "ts_s")
+          .writeStream
+          .foreachBatch(graft.streaming.StreamingOps.bloomSink(
+            state, "user_id", mBits = 1 << 16, kHashes = 4))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); qq.processAllAvailable()
+          in.addData(b2.toSeq); qq.processAllAvailable()
+        } finally qq.stop()
+      }
+      s.read.parquet(s"$state/batch=1")
     }),
 
     // Streaming SCD2 twin: version history maintained across a real
@@ -2155,7 +2222,77 @@ object Temporal {
          FROM est"""
   }
 
+  /** One splitmix64 chain (seed 7 + hash index i from the `ks` CTE)
+    * over `src`'s user_id, ending in `<pfx>pos` ($sel pos) with
+    * pos = x6 mod 2^16. Shared by the Bloom oracles; power-of-two
+    * modulus makes the unsigned HUGEINT mod equal Spark's signed
+    * pmod bit-for-bit.
+    */
+  private def bloomChainCtes(pfx: String, src: String, sel: String): String =
+    s"""${pfx}0 AS (SELECT $sel (CAST(user_id AS HUGEINT) + 7 + i + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
+            FROM $src CROSS JOIN ks CROSS JOIN c),
+       ${pfx}a AS (SELECT $sel xor(x1, x1 // 1073741824) AS x2, m64 FROM ${pfx}0),
+       ${pfx}1 AS (SELECT $sel (x2 % 4294967296 * 484763065 +
+            ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+            * 4294967296) % m64 AS x3, m64 FROM ${pfx}a),
+       ${pfx}b AS (SELECT $sel xor(x3, x3 // 134217728) AS x4, m64 FROM ${pfx}1),
+       ${pfx}2 AS (SELECT $sel (x4 % 4294967296 * 321982955 +
+            ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+            * 4294967296) % m64 AS x5, m64 FROM ${pfx}b),
+       ${pfx}3 AS (SELECT $sel xor(x5, x5 // 2147483648) AS x6 FROM ${pfx}2),
+       ${pfx}pos AS (SELECT $sel x6 % 65536 AS pos FROM ${pfx}3)"""
+
+  /** Direct Bloom word-table replay over `WHERE $where` user_ids:
+    * distinct (word, bit) positions, bits = HUGEINT sum of exact
+    * power-of-two literals (a 64-row VALUES table — never float pow),
+    * reinterpreted as the signed 64-bit word Spark's shiftleft/bit_or
+    * produces.
+    */
+  private def bloomWordsOracle(where: String): String = {
+    val powers = (0 to 63).map(i => s"($i, ${BigInt(1) << i})").mkString(", ")
+    s"""WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+       ks AS (SELECT range AS i FROM range(0, 4)),
+       src AS (SELECT user_id FROM events
+               WHERE ($where) AND user_id IS NOT NULL),
+       ${bloomChainCtes("u", "src", "")},
+       wb AS (SELECT DISTINCT pos // 64 AS w, pos % 64 AS b FROM upos),
+       pw(bi, p) AS (VALUES $powers),
+       sm AS (SELECT w, sum(p) AS s2 FROM wb JOIN pw ON pw.bi = wb.b GROUP BY w)
+       SELECT CAST(w AS BIGINT) AS word_idx,
+         CAST(CASE WHEN s2 >= CAST(9223372036854775808 AS HUGEINT)
+                   THEN s2 - CAST(18446744073709551616 AS HUGEINT)
+                   ELSE s2 END AS BIGINT) AS bits
+       FROM sm"""
+  }
+
+  /** Bloom probe replay: member positions as a distinct set, each
+    * candidate position checked by semi-join (set-membership of the
+    * position IS the word-table bit test), hit = min over the k
+    * positions; is_member tags the exact set so a hash match also
+    * proves no false negatives row-by-row.
+    */
+  private val bloomProbeOracle: String =
+    s"""WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+       ks AS (SELECT range AS i FROM range(0, 4)),
+       mem AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+       cand AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+       ${bloomChainCtes("am", "mem", "")},
+       apos AS (SELECT DISTINCT pos FROM ampos),
+       ${bloomChainCtes("bm", "cand", "user_id,")},
+       ph AS (SELECT bp.user_id, CASE WHEN ap.pos IS NOT NULL THEN 1 ELSE 0 END AS s
+              FROM bmpos bp LEFT JOIN apos ap ON ap.pos = bp.pos),
+       pr AS (SELECT user_id, min(s) AS hit FROM ph GROUP BY user_id)
+       SELECT pr.user_id, CAST(pr.hit AS BIGINT) AS bloom_hit,
+         CAST(CASE WHEN mem.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_member
+       FROM pr LEFT JOIN mem ON mem.user_id = pr.user_id"""
+
   val oracles: Map[String, String] = Map(
+    // ===== round-13 oracles =====
+    "sketch_bloom" -> bloomProbeOracle,
+    "sketch_bloom_merge" ->
+      bloomWordsOracle("event_type IN ('click', 'purchase')"),
+    "sketch_bloom_stream" -> bloomWordsOracle("event_type = 'purchase'"),
     // ===== round-10 oracles =====
     // pair-class counting over the same user-parity sample: the pair
     // MULTISET is numbering-invariant, so DuckDB's own row_number is a

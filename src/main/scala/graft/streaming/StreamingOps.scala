@@ -558,6 +558,37 @@ object StreamingOps {
     }
   }
 
+  /** Streaming Bloom maintenance — the membership sibling of
+    * [[hllRegisterSink]]: each micro-batch's word table
+    * ([[graft.analytics.Sketch.bloomWords]]) OR-merges into the
+    * committed state via [[graft.analytics.Sketch.bloomMerge]]. OR is
+    * idempotent AND associative, so the state after any prefix of the
+    * stream equals the batch filter of that prefix exactly (the
+    * `sketch_bloom_stream` gate row proves the law bit-for-bit) and
+    * foreachBatch replays are harmless. State is ≤ mBits/64 word rows
+    * forever — the cross-batch "seen before?" primitive for ingest
+    * dedup at 100 TB (probe with
+    * [[graft.analytics.Sketch.bloomProbe]]; no false negatives).
+    */
+  def bloomSink(
+      stateDir: String,
+      itemCol: String,
+      mBits: Int = 1 << 16,
+      kHashes: Int = 4,
+      seed: Long = 7L): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val newWords = graft.analytics.Sketch.bloomWords(
+        batch, itemCol, mBits, kHashes, seed)
+      val merged = latestCommittedDir(stateDir, batchId) match {
+        case Some(prev) => graft.analytics.Sketch.bloomMerge(
+          Seq(spark.read.parquet(prev), newWords))
+        case None => newWords
+      }
+      merged.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    }
+  }
+
   /** Streaming KMV maintenance — the k-minimum-values sibling of
     * [[hllRegisterSink]]: each micro-batch's KMV state
     * ([[graft.analytics.Sketch.kmvState]]) min-merges into the
