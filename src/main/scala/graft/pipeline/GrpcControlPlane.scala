@@ -343,8 +343,7 @@ class GrpcControlPlane(cp: ControlPlane) {
       "{}"
     },
     "ListConnectorPlugins" -> { req =>
-      val regex = Option(text(node(req), "regex")).filter(_.nonEmpty)
-        .map(_.r)
+      val regex = pluginRegexOf(node(req))
       val docs = ConnectorPlugins.collect {
         case (name, (kinds, required))
             if regex.forall(_.findFirstIn(name).isDefined) =>
@@ -356,6 +355,11 @@ class GrpcControlPlane(cp: ControlPlane) {
       }.toSeq.sorted
       s"""{"plugins":${docs.mkString("[", ",", "]")}}"""
     })
+
+  /** Plugin-list filter: the proto field is `name` (a regex,
+    * `api.proto:1194`); `regex` is accepted as an alias. */
+  private def pluginRegexOf(n: JsonNode): Option[scala.util.matching.Regex] =
+    Seq(text(n, "name"), text(n, "regex")).find(_.nonEmpty).map(_.r)
 
   private def validatePlugin(kind: String, plugin: String,
                              settings: Map[String, String]): Unit = {
@@ -479,7 +483,7 @@ class GrpcControlPlane(cp: ControlPlane) {
       "{}"
     },
     "ListProcessorPlugins" -> { req =>
-      val regex = Option(text(node(req), "regex")).filter(_.nonEmpty).map(_.r)
+      val regex = pluginRegexOf(node(req))
       val names = Registry.plugins.toSeq.sorted
         .filter(n => regex.forall(_.findFirstIn(n).isDefined))
       val docs = names.map { n =>
@@ -569,12 +573,26 @@ class GrpcControlPlane(cp: ControlPlane) {
     b.build()
   }
 
+  // ---- InformationService (api.proto:1202) ---------------------------
+
+  private val informationHandlers: Map[String, String => String] = Map(
+    "GetInfo" -> { _ =>
+      s"""{"info":{"version":${jstr("v0.1.0")},"os":${
+        jstr(sys.props.getOrElse("os.name", "").toLowerCase)},"arch":${
+        jstr(sys.props.getOrElse("os.arch", ""))}}}"""
+    })
+
   private def services: Seq[ServerServiceDefinition] = Seq(
     serviceDefinition(ServiceName, pipelineHandlers, Map.empty),
     serviceDefinition(ConnectorServiceName, connectorHandlers,
       connectorStreams),
     serviceDefinition(ProcessorServiceName, processorHandlers,
-      processorStreams))
+      processorStreams),
+    serviceDefinition(InformationServiceName, informationHandlers,
+      Map.empty))
+  // api.v1.PluginService is NOT served: the reference marks it
+  // deprecated in favor of ConnectorService/ProcessorService
+  // (api.proto:1224) — both of which are served above.
 
   private def onError(observer: StreamObserver[String], e: Exception): Unit = {
     val status = e match {
@@ -632,6 +650,7 @@ object GrpcControlPlane {
   val ServiceName = "api.v1.PipelineService"
   val ConnectorServiceName = "api.v1.ConnectorService"
   val ProcessorServiceName = "api.v1.ProcessorService"
+  val InformationServiceName = "api.v1.InformationService"
 
   /** Connector plugin catalogue: name → (served types, required
     * settings). Mirrors `Runner.source`/`Runner.write`'s dispatch —

@@ -335,6 +335,27 @@ class GrpcControlPlaneSpec extends AnyFunSuite {
     } finally { cli.close(); svc.stop(); cp.stop() }
   }
 
+  test("InformationService.GetInfo and the proto `name` plugin filter") {
+    val cp = new ControlPlane(spark,
+      java.nio.file.Files.createTempDirectory("grpc_cp10").toString)
+    val svc = new GrpcControlPlane(cp)
+    svc.serveInProcess("grpc-spec-10")
+    val cli = GrpcControlPlane.inProcessClient("grpc-spec-10")
+    try {
+      val info = JsonOps.parse(cli.call(
+        GrpcControlPlane.InformationServiceName, "GetInfo", "{}"))
+      assert(info.get("info").get("version").asText().startsWith("v"))
+      assert(info.get("info").get("arch").asText().nonEmpty)
+      // the reference's filter field is `name` (api.proto:1194)
+      val plugins = JsonOps.parse(cli.call(
+        GrpcControlPlane.ProcessorServiceName, "ListProcessorPlugins",
+        """{"name":"^json\\."}"""))
+      val names = (0 until plugins.get("plugins").size())
+        .map(plugins.get("plugins").get(_).get("name").asText())
+      assert(names.nonEmpty && names.forall(_.startsWith("json.")))
+    } finally { cli.close(); svc.stop(); cp.stop() }
+  }
+
   test("serve() refuses a second start on the same facade") {
     val cp = new ControlPlane(spark,
       java.nio.file.Files.createTempDirectory("grpc_cp9").toString)
