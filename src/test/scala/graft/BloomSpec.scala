@@ -58,6 +58,15 @@ class BloomSpec extends AnyFunSuite {
     assert(probed.filter($"bloom_hit" === 1L).count() == 0)
   }
 
+  test("probe plan broadcasts the word table (candidates never shuffle for the join)") {
+    val w = words((1L to 1000L).toDF("id"))
+    val probed = Sketch.bloomProbe(w, (1L to 5000L).toDF("id"), "id",
+      mBits = 1 << 14, kHashes = 4)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(2000))
+  }
+
   test("mBits must be a power of two (oracle mod-equality contract)") {
     val df = (1L to 10L).toDF("id")
     intercept[IllegalArgumentException] {
