@@ -612,35 +612,16 @@ object Graph {
       .union(e0.select(col("_v").as("_n"), col("_u").as("_nbr")))
     val deg = adj.groupBy(col("_n")).agg(count(lit(1)).as("_d"))
     val hubs = deg.filter(col("_d") > maxDegree).select(col("_n"))
-    // hub-degree per node: how many of its neighbors are above the
-    // cap (node-sized; empty under the default cap on sane graphs)
-    val hubDeg = adj.join(hubs.withColumnRenamed("_n", "_nbr"), "_nbr")
-      .groupBy(col("_n")).agg(count(lit(1)).as("_hd"))
-    // pivot side: hub nodes above the cap never mediate candidates —
-    // the wedge join's per-key fan-out is ≤ maxDegree² by construction
-    val pivotAdj = adj.join(
-        deg.filter(col("_d") <= maxDegree).select(col("_n")), "_n")
-    val common = pivotAdj.as("a1")
-      .join(pivotAdj.select(col("_n"), col("_nbr").as("_nbr2")).as("a2"),
+    def wedge(pivot: DataFrame): DataFrame = pivot.as("a1")
+      .join(pivot.select(col("_n"), col("_nbr").as("_nbr2")).as("a2"),
         col("a1._n") === col("a2._n") && col("a1._nbr") < col("_nbr2"))
       .groupBy(col("a1._nbr").as("_x"), col("_nbr2").as("_y"))
       .agg(count(lit(1)).as("_capped"))
-    val unlinked = common.join(e0,
+    def unlinkedOf(common: DataFrame): DataFrame = common.join(e0,
       col("_x") === col("_u") && col("_y") === col("_v"), "left_anti")
-    val annotated = unlinked
+    def withDegrees(df: DataFrame): DataFrame = df
       .join(deg.select(col("_n").as("_x"), col("_d").as("deg_a")), "_x")
       .join(deg.select(col("_n").as("_y"), col("_d").as("deg_b")), "_y")
-      .join(hubDeg.select(col("_n").as("_x"), col("_hd").as("_hdx")),
-        Seq("_x"), "left")
-      .join(hubDeg.select(col("_n").as("_y"), col("_hd").as("_hdy")),
-        Seq("_y"), "left")
-      .na.fill(0L, Seq("_hdx", "_hdy"))
-      // upper bound on the true common count: hub commons number at
-      // most min(hub-degree of x, hub-degree of y)
-      .withColumn("_ub", col("_capped") + least(col("_hdx"), col("_hdy")))
-      .filter(col("_ub").cast("double") /
-        (col("deg_a") + col("deg_b") - col("_ub")).cast("double")
-        >= lit(minJaccard))
     def score(df: DataFrame, commonCol: Column) = df
       .withColumn("common", commonCol)
       .withColumn("jaccard", col("common").cast("double") /
@@ -648,21 +629,49 @@ object Graph {
       .filter(col("jaccard") >= lit(minJaccard))
       .select(col("_x").as("node_a"), col("_y").as("node_b"),
         col("common"), col("deg_a"), col("deg_b"), col("jaccard"))
-    // no hub neighbors on either endpoint ⇒ the capped count IS the
-    // true count (a common neighbor above the cap would appear in
-    // both endpoints' hub-degrees)
-    val fast = score(
-      annotated.filter(least(col("_hdx"), col("_hdy")) === 0L),
-      col("_capped"))
-    // exact re-count for the hub-touching survivors: expand x's TRUE
-    // neighbor list (bounded by the upper-bound prune) and keep the
-    // neighbors that are also y's
-    val slow = annotated.filter(least(col("_hdx"), col("_hdy")) > 0L)
-    // expansion budget (hub regime only — the isEmpty probe costs one
-    // degree scan, far below the wedge join; the budget aggregate is
-    // the documented bounded 1-row collect class and recomputes the
-    // candidate lineage once, the price of entering the risky regime)
-    if (!hubs.isEmpty) {
+    // One hub probe up front (a degree aggregation — far below the
+    // wedge join) gates the ENTIRE hub machinery, not just the
+    // expansion budget: under the default cap on sane graphs there
+    // are no hubs, every node may pivot, the capped count IS the true
+    // count, and the plan carries none of the hub-degree joins (this
+    // was the round-13 graph_links regression — the exactness pass
+    // added its joins to the no-hub plan too).
+    if (hubs.isEmpty) {
+      score(withDegrees(unlinkedOf(wedge(adj))), col("_capped"))
+    } else {
+      // hub-degree per node: how many of its neighbors are above the
+      // cap (node-sized)
+      val hubDeg = adj.join(hubs.withColumnRenamed("_n", "_nbr"), "_nbr")
+        .groupBy(col("_n")).agg(count(lit(1)).as("_hd"))
+      // pivot side: hub nodes above the cap never mediate candidates —
+      // the wedge join's per-key fan-out is ≤ maxDegree² by construction
+      val pivotAdj = adj.join(
+          deg.filter(col("_d") <= maxDegree).select(col("_n")), "_n")
+      val annotated = withDegrees(unlinkedOf(wedge(pivotAdj)))
+        .join(hubDeg.select(col("_n").as("_x"), col("_hd").as("_hdx")),
+          Seq("_x"), "left")
+        .join(hubDeg.select(col("_n").as("_y"), col("_hd").as("_hdy")),
+          Seq("_y"), "left")
+        .na.fill(0L, Seq("_hdx", "_hdy"))
+        // upper bound on the true common count: hub commons number at
+        // most min(hub-degree of x, hub-degree of y)
+        .withColumn("_ub", col("_capped") + least(col("_hdx"), col("_hdy")))
+        .filter(col("_ub").cast("double") /
+          (col("deg_a") + col("deg_b") - col("_ub")).cast("double")
+          >= lit(minJaccard))
+      // no hub neighbors on either endpoint ⇒ the capped count IS the
+      // true count (a common neighbor above the cap would appear in
+      // both endpoints' hub-degrees)
+      val fast = score(
+        annotated.filter(least(col("_hdx"), col("_hdy")) === 0L),
+        col("_capped"))
+      // exact re-count for the hub-touching survivors: expand x's TRUE
+      // neighbor list (bounded by the upper-bound prune) and keep the
+      // neighbors that are also y's
+      val slow = annotated.filter(least(col("_hdx"), col("_hdy")) > 0L)
+      // expansion budget (the budget aggregate is the documented
+      // bounded 1-row collect class and recomputes the candidate
+      // lineage once, the price of entering the risky regime)
       val expansion = slow.agg(coalesce(sum(col("deg_a")), lit(0L)).as("_e"))
         .collect().head.getLong(0)
       require(expansion <= maxExpansion,
@@ -671,14 +680,14 @@ object Graph {
           s"$minJaccard is small enough to re-admit the quadratic surface " +
           "the maxDegree cap removed; raise minJaccard, lower maxDegree, " +
           "or raise maxExpansion explicitly")
+      val exact = slow.select(col("_x"), col("_y"))
+        .join(adj.select(col("_n").as("_x"), col("_nbr")), "_x")
+        .join(adj.select(col("_n").as("_y"), col("_nbr")), Seq("_y", "_nbr"),
+          "left_semi")
+        .groupBy(col("_x"), col("_y")).agg(count(lit(1)).as("_exact"))
+      val slowScored = score(
+        slow.join(exact, Seq("_x", "_y")), col("_exact"))
+      fast.unionByName(slowScored)
     }
-    val exact = slow.select(col("_x"), col("_y"))
-      .join(adj.select(col("_n").as("_x"), col("_nbr")), "_x")
-      .join(adj.select(col("_n").as("_y"), col("_nbr")), Seq("_y", "_nbr"),
-        "left_semi")
-      .groupBy(col("_x"), col("_y")).agg(count(lit(1)).as("_exact"))
-    val slowScored = score(
-      slow.join(exact, Seq("_x", "_y")), col("_exact"))
-    fast.unionByName(slowScored)
   }
 }
