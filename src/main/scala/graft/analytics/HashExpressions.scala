@@ -372,6 +372,85 @@ case class SplitMix64Hash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Jaro–Winkler similarity kernel, byte-level to match DuckDB's
+  * (rapidfuzz-derived) `jaro_winkler_similarity` exactly on ASCII and
+  * byte-for-byte on any input: match window max(l1,l2)/2 − 1 (min 0),
+  * greedy first-unused matching, transpositions = mismatched aligned
+  * matches / 2 by INTEGER division (probed: 'abcdef'/'bcadef' →
+  * 0.9444…, i.e. t=1 from 3 mismatches), jaro 0 when either side is
+  * empty or m = 0, Winkler boost l·0.1·(1−jaro) for the ≤4-byte
+  * common prefix only when jaro > 0.7. Static so codegen can call it.
+  */
+object JaroWinklerImpl {
+  def jw(l: UTF8String, r: UTF8String): Double = {
+    val s1 = l.getBytes; val s2 = r.getBytes
+    val j = jaro(s1, s2)
+    if (j <= 0.7) j
+    else {
+      var p = 0
+      val maxP = math.min(4, math.min(s1.length, s2.length))
+      while (p < maxP && s1(p) == s2(p)) p += 1
+      j + p * 0.1 * (1.0 - j)
+    }
+  }
+  private def jaro(s1: Array[Byte], s2: Array[Byte]): Double = {
+    val l1 = s1.length; val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(0, math.max(l1, l2) / 2 - 1)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val hi = math.min(l2 - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && s1(i) == s2(j)) {
+          m1(i) = true; m2(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var mismatches = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1(i) != s2(k)) mismatches += 1
+        k += 1
+      }
+      i += 1
+    }
+    val t = mismatches / 2
+    val md = m.toDouble
+    (md / l1 + md / l2 + (md - t) / md) / 3.0
+  }
+}
+
+/** jaro_winkler(string, string) → double — see [[JaroWinklerImpl]].
+  * The fuzzy-agreement field for Fellegi–Sunter linkage (exact
+  * agreement is a 0/1 collapse of this). Codegen is one static call.
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "jaro_winkler"
+  override def nullSafeEval(l: Any, r: Any): Any =
+    JaroWinklerImpl.jw(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.analytics.JaroWinklerImpl.jw($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** trailing_zeros63(long) → long: trailing zero bits of a positive
   * 63-bit hash, capped at 62 for h = 0 (probability 2^-63) — the KLL
   * per-item "coin flips survived" (Sketch.kllState). Exists because
@@ -721,6 +800,8 @@ object HashFunctions {
     Bridge.column(SplitMix64Hash(Bridge.expression(c)))
   def trailing_zeros63(c: Column): Column =
     Bridge.column(TrailingZeros63(Bridge.expression(c)))
+  def jaro_winkler(a: Column, b: Column): Column =
+    Bridge.column(JaroWinkler(Bridge.expression(a), Bridge.expression(b)))
   def hilbert_index(x: Column, y: Column, order: Int): Column =
     Bridge.column(HilbertIndex(Bridge.expression(x),
       Bridge.expression(y), order))

@@ -173,4 +173,54 @@ object Linkage {
          else col("_id_b")).as("id_b"),
         col("n_agree"), col("score"))
   }
+
+  /** Fuzzy record-linkage pairs: Jaro–Winkler similarity over the
+    * same blocked (and maxBlock-chunked) join as [[linkageScore]] —
+    * the fuzzy-agreement extension of Fellegi–Sunter (exact agreement
+    * is a 0/1 collapse of this). The kernel
+    * ([[JaroWinklerImpl]]) byte-matches DuckDB's rapidfuzz-derived
+    * `jaro_winkler_similarity` (probed: byte-level matching, integer
+    * transposition halving, 0.7 boost threshold); similarities are
+    * rounded to 9 dp BEFORE the threshold so both engines filter the
+    * same value (the text_collocations ulp discipline). JW is
+    * symmetric in the pair, so the selfPairs id reordering is sound.
+    * Scale shape: one equi-join on the block key; chunking bounds any
+    * task at maxBlock² comparisons; scoring is row-local codegen (one
+    * static call per pair).
+    */
+  def fuzzyLinks(
+      a: DataFrame,
+      b: DataFrame,
+      idColA: String,
+      idColB: String,
+      blockCol: String,
+      textCol: String,
+      minSim: Double,
+      selfPairs: Boolean = false,
+      maxBlock: Int = 10000): DataFrame = {
+    require(minSim > 0 && minSim <= 1, s"minSim=$minSim")
+    require(maxBlock >= 1, s"maxBlock=$maxBlock")
+    val aa = a.select(col(idColA).as("_id_a"), col(blockCol).as("_blk"),
+      col(textCol).as("_a_t"))
+    val bb = b.select(col(idColB).as("_id_b"), col(blockCol).as("_blk"),
+      col(textCol).as("_b_t"))
+    val joined = boundedBlockedJoin(aa, bb, selfPairs, maxBlock)
+    val pairs =
+      if (selfPairs)
+        joined.filter(
+          when(col("_ci").isNull || col("_ci") === col("_cj"),
+            col("_id_a") < col("_id_b")).otherwise(lit(true)))
+      else joined
+    pairs
+      .withColumn("jw", round(
+        graft.analytics.HashFunctions.jaro_winkler(col("_a_t"), col("_b_t")),
+        9))
+      .filter(col("jw") >= lit(minSim))
+      .select(
+        (if (selfPairs) least(col("_id_a"), col("_id_b"))
+         else col("_id_a")).as("id_a"),
+        (if (selfPairs) greatest(col("_id_a"), col("_id_b"))
+         else col("_id_b")).as("id_b"),
+        col("jw"))
+  }
 }

@@ -210,6 +210,19 @@ object Temporal {
     // blocked on nation, three agreement fields with driver-computed
     // log-likelihood weights (the SAME double literals land in the
     // oracle — no runtime ln anywhere).
+    // Fuzzy linkage: Jaro–Winkler over (brand, container)-blocked
+    // part-name self-pairs — the fuzzy-agreement extension of
+    // link_score's exact Fellegi–Sunter fields. The kernel
+    // byte-matches DuckDB's rapidfuzz jaro_winkler_similarity;
+    // similarities round to 9 dp BEFORE the threshold so both
+    // engines filter the identical value.
+    "link_jw" -> ((s, dir) => {
+      val p = t(s, dir, "part").withColumn("blk",
+        concat_ws("|", col("p_brand"), col("p_size")))
+      graft.analytics.Linkage.fuzzyLinks(p, p, "p_partkey", "p_partkey",
+        "blk", "p_name", minSim = 0.88, selfPairs = true)
+    }),
+
     "link_score" -> ((s, dir) => {
       val c = t(s, dir, "customer")
         .withColumn("bal_pos", (col("c_acctbal") >= 0).cast("string"))
@@ -2293,6 +2306,16 @@ object Temporal {
     "sketch_bloom_merge" ->
       bloomWordsOracle("event_type IN ('click', 'purchase')"),
     "sketch_bloom_stream" -> bloomWordsOracle("event_type = 'purchase'"),
+    // independent JW kernel (DuckDB's rapidfuzz); both engines round
+    // to 9 dp before filtering, the text_collocations ulp discipline
+    "link_jw" ->
+      """SELECT least(a.p_partkey, b.p_partkey) AS id_a,
+           greatest(a.p_partkey, b.p_partkey) AS id_b,
+           round(jaro_winkler_similarity(a.p_name, b.p_name), 9) AS jw
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+           AND a.p_partkey < b.p_partkey
+         WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 9) >= 0.88""",
     // ===== round-10 oracles =====
     // pair-class counting over the same user-parity sample: the pair
     // MULTISET is numbering-invariant, so DuckDB's own row_number is a

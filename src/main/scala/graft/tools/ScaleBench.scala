@@ -101,7 +101,11 @@ object ScaleBench {
       // round-6 operators: curation chain, clustering, retrieval
       "text_normalize", "text_pii", "text_repetition", "text_classifier",
       "text_decontaminate", "sample_stratified", "dedup_segments",
-      "dedup_incremental", "dedup_clusters", "text_bm25", "text_tfidf")
+      "dedup_incremental", "dedup_clusters", "text_bm25", "text_tfidf",
+      // round-13 rows: flat-state sketches (expect factors WELL below
+      // 10 — the state is constant-size) and the re-gated links plan
+      "sketch_kll", "sketch_kll_merge", "sketch_bloom",
+      "sketch_bloom_merge", "graph_links")
 
     def run(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
