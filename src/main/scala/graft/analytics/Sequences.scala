@@ -95,4 +95,46 @@ object Sequences {
       .withColumn("nll_mean",
         col("nll_total") / col("n_transitions").cast("double"))
   }
+
+  /** Frequent sequential n-grams (behavioral motifs): every length-n
+    * window of consecutive states in each entity's time-ordered
+    * stream, counted globally, support-pruned — the order-sensitive
+    * generalization of [[transitionMatrix]] (n = 2 recovers its
+    * counts) and the sequence-mining sibling of
+    * [[Baskets.frequentPairs]] (which is order-free within a basket).
+    * Ties on the order column are broken by `tieCol`, so every gram —
+    * and count — is deterministic under any partitioning.
+    *
+    * Scale shape: ONE shuffle on the entity key for the lead window
+    * (n − 1 leads over the same sort — no self-join, each row seen
+    * once), then a gram count with map-side combine; output is
+    * ≤ states^n rows and the support filter prunes it further. No
+    * per-entity collect: an entity with a billion events costs n − 1
+    * lead reads per row inside its sorted partition range.
+    */
+  def frequentNgrams(
+      df: DataFrame,
+      entityCols: Seq[String],
+      orderCol: Column,
+      tieCol: Column,
+      stateCol: Column,
+      n: Int,
+      minSupport: Long): DataFrame = {
+    require(n >= 2 && n <= 8, s"n=$n")
+    require(minSupport >= 1, s"minSupport=$minSupport")
+    val keyed = df.select(entityCols.map(col) ++
+      Seq(orderCol.as("_ord"), tieCol.as("_tie"), stateCol.as("_s0")): _*)
+    val w = Window.partitionBy(entityCols.map(col): _*)
+      .orderBy(col("_ord"), col("_tie"))
+    val withLeads = (1 until n).foldLeft(keyed) { (acc, k) =>
+      acc.withColumn(s"_s$k", lead(col("_s0"), k).over(w))
+    }
+    withLeads
+      .filter((1 until n).map(k => col(s"_s$k").isNotNull).reduce(_ && _))
+      .select(concat_ws(">", (0 until n).map(k => col(s"_s$k")): _*)
+        .as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
 }

@@ -223,6 +223,21 @@ object Temporal {
         "blk", "p_name", minSim = 0.88, selfPairs = true)
     }),
 
+    // Entity resolution end-to-end: fuzzy JW pairs → connected
+    // components → (record, entity) assignments — the composition a
+    // real linkage pipeline runs (match, then cluster). Reuses two
+    // individually-oracled operators; oracle = the same JW threshold
+    // feeding a recursive-CTE transitive closure.
+    "link_clusters" -> ((s, dir) => {
+      val p = t(s, dir, "part").withColumn("blk",
+        concat_ws("|", col("p_brand"), col("p_size")))
+      val pairs = graft.analytics.Linkage.fuzzyLinks(p, p,
+        "p_partkey", "p_partkey", "blk", "p_name",
+        minSim = 0.88, selfPairs = true)
+      graft.analytics.Dedup.components(pairs, "id_a", "id_b")
+        .select(col("id").as("part"), col("label").as("entity"))
+    }),
+
     "link_score" -> ((s, dir) => {
       val c = t(s, dir, "customer")
         .withColumn("bal_pos", (col("c_acctbal") >= 0).cast("string"))
@@ -305,6 +320,16 @@ object Temporal {
     // Per-user clickstream log-likelihood under the corpus' own
     // Markov transition model: fold in sequence position, ln
     // bit-compatible — the behavioral fluency screen.
+    // Frequent sequential trigrams of each user's time-ordered event
+    // stream (behavioral motifs) — order-sensitive sequence mining
+    // next to seq_transitions' first-order view. Pure integer counts.
+    "seq_ngrams" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Sequences.frequentNgrams(ev, Seq("user_id"),
+        tsEpochSeconds(ev), col("event_id"), col("event_type"),
+        n = 3, minSupport = 50L)
+    }),
+
     "seq_likelihood" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       Sequences.sequenceLikelihood(
@@ -2316,6 +2341,35 @@ object Temporal {
            ON a.p_brand = b.p_brand AND a.p_size = b.p_size
            AND a.p_partkey < b.p_partkey
          WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 9) >= 0.88""",
+    // same lead-window sequence, gram = '>'-joined labels
+    "seq_ngrams" ->
+      """WITH seq AS (SELECT
+              event_type AS s0,
+              lead(event_type, 1) OVER (PARTITION BY user_id
+                ORDER BY epoch_ns(ts) // 1000000000, event_id) AS s1,
+              lead(event_type, 2) OVER (PARTITION BY user_id
+                ORDER BY epoch_ns(ts) // 1000000000, event_id) AS s2
+            FROM events)
+         SELECT s0 || '>' || s1 || '>' || s2 AS gram,
+           CAST(count(*) AS BIGINT) AS support
+         FROM seq WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+         GROUP BY 1 HAVING count(*) >= 50""",
+    // same JW threshold feeding the graph_components closure playbook
+    "link_clusters" ->
+      """WITH RECURSIVE jw AS (
+           SELECT a.p_partkey AS u0, b.p_partkey AS v0
+           FROM part a JOIN part b
+             ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+             AND a.p_partkey < b.p_partkey
+           WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 9) >= 0.88),
+         edges AS (SELECT u0 AS u, v0 AS v FROM jw
+               UNION SELECT v0, u0 FROM jw),
+         reach AS (SELECT u AS a, v AS b FROM edges
+               UNION
+               SELECT r.a, e2.v FROM reach r JOIN edges e2 ON r.b = e2.u),
+         lab AS (SELECT a AS part, least(min(b), a) AS entity
+               FROM reach GROUP BY a)
+         SELECT part, entity FROM lab""",
     // ===== round-10 oracles =====
     // pair-class counting over the same user-parity sample: the pair
     // MULTISET is numbering-invariant, so DuckDB's own row_number is a
