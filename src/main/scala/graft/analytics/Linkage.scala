@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Probabilistic record linkage (Fellegi & Sunter, JASA 1969): score
@@ -140,16 +140,7 @@ object Linkage {
     val aa = side(a, idColA, "_id_a", "_a_")
     val bb = side(b, idColB, "_id_b", "_b_")
     val joined = boundedBlockedJoin(aa, bb, selfPairs, maxBlock)
-    // selfPairs: cold + same-chunk blocks hold both orderings (drop
-    // the duplicate), cross-chunk blocks each unordered pair exactly
-    // once (arbitrary id order — reordered in the output projection;
-    // valid because the agreement pattern is symmetric in the pair)
-    val pairs =
-      if (selfPairs)
-        joined.filter(
-          when(col("_ci").isNull || col("_ci") === col("_cj"),
-            col("_id_a") < col("_id_b")).otherwise(lit(true)))
-      else joined
+    val pairs = dedupSelfPairs(joined, selfPairs)
     val agrees = fields.map { case (f, _, _) =>
       col(s"_a_$f") <=> col(s"_b_$f") }
     // StrictMath, not Math: the HotSpot Math.log intrinsic may change
@@ -166,13 +157,26 @@ object Linkage {
       .withColumn("n_agree", nAgree)
       .withColumn("score", score)
       .filter(col("score") >= minScore)
-      .select(
-        (if (selfPairs) least(col("_id_a"), col("_id_b"))
-         else col("_id_a")).as("id_a"),
-        (if (selfPairs) greatest(col("_id_a"), col("_id_b"))
-         else col("_id_b")).as("id_b"),
-        col("n_agree"), col("score"))
+      .select(pairIdCols(selfPairs) :+ col("n_agree") :+ col("score"): _*)
   }
+
+  /** selfPairs: cold + same-chunk blocks hold both orderings (drop
+    * the duplicate), cross-chunk blocks each unordered pair exactly
+    * once (arbitrary id order — reordered by [[pairIdCols]]; valid
+    * because every per-pair measure here is symmetric in the pair).
+    */
+  private def dedupSelfPairs(joined: DataFrame,
+                             selfPairs: Boolean): DataFrame =
+    if (!selfPairs) joined
+    else joined.filter(
+      when(col("_ci").isNull || col("_ci") === col("_cj"),
+        col("_id_a") < col("_id_b")).otherwise(lit(true)))
+
+  private def pairIdCols(selfPairs: Boolean): Seq[Column] = Seq(
+    (if (selfPairs) least(col("_id_a"), col("_id_b"))
+     else col("_id_a")).as("id_a"),
+    (if (selfPairs) greatest(col("_id_a"), col("_id_b"))
+     else col("_id_b")).as("id_b"))
 
   /** Fuzzy record-linkage pairs: Jaro–Winkler similarity over the
     * same blocked (and maxBlock-chunked) join as [[linkageScore]] —
@@ -205,22 +209,11 @@ object Linkage {
     val bb = b.select(col(idColB).as("_id_b"), col(blockCol).as("_blk"),
       col(textCol).as("_b_t"))
     val joined = boundedBlockedJoin(aa, bb, selfPairs, maxBlock)
-    val pairs =
-      if (selfPairs)
-        joined.filter(
-          when(col("_ci").isNull || col("_ci") === col("_cj"),
-            col("_id_a") < col("_id_b")).otherwise(lit(true)))
-      else joined
-    pairs
+    dedupSelfPairs(joined, selfPairs)
       .withColumn("jw", round(
         graft.analytics.HashFunctions.jaro_winkler(col("_a_t"), col("_b_t")),
         9))
       .filter(col("jw") >= lit(minSim))
-      .select(
-        (if (selfPairs) least(col("_id_a"), col("_id_b"))
-         else col("_id_a")).as("id_a"),
-        (if (selfPairs) greatest(col("_id_a"), col("_id_b"))
-         else col("_id_b")).as("id_b"),
-        col("jw"))
+      .select(pairIdCols(selfPairs) :+ col("jw"): _*)
   }
 }

@@ -130,7 +130,10 @@ object Sequences {
       acc.withColumn(s"_s$k", lead(col("_s0"), k).over(w))
     }
     withLeads
-      .filter((1 until n).map(k => col(s"_s$k").isNotNull).reduce(_ && _))
+      // every position must be non-null INCLUDING the window head:
+      // concat_ws skips nulls, so an unchecked null head would emit a
+      // shortened (n−1)-token string counted as an n-gram
+      .filter((0 until n).map(k => col(s"_s$k").isNotNull).reduce(_ && _))
       .select(concat_ws(">", (0 until n).map(k => col(s"_s$k")): _*)
         .as("gram"))
       .groupBy(col("gram"))

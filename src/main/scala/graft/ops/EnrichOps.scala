@@ -323,17 +323,18 @@ case class LlmProcessor(pluginName: String, settings: Map[String, String],
     var consumed = false
     val rendered = segments.map { seg =>
       if (!seg.contains("%s")) seg
-      else {
-        val first =
-          if (consumed) seg
-          else {
-            consumed = true
-            seg.replaceFirst("%s",
-              java.util.regex.Matcher.quoteReplacement(arg))
-          }
+      else if (consumed)
         // Go marks string verbs beyond the single supplied arg as
         // missing: fmt.Sprintf("%s %s", x) == "x %!s(MISSING)"
-        first.replace("%s", "%!s(MISSING)")
+        seg.replace("%s", "%!s(MISSING)")
+      else {
+        consumed = true
+        // rewrite the REMAINING FORMAT TEXT before splicing the arg
+        // in: fmt.Sprintf never scans argument data for verbs, so an
+        // arg containing "%s" must pass through verbatim
+        val i = seg.indexOf("%s")
+        seg.substring(0, i) + arg +
+          seg.substring(i + 2).replace("%s", "%!s(MISSING)")
       }
     }.mkString("%")
     if (consumed) rendered else s"$rendered%!(EXTRA string=$arg)"

@@ -93,9 +93,11 @@ class ControlPlane(spark: SparkSession, checkpointRoot: String) {
   /** True while the pipeline's streaming query (or supervisor) is
     * live — config mutations against a live pipeline are rejected by
     * the facades so status never reports "running" for a config that
-    * is not what's executing. */
+    * is not what's executing. A DEGRADED supervisor (retries
+    * exhausted, nothing executing) is NOT active: reconfiguring a
+    * crashed pipeline is the documented intervention path. */
   def isActive(id: String): Boolean =
-    Option(supervisors.get(id)).exists(_.status != "stopped") ||
+    Option(supervisors.get(id)).exists(_.status == "running") ||
       Option(queries.get(id)).exists(_.isActive)
 
   /** Registered config (null-safe). */

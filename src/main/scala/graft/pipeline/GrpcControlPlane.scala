@@ -193,9 +193,11 @@ class GrpcControlPlane(cp: ControlPlane) {
       val id = requireId(n)
       val d = Option(n.get("dlq")).getOrElse(
         throw new IllegalArgumentException("missing field: dlq"))
-      // re-fetch through the Option: a concurrent delete between
-      // requireId and here maps to INVALID_ARGUMENT, not INTERNAL
-      val cfg = configOf(id)
+      // re-fetch through the guard: a concurrent delete maps to
+      // INVALID_ARGUMENT, a live query to FAILED_PRECONDITION (the
+      // running query keeps its old DLQ config — same invariant as
+      // UpdatePipeline)
+      val cfg = mutableConfig(id)
       cp.register(cfg.copy(dlq = Some(DlqConfig(
         plugin = Option(d.get("plugin")).map(_.asText("builtin:log"))
           .getOrElse("builtin:log"),
@@ -210,6 +212,7 @@ class GrpcControlPlane(cp: ControlPlane) {
     },
     "ImportPipeline" -> { req =>
       val ps = pipelinesOf(node(req))
+      requireNoneActive(ps)
       ps.foreach(cp.register)
       s"""{"ids":${ps.map(p => jstr(p.id)).mkString("[", ",", "]")}}"""
     },
@@ -218,10 +221,20 @@ class GrpcControlPlane(cp: ControlPlane) {
     },
     "ApplyPipeline" -> { req =>
       val ps = pipelinesOf(node(req))
+      requireNoneActive(ps)
       val plan = cp.planFor(ps)
       ps.foreach(cp.register)
       s"""{"plan":$plan}"""
     })
+
+  /** Import/Apply overwrite whichever named pipelines already exist —
+    * the same running-config invariant as UpdatePipeline applies to
+    * every one of them. */
+  private def requireNoneActive(ps: Seq[PipelineConfig]): Unit = {
+    val live = ps.map(_.id).filter(cp.isActive)
+    if (live.nonEmpty) throw new IllegalStateException(
+      s"pipelines running: ${live.mkString(", ")}; stop them before applying")
+  }
 
   private def handlersDlqEcho(id: String): String =
     pipelineHandlers("GetDLQ")(s"""{"id":${jstr(id)}}""")
@@ -251,7 +264,10 @@ class GrpcControlPlane(cp: ControlPlane) {
         s"unknown connector: ${cfg.id}:$cid"))
 
   private def connectorSettingsOf(n: JsonNode): Map[String, String] = {
-    val holder = Option(n.get("config")).getOrElse(n)
+    // prefer the `config` holder ONLY when it actually carries
+    // settings — a bare config object (name-only) must not shadow
+    // top-level settings into an empty map
+    val holder = Option(n.get("config")).filter(_.has("settings")).getOrElse(n)
     Option(holder.get("settings")).map { s =>
       val b = Map.newBuilder[String, String]
       s.properties().forEach(e => b += e.getKey -> e.getValue.asText(""))
@@ -262,7 +278,9 @@ class GrpcControlPlane(cp: ControlPlane) {
   private val connectorHandlers: Map[String, String => String] = Map(
     "ListConnectors" -> { req =>
       val pid = text(node(req), "pipeline_id")
-      val pids = if (pid.nonEmpty) Seq(pid) else cp.registered.sorted
+      // a named-but-unknown pipeline is an error, not an empty list
+      val pids = if (pid.nonEmpty) { configOf(pid); Seq(pid) }
+        else cp.registered.sorted
       val docs = pids.flatMap { p =>
         cp.config(p).toSeq.flatMap { cfg =>
           cfg.sources.map(connectorDoc(p, "source", _)) ++
@@ -417,7 +435,8 @@ class GrpcControlPlane(cp: ControlPlane) {
   private val processorHandlers: Map[String, String => String] = Map(
     "ListProcessors" -> { req =>
       val pid = text(node(req), "pipeline_id")
-      val pids = if (pid.nonEmpty) Seq(pid) else cp.registered.sorted
+      val pids = if (pid.nonEmpty) { configOf(pid); Seq(pid) }
+        else cp.registered.sorted
       val docs = pids.flatMap(p => cp.config(p).toSeq.flatMap(cfg =>
         allProcessors(cfg).map { case (parent, proc) =>
           JsonOps.render(processorDoc(p, parent, proc)) }))
@@ -465,8 +484,11 @@ class GrpcControlPlane(cp: ControlPlane) {
             Option(n.get("config")).exists(_.has("settings")))
             connectorSettingsOf(n)
           else old.settings,
-        condition = Option(text(n, "condition")).filter(_.nonEmpty)
-          .orElse(old.condition),
+        // present-but-empty CLEARS the condition (full-replace Update
+        // semantics); an absent field keeps the old one
+        condition =
+          if (n.has("condition")) Option(text(n, "condition")).filter(_.nonEmpty)
+          else old.condition,
         workers = Option(n.get("workers")).map(_.asInt(old.workers))
           .getOrElse(old.workers))
       require(Registry.plugins.contains(proc.plugin),

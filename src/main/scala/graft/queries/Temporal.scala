@@ -2352,7 +2352,7 @@ object Temporal {
             FROM events)
          SELECT s0 || '>' || s1 || '>' || s2 AS gram,
            CAST(count(*) AS BIGINT) AS support
-         FROM seq WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+         FROM seq WHERE s0 IS NOT NULL AND s1 IS NOT NULL AND s2 IS NOT NULL
          GROUP BY 1 HAVING count(*) >= 50""",
     // same JW threshold feeding the graph_components closure playbook
     "link_clusters" ->

@@ -68,4 +68,36 @@ class Round13FixSpec extends AnyFunSuite {
     assert(body2 != null && body2.contains("100%s off%!(EXTRA string="),
       s"body=$body2")
   }
+
+  test("goSprintf: argument DATA containing %s passes through verbatim") {
+    // fmt.Sprintf never scans argument data for verbs: a record whose
+    // field contains "%s" must land in the prompt unmangled
+    val resp = """{"message":{"content":[{"type":"text","text":"ok"}]}}"""
+    val proc = LlmProcessor("cohere.command", Map(
+      "prompt" -> "Q: %s",
+      "request.body" -> ".Payload.After.promo",
+      "response.body" -> ".Payload.After.answer"),
+      CaptureTransport("r13-cmd-3", resp))
+    val rec = genRecords(1)
+    val withPromo = graft.ops.FieldSet(
+      graft.model.Ref.parse(".Payload.After.promo"), "save 50%s today")(rec)
+    proc(withPromo).collect()
+    val body = CapturedBodies.map.get("r13-cmd-3")
+    assert(body != null && body.contains("save 50%s today"), s"body=$body")
+    assert(!body.contains("MISSING"), s"body=$body")
+  }
+
+  test("frequentNgrams: a null window head never emits a shortened gram") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1L, 1L, Option.empty[String]), (1L, 2L, 2L, Some("b")),
+      (1L, 3L, 3L, Some("c")), (1L, 4L, 4L, Some("d")))
+    val g = graft.analytics.Sequences.frequentNgrams(
+      rows.toDF("u", "t", "id", "s"), Seq("u"),
+      org.apache.spark.sql.functions.col("t"),
+      org.apache.spark.sql.functions.col("id"),
+      org.apache.spark.sql.functions.col("s"), n = 3, minSupport = 1L)
+      .collect().map(_.getString(0)).toSet
+    assert(g == Set("b>c>d"), s"got $g") // never "b>c" from (null,b,c)
+  }
 }
