@@ -522,3 +522,70 @@ case class LinkPredictProc(src: Ref, dst: Ref, minJaccard: Double,
     Cdc.wrap(keyed, "_k", "graph.links")
   }
 }
+
+/** `linkage.jw` — Jaro–Winkler fuzzy self-linkage over the batch
+  * ([[graft.analytics.Linkage.fuzzyLinks]], `maxBlock`-capped blocked
+  * join; kernel bit-matches DuckDB's rapidfuzz implementation): one
+  * create record per pair at or above `minSim`, keyed by the pair.
+  * Aggregate output via [[Cdc.wrap]].
+  */
+case class FuzzyLinksProc(idField: Ref, blockField: Ref, textField: Ref,
+                          minSim: Double, maxBlock: Int)
+    extends Processor {
+  val plugin = "linkage.jw"
+  override def transform(df: DataFrame): DataFrame = {
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id"),
+      Analytics2Ops.fieldCol(df, blockField).as("_block"),
+      Analytics2Ops.fieldCol(df, textField).as("_text"))
+    val out = graft.analytics.Linkage.fuzzyLinks(flat, flat,
+      "_id", "_id", "_block", "_text", minSim,
+      selfPairs = true, maxBlock = maxBlock)
+    val keyed = out.withColumn("_k",
+      concat_ws("|", col("id_a"), col("id_b")))
+    Cdc.wrap(keyed, "_k", "linkage.jw")
+  }
+}
+
+/** `seq.ngrams` — frequent sequential n-grams of each entity's
+  * time-ordered stream ([[graft.analytics.Sequences.frequentNgrams]]):
+  * one create record per surviving gram with its support, keyed by
+  * the gram. Aggregate output via [[Cdc.wrap]].
+  */
+case class SeqNgramsProc(entityField: Ref, orderField: Ref, tieField: Ref,
+                         stateField: Ref, n: Int, minSupport: Long)
+    extends Processor {
+  val plugin = "seq.ngrams"
+  override def transform(df: DataFrame): DataFrame = {
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, entityField).as("_e"),
+      Analytics2Ops.fieldCol(df, orderField).cast("long").as("_ord"),
+      Analytics2Ops.fieldCol(df, tieField).as("_tie"),
+      Analytics2Ops.fieldCol(df, stateField).as("_st"))
+    val out = graft.analytics.Sequences.frequentNgrams(flat, Seq("_e"),
+      col("_ord"), col("_tie"), col("_st"), n, minSupport)
+    Cdc.wrap(out, "gram", "seq.ngrams")
+  }
+}
+
+/** `sketch.bloom` — distributed Bloom word table over a payload field
+  * ([[graft.analytics.Sketch.bloomWords]]; values pre-hashed through
+  * fnv1a like the KMV promotion since payload fields arrive as
+  * strings): one create record per set word, keyed by word_idx — the
+  * mergeable membership state a YAML pipeline writes next to its
+  * sink for cross-run "seen before?" probes. Aggregate output via
+  * [[Cdc.wrap]].
+  */
+case class BloomProc(valueField: Ref, mBits: Int, kHashes: Int,
+                     seed: Long) extends Processor {
+  val plugin = "sketch.bloom"
+  override def transform(df: DataFrame): DataFrame = {
+    import graft.analytics.HashFunctions.fnv1a_hash
+    val flat = df.select(
+      fnv1a_hash(Analytics2Ops.fieldCol(df, valueField).cast("string"))
+        .as("_value"))
+    val out = graft.analytics.Sketch.bloomWords(flat, "_value",
+      mBits, kHashes, seed)
+    Cdc.wrap(out, "word_idx", "sketch.bloom")
+  }
+}

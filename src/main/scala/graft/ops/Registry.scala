@@ -172,7 +172,22 @@ object Registry {
       s.getOrElse("seed", "0").toLong)),
     "text.hashing" -> (s => HashingProc(
       Ref.parse(s("id")), ref(s, ".Payload.After"),
-      s.getOrElse("dim", "1024").toInt))
+      s.getOrElse("dim", "1024").toInt)),
+    // round-13 families on the config surface
+    "linkage.jw" -> (s => FuzzyLinksProc(
+      Ref.parse(s("id")), Ref.parse(s("block")), Ref.parse(s("field")),
+      s.getOrElse("minSim", "0.9").toDouble,
+      s.getOrElse("maxBlock", "10000").toInt)),
+    "seq.ngrams" -> (s => SeqNgramsProc(
+      Ref.parse(s("entity")), Ref.parse(s("order")), Ref.parse(s("tie")),
+      Ref.parse(s("state")),
+      s.getOrElse("n", "3").toInt,
+      s.getOrElse("minSupport", "2").toLong)),
+    "sketch.bloom" -> (s => BloomProc(
+      s.get("value").map(Ref.parse).getOrElse(ref(s, ".Payload.After")),
+      s.getOrElse("mBits", "65536").toInt,
+      s.getOrElse("kHashes", "4").toInt,
+      s.getOrElse("seed", "7").toLong))
   )
 
   def create(plugin: String, settings: Map[String, String]): Processor = {

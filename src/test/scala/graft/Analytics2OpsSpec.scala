@@ -251,6 +251,51 @@ class Analytics2OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("linkage.jw / seq.ngrams / sketch.bloom processors (round 13)") {
+    // linkage.jw: the near-identical pair in the shared block survives
+    val jw = Registry.create("linkage.jw",
+      Map("id" -> ".Payload.After.id", "block" -> ".Payload.After.blk",
+        "field" -> ".Payload.After.name", "minSim" -> "0.9"))
+    val base = wrap(Seq(
+      (1L, "b1", "chocolate lace"), (2L, "b1", "chocolate lake"),
+      (3L, "b1", "zz qq ww"), (4L, "b2", "chocolate lace"))
+      .toDF("id", "blk", "name"), "id")
+    val pairs = jw(base).select(col(Cdc.PayloadAfter)).collect()
+      .map(r => JsonOps.parse(r.getString(0)))
+      .map(p => (p.get("id_a").asText, p.get("id_b").asText))
+    assert(pairs.toSeq == Seq(("1", "2")), pairs.mkString(","))
+
+    // seq.ngrams: trigram counts from a keyed stream
+    val sq = Registry.create("seq.ngrams",
+      Map("entity" -> ".Payload.After.u", "order" -> ".Payload.After.t",
+        "tie" -> ".Payload.After.id", "state" -> ".Payload.After.s",
+        "n" -> "3", "minSupport" -> "1"))
+    val stream = wrap(Seq(
+      (1L, 7L, 1L, "a"), (2L, 7L, 2L, "b"), (3L, 7L, 3L, "a"),
+      (4L, 7L, 4L, "b"), (5L, 7L, 5L, "a"))
+      .toDF("id", "u", "t", "s")
+      .select(col("id"), col("u"), col("t"), col("s")), "id")
+    val grams = sq(stream).select(col(Cdc.PayloadAfter)).collect()
+      .map(r => JsonOps.parse(r.getString(0)))
+      .map(p => p.get("gram").asText -> p.get("support").asLong).toMap
+    assert(grams == Map("a>b>a" -> 2L, "b>a>b" -> 1L), grams.toString)
+
+    // sketch.bloom: word table matches the Scala operator over the
+    // same fnv1a pre-hash
+    val bl = Registry.create("sketch.bloom",
+      Map("value" -> ".Payload.After.name", "mBits" -> "4096"))
+    val got = bl(base).select(col(Cdc.PayloadAfter)).collect()
+      .map(r => JsonOps.parse(r.getString(0)))
+      .map(p => p.get("word_idx").asLong -> p.get("bits").asLong).toMap
+    import graft.analytics.HashFunctions.fnv1a_hash
+    val want = graft.analytics.Sketch.bloomWords(
+      Seq("chocolate lace", "chocolate lake", "zz qq ww", "chocolate lace")
+        .toDF("v").select(fnv1a_hash(col("v")).as("h")),
+      "h", mBits = 4096)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"$got vs $want")
+  }
+
   test("sketch.kmv processor matches the Scala sketch estimate") {
     val base = wrap((1 to 300).map(i => (i.toLong, s"g${i % 2}", s"u${i % 37}"))
       .toDF("id", "g", "u"), "id")
