@@ -223,6 +223,23 @@ object Temporal {
         "blk", "p_name", minSim = 0.88, selfPairs = true)
     }),
 
+    // Incremental fuzzy matching: a NOISY batch (ids shifted, last
+    // name character dropped) matched against the clean history —
+    // the cross-corpus ingest-time shape (new records vs the master
+    // table), where selfPairs dedup doesn't apply. Every batch row
+    // should JW-match its origin inside the shared block.
+    "link_jw_incr" -> ((s, dir) => {
+      val p = t(s, dir, "part").withColumn("blk",
+        concat_ws("|", col("p_brand"), col("p_size")))
+      val batch = p.select(
+        (col("p_partkey") + 5000000L).as("p_partkey"),
+        expr("substring(p_name, 1, length(p_name) - 1)").as("p_name"),
+        col("blk"))
+      graft.analytics.Linkage.fuzzyLinks(batch, p,
+        "p_partkey", "p_partkey", "blk", "p_name",
+        minSim = 0.95, selfPairs = false)
+    }),
+
     // Entity resolution end-to-end: fuzzy JW pairs → connected
     // components → (record, entity) assignments — the composition a
     // real linkage pipeline runs (match, then cluster). Reuses two
@@ -2341,6 +2358,16 @@ object Temporal {
            ON a.p_brand = b.p_brand AND a.p_size = b.p_size
            AND a.p_partkey < b.p_partkey
          WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 9) >= 0.88""",
+    // cross-corpus replay: same noisy-batch derivation, same kernel
+    "link_jw_incr" ->
+      """WITH batch AS (SELECT p_partkey + 5000000 AS k,
+             substr(p_name, 1, length(p_name) - 1) AS name,
+             p_brand, p_size FROM part)
+         SELECT bt.k AS id_a, a.p_partkey AS id_b,
+           round(jaro_winkler_similarity(bt.name, a.p_name), 9) AS jw
+         FROM batch bt JOIN part a
+           ON bt.p_brand = a.p_brand AND bt.p_size = a.p_size
+         WHERE round(jaro_winkler_similarity(bt.name, a.p_name), 9) >= 0.95""",
     // same lead-window sequence, gram = '>'-joined labels
     "seq_ngrams" ->
       """WITH seq AS (SELECT
