@@ -240,6 +240,40 @@ object Temporal {
         minSim = 0.95, selfPairs = false)
     }),
 
+    // Streaming fuzzy-linkage twin: the same noisy batch streamed in
+    // two micro-batches against the static master — the appended
+    // match union must equal the one-shot batch run (per-record
+    // matching is batch-decomposable). Oracle = the link_jw_incr
+    // replay.
+    "link_jw_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val p = t(s, dir, "part").withColumn("blk",
+        concat_ws("|", col("p_brand"), col("p_size")))
+      val noisy = p.select(
+        (col("p_partkey") + 5000000L).as("p_partkey"),
+        expr("substring(p_name, 1, length(p_name) - 1)").as("p_name"),
+        col("blk"))
+        .as[(Long, String, String)].collect()
+      val (b1, b2) = noisy.partition(_._1 % 2 == 0)
+      val out = java.nio.file.Files
+        .createTempDirectory("jw_stream").toString
+      val in = MemoryStream[(Long, String, String)]
+      withScopedShuffle(s, 4) {
+        val q = in.toDF().toDF("p_partkey", "p_name", "blk")
+          .writeStream
+          .foreachBatch(graft.streaming.StreamingOps.fuzzyLinkSink(
+            p, "p_partkey", "blk", "p_name", minSim = 0.95, outDir = out))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.read.parquet(s"$out/b*")
+    }),
+
     // Entity resolution end-to-end: fuzzy JW pairs → connected
     // components → (record, entity) assignments — the composition a
     // real linkage pipeline runs (match, then cluster). Reuses two
@@ -2360,6 +2394,16 @@ object Temporal {
          WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 9) >= 0.88""",
     // cross-corpus replay: same noisy-batch derivation, same kernel
     "link_jw_incr" ->
+      """WITH batch AS (SELECT p_partkey + 5000000 AS k,
+             substr(p_name, 1, length(p_name) - 1) AS name,
+             p_brand, p_size FROM part)
+         SELECT bt.k AS id_a, a.p_partkey AS id_b,
+           round(jaro_winkler_similarity(bt.name, a.p_name), 9) AS jw
+         FROM batch bt JOIN part a
+           ON bt.p_brand = a.p_brand AND bt.p_size = a.p_size
+         WHERE round(jaro_winkler_similarity(bt.name, a.p_name), 9) >= 0.95""",
+    // streamed twin == the batch run: same replay
+    "link_jw_stream" ->
       """WITH batch AS (SELECT p_partkey + 5000000 AS k,
              substr(p_name, 1, length(p_name) - 1) AS name,
              p_brand, p_size FROM part)

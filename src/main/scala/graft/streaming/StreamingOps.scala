@@ -589,6 +589,31 @@ object StreamingOps {
     }
   }
 
+  /** Stream-static fuzzy linkage: each micro-batch of records
+    * JW-matches the static master table through
+    * [[graft.analytics.Linkage.fuzzyLinks]]' non-self path (the
+    * blocked, maxBlock-capped join), appending matched pairs per
+    * batch. A record's matches depend only on itself and the master,
+    * so the appended union over ANY batch split equals the one-shot
+    * batch run over the whole stream — the law the `link_jw_stream`
+    * gate row proves bit-for-bit. The block-size aggregation inside
+    * the bounded join is why this runs in foreachBatch rather than as
+    * a stream-static transform (aggregate-then-join is restricted on
+    * streaming DataFrames).
+    */
+  def fuzzyLinkSink(
+      master: DataFrame,
+      idCol: String,
+      blockCol: String,
+      textCol: String,
+      minSim: Double,
+      outDir: String,
+      maxBlock: Int = 10000): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      graft.analytics.Linkage.fuzzyLinks(batch, master, idCol, idCol,
+        blockCol, textCol, minSim, selfPairs = false, maxBlock)
+        .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+
   /** Streaming KMV maintenance — the k-minimum-values sibling of
     * [[hllRegisterSink]]: each micro-batch's KMV state
     * ([[graft.analytics.Sketch.kmvState]]) min-merges into the
