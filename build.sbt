@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench contract (13 rounds of BENCH_r*.json `parsed: null`):
+// the forked main's stdout must reach the console RAW — sbt's default
+// LoggedOutput wraps every line as "[info] …", which breaks the
+// driver's JSON-line parse — and the bench's final compact JSON line
+// must be the LAST stdout line, so sbt's "[success] Total time…"
+// trailer is suppressed too.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — lint
+// can't see that; silence its false positive.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
