@@ -37,21 +37,28 @@ object Text {
     * single IEEE division of integer counts — bit-identical across
     * engines, so the whole frame is oracle-checkable.
     */
-  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol) +: qualityMetrics(col(textCol)).map {
+      case (n, c) => c.as(n) }: _*)
+
+  /** Column-level core of [[qualityScore]] (name → expression), shared
+    * with the `text.quality` pipeline processor so both surfaces
+    * compute bit-identical features. Row-local, codegen'd.
+    */
+  def qualityMetrics(t: Column): Seq[(String, Column)] = {
     val nChars = length(t).cast("double")
     val nTokens = size(wsTokens(t)).cast("double")
     val punct = (length(t) - length(regexp_replace(t, "[\\.,;:!\\?'\"]", ""))).cast("double")
     val digits = (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("double")
     val stop = size(filter(wsTokens(lower(t)),
       x => x.isin(stopwords.map(lit(_)): _*))).cast("double")
-    df.select(col(idCol),
-      nChars.cast("long").as("n_chars"),
-      nTokens.cast("long").as("n_tokens"),
-      (punct / nChars).as("punct_ratio"),
-      (digits / nChars).as("digit_ratio"),
-      (stop / nTokens).as("stopword_ratio"),
-      (nChars / nTokens).as("mean_token_len"))
+    Seq(
+      "n_chars" -> nChars.cast("long"),
+      "n_tokens" -> nTokens.cast("long"),
+      "punct_ratio" -> (punct / nChars),
+      "digit_ratio" -> (digits / nChars),
+      "stopword_ratio" -> (stop / nTokens),
+      "mean_token_len" -> (nChars / nTokens))
   }
 
   /** Tiny built-in character-trigram profiles (public-knowledge top
@@ -74,18 +81,26 @@ object Text {
     * (text → (lang, score)) is what the engine provides.
     */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val grams = Dedup.charNgrams(col(textCol), 2)
+    val best = langBest(col(textCol))
+    df.select(col(idCol),
+      when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+        .as("pred_lang"),
+      best.getField("score").as("lang_score"))
+  }
+
+  /** Column-level core of [[langId]] (struct(score, lang) of the best
+    * profile; struct compare orders by score then lang), shared with
+    * the `text.langid` pipeline processor.
+    */
+  def langBest(text: Column): Column = {
+    val grams = Dedup.charNgrams(text, 2)
     val scores = profiles.toSeq.sortBy(_._1).map { case (lang, prof) =>
       struct(
         (size(array_intersect(grams, array(prof.map(lit(_)): _*))).cast("double") /
           greatest(size(grams), lit(1)).cast("double")).as("score"),
         lit(lang).as("lang"))
     }
-    val best = greatest(scores: _*) // struct compare: score first, then lang
-    df.select(col(idCol),
-      when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
-        .as("pred_lang"),
-      best.getField("score").as("lang_score"))
+    greatest(scores: _*)
   }
 
   /** Document fingerprint: polynomial rolling hash over the
@@ -93,9 +108,12 @@ object Text {
     * stable under formatting noise).
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
-      rolling_fingerprint(
-        concat_ws(" ", split(lower(trim(col(textCol))), "\\s+"))).as("fingerprint"))
+    df.select(col(idCol), fingerprintOf(col(textCol)).as("fingerprint"))
+
+  /** Column-level core of [[fingerprint]], shared with the
+    * `text.fingerprint` pipeline processor. */
+  def fingerprintOf(t: Column): Column =
+    rolling_fingerprint(concat_ws(" ", split(lower(trim(t)), "\\s+")))
 
   /** Canonical text normalization — the first stage of every training-
     * data pipeline: Unicode NFC (composed/decomposed spellings unify),
@@ -130,17 +148,25 @@ object Text {
     */
   def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    val clean = regexp_replace(
+    df.select(col(idCol) +: (("clean_text" -> piiClean(t)) +: piiCounts(t))
+      .map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** Column-level redaction core of [[piiRedact]], shared with the
+    * `text.pii` pipeline processor. */
+  def piiClean(t: Column): Column =
+    regexp_replace(
       regexp_replace(
         regexp_replace(t, EmailRe, "<EMAIL>"),
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
-    df.select(col(idCol),
-      clean.as("clean_text"),
-      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
-      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
-      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"))
-  }
+
+  /** Per-category match counts over the ORIGINAL text (name →
+    * expression), shared with the `text.pii` pipeline processor. */
+  def piiCounts(t: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long"),
+    "n_ips" -> size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long"),
+    "n_phones" -> size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long"))
 
   /** Gopher-style repetition features (Rae et al. 2021, §A1.1): the
     * duplicate-word fraction (row-local) and the share of characters

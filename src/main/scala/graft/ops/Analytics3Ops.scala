@@ -1,0 +1,382 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StructType}
+
+import graft.model.{Cdc, Ref}
+
+/** Round-14 registry promotions: the highest-value LLM-data-pipeline
+  * families (near-dup detection, semantic dedup, similarity search,
+  * text curation, sampling, sketches, outlier screens) exposed on the
+  * pipeline/YAML surface with pure `Map[String,String]` settings — the
+  * same first-class treatment the reference gives every builtin
+  * (`pkg/plugin/processor/builtin/registry.go`); an operator only a
+  * Scala caller can reach is not a product feature.
+  *
+  * The [[Analytics2Ops]] shape conventions carry over:
+  *  - record-local ANNOTATORS (`text.quality`, `text.langid`,
+  *    `text.fingerprint`, `text.tokens`) write metadata keys and keep
+  *    the CDC schema — they compose mid-chain and pair with `filter`
+  *    conditions on the metadata;
+  *  - in-place REWRITES (`text.pii`) edit the payload field like
+  *    [[PseudonymizeProc]];
+  *  - true FILTERS (`sample.temperature`, `stats.outliers`) drop
+  *    records and pass the CDC schema through untouched;
+  *  - batch RESHAPES (`dedup.minhash`, `dedup.semantic`, `sim.topk`,
+  *    `sketch.hll`, `sketch.topk`, `text.decontaminate`) compute an
+  *    analytic table and re-enter the CDC surface via [[Cdc.wrap]].
+  */
+object Analytics3Ops {
+  /** Parse a payload field as an embedding vector. Typed payloads cast
+    * the array slot through its string rendering, JSON payloads carry
+    * the array natively — `from_json` handles both. */
+  private[ops] def vecCol(df: DataFrame, ref: Ref): Column =
+    from_json(Analytics2Ops.fieldCol(df, ref), ArrayType(DoubleType))
+}
+
+/** `text.quality` — heuristic quality features
+  * ([[graft.analytics.Text.qualityMetrics]], bit-identical to the
+  * oracled `text_quality` gate row) written into metadata as
+  * `quality.<name>`. Row-local, codegen'd, zero shuffle — pair with a
+  * `filter` condition on e.g. `.Metadata.quality.stopword_ratio` for
+  * the classic C4/Gopher quality gate.
+  */
+case class TextQualityProc(field: Ref) extends ColumnProcessor {
+  val plugin = "text.quality"
+  override def rewrites(df: DataFrame): Map[String, Column] = {
+    val t = Analytics2Ops.fieldCol(df, field)
+    val meta = graft.analytics.Text.qualityMetrics(t).foldLeft(col(Cdc.Metadata)) {
+      case (m, (name, c)) => RefCols.metaSet(m, s"quality.$name", c.cast("string"))
+    }
+    Map(Cdc.Metadata -> meta)
+  }
+}
+
+/** `text.langid` — heuristic language ID
+  * ([[graft.analytics.Text.langBest]], the `text_langid` gate row's
+  * core) written into metadata as `lang.pred` / `lang.score`.
+  * Row-local; the wrong-language gate is a downstream `filter`
+  * condition on `.Metadata.lang.pred`.
+  */
+case class TextLangidProc(field: Ref) extends ColumnProcessor {
+  val plugin = "text.langid"
+  // the best-profile struct is referenced by two rewrites — materialize
+  // it once per row (the ColumnProcessor tempColumns contract)
+  override def tempColumns(df: DataFrame): Map[String, Column] =
+    Map("_lang_best" -> graft.analytics.Text.langBest(
+      Analytics2Ops.fieldCol(df, field)))
+  override def rewrites(df: DataFrame): Map[String, Column] = {
+    val best = col("_lang_best")
+    val pred = when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+    Map(Cdc.Metadata -> RefCols.metaSet(
+      RefCols.metaSet(col(Cdc.Metadata), "lang.pred", pred),
+      "lang.score", best.getField("score").cast("string")))
+  }
+}
+
+/** `text.fingerprint` — content-defined document identity
+  * ([[graft.analytics.Text.fingerprintOf]], rolling hash over the
+  * whitespace-normalized lowercase text) written into metadata as
+  * `fingerprint`. Row-local; stable under formatting noise, so equal
+  * fingerprints downstream mean near-identical content.
+  */
+case class TextFingerprintProc(field: Ref) extends ColumnProcessor {
+  val plugin = "text.fingerprint"
+  override def rewrites(df: DataFrame): Map[String, Column] =
+    Map(Cdc.Metadata -> RefCols.metaSet(col(Cdc.Metadata), "fingerprint",
+      graft.analytics.Text.fingerprintOf(
+        Analytics2Ops.fieldCol(df, field)).cast("string")))
+}
+
+/** `text.tokens` — token/char accounting
+  * ([[graft.analytics.Text.tokenCounts]]'s row-local expressions)
+  * written into metadata as `tokens.ws` / `tokens.bpeish` / `tokens.chars`
+  * — the budget columns every packing/pricing step needs. Row-local.
+  */
+case class TextTokensProc(field: Ref) extends ColumnProcessor {
+  val plugin = "text.tokens"
+  override def rewrites(df: DataFrame): Map[String, Column] = {
+    import graft.analytics.Text.{bpeishTokenCount, wsTokens}
+    val t = Analytics2Ops.fieldCol(df, field)
+    Map(Cdc.Metadata -> RefCols.metaSet(
+      RefCols.metaSet(
+        RefCols.metaSet(col(Cdc.Metadata),
+          "tokens.ws", size(wsTokens(t)).cast("string")),
+        "tokens.bpeish", bpeishTokenCount(t).cast("string")),
+      "tokens.chars", length(t).cast("string")))
+  }
+}
+
+/** `text.pii` — in-place PII redaction of the payload text field
+  * ([[graft.analytics.Text.piiClean]]: email → ip → phone, the
+  * documented order) plus per-category match counts from the ORIGINAL
+  * text in metadata (`pii.n_emails` / `pii.n_ips` / `pii.n_phones`).
+  * Row-local regex inside the scan's codegen stage.
+  */
+case class TextPiiProc(field: Ref) extends Processor {
+  val plugin = "text.pii"
+  override def transform(df: DataFrame): DataFrame = {
+    import graft.analytics.Text.{piiClean, piiCounts}
+    val slot = RefCols.column(field)
+    val t = Analytics2Ops.fieldCol(df, field)
+    val meta = piiCounts(t).foldLeft(col(Cdc.Metadata)) {
+      case (m, (name, c)) => RefCols.metaSet(m, s"pii.$name", c.cast("string"))
+    }
+    val redacted = piiClean(t)
+    // counts first (they read the original text), then the rewrite
+    val annotated = df.withColumn(Cdc.Metadata, meta)
+    annotated.schema(slot).dataType match {
+      case st: StructType =>
+        annotated.withColumn(slot, StructOps.set(col(slot), st, field.sub, redacted))
+      case _ =>
+        annotated.withColumn(slot, graft.functions.JsonExpressions.jsonSet(
+          col(slot), field.sub, redacted))
+    }
+  }
+}
+
+/** `dedup.minhash` — MinHash-LSH near-duplicate candidate pairs over
+  * the batch ([[graft.analytics.Dedup.minhashPairs]]: banded buckets,
+  * `maxBucket`-bounded self-pairs, exact-Jaccard verify — never
+  * all-pairs): one create record per surviving pair, keyed by the
+  * pair. `charGrams=true` switches to character shingles (the
+  * `dedup.ngram` n-gram-Jaccard mode). Aggregate output via
+  * [[Cdc.wrap]].
+  */
+case class DedupMinhashProc(idField: Ref, textField: Ref, shingleSize: Int,
+                            numHashes: Int, numBands: Int, threshold: Double,
+                            charGrams: Boolean, maxBucket: Int)
+    extends Processor {
+  val plugin = "dedup.minhash"
+  override def transform(df: DataFrame): DataFrame = {
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id"),
+      Analytics2Ops.fieldCol(df, textField).as("_text"))
+    val pairs = graft.analytics.Dedup.minhashPairs(flat, "_id", "_text",
+      shingleSize, numHashes, numBands, threshold, charGrams, maxBucket)
+    val keyed = pairs.withColumn("_k",
+      concat_ws("|", col("id_a"), col("id_b")))
+    Cdc.wrap(keyed, "_k", "dedup.minhash")
+  }
+}
+
+/** `dedup.simhash` — SimHash near-duplicate pairs over the batch
+  * ([[graft.analytics.Dedup.simhashPairs]]: one 64-bit signature per
+  * doc, 4-band Hamming bucketing, `maxBucket`-bounded): one create
+  * record per pair within `maxHamming` bits, keyed by the pair.
+  * Aggregate output via [[Cdc.wrap]].
+  */
+case class DedupSimhashProc(idField: Ref, textField: Ref, maxHamming: Int,
+                            maxBucket: Int) extends Processor {
+  val plugin = "dedup.simhash"
+  override def transform(df: DataFrame): DataFrame = {
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id"),
+      Analytics2Ops.fieldCol(df, textField).as("_text"))
+    val pairs = graft.analytics.Dedup.simhashPairs(flat, "_id", "_text",
+      maxHamming, maxBucket)
+    val keyed = pairs.withColumn("_k",
+      concat_ws("|", col("id_a"), col("id_b")))
+    Cdc.wrap(keyed, "_k", "dedup.simhash")
+  }
+}
+
+/** `dedup.clusters` — near-duplicate cluster assignment over the batch
+  * ([[graft.analytics.Dedup.clusters]]: SimHash pairs → connected
+  * components → min-id representative): one create record per doc with
+  * (doc_id, cluster_id, keep), keyed by doc — `keep` marks the
+  * canonical member. Aggregate output via [[Cdc.wrap]].
+  */
+case class DedupClustersProc(idField: Ref, textField: Ref, maxHamming: Int)
+    extends Processor {
+  val plugin = "dedup.clusters"
+  override def transform(df: DataFrame): DataFrame = {
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id"),
+      Analytics2Ops.fieldCol(df, textField).as("_text"))
+    val out = graft.analytics.Dedup.clusters(flat, "_id", "_text", maxHamming)
+    Cdc.wrap(out, "doc_id", "dedup.clusters")
+  }
+}
+
+/** `dedup.semantic` — SemDeDup-style embedding deduplication
+  * ([[graft.analytics.Similarity.semanticDedup]]: seeded spherical
+  * k-means partitioning, within-cluster bounded pairing, cosine
+  * verify, min-id representative per component): one create record per
+  * vector with (vec_id, cluster, rep_id, keep). The embedding arrives
+  * as a JSON array in the payload field. Aggregate output via
+  * [[Cdc.wrap]].
+  */
+case class SemanticDedupProc(idField: Ref, vecField: Ref, k: Int,
+                             threshold: Double, maxBucket: Int)
+    extends Processor {
+  val plugin = "dedup.semantic"
+  override def transform(df: DataFrame): DataFrame = {
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id"),
+      Analytics3Ops.vecCol(df, vecField).as("_vec"))
+      .filter(col("_vec").isNotNull)
+    val out = graft.analytics.Similarity.semanticDedup(flat, "_id", "_vec",
+      k, threshold, maxBucket)
+    Cdc.wrap(out, "vec_id", "dedup.semantic")
+  }
+}
+
+/** `sim.topk` — k-nearest-neighbor similarity graph over the batch's
+  * embeddings ([[graft.analytics.Similarity.knnGraph]]: IVF-bucketed
+  * candidate pairs, never brute force): one create record per
+  * (node, rank) edge with the neighbor and cosine, keyed by the pair.
+  * Aggregate output via [[Cdc.wrap]].
+  */
+case class SimTopkProc(idField: Ref, vecField: Ref, k: Int, nlist: Int,
+                       maxBucket: Int) extends Processor {
+  val plugin = "sim.topk"
+  override def transform(df: DataFrame): DataFrame = {
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id"),
+      Analytics3Ops.vecCol(df, vecField).as("_vec"))
+      .filter(col("_vec").isNotNull)
+    val out = graft.analytics.Similarity.knnGraph(flat, "_id", "_vec",
+      k, nlist, maxBucket = maxBucket)
+    val keyed = out.withColumn("_kk",
+      concat_ws("|", col("node"), col("rank")))
+    Cdc.wrap(keyed, "_kk", "sim.topk")
+  }
+}
+
+/** `text.decontaminate` — eval-set contamination audit
+  * ([[graft.analytics.Text.decontaminate]]: the eval set's n-gram set
+  * broadcasts, the corpus side is one scan + broadcast join): one
+  * create record per doc with (n_contaminated_grams, contaminated),
+  * keyed by doc. `evalTable` is a parquet path whose `evalField`
+  * column holds the held-out texts — the [[ReconcileProc]] convention
+  * for reference data.
+  */
+case class DecontaminateProc(idField: Ref, textField: Ref, evalTable: String,
+                             evalField: String, n: Int) extends Processor {
+  val plugin = "text.decontaminate"
+  override def transform(df: DataFrame): DataFrame = {
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id"),
+      Analytics2Ops.fieldCol(df, textField).as("_text"))
+    val evalSet = df.sparkSession.read.parquet(evalTable)
+      .select(col(evalField).cast("string").as("_text"))
+    val out = graft.analytics.Text.decontaminate(flat, evalSet, "_id", "_text", n)
+    Cdc.wrap(out, "_id", "text.decontaminate")
+  }
+}
+
+/** `sample.temperature` — temperature-based source rebalancing as a
+  * true FILTER ([[graft.analytics.Sampling.temperatureSample]]'s
+  * envelope: per-stratum counts driver-side, broadcast cut join,
+  * row-local splitmix64 bucket filter — data rows never shuffle). The
+  * CDC schema passes through untouched, so it composes mid-chain;
+  * records with a null stratum drop (they could never match a cut
+  * row, the operator's documented contract). String payload ids
+  * pre-hash through fnv1a, the [[KmvProc]] idiom.
+  */
+case class SampleTemperatureProc(strataField: Ref, idField: Ref,
+                                 temperature: Double, seed: Long)
+    extends Processor {
+  require(temperature >= 1.0,
+    "sample.temperature: temperature < 1 would upsample; this is a filter")
+  val plugin = "sample.temperature"
+  override def transform(df: DataFrame): DataFrame = {
+    import graft.analytics.HashFunctions.fnv1a_hash
+    val exp = 1.0 / temperature
+    def w(c: Long): Double =
+      if (exp == 0.5) math.sqrt(c.toDouble) else math.pow(c.toDouble, exp)
+    val stratum = Analytics2Ops.fieldCol(df, strataField)
+    val counts = df.select(stratum.as("_stratum"))
+      .filter(col("_stratum").isNotNull)
+      .groupBy(col("_stratum")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    if (counts.isEmpty) return df.filter(lit(false))
+    val total = counts.iterator.map(_._2).sum
+    val sumW = counts.foldLeft(0.0)((acc, kv) => acc + w(kv._2))
+    val cuts = counts.map { case (k, c) =>
+      val target = total.toDouble * w(c) / sumW
+      (k, math.floor(math.min(1.0, target / c.toDouble) * 4096.0).toLong)
+    }.toMap
+    // few strata (languages/domains): the cut table rides as a literal
+    // map expression — no join at all, the filter stays in the scan
+    val cutExpr = cuts.foldLeft(lit(null).cast("long")) { case (acc, (k, cut)) =>
+      when(col("_stratum") === lit(k), lit(cut)).otherwise(acc)
+    }
+    val id = fnv1a_hash(Analytics2Ops.fieldCol(df, idField).cast("string"))
+    df.withColumn("_stratum", stratum)
+      .withColumn("_cut", cutExpr)
+      .filter(col("_cut").isNotNull &&
+        graft.analytics.Sampling.bucketOf(id, seed) < col("_cut"))
+      .drop("_stratum", "_cut")
+  }
+}
+
+/** `stats.outliers` — z-score outlier FILTER over a numeric payload
+  * field per group ([[graft.analytics.Stats.zscoreOutliers]]: the
+  * decimal-integer algebra form, bit-stable under partitioning). KEEPS
+  * the outliers (the anomaly-detection read); invert with a condition
+  * on the surviving records if the goal is trimming. The CDC schema
+  * passes through untouched.
+  */
+case class StatsOutliersProc(groupFields: Seq[Ref], valueField: Ref,
+                             z: Int, scale: Int) extends Processor {
+  require(groupFields.nonEmpty, "stats.outliers: need groups")
+  val plugin = "stats.outliers"
+  override def transform(df: DataFrame): DataFrame = {
+    val gNames = groupFields.indices.map(i => s"_g$i")
+    val withCols = groupFields.zip(gNames).foldLeft(
+      df.withColumn("_val", Analytics2Ops.fieldCol(df, valueField)
+        .cast("double"))) { case (d, (r, n)) =>
+      d.withColumn(n, Analytics2Ops.fieldCol(d, r))
+    }
+    graft.analytics.Stats.zscoreOutliers(withCols, gNames, "_val", z, scale)
+      .drop(gNames :+ "_val": _*)
+  }
+}
+
+/** `sketch.hll` — HyperLogLog distinct count per payload group
+  * ([[graft.analytics.Sketch.hllDistinct]]: one register-table shuffle
+  * with map-side max combine): one create record per group with the
+  * estimate, keyed by the group tuple. Values pre-hash through fnv1a
+  * (the [[KmvProc]] idiom). Aggregate output via [[Cdc.wrap]].
+  */
+case class HllProc(groupFields: Seq[Ref], valueField: Ref, p: Int,
+                   seed: Long) extends Processor {
+  require(groupFields.nonEmpty, "sketch.hll: need groups")
+  val plugin = "sketch.hll"
+  override def transform(df: DataFrame): DataFrame = {
+    import graft.analytics.HashFunctions.fnv1a_hash
+    val names = groupFields.map(r => r.sub.lastOption.getOrElse("group"))
+    val flat = df.select(groupFields.zip(names).map { case (r, n) =>
+      Analytics2Ops.fieldCol(df, r).as(n) } :+
+      fnv1a_hash(Analytics2Ops.fieldCol(df, valueField).cast("string"))
+        .as("_value"): _*)
+    val out = graft.analytics.Sketch.hllDistinct(flat, names, "_value", p, seed)
+    val keyed = out.withColumn("_k", concat_ws("|", names.map(col): _*))
+    Cdc.wrap(keyed, "_k", "sketch.hll")
+  }
+}
+
+/** `sketch.topk` — Misra–Gries heavy hitters over a payload field
+  * ([[graft.analytics.Sketch.heavyHitters]]: bounded per-partition
+  * state, broadcast candidate verify): one create record per item at
+  * or above `threshold` occurrences with its EXACT count, keyed by the
+  * item. `capacity=0` (default) sizes the summary from the batch count
+  * (one extra count action); set it explicitly to skip that pass.
+  * Aggregate output via [[Cdc.wrap]].
+  */
+case class TopkProc(valueField: Ref, threshold: Long, capacity: Int)
+    extends Processor {
+  val plugin = "sketch.topk"
+  override def transform(df: DataFrame): DataFrame = {
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, valueField).cast("string").as("_item"))
+    val out = graft.analytics.Sketch.heavyHitters(flat, "_item",
+      threshold, capacity)
+    Cdc.wrap(out, "item", "sketch.topk")
+  }
+}

@@ -187,7 +187,58 @@ object Registry {
       s.get("value").map(Ref.parse).getOrElse(ref(s, ".Payload.After")),
       s.getOrElse("mBits", "65536").toInt,
       s.getOrElse("kHashes", "4").toInt,
-      s.getOrElse("seed", "7").toLong))
+      s.getOrElse("seed", "7").toLong)),
+    // round-14 families on the config surface (Analytics3Ops)
+    "text.quality" -> (s => TextQualityProc(ref(s, ".Payload.After"))),
+    "text.langid" -> (s => TextLangidProc(ref(s, ".Payload.After"))),
+    "text.fingerprint" -> (s => TextFingerprintProc(ref(s, ".Payload.After"))),
+    "text.tokens" -> (s => TextTokensProc(ref(s, ".Payload.After"))),
+    "text.pii" -> (s => TextPiiProc(ref(s, ".Payload.After"))),
+    "dedup.minhash" -> (s => DedupMinhashProc(
+      Ref.parse(s("id")), ref(s, ".Payload.After"),
+      s.getOrElse("shingleSize", "3").toInt,
+      s.getOrElse("numHashes", "128").toInt,
+      s.getOrElse("numBands", "16").toInt,
+      s.getOrElse("threshold", "0.8").toDouble,
+      s.getOrElse("charGrams", "false").toBoolean,
+      s.getOrElse("maxBucket", "4096").toInt)),
+    "dedup.simhash" -> (s => DedupSimhashProc(
+      Ref.parse(s("id")), ref(s, ".Payload.After"),
+      s.getOrElse("maxHamming", "3").toInt,
+      s.getOrElse("maxBucket", "4096").toInt)),
+    "dedup.clusters" -> (s => DedupClustersProc(
+      Ref.parse(s("id")), ref(s, ".Payload.After"),
+      s.getOrElse("maxHamming", "3").toInt)),
+    "dedup.semantic" -> (s => SemanticDedupProc(
+      Ref.parse(s("id")), Ref.parse(s("vec")),
+      s.getOrElse("k", "16").toInt,
+      s.getOrElse("threshold", "0.95").toDouble,
+      s.getOrElse("maxBucket", "4096").toInt)),
+    "sim.topk" -> (s => SimTopkProc(
+      Ref.parse(s("id")), Ref.parse(s("vec")),
+      s.getOrElse("k", "10").toInt,
+      s.getOrElse("nlist", "-1").toInt,
+      s.getOrElse("maxBucket", "4096").toInt)),
+    "text.decontaminate" -> (s => DecontaminateProc(
+      Ref.parse(s("id")), ref(s, ".Payload.After"),
+      s("evalTable"), s.getOrElse("evalField", "text"),
+      s.getOrElse("n", "8").toInt)),
+    "sample.temperature" -> (s => SampleTemperatureProc(
+      Ref.parse(s("stratum")), Ref.parse(s("id")),
+      s.getOrElse("temperature", "2.0").toDouble,
+      s.getOrElse("seed", "0").toLong)),
+    "stats.outliers" -> (s => StatsOutliersProc(
+      refs(s, "groups"), Ref.parse(s("value")),
+      s.getOrElse("z", "3").toInt,
+      s.getOrElse("scale", "2").toInt)),
+    "sketch.hll" -> (s => HllProc(
+      refs(s, "groups"), Ref.parse(s("value")),
+      s.getOrElse("p", "12").toInt,
+      s.getOrElse("seed", "7").toLong)),
+    "sketch.topk" -> (s => TopkProc(
+      s.get("value").map(Ref.parse).getOrElse(ref(s, ".Payload.After")),
+      s.getOrElse("threshold", "2").toLong,
+      s.getOrElse("capacity", "0").toInt))
   )
 
   def create(plugin: String, settings: Map[String, String]): Processor = {

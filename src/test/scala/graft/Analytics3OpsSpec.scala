@@ -1,0 +1,302 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.JsonOps
+import graft.model.Cdc
+import graft.ops.Registry
+import graft.pipeline.{PipelineConfig, ProcessorConfig, Pipeline => Dsl}
+
+/** The round-14 registry promotions (Analytics3Ops): text curation
+  * annotators, near-dup/semantic dedup reshapes, similarity search,
+  * temperature sampling, outlier screens, and sketches — each created
+  * from pure string settings and checked against its Scala operator.
+  */
+class Analytics3OpsSpec extends AnyFunSuite {
+  lazy val spark = Spark.session
+  import spark.implicits._
+
+  private def wrap(df: org.apache.spark.sql.DataFrame, key: String) =
+    Cdc.wrap(df, key, "t")
+
+  private def payloads(df: org.apache.spark.sql.DataFrame) =
+    df.select(col(Cdc.PayloadAfter)).collect()
+      .map(r => JsonOps.parse(r.getString(0)))
+
+  test("text.quality annotates metadata with the oracled feature set") {
+    val texts = Seq((1L, "The quick brown fox, it jumps over 3 lazy dogs."),
+      (2L, "word"))
+    val base = wrap(texts.toDF("id", "text"), "id")
+    val out = Registry.create("text.quality",
+      Map("field" -> ".Payload.After.text"))(base)
+    assert(out.columns.toSeq == Cdc.columns)
+    val got = out.select(col(Cdc.Key), col(Cdc.Metadata)).collect()
+      .map(r => r.getString(0) -> r.getMap[String, String](1)).toMap
+    val want = graft.analytics.Text.qualityScore(
+        texts.toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    texts.foreach { case (id, _) =>
+      val m = got(s"""{"id":$id}""")
+      val w = want(id)
+      assert(m("quality.n_tokens") == w.getAs[Long]("n_tokens").toString)
+      assert(m("quality.stopword_ratio") ==
+        w.getAs[Double]("stopword_ratio").toString)
+      assert(m("quality.mean_token_len") ==
+        w.getAs[Double]("mean_token_len").toString)
+    }
+  }
+
+  test("text.langid / text.fingerprint / text.tokens annotators match operators") {
+    val texts = Seq((1L, "the house is on the hill and the cat is in it"),
+      (2L, "der hund und die katze gehen in den garten"))
+    val df = texts.toDF("id", "text")
+    val base = wrap(df, "id")
+
+    val lang = Registry.create("text.langid",
+      Map("field" -> ".Payload.After.text"))(base)
+      .select(col(Cdc.Key), col(Cdc.Metadata).getItem("lang.pred"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val wantLang = graft.analytics.Text.langId(df, "id", "text")
+      .collect().map(r => s"""{"id":${r.getLong(0)}}""" -> r.getString(1)).toMap
+    assert(lang == wantLang, s"$lang vs $wantLang")
+    assert(lang("""{"id":1}""") == "en" && lang("""{"id":2}""") == "de")
+
+    val fp = Registry.create("text.fingerprint",
+      Map("field" -> ".Payload.After.text"))(base)
+      .select(col(Cdc.Key), col(Cdc.Metadata).getItem("fingerprint"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val wantFp = graft.analytics.Text.fingerprint(df, "id", "text")
+      .collect().map(r => s"""{"id":${r.getLong(0)}}""" -> r.getLong(1).toString)
+      .toMap
+    assert(fp == wantFp)
+
+    val tok = Registry.create("text.tokens",
+      Map("field" -> ".Payload.After.text"))(base)
+      .select(col(Cdc.Key), col(Cdc.Metadata).getItem("tokens.ws"),
+        col(Cdc.Metadata).getItem("tokens.bpeish"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(tok("""{"id":1}""")._1 == "12", tok.toString)
+    assert(tok("""{"id":2}""")._1 == "9")
+    assert(tok.values.forall(_._2.toLong > 0))
+  }
+
+  test("text.pii redacts the payload field in place and counts in metadata") {
+    val base = wrap(Seq(
+      (1L, "mail me at a.b@example.com or 10.0.0.1 thanks"),
+      (2L, "call +1 555-123-4567 now"))
+      .toDF("id", "text"), "id")
+    val out = Registry.create("text.pii",
+      Map("field" -> ".Payload.After.text"))(base)
+    assert(out.columns.toSeq == Cdc.columns)
+    val rows = out.select(col(Cdc.Key), col(Cdc.PayloadAfter), col(Cdc.Metadata))
+      .collect().map(r => (r.getString(0),
+        JsonOps.parse(r.getString(1)).get("text").asText,
+        r.getMap[String, String](2)))
+    val r1 = rows.find(_._1 == """{"id":1}""").get
+    assert(r1._2 == "mail me at <EMAIL> or <IP> thanks", r1._2)
+    assert(r1._3("pii.n_emails") == "1" && r1._3("pii.n_ips") == "1" &&
+      r1._3("pii.n_phones") == "0")
+    val r2 = rows.find(_._1 == """{"id":2}""").get
+    assert(r2._2 == "call <PHONE> now", r2._2)
+    assert(r2._3("pii.n_phones") == "1")
+  }
+
+  test("dedup.minhash / dedup.simhash / dedup.clusters reshape into pair/cluster records") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      // hamming(simhash) = 3 from doc 1 (probed) and 3-shingle
+      // Jaccard 9/11 — inside both operators' default gates
+      (2L, "a quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content about spark catalyst optimizer rules"))
+    val base = wrap(docs.toDF("id", "text"), "id")
+
+    // r=2 rows per band: J=9/11 pairs collide with probability
+    // 1-(1-J²)^16 ≈ 1-1e-8 — the default r=8 geometry is tuned for
+    // J≥0.8 corpora and can miss this 0.82 pair
+    val mh = payloads(Registry.create("dedup.minhash",
+      Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text",
+        "numHashes" -> "32", "numBands" -> "16",
+        "threshold" -> "0.5"))(base))
+      .map(p => (p.get("id_a").asText, p.get("id_b").asText))
+    assert(mh.toSeq == Seq(("1", "2")), mh.mkString(","))
+
+    val sh = payloads(Registry.create("dedup.simhash",
+      Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text",
+        "maxHamming" -> "3"))(base))
+      .map(p => (p.get("id_a").asText, p.get("id_b").asText))
+    assert(sh.toSeq == Seq(("1", "2")), sh.mkString(","))
+
+    val cl = payloads(Registry.create("dedup.clusters",
+      Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text"))(base))
+      .map(p => p.get("doc_id").asText ->
+        (p.get("cluster_id").asText, p.get("keep").asBoolean)).toMap
+    assert(cl("1") == ("1", true) && cl("2") == ("1", false) &&
+      cl("3") == ("3", true), cl.toString)
+  }
+
+  test("dedup.semantic / sim.topk parse embedding payloads and match operators") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.999, 0.045, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0)))
+    val base = wrap(vecs.toDF("id", "vec"), "id")
+
+    val sd = payloads(Registry.create("dedup.semantic",
+      Map("id" -> ".Payload.After.id", "vec" -> ".Payload.After.vec",
+        "k" -> "1", "threshold" -> "0.99"))(base))
+      .map(p => p.get("vec_id").asText ->
+        (p.get("rep_id").asText, p.get("keep").asBoolean)).toMap
+    assert(sd("1") == ("1", true) && sd("2") == ("1", false) &&
+      sd("3") == ("3", true), sd.toString)
+
+    val tk = payloads(Registry.create("sim.topk",
+      Map("id" -> ".Payload.After.id", "vec" -> ".Payload.After.vec",
+        "k" -> "1", "nlist" -> "1"))(base))
+      .map(p => p.get("node").asText -> p.get("nbr").asText).toMap
+    assert(tk("1") == "2" && tk("2") == "1", tk.toString)
+  }
+
+  test("text.decontaminate flags corpus docs sharing eval 8-grams") {
+    val evalDir = java.nio.file.Files.createTempDirectory("decon").toString
+    Seq("alpha beta gamma delta epsilon zeta eta theta iota")
+      .toDF("text").write.mode("overwrite").parquet(evalDir)
+    val base = wrap(Seq(
+      (1L, "prefix alpha beta gamma delta epsilon zeta eta theta iota suffix"),
+      (2L, "nothing shared here at all with the held out evaluation texts"))
+      .toDF("id", "text"), "id")
+    val got = payloads(Registry.create("text.decontaminate",
+      Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text",
+        "evalTable" -> evalDir))(base))
+      .map(p => p.get("_id").asText -> p.get("contaminated").asBoolean).toMap
+    assert(got == Map("1" -> true, "2" -> false), got.toString)
+  }
+
+  test("sample.temperature flattens skewed strata and keeps the CDC schema") {
+    val rows = (1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 110).map(i => (i.toLong, "small"))
+    val base = wrap(rows.toDF("id", "lang"), "id")
+    val proc = Registry.create("sample.temperature",
+      Map("stratum" -> ".Payload.After.lang", "id" -> ".Payload.After.id",
+        "temperature" -> "2.0", "seed" -> "1"))
+    val out = proc(base)
+    assert(out.columns.toSeq == Cdc.columns)
+    val kept = payloads(out).map(p => p.get("lang").asText)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    // sqrt weights: the small stratum keeps everything (f capped at 1),
+    // the big one downsamples to ~84%
+    assert(kept("small") == 10, kept.toString)
+    assert(kept("big") < 100 && kept("big") > 60, kept.toString)
+    // deterministic: same settings, same sample
+    val again = payloads(proc(base)).map(p => p.get("id").asLong).toSet
+    assert(again == payloads(out).map(p => p.get("id").asLong).toSet)
+  }
+
+  test("stats.outliers keeps exactly the z-flagged records, schema untouched") {
+    val rows = Seq((1L, "g", 10.0), (2L, "g", 10.5), (3L, "g", 9.5),
+      (4L, "g", 10.0), (5L, "g", 100.0))
+    val base = wrap(rows.toDF("id", "grp", "v"), "id")
+    val out = Registry.create("stats.outliers",
+      Map("groups" -> ".Payload.After.grp", "value" -> ".Payload.After.v",
+        "z" -> "1"))(base)
+    assert(out.columns.toSeq == Cdc.columns)
+    val ids = payloads(out).map(_.get("id").asLong).toSet
+    assert(ids == Set(5L), ids.toString)
+  }
+
+  test("sketch.hll / sketch.topk match their Scala operators") {
+    val rows = (1 to 300).map(i => (i.toLong, s"g${i % 2}", s"u${i % 37}"))
+    val base = wrap(rows.toDF("id", "g", "u"), "id")
+    val hll = payloads(Registry.create("sketch.hll",
+      Map("groups" -> ".Payload.After.g", "value" -> ".Payload.After.u"))(base))
+      .map(p => p.get("g").asText -> p.get("estimate").asDouble).toMap
+    import graft.analytics.HashFunctions.fnv1a_hash
+    val want = graft.analytics.Sketch.hllDistinct(
+        rows.map { case (_, g, u) => (g, u) }.toDF("g", "u")
+          .select(col("g"), fnv1a_hash(col("u")).as("h")),
+        Seq("g"), "h")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("estimate")).toMap
+    assert(hll == want, s"$hll vs $want")
+    assert(hll.values.forall(e => e > 30 && e < 45), hll.toString)
+
+    val items = Seq.fill(5)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold")
+    val tbase = wrap(items.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "item"), "id")
+    val topk = payloads(Registry.create("sketch.topk",
+      Map("value" -> ".Payload.After.item", "threshold" -> "2"))(tbase))
+      .map(p => p.get("item").asText -> p.get("cnt").asLong).toMap
+    assert(topk == Map("hot" -> 5L, "warm" -> 3L), topk.toString)
+  }
+
+  test("round-14 factories survive the YAML export/import round trip") {
+    val procs = Seq(
+      ProcessorConfig("q1", "text.quality",
+        Map("field" -> ".Payload.After.text"), None),
+      ProcessorConfig("q2", "text.langid",
+        Map("field" -> ".Payload.After.text"), None),
+      ProcessorConfig("q3", "text.fingerprint",
+        Map("field" -> ".Payload.After.text"), None),
+      ProcessorConfig("q4", "text.tokens",
+        Map("field" -> ".Payload.After.text"), None),
+      ProcessorConfig("q5", "text.pii",
+        Map("field" -> ".Payload.After.text"), None),
+      ProcessorConfig("q6", "dedup.minhash",
+        Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text",
+          "threshold" -> "0.7"), None),
+      ProcessorConfig("q7", "dedup.simhash",
+        Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text"), None),
+      ProcessorConfig("q8", "dedup.clusters",
+        Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text"), None),
+      ProcessorConfig("q9", "dedup.semantic",
+        Map("id" -> ".Payload.After.id", "vec" -> ".Payload.After.vec",
+          "k" -> "4"), None),
+      ProcessorConfig("q10", "sim.topk",
+        Map("id" -> ".Payload.After.id", "vec" -> ".Payload.After.vec",
+          "k" -> "5"), None),
+      ProcessorConfig("q11", "text.decontaminate",
+        Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text",
+          "evalTable" -> "/tmp/eval"), None),
+      ProcessorConfig("q12", "sample.temperature",
+        Map("stratum" -> ".Payload.After.lang", "id" -> ".Payload.After.id"),
+        None),
+      ProcessorConfig("q13", "stats.outliers",
+        Map("groups" -> ".Payload.After.g", "value" -> ".Payload.After.v"),
+        None),
+      ProcessorConfig("q14", "sketch.hll",
+        Map("groups" -> ".Payload.After.g", "value" -> ".Payload.After.u"),
+        None),
+      ProcessorConfig("q15", "sketch.topk",
+        Map("value" -> ".Payload.After.item", "threshold" -> "3"), None))
+    val cfg = PipelineConfig("r14", "round-14 families", processors = procs)
+    val back = Dsl.fromYaml(Dsl.toYaml(Seq(cfg)))
+    assert(back == Seq(cfg))
+    back.head.processors.foreach { p =>
+      assert(Registry.create(p.plugin, p.settings) != null, p.plugin)
+    }
+  }
+
+  test("a YAML pipeline drives quality-gated curation end to end") {
+    // generator → text.quality → filter on the metadata it wrote:
+    // the C4-style quality gate as pure config
+    val p = Dsl("quality-e2e")
+      .source("gen", "builtin:generator",
+        "format.options.id" -> "int", "format.options.name" -> "string",
+        "recordCount" -> "200")
+      .processor("q", "text.quality", "field" -> ".Payload.After.name")
+      // reference filter semantics: drop records MATCHING the
+      // per-processor condition — here, empty documents
+      .processorWhen("gate", "filter",
+        "CAST(.Metadata.quality.n_chars AS LONG) < 1")
+    val cfg = Dsl.fromYaml(Dsl.toYaml(Seq(p))).head
+    val out = graft.model.Cdc.ok(
+      graft.pipeline.Runner.build(spark, cfg, streaming = false))
+    val metas = out.select(col(Cdc.Metadata)).collect()
+      .map(_.getMap[String, String](0))
+    assert(metas.length == 200, metas.length.toString)
+    // every surviving record carries the full quality annotation
+    assert(metas.forall(m => m.contains("quality.n_chars") &&
+      m.contains("quality.stopword_ratio") &&
+      m.contains("quality.mean_token_len")))
+  }
+}
