@@ -129,12 +129,20 @@ object Sequences {
     val withLeads = (1 until n).foldLeft(keyed) { (acc, k) =>
       acc.withColumn(s"_s$k", lead(col("_s0"), k).over(w))
     }
+    // The joined gram must be injective in its token sequence: a
+    // state containing the separator would otherwise collide (states
+    // ["a>b","c"] vs ["a","b>c"] counting as one trigram), so '>' is
+    // escaped as '\>' (and '\' as '\\' so the escape itself can't be
+    // forged) before joining. Token-free vocabularies render exactly
+    // as before.
+    def esc(c: Column): Column =
+      replace(replace(c, lit("\\"), lit("\\\\")), lit(">"), lit("\\>"))
     withLeads
       // every position must be non-null INCLUDING the window head:
       // concat_ws skips nulls, so an unchecked null head would emit a
       // shortened (n−1)-token string counted as an n-gram
       .filter((0 until n).map(k => col(s"_s$k").isNotNull).reduce(_ && _))
-      .select(concat_ws(">", (0 until n).map(k => col(s"_s$k")): _*)
+      .select(concat_ws(">", (0 until n).map(k => esc(col(s"_s$k"))): _*)
         .as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("support"))

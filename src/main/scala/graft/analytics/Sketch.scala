@@ -578,18 +578,27 @@ object Sketch {
     // union's filter join), and an unfenced state re-derives its whole
     // input lineage per reference — measured ~12 scans of the raw log
     // for a 2-way merge. The state is ≤ ~2k rows per group, so the
-    // eager localCheckpoint is a storage-backed leaf that costs one
-    // state build (reliable checkpoint(dir) is the cluster-grade
-    // equivalent per NOTES; parquet-backed states, e.g. the streaming
-    // sink's committed batches, are already leaves but re-fencing
-    // those ≤2k-row reads is noise).
-    val fenced = states.map(_.localCheckpoint(true))
+    // eager fence is a storage-backed leaf that costs one state build.
+    // Fence choice follows the session's checkpoint configuration:
+    // with a checkpoint dir set (the cluster deployment contract) the
+    // fence is a RELIABLE checkpoint — executor loss (spot nodes,
+    // dynamic allocation) recomputes from storage instead of failing
+    // the merge on a vanished non-replicated local block; without one
+    // (local mode, the bench path) localCheckpoint keeps the fence
+    // executor-local and cheap.
+    def fence(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val fenced = states.map(fence)
     // per-part (n, cut) — constant within a part's group rows
     val parts = fenced.map(_.groupBy(g: _*)
       .agg(first(col("kll_n")).as("_pn"), first(col("kll_l")).as("_pl")))
     val ntab = parts.reduce(_ unionByName _).groupBy(g: _*)
       .agg(sum(col("_pn")).as("kll_n"), max(col("_pl")).as("_lfloor"))
-    val all = states.reduce(_ unionByName _)
+    // the union reads the FENCED states too — this is the
+    // thrice-referenced side the fence exists for
+    val all = fenced.reduce(_ unionByName _)
       .select(g ++ Seq(col("_v"), col("_h"), col("_tz")): _*)
     val lv = kllCutLevel(all, groupCols, k).drop("_nrows")
     val cut =

@@ -35,12 +35,40 @@ class ControlPlane(spark: SparkSession, checkpointRoot: String) {
   private val supervisors = new ConcurrentHashMap[String, Supervisor]()
   private var server: HttpServer = _
 
+  /** Per-pipeline mutation monitor: config CRUD and lifecycle starts
+    * serialize on it, so (a) two concurrent copy-and-mutate updates
+    * can't silently lose one write and (b) a StartPipeline can't race
+    * a mutation past its isActive guard (the reference serializes the
+    * same paths through orchestrator locks,
+    * `pkg/orchestrator/pipelines.go:27`). Monitors are never removed —
+    * one Object per pipeline id ever seen is noise next to a config. */
+  private val locks = new ConcurrentHashMap[String, Object]()
+  private def lockFor(id: String): Object =
+    locks.computeIfAbsent(id, _ => new Object)
+
   def registered: Seq[String] =
     scala.jdk.CollectionConverters.EnumerationHasAsScala(configs.keys()).asScala.toSeq
 
-  def register(p: PipelineConfig): Unit = configs.put(p.id, p)
+  def register(p: PipelineConfig): Unit =
+    lockFor(p.id).synchronized { configs.put(p.id, p) }
 
-  def startPipeline(id: String): StreamingQuery = {
+  /** Atomic check-and-replace of a registered config: runs `f` under
+    * the pipeline's mutation monitor with the isActive check INSIDE
+    * the critical section — the topology-CRUD primitive the gRPC
+    * facade builds on. Throws IllegalArgumentException for an unknown
+    * id, IllegalStateException while the pipeline runs. */
+  def mutate(id: String)(f: PipelineConfig => PipelineConfig): PipelineConfig =
+    lockFor(id).synchronized {
+      val cfg = configs.get(id)
+      require(cfg != null, s"unknown pipeline: $id")
+      if (isActive(id)) throw new IllegalStateException(
+        s"pipeline $id is running; stop it before changing its configuration")
+      val updated = f(cfg)
+      configs.put(id, updated)
+      updated
+    }
+
+  def startPipeline(id: String): StreamingQuery = lockFor(id).synchronized {
     val cfg = configs.get(id)
     require(cfg != null, s"unknown pipeline: $id")
     queries.get(id) match {
@@ -63,7 +91,7 @@ class ControlPlane(spark: SparkSession, checkpointRoot: String) {
     * checkpoint) is stopped first, so no supervisor is ever orphaned
     * out of reach of stopPipeline.
     */
-  def superviseStart(id: String, maxRetries: Int = 5): Supervisor = {
+  def superviseStart(id: String, maxRetries: Int = 5): Supervisor = lockFor(id).synchronized {
     val cfg = configs.get(id)
     require(cfg != null, s"unknown pipeline: $id")
     supervisors.get(id) match {
@@ -104,7 +132,7 @@ class ControlPlane(spark: SparkSession, checkpointRoot: String) {
   def config(id: String): Option[PipelineConfig] = Option(configs.get(id))
 
   /** Stop + unregister; true when the pipeline existed. */
-  def remove(id: String): Boolean = {
+  def remove(id: String): Boolean = lockFor(id).synchronized {
     stopPipeline(id)
     configs.remove(id) != null
   }

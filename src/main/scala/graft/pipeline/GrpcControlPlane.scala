@@ -101,16 +101,6 @@ class GrpcControlPlane(cp: ControlPlane) {
     cp.config(pid).getOrElse(
       throw new IllegalArgumentException(s"unknown pipeline: $pid"))
 
-  /** Config for a topology mutation: the pipeline must exist AND be
-    * stopped — mutating a running pipeline would leave status
-    * reporting a config that is not what's executing. */
-  private def mutableConfig(pid: String): PipelineConfig = {
-    val cfg = configOf(pid)
-    if (cp.isActive(pid)) throw new IllegalStateException(
-      s"pipeline $pid is running; stop it before changing its configuration")
-    cfg
-  }
-
   /** Pipelines named by a request: a provisioning `yaml` field, or a
     * minimal `config` object (the proto's Pipeline.Config analogue —
     * name/description only; connectors arrive via yaml or Apply).
@@ -153,12 +143,11 @@ class GrpcControlPlane(cp: ControlPlane) {
     "UpdatePipeline" -> { req =>
       val n = node(req)
       val id = requireId(n)
-      if (cp.isActive(id)) throw new IllegalStateException(
-        s"pipeline $id is running; stop it before updating")
       val ps = pipelinesOf(n)
       require(ps.size == 1 && ps.head.id == id,
         s"update body must describe pipeline $id")
-      cp.register(ps.head)
+      // atomic: the isActive guard holds inside the replace
+      cp.mutate(id)(_ => ps.head)
       s"""{"pipeline":${cp.statusJson(id)}}"""
     },
     "DeletePipeline" -> { req =>
@@ -193,12 +182,11 @@ class GrpcControlPlane(cp: ControlPlane) {
       val id = requireId(n)
       val d = Option(n.get("dlq")).getOrElse(
         throw new IllegalArgumentException("missing field: dlq"))
-      // re-fetch through the guard: a concurrent delete maps to
+      // atomic check-and-replace: a concurrent delete maps to
       // INVALID_ARGUMENT, a live query to FAILED_PRECONDITION (the
       // running query keeps its old DLQ config — same invariant as
-      // UpdatePipeline)
-      val cfg = mutableConfig(id)
-      cp.register(cfg.copy(dlq = Some(DlqConfig(
+      // UpdatePipeline), and the guard holds for the whole mutation
+      cp.mutate(id)(cfg => cfg.copy(dlq = Some(DlqConfig(
         plugin = Option(d.get("plugin")).map(_.asText("builtin:log"))
           .getOrElse("builtin:log"),
         windowSize = Option(d.get("windowSize")).map(_.asInt(0)).getOrElse(0),
@@ -298,7 +286,6 @@ class GrpcControlPlane(cp: ControlPlane) {
       val n = node(req)
       val pid = text(n, "pipeline_id")
       require(pid.nonEmpty, "missing field: pipeline_id")
-      val cfg = mutableConfig(pid)
       val kind = text(n, "type")
       require(kind == "source" || kind == "destination",
         s"type must be source|destination, got '$kind'")
@@ -309,14 +296,14 @@ class GrpcControlPlane(cp: ControlPlane) {
         .find(_.nonEmpty).getOrElse(
           throw new IllegalArgumentException("missing field: id or config.name"))
       validatePlugin(kind, plugin, connectorSettingsOf(n))
-      require(cfg.sources.forall(_.id != cid) &&
-        cfg.destinations.forall(_.id != cid),
-        s"connector already exists: $pid:$cid")
       val conn = ConnectorConfig(cid, plugin, connectorSettingsOf(n))
-      val updated =
+      cp.mutate(pid) { cfg =>
+        require(cfg.sources.forall(_.id != cid) &&
+          cfg.destinations.forall(_.id != cid),
+          s"connector already exists: $pid:$cid")
         if (kind == "source") cfg.copy(sources = cfg.sources :+ conn)
         else cfg.copy(destinations = cfg.destinations :+ conn)
-      cp.register(updated)
+      }
       s"""{"connector":${JsonOps.render(connectorDoc(pid, kind, conn))}}"""
     },
     "ValidateConnector" -> { req =>
@@ -330,34 +317,35 @@ class GrpcControlPlane(cp: ControlPlane) {
     "UpdateConnector" -> { req =>
       val n = node(req)
       val (pid, cid) = splitId(n)
-      val cfg = mutableConfig(pid)
-      val (kind, old) = findConnector(cfg, cid)
-      val plugin = Option(text(n, "plugin")).filter(_.nonEmpty)
-        .getOrElse(old.plugin)
-      val settings =
-        if (n.has("settings") ||
-          Option(n.get("config")).exists(_.has("settings")))
-          connectorSettingsOf(n)
-        else old.settings
-      validatePlugin(kind, plugin, settings)
-      val conn = old.copy(plugin = plugin, settings = settings)
-      val updated =
+      var kindOut: String = null
+      var connOut: ConnectorConfig = null
+      cp.mutate(pid) { cfg =>
+        val (kind, old) = findConnector(cfg, cid)
+        val plugin = Option(text(n, "plugin")).filter(_.nonEmpty)
+          .getOrElse(old.plugin)
+        val settings =
+          if (n.has("settings") ||
+            Option(n.get("config")).exists(_.has("settings")))
+            connectorSettingsOf(n)
+          else old.settings
+        validatePlugin(kind, plugin, settings)
+        val conn = old.copy(plugin = plugin, settings = settings)
+        kindOut = kind; connOut = conn
         if (kind == "source")
           cfg.copy(sources = cfg.sources.map(c => if (c.id == cid) conn else c))
         else
           cfg.copy(destinations =
             cfg.destinations.map(c => if (c.id == cid) conn else c))
-      cp.register(updated)
-      s"""{"connector":${JsonOps.render(connectorDoc(pid, kind, conn))}}"""
+      }
+      s"""{"connector":${JsonOps.render(connectorDoc(pid, kindOut, connOut))}}"""
     },
     "DeleteConnector" -> { req =>
       val (pid, cid) = splitId(node(req))
-      val cfg = mutableConfig(pid)
-      val (kind, _) = findConnector(cfg, cid)
-      val updated =
+      cp.mutate(pid) { cfg =>
+        val (kind, _) = findConnector(cfg, cid)
         if (kind == "source") cfg.copy(sources = cfg.sources.filterNot(_.id == cid))
         else cfg.copy(destinations = cfg.destinations.filterNot(_.id == cid))
-      cp.register(updated)
+      }
       "{}"
     },
     "ListConnectorPlugins" -> { req =>
@@ -451,57 +439,61 @@ class GrpcControlPlane(cp: ControlPlane) {
       val n = node(req)
       val pid = text(n, "pipeline_id")
       require(pid.nonEmpty, "missing field: pipeline_id")
-      val cfg = mutableConfig(pid)
       val procId = text(n, "id")
       require(procId.nonEmpty, "missing field: id")
-      require(allProcessors(cfg).forall(_._2.id != procId),
-        s"processor already exists: $pid:$procId")
       val proc = processorOf(n, procId)
       val parent = Option(text(n, "parent_connector_id")).filter(_.nonEmpty)
-      val updated = parent match {
-        case None => cfg.copy(processors = cfg.processors :+ proc)
-        case Some(cid) =>
-          val (kind, conn) = findConnector(cfg, cid)
-          val c2 = conn.copy(processors = conn.processors :+ proc)
-          if (kind == "source")
-            cfg.copy(sources = cfg.sources.map(c => if (c.id == cid) c2 else c))
-          else cfg.copy(destinations =
-            cfg.destinations.map(c => if (c.id == cid) c2 else c))
+      cp.mutate(pid) { cfg =>
+        require(allProcessors(cfg).forall(_._2.id != procId),
+          s"processor already exists: $pid:$procId")
+        parent match {
+          case None => cfg.copy(processors = cfg.processors :+ proc)
+          case Some(cid) =>
+            val (kind, conn) = findConnector(cfg, cid)
+            val c2 = conn.copy(processors = conn.processors :+ proc)
+            if (kind == "source")
+              cfg.copy(sources = cfg.sources.map(c => if (c.id == cid) c2 else c))
+            else cfg.copy(destinations =
+              cfg.destinations.map(c => if (c.id == cid) c2 else c))
+        }
       }
-      cp.register(updated)
       s"""{"processor":${JsonOps.render(processorDoc(pid, parent, proc))}}"""
     },
     "UpdateProcessor" -> { req =>
       val n = node(req)
       val (pid, procId) = splitId(n)
-      val cfg = mutableConfig(pid)
-      val (parent, old) = findProcessor(cfg, procId)
-      val proc = old.copy(
-        plugin = Option(text(n, "plugin")).filter(_.nonEmpty)
-          .getOrElse(old.plugin),
-        settings =
-          if (n.has("settings") ||
-            Option(n.get("config")).exists(_.has("settings")))
-            connectorSettingsOf(n)
-          else old.settings,
-        // present-but-empty CLEARS the condition (full-replace Update
-        // semantics); an absent field keeps the old one
-        condition =
-          if (n.has("condition")) Option(text(n, "condition")).filter(_.nonEmpty)
-          else old.condition,
-        workers = Option(n.get("workers")).map(_.asInt(old.workers))
-          .getOrElse(old.workers))
-      require(Registry.plugins.contains(proc.plugin),
-        s"unknown processor plugin: ${proc.plugin}")
-      val updated = replaceProcessor(cfg, parent, procId, Some(proc))
-      cp.register(updated)
-      s"""{"processor":${JsonOps.render(processorDoc(pid, parent, proc))}}"""
+      var parentOut: Option[String] = None
+      var procOut: ProcessorConfig = null
+      cp.mutate(pid) { cfg =>
+        val (parent, old) = findProcessor(cfg, procId)
+        val proc = old.copy(
+          plugin = Option(text(n, "plugin")).filter(_.nonEmpty)
+            .getOrElse(old.plugin),
+          settings =
+            if (n.has("settings") ||
+              Option(n.get("config")).exists(_.has("settings")))
+              connectorSettingsOf(n)
+            else old.settings,
+          // present-but-empty CLEARS the condition (full-replace Update
+          // semantics); an absent field keeps the old one
+          condition =
+            if (n.has("condition")) Option(text(n, "condition")).filter(_.nonEmpty)
+            else old.condition,
+          workers = Option(n.get("workers")).map(_.asInt(old.workers))
+            .getOrElse(old.workers))
+        require(Registry.plugins.contains(proc.plugin),
+          s"unknown processor plugin: ${proc.plugin}")
+        parentOut = parent; procOut = proc
+        replaceProcessor(cfg, parent, procId, Some(proc))
+      }
+      s"""{"processor":${JsonOps.render(processorDoc(pid, parentOut, procOut))}}"""
     },
     "DeleteProcessor" -> { req =>
       val (pid, procId) = splitId(node(req))
-      val cfg = mutableConfig(pid)
-      val (parent, _) = findProcessor(cfg, procId)
-      cp.register(replaceProcessor(cfg, parent, procId, None))
+      cp.mutate(pid) { cfg =>
+        val (parent, _) = findProcessor(cfg, procId)
+        replaceProcessor(cfg, parent, procId, None)
+      }
       "{}"
     },
     "ListProcessorPlugins" -> { req =>

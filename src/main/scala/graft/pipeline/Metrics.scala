@@ -55,15 +55,34 @@ object Metrics {
     * session; excess records in a batch are dropped (reference
     * drop-on-full semantics, buffer default 1000).
     */
-  final class Inspector(val id: String, capacity: Int = 1000) {
+  final class Inspector(val id: String, capacity: Int = 1000,
+                        maxSessions: Int = 64, idleTimeoutMs: Long = 60000L) {
     private val ring = new java.util.concurrent.ArrayBlockingQueue[String](capacity)
-    private val sessions =
-      new ConcurrentHashMap[String, java.util.concurrent.ArrayBlockingQueue[String]]()
+    private final class Session(cap: Int) {
+      val q = new java.util.concurrent.ArrayBlockingQueue[String](cap)
+      val lastDrain = new AtomicLong(System.currentTimeMillis())
+    }
+    private val sessions = new ConcurrentHashMap[String, Session]()
     private val sessionSeq = new AtomicLong()
+
+    /** Drop sessions nobody has drained within the idle timeout: a
+      * caller that died between openSession and its finally (or forgot
+      * closeSession) must not pin a buffer that offer() fills on the
+      * streaming hot path forever (the reference closes sessions on
+      * context cancel — wall-clock idleness is the facade-agnostic
+      * equivalent). */
+    private def expireIdle(now: Long): Unit =
+      sessions.forEach { (k, s) =>
+        if (now - s.lastDrain.get() > idleTimeoutMs) sessions.remove(k)
+      }
+
     private[pipeline] def offer(records: Seq[String]): Unit = {
       records.foreach { r => if (!ring.offer(r)) () } // drop when full
-      sessions.forEach { (_, q) =>
-        records.foreach { r => if (!q.offer(r)) () }
+      if (!sessions.isEmpty) {
+        expireIdle(System.currentTimeMillis())
+        sessions.forEach { (_, s) =>
+          records.foreach { r => if (!s.q.offer(r)) () }
+        }
       }
     }
     def drain(): Seq[String] = {
@@ -75,17 +94,21 @@ object Metrics {
     /** Open a private tap session (reference `inspector.go:33` — each
       * Inspect call gets its own bounded buffer, so concurrent
       * inspectors never steal each other's records). Close it when the
-      * stream ends or the buffer leaks. */
+      * stream ends; abandoned sessions expire after `idleTimeoutMs`
+      * without a drain, and concurrent sessions are capped. */
     def openSession(capacity: Int = 1000): String = {
+      expireIdle(System.currentTimeMillis()) // dead callers don't pin the cap
+      if (sessions.size >= maxSessions) throw new IllegalStateException(
+        s"inspector $id: $maxSessions concurrent sessions already open")
       val key = s"$id-session-${sessionSeq.incrementAndGet()}"
-      sessions.put(key,
-        new java.util.concurrent.ArrayBlockingQueue[String](capacity))
+      sessions.put(key, new Session(capacity))
       key
     }
     def drainSession(key: String): Seq[String] =
-      Option(sessions.get(key)).map { q =>
+      Option(sessions.get(key)).map { s =>
+        s.lastDrain.set(System.currentTimeMillis())
         val out = new java.util.ArrayList[String]()
-        q.drainTo(out)
+        s.q.drainTo(out)
         scala.jdk.CollectionConverters.ListHasAsScala(out).asScala.toSeq
       }.getOrElse(Nil)
     def closeSession(key: String): Unit = sessions.remove(key)

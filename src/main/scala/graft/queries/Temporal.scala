@@ -2412,13 +2412,17 @@ object Temporal {
          FROM batch bt JOIN part a
            ON bt.p_brand = a.p_brand AND bt.p_size = a.p_size
          WHERE round(jaro_winkler_similarity(bt.name, a.p_name), 9) >= 0.95""",
-    // same lead-window sequence, gram = '>'-joined labels
+    // same lead-window sequence, gram = '>'-joined labels with the
+    // operator's separator escaping ('\'→'\\', '>'→'\>' — a no-op for
+    // the events vocabulary, the contract for arbitrary ones)
     "seq_ngrams" ->
       """WITH seq AS (SELECT
-              event_type AS s0,
-              lead(event_type, 1) OVER (PARTITION BY user_id
+              replace(replace(event_type, '\', '\\'), '>', '\>') AS s0,
+              lead(replace(replace(event_type, '\', '\\'), '>', '\>'), 1)
+                OVER (PARTITION BY user_id
                 ORDER BY epoch_ns(ts) // 1000000000, event_id) AS s1,
-              lead(event_type, 2) OVER (PARTITION BY user_id
+              lead(replace(replace(event_type, '\', '\\'), '>', '\>'), 2)
+                OVER (PARTITION BY user_id
                 ORDER BY epoch_ns(ts) // 1000000000, event_id) AS s2
             FROM events)
          SELECT s0 || '>' || s1 || '>' || s2 AS gram,

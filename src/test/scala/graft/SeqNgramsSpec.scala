@@ -40,6 +40,26 @@ class SeqNgramsSpec extends AnyFunSuite {
     assert(grams(df) == grams(df.repartition(7)))
   }
 
+  test("states containing the separator cannot collide (escaped rendering)") {
+    // without escaping, ["a>b","c"] and ["a","b>c"] would both render
+    // "a>b>c" and count as ONE bigram-of-two... two distinct grams
+    val df = Seq(
+      (1L, 1L, 1L, "a>b"), (1L, 2L, 2L, "c"),
+      (2L, 1L, 3L, "a"), (2L, 2L, 4L, "b>c"))
+      .toDF("u", "t", "id", "s")
+    val bi = Sequences.frequentNgrams(df, Seq("u"), col("t"), col("id"),
+      col("s"), n = 2, minSupport = 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bi == Map("a\\>b>c" -> 1L, "a>b\\>c" -> 1L), bi.toString)
+    // the escape itself cannot be forged: a literal backslash escapes
+    val df2 = Seq((1L, 1L, 1L, "a\\>b"), (1L, 2L, 2L, "c"))
+      .toDF("u", "t", "id", "s")
+    val bi2 = Sequences.frequentNgrams(df2, Seq("u"), col("t"), col("id"),
+      col("s"), n = 2, minSupport = 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bi2 == Map("a\\\\\\>b>c" -> 1L), bi2.toString)
+  }
+
   test("n = 2 recovers transitionMatrix counts") {
     val df = rows.toDF("u", "t", "id", "s")
     val bi = Sequences.frequentNgrams(df, Seq("u"), col("t"), col("id"),
