@@ -18,6 +18,23 @@ object Analytics {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The constructed per-doc URL with deterministic case/port/utm/
+    * param-order/fragment noise — shared by `dedup_url` and its
+    * streaming twin; the oracle re-derives the canonical form from
+    * this construction arithmetic in closed form. */
+  private def noisyUrl(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      when(id % 2 === 0, lit("http")).otherwise(lit("HtTp")),
+      lit("://"),
+      when(id % 3 === 0, lit("www.site")).otherwise(lit("WWW.Site")),
+      (id % 40).cast("string"), lit(".example.COM"),
+      when(id % 4 === 0, lit(":80")).otherwise(lit("")),
+      lit("/p/"), (id % 25).cast("string"),
+      when(id % 2 === 0, lit("?a=1&b=2&utm_source=feed"))
+        .otherwise(lit("?b=2&utm_campaign=x&a=1")),
+      when(id % 5 === 0, concat(lit("#sec"), id.cast("string")))
+        .otherwise(lit("")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
@@ -28,24 +45,44 @@ object Analytics {
     // the oracle builds the IDENTICAL input but derives the canonical
     // form from the construction arithmetic in closed form, so the
     // hash match proves the parser inverts every noise dimension.
-    "dedup_url" -> ((s, dir) => {
-      val id = col("doc_id")
-      val url = concat(
-        when(id % 2 === 0, lit("http")).otherwise(lit("HtTp")),
-        lit("://"),
-        when(id % 3 === 0, lit("www.site")).otherwise(lit("WWW.Site")),
-        (id % 40).cast("string"), lit(".example.COM"),
-        when(id % 4 === 0, lit(":80")).otherwise(lit("")),
-        lit("/p/"), (id % 25).cast("string"),
-        when(id % 2 === 0, lit("?a=1&b=2&utm_source=feed"))
-          .otherwise(lit("?b=2&utm_campaign=x&a=1")),
-        when(id % 5 === 0, concat(lit("#sec"), id.cast("string")))
-          .otherwise(lit("")))
+    "dedup_url" -> ((s, dir) =>
       Urls.dedupByCanonical(
-          t(s, dir, "documents").select(id, url.as("url")),
+          t(s, dir, "documents")
+            .select(col("doc_id"), noisyUrl(col("doc_id")).as("url")),
           "doc_id", "url")
         .select(col("doc_id"), col("url"), col("canonical_url"),
-          col("keep"))
+          col("keep"))),
+
+    // Streaming URL-dedup twin: the same constructed corpus streamed
+    // in two micro-batches through the urlDedupSink — appended rows
+    // joined to the final min-merged state must equal the one-shot
+    // batch vote (canonicalization is row-local; min is
+    // order-insensitive). Oracle = the dedup_url closed form.
+    "dedup_url_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "documents")
+        .select(col("doc_id"), noisyUrl(col("doc_id")).as("url"))
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val base = java.nio.file.Files
+        .createTempDirectory("url_stream").toString
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "url")
+        .writeStream
+        .foreachBatch(StreamingOps.urlDedupSink(
+          s"$base/rows", s"$base/state", "doc_id", "url"))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val state = s.read.parquet(s"$base/state/batch=1")
+      s.read.parquet(s"$base/rows/b*")
+        .join(state, "canonical_url")
+        .select(col("doc_id"), col("url"), col("canonical_url"),
+          (col("doc_id") === col("keep_id")).as("keep"))
     }),
 
     "dedup_minhash" -> ((s, dir) =>
@@ -270,6 +307,32 @@ object Analytics {
     "text_quality" -> ((s, dir) =>
       Text.qualityScore(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Streaming quality-scoring twin: row-local features are
+    // batch-decomposable by construction — the appended union over a
+    // two-batch split must equal the one-shot batch run. Oracle = the
+    // text_quality oracle verbatim.
+    "text_quality_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val out = java.nio.file.Files
+        .createTempDirectory("quality_stream").toString
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamingOps.rowLocalSink(out)(
+          b => Text.qualityScore(b, "doc_id", "text")))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$out/b*")
+    }),
+
     "text_langid" -> ((s, dir) =>
       Text.langId(t(s, dir, "documents"), "doc_id", "text")),
 
@@ -288,6 +351,32 @@ object Analytics {
     "sample_hash" -> ((s, dir) =>
       Sampling.hashSample(t(s, dir, "documents"), "doc_id", 0.25, seed = 7)
         .select(col("doc_id"))),
+
+    // Streaming hash-gate twin: the splitmix bucket filter reads only
+    // the row's id, so the appended kept-set over a two-batch split
+    // must equal the one-shot sample. Oracle = the sample_hash replay.
+    "sample_hash_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .as[Long].collect()
+      val (b1, b2) = ids.partition(_ % 2 == 0)
+      val out = java.nio.file.Files
+        .createTempDirectory("sample_stream").toString
+      val in = MemoryStream[Long]
+      val q = in.toDF().toDF("doc_id")
+        .writeStream
+        .foreachBatch(StreamingOps.rowLocalSink(out)(
+          b => Sampling.hashSample(b, "doc_id", 0.25, seed = 7)
+            .select(col("doc_id"))))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$out/b*")
+    }),
 
     // Poisson bootstrap: 3 deterministic resampled estimates of the
     // events value total in ONE scan (per-row Poisson(1) weights from
@@ -913,7 +1002,7 @@ object Analytics {
          (acc, ch) -> (xor(acc, ch) * 1099511628211) %
            CAST(18446744073709551616 AS HUGEINT))"""
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "text_bm25" -> bm25OracleSql,
     // P@10 / MRR over the nested BM25 run vs the synthetic qrels
     "retrieval_eval" ->
@@ -2902,4 +2991,11 @@ object Analytics {
          substr(sha256(text), 1, 16) AS sha256_prefix
          FROM documents"""
   )
+
+  /** Streaming twins share their batch siblings' oracles verbatim —
+    * stream == batch is exactly the law each gate row proves. */
+  val oracles: Map[String, String] = oraclesBase ++ Map(
+    "dedup_url_stream" -> oraclesBase("dedup_url"),
+    "text_quality_stream" -> oraclesBase("text_quality"),
+    "sample_hash_stream" -> oraclesBase("sample_hash"))
 }

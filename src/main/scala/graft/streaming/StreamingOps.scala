@@ -589,6 +589,46 @@ object StreamingOps {
     }
   }
 
+  /** Append sink for BATCH-DECOMPOSABLE row-local transforms (quality
+    * scoring, hash-gate sampling, PII redaction, fingerprinting): each
+    * micro-batch maps through `fn` independently, and because the
+    * transform reads nothing but the row, the appended union over ANY
+    * batch split equals the one-shot batch run — the law the
+    * `text_quality_stream` / `sample_hash_stream` gate rows prove
+    * bit-for-bit. Per-batch `b<id>` dirs give replay idempotence (a
+    * replayed batch overwrites its own output).
+    */
+  def rowLocalSink(outDir: String)(fn: DataFrame => DataFrame): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      fn(batch).write.mode("overwrite").parquet(s"$outDir/b$batchId")
+
+  /** Streaming URL-dedup maintenance: canonicalization
+    * ([[graft.analytics.Urls.canonicalize]]) is row-local and appends
+    * per batch; the keeper vote is a (canonical_url → min id) state
+    * min-merged across batches — min is idempotent AND associative,
+    * so the committed state after any stream prefix equals the batch
+    * vote over that prefix (the `dedup_url_stream` gate row proves it
+    * by joining the appended rows to the final state). This is the
+    * crawl-ingest "have I seen this page?" primitive: state is one
+    * row per distinct canonical URL, never the documents.
+    */
+  def urlDedupSink(rowsDir: String, stateDir: String, idCol: String,
+                   urlCol: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val canon = batch.select(col(idCol), col(urlCol),
+        graft.analytics.Urls.canonicalize(col(urlCol)).as("canonical_url"))
+      canon.write.mode("overwrite").parquet(s"$rowsDir/b$batchId")
+      val newState = canon.groupBy(col("canonical_url"))
+        .agg(min(col(idCol)).as("keep_id"))
+      val merged = latestCommittedDir(stateDir, batchId) match {
+        case Some(prev) => spark.read.parquet(prev).unionByName(newState)
+          .groupBy(col("canonical_url")).agg(min(col("keep_id")).as("keep_id"))
+        case None => newState
+      }
+      merged.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    }
+
   /** Stream-static fuzzy linkage: each micro-batch of records
     * JW-matches the static master table through
     * [[graft.analytics.Linkage.fuzzyLinks]]' non-self path (the
