@@ -31,7 +31,12 @@ object SteadyBench {
     val root = java.nio.file.Files.createTempDirectory("steady").toString
     val out = s"$root/out"
     val ckpt = s"$root/ckpt"
-    val p = Pipeline("steady")
+    // SPARK_GRAFT_ORDERED = "" (default) | key | global measures the
+    // delivery-order modes' throughput cost: `key` is the 100 TB CDC
+    // path (per-key order, parallel writers), `global` the documented
+    // 1-task funnel (Runner.scala:184-200)
+    val ordered = sys.env.getOrElse("SPARK_GRAFT_ORDERED", "")
+    val p0 = Pipeline("steady")
       .source("gen", "builtin:generator",
         "format.options.id" -> "int", "format.options.name" -> "string",
         // 2M-record micro-batches are the OFFICIAL methodology
@@ -42,6 +47,7 @@ object SteadyBench {
       .processor("set", "field.set",
         "field" -> ".Payload.After.department", "value" -> "finance")
       .destination("sink", "parquet", "path" -> out)
+    val p = if (ordered.isEmpty) p0 else p0.copy(ordered = ordered)
 
     def groundTruth(): Long =
       try spark.read.parquet(out).count() catch { case _: Throwable => 0L }
@@ -67,7 +73,7 @@ object SteadyBench {
     val median = sorted(sorted.size / 2)
     println(s"""{"metric":"steady_state_throughput","unit":"rec/s","median":${median.toLong},""" +
       s""""runs":[${measured.map(_.toLong).mkString(",")}],"durationSec":$durationSec,""" +
-      s""""groundTruth":"parquet count","warmupSec":15}""")
+      s""""ordered":"$ordered","groundTruth":"parquet count","warmupSec":15}""")
     spark.stop()
   }
 }

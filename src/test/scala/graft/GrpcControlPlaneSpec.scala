@@ -356,6 +356,63 @@ class GrpcControlPlaneSpec extends AnyFunSuite {
     } finally { cli.close(); svc.stop(); cp.stop() }
   }
 
+  test("end-to-end lifecycle over the real socket: create, mutate, start, inspect, stop, export/delete/import") {
+    // mirrors the reference orchestrator flow
+    // (pkg/orchestrator/pipelines.go:27) against the real Netty
+    // transport: every step a remote client would take, one session
+    import org.sparkproject.connect.grpc.netty.NettyChannelBuilder
+    val cp = new ControlPlane(spark,
+      java.nio.file.Files.createTempDirectory("grpc_e2e").toString)
+    val svc = new GrpcControlPlane(cp)
+    val port = svc.serve(0)
+    val ch = NettyChannelBuilder.forAddress("127.0.0.1", port)
+      .usePlaintext().build()
+    val cli = new GrpcControlPlane.Client(ch)
+    val Proc = GrpcControlPlane.ProcessorServiceName
+    try {
+      val yaml = Pipeline.toYaml(Seq(
+        Pipeline("ge2e")
+          .source("gen", "builtin:generator",
+            "format.options.id" -> "int", "rate" -> "500")
+          .destination("out", "memory")))
+      cli.call("CreatePipeline", s"""{"yaml":${quote(yaml)}}""")
+      // topology mutation before start — the CRUD path the per-id
+      // critical section serializes
+      cli.call(Proc, "CreateProcessor",
+        """{"pipeline_id":"ge2e","id":"set1","plugin":"field.set","settings":{"field":".Payload.After.department","value":"finance"}}""")
+      Runner.memorySinks.clear()
+      cli.call("StartPipeline", """{"id":"ge2e"}""")
+      try {
+        // server-streaming inspect over the live socket
+        val records = cli.stream(GrpcControlPlane.ConnectorServiceName,
+          "InspectConnector",
+          """{"id":"ge2e:gen","limit":3,"duration_ms":60000}""")
+        assert(records.size == 3, s"got ${records.size} records")
+        assert(records.forall(r => JsonOps.parse(r).has("record")))
+        // the mutated topology is what's executing: sink records carry
+        // the processor's field
+        val deadline = System.currentTimeMillis() + 60000
+        while (!Runner.memorySink("out").exists(_.contains("finance")) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(200)
+        assert(Runner.memorySink("out").exists(_.contains("finance")))
+      } finally cli.call("StopPipeline", """{"id":"ge2e"}""")
+      // export carries the mutated topology
+      val exported = JsonOps.parse(cli.call("ExportPipeline", """{"id":"ge2e"}"""))
+      val back = Pipeline.fromYaml(exported.get("yaml").asText())
+      assert(back.head.processors.map(_.plugin) == Seq("field.set"))
+      // delete, then import restores the stopped pipeline
+      cli.call("DeletePipeline", """{"id":"ge2e"}""")
+      val gone = intercept[Exception] {
+        cli.call("GetPipeline", """{"id":"ge2e"}""")
+      }
+      assert(gone.getMessage.contains("unknown pipeline"), gone.getMessage)
+      cli.call("ImportPipeline",
+        s"""{"yaml":${quote(exported.get("yaml").asText())}}""")
+      val re = JsonOps.parse(cli.call("GetPipeline", """{"id":"ge2e"}"""))
+      assert(re.get("pipeline").get("status").asText() == "stopped")
+    } finally { cli.close(); svc.stop(); cp.stop() }
+  }
+
   test("serve() refuses a second start on the same facade") {
     val cp = new ControlPlane(spark,
       java.nio.file.Files.createTempDirectory("grpc_cp9").toString)
