@@ -361,6 +361,246 @@ case class HllProc(groupFields: Seq[Ref], valueField: Ref, p: Int,
   }
 }
 
+/** `privacy.ldiv` — l-diversity audit per quasi-identifier group
+  * ([[graft.analytics.Privacy.lDiversity]]): one create record per QI
+  * group with (n, diversity, ok) — the disclosure gate that catches
+  * what k-anonymity misses (a large group whose sensitive value is
+  * constant). Aggregate output via [[Cdc.wrap]].
+  */
+case class PrivacyLdivProc(qiFields: Seq[Ref], sensField: Ref, minL: Long)
+    extends Processor {
+  require(qiFields.nonEmpty, "privacy.ldiv: need fields")
+  val plugin = "privacy.ldiv"
+  override def transform(df: DataFrame): DataFrame = {
+    val names = qiFields.map(r => r.sub.lastOption.getOrElse("qi"))
+    val flat = df.select(qiFields.zip(names).map { case (r, n) =>
+      Analytics2Ops.fieldCol(df, r).as(n) } :+
+      Analytics2Ops.fieldCol(df, sensField).as("_sens"): _*)
+    val out = graft.analytics.Privacy.lDiversity(flat, names, "_sens", minL)
+    val keyed = out.withColumn("_k", concat_ws("|", names.map(col): _*))
+    Cdc.wrap(keyed, "_k", "privacy.ldiv")
+  }
+}
+
+/** `privacy.tclose` — t-closeness audit per quasi-identifier group
+  * ([[graft.analytics.Privacy.tCloseness]]): one create record per QI
+  * group with its earth-mover's distance between the group's
+  * sensitive distribution and the corpus-wide one. Aggregate output
+  * via [[Cdc.wrap]].
+  */
+case class PrivacyTcloseProc(qiFields: Seq[Ref], sensField: Ref)
+    extends Processor {
+  require(qiFields.nonEmpty, "privacy.tclose: need fields")
+  val plugin = "privacy.tclose"
+  override def transform(df: DataFrame): DataFrame = {
+    val names = qiFields.map(r => r.sub.lastOption.getOrElse("qi"))
+    val flat = df.select(qiFields.zip(names).map { case (r, n) =>
+      Analytics2Ops.fieldCol(df, r).as(n) } :+
+      Analytics2Ops.fieldCol(df, sensField).as("_sens"): _*)
+    val out = graft.analytics.Privacy.tCloseness(flat, names, "_sens")
+    val keyed = out.withColumn("_k", concat_ws("|", names.map(col): _*))
+    Cdc.wrap(keyed, "_k", "privacy.tclose")
+  }
+}
+
+/** `sketch.kll` — KLL quantile estimates per payload group
+  * ([[graft.analytics.Sketch.kllState]] + `kllQuantiles`): one create
+  * record per group with the requested basis-point quantiles.
+  * `quantiles` is `name:bp` pairs (`p50:5000,p90:9000,p99:9900`).
+  * Ids pre-hash through fnv1a (the [[KmvProc]] idiom); values read as
+  * doubles. Aggregate output via [[Cdc.wrap]].
+  */
+case class KllProc(groupFields: Seq[Ref], valueField: Ref, idField: Ref,
+                   k: Int, seed: Long, qs: Seq[(String, Int)])
+    extends Processor {
+  val plugin = "sketch.kll"
+  override def transform(df: DataFrame): DataFrame = {
+    import graft.analytics.HashFunctions.fnv1a_hash
+    val names = groupFields.map(r => r.sub.lastOption.getOrElse("group"))
+    val flat = df.select(groupFields.zip(names).map { case (r, n) =>
+      Analytics2Ops.fieldCol(df, r).as(n) } ++ Seq(
+      Analytics2Ops.fieldCol(df, valueField).cast("double").as("_value"),
+      fnv1a_hash(Analytics2Ops.fieldCol(df, idField).cast("string"))
+        .as("_rid")): _*)
+    val st = graft.analytics.Sketch.kllState(flat, names, "_value", "_rid",
+      k, seed)
+    val out = graft.analytics.Sketch.kllQuantiles(st, names, qs)
+    val keyed =
+      if (names.isEmpty) out.withColumn("_k", lit("all"))
+      else out.withColumn("_k", concat_ws("|", names.map(col): _*))
+    Cdc.wrap(keyed, "_k", "sketch.kll")
+  }
+}
+
+/** `sketch.hist` — fixed-geometry histogram quantiles per payload
+  * group ([[graft.analytics.Sketch.histogramQuantiles]]: one
+  * integer-count shuffle, ≤ groups × bins state): one create record
+  * per group with the requested quantiles. Aggregate output via
+  * [[Cdc.wrap]].
+  */
+case class HistProc(groupFields: Seq[Ref], valueField: Ref, lo: Double,
+                    width: Double, bins: Int, qs: Seq[Double])
+    extends Processor {
+  require(groupFields.nonEmpty, "sketch.hist: need groups")
+  val plugin = "sketch.hist"
+  override def transform(df: DataFrame): DataFrame = {
+    val names = groupFields.map(r => r.sub.lastOption.getOrElse("group"))
+    val flat = df.select(groupFields.zip(names).map { case (r, n) =>
+      Analytics2Ops.fieldCol(df, r).as(n) } :+
+      Analytics2Ops.fieldCol(df, valueField).cast("double").as("_value"): _*)
+    val out = graft.analytics.Sketch.histogramQuantiles(flat, names,
+      "_value", lo, width, bins, qs)
+    // one row per (group, quantile): the q is part of the identity
+    val keyed = out.withColumn("_k",
+      concat_ws("|", names.map(col) :+ col("q"): _*))
+    Cdc.wrap(keyed, "_k", "sketch.hist")
+  }
+}
+
+/** `text.normalize` — canonical text normalization in place
+  * ([[graft.analytics.Text.normalizeText]]: NFC, lowercase, control
+  * chars and whitespace runs to single spaces, trimmed) — the first
+  * stage of every training-data pipeline, as a mid-chain rewrite.
+  * Row-local, codegen'd.
+  */
+case class TextNormalizeProc(field: Ref) extends Processor {
+  val plugin = "text.normalize"
+  override def transform(df: DataFrame): DataFrame = {
+    val slot = RefCols.column(field)
+    val normed = graft.analytics.Text.normalizeText(
+      Analytics2Ops.fieldCol(df, field))
+    df.schema(slot).dataType match {
+      case st: StructType =>
+        df.withColumn(slot, StructOps.set(col(slot), st, field.sub, normed))
+      case _ =>
+        df.withColumn(slot, graft.functions.JsonExpressions.jsonSet(
+          col(slot), field.sub, normed))
+    }
+  }
+}
+
+/** `text.repetition` — Gopher-style repetition features
+  * ([[graft.analytics.Text.repetition]]): one create record per doc
+  * with (frac_dup_words, top_bigram, frac_chars_top_bigram) — the
+  * boilerplate/spam screen. Aggregate output via [[Cdc.wrap]].
+  */
+case class TextRepetitionProc(idField: Ref, textField: Ref)
+    extends Processor {
+  val plugin = "text.repetition"
+  override def transform(df: DataFrame): DataFrame = {
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id"),
+      Analytics2Ops.fieldCol(df, textField).as("_text"))
+    Cdc.wrap(graft.analytics.Text.repetition(flat, "_id", "_text"),
+      "_id", "text.repetition")
+  }
+}
+
+/** `text.novelty` — per-document n-gram novelty against the
+  * id-ordered corpus ([[graft.analytics.Text.novelty]]): one create
+  * record per doc with (n_grams, n_novel, novelty) — high = fresh
+  * content, near-zero = recombination. Aggregate output via
+  * [[Cdc.wrap]].
+  */
+case class TextNoveltyProc(idField: Ref, textField: Ref, n: Int)
+    extends Processor {
+  val plugin = "text.novelty"
+  override def transform(df: DataFrame): DataFrame = {
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id"),
+      Analytics2Ops.fieldCol(df, textField).as("_text"))
+    Cdc.wrap(graft.analytics.Text.novelty(flat, "_id", "_text", n),
+      "doc_id", "text.novelty")
+  }
+}
+
+/** `sample.mixture` — explicit-target data mixing as a true FILTER
+  * ([[graft.analytics.Sampling.mixtureSample]]'s envelope: budget
+  * B = min cₛ/pₛ, per-stratum cut fraction pₛ·B/cₛ, splitmix64
+  * bucket membership — data rows never shuffle). `targets` is
+  * `stratum:proportion` pairs summing to 1; strata not named drop
+  * entirely. The CDC schema passes through untouched.
+  */
+case class SampleMixtureProc(strataField: Ref, idField: Ref,
+                             targets: Seq[(String, Double)], seed: Long)
+    extends Processor {
+  require(targets.nonEmpty && targets.forall(_._2 > 0),
+    "sample.mixture: targets must be non-empty with positive proportions")
+  require(math.abs(targets.map(_._2).sum - 1.0) < 1e-9,
+    "sample.mixture: target proportions must sum to 1")
+  val plugin = "sample.mixture"
+  override def transform(df: DataFrame): DataFrame = {
+    import graft.analytics.HashFunctions.fnv1a_hash
+    val tmap = targets.toMap
+    val stratum = Analytics2Ops.fieldCol(df, strataField)
+    val counts = df.select(stratum.as("_stratum"))
+      .filter(col("_stratum").isin(targets.map(_._1): _*))
+      .groupBy(col("_stratum")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val missing = tmap.keySet -- counts.map(_._1)
+    require(missing.isEmpty,
+      s"sample.mixture: target strata with no rows: ${missing.toSeq.sorted.mkString(", ")}")
+    val budget = counts.map { case (k, c) => c.toDouble / tmap(k) }.min
+    val cuts = counts.map { case (k, c) =>
+      (k, math.floor(math.min(1.0, tmap(k) * budget / c.toDouble) * 4096.0).toLong)
+    }.toMap
+    val cutExpr = cuts.foldLeft(lit(null).cast("long")) { case (acc, (k, cut)) =>
+      when(col("_stratum") === lit(k), lit(cut)).otherwise(acc)
+    }
+    val id = fnv1a_hash(Analytics2Ops.fieldCol(df, idField).cast("string"))
+    df.withColumn("_stratum", stratum)
+      .withColumn("_cut", cutExpr)
+      .filter(col("_cut").isNotNull &&
+        graft.analytics.Sampling.bucketOf(id, seed) < col("_cut"))
+      .drop("_stratum", "_cut")
+  }
+}
+
+/** `retrieval.bm25` — BM25 top-k retrieval over the batch's documents
+  * ([[graft.analytics.Retrieval.bm25]], single-scan shared-exchange
+  * shape): `query` is the whitespace-tokenized search string; one
+  * create record per (query, rank) hit. Aggregate output via
+  * [[Cdc.wrap]].
+  */
+case class RetrievalBm25Proc(idField: Ref, textField: Ref, query: String,
+                             k1: Double, b: Double, topK: Int)
+    extends Processor {
+  require(query.trim.nonEmpty, "retrieval.bm25: need query")
+  val plugin = "retrieval.bm25"
+  override def transform(df: DataFrame): DataFrame = {
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id"),
+      Analytics2Ops.fieldCol(df, textField).as("_text"))
+    val out = graft.analytics.Retrieval.bm25(flat, "_id", "_text",
+      Seq("q" -> query.trim.toLowerCase.split("\\s+").toSeq), k1, b, topK)
+    val keyed = out.withColumn("_k",
+      concat_ws("|", col("query_id"), col("rank")))
+    Cdc.wrap(keyed, "_k", "retrieval.bm25")
+  }
+}
+
+/** `dedup.incremental` — cross-batch exact dedup against a PERSISTED
+  * history ([[graft.analytics.Dedup.incremental]]: digest semi-join,
+  * batch never shuffles its text): one create record per batch doc
+  * with status kept / dup_batch / dup_history. `historyTable` is a
+  * parquet path whose `historyField` column holds previously-ingested
+  * texts — the ingest-time "seen before?" gate as pure config.
+  */
+case class DedupIncrementalProc(idField: Ref, textField: Ref,
+                                historyTable: String, historyField: String)
+    extends Processor {
+  val plugin = "dedup.incremental"
+  override def transform(df: DataFrame): DataFrame = {
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id"),
+      Analytics2Ops.fieldCol(df, textField).as("_text"))
+    val hist = df.sparkSession.read.parquet(historyTable)
+      .select(col(historyField).cast("string").as("_text"))
+    val out = graft.analytics.Dedup.incremental(flat, hist, "_id", "_text")
+    Cdc.wrap(out, "doc_id", "dedup.incremental")
+  }
+}
+
 /** `sketch.topk` — Misra–Gries heavy hitters over a payload field
   * ([[graft.analytics.Sketch.heavyHitters]]: bounded per-partition
   * state, broadcast candidate verify): one create record per item at

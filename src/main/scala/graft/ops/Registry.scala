@@ -238,7 +238,51 @@ object Registry {
     "sketch.topk" -> (s => TopkProc(
       s.get("value").map(Ref.parse).getOrElse(ref(s, ".Payload.After")),
       s.getOrElse("threshold", "2").toLong,
-      s.getOrElse("capacity", "0").toInt))
+      s.getOrElse("capacity", "0").toInt)),
+    "privacy.ldiv" -> (s => PrivacyLdivProc(
+      refs(s, "fields"), Ref.parse(s("sensitive")),
+      s.getOrElse("l", "2").toLong)),
+    "privacy.tclose" -> (s => PrivacyTcloseProc(
+      refs(s, "fields"), Ref.parse(s("sensitive")))),
+    "sketch.kll" -> (s => KllProc(
+      s.get("groups").map(_ => refs(s, "groups")).getOrElse(Nil),
+      Ref.parse(s("value")), Ref.parse(s("id")),
+      s.getOrElse("k", "256").toInt,
+      s.getOrElse("seed", "7").toLong,
+      s.getOrElse("quantiles", "p50:5000,p90:9000,p99:9900")
+        .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { spec =>
+          val Array(name, bp) = spec.split(":", 2)
+          (name.trim, bp.trim.toInt)
+        })),
+    "sketch.hist" -> (s => HistProc(
+      refs(s, "groups"), Ref.parse(s("value")),
+      s.getOrElse("lo", "0").toDouble,
+      s.getOrElse("width", "1").toDouble,
+      s.getOrElse("bins", "64").toInt,
+      s.getOrElse("quantiles", "0.5,0.9,0.99")
+        .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toDouble))),
+    "text.normalize" -> (s => TextNormalizeProc(ref(s, ".Payload.After"))),
+    "text.repetition" -> (s => TextRepetitionProc(
+      Ref.parse(s("id")), ref(s, ".Payload.After"))),
+    "text.novelty" -> (s => TextNoveltyProc(
+      Ref.parse(s("id")), ref(s, ".Payload.After"),
+      s.getOrElse("n", "3").toInt)),
+    "sample.mixture" -> (s => SampleMixtureProc(
+      Ref.parse(s("stratum")), Ref.parse(s("id")),
+      s("targets").split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { spec =>
+        val i = spec.lastIndexOf(':')
+        require(i > 0, s"sample.mixture: target spec must be stratum:p, got $spec")
+        (spec.substring(0, i).trim, spec.substring(i + 1).trim.toDouble)
+      },
+      s.getOrElse("seed", "0").toLong)),
+    "retrieval.bm25" -> (s => RetrievalBm25Proc(
+      Ref.parse(s("id")), ref(s, ".Payload.After"), s("query"),
+      s.getOrElse("k1", "1.2").toDouble,
+      s.getOrElse("b", "0.75").toDouble,
+      s.getOrElse("topK", "10").toInt)),
+    "dedup.incremental" -> (s => DedupIncrementalProc(
+      Ref.parse(s("id")), ref(s, ".Payload.After"),
+      s("historyTable"), s.getOrElse("historyField", "text")))
   )
 
   def create(plugin: String, settings: Map[String, String]): Processor = {

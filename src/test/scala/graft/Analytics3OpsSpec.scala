@@ -229,6 +229,126 @@ class Analytics3OpsSpec extends AnyFunSuite {
     assert(topk == Map("hot" -> 5L, "warm" -> 3L), topk.toString)
   }
 
+  test("privacy.ldiv / privacy.tclose audit disclosure per QI group") {
+    // group z0: sensitive constant (diversity 1); z1: two values
+    val rows = (1 to 20).map(i =>
+      (i.toLong, s"z${i % 2}", if (i % 2 == 0) "flu" else s"d${i % 4}"))
+    val base = wrap(rows.toDF("id", "zip", "diag"), "id")
+    val ld = payloads(Registry.create("privacy.ldiv",
+      Map("fields" -> ".Payload.After.zip",
+        "sensitive" -> ".Payload.After.diag", "l" -> "2"))(base))
+      .map(p => p.get("zip").asText -> p.get("ok").asBoolean).toMap
+    assert(ld == Map("z0" -> false, "z1" -> true), ld.toString)
+
+    val tc = payloads(Registry.create("privacy.tclose",
+      Map("fields" -> ".Payload.After.zip",
+        "sensitive" -> ".Payload.After.diag"))(base))
+      .map(p => p.get("zip").asText -> p.get("emd").asDouble).toMap
+    val want = graft.analytics.Privacy.tCloseness(
+        rows.map { case (_, z, d) => (z, d) }.toDF("zip", "diag"),
+        Seq("zip"), "diag")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("emd")).toMap
+    assert(tc == want, s"$tc vs $want")
+    // two complementary groups sit equally far from the pooled
+    // distribution; the point is a nonzero, bounded EMD
+    assert(tc.values.forall(e => e > 0 && e <= 1), tc.toString)
+  }
+
+  test("sketch.kll / sketch.hist quantiles match their Scala operators") {
+    val rows = (1 to 1000).map(i => (i.toLong, s"g${i % 2}", i.toDouble))
+    val base = wrap(rows.toDF("id", "g", "v"), "id")
+    val kll = payloads(Registry.create("sketch.kll",
+      Map("groups" -> ".Payload.After.g", "value" -> ".Payload.After.v",
+        "id" -> ".Payload.After.id"))(base))
+      .map(p => p.get("g").asText -> p.get("p50").asDouble).toMap
+    import graft.analytics.HashFunctions.fnv1a_hash
+    val flat = rows.map { case (i, g, v) => (i.toString, g, v) }
+      .toDF("id", "g", "v")
+      .select(col("g"), col("v"), fnv1a_hash(col("id")).as("rid"))
+    val want = graft.analytics.Sketch.kllQuantiles(
+        graft.analytics.Sketch.kllState(flat, Seq("g"), "v", "rid"),
+        Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("p50")).toMap
+    assert(kll == want, s"$kll vs $want")
+    kll.values.foreach(m => assert(m > 300 && m < 700, kll.toString))
+
+    val hist = payloads(Registry.create("sketch.hist",
+      Map("groups" -> ".Payload.After.g", "value" -> ".Payload.After.v",
+        "lo" -> "0", "width" -> "10", "bins" -> "128",
+        "quantiles" -> "0.5"))(base))
+      .map(p => p.get("g").asText -> p.get("est").asDouble).toMap
+    assert(hist.size == 2 &&
+      hist.values.forall(m => m > 400 && m < 600), hist.toString)
+  }
+
+  test("text.normalize rewrites in place; repetition/novelty reshape") {
+    val base = wrap(Seq((1L, "  Hello\t WORLD  "), (2L, "a a a a b"))
+      .toDF("id", "text"), "id")
+    val norm = Registry.create("text.normalize",
+      Map("field" -> ".Payload.After.text"))(base)
+    assert(norm.columns.toSeq == Cdc.columns)
+    val texts = payloads(norm).map(p =>
+      p.get("id").asLong -> p.get("text").asText).toMap
+    assert(texts(1L) == "hello world", texts.toString)
+
+    val rep = payloads(Registry.create("text.repetition",
+      Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text"))(base))
+      .map(p => p.get("_id").asText -> p.get("frac_dup_words").asDouble).toMap
+    assert(rep("2") == 0.6, rep.toString) // 3 repeated of 5 tokens
+
+    val docs = wrap(Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon"))
+      .toDF("id", "text"), "id")
+    val nov = payloads(Registry.create("text.novelty",
+      Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text",
+        "n" -> "3"))(docs))
+      .map(p => p.get("doc_id").asText -> p.get("novelty").asDouble).toMap
+    // doc 1 owns both its trigrams; doc 2 shares one of two
+    assert(nov == Map("1" -> 1.0, "2" -> 0.5), nov.toString)
+  }
+
+  test("sample.mixture keeps the target mix as a pure filter") {
+    val rows = (1 to 300).map(i => (i.toLong,
+      if (i <= 200) "en" else if (i <= 280) "de" else "fr"))
+    val base = wrap(rows.toDF("id", "lang"), "id")
+    val out = Registry.create("sample.mixture",
+      Map("stratum" -> ".Payload.After.lang", "id" -> ".Payload.After.id",
+        "targets" -> "en:0.5,de:0.5", "seed" -> "3"))(base)
+    assert(out.columns.toSeq == Cdc.columns)
+    val kept = payloads(out).map(_.get("lang").asText)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    // de binds (80 rows / 0.5 = 160 budget): de kept whole, en ≈ 80,
+    // fr (unnamed) dropped entirely
+    assert(!kept.contains("fr"), kept.toString)
+    assert(kept("de") == 80, kept.toString)
+    assert(kept("en") > 50 && kept("en") < 110, kept.toString)
+  }
+
+  test("retrieval.bm25 / dedup.incremental reshape with external state") {
+    val docs = wrap(Seq(
+      (1L, "spark catalyst optimizer rules"),
+      (2L, "spark streaming watermarks"),
+      (3L, "cooking pasta at home"))
+      .toDF("id", "text"), "id")
+    val hits = payloads(Registry.create("retrieval.bm25",
+      Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text",
+        "query" -> "spark optimizer", "topK" -> "2"))(docs))
+      .map(p => (p.get("rank").asInt, p.get("doc_id").asText))
+    assert(hits.sorted.head == (1, "1"), hits.mkString(","))
+    assert(!hits.exists(_._2 == "3"), hits.mkString(","))
+
+    val histDir = java.nio.file.Files.createTempDirectory("hist").toString
+    Seq("spark catalyst optimizer rules").toDF("text")
+      .write.mode("overwrite").parquet(histDir)
+    val inc = payloads(Registry.create("dedup.incremental",
+      Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text",
+        "historyTable" -> histDir))(docs))
+      .map(p => p.get("doc_id").asText -> p.get("status").asText).toMap
+    assert(inc == Map("1" -> "dup_history", "2" -> "kept", "3" -> "kept"),
+      inc.toString)
+  }
+
   test("round-14 factories survive the YAML export/import round trip") {
     val procs = Seq(
       ProcessorConfig("q1", "text.quality",
@@ -267,7 +387,36 @@ class Analytics3OpsSpec extends AnyFunSuite {
         Map("groups" -> ".Payload.After.g", "value" -> ".Payload.After.u"),
         None),
       ProcessorConfig("q15", "sketch.topk",
-        Map("value" -> ".Payload.After.item", "threshold" -> "3"), None))
+        Map("value" -> ".Payload.After.item", "threshold" -> "3"), None),
+      ProcessorConfig("q16", "privacy.ldiv",
+        Map("fields" -> ".Payload.After.zip",
+          "sensitive" -> ".Payload.After.diag", "l" -> "3"), None),
+      ProcessorConfig("q17", "privacy.tclose",
+        Map("fields" -> ".Payload.After.zip",
+          "sensitive" -> ".Payload.After.diag"), None),
+      ProcessorConfig("q18", "sketch.kll",
+        Map("groups" -> ".Payload.After.g", "value" -> ".Payload.After.v",
+          "id" -> ".Payload.After.id"), None),
+      ProcessorConfig("q19", "sketch.hist",
+        Map("groups" -> ".Payload.After.g", "value" -> ".Payload.After.v",
+          "lo" -> "0", "width" -> "5", "bins" -> "32"), None),
+      ProcessorConfig("q20", "text.normalize",
+        Map("field" -> ".Payload.After.text"), None),
+      ProcessorConfig("q21", "text.repetition",
+        Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text"),
+        None),
+      ProcessorConfig("q22", "text.novelty",
+        Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text",
+          "n" -> "4"), None),
+      ProcessorConfig("q23", "sample.mixture",
+        Map("stratum" -> ".Payload.After.lang", "id" -> ".Payload.After.id",
+          "targets" -> "en:0.6,de:0.4"), None),
+      ProcessorConfig("q24", "retrieval.bm25",
+        Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text",
+          "query" -> "spark"), None),
+      ProcessorConfig("q25", "dedup.incremental",
+        Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text",
+          "historyTable" -> "/tmp/hist"), None))
     val cfg = PipelineConfig("r14", "round-14 families", processors = procs)
     val back = Dsl.fromYaml(Dsl.toYaml(Seq(cfg)))
     assert(back == Seq(cfg))
