@@ -601,6 +601,49 @@ case class DedupIncrementalProc(idField: Ref, textField: Ref,
   }
 }
 
+/** `graph.components` — connected components over an edge stream
+  * ([[graft.analytics.Dedup.components]]: count-gated hybrid —
+  * driver union-find under the edge cap, distributed min-label
+  * propagation above): one create record per node with its component
+  * label, keyed by node. Aggregate output via [[Cdc.wrap]].
+  */
+case class GraphComponentsProc(src: Ref, dst: Ref, maxIter: Int)
+    extends Processor {
+  val plugin = "graph.components"
+  override def transform(df: DataFrame): DataFrame = {
+    val edges = df.select(Analytics2Ops.fieldCol(df, src).as("id_a"),
+        Analytics2Ops.fieldCol(df, dst).as("id_b"))
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull)
+    val out = graft.analytics.Dedup.components(edges, maxIter = maxIter)
+    Cdc.wrap(out, "id", "graph.components")
+  }
+}
+
+/** `link.clusters` — entity resolution end-to-end (the `link_clusters`
+  * gate composition): Jaro–Winkler fuzzy pairs within blocks
+  * ([[graft.analytics.Linkage.fuzzyLinks]], `maxBlock`-capped) feed
+  * connected components; one create record per matched record with
+  * its entity id. The match-then-cluster pipeline a real linkage
+  * deployment runs, as pure config. Aggregate output via [[Cdc.wrap]].
+  */
+case class LinkClustersProc(idField: Ref, blockField: Ref, textField: Ref,
+                            minSim: Double, maxBlock: Int)
+    extends Processor {
+  val plugin = "link.clusters"
+  override def transform(df: DataFrame): DataFrame = {
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id"),
+      Analytics2Ops.fieldCol(df, blockField).as("_block"),
+      Analytics2Ops.fieldCol(df, textField).as("_text"))
+    val pairs = graft.analytics.Linkage.fuzzyLinks(flat, flat,
+      "_id", "_id", "_block", "_text", minSim,
+      selfPairs = true, maxBlock = maxBlock)
+    val out = graft.analytics.Dedup.components(pairs, "id_a", "id_b")
+      .select(col("id").as("record"), col("label").as("entity"))
+    Cdc.wrap(out, "record", "link.clusters")
+  }
+}
+
 /** `sketch.topk` — Misra–Gries heavy hitters over a payload field
   * ([[graft.analytics.Sketch.heavyHitters]]: bounded per-partition
   * state, broadcast candidate verify): one create record per item at

@@ -282,7 +282,14 @@ object Registry {
       s.getOrElse("topK", "10").toInt)),
     "dedup.incremental" -> (s => DedupIncrementalProc(
       Ref.parse(s("id")), ref(s, ".Payload.After"),
-      s("historyTable"), s.getOrElse("historyField", "text")))
+      s("historyTable"), s.getOrElse("historyField", "text"))),
+    "graph.components" -> (s => GraphComponentsProc(
+      Ref.parse(s("src")), Ref.parse(s("dst")),
+      s.getOrElse("maxIter", "25").toInt)),
+    "link.clusters" -> (s => LinkClustersProc(
+      Ref.parse(s("id")), Ref.parse(s("block")), Ref.parse(s("field")),
+      s.getOrElse("minSim", "0.9").toDouble,
+      s.getOrElse("maxBlock", "10000").toInt))
   )
 
   def create(plugin: String, settings: Map[String, String]): Processor = {

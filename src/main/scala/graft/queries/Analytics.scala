@@ -352,6 +352,61 @@ object Analytics {
       Sampling.hashSample(t(s, dir, "documents"), "doc_id", 0.25, seed = 7)
         .select(col("doc_id"))),
 
+    // Streaming PII-redaction twin (rowLocalSink): redaction and the
+    // per-category counts read only the row. Same constructed contact
+    // tail as the batch row (the corpus carries no real PII); oracle =
+    // text_pii's.
+    "text_pii_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com at 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0.1 or +1-555-"),
+          (lit(1000) + col("doc_id") % 9000).cast("string")).as("text"))
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val out = java.nio.file.Files
+        .createTempDirectory("pii_stream").toString
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamingOps.rowLocalSink(out)(
+          b => Text.piiRedact(b, "doc_id", "text")))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$out/b*")
+    }),
+
+    // Streaming fingerprint twin (rowLocalSink): the rolling hash is
+    // row-local. Oracle = text_fingerprint's.
+    "text_fingerprint_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val out = java.nio.file.Files
+        .createTempDirectory("fp_stream").toString
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamingOps.rowLocalSink(out)(
+          b => Text.fingerprint(b, "doc_id", "text")))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$out/b*")
+    }),
+
     // Streaming hash-gate twin: the splitmix bucket filter reads only
     // the row's id, so the appended kept-set over a two-batch split
     // must equal the one-shot sample. Oracle = the sample_hash replay.
@@ -2997,5 +3052,7 @@ object Analytics {
   val oracles: Map[String, String] = oraclesBase ++ Map(
     "dedup_url_stream" -> oraclesBase("dedup_url"),
     "text_quality_stream" -> oraclesBase("text_quality"),
-    "sample_hash_stream" -> oraclesBase("sample_hash"))
+    "sample_hash_stream" -> oraclesBase("sample_hash"),
+    "text_pii_stream" -> oraclesBase("text_pii"),
+    "text_fingerprint_stream" -> oraclesBase("text_fingerprint"))
 }

@@ -349,6 +349,30 @@ class Analytics3OpsSpec extends AnyFunSuite {
       inc.toString)
   }
 
+  test("graph.components / link.clusters resolve entities from config") {
+    // edges 1-2, 2-3 (one component), 9-10 (another)
+    val edges = wrap(Seq((1L, "1", "2"), (2L, "2", "3"), (3L, "9", "10"))
+      .toDF("id", "s", "d"), "id")
+    val cc = payloads(Registry.create("graph.components",
+      Map("src" -> ".Payload.After.s", "dst" -> ".Payload.After.d"))(edges))
+      .map(p => p.get("id").asText -> p.get("label").asText).toMap
+    // payload fields are strings, so the representative is the
+    // LEXICOGRAPHIC min: "10" < "9"
+    assert(cc == Map("1" -> "1", "2" -> "1", "3" -> "1",
+      "9" -> "10", "10" -> "10"), cc.toString)
+
+    // near-identical names in one block cluster to one entity
+    val recs = wrap(Seq(
+      (1L, "b1", "chocolate lace"), (2L, "b1", "chocolate lace!"),
+      (3L, "b1", "zz qq ww"), (4L, "b2", "chocolate lace"))
+      .toDF("id", "blk", "name"), "id")
+    val ent = payloads(Registry.create("link.clusters",
+      Map("id" -> ".Payload.After.id", "block" -> ".Payload.After.blk",
+        "field" -> ".Payload.After.name", "minSim" -> "0.9"))(recs))
+      .map(p => p.get("record").asText -> p.get("entity").asText).toMap
+    assert(ent == Map("1" -> "1", "2" -> "1"), ent.toString)
+  }
+
   test("round-14 factories survive the YAML export/import round trip") {
     val procs = Seq(
       ProcessorConfig("q1", "text.quality",
