@@ -105,7 +105,14 @@ object ScaleBench {
       // round-13 rows: flat-state sketches (expect factors WELL below
       // 10 — the state is constant-size) and the re-gated links plan
       "sketch_kll", "sketch_kll_merge", "sketch_bloom",
-      "sketch_bloom_merge", "graph_links")
+      "sketch_bloom_merge", "graph_links",
+      // round-14: one keyed sort + map-side-combined gram count
+      "seq_ngrams")
+
+    // SCALE_ONLY=name1,name2 restricts the probe (local iteration)
+    val only = sys.env.get("SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.map(o => names.filter(o)).getOrElse(names)
 
     def run(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
@@ -119,7 +126,7 @@ object ScaleBench {
     run(src, "q1_pricing_summary"); run(dst, "q1_pricing_summary")
 
     println(f"${"query"}%-22s ${"sf0.1"}%8s ${"x" + copies}%8s ${"factor"}%8s")
-    val rows = names.map { n =>
+    val rows = selected.map { n =>
       val a = run(src, n)
       val b = run(dst, n)
       val f = if (a > 0 && b > 0) b / a else -1
