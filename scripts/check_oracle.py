@@ -18,9 +18,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # is microseconds, isolation is worth it. Thread pool bounded: the
 # sf0.1 iterative-CTE oracles spawn threads per pipeline and the
 # default (= all cores) exhausts the VM.
-def fresh_con():
+# Queries whose ordered list(...)+list_reduce folds blow DuckDB's
+# MULTI-threaded list allocator at sf0.1 ("bad allocation" with free
+# RAM to spare) — single-threaded they complete fine (graph_hits:
+# 136 s, hash-matches). Forced to one thread regardless of
+# DUCKDB_THREADS.
+SINGLE_THREADED = {"graph_hits"}
+
+def fresh_con(threads=None):
     c = duckdb.connect()
-    c.execute(f"PRAGMA threads={os.environ.get('DUCKDB_THREADS', '8')}")
+    c.execute(f"PRAGMA threads={threads or os.environ.get('DUCKDB_THREADS', '8')}")
     c.execute("PRAGMA memory_limit='24GB'")
     for t in TABLES:
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
@@ -51,7 +58,7 @@ for d in sorted(glob.glob(f"{OUT_DIR}/*/")):
         results[name] = f"rows-only ({len(got)} rows)" + (" EMPTY!" if len(got) == 0 else "")
         continue
     try:
-        con = fresh_con()
+        con = fresh_con(threads=1 if name in SINGLE_THREADED else None)
         want = con.execute(oracles[name]).df()
         con.close()
     except Exception as e:

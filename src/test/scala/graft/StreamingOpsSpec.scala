@@ -258,6 +258,37 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(regs(3L).size >= clean.size)
   }
 
+  test("urlDedupSink: replay-idempotent min-merge; state equals the batch vote") {
+    val base = java.nio.file.Files.createTempDirectory("url-sink").toString
+    val sink = StreamingOps.urlDedupSink(
+      s"$base/rows", s"$base/state", "doc_id", "url")
+    def df(rows: (Long, String)*) = rows.toDF("doc_id", "url")
+    // two URL variants of the same page across two batches; the
+    // later batch carries the SMALLER id, so the vote must correct
+    sink(df((10L, "HTTP://Site.com/a?utm_x=1&b=2"),
+      (11L, "http://other.com/")), 0L)
+    sink(df((3L, "http://site.com:80/a?b=2"),
+      (12L, "http://third.com/")), 1L)
+    def state(id: Long) = spark.read.parquet(s"$base/state/batch=$id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val clean = state(1L)
+    assert(clean("http://site.com/a?b=2") == 3L, clean.toString)
+    // crash replay of batch 1 reproduces identical state (min is
+    // idempotent) — and the appended rows dir just overwrites b1
+    sink(df((3L, "http://site.com:80/a?b=2"),
+      (12L, "http://third.com/")), 1L)
+    assert(state(1L) == clean)
+    // state equals the one-shot batch vote over the full stream
+    val direct = graft.analytics.Urls.dedupByCanonical(
+      df((10L, "HTTP://Site.com/a?utm_x=1&b=2"), (11L, "http://other.com/"),
+        (3L, "http://site.com:80/a?b=2"), (12L, "http://third.com/")),
+      "doc_id", "url")
+      .filter(col("keep"))
+      .select(col("canonical_url"), col("doc_id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean == direct, s"$clean vs $direct")
+  }
+
   test("scd2Sink: cross-batch close, delete semantics, stale redelivery dropped") {
     val dir = java.nio.file.Files.createTempDirectory("scd2-sink").toString
     val sink = StreamingOps.scd2Sink(dir, Seq("k"), Seq("pos", "id"),
