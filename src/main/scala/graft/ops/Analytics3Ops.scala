@@ -601,6 +601,98 @@ case class DedupIncrementalProc(idField: Ref, textField: Ref,
   }
 }
 
+/** `seq.transitions` — first-order Markov transition matrix of each
+  * entity's time-ordered stream
+  * ([[graft.analytics.Sequences.transitionMatrix]]): one create
+  * record per (prev, next) with (cnt, prev_total, p), keyed by the
+  * pair. Aggregate output via [[Cdc.wrap]].
+  */
+case class SeqTransitionsProc(entityField: Ref, orderField: Ref,
+                              tieField: Ref, stateField: Ref)
+    extends Processor {
+  val plugin = "seq.transitions"
+  override def transform(df: DataFrame): DataFrame = {
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, entityField).as("_e"),
+      Analytics2Ops.fieldCol(df, orderField).cast("long").as("_ord"),
+      Analytics2Ops.fieldCol(df, tieField).as("_tie"),
+      Analytics2Ops.fieldCol(df, stateField).as("_st"))
+    val out = graft.analytics.Sequences.transitionMatrix(flat, Seq("_e"),
+      col("_ord"), col("_tie"), col("_st"))
+    val keyed = out.withColumn("_k",
+      concat_ws("|", col("prev"), col("next")))
+    Cdc.wrap(keyed, "_k", "seq.transitions")
+  }
+}
+
+/** `retrieval.tfidf` — per-(doc, term) TF-IDF weights over the batch
+  * ([[graft.analytics.Retrieval.tfidf]], shared-exchange single-scan
+  * shape): one create record per weight row, keyed by the pair.
+  * Aggregate output via [[Cdc.wrap]].
+  */
+case class RetrievalTfidfProc(idField: Ref, textField: Ref, minDf: Long)
+    extends Processor {
+  val plugin = "retrieval.tfidf"
+  override def transform(df: DataFrame): DataFrame = {
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id"),
+      Analytics2Ops.fieldCol(df, textField).as("_text"))
+    val out = graft.analytics.Retrieval.tfidf(flat, "_id", "_text", minDf)
+    val keyed = out.withColumn("_k",
+      concat_ws("|", col("doc_id"), col("term")))
+    Cdc.wrap(keyed, "_k", "retrieval.tfidf")
+  }
+}
+
+/** `sketch.cms` — count-min counter table over a payload field
+  * ([[graft.analytics.Sketch.cmsCounters]]: depth × width integer
+  * cells, mergeable by addition): one create record per non-zero
+  * cell, keyed by (row, idx) — the frequency state a pipeline writes
+  * next to its sink for later [[graft.analytics.Sketch.cmsLookup]]
+  * probes. Aggregate output via [[Cdc.wrap]].
+  */
+case class CmsProc(valueField: Ref, depth: Int, width: Int)
+    extends Processor {
+  val plugin = "sketch.cms"
+  override def transform(df: DataFrame): DataFrame = {
+    val counted = df.select(
+        Analytics2Ops.fieldCol(df, valueField).cast("string").as("_item"))
+      .filter(col("_item").isNotNull)
+      .groupBy(col("_item")).agg(count(lit(1)).as("_wt"))
+    val out = graft.analytics.Sketch.cmsCounters(counted, "_item", "_wt",
+      depth, width)
+    val keyed = out.withColumn("_k",
+      concat_ws("|", col("_row"), col("_idx")))
+    Cdc.wrap(keyed, "_k", "sketch.cms")
+  }
+}
+
+/** `sample.weighted` — weighted top-k sampling without replacement
+  * ([[graft.analytics.Sampling.weightedSample]]: exponential sort
+  * keys from the seeded hash, one global LIMIT k): keeps exactly
+  * min(k, n) records, CDC schema untouched. The weight reads a
+  * numeric payload field (floored at 1 like the operator).
+  */
+case class SampleWeightedProc(idField: Ref, weightField: Ref, k: Int,
+                              seed: Long) extends Processor {
+  val plugin = "sample.weighted"
+  override def transform(df: DataFrame): DataFrame = {
+    import graft.analytics.HashFunctions.{fnv1a_hash, splitmix64_hash}
+    import org.apache.spark.sql.functions.{shiftrightunsigned => shru}
+    // the weightedSample key chain inline on the CDC frame (string ids
+    // pre-hash through fnv1a, the SampleFixedProc idiom)
+    val id = fnv1a_hash(Analytics2Ops.fieldCol(df, idField).cast("string"))
+    val w = Analytics2Ops.fieldCol(df, weightField).cast("double")
+    val u = (shru(splitmix64_hash(id + lit(seed)), 11)
+      .cast("double") + lit(0.5)) / lit(9007199254740992.0)
+    df.withColumn("_samp_key",
+        graft.analytics.HashFunctions.java_ln(u) / greatest(w, lit(1.0)))
+      .orderBy(col("_samp_key").desc, id.asc)
+      .limit(k)
+      .drop("_samp_key")
+  }
+}
+
 /** `graph.components` — connected components over an edge stream
   * ([[graft.analytics.Dedup.components]]: count-gated hybrid —
   * driver union-find under the edge cap, distributed min-label

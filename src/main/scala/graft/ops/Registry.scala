@@ -289,7 +289,21 @@ object Registry {
     "link.clusters" -> (s => LinkClustersProc(
       Ref.parse(s("id")), Ref.parse(s("block")), Ref.parse(s("field")),
       s.getOrElse("minSim", "0.9").toDouble,
-      s.getOrElse("maxBlock", "10000").toInt))
+      s.getOrElse("maxBlock", "10000").toInt)),
+    "seq.transitions" -> (s => SeqTransitionsProc(
+      Ref.parse(s("entity")), Ref.parse(s("order")), Ref.parse(s("tie")),
+      Ref.parse(s("state")))),
+    "retrieval.tfidf" -> (s => RetrievalTfidfProc(
+      Ref.parse(s("id")), ref(s, ".Payload.After"),
+      s.getOrElse("minDf", "2").toLong)),
+    "sketch.cms" -> (s => CmsProc(
+      s.get("value").map(Ref.parse).getOrElse(ref(s, ".Payload.After")),
+      s.getOrElse("depth", "4").toInt,
+      s.getOrElse("width", "1024").toInt)),
+    "sample.weighted" -> (s => SampleWeightedProc(
+      Ref.parse(s("id")), Ref.parse(s("weight")),
+      s.getOrElse("k", "1000").toInt,
+      s.getOrElse("seed", "0").toLong))
   )
 
   def create(plugin: String, settings: Map[String, String]): Processor = {

@@ -373,6 +373,84 @@ class Analytics3OpsSpec extends AnyFunSuite {
     assert(ent == Map("1" -> "1", "2" -> "1"), ent.toString)
   }
 
+  test("seq.transitions / retrieval.tfidf / sketch.cms / sample.weighted") {
+    // transitions: a b a b → a>b x2 (p=1), b>a x1 (p=1)
+    val stream = wrap(Seq((1L, 7L, 1L, "a"), (2L, 7L, 2L, "b"),
+      (3L, 7L, 3L, "a"), (4L, 7L, 4L, "b"))
+      .toDF("id", "u", "t", "s"), "id")
+    val tr = payloads(Registry.create("seq.transitions",
+      Map("entity" -> ".Payload.After.u", "order" -> ".Payload.After.t",
+        "tie" -> ".Payload.After.id", "state" -> ".Payload.After.s"))(stream))
+      .map(p => (p.get("prev").asText, p.get("next").asText) ->
+        (p.get("cnt").asLong, p.get("p").asDouble)).toMap
+    assert(tr == Map(("a", "b") -> (2L, 1.0), ("b", "a") -> (1L, 1.0)),
+      tr.toString)
+
+    // tfidf: corpus-common terms weigh zero, rare ones positive
+    val docs = wrap(Seq((1L, "alpha beta"), (2L, "alpha gamma"))
+      .toDF("id", "text"), "id")
+    val tf = payloads(Registry.create("retrieval.tfidf",
+      Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text",
+        "minDf" -> "1"))(docs))
+      .map(p => (p.get("doc_id").asText, p.get("term").asText) ->
+        p.get("weight").asDouble).toMap
+    assert(tf(("1", "alpha")) == 0.0, tf.toString) // df = n → idf 0
+    assert(tf(("1", "beta")) > 0.0, tf.toString)
+
+    // cms: estimates from the wrapped counter table upper-bound truth
+    // and are exact here (width >> distinct items)
+    val items = wrap((1 to 9).map(i =>
+      (i.toLong, if (i <= 6) "hot" else "cold")).toDF("id", "item"), "id")
+    val cells = payloads(Registry.create("sketch.cms",
+      Map("value" -> ".Payload.After.item", "width" -> "1024"))(items))
+      .map(p => (p.get("_row").asLong, p.get("_idx").asLong) ->
+        p.get("_c").asLong).toMap
+    assert(cells.size == 8, cells.toString) // 2 items x depth 4
+    assert(cells.values.toSeq.sorted == Seq(3L, 3L, 3L, 3L, 6L, 6L, 6L, 6L),
+      cells.toString)
+
+    // weighted: exactly k survive, CDC schema intact, heavy ids favored
+    val weighted = wrap((1 to 200).map(i =>
+      (i.toLong, if (i <= 10) 1000.0 else 0.1)).toDF("id", "w"), "id")
+    val out = Registry.create("sample.weighted",
+      Map("id" -> ".Payload.After.id", "weight" -> ".Payload.After.w",
+        "k" -> "10", "seed" -> "5"))(weighted)
+    assert(out.columns.toSeq == Cdc.columns)
+    val kept = payloads(out).map(_.get("id").asLong).toSet
+    assert(kept.size == 10)
+    assert(kept.count(_ <= 10) >= 7,
+      s"heavy-weight rows should dominate the sample: $kept")
+  }
+
+  test("a YAML curation chain runs end to end: normalize -> quality -> pii -> gate -> sample") {
+    // the full config-driven LLM-curation story in one pipeline:
+    // in-place normalization, metadata quality features, in-place PII
+    // redaction, a metadata-driven filter, then temperature sampling
+    val p = Dsl("curation-e2e")
+      .source("gen", "builtin:generator",
+        "format.options.id" -> "int", "format.options.name" -> "string",
+        "format.options.dept" -> "string", "recordCount" -> "300")
+      .processor("norm", "text.normalize", "field" -> ".Payload.After.name")
+      .processor("q", "text.quality", "field" -> ".Payload.After.name")
+      .processor("pii", "text.pii", "field" -> ".Payload.After.name")
+      .processorWhen("gate", "filter",
+        "CAST(.Metadata.quality.n_chars AS LONG) < 1")
+      .processor("samp", "sample.temperature",
+        "stratum" -> ".Payload.After.dept", "id" -> ".Payload.After.id",
+        "temperature" -> "1.5")
+    val cfg = Dsl.fromYaml(Dsl.toYaml(Seq(p))).head
+    val out = graft.model.Cdc.ok(
+      graft.pipeline.Runner.build(spark, cfg, streaming = false))
+    val rows = out.select(col(Cdc.Metadata), col(Cdc.PayloadAfter)).collect()
+    assert(rows.nonEmpty && rows.length <= 300)
+    rows.foreach { r =>
+      val m = r.getMap[String, String](0)
+      assert(m.contains("quality.n_chars") && m.contains("pii.n_emails"), m)
+      val name = JsonOps.parse(r.getString(1)).get("name").asText
+      assert(name == name.toLowerCase, s"not normalized: $name")
+    }
+  }
+
   test("round-14 factories survive the YAML export/import round trip") {
     val procs = Seq(
       ProcessorConfig("q1", "text.quality",
