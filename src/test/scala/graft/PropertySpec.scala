@@ -19,6 +19,21 @@ class PropertySpec extends AnyFunSuite {
   private val seg = Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(8))
   private val path = Gen.nonEmptyListOf(seg).map(_.take(4))
 
+  test("seq-gram escaping is injective: distinct sequences, distinct grams") {
+    // the pure-Scala mirror of frequentNgrams' per-token escaping +
+    // '>' join: if two token sequences render to the same gram string,
+    // they must BE the same sequence (the ADVICE-4 collision fix)
+    def esc(s: String) = s.replace("\\", "\\\\").replace(">", "\\>")
+    def gram(toks: List[String]) = toks.map(esc).mkString(">")
+    val tok = Gen.listOfN(6,
+      Gen.oneOf(Gen.alphaLowerChar, Gen.const('>'), Gen.const('\\')))
+      .map(_.mkString)
+    val seqs = Gen.listOfN(3, tok)
+    check(Prop.forAll(seqs, seqs) { (a, b) =>
+      (gram(a) == gram(b)) == (a == b)
+    })
+  }
+
   test("Ref: payload paths round-trip through parse") {
     check(Prop.forAll(path) { p =>
       val ref = Ref.parse((".Payload.After" +: p).mkString("."))
