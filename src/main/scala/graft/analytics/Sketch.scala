@@ -585,7 +585,14 @@ object Sketch {
     // dynamic allocation) recomputes from storage instead of failing
     // the merge on a vanished non-replicated local block; without one
     // (local mode, the bench path) localCheckpoint keeps the fence
-    // executor-local and cheap.
+    // executor-local and cheap. DEPLOYMENT CONTRACT: Spark never
+    // deletes reliable-checkpoint files on its own, so long-lived
+    // sessions that merge repeatedly with a checkpoint dir set MUST
+    // start the context with
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true (a
+    // static cleaner conf — it cannot be toggled per-job) or point
+    // the dir at storage with a TTL policy; otherwise fenced states
+    // accumulate unboundedly.
     def fence(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(true)

@@ -526,6 +526,8 @@ case class SampleMixtureProc(strataField: Ref, idField: Ref,
     extends Processor {
   require(targets.nonEmpty && targets.forall(_._2 > 0),
     "sample.mixture: targets must be non-empty with positive proportions")
+  require(targets.map(_._1).distinct.size == targets.size,
+    "sample.mixture: duplicate target stratum")
   require(math.abs(targets.map(_._2).sum - 1.0) < 1e-9,
     "sample.mixture: target proportions must sum to 1")
   val plugin = "sample.mixture"

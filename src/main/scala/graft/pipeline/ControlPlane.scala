@@ -216,9 +216,25 @@ class ControlPlane(spark: SparkSession, checkpointRoot: String) {
             val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
             val ps = Pipeline.fromYaml(body)
             val plan = planJson(ps)
-            ps.foreach(register) // creates + updates; running queries
-                                 // pick the new config up on restart
-            respond(ex, 200, plan)
+            // Same invariant as the gRPC facade: a RUNNING pipeline's
+            // config is never swapped under it (status must describe
+            // what's executing). Reject the whole apply if any changed
+            // pipeline is active — stop it first, then re-apply.
+            val activeChanged = ps.filter(p =>
+              isActive(p.id) && configs.get(p.id) != p).map(_.id)
+            if (activeChanged.nonEmpty)
+              respond(ex, 409, s"""{"error":"pipelines running; stop before apply: ${
+                activeChanged.sorted.mkString(", ")}","plan":$plan}""")
+            else {
+              // creates go through register; updates through mutate(),
+              // which rechecks isActive inside the per-id monitor (a
+              // start racing this apply loses cleanly with a 400)
+              ps.foreach { p =>
+                if (configs.get(p.id) == null) register(p)
+                else if (configs.get(p.id) != p) mutate(p.id)(_ => p)
+              }
+              respond(ex, 200, plan)
+            }
           case ("DELETE", id :: Nil) =>
             stopPipeline(id)
             val existed = configs.remove(id) != null

@@ -553,7 +553,12 @@ class GrpcControlPlane(cp: ControlPlane) {
       val deadline = System.currentTimeMillis() + durationMs
       var sent = 0
       while (sent < limit && System.currentTimeMillis() < deadline) {
-        val batch = ins.drainSession(session)
+        val batch = ins.drainSession(session).getOrElse(
+          // idle-expired mid-stream (only possible if this loop stalls
+          // past the inspector's idle timeout) — fail loudly rather
+          // than stream silence off a dead key
+          throw new IllegalStateException(
+            s"inspector session expired: $session"))
         batch.take(limit - sent).foreach { r =>
           observer.onNext(s"""{"record":$r}""")
           sent += 1

@@ -104,13 +104,19 @@ object Metrics {
       sessions.put(key, new Session(capacity))
       key
     }
-    def drainSession(key: String): Seq[String] =
+    /** Drain a session's buffered records. Returns `None` for an
+      * unknown or idle-expired key — distinct from `Some(Nil)` ("no
+      * records yet") so a caller polling slower than `idleTimeoutMs`
+      * sees its tap died and can reopen, instead of polling a dead
+      * key forever. */
+    def drainSession(key: String): Option[Seq[String]] =
       Option(sessions.get(key)).map { s =>
         s.lastDrain.set(System.currentTimeMillis())
         val out = new java.util.ArrayList[String]()
         s.q.drainTo(out)
         scala.jdk.CollectionConverters.ListHasAsScala(out).asScala.toSeq
-      }.getOrElse(Nil)
+      }
+    def sessionExists(key: String): Boolean = sessions.containsKey(key)
     def closeSession(key: String): Unit = sessions.remove(key)
   }
 

@@ -325,6 +325,17 @@ class Analytics3OpsSpec extends AnyFunSuite {
     assert(kept("en") > 50 && kept("en") < 110, kept.toString)
   }
 
+  test("sample.mixture rejects a duplicated target stratum") {
+    // a:0.5,a:0.3,b:0.2 sums to 1 on the raw list but toMap would
+    // silently sample with a=0.3 — must be rejected, not mis-mixed
+    val e = intercept[IllegalArgumentException] {
+      Registry.create("sample.mixture",
+        Map("stratum" -> ".Payload.After.lang", "id" -> ".Payload.After.id",
+          "targets" -> "a:0.5,a:0.3,b:0.2", "seed" -> "3"))
+    }
+    assert(e.getMessage.contains("duplicate target stratum"), e.getMessage)
+  }
+
   test("retrieval.bm25 / dedup.incremental reshape with external state") {
     val docs = wrap(Seq(
       (1L, "spark catalyst optimizer rules"),

@@ -97,6 +97,41 @@ class ControlPlaneSpec extends AnyFunSuite {
     } finally cp.stop()
   }
 
+  test("apply refuses to swap a RUNNING pipeline's config (gRPC parity)") {
+    graft.pipeline.Runner.memorySinks.clear()
+    val ckpt = java.nio.file.Files.createTempDirectory("cp-apply-ckpt").toString
+    val cp = new ControlPlane(spark, ckpt)
+    val port = cp.start(0)
+    val client = HttpClient.newHttpClient()
+    def url(p: String) = URI.create(s"http://127.0.0.1:$port/v1/pipelines$p")
+    def send(p: String, body: String = ""): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(url(p))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      val longYaml = yaml
+        .replace("cp-demo", "cp-apply")
+        .replace("recordCount: \"300\"",
+          "recordCount: \"1000000\"\n          rate: \"1000\"")
+      assert(send("", longYaml).body().contains("cp-apply"))
+      send("/cp-apply/start")
+      // changed config against the running pipeline → 409, config kept
+      val changed = longYaml.replace("rate: \"1000\"", "rate: \"2000\"")
+      val resp = send("/apply", changed)
+      assert(resp.statusCode() == 409, s"${resp.statusCode()} ${resp.body()}")
+      assert(resp.body().contains("cp-apply"), resp.body())
+      assert(cp.config("cp-apply").get.sources.head.settings("rate") == "1000")
+      // identical config against the running pipeline is a no-op 200
+      val same = send("/apply", longYaml)
+      assert(same.statusCode() == 200, s"${same.statusCode()} ${same.body()}")
+      // stopped → the update lands through mutate()
+      send("/cp-apply/stop")
+      val after = send("/apply", changed)
+      assert(after.statusCode() == 200, s"${after.statusCode()} ${after.body()}")
+      assert(cp.config("cp-apply").get.sources.head.settings("rate") == "2000")
+    } finally cp.stop()
+  }
+
   test("repeated supervised start never orphans a supervisor") {
     graft.pipeline.Runner.memorySinks.clear()
     val ckpt = java.nio.file.Files.createTempDirectory("cp-sup-ckpt").toString

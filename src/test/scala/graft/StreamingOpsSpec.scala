@@ -644,4 +644,5 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(sampled.nonEmpty && sampled.size <= 50)
     assert(sampled.head.contains("\"operation\""))
   }
+
 }
