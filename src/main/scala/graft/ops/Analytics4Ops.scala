@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.{Cdc, Ref}
+
+/** Round-15 registry promotions: the training-split and eval-gate
+  * families the round-14 matrix left Scala-only (cross-validation
+  * folds, sequence packing, contrastive negatives, OOV screens,
+  * model-based quality gates, int8 embedding payloads) exposed on the
+  * pipeline/YAML surface with pure `Map[String,String]` settings —
+  * same conventions as [[Analytics3Ops]]: annotators keep the CDC
+  * schema and write metadata keys, reshapes re-enter via [[Cdc.wrap]].
+  */
+object Analytics4Ops
+
+/** `sample.kfold` — deterministic cross-validation fold assignment
+  * written into metadata as `fold` ([[graft.analytics.Sampling.kFold]]
+  * semantics: hash mod k, re-derivable on any executor, any run).
+  * Payload ids of any type pre-hash through fnv1a (the [[KmvProc]]
+  * idiom), so the fold of a STRING id is splitmix64(fnv1a(id) + seed)
+  * mod k — stable, but not numerically identical to the library
+  * operator's numeric-id fold. Row-local, zero shuffle; the per-fold
+  * train/eval gate is a downstream `filter` condition on
+  * `.Metadata.fold`.
+  */
+case class SampleKfoldProc(idField: Ref, k: Int, seed: Long)
+    extends ColumnProcessor {
+  require(k >= 2 && k <= 1000, s"sample.kfold: k=$k")
+  val plugin = "sample.kfold"
+  override def rewrites(df: DataFrame): Map[String, Column] = {
+    import graft.analytics.HashFunctions.{fnv1a_hash, splitmix64_hash}
+    val fold = pmod(splitmix64_hash(
+      fnv1a_hash(Analytics2Ops.fieldCol(df, idField).cast("string")) + lit(seed)),
+      lit(k.toLong))
+    Map(Cdc.Metadata -> RefCols.metaSet(col(Cdc.Metadata), "fold",
+      fold.cast("string")))
+  }
+}
+
+/** `text.classifier` — model-based quality gate
+  * ([[graft.analytics.Text.classifierScore]]'s kernel: a linear
+  * classifier over hashed unigram+bigram features, weights derived
+  * deterministically from the seed) written into metadata as
+  * `classifier.margin` / `classifier.keep` / `classifier.n_features`.
+  * The sigmoid a real classifier would apply is monotone in the
+  * margin, so a `filter` condition on `.Metadata.classifier.keep` (or
+  * a margin threshold) IS the probability gate. Row-local; the struct
+  * result materializes once via `tempColumns` (multi-referenced
+  * non-cheap expressions survive CollapseProject).
+  */
+case class TextClassifierProc(field: Ref, seed: Long)
+    extends ColumnProcessor {
+  val plugin = "text.classifier"
+  override def tempColumns(df: DataFrame): Map[String, Column] = Map(
+    "_cls" -> graft.analytics.HashFunctions.linear_text_score(
+      graft.analytics.Text.wsTokens(
+        lower(trim(Analytics2Ops.fieldCol(df, field)))), seed))
+  override def rewrites(df: DataFrame): Map[String, Column] = {
+    val meta = Seq(
+      "classifier.n_features" -> col("_cls").getField("n_features").cast("string"),
+      "classifier.margin" -> col("_cls").getField("margin").cast("string"),
+      "classifier.keep" -> (col("_cls").getField("margin") > 0).cast("string"))
+      .foldLeft(col(Cdc.Metadata)) {
+        case (m, (k, c)) => RefCols.metaSet(m, k, c)
+      }
+    Map(Cdc.Metadata -> meta)
+  }
+}
+
+/** `text.oov` — out-of-vocabulary screen against a TRAINED vocabulary
+  * ([[graft.analytics.Text.oovRate]]: the train corpus aggregates to a
+  * token-keyed vocab once, the batch side explodes and LEFT-joins it):
+  * one create record per doc with (n_tokens, n_oov, oov_rate).
+  * `trainTable` is a parquet path whose `trainField` column holds the
+  * training texts — the [[DecontaminateProc]] convention for
+  * reference data. The tokenizer-health gate of an eval pipeline:
+  * high OOV against the train vocab means the eval batch is
+  * distribution-shifted or mis-encoded.
+  */
+case class TextOovProc(idField: Ref, textField: Ref, trainTable: String,
+                       trainField: String, minCount: Long)
+    extends Processor {
+  val plugin = "text.oov"
+  override def transform(df: DataFrame): DataFrame = {
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id"),
+      Analytics2Ops.fieldCol(df, textField).as("_text"))
+    val train = df.sparkSession.read.parquet(trainTable)
+      .select(col(trainField).cast("string").as("_text"))
+    val out = graft.analytics.Text.oovRate(train, flat, "_id", "_text", minCount)
+    Cdc.wrap(out, "doc_id", "text.oov")
+  }
+}
+
+/** `sample.pack` — greedy sequence packing into fixed token budgets
+  * ([[graft.analytics.Sampling.packSequences]]: deterministic
+  * interleave rank → stream assignment by pure arithmetic →
+  * per-stream one-pass greedy scan after one hash exchange): one
+  * create record per doc with (pack_id, pack_pos). Payload ids and
+  * token counts must be numeric (the packing key is arithmetic on
+  * them); a 100 TB corpus packs thousands of streams in parallel.
+  */
+case class SamplePackProc(idField: Ref, tokensField: Ref, budget: Long,
+                          streams: Int, seed: Long) extends Processor {
+  require(budget > 0 && streams > 0, "sample.pack: budget and streams must be positive")
+  val plugin = "sample.pack"
+  override def transform(df: DataFrame): DataFrame = {
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).cast("long").as("_id"),
+      Analytics2Ops.fieldCol(df, tokensField).cast("long").as("_tokens"))
+    val out = graft.analytics.Sampling.packSequences(
+      flat, "_id", "_tokens", budget, streams, seed)
+    Cdc.wrap(out, "_id", "sample.pack")
+  }
+}
+
+/** `sample.negatives` — deterministic negative sampling for
+  * contrastive pairs ([[graft.analytics.Sampling.negativeSample]]:
+  * bucket representatives broadcast, the corpus never shuffles — one
+  * row-local explode(×k) + a broadcast join): one create record per
+  * (doc, draw) with (id, draw, neg_id), keyed `id|draw`. Payload ids
+  * must be numeric (the draw re-hash is arithmetic on them). Draws
+  * landing on the row itself drop — callers wanting exactly-k raise
+  * `k` or `bucketBits` (the library operator's documented contract).
+  */
+case class SampleNegativesProc(idField: Ref, k: Int, bucketBits: Int,
+                               seed: Long) extends Processor {
+  val plugin = "sample.negatives"
+  override def transform(df: DataFrame): DataFrame = {
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).cast("long").as("_id"))
+    val out = graft.analytics.Sampling.negativeSample(
+      flat, "_id", k, bucketBits, seed)
+    val keyed = out.withColumn("_kk",
+      concat_ws("|", col("_id"), col("draw")))
+    Cdc.wrap(keyed, "_kk", "sample.negatives")
+  }
+}
+
+/** `sim.quantize` — symmetric int8 embedding quantization
+  * ([[graft.analytics.Similarity.quantizeInt8]]: per-vector scale =
+  * max |x|, row-local one-pass [[graft.analytics.HashFunctions.quantize_int8]]
+  * expression, zero shuffle): one create record per vector with
+  * (vec_id, scale, qvec) — the 4× payload reduction that makes a
+  * 100 TB embedding store ANN-servable downstream
+  * ([[graft.analytics.Similarity.quantizedTopK]] is the search side).
+  */
+case class SimQuantizeProc(idField: Ref, vecField: Ref) extends Processor {
+  val plugin = "sim.quantize"
+  override def transform(df: DataFrame): DataFrame = {
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id"),
+      Analytics3Ops.vecCol(df, vecField).as("_vec"))
+      .filter(col("_vec").isNotNull)
+    val out = graft.analytics.Similarity.quantizeInt8(flat, "_id", "_vec")
+    Cdc.wrap(out, "vec_id", "sim.quantize")
+  }
+}

@@ -303,7 +303,30 @@ object Registry {
     "sample.weighted" -> (s => SampleWeightedProc(
       Ref.parse(s("id")), Ref.parse(s("weight")),
       s.getOrElse("k", "1000").toInt,
-      s.getOrElse("seed", "0").toLong))
+      s.getOrElse("seed", "0").toLong)),
+    "sample.kfold" -> (s => SampleKfoldProc(
+      Ref.parse(s("id")),
+      s.getOrElse("k", "5").toInt,
+      s.getOrElse("seed", "0").toLong)),
+    "text.classifier" -> (s => TextClassifierProc(
+      ref(s, ".Payload.After"),
+      s.getOrElse("seed", "42").toLong)),
+    "text.oov" -> (s => TextOovProc(
+      Ref.parse(s("id")), ref(s, ".Payload.After"),
+      s("trainTable"), s.getOrElse("trainField", "text"),
+      s.getOrElse("minCount", "2").toLong)),
+    "sample.pack" -> (s => SamplePackProc(
+      Ref.parse(s("id")), Ref.parse(s("tokens")),
+      s("budget").toLong,
+      s.getOrElse("streams", "8").toInt,
+      s.getOrElse("seed", "0").toLong)),
+    "sample.negatives" -> (s => SampleNegativesProc(
+      Ref.parse(s("id")),
+      s.getOrElse("k", "2").toInt,
+      s.getOrElse("bucketBits", "6").toInt,
+      s.getOrElse("seed", "7").toLong)),
+    "sim.quantize" -> (s => SimQuantizeProc(
+      Ref.parse(s("id")), Ref.parse(s("vec"))))
   )
 
   def create(plugin: String, settings: Map[String, String]): Processor = {

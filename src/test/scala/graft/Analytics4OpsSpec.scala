@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.JsonOps
+import graft.model.Cdc
+import graft.ops.Registry
+import graft.pipeline.{PipelineConfig, ProcessorConfig, Pipeline => Dsl}
+
+/** The round-15 registry promotions (Analytics4Ops): k-fold
+  * assignment, classifier quality gates, OOV screens, sequence
+  * packing, negative sampling, and int8 quantization — each created
+  * from pure string settings and checked against its Scala operator.
+  */
+class Analytics4OpsSpec extends AnyFunSuite {
+  lazy val spark = Spark.session
+  import spark.implicits._
+
+  private def wrap(df: org.apache.spark.sql.DataFrame, key: String) =
+    Cdc.wrap(df, key, "t")
+
+  private def payloads(df: org.apache.spark.sql.DataFrame) =
+    df.select(col(Cdc.PayloadAfter)).collect()
+      .map(r => JsonOps.parse(r.getString(0)))
+
+  test("sample.kfold annotates a stable fold in [0, k)") {
+    val rows = (1 to 400).map(i => (i.toLong, s"doc $i"))
+    val base = wrap(rows.toDF("id", "text"), "id")
+    def run() = Registry.create("sample.kfold",
+      Map("id" -> ".Payload.After.id", "k" -> "5", "seed" -> "11"))(base)
+      .select(col(Cdc.Key), col(Cdc.Metadata).getItem("fold"))
+      .collect().map(r => r.getString(0) -> r.getString(1).toInt).toMap
+    val folds = run()
+    assert(run() == folds, "fold assignment must be deterministic")
+    assert(folds.values.forall(f => f >= 0 && f < 5), folds.values.max.toString)
+    // hash uniformity: every fold populated, none pathologically fat
+    val sizes = folds.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.size == 5 && sizes.values.forall(s => s > 40 && s < 120),
+      sizes.toMap.toString)
+    // CDC schema untouched — it composes mid-chain
+    assert(Registry.create("sample.kfold",
+      Map("id" -> ".Payload.After.id"))(base).columns.toSeq == Cdc.columns)
+  }
+
+  test("text.classifier matches the classifierScore operator") {
+    val texts = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "zzz qqq xxx"), (3L, ""))
+    val df = texts.toDF("id", "text")
+    val got = Registry.create("text.classifier",
+      Map("field" -> ".Payload.After.text", "seed" -> "42"))(wrap(df, "id"))
+      .select(col(Cdc.Key), col(Cdc.Metadata)).collect()
+      .map(r => r.getString(0) -> r.getMap[String, String](1)).toMap
+    val want = graft.analytics.Text.classifierScore(df, "id", "text", 42L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    texts.foreach { case (id, _) =>
+      val m = got(s"""{"id":$id}""")
+      val w = want(id)
+      assert(m("classifier.n_features") == w.getAs[Long]("n_features").toString,
+        s"id=$id $m")
+      assert(m("classifier.margin") == w.getAs[Double]("margin").toString,
+        s"id=$id $m")
+      assert(m("classifier.keep") == w.getAs[Boolean]("keep").toString,
+        s"id=$id $m")
+    }
+  }
+
+  test("text.oov screens a batch against a trained vocabulary") {
+    val trainDir = java.nio.file.Files.createTempDirectory("oov-train").toString
+    Seq("the cat sat", "the dog ran", "the cat ran")
+      .toDF("text").write.mode("overwrite").parquet(trainDir)
+    val evalRows = Seq((1L, "the cat flew"), (2L, "quantum flux"))
+    val base = wrap(evalRows.toDF("id", "text"), "id")
+    val got = payloads(Registry.create("text.oov",
+      Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text",
+        "trainTable" -> trainDir, "minCount" -> "2"))(base))
+      .map(p => p.get("doc_id").asText ->
+        (p.get("n_tokens").asLong, p.get("n_oov").asLong)).toMap
+    // vocab at minCount=2: {the, cat, ran} — "flew" is OOV; doc 2 all OOV
+    assert(got("1") == ((3L, 1L)), got.toString)
+    assert(got("2") == ((2L, 2L)), got.toString)
+    val want = graft.analytics.Text.oovRate(
+      spark.read.parquet(trainDir), evalRows.toDF("id", "text"),
+      "id", "text", 2)
+      .collect().map(r => r.get(0).toString ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"))).toMap
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("sample.pack / sample.negatives match the sampling operators") {
+    val rows = (1 to 60).map(i => (i.toLong, (i % 7 + 1).toLong))
+    val df = rows.toDF("id", "tokens")
+    val base = wrap(df, "id")
+
+    val packed = payloads(Registry.create("sample.pack",
+      Map("id" -> ".Payload.After.id", "tokens" -> ".Payload.After.tokens",
+        "budget" -> "16", "streams" -> "4", "seed" -> "3"))(base))
+      .map(p => p.get("_id").asLong ->
+        (p.get("pack_id").asLong, p.get("pack_pos").asInt)).toMap
+    val wantPack = graft.analytics.Sampling.packSequences(
+        df.select(col("id").as("_id"), col("tokens").as("_tokens")),
+        "_id", "_tokens", 16L, 4, 3L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(packed == wantPack)
+    assert(packed.size == 60, "every doc lands in exactly one pack slot")
+
+    val negs = payloads(Registry.create("sample.negatives",
+      Map("id" -> ".Payload.After.id", "k" -> "3", "bucketBits" -> "4",
+        "seed" -> "7"))(base))
+      .map(p => (p.get("_id").asLong, p.get("draw").asLong,
+        p.get("neg_id").asLong)).toSet
+    val wantNeg = graft.analytics.Sampling.negativeSample(
+        df.select(col("id").as("_id")), "_id", 3, 4, 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(negs == wantNeg)
+    assert(negs.nonEmpty && negs.forall { case (id, _, neg) => id != neg })
+  }
+
+  test("sim.quantize emits (vec_id, scale, qvec) matching the operator") {
+    val vecs = Seq((1L, Seq(0.5, -1.0, 0.25)), (2L, Seq(0.0, 0.0, 0.0)))
+    val base = wrap(vecs.toDF("id", "vec"), "id")
+    val got = payloads(Registry.create("sim.quantize",
+      Map("id" -> ".Payload.After.id", "vec" -> ".Payload.After.vec"))(base))
+      .map(p => p.get("vec_id").asText ->
+        (p.get("scale").asDouble,
+          (0 until p.get("qvec").size).map(p.get("qvec").get(_).asLong)))
+      .toMap
+    val want = graft.analytics.Similarity.quantizeInt8(
+        vecs.toDF("id", "vec"), "id", "vec")
+      .collect().map(r => r.get(0).toString ->
+        (r.getDouble(1), r.getSeq[Long](2))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (s, q)) =>
+      assert(s == want(k)._1 && q == want(k)._2, s"$k: $s $q vs ${want(k)}")
+    }
+    // max |x| = 1.0 → q = round(x * 127): (64, -127, 32)
+    assert(got("1")._2 == Seq(64L, -127L, 32L), got("1").toString)
+  }
+
+  test("round-15 plugins round-trip through pipeline YAML") {
+    val procs = Seq(
+      ProcessorConfig("p1", "sample.kfold",
+        Map("id" -> ".Payload.After.id", "k" -> "10", "seed" -> "1"), None),
+      ProcessorConfig("p2", "text.classifier",
+        Map("field" -> ".Payload.After.text", "seed" -> "42"), None),
+      ProcessorConfig("p3", "text.oov",
+        Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text",
+          "trainTable" -> "/tmp/train"), None),
+      ProcessorConfig("p4", "sample.pack",
+        Map("id" -> ".Payload.After.id", "tokens" -> ".Payload.After.n",
+          "budget" -> "512"), None),
+      ProcessorConfig("p5", "sample.negatives",
+        Map("id" -> ".Payload.After.id", "k" -> "4"), None),
+      ProcessorConfig("p6", "sim.quantize",
+        Map("id" -> ".Payload.After.id", "vec" -> ".Payload.After.vec"), None))
+    val cfg = PipelineConfig("r15", "round-15 families", processors = procs)
+    val back = Dsl.fromYaml(Dsl.toYaml(Seq(cfg)))
+    assert(back == Seq(cfg))
+    back.head.processors.foreach { p =>
+      assert(Registry.create(p.plugin, p.settings) != null, p.plugin)
+    }
+  }
+
+  test("a YAML pipeline drives fold-gated training split end to end") {
+    // generator → sample.kfold → filter on the fold it wrote: the
+    // cross-validation train/eval split as pure config
+    val p = Dsl("kfold-e2e")
+      .source("gen", "builtin:generator",
+        "format.options.id" -> "int", "recordCount" -> "300")
+      .processor("folds", "sample.kfold",
+        "id" -> ".Payload.After.id", "k" -> "3", "seed" -> "5")
+      // drop fold 0 (the eval slice) — reference filter semantics
+      // drop records MATCHING the condition
+      .processorWhen("gate", "filter",
+        "CAST(.Metadata.fold AS LONG) = 0")
+    val cfg = Dsl.fromYaml(Dsl.toYaml(Seq(p))).head
+    val out = graft.model.Cdc.ok(
+      graft.pipeline.Runner.build(spark, cfg, streaming = false))
+    val metas = out.select(col(Cdc.Metadata)).collect()
+      .map(_.getMap[String, String](0))
+    assert(metas.nonEmpty && metas.length < 300)
+    assert(metas.forall(m => m.get("fold").exists(f => f == "1" || f == "2")),
+      metas.take(3).mkString(","))
+  }
+}
