@@ -307,6 +307,31 @@ object Analytics {
     "text_quality" -> ((s, dir) =>
       Text.qualityScore(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Streaming token-count twin (rowLocalSink): whitespace + BPE-ish
+    // regex counts read only the row — batch-decomposable by
+    // construction. Oracle = text_tokens' verbatim.
+    "text_tokens_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val out = java.nio.file.Files
+        .createTempDirectory("tokens_stream").toString
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamingOps.rowLocalSink(out)(
+          b => Text.tokenCounts(b, "doc_id", "text")))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$out/b*")
+    }),
+
     // Streaming quality-scoring twin: row-local features are
     // batch-decomposable by construction — the appended union over a
     // two-batch split must equal the one-shot batch run. Oracle = the
@@ -335,6 +360,32 @@ object Analytics {
 
     "text_langid" -> ((s, dir) =>
       Text.langId(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Streaming language-ID twin (rowLocalSink): the bigram-profile
+    // score reads only the row, so the appended union over a
+    // two-batch split equals the one-shot batch run. Oracle =
+    // text_langid's replicated bigram-overlap SQL verbatim.
+    "text_langid_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val out = java.nio.file.Files
+        .createTempDirectory("langid_stream").toString
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamingOps.rowLocalSink(out)(
+          b => Text.langId(b, "doc_id", "text")))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$out/b*")
+    }),
 
     "text_fingerprint" -> ((s, dir) =>
       Text.fingerprint(t(s, dir, "documents"), "doc_id", "text")),
@@ -3054,5 +3105,7 @@ object Analytics {
     "text_quality_stream" -> oraclesBase("text_quality"),
     "sample_hash_stream" -> oraclesBase("sample_hash"),
     "text_pii_stream" -> oraclesBase("text_pii"),
-    "text_fingerprint_stream" -> oraclesBase("text_fingerprint"))
+    "text_fingerprint_stream" -> oraclesBase("text_fingerprint"),
+    "text_langid_stream" -> oraclesBase("text_langid"),
+    "text_tokens_stream" -> oraclesBase("text_tokens"))
 }
