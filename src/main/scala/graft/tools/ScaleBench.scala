@@ -109,10 +109,14 @@ object ScaleBench {
       // round-14: one keyed sort + map-side-combined gram count
       "seq_ngrams")
 
-    // SCALE_ONLY=name1,name2 restricts the probe (local iteration)
+    // SCALE_ONLY=name1,name2 restricts the probe — and may name ANY
+    // gate query (the 100x spot-checks probe heavy rows like
+    // graph_pagerank that the default linear-work list omits)
     val only = sys.env.get("SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only.map(o => names.filter(o)).getOrElse(names)
+    val selected = only
+      .map(o => graft.SparkEntry.queries.keys.toSeq.filter(o).sorted)
+      .getOrElse(names)
 
     def run(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
