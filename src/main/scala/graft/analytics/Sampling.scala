@@ -126,18 +126,25 @@ object Sampling {
     */
   def groupSplit(df: DataFrame, groupCol: String,
                  fractions: Seq[(String, Double)],
-                 seed: Long = 0L): DataFrame = {
+                 seed: Long = 0L): DataFrame =
+    df.withColumn("split", splitColumn(col(groupCol), fractions, seed))
+
+  /** The row-local split expression [[groupSplit]] wraps — exposed so
+    * the config-surface annotator (`sample.split`) can write the same
+    * assignment into CDC metadata without reshaping the frame. */
+  def splitColumn(group: Column, fractions: Seq[(String, Double)],
+                  seed: Long = 0L): Column = {
     require(fractions.nonEmpty, "need at least one split")
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       "fractions must sum to 1")
     val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
     val cuts = cum.map(f => math.round(f * Buckets))
-    val b = bucketOf(col(groupCol), seed)
+    val b = bucketOf(group, seed)
     val first = when(b < lit(cuts.head), lit(fractions.head._1))
     val chain = fractions.tail.zip(cuts.tail).foldLeft(first) {
       case (acc, ((name, _), cut)) => acc.when(b < lit(cut), lit(name))
     }
-    df.withColumn("split", chain.otherwise(lit(fractions.last._1)))
+    chain.otherwise(lit(fractions.last._1))
   }
 
   /** Weighted sampling without replacement (Efraimidis–Spirakis 2006,

@@ -139,6 +139,98 @@ case class SampleNegativesProc(idField: Ref, k: Int, bucketBits: Int,
   }
 }
 
+/** `sample.split` — leakage-free train/val/test assignment written
+  * into metadata as `split` ([[graft.analytics.Sampling.splitColumn]]:
+  * every row of a GROUP lands in the same split, decided by a
+  * deterministic hash of the group key against cumulative 1/4096
+  * cuts). Group keys of any type pre-hash through fnv1a (the
+  * [[SampleKfoldProc]] idiom). Row-local, zero shuffle; the split
+  * gate is a downstream `filter` condition on `.Metadata.split` —
+  * THE split a training pipeline must use when rows of one group are
+  * correlated (i.i.d. row splits leak group signal into eval).
+  */
+case class SampleSplitProc(groupField: Ref,
+                           fractions: Seq[(String, Double)], seed: Long)
+    extends ColumnProcessor {
+  require(fractions.map(_._1).distinct.size == fractions.size,
+    "sample.split: duplicate split name")
+  val plugin = "sample.split"
+  override def rewrites(df: DataFrame): Map[String, Column] = {
+    import graft.analytics.HashFunctions.fnv1a_hash
+    val split = graft.analytics.Sampling.splitColumn(
+      fnv1a_hash(Analytics2Ops.fieldCol(df, groupField).cast("string")),
+      fractions, seed)
+    Map(Cdc.Metadata -> RefCols.metaSet(col(Cdc.Metadata), "split", split))
+  }
+}
+
+/** `sample.interleave` — deterministic corpus shuffle
+  * ([[graft.analytics.Sampling.interleave]]: global rank by
+  * (splitmix64(id+seed), id) via range partition + zipWithIndex — the
+  * training-order shuffle that is identical on any cluster layout):
+  * one create record per doc with (id, shuffle_rank). Payload ids
+  * must be numeric (the rank hash is arithmetic on them).
+  */
+case class SampleInterleaveProc(idField: Ref, seed: Long) extends Processor {
+  val plugin = "sample.interleave"
+  override def transform(df: DataFrame): DataFrame = {
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).cast("long").as("_id"))
+    val out = graft.analytics.Sampling.interleave(flat, "_id", seed)
+    Cdc.wrap(out, "_id", "sample.interleave")
+  }
+}
+
+/** `text.dsir` — DSIR importance weights against a TARGET domain
+  * corpus ([[graft.analytics.Text.dsirWeights]], Xie et al. 2023:
+  * log ratio of hashed bag-of-unigrams models fit on target vs the
+  * batch, one tokenize pass, `buckets`-row broadcast histograms): one
+  * create record per doc with (n_tokens, log_weight). `targetTable`
+  * is a parquet path whose `targetField` column holds the domain
+  * texts — the [[DecontaminateProc]] convention. Keep the top
+  * fraction by weight downstream (or feed
+  * [[graft.analytics.Text.dsirSelect]]) to shift the corpus toward
+  * the target domain.
+  */
+case class TextDsirProc(idField: Ref, textField: Ref, targetTable: String,
+                        targetField: String, buckets: Int)
+    extends Processor {
+  val plugin = "text.dsir"
+  override def transform(df: DataFrame): DataFrame = {
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id"),
+      Analytics2Ops.fieldCol(df, textField).as("_text"))
+    val target = df.sparkSession.read.parquet(targetTable)
+      .select(lit(0L).as("_id"), col(targetField).cast("string").as("_text"))
+    val out = graft.analytics.Text.dsirWeights(flat, target, "_id", "_text",
+      buckets)
+    Cdc.wrap(out, "doc_id", "text.dsir")
+  }
+}
+
+/** `sim.cluster` — spherical k-means topic assignment with
+  * deterministic seeding ([[graft.analytics.Similarity.clusterAssign]]:
+  * k lowest-id vectors seed the centroids, assignment is the
+  * row-local nearest-centroid expression — one corpus scan, zero
+  * shuffles): one create record per vector with
+  * (vec_id, cluster, cos_sim) — the topic-bucketing step of an
+  * embedding curation pipeline, and the partitioner SemDeDup builds
+  * on.
+  */
+case class SimClusterProc(idField: Ref, vecField: Ref, k: Int)
+    extends Processor {
+  require(k >= 1, s"sim.cluster: k=$k")
+  val plugin = "sim.cluster"
+  override def transform(df: DataFrame): DataFrame = {
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id"),
+      Analytics3Ops.vecCol(df, vecField).as("_vec"))
+      .filter(col("_vec").isNotNull)
+    val out = graft.analytics.Similarity.clusterAssign(flat, "_id", "_vec", k)
+    Cdc.wrap(out, "vec_id", "sim.cluster")
+  }
+}
+
 /** `sim.quantize` — symmetric int8 embedding quantization
   * ([[graft.analytics.Similarity.quantizeInt8]]: per-vector scale =
   * max |x|, row-local one-pass [[graft.analytics.HashFunctions.quantize_int8]]

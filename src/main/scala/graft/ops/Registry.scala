@@ -326,7 +326,25 @@ object Registry {
       s.getOrElse("bucketBits", "6").toInt,
       s.getOrElse("seed", "7").toLong)),
     "sim.quantize" -> (s => SimQuantizeProc(
-      Ref.parse(s("id")), Ref.parse(s("vec"))))
+      Ref.parse(s("id")), Ref.parse(s("vec")))),
+    "sample.split" -> (s => SampleSplitProc(
+      Ref.parse(s("group")),
+      s("fractions").split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { spec =>
+        val i = spec.lastIndexOf(':')
+        require(i > 0, s"sample.split: fraction spec must be name:f, got $spec")
+        (spec.substring(0, i), spec.substring(i + 1).toDouble)
+      },
+      s.getOrElse("seed", "0").toLong)),
+    "sample.interleave" -> (s => SampleInterleaveProc(
+      Ref.parse(s("id")),
+      s.getOrElse("seed", "0").toLong)),
+    "text.dsir" -> (s => TextDsirProc(
+      Ref.parse(s("id")), ref(s, ".Payload.After"),
+      s("targetTable"), s.getOrElse("targetField", "text"),
+      s.getOrElse("buckets", "4096").toInt)),
+    "sim.cluster" -> (s => SimClusterProc(
+      Ref.parse(s("id")), Ref.parse(s("vec")),
+      s.getOrElse("k", "8").toInt))
   )
 
   def create(plugin: String, settings: Map[String, String]): Processor = {

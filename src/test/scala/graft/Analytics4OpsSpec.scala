@@ -137,6 +137,82 @@ class Analytics4OpsSpec extends AnyFunSuite {
     assert(got("1")._2 == Seq(64L, -127L, 32L), got("1").toString)
   }
 
+  test("sample.split assigns whole groups and rejects duplicate names") {
+    val rows = (1 to 300).map(i => (i.toLong, s"domain${i % 20}"))
+    val base = wrap(rows.toDF("id", "grp"), "id")
+    val got = Registry.create("sample.split",
+      Map("group" -> ".Payload.After.grp",
+        "fractions" -> "train:0.8,val:0.1,test:0.1", "seed" -> "4"))(base)
+      .select(col(Cdc.PayloadAfter), col(Cdc.Metadata).getItem("split"))
+      .collect()
+      .map(r => JsonOps.parse(r.getString(0)).get("grp").asText -> r.getString(1))
+    // leakage-free: every row of a group lands in the SAME split
+    val byGroup = got.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    assert(byGroup.values.forall(_.size == 1), byGroup.toString)
+    val splits = got.map(_._2).distinct.sorted
+    assert(splits.forall(Set("train", "val", "test")), splits.mkString(","))
+    assert(got.count(_._2 == "train") > got.length / 2, "train is the fat slice")
+    intercept[IllegalArgumentException] {
+      Registry.create("sample.split",
+        Map("group" -> ".Payload.After.grp",
+          "fractions" -> "train:0.5,train:0.5"))
+    }
+  }
+
+  test("sample.interleave matches the interleave operator") {
+    val rows = (1 to 100).map(i => (i.toLong, s"d$i"))
+    val base = wrap(rows.toDF("id", "text"), "id")
+    val got = payloads(Registry.create("sample.interleave",
+      Map("id" -> ".Payload.After.id", "seed" -> "9"))(base))
+      .map(p => p.get("_id").asLong -> p.get("shuffle_rank").asLong).toMap
+    val want = graft.analytics.Sampling.interleave(
+        rows.toDF("id", "text").select(col("id").as("_id")), "_id", 9L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.values.toSeq.sorted == (0L until 100L), "ranks are a permutation")
+  }
+
+  test("text.dsir weights a batch toward a target parquet domain") {
+    val targetDir = java.nio.file.Files.createTempDirectory("dsir-tgt").toString
+    Seq("spark catalyst optimizer", "spark shuffle exchange",
+      "spark codegen stage")
+      .toDF("text").write.mode("overwrite").parquet(targetDir)
+    val batch = Seq((1L, "spark catalyst shuffle"), (2L, "cooking pasta sauce"))
+    val base = wrap(batch.toDF("id", "text"), "id")
+    val got = payloads(Registry.create("text.dsir",
+      Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text",
+        "targetTable" -> targetDir, "buckets" -> "4096"))(base))
+      .map(p => p.get("doc_id").asText ->
+        (p.get("n_tokens").asLong, p.get("log_weight").asDouble)).toMap
+    // the on-domain doc outweighs the off-domain one
+    assert(got("1")._2 > got("2")._2, got.toString)
+    val want = graft.analytics.Text.dsirWeights(
+        batch.toDF("id", "text"), spark.read.parquet(targetDir)
+          .select(lit(0L).as("id"), col("text")), "id", "text", 4096)
+      .collect().map(r => r.get(0).toString ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("log_weight"))).toMap
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("sim.cluster assigns vectors to seeded spherical centroids") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(0.9, 0.1)), (4L, Seq(0.1, 0.9)))
+    val base = wrap(vecs.toDF("id", "vec"), "id")
+    val got = payloads(Registry.create("sim.cluster",
+      Map("id" -> ".Payload.After.id", "vec" -> ".Payload.After.vec",
+        "k" -> "2"))(base))
+      .map(p => p.get("vec_id").asText -> p.get("cluster").asInt).toMap
+    // seeds = two lowest ids: 1 → cluster 0's axis, 2 → cluster 1's;
+    // 3 joins 1, 4 joins 2
+    assert(got("3") == got("1") && got("4") == got("2") &&
+      got("1") != got("2"), got.toString)
+    val want = graft.analytics.Similarity.clusterAssign(
+        vecs.toDF("id", "vec"), "id", "vec", 2)
+      .collect().map(r => r.get(0).toString -> r.getInt(1)).toMap
+    assert(got == want, s"$got vs $want")
+  }
+
   test("round-15 plugins round-trip through pipeline YAML") {
     val procs = Seq(
       ProcessorConfig("p1", "sample.kfold",
@@ -152,7 +228,18 @@ class Analytics4OpsSpec extends AnyFunSuite {
       ProcessorConfig("p5", "sample.negatives",
         Map("id" -> ".Payload.After.id", "k" -> "4"), None),
       ProcessorConfig("p6", "sim.quantize",
-        Map("id" -> ".Payload.After.id", "vec" -> ".Payload.After.vec"), None))
+        Map("id" -> ".Payload.After.id", "vec" -> ".Payload.After.vec"), None),
+      ProcessorConfig("p7", "sample.split",
+        Map("group" -> ".Payload.After.domain",
+          "fractions" -> "train:0.9,eval:0.1"), None),
+      ProcessorConfig("p8", "sample.interleave",
+        Map("id" -> ".Payload.After.id", "seed" -> "2"), None),
+      ProcessorConfig("p9", "text.dsir",
+        Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text",
+          "targetTable" -> "/tmp/target"), None),
+      ProcessorConfig("p10", "sim.cluster",
+        Map("id" -> ".Payload.After.id", "vec" -> ".Payload.After.vec",
+          "k" -> "16"), None))
     val cfg = PipelineConfig("r15", "round-15 families", processors = procs)
     val back = Dsl.fromYaml(Dsl.toYaml(Seq(cfg)))
     assert(back == Seq(cfg))
