@@ -951,6 +951,31 @@ object Dedup {
         col("_best._s").as("canonical_size"))
   }
 
+  /** Duplicate-aware soft weights: instead of DROPPING near-dups,
+    * weight every document by the inverse of its near-dup cluster
+    * size — each cluster's total influence on a downstream training
+    * mixture equals one document, but no variant is discarded (the
+    * "soft dedup" curation policy: hard dedup loses the natural
+    * frequency signal, raw counts over-weight boilerplate; 1/|C|
+    * keeps both honest). Output: (doc_id, cluster_id, cluster_size,
+    * weight = 1/cluster_size), weight a single IEEE division of an
+    * exact integer so any two engines agree bit-for-bit.
+    *
+    * Scale shape: one cluster-size aggregate over [[clusters]]'
+    * labels and one join back on cluster_id — both sides already key
+    * on the label, so past the component computation this adds one
+    * shuffle of (label, count) pairs.
+    */
+  def softWeights(df: DataFrame, idCol: String, textCol: String,
+                  maxHamming: Int = 3): DataFrame = {
+    val cl = clusters(df, idCol, textCol, maxHamming)
+    val sizes = cl.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    cl.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (lit(1.0) / col("cluster_size").cast("double")).as("weight"))
+  }
+
   /** EXACT containment self-join (asymmetric overlap): all ordered
     * pairs with |tok(A) ∩ tok(B)| / |tok(A)| ≥ threshold — quote,
     * excerpt, and subset detection, where Jaccard fails by

@@ -465,6 +465,61 @@ object Sketch {
           .as("estimate")): _*)
   }
 
+  /** Pairwise set-operation estimates from one grouped KMV state
+    * (Beyer et al. SIGMOD 2007 §4 — the set algebra HLL registers
+    * cannot do): for every unordered group pair, the k smallest
+    * hashes of the two states' union form the union sketch X, and
+    * membership of each x ∈ X in either INPUT state is exact — the
+    * union's k-th minimum is ≤ either state's θ, so any true member
+    * of a set below its state's θ is IN that state. K∩ = |{x ∈ X :
+    * x ∈ A ∧ x ∈ B}| is then the textbook intersection counter:
+    * union by the same k-th-min estimator as [[kmvEstimate]] (exact
+    * below k), jaccard = K∩ / |X|, intersection = jaccard · union.
+    * This is the cross-corpus overlap primitive of a curation
+    * pipeline: "how much of corpus B is already in corpus A" from
+    * two k·8-byte states, no rescan.
+    *
+    * Scale shape: inputs are STATES (≤ k rows per group), never raw
+    * data — the pair expansion broadcasts the group LIST over ≤ k·G
+    * state rows (nested-loop on purpose: G is the number of corpora,
+    * not a data-sized relation), then one groupBy and one bounded
+    * window (partial top-k under the rank filter). Cross-corpus
+    * overlap at 100 TB costs what the kmvState scans cost; this step
+    * is driver-free and constant-size.
+    */
+  def kmvSetOps(state: DataFrame, groupCol: String,
+                k: Int = 256): DataFrame = {
+    val st = state.select(col(groupCol).as("g"), col("_h"))
+    val gs = st.select(col("g")).distinct()
+    val lhs = st
+      .join(broadcast(gs.select(col("g").as("g2"))), col("g") < col("g2"))
+      .select(col("g").as("type_a"), col("g2").as("type_b"), col("_h"),
+        lit(1L).as("_ia"), lit(0L).as("_ib"))
+    val rhs = st
+      .join(broadcast(gs.select(col("g").as("g1"))), col("g1") < col("g"))
+      .select(col("g1").as("type_a"), col("g").as("type_b"), col("_h"),
+        lit(0L).as("_ia"), lit(1L).as("_ib"))
+    val merged = lhs.unionByName(rhs)
+      .groupBy(col("type_a"), col("type_b"), col("_h"))
+      .agg(max(col("_ia")).as("_ia"), max(col("_ib")).as("_ib"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("type_a"), col("type_b")).orderBy(col("_h"))
+    val x = merged.withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= k)
+    val agged = x.groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("_nu"), max(col("_h")).as("_theta"),
+        sum(col("_ia") * col("_ib")).as("n_common"))
+    // exact-below-k union, then jaccard·union — the same operation
+    // order the oracle replays (one division, one multiplication)
+    val uni = when(col("_nu") < k, col("_nu").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(9223372036854775807.0) /
+        col("_theta").cast("double"))
+    val jac = col("n_common").cast("double") / col("_nu").cast("double")
+    agged.select(col("type_a"), col("type_b"), col("n_common"),
+      uni.as("union_est"), (jac * uni).as("inter_est"),
+      jac.as("jaccard_est"))
+  }
+
   // ==================== KLL-style quantile sketch ====================
   //
   // Mergeable quantile sketch in KLL's level structure (Karnin-Lang-

@@ -755,6 +755,24 @@ object Text {
       idCol: String,
       textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
+    val (seqs, cached) = bpeRewrite(df, idCol, textCol, merges)
+    val out = seqs
+      .select(explode(col("_toks")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    bpeSpill(df, out, cached)
+  }
+
+  /** The per-merge rewrite loop shared by [[bpeApply]] (vocab counts)
+    * and [[bpeSegment]] (per-document token sequences): returns the
+    * rewritten (_id, _toks) frame plus the per-round persist fences
+    * the caller must release after materializing its result. */
+  private def bpeRewrite(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)])
+      : (DataFrame, Seq[DataFrame]) = {
     require(merges.nonEmpty && merges.size <= 64, s"merges=${merges.size}")
     var seqs = df.select(col(idCol).as("_id"),
       wsTokens(lower(trim(col(textCol)))).as("_toks"))
@@ -776,28 +794,51 @@ object Text {
       seqs = seqs.select(col("_id"), rewritten.as("_toks")).persist(storage)
       cached += seqs
     }
-    val out = seqs
-      .select(explode(col("_toks")).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    // eager like pageRank/components — but the vocab STAYS
-    // DISTRIBUTED: an open-vocabulary token table over a 100 TB
-    // corpus is tens of millions of rows, so collecting it to the
-    // driver (the pre-round-9 shape) is an OOM + single-partition
-    // bottleneck. Parquet-spill (pageRank's eager-tail pattern, with
-    // the same dir resolution: session checkpoint dir on clusters,
-    // local temp only in local mode) materializes the table so the
-    // per-round fences can be released without leaking a persisted
-    // frame into the caller's session.
+    (seqs, cached.toSeq)
+  }
+
+  /** Per-document BPE segmentation — the ENCODE side as a per-record
+    * operator: each document's token sequence after the ordered merge
+    * list, returned as (doc_id, n_tokens, tokens) with tokens joined
+    * on U+001F (merged symbols keep their space-joined spelling, so
+    * the separator cannot be a space). The pipeline-stage sibling of
+    * [[bpeApply]]'s corpus vocabulary: row-local per merge, no
+    * shuffle at all — the tokenizer pass of a 100 TB pretraining
+    * pipeline.
+    */
+  def bpeSegment(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val (seqs, cached) = bpeRewrite(df, idCol, textCol, merges)
+    val kept = filter(col("_toks"), t => t =!= "")
+    val out = seqs.select(col("_id").as("doc_id"),
+      size(kept).cast("long").as("n_tokens"),
+      array_join(kept, "\u001f").as("tokens"))
+    bpeSpill(df, out, cached)
+  }
+
+  /** Eager parquet-spill tail shared by the BPE entry points — like
+    * pageRank/components, but the result STAYS DISTRIBUTED: an
+    * open-vocabulary token table (or per-doc segmentation) over a
+    * 100 TB corpus is far too large for the driver. Parquet-spill
+    * (session checkpoint dir on clusters, local temp only in local
+    * mode) materializes the result so the per-round persist fences
+    * can be released without leaking a persisted frame into the
+    * caller's session.
+    */
+  private def bpeSpill(df: DataFrame, out: DataFrame,
+                       cached: Seq[DataFrame]): DataFrame = {
     val spark = df.sparkSession
     val sc = spark.sparkContext
     val dir = sc.getCheckpointDir.getOrElse {
       require(sc.isLocal,
-        "bpeApply on a cluster needs a shared-filesystem spill dir: " +
-          "set SparkContext.setCheckpointDir")
+        "bpeApply/bpeSegment on a cluster needs a shared-filesystem " +
+          "spill dir: set SparkContext.setCheckpointDir")
       java.nio.file.Files.createTempDirectory("graft-bpe").toString
     }
-    val path = dir + "/bpe-vocab-" + java.util.UUID.randomUUID().toString
+    val path = dir + "/bpe-out-" + java.util.UUID.randomUUID().toString
     out.write.mode("overwrite").parquet(path)
     cached.foreach(_.unpersist(false))
     spark.read.parquet(path)

@@ -250,3 +250,67 @@ case class SimQuantizeProc(idField: Ref, vecField: Ref) extends Processor {
     Cdc.wrap(out, "vec_id", "sim.quantize")
   }
 }
+
+/** `dedup.url` — RFC 3986 syntax-based URL canonicalization
+  * ([[graft.analytics.Urls.canonicalize]]: fragment/userinfo/default
+  * port dropped, host lowercased, tracking params stripped, query
+  * sorted) written into metadata as `url.canonical`. Row-local
+  * built-in string expressions — streamable and zero-shuffle; feed
+  * the key into `dedup.exact` / `dedup.incremental` downstream for
+  * the crawl-store first-pass dedup.
+  */
+case class DedupUrlProc(field: Ref) extends ColumnProcessor {
+  val plugin = "dedup.url"
+  override def rewrites(df: DataFrame): Map[String, Column] = Map(
+    Cdc.Metadata -> RefCols.metaSet(col(Cdc.Metadata), "url.canonical",
+      graft.analytics.Urls.canonicalize(
+        Analytics2Ops.fieldCol(df, field).cast("string"))))
+}
+
+/** `dedup.softweight` — duplicate-aware 1/cluster_size training
+  * weights ([[graft.analytics.Dedup.softWeights]]: SimHash near-dup
+  * components, then one size aggregate + label join — no document
+  * dropped, each cluster's total mixture influence equals one
+  * document): one create record per doc with (cluster_id,
+  * cluster_size, weight), keyed by the doc id. The "soft dedup"
+  * alternative to `dedup.clusters`' keep/drop verdicts.
+  */
+case class DedupSoftweightProc(idField: Ref, textField: Ref,
+                               maxHamming: Int) extends Processor {
+  require(maxHamming >= 0 && maxHamming <= 16,
+    s"dedup.softweight: maxHamming=$maxHamming")
+  val plugin = "dedup.softweight"
+  override def transform(df: DataFrame): DataFrame = {
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id"),
+      Analytics2Ops.fieldCol(df, textField).cast("string").as("_text"))
+    val out = graft.analytics.Dedup.softWeights(flat, "_id", "_text",
+      maxHamming)
+    Cdc.wrap(out, "doc_id", "dedup.softweight")
+  }
+}
+
+/** `text.bpe` — per-record BPE segmentation with a TRAINED merge list
+  * ([[graft.analytics.Text.bpeSegment]]): `mergesTable` is a parquet
+  * path with [[graft.analytics.Text.bpeTrain]]'s (round, sym_a,
+  * sym_b) schema — train once on a sample, apply everywhere. The
+  * merge list is config-sized (≤64 rows, collected once at plan
+  * time); the apply pass is row-local per merge, so the tokenizer
+  * stage of a 100 TB pretraining pipeline costs the scan. One create
+  * record per doc with (doc_id, n_tokens, tokens) — tokens joined on
+  * U+001F (merged symbols keep their space-joined spelling).
+  */
+case class TextBpeProc(idField: Ref, textField: Ref, mergesTable: String)
+    extends Processor {
+  val plugin = "text.bpe"
+  override def transform(df: DataFrame): DataFrame = {
+    val merges = df.sparkSession.read.parquet(mergesTable)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"))).toSeq
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id"),
+      Analytics2Ops.fieldCol(df, textField).cast("string").as("_text"))
+    val out = graft.analytics.Text.bpeSegment(flat, "_id", "_text", merges)
+    Cdc.wrap(out, "doc_id", "text.bpe")
+  }
+}

@@ -344,7 +344,13 @@ object Registry {
       s.getOrElse("buckets", "4096").toInt)),
     "sim.cluster" -> (s => SimClusterProc(
       Ref.parse(s("id")), Ref.parse(s("vec")),
-      s.getOrElse("k", "8").toInt))
+      s.getOrElse("k", "8").toInt)),
+    "dedup.url" -> (s => DedupUrlProc(ref(s, ".Payload.After"))),
+    "text.bpe" -> (s => TextBpeProc(
+      Ref.parse(s("id")), ref(s, ".Payload.After"), s("mergesTable"))),
+    "dedup.softweight" -> (s => DedupSoftweightProc(
+      Ref.parse(s("id")), ref(s, ".Payload.After"),
+      s.getOrElse("maxHamming", "3").toInt))
   )
 
   def create(plugin: String, settings: Map[String, String]): Processor = {

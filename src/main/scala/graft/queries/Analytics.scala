@@ -123,6 +123,19 @@ object Analytics {
       Text.bpeApply(docs, "doc_id", "text", merges)
     }),
 
+    // Per-doc BPE segmentation: the same 3 trained merges applied as
+    // a per-record TOKENIZER — (doc_id, n_tokens, U+001F-joined
+    // tokens). Strictly stronger than the vocab-count row: the oracle
+    // replays the unrolled train rounds and compares every document's
+    // full token sequence.
+    "text_bpe_segment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Text.bpeTrain(docs, "doc_id", "text", rounds = 3)
+        .orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Text.bpeSegment(docs, "doc_id", "text", merges)
+    }),
+
     // Containment join (quote detection): every 20th doc contributes
     // a 10-token excerpt; the probe-prefix + inverted-index plan must
     // recover each excerpt→source pair EXACTLY (oracle = brute-force
@@ -170,6 +183,14 @@ object Analytics {
     "dedup_canonical" -> ((s, dir) =>
       Dedup.canonical(t(s, dir, "documents"), "doc_id", "text",
         "n_chars", maxHamming = 3)),
+
+    // Soft dedup: 1/cluster_size training weights instead of a
+    // keep/drop verdict — no document discarded, each near-dup
+    // cluster's total mixture influence = one document. Oracle nests
+    // the clusters closure and re-counts per label.
+    "dedup_softweight" -> ((s, dir) =>
+      Dedup.softWeights(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)),
 
     // char-5-grams: 3-grams of a small shared vocabulary are near-
     // universal across documents (every pair becomes an LSH candidate);
@@ -389,6 +410,59 @@ object Analytics {
 
     "text_fingerprint" -> ((s, dir) =>
       Text.fingerprint(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Streaming normalization twin (rowLocalSink): the Unicode/
+    // whitespace cleanup reads only the row. Oracle =
+    // text_normalize's verbatim.
+    "text_normalize_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val out = java.nio.file.Files
+        .createTempDirectory("normalize_stream").toString
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamingOps.rowLocalSink(out)(
+          b => Text.normalize(b, "doc_id", "text")))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$out/b*")
+    }),
+
+    // Streaming chunking twin (rowLocalSink): the overlapping-window
+    // split explodes each row independently — one input row's chunks
+    // never depend on another row, so the appended union over a
+    // two-batch split equals the one-shot batch run. Oracle =
+    // text_chunk's verbatim.
+    "text_chunk_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val out = java.nio.file.Files
+        .createTempDirectory("chunk_stream").toString
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamingOps.rowLocalSink(out)(
+          b => Text.chunk(b, "doc_id", "text",
+            chunkTokens = 50, overlap = 10)))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$out/b*")
+    }),
 
     "text_vocab" -> ((s, dir) =>
       Text.vocab(t(s, dir, "documents"), "text", minCount = 5)),
@@ -1770,6 +1844,16 @@ object Analytics {
          FROM a JOIN j ON j.cluster_id = a.cluster_id
            AND j.n_chars = a.mc
          GROUP BY 1, 2, 4"""),
+    // the clusters closure nested + per-label recount; weight is the
+    // single exact-integer IEEE division the engine performs
+    "dedup_softweight" ->
+      ("WITH cl AS (" + dedupClustersOracleSql + """),
+         sz AS (SELECT cluster_id, count(*) AS n FROM cl GROUP BY 1)
+         SELECT cl.doc_id, cl.cluster_id,
+           CAST(sz.n AS BIGINT) AS cluster_size,
+           CAST(1.0 AS DOUBLE) / CAST(CAST(sz.n AS BIGINT) AS DOUBLE)
+             AS weight
+         FROM cl JOIN sz USING (cluster_id)"""),
     "retrieval_phrase" ->
       """WITH t AS (SELECT doc_id,
               regexp_split_to_array(trim(lower(text)), '\s+') AS w
@@ -2547,6 +2631,17 @@ object Analytics {
          toks AS (SELECT unnest(l) AS token FROM seqs3)
          SELECT token, CAST(count(*) AS BIGINT) AS cnt
          FROM toks WHERE token <> '' GROUP BY 1""",
+    // same unrolled rounds; per-doc token sequences joined on chr(31)
+    "text_bpe_segment" ->
+      s"""WITH seqs0 AS (SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS l
+           FROM documents),
+         ${bpeUnrollBlocks(3)},
+         f AS (SELECT doc_id, list_filter(l, x -> x <> '') AS l
+               FROM seqs3)
+         SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+           array_to_string(l, chr(31)) AS tokens
+         FROM f""",
     // brute-force all-pairs containment over the bounded corpus — the
     // strongest oracle an index-pruned exact join can carry
     "dedup_containment" ->
@@ -3107,5 +3202,7 @@ object Analytics {
     "text_pii_stream" -> oraclesBase("text_pii"),
     "text_fingerprint_stream" -> oraclesBase("text_fingerprint"),
     "text_langid_stream" -> oraclesBase("text_langid"),
-    "text_tokens_stream" -> oraclesBase("text_tokens"))
+    "text_tokens_stream" -> oraclesBase("text_tokens"),
+    "text_normalize_stream" -> oraclesBase("text_normalize"),
+    "text_chunk_stream" -> oraclesBase("text_chunk"))
 }

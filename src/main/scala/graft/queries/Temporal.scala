@@ -419,6 +419,18 @@ object Temporal {
       Sketch.kmvEstimate(st, Seq("event_type"), k = 64)
     }),
 
+    // KMV SET ALGEBRA (the HLL-impossible part): pairwise
+    // union/intersection/Jaccard estimates of the per-event-type user
+    // sets from ONE grouped state — k smallest of each pair's union,
+    // exact membership flags below the union θ, the Beyer et al.
+    // K∩/k estimator. The oracle replays the hash chain and the pair
+    // expansion in HUGEINT.
+    "sketch_kmv_setops" -> ((s, dir) => {
+      val st = Sketch.kmvState(t(s, dir, "events"),
+        Seq("event_type"), "user_id", k = 64)
+      Sketch.kmvSetOps(st, "event_type", k = 64)
+    }),
+
     // KLL-style quantile sketch: per-row hash coins pick each item's
     // level (order-free determinism), the group keeps everything at
     // or above the smallest level that fits k, and p50/p90/p99 come
@@ -2230,8 +2242,10 @@ object Temporal {
        GROUP BY n"""
   }
 
-  private val oraclesKmvSql: String =
-    """WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+  /** The splitmix64-chain → 63-bit hash → per-group k=64 min-set CTEs
+    * shared by every KMV oracle (ends at `st AS (g, h)`). */
+  private val kmvStateCtes: String =
+    """c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
          m0 AS (SELECT event_type AS g,
               (CAST(user_id AS HUGEINT) + 7 + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
               FROM events CROSS JOIN c WHERE user_id IS NOT NULL),
@@ -2248,13 +2262,50 @@ object Temporal {
          rk AS (SELECT g, h,
               row_number() OVER (PARTITION BY g ORDER BY h) AS r
             FROM hh),
-         st AS (SELECT g, h FROM rk WHERE r <= 64),
+         st AS (SELECT g, h FROM rk WHERE r <= 64)"""
+
+  private val oraclesKmvSql: String =
+    s"""WITH $kmvStateCtes,
          est AS (SELECT g, count(*) AS cnt, max(h) AS theta FROM st GROUP BY g)
          SELECT g AS event_type, CAST(cnt AS BIGINT) AS n_state,
            CASE WHEN cnt < 64 THEN CAST(CAST(cnt AS BIGINT) AS DOUBLE)
              ELSE CAST(63 AS DOUBLE) * CAST(9223372036854775807 AS DOUBLE)
                / CAST(CAST(theta AS BIGINT) AS DOUBLE) END AS estimate
          FROM est"""
+
+  /** Pair expansion over the SAME state CTEs: union-of-states k-min
+    * with exact membership flags, then the K∩/k estimator — the
+    * operation-ordered double arithmetic (one division, one multiply)
+    * the engine performs. */
+  private val oraclesKmvSetOpsSql: String =
+    s"""WITH $kmvStateCtes,
+         gs AS (SELECT DISTINCT g FROM st),
+         ex AS (SELECT s.g AS type_a, g2.g AS type_b, s.h,
+                  1 AS ia, 0 AS ib
+                FROM st s JOIN gs g2 ON s.g < g2.g
+                UNION ALL
+                SELECT g1.g, s.g, s.h, 0, 1
+                FROM st s JOIN gs g1 ON g1.g < s.g),
+         mg AS (SELECT type_a, type_b, h, max(ia) AS ia, max(ib) AS ib
+                FROM ex GROUP BY 1, 2, 3),
+         rk2 AS (SELECT type_a, type_b, h, ia, ib,
+              row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS r
+            FROM mg),
+         x AS (SELECT * FROM rk2 WHERE r <= 64),
+         ag AS (SELECT type_a, type_b, count(*) AS nu, max(h) AS theta,
+              sum(ia * ib) AS nc FROM x GROUP BY 1, 2)
+         SELECT type_a, type_b, CAST(nc AS BIGINT) AS n_common,
+           (CASE WHEN nu < 64 THEN CAST(CAST(nu AS BIGINT) AS DOUBLE)
+             ELSE CAST(63 AS DOUBLE) * CAST(9223372036854775807 AS DOUBLE)
+               / CAST(CAST(theta AS BIGINT) AS DOUBLE) END) AS union_est,
+           (CAST(CAST(nc AS BIGINT) AS DOUBLE)
+               / CAST(CAST(nu AS BIGINT) AS DOUBLE))
+             * (CASE WHEN nu < 64 THEN CAST(CAST(nu AS BIGINT) AS DOUBLE)
+               ELSE CAST(63 AS DOUBLE) * CAST(9223372036854775807 AS DOUBLE)
+                 / CAST(CAST(theta AS BIGINT) AS DOUBLE) END) AS inter_est,
+           (CAST(CAST(nc AS BIGINT) AS DOUBLE)
+               / CAST(CAST(nu AS BIGINT) AS DOUBLE)) AS jaccard_est
+         FROM ag"""
 
   /** KLL replay: same splitmix64 chain as the KMV oracle (on event_id
     * — per ROW coins, no DISTINCT: quantiles weigh duplicates),
@@ -2864,6 +2915,7 @@ object Temporal {
     // the splitmix64 chain (seed 7) >> 1, k smallest distinct hashes,
     // (k-1)*2^63/theta estimator — BIGINT->DOUBLE rounding route
     "sketch_kmv" -> oraclesKmvSql,
+    "sketch_kmv_setops" -> oraclesKmvSetOpsSql,
     "sketch_kll" -> oraclesKllSql,
     // merge(s(A), s(B)) == s(A ∪ B) exactly (per-item levels), so the
     // direct replay is the oracle for the merged formulation too

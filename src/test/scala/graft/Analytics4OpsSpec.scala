@@ -239,7 +239,15 @@ class Analytics4OpsSpec extends AnyFunSuite {
           "targetTable" -> "/tmp/target"), None),
       ProcessorConfig("p10", "sim.cluster",
         Map("id" -> ".Payload.After.id", "vec" -> ".Payload.After.vec",
-          "k" -> "16"), None))
+          "k" -> "16"), None),
+      ProcessorConfig("p11", "dedup.url",
+        Map("field" -> ".Payload.After.url"), None),
+      ProcessorConfig("p12", "dedup.softweight",
+        Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text",
+          "maxHamming" -> "3"), None),
+      ProcessorConfig("p13", "text.bpe",
+        Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text",
+          "mergesTable" -> "/tmp/merges"), None))
     val cfg = PipelineConfig("r15", "round-15 families", processors = procs)
     val back = Dsl.fromYaml(Dsl.toYaml(Seq(cfg)))
     assert(back == Seq(cfg))

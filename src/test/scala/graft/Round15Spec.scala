@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.{Dedup, Sketch}
+import graft.model.Cdc
+import graft.ops.Registry
+
+/** Round-15 additions: KMV set algebra (pairwise union/intersection/
+  * Jaccard estimates from grouped states), duplicate-aware soft
+  * weights, and their registry promotions.
+  */
+class Round15Spec extends AnyFunSuite {
+  lazy val spark = Spark.session
+  import spark.implicits._
+
+  test("kmvSetOps: exact below k, pair coverage, partition invariance") {
+    // a = {1..40}, b = {21..60}, c = {100..104}: all below k=64, so
+    // every estimate must be EXACT (the states are the full sets)
+    val rows = (1 to 40).map(i => ("a", i.toLong)) ++
+      (21 to 60).map(i => ("b", i.toLong)) ++
+      (100 to 104).map(i => ("c", i.toLong))
+    val df = rows.toDF("g", "v")
+    val st = Sketch.kmvState(df, Seq("g"), "v", k = 64)
+    val out = Sketch.kmvSetOps(st, "g", k = 64).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // every unordered pair, exactly once
+    assert(out.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    val ab = out(("a", "b"))
+    assert(ab.getAs[Long]("n_common") == 20L)
+    assert(ab.getAs[Double]("union_est") == 60.0)
+    assert(ab.getAs[Double]("jaccard_est") == 20.0 / 60.0)
+    assert(math.abs(ab.getAs[Double]("inter_est") - 20.0) < 1e-9)
+    // disjoint pair: zero overlap, exact union
+    val ac = out(("a", "c"))
+    assert(ac.getAs[Long]("n_common") == 0L)
+    assert(ac.getAs[Double]("union_est") == 45.0)
+    assert(ac.getAs[Double]("inter_est") == 0.0)
+    // partition invariance: the state is a pure function of the set
+    val rep = Sketch.kmvSetOps(
+      Sketch.kmvState(df.repartition(7), Seq("g"), "v", k = 64), "g", 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("n_common")).toMap
+    assert(rep == out.view.mapValues(_.getAs[Long]("n_common")).toMap)
+  }
+
+  test("kmvSetOps: estimator accuracy above k") {
+    // |A| = |B| = 5000, |A ∩ B| = 2500 → union 7500, jaccard 1/3
+    val rows = (1 to 5000).map(i => ("a", i.toLong)) ++
+      (2501 to 7500).map(i => ("b", i.toLong))
+    val st = Sketch.kmvState(rows.toDF("g", "v"), Seq("g"), "v", k = 256)
+    val r = Sketch.kmvSetOps(st, "g", k = 256).collect().head
+    val uni = r.getAs[Double]("union_est")
+    val jac = r.getAs[Double]("jaccard_est")
+    val inter = r.getAs[Double]("inter_est")
+    assert(uni > 6000 && uni < 9000, s"union $uni")
+    assert(jac > 0.2 && jac < 0.5, s"jaccard $jac")
+    assert(inter > 1500 && inter < 3700, s"inter $inter")
+  }
+
+  test("softWeights: 1/|C| weights, each cluster sums to one doc") {
+    val docs = Seq(
+      (1L, "the same duplicated boilerplate paragraph body here"),
+      (2L, "the same duplicated boilerplate paragraph body here"),
+      (3L, "the same duplicated boilerplate paragraph body here"),
+      (10L, "a completely different unique document about graphs"),
+      (11L, "another unrelated text concerning streaming engines"))
+      .toDF("doc_id", "text")
+    val w = Dedup.softWeights(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Double]("weight"))).toMap
+    assert(w.size == 5) // no document dropped
+    assert(w(1L) == ((1L, 3L, 1.0 / 3.0)))
+    assert(w(2L) == ((1L, 3L, 1.0 / 3.0)))
+    assert(w(3L) == ((1L, 3L, 1.0 / 3.0)))
+    assert(w(10L) == ((10L, 1L, 1.0)))
+    assert(w(11L) == ((11L, 1L, 1.0)))
+    // invariant: Σ weight per cluster == 1.0 (3 · 1/3 is IEEE-exact
+    // only by luck; assert within one ulp-scale tolerance)
+    val sums = Dedup.softWeights(docs, "doc_id", "text")
+      .groupBy("cluster_id").agg(sum("weight").as("s"))
+      .collect().map(_.getAs[Double]("s"))
+    assert(sums.forall(s => math.abs(s - 1.0) < 1e-12), sums.mkString(","))
+  }
+
+  test("dedup.url plugin canonicalizes into metadata") {
+    val rows = Seq(
+      (1L, "HTTP://User:Pw@Example.COM:80/a?utm_source=x&b=2&a=1#frag"),
+      (2L, "https://site.org:443"),
+      (3L, "not a url at all"))
+    val base = Cdc.wrap(rows.toDF("id", "url"), "id", "t")
+    val got = Registry.create("dedup.url",
+      Map("field" -> ".Payload.After.url"))(base)
+    assert(got.columns.toSeq == Cdc.columns) // schema kept, composes
+    val m = got.select(col(Cdc.Key),
+      col(Cdc.Metadata).getItem("url.canonical")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("""{"id":1}""") == "http://example.com/a?a=1&b=2")
+    assert(m("""{"id":2}""") == "https://site.org/")
+    assert(m("""{"id":3}""") == "not a url at all")
+  }
+
+  test("bpeSegment: per-doc sequences are consistent with bpeApply") {
+    import graft.analytics.Text
+    val docs = Seq(
+      (1L, "fast sort fast sort merge"),
+      (2L, "fast sort and fast hash"),
+      (3L, ""),
+      (4L, "sort fast"))
+      .toDF("doc_id", "text")
+    val merges = Seq(("fast", "sort"), ("fast sort", "merge"))
+    val seg = Text.bpeSegment(docs, "doc_id", "text", merges).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[String]("tokens"))).toMap
+    // (fast, sort) fuses both occurrences in doc 1, then
+    // (fast sort, merge) fuses the trailing pair
+    assert(seg(1L) == ((2L, "fast sort\u001ffast sort merge")), seg(1L))
+    assert(seg(2L) == ((4L, "fast sort\u001fand\u001ffast\u001fhash")))
+    assert(seg(3L) == ((0L, "")))
+    assert(seg(4L) == ((2L, "sort\u001ffast"))) // order matters: no merge
+    // exploding the segment tokens reproduces bpeApply's vocabulary
+    val fromSeg = Text.bpeSegment(docs, "doc_id", "text", merges)
+      .select(explode(split(col("tokens"), "\u001f")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocab = Text.bpeApply(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("cnt")).toMap
+    assert(fromSeg == vocab)
+  }
+
+  test("text.bpe plugin segments with a trained parquet merge list") {
+    import graft.analytics.Text
+    val docs = Seq(
+      (1L, "fast sort fast sort fast sort"),
+      (2L, "fast sort wins"))
+      .toDF("doc_id", "text")
+    val mergesDir = java.nio.file.Files
+      .createTempDirectory("bpe-merges").toString
+    Text.bpeTrain(docs, "doc_id", "text", rounds = 2)
+      .write.mode("overwrite").parquet(mergesDir)
+    val got = Registry.create("text.bpe",
+      Map("id" -> ".Payload.After.doc_id", "field" -> ".Payload.After.text",
+        "mergesTable" -> mergesDir))(Cdc.wrap(docs, "doc_id", "t"))
+      .select(col(Cdc.PayloadAfter)).collect()
+      .map(r => graft.functions.JsonOps.parse(r.getString(0)))
+      .map(p => p.get("doc_id").asLong ->
+        (p.get("n_tokens").asLong, p.get("tokens").asText)).toMap
+    val merges = Text.bpeTrain(docs, "doc_id", "text", rounds = 2)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val want = Text.bpeSegment(docs, "doc_id", "text", merges).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[String]("tokens"))).toMap
+    assert(got == want)
+  }
+
+  test("dedup.softweight plugin matches the library operator") {
+    val rows = Seq(
+      (1L, "the same duplicated boilerplate paragraph body here"),
+      (2L, "the same duplicated boilerplate paragraph body here"),
+      (7L, "a lone unique document body"))
+    val df = rows.toDF("id", "text")
+    val got = Registry.create("dedup.softweight",
+      Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text"))(
+        Cdc.wrap(df, "id", "t"))
+      .select(col(Cdc.PayloadAfter)).collect()
+      .map(r => graft.functions.JsonOps.parse(r.getString(0)))
+      .map(p => p.get("doc_id").asLong ->
+        (p.get("cluster_size").asLong, p.get("weight").asDouble)).toMap
+    val want = Dedup.softWeights(df, "id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_size"), r.getAs[Double]("weight"))).toMap
+    assert(got == want)
+    assert(got(1L) == ((2L, 0.5)) && got(7L) == ((1L, 1.0)))
+  }
+}
