@@ -616,6 +616,31 @@ object Analytics {
     "text_classifier" -> ((s, dir) =>
       Text.classifierScore(t(s, dir, "documents"), "doc_id", "text", seed = 42L)),
 
+    // Streaming classifier-gate twin (rowLocalSink): hashed features
+    // and the seed-derived weights read only the row. Oracle =
+    // text_classifier's verbatim.
+    "text_classifier_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val out = java.nio.file.Files
+        .createTempDirectory("classifier_stream").toString
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamingOps.rowLocalSink(out)(
+          b => Text.classifierScore(b, "doc_id", "text", seed = 42L)))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$out/b*")
+    }),
+
     // the corpus carries no PII, so the gate query injects a
     // deterministic synthetic tail (email + IPv4 + phone derived from
     // doc_id) — the oracle builds the identical input, so the
@@ -3204,5 +3229,6 @@ object Analytics {
     "text_langid_stream" -> oraclesBase("text_langid"),
     "text_tokens_stream" -> oraclesBase("text_tokens"),
     "text_normalize_stream" -> oraclesBase("text_normalize"),
-    "text_chunk_stream" -> oraclesBase("text_chunk"))
+    "text_chunk_stream" -> oraclesBase("text_chunk"),
+    "text_classifier_stream" -> oraclesBase("text_classifier"))
 }

@@ -306,6 +306,30 @@ object Temporal {
     "text_scripts" -> ((s, dir) =>
       graft.analytics.Text.scriptProfile(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Streaming script-profile twin (rowLocalSink): the regexp counts
+    // read only the row. Oracle = text_scripts' verbatim.
+    "text_scripts_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val out = java.nio.file.Files
+        .createTempDirectory("scripts_stream").toString
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(graft.streaming.StreamingOps.rowLocalSink(out)(
+          b => graft.analytics.Text.scriptProfile(b, "doc_id", "text")))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$out/b*")
+    }),
+
     // Benjamini-Hochberg FDR over a wide screen: deterministic
     // synthetic p-values (splitmix uniform, with a planted signal
     // tier at p/1000 for every 10th user) ranked within event type —
@@ -1330,6 +1354,38 @@ object Temporal {
         Seq("event_type"), k = 64)
     }),
 
+    // Set algebra over the STREAMED state: the same 2-batch kmvSink
+    // run, then kmvSetOps on the final state — by the k-smallest-of-
+    // a-union merge law the streamed state equals the batch state, so
+    // the pairwise estimates match the batch oracle bit-for-bit.
+    "sketch_kmv_setops_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = t(s, dir, "events")
+      val rows = ev.select(col("event_type"), col("user_id"),
+          tsEpochSeconds(ev).as("ts_s"))
+        .as[(String, Long, Long)].collect()
+      val split = 1705363200L
+      val (b1, b2) = rows.partition(_._3 <= split)
+      val state = java.nio.file.Files
+        .createTempDirectory("kmv_setops_stream").toString
+      val in = MemoryStream[(String, Long, Long)]
+      withScopedShuffle(s, 4) {
+        val qq = in.toDF().toDF("event_type", "user_id", "ts_s")
+          .writeStream
+          .foreachBatch(graft.streaming.StreamingOps.kmvSink(
+            state, Seq("event_type"), "user_id", k = 64))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); qq.processAllAvailable()
+          in.addData(b2.toSeq); qq.processAllAvailable()
+        } finally qq.stop()
+      }
+      Sketch.kmvSetOps(s.read.parquet(s"$state/batch=1"),
+        "event_type", k = 64)
+    }),
+
     // Streaming KLL twin: the quantile state kll-merged across a real
     // 2-batch stream must equal the batch sketch of the whole log
     // (per-item hash levels make the merge exact) — oracle = the
@@ -2307,6 +2363,33 @@ object Temporal {
                / CAST(CAST(nu AS BIGINT) AS DOUBLE)) AS jaccard_est
          FROM ag"""
 
+  /** Script-composition replay, shared by the batch row and its
+    * streaming twin (row-local features ⇒ identical oracle). */
+  private val oraclesTextScriptsSql: String =
+    """WITH base AS (SELECT doc_id, text,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_latin,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+           CAST(len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS BIGINT) AS n_cyrillic,
+           CAST(len(regexp_extract_all(text, '[一-鿿]')) AS BIGINT) AS n_cjk,
+           CAST(len(regexp_extract_all(text, '[ \t\n\x0B\f\r]')) AS BIGINT) AS n_space
+           FROM documents),
+         ext AS (SELECT *,
+           n_chars - n_latin - n_digit - n_cyrillic - n_cjk - n_space AS n_other
+           FROM base)
+         SELECT doc_id, n_chars, n_latin, n_digit, n_cyrillic, n_cjk,
+           n_space, n_other,
+           CASE WHEN n_chars > 0 THEN
+             CAST(n_latin AS DOUBLE) / CAST(n_chars AS DOUBLE) END AS latin_frac,
+           CASE
+             WHEN n_other = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_other) THEN 'other'
+             WHEN n_latin = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_other) THEN 'latin'
+             WHEN n_digit = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_other) THEN 'digit'
+             WHEN n_cyrillic = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_other) THEN 'cyrillic'
+             ELSE 'cjk'
+           END AS dominant_script
+         FROM ext"""
+
   /** KLL replay: same splitmix64 chain as the KMV oracle (on event_id
     * — per ROW coins, no DISTINCT: quantiles weigh duplicates),
     * trailing zeros by isolating the lowest set bit and looking it up
@@ -2975,30 +3058,9 @@ object Temporal {
          SELECT id_a, id_b, CAST(n_agree AS BIGINT) AS n_agree, score
          FROM p WHERE score >= CAST(2.0 AS DOUBLE)"""
     },
-    "text_scripts" ->
-      """WITH base AS (SELECT doc_id, text,
-           CAST(length(text) AS BIGINT) AS n_chars,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_latin,
-           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
-           CAST(len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS BIGINT) AS n_cyrillic,
-           CAST(len(regexp_extract_all(text, '[一-鿿]')) AS BIGINT) AS n_cjk,
-           CAST(len(regexp_extract_all(text, '[ \t\n\x0B\f\r]')) AS BIGINT) AS n_space
-           FROM documents),
-         ext AS (SELECT *,
-           n_chars - n_latin - n_digit - n_cyrillic - n_cjk - n_space AS n_other
-           FROM base)
-         SELECT doc_id, n_chars, n_latin, n_digit, n_cyrillic, n_cjk,
-           n_space, n_other,
-           CASE WHEN n_chars > 0 THEN
-             CAST(n_latin AS DOUBLE) / CAST(n_chars AS DOUBLE) END AS latin_frac,
-           CASE
-             WHEN n_other = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_other) THEN 'other'
-             WHEN n_latin = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_other) THEN 'latin'
-             WHEN n_digit = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_other) THEN 'digit'
-             WHEN n_cyrillic = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_other) THEN 'cyrillic'
-             ELSE 'cjk'
-           END AS dominant_script
-         FROM ext""",
+    "text_scripts" -> oraclesTextScriptsSql,
+    "text_scripts_stream" -> oraclesTextScriptsSql,
+    "sketch_kmv_setops_stream" -> oraclesKmvSetOpsSql,
     "stats_fdr" ->
       """WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
          m0 AS (SELECT event_type, event_id, user_id,
