@@ -314,3 +314,41 @@ case class TextBpeProc(idField: Ref, textField: Ref, mergesTable: String)
     Cdc.wrap(out, "doc_id", "text.bpe")
   }
 }
+
+/** `enrich.asof` — temporal lookup-table enrichment
+  * ([[graft.analytics.Temporal.asOfJoinBroadcast]]): each record joins
+  * the MOST RECENT reference row at or before its own time (inclusive
+  * as-of, feature-store semantics), values written into metadata as
+  * `asof.<col>`; records older than every version keep their metadata
+  * untouched. `table` is a parquet path; keys compare as strings,
+  * times as long epochs; duplicate (key, time) versions collapse to
+  * the max-struct winner. The reference side broadcasts and each
+  * record binary-searches a per-key sorted version array — the record
+  * stream is never shuffled or sorted, which is the right physical
+  * shape for 100 TB streams × feature-store-sized dims, and the
+  * stream-static formulation Structured Streaming requires.
+  */
+case class EnrichAsofProc(keyField: Ref, timeField: Ref, table: String,
+                          tableKey: String, tableTime: String,
+                          valueCols: Seq[String]) extends Processor {
+  require(valueCols.nonEmpty, "enrich.asof: values must be non-empty")
+  val plugin = "enrich.asof"
+  override def transform(df: DataFrame): DataFrame = {
+    val right = df.sparkSession.read.parquet(table)
+      .select(Seq(col(tableKey).cast("string").as("_rk"),
+        col(tableTime).cast("long").as("_rt")) ++ valueCols.map(col): _*)
+    val withKt = df
+      .withColumn("_ak", Analytics2Ops.fieldCol(df, keyField).cast("string"))
+      .withColumn("_at", Analytics2Ops.fieldCol(df, timeField).cast("long"))
+    val joined = graft.analytics.Temporal.asOfJoinBroadcast(withKt, right,
+      "_ak", "_rk", "_at", "_rt", valueCols, dedupRight = true)
+    // Spark maps forbid null values: a no-match row keeps its
+    // metadata instead of writing asof.<col> -> null
+    val meta = valueCols.foldLeft(col(Cdc.Metadata)) { (m, c) =>
+      when(col(c).isNotNull,
+        RefCols.metaSet(m, s"asof.$c", col(c).cast("string"))).otherwise(m)
+    }
+    joined.withColumn(Cdc.Metadata, meta)
+      .drop("_ak" +: "_at" +: valueCols: _*)
+  }
+}

@@ -348,6 +348,10 @@ object Registry {
     "dedup.url" -> (s => DedupUrlProc(ref(s, ".Payload.After"))),
     "text.bpe" -> (s => TextBpeProc(
       Ref.parse(s("id")), ref(s, ".Payload.After"), s("mergesTable"))),
+    "enrich.asof" -> (s => EnrichAsofProc(
+      Ref.parse(s("key")), Ref.parse(s("time")), s("table"),
+      s.getOrElse("tableKey", "key"), s.getOrElse("tableTime", "ts"),
+      s("values").split(",").toSeq.map(_.trim).filter(_.nonEmpty))),
     "dedup.softweight" -> (s => DedupSoftweightProc(
       Ref.parse(s("id")), ref(s, ".Payload.After"),
       s.getOrElse("maxHamming", "3").toInt))

@@ -247,7 +247,10 @@ class Analytics4OpsSpec extends AnyFunSuite {
           "maxHamming" -> "3"), None),
       ProcessorConfig("p13", "text.bpe",
         Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text",
-          "mergesTable" -> "/tmp/merges"), None))
+          "mergesTable" -> "/tmp/merges"), None),
+      ProcessorConfig("p14", "enrich.asof",
+        Map("key" -> ".Payload.After.k", "time" -> ".Payload.After.t",
+          "table" -> "/tmp/versions", "values" -> "price,qty"), None))
     val cfg = PipelineConfig("r15", "round-15 families", processors = procs)
     val back = Dsl.fromYaml(Dsl.toYaml(Seq(cfg)))
     assert(back == Seq(cfg))

@@ -157,6 +157,33 @@ class Round15Spec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("enrich.asof joins the most recent version into metadata") {
+    val versions = Seq(
+      (1L, 100L, 9.99), (1L, 200L, 12.50), (2L, 150L, 3.00))
+      .toDF("key", "ts", "price")
+    val dir = java.nio.file.Files.createTempDirectory("asof-tab").toString
+    versions.write.mode("overwrite").parquet(dir)
+    val recs = Seq(
+      (10L, 1L, 150L),  // between v100 and v200 -> 9.99
+      (11L, 1L, 200L),  // inclusive tie -> 12.50
+      (12L, 2L, 500L),  // after the only version -> 3.0
+      (13L, 2L, 100L),  // BEFORE every version -> no asof key
+      (14L, 9L, 300L))  // unknown key -> no asof key
+      .toDF("id", "k", "t")
+    val got = Registry.create("enrich.asof",
+      Map("key" -> ".Payload.After.k", "time" -> ".Payload.After.t",
+        "table" -> dir, "values" -> "price"))(Cdc.wrap(recs, "id", "t"))
+    assert(got.columns.toSeq == Cdc.columns)
+    val m = got.select(col(Cdc.Key),
+      col(Cdc.Metadata).getItem("asof.price")).collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(m("""{"id":10}""") == Some("9.99"))
+    assert(m("""{"id":11}""") == Some("12.5"))
+    assert(m("""{"id":12}""") == Some("3.0"))
+    assert(m("""{"id":13}""") == None)
+    assert(m("""{"id":14}""") == None)
+  }
+
   test("dedup.softweight plugin matches the library operator") {
     val rows = Seq(
       (1L, "the same duplicated boilerplate paragraph body here"),
