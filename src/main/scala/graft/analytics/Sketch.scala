@@ -489,7 +489,19 @@ object Sketch {
     */
   def kmvSetOps(state: DataFrame, groupCol: String,
                 k: Int = 256): DataFrame = {
-    val st = state.select(col(groupCol).as("g"), col("_h"))
+    // Fence the state first: it is referenced THREE times below (both
+    // pair-expansion sides + the group list), so an unfenced state
+    // re-derives — and re-CODEGENS — its whole input lineage per
+    // reference (measured 3.8 s janino tax / 45 classes on a 1 s
+    // plan). Same fence contract as kllMerge: reliable checkpoint
+    // when a checkpoint dir is set (see the kllMerge Scaladoc for the
+    // cleanCheckpoints deployment note), executor-local otherwise;
+    // the state is ≤ k rows per group, so the fence costs one build.
+    def fence(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val st = fence(state.select(col(groupCol).as("g"), col("_h")))
     val gs = st.select(col("g")).distinct()
     val lhs = st
       .join(broadcast(gs.select(col("g").as("g2"))), col("g") < col("g2"))
