@@ -184,6 +184,33 @@ class Round15Spec extends AnyFunSuite {
     assert(m("""{"id":14}""") == None)
   }
 
+  test("enrich.asof is stream-static: streamed records enrich identically") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val versions = Seq((1L, 100L, 9.99), (1L, 200L, 12.50))
+      .toDF("key", "ts", "price")
+    val dir = java.nio.file.Files
+      .createTempDirectory("asof-stream-tab").toString
+    versions.write.mode("overwrite").parquet(dir)
+    val settings = Map("key" -> ".Payload.After.k",
+      "time" -> ".Payload.After.t", "table" -> dir, "values" -> "price")
+    val rows = Seq((10L, 1L, 150L), (11L, 1L, 250L), (12L, 1L, 50L))
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      df.select(col(Cdc.Key), col(Cdc.Metadata).getItem("asof.price"))
+    val batch = proj(Registry.create("enrich.asof", settings)(
+      Cdc.wrap(rows.toDF("id", "k", "t"), "id", "t"))).collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = Registry.create("enrich.asof", settings)(
+      Cdc.wrap(in.toDF().toDF("id", "k", "t"), "id", "t"))
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try { in.addData(rows); q.processAllAvailable() } finally q.stop()
+    val got = proj(spark.table("asof_stream")).collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got == batch && got("""{"id":12}""") == None)
+  }
+
   test("dedup.softweight plugin matches the library operator") {
     val rows = Seq(
       (1L, "the same duplicated boilerplate paragraph body here"),
