@@ -59,6 +59,33 @@ class Round15Spec extends AnyFunSuite {
     assert(inter > 1500 && inter < 3700, s"inter $inter")
   }
 
+  test("kmvSetOps equals exact set algebra on random sets below k") {
+    // randomized cross-formulation equivalence (the RandomizedEquivSpec
+    // class of evidence): with every group below k the sketch IS the
+    // set, so union/intersection/jaccard must be EXACT on any input
+    val rnd = new scala.util.Random(2718)
+    for (trial <- 1 to 3) {
+      val groups = Seq("a", "b", "c", "d")
+      val sets = groups.map(g => g ->
+        (1 to 300).map(_ => rnd.nextInt(500).toLong).toSet).toMap
+      val rows = sets.toSeq.flatMap { case (g, vs) => vs.map(v => (g, v)) }
+      val st = Sketch.kmvState(rows.toDF("g", "v"), Seq("g"), "v", k = 1024)
+      val got = Sketch.kmvSetOps(st, "g", k = 1024).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getAs[Long]("n_common"), r.getAs[Double]("union_est"),
+            r.getAs[Double]("jaccard_est"))).toMap
+      assert(got.size == 6, s"trial $trial: ${got.keySet}")
+      for (Seq(a, b) <- groups.combinations(2)) {
+        val (sa, sb) = (sets(a), sets(b))
+        val (u, i) = ((sa | sb).size.toLong, (sa & sb).size.toLong)
+        val (nc, ue, je) = got((a, b))
+        assert(nc == i, s"trial $trial $a/$b common $nc != $i")
+        assert(ue == u.toDouble, s"trial $trial $a/$b union $ue != $u")
+        assert(je == i.toDouble / u.toDouble, s"trial $trial $a/$b jaccard")
+      }
+    }
+  }
+
   test("softWeights: 1/|C| weights, each cluster sums to one doc") {
     val docs = Seq(
       (1L, "the same duplicated boilerplate paragraph body here"),
