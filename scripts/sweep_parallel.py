@@ -10,7 +10,7 @@ Usage: sweep_parallel.py [SF_DIR] [OUT_DIR]
 Prints per-row status lines and a final N/M summary; exit 0 iff all
 rows pass.
 """
-import json, os, subprocess, sys
+import json, os, re, subprocess, sys
 from concurrent.futures import ThreadPoolExecutor
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -26,7 +26,10 @@ def run(name):
     p = subprocess.run(
         [sys.executable, os.path.join(HERE, "check_oracle.py"), SF, OUT],
         capture_output=True, text=True, env=env)
-    ok = "1/1 pass" in p.stdout
+    # parse the per-row status line, not the summary count — robust to
+    # summary wording and to legitimately rows-only rows
+    ok = re.search(rf"^{re.escape(name)}\s+(OK|rows-only)", p.stdout,
+                   re.M) is not None
     status = "OK" if ok else "FAIL"
     if not ok:
         detail = [l for l in p.stdout.splitlines() if name in l][:1]

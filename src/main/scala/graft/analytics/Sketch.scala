@@ -486,9 +486,18 @@ object Sketch {
     * window (partial top-k under the rank filter). Cross-corpus
     * overlap at 100 TB costs what the kmvState scans cost; this step
     * is driver-free and constant-size.
+    *
+    * `k` MUST be the k the state was built with (no default on
+    * purpose — the exact-below-k branch is only correct at the build
+    * k: a larger k would route full-at-build-k states into the exact
+    * branch and cap every estimate at 2·build-k). A k SMALLER than
+    * the build k is detected from the data (rank > k rows exist) and
+    * fails loudly; a larger one is not detectable from the state, so
+    * the parameter is part of the sketch's contract — the same
+    * contract [[kmvEstimate]] carries.
     */
   def kmvSetOps(state: DataFrame, groupCol: String,
-                k: Int = 256): DataFrame = {
+                k: Int): DataFrame = {
     // Fence the state first: it is referenced THREE times below (both
     // pair-expansion sides + the group list), so an unfenced state
     // re-derives — and re-CODEGENS — its whole input lineage per
@@ -501,7 +510,14 @@ object Sketch {
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(true)
       else df.localCheckpoint(true)
-    val st = fence(state.select(col(groupCol).as("g"), col("_h")))
+    // the k-too-small half of the contract is data-detectable: a rank
+    // above k means the state was built with a larger k — fail at the
+    // fence instead of silently mixing two sketch resolutions
+    val st = fence(state.select(col(groupCol).as("g"), col("_h"),
+        assert_true(col("kmv_rank") <= k,
+          lit(s"kmvSetOps: state rank exceeds k=$k — pass the k the " +
+            "state was built with")).as("_ck")))
+      .drop("_ck")
     val gs = st.select(col("g")).distinct()
     val lhs = st
       .join(broadcast(gs.select(col("g").as("g2"))), col("g") < col("g2"))

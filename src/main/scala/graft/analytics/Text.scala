@@ -827,6 +827,15 @@ object Text {
     * mode) materializes the result so the per-round persist fences
     * can be released without leaking a persisted frame into the
     * caller's session.
+    *
+    * DIR LIFECYCLE (the [[Dedup.components]] checkpointDir contract):
+    * the caller owns the spill directory — Spark never deletes
+    * checkpoint-dir files on its own, so delete `bpe-out-*` after the
+    * result is consumed or persisted, or point the checkpoint dir at
+    * storage with a TTL. For [[bpeSegment]] the spill is corpus-sized
+    * (it IS the tokenized output); in a real pipeline that write is
+    * the product — point the checkpoint dir at the output location
+    * rather than paying a second copy.
     */
   private def bpeSpill(df: DataFrame, out: DataFrame,
                        cached: Seq[DataFrame]): DataFrame = {

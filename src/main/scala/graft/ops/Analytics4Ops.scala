@@ -261,10 +261,16 @@ case class SimQuantizeProc(idField: Ref, vecField: Ref) extends Processor {
   */
 case class DedupUrlProc(field: Ref) extends ColumnProcessor {
   val plugin = "dedup.url"
-  override def rewrites(df: DataFrame): Map[String, Column] = Map(
-    Cdc.Metadata -> RefCols.metaSet(col(Cdc.Metadata), "url.canonical",
-      graft.analytics.Urls.canonicalize(
-        Analytics2Ops.fieldCol(df, field).cast("string"))))
+  override def rewrites(df: DataFrame): Map[String, Column] = {
+    val canon = graft.analytics.Urls.canonicalize(
+      Analytics2Ops.fieldCol(df, field).cast("string"))
+    // null/absent url field: keep metadata untouched — a null-valued
+    // url.canonical key would weld all such records into one dedup
+    // group downstream
+    Map(Cdc.Metadata -> when(canon.isNotNull,
+      RefCols.metaSet(col(Cdc.Metadata), "url.canonical", canon))
+      .otherwise(col(Cdc.Metadata)))
+  }
 }
 
 /** `dedup.softweight` — duplicate-aware 1/cluster_size training
@@ -304,6 +310,13 @@ case class TextBpeProc(idField: Ref, textField: Ref, mergesTable: String)
     extends Processor {
   val plugin = "text.bpe"
   override def transform(df: DataFrame): DataFrame = {
+    // the segment pass persists per merge round and parquet-spills its
+    // result (lineage hygiene for the 64-step rewrite chain) — both
+    // batch-only actions, so fail with the real reason instead of
+    // Spark's opaque streaming-source AnalysisException
+    require(!df.isStreaming,
+      "text.bpe is batch-only (per-round persist fences + parquet " +
+        "spill); run the pipeline with --batch or apply it foreachBatch")
     val merges = df.sparkSession.read.parquet(mergesTable)
       .orderBy(col("round")).collect()
       .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"))).toSeq
@@ -319,8 +332,10 @@ case class TextBpeProc(idField: Ref, textField: Ref, mergesTable: String)
   * ([[graft.analytics.Temporal.asOfJoinBroadcast]]): each record joins
   * the MOST RECENT reference row at or before its own time (inclusive
   * as-of, feature-store semantics), values written into metadata as
-  * `asof.<col>`; records older than every version keep their metadata
-  * untouched. `table` is a parquet path; keys compare as strings,
+  * `asof.<col>` plus `asof.matched` = true/false (so a matched
+  * version whose value is genuinely NULL is distinguishable from a
+  * record that predates every version — null-valued columns simply
+  * omit their key). `table` is a parquet path; keys compare as strings,
   * times as long epochs; duplicate (key, time) versions collapse to
   * the max-struct winner. The reference side broadcasts and each
   * record binary-searches a per-key sorted version array — the record
@@ -334,21 +349,30 @@ case class EnrichAsofProc(keyField: Ref, timeField: Ref, table: String,
   require(valueCols.nonEmpty, "enrich.asof: values must be non-empty")
   val plugin = "enrich.asof"
   override def transform(df: DataFrame): DataFrame = {
+    // a constant marker column rides the join so match/no-match is
+    // decided by the JOIN, not by value nullness (a matched version
+    // may legitimately carry NULL values)
     val right = df.sparkSession.read.parquet(table)
       .select(Seq(col(tableKey).cast("string").as("_rk"),
-        col(tableTime).cast("long").as("_rt")) ++ valueCols.map(col): _*)
+        col(tableTime).cast("long").as("_rt"), lit(1L).as("_asof_hit")) ++
+        valueCols.map(col): _*)
     val withKt = df
       .withColumn("_ak", Analytics2Ops.fieldCol(df, keyField).cast("string"))
       .withColumn("_at", Analytics2Ops.fieldCol(df, timeField).cast("long"))
     val joined = graft.analytics.Temporal.asOfJoinBroadcast(withKt, right,
-      "_ak", "_rk", "_at", "_rt", valueCols, dedupRight = true)
-    // Spark maps forbid null values: a no-match row keeps its
-    // metadata instead of writing asof.<col> -> null
-    val meta = valueCols.foldLeft(col(Cdc.Metadata)) { (m, c) =>
+      "_ak", "_rk", "_at", "_rt", valueCols :+ "_asof_hit",
+      dedupRight = true)
+    // null VALUES are legal in Spark maps, but "asof.price": null on
+    // the wire is indistinguishable from absent for most consumers —
+    // so null-valued columns omit their key and asof.matched carries
+    // the join verdict explicitly
+    val meta0 = RefCols.metaSet(col(Cdc.Metadata), "asof.matched",
+      col("_asof_hit").isNotNull.cast("string"))
+    val meta = valueCols.foldLeft(meta0) { (m, c) =>
       when(col(c).isNotNull,
         RefCols.metaSet(m, s"asof.$c", col(c).cast("string"))).otherwise(m)
     }
     joined.withColumn(Cdc.Metadata, meta)
-      .drop("_ak" +: "_at" +: valueCols: _*)
+      .drop("_ak" +: "_at" +: "_asof_hit" +: valueCols: _*)
   }
 }

@@ -42,9 +42,12 @@ class ExamplesSpec extends AnyFunSuite {
     assert(n > 0)
     val metas = out.select(col(Cdc.Metadata)).limit(50).collect()
       .map(_.getMap[String, String](0))
-    // quality + langid both annotated; the pii stage rewrote payloads
+    // every stage left its mark: quality + langid annotations AND the
+    // pii stage's per-category counts (the redaction step cannot be
+    // dropped from the YAML without this failing)
     assert(metas.forall(m => m.contains("quality.n_tokens")
-      && m.contains("lang.pred")), metas.head.toString())
+      && m.contains("lang.pred") && m.contains("pii.n_emails")),
+      metas.head.toString())
   }
 
   test("dedupe-and-weight runs end-to-end and weights sum per cluster") {

@@ -116,17 +116,31 @@ class Round15Spec extends AnyFunSuite {
     val rows = Seq(
       (1L, "HTTP://User:Pw@Example.COM:80/a?utm_source=x&b=2&a=1#frag"),
       (2L, "https://site.org:443"),
-      (3L, "not a url at all"))
+      (3L, "not a url at all"),
+      (4L, null: String)) // null field: metadata untouched, no null key
     val base = Cdc.wrap(rows.toDF("id", "url"), "id", "t")
     val got = Registry.create("dedup.url",
       Map("field" -> ".Payload.After.url"))(base)
     assert(got.columns.toSeq == Cdc.columns) // schema kept, composes
     val m = got.select(col(Cdc.Key),
       col(Cdc.Metadata).getItem("url.canonical")).collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(m("""{"id":1}""") == "http://example.com/a?a=1&b=2")
-    assert(m("""{"id":2}""") == "https://site.org/")
-    assert(m("""{"id":3}""") == "not a url at all")
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(m("""{"id":1}""") == Some("http://example.com/a?a=1&b=2"))
+    assert(m("""{"id":2}""") == Some("https://site.org/"))
+    assert(m("""{"id":3}""") == Some("not a url at all"))
+    assert(m("""{"id":4}""") == None)
+  }
+
+  test("kmvSetOps fails loudly when k is smaller than the build k") {
+    val rows = (1 to 500).map(i => ("a", i.toLong)) ++
+      (1 to 500).map(i => ("b", i.toLong))
+    val st = Sketch.kmvState(rows.toDF("g", "v"), Seq("g"), "v", k = 128)
+    val e = intercept[Exception] {
+      Sketch.kmvSetOps(st, "g", k = 64).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("built with")), e.toString)
   }
 
   test("bpeSegment: per-doc sequences are consistent with bpeApply") {
@@ -202,13 +216,30 @@ class Round15Spec extends AnyFunSuite {
         "table" -> dir, "values" -> "price"))(Cdc.wrap(recs, "id", "t"))
     assert(got.columns.toSeq == Cdc.columns)
     val m = got.select(col(Cdc.Key),
-      col(Cdc.Metadata).getItem("asof.price")).collect()
-      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
-    assert(m("""{"id":10}""") == Some("9.99"))
-    assert(m("""{"id":11}""") == Some("12.5"))
-    assert(m("""{"id":12}""") == Some("3.0"))
-    assert(m("""{"id":13}""") == None)
-    assert(m("""{"id":14}""") == None)
+      col(Cdc.Metadata).getItem("asof.price"),
+      col(Cdc.Metadata).getItem("asof.matched")).collect()
+      .map(r => r.getString(0) -> ((Option(r.getString(1)), r.getString(2))))
+      .toMap
+    assert(m("""{"id":10}""") == ((Some("9.99"), "true")))
+    assert(m("""{"id":11}""") == ((Some("12.5"), "true")))
+    assert(m("""{"id":12}""") == ((Some("3.0"), "true")))
+    assert(m("""{"id":13}""") == ((None, "false")))
+    assert(m("""{"id":14}""") == ((None, "false")))
+  }
+
+  test("enrich.asof: a matched version with a NULL value is not a no-match") {
+    val versions = Seq((1L, 100L, Some(9.99)), (1L, 200L, None))
+      .toDF("key", "ts", "price")
+    val dir = java.nio.file.Files
+      .createTempDirectory("asof-null-tab").toString
+    versions.write.mode("overwrite").parquet(dir)
+    val recs = Seq((20L, 1L, 250L)).toDF("id", "k", "t") // matches the NULL version
+    val got = Registry.create("enrich.asof",
+      Map("key" -> ".Payload.After.k", "time" -> ".Payload.After.t",
+        "table" -> dir, "values" -> "price"))(Cdc.wrap(recs, "id", "t"))
+      .select(col(Cdc.Metadata)).collect().head.getMap[String, String](0)
+    assert(got.get("asof.matched").contains("true"), got.toString())
+    assert(!got.contains("asof.price"), got.toString()) // null value omits its key
   }
 
   test("enrich.asof is stream-static: streamed records enrich identically") {
