@@ -957,6 +957,55 @@ object Analytics {
     "text_entropy" -> ((s, dir) =>
       Text.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Streaming entropy twin (rowLocalSink): the per-doc token
+    // distribution reads only the row. Oracle = text_entropy's.
+    "text_entropy_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val out = java.nio.file.Files
+        .createTempDirectory("entropy_stream").toString
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamingOps.rowLocalSink(out)(
+          b => Text.tokenEntropy(b, "doc_id", "text")))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$out/b*")
+    }),
+
+    // Streaming hashing-trick twin (rowLocalSink): fnv1a buckets and
+    // splitmix sign bits read only the row; the exploded feature rows
+    // of one doc never depend on another. Oracle = text_hashing's.
+    "text_hashing_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val out = java.nio.file.Files
+        .createTempDirectory("hashing_stream").toString
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamingOps.rowLocalSink(out)(
+          b => Text.hashingTrick(b, "doc_id", "text", dim = 256)))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$out/b*")
+    }),
+
     // CCNet-style unigram LM quality proxy: mean -ln p(token) under
     // the corpus unigram model, position-ordered IEEE fold
     "text_unigram_lm" -> ((s, dir) =>
@@ -3230,5 +3279,7 @@ object Analytics {
     "text_tokens_stream" -> oraclesBase("text_tokens"),
     "text_normalize_stream" -> oraclesBase("text_normalize"),
     "text_chunk_stream" -> oraclesBase("text_chunk"),
-    "text_classifier_stream" -> oraclesBase("text_classifier"))
+    "text_classifier_stream" -> oraclesBase("text_classifier"),
+    "text_entropy_stream" -> oraclesBase("text_entropy"),
+    "text_hashing_stream" -> oraclesBase("text_hashing"))
 }
