@@ -338,6 +338,57 @@ object Sampling {
       .select(col(idCol), col(strataCol))
   }
 
+  /** Token-budget mixture sampling: [[mixtureSample]] with the target
+    * shares measured in TOKENS, not rows — the knob a pretraining mix
+    * actually turns (a 50% English share by document count is not 50%
+    * of the training tokens when English documents run longer). The
+    * achievable corpus is the largest downsample-only mix: budget
+    * B = min over strata of (stratum_tokens / share); each stratum's
+    * keep rate is (share·B)/stratum_tokens, gated per document by the
+    * same deterministic hash bucket as [[hashSample]], so the KEPT
+    * token mass per stratum hits share·B in expectation. `tokensCol`
+    * is the caller's per-document token count (whitespace, BPE-ish,
+    * or a real tokenizer's — the operator is count-agnostic).
+    *
+    * Scale shape (the [[mixtureSample]] envelope): one
+    * map-side-combined token SUM per stratum, a broadcast cut join,
+    * and a row-local bucket filter inside the scan — data rows never
+    * shuffle. Arithmetic is fixed-order IEEE ((p·B)/tk, min over
+    * tk/p, floor·4096), replicated by the DuckDB oracle.
+    */
+  def tokenMixture(df: DataFrame, idCol: String, strataCol: String,
+                   tokensCol: String, targets: Seq[(String, Double)],
+                   seed: Long = 0L): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      "targets must be non-empty with positive proportions")
+    require(math.abs(targets.map(_._2).sum - 1.0) < 1e-9,
+      "target proportions must sum to 1")
+    require(targets.map(_._1).distinct.size == targets.size,
+      "duplicate target stratum")
+    val tmap = targets.toMap
+    val counts = df
+      .filter(col(strataCol).isin(targets.map(_._1): _*))
+      .groupBy(col(strataCol))
+      .agg(sum(col(tokensCol)).cast("long").as("tk"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val missing = tmap.keySet -- counts.map(_._1)
+    require(missing.isEmpty,
+      s"target strata with no rows: ${missing.toSeq.sorted.mkString(", ")}")
+    require(counts.forall(_._2 > 0),
+      s"target strata with zero tokens: ${counts.filter(_._2 <= 0).map(_._1).sorted.mkString(", ")}")
+    val budget = counts.map { case (k, tk) => tk.toDouble / tmap(k) }.min
+    val cuts = counts.map { case (k, tk) =>
+      (k, math.floor(
+        math.min(1.0, tmap(k) * budget / tk.toDouble) * 4096.0).toLong)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cutDf = broadcast(cuts.toSeq.toDF(strataCol, "_cut"))
+    df.join(cutDf, strataCol)
+      .filter(bucketOf(col(idCol), seed) < col("_cut"))
+      .select(col(idCol), col(strataCol), col(tokensCol))
+  }
+
   /** Greedy sequence packing: documents are dealt into `streams` by
     * interleave rank (round-robin — each stream is a deterministic
     * pseudo-random subsequence), then each stream packs greedily in

@@ -376,3 +376,53 @@ case class EnrichAsofProc(keyField: Ref, timeField: Ref, table: String,
       .drop("_ak" +: "_at" +: "_asof_hit" +: valueCols: _*)
   }
 }
+
+/** `sample.token_mixture` — the [[SampleMixtureProc]] gate with the
+  * target shares measured in TOKENS
+  * ([[graft.analytics.Sampling.tokenMixture]] semantics): per-stratum
+  * token sums pick the largest downsample-only mix, and each record
+  * keeps or drops by the deterministic hash bucket of its id. This is
+  * the pretraining-mixture knob: 50% of the TOKENS, not 50% of the
+  * documents. `tokens` is a numeric payload field (write one with
+  * `text.tokens` upstream); records in unnamed strata drop.
+  */
+case class SampleTokenMixtureProc(strataField: Ref, idField: Ref,
+                                  tokensField: Ref,
+                                  targets: Seq[(String, Double)],
+                                  seed: Long) extends Processor {
+  require(targets.nonEmpty && targets.forall(_._2 > 0),
+    "sample.token_mixture: targets must be non-empty with positive proportions")
+  require(targets.map(_._1).distinct.size == targets.size,
+    "sample.token_mixture: duplicate target stratum")
+  require(math.abs(targets.map(_._2).sum - 1.0) < 1e-9,
+    "sample.token_mixture: target proportions must sum to 1")
+  val plugin = "sample.token_mixture"
+  override def transform(df: DataFrame): DataFrame = {
+    import graft.analytics.HashFunctions.fnv1a_hash
+    val tmap = targets.toMap
+    val stratum = Analytics2Ops.fieldCol(df, strataField)
+    val toks = Analytics2Ops.fieldCol(df, tokensField).cast("long")
+    val counts = df.select(stratum.as("_stratum"), toks.as("_tk"))
+      .filter(col("_stratum").isin(targets.map(_._1): _*))
+      .groupBy(col("_stratum")).agg(sum(col("_tk")).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val missing = tmap.keySet -- counts.map(_._1)
+    require(missing.isEmpty,
+      s"sample.token_mixture: target strata with no rows: ${missing.toSeq.sorted.mkString(", ")}")
+    require(counts.forall(_._2 > 0),
+      s"sample.token_mixture: target strata with zero tokens: ${counts.filter(_._2 <= 0).map(_._1).sorted.mkString(", ")}")
+    val budget = counts.map { case (k, c) => c.toDouble / tmap(k) }.min
+    val cuts = counts.map { case (k, c) =>
+      (k, math.floor(math.min(1.0, tmap(k) * budget / c.toDouble) * 4096.0).toLong)
+    }.toMap
+    val cutExpr = cuts.foldLeft(lit(null).cast("long")) { case (acc, (k, cut)) =>
+      when(col("_stratum") === lit(k), lit(cut)).otherwise(acc)
+    }
+    val id = fnv1a_hash(Analytics2Ops.fieldCol(df, idField).cast("string"))
+    df.withColumn("_stratum", stratum)
+      .withColumn("_cut", cutExpr)
+      .filter(col("_cut").isNotNull &&
+        graft.analytics.Sampling.bucketOf(id, seed) < col("_cut"))
+      .drop("_stratum", "_cut")
+  }
+}

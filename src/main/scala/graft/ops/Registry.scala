@@ -348,6 +348,14 @@ object Registry {
     "dedup.url" -> (s => DedupUrlProc(ref(s, ".Payload.After"))),
     "text.bpe" -> (s => TextBpeProc(
       Ref.parse(s("id")), ref(s, ".Payload.After"), s("mergesTable"))),
+    "sample.token_mixture" -> (s => SampleTokenMixtureProc(
+      Ref.parse(s("stratum")), Ref.parse(s("id")), Ref.parse(s("tokens")),
+      s("targets").split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { spec =>
+        val i = spec.lastIndexOf(':')
+        require(i > 0, s"sample.token_mixture: target spec must be stratum:p, got $spec")
+        (spec.substring(0, i).trim, spec.substring(i + 1).trim.toDouble)
+      },
+      s.getOrElse("seed", "0").toLong)),
     "enrich.asof" -> (s => EnrichAsofProc(
       Ref.parse(s("key")), Ref.parse(s("time")), s("table"),
       s.getOrElse("tableKey", "key"), s.getOrElse("tableTime", "ts"),

@@ -698,6 +698,17 @@ object Analytics {
       Sampling.mixtureSample(t(s, dir, "documents"), "doc_id", "lang",
         Seq(("en", 0.5), ("de", 0.2), ("fr", 0.2), ("zh", 0.1)), seed = 7)),
 
+    // TOKEN-budget mixture: the same target shares measured in tokens
+    // — per-stratum token sums pick the largest downsample-only mix,
+    // the keep gate stays the row-local hash bucket. Oracle replays
+    // the token sums, the (p·B)/tk cut arithmetic, and the hash chain.
+    "sample_token_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      Sampling.tokenMixture(docs, "doc_id", "lang", "n_tokens",
+        Seq(("en", 0.5), ("de", 0.2), ("fr", 0.2), ("zh", 0.1)), seed = 7)
+    }),
+
     // passage-level dedup: 10-token segments, keep = first occurrence
     // corpus-wide by (doc_id, seg_idx)
     "dedup_segments" -> ((s, dir) =>
@@ -2939,6 +2950,43 @@ object Analytics {
             * 4294967296) % m64 AS x5, m64 FROM mb),
          m3 AS (SELECT doc_id, lang, xor(x5, x5 // 2147483648) AS x6 FROM m2)
          SELECT m3.doc_id, m3.lang
+         FROM m3 JOIN cut USING (lang)
+         WHERE (x6 // 4096) % 4096 < cutv""",
+    // same structure with token sums: cn = sum of per-doc whitespace
+    // token counts; per-doc n_tokens rides the hash chain to the output
+    "sample_token_mixture" ->
+      """WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+         sel AS (SELECT * FROM (VALUES
+             ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.2 AS DOUBLE)),
+             ('fr', CAST(0.2 AS DOUBLE)), ('zh', CAST(0.1 AS DOUBLE)))
+           t(lang, p)),
+         toks AS (SELECT doc_id, lang,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         cnt AS (SELECT d.lang, CAST(sum(d.n_tokens) AS BIGINT) AS cn
+           FROM toks d JOIN sel USING (lang) GROUP BY d.lang),
+         bud AS (SELECT min(CAST(cn AS DOUBLE) / p) AS b
+           FROM cnt JOIN sel USING (lang)),
+         cut AS (SELECT lang,
+           CAST(floor(least(CAST(1.0 AS DOUBLE),
+             (p * bud.b) / CAST(cn AS DOUBLE)) * CAST(4096.0 AS DOUBLE))
+             AS BIGINT) AS cutv
+           FROM cnt JOIN sel USING (lang) CROSS JOIN bud),
+         m0 AS (SELECT doc_id, lang, n_tokens,
+           (CAST(doc_id AS HUGEINT) + 7 + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
+           FROM toks CROSS JOIN c),
+         ma AS (SELECT doc_id, lang, n_tokens, xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
+         m1 AS (SELECT doc_id, lang, n_tokens,
+           (x2 % 4294967296 * 484763065 +
+            ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+            * 4294967296) % m64 AS x3, m64 FROM ma),
+         mb AS (SELECT doc_id, lang, n_tokens, xor(x3, x3 // 134217728) AS x4, m64 FROM m1),
+         m2 AS (SELECT doc_id, lang, n_tokens,
+           (x4 % 4294967296 * 321982955 +
+            ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+            * 4294967296) % m64 AS x5, m64 FROM mb),
+         m3 AS (SELECT doc_id, lang, n_tokens, xor(x5, x5 // 2147483648) AS x6 FROM m2)
+         SELECT m3.doc_id, m3.lang, m3.n_tokens
          FROM m3 JOIN cut USING (lang)
          WHERE (x6 // 4096) % 4096 < cutv""",
     "sample_temperature" ->

@@ -250,7 +250,11 @@ class Analytics4OpsSpec extends AnyFunSuite {
           "mergesTable" -> "/tmp/merges"), None),
       ProcessorConfig("p14", "enrich.asof",
         Map("key" -> ".Payload.After.k", "time" -> ".Payload.After.t",
-          "table" -> "/tmp/versions", "values" -> "price,qty"), None))
+          "table" -> "/tmp/versions", "values" -> "price,qty"), None),
+      ProcessorConfig("p15", "sample.token_mixture",
+        Map("stratum" -> ".Payload.After.lang", "id" -> ".Payload.After.id",
+          "tokens" -> ".Payload.After.n",
+          "targets" -> "en:0.5,de:0.3,fr:0.2"), None))
     val cfg = PipelineConfig("r15", "round-15 families", processors = procs)
     val back = Dsl.fromYaml(Dsl.toYaml(Seq(cfg)))
     assert(back == Seq(cfg))

@@ -269,6 +269,49 @@ class Round15Spec extends AnyFunSuite {
     assert(got == batch && got("""{"id":12}""") == None)
   }
 
+  test("tokenMixture: token-weighted budget, binding stratum keeps all") {
+    import graft.analytics.Sampling
+    // en: 10 docs x 100 tokens = 1000; de: 20 docs x 10 tokens = 200.
+    // targets 0.8/0.2 -> budget = min(1000/0.8, 200/0.2) = 1000, so de
+    // (the binding stratum) keeps EVERYTHING and en keeps 80% in
+    // expectation (cut = floor(0.8*1000/1000 * 4096) = 3276)
+    val rows = (1 to 10).map(i => (i.toLong, "en", 100L)) ++
+      (100 to 119).map(i => (i.toLong, "de", 10L))
+    val df = rows.toDF("doc_id", "lang", "n_tokens")
+    val got = Sampling.tokenMixture(df, "doc_id", "lang", "n_tokens",
+      Seq(("en", 0.8), ("de", 0.2)), seed = 7).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(got.count(_._2 == "de") == 20, "binding stratum must keep all")
+    assert(got.count(_._2 == "en") < 10, "en must downsample")
+    // deterministic: same rows every run, any partitioning
+    val rep = Sampling.tokenMixture(df.repartition(5), "doc_id", "lang",
+      "n_tokens", Seq(("en", 0.8), ("de", 0.2)), seed = 7).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(rep.toSet == got.toSet)
+    // duplicate stratum rejected (the sample.mixture ADVICE class)
+    intercept[IllegalArgumentException] {
+      Sampling.tokenMixture(df, "doc_id", "lang", "n_tokens",
+        Seq(("en", 0.5), ("en", 0.3), ("de", 0.2)))
+    }
+  }
+
+  test("sample.token_mixture plugin gates by token-weighted cuts") {
+    import graft.analytics.Sampling
+    val rows = (1 to 10).map(i => (i.toLong, "en", 100L)) ++
+      (100 to 119).map(i => (i.toLong, "de", 10L))
+    val df = rows.toDF("id", "lang", "n")
+    val got = Registry.create("sample.token_mixture",
+      Map("stratum" -> ".Payload.After.lang", "id" -> ".Payload.After.id",
+        "tokens" -> ".Payload.After.n", "targets" -> "en:0.8,de:0.2",
+        "seed" -> "7"))(Cdc.wrap(df, "id", "t"))
+      .select(col(Cdc.PayloadAfter)).collect()
+      .map(r => graft.functions.JsonOps.parse(r.getString(0)))
+      .map(p => p.get("lang").asText)
+    assert(got.count(_ == "de") == 20) // binding stratum keeps all
+    assert(got.count(_ == "en") < 10)
+    assert(got.toSet == Set("en", "de"))
+  }
+
   test("dedup.softweight plugin matches the library operator") {
     val rows = Seq(
       (1L, "the same duplicated boilerplate paragraph body here"),
