@@ -426,3 +426,46 @@ case class SampleTokenMixtureProc(strataField: Ref, idField: Ref,
       .drop("_stratum", "_cut")
   }
 }
+
+/** `text.entropy` — per-document Shannon token entropy
+  * ([[graft.analytics.Text.tokenEntropy]]: ordered IEEE fold over the
+  * doc's own token counts — the `text_entropy` gate row's operator):
+  * one create record per doc with (n_tokens, n_distinct, entropy).
+  * Low entropy flags template/boilerplate spam, high entropy flags
+  * gibberish — the fluency screen between the length gate and the
+  * model-based classifier in a curation chain.
+  */
+case class TextEntropyProc(idField: Ref, textField: Ref)
+    extends Processor {
+  val plugin = "text.entropy"
+  override def transform(df: DataFrame): DataFrame = {
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id"),
+      Analytics2Ops.fieldCol(df, textField).cast("string").as("_text"))
+    val out = graft.analytics.Text.tokenEntropy(flat, "_id", "_text")
+    Cdc.wrap(out, "_id", "text.entropy")
+  }
+}
+
+/** `text.bpe_train` — BPE merge-rule training
+  * ([[graft.analytics.Text.bpeTrain]]): one create record per learned
+  * merge with (round, sym_a, sym_b, pair_count), keyed by round. The
+  * TRAIN half of the tokenizer pair: point a parquet destination at
+  * this pipeline's output and feed that path to [[TextBpeProc]]'s
+  * `mergesTable` — train once on a sample pipeline, apply everywhere.
+  * Batch-only like the apply side (per-round persist fences).
+  */
+case class TextBpeTrainProc(idField: Ref, textField: Ref, rounds: Int)
+    extends Processor {
+  val plugin = "text.bpe_train"
+  override def transform(df: DataFrame): DataFrame = {
+    require(!df.isStreaming,
+      "text.bpe_train is batch-only (per-round persist fences); run " +
+        "the pipeline with --batch")
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id"),
+      Analytics2Ops.fieldCol(df, textField).cast("string").as("_text"))
+    val out = graft.analytics.Text.bpeTrain(flat, "_id", "_text", rounds)
+    Cdc.wrap(out, "round", "text.bpe_train")
+  }
+}

@@ -356,6 +356,11 @@ object Registry {
         (spec.substring(0, i).trim, spec.substring(i + 1).trim.toDouble)
       },
       s.getOrElse("seed", "0").toLong)),
+    "text.entropy" -> (s => TextEntropyProc(
+      Ref.parse(s("id")), ref(s, ".Payload.After"))),
+    "text.bpe_train" -> (s => TextBpeTrainProc(
+      Ref.parse(s("id")), ref(s, ".Payload.After"),
+      s.getOrElse("rounds", "8").toInt)),
     "enrich.asof" -> (s => EnrichAsofProc(
       Ref.parse(s("key")), Ref.parse(s("time")), s("table"),
       s.getOrElse("tableKey", "key"), s.getOrElse("tableTime", "ts"),

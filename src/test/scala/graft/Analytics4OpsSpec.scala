@@ -254,7 +254,13 @@ class Analytics4OpsSpec extends AnyFunSuite {
       ProcessorConfig("p15", "sample.token_mixture",
         Map("stratum" -> ".Payload.After.lang", "id" -> ".Payload.After.id",
           "tokens" -> ".Payload.After.n",
-          "targets" -> "en:0.5,de:0.3,fr:0.2"), None))
+          "targets" -> "en:0.5,de:0.3,fr:0.2"), None),
+      ProcessorConfig("p16", "text.entropy",
+        Map("id" -> ".Payload.After.id",
+          "field" -> ".Payload.After.text"), None),
+      ProcessorConfig("p17", "text.bpe_train",
+        Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text",
+          "rounds" -> "4"), None))
     val cfg = PipelineConfig("r15", "round-15 families", processors = procs)
     val back = Dsl.fromYaml(Dsl.toYaml(Seq(cfg)))
     assert(back == Seq(cfg))

@@ -312,6 +312,47 @@ class Round15Spec extends AnyFunSuite {
     assert(got.toSet == Set("en", "de"))
   }
 
+  test("text.entropy plugin matches the library operator") {
+    val docs = Seq((1L, "a a a a"), (2L, "w x y z"), (3L, ""))
+      .toDF("id", "text")
+    val got = Registry.create("text.entropy",
+      Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text"))(
+        Cdc.wrap(docs, "id", "t"))
+      .select(col(Cdc.PayloadAfter)).collect()
+      .map(r => graft.functions.JsonOps.parse(r.getString(0)))
+      .map(p => p.get("_id").asLong ->
+        (p.get("n_distinct").asLong, p.get("entropy").asDouble)).toMap
+    // single token repeated -> entropy 0; 4 distinct -> ln 4
+    assert(got(1L) == ((1L, 0.0)), got.toString)
+    assert(got(2L)._1 == 4L && math.abs(got(2L)._2 - math.log(4)) < 1e-12)
+  }
+
+  test("text.bpe_train + text.bpe compose: train to parquet, apply") {
+    import graft.analytics.Text
+    val docs = Seq((1L, "fast sort fast sort fast sort"),
+      (2L, "fast sort beats slow sort")).toDF("id", "text")
+    val base = Cdc.wrap(docs, "id", "t")
+    val trained = Registry.create("text.bpe_train",
+      Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text",
+        "rounds" -> "2"))(base)
+      .select(col(Cdc.PayloadAfter)).collect()
+      .map(r => graft.functions.JsonOps.parse(r.getString(0)))
+      .map(p => (p.get("round").asLong, p.get("sym_a").asText,
+        p.get("sym_b").asText, p.get("pair_count").asLong))
+    val want = Text.bpeTrain(docs, "id", "text", rounds = 2).collect()
+      .map(r => (r.getInt(0).toLong, r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(trained.sortBy(_._1).toSeq == want.sortBy(_._1).toSeq)
+    // the parquet-destination handoff the Scaladoc promises
+    val dir = java.nio.file.Files.createTempDirectory("bpe-pipe").toString
+    Text.bpeTrain(docs, "id", "text", rounds = 2)
+      .write.mode("overwrite").parquet(dir)
+    val applied = Registry.create("text.bpe",
+      Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text",
+        "mergesTable" -> dir))(base)
+    assert(applied.count() == 2)
+  }
+
   test("dedup.softweight plugin matches the library operator") {
     val rows = Seq(
       (1L, "the same duplicated boilerplate paragraph body here"),
