@@ -469,3 +469,39 @@ case class TextBpeTrainProc(idField: Ref, textField: Ref, rounds: Int)
     Cdc.wrap(out, "round", "text.bpe_train")
   }
 }
+
+/** `sketch.overlap` — cross-corpus overlap estimation against a
+  * HISTORY corpus ([[graft.analytics.Sketch.kmvSetOps]] over two KMV
+  * states): one create record with (n_common, union_est, inter_est,
+  * jaccard_est) for batch-vs-history — the ingest monitor's "how much
+  * of this batch is already in the corpus" number from two
+  * constant-size k-min states, no exact join, no rescan of history
+  * beyond one hashing pass. `historyTable` is a parquet path whose
+  * `historyField` column holds the history values (the
+  * [[DedupIncrementalProc]] convention); exact dedup verdicts are
+  * `dedup.incremental`'s job — this is the cheap estimate that tells
+  * you whether to bother.
+  */
+case class SketchOverlapProc(field: Ref, historyTable: String,
+                             historyField: String, k: Int)
+    extends Processor {
+  require(k >= 16 && k <= 65536, s"sketch.overlap: k=$k")
+  val plugin = "sketch.overlap"
+  override def transform(df: DataFrame): DataFrame = {
+    import graft.analytics.HashFunctions.fnv1a_hash
+    // payload fields arrive as strings: pre-hash to a long (fnv1a,
+    // injective w.h.p.) since the KMV chain hashes numerically — the
+    // KmvProc idiom, applied IDENTICALLY on both corpora so shared
+    // values share hashes
+    val batch = df.select(lit("batch").as("_corpus"),
+      fnv1a_hash(Analytics2Ops.fieldCol(df, field).cast("string")).as("_v"))
+    val hist = df.sparkSession.read.parquet(historyTable)
+      .select(lit("history").as("_corpus"),
+        fnv1a_hash(col(historyField).cast("string")).as("_v"))
+    val st = graft.analytics.Sketch.kmvState(
+      batch.unionByName(hist), Seq("_corpus"), "_v", k)
+    val out = graft.analytics.Sketch.kmvSetOps(st, "_corpus", k)
+      .withColumn("_kk", concat_ws("|", col("type_a"), col("type_b")))
+    Cdc.wrap(out, "_kk", "sketch.overlap")
+  }
+}

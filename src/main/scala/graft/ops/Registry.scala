@@ -356,6 +356,10 @@ object Registry {
         (spec.substring(0, i).trim, spec.substring(i + 1).trim.toDouble)
       },
       s.getOrElse("seed", "0").toLong)),
+    "sketch.overlap" -> (s => SketchOverlapProc(
+      ref(s, ".Payload.After"), s("historyTable"),
+      s.getOrElse("historyField", "text"),
+      s.getOrElse("k", "256").toInt)),
     "text.entropy" -> (s => TextEntropyProc(
       Ref.parse(s("id")), ref(s, ".Payload.After"))),
     "text.bpe_train" -> (s => TextBpeTrainProc(

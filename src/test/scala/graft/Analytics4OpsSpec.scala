@@ -260,7 +260,10 @@ class Analytics4OpsSpec extends AnyFunSuite {
           "field" -> ".Payload.After.text"), None),
       ProcessorConfig("p17", "text.bpe_train",
         Map("id" -> ".Payload.After.id", "field" -> ".Payload.After.text",
-          "rounds" -> "4"), None))
+          "rounds" -> "4"), None),
+      ProcessorConfig("p18", "sketch.overlap",
+        Map("field" -> ".Payload.After.text",
+          "historyTable" -> "/tmp/hist", "k" -> "512"), None))
     val cfg = PipelineConfig("r15", "round-15 families", processors = procs)
     val back = Dsl.fromYaml(Dsl.toYaml(Seq(cfg)))
     assert(back == Seq(cfg))

@@ -353,6 +353,28 @@ class Round15Spec extends AnyFunSuite {
     assert(applied.count() == 2)
   }
 
+  test("sketch.overlap estimates batch-vs-history overlap exactly below k") {
+    // history = ids 1..60, batch = ids 41..100: overlap 20, union 100
+    // — both below k=256, so the estimates are EXACT
+    val dir = java.nio.file.Files
+      .createTempDirectory("overlap-hist").toString
+    (1 to 60).map(i => s"doc$i").toDF("text")
+      .write.mode("overwrite").parquet(dir)
+    val batch = (41 to 100).map(i => (i.toLong, s"doc$i")).toDF("id", "text")
+    val got = Registry.create("sketch.overlap",
+      Map("field" -> ".Payload.After.text", "historyTable" -> dir,
+        "k" -> "256"))(Cdc.wrap(batch, "id", "t"))
+      .select(col(Cdc.PayloadAfter)).collect()
+      .map(r => graft.functions.JsonOps.parse(r.getString(0)))
+    assert(got.length == 1)
+    val p = got.head
+    assert(p.get("type_a").asText == "batch" &&
+      p.get("type_b").asText == "history")
+    assert(p.get("n_common").asLong == 20L, p.toString)
+    assert(p.get("union_est").asDouble == 100.0)
+    assert(p.get("jaccard_est").asDouble == 0.2)
+  }
+
   test("dedup.softweight plugin matches the library operator") {
     val rows = Seq(
       (1L, "the same duplicated boilerplate paragraph body here"),
