@@ -968,7 +968,18 @@ object Dedup {
     */
   def softWeights(df: DataFrame, idCol: String, textCol: String,
                   maxHamming: Int = 3): DataFrame = {
-    val cl = clusters(df, idCol, textCol, maxHamming)
+    // Fence the labels: `cl` is referenced twice below (sizes
+    // aggregate + join-back), so an unfenced frame re-derives — and
+    // re-CODEGENS — the whole simhash/components lineage per
+    // reference (the kmvSetOps/kllMerge multi-reference trap). The
+    // labels are (doc_id, cluster_id) pairs, so the fence costs one
+    // tiny build. Reliable checkpoint when a dir is set (cluster
+    // deployments), executor-local otherwise.
+    val cl0 = clusters(df, idCol, textCol, maxHamming)
+    val cl =
+      if (cl0.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        cl0.checkpoint(true)
+      else cl0.localCheckpoint(true)
     val sizes = cl.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     cl.join(sizes, Seq("cluster_id"))

@@ -774,8 +774,14 @@ object Text {
       merges: Seq[(String, String)])
       : (DataFrame, Seq[DataFrame]) = {
     require(merges.nonEmpty && merges.size <= 64, s"merges=${merges.size}")
+    // coalesce a null text to the empty sequence: otherwise a missing
+    // field flows through as a null array — size(null) = -1 under the
+    // legacy sizeOfNull, so bpeSegment would emit n_tokens = -1 while
+    // bpeApply's explode silently drops the doc. Empty-array makes
+    // both consistent (n_tokens = 0 / no vocab contribution).
     var seqs = df.select(col(idCol).as("_id"),
-      wsTokens(lower(trim(col(textCol)))).as("_toks"))
+      coalesce(wsTokens(lower(trim(col(textCol)))),
+        array().cast("array<string>")).as("_toks"))
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     for ((a, b) <- merges) {

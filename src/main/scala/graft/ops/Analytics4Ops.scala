@@ -84,6 +84,12 @@ case class TextOovProc(idField: Ref, textField: Ref, trainTable: String,
     extends Processor {
   val plugin = "text.oov"
   override def transform(df: DataFrame): DataFrame = {
+    // the train-vocab side aggregates at plan time — batch-only, so
+    // fail with the real reason instead of Spark's opaque streaming
+    // AnalysisException (the text.bpe guard contract)
+    require(!df.isStreaming,
+      "text.oov is batch-only (the train vocabulary is aggregated at " +
+        "plan time); run the pipeline with --batch or apply it foreachBatch")
     val flat = df.select(
       Analytics2Ops.fieldCol(df, idField).as("_id"),
       Analytics2Ops.fieldCol(df, textField).as("_text"))
@@ -107,6 +113,12 @@ case class SamplePackProc(idField: Ref, tokensField: Ref, budget: Long,
   require(budget > 0 && streams > 0, "sample.pack: budget and streams must be positive")
   val plugin = "sample.pack"
   override def transform(df: DataFrame): DataFrame = {
+    // the greedy per-stream scan sorts and windows the whole batch —
+    // batch-only, so fail with the real reason instead of Spark's
+    // opaque streaming AnalysisException (the text.bpe guard contract)
+    require(!df.isStreaming,
+      "sample.pack is batch-only (global interleave rank + per-stream " +
+        "scan); run the pipeline with --batch or apply it foreachBatch")
     val flat = df.select(
       Analytics2Ops.fieldCol(df, idField).cast("long").as("_id"),
       Analytics2Ops.fieldCol(df, tokensField).cast("long").as("_tokens"))
@@ -174,6 +186,12 @@ case class SampleSplitProc(groupField: Ref,
 case class SampleInterleaveProc(idField: Ref, seed: Long) extends Processor {
   val plugin = "sample.interleave"
   override def transform(df: DataFrame): DataFrame = {
+    // the global shuffle rank windows the whole batch — batch-only,
+    // so fail with the real reason instead of Spark's opaque
+    // streaming AnalysisException (the text.bpe guard contract)
+    require(!df.isStreaming,
+      "sample.interleave is batch-only (global shuffle-rank window); " +
+        "run the pipeline with --batch or apply it foreachBatch")
     val flat = df.select(
       Analytics2Ops.fieldCol(df, idField).cast("long").as("_id"))
     val out = graft.analytics.Sampling.interleave(flat, "_id", seed)
@@ -197,6 +215,13 @@ case class TextDsirProc(idField: Ref, textField: Ref, targetTable: String,
     extends Processor {
   val plugin = "text.dsir"
   override def transform(df: DataFrame): DataFrame = {
+    // the batch-side unigram model is aggregated at plan time —
+    // batch-only, so fail with the real reason instead of Spark's
+    // opaque streaming AnalysisException (the text.bpe guard contract)
+    require(!df.isStreaming,
+      "text.dsir is batch-only (hashed unigram histograms are " +
+        "aggregated at plan time); run the pipeline with --batch or " +
+        "apply it foreachBatch")
     val flat = df.select(
       Analytics2Ops.fieldCol(df, idField).as("_id"),
       Analytics2Ops.fieldCol(df, textField).as("_text"))
@@ -287,6 +312,13 @@ case class DedupSoftweightProc(idField: Ref, textField: Ref,
     s"dedup.softweight: maxHamming=$maxHamming")
   val plugin = "dedup.softweight"
   override def transform(df: DataFrame): DataFrame = {
+    // the components loop checkpoints per round — batch-only, so fail
+    // with the real reason instead of Spark's opaque streaming
+    // AnalysisException (the text.bpe guard contract)
+    require(!df.isStreaming,
+      "dedup.softweight is batch-only (iterative connected components " +
+        "with per-round checkpoints); run the pipeline with --batch or " +
+        "apply it foreachBatch")
     val flat = df.select(
       Analytics2Ops.fieldCol(df, idField).as("_id"),
       Analytics2Ops.fieldCol(df, textField).cast("string").as("_text"))
@@ -398,6 +430,13 @@ case class SampleTokenMixtureProc(strataField: Ref, idField: Ref,
     "sample.token_mixture: target proportions must sum to 1")
   val plugin = "sample.token_mixture"
   override def transform(df: DataFrame): DataFrame = {
+    // per-stratum token sums are collected at plan time — batch-only,
+    // so fail with the real reason instead of Spark's opaque
+    // streaming AnalysisException (the text.bpe guard contract)
+    require(!df.isStreaming,
+      "sample.token_mixture is batch-only (per-stratum token totals " +
+        "are collected at plan time); run the pipeline with --batch " +
+        "or apply it foreachBatch")
     import graft.analytics.HashFunctions.fnv1a_hash
     val tmap = targets.toMap
     val stratum = Analytics2Ops.fieldCol(df, strataField)
@@ -488,6 +527,12 @@ case class SketchOverlapProc(field: Ref, historyTable: String,
   require(k >= 16 && k <= 65536, s"sketch.overlap: k=$k")
   val plugin = "sketch.overlap"
   override def transform(df: DataFrame): DataFrame = {
+    // the KMV state fence checkpoints at plan time — batch-only, so
+    // fail with the real reason instead of Spark's opaque streaming
+    // AnalysisException (the text.bpe guard contract)
+    require(!df.isStreaming,
+      "sketch.overlap is batch-only (the KMV state is checkpointed at " +
+        "plan time); run the pipeline with --batch or apply it foreachBatch")
     import graft.analytics.HashFunctions.fnv1a_hash
     // payload fields arrive as strings: pre-hash to a long (fnv1a,
     // injective w.h.p.) since the KMV chain hashes numerically — the

@@ -200,8 +200,25 @@ class ControlPlane(spark: SparkSession, checkpointRoot: String) {
           case ("POST", Nil) | ("POST", "import" :: Nil) =>
             val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
             val ps = Pipeline.fromYaml(body)
-            ps.foreach(register)
-            respond(ex, 201, s"""{"created":[${ps.map(p => s""""${p.id}"""").mkString(",")}]}""")
+            // Same invariant as /apply: a RUNNING pipeline's config is
+            // never swapped under it. Reject the whole import if any
+            // id it would CHANGE is active; ids whose config is
+            // identical pass through (idempotent re-import is fine).
+            val activeChanged = ps.filter(p =>
+              isActive(p.id) && configs.get(p.id) != p).map(_.id)
+            if (activeChanged.nonEmpty)
+              respond(ex, 409, s"""{"error":"pipelines running; stop before import: ${
+                activeChanged.sorted.mkString(", ")}"}""")
+            else {
+              // creates register; existing-id updates go through
+              // mutate(), which rechecks isActive inside the per-id
+              // monitor (a start racing this import loses cleanly)
+              ps.foreach { p =>
+                if (configs.get(p.id) == null) register(p)
+                else if (configs.get(p.id) != p) mutate(p.id)(_ => p)
+              }
+              respond(ex, 201, s"""{"created":[${ps.map(p => s""""${p.id}"""").mkString(",")}]}""")
+            }
           case ("GET", "export" :: Nil) =>
             val ps = registered.sorted.flatMap(id => Option(configs.get(id)))
             respondYaml(ex, Pipeline.toYaml(ps))

@@ -1,0 +1,120 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Cdc
+import graft.ops.Registry
+
+/** Round-16 hardening: friendly batch-only guards on every plan-time-
+  * collect processor, consistent null-text handling in the BPE
+  * segmenter, and the POST create/import route enforcing the same
+  * running-config invariant as /apply.
+  */
+class Round16Spec extends AnyFunSuite {
+  lazy val spark = Spark.session
+  import spark.implicits._
+
+  /** Every batch-only config processor must reject a STREAMING frame
+    * with a require message naming the plugin and the real reason —
+    * not Spark's opaque streaming-source AnalysisException raised from
+    * deep inside the plan (the text.bpe guard contract).
+    */
+  test("plan-time-collect processors reject streaming frames with the real reason") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)]
+    val streamDf = Cdc.wrap(in.toDF().toDF("id", "text", "tokens"), "id", "docs")
+    assert(streamDf.isStreaming)
+    val guarded: Seq[(String, Map[String, String])] = Seq(
+      "text.oov" -> Map("id" -> ".Payload.After.id",
+        "trainTable" -> "/nonexistent/oov-train"),
+      "text.dsir" -> Map("id" -> ".Payload.After.id",
+        "targetTable" -> "/nonexistent/dsir-target"),
+      "sample.pack" -> Map("id" -> ".Payload.After.id",
+        "tokens" -> ".Payload.After.tokens", "budget" -> "512"),
+      "sample.interleave" -> Map("id" -> ".Payload.After.id"),
+      "sample.token_mixture" -> Map("stratum" -> ".Payload.After.text",
+        "id" -> ".Payload.After.id", "tokens" -> ".Payload.After.tokens",
+        "targets" -> "en:1.0"),
+      "sketch.overlap" -> Map("historyTable" -> "/nonexistent/overlap-hist"),
+      "dedup.softweight" -> Map("id" -> ".Payload.After.id"),
+      "text.bpe" -> Map("id" -> ".Payload.After.id",
+        "mergesTable" -> "/nonexistent/bpe-merges"),
+      "text.bpe_train" -> Map("id" -> ".Payload.After.id"))
+    for ((plugin, settings) <- guarded) {
+      val e = intercept[IllegalArgumentException] {
+        Registry.create(plugin, settings)(streamDf)
+      }
+      assert(e.getMessage.contains("batch-only"),
+        s"$plugin: ${e.getMessage}")
+      assert(e.getMessage.contains(plugin.split('.').last) ||
+        e.getMessage.contains(plugin), s"$plugin: ${e.getMessage}")
+    }
+  }
+
+  test("bpeSegment: null text yields n_tokens = 0, never -1") {
+    import graft.analytics.Text
+    val df = Seq((1L, Some("hello world hello")), (2L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val got = Text.bpeSegment(df, "doc_id", "text",
+      Seq(("hello", "world"))).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[String]("tokens"))).toMap
+    // doc 1: "hello world" merges, trailing "hello" survives → 2 tokens
+    assert(got(1L) == (2L, "hello worldhello"), got(1L).toString)
+    // doc 2 (null text): present, empty — NOT n_tokens = -1 / null
+    assert(got(2L) == (0L, ""), got(2L).toString)
+    // bpeApply consistency: the null doc contributes nothing
+    val vocab = Text.bpeApply(df, "doc_id", "text", Seq(("hello", "world")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab == Map("hello world" -> 1L, "hello" -> 1L), vocab.toString)
+  }
+
+  test("POST create/import refuses to swap a RUNNING pipeline's config") {
+    graft.pipeline.Runner.memorySinks.clear()
+    val ckpt = java.nio.file.Files.createTempDirectory("cp-import-ckpt").toString
+    val cp = new graft.pipeline.ControlPlane(spark, ckpt)
+    val port = cp.start(0)
+    val client = HttpClient.newHttpClient()
+    def url(p: String) = URI.create(s"http://127.0.0.1:$port/v1/pipelines$p")
+    def send(p: String, body: String = ""): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(url(p))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    val yaml =
+      """version: 2.2
+        |pipelines:
+        |  - id: cp-imp
+        |    connectors:
+        |      - id: gen
+        |        type: source
+        |        plugin: builtin:generator
+        |        settings:
+        |          format.options.id: int
+        |          recordCount: "1000000"
+        |          rate: "1000"
+        |      - id: out
+        |        type: destination
+        |        plugin: memory
+        |""".stripMargin
+    try {
+      assert(send("", yaml).statusCode() == 201)
+      send("/cp-imp/start")
+      // changed config against the running pipeline → 409, config kept
+      val changed = yaml.replace("rate: \"1000\"", "rate: \"2000\"")
+      val resp = send("", changed)
+      assert(resp.statusCode() == 409, s"${resp.statusCode()} ${resp.body()}")
+      assert(cp.config("cp-imp").get.sources.head.settings("rate") == "1000")
+      // identical config re-import is an idempotent 201
+      assert(send("/import", yaml).statusCode() == 201)
+      // stopped → the update lands through mutate()
+      send("/cp-imp/stop")
+      assert(send("", changed).statusCode() == 201)
+      assert(cp.config("cp-imp").get.sources.head.settings("rate") == "2000")
+    } finally cp.stop()
+  }
+}
