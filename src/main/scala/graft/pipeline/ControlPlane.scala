@@ -144,14 +144,20 @@ class ControlPlane(spark: SparkSession, checkpointRoot: String) {
   def inspect(id: String): Seq[String] =
     Metrics.inspectorFor(id).map(_.drain()).getOrElse(Nil)
 
-  private def status(id: String): String = {
+  /** The pipeline's lifecycle state string (shared by the status
+    * document and the Prometheus status gauges). */
+  private def stateOf(id: String): String = {
     val sup = supervisors.get(id)
     val q = queries.get(id)
-    val state =
-      if (sup != null) sup.status
-      else if (q == null) "stopped"
-      else if (q.isActive) "running"
-      else "terminated"
+    if (sup != null) sup.status
+    else if (q == null) "stopped"
+    else if (q.isActive) "running"
+    else "terminated"
+  }
+
+  private def status(id: String): String = {
+    val sup = supervisors.get(id)
+    val state = stateOf(id)
     val restarts = if (sup == null) 0 else sup.restarts
     val snap = Metrics.snapshot(id)
     s"""{"id":${JsonOps.render(JsonOps.mapper.getNodeFactory.textNode(id))},"status":"$state","restarts":$restarts,"batches":${snap.batches},"inputRows":${snap.inputRows},"rowsPerSecond":${snap.lastRowsPerSecond}}"""
@@ -277,6 +283,24 @@ class ControlPlane(spark: SparkSession, checkpointRoot: String) {
         case e: Exception =>
           respond(ex, 400, s"""{"error":${JsonOps.render(
             JsonOps.mapper.getNodeFactory.textNode(e.getMessage))}}""")
+      }
+    })
+    // Prometheus scrape endpoint (reference parity: the runtime serves
+    // promhttp at /metrics — pkg/conduit/runtime.go:51,73). Plain text
+    // exposition format rendered from the engine's own counters, no
+    // client library.
+    server.createContext("/metrics", (ex: HttpExchange) => {
+      try {
+        val body = Metrics.prometheus(registered.map(id => id -> stateOf(id)))
+        val bytes = body.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type",
+          "text/plain; version=0.0.4; charset=utf-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        val os = ex.getResponseBody
+        os.write(bytes); os.close()
+      } catch {
+        case e: Exception => respond(ex, 500, s"""{"error":${JsonOps.render(
+          JsonOps.mapper.getNodeFactory.textNode(e.getMessage))}}""")
       }
     })
     server.setExecutor(null)

@@ -596,7 +596,7 @@ class GrpcControlPlane(cp: ControlPlane) {
 
   private val informationHandlers: Map[String, String => String] = Map(
     "GetInfo" -> { _ =>
-      s"""{"info":{"version":${jstr("v0.1.0")},"os":${
+      s"""{"info":{"version":${jstr(Metrics.Version)},"os":${
         jstr(sys.props.getOrElse("os.name", "").toLowerCase)},"arch":${
         jstr(sys.props.getOrElse("os.arch", ""))}}}"""
     })

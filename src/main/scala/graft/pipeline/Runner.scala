@@ -221,6 +221,20 @@ object Runner {
     failed
   }
 
+  /** Per-record wire size (payload-after + key bytes) for the
+    * Prometheus byte counters — string payloads (the wire-JSON
+    * sources emit) measure directly, typed struct payloads measure
+    * their JSON rendering (what a sink would serialize).
+    */
+  private def wireBytes(df: DataFrame): org.apache.spark.sql.Column = {
+    val payload = df.schema(Cdc.PayloadAfter).dataType match {
+      case org.apache.spark.sql.types.StringType => col(Cdc.PayloadAfter)
+      case _ => to_json(col(Cdc.PayloadAfter))
+    }
+    coalesce(octet_length(payload), lit(0)).cast("long") +
+      coalesce(octet_length(col(Cdc.Key)), lit(0)).cast("long")
+  }
+
   private def write(out: DataFrame, cfg: ConnectorConfig): Unit = {
     cfg.plugin match {
       case "builtin:file" | "file" =>
@@ -300,6 +314,7 @@ object Runner {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val t0 = System.nanoTime()
         batch.persist()
         try {
           // inspector tap: bounded sample of the live stream
@@ -314,13 +329,21 @@ object Runner {
           val destFailed = pipeline.destinations.map(d => writeBatch(ok, d))
           val failed = (srcFailed +: destFailed).reduce(_.unionByName(_))
           val nacks = failed.count()
-          val acks = math.max(0L, batch.count() - nacks)
+          // records + wire bytes in ONE aggregate over the persisted
+          // batch (this pass existed as batch.count() before the bytes
+          // counter) — feeds the Prometheus per-pipeline totals
+          val statsRow = batch.agg(count(lit(1)).cast("long").as("c"),
+            coalesce(sum(wireBytes(batch)), lit(0L)).cast("long").as("b")).head()
+          val total = statsRow.getLong(0)
+          val acks = math.max(0L, total - nacks)
           if (nacks > 0) dlqSink match {
             case Some(sink) => write(Cdc.withErrorChannel(failed), sink)
             case None => throw new IllegalStateException(
               s"pipeline ${pipeline.id}: $nacks failed records and no DLQ configured")
           }
           nackWindow.foreach(_.observe(acks, nacks))
+          Metrics.observeBatch(pipeline.id, total, statsRow.getLong(1),
+            nacks, System.nanoTime() - t0)
         } finally batch.unpersist()
       }
       .start()

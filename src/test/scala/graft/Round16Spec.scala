@@ -74,6 +74,67 @@ class Round16Spec extends AnyFunSuite {
     assert(vocab == Map("hello world" -> 1L, "hello" -> 1L), vocab.toString)
   }
 
+  test("GET /metrics serves Prometheus text exposition for a running pipeline") {
+    graft.pipeline.Runner.memorySinks.clear()
+    val ckpt = java.nio.file.Files.createTempDirectory("cp-met-ckpt").toString
+    val cp = new graft.pipeline.ControlPlane(spark, ckpt)
+    val port = cp.start(0)
+    val client = HttpClient.newHttpClient()
+    def get(p: String): String =
+      client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+    try {
+      cp.register(graft.pipeline.Pipeline("cp-met")
+        .source("gen", "builtin:generator",
+          "format.options.id" -> "int", "recordCount" -> "300")
+        .destination("out", "memory"))
+      cp.startPipeline("cp-met")
+      var waited = 0
+      while (graft.pipeline.Runner.memorySink("out").size < 300 && waited < 300) {
+        Thread.sleep(100); waited += 1
+      }
+      assert(graft.pipeline.Runner.memorySink("out").size == 300)
+      // the sink fills mid-batch; totals land at batch COMMIT — poll
+      waited = 0
+      while (graft.pipeline.Metrics.statsFor("cp-met").records.get() < 300
+        && waited < 300) { Thread.sleep(100); waited += 1 }
+      val body = get("/metrics")
+      // well-formed headers for every family
+      for (m <- Seq("graft_info", "graft_pipelines", "graft_pipeline_status",
+        "graft_pipeline_records_total", "graft_pipeline_bytes_total",
+        "graft_pipeline_nacks_total", "graft_pipeline_batches_total",
+        "graft_pipeline_batch_duration_seconds"))
+        assert(body.contains(s"# TYPE $m "), s"missing TYPE line for $m")
+      assert(body.contains("# TYPE graft_pipeline_batch_duration_seconds histogram"))
+      def sample(name: String): Long =
+        body.linesIterator.find(_.startsWith(
+          s"""$name{pipeline_name="cp-met"}""")).map(_.split(' ').last.toLong)
+          .getOrElse(fail(s"no sample for $name"))
+      assert(sample("graft_pipeline_records_total") == 300L)
+      assert(sample("graft_pipeline_bytes_total") > 300L) // >1 byte/record
+      assert(sample("graft_pipeline_nacks_total") == 0L)
+      val batches = sample("graft_pipeline_batches_total")
+      assert(batches >= 1L)
+      // histogram invariants: cumulative buckets, +Inf == _count == batches
+      val inf = body.linesIterator.find(_.startsWith(
+        """graft_pipeline_batch_duration_seconds_bucket{pipeline_name="cp-met",le="+Inf"}"""))
+        .map(_.split(' ').last.toLong).getOrElse(fail("no +Inf bucket"))
+      assert(inf == batches, s"+Inf=$inf batches=$batches")
+      assert(sample("graft_pipeline_batch_duration_seconds_count") == batches)
+      val bucketCounts = body.linesIterator.filter(_.startsWith(
+        "graft_pipeline_batch_duration_seconds_bucket{pipeline_name=\"cp-met\""))
+        .map(_.split(' ').last.toLong).toSeq
+      assert(bucketCounts == bucketCounts.sorted, "buckets must be cumulative")
+      // status gauge present with a numeric value
+      assert(body.linesIterator.exists(l =>
+        l.startsWith("""graft_pipeline_status{pipeline_name="cp-met"} """)))
+      cp.stopPipeline("cp-met")
+      val after = get("/metrics")
+      assert(after.contains("""graft_pipeline_status{pipeline_name="cp-met"} 0"""))
+    } finally cp.stop()
+  }
+
   test("POST create/import refuses to swap a RUNNING pipeline's config") {
     graft.pipeline.Runner.memorySinks.clear()
     val ckpt = java.nio.file.Files.createTempDirectory("cp-import-ckpt").toString
