@@ -1,0 +1,392 @@
+package graft.ops
+
+/** Generated plugin catalogue: one entry per named plugin in
+  * [[Registry.factories]], with its settings (required / default) and
+  * a runnable YAML snippet. `main` renders `PLUGINS.md`; the suite
+  * regenerates and diffs it AND asserts the entry set equals the
+  * registry's key set and every example constructs through
+  * [[Registry.create]] — so the doc cannot rot (the Spark-side
+  * equivalent of the reference's generated `exampleutil/specs/`
+  * JSON files, reference `pkg/plugin/processor/builtin/registry.go`).
+  */
+object PluginCatalog {
+
+  final case class Setting(name: String, required: Boolean,
+                           value: String, doc: String = "")
+
+  final case class Entry(plugin: String, summary: String,
+                         settings: Seq[Setting], notes: String = "") {
+    /** Example settings: required ones verbatim (they double as the
+      * YAML snippet), nothing else — defaults are what they are. */
+    def example: Map[String, String] =
+      settings.filter(_.required).map(s => s.name -> s.value).toMap
+  }
+
+  private def req(name: String, example: String, doc: String = "") =
+    Setting(name, required = true, example, doc)
+  private def opt(name: String, default: String, doc: String = "") =
+    Setting(name, required = false, default, doc)
+
+  // common example field refs (the OpenCDC record path vocabulary)
+  private val Id = ".Payload.After.doc_id"
+  private val Text = ".Payload.After.text"
+  private val Vec = ".Payload.After.embedding"
+  private val Src = ".Payload.After.src"
+  private val Dst = ".Payload.After.dst"
+
+  val entries: Seq[Entry] = Seq(
+    // ---- field / codec ------------------------------------------------
+    Entry("field.set", "Set a field to a literal or Go-template value.",
+      Seq(req("field", ".Payload.After.department"),
+        req("value", "engineering", "literal or {{ .Payload.After.x }} template"))),
+    Entry("field.rename", "Rename fields (comma-separated from:to pairs).",
+      Seq(req("mapping", ".Payload.After.name:fullname"))),
+    Entry("field.exclude", "Drop fields from the record.",
+      Seq(req("fields", ".Payload.After.ssn"))),
+    Entry("field.convert", "Cast a field to string/int/long/float/bool.",
+      Seq(req("field", ".Payload.After.age"), req("type", "long"))),
+    Entry("json.decode", "Parse a JSON string field into structured data.",
+      Seq(req("field", Text), opt("schema", "", "optional DDL schema"))),
+    Entry("json.encode", "Serialize a structured field to a JSON string.",
+      Seq(req("field", ".Payload.After"))),
+    Entry("base64.encode", "Base64-encode a field.", Seq(req("field", Text))),
+    Entry("base64.decode", "Base64-decode a field.", Seq(req("field", Text))),
+    Entry("avro.encode", "Avro-encode the payload against a schema.",
+      Seq(req("schema",
+          """{"type":"record","name":"r","fields":[{"name":"id","type":"long"}]}"""),
+        opt("schema.id", "1"), opt("field", ".Payload.After"),
+        opt("schema.strategy", "", "autoRegister infers + registers"),
+        opt("schema.autoRegister.subject", "", "required with autoRegister"),
+        opt("schema.registry.url", "", "required with autoRegister"))),
+    Entry("avro.decode", "Avro-decode the payload against a schema.",
+      Seq(req("schema",
+          """{"type":"record","name":"r","fields":[{"name":"id","type":"long"}]}"""),
+        opt("field", ".Payload.After"))),
+    Entry("unwrap.debezium", "Unwrap a Debezium envelope into OpenCDC.",
+      Seq(opt("field", ".Payload.After"))),
+    Entry("unwrap.kafkaconnect", "Unwrap a Kafka Connect envelope.",
+      Seq(opt("field", ".Payload.After"))),
+    Entry("unwrap.opencdc", "Unwrap a nested OpenCDC record.",
+      Seq(opt("field", ".Payload.After"))),
+
+    // ---- flow ----------------------------------------------------------
+    Entry("filter", "Drop records (pair with a per-processor condition).",
+      Nil),
+    Entry("error", "Fail records to the DLQ with a message.",
+      Seq(opt("message", "error processor triggered"))),
+    Entry("clone", "Emit N copies of each record.", Seq(req("count", "2"))),
+    Entry("split", "One record per element of an array field.",
+      Seq(req("field", ".Payload.After.items"))),
+    Entry("sql", "Arbitrary Spark SQL over the batch (view `records`).",
+      Seq(req("query", "SELECT * FROM records"), opt("view", "records"))),
+
+    // ---- enrichment -----------------------------------------------------
+    Entry("webhook.http", "Per-record HTTP call with retry/backoff.",
+      Seq(req("request.url", "https://example.com/{{ .Payload.After.doc_id }}"),
+        opt("request.method", "GET"), opt("request.body", ""),
+        opt("response.body", ".Payload.After"),
+        opt("backoffRetry.count", "0"), opt("backoffRetry.min", "100ms"),
+        opt("backoffRetry.max", "5s"), opt("backoffRetry.factor", "2"))),
+    Entry("enrich.asof", "As-of join against a versioned dimension table.",
+      Seq(req("key", ".Payload.After.k"), req("time", ".Payload.After.t"),
+        req("table", "/data/prices"), req("values", "price"),
+        opt("tableKey", "key"), opt("tableTime", "ts"))),
+    Entry("openai.embed", "OpenAI embeddings for a text field.",
+      Seq(opt("model", "text-embedding-3-small"),
+        opt("url", "https://api.openai.com/v1/embeddings"))),
+    Entry("openai.embeddings", "Alias of openai.embed (reference spec name).",
+      Seq(opt("model", "text-embedding-3-small"))),
+    Entry("openai.textgen", "OpenAI chat completion over a text field.",
+      Seq(opt("model", "gpt-4o-mini"),
+        opt("url", "https://api.openai.com/v1/chat/completions"))),
+    Entry("cohere.command", "Cohere command generation (goSprintf prompt).",
+      Seq(opt("model", "command"), opt("prompt", "%s"),
+        opt("url", "https://api.cohere.com/v2/chat"))),
+    Entry("cohere.embed", "Cohere embeddings for a text field.",
+      Seq(opt("model", "embed-english-v2.0"),
+        opt("inputType", "", "required for v3+ models"),
+        opt("url", "https://api.cohere.com/v2/embed"))),
+    Entry("cohere.rerank", "Cohere rerank of documents against a query.",
+      Seq(opt("model", "rerank-v3.5"), opt("query", ""),
+        opt("url", "https://api.cohere.com/v2/rerank"))),
+    Entry("ollama.request", "Local Ollama generation request.",
+      Seq(opt("url", "http://localhost:11434"), opt("model", "llama3.2"),
+        opt("prompt", ""))),
+    Entry("ollama", "Alias of ollama.request (reference spec name).",
+      Seq(opt("model", "llama3.2"))),
+
+    // ---- dedup ----------------------------------------------------------
+    Entry("dedup.exact", "Exact dedup on a field (or the whole record).",
+      Seq(opt("field", "", "empty = whole payload"))),
+    Entry("dedup.url", "Canonical-URL dedup (scheme/host/query cleanup).",
+      Seq(opt("field", ".Payload.After"))),
+    Entry("dedup.minhash", "MinHash-LSH near-dup pairs over shingles.",
+      Seq(req("id", Id), opt("field", Text), opt("shingleSize", "3"),
+        opt("numHashes", "128"), opt("numBands", "16"),
+        opt("threshold", "0.8"), opt("charGrams", "false"),
+        opt("maxBucket", "4096"))),
+    Entry("dedup.simhash", "SimHash near-dup pairs within Hamming radius.",
+      Seq(req("id", Id), opt("field", Text), opt("maxHamming", "3"),
+        opt("maxBucket", "4096"))),
+    Entry("dedup.clusters", "Near-dup connected components + keep verdicts.",
+      Seq(req("id", Id), opt("field", Text), opt("maxHamming", "3"))),
+    Entry("dedup.softweight", "1/cluster_size soft-dedup training weights.",
+      Seq(req("id", Id), opt("field", Text), opt("maxHamming", "3"))),
+    Entry("dedup.semantic", "Embedding-cosine near-dup (SemDeDup-style).",
+      Seq(req("id", Id), req("vec", Vec), opt("k", "16"),
+        opt("threshold", "0.95"), opt("maxBucket", "4096"))),
+    Entry("dedup.incremental", "Batch-vs-history exact dedup verdicts.",
+      Seq(req("id", Id), req("historyTable", "/data/history"),
+        opt("historyField", "text"), opt("field", Text))),
+
+    // ---- text -----------------------------------------------------------
+    Entry("text.metrics", "Length/token/punctuation quality metrics.",
+      Seq(opt("field", ".Payload.After"))),
+    Entry("text.quality", "Quality screen: stopword/punct/length ratios.",
+      Seq(opt("field", Text))),
+    Entry("text.langid", "N-gram language identification.",
+      Seq(opt("field", Text))),
+    Entry("text.scripts", "Script composition (Latin/CJK/Cyrillic/...).",
+      Seq(opt("field", Text))),
+    Entry("text.normalize", "Unicode/whitespace/case normalization.",
+      Seq(opt("field", Text))),
+    Entry("text.fingerprint", "Rolling-hash document fingerprint.",
+      Seq(opt("field", Text))),
+    Entry("text.tokens", "Whitespace + BPE-ish regex token counts.",
+      Seq(opt("field", Text))),
+    Entry("text.chunk", "Fixed-size token chunks with overlap.",
+      Seq(opt("field", Text), opt("chunkTokens", "100"), opt("overlap", "20"))),
+    Entry("text.pii", "PII pattern annotation (emails, phones, ids).",
+      Seq(opt("field", Text))),
+    Entry("text.repetition", "Repeated n-gram / boilerplate ratios.",
+      Seq(req("id", Id), opt("field", Text))),
+    Entry("text.novelty", "Cross-document n-gram novelty score.",
+      Seq(req("id", Id), opt("field", Text), opt("n", "3"))),
+    Entry("text.entropy", "Character/word entropy per document.",
+      Seq(req("id", Id), opt("field", Text))),
+    Entry("text.classifier", "Hashed-feature quality classifier score.",
+      Seq(opt("field", Text), opt("seed", "42"))),
+    Entry("text.hashing", "Hashed bag-of-words feature vector.",
+      Seq(req("id", Id), opt("field", Text), opt("dim", "1024"))),
+    Entry("text.decontaminate", "Flag docs sharing n-grams with an eval set.",
+      Seq(req("id", Id), req("evalTable", "/data/eval"),
+        opt("evalField", "text"), opt("n", "8"), opt("field", Text))),
+    Entry("text.oov", "Out-of-vocabulary rate vs a train corpus (batch-only).",
+      Seq(req("id", Id), req("trainTable", "/data/train"),
+        opt("trainField", "text"), opt("minCount", "2"), opt("field", Text))),
+    Entry("text.dsir", "DSIR importance weights toward a target domain (batch-only).",
+      Seq(req("id", Id), req("targetTable", "/data/target"),
+        opt("targetField", "text"), opt("buckets", "4096"), opt("field", Text))),
+    Entry("text.bpe", "Apply a trained BPE merge list per document (batch-only).",
+      Seq(req("id", Id), req("mergesTable", "/data/merges"), opt("field", Text))),
+    Entry("text.bpe_train", "Train a BPE merge list on the corpus (batch-only).",
+      Seq(req("id", Id), opt("rounds", "8"), opt("field", Text))),
+
+    // ---- sampling / mixing -----------------------------------------------
+    Entry("sample.hash", "Deterministic hash sampling by fraction.",
+      Seq(opt("field", "", "empty = whole payload"), opt("fraction", "0.1"),
+        opt("seed", "0"))),
+    Entry("sample.fixed", "Exactly-k per group (deterministic).",
+      Seq(req("groups", ".Payload.After.lang"), req("id", Id),
+        opt("k", "1000"), opt("seed", "0"))),
+    Entry("sample.weighted", "Weighted k-sample (Efraimidis-Spirakis).",
+      Seq(req("id", Id), req("weight", ".Payload.After.weight"),
+        opt("k", "1000"), opt("seed", "0"))),
+    Entry("sample.split", "Deterministic train/val/test splits.",
+      Seq(req("group", Id), req("fractions", "train:0.8,val:0.1,test:0.1"),
+        opt("seed", "0"))),
+    Entry("sample.kfold", "Deterministic k-fold assignment.",
+      Seq(req("id", Id), opt("k", "5"), opt("seed", "0"))),
+    Entry("sample.mixture", "Doc-count mixture toward target proportions.",
+      Seq(req("stratum", ".Payload.After.lang"), req("id", Id),
+        req("targets", "en:0.8,de:0.2"), opt("seed", "0"))),
+    Entry("sample.token_mixture",
+      "Token-weighted mixture toward target proportions (batch-only).",
+      Seq(req("stratum", ".Payload.After.lang"), req("id", Id),
+        req("tokens", ".Payload.After.n_tokens"),
+        req("targets", "en:0.8,de:0.2"), opt("seed", "0"))),
+    Entry("sample.temperature", "Temperature-scaled stratum rebalancing.",
+      Seq(req("stratum", ".Payload.After.lang"), req("id", Id),
+        opt("temperature", "2.0"), opt("seed", "0"))),
+    Entry("sample.negatives", "Deterministic negative sampling for pairs.",
+      Seq(req("id", Id), opt("k", "2"), opt("bucketBits", "6"),
+        opt("seed", "7"))),
+    Entry("sample.interleave", "Deterministic global training-order shuffle (batch-only).",
+      Seq(req("id", Id), opt("seed", "0"))),
+    Entry("sample.pack", "Greedy sequence packing into token budgets (batch-only).",
+      Seq(req("id", Id), req("tokens", ".Payload.After.n_tokens"),
+        req("budget", "512"), opt("streams", "8"), opt("seed", "0"))),
+
+    // ---- sketches --------------------------------------------------------
+    Entry("sketch.bloom", "Bloom-filter membership state per batch.",
+      Seq(opt("value", "", "field to hash; default whole payload"),
+        opt("mBits", "65536"), opt("kHashes", "4"), opt("seed", "7"))),
+    Entry("sketch.cms", "Count-min sketch of value frequencies.",
+      Seq(opt("value", "", "field to count; default whole payload"),
+        opt("depth", "4"), opt("width", "1024"))),
+    Entry("sketch.hll", "HyperLogLog distinct counts per group.",
+      Seq(req("groups", ".Payload.After.lang"),
+        req("value", ".Payload.After.user"), opt("p", "12"), opt("seed", "7"))),
+    Entry("sketch.kmv", "K-minimum-values distinct-count state per group.",
+      Seq(req("groups", ".Payload.After.lang"),
+        req("value", ".Payload.After.user"), opt("k", "256"), opt("seed", "7"))),
+    Entry("sketch.kll", "KLL quantile sketch (grouped or global).",
+      Seq(req("value", ".Payload.After.amount"), req("id", Id),
+        opt("groups", ""), opt("k", "256"), opt("seed", "7"),
+        opt("quantiles", "p50:5000,p90:9000,p99:9900"))),
+    Entry("sketch.hist", "Fixed-bin histogram + quantile estimates.",
+      Seq(req("groups", ".Payload.After.lang"),
+        req("value", ".Payload.After.amount"), opt("lo", "0"),
+        opt("width", "1"), opt("bins", "64"), opt("quantiles", "0.5,0.9,0.99"))),
+    Entry("sketch.topk", "Heavy hitters above a count threshold.",
+      Seq(opt("value", "", "field to count; default whole payload"),
+        opt("threshold", "2"), opt("capacity", "0"))),
+    Entry("sketch.overlap", "KMV overlap estimate vs a history corpus (batch-only).",
+      Seq(req("historyTable", "/data/history"), opt("historyField", "text"),
+        opt("k", "256"), opt("field", Text))),
+
+    // ---- graph -----------------------------------------------------------
+    Entry("graph.pagerank", "PageRank over (src, dst) edges.",
+      Seq(req("src", Src), req("dst", Dst), opt("iterations", "5"),
+        opt("damping", "0.85"))),
+    Entry("graph.hits", "HITS hub/authority scores.",
+      Seq(req("src", Src), req("dst", Dst), opt("iterations", "3"))),
+    Entry("graph.kcore", "K-core decomposition membership.",
+      Seq(req("src", Src), req("dst", Dst), opt("k", "3"),
+        opt("maxRounds", "10"))),
+    Entry("graph.components", "Connected component labels.",
+      Seq(req("src", Src), req("dst", Dst), opt("maxIter", "25"))),
+    Entry("graph.links", "Jaccard link prediction over shared neighbors.",
+      Seq(req("src", Src), req("dst", Dst), opt("minJaccard", "0.5"),
+        opt("maxDegree", "100000"))),
+
+    // ---- similarity --------------------------------------------------------
+    Entry("sim.topk", "Top-k cosine neighbors (brute force or IVF).",
+      Seq(req("id", Id), req("vec", Vec), opt("k", "10"),
+        opt("nlist", "-1", "-1 = brute force; >0 = IVF buckets"),
+        opt("maxBucket", "4096"))),
+    Entry("sim.cluster", "Spherical k-means topic assignment.",
+      Seq(req("id", Id), req("vec", Vec), opt("k", "8"))),
+    Entry("sim.quantize", "Scalar int8 quantization of a vector field.",
+      Seq(req("id", Id), req("vec", Vec))),
+
+    // ---- linkage / joins --------------------------------------------------
+    Entry("linkage.jw", "Jaro-Winkler fuzzy links within blocks.",
+      Seq(req("id", Id), req("block", ".Payload.After.zip"),
+        req("field", ".Payload.After.name"), opt("minSim", "0.9"),
+        opt("maxBlock", "10000"))),
+    Entry("linkage.score", "Fellegi-Sunter linkage scores (m/u weights).",
+      Seq(req("id", Id), req("block", ".Payload.After.zip"),
+        req("fields", ".Payload.After.name:0.9:0.1"),
+        opt("minScore", "0.0"), opt("maxBlock", "10000"))),
+    Entry("link.clusters", "Entity clusters from fuzzy links.",
+      Seq(req("id", Id), req("block", ".Payload.After.zip"),
+        req("field", ".Payload.After.name"), opt("minSim", "0.9"),
+        opt("maxBlock", "10000"))),
+    Entry("joins.skyline", "Pareto skyline (maximize x, minimize y) per group.",
+      Seq(req("groups", ".Payload.After.lang"), req("x", ".Payload.After.score"),
+        req("y", ".Payload.After.cost"))),
+
+    // ---- privacy -----------------------------------------------------------
+    Entry("privacy.pseudonymize", "Keyed pseudonymization of id fields.",
+      Seq(req("fields", ".Payload.After.user"), opt("secret", "0"))),
+    Entry("privacy.kanon", "K-anonymity verdicts per quasi-identifier group.",
+      Seq(req("fields", ".Payload.After.zip"), opt("k", "2"))),
+    Entry("privacy.ldiv", "L-diversity verdicts for a sensitive field.",
+      Seq(req("fields", ".Payload.After.zip"),
+        req("sensitive", ".Payload.After.diagnosis"), opt("l", "2"))),
+    Entry("privacy.tclose", "T-closeness distances for a sensitive field.",
+      Seq(req("fields", ".Payload.After.zip"),
+        req("sensitive", ".Payload.After.diagnosis"))),
+    Entry("privacy.noise", "Laplace-noised counts per group.",
+      Seq(req("fields", ".Payload.After.zip"), opt("epsilon", "1.0"),
+        opt("seed", "0"))),
+
+    // ---- retrieval ----------------------------------------------------------
+    Entry("retrieval.tfidf", "TF-IDF term weights per document.",
+      Seq(req("id", Id), opt("field", Text), opt("minDf", "2"))),
+    Entry("retrieval.bm25", "BM25 ranking against a query string.",
+      Seq(req("id", Id), req("query", "spark analytics"), opt("field", Text),
+        opt("k1", "1.2"), opt("b", "0.75"), opt("topK", "10"))),
+    Entry("retrieval.keywords", "Top-k TF-IDF keywords per document.",
+      Seq(req("id", Id), opt("field", Text), opt("k", "10"), opt("minDf", "2"))),
+
+    // ---- sequences / cdc / dq / misc -----------------------------------------
+    Entry("seq.ngrams", "Frequent order-n event sequences per entity.",
+      Seq(req("entity", ".Payload.After.user"), req("order", ".Payload.After.ts"),
+        req("tie", ".Payload.After.event_id"), req("state", ".Payload.After.kind"),
+        opt("n", "3"), opt("minSupport", "2"))),
+    Entry("seq.transitions", "Markov transition counts per entity.",
+      Seq(req("entity", ".Payload.After.user"), req("order", ".Payload.After.ts"),
+        req("tie", ".Payload.After.event_id"), req("state", ".Payload.After.kind"))),
+    Entry("cdc.scd2", "Slowly-changing-dimension type-2 intervals.",
+      Seq(opt("order.field", "", "default: record position"),
+        opt("deleteOp", "delete"))),
+    Entry("dq.validate", "Declarative data-quality checks (; separated).",
+      Seq(req("checks", "not_null:.Payload.After.doc_id"))),
+    Entry("dq.reconcile", "Field-level diff against a reference table.",
+      Seq(req("key", Id), req("compare", ".Payload.After.amount"),
+        req("table", "/data/reference"))),
+    Entry("quality.filter", "Token-count / token-length quality gate.",
+      Seq(opt("field", Text), opt("minTokens", "1"),
+        opt("minMeanTokenLen", "0"), opt("maxMeanTokenLen", "1000000"))),
+    Entry("stats.outliers", "Z-score outlier verdicts per group.",
+      Seq(req("groups", ".Payload.After.lang"),
+        req("value", ".Payload.After.amount"), opt("z", "3"), opt("scale", "2"))),
+    Entry("layout.key", "Z-order / Hilbert interleaved layout key.",
+      Seq(req("fields", ".Payload.After.x,.Payload.After.y"),
+        opt("bits", "16"), opt("kind", "zorder")))
+  )
+
+  /** Render the catalogue as markdown. */
+  def renderMarkdown(): String = {
+    val sb = new StringBuilder
+    sb.append("# Plugin catalogue\n\n")
+    sb.append("Generated from `graft.ops.PluginCatalog` — run " +
+      "`sbt \"runMain graft.ops.PluginCatalog\"` to regenerate; " +
+      "`PluginCatalogSpec` fails if this file, the catalogue, and " +
+      "`Registry.factories` disagree.\n\n")
+    sb.append(s"${entries.size} named plugins. Field references use the " +
+      "OpenCDC record paths (`.Payload.After.<field>`, `.Key`, " +
+      "`.Metadata.<key>`). Custom plugins install via " +
+      "`Registry.register` / `Registry.registerTransform`.\n\n")
+    val groups = entries.groupBy(e => e.plugin.split("[.]").head)
+    val order = Seq("field", "json", "base64", "avro", "unwrap", "filter",
+      "error", "clone", "split", "sql", "webhook", "enrich", "openai",
+      "cohere", "ollama", "dedup", "text", "sample", "sketch", "graph",
+      "sim", "linkage", "link", "joins", "privacy", "retrieval", "seq",
+      "cdc", "dq", "quality", "stats", "layout")
+    require(groups.keySet == order.toSet,
+      s"catalogue section order out of date: ${groups.keySet.diff(order.toSet)} / ${order.toSet.diff(groups.keySet)}")
+    for (g <- order; e <- groups(g).sortBy(_.plugin)) {
+      sb.append(s"## `${e.plugin}`\n\n${e.summary}\n\n")
+      if (e.settings.nonEmpty) {
+        sb.append("| setting | required | default / example | notes |\n")
+        sb.append("| --- | --- | --- | --- |\n")
+        e.settings.foreach { s =>
+          val v = if (s.value.isEmpty) "" else s"`${s.value}`"
+          sb.append(s"| `${s.name}` | ${if (s.required) "yes" else "no"} " +
+            s"| $v | ${s.doc} |\n")
+        }
+        sb.append('\n')
+      }
+      sb.append("```yaml\n")
+      sb.append(s"      - plugin: ${e.plugin}\n")
+      if (e.example.nonEmpty) {
+        sb.append("        settings:\n")
+        e.example.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          sb.append(s"""          $k: "${v.replace("\"", "\\\"")}"\n""")
+        }
+      }
+      sb.append("```\n\n")
+    }
+    sb.result()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) args(0) else "PLUGINS.md"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+      renderMarkdown())
+    println(s"wrote $out (${entries.size} plugins)")
+  }
+}
