@@ -86,6 +86,59 @@ object Temporal {
         Seq("p_event_id", "p_value", "p_ts_s"))
     }),
 
+    // The same attribution through the `enrich.asof` CONFIG PLUGIN in
+    // its STREAMING form: clicks/views arrive as a MemoryStream, the
+    // purchase versions are the static parquet dimension, and the
+    // processor's stream-static broadcast join enriches each record's
+    // metadata with `asof.*` values per micro-batch. Same oracle as
+    // join_asof_broadcast — the enrichment operator is oracle-checked
+    // in both modes.
+    "enrich_asof_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = t(s, dir, "events")
+      val secs = tsEpochSeconds(ev)
+      val rows = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_id"), secs.as("ts_s"))
+        .as[(Long, Long, Long)].collect()
+      val dimDir = java.nio.file.Files
+        .createTempDirectory("asof_dim").toString
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("key"), secs.as("ts"),
+          col("event_id"), col("value"))
+        .groupBy(col("key"), col("ts"))
+        .agg(max(col("event_id")).as("p_event_id"),
+          max_by(col("value"), col("event_id")).as("p_value"))
+        .withColumn("p_ts_s", col("ts"))
+        .write.mode("overwrite").parquet(dimDir)
+      val (b1, b2) = rows.partition(_._2 % 2 == 0)
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, Long, Long)]
+        val proc = graft.ops.Registry.create("enrich.asof", Map(
+          "key" -> ".Payload.After.user_id",
+          "time" -> ".Payload.After.ts_s",
+          "table" -> dimDir, "values" -> "p_event_id,p_value,p_ts_s"))
+        val out = proc(graft.model.Cdc.wrap(
+          in.toDF().toDF("user_id", "event_id", "ts_s"), "event_id", "events"))
+        val q = out.writeStream.format("memory")
+          .queryName("enrich_asof_stream_out").outputMode("append").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
+      val m = col(graft.model.Cdc.Metadata)
+      val pa = col(graft.model.Cdc.PayloadAfter)
+      s.table("enrich_asof_stream_out").select(
+        get_json_object(pa, "$.user_id").cast("long").as("user_id"),
+        get_json_object(pa, "$.event_id").cast("long").as("event_id"),
+        get_json_object(pa, "$.ts_s").cast("long").as("ts_s"),
+        m.getItem("asof.p_event_id").cast("long").as("p_event_id"),
+        m.getItem("asof.p_value").cast("double").as("p_value"),
+        m.getItem("asof.p_ts_s").cast("long").as("p_ts_s"))
+    }),
+
     // Promo-window analysis: each high-value purchase opens a 1-hour
     // window; count/sum ALL events whose timestamp falls inside —
     // a pure range join (no equi-key), planned as a bucket equi-join
@@ -3264,6 +3317,14 @@ object Temporal {
          SELECT l.user_id, l.event_id, l.ts_s, r.p_event_id, r.p_value, r.p_ts_s
          FROM l ASOF LEFT JOIN r ON l.user_id = r.p_uid AND l.ts_s >= r.p_ts_s""",
     "join_asof_broadcast" ->
+      """WITH l AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s
+                    FROM events WHERE event_type IN ('click', 'view')),
+         r AS (SELECT user_id AS p_uid, epoch_ns(ts) // 1000000000 AS p_ts_s,
+                      max(event_id) AS p_event_id, max_by(value, event_id) AS p_value
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT l.user_id, l.event_id, l.ts_s, r.p_event_id, r.p_value, r.p_ts_s
+         FROM l ASOF LEFT JOIN r ON l.user_id = r.p_uid AND l.ts_s >= r.p_ts_s""",
+    "enrich_asof_stream" ->
       """WITH l AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s
                     FROM events WHERE event_type IN ('click', 'view')),
          r AS (SELECT user_id AS p_uid, epoch_ns(ts) // 1000000000 AS p_ts_s,
