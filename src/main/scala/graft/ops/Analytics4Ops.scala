@@ -349,7 +349,24 @@ case class TextBpeProc(idField: Ref, textField: Ref, mergesTable: String)
     require(!df.isStreaming,
       "text.bpe is batch-only (per-round persist fences + parquet " +
         "spill); run the pipeline with --batch or apply it foreachBatch")
-    val merges = df.sparkSession.read.parquet(mergesTable)
+    // mergesTable is either a plain (round, sym_a, sym_b) table or a
+    // CDC-shaped parquet written by a `text.bpe_train` pipeline's
+    // parquet destination (payload_after JSON or typed struct) — so
+    // train→apply composes in pure config, no flattening step between
+    val raw = df.sparkSession.read.parquet(mergesTable)
+    val flatMerges =
+      if (raw.columns.contains("sym_a")) raw
+      else raw.schema(Cdc.PayloadAfter).dataType match {
+        case _: org.apache.spark.sql.types.StructType => raw.select(
+          col(s"${Cdc.PayloadAfter}.round").cast("int").as("round"),
+          col(s"${Cdc.PayloadAfter}.sym_a").cast("string").as("sym_a"),
+          col(s"${Cdc.PayloadAfter}.sym_b").cast("string").as("sym_b"))
+        case _ => raw.select(
+          get_json_object(col(Cdc.PayloadAfter), "$.round").cast("int").as("round"),
+          get_json_object(col(Cdc.PayloadAfter), "$.sym_a").as("sym_a"),
+          get_json_object(col(Cdc.PayloadAfter), "$.sym_b").as("sym_b"))
+      }
+    val merges = flatMerges
       .orderBy(col("round")).collect()
       .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"))).toSeq
     val flat = df.select(

@@ -338,6 +338,54 @@ object PluginCatalog {
         opt("bits", "16"), opt("kind", "zorder")))
   )
 
+  /** Render the catalogue as the reference API's plugin-spec JSON
+    * (`ListProcessorPlugins`, `GET /v1/processors/plugins` —
+    * reference `proto/api/v1/api.proto:1132-1137`, payload shape
+    * `ProcessorPluginSpecifications` at `:221-239` with the
+    * `config.v1.Parameter` map: description / default / type /
+    * validations). `nameRegex` filters plugins by name like the
+    * reference request's `name` field.
+    */
+  def specsJson(nameRegex: Option[String] = None): String = {
+    val mapper = graft.functions.JsonOps.mapper
+    val f = mapper.getNodeFactory
+    val pat = nameRegex.filter(_.nonEmpty)
+      .map(java.util.regex.Pattern.compile(_))
+    val arr = f.arrayNode()
+    for (e <- entries.sortBy(_.plugin)
+         if pat.forall(_.matcher(e.plugin).find())) {
+      val o = f.objectNode()
+      o.put("name", e.plugin)
+      o.put("summary", e.summary)
+      o.put("description",
+        if (e.notes.nonEmpty) s"${e.summary} ${e.notes}" else e.summary)
+      o.put("version", Version)
+      o.put("author", "graft")
+      val params = f.objectNode()
+      e.settings.foreach { s =>
+        val p = f.objectNode()
+        p.put("description", s.doc)
+        p.put("default", if (s.required) "" else s.value)
+        p.put("type", "TYPE_STRING")
+        val vs = f.arrayNode()
+        if (s.required) {
+          val v = f.objectNode()
+          v.put("type", "TYPE_REQUIRED"); v.put("value", "")
+          vs.add(v)
+        }
+        p.set[com.fasterxml.jackson.databind.JsonNode]("validations", vs)
+        params.set[com.fasterxml.jackson.databind.JsonNode](s.name, p)
+      }
+      o.set[com.fasterxml.jackson.databind.JsonNode]("parameters", params)
+      arr.add(o)
+    }
+    mapper.writeValueAsString(arr)
+  }
+
+  /** Engine version string served by `/info` and stamped on plugin
+    * specs (semver with the "v" prefix, the reference convention). */
+  val Version = "v0.16.0"
+
   /** Render the catalogue as markdown. */
   def renderMarkdown(): String = {
     val sb = new StringBuilder

@@ -303,6 +303,35 @@ class ControlPlane(spark: SparkSession, checkpointRoot: String) {
           JsonOps.mapper.getNodeFactory.textNode(e.getMessage))}}""")
       }
     })
+    // Processor-plugin discovery (reference parity: ListProcessorPlugins,
+    // GET /v1/processors/plugins with an optional name-regex filter —
+    // proto/api/v1/api.proto:1132-1137, spec shape :221-239): the
+    // generated catalogue rendered as ProcessorPluginSpecifications
+    // JSON, so a client can enumerate the ~100 named plugins and their
+    // parameter maps without reading source.
+    server.createContext("/v1/processors/plugins", (ex: HttpExchange) => {
+      try {
+        if (ex.getRequestMethod != "GET")
+          respond(ex, 404, """{"error":"not found"}""")
+        else {
+          val nameRe = Option(ex.getRequestURI.getQuery).toSeq
+            .flatMap(_.split("&")).find(_.startsWith("name="))
+            .map(q => java.net.URLDecoder.decode(q.drop(5), "UTF-8"))
+          respond(ex, 200, graft.ops.PluginCatalog.specsJson(nameRe))
+        }
+      } catch {
+        case e: Exception => respond(ex, 400, s"""{"error":${JsonOps.render(
+          JsonOps.mapper.getNodeFactory.textNode(e.getMessage))}}""")
+      }
+    })
+    // Runtime information (reference parity: InformationService.GetInfo,
+    // GET /info — proto/api/v1/api.proto:1202-1209).
+    server.createContext("/info", (ex: HttpExchange) => {
+      respond(ex, 200,
+        s"""{"version":"${graft.ops.PluginCatalog.Version}","os":"${
+          System.getProperty("os.name").toLowerCase}","arch":"${
+          System.getProperty("os.arch")}"}""")
+    })
     server.setExecutor(null)
     server.start()
     server.getAddress.getPort

@@ -20,18 +20,89 @@ class ExamplesSpec extends AnyFunSuite {
   test("every example parses and its processors instantiate") {
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".yaml")).sortBy(_.getName)
-    assert(files.length >= 3, s"examples missing at ${dir.getAbsolutePath}")
+    assert(files.length >= 6, s"examples missing at ${dir.getAbsolutePath}")
     files.foreach { f =>
       val cfgs = Pipeline.fromYaml(
         new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
       assert(cfgs.nonEmpty, f.getName)
-      val cfg = cfgs.head
-      assert(cfg.sources.nonEmpty && cfg.destinations.nonEmpty, f.getName)
-      cfg.processors.foreach { p =>
-        assert(Registry.create(p.plugin, p.settings) != null,
-          s"${f.getName}: ${p.plugin}")
+      cfgs.foreach { cfg =>
+        assert(cfg.sources.nonEmpty && cfg.destinations.nonEmpty, f.getName)
+        cfg.processors.foreach { p =>
+          assert(Registry.create(p.plugin, p.settings) != null,
+            s"${f.getName}: ${p.plugin}")
+        }
       }
     }
+  }
+
+  private def load(name: String) = Pipeline.fromYaml(new String(
+    java.nio.file.Files.readAllBytes(new java.io.File(dir, name).toPath),
+    "UTF-8"))
+
+  private def clean(paths: String*): Unit = paths.foreach { p =>
+    val f = new java.io.File(p)
+    if (f.exists()) {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete()
+      }
+      rm(f)
+    }
+  }
+
+  test("mixture-by-tokens hits the token-share targets on sf0.001") {
+    clean("/tmp/graft-mixture")
+    val cfg = load("mixture-by-tokens.yaml").head
+    val out = Cdc.ok(Runner.build(spark, cfg, streaming = false))
+    val rows = out.select(col(Cdc.PayloadAfter), col(Cdc.Metadata)).collect()
+    assert(rows.nonEmpty)
+    val targets = Map("en" -> 0.5, "fr" -> 0.2, "es" -> 0.15,
+      "zh" -> 0.1, "de" -> 0.05)
+    val byLang = rows.groupBy { r =>
+      graft.functions.JsonOps.parse(r.getString(0)).get("lang").asText
+    }.map { case (lang, rs) =>
+      lang -> rs.map(_.getMap[String, String](1)("tokens.ws").toLong).sum
+    }
+    assert(byLang.keySet.subsetOf(targets.keySet), byLang.keySet.toString())
+    // downsample-only mixes can't exceed the largest-feasible budget,
+    // but realized TOKEN shares must land near the targets (the 4096
+    // hash buckets + doc-sized token quanta bound the error at this
+    // corpus size)
+    val total = byLang.values.sum.toDouble
+    targets.foreach { case (lang, share) =>
+      val realized = byLang.getOrElse(lang, 0L) / total
+      assert(math.abs(realized - share) < 0.08,
+        s"$lang: realized $realized vs target $share ($byLang)")
+    }
+  }
+
+  test("overlap-monitor reads jaccard ~ 1.0 re-ingesting its own corpus") {
+    clean("/tmp/graft-overlap")
+    val cfg = load("overlap-monitor.yaml").head
+    val out = Cdc.ok(Runner.build(spark, cfg, streaming = false))
+    val pay = out.select(col(Cdc.PayloadAfter)).collect()
+      .map(r => graft.functions.JsonOps.parse(r.getString(0)))
+    assert(pay.length == 1, pay.length.toString)
+    val j = pay.head.get("jaccard_est").asDouble
+    assert(j > 0.9, s"jaccard_est=$j")
+    assert(pay.head.get("n_common").asLong > 0)
+  }
+
+  test("bpe-train-apply composes through the parquet merge table") {
+    clean("/tmp/graft-bpe-merges", "/tmp/graft-bpe-segmented")
+    val cfgs = load("bpe-train-apply.yaml")
+    assert(cfgs.map(_.id) == Seq("bpe-train", "bpe-apply"))
+    // pipeline 1 lands the CDC-shaped merge table...
+    val counts = Runner.runBatch(spark, cfgs.head)
+    assert(counts("ok") > 0 && counts("dlq") == 0, counts.toString())
+    // ...and pipeline 2's text.bpe reads it back without flattening
+    val out = Cdc.ok(Runner.build(spark, cfgs(1), streaming = false))
+    val pay = out.select(col(Cdc.PayloadAfter)).collect()
+      .map(r => graft.functions.JsonOps.parse(r.getString(0)))
+    assert(pay.nonEmpty)
+    assert(pay.forall(_.get("n_tokens").asLong > 0))
+    // at least one trained merge actually fired: some doc has a token
+    // with an internal space (merged symbols keep space-joined spelling)
+    assert(pay.exists(_.get("tokens").asText.contains(" ")))
   }
 
   test("curate-documents runs end-to-end on sf0.001") {

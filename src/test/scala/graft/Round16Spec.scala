@@ -178,4 +178,39 @@ class Round16Spec extends AnyFunSuite {
       assert(cp.config("cp-imp").get.sources.head.settings("rate") == "2000")
     } finally cp.stop()
   }
+
+  test("GET /v1/processors/plugins serves the full catalogue with specs") {
+    val ckpt = java.nio.file.Files.createTempDirectory("cp-plug-ckpt").toString
+    val cp = new graft.pipeline.ControlPlane(spark, ckpt)
+    val port = cp.start(0)
+    val client = HttpClient.newHttpClient()
+    def get(p: String): String =
+      client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+    try {
+      val all = graft.functions.JsonOps.parse(get("/v1/processors/plugins"))
+      assert(all.isArray)
+      // one spec per catalogue entry == per registry factory
+      assert(all.size() == graft.ops.PluginCatalog.entries.size)
+      val names = (0 until all.size()).map(all.get(_).get("name").asText).toSet
+      assert(names == graft.ops.Registry.factories.keySet)
+      // spec shape: required settings carry a TYPE_REQUIRED validation
+      val fieldSet = (0 until all.size()).map(all.get)
+        .find(_.get("name").asText == "field.set").get
+      val p = fieldSet.get("parameters").get("field")
+      assert(p.get("validations").get(0).get("type").asText == "TYPE_REQUIRED")
+      assert(fieldSet.get("version").asText.startsWith("v"))
+      // name-regex filter narrows like the reference request
+      val deduped = graft.functions.JsonOps.parse(
+        get("/v1/processors/plugins?name=%5Ededup%5C."))
+      assert(deduped.size() > 0 && deduped.size() < all.size())
+      assert((0 until deduped.size()).forall(
+        deduped.get(_).get("name").asText.startsWith("dedup.")))
+      // GET /info: version/os/arch (reference InformationService)
+      val info = graft.functions.JsonOps.parse(get("/info"))
+      assert(info.get("version").asText == graft.ops.PluginCatalog.Version)
+      assert(info.get("os").asText.nonEmpty && info.get("arch").asText.nonEmpty)
+    } finally cp.stop()
+  }
 }
