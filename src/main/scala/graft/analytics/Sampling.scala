@@ -525,4 +525,93 @@ object Sampling {
       .filter(col("sample_rank") <= k)
       .drop("_h")
   }
+
+  /** Curriculum phase assignment: documents are ordered by an integer
+    * difficulty score (ties broken by id — a total order) and dealt
+    * into `phases` NTILE buckets, so phase 1 holds the easiest
+    * ~n/phases documents and the last phase the hardest — the
+    * shortest-first schedule curriculum training reads.
+    *
+    * Exact NTILE without the global window: a naive
+    * `ntile(k) over (order by score, id)` collapses the corpus into
+    * ONE task (Spark warns and dies at scale). Instead the per-score
+    * histogram (distinct scores ≈ thousands — token counts, not
+    * documents) collects to the driver, prefix sums give each score
+    * its global start index, and every row derives its own index as
+    * `start(score) + rank-within-score` from a per-score window
+    * (parallel across scores). The phase is then pure arithmetic via
+    * the standard NTILE split (first n mod k buckets one larger) —
+    * bit-identical to the single-task window, at any partitioning.
+    */
+  def curriculum(df: DataFrame, idCol: String, scoreCol: String,
+                 phases: Int): DataFrame = {
+    require(phases >= 2, s"phases=$phases")
+    val hist = df.groupBy(col(scoreCol).cast("long").as("_s"))
+      .agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = hist.map(_._2).sum
+    require(n > 0, "curriculum: empty input")
+    val starts = hist.scanLeft(0L)(_ + _._2).init
+    val spark = df.sparkSession
+    import spark.implicits._
+    val startDf = broadcast(
+      hist.map(_._1).zip(starts).toSeq.toDF("_s", "_start"))
+    val q = n / phases
+    val r = n % phases
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_s")).orderBy(col(idCol))
+    // 0-based global index of the row in the (score, id) total order
+    val idx = col("_start") + row_number().over(w) - 1
+    // floor division through doubles: exact for any corpus whose row
+    // count fits in 2^53 (Spark's long `/` is true division)
+    def fdiv(a: Column, b: Long): Column =
+      floor(a.cast("double") / lit(b.toDouble)).cast("long")
+    val phase = if (r > 0)
+      when(idx < lit(r * (q + 1)), fdiv(idx, q + 1) + 1)
+        .otherwise(lit(r) + fdiv(idx - lit(r * (q + 1)), math.max(q, 1L)) + 1)
+    else fdiv(idx, q) + 1
+    df.withColumn("_s", col(scoreCol).cast("long"))
+      .join(startDf, "_s")
+      .withColumn("phase", phase.cast("long"))
+      .select(col(idCol), col(scoreCol), col("phase"))
+  }
+
+  /** Mixture divergence monitor: how far the corpus's realized
+    * per-stratum TOKEN shares sit from a target mixture — one row per
+    * target stratum with (tokens, share, target, kl_term), where
+    * `kl_term = share·ln(share/target)` sums to KL(realized‖target).
+    * The number a mixture designer checks after [[tokenMixture]] runs
+    * (or before, to see how lopsided the raw corpus is). Strata
+    * outside the target set are excluded from the realized shares —
+    * same convention as [[tokenMixture]]'s budget math.
+    *
+    * Scale shape: one map-side-combined aggregation to ≤ |targets|
+    * rows; shares and KL terms are arithmetic on the aggregate —
+    * constant-size state, rounded to 6 dp for partition-order-stable
+    * verdicts.
+    */
+  def mixtureKl(df: DataFrame, strataCol: String, tokensCol: String,
+                targets: Seq[(String, Double)]): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      "targets must be non-empty with positive proportions")
+    require(math.abs(targets.map(_._2).sum - 1.0) < 1e-9,
+      "target proportions must sum to 1")
+    require(targets.map(_._1).distinct.size == targets.size,
+      "duplicate target stratum")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tDf = broadcast(targets.toDF(strataCol, "target"))
+    val counts = df.join(tDf, strataCol)
+      .groupBy(col(strataCol), col("target"))
+      .agg(sum(col(tokensCol)).cast("long").as("tokens"))
+    val total = sum(col("tokens")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy())
+    counts
+      .withColumn("share", col("tokens").cast("double") / total)
+      .select(col(strataCol), col("tokens"),
+        round(col("share"), 6).as("share"),
+        col("target"),
+        round(col("share") * log(col("share") / col("target")), 6)
+          .as("kl_term"))
+  }
 }

@@ -945,4 +945,36 @@ object Text {
         count(lit(1)).as("n_tokens"))
       .filter(col("feature") =!= 0L)
   }
+
+  /** Zipf's-law fit of the corpus vocabulary: OLS of log10(freq) on
+    * log10(rank) over the topN most frequent tokens — the corpus-health
+    * number a curation pipeline watches (natural text sits near slope
+    * −1; template/boilerplate spam flattens the head, gibberish
+    * steepens the tail). One output row: (n_types, slope, intercept),
+    * doubles rounded to 6 dp so the verdict is partition-order stable.
+    *
+    * Scale shape: one token count aggregation (map-side combined),
+    * then `orderBy.limit(topN)` — Spark plans TakeOrderedAndProject,
+    * a per-partition partial top-k, so the head selection never
+    * global-sorts the vocabulary — and the rank window runs over the
+    * ≤ topN surviving rows (bounded, single task by construction).
+    * The regression itself is `regr_slope`/`regr_intercept`, a
+    * constant-size aggregate state.
+    */
+  def zipfFit(df: DataFrame, textCol: String, minCount: Long = 2,
+              topN: Int = 4096): DataFrame = {
+    require(topN >= 16, s"topN=$topN")
+    val head = vocab(df, textCol, minCount)
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(topN)
+    val pts = head
+      .withColumn("_rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("token").asc)))
+      .select(log10(col("_rank").cast("double")).as("x"),
+        log10(col("freq").cast("double")).as("y"))
+    pts.agg(
+      count(lit(1)).as("n_types"),
+      round(regr_slope(col("y"), col("x")), 6).as("slope"),
+      round(regr_intercept(col("y"), col("x")), 6).as("intercept"))
+  }
 }

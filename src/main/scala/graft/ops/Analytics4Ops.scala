@@ -567,3 +567,111 @@ case class SketchOverlapProc(field: Ref, historyTable: String,
     Cdc.wrap(out, "_kk", "sketch.overlap")
   }
 }
+
+/** `text.zipf` — Zipf's-law fit of the corpus vocabulary
+  * ([[graft.analytics.Text.zipfFit]]): one create record with
+  * (n_types, slope, intercept) from an OLS of log10(freq) on
+  * log10(rank) over the topN vocabulary head — the corpus-health
+  * number a curation pipeline alerts on (natural text ≈ −1;
+  * boilerplate flattens it). Partial top-k head selection, never a
+  * global vocabulary sort.
+  */
+case class TextZipfProc(field: Ref, minCount: Long, topN: Int)
+    extends Processor {
+  val plugin = "text.zipf"
+  override def transform(df: DataFrame): DataFrame = {
+    // corpus-level aggregation + rank window — batch-only, so fail
+    // with the real reason instead of Spark's opaque streaming
+    // AnalysisException (the text.bpe guard contract)
+    require(!df.isStreaming,
+      "text.zipf is batch-only (corpus-level vocabulary aggregation); " +
+        "run the pipeline with --batch or apply it foreachBatch")
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, field).cast("string").as("_text"))
+    val out = graft.analytics.Text.zipfFit(flat, "_text", minCount, topN)
+      .withColumn("_kk", lit("zipf"))
+    Cdc.wrap(out, "_kk", "text.zipf")
+  }
+}
+
+/** `sample.curriculum` — curriculum phase annotation
+  * ([[graft.analytics.Sampling.curriculum]] semantics, annotator
+  * form): each record's integer difficulty score joins the
+  * plan-time score histogram's prefix sums, a per-score rank window
+  * derives the record's global index in the (score, id) total order,
+  * and the exact-NTILE arithmetic writes `curriculum.phase` into
+  * metadata — the shortest-first training schedule, with no
+  * single-task global window anywhere.
+  */
+case class SampleCurriculumProc(idField: Ref, scoreField: Ref, phases: Int)
+    extends Processor {
+  require(phases >= 2, s"sample.curriculum: phases=$phases")
+  val plugin = "sample.curriculum"
+  override def transform(df: DataFrame): DataFrame = {
+    // the score histogram is collected at plan time — batch-only, so
+    // fail with the real reason (the text.bpe guard contract)
+    require(!df.isStreaming,
+      "sample.curriculum is batch-only (the score histogram is " +
+        "collected at plan time); run the pipeline with --batch or " +
+        "apply it foreachBatch")
+    val score = Analytics2Ops.asLong(
+      Analytics2Ops.fieldCol(df, scoreField).cast("string"))
+    val hist = df.select(score.as("_s")).filter(col("_s").isNotNull)
+      .groupBy(col("_s")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = hist.map(_._2).sum
+    require(n > 0, "sample.curriculum: no records with a numeric score")
+    val starts = hist.scanLeft(0L)(_ + _._2).init
+    val spark = df.sparkSession
+    import spark.implicits._
+    val startDf = broadcast(
+      hist.map(_._1).zip(starts).toSeq.toDF("_s", "_start"))
+    val q = n / phases
+    val r = n % phases
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_s"))
+      .orderBy(Analytics2Ops.fieldCol(df, idField).cast("string"))
+    val idx = col("_start") + row_number().over(w) - 1
+    def fdiv(a: Column, b: Long): Column =
+      floor(a.cast("double") / lit(b.toDouble)).cast("long")
+    val phase = if (r > 0)
+      when(idx < lit(r * (q + 1)), fdiv(idx, q + 1) + 1)
+        .otherwise(lit(r) + fdiv(idx - lit(r * (q + 1)), math.max(q, 1L)) + 1)
+    else fdiv(idx, q) + 1
+    df.withColumn("_s", score)
+      .join(startDf, Seq("_s"), "left")
+      .withColumn(Cdc.Metadata,
+        when(col("_s").isNotNull, RefCols.metaSet(col(Cdc.Metadata),
+          "curriculum.phase", phase.cast("string")))
+          .otherwise(col(Cdc.Metadata)))
+      .drop("_s", "_start")
+  }
+}
+
+/** `sample.mixture_kl` — mixture divergence monitor
+  * ([[graft.analytics.Sampling.mixtureKl]]): one create record per
+  * target stratum with (tokens, share, target, kl_term) — the
+  * KL(realized‖target) decomposition a mixture designer reads before
+  * and after `sample.token_mixture` runs. Constant-size aggregate
+  * state.
+  */
+case class SampleMixtureKlProc(strataField: Ref, tokensField: Ref,
+                               targets: Seq[(String, Double)])
+    extends Processor {
+  val plugin = "sample.mixture_kl"
+  override def transform(df: DataFrame): DataFrame = {
+    // corpus-level aggregation + share window — batch-only, so fail
+    // with the real reason (the text.bpe guard contract)
+    require(!df.isStreaming,
+      "sample.mixture_kl is batch-only (corpus-level share " +
+        "aggregation); run the pipeline with --batch or apply it " +
+        "foreachBatch")
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, strataField).cast("string").as("_stratum"),
+      Analytics2Ops.fieldCol(df, tokensField).cast("long").as("_tk"))
+    val out = graft.analytics.Sampling.mixtureKl(flat, "_stratum", "_tk",
+        targets)
+      .withColumnRenamed("_stratum", "stratum")
+    Cdc.wrap(out, "stratum", "sample.mixture_kl")
+  }
+}

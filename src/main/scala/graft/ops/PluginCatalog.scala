@@ -164,6 +164,9 @@ object PluginCatalog {
       Seq(req("id", Id), opt("field", Text), opt("n", "3"))),
     Entry("text.entropy", "Character/word entropy per document.",
       Seq(req("id", Id), opt("field", Text))),
+    Entry("text.zipf",
+      "Zipf's-law slope/intercept of the vocabulary head (batch-only).",
+      Seq(opt("field", Text), opt("minCount", "2"), opt("topN", "4096"))),
     Entry("text.classifier", "Hashed-feature quality classifier score.",
       Seq(opt("field", Text), opt("seed", "42"))),
     Entry("text.hashing", "Hashed bag-of-words feature vector.",
@@ -205,6 +208,15 @@ object PluginCatalog {
       Seq(req("stratum", ".Payload.After.lang"), req("id", Id),
         req("tokens", ".Payload.After.n_tokens"),
         req("targets", "en:0.8,de:0.2"), opt("seed", "0"))),
+    Entry("sample.mixture_kl",
+      "KL divergence of realized token shares vs a target mix (batch-only).",
+      Seq(req("stratum", ".Payload.After.lang"),
+        req("tokens", ".Payload.After.n_tokens"),
+        req("targets", "en:0.8,de:0.2"))),
+    Entry("sample.curriculum",
+      "Exact-NTILE curriculum phase by difficulty score (batch-only).",
+      Seq(req("id", Id), req("score", ".Payload.After.n_tokens"),
+        opt("phases", "4"))),
     Entry("sample.temperature", "Temperature-scaled stratum rebalancing.",
       Seq(req("stratum", ".Payload.After.lang"), req("id", Id),
         opt("temperature", "2.0"), opt("seed", "0"))),

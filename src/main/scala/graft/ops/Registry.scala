@@ -371,7 +371,21 @@ object Registry {
       s("values").split(",").toSeq.map(_.trim).filter(_.nonEmpty))),
     "dedup.softweight" -> (s => DedupSoftweightProc(
       Ref.parse(s("id")), ref(s, ".Payload.After"),
-      s.getOrElse("maxHamming", "3").toInt))
+      s.getOrElse("maxHamming", "3").toInt)),
+    "text.zipf" -> (s => TextZipfProc(
+      ref(s, ".Payload.After"),
+      s.getOrElse("minCount", "2").toLong,
+      s.getOrElse("topN", "4096").toInt)),
+    "sample.curriculum" -> (s => SampleCurriculumProc(
+      Ref.parse(s("id")), Ref.parse(s("score")),
+      s.getOrElse("phases", "4").toInt)),
+    "sample.mixture_kl" -> (s => SampleMixtureKlProc(
+      Ref.parse(s("stratum")), Ref.parse(s("tokens")),
+      s("targets").split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { spec =>
+        val i = spec.lastIndexOf(':')
+        require(i > 0, s"sample.mixture_kl: target spec must be stratum:p, got $spec")
+        (spec.substring(0, i).trim, spec.substring(i + 1).trim.toDouble)
+      }))
   )
 
   def create(plugin: String, settings: Map[String, String]): Processor = {

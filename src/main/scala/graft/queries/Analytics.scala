@@ -709,6 +709,32 @@ object Analytics {
         Seq(("en", 0.5), ("de", 0.2), ("fr", 0.2), ("zh", 0.1)), seed = 7)
     }),
 
+    // curriculum phases: exact NTILE over (n_tokens, doc_id) computed
+    // from a driver-size score histogram + per-score rank windows —
+    // never the single-task global window (shortest-first schedule)
+    "sample_curriculum" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      Sampling.curriculum(docs, "doc_id", "n_tokens", phases = 4)
+    }),
+
+    // mixture divergence: realized per-language TOKEN shares vs the
+    // target mix, KL terms from one constant-state aggregation
+    "sample_mixture_kl" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      Sampling.mixtureKl(docs, "lang", "n_tokens",
+        Seq(("en", 0.5), ("fr", 0.2), ("es", 0.15), ("zh", 0.1),
+          ("de", 0.05)))
+    }),
+
+    // Zipf's-law fit over the vocabulary head: partial top-k selects
+    // the 4096 most frequent tokens, regr_slope/intercept of
+    // log10(freq) on log10(rank) — the corpus-health number
+    "text_zipf" -> ((s, dir) =>
+      Text.zipfFit(t(s, dir, "documents"), "text", minCount = 2,
+        topN = 4096)),
+
     // passage-level dedup: 10-token segments, keep = first occurrence
     // corpus-wide by (doc_id, seg_idx)
     "dedup_segments" -> ((s, dir) =>
@@ -2989,6 +3015,42 @@ object Analytics {
          SELECT m3.doc_id, m3.lang, m3.n_tokens
          FROM m3 JOIN cut USING (lang)
          WHERE (x6 // 4096) % 4096 < cutv""",
+    "sample_curriculum" ->
+      """SELECT doc_id, n_tokens,
+         CAST(ntile(4) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS phase
+         FROM (SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents)""",
+    "sample_mixture_kl" ->
+      """WITH tgt AS (SELECT * FROM (VALUES
+           ('en', CAST(0.5 AS DOUBLE)), ('fr', CAST(0.2 AS DOUBLE)),
+           ('es', CAST(0.15 AS DOUBLE)), ('zh', CAST(0.1 AS DOUBLE)),
+           ('de', CAST(0.05 AS DOUBLE))) t(lang, target)),
+         c AS (SELECT d.lang, tgt.target,
+             CAST(sum(len(regexp_split_to_array(trim(d.text), '\s+'))) AS BIGINT) AS tokens
+           FROM documents d JOIN tgt USING (lang) GROUP BY 1, 2),
+         s AS (SELECT lang, target, tokens,
+             CAST(tokens AS DOUBLE) /
+               CAST(CAST(sum(tokens) OVER () AS BIGINT) AS DOUBLE) AS sh
+           FROM c)
+         SELECT lang, tokens, round(sh, 6) AS share, target,
+           round(sh * ln(sh / target), 6) AS kl_term
+         FROM s""",
+    "text_zipf" ->
+      """WITH v AS (SELECT w AS token, count(*) AS freq
+           FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+                 FROM documents)
+           WHERE w <> '' GROUP BY w HAVING count(*) >= 2),
+         top AS (SELECT token, freq FROM v
+           ORDER BY freq DESC, token LIMIT 4096),
+         pts AS (SELECT
+             log10(CAST(row_number() OVER (ORDER BY freq DESC, token) AS DOUBLE)) AS x,
+             log10(CAST(freq AS DOUBLE)) AS y
+           FROM top)
+         SELECT CAST(count(*) AS BIGINT) AS n_types,
+           round(regr_slope(y, x), 6) AS slope,
+           round(regr_intercept(y, x), 6) AS intercept
+         FROM pts""",
     "sample_temperature" ->
       """WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
          cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS cn

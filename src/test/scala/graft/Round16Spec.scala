@@ -44,7 +44,12 @@ class Round16Spec extends AnyFunSuite {
       "dedup.softweight" -> Map("id" -> ".Payload.After.id"),
       "text.bpe" -> Map("id" -> ".Payload.After.id",
         "mergesTable" -> "/nonexistent/bpe-merges"),
-      "text.bpe_train" -> Map("id" -> ".Payload.After.id"))
+      "text.bpe_train" -> Map("id" -> ".Payload.After.id"),
+      "text.zipf" -> Map.empty[String, String],
+      "sample.curriculum" -> Map("id" -> ".Payload.After.id",
+        "score" -> ".Payload.After.tokens"),
+      "sample.mixture_kl" -> Map("stratum" -> ".Payload.After.text",
+        "tokens" -> ".Payload.After.tokens", "targets" -> "en:1.0"))
     for ((plugin, settings) <- guarded) {
       val e = intercept[IllegalArgumentException] {
         Registry.create(plugin, settings)(streamDf)
@@ -177,6 +182,58 @@ class Round16Spec extends AnyFunSuite {
       assert(send("", changed).statusCode() == 201)
       assert(cp.config("cp-imp").get.sources.head.settings("rate") == "2000")
     } finally cp.stop()
+  }
+
+  test("text.zipf fits the vocabulary head of a synthetic Zipf corpus") {
+    // freq(token i) = 64/i for i=1..64 — an exact slope −1 corpus
+    val docs = (1 to 64).flatMap(i => Seq.fill(64 / i)(s"w$i"))
+      .grouped(8).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("id", "text")
+    val got = Registry.create("text.zipf",
+      Map("field" -> ".Payload.After.text", "minCount" -> "1"))(
+        Cdc.wrap(docs, "id", "t"))
+      .select(col(Cdc.PayloadAfter)).collect()
+      .map(r => graft.functions.JsonOps.parse(r.getString(0)))
+    assert(got.length == 1)
+    assert(got.head.get("n_types").asLong == 64L)
+    // 64/i floors to steps, so the fit is near −1, not exactly
+    val slope = got.head.get("slope").asDouble
+    assert(slope < -0.8 && slope > -1.2, s"slope=$slope")
+  }
+
+  test("sample.curriculum annotates exact NTILE phases by score") {
+    // 10 docs, scores 1..10, 4 phases → sizes 3,3,2,2 (NTILE split)
+    val docs = (1 to 10).map(i => (i.toLong, i.toLong)).toDF("id", "difficulty")
+    val out = Registry.create("sample.curriculum",
+      Map("id" -> ".Payload.After.id",
+        "score" -> ".Payload.After.difficulty", "phases" -> "4"))(
+        Cdc.wrap(docs, "id", "t"))
+    val phases = out.select(col(Cdc.PayloadAfter), col(Cdc.Metadata)).collect()
+      .map(r => (graft.functions.JsonOps.parse(r.getString(0)).get("id").asLong,
+        r.getMap[String, String](1)("curriculum.phase").toLong))
+      .toMap
+    assert(phases.size == 10)
+    assert((1L to 3L).forall(phases(_) == 1L), phases.toString())
+    assert((4L to 6L).forall(phases(_) == 2L))
+    assert((7L to 8L).forall(phases(_) == 3L))
+    assert((9L to 10L).forall(phases(_) == 4L))
+  }
+
+  test("sample.mixture_kl reads zero divergence at the target mix") {
+    // 80 en tokens vs 20 de tokens against an 0.8/0.2 target → KL 0
+    val docs = Seq((1L, "en", 50L), (2L, "en", 30L),
+      (3L, "de", 15L), (4L, "de", 5L)).toDF("id", "lang", "tokens")
+    val got = Registry.create("sample.mixture_kl",
+      Map("stratum" -> ".Payload.After.lang",
+        "tokens" -> ".Payload.After.tokens",
+        "targets" -> "en:0.8,de:0.2"))(Cdc.wrap(docs, "id", "t"))
+      .select(col(Cdc.PayloadAfter)).collect()
+      .map(r => graft.functions.JsonOps.parse(r.getString(0)))
+      .map(p => p.get("stratum").asText ->
+        (p.get("share").asDouble, p.get("kl_term").asDouble)).toMap
+    assert(got.keySet == Set("en", "de"))
+    assert(got("en") == ((0.8, 0.0)) && got("de") == ((0.2, 0.0)), got.toString())
   }
 
   test("GET /v1/processors/plugins serves the full catalogue with specs") {
