@@ -604,6 +604,16 @@ object Sampling {
     val counts = df.join(tDf, strataCol)
       .groupBy(col(strataCol), col("target"))
       .agg(sum(col(tokensCol)).cast("long").as("tokens"))
+    mixtureKlFromCounts(counts, strataCol)
+  }
+
+  /** The share/KL tail of [[mixtureKl]] over a pre-aggregated
+    * (stratum, target, tokens) frame — shared by the batch operator
+    * and the streaming monitor sink, whose committed state IS such a
+    * frame (so the stream's verdict after any prefix equals the batch
+    * verdict over that prefix).
+    */
+  def mixtureKlFromCounts(counts: DataFrame, strataCol: String): DataFrame = {
     val total = sum(col("tokens")).over(
       org.apache.spark.sql.expressions.Window.partitionBy())
     counts

@@ -350,6 +350,120 @@ object PluginCatalog {
         opt("bits", "16"), opt("kind", "zorder")))
   )
 
+  /** One connector plugin: its summary plus the source-side and
+    * destination-side settings ([[graft.pipeline.Runner.source]] /
+    * `Runner.write` are the ground truth). Empty source settings =
+    * destination-only, and vice versa.
+    */
+  final case class ConnectorEntry(plugin: String, summary: String,
+                                  sourceSettings: Seq[Setting],
+                                  destSettings: Seq[Setting])
+
+  /** Connector catalogue (reference parity surface:
+    * `ConnectorPluginSpecifications` with source_params /
+    * destination_params — `proto/api/v1/api.proto:196-218`).
+    */
+  val connectors: Seq[ConnectorEntry] = Seq(
+    ConnectorEntry("builtin:generator",
+      "Synthetic record generator (rate-limited, typed payload fields).",
+      Seq(req("format.options.<name>", "int",
+          "payload field types: int|string|time|bool|duration"),
+        opt("recordCount", "-1", "-1 = unbounded"),
+        opt("rate", "0", "records/second; 0 = unthrottled"),
+        opt("format.type", "structured"),
+        opt("operations", "create"),
+        opt("collections.<name>.format.options.<f>", "",
+          "per-collection payload schemas")),
+      Nil),
+    ConnectorEntry("builtin:file",
+      "Tail one append-only file (source) / append JSON lines (destination).",
+      Seq(req("path", "/var/log/app.log"),
+        opt("tail", "false", "force tail mode on a directory path")),
+      Seq(req("path", "/data/out"))),
+    ConnectorEntry("builtin:kafka",
+      "Kafka consumer (source) / producer with per-record topic (destination).",
+      Seq(req("servers", "broker:9092"), req("topics", "events"),
+        opt("readFromBeginning", "false")),
+      Seq(req("servers", "broker:9092"),
+        opt("topic", "{{ index .Metadata \"opencdc.collection\" }}",
+          "Go-template over the record"))),
+    ConnectorEntry("builtin:postgres",
+      "Postgres CDC source (log- or query-based) / keyed-upsert destination.",
+      Seq(req("url", "jdbc:postgresql://db/app"), req("table", "users"),
+        opt("logTable", "", "set for log-based CDC with deletes"),
+        opt("cdc.mode", "query", "query | log")),
+      Seq(req("url", "jdbc:postgresql://db/app"), req("table", "users"),
+        opt("key", "id"))),
+    ConnectorEntry("builtin:s3",
+      "S3 object reader (one record per object, or parquet) / writer.",
+      Seq(req("aws.bucket", "my-bucket"), opt("prefix", ""),
+        opt("format", "", "parquet = columnar mode; default raw objects"),
+        opt("aws.accessKeyId", ""), opt("aws.secretAccessKey", ""),
+        opt("aws.sessionToken", ""), opt("aws.region", ""),
+        opt("aws.url", "", "custom endpoint (MinIO etc.)")),
+      Seq(req("aws.bucket", "my-bucket"), opt("prefix", ""),
+        opt("format", ""))),
+    ConnectorEntry("builtin:log",
+      "Log a bounded sample of records to the console (destination only).",
+      Nil, Seq()),
+    ConnectorEntry("parquet",
+      "Parquet directory source (batch or streaming) / append destination.",
+      Seq(req("path", "/data/documents.parquet"),
+        opt("key", "", "record-key column; default first column")),
+      Seq(req("path", "/data/out"))),
+    ConnectorEntry("memory",
+      "In-memory test sink with a driver-side row cap (destination only).",
+      Nil, Seq(opt("maxRows", "100000"))),
+    ConnectorEntry("noop",
+      "Discard records through a distributed no-op write (destination only).",
+      Nil, Seq()))
+
+  /** Render the connector catalogue as the reference API's
+    * `ConnectorPluginSpecifications` JSON (`ListConnectorPlugins`,
+    * `GET /v1/connectors/plugins` — reference
+    * `proto/api/v1/api.proto:921-926`, spec shape `:196-218`).
+    */
+  def connectorSpecsJson(nameRegex: Option[String] = None): String = {
+    val mapper = graft.functions.JsonOps.mapper
+    val f = mapper.getNodeFactory
+    val pat = nameRegex.filter(_.nonEmpty)
+      .map(java.util.regex.Pattern.compile(_))
+    def params(ss: Seq[Setting]) = {
+      val o = f.objectNode()
+      ss.foreach { s =>
+        val p = f.objectNode()
+        p.put("description", s.doc)
+        p.put("default", if (s.required) "" else s.value)
+        p.put("type", "TYPE_STRING")
+        val vs = f.arrayNode()
+        if (s.required) {
+          val v = f.objectNode()
+          v.put("type", "TYPE_REQUIRED"); v.put("value", "")
+          vs.add(v)
+        }
+        p.set[com.fasterxml.jackson.databind.JsonNode]("validations", vs)
+        o.set[com.fasterxml.jackson.databind.JsonNode](s.name, p)
+      }
+      o
+    }
+    val arr = f.arrayNode()
+    for (e <- connectors.sortBy(_.plugin)
+         if pat.forall(_.matcher(e.plugin).find())) {
+      val o = f.objectNode()
+      o.put("name", e.plugin)
+      o.put("summary", e.summary)
+      o.put("description", e.summary)
+      o.put("version", Version)
+      o.put("author", "graft")
+      o.set[com.fasterxml.jackson.databind.JsonNode](
+        "source_params", params(e.sourceSettings))
+      o.set[com.fasterxml.jackson.databind.JsonNode](
+        "destination_params", params(e.destSettings))
+      arr.add(o)
+    }
+    mapper.writeValueAsString(arr)
+  }
+
   /** Render the catalogue as the reference API's plugin-spec JSON
     * (`ListProcessorPlugins`, `GET /v1/processors/plugins` —
     * reference `proto/api/v1/api.proto:1132-1137`, payload shape

@@ -324,6 +324,24 @@ class ControlPlane(spark: SparkSession, checkpointRoot: String) {
           JsonOps.mapper.getNodeFactory.textNode(e.getMessage))}}""")
       }
     })
+    // Connector-plugin discovery (reference parity: ListConnectorPlugins,
+    // GET /v1/connectors/plugins — proto/api/v1/api.proto:921-926, spec
+    // shape :196-218 with source_params / destination_params).
+    server.createContext("/v1/connectors/plugins", (ex: HttpExchange) => {
+      try {
+        if (ex.getRequestMethod != "GET")
+          respond(ex, 404, """{"error":"not found"}""")
+        else {
+          val nameRe = Option(ex.getRequestURI.getQuery).toSeq
+            .flatMap(_.split("&")).find(_.startsWith("name="))
+            .map(q => java.net.URLDecoder.decode(q.drop(5), "UTF-8"))
+          respond(ex, 200, graft.ops.PluginCatalog.connectorSpecsJson(nameRe))
+        }
+      } catch {
+        case e: Exception => respond(ex, 400, s"""{"error":${JsonOps.render(
+          JsonOps.mapper.getNodeFactory.textNode(e.getMessage))}}""")
+      }
+    })
     // Runtime information (reference parity: InformationService.GetInfo,
     // GET /info — proto/api/v1/api.proto:1202-1209).
     server.createContext("/info", (ex: HttpExchange) => {

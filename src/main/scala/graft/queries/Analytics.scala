@@ -728,6 +728,35 @@ object Analytics {
           ("de", 0.05)))
     }),
 
+    // Streaming mixture monitor: per-batch token sums sum-merge into
+    // (stratum, target, tokens) state; the KL verdict over the final
+    // state must equal the batch verdict — oracle = sample_mixture_kl's
+    "sample_mixture_kl_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        .as[(Long, String, Long)].collect()
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val state = java.nio.file.Files
+        .createTempDirectory("mixkl_stream").toString
+      val targets = Seq(("en", 0.5), ("fr", 0.2), ("es", 0.15),
+        ("zh", 0.1), ("de", 0.05))
+      val in = MemoryStream[(Long, String, Long)]
+      val q = in.toDF().toDF("doc_id", "lang", "n_tokens")
+        .writeStream
+        .foreachBatch(StreamingOps.mixtureKlSink(
+          state, "lang", "n_tokens", targets))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      Sampling.mixtureKlFromCounts(
+        s.read.parquet(s"$state/batch=1"), "lang")
+    }),
+
     // Zipf's-law fit over the vocabulary head: partial top-k selects
     // the 4096 most frequent tokens, regr_slope/intercept of
     // log10(freq) on log10(rank) — the corpus-health number
@@ -3391,5 +3420,6 @@ object Analytics {
     "text_chunk_stream" -> oraclesBase("text_chunk"),
     "text_classifier_stream" -> oraclesBase("text_classifier"),
     "text_entropy_stream" -> oraclesBase("text_entropy"),
-    "text_hashing_stream" -> oraclesBase("text_hashing"))
+    "text_hashing_stream" -> oraclesBase("text_hashing"),
+    "sample_mixture_kl_stream" -> oraclesBase("sample_mixture_kl"))
 }

@@ -811,6 +811,38 @@ object StreamingOps {
     * `batch=` + `_SUCCESS` guard makes non-idempotent sum replays
     * safe.
     */
+  /** Streaming mixture-divergence monitor — the fourth additive sketch
+    * sink: per-batch per-stratum TOKEN sums merged (sum-merge, like
+    * [[cmsCounterSink]]) into the committed (stratum, target, tokens)
+    * state, so KL(realized‖target) after any stream prefix — one
+    * [[graft.analytics.Sampling.mixtureKlFromCounts]] call over the
+    * state — equals the batch verdict over that prefix. State ≤
+    * |targets| rows; the same `batch=` + `_SUCCESS` guard makes
+    * non-idempotent sum replays safe. The drift alarm a pretraining
+    * ingest runs continuously: fire when kl_term moves.
+    */
+  def mixtureKlSink(
+      stateDir: String,
+      strataCol: String,
+      tokensCol: String,
+      targets: Seq[(String, Double)]): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val tDf = broadcast(targets.toDF(strataCol, "target"))
+      val newC = batch.join(tDf, strataCol)
+        .groupBy(col(strataCol), col("target"))
+        .agg(sum(col(tokensCol)).cast("long").as("tokens"))
+      val merged = latestCommittedDir(stateDir, batchId) match {
+        case Some(prev) => spark.read.parquet(prev).unionByName(newC)
+          .groupBy(col(strataCol), col("target"))
+          .agg(sum(col("tokens")).cast("long").as("tokens"))
+        case None => newC
+      }
+      merged.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    }
+  }
+
   def histogramBinSink(
       stateDir: String,
       groupCols: Seq[String],

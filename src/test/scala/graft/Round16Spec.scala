@@ -268,6 +268,17 @@ class Round16Spec extends AnyFunSuite {
       val info = graft.functions.JsonOps.parse(get("/info"))
       assert(info.get("version").asText == graft.ops.PluginCatalog.Version)
       assert(info.get("os").asText.nonEmpty && info.get("arch").asText.nonEmpty)
+      // connector specs: source/destination param maps per plugin
+      val conns = graft.functions.JsonOps.parse(get("/v1/connectors/plugins"))
+      assert(conns.isArray &&
+        conns.size() == graft.ops.PluginCatalog.connectors.size)
+      val kafka = (0 until conns.size()).map(conns.get)
+        .find(_.get("name").asText == "builtin:kafka").get
+      assert(kafka.get("source_params").has("topics"))
+      assert(kafka.get("destination_params").has("topic"))
+      val log = (0 until conns.size()).map(conns.get)
+        .find(_.get("name").asText == "builtin:log").get
+      assert(log.get("source_params").isEmpty, "log is destination-only")
     } finally cp.stop()
   }
 }
