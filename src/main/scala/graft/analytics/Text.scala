@@ -962,9 +962,18 @@ object Text {
     * constant-size aggregate state.
     */
   def zipfFit(df: DataFrame, textCol: String, minCount: Long = 2,
-              topN: Int = 4096): DataFrame = {
+              topN: Int = 4096): DataFrame =
+    zipfFitFromCounts(vocab(df, textCol, minCount), topN)
+
+  /** The rank/regression tail of [[zipfFit]] over a pre-aggregated
+    * (token, freq) frame — shared by the batch operator and the
+    * streaming vocabulary sink, whose committed state IS such a frame
+    * (apply the minCount filter before calling when the state was
+    * accumulated unfiltered).
+    */
+  def zipfFitFromCounts(counts: DataFrame, topN: Int = 4096): DataFrame = {
     require(topN >= 16, s"topN=$topN")
-    val head = vocab(df, textCol, minCount)
+    val head = counts
       .orderBy(col("freq").desc, col("token").asc)
       .limit(topN)
     val pts = head

@@ -764,6 +764,33 @@ object Analytics {
       Text.zipfFit(t(s, dir, "documents"), "text", minCount = 2,
         topN = 4096)),
 
+    // Streaming Zipf twin: per-batch vocab counts sum-merge into
+    // (token, freq) state (minCount filtered at READ time — a
+    // per-batch threshold would drop tokens whose total crosses it
+    // across batches); fit over the final state = the batch fit
+    "text_zipf_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val state = java.nio.file.Files
+        .createTempDirectory("zipf_stream").toString
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamingOps.vocabCountSink(state, "text"))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      Text.zipfFitFromCounts(
+        s.read.parquet(s"$state/batch=1").filter(col("freq") >= 2),
+        topN = 4096)
+    }),
+
     // passage-level dedup: 10-token segments, keep = first occurrence
     // corpus-wide by (doc_id, seg_idx)
     "dedup_segments" -> ((s, dir) =>
@@ -3421,5 +3448,6 @@ object Analytics {
     "text_classifier_stream" -> oraclesBase("text_classifier"),
     "text_entropy_stream" -> oraclesBase("text_entropy"),
     "text_hashing_stream" -> oraclesBase("text_hashing"),
-    "sample_mixture_kl_stream" -> oraclesBase("sample_mixture_kl"))
+    "sample_mixture_kl_stream" -> oraclesBase("sample_mixture_kl"),
+    "text_zipf_stream" -> oraclesBase("text_zipf"))
 }

@@ -843,6 +843,33 @@ object StreamingOps {
     }
   }
 
+  /** Streaming vocabulary maintenance — sum-merged (token, freq)
+    * state from each batch's [[graft.analytics.Text.vocab]] counts
+    * (minCount 1 INTO the state: a threshold applied per batch would
+    * drop tokens whose total crosses it across batches; filter at
+    * read time instead). The corpus-health monitor's feed: Zipf slope
+    * after any stream prefix is one
+    * [[graft.analytics.Text.zipfFitFromCounts]] call over the state
+    * and equals the batch fit of that prefix. State = the vocabulary
+    * (sublinear in the corpus, Heaps' law); the `batch=` + `_SUCCESS`
+    * guard makes non-idempotent sum replays safe.
+    */
+  def vocabCountSink(
+      stateDir: String,
+      textCol: String): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val newV = graft.analytics.Text.vocab(batch, textCol, minCount = 1)
+      val merged = latestCommittedDir(stateDir, batchId) match {
+        case Some(prev) => spark.read.parquet(prev).unionByName(newV)
+          .groupBy(col("token"))
+          .agg(sum(col("freq")).cast("long").as("freq"))
+        case None => newV
+      }
+      merged.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    }
+  }
+
   def histogramBinSink(
       stateDir: String,
       groupCols: Seq[String],

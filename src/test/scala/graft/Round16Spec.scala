@@ -236,6 +236,42 @@ class Round16Spec extends AnyFunSuite {
     assert(got("en") == ((0.8, 0.0)) && got("de") == ((0.2, 0.0)), got.toString())
   }
 
+  test("vocabCountSink totals cross batches and replays are idempotent") {
+    import graft.streaming.StreamingOps
+    val state = java.nio.file.Files.createTempDirectory("vocab-sink").toString
+    val b1 = Seq("alpha beta", "alpha").toDF("text")
+    val b2 = Seq("beta gamma").toDF("text")
+    val sink = StreamingOps.vocabCountSink(state, "text")
+    sink(b1, 0L); sink(b2, 1L)
+    def read() = spark.read.parquet(s"$state/batch=1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // beta appears ONCE per batch: a per-batch minCount=2 would have
+    // dropped it from both; the state must carry its total of 2
+    assert(read() == Map("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L))
+    // at-least-once replay of batch 1 rewrites the same state
+    sink(b2, 1L)
+    assert(read() == Map("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L))
+  }
+
+  test("mixtureKlSink state matches the batch verdict after any prefix") {
+    import graft.analytics.Sampling
+    import graft.streaming.StreamingOps
+    val state = java.nio.file.Files.createTempDirectory("mixkl-sink").toString
+    val targets = Seq(("en", 0.8), ("de", 0.2))
+    val b1 = Seq(("en", 50L), ("de", 10L)).toDF("lang", "n_tokens")
+    val b2 = Seq(("en", 30L), ("de", 10L), ("xx", 99L)).toDF("lang", "n_tokens")
+    val sink = StreamingOps.mixtureKlSink(state, "lang", "n_tokens", targets)
+    sink(b1, 0L); sink(b2, 1L)
+    val got = Sampling.mixtureKlFromCounts(
+      spark.read.parquet(s"$state/batch=1"), "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(4))).toMap
+    // 80 en / 20 de (xx outside the target set is excluded) → exactly
+    // the target mix → zero KL terms
+    assert(got == Map("en" -> ((80L, 0.8, 0.0)), "de" -> ((20L, 0.2, 0.0))),
+      got.toString())
+  }
+
   test("GET /v1/processors/plugins serves the full catalogue with specs") {
     val ckpt = java.nio.file.Files.createTempDirectory("cp-plug-ckpt").toString
     val cp = new graft.pipeline.ControlPlane(spark, ckpt)
