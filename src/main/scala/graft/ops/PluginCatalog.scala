@@ -356,8 +356,22 @@ object PluginCatalog {
     * destination-only, and vice versa.
     */
   final case class ConnectorEntry(plugin: String, summary: String,
+                                  kinds: Seq[String],
                                   sourceSettings: Seq[Setting],
-                                  destSettings: Seq[Setting])
+                                  destSettings: Seq[Setting]) {
+    require(kinds.nonEmpty && kinds.forall(Set("source", "destination")),
+      s"$plugin: kinds=$kinds")
+    /** Settings `Validate` enforces: required on EVERY served kind
+      * (a source-only required key must not fail a destination
+      * validate), excluding patterned keys like `format.options.<f>`.
+      */
+    def validateRequired: Seq[String] = kinds
+      .map {
+        case "source" => sourceSettings.filter(_.required).map(_.name).toSet
+        case _ => destSettings.filter(_.required).map(_.name).toSet
+      }
+      .reduce(_ intersect _).filterNot(_.contains("<")).toSeq.sorted
+  }
 
   /** Connector catalogue (reference parity surface:
     * `ConnectorPluginSpecifications` with source_params /
@@ -366,6 +380,7 @@ object PluginCatalog {
   val connectors: Seq[ConnectorEntry] = Seq(
     ConnectorEntry("builtin:generator",
       "Synthetic record generator (rate-limited, typed payload fields).",
+      Seq("source"),
       Seq(req("format.options.<name>", "int",
           "payload field types: int|string|time|bool|duration"),
         opt("recordCount", "-1", "-1 = unbounded"),
@@ -377,11 +392,13 @@ object PluginCatalog {
       Nil),
     ConnectorEntry("builtin:file",
       "Tail one append-only file (source) / append JSON lines (destination).",
+      Seq("source", "destination"),
       Seq(req("path", "/var/log/app.log"),
         opt("tail", "false", "force tail mode on a directory path")),
       Seq(req("path", "/data/out"))),
     ConnectorEntry("builtin:kafka",
       "Kafka consumer (source) / producer with per-record topic (destination).",
+      Seq("source", "destination"),
       Seq(req("servers", "broker:9092"), req("topics", "events"),
         opt("readFromBeginning", "false")),
       Seq(req("servers", "broker:9092"),
@@ -389,6 +406,7 @@ object PluginCatalog {
           "Go-template over the record"))),
     ConnectorEntry("builtin:postgres",
       "Postgres CDC source (log- or query-based) / keyed-upsert destination.",
+      Seq("source", "destination"),
       Seq(req("url", "jdbc:postgresql://db/app"), req("table", "users"),
         opt("logTable", "", "set for log-based CDC with deletes"),
         opt("cdc.mode", "query", "query | log")),
@@ -396,6 +414,7 @@ object PluginCatalog {
         opt("key", "id"))),
     ConnectorEntry("builtin:s3",
       "S3 object reader (one record per object, or parquet) / writer.",
+      Seq("source", "destination"),
       Seq(req("aws.bucket", "my-bucket"), opt("prefix", ""),
         opt("format", "", "parquet = columnar mode; default raw objects"),
         opt("aws.accessKeyId", ""), opt("aws.secretAccessKey", ""),
@@ -405,18 +424,19 @@ object PluginCatalog {
         opt("format", ""))),
     ConnectorEntry("builtin:log",
       "Log a bounded sample of records to the console (destination only).",
-      Nil, Seq()),
+      Seq("destination"), Nil, Seq()),
     ConnectorEntry("parquet",
       "Parquet directory source (batch or streaming) / append destination.",
+      Seq("source", "destination"),
       Seq(req("path", "/data/documents.parquet"),
         opt("key", "", "record-key column; default first column")),
       Seq(req("path", "/data/out"))),
     ConnectorEntry("memory",
       "In-memory test sink with a driver-side row cap (destination only).",
-      Nil, Seq(opt("maxRows", "100000"))),
+      Seq("destination"), Nil, Seq(opt("maxRows", "100000"))),
     ConnectorEntry("noop",
       "Discard records through a distributed no-op write (destination only).",
-      Nil, Seq()))
+      Seq("destination"), Nil, Seq()))
 
   /** Render the connector catalogue as the reference API's
     * `ConnectorPluginSpecifications` JSON (`ListConnectorPlugins`,

@@ -671,31 +671,31 @@ object GrpcControlPlane {
   val ProcessorServiceName = "api.v1.ProcessorService"
   val InformationServiceName = "api.v1.InformationService"
 
+  /** Short-name aliases `Runner.source`/`Runner.write` accept beside
+    * the canonical catalogue names. */
+  val ConnectorAliases: Map[String, String] = Map(
+    "generator" -> "builtin:generator",
+    "file" -> "builtin:file",
+    "kafka" -> "builtin:kafka",
+    "jdbc" -> "builtin:postgres",
+    "s3" -> "builtin:s3",
+    "log" -> "builtin:log",
+    "console" -> "builtin:log",
+    "null" -> "noop",
+    "/dev/null" -> "noop")
+
   /** Connector plugin catalogue: name → (served types, required
-    * settings). Mirrors `Runner.source`/`Runner.write`'s dispatch —
-    * the facade's ListConnectorPlugins/Validate vocabulary
-    * (reference `api.proto:824,921`). */
+    * settings) — the facade's ListConnectorPlugins/Validate vocabulary
+    * (reference `api.proto:824,921`). Derived from the single
+    * source of truth, [[graft.ops.PluginCatalog.connectors]] (which
+    * mirrors `Runner.source`/`Runner.write`'s dispatch), plus the
+    * alias rows — so the gRPC facade, the REST listing, and the doc
+    * cannot drift apart. */
   val ConnectorPlugins: Map[String, (Seq[String], Seq[String])] = {
-    val both = Seq("source", "destination")
-    Map(
-      "builtin:generator" -> (Seq("source"), Nil),
-      "generator" -> (Seq("source"), Nil),
-      "builtin:file" -> (both, Seq("path")),
-      "file" -> (both, Seq("path")),
-      "parquet" -> (both, Seq("path")),
-      "builtin:kafka" -> (both, Seq("servers")),
-      "kafka" -> (both, Seq("servers")),
-      "builtin:postgres" -> (both, Seq("url", "table")),
-      "jdbc" -> (both, Seq("url", "table")),
-      "builtin:s3" -> (both, Seq("aws.bucket")),
-      "s3" -> (both, Seq("aws.bucket")),
-      "builtin:log" -> (Seq("destination"), Nil),
-      "log" -> (Seq("destination"), Nil),
-      "console" -> (Seq("destination"), Nil),
-      "memory" -> (Seq("destination"), Nil),
-      "null" -> (Seq("destination"), Nil),
-      "/dev/null" -> (Seq("destination"), Nil),
-      "noop" -> (Seq("destination"), Nil))
+    val canon = graft.ops.PluginCatalog.connectors
+      .map(e => e.plugin -> (e.kinds, e.validateRequired)).toMap
+    canon ++ ConnectorAliases.map { case (alias, target) =>
+      alias -> canon(target) }
   }
 
   /** gRPC marshaller for the JSON codec: message bytes are UTF-8
