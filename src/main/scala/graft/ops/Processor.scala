@@ -145,14 +145,129 @@ object Conditions {
   // destination's default topic template (metadata map lookup)
   private val goIndexMeta = """^\s*index\s+\.Metadata\s+"([^"]+)"\s*$""".r
 
+  // ---- sprig-style template pipelines ---------------------------------
+  // The reference injects sprig's FuncMap into every template site
+  // (field.set values, error messages, webhook URL/body — reference
+  // `impl/field/set.go:76`, `impl/error.go:74`, `impl/webhook/http.go:
+  // 159,183`). We compile the common pipeline vocabulary to Spark SQL:
+  // Go semantics, Catalyst execution — `{{ .Payload.After.name |
+  // upper | trunc 8 }}` stays inside whole-stage codegen. A pipeline
+  // appends the piped value as the LAST argument of the next call
+  // (text/template's rule), and an unrecognized head falls back to
+  // plain SQL so bare expressions with `||` etc. keep working.
+
+  /** Split on top-level single `|` (not `||`), respecting quotes. */
+  private def splitPipes(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0; var inQ = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { cur.append(c); if (c == '"') inQ = false }
+      else c match {
+        case '"' => cur.append(c); inQ = true
+        case '|' if i + 1 < s.length && s.charAt(i + 1) == '|' =>
+          cur.append("||"); i += 1
+        case '|' => out += cur.result(); cur.clear()
+        case other => cur.append(other)
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Split a call on whitespace, respecting double-quoted strings. */
+  private def splitArgs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0; var inQ = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { cur.append(c); if (c == '"') inQ = false }
+      else if (c == '"') { cur.append(c); inQ = true }
+      else if (c.isWhitespace) {
+        if (cur.nonEmpty) { out += cur.result(); cur.clear() }
+      } else cur.append(c)
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.result()
+  }
+
+  /** One pipeline argument to SQL: quoted string → string literal,
+    * field token → column path, anything else (numbers, SQL) as-is. */
+  private def argToSql(a: String,
+      typed: Map[String, org.apache.spark.sql.types.StructType]): String =
+    if (a.length >= 2 && a.head == '"' && a.last == '"')
+      "'" + a.substring(1, a.length - 1).replace("'", "''") + "'"
+    else rewriteTokens(a, typed)
+
+  /** The supported sprig/text-template vocabulary: function name →
+    * SQL builder over the full argument list (piped value last). */
+  private def sprigCall(f: String, args: Seq[String]): Option[String] = {
+    def x = args.last
+    (f, args.length) match {
+      case ("upper", 1) => Some(s"upper($x)")
+      case ("lower", 1) => Some(s"lower($x)")
+      case ("trim", 1) => Some(s"trim($x)")
+      case ("title", 1) => Some(s"initcap($x)")
+      case ("quote", 1) => Some(s"concat('\"', $x, '\"')")
+      case ("squote", 1) => Some(s"concat('''', $x, '''')")
+      case ("len", 1) => Some(s"length($x)")
+      case ("b64enc", 1) => Some(s"base64(cast($x AS BINARY))")
+      case ("b64dec", 1) => Some(s"cast(unbase64($x) AS STRING)")
+      case ("sha1sum", 1) => Some(s"sha1($x)")
+      case ("sha256sum", 1) => Some(s"sha2($x, 256)")
+      case ("nospace", 1) => Some(s"replace($x, ' ', '')")
+      // default "d" x — sprig returns d when x is empty/null
+      case ("default", 2) =>
+        Some(s"CASE WHEN $x IS NULL OR $x = '' THEN ${args(0)} ELSE $x END")
+      // trunc n x — first n chars (positive counts only)
+      case ("trunc", 2) => Some(s"substring($x, 1, ${args(0)})")
+      // abbrev n x — truncate to n INCLUDING the trailing ellipsis
+      case ("abbrev", 2) =>
+        Some(s"CASE WHEN length($x) > ${args(0)} THEN concat(substring($x, 1, ${args(0)} - 3), '...') ELSE $x END")
+      // substr start end x — character slice [start, end)
+      case ("substr", 3) =>
+        Some(s"substring($x, ${args(0)} + 1, ${args(1)} - ${args(0)})")
+      // replace old new x
+      case ("replace", 3) => Some(s"replace($x, ${args(0)}, ${args(1)})")
+      // printf "fmt" a b ... — Go verbs; %v renders like %s
+      case ("printf", n) if n >= 1 =>
+        Some(s"format_string(${(args.head.replace("%v", "%s") +: args.tail).mkString(", ")})")
+      case _ => None
+    }
+  }
+
+  /** A pipeline stage (`f a1 a2` + piped SQL, or a bare first stage)
+    * to SQL; None = unknown function, caller falls back to plain SQL. */
+  private def stageToSql(stage: String, piped: Option[String],
+      typed: Map[String, org.apache.spark.sql.types.StructType]): Option[String] = {
+    val parts = splitArgs(stage)
+    parts.headOption match {
+      case Some(f) if f.forall(c => c.isLetterOrDigit) && (parts.length > 1 || piped.nonEmpty) =>
+        sprigCall(f, parts.tail.map(argToSql(_, typed)) ++ piped)
+      case _ if piped.isEmpty && parts.nonEmpty =>
+        Some(rewriteTokens(stage, typed)) // bare head expression
+      case _ => None
+    }
+  }
+
   /** One `{{ ... }}` body (or bare SQL) to a SQL fragment. */
   private def bodyToSql(body: String,
       typed: Map[String, org.apache.spark.sql.types.StructType]): String = body.trim match {
     case goIndexMeta(k) => s"metadata['${k.replace("'", "''")}']"
-    case goPrefixCmp(op, a, b) =>
+    case goPrefixCmp(op, a, b)
+        if !a.contains("|") && !b.contains("|") =>
       val sql = if (op == "eq") "=" else "<>"
       s"(${rewriteTokens(a, typed)} $sql ${rewriteTokens(b, typed)})"
-    case other => rewriteTokens(other, typed)
+    case other =>
+      val stages = splitPipes(other)
+      val piped = stages.tail.foldLeft(stageToSql(stages.head, None, typed)) {
+        (acc, stage) => acc.flatMap(x => stageToSql(stage, Some(x), typed))
+      }
+      piped.getOrElse(rewriteTokens(other, typed))
   }
 
   /** Condition string → boolean Column. Accepts `{{ expr }}` (reference

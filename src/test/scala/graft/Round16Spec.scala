@@ -272,6 +272,35 @@ class Round16Spec extends AnyFunSuite {
       got.toString())
   }
 
+  test("sprig-style template pipelines compile to SQL (field.set values)") {
+    val df = Cdc.wrap(Seq((1L, "Ada Lovelace", "en"))
+      .toDF("id", "name", "lang"), "id", "t")
+    def setVal(tpl: String): String =
+      Registry.create("field.set",
+        Map("field" -> ".Payload.After.out", "value" -> tpl))(df)
+        .select(col(Cdc.PayloadAfter)).collect().map(r =>
+          graft.functions.JsonOps.parse(r.getString(0)).get("out").asText)
+        .head
+    // pipelines append the piped value as the last argument (Go rule)
+    assert(setVal("{{ .Payload.After.name | upper }}") == "ADA LOVELACE")
+    assert(setVal("{{ .Payload.After.name | lower | trunc 3 }}") == "ada")
+    assert(setVal("{{ .Payload.After.name | replace \"Ada\" \"A.\" }}") == "A. Lovelace")
+    assert(setVal("{{ .Payload.After.name | abbrev 6 }}") == "Ada...")
+    assert(setVal("{{ .Payload.After.missing | default \"n/a\" }}") == "n/a")
+    assert(setVal("{{ .Payload.After.name | sha256sum | trunc 8 }}")
+      .matches("[0-9a-f]{8}"))
+    // prefix calls without a pipe; %v renders like %s
+    assert(setVal("{{ printf \"%s-%v\" .Payload.After.lang .Payload.After.id }}") == "en-1")
+    assert(setVal("{{ b64enc .Payload.After.lang }}") == "ZW4=")
+    assert(setVal("{{ .Payload.After.lang | b64enc | b64dec }}") == "en")
+    // mixed literal text + pipeline segments
+    assert(setVal("user:{{ .Payload.After.name | upper | trunc 3 }}!") == "user:ADA!")
+    // bare SQL with `||` (concat) must NOT be parsed as a pipeline
+    assert(setVal("{{ .Payload.After.lang || '-x' }}") == "en-x")
+    // an unknown pipeline head falls back to plain SQL, untouched
+    assert(setVal("{{ coalesce(.Payload.After.missing, 'z') }}") == "z")
+  }
+
   test("GET /v1/processors/plugins serves the full catalogue with specs") {
     val ckpt = java.nio.file.Files.createTempDirectory("cp-plug-ckpt").toString
     val cp = new graft.pipeline.ControlPlane(spark, ckpt)
