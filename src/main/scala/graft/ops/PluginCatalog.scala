@@ -544,6 +544,18 @@ object PluginCatalog {
       "OpenCDC record paths (`.Payload.After.<field>`, `.Key`, " +
       "`.Metadata.<key>`). Custom plugins install via " +
       "`Registry.register` / `Registry.registerTransform`.\n\n")
+    sb.append("Template sites (`field.set` values, `error` messages, " +
+      "webhook URLs/bodies, kafka topics) accept `{{ ... }}` bodies " +
+      "with Go-template pipelines over a sprig-style vocabulary, " +
+      "compiled to codegen'd Spark SQL — the piped value is appended " +
+      "as the call's last argument, per `text/template`: " +
+      "`upper` `lower` `trim` `title` `quote` `squote` `len` " +
+      "`nospace` `b64enc` `b64dec` `sha1sum` `sha256sum` " +
+      "`default \"d\"` `trunc n` `abbrev n` `substr start end` " +
+      "`replace old new` `printf \"fmt\" args...` (Go `%v` renders " +
+      "like `%s`), plus `eq`/`ne` prefix comparators, " +
+      "`index .Metadata \"k\"`, and any bare Spark SQL expression " +
+      "with record-path tokens.\n\n")
     val groups = entries.groupBy(e => e.plugin.split("[.]").head)
     val order = Seq("field", "json", "base64", "avro", "unwrap", "filter",
       "error", "clone", "split", "sql", "webhook", "enrich", "openai",

@@ -27,7 +27,13 @@ import graft.functions.JsonOps
   *   GET    /v1/pipelines/{id}/status   status + metrics snapshot
   *   GET    /v1/pipelines/{id}/export   one pipeline as YAML
   *   GET    /v1/pipelines/{id}/inspect  drained inspector sample
+  *   GET    /v1/pipelines/{id}/dead-letter-queue   DLQ config
+  *   PUT    /v1/pipelines/{id}/dead-letter-queue   update DLQ config
   *   DELETE /v1/pipelines/{id}          stop + unregister
+  *   GET    /v1/processors/plugins      processor-plugin specs (?name=regex)
+  *   GET    /v1/connectors/plugins      connector-plugin specs (?name=regex)
+  *   GET    /metrics                    Prometheus text exposition
+  *   GET    /info                       version/os/arch
   */
 class ControlPlane(spark: SparkSession, checkpointRoot: String) {
   private val configs = new ConcurrentHashMap[String, PipelineConfig]()
@@ -277,6 +283,33 @@ class ControlPlane(spark: SparkSession, checkpointRoot: String) {
           case ("GET", id :: "inspect" :: Nil) =>
             val sample = Metrics.inspectorFor(id).map(_.drain()).getOrElse(Nil)
             respond(ex, 200, sample.mkString("[", ",", "]"))
+          // DLQ config (reference parity: GetDLQ/UpdateDLQ at
+          // GET/PUT /v1/pipelines/{id}/dead-letter-queue —
+          // proto/api/v1/api.proto:520-531)
+          case ("GET", id :: "dead-letter-queue" :: Nil) =>
+            config(id) match {
+              case None => respond(ex, 404, """{"error":"not found"}""")
+              case Some(cfg) => respond(ex, 200, cfg.dlq match {
+                case Some(q) =>
+                  s"""{"dlq":{"plugin":${JsonOps.render(JsonOps.mapper.getNodeFactory.textNode(q.plugin))},"windowSize":${q.windowSize},"windowNackThreshold":${q.windowNackThreshold}}}"""
+                case None => """{"dlq":null}"""
+              })
+            }
+          case ("PUT", id :: "dead-letter-queue" :: Nil) =>
+            val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+            val n = JsonOps.parse(body)
+            val d = Option(n.get("dlq")).getOrElse(n) // {dlq:{...}} or bare
+            // mutate() holds the same running-pipeline invariant as the
+            // gRPC facade: a live query keeps its old DLQ config
+            mutate(id)(cfg => cfg.copy(dlq = Some(DlqConfig(
+              plugin = Option(d.get("plugin")).map(_.asText("builtin:log"))
+                .getOrElse("builtin:log"),
+              windowSize = Option(d.get("windowSize")).map(_.asInt(0)).getOrElse(0),
+              windowNackThreshold = Option(d.get("windowNackThreshold"))
+                .map(_.asInt(0)).getOrElse(0)))))
+            val q = config(id).get.dlq.get
+            respond(ex, 200,
+              s"""{"dlq":{"plugin":${JsonOps.render(JsonOps.mapper.getNodeFactory.textNode(q.plugin))},"windowSize":${q.windowSize},"windowNackThreshold":${q.windowNackThreshold}}}""")
           case _ => respond(ex, 404, """{"error":"not found"}""")
         }
       } catch {

@@ -272,6 +272,51 @@ class Round16Spec extends AnyFunSuite {
       got.toString())
   }
 
+  test("REST DLQ config round-trips and respects the running invariant") {
+    val ckpt = java.nio.file.Files.createTempDirectory("cp-dlq-ckpt").toString
+    val cp = new graft.pipeline.ControlPlane(spark, ckpt)
+    val port = cp.start(0)
+    val client = HttpClient.newHttpClient()
+    def url(p: String) = URI.create(s"http://127.0.0.1:$port/v1/pipelines$p")
+    def get(p: String) = client.send(HttpRequest.newBuilder(url(p)).GET()
+      .build(), HttpResponse.BodyHandlers.ofString()).body()
+    def put(p: String, body: String) = client.send(HttpRequest.newBuilder(
+      url(p)).PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    val yaml =
+      """version: 2.2
+        |pipelines:
+        |  - id: cp-dlq
+        |    connectors:
+        |      - id: gen
+        |        type: source
+        |        plugin: builtin:generator
+        |        settings:
+        |          format.options.id: int
+        |          recordCount: "10"
+        |      - id: out
+        |        type: destination
+        |        plugin: memory
+        |""".stripMargin
+    try {
+      client.send(HttpRequest.newBuilder(url(""))
+        .POST(HttpRequest.BodyPublishers.ofString(yaml)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(get("/cp-dlq/dead-letter-queue") == """{"dlq":null}""")
+      val resp = put("/cp-dlq/dead-letter-queue",
+        """{"dlq":{"plugin":"builtin:log","windowSize":100,"windowNackThreshold":5}}""")
+      assert(resp.statusCode() == 200, resp.body())
+      assert(get("/cp-dlq/dead-letter-queue").contains("\"windowSize\":100"))
+      assert(cp.config("cp-dlq").get.dlq.get.windowNackThreshold == 5)
+      // the bare-object body form is accepted too
+      assert(put("/cp-dlq/dead-letter-queue",
+        """{"plugin":"builtin:log","windowSize":7,"windowNackThreshold":1}""")
+        .statusCode() == 200)
+      assert(get("/cp-dlq/dead-letter-queue").contains("\"windowSize\":7"))
+      assert(get("/nope/dead-letter-queue").contains("error"))
+    } finally cp.stop()
+  }
+
   test("sprig-style template pipelines compile to SQL (field.set values)") {
     val df = Cdc.wrap(Seq((1L, "Ada Lovelace", "en"))
       .toDF("id", "name", "lang"), "id", "t")
