@@ -544,22 +544,92 @@ object Sampling {
     * bit-identical to the single-task window, at any partitioning.
     */
   def curriculum(df: DataFrame, idCol: String, scoreCol: String,
-                 phases: Int): DataFrame = {
+                 phases: Int, maxTaskRows: Long = 4000000L): DataFrame =
+    withCurriculumPhase(
+      df.withColumn("_s", col(scoreCol).cast("long")),
+      idCol, phases, maxTaskRows)
+      .select(col(idCol), col(scoreCol), col("phase"))
+
+  /** Append the exact-NTILE `phase` column over the (`_s`, orderCol)
+    * total order to a frame carrying a long `_s` score column —
+    * shared by [[curriculum]] and the `sample.curriculum` processor.
+    *
+    * Hot-score refinement (the 100 TB guard): a score value carrying
+    * more rows than `maxTaskRows` would funnel all its ties into ONE
+    * rank-window task. Such scores are split into up to 64 id-RANGE
+    * sub-buckets — boundaries from a bounded deterministic-seed
+    * sample of that score's keys (boundary choice affects only
+    * balance, never the result), assignment by plain comparisons in
+    * the key's own ordering — and the prefix sums extend to exact
+    * (score, bucket) counts. Every row still derives the same global
+    * index, so the phases are bit-identical to the single-window
+    * form at any partitioning; only the parallelism changes.
+    */
+  private[graft] def withCurriculumPhase(df0: DataFrame, orderCol: String,
+                                         phases: Int,
+                                         maxTaskRows: Long = 4000000L): DataFrame = {
     require(phases >= 2, s"phases=$phases")
-    val hist = df.groupBy(col(scoreCol).cast("long").as("_s"))
-      .agg(count(lit(1)).as("_c"))
+    require(maxTaskRows >= 1, s"maxTaskRows=$maxTaskRows")
+    val spark = df0.sparkSession
+    import spark.implicits._
+    val hist = df0.groupBy(col("_s")).agg(count(lit(1)).as("_c"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val n = hist.map(_._2).sum
     require(n > 0, "curriculum: empty input")
-    val starts = hist.scanLeft(0L)(_ + _._2).init
-    val spark = df.sparkSession
-    import spark.implicits._
-    val startDf = broadcast(
-      hist.map(_._1).zip(starts).toSeq.toDF("_s", "_start"))
+    val hot = hist.filter(_._2 > maxTaskRows)
+    val (df, counts): (DataFrame, Seq[((Long, Int), Long)]) =
+      if (hot.isEmpty) {
+        (df0.withColumn("_bkt", lit(0)),
+          hist.toSeq.map { case (s, c) => ((s, 0), c) })
+      } else {
+        // boundaries per hot score from a seeded sample of its keys
+        val boundaries: Map[Long, Seq[Any]] = hot.map { case (s, c) =>
+          val buckets = math.min(64L, (c + maxTaskRows - 1) / maxTaskRows).toInt
+          val frac = math.min(1.0, 100000.0 / c.toDouble)
+          val sample = df0.filter(col("_s") === s).select(col(orderCol))
+            .sample(withReplacement = false, frac, seed = 7L)
+            .limit(200000).collect().map(_.get(0))
+          // native-type sort for balanced boundaries; a mis-ordered
+          // pick cannot break correctness — "count of boundaries
+          // strictly below the key" is monotone in the key for ANY
+          // boundary set, so buckets are always order-contiguous
+          val sorted: Array[Any] = sample.headOption match {
+            case Some(_: Long) | Some(_: Int) =>
+              sample.map(v => v.asInstanceOf[Number].longValue)
+                .sorted.map(v => v: Any)
+            case Some(_: String) =>
+              sample.map(_.asInstanceOf[String]).sorted.map(v => v: Any)
+            case _ => sample.sortBy(_.toString)
+          }
+          val bs =
+            if (sorted.isEmpty) Seq.empty[Any]
+            else (1 until buckets).map(i =>
+              sorted(((i.toLong * sorted.length) / buckets).toInt
+                .min(sorted.length - 1)))
+          s -> bs.distinct
+        }.toMap
+        // bucket = #boundaries strictly below the key, in the KEY's own
+        // Spark ordering (the same ordering the rank window uses)
+        val bktExpr = boundaries.foldLeft(lit(0)) { case (acc, (s, bs)) =>
+          when(col("_s") === s,
+            bs.map(b => (col(orderCol) > lit(b)).cast("int"))
+              .foldLeft(lit(0))(_ + _)).otherwise(acc)
+        }
+        val withBkt = df0.withColumn("_bkt", bktExpr)
+        val exact = withBkt.groupBy(col("_s"), col("_bkt"))
+          .agg(count(lit(1)).as("_c"))
+          .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2)))
+          .sortBy(_._1)
+        (withBkt, exact.toSeq)
+      }
+    val starts = counts.map(_._2).scanLeft(0L)(_ + _).init
+    val startDf = broadcast(counts.map(_._1).zip(starts)
+      .map { case ((s, b), st) => (s, b, st) }
+      .toSeq.toDF("_s", "_bkt", "_start"))
     val q = n / phases
     val r = n % phases
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_s")).orderBy(col(idCol))
+      .partitionBy(col("_s"), col("_bkt")).orderBy(col(orderCol))
     // 0-based global index of the row in the (score, id) total order
     val idx = col("_start") + row_number().over(w) - 1
     // floor division through doubles: exact for any corpus whose row
@@ -570,10 +640,9 @@ object Sampling {
       when(idx < lit(r * (q + 1)), fdiv(idx, q + 1) + 1)
         .otherwise(lit(r) + fdiv(idx - lit(r * (q + 1)), math.max(q, 1L)) + 1)
     else fdiv(idx, q) + 1
-    df.withColumn("_s", col(scoreCol).cast("long"))
-      .join(startDf, "_s")
+    df.join(startDf, Seq("_s", "_bkt"))
       .withColumn("phase", phase.cast("long"))
-      .select(col(idCol), col(scoreCol), col("phase"))
+      .drop("_bkt", "_start")
   }
 
   /** Mixture divergence monitor: how far the corpus's realized

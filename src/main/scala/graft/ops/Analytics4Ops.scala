@@ -616,35 +616,19 @@ case class SampleCurriculumProc(idField: Ref, scoreField: Ref, phases: Int)
         "apply it foreachBatch")
     val score = Analytics2Ops.asLong(
       Analytics2Ops.fieldCol(df, scoreField).cast("string"))
-    val hist = df.select(score.as("_s")).filter(col("_s").isNotNull)
-      .groupBy(col("_s")).agg(count(lit(1)).as("_c"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val n = hist.map(_._2).sum
-    require(n > 0, "sample.curriculum: no records with a numeric score")
-    val starts = hist.scanLeft(0L)(_ + _._2).init
-    val spark = df.sparkSession
-    import spark.implicits._
-    val startDf = broadcast(
-      hist.map(_._1).zip(starts).toSeq.toDF("_s", "_start"))
-    val q = n / phases
-    val r = n % phases
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_s"))
-      .orderBy(Analytics2Ops.fieldCol(df, idField).cast("string"))
-    val idx = col("_start") + row_number().over(w) - 1
-    def fdiv(a: Column, b: Long): Column =
-      floor(a.cast("double") / lit(b.toDouble)).cast("long")
-    val phase = if (r > 0)
-      when(idx < lit(r * (q + 1)), fdiv(idx, q + 1) + 1)
-        .otherwise(lit(r) + fdiv(idx - lit(r * (q + 1)), math.max(q, 1L)) + 1)
-    else fdiv(idx, q) + 1
-    df.withColumn("_s", score)
-      .join(startDf, Seq("_s"), "left")
-      .withColumn(Cdc.Metadata,
-        when(col("_s").isNotNull, RefCols.metaSet(col(Cdc.Metadata),
-          "curriculum.phase", phase.cast("string")))
-          .otherwise(col(Cdc.Metadata)))
-      .drop("_s", "_start")
+    val base = df
+      .withColumn("_s", score)
+      .withColumn("_ord", Analytics2Ops.fieldCol(df, idField).cast("string"))
+    val scored = base.filter(col("_s").isNotNull)
+    require(!scored.isEmpty, "sample.curriculum: no records with a numeric score")
+    // shared exact-NTILE core, with the hot-score range refinement —
+    // records without a numeric score pass through unannotated
+    val phased = graft.analytics.Sampling
+      .withCurriculumPhase(scored, "_ord", phases)
+      .withColumn(Cdc.Metadata, RefCols.metaSet(col(Cdc.Metadata),
+        "curriculum.phase", col("phase").cast("string")))
+      .drop("_s", "_ord", "phase")
+    phased.unionByName(base.filter(col("_s").isNull).drop("_s", "_ord"))
   }
 }
 

@@ -220,6 +220,26 @@ class Round16Spec extends AnyFunSuite {
     assert((9L to 10L).forall(phases(_) == 4L))
   }
 
+  test("curriculum hot-score refinement is bit-identical to the single window") {
+    import graft.analytics.Sampling
+    // one score value (7) carries 40 ties — with maxTaskRows = 4 it
+    // must split into id-range buckets; phases must not change
+    val rows = (1 to 40).map(i => (i.toLong, 7L)) ++
+      (41 to 50).map(i => (i.toLong, i.toLong))
+    val df = rows.toDF("id", "difficulty")
+    val naive = Sampling.curriculum(df, "id", "difficulty", phases = 4,
+        maxTaskRows = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val refined = Sampling.curriculum(df, "id", "difficulty", phases = 4,
+        maxTaskRows = 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(refined == naive, s"refined=$refined naive=$naive")
+    // sanity: the split actually balances phases like NTILE (50/4 →
+    // 13,13,12,12)
+    assert(naive.values.groupBy(identity).view.mapValues(_.size).toMap ==
+      Map(1L -> 13, 2L -> 13, 3L -> 12, 4L -> 12))
+  }
+
   test("sample.mixture_kl reads zero divergence at the target mix") {
     // 80 en tokens vs 20 de tokens against an 0.8/0.2 target → KL 0
     val docs = Seq((1L, "en", 50L), (2L, "en", 30L),
