@@ -1,0 +1,109 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Dedup, Text}
+
+/** Corpus data card — the datasheet a training-data team publishes
+  * with a release, composed entirely from the engine's own operators:
+  * size and token accounting, language mix, quality aggregates, PII
+  * exposure, exact-duplicate rate, token entropy, and the Zipf fit.
+  * One JSON line (machine side) + a markdown table (human side).
+  *
+  * Every metric is a bounded aggregate over scan-linear operators —
+  * the whole card is a handful of map-side-combined passes, so it
+  * runs at any SF (point it at the 100 TB corpus; nothing here
+  * collects rows, only the final one-row aggregates).
+  *
+  * Usage: runMain graft.tools.DataCard [sfDir] [--json|--md]
+  */
+object DataCard {
+
+  final case class Card(fields: Seq[(String, Any)]) {
+    def json: String = fields.map {
+      case (k, v: String) => s""""$k":"$v""""
+      case (k, v: Map[_, _]) =>
+        s""""$k":{${v.toSeq.sortBy(_._1.toString).map { case (a, b) => s""""$a":$b""" }.mkString(",")}}"""
+      case (k, v) => s""""$k":$v"""
+    }.mkString("{", ",", "}")
+    def markdown: String = {
+      val sb = new StringBuilder("# Corpus data card\n\n| metric | value |\n| --- | --- |\n")
+      fields.foreach {
+        case (k, v: Map[_, _]) => sb.append(s"| $k | ${v.toSeq
+          .sortBy(_._1.toString)
+          .map { case (a, b) => s"$a: $b" }.mkString(", ")} |\n")
+        case (k, v) => sb.append(s"| $k | $v |\n")
+      }
+      sb.result()
+    }
+  }
+
+  def build(spark: SparkSession, dir: String): Card = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    val sizeRow = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(Text.wsTokens(col("text")))).cast("long").as("n_tokens"),
+      sum(length(col("text"))).cast("long").as("n_chars")).head()
+
+    val langMix = docs
+      .groupBy(col("lang"))
+      .agg(sum(size(Text.wsTokens(col("text")))).cast("long").as("tk"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val q = Text.qualityScore(docs, "doc_id", "text")
+      .agg(round(avg(col("mean_token_len")), 4).as("mean_token_len"),
+        round(avg(col("stopword_ratio")), 4).as("stopword_ratio"),
+        round(avg(col("punct_ratio")), 4).as("punct_ratio")).head()
+
+    val piiAggs = Text.piiCounts(col("text")).map { case (n, c) =>
+      sum(c).cast("long").as(n) }
+    val pii = docs.agg(piiAggs.head, piiAggs.tail: _*).head()
+
+    val nDocs = sizeRow.getLong(0)
+    val distinctTexts = Dedup.exact(docs, "doc_id", "text").count()
+
+    val ent = Text.tokenEntropy(docs, "doc_id", "text")
+      .agg(round(avg(col("entropy")), 4)).head().getDouble(0)
+
+    val zipf = Text.zipfFit(docs, "text", minCount = 2, topN = 4096).head()
+
+    Card(Seq(
+      "n_docs" -> nDocs,
+      "n_tokens" -> sizeRow.getLong(1),
+      "n_chars" -> sizeRow.getLong(2),
+      "lang_tokens" -> langMix,
+      "mean_token_len" -> q.getDouble(0),
+      "stopword_ratio" -> q.getDouble(1),
+      "punct_ratio" -> q.getDouble(2),
+      "pii_emails" -> pii.getLong(0),
+      "pii_ips" -> pii.getLong(1),
+      "pii_phones" -> pii.getLong(2),
+      "exact_dup_rate" ->
+        math.rint((1.0 - distinctTexts.toDouble / nDocs) * 1e6) / 1e6,
+      "mean_token_entropy" -> ent,
+      "zipf_n_types" -> zipf.getLong(0),
+      "zipf_slope" -> zipf.getDouble(1),
+      "zipf_intercept" -> zipf.getDouble(2)))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.find(!_.startsWith("--"))
+      .getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-datacard")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val card = build(spark, dir)
+    if (!args.contains("--json")) println(card.markdown)
+    println(card.json)
+    spark.stop()
+  }
+}

@@ -107,7 +107,9 @@ object ScaleBench {
       "sketch_kll", "sketch_kll_merge", "sketch_bloom",
       "sketch_bloom_merge", "graph_links",
       // round-14: one keyed sort + map-side-combined gram count
-      "seq_ngrams")
+      "seq_ngrams",
+      // round-16: constant-state corpus-health rows (expect flat)
+      "text_zipf", "sample_curriculum", "sample_mixture_kl")
 
     // SCALE_ONLY=name1,name2 restricts the probe — and may name ANY
     // gate query (the 100x spot-checks probe heavy rows like

@@ -292,6 +292,24 @@ class Round16Spec extends AnyFunSuite {
       got.toString())
   }
 
+  test("DataCard composes the profiling operators into one datasheet") {
+    val card = graft.tools.DataCard.build(spark, "/root/testdata/sf0.001")
+    val f = card.fields.toMap
+    assert(f("n_docs") == 500L)
+    assert(f("n_tokens").asInstanceOf[Long] > 10000L)
+    assert(f("lang_tokens").asInstanceOf[Map[String, Long]].keySet ==
+      Set("en", "fr", "es", "zh", "de"))
+    val dup = f("exact_dup_rate").asInstanceOf[Double]
+    assert(dup >= 0.0 && dup < 1.0)
+    assert(f("zipf_slope").asInstanceOf[Double] < 0.0)
+    // both renderings carry every metric
+    assert(card.fields.forall { case (k, _) =>
+      card.markdown.contains(k) && card.json.contains(s""""$k":""") })
+    val parsed = graft.functions.JsonOps.parse(card.json)
+    assert(parsed.get("n_docs").asLong == 500L)
+    assert(parsed.get("lang_tokens").get("en").asLong > 0L)
+  }
+
   test("REST DLQ config round-trips and respects the running invariant") {
     val ckpt = java.nio.file.Files.createTempDirectory("cp-dlq-ckpt").toString
     val cp = new graft.pipeline.ControlPlane(spark, ckpt)
