@@ -292,6 +292,62 @@ class Round16Spec extends AnyFunSuite {
       got.toString())
   }
 
+  test("curriculum satisfies the NTILE laws on random corpora") {
+    import graft.analytics.Sampling
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 8) {
+      val n = 1 + rnd.nextInt(60)
+      val k = 2 + rnd.nextInt(5)
+      val rows = (1 to n).map(i => (i.toLong, rnd.nextInt(6).toLong))
+      val got = Sampling.curriculum(rows.toDF("id", "s"), "id", "s", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.length == n)
+      // sizes: first n%k phases get ceil(n/k), the rest floor — and
+      // every phase 1..min(n,k) is non-empty
+      val sizes = got.groupBy(_._3).view.mapValues(_.length).toMap
+      val expect = (1 to math.min(n, k)).map(p =>
+        p.toLong -> (n / k + (if (p <= n % k) 1 else 0))).toMap
+        .filter(_._2 > 0)
+      assert(sizes == expect, s"n=$n k=$k sizes=$sizes expect=$expect")
+      // monotone: phases never decrease along the (score, id) order
+      val phases = got.sortBy(t => (t._2, t._1)).map(_._3)
+      assert(phases.zip(phases.drop(1)).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("mixtureKl shares sum to one and the KL total is non-negative") {
+    import graft.analytics.Sampling
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 6) {
+      val strata = Seq("a", "b", "c", "d")
+      val raw = strata.map(_ => 0.05 + rnd.nextDouble())
+      val targets = strata.zip(raw.map(_ / raw.sum))
+      // fix the rounding drift so the proportions sum to exactly 1
+      val fixed = targets.init :+
+        (targets.last._1, 1.0 - targets.init.map(_._2).sum)
+      val rows = (1 to 200).map(i =>
+        (strata(rnd.nextInt(4)), 1L + rnd.nextInt(100)))
+      val got = Sampling.mixtureKl(rows.toDF("lang", "tk"), "lang", "tk",
+        fixed).collect()
+      assert(math.abs(got.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+      assert(got.map(_.getDouble(4)).sum > -1e-6,
+        "KL(realized||target) must be >= 0 (Gibbs)")
+    }
+  }
+
+  test("zipfFit recovers the exponent of a synthetic power law") {
+    import graft.analytics.Text
+    for (a <- Seq(0.8, 1.0, 1.3)) {
+      val counts = (1 to 400).map(r =>
+        (s"w$r", math.max(1L, math.round(100000.0 / math.pow(r, a)))))
+        .toDF("token", "freq")
+      val row = Text.zipfFitFromCounts(counts, topN = 4096).head()
+      val slope = row.getDouble(1)
+      // integer rounding of the counts flattens the tail slightly
+      assert(math.abs(slope + a) < 0.1, s"a=$a slope=$slope")
+    }
+  }
+
   test("DataCard composes the profiling operators into one datasheet") {
     val card = graft.tools.DataCard.build(spark, "/root/testdata/sf0.001")
     val f = card.fields.toMap
