@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.{Sampling, Text}
+
+/** Plan-shape guards for the round-16 operators: the Scaladoc scale
+  * claims asserted against executed plans — the Zipf head selection
+  * must stay a partial top-k (never a global sort of the vocabulary),
+  * and the curriculum's rank windows must always carry a partition
+  * spec (the whole point of the histogram + refinement design is that
+  * no single-task global window exists anywhere).
+  */
+class PlanShape16Spec extends AnyFunSuite {
+  lazy val spark = Spark.session
+  import spark.implicits._
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def docs = (1 to 400).map(i =>
+    (i.toLong, s"alpha beta gamma delta epsilon token$i words number $i"))
+    .toDF("doc_id", "text")
+
+  test("zipfFit selects the head via TakeOrderedAndProject, not a global sort") {
+    val plan = executed(Text.zipfFit(docs, "text", minCount = 1, topN = 64))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"head selection must be a partial top-k:\n$plan")
+    // the only Sort allowed is inside the bounded (≤ topN rows) rank
+    // window; the vocabulary itself must never globally sort — i.e.
+    // no Sort directly above the vocab aggregation's exchange
+    val sorts = "(?m)^\\s*\\+?-? ?\\*?\\(?\\d*\\)? ?Sort ".r.findAllIn(plan).size
+    assert(sorts <= 1, s"unexpected global sorts:\n$plan")
+  }
+
+  test("curriculum windows always carry a partition spec") {
+    val df = (1 to 300).map(i => (i.toLong, (i % 4).toLong)).toDF("id", "s")
+    for (maxTask <- Seq(Long.MaxValue, 10L)) {
+      val plan = executed(Sampling.curriculum(df, "id", "s", 4, maxTask))
+      // every Window node must partition by _s (naive) or (_s, _bkt)
+      // (refined) — a Window with an empty partition spec would be the
+      // single-task global-window trap
+      val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+      assert(windows.nonEmpty, plan)
+      assert(windows.forall(_.contains("_s")),
+        s"window without the score partition (maxTask=$maxTask):\n$plan")
+    }
+  }
+
+  test("mixtureKl is one aggregation over a broadcast target join") {
+    val df = (1 to 300).map(i => (s"g${i % 3}", i.toLong)).toDF("lang", "tk")
+    val plan = executed(Sampling.mixtureKl(df, "lang", "tk",
+      Seq(("g0", 0.4), ("g1", 0.3), ("g2", 0.3))))
+    assert(plan.contains("BroadcastExchange"),
+      s"targets must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a 3-row target table must never sort-merge:\n$plan")
+  }
+}
