@@ -405,9 +405,12 @@ object PluginCatalog {
         opt("topic", "{{ index .Metadata \"opencdc.collection\" }}",
           "Go-template over the record"))),
     ConnectorEntry("builtin:postgres",
-      "Postgres CDC source (log- or query-based) / keyed-upsert destination.",
+      "Postgres CDC source (pgoutput / log / query) / keyed-upsert destination.",
       Seq("source", "destination"),
       Seq(req("url", "jdbc:postgresql://db/app"), req("table", "users"),
+        opt("slot", "", "logical-replication slot → pgoutput CDC (live-verified)"),
+        opt("publication", "", "publication for the pgoutput stream"),
+        opt("psql.opts", "", "psql CLI transport, e.g. '-h /sock -U app -d app'"),
         opt("logTable", "", "set for log-based CDC with deletes"),
         opt("cdc.mode", "query", "query | log")),
       Seq(req("url", "jdbc:postgresql://db/app"), req("table", "users"),

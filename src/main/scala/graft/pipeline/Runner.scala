@@ -109,12 +109,19 @@ object Runner {
           else spark.read.parquet(path)
         Cdc.wrap(df, cfg.settings.getOrElse("key", df.columns.head), cfg.id)
       case "builtin:postgres" | "jdbc" =>
-        // two CDC modes, like the reference connector: log-based
-        // (LSN-offset change log with deletes + before images) when a
-        // logTable is configured, else query-based incrementing-column
+        // three CDC modes, like the reference connector: true logical
+        // replication (pgoutput slot — LSN offsets, live-server
+        // verified) when a slot/publication is configured, log-based
+        // (LSN-offset change log) when a logTable is, else query-based
+        val walBased = cfg.settings.contains("slot") ||
+          cfg.settings.contains("publication") ||
+          cfg.settings.contains("psql.opts")
         val logBased = cfg.settings.contains("logTable") ||
           cfg.settings.get("cdc.mode").contains("log")
-        if (logBased) {
+        if (walBased) {
+          require(streaming, "logical-replication CDC is a streaming source")
+          spark.readStream.format("conduit-pgoutput").options(cfg.settings).load()
+        } else if (logBased) {
           require(streaming, "log-based CDC is a streaming source")
           spark.readStream.format("conduit-cdc-log").options(cfg.settings).load()
         } else if (streaming)

@@ -58,6 +58,13 @@ final class Supervisor(startQuery: () => StreamingQuery,
       try {
         val q = startQuery()
         current = Some(q)
+        // a stop() that landed while startQuery() was in flight saw
+        // current empty and had nothing to stop — without this check
+        // the loop would block in awaitTermination on a query nobody
+        // stops, leak it past join's timeout, and leave it RUNNING
+        // after stop() returned (observed: a leaked generator query
+        // polluting a later suite's sink)
+        if (stopping) { q.stop(); _status = Status.Stopped; return }
         q.awaitTermination() // returns on graceful stop, throws on failure
         if (!stopping) {
           // query self-terminated without error (bounded source drained)
@@ -86,7 +93,18 @@ final class Supervisor(startQuery: () => StreamingQuery,
   def stop(): Unit = synchronized {
     stopping = true
     current.foreach(q => if (q.isActive) q.stop())
-    if (thread != null) { thread.join(30000); thread = null }
+    if (thread != null) {
+      // the loop may still be inside startQuery(): keep re-issuing the
+      // stop against whatever query materializes until the thread
+      // exits (paired with the loop-side stopping check — between
+      // them, a query started during stop() cannot survive it)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (thread.isAlive && System.nanoTime() < deadline) {
+        current.foreach(q => if (q.isActive) q.stop())
+        thread.join(200)
+      }
+      thread = null
+    }
     _status = Status.Stopped
   }
 }

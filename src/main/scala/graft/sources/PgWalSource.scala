@@ -126,6 +126,53 @@ object WalTransport {
     }
   }
 
+  /** Live transport over the `psql` CLI — the same four SQL calls as
+    * [[Jdbc]] (peek-binary-changes / current-lsn / confirmed-flush /
+    * advance), shelled through `psql -At` with base64-encoded message
+    * bytes, for environments that have the postgres client binaries
+    * but no JDBC driver jar on the classpath (this sandbox, minimal
+    * containers). Serializable; `connOpts` are passed to psql verbatim
+    * (`-h /sock/dir -U user -d db`). Identifier-only slot/publication
+    * names are enforced up front — they are interpolated into SQL.
+    */
+  final case class PsqlCli(connOpts: Seq[String], slot: String,
+                           publication: String) extends WalTransport {
+    require(slot.matches("[a-z0-9_]+") && publication.matches("[a-z0-9_]+"),
+      s"slot/publication must be plain identifiers: $slot / $publication")
+    private def q(sql: String): Seq[String] = {
+      val cmd = Seq("psql", "-X", "-A", "-t") ++ connOpts ++ Seq("-c", sql)
+      val p = new ProcessBuilder(cmd: _*).start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream, "UTF-8")
+        .getLines().toList
+      val err = scala.io.Source.fromInputStream(p.getErrorStream, "UTF-8")
+        .mkString
+      require(p.waitFor() == 0, s"psql failed: $err")
+      out.filter(_.nonEmpty)
+    }
+    override def currentLsn(): Long =
+      q("SELECT pg_current_wal_lsn() - '0/0'").head.trim.toLong
+    override def pull(toInclusive: Long): Iterator[(Long, Array[Byte])] =
+      q("SELECT (lsn - '0/0')::text || ':' || encode(data, 'base64') " +
+        s"FROM pg_logical_slot_peek_binary_changes('$slot', " +
+        s"'0/0'::pg_lsn + $toInclusive, NULL, 'proto_version', '1', " +
+        s"'publication_names', '$publication')")
+        .iterator.map { line =>
+          val i = line.indexOf(':')
+          (line.substring(0, i).toLong,
+            java.util.Base64.getDecoder.decode(line.substring(i + 1)))
+        }
+    override def startLsn(): Long =
+      q("SELECT coalesce(confirmed_flush_lsn - '0/0', 0) " +
+        s"FROM pg_replication_slots WHERE slot_name = '$slot'")
+        .headOption.map(_.trim.toLong).getOrElse(0L)
+    override def advance(upToInclusive: Long): Unit = {
+      // advance refuses to move backwards; guard like a fresh slot
+      if (upToInclusive > startLsn())
+        q(s"SELECT pg_replication_slot_advance('$slot', " +
+          s"'0/0'::pg_lsn + $upToInclusive)")
+    }
+  }
+
   /** Named transports for tests and embedded feeds. JVM-local by
     * design (the registry cannot ship to executors); with a registered
     * transport the source plans its single reader task driver-locally
@@ -163,12 +210,16 @@ class PgWalSource extends TableProvider
 }
 
 case class PgWalConfig(transportName: Option[String], url: Option[String],
+                       psqlOpts: Option[String],
                        slot: String, publication: String, maxBytes: Long) {
-  def transport(): WalTransport = transportName match {
-    case Some(name) => WalTransport.lookup(name).getOrElse(
+  def transport(): WalTransport = (transportName, psqlOpts) match {
+    case (Some(name), _) => WalTransport.lookup(name).getOrElse(
       throw new IllegalStateException(s"conduit-pgoutput: no registered transport '$name'"))
-    case None => WalTransport.Jdbc(url.getOrElse(
-      throw new IllegalArgumentException("conduit-pgoutput: url or transport required")),
+    case (None, Some(opts)) => WalTransport.PsqlCli(
+      opts.trim.split("\\s+").toSeq, slot, publication)
+    case (None, None) => WalTransport.Jdbc(url.getOrElse(
+      throw new IllegalArgumentException(
+        "conduit-pgoutput: url, psql.opts, or transport required")),
       slot, publication)
   }
 }
@@ -179,6 +230,7 @@ object PgWalConfig {
     PgWalConfig(
       transportName = lower.get("transport"),
       url = lower.get("url"),
+      psqlOpts = lower.get("psql.opts"),
       slot = lower.getOrElse("slot", "graft"),
       publication = lower.getOrElse("publication", "graft"),
       maxBytes = lower.getOrElse("maxbytesperbatch", (64L << 20).toString).toLong)

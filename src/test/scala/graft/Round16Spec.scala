@@ -220,6 +220,35 @@ class Round16Spec extends AnyFunSuite {
     assert((9L to 10L).forall(phases(_) == 4L))
   }
 
+  test("supervisor stop during a slow query start cannot leak the query") {
+    import graft.pipeline.{Pipeline, Runner, Supervisor}
+    // slow startQuery: stop() will land while the start is in flight,
+    // so the supervisor sees no current query to stop — the exact race
+    // that used to leak a RUNNING query past stop()'s join timeout
+    val startGate = new java.util.concurrent.CountDownLatch(1)
+    val p = Pipeline("sup-race")
+      .source("gen", "builtin:generator",
+        "format.options.id" -> "int", "recordCount" -> "100000000",
+        "rate" -> "100000")
+      .destination("sup-race-out", "memory")
+    val ckpt = java.nio.file.Files.createTempDirectory("sup-race").toString
+    val sup = new Supervisor(() => {
+      startGate.countDown()
+      Thread.sleep(400) // stop() arrives inside this window
+      Runner.start(spark, p, ckpt,
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+    }).start()
+    startGate.await()
+    val t0 = System.nanoTime()
+    sup.stop()
+    val stopSecs = (System.nanoTime() - t0) / 1e9
+    assert(sup.status == sup.Status.Stopped)
+    // the query started during stop() must be dead, promptly — not
+    // leaked past a 30 s join timeout
+    assert(stopSecs < 15, s"stop took ${stopSecs}s (join-timeout leak)")
+    assert(sup.query.forall(!_.isActive), "leaked a running query")
+  }
+
   test("curriculum hot-score refinement is bit-identical to the single window") {
     import graft.analytics.Sampling
     // one score value (7) carries 40 ties — with maxTaskRows = 4 it
