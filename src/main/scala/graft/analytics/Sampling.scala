@@ -565,13 +565,17 @@ object Sampling {
     * index, so the phases are bit-identical to the single-window
     * form at any partitioning; only the parallelism changes.
     */
-  private[graft] def withCurriculumPhase(df0: DataFrame, orderCol: String,
+  private[graft] def withCurriculumPhase(df0in: DataFrame, orderCol: String,
                                          phases: Int,
                                          maxTaskRows: Long = 4000000L): DataFrame = {
     require(phases >= 2, s"phases=$phases")
     require(maxTaskRows >= 1, s"maxTaskRows=$maxTaskRows")
-    val spark = df0.sparkSession
+    val spark = df0in.sparkSession
     import spark.implicits._
+    // null scores never join the start table, so they must not be
+    // counted either — Row.getLong(null) reads 0 and would inflate
+    // score-0's prefix counts, shifting every later phase boundary
+    val df0 = df0in.filter(col("_s").isNotNull)
     val hist = df0.groupBy(col("_s")).agg(count(lit(1)).as("_c"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val n = hist.map(_._2).sum

@@ -344,6 +344,20 @@ class Round16Spec extends AnyFunSuite {
     }
   }
 
+  test("curriculum ignores null scores in the histogram AND the output") {
+    import graft.analytics.Sampling
+    // a null score must neither join nor count — Row.getLong(null)
+    // reads 0, which used to inflate score-0's prefix counts and
+    // shift every later phase boundary
+    val df = Seq((1L, Some(0L)), (2L, Some(0L)), (3L, None),
+      (4L, Some(5L)), (5L, Some(9L))).toDF("id", "s")
+      .withColumn("_s", col("s"))
+    val got = Sampling.withCurriculumPhase(df, "id", phases = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("phase")).toMap
+    // 4 scored rows → phases of size 2/2; the null row is absent
+    assert(got == Map(1L -> 1L, 2L -> 1L, 4L -> 2L, 5L -> 2L), got.toString())
+  }
+
   test("mixtureKl shares sum to one and the KL total is non-negative") {
     import graft.analytics.Sampling
     val rnd = new scala.util.Random(11)
