@@ -389,6 +389,53 @@ object Sampling {
       .select(col(idCol), col(strataCol), col(tokensCol))
   }
 
+  /** Fractional-epoch UP-sampling mixture — the complement of the
+    * downsample-only mixes above: a pretraining recipe that reads a
+    * stratum MORE than once ("2.3 epochs of wiki, 0.5 of web") needs
+    * controlled repetition, not a keep gate. Each row in stratum s
+    * with epochs e emits floor(e) full copies plus one extra when its
+    * deterministic hash bucket clears frac(e)·4096 — so the expected
+    * multiplicity is exactly e and the realized multiset is
+    * re-derivable from (id, seed) on any cluster layout (unlike a
+    * `rand()` gate, which breaks on retries). Output (id, stratum,
+    * epoch) with epoch = 0..reps-1: the copy index is what a
+    * downstream shuffle/pack keys on to spread replicas. Strata not
+    * named drop (weight 0); e = 0 is a legal explicit drop.
+    *
+    * Scale shape: the epochs map is config-sized, compiled into a
+    * row-local when-chain — no join, no shuffle, no aggregate; the
+    * explode multiplies rows by at most ceil(max e). Streams safely
+    * (row-local ⇒ batch-decomposable). Fractional-gate arithmetic is
+    * fixed-order IEEE (e - floor(e), then ·4096, then floor),
+    * replicated by the DuckDB oracle.
+    */
+  def epochsUpsample(df: DataFrame, idCol: String, strataCol: String,
+                     epochs: Seq[(String, Double)],
+                     seed: Long = 0L): DataFrame = {
+    require(epochs.nonEmpty, "epochs must be non-empty")
+    require(epochs.forall { case (_, e) => e >= 0 && e <= 64 },
+      "epochs must be in [0, 64] (bound the row multiplication)")
+    require(epochs.map(_._1).distinct.size == epochs.size,
+      "duplicate epochs stratum")
+    val whole = epochs.foldLeft(lit(null).cast("long")) {
+      case (acc, (k, e)) =>
+        when(col(strataCol) === lit(k), lit(math.floor(e).toLong))
+          .otherwise(acc)
+    }
+    val cut = epochs.foldLeft(lit(null).cast("long")) {
+      case (acc, (k, e)) =>
+        when(col(strataCol) === lit(k),
+          lit(math.floor((e - math.floor(e)) * 4096.0).toLong))
+          .otherwise(acc)
+    }
+    df.withColumn("_whole", whole)
+      .withColumn("_reps", col("_whole") +
+        when(bucketOf(col(idCol), seed) < cut, lit(1L)).otherwise(lit(0L)))
+      .filter(col("_reps") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("_reps") - 1)))
+      .select(col(idCol), col(strataCol), col("epoch"))
+  }
+
   /** Greedy sequence packing: documents are dealt into `streams` by
     * interleave rank (round-robin — each stream is a deterministic
     * pseudo-random subsequence), then each stream packs greedily in

@@ -61,6 +61,102 @@ object Text {
       "mean_token_len" -> (nChars / nTokens))
   }
 
+  /** Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", table A1 —
+    * public paper): the canonical heuristic filter set a pretraining
+    * pipeline applies before any model-based scoring. Per document:
+    * the raw signals, one boolean per rule, and the conjunction
+    * `keep`. Distinct from [[qualityScore]] (free-form signals): this
+    * is the NAMED rule set with the paper's thresholds as defaults.
+    *
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [minMeanWordLen, maxMeanWordLen]; symbol-to-word ratio ('#' or
+    * '...') ≤ maxSymbolRatio; lines starting with a bullet ≤
+    * maxBulletFrac; lines ending with an ellipsis ≤ maxEllipsisFrac;
+    * fraction of words with ≥1 alphabetic char ≥ minAlphaFrac; ≥
+    * minStopHits distinct members of the paper's stop-word list.
+    *
+    * Row-local (one pass over the row's own tokens/lines — no corpus
+    * state, no shuffle; streams safely). Ratio arithmetic is integer
+    * counts then a single double division, so the DuckDB oracle
+    * replays it bit-exactly.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Long = 50, maxWords: Long = 100000,
+                  minMeanWordLen: Double = 3.0,
+                  maxMeanWordLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  maxBulletFrac: Double = 0.9,
+                  maxEllipsisFrac: Double = 0.3,
+                  minAlphaFrac: Double = 0.8,
+                  minStopHits: Long = 2): DataFrame =
+    df.select(col(idCol) +: gopherMetrics(col(textCol), minWords,
+      maxWords, minMeanWordLen, maxMeanWordLen, maxSymbolRatio,
+      maxBulletFrac, maxEllipsisFrac, minAlphaFrac, minStopHits).map {
+      case (n, c) => c.as(n) }: _*)
+
+  /** The paper's stop-word containment list (table A1). */
+  private[analytics] val gopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Column-level core of [[gopherRules]] (name → expression), shared
+    * with the `text.gopher` pipeline processor so both surfaces
+    * compute bit-identical signals.
+    */
+  def gopherMetrics(t: Column, minWords: Long, maxWords: Long,
+                    minMeanWordLen: Double, maxMeanWordLen: Double,
+                    maxSymbolRatio: Double, maxBulletFrac: Double,
+                    maxEllipsisFrac: Double, minAlphaFrac: Double,
+                    minStopHits: Long): Seq[(String, Column)] = {
+    val toks = wsTokens(t)
+    val nWords = size(toks).cast("long")
+    val nWordsD = nWords.cast("double")
+    val charSum = aggregate(
+      transform(toks, x => length(x).cast("long")),
+      lit(0L), (a, b) => a + b)
+    val meanWl = charSum.cast("double") / nWordsD
+    val symbols = (regexp_count(t, lit("#")) +
+      regexp_count(t, lit("\\.\\.\\."))).cast("long")
+    val symbolRatio = symbols.cast("double") / nWordsD
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("double")
+    // literal bullet/ellipsis chars (not \ u escapes): the pattern
+    // must parse identically in Java regex and the oracle's RE2
+    val bulletFrac = size(filter(lines,
+      l => l.rlike("^\\s*[•\\-\\*]"))).cast("double") / nLines
+    val ellipsisFrac = size(filter(lines,
+      l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("double") / nLines
+    val alphaFrac = size(filter(toks,
+      x => x.rlike("[A-Za-z]"))).cast("double") / nWordsD
+    val stopHits = size(array_intersect(
+      array_distinct(transform(toks, lower(_))),
+      array(gopherStops.map(lit(_)): _*))).cast("long")
+    val passWords = nWords >= lit(minWords) && nWords <= lit(maxWords)
+    val passWl = meanWl >= lit(minMeanWordLen) && meanWl <= lit(maxMeanWordLen)
+    val passSym = symbolRatio <= lit(maxSymbolRatio)
+    val passBullet = bulletFrac <= lit(maxBulletFrac)
+    val passEllipsis = ellipsisFrac <= lit(maxEllipsisFrac)
+    val passAlpha = alphaFrac >= lit(minAlphaFrac)
+    val passStop = stopHits >= lit(minStopHits)
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len" -> meanWl,
+      "symbol_ratio" -> symbolRatio,
+      "bullet_frac" -> bulletFrac,
+      "ellipsis_frac" -> ellipsisFrac,
+      "alpha_frac" -> alphaFrac,
+      "stop_hits" -> stopHits,
+      "pass_words" -> passWords,
+      "pass_word_len" -> passWl,
+      "pass_symbol" -> passSym,
+      "pass_bullet" -> passBullet,
+      "pass_ellipsis" -> passEllipsis,
+      "pass_alpha" -> passAlpha,
+      "pass_stop" -> passStop,
+      "keep" -> (passWords && passWl && passSym && passBullet &&
+        passEllipsis && passAlpha && passStop))
+  }
+
   /** Tiny built-in character-trigram profiles (public-knowledge top
     * trigrams per language) for heuristic language ID. The score of a
     * language is the fraction of the document's trigrams found in its
@@ -130,6 +226,40 @@ object Text {
     df.select(col(idCol),
       normalizeText(col(textCol)).as("norm_text"),
       length(normalizeText(col(textCol))).cast("long").as("n_chars_norm"))
+
+  /** HTML → text extraction (the WET stage of a web-corpus pipeline):
+    * script/style blocks and comments are REMOVED with their content,
+    * remaining tags are replaced by spaces (so adjacent block text
+    * does not fuse), the common character entities are decoded, and
+    * whitespace runs collapse. Decode order is part of the contract:
+    * entities decode AFTER tag stripping (so `&lt;tag&gt;` survives
+    * as literal text, never re-parsed as markup) and `&amp;` decodes
+    * LAST (so `&amp;lt;` yields `&lt;`, not `<` — no double decode).
+    * Row-local regex inside the scan's codegen stage; streams at scan
+    * speed. Real extractors add DOM heuristics (boilerplate removal
+    * is [[Text.repetition]]'s and the dedup family's job downstream);
+    * the operator shape (html → clean text) is what the engine
+    * provides.
+    */
+  def stripHtmlText(h: Column): Column = {
+    val noScript = regexp_replace(h, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    // amp decodes LAST
+    val ent1 = regexp_replace(noTags, "&lt;", "<")
+    val ent2 = regexp_replace(ent1, "&gt;", ">")
+    val ent3 = regexp_replace(ent2, "&quot;", "\"")
+    val ent4 = regexp_replace(ent3, "&#39;", "'")
+    val ent5 = regexp_replace(ent4, "&nbsp;", " ")
+    val ent6 = regexp_replace(ent5, "&amp;", "&")
+    trim(regexp_replace(ent6, "\\s+", " "))
+  }
+
+  def stripHtml(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      stripHtmlText(col(textCol)).as("clean_text"),
+      length(stripHtmlText(col(textCol))).cast("long").as("n_chars_clean"))
 
   // PII patterns deliberately restricted to constructs with identical
   // semantics in Java regex and RE2 (the oracle's engine): character

@@ -659,3 +659,121 @@ case class SampleMixtureKlProc(strataField: Ref, tokensField: Ref,
     Cdc.wrap(out, "stratum", "sample.mixture_kl")
   }
 }
+
+/** `text.gopher` — the Gopher quality rules (Rae et al. 2021, table
+  * A1; [[graft.analytics.Text.gopherMetrics]] with the paper's
+  * thresholds) as a pipeline annotator: metadata gets `gopher.keep`,
+  * the seven per-rule verdicts, and `gopher.n_words`; with
+  * `drop=true` failing records are filtered instead. Row-local (the
+  * signals read only the record's own tokens/lines), so it streams;
+  * records whose text field is absent pass through unannotated
+  * (`drop=true` removes them — no text is not a pass).
+  */
+case class TextGopherProc(field: Ref, drop: Boolean,
+                          minWords: Long = 50, maxWords: Long = 100000,
+                          minMeanWordLen: Double = 3.0,
+                          maxMeanWordLen: Double = 10.0,
+                          maxSymbolRatio: Double = 0.1,
+                          maxBulletFrac: Double = 0.9,
+                          maxEllipsisFrac: Double = 0.3,
+                          minAlphaFrac: Double = 0.8,
+                          minStopHits: Long = 2) extends Processor {
+  val plugin = "text.gopher"
+  override def transform(df: DataFrame): DataFrame = {
+    val t = Analytics2Ops.fieldCol(df, field).cast("string")
+    // thresholds are settings (paper values as defaults): every real
+    // deployment tunes them to its corpus — a vocabulary without the
+    // English stop list, a domain with long identifiers
+    val ms = graft.analytics.Text.gopherMetrics(t,
+      minWords = minWords, maxWords = maxWords,
+      minMeanWordLen = minMeanWordLen, maxMeanWordLen = maxMeanWordLen,
+      maxSymbolRatio = maxSymbolRatio, maxBulletFrac = maxBulletFrac,
+      maxEllipsisFrac = maxEllipsisFrac, minAlphaFrac = minAlphaFrac,
+      minStopHits = minStopHits)
+    // one struct temp column: sixteen signals share the tokenization
+    // (the ColumnProcessor tempColumns rationale, inlined because the
+    // drop path needs a filter)
+    val staged = df.withColumn("_g",
+      struct(ms.map { case (n, c) => c.as(n) }: _*))
+    val keys = Seq("keep", "n_words", "pass_words", "pass_word_len",
+      "pass_symbol", "pass_bullet", "pass_ellipsis", "pass_alpha",
+      "pass_stop")
+    val meta = keys.foldLeft(col(Cdc.Metadata)) { (m, k) =>
+      RefCols.metaSet(m, s"gopher.$k",
+        col("_g").getField(k).cast("string"))
+    }
+    val annotated = staged.withColumn(Cdc.Metadata,
+      when(col("_g").getField("keep").isNotNull, meta)
+        .otherwise(col(Cdc.Metadata)))
+    val out = if (drop)
+      annotated.filter(col("_g").getField("keep")) else annotated
+    out.drop("_g")
+  }
+}
+
+/** `text.strip_html` — HTML → text extraction in place
+  * ([[graft.analytics.Text.stripHtmlText]]: script/style/comments
+  * removed with content, tags to spaces, entities decoded AFTER
+  * stripping with `&amp;` last, whitespace collapsed — the WET stage
+  * of a web-corpus pipeline). Rewrites the field in place like
+  * `text.normalize`; row-local, streams at scan speed.
+  */
+case class TextStripHtmlProc(field: Ref) extends Processor {
+  val plugin = "text.strip_html"
+  override def transform(df: DataFrame): DataFrame = {
+    val slot = RefCols.column(field)
+    val clean = graft.analytics.Text.stripHtmlText(
+      Analytics2Ops.fieldCol(df, field))
+    df.schema(slot).dataType match {
+      case st: org.apache.spark.sql.types.StructType =>
+        df.withColumn(slot, StructOps.set(col(slot), st, field.sub, clean))
+      case _ =>
+        df.withColumn(slot, graft.functions.JsonExpressions.jsonSet(
+          col(slot), field.sub, clean))
+    }
+  }
+}
+
+/** `sample.epochs` — fractional-epoch UP-sampling
+  * ([[graft.analytics.Sampling.epochsUpsample]] semantics): each
+  * record in stratum s with epochs e is emitted floor(e) times plus a
+  * splitmix64-hash-gated extra for the fraction, so a "2.3 epochs of
+  * wiki" recipe line is one processor. Every copy carries its index
+  * in metadata `epoch.index` (what a downstream shuffle keys on to
+  * spread replicas). Strata not named drop; e=0 is a legal explicit
+  * drop. Row-local when-chain + explode — no join, no shuffle, no
+  * aggregate; streams safely.
+  */
+case class SampleEpochsProc(strataField: Ref, idField: Ref,
+                            epochs: Seq[(String, Double)], seed: Long)
+    extends Processor {
+  require(epochs.nonEmpty, "sample.epochs: epochs must be non-empty")
+  require(epochs.forall { case (_, e) => e >= 0 && e <= 64 },
+    "sample.epochs: epochs must be in [0, 64]")
+  require(epochs.map(_._1).distinct.size == epochs.size,
+    "sample.epochs: duplicate epochs stratum")
+  val plugin = "sample.epochs"
+  override def transform(df: DataFrame): DataFrame = {
+    import graft.analytics.HashFunctions.fnv1a_hash
+    val stratum = Analytics2Ops.fieldCol(df, strataField).cast("string")
+    val whole = epochs.foldLeft(lit(null).cast("long")) {
+      case (acc, (k, e)) =>
+        when(stratum === lit(k), lit(math.floor(e).toLong)).otherwise(acc)
+    }
+    val cut = epochs.foldLeft(lit(null).cast("long")) {
+      case (acc, (k, e)) =>
+        when(stratum === lit(k),
+          lit(math.floor((e - math.floor(e)) * 4096.0).toLong))
+          .otherwise(acc)
+    }
+    val id = fnv1a_hash(Analytics2Ops.fieldCol(df, idField).cast("string"))
+    df.withColumn("_reps", whole +
+        when(graft.analytics.Sampling.bucketOf(id, seed) < cut, lit(1L))
+          .otherwise(lit(0L)))
+      .filter(col("_reps") > 0)
+      .withColumn("_epoch", explode(sequence(lit(0L), col("_reps") - 1)))
+      .withColumn(Cdc.Metadata, RefCols.metaSet(col(Cdc.Metadata),
+        "epoch.index", col("_epoch").cast("string")))
+      .drop("_reps", "_epoch")
+  }
+}

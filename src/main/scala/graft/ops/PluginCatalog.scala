@@ -164,6 +164,17 @@ object PluginCatalog {
       Seq(req("id", Id), opt("field", Text), opt("n", "3"))),
     Entry("text.entropy", "Character/word entropy per document.",
       Seq(req("id", Id), opt("field", Text))),
+    Entry("text.gopher",
+      "Gopher quality rules (Rae et al. 2021): annotate or filter.",
+      Seq(opt("field", Text), opt("drop", "false"),
+        opt("minWords", "50"), opt("maxWords", "100000"),
+        opt("minMeanWordLen", "3.0"), opt("maxMeanWordLen", "10.0"),
+        opt("maxSymbolRatio", "0.1"), opt("maxBulletFrac", "0.9"),
+        opt("maxEllipsisFrac", "0.3"), opt("minAlphaFrac", "0.8"),
+        opt("minStopHits", "2"))),
+    Entry("text.strip_html",
+      "HTML to text: strip tags/scripts/comments, decode entities.",
+      Seq(opt("field", Text))),
     Entry("text.zipf",
       "Zipf's-law slope/intercept of the vocabulary head (batch-only).",
       Seq(opt("field", Text), opt("minCount", "2"), opt("topN", "4096"))),
@@ -203,6 +214,10 @@ object PluginCatalog {
     Entry("sample.mixture", "Doc-count mixture toward target proportions.",
       Seq(req("stratum", ".Payload.After.lang"), req("id", Id),
         req("targets", "en:0.8,de:0.2"), opt("seed", "0"))),
+    Entry("sample.epochs",
+      "Fractional-epoch up-sampling: emit floor(e) copies + hash-gated extra.",
+      Seq(req("stratum", ".Payload.After.lang"), req("id", Id),
+        req("epochs", "en:1.0,de:2.3"), opt("seed", "0"))),
     Entry("sample.token_mixture",
       "Token-weighted mixture toward target proportions (batch-only).",
       Seq(req("stratum", ".Payload.After.lang"), req("id", Id),

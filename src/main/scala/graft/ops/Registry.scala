@@ -362,6 +362,27 @@ object Registry {
       s.getOrElse("k", "256").toInt)),
     "text.entropy" -> (s => TextEntropyProc(
       Ref.parse(s("id")), ref(s, ".Payload.After"))),
+    "text.strip_html" -> (s => TextStripHtmlProc(ref(s, ".Payload.After"))),
+    "text.gopher" -> (s => TextGopherProc(
+      ref(s, ".Payload.After"),
+      s.getOrElse("drop", "false").toBoolean,
+      s.getOrElse("minWords", "50").toLong,
+      s.getOrElse("maxWords", "100000").toLong,
+      s.getOrElse("minMeanWordLen", "3.0").toDouble,
+      s.getOrElse("maxMeanWordLen", "10.0").toDouble,
+      s.getOrElse("maxSymbolRatio", "0.1").toDouble,
+      s.getOrElse("maxBulletFrac", "0.9").toDouble,
+      s.getOrElse("maxEllipsisFrac", "0.3").toDouble,
+      s.getOrElse("minAlphaFrac", "0.8").toDouble,
+      s.getOrElse("minStopHits", "2").toLong)),
+    "sample.epochs" -> (s => SampleEpochsProc(
+      Ref.parse(s("stratum")), Ref.parse(s("id")),
+      s("epochs").split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { spec =>
+        val i = spec.lastIndexOf(':')
+        require(i > 0, s"sample.epochs: epoch spec must be stratum:e, got $spec")
+        (spec.substring(0, i).trim, spec.substring(i + 1).trim.toDouble)
+      },
+      s.getOrElse("seed", "0").toLong)),
     "text.bpe_train" -> (s => TextBpeTrainProc(
       Ref.parse(s("id")), ref(s, ".Payload.After"),
       s.getOrElse("rounds", "8").toInt)),

@@ -35,9 +35,55 @@ object Analytics {
       when(id % 5 === 0, concat(lit("#sec"), id.cast("string")))
         .otherwise(lit("")))
 
+  /** The constructed per-doc HTML page wrapping the raw text: title/
+    * heading/body text to KEEP, style+script blocks (with `<`
+    * comparisons inside) and a comment to REMOVE with content, nested
+    * tags to strip to spaces, and every supported entity — including
+    * the `&amp;lt;` trap whose correct decode is `&lt;` (amp LAST,
+    * never double-decoded). Shared by `text_strip_html` and its
+    * streaming twin; the oracle re-derives the clean text from this
+    * construction in closed form. */
+  private def noisyHtml(id: org.apache.spark.sql.Column,
+                        text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      lit("<html lang=\"en\"><head><title>d"), id.cast("string"),
+      lit("</title><style>p { color: red }</style>" +
+        "<script>var x = 1; if (x < 2) { x = 2; }</script></head>" +
+        "<body><h1>Doc "), id.cast("string"),
+      lit("</h1>\n<p>"), text,
+      lit("</p><!-- note "), id.cast("string"),
+      lit(" --> <b>AT&amp;T</b> &lt;tag&gt; &nbsp;&quot;q&#39;s&quot; " +
+        "&amp;lt;</body></html>"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Streaming exact-dedup twin (exactDedupSink): the content-hash
+    // registry min/sum-merged across two micro-batches — both merge
+    // laws are order-insensitive, so the final state must equal the
+    // one-shot batch vote. Oracle = dedup_exact's verbatim.
+    "dedup_exact_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val state = java.nio.file.Files
+        .createTempDirectory("dedup_exact_stream").toString
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamingOps.exactDedupSink(state, "doc_id", "text"))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$state/batch=1")
+        .select(col("keep_id"), col("dup_count"))
+    }),
 
     // URL canonicalization dedup: the crawl-store first pass. The test
     // corpus carries no URLs, so the gate row constructs one per doc
@@ -328,6 +374,39 @@ object Analytics {
     "text_quality" -> ((s, dir) =>
       Text.qualityScore(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Gopher rules (Rae et al. 2021 table A1): the NAMED heuristic
+    // filter set with the paper's thresholds — raw signals + one
+    // boolean per rule + the conjunction. Row-local; the oracle
+    // replays every integer count and the single double division per
+    // ratio bit-exactly.
+    "text_gopher" -> ((s, dir) =>
+      Text.gopherRules(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Streaming Gopher-rules twin (rowLocalSink): every signal reads
+    // only the row's own tokens/lines — batch-decomposable by
+    // construction. Oracle = text_gopher's verbatim.
+    "text_gopher_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val out = java.nio.file.Files
+        .createTempDirectory("gopher_stream").toString
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamingOps.rowLocalSink(out)(
+          b => Text.gopherRules(b, "doc_id", "text")))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$out/b*")
+    }),
+
     // Streaming token-count twin (rowLocalSink): whitespace + BPE-ish
     // regex counts read only the row — batch-decomposable by
     // construction. Oracle = text_tokens' verbatim.
@@ -610,6 +689,47 @@ object Analytics {
     "text_normalize" -> ((s, dir) =>
       Text.normalize(t(s, dir, "documents"), "doc_id", "text")),
 
+    // HTML → text extraction (the WET stage): the corpus carries no
+    // markup, so the gate row wraps each doc in a deterministic page
+    // skeleton — title/heading text, style+script blocks WITH
+    // angle-bracket content, a comment, nested tags, and every
+    // supported entity including the &amp;lt; double-decode trap. The
+    // oracle derives the clean text from the construction arithmetic
+    // in closed form, so the hash match proves removal, keep, decode
+    // ORDER, and whitespace collapse all at once.
+    "text_strip_html" -> ((s, dir) =>
+      Text.stripHtml(
+        t(s, dir, "documents").select(col("doc_id"),
+          noisyHtml(col("doc_id"), col("text")).as("text")),
+        "doc_id", "text")),
+
+    // Streaming strip-html twin (rowLocalSink): the extraction reads
+    // only the row. Oracle = text_strip_html's verbatim.
+    "text_strip_html_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val out = java.nio.file.Files
+        .createTempDirectory("striphtml_stream").toString
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamingOps.rowLocalSink(out)(
+          b => Text.stripHtml(
+            b.select(col("doc_id"),
+              noisyHtml(col("doc_id"), col("text")).as("text")),
+            "doc_id", "text")))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$out/b*")
+    }),
+
     // model-based quality classification: hashed unigram+bigram linear
     // model, weights derived from seed 42 — deterministic, so the
     // oracle replays fnv1a + splitmix64 + the sequential IEEE fold
@@ -697,6 +817,43 @@ object Analytics {
     "sample_mixture" -> ((s, dir) =>
       Sampling.mixtureSample(t(s, dir, "documents"), "doc_id", "lang",
         Seq(("en", 0.5), ("de", 0.2), ("fr", 0.2), ("zh", 0.1)), seed = 7)),
+
+    // fractional-epoch UP-sampling: en 1.0 (exact), de 2.3 (2 copies
+    // + hash-gated 30% third), fr 0.5 (pure fractional), zh 0.0
+    // (explicit drop), es unnamed (drop). Row-local when-chain +
+    // explode — no join, no shuffle; the oracle replays floor/frac
+    // arithmetic and the splitmix64 bucket gate.
+    "sample_epochs" -> ((s, dir) =>
+      Sampling.epochsUpsample(t(s, dir, "documents"), "doc_id", "lang",
+        Seq(("en", 1.0), ("de", 2.3), ("fr", 0.5), ("zh", 0.0)), seed = 7)),
+
+    // Streaming epochs twin (rowLocalSink): the replication decision
+    // reads only the row (config-sized when-chain), so the appended
+    // union over a two-batch split equals the one-shot run. Oracle =
+    // sample_epochs' verbatim.
+    "sample_epochs_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val out = java.nio.file.Files
+        .createTempDirectory("epochs_stream").toString
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "lang")
+        .writeStream
+        .foreachBatch(StreamingOps.rowLocalSink(out)(
+          b => Sampling.epochsUpsample(b, "doc_id", "lang",
+            Seq(("en", 1.0), ("de", 2.3), ("fr", 0.5), ("zh", 0.0)),
+            seed = 7)))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$out/b*")
+    }),
 
     // TOKEN-budget mixture: the same target shares measured in tokens
     // — per-stratum token sums pick the largest downsample-only mix,
@@ -3430,7 +3587,98 @@ object Analytics {
       """SELECT doc_id AS media_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          substr(sha256(text), 1, 16) AS sha256_prefix
-         FROM documents"""
+         FROM documents""",
+    // closed-form clean text from the page-construction arithmetic —
+    // zero shared parsing machinery with the operator under test: the
+    // kept fragments joined by single spaces, entities in their
+    // decoded forms (&amp;lt; correctly as &lt;)
+    "text_strip_html" ->
+      """SELECT doc_id,
+         'd' || CAST(doc_id AS VARCHAR) || ' Doc ' || CAST(doc_id AS VARCHAR)
+           || ' ' || text || ' AT&T <tag> "q''s" &lt;' AS clean_text,
+         CAST(length('d' || CAST(doc_id AS VARCHAR) || ' Doc '
+           || CAST(doc_id AS VARCHAR) || ' ' || text
+           || ' AT&T <tag> "q''s" &lt;') AS BIGINT) AS n_chars_clean
+         FROM documents""",
+    // Gopher rules replay: every signal is an integer count over the
+    // row's own tokens/lines followed by one double division, and
+    // every rule is a comparison on that — bit-exact in both engines.
+    // list_intersect/array_intersect both return DISTINCT elements,
+    // so the stop-hit count agrees.
+    "text_gopher" ->
+      """WITH s AS (SELECT doc_id, text,
+           regexp_split_to_array(trim(text), '\s+') AS toks,
+           string_split(text, chr(10)) AS lines
+         FROM documents),
+       sig AS (SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+           CAST(len(regexp_extract_all(text, '#'))
+             + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+           CAST(len(list_filter(lines,
+               l -> regexp_matches(l, '^\s*[•\-\*]'))) AS DOUBLE)
+             / CAST(len(lines) AS DOUBLE) AS bullet_frac,
+           CAST(len(list_filter(lines,
+               l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+             / CAST(len(lines) AS DOUBLE) AS ellipsis_frac,
+           CAST(len(list_filter(toks,
+               x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+           CAST(len(list_intersect(
+               list_distinct(list_transform(toks, x -> lower(x))),
+               ['the','be','to','of','and','that','have','with']))
+             AS BIGINT) AS stop_hits
+         FROM s)
+       SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+         bullet_frac, ellipsis_frac, alpha_frac, stop_hits,
+         (n_words >= 50 AND n_words <= 100000) AS pass_words,
+         (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_word_len,
+         (symbol_ratio <= 0.1) AS pass_symbol,
+         (bullet_frac <= 0.9) AS pass_bullet,
+         (ellipsis_frac <= 0.3) AS pass_ellipsis,
+         (alpha_frac >= 0.8) AS pass_alpha,
+         (stop_hits >= 2) AS pass_stop,
+         ((n_words >= 50 AND n_words <= 100000)
+           AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+           AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+           AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+           AND stop_hits >= 2) AS keep
+       FROM sig""",
+    // fractional-epoch up-sampling replay: floor/frac in the same
+    // IEEE order, the splitmix64(doc_id + 7) bucket gate for the
+    // fractional copy, then range() unnest for the copy index
+    "sample_epochs" ->
+      """WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
+         eps AS (SELECT * FROM (VALUES
+             ('en', CAST(1.0 AS DOUBLE)), ('de', CAST(2.3 AS DOUBLE)),
+             ('fr', CAST(0.5 AS DOUBLE)), ('zh', CAST(0.0 AS DOUBLE)))
+           t(lang, e)),
+         base AS (SELECT doc_id, d.lang,
+             CAST(floor(e) AS BIGINT) AS whole,
+             CAST(floor((e - floor(e)) * 4096.0) AS BIGINT) AS cutv
+           FROM documents d JOIN eps USING (lang)),
+         m0 AS (SELECT doc_id, lang, whole, cutv,
+           (CAST(doc_id AS HUGEINT) + 7 + CAST(11400714819323198485 AS HUGEINT)) % m64 AS x1, m64
+           FROM base CROSS JOIN c),
+         ma AS (SELECT doc_id, lang, whole, cutv, xor(x1, x1 // 1073741824) AS x2, m64 FROM m0),
+         m1 AS (SELECT doc_id, lang, whole, cutv,
+           (x2 % 4294967296 * 484763065 +
+            ((x2 % 4294967296 * 3210233709 + (x2 // 4294967296) * 484763065) % 4294967296)
+            * 4294967296) % m64 AS x3, m64 FROM ma),
+         mb AS (SELECT doc_id, lang, whole, cutv, xor(x3, x3 // 134217728) AS x4, m64 FROM m1),
+         m2 AS (SELECT doc_id, lang, whole, cutv,
+           (x4 % 4294967296 * 321982955 +
+            ((x4 % 4294967296 * 2496678331 + (x4 // 4294967296) * 321982955) % 4294967296)
+            * 4294967296) % m64 AS x5, m64 FROM mb),
+         m3 AS (SELECT doc_id, lang, whole, cutv, xor(x5, x5 // 2147483648) AS x6 FROM m2),
+         reps AS (SELECT doc_id, lang,
+             whole + CASE WHEN (x6 // 4096) % 4096 < cutv
+               THEN 1 ELSE 0 END AS nreps
+           FROM m3)
+         SELECT doc_id, lang, CAST(unnest(range(nreps)) AS BIGINT) AS epoch
+         FROM reps WHERE nreps > 0"""
   )
 
   /** Streaming twins share their batch siblings' oracles verbatim —
@@ -3449,5 +3697,9 @@ object Analytics {
     "text_entropy_stream" -> oraclesBase("text_entropy"),
     "text_hashing_stream" -> oraclesBase("text_hashing"),
     "sample_mixture_kl_stream" -> oraclesBase("sample_mixture_kl"),
-    "text_zipf_stream" -> oraclesBase("text_zipf"))
+    "text_zipf_stream" -> oraclesBase("text_zipf"),
+    "text_gopher_stream" -> oraclesBase("text_gopher"),
+    "sample_epochs_stream" -> oraclesBase("sample_epochs"),
+    "dedup_exact_stream" -> oraclesBase("dedup_exact"),
+    "text_strip_html_stream" -> oraclesBase("text_strip_html"))
 }

@@ -870,6 +870,37 @@ object StreamingOps {
     }
   }
 
+  /** Streaming exact-dedup state — the content-hash registry of
+    * [[graft.analytics.Dedup.exact]] maintained across micro-batches:
+    * per sha-256 digest, the smallest id seen so far and the running
+    * duplicate count. Both merge laws are order-insensitive
+    * (min ∘ min = min, sum ∘ count = count), so the state after any
+    * stream prefix equals the one-shot batch vote over that prefix —
+    * the at-least-once crawl-ingest dedup ledger. State size = one
+    * row per DISTINCT content (sublinear in a duplicate-bearing
+    * corpus); the `batch=` + `_SUCCESS` guard makes sum replays
+    * idempotent on restart.
+    */
+  def exactDedupSink(
+      stateDir: String,
+      idCol: String,
+      textCol: String): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val newS = batch.groupBy(sha2(col(textCol), 256).as("content_hash"))
+        .agg(min(col(idCol)).as("keep_id"),
+          count(lit(1)).cast("long").as("dup_count"))
+      val merged = latestCommittedDir(stateDir, batchId) match {
+        case Some(prev) => spark.read.parquet(prev).unionByName(newS)
+          .groupBy(col("content_hash"))
+          .agg(min(col("keep_id")).as("keep_id"),
+            sum(col("dup_count")).cast("long").as("dup_count"))
+        case None => newS
+      }
+      merged.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    }
+  }
+
   def histogramBinSink(
       stateDir: String,
       groupCols: Seq[String],

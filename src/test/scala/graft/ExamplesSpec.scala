@@ -132,4 +132,26 @@ class ExamplesSpec extends AnyFunSuite {
       .map { case (_, rows) => rows.map(_.get("weight").asDouble).sum }
     assert(perCluster.forall(s => math.abs(s - 1.0) < 1e-9))
   }
+
+  test("gopher-epochs gates on the rules then replicates by epoch recipe") {
+    clean("/tmp/graft-gopher-epochs")
+    val cfg = load("gopher-epochs.yaml").head
+    val out = Cdc.ok(Runner.build(spark, cfg, streaming = false))
+    val rows = out.select(col(Cdc.PayloadAfter), col(Cdc.Metadata)).collect()
+    assert(rows.nonEmpty)
+    val metas = rows.map(_.getMap[String, String](1))
+    // the gate ran with drop=true: every surviving record passed
+    assert(metas.forall(_.get("gopher.keep").contains("true")))
+    // the upsample ran: every record carries its copy index, and the
+    // 2.3-epoch English stratum actually contains second copies
+    assert(metas.forall(_.contains("epoch.index")))
+    assert(metas.exists(_.get("epoch.index").contains("1")))
+    // per (doc, lang=en) multiplicity is 2 or 3 — never more (floor
+    // 2.3 = 2 plus at most one hash-gated extra)
+    val en = rows.filter(r => graft.functions.JsonOps.parse(r.getString(0))
+      .get("lang").asText == "en")
+    val perDoc = en.groupBy(r => graft.functions.JsonOps.parse(r.getString(0))
+      .get("doc_id").asLong).map(_._2.length)
+    assert(perDoc.nonEmpty && perDoc.forall(n => n == 2 || n == 3))
+  }
 }

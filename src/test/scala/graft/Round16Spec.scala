@@ -528,4 +528,165 @@ class Round16Spec extends AnyFunSuite {
       assert(log.get("source_params").isEmpty, "log is destination-only")
     } finally cp.stop()
   }
+
+  // ---- wave 7: epochs up-sampling, Gopher rules, streaming exact dedup
+
+  test("epochsUpsample: integer epochs give exact multiplicities, fractions gate deterministically") {
+    import graft.analytics.Sampling
+    val df = (0L until 400L).map(i =>
+      (i, if (i % 4 == 0) "en" else if (i % 4 == 1) "de"
+          else if (i % 4 == 2) "fr" else "zh"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.epochsUpsample(df, "doc_id", "lang",
+      Seq(("en", 2.0), ("de", 0.5), ("fr", 0.0)), seed = 7).cache()
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en: exactly 2 copies each (100 docs -> 200 rows), epochs {0,1}
+    assert(byLang("en") == 200L)
+    assert(out.filter($"lang" === "en").groupBy("doc_id").count()
+      .filter($"count" =!= 2).isEmpty)
+    // fr: explicit 0.0 -> dropped; zh unnamed -> dropped
+    assert(!byLang.contains("fr") && !byLang.contains("zh"))
+    // de: fraction 0.5 -> cut floor(.5*4096)=2048 of 4096 buckets;
+    // every emitted row has exactly one copy (epoch 0) and the SAME
+    // rows come back on a second run (hash gate, not rand)
+    assert(out.filter($"lang" === "de").groupBy("doc_id").count()
+      .filter($"count" =!= 1).isEmpty)
+    val de1 = out.filter($"lang" === "de").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    val de2 = Sampling.epochsUpsample(df, "doc_id", "lang",
+      Seq(("de", 0.5)), seed = 7).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(de1.sameElements(de2))
+    assert(de1.length > 20 && de1.length < 80, s"de kept ${de1.length}/100")
+    // epoch index is contiguous from 0 per (doc, stratum)
+    val eps = out.filter($"lang" === "en" && $"doc_id" === 0L)
+      .select("epoch").collect().map(_.getLong(0)).sorted
+    assert(eps.sameElements(Array(0L, 1L)))
+    intercept[IllegalArgumentException] {
+      Sampling.epochsUpsample(df, "doc_id", "lang",
+        Seq(("en", 1.0), ("en", 2.0)))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.epochsUpsample(df, "doc_id", "lang", Seq(("en", 65.0)))
+    }
+    out.unpersist()
+  }
+
+  test("gopherRules: each rule fires on a crafted violator and the clean doc keeps") {
+    import graft.analytics.Text
+    val clean = (("w" * 4) + " ") * 55 + "the of and that" // 59 words, len 4ish
+    val docs = Seq(
+      (0L, clean),                                    // passes all
+      (1L, "the of and that tiny doc"),               // < 50 words
+      (2L, (("w" * 20) + " ") * 60 + "the of"),       // mean word len > 10
+      (3L, (("w" * 4) + "# ") * 60 + "the of"),       // symbol ratio > 0.1
+      (4L, Array.fill(60)("• bullet the of").mkString("\n")), // bullets
+      (5L, Array.fill(60)("the of words...").mkString("\n")), // ellipses
+      (6L, (("9" * 4) + " ") * 60 + "the of"),        // alpha frac < 0.8
+      (7L, (("w" * 4) + " ") * 60)                    // no stop words
+    ).toDF("doc_id", "text")
+    val got = Text.gopherRules(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def b(id: Long, f: String) =
+      got(id).getBoolean(got(id).fieldIndex(f))
+    assert(b(0, "keep"), got(0).toString)
+    assert(!b(1, "pass_words") && !b(1, "keep"))
+    assert(!b(2, "pass_word_len") && !b(2, "keep"))
+    assert(!b(3, "pass_symbol") && !b(3, "keep"))
+    assert(!b(4, "pass_bullet") && !b(4, "keep"))
+    assert(!b(5, "pass_ellipsis") && !b(5, "keep"))
+    assert(!b(6, "pass_alpha") && !b(6, "keep"))
+    assert(!b(7, "pass_stop") && !b(7, "keep"))
+    // the violators fail ONLY their own rule (plus keep): crafted
+    // docs stay clean on every other dimension
+    assert(b(1, "pass_word_len") && b(1, "pass_symbol") && b(1, "pass_alpha"))
+    assert(b(3, "pass_words") && b(3, "pass_word_len") && b(3, "pass_stop"))
+  }
+
+  test("text.gopher annotates metadata and drop=true filters; null text passes through") {
+    val clean = (("w" * 4) + " ") * 55 + "the of and that"
+    val recs = Cdc.wrap(Seq(
+      (0L, clean), (1L, "too short the of")).toDF("id", "text"), "id", "docs")
+    // a record whose payload has no text field at all
+    val noText = Cdc.wrap(Seq(Tuple1(9L)).toDF("id"), "id", "docs")
+    val both = recs.unionByName(noText, allowMissingColumns = true)
+    val annotated = Registry.create("text.gopher",
+      Map("field" -> ".Payload.After.text"))(both)
+    val meta = annotated.select(
+      col(Cdc.Metadata).getItem("gopher.keep").as("keep"),
+      col(Cdc.Metadata).getItem("gopher.pass_words").as("pw"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(meta.count(_._1 == "true") == 1)
+    assert(meta.count(_._1 == "false") == 1)
+    assert(meta.count(_._1 == null) == 1, "absent text stays unannotated")
+    val dropped = Registry.create("text.gopher",
+      Map("field" -> ".Payload.After.text", "drop" -> "true"))(both)
+    assert(dropped.count() == 1, "drop keeps only the passing record")
+  }
+
+  test("sample.epochs emits metadata-indexed copies with exact integer multiplicity") {
+    val recs = Cdc.wrap((0L until 100L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de")).toDF("id", "lang"), "id", "docs")
+    val out = Registry.create("sample.epochs",
+      Map("stratum" -> ".Payload.After.lang", "id" -> ".Payload.After.id",
+        "epochs" -> "en:2.0,de:0.5", "seed" -> "7"))(recs).cache()
+    val en = out.filter(
+      get_json_object(col(Cdc.PayloadAfter), "$.lang") === "en")
+    assert(en.count() == 100L, "50 en docs x exactly 2 copies")
+    val idx = en.select(
+      col(Cdc.Metadata).getItem("epoch.index").as("i"))
+      .groupBy("i").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(idx == Map("0" -> 50L, "1" -> 50L), idx.toString)
+    val de = out.filter(
+      get_json_object(col(Cdc.PayloadAfter), "$.lang") === "de").count()
+    assert(de > 5 && de < 45, s"de fractional kept $de/50")
+    intercept[IllegalArgumentException] {
+      Registry.create("sample.epochs", Map("stratum" -> ".Payload.After.lang",
+        "id" -> ".Payload.After.id", "epochs" -> "en:1.0,en:2.0"))(recs)
+    }
+    out.unpersist()
+  }
+
+  test("stripHtml removes blocks, strips tags to spaces, decodes entities in order") {
+    import graft.analytics.Text
+    val html = "<div>a &amp;lt; b</div><script>if (1<2) bad()</script>" +
+      "<style>p{}</style><p>x&nbsp;&#39;y&#39;</p><!-- gone --><b>keep</b>"
+    val got = Text.stripHtml(Seq((1L, html)).toDF("doc_id", "text"),
+      "doc_id", "text").collect()(0)
+    // &amp;lt; decodes to &lt; (amp LAST, no double decode); the
+    // script's 1<2 comparison goes with its block, not parsed as a tag
+    assert(got.getString(1) == "a &lt; b x 'y' keep", got.getString(1))
+    assert(got.getLong(2) == "a &lt; b x 'y' keep".length.toLong)
+  }
+
+  test("text.strip_html rewrites the payload field in place") {
+    val recs = Cdc.wrap(Seq((1L, "<b>hi</b> &amp; bye"))
+      .toDF("id", "text"), "id", "docs")
+    val out = Registry.create("text.strip_html",
+      Map("field" -> ".Payload.After.text"))(recs)
+    val p = graft.functions.JsonOps.parse(
+      out.select(col(Cdc.PayloadAfter)).head.getString(0))
+    assert(p.get("text").asText == "hi & bye")
+    assert(p.get("id").asLong == 1L, "other fields untouched")
+  }
+
+  test("exactDedupSink: state equals the batch vote after any prefix and replays are idempotent") {
+    import graft.streaming.StreamingOps
+    import graft.analytics.Dedup
+    val state = java.nio.file.Files.createTempDirectory("exact-sink").toString
+    val b1 = Seq((5L, "aaa"), (3L, "bbb"), (9L, "aaa")).toDF("doc_id", "text")
+    val b2 = Seq((1L, "aaa"), (7L, "ccc"), (2L, "bbb")).toDF("doc_id", "text")
+    val sink = StreamingOps.exactDedupSink(state, "doc_id", "text")
+    sink(b1, 0L); sink(b2, 1L)
+    def read() = spark.read.parquet(s"$state/batch=1")
+      .select("keep_id", "dup_count").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchVote = Dedup.exact(b1.unionByName(b2), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(read() == batchVote && batchVote ==
+      Map(1L -> 3L, 2L -> 2L, 7L -> 1L), read().toString)
+    sink(b2, 1L) // at-least-once replay rewrites the same state
+    assert(read() == batchVote)
+  }
 }
