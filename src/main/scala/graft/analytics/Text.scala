@@ -89,63 +89,83 @@ object Text {
                   maxBulletFrac: Double = 0.9,
                   maxEllipsisFrac: Double = 0.3,
                   minAlphaFrac: Double = 0.8,
-                  minStopHits: Long = 2): DataFrame =
-    df.select(col(idCol) +: gopherMetrics(col(textCol), minWords,
-      maxWords, minMeanWordLen, maxMeanWordLen, maxSymbolRatio,
-      maxBulletFrac, maxEllipsisFrac, minAlphaFrac, minStopHits).map {
-      case (n, c) => c.as(n) }: _*)
+                  minStopHits: Long = 2): DataFrame = {
+    // tokenize/line-split ONCE in their own projection: the higher-
+    // order signal functions don't participate in codegen CSE, so an
+    // inline formulation re-splits the document per signal (measured
+    // 5× slower at sf0.1). Multi-referenced non-cheap aliases are
+    // exactly what CollapseProject refuses to inline, so the arrays
+    // stay materialized.
+    val staged = df.select(col(idCol), col(textCol).as("_gt"))
+      .withColumn("_gtoks", wsTokens(col("_gt")))
+      .withColumn("_glines", split(col("_gt"), "\n"))
+    val sigCols = gopherSignals(col("_gt"), col("_gtoks"), col("_glines"))
+    val sig = staged.select(
+      col(idCol) +: sigCols.map { case (n, c) => c.as(n) }: _*)
+    val verdicts = gopherVerdicts(n => col(n), minWords, maxWords,
+      minMeanWordLen, maxMeanWordLen, maxSymbolRatio, maxBulletFrac,
+      maxEllipsisFrac, minAlphaFrac, minStopHits)
+    sig.select(col(idCol) +: sigCols.map(nc => col(nc._1)) ++:
+      verdicts.map { case (n, c) => c.as(n) }: _*)
+  }
 
   /** The paper's stop-word containment list (table A1). */
   private[analytics] val gopherStops =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  /** Column-level core of [[gopherRules]] (name → expression), shared
-    * with the `text.gopher` pipeline processor so both surfaces
-    * compute bit-identical signals.
+  /** Raw Gopher signals (name → expression) over PRE-MATERIALIZED
+    * token/line arrays — shared with the `text.gopher` pipeline
+    * processor so both surfaces compute bit-identical signals. Callers
+    * must alias `toks`/`lines` in their own projection first (see
+    * [[gopherRules]] for why).
     */
-  def gopherMetrics(t: Column, minWords: Long, maxWords: Long,
-                    minMeanWordLen: Double, maxMeanWordLen: Double,
-                    maxSymbolRatio: Double, maxBulletFrac: Double,
-                    maxEllipsisFrac: Double, minAlphaFrac: Double,
-                    minStopHits: Long): Seq[(String, Column)] = {
-    val toks = wsTokens(t)
+  def gopherSignals(t: Column, toks: Column,
+                    lines: Column): Seq[(String, Column)] = {
     val nWords = size(toks).cast("long")
     val nWordsD = nWords.cast("double")
     val charSum = aggregate(
       transform(toks, x => length(x).cast("long")),
       lit(0L), (a, b) => a + b)
-    val meanWl = charSum.cast("double") / nWordsD
     val symbols = (regexp_count(t, lit("#")) +
       regexp_count(t, lit("\\.\\.\\."))).cast("long")
-    val symbolRatio = symbols.cast("double") / nWordsD
-    val lines = split(t, "\n")
     val nLines = size(lines).cast("double")
     // literal bullet/ellipsis chars (not \ u escapes): the pattern
     // must parse identically in Java regex and the oracle's RE2
-    val bulletFrac = size(filter(lines,
-      l => l.rlike("^\\s*[•\\-\\*]"))).cast("double") / nLines
-    val ellipsisFrac = size(filter(lines,
-      l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("double") / nLines
-    val alphaFrac = size(filter(toks,
-      x => x.rlike("[A-Za-z]"))).cast("double") / nWordsD
-    val stopHits = size(array_intersect(
-      array_distinct(transform(toks, lower(_))),
-      array(gopherStops.map(lit(_)): _*))).cast("long")
-    val passWords = nWords >= lit(minWords) && nWords <= lit(maxWords)
-    val passWl = meanWl >= lit(minMeanWordLen) && meanWl <= lit(maxMeanWordLen)
-    val passSym = symbolRatio <= lit(maxSymbolRatio)
-    val passBullet = bulletFrac <= lit(maxBulletFrac)
-    val passEllipsis = ellipsisFrac <= lit(maxEllipsisFrac)
-    val passAlpha = alphaFrac >= lit(minAlphaFrac)
-    val passStop = stopHits >= lit(minStopHits)
     Seq(
       "n_words" -> nWords,
-      "mean_word_len" -> meanWl,
-      "symbol_ratio" -> symbolRatio,
-      "bullet_frac" -> bulletFrac,
-      "ellipsis_frac" -> ellipsisFrac,
-      "alpha_frac" -> alphaFrac,
-      "stop_hits" -> stopHits,
+      "mean_word_len" -> (charSum.cast("double") / nWordsD),
+      "symbol_ratio" -> (symbols.cast("double") / nWordsD),
+      "bullet_frac" -> (size(filter(lines,
+        l => l.rlike("^\\s*[•\\-\\*]"))).cast("double") / nLines),
+      "ellipsis_frac" -> (size(filter(lines,
+        l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("double") / nLines),
+      "alpha_frac" -> (size(filter(toks,
+        x => x.rlike("[A-Za-z]"))).cast("double") / nWordsD),
+      "stop_hits" -> size(array_intersect(
+        array_distinct(transform(toks, lower(_))),
+        array(gopherStops.map(lit(_)): _*))).cast("long"))
+  }
+
+  /** Per-rule verdicts + `keep` from the named signals. `sig` maps a
+    * signal name from [[gopherSignals]] to the column carrying it
+    * (cheap references — verdicts never recompute a signal).
+    */
+  def gopherVerdicts(sig: String => Column, minWords: Long,
+                     maxWords: Long, minMeanWordLen: Double,
+                     maxMeanWordLen: Double, maxSymbolRatio: Double,
+                     maxBulletFrac: Double, maxEllipsisFrac: Double,
+                     minAlphaFrac: Double,
+                     minStopHits: Long): Seq[(String, Column)] = {
+    val passWords = sig("n_words") >= lit(minWords) &&
+      sig("n_words") <= lit(maxWords)
+    val passWl = sig("mean_word_len") >= lit(minMeanWordLen) &&
+      sig("mean_word_len") <= lit(maxMeanWordLen)
+    val passSym = sig("symbol_ratio") <= lit(maxSymbolRatio)
+    val passBullet = sig("bullet_frac") <= lit(maxBulletFrac)
+    val passEllipsis = sig("ellipsis_frac") <= lit(maxEllipsisFrac)
+    val passAlpha = sig("alpha_frac") >= lit(minAlphaFrac)
+    val passStop = sig("stop_hits") >= lit(minStopHits)
+    Seq(
       "pass_words" -> passWords,
       "pass_word_len" -> passWl,
       "pass_symbol" -> passSym,

@@ -680,21 +680,31 @@ case class TextGopherProc(field: Ref, drop: Boolean,
                           minStopHits: Long = 2) extends Processor {
   val plugin = "text.gopher"
   override def transform(df: DataFrame): DataFrame = {
-    val t = Analytics2Ops.fieldCol(df, field).cast("string")
+    import graft.analytics.Text
     // thresholds are settings (paper values as defaults): every real
     // deployment tunes them to its corpus — a vocabulary without the
-    // English stop list, a domain with long identifiers
-    val ms = graft.analytics.Text.gopherMetrics(t,
-      minWords = minWords, maxWords = maxWords,
-      minMeanWordLen = minMeanWordLen, maxMeanWordLen = maxMeanWordLen,
-      maxSymbolRatio = maxSymbolRatio, maxBulletFrac = maxBulletFrac,
-      maxEllipsisFrac = maxEllipsisFrac, minAlphaFrac = minAlphaFrac,
-      minStopHits = minStopHits)
-    // one struct temp column: sixteen signals share the tokenization
-    // (the ColumnProcessor tempColumns rationale, inlined because the
-    // drop path needs a filter)
-    val staged = df.withColumn("_g",
-      struct(ms.map { case (n, c) => c.as(n) }: _*))
+    // English stop list, a domain with long identifiers.
+    // Tokenize/line-split ONCE, signals in their own projection, then
+    // verdicts as cheap references — the gopherRules staging, kept on
+    // the CDC frame through temp columns (HOF signals don't share
+    // subexpressions; inline they re-split the text per signal).
+    val staged = df
+      .withColumn("_gt", Analytics2Ops.fieldCol(df, field).cast("string"))
+      .withColumn("_gtoks", Text.wsTokens(col("_gt")))
+      .withColumn("_glines", split(col("_gt"), "\n"))
+    val sigCols = Text.gopherSignals(
+      col("_gt"), col("_gtoks"), col("_glines"))
+    val withSig = staged
+      .withColumn("_gsig", struct(sigCols.map { case (n, c) => c.as(n) }: _*))
+      .drop("_gt", "_gtoks", "_glines")
+    val verdicts = Text.gopherVerdicts(
+      n => col("_gsig").getField(n), minWords, maxWords,
+      minMeanWordLen, maxMeanWordLen, maxSymbolRatio, maxBulletFrac,
+      maxEllipsisFrac, minAlphaFrac, minStopHits)
+    val withG = withSig.withColumn("_g", struct(
+      (("n_words" -> col("_gsig").getField("n_words")) +: verdicts)
+        .map { case (n, c) => c.as(n) }: _*))
+      .drop("_gsig")
     val keys = Seq("keep", "n_words", "pass_words", "pass_word_len",
       "pass_symbol", "pass_bullet", "pass_ellipsis", "pass_alpha",
       "pass_stop")
@@ -702,7 +712,7 @@ case class TextGopherProc(field: Ref, drop: Boolean,
       RefCols.metaSet(m, s"gopher.$k",
         col("_g").getField(k).cast("string"))
     }
-    val annotated = staged.withColumn(Cdc.Metadata,
+    val annotated = withG.withColumn(Cdc.Metadata,
       when(col("_g").getField("keep").isNotNull, meta)
         .otherwise(col(Cdc.Metadata)))
     val out = if (drop)

@@ -67,6 +67,14 @@ object DataCard {
     val ent = Text.tokenEntropy(docs, "doc_id", "text")
       .agg(round(avg(col("entropy")), 4)).head().getDouble(0)
 
+    // Gopher rule pass rates at the paper thresholds — the datasheet
+    // reader's first look at how much a canonical heuristic gate
+    // would cut (tuning the thresholds is the pipeline's job)
+    val gop = Text.gopherRules(docs, "doc_id", "text")
+      .agg(round(avg(col("keep").cast("double")), 4),
+        round(avg(col("pass_words").cast("double")), 4),
+        round(avg(col("pass_stop").cast("double")), 4)).head()
+
     val zipf = Text.zipfFit(docs, "text", minCount = 2, topN = 4096).head()
 
     Card(Seq(
@@ -83,6 +91,9 @@ object DataCard {
       "exact_dup_rate" ->
         math.rint((1.0 - distinctTexts.toDouble / nDocs) * 1e6) / 1e6,
       "mean_token_entropy" -> ent,
+      "gopher_keep_rate" -> gop.getDouble(0),
+      "gopher_pass_words_rate" -> gop.getDouble(1),
+      "gopher_pass_stop_rate" -> gop.getDouble(2),
       "zipf_n_types" -> zipf.getLong(0),
       "zipf_slope" -> zipf.getDouble(1),
       "zipf_intercept" -> zipf.getDouble(2)))

@@ -401,6 +401,9 @@ class Round16Spec extends AnyFunSuite {
     val dup = f("exact_dup_rate").asInstanceOf[Double]
     assert(dup >= 0.0 && dup < 1.0)
     assert(f("zipf_slope").asInstanceOf[Double] < 0.0)
+    val keep = f("gopher_keep_rate").asInstanceOf[Double]
+    assert(keep >= 0.0 && keep <= 1.0)
+    assert(f("gopher_pass_words_rate").asInstanceOf[Double] > 0.0)
     // both renderings carry every metric
     assert(card.fields.forall { case (k, _) =>
       card.markdown.contains(k) && card.json.contains(s""""$k":""") })
