@@ -401,6 +401,91 @@ object Text {
         col("_sc.margin").as("margin"),
         (col("_sc.margin") > 0).as("keep"))
 
+  /** TRAINED Naive-Bayes quality classifier, train side — the
+    * CCNet/GPT-3-style "reference vs crawl" filter as a real trained
+    * model rather than [[classifierScore]]'s seed-derived weights:
+    * per-token add-α log-odds
+    *
+    *   log_odds(t) = ln( ((c₊+α)/(N₊+αV)) / ((c₋+α)/(N₋+αV)) )
+    *
+    * from one grouped count over token occurrences (c₊/c₋ = label-
+    * conditional occurrence counts, N = totals, V = vocab size).
+    * `labelCol` is boolean (true = the reference class). Output
+    * (tok, c_pos, c_neg, log_odds) — a parquet-able model table.
+    *
+    * Scale shape: occurrences shuffle once to DISTINCT tokens with
+    * map-side combine; the totals row is a broadcast scalar. Every
+    * arithmetic step is fixed-order IEEE over integer counts
+    * ([[HashFunctions.java_ln]] for the bit-replicable ln), so the
+    * DuckDB oracle replays the model exactly.
+    */
+  def nbTrain(df: DataFrame, idCol: String, textCol: String,
+              labelCol: String, alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha=$alpha")
+    val occ = df.select(col(labelCol).cast("boolean").as("_lab"),
+        explode(wsTokens(lower(trim(col(textCol))))).as("tok"))
+      .filter(col("tok") =!= "")
+    val counts = occ.groupBy(col("tok")).agg(
+      sum(when(col("_lab"), lit(1L)).otherwise(lit(0L)))
+        .cast("long").as("c_pos"),
+      sum(when(!col("_lab"), lit(1L)).otherwise(lit(0L)))
+        .cast("long").as("c_neg"))
+    val tot = counts.agg(
+      sum(col("c_pos")).cast("long").as("n_pos"),
+      sum(col("c_neg")).cast("long").as("n_neg"),
+      count(lit(1)).cast("long").as("v"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("tok"), col("c_pos"), col("c_neg"),
+        java_ln(
+          ((col("c_pos").cast("double") + lit(alpha)) /
+            (col("n_pos").cast("double") +
+              lit(alpha) * col("v").cast("double"))) /
+          ((col("c_neg").cast("double") + lit(alpha)) /
+            (col("n_neg").cast("double") +
+              lit(alpha) * col("v").cast("double"))))
+          .as("log_odds"))
+  }
+
+  /** The class prior ln(D₊/D₋) as a one-row frame (`prior`), computed
+    * from the same boolean label — broadcast into [[nbScore]]. */
+  def nbPrior(df: DataFrame, labelCol: String): DataFrame =
+    df.agg(java_ln(
+      sum(when(col(labelCol).cast("boolean"), lit(1L)).otherwise(lit(0L)))
+        .cast("double") /
+      sum(when(!col(labelCol).cast("boolean"), lit(1L)).otherwise(lit(0L)))
+        .cast("double")).as("prior"))
+
+  /** Naive-Bayes score side: per document, prior + the idx-ordered
+    * IEEE fold of its occurrences' log-odds (the [[unigramLogProb]]
+    * fold idiom — bit-replicable); `pred_pos` thresholds at 0.
+    * Occurrences of tokens NOT in the model are IGNORED (the standard
+    * OOV treatment for NB text models — the smoothed default odds
+    * belong to the training corpus, not unseen data); a document with
+    * zero in-vocabulary tokens is omitted from the output.
+    *
+    * Scale shape: the model is vocabulary-sized — broadcast; the
+    * document stream explodes row-locally and aggregates per doc with
+    * map-side combine. No corpus-side shuffle beyond the per-doc
+    * fold's own aggregation.
+    */
+  def nbScore(df: DataFrame, idCol: String, textCol: String,
+              model: DataFrame, prior: DataFrame): DataFrame = {
+    val occ = df.select(col(idCol).as("_id"),
+        posexplode(wsTokens(lower(trim(col(textCol))))).as(Seq("idx", "tok")))
+      .filter(col("tok") =!= "")
+    occ.join(broadcast(model.select(col("tok"), col("log_odds"))), "tok")
+      .select(col("_id"),
+        struct(col("idx"), col("log_odds")).as("contrib"))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        aggregate(array_sort(collect_list(col("contrib"))), lit(0.0),
+          (acc, x) => acc + x.getField("log_odds")).as("sum_odds"))
+      .crossJoin(broadcast(prior))
+      .select(col("_id").as(idCol), col("n_tokens"),
+        (col("prior") + col("sum_odds")).as("score"),
+        ((col("prior") + col("sum_odds")) > 0).as("pred_pos"))
+  }
+
   /** DSIR-style importance weighting (Xie et al. 2023,
     * arXiv:2302.03169, "Data Selection for Language Models via
     * Importance Resampling"): score every raw document by the log

@@ -721,6 +721,81 @@ case class TextGopherProc(field: Ref, drop: Boolean,
   }
 }
 
+/** `text.nb_train` — trained Naive-Bayes quality model
+  * ([[graft.analytics.Text.nbTrain]]): label-conditional add-one
+  * log-odds per token, label = (labelField == posValue). One create
+  * record per token with (c_pos, c_neg, log_odds) — point a parquet
+  * destination here and feed the path to [[TextNbProc]]'s
+  * `modelTable` (the `text.bpe_train` → `text.bpe` composition
+  * pattern). The CCNet-style reference-vs-crawl filter, actually
+  * TRAINED rather than seed-derived.
+  */
+case class TextNbTrainProc(idField: Ref, textField: Ref, labelField: Ref,
+                           posValue: String, alpha: Double)
+    extends Processor {
+  require(alpha > 0, s"text.nb_train: alpha=$alpha")
+  val plugin = "text.nb_train"
+  override def transform(df: DataFrame): DataFrame = {
+    // corpus-level label-conditional counts — batch-only, so fail
+    // with the real reason (the text.bpe guard contract)
+    require(!df.isStreaming,
+      "text.nb_train is batch-only (corpus-level label-conditional " +
+        "token counts); run the pipeline with --batch or apply it " +
+        "foreachBatch")
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id"),
+      Analytics2Ops.fieldCol(df, textField).cast("string").as("_text"),
+      (Analytics2Ops.fieldCol(df, labelField).cast("string")
+        === lit(posValue)).as("_lab"))
+    val out = graft.analytics.Text.nbTrain(flat, "_id", "_text", "_lab",
+      alpha)
+    Cdc.wrap(out, "tok", "text.nb_train")
+  }
+}
+
+/** `text.nb` — score documents against a TRAINED Naive-Bayes model
+  * ([[graft.analytics.Text.nbScore]]): per doc, prior + the
+  * idx-ordered fold of its occurrences' log-odds; `pred_pos`
+  * thresholds at 0. `modelTable` is a plain (tok, log_odds) parquet
+  * or a CDC-shaped one written by a `text.nb_train` pipeline (the
+  * text.bpe convention); `prior` is ln(D₊/D₋) of the TRAINING corpus
+  * (default 0 = balanced). One create record per scored doc.
+  */
+case class TextNbProc(idField: Ref, textField: Ref, modelTable: String,
+                      prior: Double) extends Processor {
+  val plugin = "text.nb"
+  override def transform(df: DataFrame): DataFrame = {
+    // per-doc aggregation over the reshaped frame — batch-only, so
+    // fail with the real reason (the text.bpe guard contract)
+    require(!df.isStreaming,
+      "text.nb is batch-only (per-document aggregation over the " +
+        "exploded frame); run the pipeline with --batch or apply it " +
+        "foreachBatch")
+    val spark = df.sparkSession
+    val raw = spark.read.parquet(modelTable)
+    val model =
+      if (raw.columns.contains("log_odds")) raw
+      else raw.schema(Cdc.PayloadAfter).dataType match {
+        case _: org.apache.spark.sql.types.StructType => raw.select(
+          col(s"${Cdc.PayloadAfter}.tok").cast("string").as("tok"),
+          col(s"${Cdc.PayloadAfter}.log_odds").cast("double").as("log_odds"))
+        case _ => raw.select(
+          get_json_object(col(Cdc.PayloadAfter), "$.tok").as("tok"),
+          get_json_object(col(Cdc.PayloadAfter), "$.log_odds")
+            .cast("double").as("log_odds"))
+      }
+    import spark.implicits._
+    val priorDf = Seq(prior).toDF("prior")
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id"),
+      Analytics2Ops.fieldCol(df, textField).cast("string").as("_text"))
+    val out = graft.analytics.Text.nbScore(flat, "_id", "_text",
+        model, priorDf)
+      .withColumnRenamed("_id", "doc_id")
+    Cdc.wrap(out, "doc_id", "text.nb")
+  }
+}
+
 /** `text.strip_html` — HTML → text extraction in place
   * ([[graft.analytics.Text.stripHtmlText]]: script/style/comments
   * removed with content, tags to spaces, entities decoded AFTER

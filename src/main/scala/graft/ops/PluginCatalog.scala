@@ -175,6 +175,14 @@ object PluginCatalog {
     Entry("text.strip_html",
       "HTML to text: strip tags/scripts/comments, decode entities.",
       Seq(opt("field", Text))),
+    Entry("text.nb_train",
+      "Train a Naive-Bayes token model: label-conditional log-odds (batch-only).",
+      Seq(req("id", Id), req("label", ".Payload.After.lang"),
+        req("posValue", "en"), opt("field", Text), opt("alpha", "1.0"))),
+    Entry("text.nb",
+      "Score docs against a trained Naive-Bayes model (batch-only).",
+      Seq(req("id", Id), req("modelTable", "/data/nb-model"),
+        opt("field", Text), opt("prior", "0.0"))),
     Entry("text.zipf",
       "Zipf's-law slope/intercept of the vocabulary head (batch-only).",
       Seq(opt("field", Text), opt("minCount", "2"), opt("topN", "4096"))),

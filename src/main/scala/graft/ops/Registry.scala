@@ -363,6 +363,13 @@ object Registry {
     "text.entropy" -> (s => TextEntropyProc(
       Ref.parse(s("id")), ref(s, ".Payload.After"))),
     "text.strip_html" -> (s => TextStripHtmlProc(ref(s, ".Payload.After"))),
+    "text.nb_train" -> (s => TextNbTrainProc(
+      Ref.parse(s("id")), ref(s, ".Payload.After"),
+      Ref.parse(s("label")), s("posValue"),
+      s.getOrElse("alpha", "1.0").toDouble)),
+    "text.nb" -> (s => TextNbProc(
+      Ref.parse(s("id")), ref(s, ".Payload.After"),
+      s("modelTable"), s.getOrElse("prior", "0.0").toDouble)),
     "text.gopher" -> (s => TextGopherProc(
       ref(s, ".Payload.After"),
       s.getOrElse("drop", "false").toBoolean,

@@ -733,6 +733,27 @@ object Analytics {
     // model-based quality classification: hashed unigram+bigram linear
     // model, weights derived from seed 42 — deterministic, so the
     // oracle replays fnv1a + splitmix64 + the sequential IEEE fold
+    // TRAINED Naive-Bayes classifier, train side: label-conditional
+    // add-one log-odds per token (label = lang == 'en', the
+    // reference-vs-rest shape of a CCNet-style quality filter). The
+    // oracle replays the grouped counts, totals, and the exact
+    // division/ln order.
+    "text_nb_train" -> ((s, dir) =>
+      Text.nbTrain(
+        t(s, dir, "documents").withColumn("_lab", col("lang") === "en"),
+        "doc_id", "text", "_lab")),
+
+    // NB score side: prior + idx-ordered IEEE fold of each doc's
+    // occurrences' log-odds (train and score composed in one plan —
+    // the model is vocabulary-sized and broadcast).
+    "text_nb_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("_lab", col("lang") === "en")
+      Text.nbScore(docs, "doc_id", "text",
+        Text.nbTrain(docs, "doc_id", "text", "_lab"),
+        Text.nbPrior(docs, "_lab"))
+    }),
+
     "text_classifier" -> ((s, dir) =>
       Text.classifierScore(t(s, dir, "documents"), "doc_id", "text", seed = 42L)),
 
@@ -3588,6 +3609,66 @@ object Analytics {
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          substr(sha256(text), 1, 16) AS sha256_prefix
          FROM documents""",
+    // NB train replay: label-conditional token counts, totals row,
+    // then the exact ((c+1)/(N+1·V)) division/ln order
+    "text_nb_train" ->
+      """WITH occ AS (SELECT lang,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+         FROM documents),
+       oq AS (SELECT * FROM occ WHERE tok <> ''),
+       cnt AS (SELECT tok,
+           CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS c_pos,
+           CAST(count(*) FILTER (WHERE lang <> 'en') AS BIGINT) AS c_neg
+         FROM oq GROUP BY tok),
+       tot AS (SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
+           CAST(sum(c_neg) AS BIGINT) AS n_neg,
+           CAST(count(*) AS BIGINT) AS v FROM cnt)
+       SELECT tok, c_pos, c_neg,
+         ln(((CAST(c_pos AS DOUBLE) + 1.0)
+             / (CAST(n_pos AS DOUBLE) + 1.0 * CAST(v AS DOUBLE))) /
+            ((CAST(c_neg AS DOUBLE) + 1.0)
+             / (CAST(n_neg AS DOUBLE) + 1.0 * CAST(v AS DOUBLE))))
+           AS log_odds
+       FROM cnt CROSS JOIN tot""",
+    // NB score replay: the same model CTE, the class prior, and the
+    // idx-ordered sequential fold per document (list_reduce ≡ the
+    // array_sort+aggregate fold, bit-identical IEEE)
+    "text_nb_score" ->
+      """WITH occ AS (SELECT doc_id,
+           CAST(generate_subscripts(tarr, 1) - 1 AS BIGINT) AS idx,
+           unnest(tarr) AS tok
+         FROM (SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS tarr
+           FROM documents)),
+       oq AS (SELECT doc_id, idx, tok FROM occ WHERE tok <> ''),
+       tocc AS (SELECT d.lang,
+           unnest(regexp_split_to_array(trim(lower(d.text)), '\s+')) AS tok
+         FROM documents d),
+       cnt AS (SELECT tok,
+           CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS c_pos,
+           CAST(count(*) FILTER (WHERE lang <> 'en') AS BIGINT) AS c_neg
+         FROM tocc WHERE tok <> '' GROUP BY tok),
+       tot AS (SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
+           CAST(sum(c_neg) AS BIGINT) AS n_neg,
+           CAST(count(*) AS BIGINT) AS v FROM cnt),
+       model AS (SELECT tok,
+           ln(((CAST(c_pos AS DOUBLE) + 1.0)
+               / (CAST(n_pos AS DOUBLE) + 1.0 * CAST(v AS DOUBLE))) /
+              ((CAST(c_neg AS DOUBLE) + 1.0)
+               / (CAST(n_neg AS DOUBLE) + 1.0 * CAST(v AS DOUBLE))))
+             AS lo
+         FROM cnt CROSS JOIN tot),
+       prior AS (SELECT
+           ln(CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE)
+             / CAST(count(*) FILTER (WHERE lang <> 'en') AS DOUBLE)) AS pr
+         FROM documents),
+       agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(lo ORDER BY idx)), (a, x) -> a + x) AS so
+         FROM oq JOIN model USING (tok) GROUP BY doc_id)
+       SELECT doc_id, n_tokens, (pr + so) AS score,
+         ((pr + so) > 0) AS pred_pos
+       FROM agg CROSS JOIN prior""",
     // closed-form clean text from the page-construction arithmetic —
     // zero shared parsing machinery with the operator under test: the
     // kept fragments joined by single spaces, entities in their

@@ -49,7 +49,11 @@ class Round16Spec extends AnyFunSuite {
       "sample.curriculum" -> Map("id" -> ".Payload.After.id",
         "score" -> ".Payload.After.tokens"),
       "sample.mixture_kl" -> Map("stratum" -> ".Payload.After.text",
-        "tokens" -> ".Payload.After.tokens", "targets" -> "en:1.0"))
+        "tokens" -> ".Payload.After.tokens", "targets" -> "en:1.0"),
+      "text.nb_train" -> Map("id" -> ".Payload.After.id",
+        "label" -> ".Payload.After.text", "posValue" -> "x"),
+      "text.nb" -> Map("id" -> ".Payload.After.id",
+        "modelTable" -> "/nonexistent/nb-model"))
     for ((plugin, settings) <- guarded) {
       val e = intercept[IllegalArgumentException] {
         Registry.create(plugin, settings)(streamDf)
@@ -672,6 +676,52 @@ class Round16Spec extends AnyFunSuite {
       out.select(col(Cdc.PayloadAfter)).head.getString(0))
     assert(p.get("text").asText == "hi & bye")
     assert(p.get("id").asLong == 1L, "other fields untouched")
+  }
+
+  test("naive bayes: disjoint vocabularies separate and OOV docs are omitted") {
+    import graft.analytics.Text
+    val docs = Seq(
+      (0L, "good clean prose here", true),
+      (1L, "good clean text here", true),
+      (2L, "spam junk noise blob", false),
+      (3L, "junk noise blob spam", false)).toDF("doc_id", "text", "lab")
+    val model = Text.nbTrain(docs, "doc_id", "text", "lab").cache()
+    val odds = model.collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(odds("good") > 0 && odds("spam") < 0, odds.toString)
+    val good = model.filter($"tok" === "good").head
+    assert(good.getLong(1) == 2L && good.getLong(2) == 0L)
+    val scored = Text.nbScore(docs, "doc_id", "text", model,
+        Text.nbPrior(docs, "lab"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(scored == Map(0L -> true, 1L -> true, 2L -> false, 3L -> false),
+      scored.toString)
+    // a doc with zero in-vocabulary tokens drops (OOV occurrences are
+    // ignored, and nothing remains to fold)
+    val oov = Seq((9L, "zzz qqq")).toDF("doc_id", "text")
+    assert(Text.nbScore(oov, "doc_id", "text", model,
+      Text.nbPrior(docs, "lab")).isEmpty)
+    model.unpersist()
+  }
+
+  test("text.nb_train -> parquet -> text.nb composes in pure config") {
+    val recs = Cdc.wrap(Seq(
+      (0L, "good clean prose here", "en"),
+      (1L, "good clean text here", "en"),
+      (2L, "spam junk noise blob", "zz"),
+      (3L, "junk noise blob spam", "zz"))
+      .toDF("id", "text", "lang"), "id", "docs")
+    val dir = java.nio.file.Files.createTempDirectory("nb-model").toString
+    Registry.create("text.nb_train", Map(
+      "id" -> ".Payload.After.id", "label" -> ".Payload.After.lang",
+      "posValue" -> "en"))(recs)
+      .write.mode("overwrite").parquet(dir) // CDC-shaped model parquet
+    val scored = Registry.create("text.nb", Map(
+      "id" -> ".Payload.After.id", "modelTable" -> dir))(recs)
+    val byDoc = scored.select(col(Cdc.PayloadAfter)).collect()
+      .map(r => graft.functions.JsonOps.parse(r.getString(0)))
+      .map(p => p.get("doc_id").asLong -> p.get("pred_pos").asBoolean).toMap
+    assert(byDoc == Map(0L -> true, 1L -> true, 2L -> false, 3L -> false),
+      byDoc.toString)
   }
 
   test("exactDedupSink: state equals the batch vote after any prefix and replays are idempotent") {
