@@ -133,6 +133,23 @@ class ExamplesSpec extends AnyFunSuite {
     assert(perCluster.forall(s => math.abs(s - 1.0) < 1e-9))
   }
 
+  test("nb-train-apply composes through the parquet model table") {
+    clean("/tmp/graft-nb-model", "/tmp/graft-nb-scored")
+    val cfgs = load("nb-train-apply.yaml")
+    assert(cfgs.map(_.id) == Seq("nb-train", "nb-apply"))
+    val counts = Runner.runBatch(spark, cfgs.head)
+    assert(counts("ok") > 0 && counts("dlq") == 0, counts.toString())
+    val out = Cdc.ok(Runner.build(spark, cfgs(1), streaming = false))
+    val pay = out.select(col(Cdc.PayloadAfter)).collect()
+      .map(r => graft.functions.JsonOps.parse(r.getString(0)))
+    assert(pay.nonEmpty)
+    // scores are finite and BOTH verdicts occur (an en-vs-rest model
+    // over a mixed-language corpus must separate something)
+    assert(pay.forall(p => !p.get("score").asText.matches("NaN|Infinity")))
+    assert(pay.exists(_.get("pred_pos").asBoolean) &&
+      pay.exists(!_.get("pred_pos").asBoolean))
+  }
+
   test("gopher-epochs gates on the rules then replicates by epoch recipe") {
     clean("/tmp/graft-gopher-epochs")
     val cfg = load("gopher-epochs.yaml").head
