@@ -1221,4 +1221,184 @@ object Text {
       round(regr_slope(col("y"), col("x")), 6).as("slope"),
       round(regr_intercept(col("y"), col("x")), 6).as("intercept"))
   }
+
+  /** Pairwise Jensen–Shannon divergence between corpus slices'
+    * unigram distributions (Lin 1991): for every unordered stratum
+    * pair (a,b), JSD = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m) with
+    * m = ½(p+q), zero-count terms contributing 0 — the symmetric,
+    * bounded (≤ ln 2) domain-shift measure mixture design reads
+    * before picking sampling weights (a JSD near ln 2 means the
+    * slices share almost no vocabulary mass; near 0 means
+    * up-weighting one is indistinguishable from the other). Output:
+    * (stratum_a, stratum_b, n_common, jsd) per pair, a < b.
+    *
+    * Determinism: p and q are single divisions of exact counts, m and
+    * each term a fixed-association expression tree over them
+    * ([[HashFunctions.java_ln]]), and the per-pair sum a token-ordered
+    * sequential fold — bit-replicable.
+    *
+    * Scale shape: one shuffle of DISTINCT (stratum, token) counts
+    * (map-side combined), one vocabulary-keyed groupBy pivoting each
+    * token's per-stratum mass into a map, and a BROADCAST of the
+    * stratum-pair grid (k strata → k(k−1)/2 pairs; the operator is
+    * for slice-level profiling, k is domains, not documents). The
+    * expanded term table is vocab × pairs rows — the fold then
+    * reduces to k(k−1)/2 output rows with map-side partials.
+    */
+  def jsDivergence(df: DataFrame, stratumCol: String,
+                   textCol: String): DataFrame = {
+    val occ = df.select(col(stratumCol).cast("string").as("stratum"),
+        explode(sboToks(textCol)).as("tok"))
+    val cnt = occ.groupBy(col("stratum"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val tot = cnt.groupBy(col("stratum"))
+      .agg(sum(col("c")).cast("long").as("n"))
+    val rel = cnt.join(tot, "stratum")
+      .select(col("stratum"), col("tok"),
+        (col("c").cast("double") / col("n").cast("double")).as("p"))
+    val byTok = rel.groupBy(col("tok"))
+      .agg(map_from_entries(collect_list(struct(col("stratum"), col("p"))))
+        .as("ps"))
+    val pairs = tot.select(col("stratum").as("sa"))
+      .crossJoin(tot.select(col("stratum").as("sb")))
+      .filter(col("sa") < col("sb"))
+    val half = lit(0.5)
+    val grid = byTok.crossJoin(broadcast(pairs))
+      .select(col("sa"), col("sb"), col("tok"),
+        coalesce(element_at(col("ps"), col("sa")), lit(0.0)).as("p"),
+        coalesce(element_at(col("ps"), col("sb")), lit(0.0)).as("q"))
+    val m = half * (col("p") + col("q"))
+    val term =
+      when(col("p") > 0, half * (col("p") * java_ln(col("p") / m)))
+        .otherwise(lit(0.0)) +
+      when(col("q") > 0, half * (col("q") * java_ln(col("q") / m)))
+        .otherwise(lit(0.0))
+    grid.select(col("sa"), col("sb"), col("tok"), term.as("t"),
+        (col("p") > 0 && col("q") > 0).as("common"))
+      .groupBy(col("sa").as("stratum_a"), col("sb").as("stratum_b"))
+      .agg(sum(when(col("common"), lit(1L)).otherwise(lit(0L)))
+          .cast("long").as("n_common"),
+        aggregate(array_sort(collect_list(struct(col("tok"), col("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("jsd"))
+  }
+
+  // ---- stupid-backoff trigram language model (CCNet-style filter) ----
+
+  /** The (doc → non-empty lowercase whitespace tokens) projection the
+    * SBO train and score sides share — ONE tokenisation definition so
+    * the two can never drift.
+    */
+  private def sboToks(textCol: String): Column =
+    filter(wsTokens(lower(trim(col(textCol)))), x => x =!= "")
+
+  /** Stupid-backoff trigram LM (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" §4): unnormalised scores
+    * S(w|u,v) = c₃(u,v,w)/c₂(u,v), backing off ×0.4 per order to
+    * S(w|v) = c₂(v,w)/c₁(v) and an add-one-floored unigram
+    * S(w) = (c₁(w)+1)/(N+V), so out-of-vocabulary tokens score the
+    * floor 1/(N+V) instead of −∞. No Kneser–Ney discounting — the
+    * whole point of SBO is that count RATIOS need no normalisation
+    * pass, which is what makes it trainable in one distributed sweep
+    * over web-scale corpora.
+    *
+    * Output is the model as ONE frame (write it to parquet, feed it to
+    * [[sboScore]] / the `text.sbo` plugin): `ord` ∈ {3,2,1,0} rows —
+    * trigram scores, ×0.4 bigram backoffs, ×0.16 floored unigrams, and
+    * a single ord=0 OOV-floor row — keyed on (u,v,w) with the unused
+    * high-order slots NULL.
+    *
+    * Scale shape: three map-side-combined count aggregates shuffle
+    * DISTINCT n-grams (never occurrences); the score divisions join
+    * count tables to each other ON THEIR OWN KEYS (trigram⋈bigram on
+    * (u,v), bigram⋈unigram on (v)), so each is one model-sized
+    * shuffle; the corpus totals are a broadcast scalar. Model size is
+    * O(distinct trigrams) — at 100 TB that is pruned downstream by a
+    * count threshold, never by sampling the training sweep.
+    */
+  def sboTrain(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val seqs = df.select(sboToks(textCol).as("toks"))
+      .filter(size(col("toks")) >= 1)
+    val c1 = seqs.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("cnt1"))
+    val tot = c1.agg(sum(col("cnt1")).cast("long").as("n"),
+      count(lit(1)).cast("long").as("vsz"))
+    val c2 = seqs.filter(size(col("toks")) >= 2)
+      .select(col("toks"), explode(expr("sequence(1, size(toks) - 1)")).as("i"))
+      .select(element_at(col("toks"), col("i")).as("a"),
+        element_at(col("toks"), col("i") + 1).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).cast("long").as("cnt2"))
+    val c3 = seqs.filter(size(col("toks")) >= 3)
+      .select(col("toks"), explode(expr("sequence(1, size(toks) - 2)")).as("i"))
+      .select(element_at(col("toks"), col("i")).as("u"),
+        element_at(col("toks"), col("i") + 1).as("v"),
+        element_at(col("toks"), col("i") + 2).as("w"))
+      .groupBy(col("u"), col("v"), col("w"))
+      .agg(count(lit(1)).cast("long").as("cnt3"))
+    val nullS = lit(null).cast("string")
+    // every score is one division of exact integer counts (< 2^53),
+    // then literal ×0.4 backoff products in a FIXED association order —
+    // bit-replicable by any engine that parses the same literals
+    val m3 = c3.join(c2, col("u") === col("a") && col("v") === col("b"))
+      .select(lit(3L).as("ord"), col("u"), col("v"), col("w"),
+        (col("cnt3").cast("double") / col("cnt2").cast("double")).as("score"))
+    val m2 = c2.join(c1, col("a") === col("w"))
+      .select(lit(2L).as("ord"), nullS.as("u"), col("a").as("v"),
+        col("b").as("w"),
+        (lit(0.4) * (col("cnt2").cast("double") / col("cnt1").cast("double")))
+          .as("score"))
+    val m1 = c1.crossJoin(broadcast(tot))
+      .select(lit(1L).as("ord"), nullS.as("u"), nullS.as("v"), col("w"),
+        (lit(0.4) * (lit(0.4) * ((col("cnt1") + lit(1L)).cast("double") /
+          (col("n") + col("vsz")).cast("double")))).as("score"))
+    val m0 = tot.select(lit(0L).as("ord"), nullS.as("u"), nullS.as("v"),
+      nullS.as("w"),
+      (lit(0.4) * (lit(0.4) * (lit(1.0) /
+        (col("n") + col("vsz")).cast("double")))).as("score"))
+    m3.unionAll(m2).unionAll(m1).unionAll(m0)
+  }
+
+  /** Score documents against a [[sboTrain]] model: per doc, the mean
+    * of −ln S over its trigrams in position order (documents with
+    * fewer than three tokens have no trigrams and are omitted) — the
+    * CCNet quality signal (Wenzek et al. 2020): low mean-neg-logprob ≈
+    * fluent under the reference corpus, high ≈ gibberish/boilerplate.
+    *
+    * Scale shape: trigram pairing is row-local under the posexplode
+    * projection barrier; resolution is THREE left equi-joins against
+    * ord-sliced model tables, largest first (trigram slice, then the
+    * vocabulary-bounded bigram/unigram slices — AQE broadcasts each
+    * when it fits, and at real scale the count-thresholded model is
+    * built to fit); the per-doc mean is an idx-ordered sequential fold
+    * ([[HashFunctions.java_ln]], bit-replicable).
+    */
+  def sboScore(df: DataFrame, model: DataFrame, idCol: String,
+               textCol: String): DataFrame = {
+    val m3 = model.filter(col("ord") === 3)
+      .select(col("u"), col("v"), col("w"), col("score").as("s3"))
+    val m2 = model.filter(col("ord") === 2)
+      .select(col("v").as("v2"), col("w").as("w2"), col("score").as("s2"))
+    val m1 = model.filter(col("ord") === 1)
+      .select(col("w").as("w1"), col("score").as("s1"))
+    val m0 = model.filter(col("ord") === 0).select(col("score").as("s0"))
+    val tri = df.select(col(idCol).as("doc_id"), sboToks(textCol).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("toks"),
+        posexplode(expr("sequence(1, size(toks) - 2)")))
+      .select(col("doc_id"), col("col").cast("long").as("idx"),
+        element_at(col("toks"), col("col")).as("u"),
+        element_at(col("toks"), col("col") + 1).as("v"),
+        element_at(col("toks"), col("col") + 2).as("w"))
+    tri.join(m3, Seq("u", "v", "w"), "left")
+      .join(m2, col("v") === col("v2") && col("w") === col("w2"), "left")
+      .join(m1, col("w") === col("w1"), "left")
+      .crossJoin(broadcast(m0))
+      .select(col("doc_id"), struct(col("idx"),
+        (-java_ln(coalesce(col("s3"), col("s2"), col("s1"), col("s0"))))
+          .as("nl")).as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_trigrams"),
+        (aggregate(array_sort(collect_list(col("contrib"))), lit(0.0),
+          (acc, x) => acc + x.getField("nl")) /
+          count(lit(1)).cast("double")).as("mean_neg_logprob_sbo"))
+  }
 }

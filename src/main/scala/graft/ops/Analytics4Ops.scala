@@ -862,3 +862,103 @@ case class SampleEpochsProc(strataField: Ref, idField: Ref,
       .drop("_reps", "_epoch")
   }
 }
+
+/** `text.divergence` — pairwise Jensen–Shannon divergence between
+  * stratum slices' unigram distributions
+  * ([[graft.analytics.Text.jsDivergence]], Lin 1991): one create
+  * record per unordered stratum pair with (stratum_a, stratum_b,
+  * n_common, jsd) — the domain-shift profile mixture design reads
+  * before picking `sample.mixture` weights.
+  */
+case class TextDivergenceProc(strataField: Ref, textField: Ref)
+    extends Processor {
+  val plugin = "text.divergence"
+  override def transform(df: DataFrame): DataFrame = {
+    // corpus-level per-stratum token distributions — batch-only, so
+    // fail with the real reason (the text.bpe guard contract)
+    require(!df.isStreaming,
+      "text.divergence is batch-only (corpus-level per-stratum token " +
+        "distributions); run the pipeline with --batch or apply it " +
+        "foreachBatch")
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, strataField).cast("string").as("_s"),
+      Analytics2Ops.fieldCol(df, textField).cast("string").as("_text"))
+    val out = graft.analytics.Text.jsDivergence(flat, "_s", "_text")
+      .withColumn("pair",
+        concat_ws("|", col("stratum_a"), col("stratum_b")))
+    Cdc.wrap(out, "pair", "text.divergence")
+  }
+}
+
+/** `text.sbo_train` — stupid-backoff trigram language model
+  * ([[graft.analytics.Text.sboTrain]], Brants et al. 2007): one create
+  * record per model row (ord ∈ {3,2,1,0}, u, v, w, score) — point a
+  * parquet destination here and feed the path to [[TextSboProc]]'s
+  * `modelTable` (the `text.nb_train` → `text.nb` composition pattern).
+  * Train it on the reference slice (filter upstream) and score the
+  * crawl with `text.sbo` — the CCNet fluency filter, count-ratio form.
+  */
+case class TextSboTrainProc(idField: Ref, textField: Ref)
+    extends Processor {
+  val plugin = "text.sbo_train"
+  override def transform(df: DataFrame): DataFrame = {
+    // corpus-level n-gram counts — batch-only, so fail with the real
+    // reason (the text.bpe guard contract)
+    require(!df.isStreaming,
+      "text.sbo_train is batch-only (corpus-level trigram/bigram/" +
+        "unigram counts); run the pipeline with --batch or apply it " +
+        "foreachBatch")
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id"),
+      Analytics2Ops.fieldCol(df, textField).cast("string").as("_text"))
+    val out = graft.analytics.Text.sboTrain(flat, "_id", "_text")
+      .withColumn("ngram",
+        concat_ws("\u0001", col("ord"), coalesce(col("u"), lit("")),
+          coalesce(col("v"), lit("")), coalesce(col("w"), lit(""))))
+    Cdc.wrap(out, "ngram", "text.sbo_train")
+  }
+}
+
+/** `text.sbo` — score documents against a TRAINED stupid-backoff model
+  * ([[graft.analytics.Text.sboScore]]): per doc, the idx-ordered fold
+  * of −ln S over its trigrams, backing off trigram → bigram → floored
+  * unigram. `modelTable` is a plain (ord, u, v, w, score) parquet or a
+  * CDC-shaped one written by a `text.sbo_train` pipeline.
+  */
+case class TextSboProc(idField: Ref, textField: Ref, modelTable: String)
+    extends Processor {
+  val plugin = "text.sbo"
+  override def transform(df: DataFrame): DataFrame = {
+    // per-doc aggregation over the exploded frame — batch-only, so
+    // fail with the real reason (the text.bpe guard contract)
+    require(!df.isStreaming,
+      "text.sbo is batch-only (per-document aggregation over the " +
+        "exploded trigram frame); run the pipeline with --batch or " +
+        "apply it foreachBatch")
+    val spark = df.sparkSession
+    val raw = spark.read.parquet(modelTable)
+    val model =
+      if (raw.columns.contains("score") && raw.columns.contains("ord")) raw
+      else raw.schema(Cdc.PayloadAfter).dataType match {
+        case _: org.apache.spark.sql.types.StructType => raw.select(
+          col(s"${Cdc.PayloadAfter}.ord").cast("long").as("ord"),
+          col(s"${Cdc.PayloadAfter}.u").cast("string").as("u"),
+          col(s"${Cdc.PayloadAfter}.v").cast("string").as("v"),
+          col(s"${Cdc.PayloadAfter}.w").cast("string").as("w"),
+          col(s"${Cdc.PayloadAfter}.score").cast("double").as("score"))
+        case _ => raw.select(
+          get_json_object(col(Cdc.PayloadAfter), "$.ord").cast("long")
+            .as("ord"),
+          get_json_object(col(Cdc.PayloadAfter), "$.u").as("u"),
+          get_json_object(col(Cdc.PayloadAfter), "$.v").as("v"),
+          get_json_object(col(Cdc.PayloadAfter), "$.w").as("w"),
+          get_json_object(col(Cdc.PayloadAfter), "$.score").cast("double")
+            .as("score"))
+      }
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id"),
+      Analytics2Ops.fieldCol(df, textField).cast("string").as("_text"))
+    val out = graft.analytics.Text.sboScore(flat, model, "_id", "_text")
+    Cdc.wrap(out, "doc_id", "text.sbo")
+  }
+}

@@ -183,6 +183,16 @@ object PluginCatalog {
       "Score docs against a trained Naive-Bayes model (batch-only).",
       Seq(req("id", Id), req("modelTable", "/data/nb-model"),
         opt("field", Text), opt("prior", "0.0"))),
+    Entry("text.divergence",
+      "Pairwise Jensen-Shannon divergence between stratum slices (batch-only).",
+      Seq(req("stratum", ".Payload.After.lang"), opt("field", Text))),
+    Entry("text.sbo_train",
+      "Train a stupid-backoff trigram LM: count-ratio scores (batch-only).",
+      Seq(req("id", Id), opt("field", Text))),
+    Entry("text.sbo",
+      "CCNet-style fluency score vs a trained SBO model (batch-only).",
+      Seq(req("id", Id), req("modelTable", "/data/sbo-model"),
+        opt("field", Text))),
     Entry("text.zipf",
       "Zipf's-law slope/intercept of the vocabulary head (batch-only).",
       Seq(opt("field", Text), opt("minCount", "2"), opt("topN", "4096"))),

@@ -370,6 +370,12 @@ object Registry {
     "text.nb" -> (s => TextNbProc(
       Ref.parse(s("id")), ref(s, ".Payload.After"),
       s("modelTable"), s.getOrElse("prior", "0.0").toDouble)),
+    "text.divergence" -> (s => TextDivergenceProc(
+      Ref.parse(s("stratum")), ref(s, ".Payload.After"))),
+    "text.sbo_train" -> (s => TextSboTrainProc(
+      Ref.parse(s("id")), ref(s, ".Payload.After"))),
+    "text.sbo" -> (s => TextSboProc(
+      Ref.parse(s("id")), ref(s, ".Payload.After"), s("modelTable"))),
     "text.gopher" -> (s => TextGopherProc(
       ref(s, ".Payload.After"),
       s.getOrElse("drop", "false").toBoolean,

@@ -754,6 +754,29 @@ object Analytics {
         Text.nbPrior(docs, "_lab"))
     }),
 
+    // pairwise Jensen–Shannon divergence between the language slices'
+    // unigram distributions (Lin 1991) — the mixture-design
+    // domain-shift profile; token-ordered IEEE fold per pair
+    "text_divergence" -> ((s, dir) =>
+      Text.jsDivergence(t(s, dir, "documents"), "lang", "text")),
+
+    // stupid-backoff trigram LM (Brants et al. 2007), trained on the
+    // English slice: every model score is ONE division of exact counts
+    // with literal ×0.4 backoff products in a fixed association order
+    "text_sbo_train" -> ((s, dir) =>
+      Text.sboTrain(t(s, dir, "documents").filter(col("lang") === "en"),
+        "doc_id", "text")),
+
+    // SBO score side: ALL docs against the en-trained model — the
+    // cross-lang rows hit the backoff branches; per-doc idx-ordered
+    // IEEE fold of −ln S (train and score composed in one plan)
+    "text_sbo_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Text.sboScore(docs,
+        Text.sboTrain(docs.filter(col("lang") === "en"), "doc_id", "text"),
+        "doc_id", "text")
+    }),
+
     "text_classifier" -> ((s, dir) =>
       Text.classifierScore(t(s, dir, "documents"), "doc_id", "text", seed = 42L)),
 
@@ -3669,6 +3692,142 @@ object Analytics {
        SELECT doc_id, n_tokens, (pr + so) AS score,
          ((pr + so) > 0) AS pred_pos
        FROM agg CROSS JOIN prior""",
+    // JSD replication: per-stratum relative frequencies, the pair×vocab
+    // grid via LEFT joins, the operator's exact term tree (0-count
+    // terms contribute literal 0), token-ordered list_reduce fold
+    "text_divergence" ->
+      """WITH occ AS (SELECT lang AS stratum, tok
+           FROM (SELECT lang, unnest(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> x <> '')) AS tok
+             FROM documents)),
+       cnt AS (SELECT stratum, tok, CAST(count(*) AS BIGINT) AS c
+         FROM occ GROUP BY 1, 2),
+       tot AS (SELECT stratum, CAST(sum(c) AS BIGINT) AS n
+         FROM cnt GROUP BY 1),
+       rel AS (SELECT stratum, tok,
+           CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p
+         FROM cnt JOIN tot USING (stratum)),
+       pairs AS (SELECT a.stratum AS sa, b.stratum AS sb
+         FROM tot a CROSS JOIN tot b WHERE a.stratum < b.stratum),
+       toks AS (SELECT DISTINCT tok FROM cnt),
+       grid AS (SELECT sa, sb, g.tok,
+           coalesce(ra.p, CAST(0 AS DOUBLE)) AS p,
+           coalesce(rb.p, CAST(0 AS DOUBLE)) AS q
+         FROM pairs CROSS JOIN toks g
+           LEFT JOIN rel ra ON ra.stratum = sa AND ra.tok = g.tok
+           LEFT JOIN rel rb ON rb.stratum = sb AND rb.tok = g.tok),
+       term AS (SELECT sa, sb, tok,
+           (CASE WHEN p > 0 THEN CAST(0.5 AS DOUBLE)
+               * (p * ln(p / (CAST(0.5 AS DOUBLE) * (p + q))))
+             ELSE CAST(0 AS DOUBLE) END)
+           + (CASE WHEN q > 0 THEN CAST(0.5 AS DOUBLE)
+               * (q * ln(q / (CAST(0.5 AS DOUBLE) * (p + q))))
+             ELSE CAST(0 AS DOUBLE) END) AS t,
+           (p > 0 AND q > 0) AS common
+         FROM grid)
+       SELECT sa AS stratum_a, sb AS stratum_b,
+         CAST(sum(CASE WHEN common THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_common,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(t ORDER BY tok)), (a, x) -> a + x) AS jsd
+       FROM term GROUP BY 1, 2""",
+    // SBO model replication: the three n-gram count CTEs over the en
+    // slice, each score one division of BIGINT counts with the literal
+    // ×0.4 backoff products in the operator's association order
+    "text_sbo_train" ->
+      """WITH t AS (SELECT list_filter(
+             regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> x <> '') AS toks
+           FROM documents WHERE lang = 'en'),
+       c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt1
+         FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+       tot AS (SELECT CAST(sum(cnt1) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS vsz FROM c1),
+       c2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cnt2
+         FROM (SELECT toks[i] AS a, toks[i + 1] AS b
+           FROM (SELECT toks FROM t WHERE len(toks) >= 2),
+             LATERAL unnest(range(1, len(toks))) AS r(i))
+         GROUP BY a, b),
+       c3 AS (SELECT u, v, w, CAST(count(*) AS BIGINT) AS cnt3
+         FROM (SELECT toks[i] AS u, toks[i + 1] AS v, toks[i + 2] AS w
+           FROM (SELECT toks FROM t WHERE len(toks) >= 3),
+             LATERAL unnest(range(1, len(toks) - 1)) AS r(i))
+         GROUP BY u, v, w)
+       SELECT CAST(3 AS BIGINT) AS ord, u, v, w,
+           CAST(cnt3 AS DOUBLE) / CAST(cnt2 AS DOUBLE) AS score
+         FROM c3 JOIN c2 ON c3.u = c2.a AND c3.v = c2.b
+       UNION ALL
+       SELECT CAST(2 AS BIGINT), NULL, a, b,
+           CAST(0.4 AS DOUBLE)
+             * (CAST(cnt2 AS DOUBLE) / CAST(cnt1 AS DOUBLE))
+         FROM c2 JOIN c1 ON c2.a = c1.w
+       UNION ALL
+       SELECT CAST(1 AS BIGINT), NULL, NULL, w,
+           CAST(0.4 AS DOUBLE) * (CAST(0.4 AS DOUBLE)
+             * ((CAST(cnt1 AS DOUBLE) + 1.0) / CAST(n + vsz AS DOUBLE)))
+         FROM c1 CROSS JOIN tot
+       UNION ALL
+       SELECT CAST(0 AS BIGINT), NULL, NULL, NULL,
+           CAST(0.4 AS DOUBLE) * (CAST(0.4 AS DOUBLE)
+             * (CAST(1.0 AS DOUBLE) / CAST(n + vsz AS DOUBLE)))
+         FROM tot""",
+    // SBO score replay: the same model CTEs, trigram occurrences over
+    // ALL docs with their position, three LEFT joins + coalesce down
+    // the backoff chain, idx-ordered list_reduce fold (≡ the
+    // array_sort+aggregate fold, bit-identical IEEE)
+    "text_sbo_score" ->
+      """WITH t AS (SELECT list_filter(
+             regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> x <> '') AS toks
+           FROM documents WHERE lang = 'en'),
+       c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt1
+         FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+       tot AS (SELECT CAST(sum(cnt1) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS vsz FROM c1),
+       c2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cnt2
+         FROM (SELECT toks[i] AS a, toks[i + 1] AS b
+           FROM (SELECT toks FROM t WHERE len(toks) >= 2),
+             LATERAL unnest(range(1, len(toks))) AS r(i))
+         GROUP BY a, b),
+       c3 AS (SELECT u, v, w, CAST(count(*) AS BIGINT) AS cnt3
+         FROM (SELECT toks[i] AS u, toks[i + 1] AS v, toks[i + 2] AS w
+           FROM (SELECT toks FROM t WHERE len(toks) >= 3),
+             LATERAL unnest(range(1, len(toks) - 1)) AS r(i))
+         GROUP BY u, v, w),
+       m3 AS (SELECT c3.u, c3.v, c3.w,
+           CAST(cnt3 AS DOUBLE) / CAST(cnt2 AS DOUBLE) AS s3
+         FROM c3 JOIN c2 ON c3.u = c2.a AND c3.v = c2.b),
+       m2 AS (SELECT a AS v, b AS w, CAST(0.4 AS DOUBLE)
+             * (CAST(cnt2 AS DOUBLE) / CAST(cnt1 AS DOUBLE)) AS s2
+         FROM c2 JOIN c1 ON c2.a = c1.w),
+       m1 AS (SELECT w, CAST(0.4 AS DOUBLE) * (CAST(0.4 AS DOUBLE)
+             * ((CAST(cnt1 AS DOUBLE) + 1.0) / CAST(n + vsz AS DOUBLE)))
+             AS s1
+         FROM c1 CROSS JOIN tot),
+       m0 AS (SELECT CAST(0.4 AS DOUBLE) * (CAST(0.4 AS DOUBLE)
+             * (CAST(1.0 AS DOUBLE) / CAST(n + vsz AS DOUBLE))) AS s0
+         FROM tot),
+       tri AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
+           toks[i] AS u, toks[i + 1] AS v, toks[i + 2] AS w
+         FROM (SELECT doc_id, list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> x <> '') AS toks
+             FROM documents) d,
+           LATERAL unnest(range(1, len(toks) - 1)) AS r(i)
+         WHERE len(toks) >= 3),
+       contrib AS (SELECT tri.doc_id, tri.idx,
+           -ln(coalesce(s3, s2, s1, s0)) AS nl
+         FROM tri
+           LEFT JOIN m3 ON tri.u = m3.u AND tri.v = m3.v AND tri.w = m3.w
+           LEFT JOIN m2 ON tri.v = m2.v AND tri.w = m2.w
+           LEFT JOIN m1 ON tri.w = m1.w
+           CROSS JOIN m0)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(nl ORDER BY idx)), (a, x) -> a + x) / count(*)
+           AS mean_neg_logprob_sbo
+       FROM contrib GROUP BY doc_id""",
     // closed-form clean text from the page-construction arithmetic —
     // zero shared parsing machinery with the operator under test: the
     // kept fragments joined by single spaces, entities in their

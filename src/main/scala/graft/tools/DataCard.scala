@@ -77,6 +77,14 @@ object DataCard {
 
     val zipf = Text.zipfFit(docs, "text", minCount = 2, topN = 4096).head()
 
+    // language-pair divergence — the mixture-design signal: how far
+    // each slice pair is from interchangeable (0 = identical unigram
+    // mass, ln 2 ≈ 0.693 = disjoint vocabularies)
+    val jsd = Text.jsDivergence(docs, "lang", "text")
+      .select(concat_ws("|", col("stratum_a"), col("stratum_b")).as("k"),
+        round(col("jsd"), 4).as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
     Card(Seq(
       "n_docs" -> nDocs,
       "n_tokens" -> sizeRow.getLong(1),
@@ -96,7 +104,8 @@ object DataCard {
       "gopher_pass_stop_rate" -> gop.getDouble(2),
       "zipf_n_types" -> zipf.getLong(0),
       "zipf_slope" -> zipf.getDouble(1),
-      "zipf_intercept" -> zipf.getDouble(2)))
+      "zipf_intercept" -> zipf.getDouble(2),
+      "lang_jsd" -> jsd))
   }
 
   def main(args: Array[String]): Unit = {

@@ -150,6 +150,39 @@ class ExamplesSpec extends AnyFunSuite {
       pay.exists(!_.get("pred_pos").asBoolean))
   }
 
+  test("ccnet-fluency trains on the en slice and scores every doc") {
+    clean("/tmp/graft-sbo-model", "/tmp/graft-sbo-scored")
+    val cfgs = load("ccnet-fluency.yaml")
+    assert(cfgs.map(_.id) == Seq("sbo-train", "sbo-apply"))
+    val counts = Runner.runBatch(spark, cfgs.head)
+    assert(counts("ok") > 0 && counts("dlq") == 0, counts.toString())
+    // the landed model carries all four backoff orders
+    val ords = spark.read.parquet("/tmp/graft-sbo-model")
+      .select(get_json_object(col(Cdc.PayloadAfter), "$.ord").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(ords == Set(0L, 1L, 2L, 3L))
+    val out = Cdc.ok(Runner.build(spark, cfgs(1), streaming = false))
+    val pay = out.select(col(Cdc.PayloadAfter)).collect()
+      .map(r => graft.functions.JsonOps.parse(r.getString(0)))
+    assert(pay.nonEmpty)
+    assert(pay.forall(p =>
+      !p.get("mean_neg_logprob_sbo").asText.matches("NaN|Infinity")))
+    // fluency separation: docs from the reference language must score
+    // lower (more probable) on average than the rest
+    val scores = pay.map(p => p.get("doc_id").asLong ->
+      p.get("mean_neg_logprob_sbo").asDouble).toMap
+    val langs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (en, rest) = scores.partition { case (id, _) => langs(id) == "en" }
+    assert(en.nonEmpty && rest.nonEmpty)
+    val enAvg = en.values.sum / en.size
+    val restAvg = rest.values.sum / rest.size
+    assert(enAvg < restAvg,
+      s"en-trained LM must prefer en docs: en=$enAvg rest=$restAvg")
+  }
+
   test("gopher-epochs gates on the rules then replicates by epoch recipe") {
     clean("/tmp/graft-gopher-epochs")
     val cfg = load("gopher-epochs.yaml").head

@@ -414,6 +414,10 @@ class Round16Spec extends AnyFunSuite {
     val parsed = graft.functions.JsonOps.parse(card.json)
     assert(parsed.get("n_docs").asLong == 500L)
     assert(parsed.get("lang_tokens").get("en").asLong > 0L)
+    // 5 languages → 10 unordered pairs, each a bounded JSD
+    val jsd = f("lang_jsd").asInstanceOf[Map[String, Double]]
+    assert(jsd.size == 10)
+    assert(jsd.values.forall(v => v >= 0.0 && v <= math.log(2.0) + 1e-9))
   }
 
   test("REST DLQ config round-trips and respects the running invariant") {
