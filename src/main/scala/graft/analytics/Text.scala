@@ -1249,8 +1249,17 @@ object Text {
                    textCol: String): DataFrame = {
     val occ = df.select(col(stratumCol).cast("string").as("stratum"),
         explode(sboToks(textCol)).as("tok"))
-    val cnt = occ.groupBy(col("stratum"), col("tok"))
+    // Fence the count table: `cnt` feeds rel AND tot, and tot is
+    // itself referenced three times (rel's denominators, both sides
+    // of the pair grid) — unfenced, every reference re-runs the
+    // corpus scan (the kmvSetOps multi-reference trap). The fence is
+    // (stratum, token)-distinct sized; the corpus is scanned once.
+    val cnt0 = occ.groupBy(col("stratum"), col("tok"))
       .agg(count(lit(1)).cast("long").as("c"))
+    val cnt =
+      if (cnt0.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        cnt0.checkpoint(true)
+      else cnt0.localCheckpoint(true)
     val tot = cnt.groupBy(col("stratum"))
       .agg(sum(col("c")).cast("long").as("n"))
     val rel = cnt.join(tot, "stratum")
@@ -1316,17 +1325,29 @@ object Text {
     * count threshold, never by sampling the training sweep.
     */
   def sboTrain(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Fence the count tables: c1 is referenced three times below (tot,
+    // the bigram-score denominator join, the unigram slice) and c2
+    // twice (trigram denominator, bigram slice) — unfenced, each
+    // reference re-derives the aggregation AND its corpus scan (the
+    // kmvSetOps multi-reference trap). The fences are model-sized
+    // (distinct n-grams), so each costs one build; the corpus is
+    // scanned exactly once per order. Reliable checkpoint when a dir
+    // is set (cluster deployments), executor-local otherwise.
+    def fence(d: DataFrame): DataFrame =
+      if (d.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        d.checkpoint(true)
+      else d.localCheckpoint(true)
     val seqs = df.select(sboToks(textCol).as("toks"))
       .filter(size(col("toks")) >= 1)
-    val c1 = seqs.select(explode(col("toks")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("cnt1"))
+    val c1 = fence(seqs.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("cnt1")))
     val tot = c1.agg(sum(col("cnt1")).cast("long").as("n"),
       count(lit(1)).cast("long").as("vsz"))
-    val c2 = seqs.filter(size(col("toks")) >= 2)
+    val c2 = fence(seqs.filter(size(col("toks")) >= 2)
       .select(col("toks"), explode(expr("sequence(1, size(toks) - 1)")).as("i"))
       .select(element_at(col("toks"), col("i")).as("a"),
         element_at(col("toks"), col("i") + 1).as("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).cast("long").as("cnt2"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).cast("long").as("cnt2")))
     val c3 = seqs.filter(size(col("toks")) >= 3)
       .select(col("toks"), explode(expr("sequence(1, size(toks) - 2)")).as("i"))
       .select(element_at(col("toks"), col("i")).as("u"),
@@ -1373,13 +1394,24 @@ object Text {
     */
   def sboScore(df: DataFrame, model: DataFrame, idCol: String,
                textCol: String): DataFrame = {
-    val m3 = model.filter(col("ord") === 3)
+    // Fence the model: it is sliced FOUR times below (one filter per
+    // backoff order), and when the caller passes a composed lineage
+    // (train ∘ score in one plan, the gate row) each slice would
+    // re-derive the whole training sweep — measured 12.6× wall at the
+    // 100× probe before the fence, 4 train derivations inside one
+    // score. Model-sized, one build; parquet-backed models pay one
+    // re-materialization. Same fence contract as [[sboTrain]].
+    val m =
+      if (model.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        model.checkpoint(true)
+      else model.localCheckpoint(true)
+    val m3 = m.filter(col("ord") === 3)
       .select(col("u"), col("v"), col("w"), col("score").as("s3"))
-    val m2 = model.filter(col("ord") === 2)
+    val m2 = m.filter(col("ord") === 2)
       .select(col("v").as("v2"), col("w").as("w2"), col("score").as("s2"))
-    val m1 = model.filter(col("ord") === 1)
+    val m1 = m.filter(col("ord") === 1)
       .select(col("w").as("w1"), col("score").as("s1"))
-    val m0 = model.filter(col("ord") === 0).select(col("score").as("s0"))
+    val m0 = m.filter(col("ord") === 0).select(col("score").as("s0"))
     val tri = df.select(col(idCol).as("doc_id"), sboToks(textCol).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("toks"),
