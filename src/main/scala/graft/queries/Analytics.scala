@@ -777,6 +777,40 @@ object Analytics {
         "doc_id", "text")
     }),
 
+    // Streaming SBO twin: the en-trained model is a FIXED batch frame
+    // (train once, score forever — the deployment shape); each
+    // micro-batch scores independently because the per-doc fold reads
+    // only the batch's own rows. Two batches through foreachBatch
+    // must equal the one-shot score — oracle = text_sbo_score's.
+    "text_sbo_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = t(s, dir, "documents")
+      val model = Text.sboTrain(docs.filter(col("lang") === "en"),
+        "doc_id", "text")
+      val rows = docs.select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val out = java.nio.file.Files
+        .createTempDirectory("sbo_stream").toString + "/scores"
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            Text.sboScore(batch.toDF(), model, "doc_id", "text")
+              .write.mode("append").parquet(out)
+            ()
+        }
+        .outputMode("append").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(out)
+    }),
+
     "text_classifier" -> ((s, dir) =>
       Text.classifierScore(t(s, dir, "documents"), "doc_id", "text", seed = 42L)),
 
@@ -3924,6 +3958,7 @@ object Analytics {
   /** Streaming twins share their batch siblings' oracles verbatim —
     * stream == batch is exactly the law each gate row proves. */
   val oracles: Map[String, String] = oraclesBase ++ Map(
+    "text_sbo_stream" -> oraclesBase("text_sbo_score"),
     "dedup_url_stream" -> oraclesBase("dedup_url"),
     "text_quality_stream" -> oraclesBase("text_quality"),
     "sample_hash_stream" -> oraclesBase("sample_hash"),

@@ -59,4 +59,37 @@ class PlanShape16Spec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"a 3-row target table must never sort-merge:\n$plan")
   }
+
+  test("sboTrain count aggregates are map-side combined") {
+    val plan = executed(Text.sboTrain(docs, "doc_id", "text"))
+    // each n-gram order's count must have a partial (map-side) phase —
+    // occurrences never shuffle, only distinct n-grams do
+    val partials = "partial_count".r.findAllIn(plan).size
+    assert(partials >= 3, s"expected 3 map-side-combined counts:\n$plan")
+  }
+
+  test("sboScore explodes the trigrams exactly once") {
+    val model = Text.sboTrain(docs, "doc_id", "text")
+    val plan = executed(Text.sboScore(docs, model, "doc_id", "text"))
+    // three backoff joins must share ONE Generate — an inlined
+    // re-explosion per join would re-pay the split per candidate.
+    // (AQE's toString appends the pre-adaptive tree after
+    // "== Initial Plan ==" — count the FINAL section only.)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val gens = "Generate posexplode".r.findAllIn(finalPlan).size
+    assert(gens == 1, s"expected exactly one Generate:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the ord-0 floor must broadcast, never cartesian:\n$plan")
+  }
+
+  test("jsDivergence broadcasts the pair grid, never cartesians the corpus") {
+    val df = (1 to 200).map(i =>
+      (s"s${i % 3}", s"alpha beta tok$i gamma")).toDF("lang", "text")
+    val plan = executed(Text.jsDivergence(df, "lang", "text"))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"the stratum-pair grid must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian anywhere in the divergence plan:\n$plan")
+  }
 }
