@@ -1184,4 +1184,96 @@ object Dedup {
         (struct(col("doc_id"), col("chunk_idx")) === col("_first"))
           .as("keep"))
   }
+
+  // ---- winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003) ----
+
+  /** The fence every winnowing stage shares — same contract as
+    * kmvSetOps/softWeights: reliable checkpoint when a dir is set
+    * (cluster deployments), executor-local otherwise.
+    */
+  private def winnowFence(d: DataFrame): DataFrame =
+    if (d.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      d.checkpoint(true)
+    else d.localCheckpoint(true)
+
+  /** The (doc_id, i, h, m) word-k-gram hash frame winnowing selects
+    * from: gram index i is 1-based, m = #grams, h = FNV-1a of the
+    * space-joined gram (signed 64-bit — selection compares in the
+    * signed domain on both engines).
+    */
+  private def winnowGrams(df: DataFrame, idCol: String, textCol: String,
+                          k: Int): DataFrame = {
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      x => x =!= "")
+    df.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), col("toks"),
+        (size(col("toks")) - lit(k - 1)).cast("long").as("m"),
+        posexplode(expr(s"sequence(1, size(toks) - ${k - 1})")))
+      .select(col("doc_id"), col("m"), col("col").cast("long").as("i"),
+        fnv1a_hash(concat_ws(" ", slice(col("toks"), col("col"), lit(k))))
+          .as("h"))
+  }
+
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken 2003, §4): hash
+    * every word k-gram, slide a window of `w` consecutive gram hashes,
+    * and from each window select the MINIMUM hash, rightmost position
+    * on ties — the paper's guarantee: any two documents sharing a
+    * token run of length ≥ w+k−1 share at least one selected
+    * fingerprint, while only ~2/(w+1) of all grams are kept. Output:
+    * (doc_id, pos, h) distinct selected fingerprints. Documents
+    * shorter than one full window winnow as a single window.
+    *
+    * Scale shape: gram hashing is row-local; the window expansion
+    * replicates each gram into ≤ w window keys (constant w → linear),
+    * and the per-window argmin is ONE map-side-combined aggregate —
+    * min(struct(h, −i)) resolves the value and the rightmost tie in a
+    * single pass, no join-back on the O(n·w) frame.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 8): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnow: k=$k w=$w")
+    val grams = winnowGrams(df, idCol, textCol, k)
+    val wins = grams.select(col("doc_id"), col("i"), col("h"),
+      explode(expr(s"sequence(greatest(1L, i - ${w - 1}), " +
+        s"least(i, greatest(1L, m - ${w - 1})))")).as("s"))
+    wins.groupBy(col("doc_id"), col("s"))
+      .agg(min(struct(col("h"), (-col("i")).as("ni"))).as("sel"))
+      .select(col("doc_id"), (-col("sel.ni")).as("pos"),
+        col("sel.h").as("h"))
+      .distinct()
+  }
+
+  /** Cross-document winnowing match: unordered doc pairs sharing ≥
+    * `minShared` selected fingerprints, with the shared count —
+    * the copy/excerpt detector winnowing was built for, at posting
+    * granularity instead of [[duplicateSpans]]' fixed chunks.
+    * Fingerprints selected in more than `maxDf` documents are
+    * boilerplate by definition and excluded (the standard posting cap
+    * — without it one ubiquitous template k-gram yields quadratic
+    * pairs corpus-wide).
+    *
+    * Scale shape: the (doc, h) posting list is fenced (model-sized);
+    * the document-frequency cap bounds every bucket at maxDf, and
+    * pair generation goes through [[boundedSelfPairs]] so even a
+    * mis-set cap cannot put a quadratic bucket into one task. The
+    * pair count shuffle carries (pair, 1) with map-side combine.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 4, w: Int = 8, minShared: Int = 2,
+                  maxDf: Int = 64): DataFrame = {
+    require(minShared >= 1 && maxDf >= 1,
+      s"winnow: minShared=$minShared maxDf=$maxDf")
+    val fps = winnowFence(
+      winnowFingerprints(df, idCol, textCol, k, w)
+        .select(col("doc_id"), col("h")).distinct())
+    val dfreq = fps.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val keep = winnowFence(fps.join(dfreq.select(col("h")), "h"))
+    boundedSelfPairs(keep, Seq("h"), "doc_id", cap = 256)
+      .groupBy(col("pair_a").as("doc_a"), col("pair_b").as("doc_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -863,6 +863,34 @@ case class SampleEpochsProc(strataField: Ref, idField: Ref,
   }
 }
 
+/** `dedup.winnow` — winnowing fingerprint match
+  * ([[graft.analytics.Dedup.winnowPairs]], Schleimer et al. 2003):
+  * one create record per unordered doc pair sharing ≥ minShared
+  * window-min gram fingerprints, with the shared count — the
+  * copy/excerpt detector at posting granularity. Fingerprints in more
+  * than maxDf docs are boilerplate-capped away.
+  */
+case class DedupWinnowProc(idField: Ref, textField: Ref, k: Int, w: Int,
+                           minShared: Int, maxDf: Int) extends Processor {
+  require(k >= 1 && w >= 1 && minShared >= 1 && maxDf >= 1,
+    s"dedup.winnow: k=$k w=$w minShared=$minShared maxDf=$maxDf")
+  val plugin = "dedup.winnow"
+  override def transform(df: DataFrame): DataFrame = {
+    // cross-document posting joins — batch-only, so fail with the
+    // real reason (the text.bpe guard contract)
+    require(!df.isStreaming,
+      "dedup.winnow is batch-only (cross-document fingerprint posting " +
+        "joins); run the pipeline with --batch or apply it foreachBatch")
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id"),
+      Analytics2Ops.fieldCol(df, textField).cast("string").as("_text"))
+    val out = graft.analytics.Dedup.winnowPairs(flat, "_id", "_text",
+        k, w, minShared, maxDf)
+      .withColumn("pair", concat_ws("|", col("doc_a"), col("doc_b")))
+    Cdc.wrap(out, "pair", "dedup.winnow")
+  }
+}
+
 /** `text.divergence` — pairwise Jensen–Shannon divergence between
   * stratum slices' unigram distributions
   * ([[graft.analytics.Text.jsDivergence]], Lin 1991): one create

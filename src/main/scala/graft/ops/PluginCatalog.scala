@@ -183,6 +183,10 @@ object PluginCatalog {
       "Score docs against a trained Naive-Bayes model (batch-only).",
       Seq(req("id", Id), req("modelTable", "/data/nb-model"),
         opt("field", Text), opt("prior", "0.0"))),
+    Entry("dedup.winnow",
+      "Winnowing fingerprint match: doc pairs sharing window-min grams (batch-only).",
+      Seq(req("id", Id), opt("field", Text), opt("k", "4"), opt("w", "8"),
+        opt("minShared", "2"), opt("maxDf", "64"))),
     Entry("text.divergence",
       "Pairwise Jensen-Shannon divergence between stratum slices (batch-only).",
       Seq(req("stratum", ".Payload.After.lang"), opt("field", Text))),

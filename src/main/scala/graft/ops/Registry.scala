@@ -370,6 +370,11 @@ object Registry {
     "text.nb" -> (s => TextNbProc(
       Ref.parse(s("id")), ref(s, ".Payload.After"),
       s("modelTable"), s.getOrElse("prior", "0.0").toDouble)),
+    "dedup.winnow" -> (s => DedupWinnowProc(
+      Ref.parse(s("id")), ref(s, ".Payload.After"),
+      s.getOrElse("k", "4").toInt, s.getOrElse("w", "8").toInt,
+      s.getOrElse("minShared", "2").toInt,
+      s.getOrElse("maxDf", "64").toInt)),
     "text.divergence" -> (s => TextDivergenceProc(
       Ref.parse(s("stratum")), ref(s, ".Payload.After"))),
     "text.sbo_train" -> (s => TextSboTrainProc(

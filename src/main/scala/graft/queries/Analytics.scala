@@ -1031,6 +1031,13 @@ object Analytics {
     "dedup_segments" -> ((s, dir) =>
       Dedup.segments(t(s, dir, "documents"), "doc_id", "text", segTokens = 10)),
 
+    // winnowing fingerprint match (Schleimer et al. 2003): window-min
+    // gram selection, posting cap, pair counts — the oracle replays
+    // the FNV-1a gram hashes (HUGEINT fold, signed compare domain)
+    // and the window minima via the two-CTE join-back form
+    "dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text")),
+
     // content-defined chunking: copies get a PREFIX insertion — the
     // exact edit fixed-window segmentation cannot absorb — and the
     // hash-cut boundaries must resynchronize so later chunks still
@@ -3610,6 +3617,35 @@ object Analytics {
          WHERE rk <= 20""",
     // 10-token segmentation replicated; keep = first (doc_id, seg_idx)
     // occurrence of the segment corpus-wide (sha-256 grouping in the
+    // winnowing replay: k=4 word grams FNV-hashed in HUGEINT, signed
+    // BIGINT compare domain, w=8 window minima via the join-back form
+    // (the engine's one-pass struct-argmin is tie-equivalent for the
+    // distinct (doc, h) posting set), df ≤ 64 cap, pairs ≥ 2 shared
+    "dedup_winnow" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(
+             regexp_split_to_array(trim(lower(text)), '\\s+'),
+             x -> x <> '') AS toks FROM documents),
+       g0 AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+           array_to_string(toks[i:i+3], ' ') AS gram,
+           CAST(len(toks) - 3 AS BIGINT) AS m
+         FROM (SELECT doc_id, toks FROM t WHERE len(toks) >= 4),
+           LATERAL unnest(range(1, len(toks) - 2)) AS r(i)),
+       hh AS (SELECT doc_id, i, m,
+           CAST(CASE WHEN uh >= CAST(9223372036854775808 AS HUGEINT)
+             THEN uh - CAST(18446744073709551616 AS HUGEINT)
+             ELSE uh END AS BIGINT) AS h
+         FROM (SELECT doc_id, i, m, ${fnvFoldSql("gram")} AS uh FROM g0)),
+       wins AS (SELECT doc_id, i, h, CAST(s AS BIGINT) AS s
+         FROM hh, LATERAL unnest(range(greatest(1, i - 7),
+           least(i, greatest(1, m - 7)) + 1)) AS r(s)),
+       mins AS (SELECT doc_id, s, min(h) AS mh FROM wins GROUP BY 1, 2),
+       fps AS (SELECT DISTINCT doc_id, mh AS h FROM mins),
+       dfreq AS (SELECT h FROM fps GROUP BY h HAVING count(*) <= 64),
+       keep AS (SELECT fps.doc_id, fps.h FROM fps JOIN dfreq USING (h)),
+       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
+       FROM p GROUP BY 1, 2 HAVING count(*) >= 2""",
     // engine ≡ direct segment-text grouping here)
     "dedup_segments" ->
       """WITH tok AS (

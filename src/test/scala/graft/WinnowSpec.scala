@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.Dedup
+import graft.model.Cdc
+import graft.ops.Registry
+
+/** Winnowing fingerprints (Schleimer–Wilkerson–Aiken 2003): the
+  * shared-run guarantee, rightmost-min tie-breaking, short-document
+  * windows, the posting cap, and the plugin's batch-only guard.
+  */
+class WinnowSpec extends AnyFunSuite {
+  lazy val spark = Spark.session
+  import spark.implicits._
+
+  test("guarantee: a shared run of w+k-1 tokens yields a shared fingerprint") {
+    // k=4, w=8: any common 11-token run must share >= 1 fingerprint
+    val run = (1 to 11).map(i => s"run$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon zeta"),
+      (2L, s"one two three four five $run six seven")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text", minShared = 1)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(pairs(0).getLong(2) >= 1L)
+  }
+
+  test("ties select the rightmost position; short docs winnow as one window") {
+    // 12 identical tokens, k=4 -> m=9 identical gram hashes; w=8 ->
+    // windows s=1,2 select rightmost i = 8, 9
+    val fps = Dedup.winnowFingerprints(
+        Seq((1L, Seq.fill(12)("a").mkString(" "))).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(1)).sorted
+    assert(fps.toSeq == Seq(8L, 9L))
+    // 5 tokens -> m=2 grams < w: ONE window over the whole doc
+    val short = Dedup.winnowFingerprints(
+        Seq((1L, "a b c d e")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+    assert(short.length == 1)
+  }
+
+  test("the density is ~2/(w+1) and every doc is covered") {
+    val docs = (1 to 50).map(i =>
+      (i.toLong, (1 to 100).map(j => s"t${(i * 37 + j * 11) % 97}")
+        .mkString(" "))).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text")
+    val perDoc = fps.groupBy("doc_id").count().collect()
+    assert(perDoc.length == 50)
+    // m = 97 grams, w = 8: expected ~2/(w+1)*m ≈ 22, never above m
+    assert(perDoc.forall(r => r.getLong(1) >= 97 / 8 && r.getLong(1) <= 97))
+  }
+
+  test("the posting cap excludes boilerplate fingerprints") {
+    // the same 11-token run in THREE docs: with maxDf=2 the shared
+    // fingerprints are boilerplate-capped away -> no pairs at all
+    val run = (1 to 11).map(i => s"b$i").mkString(" ")
+    val docs = (1 to 3).map(i => (i.toLong, s"u${i}a u${i}b $run u${i}c"))
+      .toDF("doc_id", "text")
+    assert(Dedup.winnowPairs(docs, "doc_id", "text",
+      minShared = 1, maxDf = 2).collect().isEmpty)
+    assert(Dedup.winnowPairs(docs, "doc_id", "text",
+      minShared = 1, maxDf = 3).count() == 3L) // all three pairs back
+  }
+
+  test("dedup.winnow plugin: CDC pairs out, batch-only guard") {
+    val run = (1 to 11).map(i => s"r$i").mkString(" ")
+    val docs = Cdc.wrapTyped(Seq(
+      (1L, s"x1 x2 x3 $run x4"), (2L, s"y1 y2 $run y3 y4 y5"))
+      .toDF("doc_id", "text"), "doc_id", "docs")
+    val out = Registry.create("dedup.winnow",
+        Map("id" -> ".Payload.After.doc_id",
+          "field" -> ".Payload.After.text", "minShared" -> "1"))
+      .transform(docs)
+    val row = out.select(
+      get_json_object(col(Cdc.PayloadAfter), "$.doc_a").cast("long"),
+      get_json_object(col(Cdc.PayloadAfter), "$.doc_b").cast("long"))
+      .collect()(0)
+    assert(row.getLong(0) == 1L && row.getLong(1) == 2L)
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val streamDf = Cdc.wrap(in.toDF().toDF("doc_id", "text"), "doc_id", "docs")
+    val e = intercept[IllegalArgumentException] {
+      Registry.create("dedup.winnow",
+        Map("id" -> ".Payload.After.doc_id")).transform(streamDf)
+    }
+    assert(e.getMessage.contains("dedup.winnow is batch-only"))
+  }
+}
