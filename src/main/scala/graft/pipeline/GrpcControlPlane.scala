@@ -601,6 +601,44 @@ class GrpcControlPlane(cp: ControlPlane) {
         jstr(sys.props.getOrElse("os.arch", ""))}}}"""
     })
 
+  // ---- grpc.health.v1.Health (reference: pkg/http/api/health_server
+  // .go:48-74, registered with per-service checkers at
+  // pkg/conduit/runtime.go:872-882) ------------------------------------
+
+  /** Service names accepted by the health checker — the reference
+    * registers SHORT names ("PipelineService"); the full proto names
+    * are accepted too so `grpc_health_probe -service=api.v1.X` works.
+    */
+  private val healthServices: Set[String] = {
+    val full = Set(GrpcControlPlane.ServiceName,
+      GrpcControlPlane.ConnectorServiceName,
+      GrpcControlPlane.ProcessorServiceName,
+      GrpcControlPlane.InformationServiceName)
+    full ++ full.map(_.stripPrefix("api.v1."))
+  }
+
+  private def healthStatus(req: String): String = {
+    val svc = text(node(req), "service")
+    if (svc.nonEmpty && !healthServices.contains(svc))
+      // NOT_FOUND, matching the reference (health_server.go:66)
+      throw new NoSuchElementException(s"service '$svc' not found")
+    // every served service is backed by the same in-process control
+    // plane — serving iff the server object is alive (we are running)
+    """{"status":"SERVING"}"""
+  }
+
+  private val healthHandlers: Map[String, String => String] =
+    Map("Check" -> healthStatus)
+
+  private val healthStreams
+      : Map[String, (String, StreamObserver[String]) => Unit] =
+    Map("Watch" -> { (req, observer) =>
+      // the reference's Watch sends the current status once
+      // (health_server.go:69-74); status changes are not streamed
+      observer.onNext(healthStatus(req))
+      observer.onCompleted()
+    })
+
   private def services: Seq[ServerServiceDefinition] = Seq(
     serviceDefinition(ServiceName, pipelineHandlers, Map.empty),
     serviceDefinition(ConnectorServiceName, connectorHandlers,
@@ -608,13 +646,16 @@ class GrpcControlPlane(cp: ControlPlane) {
     serviceDefinition(ProcessorServiceName, processorHandlers,
       processorStreams),
     serviceDefinition(InformationServiceName, informationHandlers,
-      Map.empty))
+      Map.empty),
+    serviceDefinition(GrpcControlPlane.HealthServiceName, healthHandlers,
+      healthStreams))
   // api.v1.PluginService is NOT served: the reference marks it
   // deprecated in favor of ConnectorService/ProcessorService
   // (api.proto:1224) — both of which are served above.
 
   private def onError(observer: StreamObserver[String], e: Exception): Unit = {
     val status = e match {
+      case _: NoSuchElementException => Status.NOT_FOUND
       case _: IllegalArgumentException => Status.INVALID_ARGUMENT
       case _: IllegalStateException => Status.FAILED_PRECONDITION
       case _ => Status.INTERNAL
@@ -670,6 +711,7 @@ object GrpcControlPlane {
   val ConnectorServiceName = "api.v1.ConnectorService"
   val ProcessorServiceName = "api.v1.ProcessorService"
   val InformationServiceName = "api.v1.InformationService"
+  val HealthServiceName = "grpc.health.v1.Health"
 
   /** Short-name aliases `Runner.source`/`Runner.write` accept beside
     * the canonical catalogue names. */

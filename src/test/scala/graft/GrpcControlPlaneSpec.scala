@@ -413,6 +413,32 @@ class GrpcControlPlaneSpec extends AnyFunSuite {
     } finally { cli.close(); svc.stop(); cp.stop() }
   }
 
+  test("grpc.health.v1.Health: Check/Watch serve, unknown service is NOT_FOUND") {
+    val cp = new ControlPlane(spark,
+      java.nio.file.Files.createTempDirectory("grpc_cph").toString)
+    val svc = new GrpcControlPlane(cp)
+    svc.serveInProcess("grpc-spec-health")
+    val cli = GrpcControlPlane.inProcessClient("grpc-spec-health")
+    val health = GrpcControlPlane.HealthServiceName
+    try {
+      // overall health (empty service) and both name forms
+      for (req <- Seq("{}", """{"service":"PipelineService"}""",
+          """{"service":"api.v1.ProcessorService"}"""))
+        assert(JsonOps.parse(cli.call(health, "Check", req))
+          .get("status").asText() == "SERVING", req)
+      // unknown service: NOT_FOUND, matching the reference
+      val ex = intercept[org.sparkproject.connect.grpc.StatusRuntimeException] {
+        cli.call(health, "Check", """{"service":"nope"}""")
+      }
+      assert(ex.getStatus.getCode ==
+        org.sparkproject.connect.grpc.Status.Code.NOT_FOUND)
+      // Watch sends the current status once and completes
+      val watched = cli.stream(health, "Watch", "{}")
+      assert(watched.size == 1)
+      assert(JsonOps.parse(watched.head).get("status").asText() == "SERVING")
+    } finally { cli.close(); svc.stop(); cp.stop() }
+  }
+
   test("serve() refuses a second start on the same facade") {
     val cp = new ControlPlane(spark,
       java.nio.file.Files.createTempDirectory("grpc_cp9").toString)
