@@ -336,6 +336,23 @@ class ControlPlane(spark: SparkSession, checkpointRoot: String) {
           JsonOps.mapper.getNodeFactory.textNode(e.getMessage))}}""")
       }
     })
+    // Health endpoint (reference parity: the gateway maps the gRPC
+    // health service to GET /healthz[?service=X] —
+    // pkg/conduit/runtime.go:946 WithHealthzEndpoint). SERVING for the
+    // server and every served API group; unknown services are 404.
+    server.createContext("/healthz", (ex: HttpExchange) => {
+      val svc = Option(ex.getRequestURI.getQuery)
+        .flatMap(_.split("&").find(_.startsWith("service=")))
+        .map(_.stripPrefix("service=")).getOrElse("")
+      val known = Set("", "PipelineService", "ConnectorService",
+        "ProcessorService", "InformationService").map(s =>
+        if (s.isEmpty) s else s"api.v1.$s") ++
+        Set("PipelineService", "ConnectorService", "ProcessorService",
+          "InformationService")
+      if (svc.isEmpty || known.contains(svc))
+        respond(ex, 200, """{"status":"SERVING"}""")
+      else respond(ex, 404, s"""{"error":"service '$svc' not found"}""")
+    })
     // Processor-plugin discovery (reference parity: ListProcessorPlugins,
     // GET /v1/processors/plugins with an optional name-regex filter —
     // proto/api/v1/api.proto:1132-1137, spec shape :221-239): the

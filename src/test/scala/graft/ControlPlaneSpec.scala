@@ -97,6 +97,26 @@ class ControlPlaneSpec extends AnyFunSuite {
     } finally cp.stop()
   }
 
+  test("GET /healthz serves overall and per-service, 404 on unknown") {
+    val ckpt = java.nio.file.Files.createTempDirectory("cp-hz").toString
+    val cp = new ControlPlane(spark, ckpt)
+    val port = cp.start(0)
+    val client = HttpClient.newHttpClient()
+    def get(p: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      for (p <- Seq("/healthz", "/healthz?service=PipelineService",
+          "/healthz?service=api.v1.ProcessorService")) {
+        val r = get(p)
+        assert(r.statusCode() == 200, p)
+        assert(JsonOps.parse(r.body()).get("status").asText() == "SERVING", p)
+      }
+      assert(get("/healthz?service=nope").statusCode() == 404)
+    } finally cp.stop()
+  }
+
   test("apply refuses to swap a RUNNING pipeline's config (gRPC parity)") {
     graft.pipeline.Runner.memorySinks.clear()
     val ckpt = java.nio.file.Files.createTempDirectory("cp-apply-ckpt").toString
