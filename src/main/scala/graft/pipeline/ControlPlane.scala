@@ -336,6 +336,69 @@ class ControlPlane(spark: SparkSession, checkpointRoot: String) {
           JsonOps.mapper.getNodeFactory.textNode(e.getMessage))}}""")
       }
     })
+    // Connector/processor resource routes (reference parity: the
+    // gateway's /v1/connectors and /v1/processors HTTP bindings,
+    // api.proto:770-1103) — bridged onto the SAME handler maps the
+    // gRPC services run (GrpcControlPlane.invokeUnary), so the REST
+    // and gRPC views of a pipeline's topology cannot drift. Streaming
+    // inspect stays on /v1/pipelines/{id}/inspect and the gRPC stream.
+    val facade = new GrpcControlPlane(this)
+    def jtext(s: String): String =
+      JsonOps.render(JsonOps.mapper.getNodeFactory.textNode(s))
+    def restResource(base: String, service: String,
+                     noun: String): Unit =
+      server.createContext(base, (ex: HttpExchange) => {
+        try {
+          val path = java.net.URLDecoder.decode(
+            ex.getRequestURI.getPath, "UTF-8").stripPrefix(base)
+            .stripPrefix("/").split("/").filter(_.nonEmpty).toList
+          def q(k: String): String = Option(ex.getRequestURI.getQuery)
+            .flatMap(_.split("&").find(_.startsWith(s"$k=")))
+            .map(s => java.net.URLDecoder.decode(
+              s.stripPrefix(s"$k="), "UTF-8")).getOrElse("")
+          def body(): String = new String(
+            ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          def bodyWithId(id: String): String = {
+            val n = JsonOps.parseOrEmpty(body())
+              .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            n.put("id", id)
+            JsonOps.render(n)
+          }
+          (ex.getRequestMethod, path) match {
+            case ("GET", Nil) =>
+              respond(ex, 200, facade.invokeUnary(service, s"List${noun}s",
+                s"""{"pipeline_id":${jtext(q("pipeline_id"))}}"""))
+            case ("GET", id :: Nil) =>
+              respond(ex, 200, facade.invokeUnary(service, s"Get$noun",
+                s"""{"id":${jtext(id)}}"""))
+            case ("POST", "validate" :: Nil) =>
+              respond(ex, 200,
+                facade.invokeUnary(service, s"Validate$noun", body()))
+            case ("POST", Nil) =>
+              respond(ex, 200,
+                facade.invokeUnary(service, s"Create$noun", body()))
+            case ("PUT", id :: Nil) =>
+              respond(ex, 200,
+                facade.invokeUnary(service, s"Update$noun", bodyWithId(id)))
+            case ("DELETE", id :: Nil) =>
+              respond(ex, 200, facade.invokeUnary(service, s"Delete$noun",
+                s"""{"id":${jtext(id)}}"""))
+            case _ => respond(ex, 404, """{"error":"not found"}""")
+          }
+        } catch {
+          case e: NoSuchElementException =>
+            respond(ex, 404, s"""{"error":${jtext(
+              String.valueOf(e.getMessage))}}""")
+          case e: Exception =>
+            respond(ex, 400, s"""{"error":${jtext(
+              String.valueOf(e.getMessage))}}""")
+        }
+      })
+    restResource("/v1/connectors",
+      GrpcControlPlane.ConnectorServiceName, "Connector")
+    restResource("/v1/processors",
+      GrpcControlPlane.ProcessorServiceName, "Processor")
+
     // Health endpoint (reference parity: the gateway maps the gRPC
     // health service to GET /healthz[?service=X] —
     // pkg/conduit/runtime.go:946 WithHealthzEndpoint). SERVING for the

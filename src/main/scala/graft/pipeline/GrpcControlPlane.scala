@@ -639,6 +639,24 @@ class GrpcControlPlane(cp: ControlPlane) {
       observer.onCompleted()
     })
 
+  /** Direct unary dispatch — the REST gateway bridge: ControlPlane
+    * maps the proto's /v1/connectors and /v1/processors HTTP routes
+    * (api.proto:770-1103) onto the same handlers the gRPC services
+    * run, so the two facades cannot drift.
+    */
+  def invokeUnary(service: String, method: String,
+                  requestJson: String): String = {
+    val handlers = service match {
+      case GrpcControlPlane.ServiceName => pipelineHandlers
+      case GrpcControlPlane.ConnectorServiceName => connectorHandlers
+      case GrpcControlPlane.ProcessorServiceName => processorHandlers
+      case GrpcControlPlane.InformationServiceName => informationHandlers
+      case s => throw new NoSuchElementException(s"unknown service: $s")
+    }
+    handlers.getOrElse(method, throw new NoSuchElementException(
+      s"unknown method: $service/$method"))(requestJson)
+  }
+
   private def services: Seq[ServerServiceDefinition] = Seq(
     serviceDefinition(ServiceName, pipelineHandlers, Map.empty),
     serviceDefinition(ConnectorServiceName, connectorHandlers,

@@ -97,6 +97,58 @@ class ControlPlaneSpec extends AnyFunSuite {
     } finally cp.stop()
   }
 
+  test("REST /v1/connectors and /v1/processors mirror the gRPC vocabulary") {
+    val ckpt = java.nio.file.Files.createTempDirectory("cp-res").toString
+    val cp = new ControlPlane(spark, ckpt)
+    val port = cp.start(0)
+    val client = HttpClient.newHttpClient()
+    def send(method: String, p: String, body: String = ""): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port$p"))
+        .method(method, HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      // seed a pipeline over the existing pipelines route
+      send("POST", "/v1/pipelines",
+        yaml.replace("cp-demo", "cp-rest"))
+      // list + get
+      val listed = JsonOps.parse(
+        send("GET", "/v1/connectors?pipeline_id=cp-rest").body())
+      assert(listed.get("connectors").size() == 2)
+      val got = send("GET", "/v1/connectors/cp-rest:gen")
+      assert(got.statusCode() == 200)
+      assert(JsonOps.parse(got.body()).get("connector")
+        .get("plugin").asText() == "builtin:generator")
+      // create / update / delete a destination
+      val created = send("POST", "/v1/connectors",
+        """{"pipeline_id":"cp-rest","type":"destination",""" +
+          """"plugin":"memory","id":"out2"}""")
+      assert(created.statusCode() == 200, created.body())
+      val updated = send("PUT", "/v1/connectors/cp-rest:out2",
+        """{"plugin":"memory"}""")
+      assert(updated.statusCode() == 200, updated.body())
+      assert(send("DELETE", "/v1/connectors/cp-rest:out2")
+        .statusCode() == 200)
+      // processors: create, list, get, delete
+      val pc = send("POST", "/v1/processors",
+        """{"pipeline_id":"cp-rest","id":"p1","plugin":"base64.encode",""" +
+          """"settings":{"field":".Payload.After"}}""")
+      assert(pc.statusCode() == 200, pc.body())
+      val plist = JsonOps.parse(
+        send("GET", "/v1/processors?pipeline_id=cp-rest").body())
+      assert(plist.get("processors").size() == 1)
+      assert(JsonOps.parse(send("GET", "/v1/processors/cp-rest:p1").body())
+        .get("processor").get("plugin").asText() == "base64.encode")
+      assert(send("DELETE", "/v1/processors/cp-rest:p1").statusCode() == 200)
+      // errors: unknown plugin is 400, unknown method path is 404
+      assert(send("POST", "/v1/processors",
+        """{"pipeline_id":"cp-rest","id":"p2","plugin":"nope"}""")
+        .statusCode() == 400)
+      assert(send("POST", "/v1/processors/validate", "{}")
+        .statusCode() == 404)
+    } finally cp.stop()
+  }
+
   test("GET /healthz serves overall and per-service, 404 on unknown") {
     val ckpt = java.nio.file.Files.createTempDirectory("cp-hz").toString
     val cp = new ControlPlane(spark, ckpt)
