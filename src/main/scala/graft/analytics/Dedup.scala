@@ -1259,6 +1259,34 @@ object Dedup {
     * mis-set cap cannot put a quadratic bucket into one task. The
     * pair count shuffle carries (pair, 1) with map-side combine.
     */
+  /** Localized winnowing matches: for every pair of documents sharing
+    * a df-capped fingerprint, the gram POSITIONS of the shared
+    * fingerprint on both sides — the "which spans matched" output a
+    * plagiarism/excerpt report renders (each row pins a common
+    * k-gram; runs of adjacent rows pin longer shared passages).
+    * Output: (doc_a, doc_b, pos_a, pos_b, h), doc_a < doc_b.
+    *
+    * Scale shape: [[winnowPairs]]' posting discipline with positions
+    * carried along — the df cap bounds every fingerprint's posting
+    * list, so the position join is |postings|²-bounded per
+    * fingerprint, never corpus-quadratic.
+    */
+  def winnowSpans(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 4, w: Int = 8, maxDf: Int = 64): DataFrame = {
+    require(maxDf >= 1, s"winnow: maxDf=$maxDf")
+    val fps = winnowFence(winnowFingerprints(df, idCol, textCol, k, w))
+    val dfreq = fps.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val keep = winnowFence(fps.join(dfreq.select(col("h")), "h"))
+    keep.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
+      .join(keep.select(col("h"), col("doc_id").as("doc_b"),
+        col("pos").as("pos_b")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b"),
+        col("h"))
+  }
+
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 4, w: Int = 8, minShared: Int = 2,
                   maxDf: Int = 64): DataFrame = {

@@ -1038,6 +1038,12 @@ object Analytics {
     "dedup_winnow" -> ((s, dir) =>
       Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text")),
 
+    // localized winnowing matches: shared-fingerprint POSITIONS on
+    // both sides — this row also pins the rightmost-min tie rule
+    // (positions differ if either engine picks a different tie)
+    "dedup_winnow_spans" -> ((s, dir) =>
+      Dedup.winnowSpans(t(s, dir, "documents"), "doc_id", "text")),
+
     // content-defined chunking: copies get a PREFIX insertion — the
     // exact edit fixed-window segmentation cannot absorb — and the
     // hash-cut boundaries must resynchronize so later chunks still
@@ -3646,6 +3652,39 @@ object Analytics {
          FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id)
        SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
        FROM p GROUP BY 1, 2 HAVING count(*) >= 2""",
+    // winnowing span replay: the same CTEs with positions kept — the
+    // rightmost-min tie via the join-back max(i) (≡ the engine's
+    // one-pass min(struct(h, −i)) argmin)
+    "dedup_winnow_spans" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(
+             regexp_split_to_array(trim(lower(text)), '\\s+'),
+             x -> x <> '') AS toks FROM documents),
+       g0 AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+           array_to_string(toks[i:i+3], ' ') AS gram,
+           CAST(len(toks) - 3 AS BIGINT) AS m
+         FROM (SELECT doc_id, toks FROM t WHERE len(toks) >= 4),
+           LATERAL unnest(range(1, len(toks) - 2)) AS r(i)),
+       hh AS (SELECT doc_id, i, m,
+           CAST(CASE WHEN uh >= CAST(9223372036854775808 AS HUGEINT)
+             THEN uh - CAST(18446744073709551616 AS HUGEINT)
+             ELSE uh END AS BIGINT) AS h
+         FROM (SELECT doc_id, i, m, ${fnvFoldSql("gram")} AS uh FROM g0)),
+       wins AS (SELECT doc_id, i, h, CAST(s AS BIGINT) AS s
+         FROM hh, LATERAL unnest(range(greatest(1, i - 7),
+           least(i, greatest(1, m - 7)) + 1)) AS r(s)),
+       mins AS (SELECT doc_id, s, min(h) AS mh FROM wins GROUP BY 1, 2),
+       sel AS (SELECT w.doc_id, w.s, m.mh, max(w.i) AS pos
+         FROM wins w JOIN mins m
+           ON w.doc_id = m.doc_id AND w.s = m.s AND w.h = m.mh
+         GROUP BY 1, 2, 3),
+       fps AS (SELECT DISTINCT doc_id, pos, mh AS h FROM sel),
+       dfreq AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM fps)
+         GROUP BY h HAVING count(*) <= 64),
+       keep AS (SELECT fps.doc_id, fps.pos, fps.h
+         FROM fps JOIN dfreq USING (h))
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pos_a, b.pos AS pos_b, a.h AS h
+       FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id""",
     // engine ≡ direct segment-text grouping here)
     "dedup_segments" ->
       """WITH tok AS (

@@ -67,6 +67,20 @@ class WinnowSpec extends AnyFunSuite {
       minShared = 1, maxDf = 3).count() == 3L) // all three pairs back
   }
 
+  test("winnowSpans localizes the shared run on both sides") {
+    val run = (1 to 11).map(i => s"s$i").mkString(" ")
+    // doc 1 carries the run at token offset 3; doc 2 at offset 5
+    val docs = Seq(
+      (1L, s"p1 p2 p3 $run p4"),
+      (2L, s"q1 q2 q3 q4 q5 $run q6")).toDF("doc_id", "text")
+    val spans = Dedup.winnowSpans(docs, "doc_id", "text").collect()
+    assert(spans.nonEmpty)
+    // every matched position pair points at the SAME shared gram text,
+    // so the offsets differ by exactly the two prefixes' difference
+    assert(spans.forall(r => r.getLong(3) - r.getLong(2) == 2L),
+      spans.mkString(", "))
+  }
+
   test("dedup.winnow plugin: CDC pairs out, batch-only guard") {
     val run = (1 to 11).map(i => s"r$i").mkString(" ")
     val docs = Cdc.wrapTyped(Seq(
