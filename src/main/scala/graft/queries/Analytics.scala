@@ -756,9 +756,14 @@ object Analytics {
 
     // pairwise Jensen–Shannon divergence between the language slices'
     // unigram distributions (Lin 1991) — the mixture-design
-    // domain-shift profile; token-ordered IEEE fold per pair
+    // domain-shift profile; token-ordered IEEE fold per pair,
+    // compared at 9 decimals (the text_collocations precedent:
+    // Math.log and glibc ln disagree by 1 ulp on ~0.1% of arguments —
+    // hit at sf0.1 — and the quantization absorbs it)
     "text_divergence" -> ((s, dir) =>
-      Text.jsDivergence(t(s, dir, "documents"), "lang", "text")),
+      Text.jsDivergence(t(s, dir, "documents"), "lang", "text")
+        .select(col("stratum_a"), col("stratum_b"), col("n_common"),
+          round(col("jsd"), 9).as("jsd"))),
 
     // stupid-backoff trigram LM (Brants et al. 2007), trained on the
     // English slice: every model score is ONE division of exact counts
@@ -3838,8 +3843,8 @@ object Analytics {
        SELECT sa AS stratum_a, sb AS stratum_b,
          CAST(sum(CASE WHEN common THEN 1 ELSE 0 END) AS BIGINT)
            AS n_common,
-         list_reduce(list_prepend(CAST(0 AS DOUBLE),
-           list(t ORDER BY tok)), (a, x) -> a + x) AS jsd
+         round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(t ORDER BY tok)), (a, x) -> a + x), 9) AS jsd
        FROM term GROUP BY 1, 2""",
     // SBO model replication: the three n-gram count CTEs over the en
     // slice, each score one division of BIGINT counts with the literal
