@@ -150,6 +150,24 @@ class ExamplesSpec extends AnyFunSuite {
       pay.exists(!_.get("pred_pos").asBoolean))
   }
 
+  test("winnow-excerpts lands df-capped pair candidates") {
+    clean("/tmp/graft-winnow-pairs")
+    val cfgs = load("winnow-excerpts.yaml")
+    val counts = Runner.runBatch(spark, cfgs.head)
+    assert(counts("ok") > 0 && counts("dlq") == 0, counts.toString())
+    val pairs = spark.read.parquet("/tmp/graft-winnow-pairs")
+      .select(
+        get_json_object(col(Cdc.PayloadAfter), "$.doc_a"),
+        get_json_object(col(Cdc.PayloadAfter), "$.doc_b"),
+        get_json_object(col(Cdc.PayloadAfter), "$.n_shared").cast("long"))
+      .collect()
+    assert(pairs.nonEmpty)
+    // untyped CDC ids are strings, so the pair canonicalization is
+    // lexicographic — consistent either way, just not numeric
+    assert(pairs.forall(r =>
+      r.getString(0) < r.getString(1) && r.getLong(2) >= 2))
+  }
+
   test("ccnet-fluency trains on the en slice and scores every doc") {
     clean("/tmp/graft-sbo-model", "/tmp/graft-sbo-scored")
     val cfgs = load("ccnet-fluency.yaml")
