@@ -1246,16 +1246,31 @@ object Text {
     * reduces to k(k−1)/2 output rows with map-side partials.
     */
   def jsDivergence(df: DataFrame, stratumCol: String,
-                   textCol: String): DataFrame = {
-    val occ = df.select(col(stratumCol).cast("string").as("stratum"),
+                   textCol: String): DataFrame =
+    jsDivergenceFromCounts(stratumTokenCounts(df, stratumCol, textCol))
+
+  /** The (stratum, tok, c) occurrence-count aggregate [[jsDivergence]]
+    * reads — shared with the streaming stratum-count state sink, whose
+    * committed state IS such a frame (sum-merged across batches), so
+    * the batch and streaming divergence cannot drift.
+    */
+  def stratumTokenCounts(df: DataFrame, stratumCol: String,
+                         textCol: String): DataFrame =
+    df.select(col(stratumCol).cast("string").as("stratum"),
         explode(sboToks(textCol)).as("tok"))
+      .groupBy(col("stratum"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("c"))
+
+  /** [[jsDivergence]]'s pair/fold tail over a pre-aggregated
+    * (stratum, tok, c) frame.
+    */
+  def jsDivergenceFromCounts(cnt0: DataFrame): DataFrame = {
     // Fence the count table: `cnt` feeds rel AND tot, and tot is
     // itself referenced three times (rel's denominators, both sides
     // of the pair grid) — unfenced, every reference re-runs the
-    // corpus scan (the kmvSetOps multi-reference trap). The fence is
-    // (stratum, token)-distinct sized; the corpus is scanned once.
-    val cnt0 = occ.groupBy(col("stratum"), col("tok"))
-      .agg(count(lit(1)).cast("long").as("c"))
+    // upstream corpus scan (the kmvSetOps multi-reference trap). The
+    // fence is (stratum, token)-distinct sized; the corpus is
+    // scanned once.
     val cnt =
       if (cnt0.sparkSession.sparkContext.getCheckpointDir.isDefined)
         cnt0.checkpoint(true)

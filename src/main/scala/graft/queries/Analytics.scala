@@ -765,6 +765,35 @@ object Analytics {
         .select(col("stratum_a"), col("stratum_b"), col("n_common"),
           round(col("jsd"), 9).as("jsd"))),
 
+    // Streaming divergence twin (stratumCountSink): the stratum-keyed
+    // token counts sum-merged across two micro-batches, the JSD tail
+    // computed from the committed state — the live drift monitor.
+    // Sum-merge is order-insensitive, so the state equals the one-shot
+    // aggregate and the batch oracle applies verbatim.
+    "text_divergence_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)].collect()
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val state = java.nio.file.Files
+        .createTempDirectory("divergence_stream").toString
+      val in = MemoryStream[(Long, String, String)]
+      val q = in.toDF().toDF("doc_id", "lang", "text")
+        .writeStream
+        .foreachBatch(StreamingOps.stratumCountSink(state, "lang", "text"))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      Text.jsDivergenceFromCounts(s.read.parquet(s"$state/batch=1"))
+        .select(col("stratum_a"), col("stratum_b"), col("n_common"),
+          round(col("jsd"), 9).as("jsd"))
+    }),
+
     // stupid-backoff trigram LM (Brants et al. 2007), trained on the
     // English slice: every model score is ONE division of exact counts
     // with literal ×0.4 backoff products in a fixed association order
@@ -4039,6 +4068,7 @@ object Analytics {
     * stream == batch is exactly the law each gate row proves. */
   val oracles: Map[String, String] = oraclesBase ++ Map(
     "text_sbo_stream" -> oraclesBase("text_sbo_score"),
+    "text_divergence_stream" -> oraclesBase("text_divergence"),
     "dedup_url_stream" -> oraclesBase("dedup_url"),
     "text_quality_stream" -> oraclesBase("text_quality"),
     "sample_hash_stream" -> oraclesBase("sample_hash"),

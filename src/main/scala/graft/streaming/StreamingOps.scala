@@ -870,6 +870,35 @@ object StreamingOps {
     }
   }
 
+  /** Streaming stratum-keyed token counts — the
+    * [[graft.analytics.Text.stratumTokenCounts]] frame maintained
+    * across micro-batches by sum-merge (order-insensitive, so the
+    * state after any stream prefix equals the one-shot batch
+    * aggregate over that prefix). Feed the committed state to
+    * [[graft.analytics.Text.jsDivergenceFromCounts]] for a live
+    * slice-divergence monitor: is today's crawl drifting from the
+    * reference mixture? State size = distinct (stratum, token) —
+    * Heaps-law sublinear; `batch=` + `_SUCCESS` keeps replays
+    * idempotent.
+    */
+  def stratumCountSink(
+      stateDir: String,
+      stratumCol: String,
+      textCol: String): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val newC = graft.analytics.Text.stratumTokenCounts(
+        batch, stratumCol, textCol)
+      val merged = latestCommittedDir(stateDir, batchId) match {
+        case Some(prev) => spark.read.parquet(prev).unionByName(newC)
+          .groupBy(col("stratum"), col("tok"))
+          .agg(sum(col("c")).cast("long").as("c"))
+        case None => newC
+      }
+      merged.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    }
+  }
+
   /** Streaming exact-dedup state — the content-hash registry of
     * [[graft.analytics.Dedup.exact]] maintained across micro-batches:
     * per sha-256 digest, the smallest id seen so far and the running

@@ -50,6 +50,38 @@ class DivergenceSpec extends AnyFunSuite {
     assert(pairs == Set(("x", "y"), ("x", "z"), ("y", "z")))
   }
 
+  test("stratumCountSink: state after any prefix equals the one-shot counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq((1L, "x", "a a b"), (2L, "y", "a c"), (3L, "x", "b c"))
+    val state = java.nio.file.Files
+      .createTempDirectory("strat_sink").toString
+    val in = MemoryStream[(Long, String, String)]
+    val q = in.toDF().toDF("doc_id", "s", "text").writeStream
+      .foreachBatch(
+        graft.streaming.StreamingOps.stratumCountSink(state, "s", "text"))
+      .outputMode("update").start()
+    try {
+      in.addData(rows.take(2)); q.processAllAvailable()
+      in.addData(rows.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$state/batch=1")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val want = Text.stratumTokenCounts(
+        rows.toDF("doc_id", "s", "text"), "s", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == want)
+    // and the divergence tail over the state equals the batch operator
+    val a = Text.jsDivergenceFromCounts(
+      spark.read.parquet(s"$state/batch=1")).collect()(0)
+    val b = Text.jsDivergence(
+      rows.toDF("doc_id", "s", "text"), "s", "text").collect()(0)
+    assert(a.getAs[Double]("jsd") == b.getAs[Double]("jsd"))
+    assert(a.getAs[Long]("n_common") == b.getAs[Long]("n_common"))
+  }
+
   test("text.divergence plugin: CDC output rows, batch-only guard") {
     val docs = Cdc.wrapTyped(
       Seq((1L, "en", "a a b"), (2L, "de", "a c")).toDF("doc_id", "lang", "text"),
