@@ -1244,6 +1244,93 @@ object Dedup {
       .distinct()
   }
 
+  /** Localized winnowing matches: for every pair of documents sharing
+    * a df-capped fingerprint, the gram POSITIONS of the shared
+    * fingerprint on both sides — the "which spans matched" output a
+    * plagiarism/excerpt report renders (each row pins a common
+    * k-gram; runs of adjacent rows pin longer shared passages).
+    * Output: (doc_a, doc_b, pos_a, pos_b, h), doc_a < doc_b.
+    *
+    * Scale shape: [[winnowPairs]]' posting discipline with positions
+    * carried along — the df cap bounds every fingerprint's posting
+    * list, AND pair generation goes through [[boundedSelfPairs]] (the
+    * member is the (doc_id, pos) posting struct, so struct ordering
+    * makes pair_a.doc_id ≤ pair_b.doc_id and the chunking caps
+    * per-task work even under a hostile user-set `maxDf`); same-doc
+    * position pairs are filtered after. Never corpus-quadratic, never
+    * a single quadratic task.
+    */
+  def winnowSpans(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 4, w: Int = 8, maxDf: Int = 64): DataFrame = {
+    require(maxDf >= 1, s"winnow: maxDf=$maxDf")
+    val fps = winnowFence(winnowFingerprints(df, idCol, textCol, k, w))
+    val dfreq = fps.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val keep = winnowFence(fps.join(dfreq.select(col("h")), "h"))
+      // the member struct leads with (doc_id, pos) so struct ordering
+      // puts cross-doc pairs out as doc_a < doc_b; h rides along (it
+      // is the bucket key, constant within a bucket, so it never
+      // influences the ordering) purely so the output keeps it
+      // without a join-back
+      .select(col("h"),
+        struct(col("doc_id"), col("pos"), col("h")).as("posting"))
+    boundedSelfPairs(keep, Seq("h"), "posting", cap = 256)
+      .filter(col("pair_a.doc_id") =!= col("pair_b.doc_id"))
+      .select(col("pair_a.doc_id").as("doc_a"),
+        col("pair_b.doc_id").as("doc_b"),
+        col("pair_a.pos").as("pos_a"), col("pair_b.pos").as("pos_b"),
+        col("pair_a.h").as("h"))
+  }
+
+  /** The df-capped history side of incremental winnowing triage: the
+    * DISTINCT (h, hist_id) fingerprint postings of a reference corpus,
+    * with fingerprints selected in more than `maxDf` history documents
+    * excluded (boilerplate, [[winnowPairs]]' cap — computed on the
+    * HISTORY ALONE, so arriving batches can never shift it and
+    * per-batch verdicts stay batch-decomposable). Build once, persist
+    * or write to storage, and feed every batch/micro-batch through
+    * [[crossWinnowPairs]] — the winnowing analogue of
+    * [[graft.streaming.StreamingOps.historyBucketTable]].
+    */
+  def winnowHistoryPostings(history: DataFrame, idCol: String,
+                            textCol: String, k: Int = 4, w: Int = 8,
+                            maxDf: Int = 64): DataFrame = {
+    require(maxDf >= 1, s"winnow: maxDf=$maxDf")
+    val fps = winnowFence(
+      winnowFingerprints(history, idCol, textCol, k, w)
+        .select(col("doc_id").as("hist_id"), col("h")).distinct())
+    val dfreq = fps.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    fps.join(dfreq.select(col("h")), "h")
+  }
+
+  /** Incremental winnowing match of a batch against a FIXED history
+    * posting table ([[winnowHistoryPostings]] output): (doc_id,
+    * hist_id, n_shared) for every batch doc sharing ≥ `minShared`
+    * df-capped fingerprints with a history doc — the arriving-data
+    * twin of [[winnowPairs]], per-doc decomposable by construction
+    * (a doc's fingerprints derive from its own text only and the
+    * history is fixed, so verdicts over any batch split union to the
+    * one-shot run — the `dedup_winnow_stream` gate row's law).
+    *
+    * Scale shape: batch fingerprints are one bounded aggregate over
+    * the batch; the probe join meets ≤ maxDf history postings per
+    * fingerprint (the cap lives in the posting table), so per-task
+    * work is |batch fingerprints| × ≤ maxDf, never corpus-quadratic.
+    */
+  def crossWinnowPairs(batch: DataFrame, histPostings: DataFrame,
+                       idCol: String, textCol: String, k: Int = 4,
+                       w: Int = 8, minShared: Int = 2): DataFrame = {
+    require(minShared >= 1, s"winnow: minShared=$minShared")
+    val fps = winnowFingerprints(batch, idCol, textCol, k, w)
+      .select(col("doc_id"), col("h")).distinct()
+    fps.join(histPostings.select(col("h"), col("hist_id")), "h")
+      .groupBy(col("doc_id"), col("hist_id"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Cross-document winnowing match: unordered doc pairs sharing ≥
     * `minShared` selected fingerprints, with the shared count —
     * the copy/excerpt detector winnowing was built for, at posting
@@ -1259,34 +1346,6 @@ object Dedup {
     * mis-set cap cannot put a quadratic bucket into one task. The
     * pair count shuffle carries (pair, 1) with map-side combine.
     */
-  /** Localized winnowing matches: for every pair of documents sharing
-    * a df-capped fingerprint, the gram POSITIONS of the shared
-    * fingerprint on both sides — the "which spans matched" output a
-    * plagiarism/excerpt report renders (each row pins a common
-    * k-gram; runs of adjacent rows pin longer shared passages).
-    * Output: (doc_a, doc_b, pos_a, pos_b, h), doc_a < doc_b.
-    *
-    * Scale shape: [[winnowPairs]]' posting discipline with positions
-    * carried along — the df cap bounds every fingerprint's posting
-    * list, so the position join is |postings|²-bounded per
-    * fingerprint, never corpus-quadratic.
-    */
-  def winnowSpans(df: DataFrame, idCol: String, textCol: String,
-                  k: Int = 4, w: Int = 8, maxDf: Int = 64): DataFrame = {
-    require(maxDf >= 1, s"winnow: maxDf=$maxDf")
-    val fps = winnowFence(winnowFingerprints(df, idCol, textCol, k, w))
-    val dfreq = fps.select(col("doc_id"), col("h")).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-    val keep = winnowFence(fps.join(dfreq.select(col("h")), "h"))
-    keep.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
-      .join(keep.select(col("h"), col("doc_id").as("doc_b"),
-        col("pos").as("pos_b")), "h")
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b"),
-        col("h"))
-  }
-
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 4, w: Int = 8, minShared: Int = 2,
                   maxDf: Int = 64): DataFrame = {

@@ -1253,18 +1253,39 @@ object Text {
     * reads — shared with the streaming stratum-count state sink, whose
     * committed state IS such a frame (sum-merged across batches), so
     * the batch and streaming divergence cannot drift.
+    *
+    * Null strata are dropped here, explicitly: downstream they would
+    * become a null `map_from_entries` key (a runtime failure) on one
+    * path and be silently excluded from the `sa < sb` pair grid on the
+    * other — an operator that half-sees a slice is worse than one
+    * that documents it profiles only labelled slices.
     */
   def stratumTokenCounts(df: DataFrame, stratumCol: String,
                          textCol: String): DataFrame =
-    df.select(col(stratumCol).cast("string").as("stratum"),
+    df.filter(col(stratumCol).isNotNull)
+      .select(col(stratumCol).cast("string").as("stratum"),
         explode(sboToks(textCol)).as("tok"))
       .groupBy(col("stratum"), col("tok"))
       .agg(count(lit(1)).cast("long").as("c"))
 
   /** [[jsDivergence]]'s pair/fold tail over a pre-aggregated
     * (stratum, tok, c) frame.
+    *
+    * Fold contract (the kmvSetOps-style published bound): the final
+    * per-pair reduction materializes the PAIR'S UNION VOCABULARY as
+    * one sorted array in one task — that is what buys the
+    * deterministic token-ordered IEEE fold the DuckDB oracle replays
+    * bit-for-bit. It is driver-free and bounded by the corpus's
+    * distinct-token count (measured 0.8× wall at the 100× probe), but
+    * it is NOT constant-size state like the sketch merges: a pair
+    * task holds O(|vocab|) structs. `maxFoldVocab` trips loudly
+    * before planning the fold when the (already fenced) count frame's
+    * vocabulary exceeds the bound — raise it deliberately, or prune
+    * rare tokens first (a minCount filter on the counts frame), which
+    * is what a 100 TB profile does anyway.
     */
-  def jsDivergenceFromCounts(cnt0: DataFrame): DataFrame = {
+  def jsDivergenceFromCounts(cnt0: DataFrame,
+                             maxFoldVocab: Long = 2000000L): DataFrame = {
     // Fence the count table: `cnt` feeds rel AND tot, and tot is
     // itself referenced three times (rel's denominators, both sides
     // of the pair grid) — unfenced, every reference re-runs the
@@ -1275,6 +1296,17 @@ object Text {
       if (cnt0.sparkSession.sparkContext.getCheckpointDir.isDefined)
         cnt0.checkpoint(true)
       else cnt0.localCheckpoint(true)
+    // the fold-contract guard: one map-side-combined distinct count
+    // over the just-materialized fence (cheap relative to the fold it
+    // protects), so a vocabulary too large for single-task per-pair
+    // arrays fails HERE with instructions, not as an executor OOM
+    val vocabSize = cnt.select(col("tok")).distinct().count()
+    require(vocabSize <= maxFoldVocab,
+      s"jsDivergence: vocabulary has $vocabSize distinct tokens > " +
+        s"maxFoldVocab=$maxFoldVocab; the per-pair deterministic fold " +
+        "materializes the pair's union vocabulary in one task — prune " +
+        "rare tokens (minCount filter on the counts frame) or raise " +
+        "maxFoldVocab deliberately")
     val tot = cnt.groupBy(col("stratum"))
       .agg(sum(col("c")).cast("long").as("n"))
     val rel = cnt.join(tot, "stratum")
@@ -1427,6 +1459,15 @@ object Text {
     val m1 = m.filter(col("ord") === 1)
       .select(col("w").as("w1"), col("score").as("s1"))
     val m0 = m.filter(col("ord") === 0).select(col("score").as("s0"))
+    // a trained model always carries exactly one ord=0 OOV-floor row;
+    // without this check an empty or mis-pointed modelTable would
+    // crossJoin the whole output to ZERO rows silently — the worst
+    // failure mode for a quality filter (everything "passes" by
+    // absence). The fence above already materialized m, so this is a
+    // scan of the checkpoint, not a re-derivation.
+    require(!m0.isEmpty,
+      "sboScore: model has no ord=0 floor row — empty or mis-pointed " +
+        "modelTable (train with sboTrain / text.sbo_train first)")
     val tri = df.select(col(idCol).as("doc_id"), sboToks(textCol).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("toks"),

@@ -32,6 +32,11 @@ import graft.functions.JsonOps
   *   DELETE /v1/pipelines/{id}          stop + unregister
   *   GET    /v1/processors/plugins      processor-plugin specs (?name=regex)
   *   GET    /v1/connectors/plugins      connector-plugin specs (?name=regex)
+  *   GET    /v1/connectors/{id}/inspect       first drained tap payload
+  *   GET    /v1/processors/{id}/inspect-in    (same tap — see the
+  *   GET    /v1/processors/{id}/inspect-out    GrpcControlPlane tap note)
+  *   GET    /openapi.json               OpenAPI 3 document of this surface
+  *   GET    /openapi                    minimal self-contained explorer
   *   GET    /metrics                    Prometheus text exposition
   *   GET    /info                       version/os/arch
   */
@@ -345,8 +350,9 @@ class ControlPlane(spark: SparkSession, checkpointRoot: String) {
     val facade = new GrpcControlPlane(this)
     def jtext(s: String): String =
       JsonOps.render(JsonOps.mapper.getNodeFactory.textNode(s))
-    def restResource(base: String, service: String,
-                     noun: String): Unit =
+    def restResource(base: String, service: String, noun: String,
+                     hasValidate: Boolean,
+                     inspectRoutes: Map[String, String]): Unit =
       server.createContext(base, (ex: HttpExchange) => {
         try {
           val path = java.net.URLDecoder.decode(
@@ -371,9 +377,30 @@ class ControlPlane(spark: SparkSession, checkpointRoot: String) {
             case ("GET", id :: Nil) =>
               respond(ex, 200, facade.invokeUnary(service, s"Get$noun",
                 s"""{"id":${jtext(id)}}"""))
-            case ("POST", "validate" :: Nil) =>
+            // proto inspect bindings (api.proto:795,1016,1027) bridged
+            // onto the SAME gRPC stream handlers, first drained
+            // payload: ?limit= / ?duration_ms= pass through (REST
+            // defaults duration_ms low — a GET should return, not
+            // hold the connection open like the gRPC stream)
+            case ("GET", id :: sub :: Nil) if inspectRoutes.contains(sub) =>
+              val limit = Some(q("limit")).filter(_.matches("\\d+"))
+                .getOrElse("100")
+              val dur = Some(q("duration_ms")).filter(_.matches("\\d+"))
+                .getOrElse("200")
+              val msgs = facade.invokeStreamCollect(service,
+                inspectRoutes(sub),
+                s"""{"id":${jtext(id)},"limit":$limit,"duration_ms":$dur}""")
+              respond(ex, 200, msgs.mkString("[", ",", "]"))
+            case ("POST", "validate" :: Nil) if hasValidate =>
               respond(ex, 200,
                 facade.invokeUnary(service, s"Validate$noun", body()))
+            case ("POST", "validate" :: Nil) =>
+              // deliberate: the reference proto defines validation for
+              // connectors only (api.proto has no ValidateProcessor) —
+              // say so instead of a generic unknown-method fall-through
+              respond(ex, 404, s"""{"error":"validation is defined for """ +
+                s"""connectors only; ${noun.toLowerCase}s have no """ +
+                """validate RPC"}""")
             case ("POST", Nil) =>
               respond(ex, 200,
                 facade.invokeUnary(service, s"Create$noun", body()))
@@ -394,10 +421,26 @@ class ControlPlane(spark: SparkSession, checkpointRoot: String) {
               String.valueOf(e.getMessage))}}""")
         }
       })
-    restResource("/v1/connectors",
-      GrpcControlPlane.ConnectorServiceName, "Connector")
-    restResource("/v1/processors",
-      GrpcControlPlane.ProcessorServiceName, "Processor")
+    ControlPlane.Resources.foreach(r =>
+      restResource(r.base, r.service, r.noun, r.hasValidate, r.inspectRoutes))
+
+    // OpenAPI document + explorer (reference parity: the runtime
+    // mounts its swagger JSON + UI at /openapi —
+    // pkg/http/openapi/openapi.go:31, pkg/conduit/runtime.go:974-983,
+    // advertised in the startup log at runtime.go:661). The document
+    // is generated from the SAME route table the resource handlers
+    // above are registered from (OpenApi.routes reads
+    // ControlPlane.Resources), so it cannot drift from the server.
+    server.createContext("/openapi.json", (ex: HttpExchange) =>
+      respond(ex, 200,
+        OpenApi.documentJson(graft.ops.PluginCatalog.Version)))
+    server.createContext("/openapi", (ex: HttpExchange) => {
+      val bytes = OpenApi.explorerHtml.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.add("Content-Type", "text/html; charset=utf-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      val os = ex.getResponseBody
+      os.write(bytes); os.close()
+    })
 
     // Health endpoint (reference parity: the gateway maps the gRPC
     // health service to GET /healthz[?service=X] —
@@ -473,4 +516,27 @@ class ControlPlane(spark: SparkSession, checkpointRoot: String) {
       .foreach(stopPipeline)
     if (server != null) server.stop(0)
   }
+}
+
+object ControlPlane {
+  /** One gRPC-bridged REST resource: the base path, the gRPC service
+    * its handlers live on, the noun its method names are built from,
+    * whether the proto defines a Validate RPC for it (connectors
+    * only), and its inspect sub-routes (sub-path → stream method).
+    * `start()` registers handlers from this table and
+    * [[OpenApi.routes]] renders the document from it — one
+    * definition, two views.
+    */
+  final case class ResourceDef(base: String, service: String, noun: String,
+                               hasValidate: Boolean,
+                               inspectRoutes: Map[String, String])
+
+  val Resources: Seq[ResourceDef] = Seq(
+    ResourceDef("/v1/connectors", GrpcControlPlane.ConnectorServiceName,
+      "Connector", hasValidate = true,
+      inspectRoutes = Map("inspect" -> "InspectConnector")),
+    ResourceDef("/v1/processors", GrpcControlPlane.ProcessorServiceName,
+      "Processor", hasValidate = false,
+      inspectRoutes = Map("inspect-in" -> "InspectProcessorIn",
+        "inspect-out" -> "InspectProcessorOut")))
 }

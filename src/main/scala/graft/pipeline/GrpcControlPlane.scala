@@ -657,6 +657,36 @@ class GrpcControlPlane(cp: ControlPlane) {
       s"unknown method: $service/$method"))(requestJson)
   }
 
+  /** Direct server-streaming dispatch, collected — the REST gateway
+    * bridge for the proto's inspect bindings (GET
+    * /v1/connectors/{id}/inspect, /v1/processors/{id}/inspect-in|out,
+    * api.proto:795,1016,1027): runs the SAME stream handler the gRPC
+    * service serves with a collecting observer and returns its
+    * messages. The caller bounds the call via the request's `limit` /
+    * `duration_ms` fields (the REST routes default `duration_ms` low
+    * so a GET returns the first drained payload rather than holding
+    * the connection open like the gRPC stream does).
+    */
+  def invokeStreamCollect(service: String, method: String,
+                          requestJson: String): Seq[String] = {
+    val streams = service match {
+      case GrpcControlPlane.ConnectorServiceName => connectorStreams
+      case GrpcControlPlane.ProcessorServiceName => processorStreams
+      case s => throw new NoSuchElementException(s"unknown service: $s")
+    }
+    val fn = streams.getOrElse(method, throw new NoSuchElementException(
+      s"unknown method: $service/$method"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var failure: Option[Throwable] = None
+    fn(requestJson, new StreamObserver[String] {
+      override def onNext(v: String): Unit = out += v
+      override def onError(t: Throwable): Unit = failure = Some(t)
+      override def onCompleted(): Unit = ()
+    })
+    failure.foreach(t => throw new IllegalStateException(t.getMessage, t))
+    out.toSeq
+  }
+
   private def services: Seq[ServerServiceDefinition] = Seq(
     serviceDefinition(ServiceName, pipelineHandlers, Map.empty),
     serviceDefinition(ConnectorServiceName, connectorHandlers,

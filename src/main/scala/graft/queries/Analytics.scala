@@ -754,6 +754,44 @@ object Analytics {
         Text.nbPrior(docs, "_lab"))
     }),
 
+    // Streaming NB-scoring twin (the link_jw_stream precedent):
+    // scoring against a FIXED parquet model is per-doc — each input
+    // row yields its verdict from its own tokens plus the static
+    // model/prior, so the appended union over a two-batch split
+    // equals the one-shot run. Train once (batch), persist the model
+    // to parquet, score forever. Oracle = text_nb_score's verbatim.
+    "text_nb_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = t(s, dir, "documents")
+        .withColumn("_lab", col("lang") === "en")
+      val modelDir = java.nio.file.Files
+        .createTempDirectory("nb_model").toString
+      Text.nbTrain(docs, "doc_id", "text", "_lab")
+        .write.mode("overwrite").parquet(s"$modelDir/model")
+      Text.nbPrior(docs, "_lab")
+        .write.mode("overwrite").parquet(s"$modelDir/prior")
+      val model = s.read.parquet(s"$modelDir/model")
+      val prior = s.read.parquet(s"$modelDir/prior")
+      val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val out = java.nio.file.Files
+        .createTempDirectory("nb_stream").toString
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamingOps.rowLocalSink(out)(
+          b => Text.nbScore(b, "doc_id", "text", model, prior)))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$out/b*")
+    }),
+
     // pairwise Jensen–Shannon divergence between the language slices'
     // unigram distributions (Lin 1991) — the mixture-design
     // domain-shift profile; token-ordered IEEE fold per pair,
@@ -1077,6 +1115,46 @@ object Analytics {
     // (positions differ if either engine picks a different tie)
     "dedup_winnow_spans" -> ((s, dir) =>
       Dedup.winnowSpans(t(s, dir, "documents"), "doc_id", "text")),
+
+    // incremental winnowing triage vs a FIXED fingerprint history
+    // (the dedup_stream_triage pattern): the stream is the standard
+    // mutation (every 20th doc with ≥5 tokens, last token dropped,
+    // id+1000000) split across two micro-batches and matched against
+    // the full corpus's df-capped postings. Per-doc decomposable —
+    // fingerprints derive from the doc's own text, the history (and
+    // its boilerplate cap) is fixed — so the appended union equals the
+    // one-shot crossWinnowPairs run the oracle replays. The driver
+    // .collect() is harness glue feeding MemoryStream.
+    "dedup_winnow_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val base = t(s, dir, "documents")
+      val toks = split(trim(col("text")), "\\s+")
+      val streamDocs = base
+        .filter(col("doc_id") % 20 === 0 && size(toks) >= 5)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"))
+        .as[(Long, String)].collect()
+      val (b1, b2) = streamDocs.partition(_._1 % 40 == 0)
+      val hist = Dedup.winnowHistoryPostings(base, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = java.nio.file.Files
+        .createTempDirectory("winnow_stream").toString
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamingOps.winnowTriageSink(out, hist,
+          "doc_id", "text"))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally {
+        q.stop(); hist.unpersist()
+      }
+      s.read.parquet(s"$out/b*")
+    }),
 
     // content-defined chunking: copies get a PREFIX insertion — the
     // exact edit fixed-window segmentation cannot absorb — and the
@@ -3719,6 +3797,57 @@ object Analytics {
        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.pos AS pos_a, b.pos AS pos_b, a.h AS h
        FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id""",
+    // incremental winnowing triage replay: the dedup_stream_triage
+    // mutation winnowed and matched against the full corpus's
+    // df-capped postings (cap computed on the HISTORY alone — the
+    // batch-decomposability contract)
+    "dedup_winnow_stream" ->
+      s"""WITH bat AS (SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(t[1:len(t)-1], ' ') AS text
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                 FROM documents WHERE doc_id % 20 = 0)
+           WHERE len(t) >= 5),
+       ht AS (SELECT doc_id, list_filter(
+             regexp_split_to_array(trim(lower(text)), '\\s+'),
+             x -> x <> '') AS toks FROM documents),
+       hg AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+           array_to_string(toks[i:i+3], ' ') AS gram,
+           CAST(len(toks) - 3 AS BIGINT) AS m
+         FROM (SELECT doc_id, toks FROM ht WHERE len(toks) >= 4),
+           LATERAL unnest(range(1, len(toks) - 2)) AS r(i)),
+       hh2 AS (SELECT doc_id, i, m,
+           CAST(CASE WHEN uh >= CAST(9223372036854775808 AS HUGEINT)
+             THEN uh - CAST(18446744073709551616 AS HUGEINT)
+             ELSE uh END AS BIGINT) AS h
+         FROM (SELECT doc_id, i, m, ${fnvFoldSql("gram")} AS uh FROM hg)),
+       hw AS (SELECT doc_id, i, h, CAST(s AS BIGINT) AS s
+         FROM hh2, LATERAL unnest(range(greatest(1, i - 7),
+           least(i, greatest(1, m - 7)) + 1)) AS r(s)),
+       hm AS (SELECT doc_id, s, min(h) AS mh FROM hw GROUP BY 1, 2),
+       hfps AS (SELECT DISTINCT doc_id AS hist_id, mh AS h FROM hm),
+       hdf AS (SELECT h FROM hfps GROUP BY h HAVING count(*) <= 64),
+       hkeep AS (SELECT hist_id, h FROM hfps JOIN hdf USING (h)),
+       bt AS (SELECT doc_id, list_filter(
+             regexp_split_to_array(trim(lower(text)), '\\s+'),
+             x -> x <> '') AS toks FROM bat),
+       bg AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+           array_to_string(toks[i:i+3], ' ') AS gram,
+           CAST(len(toks) - 3 AS BIGINT) AS m
+         FROM (SELECT doc_id, toks FROM bt WHERE len(toks) >= 4),
+           LATERAL unnest(range(1, len(toks) - 2)) AS r(i)),
+       bh2 AS (SELECT doc_id, i, m,
+           CAST(CASE WHEN uh >= CAST(9223372036854775808 AS HUGEINT)
+             THEN uh - CAST(18446744073709551616 AS HUGEINT)
+             ELSE uh END AS BIGINT) AS h
+         FROM (SELECT doc_id, i, m, ${fnvFoldSql("gram")} AS uh FROM bg)),
+       bw AS (SELECT doc_id, i, h, CAST(s AS BIGINT) AS s
+         FROM bh2, LATERAL unnest(range(greatest(1, i - 7),
+           least(i, greatest(1, m - 7)) + 1)) AS r(s)),
+       bm AS (SELECT doc_id, s, min(h) AS mh FROM bw GROUP BY 1, 2),
+       bfps AS (SELECT DISTINCT doc_id, mh AS h FROM bm)
+       SELECT b.doc_id, k.hist_id, CAST(count(*) AS BIGINT) AS n_shared
+       FROM bfps b JOIN hkeep k USING (h)
+       GROUP BY 1, 2 HAVING count(*) >= 2""",
     // engine ≡ direct segment-text grouping here)
     "dedup_segments" ->
       """WITH tok AS (
@@ -4084,6 +4213,7 @@ object Analytics {
     "sample_mixture_kl_stream" -> oraclesBase("sample_mixture_kl"),
     "text_zipf_stream" -> oraclesBase("text_zipf"),
     "text_gopher_stream" -> oraclesBase("text_gopher"),
+    "text_nb_stream" -> oraclesBase("text_nb_score"),
     "sample_epochs_stream" -> oraclesBase("sample_epochs"),
     "dedup_exact_stream" -> oraclesBase("dedup_exact"),
     "text_strip_html_stream" -> oraclesBase("text_strip_html"))

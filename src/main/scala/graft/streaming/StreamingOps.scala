@@ -602,6 +602,27 @@ object StreamingOps {
     (batch: DataFrame, batchId: Long) =>
       fn(batch).write.mode("overwrite").parquet(s"$outDir/b$batchId")
 
+  /** Streaming winnowing triage against a FIXED fingerprint history
+    * ([[graft.analytics.Dedup.winnowHistoryPostings]], built once and
+    * persisted/stored by the caller — refresh it on your own schedule
+    * while the stream runs, the [[historyBucketTable]] contract): each
+    * micro-batch winnows its own documents and counts shared df-capped
+    * fingerprints per (doc, history doc). Per-DOC decomposable — a
+    * doc's fingerprints derive from its text alone and the history
+    * (including its boilerplate cap) is fixed, so the appended union
+    * over any batch split equals the one-shot
+    * [[graft.analytics.Dedup.crossWinnowPairs]] run — the
+    * `dedup_winnow_stream` gate row proves it against the batch
+    * oracle. Per-batch `b<id>` dirs give replay idempotence.
+    */
+  def winnowTriageSink(outDir: String, histPostings: DataFrame,
+                       idCol: String, textCol: String, k: Int = 4,
+                       w: Int = 8, minShared: Int = 2): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      graft.analytics.Dedup.crossWinnowPairs(batch, histPostings,
+          idCol, textCol, k, w, minShared)
+        .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+
   /** Streaming URL-dedup maintenance: canonicalization
     * ([[graft.analytics.Urls.canonicalize]]) is row-local and appends
     * per batch; the keeper vote is a (canonical_url → min id) state

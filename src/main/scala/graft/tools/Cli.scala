@@ -1,0 +1,201 @@
+package graft.tools
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Paths}
+
+import com.fasterxml.jackson.databind.JsonNode
+
+import graft.functions.JsonOps
+
+/** Admin CLI against a running control plane — the engine's analogue
+  * of the reference's cobra command surface (`cmd/conduit/root/`:
+  * `pipelines ls|describe|start|stop`, provisioning plan/apply,
+  * `connectors/processors ls`, `doctor`-style health, `version`).
+  * Speaks the REST facade ([[graft.pipeline.ControlPlane]]); the
+  * server address comes from `--api <url>` or `GRAFT_API` (default
+  * `http://127.0.0.1:8080`). `graft run <yaml>` — the reference's
+  * `conduit run` — stays on [[RunPipeline]] and is delegated to it.
+  *
+  * Commands:
+  * {{{
+  *   pipelines ls                      id, state, restarts, rows
+  *   pipelines describe <id>           status JSON + provisioning YAML
+  *   pipelines start <id> [--supervise]
+  *   pipelines stop <id>
+  *   pipelines delete <id>
+  *   pipelines plan <file.yaml>        diff against registered state
+  *   pipelines apply <file.yaml>       register creates + updates
+  *   plugins ls [regex]                processor + connector plugins
+  *   healthz [service]
+  *   version
+  *   run <file.yaml> [--serve]         delegates to graft.tools.RunPipeline
+  * }}}
+  *
+  * Exit codes: 0 success, 1 remote/HTTP error, 2 usage error.
+  * `main` prints the output; [[run]] returns (exit code, output) so
+  * CliSpec drives every command against an in-process control plane.
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("run")) {
+      // conduit run — the one command that embeds the engine instead
+      // of calling a server; RunPipeline owns the SparkSession
+      RunPipeline.main(args.drop(1))
+      return
+    }
+    val (code, out) = run(args, apiFrom(args))
+    println(out)
+    if (code != 0) sys.exit(code)
+  }
+
+  private[graft] def apiFrom(args: Array[String]): String = {
+    val i = args.indexOf("--api")
+    if (i >= 0 && i + 1 < args.length) args(i + 1)
+    else sys.env.getOrElse("GRAFT_API", "http://127.0.0.1:8080")
+  }
+
+  /** Dispatch one command line against `baseUrl`; pure in/out so the
+    * spec asserts on it. `--api <url>` pairs are stripped first.
+    */
+  def run(args0: Array[String], baseUrl: String): (Int, String) = {
+    val args = stripFlag(args0.toList, "--api", hasValue = true)
+    args match {
+      case "pipelines" :: rest => pipelines(rest, baseUrl)
+      case "plugins" :: "ls" :: rest => pluginsLs(rest, baseUrl)
+      case "healthz" :: rest =>
+        val q = rest.headOption.map(s => s"?service=$s").getOrElse("")
+        get(baseUrl, s"/healthz$q").map { body =>
+          (0, JsonOps.parse(body).get("status").asText())
+        }.merge
+      case "version" :: Nil =>
+        // local build version always; server info when reachable
+        // (the reference's `conduit version` prints the client build)
+        val local = s"graft ${graft.ops.PluginCatalog.Version}"
+        get(baseUrl, "/info") match {
+          case Right(body) =>
+            val n = JsonOps.parse(body)
+            (0, s"$local\nserver ${n.get("version").asText()} (${
+              n.get("os").asText()}/${n.get("arch").asText()})")
+          case Left(_) => (0, local)
+        }
+      case _ => (2, usage)
+    }
+  }
+
+  private def pipelines(rest: List[String], baseUrl: String): (Int, String) =
+    rest match {
+      case "ls" :: Nil =>
+        get(baseUrl, "/v1/pipelines").map { body =>
+          val items = JsonOps.parse(body)
+          val rows = (0 until items.size()).map(items.get).map(n =>
+            Seq(n.get("id").asText(), n.get("status").asText(),
+              n.get("restarts").asLong().toString,
+              n.get("inputRows").asLong().toString))
+          (0, table(Seq("ID", "STATE", "RESTARTS", "ROWS"), rows))
+        }.merge
+      case "describe" :: id :: Nil =>
+        (for {
+          status <- get(baseUrl, s"/v1/pipelines/$id/status")
+          yaml <- get(baseUrl, s"/v1/pipelines/$id/export")
+        } yield (0, s"$status\n$yaml")).merge
+      case "start" :: id :: flags =>
+        val q = if (flags.contains("--supervise")) "?supervise=true" else ""
+        post(baseUrl, s"/v1/pipelines/$id/start$q", "").map((0, _)).merge
+      case "stop" :: id :: Nil =>
+        post(baseUrl, s"/v1/pipelines/$id/stop", "").map((0, _)).merge
+      case "delete" :: id :: Nil =>
+        send(baseUrl, "DELETE", s"/v1/pipelines/$id", "").map((0, _)).merge
+      case verb :: file :: Nil if verb == "plan" || verb == "apply" =>
+        val p = Paths.get(file)
+        if (!Files.exists(p)) (2, s"no such file: $file")
+        else post(baseUrl, s"/v1/pipelines/$verb",
+          Files.readString(p)).map((0, _)).merge
+      case _ => (2, usage)
+    }
+
+  private def pluginsLs(rest: List[String], baseUrl: String): (Int, String) = {
+    val q = rest.headOption.map(r => s"?name=$r").getOrElse("")
+    (for {
+      procs <- get(baseUrl, s"/v1/processors/plugins$q")
+      conns <- get(baseUrl, s"/v1/connectors/plugins$q")
+    } yield {
+      // both endpoints serve the specs as a bare JSON array
+      def names(body: String): Seq[String] = {
+        val arr = JsonOps.parse(body)
+        if (arr == null || !arr.isArray) Nil
+        else (0 until arr.size()).map(i => nameOf(arr.get(i)))
+      }
+      val rows = names(procs).map(n => Seq(n, "processor")) ++
+        names(conns).map(n => Seq(n, "connector"))
+      (0, table(Seq("NAME", "KIND"), rows))
+    }).merge
+  }
+
+  private def nameOf(spec: JsonNode): String =
+    Option(spec.get("name")).map(_.asText()).getOrElse(spec.asText())
+
+  // ---- HTTP + rendering ------------------------------------------------
+
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def get(base: String, path: String): Either[(Int, String), String] =
+    send(base, "GET", path, "")
+
+  private def post(base: String, path: String,
+                   body: String): Either[(Int, String), String] =
+    send(base, "POST", path, body)
+
+  private def send(base: String, method: String, path: String,
+                   body: String): Either[(Int, String), String] =
+    try {
+      val r = client.send(HttpRequest.newBuilder(URI.create(s"$base$path"))
+        .method(method, HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      if (r.statusCode() / 100 == 2) Right(r.body())
+      else Left((1, s"HTTP ${r.statusCode()}: ${r.body()}"))
+    } catch {
+      case e: Exception =>
+        Left((1, s"cannot reach control plane at $base: ${e.getMessage}"))
+    }
+
+  private def table(header: Seq[String], rows: Seq[Seq[String]]): String = {
+    val all = header +: rows
+    val widths = header.indices.map(i => all.map(_(i).length).max)
+    def fmt(r: Seq[String]): String =
+      r.zip(widths).map { case (c, w) => c.padTo(w, ' ') }
+        .mkString("  ").stripTrailing()
+    all.map(fmt).mkString("\n")
+  }
+
+  private def stripFlag(args: List[String], flag: String,
+                        hasValue: Boolean): List[String] = args match {
+    case `flag` :: _ :: rest if hasValue => stripFlag(rest, flag, hasValue)
+    case `flag` :: rest => stripFlag(rest, flag, hasValue)
+    case a :: rest => a :: stripFlag(rest, flag, hasValue)
+    case Nil => Nil
+  }
+
+  private implicit class MergeEither(
+      val e: Either[(Int, String), (Int, String)]) extends AnyVal {
+    def merge: (Int, String) = e.fold(identity, identity)
+  }
+
+  private val usage: String =
+    """usage: graft [--api URL] <command>
+      |
+      |  pipelines ls                     list pipelines
+      |  pipelines describe <id>          status + provisioning YAML
+      |  pipelines start <id> [--supervise]
+      |  pipelines stop <id>
+      |  pipelines delete <id>
+      |  pipelines plan <file.yaml>       diff vs registered state
+      |  pipelines apply <file.yaml>      register creates + updates
+      |  plugins ls [regex]               processor + connector plugins
+      |  healthz [service]
+      |  version
+      |  run <file.yaml> [--serve]        run a pipeline in-process
+      |
+      |GRAFT_API overrides the default http://127.0.0.1:8080.""".stripMargin
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.ControlPlane
+import graft.tools.Cli
+
+/** Drives every admin-CLI command against an in-process control plane
+  * (reference parity: `cmd/conduit/root/` — pipelines ls/describe/
+  * start/stop, plan/apply, plugin listing, health, version).
+  */
+class CliSpec extends AnyFunSuite {
+  lazy val spark = Spark.session
+
+  private val yaml =
+    """version: 2.2
+      |pipelines:
+      |  - id: cli-demo
+      |    connectors:
+      |      - id: gen
+      |        type: source
+      |        plugin: builtin:generator
+      |        settings:
+      |          format.options.id: int
+      |          recordCount: "50"
+      |      - id: out
+      |        type: destination
+      |        plugin: memory
+      |""".stripMargin
+
+  test("the full command surface against an in-process control plane") {
+    graft.pipeline.Runner.memorySinks.clear()
+    val ckpt = java.nio.file.Files.createTempDirectory("cli-ckpt").toString
+    val cp = new ControlPlane(spark, ckpt)
+    val port = cp.start(0)
+    val base = s"http://127.0.0.1:$port"
+    val file = java.nio.file.Files.createTempFile("cli", ".yaml")
+    java.nio.file.Files.writeString(file, yaml)
+    try {
+      // apply a provisioning file, then plan shows it unchanged
+      val (ac, aout) = Cli.run(Array("pipelines", "apply", file.toString), base)
+      assert(ac == 0, aout)
+      assert(aout.contains("cli-demo"), aout)
+      val (pc, pout) = Cli.run(Array("pipelines", "plan", file.toString), base)
+      assert(pc == 0 && pout.contains("\"unchanged\":[\"cli-demo\"]"), pout)
+
+      // ls renders a table with the pipeline and its state
+      val (lc, lout) = Cli.run(Array("pipelines", "ls"), base)
+      assert(lc == 0, lout)
+      assert(lout.linesIterator.next().startsWith("ID"), lout)
+      assert(lout.contains("cli-demo") && lout.contains("stopped"), lout)
+
+      // describe = status JSON + provisioning YAML
+      val (dc, dout) = Cli.run(Array("pipelines", "describe", "cli-demo"), base)
+      assert(dc == 0, dout)
+      assert(dout.contains("\"status\"") && dout.contains("builtin:generator"),
+        dout)
+
+      // start → running/terminated; stop → stopped
+      val (sc, sout) = Cli.run(Array("pipelines", "start", "cli-demo"), base)
+      assert(sc == 0, sout)
+      assert(sout.contains("running") || sout.contains("terminated"), sout)
+      val (tc, tout) = Cli.run(Array("pipelines", "stop", "cli-demo"), base)
+      assert(tc == 0 && tout.contains("stopped"), tout)
+
+      // plugins ls: both kinds, regex filters
+      val (gc, gout) = Cli.run(Array("plugins", "ls"), base)
+      assert(gc == 0, gout)
+      assert(gout.contains("processor") && gout.contains("connector"), gout)
+      assert(gout.contains("base64.encode") &&
+        gout.contains("builtin:generator"), gout)
+      val (fc, fout) = Cli.run(Array("plugins", "ls", "winnow"), base)
+      assert(fc == 0 && fout.contains("dedup.winnow") &&
+        !fout.contains("base64.encode"), fout)
+
+      // healthz, overall and per-service
+      assert(Cli.run(Array("healthz"), base) == ((0, "SERVING")))
+      assert(Cli.run(Array("healthz", "PipelineService"), base) ==
+        ((0, "SERVING")))
+
+      // version: local build + reachable server
+      val (vc, vout) = Cli.run(Array("version"), base)
+      assert(vc == 0, vout)
+      assert(vout.startsWith("graft ") && vout.contains("server "), vout)
+
+      // --api flag wins over the environment default, and run() strips
+      // the pair before dispatch
+      assert(Cli.apiFrom(Array("--api", base, "healthz")) == base)
+      val (xc, xout) = Cli.run(Array("--api", base, "healthz"), base)
+      assert(xc == 0 && xout == "SERVING")
+
+      // delete removes the pipeline
+      val (delc, delout) = Cli.run(Array("pipelines", "delete", "cli-demo"), base)
+      assert(delc == 0 && delout.contains("true"), delout)
+      assert(!Cli.run(Array("pipelines", "ls"), base)._2.contains("cli-demo"))
+
+      // usage and error codes: unknown command → 2, missing file → 2,
+      // unreachable server → 1 with the address in the message
+      assert(Cli.run(Array("nonsense"), base)._1 == 2)
+      assert(Cli.run(Array("pipelines", "apply", "/no/such.yaml"), base)._1 == 2)
+      val (ec, eout) = Cli.run(Array("healthz"), "http://127.0.0.1:1")
+      assert(ec == 1 && eout.contains("127.0.0.1:1"), eout)
+    } finally {
+      cp.stop()
+      java.nio.file.Files.deleteIfExists(file)
+    }
+  }
+}

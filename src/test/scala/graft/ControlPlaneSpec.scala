@@ -149,6 +149,91 @@ class ControlPlaneSpec extends AnyFunSuite {
     } finally cp.stop()
   }
 
+  test("GET /openapi.json is OpenAPI 3 and describes every served route") {
+    val ckpt = java.nio.file.Files.createTempDirectory("cp-oas").toString
+    val cp = new ControlPlane(spark, ckpt)
+    val port = cp.start(0)
+    val client = HttpClient.newHttpClient()
+    def get(p: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      val r = get("/openapi.json")
+      assert(r.statusCode() == 200)
+      val doc = JsonOps.parse(r.body()) // must PARSE — built, not spliced
+      assert(doc.get("openapi").asText().startsWith("3."))
+      assert(doc.get("info").get("title").asText().nonEmpty)
+      val paths = doc.get("paths")
+      // every route the server registers appears with its method
+      graft.pipeline.OpenApi.routes.foreach { rt =>
+        val p = paths.get(rt.path)
+        assert(p != null, s"path missing from document: ${rt.path}")
+        assert(p.get(rt.method) != null, s"${rt.method} ${rt.path}")
+        assert(p.get(rt.method).get("operationId").asText() == rt.operationId)
+      }
+      // the table covers the whole control surface, resource routes
+      // derived from ControlPlane.Resources included
+      for (must <- Seq("/v1/pipelines", "/v1/pipelines/{id}/start",
+          "/v1/connectors/{id}/inspect", "/v1/processors/{id}/inspect-in",
+          "/v1/processors/{id}/inspect-out", "/v1/connectors/validate",
+          "/healthz", "/metrics", "/openapi.json"))
+        assert(paths.get(must) != null, must)
+      // validate is connectors-only in the document too
+      assert(paths.get("/v1/processors/validate") == null)
+      // the explorer is self-contained HTML that reads the document
+      val html = get("/openapi")
+      assert(html.statusCode() == 200)
+      assert(html.headers().firstValue("Content-Type").orElse("")
+        .startsWith("text/html"))
+      assert(html.body().contains("/openapi.json"))
+      assert(!html.body().contains("http://") &&
+        !html.body().contains("https://"), "no external assets")
+    } finally cp.stop()
+  }
+
+  test("inspect sub-paths bridge to the gRPC stream handlers") {
+    val ckpt = java.nio.file.Files.createTempDirectory("cp-insp").toString
+    val cp = new ControlPlane(spark, ckpt)
+    val port = cp.start(0)
+    val client = HttpClient.newHttpClient()
+    def send(method: String, p: String, body: String = ""): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port$p"))
+        .method(method, HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      send("POST", "/v1/pipelines", yaml.replace("cp-demo", "cp-insp"))
+      send("POST", "/v1/processors",
+        """{"pipeline_id":"cp-insp","id":"p1","plugin":"base64.encode",""" +
+          """"settings":{"field":".Payload.After"}}""")
+      // a known component answers 200 with a JSON array (the tap is
+      // idle — empty is fine; the route is what's under test)
+      val conn = send("GET",
+        "/v1/connectors/cp-insp:gen/inspect?duration_ms=1")
+      assert(conn.statusCode() == 200, conn.body())
+      assert(conn.body().startsWith("["), conn.body().take(80))
+      for (sub <- Seq("inspect-in", "inspect-out")) {
+        val r = send("GET",
+          s"/v1/processors/cp-insp:p1/$sub?duration_ms=1&limit=5")
+        assert(r.statusCode() == 200, s"$sub: ${r.body()}")
+        assert(r.body().startsWith("["), r.body().take(80))
+      }
+      // unknown pipeline / component → 400 (the gRPC facade's
+      // INVALID_ARGUMENT vocabulary, GrpcControlPlaneSpec pins it)
+      assert(send("GET",
+        "/v1/connectors/nope:gen/inspect?duration_ms=1").statusCode() == 400)
+      assert(send("GET",
+        "/v1/connectors/cp-insp:nope/inspect?duration_ms=1")
+        .statusCode() == 400)
+      // processor validate stays 404 but is now DELIBERATE — the
+      // error names the reason instead of a generic unknown method
+      val v = send("POST", "/v1/processors/validate", "{}")
+      assert(v.statusCode() == 404)
+      assert(v.body().contains("connectors only"), v.body())
+    } finally cp.stop()
+  }
+
   test("GET /healthz serves overall and per-service, 404 on unknown") {
     val ckpt = java.nio.file.Files.createTempDirectory("cp-hz").toString
     val cp = new ControlPlane(spark, ckpt)

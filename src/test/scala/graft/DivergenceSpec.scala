@@ -107,4 +107,33 @@ class DivergenceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("text.divergence is batch-only"))
   }
+
+  test("null strata are dropped from BOTH the map and the pair grid") {
+    // pre-fix behavior: a null stratum crashed map_from_entries on one
+    // path and silently vanished from the sa < sb grid on the other —
+    // now it is excluded at the counts, so the operator degrades
+    // predictably to the labelled slices
+    val df = Seq((Option("x"), "a b"), (Option.empty[String], "a c"),
+      (Option("y"), "a d")).toDF("s", "text")
+    val out = Text.jsDivergence(df, "s", "text").collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("stratum_a") == "x")
+    assert(out(0).getAs[String]("stratum_b") == "y")
+  }
+
+  test("the fold-contract guard trips loudly on an oversized vocabulary") {
+    // the per-pair deterministic fold holds O(|vocab|) structs in one
+    // task (the published contract) — a vocabulary past maxFoldVocab
+    // must fail with instructions, not plan an executor OOM
+    val df = Seq(("x", "a b c"), ("y", "a d")).toDF("s", "text")
+    val e = intercept[IllegalArgumentException] {
+      Text.jsDivergenceFromCounts(
+        Text.stratumTokenCounts(df, "s", "text"), maxFoldVocab = 2L)
+    }
+    assert(e.getMessage.contains("maxFoldVocab"), e.getMessage)
+    assert(e.getMessage.contains("minCount"), e.getMessage)
+    // at the default bound the same counts fold fine
+    assert(Text.jsDivergenceFromCounts(
+      Text.stratumTokenCounts(df, "s", "text")).count() == 1L)
+  }
 }

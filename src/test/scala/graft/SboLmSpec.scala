@@ -111,4 +111,17 @@ class SboLmSpec extends AnyFunSuite {
       assert(e.getMessage.contains(s"$plugin is batch-only"), plugin)
     }
   }
+
+  test("sboScore: an empty or mis-pointed model fails loudly, never zero rows") {
+    // pre-fix behavior: no ord=0 floor row → crossJoin(broadcast(m0))
+    // silently emptied the output, the worst failure mode for a
+    // quality filter (everything "passes" by absence)
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String, String, String, Double)]
+      .toDF("ord", "u", "v", "w", "score")
+    val e = intercept[IllegalArgumentException] {
+      Text.sboScore(docs, empty, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("ord=0"), e.getMessage)
+  }
 }

@@ -106,4 +106,68 @@ class WinnowSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("dedup.winnow is batch-only"))
   }
+
+  test("winnowSpans survives a hostile maxDf on a boilerplate-heavy corpus") {
+    // 300 docs share one 20-token boilerplate prefix and maxDf is set
+    // absurdly high, so every shared fingerprint's posting list holds
+    // all 300 docs — past boundedSelfPairs' cap of 256, forcing the
+    // chunked hot path. The discipline under test: a hostile user
+    // setting cannot put a quadratic bucket into ONE task, and the
+    // chunked pair set equals the direct join-back's.
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")
+    val docs = (1 to 300).map(i =>
+      (i.toLong, s"$boiler tailA$i tailB$i tailC$i tailD$i"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.winnowSpans(docs, "doc_id", "text", maxDf = 100000)
+    // every unordered doc pair shares the boilerplate fingerprints
+    assert(spans.select("doc_a", "doc_b").distinct().count() ==
+      300L * 299 / 2)
+    assert(spans.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    // spot-check one pair against the direct (uncapped-join) form on a
+    // small slice: same (pos_a, pos_b, h) rows
+    val slice = docs.filter(col("doc_id") <= 3)
+    val viaBounded = Dedup.winnowSpans(slice, "doc_id", "text",
+        maxDf = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val fps = Dedup.winnowFingerprints(slice, "doc_id", "text")
+    val direct = fps.select(col("h"), col("doc_id").as("doc_a"),
+        col("pos").as("pos_a"))
+      .join(fps.select(col("h"), col("doc_id").as("doc_b"),
+        col("pos").as("pos_b")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b"),
+        col("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(viaBounded == direct)
+  }
+
+  test("crossWinnowPairs: batch splits union to the one-shot run") {
+    // history: 12 distinct 24-token docs; batch: each with the last
+    // token dropped (id+100) — every batch doc must match its source,
+    // and per-doc decomposability must make any batch split union to
+    // the one-shot run (the dedup_winnow_stream gate row's law)
+    val hist = (1 to 12).map(i =>
+      (i.toLong, (1 to 24).map(j => s"t${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch = (1 to 12).map(i =>
+      (i.toLong + 100, (1 to 23).map(j => s"t${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val postings = Dedup.winnowHistoryPostings(hist, "doc_id", "text")
+    val oneShot = Dedup.crossWinnowPairs(batch, postings,
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // every batch doc matched its source
+    assert(oneShot.map(p => (p._1, p._2)).filter(p => p._1 - 100 == p._2)
+      .size == 12)
+    val half1 = Dedup.crossWinnowPairs(
+      batch.filter(col("doc_id") % 2 === 0), postings, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val half2 = Dedup.crossWinnowPairs(
+      batch.filter(col("doc_id") % 2 =!= 0), postings, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert((half1 ++ half2) == oneShot)
+    assert(half1.intersect(half2).isEmpty)
+  }
 }
