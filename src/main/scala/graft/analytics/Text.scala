@@ -177,6 +177,108 @@ object Text {
         passEllipsis && passAlpha && passStop))
   }
 
+  /** C4 cleanup rules (Raffel et al. 2020, "Exploring the Limits of
+    * Transfer Learning with a Unified Text-to-Text Transformer" §2.2,
+    * and the released `c4_utils` defaults — public paper + code): the
+    * OTHER canonical pretraining filter set next to [[gopherRules]],
+    * and line-first where Gopher is page-first. A line is RETAINED
+    * when it ends in terminal punctuation (. ! ? "), carries ≥
+    * `minLineWords` words (the released code's 5; the paper's prose
+    * says 3), and mentions neither javascript nor a cookie/policy
+    * notice; a page is KEPT when its retained text has ≥
+    * `minSentences` sentence marks, and the original page contains no
+    * "lorem ipsum", no curly brace, and no `badWords` entry (the
+    * paper applies a public blocklist; it is a parameter here,
+    * default empty). Output per document: signals, one boolean per
+    * page rule, the conjunction `keep`, and `clean_text` (the
+    * retained lines re-joined with newlines — what C4 actually
+    * trains on; empty when nothing survives).
+    *
+    * Row-local (one pass over the row's own lines — no corpus state,
+    * no shuffle; streams safely). Counts are integers and every
+    * string test is a fixed regex/containment, so the DuckDB oracle
+    * replays all of it bit-exactly.
+    */
+  def c4Rules(df: DataFrame, idCol: String, textCol: String,
+              minSentences: Long = 5, minLineWords: Long = 5,
+              badWords: Seq[String] = Nil): DataFrame = {
+    // line-split ONCE, clean text ONCE, in their own projections (the
+    // gopherRules staging discipline: HOF signals don't CSE, so an
+    // inline formulation re-splits the document per signal)
+    val staged = df.select(col(idCol), col(textCol).as("_ct"))
+      .withColumn("_clines", split(col("_ct"), "\n"))
+      .withColumn("_cclean", c4CleanText(col("_clines"), minLineWords))
+    val sigCols = c4Signals(col("_ct"), col("_clines"), col("_cclean"),
+      minLineWords, badWords)
+    val sig = staged.select(
+      col(idCol) +: sigCols.map { case (n, c) => c.as(n) }: _*)
+    val verdicts = c4Verdicts(n => col(n), minSentences)
+    sig.select(col(idCol) +: sigCols.map(nc => col(nc._1)) ++:
+      verdicts.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** The released `c4_utils` policy-substring list: lines mentioning
+    * any of these are boilerplate notices, not content. */
+  private[analytics] val c4PolicySubstrings = Seq(
+    "terms of use", "privacy policy", "cookie policy", "uses cookies",
+    "use of cookies", "use cookies")
+
+  /** The C4 line-retention predicate over one line `l` — shared by
+    * the signals, the cleaner, and the `text.c4` processor. */
+  private def c4LineKeep(l: Column, minLineWords: Long): Column = {
+    val words = size(filter(split(trim(l), "\\s+"), x => x =!= ""))
+    val lo = lower(l)
+    l.rlike("[.!?\"]\\s*$") &&
+      words >= lit(minLineWords) &&
+      !lo.contains("javascript") &&
+      !c4PolicySubstrings.map(p => lo.contains(p): Column)
+        .reduce(_ || _)
+  }
+
+  /** Retained lines re-joined with newlines (C4's output text). */
+  def c4CleanText(lines: Column, minLineWords: Long = 5): Column =
+    array_join(filter(lines, l => c4LineKeep(l, minLineWords)), "\n")
+
+  /** Raw C4 signals (name → expression) over PRE-MATERIALIZED line
+    * array + cleaned text — shared with the `text.c4` pipeline
+    * processor so both surfaces compute bit-identical signals.
+    * Callers must alias `lines`/`clean` in their own projection first
+    * (see [[c4Rules]] for why).
+    */
+  def c4Signals(t: Column, lines: Column, clean: Column,
+                minLineWords: Long,
+                badWords: Seq[String]): Seq[(String, Column)] = {
+    val lo = lower(t)
+    Seq(
+      "n_lines" -> size(lines).cast("long"),
+      "n_kept_lines" -> size(filter(lines,
+        l => c4LineKeep(l, minLineWords))).cast("long"),
+      "n_sentences" -> regexp_count(clean, lit("[.!?]")).cast("long"),
+      "has_lorem" -> lo.contains("lorem ipsum"),
+      "has_brace" -> t.contains("{"),
+      "has_badword" ->
+        (if (badWords.isEmpty) lit(false)
+         else badWords.map(w => lo.contains(w.toLowerCase): Column)
+           .reduce(_ || _)),
+      "clean_text" -> clean)
+  }
+
+  /** Per-rule verdicts + `keep` from the named signals (cheap
+    * references — verdicts never recompute a signal). */
+  def c4Verdicts(sig: String => Column,
+                 minSentences: Long): Seq[(String, Column)] = {
+    val passSentences = sig("n_sentences") >= lit(minSentences)
+    val passLorem = !sig("has_lorem")
+    val passBrace = !sig("has_brace")
+    val passBadword = !sig("has_badword")
+    Seq(
+      "pass_sentences" -> passSentences,
+      "pass_lorem" -> passLorem,
+      "pass_brace" -> passBrace,
+      "pass_badword" -> passBadword,
+      "keep" -> (passSentences && passLorem && passBrace && passBadword))
+  }
+
   /** Tiny built-in character-trigram profiles (public-knowledge top
     * trigrams per language) for heuristic language ID. The score of a
     * language is the fraction of the document's trigrams found in its

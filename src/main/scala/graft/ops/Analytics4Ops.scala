@@ -990,3 +990,92 @@ case class TextSboProc(idField: Ref, textField: Ref, modelTable: String)
     Cdc.wrap(out, "doc_id", "text.sbo")
   }
 }
+
+/** `report.datacard` — the corpus datasheet as a terminal processor
+  * ([[graft.tools.DataCard.buildFrom]] as a sink-side one-shot): the
+  * batch that reaches it aggregates into ONE create record carrying
+  * the full card (sizes, language mix, quality/PII aggregates,
+  * exact-dup rate, entropy, Gopher pass rates, Zipf fit, pairwise
+  * language JSD), and when `path` is set the markdown + JSON
+  * datasheet files are also written there — the artifact a release
+  * pipeline publishes next to the data. Every metric is a bounded
+  * aggregate (one-row, per-stratum, or pair-grid); no documents are
+  * ever collected, so the card runs at any SF.
+  */
+case class ReportDataCardProc(idField: Ref, textField: Ref, langField: Ref,
+                              path: Option[String]) extends Processor {
+  val plugin = "report.datacard"
+  override def transform(df: DataFrame): DataFrame = {
+    // corpus-level aggregation (and an eager card build when `path`
+    // asks for files) — batch-only, the text.bpe guard contract
+    require(!df.isStreaming,
+      "report.datacard is batch-only (corpus-level aggregation); run " +
+        "the pipeline with --batch or apply it foreachBatch")
+    val docs = df.select(
+      Analytics2Ops.fieldCol(df, idField).cast("string").as("doc_id"),
+      Analytics2Ops.fieldCol(df, textField).cast("string").as("text"),
+      Analytics2Ops.fieldCol(df, langField).cast("string").as("lang"))
+    val card = graft.tools.DataCard.buildFrom(docs)
+    path.foreach { p =>
+      val dir = java.nio.file.Paths.get(p)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("datacard.md"),
+        card.markdown)
+      java.nio.file.Files.writeString(dir.resolve("datacard.json"),
+        card.json)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = spark.read.json(Seq(card.json).toDS())
+      .withColumn("_kk", lit("datacard"))
+    Cdc.wrap(out, "_kk", "report.datacard")
+  }
+}
+
+/** `text.c4` — the C4 cleanup rules (Raffel et al. 2020 §2.2 +
+  * released `c4_utils` defaults) as the line-first sibling of
+  * `text.gopher`: per record, the page verdicts land in metadata
+  * (`c4.keep`, per-rule booleans, retained-line and sentence counts)
+  * and `drop=true` gates the stream on `keep`. Thresholds and the
+  * bad-word list are settings — the paper's blocklist is a public
+  * list the deployment chooses; the default is empty (rule passes).
+  * Row-local, no corpus state — streams safely.
+  */
+case class TextC4Proc(field: Ref, drop: Boolean,
+                      minSentences: Long = 5, minLineWords: Long = 5,
+                      badWords: Seq[String] = Nil) extends Processor {
+  val plugin = "text.c4"
+  override def transform(df: DataFrame): DataFrame = {
+    import graft.analytics.Text
+    // line-split and clean ONCE in their own projections, signals in
+    // one struct, verdicts as cheap references — the gopherRules
+    // staging discipline on the CDC frame
+    val staged = df
+      .withColumn("_ct", Analytics2Ops.fieldCol(df, field).cast("string"))
+      .withColumn("_clines", split(col("_ct"), "\n"))
+      .withColumn("_cclean", Text.c4CleanText(col("_clines"), minLineWords))
+    val sigCols = Text.c4Signals(col("_ct"), col("_clines"),
+      col("_cclean"), minLineWords, badWords)
+    val withSig = staged
+      .withColumn("_csig", struct(sigCols.map { case (n, c) => c.as(n) }: _*))
+      .drop("_ct", "_clines", "_cclean")
+    val verdicts = Text.c4Verdicts(
+      n => col("_csig").getField(n), minSentences)
+    val withC = withSig.withColumn("_c", struct(
+      (Seq("n_kept_lines" -> col("_csig").getField("n_kept_lines"),
+        "n_sentences" -> col("_csig").getField("n_sentences")) ++ verdicts)
+        .map { case (n, c) => c.as(n) }: _*))
+      .drop("_csig")
+    val keys = Seq("keep", "n_kept_lines", "n_sentences",
+      "pass_sentences", "pass_lorem", "pass_brace", "pass_badword")
+    val meta = keys.foldLeft(col(Cdc.Metadata)) { (m, k) =>
+      RefCols.metaSet(m, s"c4.$k", col("_c").getField(k).cast("string"))
+    }
+    val annotated = withC.withColumn(Cdc.Metadata,
+      when(col("_c").getField("keep").isNotNull, meta)
+        .otherwise(col(Cdc.Metadata)))
+    val out = if (drop)
+      annotated.filter(col("_c").getField("keep")) else annotated
+    out.drop("_c")
+  }
+}

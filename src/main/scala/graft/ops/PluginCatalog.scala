@@ -254,6 +254,14 @@ object PluginCatalog {
       "Exact-NTILE curriculum phase by difficulty score (batch-only).",
       Seq(req("id", Id), req("score", ".Payload.After.n_tokens"),
         opt("phases", "4"))),
+    Entry("text.c4",
+      "C4 cleanup rules: line-retention + page verdicts in metadata; drop gates on keep.",
+      Seq(opt("field", Text), opt("drop", "false"), opt("minSentences", "5"),
+        opt("minLineWords", "5"), opt("badWords", "badword1,badword2"))),
+    Entry("report.datacard",
+      "Corpus datasheet as ONE terminal record; optional md+json files (batch-only).",
+      Seq(req("id", Id), req("lang", ".Payload.After.lang"),
+        opt("field", Text), opt("path", "/data/release/card"))),
     Entry("sample.temperature", "Temperature-scaled stratum rebalancing.",
       Seq(req("stratum", ".Payload.After.lang"), req("id", Id),
         opt("temperature", "2.0"), opt("seed", "0"))),
@@ -584,6 +592,10 @@ object PluginCatalog {
       "OpenCDC record paths (`.Payload.After.<field>`, `.Key`, " +
       "`.Metadata.<key>`). Custom plugins install via " +
       "`Registry.register` / `Registry.registerTransform`.\n\n")
+    sb.append("Tuning the approximate operators (banding recall, IVF " +
+      "probe budgets, streaming-sink state, scale factors) is a " +
+      "MEASURED exercise: the recall meters and scale probes are " +
+      "catalogued in `TOOLS.md`.\n\n")
     sb.append("Template sites (`field.set` values, `error` messages, " +
       "webhook URLs/bodies, kafka topics) accept `{{ ... }}` bodies " +
       "with Go-template pipelines over a sprig-style vocabulary, " +
@@ -601,7 +613,7 @@ object PluginCatalog {
       "error", "clone", "split", "sql", "webhook", "enrich", "openai",
       "cohere", "ollama", "dedup", "text", "sample", "sketch", "graph",
       "sim", "linkage", "link", "joins", "privacy", "retrieval", "seq",
-      "cdc", "dq", "quality", "stats", "layout")
+      "cdc", "dq", "quality", "stats", "layout", "report")
     require(groups.keySet == order.toSet,
       s"catalogue section order out of date: ${groups.keySet.diff(order.toSet)} / ${order.toSet.diff(groups.keySet)}")
     for (g <- order; e <- groups(g).sortBy(_.plugin)) {

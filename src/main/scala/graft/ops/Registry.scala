@@ -424,7 +424,17 @@ object Registry {
         val i = spec.lastIndexOf(':')
         require(i > 0, s"sample.mixture_kl: target spec must be stratum:p, got $spec")
         (spec.substring(0, i).trim, spec.substring(i + 1).trim.toDouble)
-      }))
+      })),
+    "report.datacard" -> (s => ReportDataCardProc(
+      Ref.parse(s("id")), ref(s, ".Payload.After"),
+      Ref.parse(s("lang")), s.get("path"))),
+    "text.c4" -> (s => TextC4Proc(
+      ref(s, ".Payload.After"),
+      s.getOrElse("drop", "false").toBoolean,
+      s.getOrElse("minSentences", "5").toLong,
+      s.getOrElse("minLineWords", "5").toLong,
+      s.getOrElse("badWords", "").split(",").toSeq.map(_.trim)
+        .filter(_.nonEmpty)))
   )
 
   def create(plugin: String, settings: Map[String, String]): Processor = {

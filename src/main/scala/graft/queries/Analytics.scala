@@ -407,6 +407,40 @@ object Analytics {
       s.read.parquet(s"$out/b*")
     }),
 
+    // C4 cleanup rules (Raffel et al. 2020 §2.2 + released c4_utils
+    // defaults): line retention (terminal punct, >=5 words, no
+    // javascript/policy notice), page verdicts (sentences, lorem,
+    // brace, badwords), and the cleaned text. Row-local; the oracle
+    // replays every line predicate, the newline re-join, and the
+    // sentence count bit-exactly.
+    "text_c4" -> ((s, dir) =>
+      Text.c4Rules(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Streaming C4 twin (rowLocalSink): every signal reads only the
+    // row's own lines — batch-decomposable by construction. Oracle =
+    // text_c4's verbatim.
+    "text_c4_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val out = java.nio.file.Files
+        .createTempDirectory("c4_stream").toString
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamingOps.rowLocalSink(out)(
+          b => Text.c4Rules(b, "doc_id", "text")))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$out/b*")
+    }),
+
     // Streaming token-count twin (rowLocalSink): whitespace + BPE-ish
     // regex counts read only the row — batch-decomposable by
     // construction. Oracle = text_tokens' verbatim.
@@ -4158,6 +4192,46 @@ object Analytics {
            AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
            AND stop_hits >= 2) AS keep
        FROM sig""",
+    // C4 rules replay: the same line predicates (RE2 ≡ Java regex on
+    // single lines), the newline re-join, and the page verdicts
+    "text_c4" ->
+      """WITH s AS (SELECT doc_id, text,
+           string_split(text, chr(10)) AS lines
+         FROM documents),
+       k AS (SELECT doc_id, text, lines,
+           list_filter(lines, l ->
+             regexp_matches(l, '[.!?"]\s*$')
+             AND len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+               x -> x <> '')) >= 5
+             AND NOT contains(lower(l), 'javascript')
+             AND NOT (contains(lower(l), 'terms of use')
+               OR contains(lower(l), 'privacy policy')
+               OR contains(lower(l), 'cookie policy')
+               OR contains(lower(l), 'uses cookies')
+               OR contains(lower(l), 'use of cookies')
+               OR contains(lower(l), 'use cookies'))) AS kept
+         FROM s),
+       sig AS (SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+           contains(lower(text), 'lorem ipsum') AS has_lorem,
+           contains(text, '{') AS has_brace,
+           false AS has_badword
+         FROM k),
+       sig2 AS (SELECT *,
+           CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS BIGINT)
+             AS n_sentences
+         FROM sig)
+       SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem,
+         has_brace, has_badword, clean_text,
+         (n_sentences >= 5) AS pass_sentences,
+         NOT has_lorem AS pass_lorem,
+         NOT has_brace AS pass_brace,
+         NOT has_badword AS pass_badword,
+         (n_sentences >= 5 AND NOT has_lorem AND NOT has_brace
+           AND NOT has_badword) AS keep
+       FROM sig2""",
     // fractional-epoch up-sampling replay: floor/frac in the same
     // IEEE order, the splitmix64(doc_id + 7) bucket gate for the
     // fractional copy, then range() unnest for the copy index
@@ -4214,6 +4288,7 @@ object Analytics {
     "text_zipf_stream" -> oraclesBase("text_zipf"),
     "text_gopher_stream" -> oraclesBase("text_gopher"),
     "text_nb_stream" -> oraclesBase("text_nb_score"),
+    "text_c4_stream" -> oraclesBase("text_c4"),
     "sample_epochs_stream" -> oraclesBase("sample_epochs"),
     "dedup_exact_stream" -> oraclesBase("dedup_exact"),
     "text_strip_html_stream" -> oraclesBase("text_strip_html"))

@@ -39,8 +39,16 @@ object DataCard {
     }
   }
 
-  def build(spark: SparkSession, dir: String): Card = {
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+  def build(spark: SparkSession, dir: String): Card =
+    buildFrom(spark.read.parquet(s"$dir/documents.parquet"))
+
+  /** The card over an arbitrary documents frame with (doc_id, text,
+    * lang) columns — the `report.datacard` plugin's entry point, so a
+    * pipeline can emit the datasheet for whatever slice reaches its
+    * tail. Every metric stays a bounded one-row (or
+    * strata/pair-bounded) aggregate; nothing collects documents.
+    */
+  def buildFrom(docs: DataFrame): Card = {
 
     val sizeRow = docs.agg(
       count(lit(1)).as("n_docs"),

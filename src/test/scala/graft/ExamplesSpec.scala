@@ -150,6 +150,28 @@ class ExamplesSpec extends AnyFunSuite {
       pay.exists(!_.get("pred_pos").asBoolean))
   }
 
+  test("datacard-report emits one card record and the datasheet files") {
+    clean("/tmp/graft-datacard", "/tmp/graft-datacard-out")
+    val cfgs = load("datacard-report.yaml")
+    val counts = Runner.runBatch(spark, cfgs.head)
+    assert(counts("ok") == 1 && counts("dlq") == 0, counts.toString())
+    val pay = spark.read.parquet("/tmp/graft-datacard-out")
+      .select(col(Cdc.PayloadAfter)).collect()
+      .map(r => graft.functions.JsonOps.parse(r.getString(0)))
+    assert(pay.length == 1)
+    val card = pay.head
+    val nDocs = card.get("n_docs").asLong
+    assert(nDocs > 0 && card.get("n_tokens").asLong > nDocs)
+    assert(card.get("zipf_slope").asDouble < 0, card.toString) // Zipfian head
+    // the datasheet files carry the SAME card
+    val md = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/tmp/graft-datacard/datacard.md"))
+    assert(md.contains("# Corpus data card") && md.contains("n_docs"))
+    val js = graft.functions.JsonOps.parse(java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/tmp/graft-datacard/datacard.json")))
+    assert(js.get("n_docs").asLong == nDocs)
+  }
+
   test("winnow-excerpts lands df-capped pair candidates") {
     clean("/tmp/graft-winnow-pairs")
     val cfgs = load("winnow-excerpts.yaml")
