@@ -1035,15 +1035,18 @@ case class ReportDataCardProc(idField: Ref, textField: Ref, langField: Ref,
 /** `text.c4` — the C4 cleanup rules (Raffel et al. 2020 §2.2 +
   * released `c4_utils` defaults) as the line-first sibling of
   * `text.gopher`: per record, the page verdicts land in metadata
-  * (`c4.keep`, per-rule booleans, retained-line and sentence counts)
-  * and `drop=true` gates the stream on `keep`. Thresholds and the
-  * bad-word list are settings — the paper's blocklist is a public
-  * list the deployment chooses; the default is empty (rule passes).
-  * Row-local, no corpus state — streams safely.
+  * (`c4.keep`, per-rule booleans, retained-line and sentence counts),
+  * `drop=true` gates the stream on `keep`, and `clean=true` rewrites
+  * the text field in place with the retained lines (the
+  * `text.normalize` write-back idiom) — what C4 actually trains on.
+  * Thresholds and the bad-word list are settings — the paper's
+  * blocklist is a public list the deployment chooses; the default is
+  * empty (rule passes). Row-local, no corpus state — streams safely.
   */
 case class TextC4Proc(field: Ref, drop: Boolean,
                       minSentences: Long = 5, minLineWords: Long = 5,
-                      badWords: Seq[String] = Nil) extends Processor {
+                      badWords: Seq[String] = Nil,
+                      clean: Boolean = false) extends Processor {
   val plugin = "text.c4"
   override def transform(df: DataFrame): DataFrame = {
     import graft.analytics.Text
@@ -1056,7 +1059,20 @@ case class TextC4Proc(field: Ref, drop: Boolean,
       .withColumn("_cclean", Text.c4CleanText(col("_clines"), minLineWords))
     val sigCols = Text.c4Signals(col("_ct"), col("_clines"),
       col("_cclean"), minLineWords, badWords)
-    val withSig = staged
+    val cleaned =
+      if (!clean) staged
+      else {
+        val slot = RefCols.column(field)
+        staged.schema(slot).dataType match {
+          case st: org.apache.spark.sql.types.StructType =>
+            staged.withColumn(slot,
+              StructOps.set(col(slot), st, field.sub, col("_cclean")))
+          case _ =>
+            staged.withColumn(slot, graft.functions.JsonExpressions
+              .jsonSet(col(slot), field.sub, col("_cclean")))
+        }
+      }
+    val withSig = cleaned
       .withColumn("_csig", struct(sigCols.map { case (n, c) => c.as(n) }: _*))
       .drop("_ct", "_clines", "_cclean")
     val verdicts = Text.c4Verdicts(

@@ -255,9 +255,10 @@ object PluginCatalog {
       Seq(req("id", Id), req("score", ".Payload.After.n_tokens"),
         opt("phases", "4"))),
     Entry("text.c4",
-      "C4 cleanup rules: line-retention + page verdicts in metadata; drop gates on keep.",
-      Seq(opt("field", Text), opt("drop", "false"), opt("minSentences", "5"),
-        opt("minLineWords", "5"), opt("badWords", "badword1,badword2"))),
+      "C4 cleanup rules: page verdicts in metadata; drop gates on keep; clean rewrites the text to the retained lines.",
+      Seq(opt("field", Text), opt("drop", "false"), opt("clean", "false"),
+        opt("minSentences", "5"), opt("minLineWords", "5"),
+        opt("badWords", "badword1,badword2"))),
     Entry("report.datacard",
       "Corpus datasheet as ONE terminal record; optional md+json files (batch-only).",
       Seq(req("id", Id), req("lang", ".Payload.After.lang"),

@@ -434,7 +434,8 @@ object Registry {
       s.getOrElse("minSentences", "5").toLong,
       s.getOrElse("minLineWords", "5").toLong,
       s.getOrElse("badWords", "").split(",").toSeq.map(_.trim)
-        .filter(_.nonEmpty)))
+        .filter(_.nonEmpty),
+      s.getOrElse("clean", "false").toBoolean))
   )
 
   def create(plugin: String, settings: Map[String, String]): Processor = {

@@ -26,6 +26,8 @@ import graft.functions.JsonOps
   *   pipelines delete <id>
   *   pipelines plan <file.yaml>        diff against registered state
   *   pipelines apply <file.yaml>       register creates + updates
+  *   init [file.yaml]                  write a commented template pipeline
+  *   doctor                            reachability + health checklist
   *   plugins ls [regex]                processor + connector plugins
   *   healthz [service]
   *   version
@@ -64,6 +66,35 @@ object Cli {
     args match {
       case "pipelines" :: rest => pipelines(rest, baseUrl)
       case "plugins" :: "ls" :: rest => pluginsLs(rest, baseUrl)
+      case "init" :: rest =>
+        // reference parity: `conduit init` / `pipelines init` write a
+        // commented starter file the user edits, no server involved
+        val target = Paths.get(rest.headOption.getOrElse("pipeline.yaml"))
+        if (Files.exists(target))
+          (1, s"refusing to overwrite existing ${target}")
+        else {
+          Files.writeString(target, initTemplate)
+          (0, s"wrote ${target} — edit it, then: graft pipelines " +
+            s"apply ${target} && graft pipelines start demo-pipeline")
+        }
+      case "doctor" :: Nil =>
+        // reference parity: `conduit doctor` — a reachability and
+        // health checklist a user pastes into a bug report
+        val checks = Seq(
+          "reachable" -> get(baseUrl, "/info"),
+          "healthz" -> get(baseUrl, "/healthz"),
+          "pipelines api" -> get(baseUrl, "/v1/pipelines"),
+          "processor plugins" -> get(baseUrl, "/v1/processors/plugins"),
+          "connector plugins" -> get(baseUrl, "/v1/connectors/plugins"),
+          "openapi" -> get(baseUrl, "/openapi.json"))
+        val lines = checks.map {
+          case (name, Right(_)) => s"ok    $name"
+          case (name, Left((_, msg))) => s"FAIL  $name — $msg"
+        }
+        val ok = checks.forall(_._2.isRight)
+        ((if (ok) 0 else 1),
+          (s"graft ${graft.ops.PluginCatalog.Version} → $baseUrl" +:
+            lines).mkString("\n"))
       case "healthz" :: rest =>
         val q = rest.headOption.map(s => s"?service=$s").getOrElse("")
         get(baseUrl, s"/healthz$q").map { body =>
@@ -182,6 +213,37 @@ object Cli {
     def merge: (Int, String) = e.fold(identity, identity)
   }
 
+  /** The `init` starter file: one source → one processor → one sink,
+    * every line a thing the user will actually edit. */
+  private val initTemplate: String =
+    """# graft pipeline — edit, then:
+      |#   graft pipelines apply <this file>
+      |#   graft pipelines start demo-pipeline
+      |# Plugin names and settings: see PLUGINS.md (`graft plugins ls`).
+      |version: "2.2"
+      |pipelines:
+      |  - id: demo-pipeline
+      |    status: running
+      |    name: demo-pipeline
+      |    description: starter pipeline — generator to log
+      |    connectors:
+      |      - type: source
+      |        id: in
+      |        plugin: builtin:generator
+      |        settings:
+      |          format.options.id: int
+      |          recordCount: "100"
+      |      - type: destination
+      |        id: out
+      |        plugin: builtin:log
+      |    processors:
+      |      - id: annotate
+      |        plugin: field.set
+      |        settings:
+      |          field: .Payload.After.source
+      |          value: demo
+      |""".stripMargin
+
   private val usage: String =
     """usage: graft [--api URL] <command>
       |
@@ -192,6 +254,8 @@ object Cli {
       |  pipelines delete <id>
       |  pipelines plan <file.yaml>       diff vs registered state
       |  pipelines apply <file.yaml>      register creates + updates
+      |  init [file.yaml]                 write a starter pipeline file
+      |  doctor                           reachability + health checklist
       |  plugins ls [regex]               processor + connector plugins
       |  healthz [service]
       |  version

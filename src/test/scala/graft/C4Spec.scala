@@ -92,4 +92,20 @@ class C4Spec extends AnyFunSuite {
       .transform(docs)
     assert(gated.count() == 1L)
   }
+
+  test("text.c4 clean=true rewrites the field to the retained lines") {
+    val text = Seq(goodLine, "dropped line no punct", goodLine)
+      .mkString("\n")
+    val docs = Cdc.wrap(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "docs")
+    val out = Registry.create("text.c4",
+        Map("field" -> ".Payload.After.text", "clean" -> "true"))
+      .transform(docs)
+    val got = out.select(
+      get_json_object(col(Cdc.PayloadAfter), "$.text")).head().getString(0)
+    assert(got == Seq(goodLine, goodLine).mkString("\n"), got)
+    // the verdict metadata still describes the ORIGINAL page
+    val meta = out.select(col(Cdc.Metadata)).head().getMap[String, String](0)
+    assert(meta("c4.n_kept_lines") == "2")
+  }
 }

@@ -94,6 +94,27 @@ class CliSpec extends AnyFunSuite {
       assert(delc == 0 && delout.contains("true"), delout)
       assert(!Cli.run(Array("pipelines", "ls"), base)._2.contains("cli-demo"))
 
+      // init writes a parseable starter file whose processors
+      // instantiate; a second init refuses to overwrite
+      val tpl = java.nio.file.Files.createTempDirectory("cli-init")
+        .resolve("starter.yaml")
+      val (ic, iout) = Cli.run(Array("init", tpl.toString), base)
+      assert(ic == 0 && iout.contains("apply"), iout)
+      val cfgs = graft.pipeline.Pipeline.fromYaml(
+        java.nio.file.Files.readString(tpl))
+      assert(cfgs.map(_.id) == Seq("demo-pipeline"))
+      cfgs.head.processors.foreach(p =>
+        assert(graft.ops.Registry.create(p.plugin, p.settings) != null))
+      assert(Cli.run(Array("init", tpl.toString), base)._1 == 1)
+
+      // doctor: all-ok against the live server, FAIL + exit 1 when
+      // the server is gone
+      val (okc, okout) = Cli.run(Array("doctor"), base)
+      assert(okc == 0, okout)
+      assert(okout.linesIterator.count(_.startsWith("ok ")) == 6, okout)
+      val (badc, badout) = Cli.run(Array("doctor"), "http://127.0.0.1:1")
+      assert(badc == 1 && badout.contains("FAIL"), badout)
+
       // usage and error codes: unknown command → 2, missing file → 2,
       // unreachable server → 1 with the address in the message
       assert(Cli.run(Array("nonsense"), base)._1 == 2)
