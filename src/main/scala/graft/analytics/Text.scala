@@ -202,14 +202,17 @@ object Text {
   def c4Rules(df: DataFrame, idCol: String, textCol: String,
               minSentences: Long = 5, minLineWords: Long = 5,
               badWords: Seq[String] = Nil): DataFrame = {
-    // line-split ONCE, clean text ONCE, in their own projections (the
-    // gopherRules staging discipline: HOF signals don't CSE, so an
-    // inline formulation re-splits the document per signal)
+    // line-split ONCE, kept-lines ONCE, clean text ONCE, in their own
+    // projections (the gopherRules staging discipline: HOF signals
+    // don't CSE, so an inline formulation re-splits the document — or
+    // re-runs the line predicate — per signal)
     val staged = df.select(col(idCol), col(textCol).as("_ct"))
       .withColumn("_clines", split(col("_ct"), "\n"))
-      .withColumn("_cclean", c4CleanText(col("_clines"), minLineWords))
-    val sigCols = c4Signals(col("_ct"), col("_clines"), col("_cclean"),
-      minLineWords, badWords)
+      .withColumn("_ckept",
+        filter(col("_clines"), l => c4LineKeep(l, minLineWords)))
+      .withColumn("_cclean", array_join(col("_ckept"), "\n"))
+    val sigCols = c4Signals(col("_ct"), col("_clines"), col("_ckept"),
+      col("_cclean"), badWords)
     val sig = staged.select(
       col(idCol) +: sigCols.map { case (n, c) => c.as(n) }: _*)
     val verdicts = c4Verdicts(n => col(n), minSentences)
@@ -225,7 +228,7 @@ object Text {
 
   /** The C4 line-retention predicate over one line `l` — shared by
     * the signals, the cleaner, and the `text.c4` processor. */
-  private def c4LineKeep(l: Column, minLineWords: Long): Column = {
+  def c4LineKeep(l: Column, minLineWords: Long): Column = {
     val words = size(filter(split(trim(l), "\\s+"), x => x =!= ""))
     val lo = lower(l)
     l.rlike("[.!?\"]\\s*$") &&
@@ -239,20 +242,20 @@ object Text {
   def c4CleanText(lines: Column, minLineWords: Long = 5): Column =
     array_join(filter(lines, l => c4LineKeep(l, minLineWords)), "\n")
 
-  /** Raw C4 signals (name → expression) over PRE-MATERIALIZED line
-    * array + cleaned text — shared with the `text.c4` pipeline
-    * processor so both surfaces compute bit-identical signals.
-    * Callers must alias `lines`/`clean` in their own projection first
-    * (see [[c4Rules]] for why).
+  /** Raw C4 signals (name → expression) over PRE-MATERIALIZED line /
+    * kept-line arrays + cleaned text — shared with the `text.c4`
+    * pipeline processor so both surfaces compute bit-identical
+    * signals. Callers must alias `lines`/`kept`/`clean` in their own
+    * projection first (see [[c4Rules]] for why — the line predicate
+    * then runs exactly once per document).
     */
-  def c4Signals(t: Column, lines: Column, clean: Column,
-                minLineWords: Long,
+  def c4Signals(t: Column, lines: Column, kept: Column,
+                clean: Column,
                 badWords: Seq[String]): Seq[(String, Column)] = {
     val lo = lower(t)
     Seq(
       "n_lines" -> size(lines).cast("long"),
-      "n_kept_lines" -> size(filter(lines,
-        l => c4LineKeep(l, minLineWords))).cast("long"),
+      "n_kept_lines" -> size(kept).cast("long"),
       "n_sentences" -> regexp_count(clean, lit("[.!?]")).cast("long"),
       "has_lorem" -> lo.contains("lorem ipsum"),
       "has_brace" -> t.contains("{"),

@@ -1056,9 +1056,11 @@ case class TextC4Proc(field: Ref, drop: Boolean,
     val staged = df
       .withColumn("_ct", Analytics2Ops.fieldCol(df, field).cast("string"))
       .withColumn("_clines", split(col("_ct"), "\n"))
-      .withColumn("_cclean", Text.c4CleanText(col("_clines"), minLineWords))
+      .withColumn("_ckept", org.apache.spark.sql.functions.filter(
+        col("_clines"), l => Text.c4LineKeep(l, minLineWords)))
+      .withColumn("_cclean", array_join(col("_ckept"), "\n"))
     val sigCols = Text.c4Signals(col("_ct"), col("_clines"),
-      col("_cclean"), minLineWords, badWords)
+      col("_ckept"), col("_cclean"), badWords)
     val cleaned =
       if (!clean) staged
       else {
@@ -1074,7 +1076,7 @@ case class TextC4Proc(field: Ref, drop: Boolean,
       }
     val withSig = cleaned
       .withColumn("_csig", struct(sigCols.map { case (n, c) => c.as(n) }: _*))
-      .drop("_ct", "_clines", "_cclean")
+      .drop("_ct", "_clines", "_ckept", "_cclean")
     val verdicts = Text.c4Verdicts(
       n => col("_csig").getField(n), minSentences)
     val withC = withSig.withColumn("_c", struct(
