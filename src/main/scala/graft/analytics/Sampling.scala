@@ -744,4 +744,78 @@ object Sampling {
         round(col("share") * log(col("share") / col("target")), 6)
           .as("kl_term"))
   }
+
+  /** Exact per-stratum NTILE without a per-stratum single-task window
+    * — the CCNet bucketing primitive (Wenzek et al. 2020 §4.4 splits
+    * each language's corpus into head/middle/tail perplexity
+    * terciles): every row gets its stratum's 1-based tile in the
+    * (score, id) total order, with the SQL NTILE remainder rule (the
+    * first n mod tiles tiles carry one extra row) — bit-identical to
+    * `ntile(k) OVER (PARTITION BY stratum ORDER BY score, id)` on any
+    * engine, which is what the oracle replays.
+    *
+    * The naive window puts an entire stratum into ONE task — a 30 TB
+    * language slice at 100 TB. Here the stratum order decomposes
+    * through fixed-width score bins (floor(score/binWidth), order-
+    * preserving since floor is monotone and equal scores share a
+    * bin): one map-side-combined (stratum, bin) count, per-stratum
+    * prefix sums over the BIN rows (thousands, not documents), and a
+    * per-(stratum, bin) rank window whose partitions the `maxBinRows`
+    * guard bounds LOUDLY (a spike bin — a degenerate constant-score
+    * corpus — fails with "lower binWidth", the jsDivergence guard
+    * precedent, instead of OOMing an executor). The doc-side join
+    * against the bin table is broadcast-sized. Null scores are
+    * dropped (they have no place in a score order).
+    */
+  def stratifiedTiles(df: DataFrame, stratumCol: String, scoreCol: String,
+                      idCol: String, tiles: Int = 3,
+                      binWidth: Double = 0.01,
+                      maxBinRows: Long = 4000000L): DataFrame = {
+    require(tiles >= 2, s"stratifiedTiles: tiles=$tiles")
+    require(binWidth > 0, s"stratifiedTiles: binWidth=$binWidth")
+    require(maxBinRows >= 1, s"stratifiedTiles: maxBinRows=$maxBinRows")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(scoreCol).isNotNull)
+      .withColumn("_bin",
+        floor(col(scoreCol).cast("double") / lit(binWidth)).cast("long"))
+    val counts = base
+      .groupBy(col(stratumCol).as("_st"), col("_bin"))
+      .agg(count(lit(1)).as("_c"))
+    // fence: the bin table feeds the guard, the prefix window and the
+    // probe join — unfenced, each reference re-aggregates the corpus
+    val binTab =
+      if (counts.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        counts.checkpoint(true)
+      else counts.localCheckpoint(true)
+    val mx = binTab.agg(max(col("_c"))).head().getLong(0)
+    require(mx <= maxBinRows,
+      s"stratifiedTiles: a (stratum, bin) holds $mx rows > " +
+        s"maxBinRows=$maxBinRows; lower binWidth so the per-bin rank " +
+        "window stays bounded, or raise maxBinRows deliberately")
+    val wBins = Window.partitionBy(col("_st")).orderBy(col("_bin"))
+    val starts = binTab
+      .withColumn("_start", coalesce(sum(col("_c")).over(
+        wBins.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_n", sum(col("_c")).over(
+        Window.partitionBy(col("_st"))))
+      .drop("_c")
+    val joined = base.join(broadcast(starts),
+      base(stratumCol) === col("_st") && base("_bin") === starts("_bin"))
+      .drop(starts("_bin")).drop("_st")
+    val w = Window.partitionBy(col(stratumCol), col("_bin"))
+      .orderBy(col(scoreCol), col(idCol))
+    // SQL NTILE over the 0-based per-stratum index: the first
+    // n mod tiles tiles take q+1 rows (q = n div tiles), the rest
+    // take q — all integer `div`/`%`, so any engine replays it
+    joined
+      .withColumn("_idx",
+        col("_start") + row_number().over(w).cast("long") - 1L)
+      .withColumn("tile", expr(
+        s"CASE WHEN _idx < (_n % $tiles) * ((_n div $tiles) + 1) " +
+          s"THEN (_idx div ((_n div $tiles) + 1)) + 1 " +
+          s"ELSE (_n % $tiles) + ((_idx - (_n % $tiles) * " +
+          s"((_n div $tiles) + 1)) div greatest(_n div $tiles, 1)) + 1 " +
+          "END").cast("long"))
+      .drop("_bin", "_start", "_n", "_idx")
+  }
 }

@@ -1097,3 +1097,39 @@ case class TextC4Proc(field: Ref, drop: Boolean,
     out.drop("_c")
   }
 }
+
+/** `sample.tiles` — exact per-stratum NTILE annotation
+  * ([[graft.analytics.Sampling.stratifiedTiles]]): each record's
+  * 1-based tile in its stratum's (score, id) order lands in metadata
+  * as `tile` — compose with a `filter` condition on `.Metadata.tile`
+  * to keep a tercile (the CCNet head/middle/tail gate: stratum =
+  * language, score = `text.sbo` fluency). No per-stratum single-task
+  * window: the rank decomposes through score bins with a loud
+  * spike-bin guard. Records with a null/unparseable score are
+  * DROPPED (they have no place in a score order); id ties order as
+  * STRINGS (record-path values are strings).
+  */
+case class SampleTilesProc(stratumField: Ref, scoreField: Ref, idField: Ref,
+                           tiles: Int, binWidth: Double) extends Processor {
+  val plugin = "sample.tiles"
+  override def transform(df: DataFrame): DataFrame = {
+    // per-stratum rank over the whole corpus — batch-only, the
+    // text.bpe guard contract
+    require(!df.isStreaming,
+      "sample.tiles is batch-only (per-stratum rank over the corpus); " +
+        "run the pipeline with --batch or apply it foreachBatch")
+    val staged = df
+      .withColumn("_tst",
+        Analytics2Ops.fieldCol(df, stratumField).cast("string"))
+      .withColumn("_tsc",
+        Analytics2Ops.fieldCol(df, scoreField).cast("double"))
+      .withColumn("_tid",
+        Analytics2Ops.fieldCol(df, idField).cast("string"))
+    graft.analytics.Sampling
+      .stratifiedTiles(staged, "_tst", "_tsc", "_tid", tiles, binWidth)
+      .withColumn(Cdc.Metadata,
+        RefCols.metaSet(col(Cdc.Metadata), "tile",
+          col("tile").cast("string")))
+      .drop("_tst", "_tsc", "_tid", "tile")
+  }
+}

@@ -259,6 +259,11 @@ object PluginCatalog {
       Seq(opt("field", Text), opt("drop", "false"), opt("clean", "false"),
         opt("minSentences", "5"), opt("minLineWords", "5"),
         opt("badWords", "badword1,badword2"))),
+    Entry("sample.tiles",
+      "Exact per-stratum NTILE into metadata `tile` — CCNet head/middle/tail gate (batch-only; null scores drop).",
+      Seq(req("stratum", ".Payload.After.lang"),
+        req("score", ".Metadata.sbo.score"), req("id", Id),
+        opt("tiles", "3"), opt("binWidth", "0.01"))),
     Entry("report.datacard",
       "Corpus datasheet as ONE terminal record; optional md+json files (batch-only).",
       Seq(req("id", Id), req("lang", ".Payload.After.lang"),

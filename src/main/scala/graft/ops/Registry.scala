@@ -435,7 +435,11 @@ object Registry {
       s.getOrElse("minLineWords", "5").toLong,
       s.getOrElse("badWords", "").split(",").toSeq.map(_.trim)
         .filter(_.nonEmpty),
-      s.getOrElse("clean", "false").toBoolean))
+      s.getOrElse("clean", "false").toBoolean)),
+    "sample.tiles" -> (s => SampleTilesProc(
+      Ref.parse(s("stratum")), Ref.parse(s("score")), Ref.parse(s("id")),
+      s.getOrElse("tiles", "3").toInt,
+      s.getOrElse("binWidth", "0.01").toDouble))
   )
 
   def create(plugin: String, settings: Map[String, String]): Processor = {

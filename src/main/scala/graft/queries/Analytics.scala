@@ -917,6 +917,41 @@ object Analytics {
       s.read.parquet(out)
     }),
 
+    // exact per-stratum NTILE via the bin-histogram decomposition —
+    // the machinery row (trivial oracle: ntile over a window); ties
+    // (integer token counts) break on doc_id in both engines
+    "sample_tiles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(Text.wsTokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("score", col("n_tokens").cast("double"))
+      Sampling.stratifiedTiles(docs, "lang", "score", "doc_id",
+          tiles = 4, binWidth = 1.0)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("tile"))
+    }),
+
+    // CCNet perplexity buckets (Wenzek et al. 2020 §4.4): each
+    // language's corpus split into head/middle/tail terciles of the
+    // SBO fluency score (lower mean −ln S = more fluent = head) —
+    // the named pipeline the SBO LM exists to drive. Exact terciles
+    // through stratifiedTiles (no per-language single-task window);
+    // the oracle replays the whole train+score chain, then ntile.
+    "text_ccnet_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = Text.sboScore(docs,
+        Text.sboTrain(docs.filter(col("lang") === "en"), "doc_id", "text"),
+        "doc_id", "text")
+      val withLang = scored
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      Sampling.stratifiedTiles(withLang, "lang", "mean_neg_logprob_sbo",
+          "doc_id", tiles = 3, binWidth = 0.01)
+        .select(col("doc_id"), col("lang"), col("n_trigrams"),
+          col("mean_neg_logprob_sbo"),
+          when(col("tile") === 1, "head")
+            .when(col("tile") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+    }),
+
     "text_classifier" -> ((s, dir) =>
       Text.classifierScore(t(s, dir, "documents"), "doc_id", "text", seed = 42L)),
 
@@ -4192,6 +4227,17 @@ object Analytics {
            AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
            AND stop_hits >= 2) AS keep
        FROM sig""",
+    // stratified-NTILE machinery replay: the window form IS the
+    // semantics (the engine's bin decomposition must be invisible)
+    "sample_tiles" ->
+      """WITH s AS (SELECT doc_id, lang,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens
+         FROM documents)
+       SELECT doc_id, lang, n_tokens,
+         CAST(ntile(4) OVER (PARTITION BY lang
+           ORDER BY CAST(n_tokens AS DOUBLE), doc_id) AS BIGINT) AS tile
+       FROM s""",
     // C4 rules replay: the same line predicates (RE2 ≡ Java regex on
     // single lines), the newline re-join, and the page verdicts
     "text_c4" ->
@@ -4289,6 +4335,23 @@ object Analytics {
     "text_gopher_stream" -> oraclesBase("text_gopher"),
     "text_nb_stream" -> oraclesBase("text_nb_score"),
     "text_c4_stream" -> oraclesBase("text_c4"),
+    // CCNet buckets: the full SBO train+score replay as a CTE, lang
+    // joined back, ntile(3) per language over (score, doc_id) — tile
+    // order is safe cross-engine because every score value is
+    // bit-identical (the text_sbo_score row proves it)
+    "text_ccnet_buckets" -> {
+      val sbo = oraclesBase("text_sbo_score")
+      s"""WITH sc AS ($sbo),
+       j AS (SELECT sc.doc_id, d.lang, sc.n_trigrams,
+           sc.mean_neg_logprob_sbo
+         FROM sc JOIN documents d USING (doc_id)),
+       tl AS (SELECT *, ntile(3) OVER (PARTITION BY lang
+           ORDER BY mean_neg_logprob_sbo, doc_id) AS t FROM j)
+       SELECT doc_id, lang, n_trigrams, mean_neg_logprob_sbo,
+         CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+           AS bucket
+       FROM tl"""
+    },
     "sample_epochs_stream" -> oraclesBase("sample_epochs"),
     "dedup_exact_stream" -> oraclesBase("dedup_exact"),
     "text_strip_html_stream" -> oraclesBase("text_strip_html"))

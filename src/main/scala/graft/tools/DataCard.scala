@@ -83,6 +83,13 @@ object DataCard {
         round(avg(col("pass_words").cast("double")), 4),
         round(avg(col("pass_stop").cast("double")), 4)).head()
 
+    // C4 line/page pass rates at the released defaults — the
+    // line-first gate next to Gopher's page-first one
+    val c4 = Text.c4Rules(docs, "doc_id", "text")
+      .agg(round(avg(col("keep").cast("double")), 4),
+        round(avg(col("n_kept_lines").cast("double") /
+          greatest(col("n_lines"), lit(1L)).cast("double")), 4)).head()
+
     val zipf = Text.zipfFit(docs, "text", minCount = 2, topN = 4096).head()
 
     // language-pair divergence — the mixture-design signal: how far
@@ -110,6 +117,8 @@ object DataCard {
       "gopher_keep_rate" -> gop.getDouble(0),
       "gopher_pass_words_rate" -> gop.getDouble(1),
       "gopher_pass_stop_rate" -> gop.getDouble(2),
+      "c4_keep_rate" -> c4.getDouble(0),
+      "c4_kept_line_rate" -> c4.getDouble(1),
       "zipf_n_types" -> zipf.getLong(0),
       "zipf_slope" -> zipf.getDouble(1),
       "zipf_intercept" -> zipf.getDouble(2),
