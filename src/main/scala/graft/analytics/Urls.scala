@@ -89,4 +89,94 @@ object Urls {
     df.withColumn("canonical_url", canonicalize(col(urlCol)))
       .withColumn("keep", col(idCol) === min(col(idCol)).over(w))
   }
+
+  /** One regex, identical under Java regex and RE2 (both
+    * leftmost-first), that isolates the HOST of an absolute URL:
+    * after `scheme://`, skip optional userinfo (`…@`), then capture
+    * either a bracketed IPv6 literal or everything up to a port
+    * colon, path, query, or fragment. No match (not URL-shaped)
+    * captures the empty string on both engines. */
+  private val HostRe =
+    "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]]*\\]|[^/?#:]*)"
+
+  /** The staged lowercase host column (callers alias it once — three
+    * signals read it); IPv6 brackets are stripped after capture
+    * (the oracle's regexp_replace needs its 'g' flag for the same). */
+  def hostOf(u: Column): Column =
+    lower(regexp_replace(regexp_extract(u, HostRe, 1), "^\\[|\\]$", ""))
+
+  /** URL-level quality signals (name → expression) — the
+    * REFINEDWEB-style first gate (Penedo et al. 2023 §3.1 "URL
+    * filtering": a domain blocklist plus URL word scoring runs BEFORE
+    * any content is fetched or parsed, because it is the only filter
+    * whose cost is zero bytes of the page). Row-local; every count is
+    * an integer regex count and every test a containment, so the
+    * DuckDB oracle replays them bit-exactly.
+    */
+  def urlSignals(u: Column, host: Column,
+                 blockWords: Seq[String]): Seq[(String, Column)] = {
+    val lo = lower(u)
+    Seq(
+      "host" -> host,
+      "url_len" -> length(u).cast("long"),
+      "host_dots" -> regexp_count(host, lit("\\.")).cast("long"),
+      "host_digit_frac" -> (regexp_count(host, lit("[0-9]")).cast("double") /
+        greatest(length(host), lit(1)).cast("double")),
+      "is_ip_host" -> host.rlike("^[0-9]+(\\.[0-9]+){3}$"),
+      "has_block_word" ->
+        (if (blockWords.isEmpty) lit(false)
+         else blockWords.map(w => lo.contains(w.toLowerCase): Column)
+           .reduce(_ || _)))
+  }
+
+  /** Per-rule verdicts + `keep` from the named signals (cheap
+    * references). Rules: URL length cap (spam/query-stuffing), host
+    * subdomain-dot cap (keyword-stuffed hosts), host digit fraction
+    * (generated domains), bare-IP hosts dropped, blocklist word
+    * containment over the whole URL. A non-URL-shaped string has an
+    * empty host — it passes the host rules and is judged on
+    * length/blocklist only (filtering garbage rows is the schema's
+    * job, not this gate's).
+    */
+  def urlVerdicts(sig: String => Column, maxUrlLen: Long,
+                  maxHostDots: Long,
+                  maxHostDigitFrac: Double): Seq[(String, Column)] = {
+    val passLen = sig("url_len") <= lit(maxUrlLen)
+    val passDots = sig("host_dots") <= lit(maxHostDots)
+    val passDigits = sig("host_digit_frac") <= lit(maxHostDigitFrac)
+    val passIp = !sig("is_ip_host")
+    val passBlock = !sig("has_block_word")
+    Seq(
+      "pass_len" -> passLen,
+      "pass_dots" -> passDots,
+      "pass_digits" -> passDigits,
+      "pass_ip" -> passIp,
+      "pass_blocklist" -> passBlock,
+      "keep" -> (passLen && passDots && passDigits && passIp && passBlock))
+  }
+
+  /** The URL gate over a frame: (id, url, signals…, verdicts…, keep).
+    * Defaults are conservative crawl-hygiene values; the block list
+    * is a parameter (RefinedWeb applies a curated public list — the
+    * deployment chooses its own). Row-local, zero shuffle — this
+    * runs at manifest speed, before any document bytes move.
+    */
+  def urlFilter(df: DataFrame, idCol: String, urlCol: String,
+                maxUrlLen: Long = 2048, maxHostDots: Long = 4,
+                maxHostDigitFrac: Double = 0.4,
+                blockWords: Seq[String] = Nil): DataFrame = {
+    // host materializes once in its own projection (the gopherRules
+    // staging discipline — three signals read it)
+    val staged = df.select(col(idCol), col(urlCol).as("_u"))
+      .withColumn("_host", hostOf(col("_u")))
+    val sigCols = urlSignals(col("_u"), col("_host"), blockWords)
+    val sig = staged.select(
+      Seq(col(idCol), col("_u").as(urlCol)) ++
+        sigCols.map { case (n, c) => c.as(n) }: _*)
+    val verdicts = urlVerdicts(n => col(n), maxUrlLen, maxHostDots,
+      maxHostDigitFrac)
+    sig.select((Seq(col(idCol), col(urlCol)) ++
+      sigCols.map(nc => col(nc._1)) ++
+      verdicts.map { case (n, c) => c.as(n) }): _*)
+  }
 }

@@ -1133,3 +1133,49 @@ case class SampleTilesProc(stratumField: Ref, scoreField: Ref, idField: Ref,
       .drop("_tst", "_tsc", "_tid", "tile")
   }
 }
+
+/** `url.filter` — the RefinedWeb-style URL gate
+  * ([[graft.analytics.Urls.urlFilter]] semantics, annotator form):
+  * the zero-bytes-fetched filter a crawl pipeline runs FIRST — per
+  * record, the rule verdicts land in metadata (`url.keep`, per-rule
+  * booleans, the extracted host) and `drop=true` gates on `keep`.
+  * The block list is a setting (RefinedWeb applies a curated public
+  * list; the deployment chooses its own — default empty). Row-local,
+  * no corpus state — streams safely.
+  */
+case class UrlFilterProc(field: Ref, drop: Boolean,
+                         maxUrlLen: Long = 2048, maxHostDots: Long = 4,
+                         maxHostDigitFrac: Double = 0.4,
+                         blockWords: Seq[String] = Nil) extends Processor {
+  val plugin = "url.filter"
+  override def transform(df: DataFrame): DataFrame = {
+    import graft.analytics.Urls
+    // URL + host staged once; signals in one struct; verdicts as
+    // cheap references (the gopherRules staging discipline)
+    val staged = df
+      .withColumn("_u", Analytics2Ops.fieldCol(df, field).cast("string"))
+      .withColumn("_uhost", Urls.hostOf(col("_u")))
+    val sigCols = Urls.urlSignals(col("_u"), col("_uhost"), blockWords)
+    val withSig = staged
+      .withColumn("_usig", struct(sigCols.map { case (n, c) => c.as(n) }: _*))
+      .drop("_u", "_uhost")
+    val verdicts = Urls.urlVerdicts(
+      n => col("_usig").getField(n), maxUrlLen, maxHostDots,
+      maxHostDigitFrac)
+    val withV = withSig.withColumn("_uv", struct(
+      (Seq("host" -> col("_usig").getField("host")) ++ verdicts)
+        .map { case (n, c) => c.as(n) }: _*))
+      .drop("_usig")
+    val keys = Seq("keep", "host", "pass_len", "pass_dots",
+      "pass_digits", "pass_ip", "pass_blocklist")
+    val meta = keys.foldLeft(col(Cdc.Metadata)) { (m, k) =>
+      RefCols.metaSet(m, s"url.$k", col("_uv").getField(k).cast("string"))
+    }
+    val annotated = withV.withColumn(Cdc.Metadata,
+      when(col("_uv").getField("keep").isNotNull, meta)
+        .otherwise(col(Cdc.Metadata)))
+    val out = if (drop)
+      annotated.filter(col("_uv").getField("keep")) else annotated
+    out.drop("_uv")
+  }
+}

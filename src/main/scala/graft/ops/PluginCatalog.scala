@@ -259,6 +259,12 @@ object PluginCatalog {
       Seq(opt("field", Text), opt("drop", "false"), opt("clean", "false"),
         opt("minSentences", "5"), opt("minLineWords", "5"),
         opt("badWords", "badword1,badword2"))),
+    Entry("url.filter",
+      "RefinedWeb-style URL gate: host/length/digit/IP/blocklist verdicts in metadata; drop gates on keep.",
+      Seq(opt("field", ".Payload.After.url"), opt("drop", "false"),
+        opt("maxUrlLen", "2048"), opt("maxHostDots", "4"),
+        opt("maxHostDigitFrac", "0.4"),
+        opt("blockWords", "badword1,badword2"))),
     Entry("sample.tiles",
       "Exact per-stratum NTILE into metadata `tile` — CCNet head/middle/tail gate (batch-only; null scores drop).",
       Seq(req("stratum", ".Payload.After.lang"),
@@ -619,7 +625,7 @@ object PluginCatalog {
       "error", "clone", "split", "sql", "webhook", "enrich", "openai",
       "cohere", "ollama", "dedup", "text", "sample", "sketch", "graph",
       "sim", "linkage", "link", "joins", "privacy", "retrieval", "seq",
-      "cdc", "dq", "quality", "stats", "layout", "report")
+      "cdc", "dq", "quality", "stats", "layout", "report", "url")
     require(groups.keySet == order.toSet,
       s"catalogue section order out of date: ${groups.keySet.diff(order.toSet)} / ${order.toSet.diff(groups.keySet)}")
     for (g <- order; e <- groups(g).sortBy(_.plugin)) {

@@ -439,7 +439,15 @@ object Registry {
     "sample.tiles" -> (s => SampleTilesProc(
       Ref.parse(s("stratum")), Ref.parse(s("score")), Ref.parse(s("id")),
       s.getOrElse("tiles", "3").toInt,
-      s.getOrElse("binWidth", "0.01").toDouble))
+      s.getOrElse("binWidth", "0.01").toDouble)),
+    "url.filter" -> (s => UrlFilterProc(
+      ref(s, ".Payload.After.url"),
+      s.getOrElse("drop", "false").toBoolean,
+      s.getOrElse("maxUrlLen", "2048").toLong,
+      s.getOrElse("maxHostDots", "4").toLong,
+      s.getOrElse("maxHostDigitFrac", "0.4").toDouble,
+      s.getOrElse("blockWords", "").split(",").toSeq.map(_.trim)
+        .filter(_.nonEmpty)))
   )
 
   def create(plugin: String, settings: Map[String, String]): Processor = {

@@ -22,6 +22,28 @@ object Analytics {
     * param-order/fragment noise — shared by `dedup_url` and its
     * streaming twin; the oracle re-derives the canonical form from
     * this construction arithmetic in closed form. */
+  /** The constructed URL mix for the url_filter gate: every fifth-ish
+    * doc trips a different rule (bare-IP host, subdomain stuffing,
+    * digit-heavy host, blocklist word, query stuffing past the length
+    * cap), the rest are clean; the oracle rebuilds the identical mix,
+    * so the hash-match exercises every rule, not a no-op. */
+  private def gateUrl(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(id % 17 === 0,
+      concat(lit("http://10.0.0."), (id % 250).cast("string"), lit("/raw")))
+      .when(id % 13 === 0,
+        concat(lit("https://a.b.c.d.e.f.example.com/deep/"),
+          (id % 9).cast("string")))
+      .when(id % 11 === 0,
+        concat(lit("https://site"), id.cast("string"),
+          lit("777888999.example.com/x")))
+      .when(id % 7 === 0,
+        concat(lit("https://ok.example.com/free-casino-poker/"),
+          (id % 9).cast("string")))
+      .when(id % 5 === 0,
+        concat(lit("https://ok.example.com/page?q="), repeat(lit("x"), 3000)))
+      .otherwise(concat(lit("https://www.example.com/articles/"),
+        (id % 50).cast("string")))
+
   private def noisyUrl(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(
       when(id % 2 === 0, lit("http")).otherwise(lit("HtTp")),
@@ -91,6 +113,43 @@ object Analytics {
     // the oracle builds the IDENTICAL input but derives the canonical
     // form from the construction arithmetic in closed form, so the
     // hash match proves the parser inverts every noise dimension.
+    // RefinedWeb-style URL gate (Penedo et al. 2023 §3.1): the
+    // zero-bytes-fetched filter — length cap, subdomain-dot cap,
+    // digit-heavy hosts, bare-IP hosts, blocklist words. Constructed
+    // URL mix trips every rule; row-local, integer counts + one
+    // division per ratio — bit-exact replay.
+    "url_filter" -> ((s, dir) =>
+      Urls.urlFilter(t(s, dir, "documents")
+          .select(col("doc_id"), gateUrl(col("doc_id")).as("url")),
+        "doc_id", "url", blockWords = Seq("casino", "poker"))),
+
+    // Streaming URL-gate twin (rowLocalSink): every signal reads only
+    // the row's own URL — batch-decomposable by construction. Oracle
+    // = url_filter's verbatim.
+    "url_filter_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "documents")
+        .select(col("doc_id"), gateUrl(col("doc_id")).as("url"))
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val out = java.nio.file.Files
+        .createTempDirectory("url_filter_stream").toString
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "url")
+        .writeStream
+        .foreachBatch(StreamingOps.rowLocalSink(out)(
+          b => Urls.urlFilter(b, "doc_id", "url",
+            blockWords = Seq("casino", "poker"))))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$out/b*")
+    }),
+
     "dedup_url" -> ((s, dir) =>
       Urls.dedupByCanonical(
           t(s, dir, "documents")
@@ -4227,6 +4286,52 @@ object Analytics {
            AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
            AND stop_hits >= 2) AS keep
        FROM sig""",
+    // URL-gate replay: the same constructed mix, the same host regex
+    // (RE2 ≡ Java on these patterns), integer counts + one division
+    "url_filter" ->
+      """WITH u AS (SELECT doc_id,
+           CASE WHEN doc_id % 17 = 0
+                THEN 'http://10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+                  || '/raw'
+                WHEN doc_id % 13 = 0
+                THEN 'https://a.b.c.d.e.f.example.com/deep/'
+                  || CAST(doc_id % 9 AS VARCHAR)
+                WHEN doc_id % 11 = 0
+                THEN 'https://site' || CAST(doc_id AS VARCHAR)
+                  || '777888999.example.com/x'
+                WHEN doc_id % 7 = 0
+                THEN 'https://ok.example.com/free-casino-poker/'
+                  || CAST(doc_id % 9 AS VARCHAR)
+                WHEN doc_id % 5 = 0
+                THEN 'https://ok.example.com/page?q=' || repeat('x', 3000)
+                ELSE 'https://www.example.com/articles/'
+                  || CAST(doc_id % 50 AS VARCHAR)
+           END AS url
+         FROM documents),
+       h AS (SELECT doc_id, url,
+           lower(regexp_replace(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(\[[^\]]*\]|[^/?#:]*)',
+             1), '^\[|\]$', '', 'g')) AS host
+         FROM u),
+       sig AS (SELECT doc_id, url, host,
+           CAST(length(url) AS BIGINT) AS url_len,
+           CAST(len(regexp_extract_all(host, '\.')) AS BIGINT) AS host_dots,
+           CAST(len(regexp_extract_all(host, '[0-9]')) AS DOUBLE) /
+             CAST(greatest(length(host), 1) AS DOUBLE) AS host_digit_frac,
+           regexp_matches(host, '^[0-9]+(\.[0-9]+){3}$') AS is_ip_host,
+           (contains(lower(url), 'casino') OR contains(lower(url), 'poker'))
+             AS has_block_word
+         FROM h)
+       SELECT doc_id, url, host, url_len, host_dots, host_digit_frac,
+         is_ip_host, has_block_word,
+         (url_len <= 2048) AS pass_len,
+         (host_dots <= 4) AS pass_dots,
+         (host_digit_frac <= 0.4) AS pass_digits,
+         NOT is_ip_host AS pass_ip,
+         NOT has_block_word AS pass_blocklist,
+         (url_len <= 2048 AND host_dots <= 4 AND host_digit_frac <= 0.4
+           AND NOT is_ip_host AND NOT has_block_word) AS keep
+       FROM sig""",
     // stratified-NTILE machinery replay: the window form IS the
     // semantics (the engine's bin decomposition must be invisible)
     "sample_tiles" ->
@@ -4335,6 +4440,7 @@ object Analytics {
     "text_gopher_stream" -> oraclesBase("text_gopher"),
     "text_nb_stream" -> oraclesBase("text_nb_score"),
     "text_c4_stream" -> oraclesBase("text_c4"),
+    "url_filter_stream" -> oraclesBase("url_filter"),
     // CCNet buckets: the full SBO train+score replay as a CTE, lang
     // joined back, ntile(3) per language over (score, doc_id) — tile
     // order is safe cross-engine because every score value is
