@@ -26,9 +26,14 @@ import graft.functions.JsonOps
   *   pipelines delete <id>
   *   pipelines plan <file.yaml>        diff against registered state
   *   pipelines apply <file.yaml>       register creates + updates
+  *   connectors ls                     id, type, plugin (all pipelines)
+  *   connectors describe <pid:cid>     full connector doc JSON
+  *   processors ls                     id, plugin, parent, workers
+  *   processors describe <pid:procid>  full processor doc JSON
   *   init [file.yaml]                  write a commented template pipeline
   *   doctor                            reachability + health checklist
   *   plugins ls [regex]                processor + connector plugins
+  *   plugins describe <name>           full spec of one plugin
   *   healthz [service]
   *   version
   *   run <file.yaml> [--serve]         delegates to graft.tools.RunPipeline
@@ -66,6 +71,20 @@ object Cli {
     args match {
       case "pipelines" :: rest => pipelines(rest, baseUrl)
       case "plugins" :: "ls" :: rest => pluginsLs(rest, baseUrl)
+      case "plugins" :: "describe" :: name :: Nil =>
+        pluginsDescribe(name, baseUrl)
+      case "connectors" :: rest =>
+        resource(rest, baseUrl, "/v1/connectors", "connectors", "connector",
+          Seq("ID", "TYPE", "PLUGIN"),
+          n => Seq(n.get("id").asText(), n.get("type").asText(),
+            n.get("plugin").asText()))
+      case "processors" :: rest =>
+        resource(rest, baseUrl, "/v1/processors", "processors", "processor",
+          Seq("ID", "PLUGIN", "PARENT", "WORKERS"),
+          n => Seq(n.get("id").asText(), n.get("plugin").asText(),
+            Option(n.get("parent_connector_id")).map(_.asText())
+              .getOrElse("-"),
+            n.get("workers").asInt().toString))
       case "init" :: rest =>
         // reference parity: `conduit init` / `pipelines init` write a
         // commented starter file the user edits, no server involved
@@ -145,6 +164,56 @@ object Cli {
           Files.readString(p)).map((0, _)).merge
       case _ => (2, usage)
     }
+
+  /** `connectors ls|describe` / `processors ls|describe` — the
+    * reference's `cmd/conduit/root/connectors/{list,describe}.go` and
+    * `processors/` equivalents, over the already-bridged REST
+    * resources (list = the wrapped array under `field`, describe =
+    * the `pid:id` composite the docs carry).
+    */
+  private def resource(rest: List[String], baseUrl: String, base: String,
+                       field: String, noun: String, header: Seq[String],
+                       row: JsonNode => Seq[String]): (Int, String) =
+    rest match {
+      case "ls" :: Nil =>
+        get(baseUrl, base).map { body =>
+          val arr = JsonOps.parse(body).get(field)
+          val rows = (0 until arr.size()).map(i => row(arr.get(i)))
+          (0, table(header, rows))
+        }.merge
+      case "describe" :: id :: Nil =>
+        get(baseUrl, s"$base/$id").map { body =>
+          (0, pretty(JsonOps.parse(body).get(noun)))
+        }.merge
+      case _ => (2, usage)
+    }
+
+  /** `plugins describe <name>` — the reference's
+    * `connectorplugins/describe.go` + `processorplugins/describe.go`:
+    * the full spec (summary, params) of one plugin by exact name.
+    * Client-side exact match over both catalogues, so plugin names
+    * containing regex metacharacters need no escaping.
+    */
+  private def pluginsDescribe(name: String,
+                              baseUrl: String): (Int, String) =
+    (for {
+      procs <- get(baseUrl, "/v1/processors/plugins")
+      conns <- get(baseUrl, "/v1/connectors/plugins")
+    } yield {
+      def find(body: String, kind: String): Seq[String] = {
+        val arr = JsonOps.parse(body)
+        if (arr == null || !arr.isArray) Nil
+        else (0 until arr.size()).map(arr.get)
+          .filter(n => nameOf(n) == name)
+          .map(n => s"# $kind\n${pretty(n)}")
+      }
+      val hits = find(procs, "processor") ++ find(conns, "connector")
+      if (hits.isEmpty) (1, s"no such plugin: $name")
+      else (0, hits.mkString("\n"))
+    }).merge
+
+  private def pretty(n: JsonNode): String =
+    JsonOps.mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
 
   private def pluginsLs(rest: List[String], baseUrl: String): (Int, String) = {
     val q = rest.headOption.map(r => s"?name=$r").getOrElse("")
@@ -254,9 +323,14 @@ object Cli {
       |  pipelines delete <id>
       |  pipelines plan <file.yaml>       diff vs registered state
       |  pipelines apply <file.yaml>      register creates + updates
+      |  connectors ls                    connectors across all pipelines
+      |  connectors describe <pid:cid>    full connector doc JSON
+      |  processors ls                    processors across all pipelines
+      |  processors describe <pid:procid> full processor doc JSON
       |  init [file.yaml]                 write a starter pipeline file
       |  doctor                           reachability + health checklist
       |  plugins ls [regex]               processor + connector plugins
+      |  plugins describe <name>          full spec of one plugin
       |  healthz [service]
       |  version
       |  run <file.yaml> [--serve]        run a pipeline in-process

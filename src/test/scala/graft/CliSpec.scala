@@ -26,6 +26,12 @@ class CliSpec extends AnyFunSuite {
       |      - id: out
       |        type: destination
       |        plugin: memory
+      |    processors:
+      |      - id: note
+      |        plugin: field.set
+      |        settings:
+      |          field: .Payload.After.note
+      |          value: x
       |""".stripMargin
 
   test("the full command surface against an in-process control plane") {
@@ -72,6 +78,38 @@ class CliSpec extends AnyFunSuite {
       val (fc, fout) = Cli.run(Array("plugins", "ls", "winnow"), base)
       assert(fc == 0 && fout.contains("dedup.winnow") &&
         !fout.contains("base64.encode"), fout)
+
+      // connectors / processors ls + describe across the registered
+      // pipeline (reference: connectors/list.go, describe.go)
+      val (clc, clout) = Cli.run(Array("connectors", "ls"), base)
+      assert(clc == 0, clout)
+      assert(clout.contains("cli-demo:gen") && clout.contains("source") &&
+        clout.contains("builtin:generator"), clout)
+      val (cdc2, cdout) = Cli.run(
+        Array("connectors", "describe", "cli-demo:gen"), base)
+      assert(cdc2 == 0, cdout)
+      assert(cdout.contains("\"gen\"") &&
+        cdout.contains("builtin:generator"), cdout)
+      val (plc, plout) = Cli.run(Array("processors", "ls"), base)
+      assert(plc == 0, plout)
+      assert(plout.contains("cli-demo:note") && plout.contains("field.set"),
+        plout)
+      val (pdc, pdout) = Cli.run(
+        Array("processors", "describe", "cli-demo:note"), base)
+      assert(pdc == 0 && pdout.contains("field.set"), pdout)
+      assert(Cli.run(Array("connectors", "describe", "no:such"), base)._1 == 1)
+
+      // plugins describe: the full spec by exact name, both kinds;
+      // regex metacharacters in the name need no escaping
+      val (sdc, sdout) = Cli.run(
+        Array("plugins", "describe", "base64.encode"), base)
+      assert(sdc == 0, sdout)
+      assert(sdout.contains("# processor") && sdout.contains("base64.encode"),
+        sdout)
+      val (gdc, gdout) = Cli.run(
+        Array("plugins", "describe", "builtin:generator"), base)
+      assert(gdc == 0 && gdout.contains("# connector"), gdout)
+      assert(Cli.run(Array("plugins", "describe", "nope"), base)._1 == 1)
 
       // healthz, overall and per-service
       assert(Cli.run(Array("healthz"), base) == ((0, "SERVING")))
