@@ -745,6 +745,71 @@ object Sampling {
           .as("kl_term"))
   }
 
+  /** UniMax language-budget allocation (Chung et al. 2023, "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining" — public paper, alg. 1): split a total
+    * token `budget` across strata as UNIFORMLY as possible subject to
+    * no stratum repeating more than `maxEpochs` times. Walk strata by
+    * ascending token count; each takes min(its cap `n·maxEpochs`, an
+    * equal share of what remains). Because counts ascend, the capped
+    * strata form a prefix and every uncapped stratum receives the
+    * SAME final share — which is the closed form used here: stratum i
+    * is capped iff `prefix_cap(i−1) + cap_i·(L−i+1) < budget` (its
+    * cap fits even if everyone after also took it), and the uncapped
+    * share is `(budget − Σ capped caps) / (L − K)`. One row per
+    * stratum: (stratum, n_tokens, capped, quota, epochs = quota/n).
+    *
+    * Determinism: caps are exact-integer-valued doubles whenever
+    * `maxEpochs` is integral (the paper sweeps small integers), so
+    * every prefix/total sum is exact regardless of association and
+    * the one share division + one epochs division per row replay
+    * bit-identically on any engine.
+    *
+    * Scale shape: one map-side-combined aggregation to |strata| rows,
+    * then windows over THOSE rows only — strata are languages or
+    * domains (tens), never documents, the mixtureKl contract. The
+    * quota is what a downstream [[tokenMixture]]/[[epochsUpsample]]
+    * run consumes; this operator only plans.
+    */
+  def unimaxAllocation(df: DataFrame, stratumCol: String,
+                       tokensCol: String, budget: Long,
+                       maxEpochs: Double): DataFrame = {
+    require(budget > 0, s"unimaxAllocation: budget=$budget")
+    require(maxEpochs > 0, s"unimaxAllocation: maxEpochs=$maxEpochs")
+    import org.apache.spark.sql.expressions.Window
+    val cnt = df.filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).cast("string").as("stratum"))
+      .agg(sum(col(tokensCol).cast("long")).as("n_tokens"))
+    val ord = Window.orderBy(col("n_tokens").asc, col("stratum").asc)
+    val all = ord.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val b = lit(budget.toDouble)
+    val staged = cnt
+      .withColumn("_cap", col("n_tokens").cast("double") * lit(maxEpochs))
+      .withColumn("_i", row_number().over(ord))
+      .withColumn("_l", count(lit(1)).over(all))
+      .withColumn("_prevcap",
+        coalesce(sum(col("_cap")).over(prev), lit(0.0)))
+    val flagged = staged.withColumn("capped",
+      col("_prevcap") +
+        col("_cap") * (col("_l") - col("_i") + 1).cast("double") < b)
+    val totals = flagged
+      .withColumn("_k", sum(when(col("capped"), 1L).otherwise(0L)).over(all))
+      .withColumn("_cappedsum",
+        coalesce(sum(when(col("capped"), col("_cap"))).over(all), lit(0.0)))
+    val quota = when(col("capped"), col("_cap"))
+      .otherwise(when(col("_l") > col("_k"),
+        (b - col("_cappedsum")) / (col("_l") - col("_k")).cast("double"))
+        .otherwise(lit(0.0)))
+    totals
+      .withColumn("quota", quota)
+      .withColumn("epochs",
+        col("quota") / col("n_tokens").cast("double"))
+      .select(col("stratum"), col("n_tokens"), col("capped"),
+        col("quota"), col("epochs"))
+  }
+
   /** Exact per-stratum NTILE without a per-stratum single-task window
     * — the CCNet bucketing primitive (Wenzek et al. 2020 §4.4 splits
     * each language's corpus into head/middle/tail perplexity

@@ -282,6 +282,98 @@ object Text {
       "keep" -> (passSentences && passLorem && passBrace && passBadword))
   }
 
+  /** FineWeb quality heuristics (Penedo et al. 2024, "The FineWeb
+    * Datasets: Decanting the Web for the Finest Text Data at Scale"
+    * §3.6 — public paper): the three line-shape filters FineWeb adds
+    * AFTER its C4/Gopher passes, derived by eyeballing what survived
+    * them. A page is REMOVED when the fraction of lines ending in
+    * terminal punctuation (C4's `. ! ? "` set) is ≤ `minPunctLineFrac`
+    * (0.12), when the fraction of characters sitting in duplicated
+    * lines is ≥ `maxDupLineCharFrac` (0.1), or when the fraction of
+    * lines shorter than `shortLineChars` (30) characters is ≥
+    * `maxShortLineFrac` (0.67). Output per document: the raw
+    * fractions, one boolean per rule, and the conjunction `keep`.
+    *
+    * Duplicated-line mass counts every occurrence BEYOND the first:
+    * for each distinct line value with `c` occurrences of length
+    * `len`, it contributes `(c−1)·len` characters, over a
+    * denominator of all line characters (newlines excluded both
+    * sides) — the Gopher "characters in duplicate lines" convention.
+    *
+    * Row-local (one pass over the row's own lines — no corpus state,
+    * no shuffle; streams safely). The duplicate scan is the row's
+    * distinct-lines × lines product — bounded by the document's own
+    * line count, never corpus-sized. Counts are integers and each
+    * fraction a single double division, so the DuckDB oracle replays
+    * everything bit-exactly.
+    */
+  def finewebRules(df: DataFrame, idCol: String, textCol: String,
+                   minPunctLineFrac: Double = 0.12,
+                   maxDupLineCharFrac: Double = 0.1,
+                   maxShortLineFrac: Double = 0.67,
+                   shortLineChars: Int = 30): DataFrame = {
+    // line-split ONCE in its own projection (the gopherRules staging
+    // discipline: the three HOF signals below each walk the array, so
+    // an inline split would re-run per signal; a multi-referenced
+    // non-cheap alias is exactly what CollapseProject refuses to
+    // inline, so the array stays materialized)
+    val staged = df.select(col(idCol), col(textCol).as("_ft"))
+      .withColumn("_flines", split(col("_ft"), "\n"))
+    val sigCols = finewebSignals(col("_flines"), shortLineChars)
+    val sig = staged.select(
+      col(idCol) +: sigCols.map { case (n, c) => c.as(n) }: _*)
+    val verdicts = finewebVerdicts(n => col(n), minPunctLineFrac,
+      maxDupLineCharFrac, maxShortLineFrac)
+    sig.select(col(idCol) +: sigCols.map(nc => col(nc._1)) ++:
+      verdicts.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** Raw FineWeb signals (name → expression) over a PRE-MATERIALIZED
+    * line array — shared with the `text.fineweb` pipeline processor
+    * so both surfaces compute bit-identical fractions. Callers must
+    * alias `lines` in their own projection first (see
+    * [[finewebRules]] for why).
+    */
+  def finewebSignals(lines: Column,
+                     shortLineChars: Int): Seq[(String, Column)] = {
+    val nLines = size(lines).cast("long")
+    val nLinesD = nLines.cast("double")
+    val punct = size(filter(lines, l => l.rlike("[.!?\"]\\s*$")))
+      .cast("long")
+    val short = size(filter(lines,
+      l => length(l) < lit(shortLineChars))).cast("long")
+    val totChars = aggregate(
+      transform(lines, l => length(l).cast("long")),
+      lit(0L), (a, b) => a + b)
+    val dupChars = aggregate(
+      transform(array_distinct(lines), d =>
+        (size(filter(lines, l => l === d)).cast("long") - lit(1L)) *
+          length(d).cast("long")),
+      lit(0L), (a, b) => a + b)
+    Seq(
+      "n_lines" -> nLines,
+      "punct_line_frac" -> (punct.cast("double") / nLinesD),
+      "short_line_frac" -> (short.cast("double") / nLinesD),
+      "dup_line_char_frac" -> when(totChars === 0L, lit(0.0))
+        .otherwise(dupChars.cast("double") / totChars.cast("double")))
+  }
+
+  /** Per-rule verdicts + `keep` from the named signals (cheap
+    * references — verdicts never recompute a signal). Thresholds are
+    * the paper's removal conditions, negated into keeps. */
+  def finewebVerdicts(sig: String => Column, minPunctLineFrac: Double,
+                      maxDupLineCharFrac: Double,
+                      maxShortLineFrac: Double): Seq[(String, Column)] = {
+    val passPunct = sig("punct_line_frac") > lit(minPunctLineFrac)
+    val passDup = sig("dup_line_char_frac") < lit(maxDupLineCharFrac)
+    val passShort = sig("short_line_frac") < lit(maxShortLineFrac)
+    Seq(
+      "pass_punct" -> passPunct,
+      "pass_dup" -> passDup,
+      "pass_short" -> passShort,
+      "keep" -> (passPunct && passDup && passShort))
+  }
+
   /** Tiny built-in character-trigram profiles (public-knowledge top
     * trigrams per language) for heuristic language ID. The score of a
     * language is the fraction of the document's trigrams found in its
@@ -1325,6 +1417,75 @@ object Text {
       count(lit(1)).as("n_types"),
       round(regr_slope(col("y"), col("x")), 6).as("slope"),
       round(regr_intercept(col("y"), col("x")), 6).as("intercept"))
+  }
+
+  /** Heaps' law fit (Heaps 1978; Herdan 1960): V(n) = K·n^β —
+    * vocabulary size as a power of corpus size, [[zipfFit]]'s
+    * companion growth curve. Natural text sits near β ≈ 0.5; β
+    * drifting toward 1 means the corpus keeps minting new types
+    * (OCR noise, random identifiers), β near 0 means it stopped
+    * growing (template spam). The fit also answers the planning
+    * question "how big will the vocabulary be at 10× the data".
+    *
+    * Documents are consumed in `idCol` order, checkpointed every
+    * `bucketWidth` ids: checkpoint b sees the cumulative token count
+    * and cumulative distinct-type count of all docs with
+    * `id div bucketWidth ≤ b`, and the OLS of log10(V) on log10(n)
+    * over those checkpoints gives (β, log10 K), rounded to 6 dp so
+    * the verdict is partition-order stable. One output row:
+    * (n_points, n_tokens, n_types, beta, log10_k).
+    *
+    * Scale shape: one (bucket, token) count aggregation (map-side
+    * combined), a token-keyed min-bucket aggregation for first
+    * occurrences — a type's first bucket is a MIN, which is also why
+    * the streaming twin merges — then per-bucket prefix sums over
+    * CHECKPOINT rows only (corpus_size / bucketWidth rows — size
+    * bucketWidth to keep that bounded; the window never sees tokens
+    * or documents). The regression is `regr_slope`/`regr_intercept`,
+    * constant-size aggregate state.
+    */
+  def heapsFit(df: DataFrame, idCol: String, textCol: String,
+               bucketWidth: Long = 64): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth=$bucketWidth")
+    heapsFitFromCounts(stratumTokenCounts(
+      df.withColumn("_hb",
+        expr(s"cast($idCol as bigint) div $bucketWidth")),
+      "_hb", textCol))
+  }
+
+  /** The checkpoint/regression tail of [[heapsFit]] over a
+    * pre-aggregated (stratum = bucket, tok, c) frame — shared by the
+    * batch operator and the streaming stratum-count sink, whose
+    * committed state IS such a frame (sum-merge keeps per-bucket
+    * counts exact and first buckets are MINs over it, so batch and
+    * stream cannot drift).
+    */
+  def heapsFitFromCounts(counts: DataFrame): DataFrame = {
+    val c = counts.select(col("stratum").cast("long").as("b"),
+      col("tok"), col("c"))
+    // a type's first checkpoint = min bucket it occurs in
+    val newTypes = c.groupBy(col("tok"))
+      .agg(min(col("b")).as("fb"))
+      .groupBy(col("fb")).agg(count(lit(1)).cast("long").as("nv"))
+    val tokCnt = c.groupBy(col("b"))
+      .agg(sum(col("c")).cast("long").as("nt"))
+    // every first-occurrence bucket carries tokens, so tokCnt drives
+    val joined = tokCnt.join(newTypes, col("b") === col("fb"), "left")
+      .select(col("b"), col("nt"), coalesce(col("nv"), lit(0L)).as("nv"))
+    val w = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = joined
+      .withColumn("ct", sum(col("nt")).over(w))
+      .withColumn("cv", sum(col("nv")).over(w))
+      .select(col("ct"), col("cv"),
+        log10(col("ct").cast("double")).as("x"),
+        log10(col("cv").cast("double")).as("y"))
+    pts.agg(
+      count(lit(1)).as("n_points"),
+      max(col("ct")).as("n_tokens"),
+      max(col("cv")).as("n_types"),
+      round(regr_slope(col("y"), col("x")), 6).as("beta"),
+      round(regr_intercept(col("y"), col("x")), 6).as("log10_k"))
   }
 
   /** Pairwise Jensen–Shannon divergence between corpus slices'

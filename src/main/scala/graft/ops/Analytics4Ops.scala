@@ -594,6 +594,30 @@ case class TextZipfProc(field: Ref, minCount: Long, topN: Int)
   }
 }
 
+/** `text.heaps` — Heaps' law vocabulary-growth fit
+  * ([[graft.analytics.Text.heapsFit]]): one record with (n_points,
+  * n_tokens, n_types, beta, log10_k) over doc-id-ordered checkpoints.
+  * The zipf companion profile a corpus-health dashboard reads.
+  */
+case class TextHeapsProc(idField: Ref, field: Ref, bucketWidth: Long)
+    extends Processor {
+  val plugin = "text.heaps"
+  override def transform(df: DataFrame): DataFrame = {
+    // corpus-level aggregation + checkpoint window — batch-only, so
+    // fail with the real reason (the text.bpe guard contract)
+    require(!df.isStreaming,
+      "text.heaps is batch-only (corpus-level vocabulary growth); " +
+        "run the pipeline with --batch or apply it foreachBatch")
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).cast("long").as("_id"),
+      Analytics2Ops.fieldCol(df, field).cast("string").as("_text"))
+    val out = graft.analytics.Text.heapsFit(flat, "_id", "_text",
+        bucketWidth)
+      .withColumn("_kk", lit("heaps"))
+    Cdc.wrap(out, "_kk", "text.heaps")
+  }
+}
+
 /** `sample.curriculum` — curriculum phase annotation
   * ([[graft.analytics.Sampling.curriculum]] semantics, annotator
   * form): each record's integer difficulty score joins the
@@ -660,6 +684,32 @@ case class SampleMixtureKlProc(strataField: Ref, tokensField: Ref,
   }
 }
 
+/** `sample.unimax` — UniMax budget allocation (Chung et al. 2023;
+  * [[graft.analytics.Sampling.unimaxAllocation]]): ascending-count
+  * waterfilling of a token budget with a per-stratum epoch cap. One
+  * plan record per stratum with (n_tokens, capped, quota, epochs) —
+  * feed the epochs into `sample.epochs` to realize the plan.
+  * Corpus-level aggregation + bounded stratum windows — batch-only.
+  */
+case class SampleUnimaxProc(strataField: Ref, tokensField: Ref,
+                            budget: Long, maxEpochs: Double)
+    extends Processor {
+  val plugin = "sample.unimax"
+  override def transform(df: DataFrame): DataFrame = {
+    // corpus-level aggregation + stratum windows — batch-only, so
+    // fail with the real reason (the text.bpe guard contract)
+    require(!df.isStreaming,
+      "sample.unimax is batch-only (corpus-level token aggregation); " +
+        "run the pipeline with --batch or apply it foreachBatch")
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, strataField).cast("string").as("_stratum"),
+      Analytics2Ops.fieldCol(df, tokensField).cast("long").as("_tk"))
+    val out = graft.analytics.Sampling.unimaxAllocation(flat, "_stratum",
+      "_tk", budget, maxEpochs)
+    Cdc.wrap(out, "stratum", "sample.unimax")
+  }
+}
+
 /** `text.gopher` — the Gopher quality rules (Rae et al. 2021, table
   * A1; [[graft.analytics.Text.gopherMetrics]] with the paper's
   * thresholds) as a pipeline annotator: metadata gets `gopher.keep`,
@@ -718,6 +768,56 @@ case class TextGopherProc(field: Ref, drop: Boolean,
     val out = if (drop)
       annotated.filter(col("_g").getField("keep")) else annotated
     out.drop("_g")
+  }
+}
+
+/** `text.fineweb` — the FineWeb line-shape heuristics (Penedo et al.
+  * 2024 §3.6; [[graft.analytics.Text.finewebRules]] with the paper's
+  * thresholds) as a pipeline annotator: metadata gets `fineweb.keep`,
+  * the three per-rule verdicts, and `fineweb.punct_line_frac`; with
+  * `drop=true` failing records are filtered instead. Row-local (the
+  * signals read only the record's own lines), so it streams; records
+  * whose text field is absent pass through unannotated (`drop=true`
+  * removes them — no text is not a pass).
+  */
+case class TextFinewebProc(field: Ref, drop: Boolean,
+                           minPunctLineFrac: Double = 0.12,
+                           maxDupLineCharFrac: Double = 0.1,
+                           maxShortLineFrac: Double = 0.67,
+                           shortLineChars: Int = 30) extends Processor {
+  val plugin = "text.fineweb"
+  override def transform(df: DataFrame): DataFrame = {
+    import graft.analytics.Text
+    // line-split ONCE, signals in their own projection, verdicts as
+    // cheap references — the text.gopher staging, kept on the CDC
+    // frame through temp columns (HOF signals don't share
+    // subexpressions; inline they re-split the text per signal)
+    val staged = df
+      .withColumn("_ft", Analytics2Ops.fieldCol(df, field).cast("string"))
+      .withColumn("_flines", split(col("_ft"), "\n"))
+    val sigCols = Text.finewebSignals(col("_flines"), shortLineChars)
+    val withSig = staged
+      .withColumn("_fsig", struct(sigCols.map { case (n, c) => c.as(n) }: _*))
+      .drop("_ft", "_flines")
+    val verdicts = Text.finewebVerdicts(
+      n => col("_fsig").getField(n), minPunctLineFrac,
+      maxDupLineCharFrac, maxShortLineFrac)
+    val withF = withSig.withColumn("_f", struct(
+      (("punct_line_frac" -> col("_fsig").getField("punct_line_frac")) +:
+        verdicts).map { case (n, c) => c.as(n) }: _*))
+      .drop("_fsig")
+    val keys = Seq("keep", "punct_line_frac", "pass_punct", "pass_dup",
+      "pass_short")
+    val meta = keys.foldLeft(col(Cdc.Metadata)) { (m, k) =>
+      RefCols.metaSet(m, s"fineweb.$k",
+        col("_f").getField(k).cast("string"))
+    }
+    val annotated = withF.withColumn(Cdc.Metadata,
+      when(col("_f").getField("keep").isNotNull, meta)
+        .otherwise(col(Cdc.Metadata)))
+    val out = if (drop)
+      annotated.filter(col("_f").getField("keep")) else annotated
+    out.drop("_f")
   }
 }
 

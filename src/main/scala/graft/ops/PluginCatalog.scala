@@ -172,6 +172,11 @@ object PluginCatalog {
         opt("maxSymbolRatio", "0.1"), opt("maxBulletFrac", "0.9"),
         opt("maxEllipsisFrac", "0.3"), opt("minAlphaFrac", "0.8"),
         opt("minStopHits", "2"))),
+    Entry("text.fineweb",
+      "FineWeb line-shape heuristics (Penedo et al. 2024): annotate or filter.",
+      Seq(opt("field", Text), opt("drop", "false"),
+        opt("minPunctLineFrac", "0.12"), opt("maxDupLineCharFrac", "0.1"),
+        opt("maxShortLineFrac", "0.67"), opt("shortLineChars", "30"))),
     Entry("text.strip_html",
       "HTML to text: strip tags/scripts/comments, decode entities.",
       Seq(opt("field", Text))),
@@ -200,6 +205,9 @@ object PluginCatalog {
     Entry("text.zipf",
       "Zipf's-law slope/intercept of the vocabulary head (batch-only).",
       Seq(opt("field", Text), opt("minCount", "2"), opt("topN", "4096"))),
+    Entry("text.heaps",
+      "Heaps'-law vocabulary-growth fit V(n)=K*n^beta (batch-only).",
+      Seq(req("id", Id), opt("field", Text), opt("bucketWidth", "64"))),
     Entry("text.classifier", "Hashed-feature quality classifier score.",
       Seq(opt("field", Text), opt("seed", "42"))),
     Entry("text.hashing", "Hashed bag-of-words feature vector.",
@@ -250,6 +258,11 @@ object PluginCatalog {
       Seq(req("stratum", ".Payload.After.lang"),
         req("tokens", ".Payload.After.n_tokens"),
         req("targets", "en:0.8,de:0.2"))),
+    Entry("sample.unimax",
+      "UniMax budget split (Chung et al. 2023): uniform under an epoch cap (batch-only).",
+      Seq(req("stratum", ".Payload.After.lang"),
+        req("tokens", ".Payload.After.n_tokens"),
+        req("budget", "1000000"), opt("maxEpochs", "4.0"))),
     Entry("sample.curriculum",
       "Exact-NTILE curriculum phase by difficulty score (batch-only).",
       Seq(req("id", Id), req("score", ".Payload.After.n_tokens"),

@@ -393,6 +393,13 @@ object Registry {
       s.getOrElse("maxEllipsisFrac", "0.3").toDouble,
       s.getOrElse("minAlphaFrac", "0.8").toDouble,
       s.getOrElse("minStopHits", "2").toLong)),
+    "text.fineweb" -> (s => TextFinewebProc(
+      ref(s, ".Payload.After"),
+      s.getOrElse("drop", "false").toBoolean,
+      s.getOrElse("minPunctLineFrac", "0.12").toDouble,
+      s.getOrElse("maxDupLineCharFrac", "0.1").toDouble,
+      s.getOrElse("maxShortLineFrac", "0.67").toDouble,
+      s.getOrElse("shortLineChars", "30").toInt)),
     "sample.epochs" -> (s => SampleEpochsProc(
       Ref.parse(s("stratum")), Ref.parse(s("id")),
       s("epochs").split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { spec =>
@@ -415,6 +422,13 @@ object Registry {
       ref(s, ".Payload.After"),
       s.getOrElse("minCount", "2").toLong,
       s.getOrElse("topN", "4096").toInt)),
+    "text.heaps" -> (s => TextHeapsProc(
+      Ref.parse(s("id")), ref(s, ".Payload.After"),
+      s.getOrElse("bucketWidth", "64").toLong)),
+    "sample.unimax" -> (s => SampleUnimaxProc(
+      Ref.parse(s("stratum")), Ref.parse(s("tokens")),
+      s("budget").toLong,
+      s.getOrElse("maxEpochs", "4.0").toDouble)),
     "sample.curriculum" -> (s => SampleCurriculumProc(
       Ref.parse(s("id")), Ref.parse(s("score")),
       s.getOrElse("phases", "4").toInt)),

@@ -500,6 +500,39 @@ object Analytics {
       s.read.parquet(s"$out/b*")
     }),
 
+    // FineWeb line-shape heuristics (Penedo et al. 2024 §3.6): the
+    // three filters FineWeb adds after C4/Gopher — terminal-punct
+    // line fraction, duplicated-line character mass, short-line
+    // fraction. Row-local; integer counts + single double divisions,
+    // so the oracle replays every fraction bit-exactly.
+    "text_fineweb" -> ((s, dir) =>
+      Text.finewebRules(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Streaming FineWeb twin (rowLocalSink): every signal reads only
+    // the row's own lines — batch-decomposable by construction.
+    // Oracle = text_fineweb's verbatim.
+    "text_fineweb_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val out = java.nio.file.Files
+        .createTempDirectory("fineweb_stream").toString
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(StreamingOps.rowLocalSink(out)(
+          b => Text.finewebRules(b, "doc_id", "text")))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$out/b*")
+    }),
+
     // Streaming token-count twin (rowLocalSink): whitespace + BPE-ish
     // regex counts read only the row — batch-decomposable by
     // construction. Oracle = text_tokens' verbatim.
@@ -1163,6 +1196,19 @@ object Analytics {
           ("de", 0.05)))
     }),
 
+    // UniMax budget allocation (Chung et al. 2023): ascending-count
+    // waterfilling of a 200k-token budget at ≤4 epochs per language.
+    // Caps are exact-integer doubles (integral maxEpochs), so every
+    // window sum is association-free and the oracle replays the one
+    // share division + epochs division bit-exactly.
+    "sample_unimax" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("lang"),
+        size(filter(split(trim(lower(col("text"))), "\\s+"),
+          x => x =!= "")).cast("long").as("n_toks"))
+      Sampling.unimaxAllocation(toks, "lang", "n_toks",
+        budget = 200000L, maxEpochs = 4.0)
+    }),
+
     // Streaming mixture monitor: per-batch token sums sum-merge into
     // (stratum, target, tokens) state; the KL verdict over the final
     // state must equal the batch verdict — oracle = sample_mixture_kl's
@@ -1224,6 +1270,40 @@ object Analytics {
       Text.zipfFitFromCounts(
         s.read.parquet(s"$state/batch=1").filter(col("freq") >= 2),
         topN = 4096)
+    }),
+
+    // Heaps' law vocabulary-growth fit: V(n) = K·n^β over doc_id-
+    // ordered checkpoints every 64 ids — zipf's companion profile.
+    // The oracle replays the bucketed counts, first-occurrence MINs,
+    // prefix sums, and the 6-dp-rounded log-log OLS.
+    "text_heaps" -> ((s, dir) =>
+      Text.heapsFit(t(s, dir, "documents"), "doc_id", "text",
+        bucketWidth = 64)),
+
+    // Streaming Heaps twin: the bucket-keyed token counts sum-merge
+    // across batches (stratumCountSink with stratum = checkpoint
+    // bucket); first buckets are MINs over the merged state, so the
+    // fit over the final state = the batch fit — oracle verbatim.
+    "text_heaps_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val state = java.nio.file.Files
+        .createTempDirectory("heaps_stream").toString
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "text")
+        .withColumn("_hb", expr("cast(doc_id as bigint) div 64"))
+        .writeStream
+        .foreachBatch(StreamingOps.stratumCountSink(state, "_hb", "text"))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      Text.heapsFitFromCounts(s.read.parquet(s"$state/batch=1"))
     }),
 
     // passage-level dedup: 10-token segments, keep = first occurrence
@@ -3580,6 +3660,43 @@ object Analytics {
          SELECT lang, tokens, round(sh, 6) AS share, target,
            round(sh * ln(sh / target), 6) AS kl_term
          FROM s""",
+    // UniMax waterfilling replay: ascending (count, stratum) order,
+    // prefix cap sums, the closed-form capped-prefix test, one share
+    // division — all arithmetic on exact-integer doubles
+    "sample_unimax" ->
+      """WITH tk AS (SELECT lang AS stratum,
+           CAST(sum(len(list_filter(
+             regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> x <> ''))) AS BIGINT) AS n_tokens
+         FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+       o AS (SELECT stratum, n_tokens,
+           CAST(n_tokens AS DOUBLE) * CAST(4.0 AS DOUBLE) AS cap,
+           row_number() OVER (ORDER BY n_tokens, stratum) AS i,
+           count(*) OVER () AS l,
+           coalesce(sum(CAST(n_tokens AS DOUBLE) * CAST(4.0 AS DOUBLE))
+             OVER (ORDER BY n_tokens, stratum
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             CAST(0 AS DOUBLE)) AS prevcap
+         FROM tk),
+       f AS (SELECT *,
+           (prevcap + cap * CAST(l - i + 1 AS DOUBLE)
+             < CAST(200000 AS DOUBLE)) AS capped
+         FROM o),
+       g AS (SELECT *,
+           sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k,
+           coalesce(sum(CASE WHEN capped THEN cap END) OVER (),
+             CAST(0 AS DOUBLE)) AS cappedsum
+         FROM f),
+       q AS (SELECT stratum, n_tokens, capped,
+           CASE WHEN capped THEN cap
+             ELSE CASE WHEN l > k
+               THEN (CAST(200000 AS DOUBLE) - cappedsum)
+                 / CAST(l - k AS DOUBLE)
+               ELSE CAST(0.0 AS DOUBLE) END END AS quota
+         FROM g)
+       SELECT stratum, n_tokens, capped, quota,
+         quota / CAST(n_tokens AS DOUBLE) AS epochs
+       FROM q""",
     "text_zipf" ->
       """WITH v AS (SELECT w AS token, count(*) AS freq
            FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
@@ -3595,6 +3712,39 @@ object Analytics {
            round(regr_slope(y, x), 6) AS slope,
            round(regr_intercept(y, x), 6) AS intercept
          FROM pts""",
+    // Heaps replay: bucketed (bucket, token) counts, first-occurrence
+    // MIN per type, checkpoint prefix sums, 6-dp log-log OLS
+    "text_heaps" ->
+      """WITH occ AS (SELECT doc_id // 64 AS b,
+           unnest(list_filter(
+             regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> x <> '')) AS tok
+         FROM documents),
+       cnt AS (SELECT b, tok, CAST(count(*) AS BIGINT) AS c
+         FROM occ GROUP BY 1, 2),
+       nv AS (SELECT fb, CAST(count(*) AS BIGINT) AS nv
+         FROM (SELECT tok, min(b) AS fb FROM cnt GROUP BY tok)
+         GROUP BY fb),
+       nt AS (SELECT b, CAST(sum(c) AS BIGINT) AS nt
+         FROM cnt GROUP BY b),
+       j AS (SELECT nt.b, nt.nt, coalesce(nv.nv, 0) AS nv
+         FROM nt LEFT JOIN nv ON nv.fb = nt.b),
+       p AS (SELECT
+           sum(nt) OVER (ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct,
+           sum(nv) OVER (ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+         FROM j),
+       pts AS (SELECT ct, cv,
+           log10(CAST(ct AS DOUBLE)) AS x,
+           log10(CAST(cv AS DOUBLE)) AS y
+         FROM p)
+       SELECT CAST(count(*) AS BIGINT) AS n_points,
+         CAST(max(ct) AS BIGINT) AS n_tokens,
+         CAST(max(cv) AS BIGINT) AS n_types,
+         round(regr_slope(y, x), 6) AS beta,
+         round(regr_intercept(y, x), 6) AS log10_k
+       FROM pts""",
     "sample_temperature" ->
       """WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
          cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS cn
@@ -4383,6 +4533,45 @@ object Analytics {
          (n_sentences >= 5 AND NOT has_lorem AND NOT has_brace
            AND NOT has_badword) AS keep
        FROM sig2""",
+    // FineWeb line-shape replay: the same line split, the C4
+    // terminal-punct regex, per-distinct-line (c−1)·len duplicate
+    // mass via nested list HOFs, single double divisions
+    "text_fineweb" ->
+      """WITH s AS (SELECT doc_id,
+           string_split(text, chr(10)) AS lines
+         FROM documents),
+       sig AS (SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(lines, l ->
+             regexp_matches(l, '[.!?"]\s*$'))) AS BIGINT) AS punct,
+           CAST(len(list_filter(lines, l ->
+             length(l) < 30)) AS BIGINT) AS short,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(lines, l -> CAST(length(l) AS BIGINT))),
+             (a, b) -> a + b) AS tot_chars,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(list_distinct(lines), d ->
+               (CAST(len(list_filter(lines, l -> l = d)) AS BIGINT) - 1)
+                 * CAST(length(d) AS BIGINT))),
+             (a, b) -> a + b) AS dup_chars
+         FROM s),
+       frac AS (SELECT doc_id, n_lines,
+           CAST(punct AS DOUBLE) / CAST(n_lines AS DOUBLE)
+             AS punct_line_frac,
+           CAST(short AS DOUBLE) / CAST(n_lines AS DOUBLE)
+             AS short_line_frac,
+           CASE WHEN tot_chars = 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE CAST(dup_chars AS DOUBLE) / CAST(tot_chars AS DOUBLE)
+           END AS dup_line_char_frac
+         FROM sig)
+       SELECT doc_id, n_lines, punct_line_frac, short_line_frac,
+         dup_line_char_frac,
+         (punct_line_frac > 0.12) AS pass_punct,
+         (dup_line_char_frac < 0.1) AS pass_dup,
+         (short_line_frac < 0.67) AS pass_short,
+         (punct_line_frac > 0.12 AND dup_line_char_frac < 0.1
+           AND short_line_frac < 0.67) AS keep
+       FROM frac""",
     // fractional-epoch up-sampling replay: floor/frac in the same
     // IEEE order, the splitmix64(doc_id + 7) bucket gate for the
     // fractional copy, then range() unnest for the copy index
@@ -4437,9 +4626,11 @@ object Analytics {
     "text_hashing_stream" -> oraclesBase("text_hashing"),
     "sample_mixture_kl_stream" -> oraclesBase("sample_mixture_kl"),
     "text_zipf_stream" -> oraclesBase("text_zipf"),
+    "text_heaps_stream" -> oraclesBase("text_heaps"),
     "text_gopher_stream" -> oraclesBase("text_gopher"),
     "text_nb_stream" -> oraclesBase("text_nb_score"),
     "text_c4_stream" -> oraclesBase("text_c4"),
+    "text_fineweb_stream" -> oraclesBase("text_fineweb"),
     "url_filter_stream" -> oraclesBase("url_filter"),
     // CCNet buckets: the full SBO train+score replay as a CTE, lang
     // joined back, ntile(3) per language over (score, doc_id) — tile
