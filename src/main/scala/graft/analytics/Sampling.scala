@@ -774,12 +774,23 @@ object Sampling {
   def unimaxAllocation(df: DataFrame, stratumCol: String,
                        tokensCol: String, budget: Long,
                        maxEpochs: Double): DataFrame = {
-    require(budget > 0, s"unimaxAllocation: budget=$budget")
-    require(maxEpochs > 0, s"unimaxAllocation: maxEpochs=$maxEpochs")
-    import org.apache.spark.sql.expressions.Window
     val cnt = df.filter(col(stratumCol).isNotNull)
       .groupBy(col(stratumCol).cast("string").as("stratum"))
       .agg(sum(col(tokensCol).cast("long")).as("n_tokens"))
+    unimaxFromCounts(cnt, budget, maxEpochs)
+  }
+
+  /** The waterfilling tail of [[unimaxAllocation]] over a
+    * pre-aggregated (stratum, n_tokens) frame — shared by the batch
+    * operator and the streaming per-stratum token-sum sink, whose
+    * committed state IS such a frame (sum-merge is order-insensitive,
+    * so the plan over the final state equals the batch plan).
+    */
+  def unimaxFromCounts(cnt: DataFrame, budget: Long,
+                       maxEpochs: Double): DataFrame = {
+    require(budget > 0, s"unimaxAllocation: budget=$budget")
+    require(maxEpochs > 0, s"unimaxAllocation: maxEpochs=$maxEpochs")
+    import org.apache.spark.sql.expressions.Window
     val ord = Window.orderBy(col("n_tokens").asc, col("stratum").asc)
     val all = ord.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)

@@ -1209,6 +1209,33 @@ object Analytics {
         budget = 200000L, maxEpochs = 4.0)
     }),
 
+    // Streaming UniMax twin: per-batch per-language token sums
+    // sum-merge into (stratum, n_tokens) state; the plan over the
+    // final state must equal the batch plan — oracle verbatim.
+    "sample_unimax_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          size(filter(split(trim(lower(col("text"))), "\\s+"),
+            x => x =!= "")).cast("long").as("n_toks"))
+        .as[(Long, String, Long)].collect()
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val state = java.nio.file.Files
+        .createTempDirectory("unimax_stream").toString
+      val in = MemoryStream[(Long, String, Long)]
+      val q = in.toDF().toDF("doc_id", "lang", "n_toks")
+        .writeStream
+        .foreachBatch(StreamingOps.stratumSumSink(state, "lang", "n_toks"))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      Sampling.unimaxFromCounts(s.read.parquet(s"$state/batch=1"),
+        budget = 200000L, maxEpochs = 4.0)
+    }),
+
     // Streaming mixture monitor: per-batch token sums sum-merge into
     // (stratum, target, tokens) state; the KL verdict over the final
     // state must equal the batch verdict — oracle = sample_mixture_kl's
@@ -4627,6 +4654,7 @@ object Analytics {
     "sample_mixture_kl_stream" -> oraclesBase("sample_mixture_kl"),
     "text_zipf_stream" -> oraclesBase("text_zipf"),
     "text_heaps_stream" -> oraclesBase("text_heaps"),
+    "sample_unimax_stream" -> oraclesBase("sample_unimax"),
     "text_gopher_stream" -> oraclesBase("text_gopher"),
     "text_nb_stream" -> oraclesBase("text_nb_score"),
     "text_c4_stream" -> oraclesBase("text_c4"),

@@ -864,6 +864,33 @@ object StreamingOps {
     }
   }
 
+  /** Streaming per-stratum token totals — the sum-merged
+    * (stratum, n_tokens) frame [[graft.analytics.Sampling
+    * .unimaxFromCounts]] plans from: each micro-batch's per-stratum
+    * sums merge into the committed state by addition, which is
+    * order-insensitive, so the state after any prefix equals the
+    * batch aggregate over that prefix. State size = |strata|
+    * (languages/domains), constant per batch.
+    */
+  def stratumSumSink(
+      stateDir: String,
+      strataCol: String,
+      tokensCol: String): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val newC = batch.filter(col(strataCol).isNotNull)
+        .groupBy(col(strataCol).cast("string").as("stratum"))
+        .agg(sum(col(tokensCol).cast("long")).cast("long").as("n_tokens"))
+      val merged = latestCommittedDir(stateDir, batchId) match {
+        case Some(prev) => spark.read.parquet(prev).unionByName(newC)
+          .groupBy(col("stratum"))
+          .agg(sum(col("n_tokens")).cast("long").as("n_tokens"))
+        case None => newC
+      }
+      merged.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    }
+  }
+
   /** Streaming vocabulary maintenance — sum-merged (token, freq)
     * state from each batch's [[graft.analytics.Text.vocab]] counts
     * (minCount 1 INTO the state: a threshold applied per batch would

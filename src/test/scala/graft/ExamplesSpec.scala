@@ -244,4 +244,23 @@ class ExamplesSpec extends AnyFunSuite {
       .get("doc_id").asLong).map(_._2.length)
     assert(perDoc.nonEmpty && perDoc.forall(n => n == 2 || n == 3))
   }
+
+  test("unimax-plan annotates, counts tokens, and emits a budget plan") {
+    clean("/tmp/graft-unimax-plan")
+    val cfg = load("unimax-plan.yaml").head
+    val out = Cdc.ok(Runner.build(spark, cfg, streaming = false))
+    val rows = out.select(col(Cdc.PayloadAfter)).collect()
+      .map(r => graft.functions.JsonOps.parse(r.getString(0)))
+    // one plan record per language, each with a positive quota and
+    // epochs bounded by the configured cap
+    assert(rows.length >= 2, s"expected per-language plan rows, got ${rows.length}")
+    val epochs = rows.map(_.get("epochs").asDouble)
+    assert(epochs.forall(e => e > 0.0 && e <= 2.0 + 1e-9), epochs.toSeq)
+    // the plan fills the budget unless every language is capped
+    val quotas = rows.map(_.get("quota").asDouble)
+    val allCapped = rows.forall(_.get("capped").asBoolean)
+    if (!allCapped)
+      assert(math.abs(quotas.sum - 20000.0) < 1e-6, quotas.toSeq)
+    else assert(quotas.sum <= 20000.0)
+  }
 }

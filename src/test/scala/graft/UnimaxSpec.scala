@@ -68,6 +68,24 @@ class UnimaxSpec extends AnyFunSuite {
     }
   }
 
+  test("sum-merged split state plans identically to the one-shot (stream law)") {
+    val rows = (0L until 60L).map(i =>
+      (i, Seq("a", "b", "c")(i.toInt % 3), 10L + i % 7))
+      .toDF("id", "lang", "n_toks")
+    val oneShot = Sampling.unimaxAllocation(rows, "lang", "n_toks",
+      budget = 500L, maxEpochs = 2.0).collect().sortBy(_.getString(0))
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("lang").cast("string").as("stratum"))
+        .agg(sum(col("n_toks")).cast("long").as("n_tokens"))
+    val merged = sums(rows.filter(col("id") % 2 === 0))
+      .unionByName(sums(rows.filter(col("id") % 2 === 1)))
+      .groupBy("stratum")
+      .agg(sum(col("n_tokens")).cast("long").as("n_tokens"))
+    val fromState = Sampling.unimaxFromCounts(merged,
+      budget = 500L, maxEpochs = 2.0).collect().sortBy(_.getString(0))
+    assert(oneShot.toSeq == fromState.toSeq)
+  }
+
   test("sample.unimax plugin plans per-stratum records (batch-only guard)") {
     val recs = Cdc.wrap(
       Seq((1L, "a", 4L), (2L, "a", 6L), (3L, "b", 100L),
