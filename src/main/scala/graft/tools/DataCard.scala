@@ -90,7 +90,18 @@ object DataCard {
         round(avg(col("n_kept_lines").cast("double") /
           greatest(col("n_lines"), lit(1L)).cast("double")), 4)).head()
 
+    // FineWeb line-shape pass rates at the paper thresholds — the
+    // post-C4/Gopher shape gate (Penedo et al. 2024 §3.6)
+    val fw = Text.finewebRules(docs, "doc_id", "text")
+      .agg(round(avg(col("keep").cast("double")), 4),
+        round(avg(col("dup_line_char_frac")), 4)).head()
+
     val zipf = Text.zipfFit(docs, "text", minCount = 2, topN = 4096).head()
+
+    // Heaps' law growth: β near 0.5 is natural text; near 1 the
+    // corpus keeps minting new types (noise), near 0 it stopped
+    // growing (template spam). Also the 10×-the-data vocab forecast.
+    val heaps = Text.heapsFit(docs, "doc_id", "text").head()
 
     // language-pair divergence — the mixture-design signal: how far
     // each slice pair is from interchangeable (0 = identical unigram
@@ -119,9 +130,13 @@ object DataCard {
       "gopher_pass_stop_rate" -> gop.getDouble(2),
       "c4_keep_rate" -> c4.getDouble(0),
       "c4_kept_line_rate" -> c4.getDouble(1),
+      "fineweb_keep_rate" -> fw.getDouble(0),
+      "fineweb_dup_line_char_frac" -> fw.getDouble(1),
       "zipf_n_types" -> zipf.getLong(0),
       "zipf_slope" -> zipf.getDouble(1),
       "zipf_intercept" -> zipf.getDouble(2),
+      "heaps_beta" -> heaps.getAs[Double]("beta"),
+      "heaps_log10_k" -> heaps.getAs[Double]("log10_k"),
       "lang_jsd" -> jsd))
   }
 

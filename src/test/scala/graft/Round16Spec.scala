@@ -408,6 +408,13 @@ class Round16Spec extends AnyFunSuite {
     val keep = f("gopher_keep_rate").asInstanceOf[Double]
     assert(keep >= 0.0 && keep <= 1.0)
     assert(f("gopher_pass_words_rate").asInstanceOf[Double] > 0.0)
+    val fwk = f("fineweb_keep_rate").asInstanceOf[Double]
+    assert(fwk >= 0.0 && fwk <= 1.0)
+    // the synthetic corpus has a CLOSED ~31-token vocabulary: it
+    // saturates in the first checkpoint, so β = 0 — exactly the
+    // "stopped growing" reading the card is there to surface
+    val hb = f("heaps_beta").asInstanceOf[Double]
+    assert(hb >= 0.0 && hb <= 1.2, s"heaps_beta=$hb")
     // both renderings carry every metric
     assert(card.fields.forall { case (k, _) =>
       card.markdown.contains(k) && card.json.contains(s""""$k":""") })
