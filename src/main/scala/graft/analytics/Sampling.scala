@@ -821,6 +821,72 @@ object Sampling {
         col("quota"), col("epochs"))
   }
 
+  /** DoReMi mixture weights (Xie et al. 2023, "DoReMi: Optimizing
+    * Data Mixtures Speeds Up Language Model Pretraining" — public
+    * paper, alg. 1's exponentiated-gradient loop): per-domain mixture
+    * weights from a (domain, step, excess-loss) history. Each step
+    * multiplies a domain's weight by `exp(eta·λ)` (λ = the domain's
+    * non-negative excess loss that step) and renormalizes; the
+    * published mixture is the AVERAGE of the per-step normalized
+    * weights. Without the paper's c≈1e-3 uniform smoothing (a
+    * documented simplification — smoothing makes the recursion
+    * non-associative; at c=0 the loop has a closed form), step t's
+    * weights are exactly `softmax(eta · cumsum λ)`, which is what this
+    * computes: per-domain cumulative sums over steps, a per-step
+    * max-stabilized softmax (no overflow however long the history),
+    * and a per-domain average. One row per domain:
+    * (domain, n_steps, mean_excess, weight), weights summing to 1.
+    *
+    * `df` carries per-RECORD losses; they aggregate to per-(domain,
+    * step) means first. Missing (domain, step) cells contribute λ=0
+    * (no update), so the grid is completed before the cumsum.
+    *
+    * Scale shape: one map-side-combined aggregation to |domains|×
+    * |steps| rows and windows over those rows only — domains are
+    * languages/sources (tens) and steps are training checkpoints
+    * (thousands), never documents. Outputs are 6-dp rounded so
+    * partial-aggregation order cannot flip the verdict.
+    */
+  def doremiWeights(df: DataFrame, domainCol: String, stepCol: String,
+                    lossCol: String, eta: Double = 1.0): DataFrame = {
+    val losses = df
+      .filter(col(domainCol).isNotNull && col(stepCol).isNotNull)
+      .groupBy(col(domainCol).cast("string").as("domain"),
+        col(stepCol).cast("long").as("step"))
+      .agg(avg(col(lossCol).cast("double")).as("loss"))
+    doremiFromLosses(losses, eta)
+  }
+
+  /** The grid/softmax tail of [[doremiWeights]] over a pre-aggregated
+    * (domain, step, loss) frame — shared by the batch operator and
+    * the streaming keyed-mean sink, whose committed state yields such
+    * a frame (sum/count merge is order-insensitive).
+    */
+  def doremiFromLosses(losses: DataFrame, eta: Double): DataFrame = {
+    require(eta > 0, s"doremiWeights: eta=$eta")
+    import org.apache.spark.sql.expressions.Window
+    val domains = losses.select(col("domain")).distinct()
+    val steps = losses.select(col("step")).distinct()
+    // complete the grid: a domain with no records in a step takes no
+    // update that step (λ = 0), it must still appear in the softmax
+    val grid = broadcast(domains).crossJoin(broadcast(steps))
+      .join(losses, Seq("domain", "step"), "left")
+      .withColumn("lam",
+        greatest(coalesce(col("loss"), lit(0.0)), lit(0.0)))
+    val cum = Window.partitionBy(col("domain")).orderBy(col("step"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perStep = Window.partitionBy(col("step"))
+    val stabilized = grid
+      .withColumn("_g", lit(eta) * sum(col("lam")).over(cum))
+      .withColumn("_gs", col("_g") - max(col("_g")).over(perStep))
+    val alpha = stabilized.withColumn("alpha",
+      exp(col("_gs")) / sum(exp(col("_gs"))).over(perStep))
+    alpha.groupBy(col("domain")).agg(
+      count(lit(1)).as("n_steps"),
+      round(avg(col("lam")), 6).as("mean_excess"),
+      round(avg(col("alpha")), 6).as("weight"))
+  }
+
   /** Exact per-stratum NTILE without a per-stratum single-task window
     * — the CCNet bucketing primitive (Wenzek et al. 2020 §4.4 splits
     * each language's corpus into head/middle/tail perplexity

@@ -710,6 +710,34 @@ case class SampleUnimaxProc(strataField: Ref, tokensField: Ref,
   }
 }
 
+/** `sample.doremi` — DoReMi mixture weights (Xie et al. 2023;
+  * [[graft.analytics.Sampling.doremiWeights]], the c=0 closed form):
+  * per-domain EG-averaged weights from per-record (domain, step,
+  * excess-loss) fields. One plan record per domain with (n_steps,
+  * mean_excess, weight) — the mixture a `sample.mixture`/
+  * `sample.epochs` run realizes. Corpus-level aggregation + bounded
+  * grid windows — batch-only.
+  */
+case class SampleDoremiProc(domainField: Ref, stepField: Ref,
+                            lossField: Ref, eta: Double)
+    extends Processor {
+  val plugin = "sample.doremi"
+  override def transform(df: DataFrame): DataFrame = {
+    // corpus-level aggregation + grid windows — batch-only, so fail
+    // with the real reason (the text.bpe guard contract)
+    require(!df.isStreaming,
+      "sample.doremi is batch-only (corpus-level loss aggregation); " +
+        "run the pipeline with --batch or apply it foreachBatch")
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, domainField).cast("string").as("_domain"),
+      Analytics2Ops.fieldCol(df, stepField).cast("long").as("_step"),
+      Analytics2Ops.fieldCol(df, lossField).cast("double").as("_loss"))
+    val out = graft.analytics.Sampling.doremiWeights(flat, "_domain",
+      "_step", "_loss", eta)
+    Cdc.wrap(out, "domain", "sample.doremi")
+  }
+}
+
 /** `text.gopher` — the Gopher quality rules (Rae et al. 2021, table
   * A1; [[graft.analytics.Text.gopherMetrics]] with the paper's
   * thresholds) as a pipeline annotator: metadata gets `gopher.keep`,

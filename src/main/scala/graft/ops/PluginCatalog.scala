@@ -263,6 +263,11 @@ object PluginCatalog {
       Seq(req("stratum", ".Payload.After.lang"),
         req("tokens", ".Payload.After.n_tokens"),
         req("budget", "1000000"), opt("maxEpochs", "4.0"))),
+    Entry("sample.doremi",
+      "DoReMi EG mixture weights from per-domain excess losses (batch-only).",
+      Seq(req("domain", ".Payload.After.lang"),
+        req("step", ".Payload.After.step"),
+        req("loss", ".Payload.After.loss"), opt("eta", "1.0"))),
     Entry("sample.curriculum",
       "Exact-NTILE curriculum phase by difficulty score (batch-only).",
       Seq(req("id", Id), req("score", ".Payload.After.n_tokens"),

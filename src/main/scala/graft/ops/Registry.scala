@@ -429,6 +429,10 @@ object Registry {
       Ref.parse(s("stratum")), Ref.parse(s("tokens")),
       s("budget").toLong,
       s.getOrElse("maxEpochs", "4.0").toDouble)),
+    "sample.doremi" -> (s => SampleDoremiProc(
+      Ref.parse(s("domain")), Ref.parse(s("step")),
+      Ref.parse(s("loss")),
+      s.getOrElse("eta", "1.0").toDouble)),
     "sample.curriculum" -> (s => SampleCurriculumProc(
       Ref.parse(s("id")), Ref.parse(s("score")),
       s.getOrElse("phases", "4").toInt)),

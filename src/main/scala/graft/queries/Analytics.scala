@@ -1236,6 +1236,50 @@ object Analytics {
         budget = 200000L, maxEpochs = 4.0)
     }),
 
+    // DoReMi mixture weights (Xie et al. 2023, EG loop at c=0): steps
+    // = doc_id div 100, per-doc excess loss = n_tokens/100 — the
+    // oracle replays the grid completion, per-domain cumsum, per-step
+    // max-stabilized softmax, and the 6-dp-rounded averages.
+    "sample_doremi" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("lang"),
+        expr("cast(doc_id as bigint) div 100").as("step"),
+        (size(filter(split(trim(lower(col("text"))), "\\s+"),
+          x => x =!= "")).cast("double") / lit(100.0)).as("loss"))
+      Sampling.doremiWeights(docs, "lang", "step", "loss", eta = 0.5)
+    }),
+
+    // Streaming DoReMi twin: per-(domain, step) loss sum/count pairs
+    // sum-merge into state; means at read time feed the same tail —
+    // oracle verbatim.
+    "sample_doremi_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          (size(filter(split(trim(lower(col("text"))), "\\s+"),
+            x => x =!= "")).cast("double") / lit(100.0)).as("loss"))
+        .as[(Long, String, Double)].collect()
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      val state = java.nio.file.Files
+        .createTempDirectory("doremi_stream").toString
+      val in = MemoryStream[(Long, String, Double)]
+      val q = in.toDF().toDF("doc_id", "lang", "loss")
+        .withColumn("step", expr("cast(doc_id as bigint) div 100"))
+        .writeStream
+        .foreachBatch(StreamingOps.keyedMeanSink(state, "lang", "step",
+          "loss"))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val st = s.read.parquet(s"$state/batch=1")
+      Sampling.doremiFromLosses(
+        st.select(col("domain"), col("step"),
+          (col("s") / col("n").cast("double")).as("loss")),
+        eta = 0.5)
+    }),
+
     // Streaming mixture monitor: per-batch token sums sum-merge into
     // (stratum, target, tokens) state; the KL verdict over the final
     // state must equal the batch verdict — oracle = sample_mixture_kl's
@@ -3724,6 +3768,38 @@ object Analytics {
        SELECT stratum, n_tokens, capped, quota,
          quota / CAST(n_tokens AS DOUBLE) AS epochs
        FROM q""",
+    // DoReMi EG replay: grid completion with λ=0 gaps, per-domain
+    // cumulative sums over steps, per-step max-stabilized softmax,
+    // per-domain 6-dp averages
+    "sample_doremi" ->
+      """WITH docs0 AS (SELECT lang AS domain, doc_id // 100 AS step,
+           CAST(len(list_filter(
+             regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> x <> '')) AS BIGINT) AS tk
+         FROM documents WHERE lang IS NOT NULL),
+       l AS (SELECT domain, step,
+           avg(CAST(tk AS DOUBLE) / CAST(100.0 AS DOUBLE)) AS loss
+         FROM docs0 GROUP BY 1, 2),
+       doms AS (SELECT DISTINCT domain FROM l),
+       steps AS (SELECT DISTINCT step FROM l),
+       grid AS (SELECT domain, step,
+           greatest(coalesce(loss, CAST(0 AS DOUBLE)),
+             CAST(0 AS DOUBLE)) AS lam
+         FROM doms CROSS JOIN steps LEFT JOIN l USING (domain, step)),
+       g AS (SELECT domain, step, lam,
+           CAST(0.5 AS DOUBLE) * sum(lam) OVER (PARTITION BY domain
+             ORDER BY step
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gg
+         FROM grid),
+       sm AS (SELECT *, max(gg) OVER (PARTITION BY step) AS m FROM g),
+       a AS (SELECT domain, step, lam,
+           exp(gg - m) / sum(exp(gg - m)) OVER (PARTITION BY step)
+             AS alpha
+         FROM sm)
+       SELECT domain, CAST(count(*) AS BIGINT) AS n_steps,
+         round(avg(lam), 6) AS mean_excess,
+         round(avg(alpha), 6) AS weight
+       FROM a GROUP BY domain""",
     "text_zipf" ->
       """WITH v AS (SELECT w AS token, count(*) AS freq
            FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
@@ -4655,6 +4731,7 @@ object Analytics {
     "text_zipf_stream" -> oraclesBase("text_zipf"),
     "text_heaps_stream" -> oraclesBase("text_heaps"),
     "sample_unimax_stream" -> oraclesBase("sample_unimax"),
+    "sample_doremi_stream" -> oraclesBase("sample_doremi"),
     "text_gopher_stream" -> oraclesBase("text_gopher"),
     "text_nb_stream" -> oraclesBase("text_nb_score"),
     "text_c4_stream" -> oraclesBase("text_c4"),

@@ -891,6 +891,36 @@ object StreamingOps {
     }
   }
 
+  /** Streaming keyed mean state — sum/count pairs per (domain, step)
+    * key, the frame [[graft.analytics.Sampling.doremiFromLosses]]
+    * reads (loss = s/n at read time): both components merge by
+    * addition, which is order-insensitive, so the state after any
+    * prefix equals the batch aggregate over that prefix. State size =
+    * |domains|×|steps| (training checkpoints), constant per batch.
+    */
+  def keyedMeanSink(
+      stateDir: String,
+      domainCol: String,
+      stepCol: String,
+      valueCol: String): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val newC = batch
+        .filter(col(domainCol).isNotNull && col(stepCol).isNotNull)
+        .groupBy(col(domainCol).cast("string").as("domain"),
+          col(stepCol).cast("long").as("step"))
+        .agg(sum(col(valueCol).cast("double")).as("s"),
+          count(lit(1)).cast("long").as("n"))
+      val merged = latestCommittedDir(stateDir, batchId) match {
+        case Some(prev) => spark.read.parquet(prev).unionByName(newC)
+          .groupBy(col("domain"), col("step"))
+          .agg(sum(col("s")).as("s"), sum(col("n")).cast("long").as("n"))
+        case None => newC
+      }
+      merged.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    }
+  }
+
   /** Streaming vocabulary maintenance — sum-merged (token, freq)
     * state from each batch's [[graft.analytics.Text.vocab]] counts
     * (minCount 1 INTO the state: a threshold applied per batch would
