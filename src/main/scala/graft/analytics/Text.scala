@@ -1257,6 +1257,49 @@ object Text {
     bpeSpill(df, out, cached)
   }
 
+  /** Tokenizer fertility profile (Ács 2019, "Exploring BERT's
+    * Vocabulary"; Rust et al. 2021, "How Good is Your Tokenizer?" —
+    * public papers): per-language tokens-per-word and
+    * chars-per-token ratios of a trained merge table — the number a
+    * multilingual team reads before committing to a tokenizer (a
+    * language with high fertility pays more sequence length per word
+    * of content, so it effectively sees less context). Output one row
+    * per language: (lang, n_docs, n_words, n_bpe_tokens, n_chars,
+    * fertility = tokens/words, chars_per_token), ratios 6-dp rounded;
+    * groups with zero words or zero tokens are dropped rather than
+    * emitting division artifacts. With this engine's word-pair merge
+    * table, fertility ≤ 1 (merges join words); a subword tokenizer's
+    * is ≥ 1 — the metric reads the same either way.
+    *
+    * Scale shape: [[bpeSegment]]'s per-round rewrite (batch-only, its
+    * contract) followed by one doc-keyed join of two scan-linear
+    * frames and a map-side-combined per-language aggregate.
+    */
+  def bpeFertility(df: DataFrame, idCol: String, textCol: String,
+                   langCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val seg = bpeSegment(df, idCol, textCol, merges)
+      .select(col("doc_id"), col("n_tokens"))
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+      col(langCol).cast("string").as("lang"),
+      size(filter(wsTokens(lower(trim(col(textCol)))),
+        x => x =!= "")).cast("long").as("_w"),
+      length(col(textCol)).cast("long").as("_ch"))
+    seg.join(base, "doc_id")
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_w")).cast("long").as("n_words"),
+        sum(col("n_tokens")).cast("long").as("n_bpe_tokens"),
+        sum(col("_ch")).cast("long").as("n_chars"))
+      .filter(col("n_words") > 0 && col("n_bpe_tokens") > 0)
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"), col("n_chars"),
+        round(col("n_bpe_tokens").cast("double") /
+          col("n_words").cast("double"), 6).as("fertility"),
+        round(col("n_chars").cast("double") /
+          col("n_bpe_tokens").cast("double"), 6).as("chars_per_token"))
+  }
+
   /** Eager parquet-spill tail shared by the BPE entry points — like
     * pageRank/components, but the result STAYS DISTRIBUTED: an
     * open-vocabulary token table (or per-doc segmentation) over a

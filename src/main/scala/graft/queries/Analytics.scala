@@ -241,6 +241,18 @@ object Analytics {
       Text.bpeSegment(docs, "doc_id", "text", merges)
     }),
 
+    // Per-language tokenizer fertility (Ács 2019; Rust et al. 2021):
+    // tokens/word + chars/token of the same 3 trained merges — the
+    // oracle replays the unrolled train rounds, the doc join, and the
+    // two rounded ratios.
+    "text_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Text.bpeTrain(docs, "doc_id", "text", rounds = 3)
+        .orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Text.bpeFertility(docs, "doc_id", "text", "lang", merges)
+    }),
+
     // Containment join (quote detection): every 20th doc contributes
     // a 10-token excerpt; the probe-prefix + inverted-index plan must
     // recover each excerpt→source pair EXACTLY (oracle = brute-force
@@ -3448,6 +3460,36 @@ object Analytics {
          SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
            array_to_string(l, chr(31)) AS tokens
          FROM f""",
+    // fertility replay: the same unrolled merge rounds, whitespace
+    // word counts + char lengths joined per doc, per-language sums,
+    // two 6-dp-rounded ratios
+    "text_fertility" ->
+      s"""WITH seqs0 AS (SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS l
+           FROM documents),
+         ${bpeUnrollBlocks(3)},
+         f AS (SELECT doc_id,
+             CAST(len(list_filter(l, x -> x <> '')) AS BIGINT) AS nt
+           FROM seqs3),
+         base AS (SELECT doc_id, lang,
+             CAST(len(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               x -> x <> '')) AS BIGINT) AS w,
+             CAST(length(text) AS BIGINT) AS ch
+           FROM documents),
+         agg AS (SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(w) AS BIGINT) AS n_words,
+             CAST(sum(nt) AS BIGINT) AS n_bpe_tokens,
+             CAST(sum(ch) AS BIGINT) AS n_chars
+           FROM f JOIN base USING (doc_id) GROUP BY lang
+           HAVING sum(w) > 0 AND sum(nt) > 0)
+         SELECT lang, n_docs, n_words, n_bpe_tokens, n_chars,
+           round(CAST(n_bpe_tokens AS DOUBLE)
+             / CAST(n_words AS DOUBLE), 6) AS fertility,
+           round(CAST(n_chars AS DOUBLE)
+             / CAST(n_bpe_tokens AS DOUBLE), 6) AS chars_per_token
+         FROM agg""",
     // brute-force all-pairs containment over the bounded corpus — the
     // strongest oracle an index-pruned exact join can carry
     "dedup_containment" ->
