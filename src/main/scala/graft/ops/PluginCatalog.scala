@@ -268,6 +268,10 @@ object PluginCatalog {
       Seq(req("domain", ".Payload.After.lang"),
         req("step", ".Payload.After.step"),
         req("loss", ".Payload.After.loss"), opt("eta", "1.0"))),
+    Entry("custom.javascript",
+      "Run custom JavaScript code: process(record) per record, in a Node subprocess.",
+      Seq(req("script", "function process(r) { return r; }"),
+        opt("script.path", "/pipelines/proc.js"))),
     Entry("sample.curriculum",
       "Exact-NTILE curriculum phase by difficulty score (batch-only).",
       Seq(req("id", Id), req("score", ".Payload.After.n_tokens"),
@@ -643,7 +647,8 @@ object PluginCatalog {
       "error", "clone", "split", "sql", "webhook", "enrich", "openai",
       "cohere", "ollama", "dedup", "text", "sample", "sketch", "graph",
       "sim", "linkage", "link", "joins", "privacy", "retrieval", "seq",
-      "cdc", "dq", "quality", "stats", "layout", "report", "url")
+      "cdc", "dq", "quality", "stats", "layout", "report", "url",
+      "custom")
     require(groups.keySet == order.toSet,
       s"catalogue section order out of date: ${groups.keySet.diff(order.toSet)} / ${order.toSet.diff(groups.keySet)}")
     for (g <- order; e <- groups(g).sortBy(_.plugin)) {

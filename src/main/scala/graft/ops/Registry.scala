@@ -9,13 +9,15 @@ import graft.model.Ref
   * (`.../exampleutil/specs/` JSON files).
   *
   * Custom processors: the reference's escape hatch is an embedded JS
-  * engine (`impl/custom/javascript.go:151`); ours is the JVM itself —
-  * [[register]] installs any user `Processor` (or a plain
-  * `DataFrame => DataFrame`) under a plugin name, after which YAML
-  * provisioning, the builder DSL, conditions, and the schema
-  * middleware all treat it exactly like a builtin. A declarative
-  * `Column`-level function stays inside codegen, which is strictly
-  * faster than the reference's per-record JS bridge; the `sql`
+  * engine (`impl/custom/javascript.go:151`) — carried here as
+  * `custom.javascript` ([[JsProcessor]]: the same `process(record)`
+  * contract, run in a per-partition Node subprocess). The JVM-native
+  * escape hatch is stronger still: [[register]] installs any user
+  * `Processor` (or a plain `DataFrame => DataFrame`) under a plugin
+  * name, after which YAML provisioning, the builder DSL, conditions,
+  * and the schema middleware all treat it exactly like a builtin. A
+  * declarative `Column`-level function stays inside codegen, which is
+  * strictly faster than any per-record JS bridge; the `sql`
   * processor covers the no-compile case.
   */
 object Registry {
@@ -433,6 +435,7 @@ object Registry {
       Ref.parse(s("domain")), Ref.parse(s("step")),
       Ref.parse(s("loss")),
       s.getOrElse("eta", "1.0").toDouble)),
+    "custom.javascript" -> (s => JsProcessor.fromSettings(s)),
     "sample.curriculum" -> (s => SampleCurriculumProc(
       Ref.parse(s("id")), Ref.parse(s("score")),
       s.getOrElse("phases", "4").toInt)),

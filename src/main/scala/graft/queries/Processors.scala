@@ -430,10 +430,42 @@ object Processors {
           .cast("long").as("n_chars"),
         get_json_object(col(Cdc.PayloadAfter), "$.text_metrics.n_tokens")
           .cast("long").as("n_tokens"))
+    }),
+
+    // custom.javascript executed for REAL (per-partition Node
+    // subprocess, the reference's process(record) contract) with a
+    // deterministic script: one field added, one uppercased, one
+    // metadata key, every tenth record filtered — the oracle replays
+    // the same logic in SQL. ASCII corpus, so JS string length (UTF-16
+    // units) and SQL length (codepoints) agree.
+    "proc_custom_js" -> ((s, dir) => {
+      val recs = Cdc.wrap(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", "documents")
+      val proc = Registry.create("custom.javascript", Map("script" ->
+        """function process(r) {
+          |  var p = r.Payload.After;
+          |  if (p.doc_id % 10 == 7) return null;
+          |  p.n_chars = String(p.text).length;
+          |  p.shout_lang = String(p.lang).toUpperCase();
+          |  r.Metadata["js"] = "1";
+          |  return r;
+          |}""".stripMargin))
+      proc(recs).select(
+        get_json_object(col(Cdc.PayloadAfter), "$.doc_id")
+          .cast("long").as("doc_id"),
+        get_json_object(col(Cdc.PayloadAfter), "$.n_chars")
+          .cast("long").as("n_chars"),
+        get_json_object(col(Cdc.PayloadAfter), "$.shout_lang").as("shout_lang"),
+        col(Cdc.Metadata).getItem("js").as("js"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "proc_custom_js" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           upper(lang) AS shout_lang, '1' AS js
+         FROM documents WHERE doc_id % 10 <> 7""",
     "cdc_materialize" ->
       """WITH l AS (SELECT user_id, event_id,
                 epoch_ns(ts) // 1000000000 AS pos,

@@ -78,7 +78,7 @@ class ConformanceSpec extends AnyFunSuite {
     "field.convert", "json.decode", "json.encode", "base64.encode",
     "base64.decode", "filter", "error", "clone", "split",
     "unwrap.debezium", "unwrap.kafkaconnect", "unwrap.opencdc",
-    "webhook.http", "avro.decode", "avro.encode",
+    "webhook.http", "avro.decode", "avro.encode", "custom.javascript",
     "openai.embeddings", "openai.textgen", "cohere.command",
     "cohere.embed", "cohere.rerank", "ollama")
 
