@@ -245,6 +245,21 @@ class ExamplesSpec extends AnyFunSuite {
     assert(perDoc.nonEmpty && perDoc.forall(n => n == 2 || n == 3))
   }
 
+  test("js-enrich filters, enriches, and annotates through Node") {
+    clean("/tmp/graft-js-enrich")
+    val cfg = load("js-enrich.yaml").head
+    val out = Cdc.ok(Runner.build(spark, cfg, streaming = false))
+    val rows = out.select(col(Cdc.PayloadAfter), col(Cdc.Metadata)).collect()
+    assert(rows.nonEmpty)
+    val payloads = rows.map(r =>
+      graft.functions.JsonOps.parse(r.getString(0)))
+    assert(payloads.forall(_.get("lang").asText != "zh"),
+      "null return filters the zh slice")
+    assert(payloads.forall(_.get("word_count").asLong > 0L))
+    assert(rows.map(_.getMap[String, String](1)).forall(
+      _.get("enriched.by").contains("custom.javascript")))
+  }
+
   test("unimax-plan annotates, counts tokens, and emits a budget plan") {
     clean("/tmp/graft-unimax-plan")
     val cfg = load("unimax-plan.yaml").head

@@ -123,6 +123,31 @@ class JsProcessorSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("record-local by construction: runs inside a streaming pipeline") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val proc = Registry.create("custom.javascript", Map("script" ->
+      """function process(r) {
+        |  if (r.Payload.After.id % 2 == 0) return null;
+        |  r.Metadata["seen"] = "s";
+        |  return r;
+        |}""".stripMargin))
+    val in = MemoryStream[(Long, String)]
+    val stream = Cdc.wrap(in.toDF().toDF("id", "text"), "id", "docs")
+    val q = proc.transform(stream).writeStream
+      .format("memory").queryName("js_stream_out")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d")))
+      q.processAllAvailable()
+      val got = spark.table("js_stream_out")
+        .select(get_json_object(col(Cdc.PayloadAfter), "$.id"),
+          col(Cdc.Metadata).getItem("seen"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == Map("1" -> "s", "3" -> "s"))
+    } finally q.stop()
+  }
+
   test("conditional application bypasses non-matching records untouched") {
     val proc = Registry.create("custom.javascript", Map("script" ->
       """function process(r) { r.Metadata["hit"] = "1"; return r; }"""))
