@@ -147,6 +147,115 @@ object Graph {
     edges.sparkSession.read.parquet(out)
   }
 
+  /** Personalized PageRank (the TrustRank formulation: Gyöngyi,
+    * Garcia-Molina & Pedersen, VLDB 2004 — PageRank whose teleport
+    * mass lands ONLY on a curated seed set): rank = d·Σ_in
+    * rank(src)/outdeg(src), plus (1−d)/|S| at seed nodes. Scores
+    * measure endorsement REACHABLE from the seeds — the link-graph
+    * trust prior for crawl curation, the damped-mass sibling of
+    * [[seedDistance]]'s hop metric.
+    *
+    * Seeds not present in the graph are ignored; an empty
+    * intersection fails loudly (the walk would have nowhere to
+    * restart). Same mode contract as [[pageRank]]:
+    * `deterministic = true` is the bounded-graph ORACLE mode (in-
+    * neighbor sums fold in src order, `maxInDegree`-guarded);
+    * production mode is the plain map-side-combined sum.
+    *
+    * Scale shape: identical to [[pageRank]] — per iteration one join
+    * of the rank table onto the degree-annotated edge list and one
+    * keyed contribution shuffle; the teleport column rides the
+    * persisted node table, so personalization adds ZERO per-iteration
+    * work. |S| is one bounded count.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      iterations: Int = 5,
+      damping: Double = 0.85,
+      deterministic: Boolean = false,
+      eager: Boolean = true,
+      checkpointDir: Option[String] = None,
+      maxInDegree: Int = 1000000,
+      onFences: Seq[DataFrame] => Unit = null): DataFrame = {
+    require(iterations >= 1 && iterations <= 50, s"iterations=$iterations")
+    require(damping > 0 && damping < 1, s"damping=$damping")
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      .distinct()
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val seedCol = seeds.columns.head
+    val nodes0 = e.select(col("_src").as("node"))
+      .union(e.select(col("_dst").as("node"))).distinct()
+    val seedNodes = nodes0.join(
+      seeds.select(col(seedCol).as("node")).distinct(), Seq("node"),
+      "left_semi")
+    // teleport rides the node table: seed nodes carry (1-d)/|S|,
+    // everyone else exactly 0.0 — persisted once, reused every round
+    val sCount = seedNodes.count()
+    require(sCount > 0,
+      "personalizedPageRank: no seed intersects the graph's node set")
+    val teleport = 1.0 - damping
+    val nodes = nodes0
+      .join(seedNodes.withColumn("_t", lit(teleport / sCount.toDouble)),
+        Seq("node"), "left_outer")
+      .na.fill(0.0, Seq("_t"))
+      .persist(storage)
+    val outdeg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
+    val ew = e.join(outdeg, "_src").persist(storage)
+    if (deterministic) {
+      val hubs = e.groupBy(col("_dst")).agg(count(lit(1)).as("_ind"))
+        .filter(col("_ind") > maxInDegree).limit(1).count()
+      require(hubs == 0,
+        s"deterministic personalizedPageRank: a node exceeds maxInDegree=" +
+          s"$maxInDegree (oracle mode collects in-neighbor lists)")
+    }
+    // init = the seed indicator at 1/|S| — computed from the teleport
+    // column with the SAME literal arithmetic the oracle replays
+    var ranks = nodes.select(col("node"),
+      when(col("_t") > 0.0, lit(1.0 / sCount.toDouble))
+        .otherwise(lit(0.0)).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = ew
+        .join(ranks.withColumnRenamed("node", "_src"), "_src")
+        .select(col("_dst").as("node"), col("_src"),
+          (col("rank") / col("_deg").cast("double")).as("_c"))
+      val inSum =
+        if (deterministic)
+          contribs.groupBy(col("node")).agg(
+            aggregate(
+              array_sort(collect_list(struct(col("_src"), col("_c")))),
+              lit(0.0),
+              (acc, x) => acc + x.getField("_c")).as("_s"))
+        else
+          contribs.groupBy(col("node")).agg(sum(col("_c")).as("_s"))
+      ranks = nodes.join(inSum, Seq("node"), "left_outer")
+        .na.fill(0.0, Seq("_s"))
+        .select(col("node"),
+          (col("_t") + lit(damping) * col("_s")).as("rank"))
+    }
+    if (!eager) {
+      if (onFences != null) onFences(Seq(ew, nodes))
+      return ranks
+    }
+    val sc = edges.sparkSession.sparkContext
+    val dir = checkpointDir
+      .orElse(sc.getCheckpointDir)
+      .getOrElse {
+        require(sc.isLocal,
+          "personalizedPageRank(eager=true) on a cluster needs a shared-" +
+            "filesystem spill dir: pass checkpointDir or set " +
+            "SparkContext.setCheckpointDir (or use eager=false)")
+        java.nio.file.Files.createTempDirectory("graft-ppr").toString
+      }
+    val out = dir + "/ppr-" + java.util.UUID.randomUUID().toString
+    ranks.write.mode("overwrite").parquet(out)
+    ew.unpersist(false)
+    nodes.unpersist(false)
+    edges.sparkSession.read.parquet(out)
+  }
+
   /** HITS hubs-and-authorities (Kleinberg, JACM 1999) by power
     * iteration with L1 normalization: auth(v) = Σ_{u→v} hub(u),
     * hub(u) = Σ_{u→v} auth(v), each vector divided by its sum after
@@ -593,6 +702,144 @@ object Graph {
     * on either endpoint (the entire graph under the default cap)
     * skip the re-count — their capped count is already exact.
     */
+  /** Community detection by synchronous label propagation (Raghavan,
+    * Albert & Kumara, Phys. Rev. E 76, 2007) with the deterministic
+    * tie rule: every node starts labeled with its own id; each round
+    * it adopts the label that is most frequent among its neighbors
+    * PLUS its own current label (the self-vote damps the 2-cycle
+    * oscillation of the pure synchronous update), ties broken to the
+    * SMALLEST label. All votes are integer counts and the tie rule is
+    * a total order, so the result after R rounds is a pure function
+    * of the edge multiset — replayable bit-exactly by any engine.
+    *
+    * Early exit equals the fixed budget: the synchronous update is a
+    * deterministic function F of the label table, so F(L) = L means
+    * every later round is also L — a converged run and a full-budget
+    * replay agree (the [[kCore]] argument).
+    *
+    * Scale shape: per round ONE join of the label table onto the
+    * symmetric adjacency (shuffle on the neighbor key) + one
+    * (node, label) count aggregate with map-side combine + one argmax
+    * aggregate — constant-size aggregation state per node, no
+    * neighbor lists are ever collected. Each round references the
+    * label table twice (neighbor join + self-vote), so rounds are
+    * lineage-truncated like [[Dedup.components]]; the per-round
+    * convergence count is the documented bounded 1-long collect.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 4,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 1 && iterations <= 50, s"iterations=$iterations")
+    var ckptId = 0
+    def truncate(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val p = s"$dir/lpa-$ckptId"
+        ckptId += 1
+        df.write.mode("overwrite").parquet(p)
+        df.sparkSession.read.parquet(p)
+      case None => df.localCheckpoint(true)
+    }
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("_u"),
+        greatest(col(srcCol), col(dstCol)).as("_v"))
+      .filter(col("_u") =!= col("_v") && col("_u").isNotNull)
+      .distinct()
+    val sym = truncate(e0.select(col("_u").as("_n"), col("_v").as("_nbr"))
+      .union(e0.select(col("_v").as("_n"), col("_u").as("_nbr"))))
+    var labels = truncate(sym.select(col("_n").as("node")).distinct()
+      .withColumn("lbl", col("node")))
+    var iter = 0
+    var stable = false
+    while (iter < iterations && !stable) {
+      val votes = sym
+        .join(labels.select(col("node").as("_nbr"), col("lbl")), "_nbr")
+        .select(col("_n"), col("lbl"))
+        .union(labels.select(col("node").as("_n"), col("lbl")))
+        .groupBy(col("_n"), col("lbl")).agg(count(lit(1)).as("_c"))
+      val next = truncate(votes
+        .groupBy(col("_n").as("node"))
+        .agg(min(struct((-col("_c")).as("_nc"), col("lbl").as("_l")))
+          .getField("_l").as("lbl")))
+      stable = next.select(col("node"), col("lbl").as("_new"))
+        .join(labels.select(col("node"), col("lbl").as("_old")), "node")
+        .filter(col("_new") =!= col("_old")).limit(1).count() == 0
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
+  /** Hop distance to the nearest seed by multi-source BFS over the
+    * undirected graph — the crawl-frontier trust signal (TrustRank-
+    * style seed proximity, Gyöngyi et al., VLDB 2004, with unit
+    * hops instead of damped mass): nodes close to a curated seed set
+    * are likelier quality pages. Returns (node, hops) for every node
+    * REACHED within `maxHops`; unreached nodes are absent, seeds not
+    * present in the graph's node set are ignored.
+    *
+    * Determinism: hop counts are integers and the frontier merge is
+    * `min` — the output is a pure function of the edge multiset and
+    * seed set. Relaxation is MONOTONE (distances only decrease), so
+    * early exit on a no-improvement round equals the full budget.
+    *
+    * Scale shape: per round ONE join of the current frontier onto the
+    * symmetric adjacency (the frontier shrinks to the BFS ring, so
+    * AQE broadcasts it on sparse graphs) + one min-merge aggregate;
+    * rounds are lineage-truncated, one bounded count per round.
+    */
+  def seedDistance(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      maxHops: Int = 6,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 50, s"maxHops=$maxHops")
+    var ckptId = 0
+    def truncate(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val p = s"$dir/bfs-$ckptId"
+        ckptId += 1
+        df.write.mode("overwrite").parquet(p)
+        df.sparkSession.read.parquet(p)
+      case None => df.localCheckpoint(true)
+    }
+    val seedCol = seeds.columns.head
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("_u"),
+        greatest(col(srcCol), col(dstCol)).as("_v"))
+      .filter(col("_u") =!= col("_v") && col("_u").isNotNull)
+      .distinct()
+    val sym = truncate(e0.select(col("_u").as("_n"), col("_v").as("_nbr"))
+      .union(e0.select(col("_v").as("_n"), col("_u").as("_nbr"))))
+    val nodes = sym.select(col("_n").as("node")).distinct()
+    var dist = truncate(nodes
+      .join(seeds.select(col(seedCol).as("node")).distinct(),
+        Seq("node"), "left_semi")
+      .withColumn("hops", lit(0L)))
+    // frontier = nodes whose distance improved last round; expanding
+    // only the ring (not the whole settled set) keeps each round's
+    // join input at O(ring), the textbook BFS work bound
+    var frontier = dist
+    var hop = 0L
+    var done = false
+    while (hop < maxHops && !done) {
+      hop += 1
+      val reached = sym
+        .join(frontier.select(col("node").as("_n")), "_n")
+        .select(col("_nbr").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hops", lit(hop))
+      frontier = truncate(reached)
+      done = frontier.limit(1).count() == 0
+      if (!done) dist = truncate(dist.unionByName(frontier))
+    }
+    dist.select(col("node"), col("hops"))
+  }
+
   def jaccardLinks(
       edges: DataFrame,
       srcCol: String,

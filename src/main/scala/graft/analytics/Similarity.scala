@@ -499,4 +499,163 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("neighbor_id"), col("adc_dist"))
   }
+
+  /** Top principal component of the embedding matrix by distributed
+    * power iteration (the classic covariance-free formulation: w =
+    * Σ_i (x_i − μ)·((x_i − μ)·v), never materializing the d×d
+    * covariance) — the all-but-the-top ABTT preprocessing signal (Mu
+    * & Viswanath, ICLR 2018: embedding clouds have a dominant common
+    * direction worth measuring/removing) and the 1-D projection
+    * behind PCA-whitened ANN.
+    *
+    * ==Exactness contract (bit-replayable, no rounding tolerance)==
+    * Floats are quantized ONCE (x·xScale rounded to long); the
+    * iterate is carried as an INTEGER vector q = round(v·1e9). Each
+    * round, per-row dots d_i = Σ_j c_ij·q_j fold in index order over
+    * longs (exact), the new direction w_j = Σ_i c_ij·d_i sums in
+    * decimal(38,0) (exact under any partitioning), and the only IEEE
+    * steps — μ_j = round(S_j/n), norm = √(Σ_j w_j² folded in dim
+    * order), q'_j = round(w_j/norm·1e9) — consume exact integers
+    * through one fixed expression, so every engine computes the same
+    * bits. No 6-dp tolerance anywhere: the gate hash matches exactly.
+    *
+    * Overflow is guarded, not assumed: the measured max |c| must
+    * satisfy dims·maxC·1e9 within long range for the dot fold and
+    * n·maxC·(dims·maxC·1e9) within decimal(38,0) for the direction
+    * sum — unit-norm embedding clouds pass with orders of magnitude
+    * to spare; a wild-scaled corpus fails loudly with the knob to
+    * turn (`xScale`).
+    *
+    * Scale shape: quantize+center is row-local behind one 64-row μ
+    * aggregate; each iteration is ONE scan of the persisted centered
+    * matrix (the dot folds row-local) + one dims-row aggregate with
+    * map-side combine + one bounded dims-row collect (the iterate
+    * lives on the driver like the IVF seed table). No shuffle ever
+    * carries more than dims rows.
+    *
+    * Output: one row per dimension — (dim, mu, loading), loading the
+    * unit top component at 1e-9 resolution.
+    */
+  def pcaTopComponent(df: DataFrame, idCol: String, vecCol: String,
+                      iterations: Int = 3, xScale: Double = 1e6): DataFrame = {
+    val (mu, q, dims, centered) = pcaCore(df, idCol, vecCol, iterations, xScale)
+    centered.unpersist(false)
+    val spark = df.sparkSession
+    import spark.implicits._
+    (0 until dims).map(j =>
+      (j.toLong, mu(j).toDouble / xScale, q(j).toDouble / 1e9))
+      .toDF("dim", "mu", "loading")
+  }
+
+  /** Projection of every vector onto [[pcaTopComponent]]'s direction:
+    * (id, pc1) with pc1 = (x − μ)·v, computed as the exact integer
+    * dot of the quantized centered row with the final integer iterate
+    * and descaled by one double division — bit-replayable like the
+    * loadings. One extra row-local scan; no shuffle.
+    */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+                 iterations: Int = 3, xScale: Double = 1e6): DataFrame = {
+    val (_, q, _, centered) = pcaCore(df, idCol, vecCol, iterations, xScale)
+    val qLit = typedLit(q.toSeq)
+    val out = centered.select(col("_id").as(idCol),
+      (aggregate(zip_with(col("_c"), qLit, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).cast("double") /
+        lit(xScale * 1e9)).as("pc1"))
+    centered.unpersist(false)
+    out
+  }
+
+  /** Shared core of the exact power iteration: returns (μ quantized,
+    * final integer iterate, dims, persisted centered matrix). The
+    * caller owns the unpersist.
+    */
+  /** Round half AWAY FROM ZERO — the rule Spark's `round()` and
+    * DuckDB's `round()` share; `Math.round` is floor(x+0.5) (half
+    * toward +∞), which disagrees on negative ties AND mis-rounds
+    * values one ulp below a tie through the +0.5 addition. x−floor(x)
+    * is exact for doubles (the cancellation is representable), so the
+    * tie comparison is on the true fraction.
+    */
+  private def rndAway(x: Double): Long = {
+    val f = Math.floor(x)
+    val frac = x - f
+    if (frac > 0.5) f.toLong + 1L
+    else if (frac < 0.5) f.toLong
+    else if (x >= 0) f.toLong + 1L
+    else f.toLong
+  }
+
+  private def pcaCore(df: DataFrame, idCol: String, vecCol: String,
+                      iterations: Int, xScale: Double)
+      : (Array[Long], Array[Long], Int, DataFrame) = {
+    require(iterations >= 1 && iterations <= 20, s"iterations=$iterations")
+    require(xScale >= 1.0, s"xScale=$xScale")
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val d38 = "decimal(38,0)"
+    val xq = df.select(col(idCol).as("_id"),
+      transform(col(vecCol),
+        x => round(x.cast("double") * lit(xScale)).cast("long")).as("_x"))
+    // dims from the data: one aggregate that simultaneously enforces
+    // fixed width (ragged vectors silently skew per-dim counts)
+    val dimsRow = xq.agg(min(size(col("_x"))).as("mn"),
+      max(size(col("_x"))).as("mx")).head()
+    val dims = dimsRow.getInt(1)
+    require(dims == dimsRow.getInt(0),
+      s"pca: ragged embedding column (widths ${dimsRow.getInt(0)}.." +
+        s"$dims) — fixed-width vectors required")
+    require(dims >= 1 && dims <= 4096, s"dims=$dims")
+    // per-dim mean: ONE aggregate to dims rows, collected (the
+    // documented bounded-collect class — same budget as IVF seeds)
+    val muRows = xq.select(posexplode(col("_x")).as(Seq("_j", "_v")))
+      .groupBy(col("_j")).agg(sum(col("_v")).as("_s"),
+        count(lit(1)).as("_n"))
+      .collect()
+    val n = muRows.head.getLong(2)
+    val mu = new Array[Long](dims)
+    muRows.foreach { r =>
+      mu(r.getInt(0)) = rndAway(r.getLong(1).toDouble / n)
+    }
+    val muLit = typedLit(mu.toSeq)
+    val centered = xq.select(col("_id"),
+      zip_with(col("_x"), muLit, (a, b) => a - b).as("_c"))
+      .persist(storage)
+    // overflow guards from the MEASURED magnitude, not hope: the dot
+    // fold needs dims·maxC·1e9 in long range; the direction sum needs
+    // n·maxC·dimsBound in decimal(38,0)
+    val maxC = centered.agg(max(aggregate(col("_c"), lit(0L),
+      (acc, x) => greatest(acc, abs(x)))).as("m")).head().getLong(0)
+    val dotBound = dims.toDouble * maxC.toDouble * 1e9
+    require(dotBound <= 9.0e17,
+      s"pca: quantized magnitude too large (max |c|=$maxC, dims=$dims) " +
+        s"— per-row dot bound $dotBound exceeds long range; lower xScale")
+    require(n.toDouble * maxC.toDouble * dotBound <= 0.9e38,
+      s"pca: direction-sum bound exceeds decimal(38,0) at n=$n — " +
+        "lower xScale or pre-normalize the embeddings")
+    var q: Array[Long] =
+      Array.fill(dims)(rndAway(1e9 / math.sqrt(dims.toDouble)))
+    for (_ <- 1 to iterations) {
+      val qLit = typedLit(q.toSeq)
+      val wRows = centered
+        .select(aggregate(zip_with(col("_c"), qLit, (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("_d"), col("_c"))
+        .select(col("_d"), posexplode(col("_c")).as(Seq("_j", "_cv")))
+        .groupBy(col("_j"))
+        .agg(sum(col("_cv").cast(d38) * col("_d").cast(d38)).as("_w"))
+        .collect()
+      val w = new Array[Double](dims)
+      wRows.foreach { r =>
+        w(r.getInt(0)) = r.getDecimal(1).doubleValue()
+      }
+      // norm folds in dim order — the one global IEEE reduction,
+      // driver-side over exact inputs so every engine agrees
+      var ss = 0.0
+      var j = 0
+      while (j < dims) { ss += w(j) * w(j); j += 1 }
+      val norm = math.sqrt(ss)
+      require(norm > 0.0,
+        "pca: zero direction (constant embedding matrix?)")
+      q = w.map(wj => rndAway(wj / norm * 1e9))
+    }
+    (mu, q, dims, centered)
+  }
 }

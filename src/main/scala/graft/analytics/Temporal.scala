@@ -1155,4 +1155,63 @@ object Temporal {
         col("low").cast("double").as("low"),
         col("_last._v").cast("double").as("close")): _*)
   }
+
+  /** Exact single changepoint per series (binary segmentation, depth
+    * 1 — the first split of Scott & Knott 1974 / the CUSUM-style
+    * offline complement of [[graft.analytics.Stats]]' streaming
+    * cusum): over each group's (order, value) series, the split k
+    * that maximizes the SSE reduction
+    * Δ(k) = k(n−k)/n · (mean_left − mean_right)², i.e. argmax of
+    * A(k)²/D(k) with A = S_k·n − S·k (exact integers) and
+    * D = k(n−k).
+    *
+    * Determinism contract: A and D are exact decimal(38,0)/HUGEINT
+    * integers under any partitioning; the score is ONE fixed
+    * expression over their correctly-rounded double casts —
+    * (A_d·A_d)/D_d — so every engine computes identical bits and the
+    * argmax (ties → smallest k) replays exactly. Means are one IEEE
+    * division from exact sums.
+    *
+    * Scale shape: per-group running windows (one shuffle on the
+    * group key) + one argmax aggregate. The series is a per-group
+    * SCAN STATISTIC: n is the number of ordered points per group
+    * (days of a KPI, not raw events) — aggregate upstream, as the
+    * gate row does. Values must be exact integers (cents);
+    * |S·n| must fit decimal(38,0) — at daily granularity that is
+    * ~10²⁰ headroom.
+    *
+    * Output: (group…, n, cp_k, split order value, mean_left,
+    * mean_right, score); groups with n < 2 are absent (no split
+    * exists).
+    */
+  def changepoint(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                  valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("_t"))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val staged = df.select(groupCols.map(col) ++ Seq(col(orderCol).as("_t"),
+        col(valueCol).cast("long").as("_v")): _*)
+      .withColumn("_k", row_number().over(w).cast("long"))
+      .withColumn("_sk", sum(col("_v")).over(w))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_s", sum(col("_v")).over(wAll))
+    val cand = staged.filter(col("_k") < col("_n"))
+      .withColumn("_a", col("_sk").cast(d38) * col("_n").cast(d38) -
+        col("_s").cast(d38) * col("_k").cast(d38))
+      .withColumn("_dd", (col("_k") * (col("_n") - col("_k"))).cast(d38))
+      .withColumn("_q", (col("_a").cast("double") * col("_a").cast("double"))
+        / col("_dd").cast("double"))
+    cand.groupBy(groupCols.map(col): _*)
+      .agg(max(struct(col("_q"), (-col("_k")).as("_nk"), col("_t"),
+        col("_sk"), col("_n"), col("_s"))).as("_best"))
+      .select(groupCols.map(col) ++ Seq(
+        col("_best._n").as("n"),
+        (-col("_best._nk")).as("cp_k"),
+        col("_best._t").as("split_at"),
+        (col("_best._sk").cast("double") /
+          (-col("_best._nk")).cast("double")).as("mean_left"),
+        ((col("_best._s") - col("_best._sk")).cast("double") /
+          (col("_best._n") + col("_best._nk")).cast("double")).as("mean_right"),
+        col("_best._q").as("score")): _*)
+  }
 }

@@ -1307,3 +1307,146 @@ case class UrlFilterProc(field: Ref, drop: Boolean,
     out.drop("_uv")
   }
 }
+
+/** `graph.labelprop` — synchronous label-propagation communities over
+  * an edge stream ([[graft.analytics.Graph.labelPropagation]]:
+  * integer votes + the (max count, min label) tie rule, self-vote
+  * damping, lineage-truncated rounds): one create record per node
+  * with its community label, keyed by node. Aggregate output via
+  * [[Cdc.wrap]] — the community complement of `graph.components`
+  * (density-sensitive instead of reachability-only).
+  */
+case class LabelPropProc(src: Ref, dst: Ref, iterations: Int)
+    extends Processor {
+  val plugin = "graph.labelprop"
+  override def transform(df: DataFrame): DataFrame = {
+    // per-round convergence counts — batch-only, the text.bpe guard
+    // contract
+    require(!df.isStreaming,
+      "graph.labelprop is batch-only (iterative propagation over the " +
+        "corpus); run the pipeline with --batch or apply it foreachBatch")
+    val edges = df.select(Analytics2Ops.fieldCol(df, src).as("id_a"),
+        Analytics2Ops.fieldCol(df, dst).as("id_b"))
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull)
+    val out = graft.analytics.Graph.labelPropagation(edges, "id_a", "id_b",
+      iterations)
+    Cdc.wrap(out, "node", "graph.labelprop")
+  }
+}
+
+/** `graph.seeddist` — hop distance to the nearest seed by
+  * multi-source BFS ([[graft.analytics.Graph.seedDistance]]): seeds
+  * come from a FIXED parquet table (the text.nb model-table
+  * precedent — curate once, annotate forever); one create record per
+  * reached node with (node, hops). TrustRank-style seed proximity
+  * for crawl-frontier curation. Aggregate output via [[Cdc.wrap]].
+  */
+case class SeedDistProc(src: Ref, dst: Ref, seedsTable: String,
+                        seedColumn: String, maxHops: Int)
+    extends Processor {
+  require(seedsTable.nonEmpty, "graph.seeddist: need seedsTable")
+  val plugin = "graph.seeddist"
+  override def transform(df: DataFrame): DataFrame = {
+    require(!df.isStreaming,
+      "graph.seeddist is batch-only (iterative BFS over the corpus); " +
+        "run the pipeline with --batch or apply it foreachBatch")
+    val edges = df.select(Analytics2Ops.fieldCol(df, src).as("id_a"),
+        Analytics2Ops.fieldCol(df, dst).as("id_b"))
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull)
+    val seedsRaw = df.sparkSession.read.parquet(seedsTable)
+    val seeds = if (seedColumn.isEmpty) seedsRaw
+      else seedsRaw.select(col(seedColumn))
+    val out = graft.analytics.Graph.seedDistance(edges, "id_a", "id_b",
+      seeds, maxHops)
+    Cdc.wrap(out, "node", "graph.seeddist")
+  }
+}
+
+/** `sim.pca` — top principal component of the batch's embedding
+  * cloud by the EXACT integer power iteration
+  * ([[graft.analytics.Similarity.pcaTopComponent]]): `output=loadings`
+  * emits one create record per dimension (dim, mu, loading) — the
+  * ABTT common-direction diagnostic; `output=project` emits one per
+  * vector (id, pc1) — the 1-D quality/slice axis. Aggregate output
+  * via [[Cdc.wrap]].
+  */
+case class SimPcaProc(idField: Ref, vecField: Ref, iterations: Int,
+                      output: String) extends Processor {
+  require(output == "loadings" || output == "project",
+    s"sim.pca: output must be loadings|project, got $output")
+  val plugin = "sim.pca"
+  override def transform(df: DataFrame): DataFrame = {
+    require(!df.isStreaming,
+      "sim.pca is batch-only (the power iteration collects the " +
+        "per-dim direction each round); run the pipeline with --batch " +
+        "or apply it foreachBatch")
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id"),
+      Analytics3Ops.vecCol(df, vecField).as("_vec"))
+      .filter(col("_vec").isNotNull)
+    if (output == "loadings") {
+      val out = graft.analytics.Similarity.pcaTopComponent(
+        flat, "_id", "_vec", iterations)
+      Cdc.wrap(out, "dim", "sim.pca")
+    } else {
+      val out = graft.analytics.Similarity.pcaProject(
+        flat, "_id", "_vec", iterations)
+      Cdc.wrap(out, "_id", "sim.pca")
+    }
+  }
+}
+
+/** `graph.ppr` — personalized PageRank over an edge stream
+  * ([[graft.analytics.Graph.personalizedPageRank]]: teleport mass
+  * restarts only at seeds from a FIXED parquet table — TrustRank):
+  * one create record per node with its seed-relative rank. Lazy tail
+  * with per-batch fence rotation, like `graph.pagerank`. Aggregate
+  * output via [[Cdc.wrap]].
+  */
+case class PprProc(src: Ref, dst: Ref, seedsTable: String,
+                   seedColumn: String, iterations: Int, damping: Double)
+    extends Processor with BatchFenceRelease {
+  require(seedsTable.nonEmpty, "graph.ppr: need seedsTable")
+  val plugin = "graph.ppr"
+  override def transform(df: DataFrame): DataFrame = {
+    require(!df.isStreaming,
+      "graph.ppr is batch-only (iterative walk over the corpus); " +
+        "run the pipeline with --batch or apply it foreachBatch")
+    val edges = df.select(Analytics2Ops.fieldCol(df, src).as("_src"),
+        Analytics2Ops.fieldCol(df, dst).as("_dst"))
+      .filter(col("_src").isNotNull && col("_dst").isNotNull)
+    val seedsRaw = df.sparkSession.read.parquet(seedsTable)
+    val seeds = if (seedColumn.isEmpty) seedsRaw
+      else seedsRaw.select(col(seedColumn))
+    val ranks = graft.analytics.Graph.personalizedPageRank(edges,
+      "_src", "_dst", seeds, iterations, damping,
+      eager = false, onFences = rotateFences())
+    Cdc.wrap(ranks, "node", "graph.ppr")
+  }
+}
+
+/** `ts.changepoint` — exact single changepoint per series
+  * ([[graft.analytics.Temporal.changepoint]]): one create record per
+  * group with (n, cp_k, split_at, mean_left, mean_right, score),
+  * keyed by the group tuple. Aggregate output via [[Cdc.wrap]] — the
+  * offline level-shift complement of the streaming `stats_cusum` row.
+  */
+case class ChangepointProc(groups: Seq[Ref], order: Ref, value: Ref)
+    extends Processor {
+  require(groups.nonEmpty, "ts.changepoint: need groups")
+  val plugin = "ts.changepoint"
+  override def transform(df: DataFrame): DataFrame = {
+    require(!df.isStreaming,
+      "ts.changepoint is batch-only (per-series rank over the corpus); " +
+        "run the pipeline with --batch or apply it foreachBatch")
+    val names = groups.map(r => r.sub.lastOption.getOrElse("g"))
+    val flat = df.select(
+      (groups.zip(names).map { case (r, n) =>
+        Analytics2Ops.fieldCol(df, r).as(n) } ++ Seq(
+        Analytics2Ops.fieldCol(df, order).cast("long").as("_ord"),
+        Analytics2Ops.fieldCol(df, value).cast("long").as("_val"))): _*)
+    val out = graft.analytics.Temporal.changepoint(flat, names, "_ord", "_val")
+    val keyed = out.withColumn("_k", concat_ws("|", names.map(col): _*))
+    Cdc.wrap(keyed, "_k", "ts.changepoint")
+  }
+}

@@ -272,6 +272,11 @@ object PluginCatalog {
       "Run custom JavaScript code: process(record) per record, in a Node subprocess.",
       Seq(req("script", "function process(r) { return r; }"),
         opt("script.path", "/pipelines/proc.js"))),
+    Entry("custom.wasm",
+      "Run a WebAssembly module over each record's payload bytes (alloc/process ABI, Node-hosted).",
+      Seq(req("wasm.base64", "AGFzbQEAAAA=", "base64 module (or wasm.path)"),
+        opt("wasm.path", "", "load the module from a .wasm file instead"),
+        opt("field", ".Payload.After", ".Payload.After|.Payload.Before|.Key"))),
     Entry("sample.curriculum",
       "Exact-NTILE curriculum phase by difficulty score (batch-only).",
       Seq(req("id", Id), req("score", ".Payload.After.n_tokens"),
@@ -350,6 +355,25 @@ object PluginCatalog {
     Entry("graph.links", "Jaccard link prediction over shared neighbors.",
       Seq(req("src", Src), req("dst", Dst), opt("minJaccard", "0.5"),
         opt("maxDegree", "100000"))),
+    Entry("graph.labelprop", "Label-propagation communities (batch-only).",
+      Seq(req("src", Src), req("dst", Dst), opt("iterations", "4"))),
+    Entry("graph.ppr",
+      "Personalized PageRank from a seed table (TrustRank, batch-only).",
+      Seq(req("src", Src), req("dst", Dst),
+        req("seedsTable", "/data/seeds"),
+        opt("seedColumn", "", "default: first column"),
+        opt("iterations", "5"), opt("damping", "0.85"))),
+    Entry("ts.changepoint",
+      "Exact single changepoint per series (SSE-reduction argmax, batch-only).",
+      Seq(req("groups", ".Payload.After.event_type"),
+        req("order", ".Payload.After.day"),
+        req("value", ".Payload.After.cents"))),
+    Entry("graph.seeddist",
+      "Hop distance to the nearest seed by multi-source BFS (batch-only).",
+      Seq(req("src", Src), req("dst", Dst),
+        req("seedsTable", "/data/seeds"),
+        opt("seedColumn", "", "default: first column"),
+        opt("maxHops", "6"))),
 
     // ---- similarity --------------------------------------------------------
     Entry("sim.topk", "Top-k cosine neighbors (brute force or IVF).",
@@ -360,6 +384,10 @@ object PluginCatalog {
       Seq(req("id", Id), req("vec", Vec), opt("k", "8"))),
     Entry("sim.quantize", "Scalar int8 quantization of a vector field.",
       Seq(req("id", Id), req("vec", Vec))),
+    Entry("sim.pca",
+      "Top principal component by exact power iteration (batch-only).",
+      Seq(req("id", Id), req("vec", Vec), opt("iterations", "3"),
+        opt("output", "loadings", "loadings|project"))),
 
     // ---- linkage / joins --------------------------------------------------
     Entry("linkage.jw", "Jaro-Winkler fuzzy links within blocks.",
@@ -647,7 +675,7 @@ object PluginCatalog {
       "error", "clone", "split", "sql", "webhook", "enrich", "openai",
       "cohere", "ollama", "dedup", "text", "sample", "sketch", "graph",
       "sim", "linkage", "link", "joins", "privacy", "retrieval", "seq",
-      "cdc", "dq", "quality", "stats", "layout", "report", "url",
+      "cdc", "dq", "quality", "stats", "ts", "layout", "report", "url",
       "custom")
     require(groups.keySet == order.toSet,
       s"catalogue section order out of date: ${groups.keySet.diff(order.toSet)} / ${order.toSet.diff(groups.keySet)}")

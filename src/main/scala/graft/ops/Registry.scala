@@ -288,6 +288,24 @@ object Registry {
     "graph.components" -> (s => GraphComponentsProc(
       Ref.parse(s("src")), Ref.parse(s("dst")),
       s.getOrElse("maxIter", "25").toInt)),
+    "graph.labelprop" -> (s => LabelPropProc(
+      Ref.parse(s("src")), Ref.parse(s("dst")),
+      s.getOrElse("iterations", "4").toInt)),
+    "graph.ppr" -> (s => PprProc(
+      Ref.parse(s("src")), Ref.parse(s("dst")),
+      s("seedsTable"), s.getOrElse("seedColumn", ""),
+      s.getOrElse("iterations", "5").toInt,
+      s.getOrElse("damping", "0.85").toDouble)),
+    "ts.changepoint" -> (s => ChangepointProc(
+      refs(s, "groups"), Ref.parse(s("order")), Ref.parse(s("value")))),
+    "graph.seeddist" -> (s => SeedDistProc(
+      Ref.parse(s("src")), Ref.parse(s("dst")),
+      s("seedsTable"), s.getOrElse("seedColumn", ""),
+      s.getOrElse("maxHops", "6").toInt)),
+    "sim.pca" -> (s => SimPcaProc(
+      Ref.parse(s("id")), Ref.parse(s("vec")),
+      s.getOrElse("iterations", "3").toInt,
+      s.getOrElse("output", "loadings"))),
     "link.clusters" -> (s => LinkClustersProc(
       Ref.parse(s("id")), Ref.parse(s("block")), Ref.parse(s("field")),
       s.getOrElse("minSim", "0.9").toDouble,
@@ -436,6 +454,7 @@ object Registry {
       Ref.parse(s("loss")),
       s.getOrElse("eta", "1.0").toDouble)),
     "custom.javascript" -> (s => JsProcessor.fromSettings(s)),
+    "custom.wasm" -> (s => WasmProcessor.fromSettings(s)),
     "sample.curriculum" -> (s => SampleCurriculumProc(
       Ref.parse(s("id")), Ref.parse(s("score")),
       s.getOrElse("phases", "4").toInt)),

@@ -414,6 +414,20 @@ object Analytics {
         "vec_id", "embedding", k = 5)
     }),
 
+    // top principal component by the EXACT integer power iteration
+    // (quantize → long dot folds → decimal(38,0) direction sums →
+    // integer iterate): no rounding tolerance anywhere, the oracle
+    // replays the same three rounds bit-for-bit
+    "sim_pca" -> ((s, dir) =>
+      Similarity.pcaTopComponent(t(s, dir, "embeddings"),
+        "vec_id", "embedding", iterations = 3)),
+
+    // per-vector projection onto that component — the exact integer
+    // dot of the centered row with the final iterate, one descale
+    "sim_pca_project" -> ((s, dir) =>
+      Similarity.pcaProject(t(s, dir, "embeddings"),
+        "vec_id", "embedding", iterations = 3)),
+
     // int8 quantization, exploded to scalar rows for the exact compare
     "sim_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
@@ -2000,6 +2014,44 @@ object Analytics {
          (acc, ch) -> (xor(acc, ch) * 1099511628211) %
            CAST(18446744073709551616 AS HUGEINT))"""
 
+  /** The exact-PCA CTE chain (see [[graft.analytics.Similarity
+    * .pcaTopComponent]]): quantize to 1e-6 longs, per-dim rounded
+    * mean, then three power-iteration rounds — per-row dots as
+    * HUGEINT sums, direction sums as HUGEINT, the norm as a dim-
+    * ordered left fold of squared doubles, and the new integer
+    * iterate via half-away-from-zero rounding. `finalSelect` reads
+    * from `mu`, `c` (centered grid) and `v3` (final iterate).
+    */
+  private def pcaOracleSql(finalSelect: String): String = {
+    val prefix =
+      """WITH g AS (SELECT vec_id, CAST(i.i AS BIGINT) AS dim,
+             CAST(round(CAST(embedding[CAST(i.i AS INT) + 1] AS DOUBLE)
+               * 1000000.0) AS BIGINT) AS x
+           FROM embeddings, range(64) i(i)),
+         mu AS (SELECT dim, CAST(round(CAST(sum(x) AS DOUBLE) / count(*))
+               AS BIGINT) AS m
+           FROM g GROUP BY dim),
+         c AS (SELECT vec_id, g.dim, g.x - mu.m AS cv
+           FROM g JOIN mu USING (dim)),
+         v0 AS (SELECT dim, CAST(125000000 AS BIGINT) AS q FROM mu)"""
+    val rounds = (1 to 3).map { k =>
+      s""",
+         d$k AS (SELECT vec_id, sum(cv * q) AS d
+           FROM c JOIN v${k - 1} USING (dim) GROUP BY vec_id),
+         w$k AS (SELECT c.dim,
+             sum(CAST(cv AS HUGEINT) * CAST(d AS HUGEINT)) AS w
+           FROM c JOIN d$k USING (vec_id) GROUP BY c.dim),
+         n$k AS (SELECT sqrt(list_reduce(
+             list_prepend(CAST(0 AS DOUBLE),
+               list(CAST(w AS DOUBLE) * CAST(w AS DOUBLE) ORDER BY dim)),
+             (a, b) -> a + b)) AS nn FROM w$k),
+         v$k AS (SELECT dim, CAST(round(CAST(w AS DOUBLE) /
+             (SELECT nn FROM n$k) * 1000000000.0) AS BIGINT) AS q
+           FROM w$k)"""
+    }.mkString
+    prefix + rounds + "\n         " + finalSelect
+  }
+
   private val oraclesBase: Map[String, String] = Map(
     "text_bm25" -> bm25OracleSql,
     // P@10 / MRR over the nested BM25 run vs the synthetic qrels
@@ -3239,6 +3291,18 @@ object Analytics {
                ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) rk
            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
            WHERE q.vec_id < 8) WHERE rk <= 5""",
+    // exact integer power iteration replayed round by round: every
+    // sum is HUGEINT (= the engine's long fold / decimal(38,0)), the
+    // norm folds the squared doubles in dim order, and both engines
+    // round half-away-from-zero — bit-equality, no tolerance
+    "sim_pca" -> pcaOracleSql(
+      "SELECT mu.dim, CAST(m AS DOUBLE) / 1000000.0 AS mu, " +
+        "CAST(q AS DOUBLE) / 1000000000.0 AS loading " +
+        "FROM mu JOIN v3 USING (dim)"),
+    "sim_pca_project" -> pcaOracleSql(
+      "SELECT c.vec_id, CAST(sum(cv * q) AS DOUBLE) / " +
+        "1000000000000000.0 AS pc1 " +
+        "FROM c JOIN v3 USING (dim) GROUP BY c.vec_id"),
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents GROUP BY text""",

@@ -458,14 +458,44 @@ object Processors {
           .cast("long").as("n_chars"),
         get_json_object(col(Cdc.PayloadAfter), "$.shout_lang").as("shout_lang"),
         col(Cdc.Metadata).getItem("js").as("js"))
+    }),
+
+    // custom.wasm executed for REAL (hand-assembled module — WAT in
+    // WasmSpec — run by Node's WebAssembly in the per-partition
+    // subprocess host): ASCII-uppercase over the raw key bytes; the
+    // oracle replays it as upper() on this ASCII corpus.
+    "proc_custom_wasm" -> ((s, dir) => {
+      val recs = Cdc.wrap(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "documents")
+        .withColumn(Cdc.Key,
+          get_json_object(col(Cdc.PayloadAfter), "$.text"))
+      val proc = Registry.create("custom.wasm", Map(
+        "wasm.base64" -> WasmUpperModuleB64, "field" -> ".Key"))
+      proc(recs).select(
+        get_json_object(col(Cdc.PayloadAfter), "$.doc_id")
+          .cast("long").as("doc_id"),
+        col(Cdc.Key).as("shout_text"))
     })
   )
+
+  /** The hand-assembled gate module (same bytes as WasmSpec, where
+    * the WAT source is documented): alloc/process exports, ASCII
+    * uppercase in place, -1 filter on empty, trap on leading '!'.
+    */
+  private val WasmUpperModuleB64: String =
+    "AGFzbQEAAAABDAJgAX8Bf2ACf38BfgMDAgABBQMBAAEGBwF/AUGACAsHHAMGbWVtb3J5" +
+    "AgAFYWxsb2MAAAdwcm9jZXNzAAEKeAIRAQF/IwAhASMAIABqJAAgAQtkAQJ/IAFFBEBC" +
+    "fw8LIAAtAABBIUYEQAALQQAhAgJAA0AgAiABTg0BIAAgAmotAAAhAyADQeEATiADQfoA" +
+    "THEEQCAAIAJqIANBIGs6AAALIAJBAWohAgwACwsgAK1CIIYgAa2ECw=="
 
   val oracles: Map[String, String] = Map(
     "proc_custom_js" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
            upper(lang) AS shout_lang, '1' AS js
          FROM documents WHERE doc_id % 10 <> 7""",
+    "proc_custom_wasm" ->
+      """SELECT doc_id, upper(text) AS shout_text FROM documents""",
     "cdc_materialize" ->
       """WITH l AS (SELECT user_id, event_id,
                 epoch_ns(ts) // 1000000000 AS pos,

@@ -195,6 +195,22 @@ object Temporal {
         .select(col("node"), col("rank").as("pagerank"))
     }),
 
+    // Personalized PageRank (TrustRank): teleport mass restarts only
+    // at the seed customers (custkey ≡ 0 mod 13) — deterministic-fold
+    // oracle mode, all five rounds replayed IEEE step for IEEE step.
+    "graph_ppr" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (lit(1000000L) + col("l_suppkey")).as("dst"))
+      val seeds = edges.select(col("src").as("id"))
+        .filter(col("id") % 13 === 0).distinct()
+      Graph.personalizedPageRank(edges, "src", "dst", seeds,
+          iterations = 5, damping = 0.85, deterministic = true)
+        .select(col("node"), col("rank").as("ppr"))
+    }),
+
     // HITS over the same customer->supplier interaction graph:
     // authority ranks suppliers by weighted customer endorsement,
     // hubs rank customers — deterministic-fold oracle mode, 3 rounds
@@ -1898,6 +1914,30 @@ object Temporal {
           .select(col("item_a").as("id_a"), col("item_b").as("id_b")))
         .select(col("id").as("node"), col("label").as("component"))),
 
+    // Synchronous label-propagation communities (Raghavan 2007, min-
+    // label tie rule + self-vote) on the same frequent-pair graph —
+    // all-integer votes, so the 4-round result is bit-replayable;
+    // oracle = the four rounds unrolled as argmax CTEs.
+    "graph_labelprop" -> ((s, dir) =>
+      Graph.labelPropagation(
+        Baskets.frequentPairs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2L)
+          .select(col("item_a").as("id_a"), col("item_b").as("id_b")),
+        "id_a", "id_b", iterations = 4)),
+
+    // Multi-source BFS hop distance to the nearest seed (TrustRank-
+    // style seed proximity) from the nodes ≡ 0 (mod 7); oracle =
+    // bounded recursive CTE with min-hop aggregation.
+    "graph_seed_dist" -> ((s, dir) => {
+      val pairs = Baskets.frequentPairs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2L)
+        .select(col("item_a").as("id_a"), col("item_b").as("id_b"))
+      val seeds = pairs.select(col("id_a").as("id"))
+        .union(pairs.select(col("id_b").as("id")))
+        .filter(col("id") % 7 === 0).distinct()
+      Graph.seedDistance(pairs, "id_a", "id_b", seeds, maxHops = 4)
+    }),
+
     // Deterministic exact mode of value cents per event type (ties to
     // the smallest value — Spark's builtin mode() leaves ties
     // unspecified); oracle = independent max-count join-back.
@@ -1914,6 +1954,21 @@ object Temporal {
     "text_novelty" -> ((s, dir) =>
       graft.analytics.Text.novelty(t(s, dir, "documents"),
         "doc_id", "text", n = 3)),
+
+    // Exact single changepoint per daily revenue series (binary
+    // segmentation depth 1): argmax of the SSE-reduction score over
+    // exact integer prefix sums — A, D exact, the score one fixed
+    // double expression, ties to the smallest split.
+    "ts_changepoint" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev.select(col("event_type"), tsEpochSeconds(ev).as("_secs"),
+          (col("value").cast(d2) * lit(100)).cast("long").as("_cents"))
+        .select(col("event_type"), expr("_secs div 86400").as("day"),
+          col("_cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("_cents")).as("cents"))
+      TOps.changepoint(daily, Seq("event_type"), "day", "cents")
+    }),
 
     // LTTB-style downsampling of the daily revenue series per type
     // (parallel-anchor variant): endpoints + the largest-triangle
@@ -2286,6 +2341,49 @@ object Temporal {
               FROM nodes CROSS JOIN nc nn),
        $iters
        SELECT node, rank AS pagerank FROM r$iterations"""
+  }
+
+  /** Personalized-PageRank replay: [[pageRankOracle]] with the
+    * teleport (and the init mass) confined to the seed set — every
+    * IEEE step (tp/|S| division, t + d·s accumulation, src-ordered
+    * contribution folds) identical to the operator's. */
+  private def pprOracle(iterations: Int, damping: Double): String = {
+    val tp = s"CAST(${1.0 - damping} AS DOUBLE)"
+    val d = s"CAST($damping AS DOUBLE)"
+    val iters = (1 to iterations).map { k =>
+      s"""r$k AS (SELECT t.node,
+           t.t + $d * coalesce(s.s, CAST(0.0 AS DOUBLE)) AS rank
+         FROM tele t
+         LEFT JOIN (SELECT e.dst AS node,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(r.rank / CAST(e.deg AS DOUBLE) ORDER BY e.src)),
+               (a, b) -> a + b) AS s
+           FROM ew e JOIN r${k - 1} r ON r.node = e.src
+           GROUP BY e.dst) s ON s.node = t.node)"""
+    }.mkString(",\n")
+    s"""WITH edges AS (SELECT DISTINCT o.o_custkey AS src,
+            1000000 + l.l_suppkey AS dst
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       nodes AS (SELECT DISTINCT node FROM
+         (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+       seeds AS (SELECT DISTINCT src AS node FROM edges WHERE src % 13 = 0),
+       sc2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seeds),
+       deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+               FROM edges GROUP BY src),
+       ew AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+       tele AS (SELECT n.node,
+           CASE WHEN s.node IS NOT NULL
+                THEN $tp / CAST(sc.n AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END AS t
+         FROM nodes n CROSS JOIN sc2 sc
+         LEFT JOIN seeds s ON s.node = n.node),
+       r0 AS (SELECT t.node,
+           CASE WHEN t.t > CAST(0.0 AS DOUBLE)
+                THEN CAST(1.0 AS DOUBLE) / CAST(sc.n AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END AS rank
+         FROM tele t CROSS JOIN sc2 sc),
+       $iters
+       SELECT node, rank AS ppr FROM r$iterations"""
   }
 
   /** HITS replay: the deterministic-fold L1 power iteration, fold
@@ -3046,6 +3144,7 @@ object Temporal {
            ELSE '' END AS mismatch_cols
          FROM j""",
     "graph_pagerank" -> pageRankOracle(5, 0.85),
+    "graph_ppr" -> pprOracle(5, 0.85),
     "graph_hits" -> hitsOracle(3),
     "graph_kcore" -> kCoreOracle(3, 8),
     // the splitmix64 chain (seed 7) >> 1, k smallest distinct hashes,
@@ -4623,6 +4722,52 @@ object Temporal {
          lab AS (SELECT a AS node, least(min(b), a) AS component
                FROM reach GROUP BY a)
          SELECT node, component FROM lab""",
+    // four synchronous label-propagation rounds unrolled: votes =
+    // neighbor labels + the self-vote, argmax with (count DESC,
+    // label ASC) — the engine's min(struct(-c, lbl)) tie rule
+    "graph_labelprop" -> {
+      val prefix =
+        """WITH items AS (SELECT DISTINCT l_orderkey AS b,
+              l_partkey AS i FROM lineitem),
+         s AS (SELECT i FROM items GROUP BY i HAVING count(*) >= 2),
+         p AS (SELECT items.b, items.i FROM items JOIN s USING (i)),
+         e AS (SELECT a.i AS u, bb.i AS v
+               FROM p a JOIN p bb ON a.b = bb.b AND a.i < bb.i
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         edges AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+         l0 AS (SELECT u AS node, u AS lbl FROM edges GROUP BY u)"""
+      val rounds = (1 to 4).map { k =>
+        s""",
+         v$k AS (SELECT n, lbl, count(*) AS c FROM (
+               SELECT e2.u AS n, l.lbl FROM edges e2
+                 JOIN l${k - 1} l ON l.node = e2.v
+               UNION ALL
+               SELECT node AS n, lbl FROM l${k - 1}) GROUP BY 1, 2),
+         l$k AS (SELECT n AS node, lbl FROM (
+               SELECT n, lbl, row_number() OVER (PARTITION BY n
+                 ORDER BY c DESC, lbl ASC) AS rn FROM v$k) WHERE rn = 1)"""
+      }.mkString
+      prefix + rounds + "\n         SELECT node, lbl AS community FROM l4"
+    },
+    // bounded-depth recursive BFS with min-hop aggregation; seeds =
+    // graph nodes divisible by 7
+    "graph_seed_dist" ->
+      """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS b,
+              l_partkey AS i FROM lineitem),
+         s AS (SELECT i FROM items GROUP BY i HAVING count(*) >= 2),
+         p AS (SELECT items.b, items.i FROM items JOIN s USING (i)),
+         e AS (SELECT a.i AS u, bb.i AS v
+               FROM p a JOIN p bb ON a.b = bb.b AND a.i < bb.i
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         edges AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+         seeds AS (SELECT DISTINCT u AS node FROM edges WHERE u % 7 = 0),
+         reach AS (SELECT node, 0 AS d FROM seeds
+               UNION
+               SELECT e2.v AS node, r.d + 1 AS d FROM reach r
+                 JOIN edges e2 ON e2.u = r.node WHERE r.d < 4),
+         best AS (SELECT node, CAST(min(d) AS BIGINT) AS hops
+               FROM reach GROUP BY node)
+         SELECT node, hops FROM best""",
     // independent max-count join-back vs the engine's struct-max
     "stats_mode" ->
       """WITH c AS (SELECT event_type AS g,
@@ -4650,6 +4795,33 @@ object Temporal {
            CAST(sum(CASE WHEN f.owner = g.doc_id THEN 1 ELSE 0 END)
              AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
          FROM g JOIN f USING (gram) GROUP BY 1""",
+    // same exact-integer windows, same one-expression double score
+    "ts_changepoint" ->
+      """WITH e AS (SELECT event_type AS g,
+              epoch_ns(ts) // 1000000000 // 86400 AS t,
+              CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                AS BIGINT)) AS BIGINT) AS v
+            FROM events GROUP BY 1, 2),
+         st AS (SELECT g, t, v,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY t)
+               AS BIGINT) AS k,
+             sum(v) OVER (PARTITION BY g ORDER BY t) AS sk,
+             CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+             sum(v) OVER (PARTITION BY g) AS s
+           FROM e),
+         cand AS (SELECT *,
+             CAST(sk AS HUGEINT) * n - CAST(s AS HUGEINT) * k AS a,
+             CAST(k * (n - k) AS HUGEINT) AS dd
+           FROM st WHERE k < n),
+         sc AS (SELECT *, (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) /
+             CAST(dd AS DOUBLE) AS q FROM cand),
+         best AS (SELECT *, row_number() OVER (PARTITION BY g
+             ORDER BY q DESC, k ASC) AS rn FROM sc)
+         SELECT g AS event_type, n, k AS cp_k, t AS split_at,
+           CAST(sk AS DOUBLE) / CAST(k AS DOUBLE) AS mean_left,
+           CAST(s - sk AS DOUBLE) / CAST(n - k AS DOUBLE) AS mean_right,
+           q AS score
+         FROM best WHERE rn = 1""",
     "ts_lttb" ->
       """WITH e AS (SELECT event_type AS g,
               epoch_ns(ts) // 1000000000 // 86400 AS t,

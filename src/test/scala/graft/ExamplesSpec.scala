@@ -260,6 +260,20 @@ class ExamplesSpec extends AnyFunSuite {
       _.get("enriched.by").contains("custom.javascript")))
   }
 
+  test("wasm-transform shouts the staged key bytes through WebAssembly") {
+    clean("/tmp/graft-wasm-transform")
+    val cfg = load("wasm-transform.yaml").head
+    val out = Cdc.ok(Runner.build(spark, cfg, streaming = false))
+    val rows = out.select(col(Cdc.Key), col(Cdc.PayloadAfter)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val text = graft.functions.JsonOps.parse(r.getString(1))
+        .get("text").asText
+      assert(r.getString(0) == text.toUpperCase,
+        "key = wasm-uppercased document text")
+    }
+  }
+
   test("unimax-plan annotates, counts tokens, and emits a budget plan") {
     clean("/tmp/graft-unimax-plan")
     val cfg = load("unimax-plan.yaml").head

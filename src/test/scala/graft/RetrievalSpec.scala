@@ -93,10 +93,21 @@ class RetrievalSpec extends AnyFunSuite {
     val tf = finalPlan(Retrieval.tfidf(docs, "doc_id", "text", minDf = 1))
     assert("ReusedExchange".r.findAllIn(tf).length >= 1,
       s"tfidf df-branch must reuse the tf exchange:\n$tf")
-    assert(spark.sharedState.cacheManager.isEmpty,
-      "retrieval must not leave CacheManager entries")
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "retrieval must not leave persisted RDDs")
+    // no-persist proof from the plans THEMSELVES, not the session's
+    // global CacheManager: suites share one SparkSession and run in
+    // parallel, so a global-emptiness assert races with any other
+    // suite's transient .cache() (observed flaking once WasmSpec /
+    // Round17Spec shifted the schedule). A retrieval persist would
+    // surface as an InMemoryRelation/InMemoryTableScan node in the
+    // executed plan — assert on that, which is immune to neighbors.
+    // (InMemoryFileIndex is the parquet scan's file listing, not a
+    // cache — match the cache operators specifically)
+    def cached(p: String) =
+      p.contains("InMemoryRelation") || p.contains("InMemoryTableScan")
+    assert(!cached(bm),
+      s"retrieval must not persist (bm25 plan caches):\n$bm")
+    assert(!cached(tf),
+      s"retrieval must not persist (tfidf plan caches):\n$tf")
     assert(bmScans >= 1) // sanity: the tokenize subtree exists at all
   }
 
