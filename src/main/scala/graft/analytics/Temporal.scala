@@ -1214,4 +1214,80 @@ object Temporal {
           (col("_best._n") + col("_best._nk")).cast("double")).as("mean_right"),
         col("_best._q").as("score")): _*)
   }
+
+  /** Hurst exponent by rescaled-range analysis (Hurst 1951; the R/S
+    * formulation of Mandelbrot & Wallis 1969): for each block size m,
+    * split the group's ordered series into full m-point blocks; per
+    * block compute R/S = (max−min of the cumulative mean deviations)
+    * over the population std; average R/S per m in BLOCK ORDER; the
+    * slope of ln E[R/S] on ln m is H — the long-range-dependence
+    * diagnostic (H≈0.5 memoryless, H→1 trending/persistent) a KPI
+    * curator reads next to [[changepoint]].
+    *
+    * Exactness: within a block of fixed m, the deviation
+    * dev_i = S_i·m − i·S_m and the variance m·Σx² − (Σx)² are exact
+    * integers (values are cents), so R/S = R_scaled/√var_scaled is
+    * ONE fixed double expression — identical bits on any engine. The
+    * per-m mean folds in block order (deterministic-fold idiom,
+    * bounded: blocks ≤ n/min(m)); the final 2-to-4-point OLS rounds
+    * to 6 dp (the zipf/heaps precedent). Zero-variance blocks carry
+    * no rescaled range and are excluded; groups with fewer than two
+    * distinct usable m points are absent.
+    *
+    * Scale shape: one shuffle on the group key for the block windows,
+    * one (group, m, block) aggregate, one bounded per-(group, m)
+    * fold, one tiny OLS — series length per group is the bounded
+    * scan-statistic contract of [[changepoint]].
+    */
+  def hurstRs(df: DataFrame, groupCols: Seq[String], orderCol: String,
+              valueCol: String,
+              blockSizes: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    require(blockSizes.nonEmpty && blockSizes.forall(_ >= 2),
+      s"blockSizes=$blockSizes")
+    val d38 = "decimal(38,0)"
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("_t"))
+    val base = df.select(groupCols.map(col) ++ Seq(col(orderCol).as("_t"),
+        col(valueCol).cast("long").as("_v")): _*)
+      .withColumn("_k", (row_number().over(w) - 1).cast("long"))
+    val ms = blockSizes.map(m =>
+      base.withColumn("_m", lit(m.toLong))
+        .withColumn("_b", expr(s"_k div $m")))
+      .reduce(_.unionByName(_))
+    val wb = Window.partitionBy((groupCols.map(col) ++
+        Seq(col("_m"), col("_b"))): _*).orderBy(col("_t"))
+    val wbAll = Window.partitionBy((groupCols.map(col) ++
+        Seq(col("_m"), col("_b"))): _*)
+    val staged = ms
+      .withColumn("_i", row_number().over(wb).cast("long"))
+      .withColumn("_si", sum(col("_v")).over(wb))
+      .withColumn("_sm", sum(col("_v")).over(wbAll))
+      .withColumn("_cnt", count(lit(1)).over(wbAll))
+      .filter(col("_cnt") === col("_m"))
+      .withColumn("_dev", col("_si").cast(d38) * col("_m").cast(d38) -
+        col("_i").cast(d38) * col("_sm").cast(d38))
+    val blocks = staged
+      .groupBy((groupCols.map(col) ++ Seq(col("_m"), col("_b"))): _*)
+      .agg((max(col("_dev")) - min(col("_dev"))).as("_r"),
+        (max(col("_m")).cast(d38) *
+          sum(col("_v").cast(d38) * col("_v").cast(d38)) -
+          sum(col("_v").cast(d38)) * sum(col("_v").cast(d38))).as("_var"))
+      .filter(col("_var") > 0)
+      .withColumn("_rs", col("_r").cast("double") /
+        sqrt(col("_var").cast("double")))
+    val perM = blocks
+      .groupBy((groupCols.map(col) :+ col("_m")): _*)
+      .agg((aggregate(array_sort(collect_list(struct(col("_b"), col("_rs")))),
+        lit(0.0), (acc, x) => acc + x.getField("_rs")) /
+        count(lit(1)).cast("double")).as("_mean_rs"),
+        count(lit(1)).as("_n_blocks"))
+      .filter(col("_mean_rs") > 0.0)
+      .withColumn("_x", log(col("_m").cast("double")))
+      .withColumn("_y", log(col("_mean_rs")))
+    perM.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_scales"),
+        sum(col("_n_blocks")).as("n_blocks"),
+        round(regr_slope(col("_y"), col("_x")), 6).as("hurst"),
+        round(regr_intercept(col("_y"), col("_x")), 6).as("log_c"))
+      .filter(col("n_scales") >= 2)
+  }
 }

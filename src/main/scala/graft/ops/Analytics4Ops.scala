@@ -1450,3 +1450,29 @@ case class ChangepointProc(groups: Seq[Ref], order: Ref, value: Ref)
     Cdc.wrap(keyed, "_k", "ts.changepoint")
   }
 }
+
+/** `ts.hurst` — Hurst exponent per series by rescaled-range analysis
+  * ([[graft.analytics.Temporal.hurstRs]]): one create record per
+  * group with (n_scales, n_blocks, hurst, log_c), keyed by the group
+  * tuple — the long-range-dependence diagnostic next to
+  * `ts.changepoint`. Aggregate output via [[Cdc.wrap]].
+  */
+case class HurstProc(groups: Seq[Ref], order: Ref, value: Ref)
+    extends Processor {
+  require(groups.nonEmpty, "ts.hurst: need groups")
+  val plugin = "ts.hurst"
+  override def transform(df: DataFrame): DataFrame = {
+    require(!df.isStreaming,
+      "ts.hurst is batch-only (per-series block windows over the " +
+        "corpus); run the pipeline with --batch or apply it foreachBatch")
+    val names = groups.map(r => r.sub.lastOption.getOrElse("g"))
+    val flat = df.select(
+      (groups.zip(names).map { case (r, n) =>
+        Analytics2Ops.fieldCol(df, r).as(n) } ++ Seq(
+        Analytics2Ops.fieldCol(df, order).cast("long").as("_ord"),
+        Analytics2Ops.fieldCol(df, value).cast("long").as("_val"))): _*)
+    val out = graft.analytics.Temporal.hurstRs(flat, names, "_ord", "_val")
+    val keyed = out.withColumn("_k", concat_ws("|", names.map(col): _*))
+    Cdc.wrap(keyed, "_k", "ts.hurst")
+  }
+}

@@ -368,6 +368,11 @@ object PluginCatalog {
       Seq(req("groups", ".Payload.After.event_type"),
         req("order", ".Payload.After.day"),
         req("value", ".Payload.After.cents"))),
+    Entry("ts.hurst",
+      "Hurst exponent per series by rescaled-range analysis (batch-only).",
+      Seq(req("groups", ".Payload.After.event_type"),
+        req("order", ".Payload.After.day"),
+        req("value", ".Payload.After.cents"))),
     Entry("graph.seeddist",
       "Hop distance to the nearest seed by multi-source BFS (batch-only).",
       Seq(req("src", Src), req("dst", Dst),

@@ -298,6 +298,8 @@ object Registry {
       s.getOrElse("damping", "0.85").toDouble)),
     "ts.changepoint" -> (s => ChangepointProc(
       refs(s, "groups"), Ref.parse(s("order")), Ref.parse(s("value")))),
+    "ts.hurst" -> (s => HurstProc(
+      refs(s, "groups"), Ref.parse(s("order")), Ref.parse(s("value")))),
     "graph.seeddist" -> (s => SeedDistProc(
       Ref.parse(s("src")), Ref.parse(s("dst")),
       s("seedsTable"), s.getOrElse("seedColumn", ""),

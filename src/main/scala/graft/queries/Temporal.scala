@@ -1970,6 +1970,55 @@ object Temporal {
       TOps.changepoint(daily, Seq("event_type"), "day", "cents")
     }),
 
+    // Streaming twin of ts_changepoint: raw events stream through a
+    // keyed (event_type, day) sum state in two batches (sum-merge is
+    // order-insensitive and cents totals are integer-exact in the
+    // double accumulator), then the SAME changepoint runs over the
+    // state — shares the batch oracle.
+    "ts_changepoint_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = t(s, dir, "events")
+      val rows = ev.select(col("event_type"), tsEpochSeconds(ev).as("_secs"),
+          (col("value").cast(d2) * lit(100)).cast("long").as("cents"))
+        .select(col("event_type"), expr("_secs div 86400").as("day"),
+          col("cents"))
+        .as[(String, Long, Long)].collect()
+      val (b1, b2) = rows.partition(_._2 % 2 == 0)
+      val state = java.nio.file.Files
+        .createTempDirectory("cp_stream").toString
+      val in = MemoryStream[(String, Long, Long)]
+      val q = in.toDF().toDF("event_type", "day", "cents")
+        .writeStream
+        .foreachBatch(graft.streaming.StreamingOps.keyedMeanSink(
+          state, "event_type", "day", "cents"))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val daily = s.read.parquet(s"$state/batch=1")
+        .select(col("domain").as("event_type"), col("step").as("day"),
+          col("s").cast("long").as("cents"))
+      TOps.changepoint(daily, Seq("event_type"), "day", "cents")
+    }),
+
+    // Hurst exponent of the daily revenue series per type: R/S over
+    // 8/16/32-day blocks — every R/S one fixed double expression over
+    // exact integers, per-scale means folded in block order, 6-dp
+    // log-log OLS (the zipf discipline).
+    "stats_hurst" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev.select(col("event_type"), tsEpochSeconds(ev).as("_secs"),
+          (col("value").cast(d2) * lit(100)).cast("long").as("_cents"))
+        .select(col("event_type"), expr("_secs div 86400").as("day"),
+          col("_cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("_cents")).as("cents"))
+      TOps.hurstRs(daily, Seq("event_type"), "day", "cents")
+    }),
+
     // LTTB-style downsampling of the daily revenue series per type
     // (parallel-anchor variant): endpoints + the largest-triangle
     // point per interior bucket, every area compared as an exact
@@ -2342,6 +2391,35 @@ object Temporal {
        $iters
        SELECT node, rank AS pagerank FROM r$iterations"""
   }
+
+  /** Changepoint replay, shared by the batch row and its streaming
+    * twin (whose state table is the same exact daily-cents sums). */
+  private val changepointOracleSql: String =
+    """WITH e AS (SELECT event_type AS g,
+            epoch_ns(ts) // 1000000000 // 86400 AS t,
+            CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+              AS BIGINT)) AS BIGINT) AS v
+          FROM events GROUP BY 1, 2),
+       st AS (SELECT g, t, v,
+           CAST(row_number() OVER (PARTITION BY g ORDER BY t)
+             AS BIGINT) AS k,
+           sum(v) OVER (PARTITION BY g ORDER BY t) AS sk,
+           CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+           sum(v) OVER (PARTITION BY g) AS s
+         FROM e),
+       cand AS (SELECT *,
+           CAST(sk AS HUGEINT) * n - CAST(s AS HUGEINT) * k AS a,
+           CAST(k * (n - k) AS HUGEINT) AS dd
+         FROM st WHERE k < n),
+       sc AS (SELECT *, (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) /
+           CAST(dd AS DOUBLE) AS q FROM cand),
+       best AS (SELECT *, row_number() OVER (PARTITION BY g
+           ORDER BY q DESC, k ASC) AS rn FROM sc)
+       SELECT g AS event_type, n, k AS cp_k, t AS split_at,
+         CAST(sk AS DOUBLE) / CAST(k AS DOUBLE) AS mean_left,
+         CAST(s - sk AS DOUBLE) / CAST(n - k AS DOUBLE) AS mean_right,
+         q AS score
+       FROM best WHERE rn = 1"""
 
   /** Personalized-PageRank replay: [[pageRankOracle]] with the
     * teleport (and the init mass) confined to the seed set — every
@@ -4796,32 +4874,59 @@ object Temporal {
              AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
          FROM g JOIN f USING (gram) GROUP BY 1""",
     // same exact-integer windows, same one-expression double score
-    "ts_changepoint" ->
+    "ts_changepoint" -> changepointOracleSql,
+    // the streaming state is a sum-merged exact daily table, so the
+    // twin shares the batch replay verbatim
+    "ts_changepoint_stream" -> changepointOracleSql,
+    // R/S replay: identical block windows (HUGEINT devs/variance),
+    // block-ordered list folds, ln/regr_slope at 6 dp
+    "stats_hurst" ->
       """WITH e AS (SELECT event_type AS g,
               epoch_ns(ts) // 1000000000 // 86400 AS t,
               CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
                 AS BIGINT)) AS BIGINT) AS v
             FROM events GROUP BY 1, 2),
-         st AS (SELECT g, t, v,
-             CAST(row_number() OVER (PARTITION BY g ORDER BY t)
-               AS BIGINT) AS k,
-             sum(v) OVER (PARTITION BY g ORDER BY t) AS sk,
-             CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n,
-             sum(v) OVER (PARTITION BY g) AS s
+         base AS (SELECT g, t, v,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY t) - 1
+               AS BIGINT) AS k
            FROM e),
-         cand AS (SELECT *,
-             CAST(sk AS HUGEINT) * n - CAST(s AS HUGEINT) * k AS a,
-             CAST(k * (n - k) AS HUGEINT) AS dd
-           FROM st WHERE k < n),
-         sc AS (SELECT *, (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) /
-             CAST(dd AS DOUBLE) AS q FROM cand),
-         best AS (SELECT *, row_number() OVER (PARTITION BY g
-             ORDER BY q DESC, k ASC) AS rn FROM sc)
-         SELECT g AS event_type, n, k AS cp_k, t AS split_at,
-           CAST(sk AS DOUBLE) / CAST(k AS DOUBLE) AS mean_left,
-           CAST(s - sk AS DOUBLE) / CAST(n - k AS DOUBLE) AS mean_right,
-           q AS score
-         FROM best WHERE rn = 1""",
+         ms AS (SELECT g, t, v, CAST(mm.m AS BIGINT) AS m, k // mm.m AS b
+           FROM base, (VALUES (8), (16), (32)) mm(m)),
+         st AS (SELECT g, m, b, t, v,
+             CAST(row_number() OVER wb AS BIGINT) AS i,
+             sum(v) OVER wb AS si,
+             sum(v) OVER wball AS sm,
+             CAST(count(*) OVER wball AS BIGINT) AS cnt
+           FROM ms WINDOW wb AS (PARTITION BY g, m, b ORDER BY t),
+             wball AS (PARTITION BY g, m, b)),
+         dev AS (SELECT g, m, b, v,
+             CAST(si AS HUGEINT) * m - CAST(i AS HUGEINT) *
+               CAST(sm AS HUGEINT) AS dv
+           FROM st WHERE cnt = m),
+         blk AS (SELECT g, m, b, max(dv) - min(dv) AS r,
+             CAST(max(m) AS HUGEINT) *
+               sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) -
+               sum(CAST(v AS HUGEINT)) * sum(CAST(v AS HUGEINT)) AS vr
+           FROM dev GROUP BY g, m, b),
+         rs AS (SELECT g, m, b,
+             CAST(r AS DOUBLE) / sqrt(CAST(vr AS DOUBLE)) AS rsv
+           FROM blk WHERE vr > 0),
+         pm AS (SELECT g, m,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(rsv ORDER BY b)), (a, x) -> a + x) /
+               CAST(count(*) AS DOUBLE) AS mean_rs,
+             CAST(count(*) AS BIGINT) AS nb
+           FROM rs GROUP BY g, m),
+         pts AS (SELECT g, m, nb, ln(CAST(m AS DOUBLE)) AS x,
+             ln(mean_rs) AS y
+           FROM pm WHERE mean_rs > 0),
+         o AS (SELECT g AS event_type,
+             CAST(count(*) AS BIGINT) AS n_scales,
+             CAST(sum(nb) AS BIGINT) AS n_blocks,
+             round(regr_slope(y, x), 6) AS hurst,
+             round(regr_intercept(y, x), 6) AS log_c
+           FROM pts GROUP BY g)
+         SELECT * FROM o WHERE n_scales >= 2""",
     "ts_lttb" ->
       """WITH e AS (SELECT event_type AS g,
               epoch_ns(ts) // 1000000000 // 86400 AS t,

@@ -147,6 +147,33 @@ class Round17Spec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  test("hurstRs: a pure trend is persistent, an alternating series is not") {
+    // 64 points per group: 'trend' ramps (H -> 1), 'flip' alternates
+    // around its mean (anti-persistent, H well below the trend's)
+    val rows =
+      (0L until 64L).map(i => ("trend", i, i * 100L)) ++
+        (0L until 64L).map(i => ("flip", i, if (i % 2 == 0) 100L else 900L))
+    val got = graft.analytics.Temporal.hurstRs(
+      rows.toDF("g", "day", "cents"), Seq("g"), "day", "cents")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val (scalesT, blocksT, hT) = got("trend")
+    assert(scalesT == 3L && blocksT == (8L + 4L + 2L), got("trend"))
+    assert(hT > 0.9, s"trend hurst $hT")
+    val hF = got("flip")._3
+    assert(hF < hT - 0.4, s"alternating series not anti-persistent: $hF vs $hT")
+  }
+
+  test("hurstRs: constant and too-short series are absent") {
+    val rows =
+      (0L until 64L).map(i => ("const", i, 500L)) ++   // zero variance
+        (0L until 10L).map(i => ("short", i, i * 10L)) // only m=8 usable
+    val got = graft.analytics.Temporal.hurstRs(
+      rows.toDF("g", "day", "cents"), Seq("g"), "day", "cents")
+      .collect()
+    assert(got.isEmpty, got.mkString(", "))
+  }
+
   test("pca guards: ragged vectors and wild magnitudes fail loudly") {
     val ragged = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f)))
       .toDF("vec_id", "embedding")
