@@ -822,7 +822,11 @@ object Graph {
       .withColumn("hops", lit(0L)))
     // frontier = nodes whose distance improved last round; expanding
     // only the ring (not the whole settled set) keeps each round's
-    // join input at O(ring), the textbook BFS work bound
+    // join input at O(ring), the textbook BFS work bound. Only the
+    // RING is truncated per round — the settled set is the lazy union
+    // of storage-backed rings (each referenced once per round in the
+    // anti-join), so lineage stays linear without re-writing the
+    // whole distance table every hop.
     var frontier = dist
     var hop = 0L
     var done = false
@@ -835,7 +839,7 @@ object Graph {
         .withColumn("hops", lit(hop))
       frontier = truncate(reached)
       done = frontier.limit(1).count() == 0
-      if (!done) dist = truncate(dist.unionByName(frontier))
+      if (!done) dist = dist.unionByName(frontier)
     }
     dist.select(col("node"), col("hops"))
   }

@@ -260,6 +260,37 @@ class ExamplesSpec extends AnyFunSuite {
       _.get("enriched.by").contains("custom.javascript")))
   }
 
+  test("crawl-trust scores the part-supplier graph from a seed table") {
+    import spark.implicits._
+    clean("/tmp/graft-crawl-trust", "/tmp/graft-crawl-proximity")
+    // the curated seed list the YAML points at: parts ≡ 0 (mod 7)
+    val parts = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_partkey")).distinct()
+      .filter(col("l_partkey") % 7 === 0)
+    parts.write.mode("overwrite").parquet("/tmp/graft-trust-seeds")
+    val cfgs = load("crawl-trust.yaml")
+    assert(cfgs.length == 2)
+    val trust = Cdc.ok(Runner.build(spark, cfgs.head, streaming = false))
+      .select(get_json_object(col(Cdc.PayloadAfter), "$.node").cast("long"),
+        get_json_object(col(Cdc.PayloadAfter), "$.rank").cast("double"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(trust.nonEmpty)
+    // seeds hold teleport mass; every rank is finite and non-negative
+    val seedIds = parts.collect().map(_.getLong(0)).toSet
+    assert(seedIds.exists(id => trust.getOrElse(id, 0.0) > 0.0),
+      "no seed carries trust mass")
+    assert(trust.values.forall(v => v >= 0.0 && !v.isNaN))
+    val prox = Cdc.ok(Runner.build(spark, cfgs(1), streaming = false))
+      .select(get_json_object(col(Cdc.PayloadAfter), "$.node").cast("long"),
+        get_json_object(col(Cdc.PayloadAfter), "$.hops").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prox.nonEmpty)
+    assert(seedIds.filter(prox.contains).forall(prox(_) == 0L),
+      "reached seeds must sit at hop 0")
+    assert(prox.values.forall(h => h >= 0L && h <= 3L))
+  }
+
   test("wasm-transform shouts the staged key bytes through WebAssembly") {
     clean("/tmp/graft-wasm-transform")
     val cfg = load("wasm-transform.yaml").head
