@@ -565,6 +565,47 @@ object Similarity {
     out
   }
 
+  /** All-but-the-top residual (Mu & Viswanath, ICLR 2018): remove the
+    * [[pcaTopComponent]] common direction from every centered vector —
+    * r = (x − μ) − ((x − μ)·v)·v, the standard embedding post-process
+    * that recovers isotropy before similarity search. Output one row
+    * per (id, dim) with the residual coordinate.
+    *
+    * Exactness: with c (×xScale), d (×xScale·1e9) and q (×1e9) exact
+    * integers, each coordinate is the single exact numerator
+    * c_j·1e18 − d·q_j over the fixed denominator xScale·1e18 — no
+    * sums. The numerator exceeds 2⁵³, and engines differ by one ulp
+    * in the big-integer→double cast (DuckDB composes HUGEINT halves
+    * in double arithmetic — a double rounding; the JVM's BigDecimal
+    * cast rounds once), so the OUTPUT is pinned at 12 dp — measured
+    * cross-engine drift is ≤1 ulp ≈ 10⁻²⁰ against a 10⁻¹² quantum.
+    *
+    * Scale shape: the power-iteration loop plus ONE row-local scan
+    * (dot fold + element-wise residual); the explode is the output
+    * format, not a shuffle.
+    */
+  def pcaResidual(df: DataFrame, idCol: String, vecCol: String,
+                  iterations: Int = 3, xScale: Double = 1e6): DataFrame = {
+    val (_, q, _, centered) = pcaCore(df, idCol, vecCol, iterations, xScale)
+    val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val qLit = typedLit(q.toSeq)
+    val e18 = lit(new java.math.BigDecimal("1000000000000000000")).cast(d38)
+    // true value = numerator / (xScale·1e18): c_j·1e18 is in units of
+    // xScale·1e18 and d·q_j is xScale·1e9·1e9 — same denominator
+    val den = lit(xScale * 1e18)
+    val out = centered
+      .withColumn("_d", aggregate(zip_with(col("_c"), qLit, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("_id").as(idCol),
+        posexplode(zip_with(col("_c"), qLit, (cj, qj) =>
+          cj.cast(d38) * e18 - col("_d").cast(d38) * qj.cast(d38)))
+          .as(Seq("dim", "_num")))
+      .select(col(idCol), col("dim").cast("long").as("dim"),
+        round(col("_num").cast("double") / den, 12).as("residual"))
+    centered.unpersist(false)
+    out
+  }
+
   /** Shared core of the exact power iteration: returns (μ quantized,
     * final integer iterate, dims, persisted centered matrix). The
     * caller owns the unpersist.

@@ -1372,8 +1372,9 @@ case class SeedDistProc(src: Ref, dst: Ref, seedsTable: String,
   */
 case class SimPcaProc(idField: Ref, vecField: Ref, iterations: Int,
                       output: String) extends Processor {
-  require(output == "loadings" || output == "project",
-    s"sim.pca: output must be loadings|project, got $output")
+  require(output == "loadings" || output == "project" ||
+    output == "residual",
+    s"sim.pca: output must be loadings|project|residual, got $output")
   val plugin = "sim.pca"
   override def transform(df: DataFrame): DataFrame = {
     require(!df.isStreaming,
@@ -1388,6 +1389,11 @@ case class SimPcaProc(idField: Ref, vecField: Ref, iterations: Int,
       val out = graft.analytics.Similarity.pcaTopComponent(
         flat, "_id", "_vec", iterations)
       Cdc.wrap(out, "dim", "sim.pca")
+    } else if (output == "residual") {
+      val out = graft.analytics.Similarity.pcaResidual(
+        flat, "_id", "_vec", iterations)
+      Cdc.wrap(out.withColumn("_rk",
+        concat_ws("|", col("_id"), col("dim"))), "_rk", "sim.pca")
     } else {
       val out = graft.analytics.Similarity.pcaProject(
         flat, "_id", "_vec", iterations)

@@ -392,7 +392,7 @@ object PluginCatalog {
     Entry("sim.pca",
       "Top principal component by exact power iteration (batch-only).",
       Seq(req("id", Id), req("vec", Vec), opt("iterations", "3"),
-        opt("output", "loadings", "loadings|project"))),
+        opt("output", "loadings", "loadings|project|residual (ABTT)"))),
 
     // ---- linkage / joins --------------------------------------------------
     Entry("linkage.jw", "Jaro-Winkler fuzzy links within blocks.",

@@ -428,6 +428,13 @@ object Analytics {
       Similarity.pcaProject(t(s, dir, "embeddings"),
         "vec_id", "embedding", iterations = 3)),
 
+    // ABTT residual: the centered vectors with the common direction
+    // removed — each coordinate ONE exact integer numerator over a
+    // fixed denominator, zero tolerance like the pca rows
+    "sim_pca_residual" -> ((s, dir) =>
+      Similarity.pcaResidual(t(s, dir, "embeddings"),
+        "vec_id", "embedding", iterations = 3)),
+
     // int8 quantization, exploded to scalar rows for the exact compare
     "sim_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
@@ -3303,6 +3310,16 @@ object Analytics {
       "SELECT c.vec_id, CAST(sum(cv * q) AS DOUBLE) / " +
         "1000000000000000.0 AS pc1 " +
         "FROM c JOIN v3 USING (dim) GROUP BY c.vec_id"),
+    "sim_pca_residual" -> pcaOracleSql(
+      """SELECT c.vec_id, c.dim,
+           round(CAST(CAST(cv AS HUGEINT) * 1000000000000000000 -
+             CAST(dd.d AS HUGEINT) * CAST(v.q AS HUGEINT) AS DOUBLE)
+             / 1e24, 12) AS residual
+         FROM c
+         JOIN (SELECT vec_id, sum(cv * q) AS d
+               FROM c JOIN v3 USING (dim) GROUP BY vec_id) dd
+           USING (vec_id)
+         JOIN v3 v USING (dim)"""),
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents GROUP BY text""",

@@ -147,6 +147,27 @@ class Round17Spec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  test("pcaResidual removes the common direction (residual ⊥ loading)") {
+    val loadings = Similarity.pcaTopComponent(cloud(), "vec_id", "embedding",
+      iterations = 3).orderBy("dim").collect().map(_.getDouble(2))
+    val res = Similarity.pcaResidual(cloud(), "vec_id", "embedding",
+      iterations = 3).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getLong(1)).map(_.getDouble(2)) }
+    assert(res.size == 40 && res.head._2.length == 3)
+    // every residual is orthogonal to the removed direction (up to
+    // the 1e-9 iterate + 12-dp output quantization)
+    res.values.foreach { r =>
+      val dot = r.zip(loadings).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot) < 1e-6, s"residual not orthogonal: $dot")
+    }
+    // the dominant x-axis spread is gone: max |x-residual| is tiny
+    // relative to the original half-range (9.5)
+    val maxX = res.values.map(r => math.abs(r(0))).max
+    assert(maxX < 1.0, s"common direction survived: $maxX")
+  }
+
   test("hurstRs: a pure trend is persistent, an alternating series is not") {
     // 64 points per group: 'trend' ramps (H -> 1), 'flip' alternates
     // around its mean (anti-persistent, H well below the trend's)
