@@ -34,11 +34,27 @@ object Retrieval {
 
   /** BM25 top-k per query. `queries` maps query_id -> bag of terms
     * (duplicate terms in a query are collapsed; scoring uses distinct
-    * terms, the standard bag-of-words query model).
+    * terms, the standard bag-of-words query model). Unit-weight
+    * facade over [[bm25Weighted]] — ×1.0 is an IEEE identity, so the
+    * scores (and the text_bm25 oracle hashes) are unchanged.
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            queries: Seq[(String, Seq[String])],
-           k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+           k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame =
+    bm25Weighted(docs, idCol, textCol,
+      queries.map { case (q, ts) => q -> ts.map(t => t -> 1.0) },
+      k1, b, topK)
+
+  /** Weighted-term BM25: score(q,d) = Σ_t w(q,t)·bm25_t(d) — the
+    * scoring core [[rm3]]'s interpolated feedback queries need, and
+    * the general weighted-bag query model. Contributions fold in term
+    * order (deterministic IEEE), weights multiply per term BEFORE the
+    * fold.
+    */
+  def bm25Weighted(docs: DataFrame, idCol: String, textCol: String,
+                   queries: Seq[(String, Seq[(String, Double)])],
+                   k1: Double = 1.2, b: Double = 0.75,
+                   topK: Int = 10): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -47,9 +63,10 @@ object Retrieval {
     // otherwise join every unmatched doc's sentinel row into a score
     val qdf = broadcast(
       queries.flatMap { case (q, ts) =>
-        ts.distinct.filter(_.nonEmpty).map(t => (q, t)) }
-        .toDF("query_id", "term"))
-    val allTerms = queries.flatMap(_._2).distinct
+        ts.filter(_._1.nonEmpty).distinctBy(_._1)
+          .map { case (t, w) => (q, t, w) } }
+        .toDF("query_id", "term", "weight"))
+    val allTerms = queries.flatMap(_._2.map(_._1)).distinct
 
     // ONE corpus scan, NO cache. A prior version persisted the slim
     // tokenized frame and never unpersisted it — a CacheManager entry
@@ -118,7 +135,7 @@ object Retrieval {
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),
-        struct(col("term"), termScore.as("c")).as("tc"))
+        struct(col("term"), (termScore * col("weight")).as("c")).as("tc"))
 
     // Sequential fold in term order — deterministic IEEE sum.
     val scores = contrib.groupBy(col("query_id"), col("doc_id"))
@@ -130,6 +147,89 @@ object Retrieval {
     scores.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** RM3 pseudo-relevance feedback (Lavrenko & Croft, SIGIR 2001
+    * relevance models; the RM3 interpolation of Abdul-Jaleel et al.,
+    * TREC 2004): run [[bm25]], build the RM1 feedback model from the
+    * top `fbDocs` documents — w(q,t) = Σ_d (tf_{t,d}/|d|)·score(q,d)
+    * over the feedback set, normalized per query — keep the top
+    * `fbTerms` expansion terms, interpolate with the original query
+    * (α on the uniform original weights, 1−α on the feedback
+    * weights), and rescore with [[bm25Weighted]]. The classic
+    * recall-boosting second pass of a lexical retrieval stack.
+    *
+    * Determinism: pass-1 scores are bm25's term-ordered folds; the
+    * feedback sums fold in doc order, the normalizer in term order,
+    * expansion selection ties break (weight desc, term asc), and the
+    * interpolation is one fixed expression — so a SQL replay matches
+    * bit for bit. No stoplist: the feedback model is the corpus's
+    * own (document it, don't hide it).
+    *
+    * Scale shape: two bm25 passes (each the leak-free single-scan
+    * posting dataflow) + one scan of the ≤ |Q|·fbDocs feedback
+    * documents; the collected weight table is |Q|·(|terms|+fbTerms)
+    * rows — the documented bounded-collect class (query sets are
+    * driver-side literals already).
+    */
+  def rm3(docs: DataFrame, idCol: String, textCol: String,
+          queries: Seq[(String, Seq[String])],
+          k1: Double = 1.2, b: Double = 0.75,
+          fbDocs: Int = 3, fbTerms: Int = 5, alpha: Double = 0.6,
+          topK: Int = 10): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 1, s"fbDocs=$fbDocs fbTerms=$fbTerms")
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha=$alpha")
+    val fb = bm25(docs, idCol, textCol, queries, k1, b, topK = fbDocs)
+      .select(col("query_id"), col("doc_id").as("_fd"), col("score"))
+    // term distributions of the feedback docs: one scan, semi-joined
+    // to the (tiny, broadcast) feedback id set
+    val tfall = docs
+      .select(col(idCol).as("_fd"),
+        Text.wsTokens(lower(trim(col(textCol)))).as("toks"))
+      .join(broadcast(fb.select(col("_fd")).distinct()), Seq("_fd"),
+        "left_semi")
+      .select(col("_fd"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("_fd"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    // RM1: fold the per-doc contributions in doc order
+    val wRaw = tfall.join(broadcast(fb), "_fd")
+      .select(col("query_id"), col("term"),
+        struct(col("_fd"),
+          ((col("tf").cast("double") / col("dl").cast("double")) *
+            col("score")).as("_c")).as("dc"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(aggregate(array_sort(collect_list(col("dc"))), lit(0.0),
+        (acc, x) => acc + x.getField("_c")).as("w"))
+    val z = wRaw
+      .groupBy(col("query_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("w").as("_c")))),
+        lit(0.0), (acc, x) => acc + x.getField("_c")).as("z"))
+    val wn = wRaw.join(broadcast(z), "query_id")
+      .select(col("query_id"), col("term"), (col("w") / col("z")).as("wn"))
+    val wSel = Window.partitionBy(col("query_id"))
+      .orderBy(col("wn").desc, col("term").asc)
+    val expansion = wn.withColumn("_rk", row_number().over(wSel))
+      .filter(col("_rk") <= fbTerms)
+      .select(col("query_id"), col("term"), col("wn"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (q, rows) =>
+        q -> rows.map(r => r.getString(1) -> r.getDouble(2)).toSeq }
+    val weighted = queries.map { case (q, ts0) =>
+      val ts = ts0.distinct.filter(_.nonEmpty)
+      val orig = 1.0 / ts.length
+      val e = expansion.getOrElse(q, Nil).toMap
+      val origTerms = ts.map(t =>
+        t -> (alpha * orig + (1.0 - alpha) * e.getOrElse(t, 0.0)))
+      val extras = e.toSeq.filter { case (t, _) => !ts.contains(t) }
+        .sortBy(_._1)
+        .map { case (t, w) => t -> ((1.0 - alpha) * w) }
+      q -> (origTerms ++ extras)
+    }
+    bm25Weighted(docs, idCol, textCol, weighted, k1, b, topK)
   }
 
   /** Query-likelihood retrieval with Dirichlet smoothing (Zhai &

@@ -1482,3 +1482,31 @@ case class HurstProc(groups: Seq[Ref], order: Ref, value: Ref)
     Cdc.wrap(keyed, "_k", "ts.hurst")
   }
 }
+
+/** `retrieval.rm3` — BM25 with RM3 pseudo-relevance feedback
+  * ([[graft.analytics.Retrieval.rm3]]: top-`fbDocs` RM1 model,
+  * `fbTerms` expansion terms, α-interpolated weighted rescore): one
+  * create record per (query, rank) like `retrieval.bm25` — the
+  * recall-boosting second pass as pure config.
+  */
+case class RetrievalRm3Proc(idField: Ref, textField: Ref, query: String,
+                            k1: Double, b: Double, fbDocs: Int,
+                            fbTerms: Int, alpha: Double, topK: Int)
+    extends Processor {
+  require(query.trim.nonEmpty, "retrieval.rm3: need query")
+  val plugin = "retrieval.rm3"
+  override def transform(df: DataFrame): DataFrame = {
+    require(!df.isStreaming,
+      "retrieval.rm3 is batch-only (two corpus-ranking passes); " +
+        "run the pipeline with --batch or apply it foreachBatch")
+    val flat = df.select(
+      Analytics2Ops.fieldCol(df, idField).as("_id"),
+      Analytics2Ops.fieldCol(df, textField).as("_text"))
+    val out = graft.analytics.Retrieval.rm3(flat, "_id", "_text",
+      Seq("q" -> query.trim.toLowerCase.split("\\s+").toSeq), k1, b,
+      fbDocs, fbTerms, alpha, topK)
+    val keyed = out.withColumn("_k",
+      concat_ws("|", col("query_id"), col("rank")))
+    Cdc.wrap(keyed, "_k", "retrieval.rm3")
+  }
+}

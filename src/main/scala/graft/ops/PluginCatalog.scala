@@ -429,6 +429,12 @@ object PluginCatalog {
     // ---- retrieval ----------------------------------------------------------
     Entry("retrieval.tfidf", "TF-IDF term weights per document.",
       Seq(req("id", Id), opt("field", Text), opt("minDf", "2"))),
+    Entry("retrieval.rm3",
+      "BM25 with RM3 pseudo-relevance feedback (batch-only).",
+      Seq(req("id", Id), req("query", "hash join merge"),
+        opt("field", Text), opt("k1", "1.2"), opt("b", "0.75"),
+        opt("fbDocs", "3"), opt("fbTerms", "5"), opt("alpha", "0.6"),
+        opt("topK", "10"))),
     Entry("retrieval.bm25", "BM25 ranking against a query string.",
       Seq(req("id", Id), req("query", "spark analytics"), opt("field", Text),
         opt("k1", "1.2"), opt("b", "0.75"), opt("topK", "10"))),

@@ -277,6 +277,14 @@ object Registry {
         (spec.substring(0, i).trim, spec.substring(i + 1).trim.toDouble)
       },
       s.getOrElse("seed", "0").toLong)),
+    "retrieval.rm3" -> (s => RetrievalRm3Proc(
+      Ref.parse(s("id")), ref(s, ".Payload.After"), s("query"),
+      s.getOrElse("k1", "1.2").toDouble,
+      s.getOrElse("b", "0.75").toDouble,
+      s.getOrElse("fbDocs", "3").toInt,
+      s.getOrElse("fbTerms", "5").toInt,
+      s.getOrElse("alpha", "0.6").toDouble,
+      s.getOrElse("topK", "10").toInt)),
     "retrieval.bm25" -> (s => RetrievalBm25Proc(
       Ref.parse(s("id")), ref(s, ".Payload.After"), s("query"),
       s.getOrElse("k1", "1.2").toDouble,

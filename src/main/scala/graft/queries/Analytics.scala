@@ -1591,6 +1591,17 @@ object Analytics {
             "q3" -> Seq("vector", "query", "sort")),
         topK = 10)),
 
+    // RM3 pseudo-relevance feedback over the same query set: BM25 →
+    // RM1 model from the top-3 docs → 5 expansion terms → α=0.6
+    // interpolated weighted rescore; the oracle replays both passes
+    // and the feedback model fold for fold.
+    "retrieval_rm3" -> ((s, dir) =>
+      Retrieval.rm3(t(s, dir, "documents"), "doc_id", "text",
+        Seq("q1" -> Seq("hash", "join", "merge"),
+            "q2" -> Seq("dup", "stream", "window"),
+            "q3" -> Seq("vector", "query", "sort")),
+        fbDocs = 3, fbTerms = 5, alpha = 0.6, topK = 10)),
+
     // Dirichlet query-likelihood over the same query set — the
     // language-modeling ranking next to BM25's probabilistic one;
     // matched-term folds + the closed-form length prior.
@@ -2061,6 +2072,100 @@ object Analytics {
 
   private val oraclesBase: Map[String, String] = Map(
     "text_bm25" -> bm25OracleSql,
+    // RM3: pass-1 bm25 CTEs, the RM1 feedback model (doc-ordered
+    // folds, term-ordered normalizer, (wn DESC, term) selection), the
+    // α-interpolated weight table, and the weighted pass-2 — every
+    // fold order identical to the engine's
+    "retrieval_rm3" ->
+      """WITH q(query_id, term) AS (VALUES
+           ('q1','hash'),('q1','join'),('q1','merge'),
+           ('q2','dup'),('q2','stream'),('q2','window'),
+           ('q3','vector'),('q3','query'),('q3','sort')),
+         dls AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM
+           (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+            FROM documents)),
+         stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+           FROM dls),
+         tf AS (SELECT doc_id, dl, w AS term, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, dl, unnest(t) AS w FROM dls)
+           WHERE w IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, dl, w),
+         dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         contrib AS (SELECT q.query_id, tf.doc_id, tf.term,
+           ln(CAST(1.0 AS DOUBLE) +
+              (CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+              (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))) *
+           (CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+           (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+             (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+               (CAST(tf.dl AS DOUBLE) / s.avgdl))) AS c
+           FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+           JOIN q ON q.term = tf.term),
+         scores AS (SELECT query_id, doc_id,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)),
+             (a, b) -> a + b) AS score
+           FROM contrib GROUP BY query_id, doc_id),
+         fb AS (SELECT query_id, doc_id, score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) AS rk
+           FROM scores) WHERE rk <= 3),
+         tfall AS (SELECT doc_id, dl, w AS term, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, dl, unnest(t) AS w FROM dls
+                 WHERE doc_id IN (SELECT DISTINCT doc_id FROM fb))
+           WHERE w <> '' GROUP BY doc_id, dl, w),
+         wraw AS (SELECT f.query_id, t.term,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list((CAST(t.tf AS DOUBLE) / CAST(t.dl AS DOUBLE)) * f.score
+               ORDER BY t.doc_id)), (a, b) -> a + b) AS w
+           FROM tfall t JOIN fb f ON f.doc_id = t.doc_id
+           GROUP BY f.query_id, t.term),
+         z AS (SELECT query_id,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(w ORDER BY term)),
+             (a, b) -> a + b) AS z
+           FROM wraw GROUP BY query_id),
+         wnorm AS (SELECT w.query_id, w.term, w.w / z.z AS wn
+           FROM wraw w JOIN z USING (query_id)),
+         expn AS (SELECT query_id, term, wn FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY wn DESC, term ASC) AS rk FROM wnorm) WHERE rk <= 5),
+         qn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS nq
+           FROM q GROUP BY query_id),
+         wq AS (SELECT q.query_id, q.term,
+             CAST(0.6 AS DOUBLE) * (CAST(1.0 AS DOUBLE) / CAST(qn.nq AS DOUBLE)) +
+             (CAST(1.0 AS DOUBLE) - CAST(0.6 AS DOUBLE)) *
+               coalesce(e.wn, CAST(0.0 AS DOUBLE)) AS weight
+           FROM q JOIN qn USING (query_id)
+           LEFT JOIN expn e ON e.query_id = q.query_id AND e.term = q.term
+           UNION ALL
+           SELECT e.query_id, e.term,
+             (CAST(1.0 AS DOUBLE) - CAST(0.6 AS DOUBLE)) * e.wn AS weight
+           FROM expn e ANTI JOIN q ON q.query_id = e.query_id
+             AND q.term = e.term),
+         tf2 AS (SELECT doc_id, dl, w AS term, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, dl, unnest(t) AS w FROM dls)
+           WHERE w IN (SELECT DISTINCT term FROM wq) GROUP BY doc_id, dl, w),
+         dfreq2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           FROM tf2 GROUP BY term),
+         contrib2 AS (SELECT wq.query_id, tf2.doc_id, tf2.term,
+           (ln(CAST(1.0 AS DOUBLE) +
+              (CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+              (CAST(d.df AS DOUBLE) + CAST(0.5 AS DOUBLE))) *
+           (CAST(tf2.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+           (CAST(tf2.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+             (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+               (CAST(tf2.dl AS DOUBLE) / s.avgdl)))) * wq.weight AS c
+           FROM tf2 JOIN dfreq2 d USING (term) CROSS JOIN stats s
+           JOIN wq ON wq.term = tf2.term),
+         scores2 AS (SELECT query_id, doc_id,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)),
+             (a, b) -> a + b) AS score
+           FROM contrib2 GROUP BY query_id, doc_id)
+         SELECT query_id, CAST(rk AS BIGINT) AS rank, doc_id, score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) AS rk
+           FROM scores2) WHERE rk <= 10""",
     // P@10 / MRR over the nested BM25 run vs the synthetic qrels
     "retrieval_eval" ->
       s"""WITH ranked AS (SELECT query_id, doc_id, rank

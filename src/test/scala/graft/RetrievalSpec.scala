@@ -111,6 +111,46 @@ class RetrievalSpec extends AnyFunSuite {
     assert(bmScans >= 1) // sanity: the tokenize subtree exists at all
   }
 
+  test("rm3 expansion recalls a doc sharing no original query term") {
+    // 'spark engine' retrieves docs 1-3; their shared vocabulary
+    // ('tungsten') expands the query, pulling in doc 4 — the classic
+    // vocabulary-mismatch recall win PRF exists for
+    val docs = corpus(
+      1L -> "spark engine tungsten fast",
+      2L -> "spark engine tungsten codegen",
+      3L -> "spark tungsten planner",
+      4L -> "tungsten metal alloy",
+      5L -> "completely unrelated words here")
+    val base = Retrieval.bm25(docs, "doc_id", "text",
+      Seq("q" -> Seq("spark", "engine")), topK = 10)
+      .collect().map(_.getLong(2)).toSet
+    assert(!base.contains(4L), "baseline must miss the no-overlap doc")
+    val rm3 = Retrieval.rm3(docs, "doc_id", "text",
+      Seq("q" -> Seq("spark", "engine")),
+      fbDocs = 3, fbTerms = 3, alpha = 0.5, topK = 10)
+      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
+    assert(rm3.contains(4L), s"expansion failed to recall doc 4: $rm3")
+    assert(!rm3.contains(5L), "unrelated doc stays out")
+    // originals still dominate: a feedback doc outranks the
+    // expansion-only doc under the alpha interpolation
+    assert(rm3(1L) < rm3(4L) || rm3(2L) < rm3(4L),
+      s"feedback docs should outrank the expansion-only doc: $rm3")
+  }
+
+  test("bm25Weighted scales term contributions by their weights") {
+    val docs = corpus(
+      1L -> "alpha alpha beta",
+      2L -> "beta beta alpha")
+    // weight 'alpha' 1.0 vs 'beta' 0.0 — doc 1 must win; flip -> doc 2
+    val w1 = Retrieval.bm25Weighted(docs, "doc_id", "text",
+      Seq("q" -> Seq("alpha" -> 1.0, "beta" -> 0.0)), topK = 1)
+      .head().getLong(2)
+    val w2 = Retrieval.bm25Weighted(docs, "doc_id", "text",
+      Seq("q" -> Seq("alpha" -> 0.0, "beta" -> 1.0)), topK = 1)
+      .head().getLong(2)
+    assert(w1 == 1L && w2 == 2L, s"got $w1 / $w2")
+  }
+
   test("tfidf: rarer terms weigh more; sub-minDf terms are dropped") {
     val docs = corpus(
       1L -> "common rare",
