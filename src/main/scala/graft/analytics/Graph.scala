@@ -772,6 +772,73 @@ object Graph {
     labels.select(col("node"), col("lbl").as("community"))
   }
 
+  /** Modularity of a community partition (Newman & Girvan 2004):
+    * Q = Σ_c [e_c/m − (d_c/2m)²] over the undirected graph — the
+    * standard quality score for [[labelPropagation]]'s output (Q near
+    * 0 ⇒ no better than random, 0.3–0.7 ⇒ strong structure).
+    *
+    * Exactness: e_c, d_c, m are integers, and Q is accumulated as the
+    * EXACT rational Σ_c (4m·e_c − d_c²) over 4m² — the numerator sums
+    * in decimal(38,0) (order-insensitive), the output is ONE double
+    * division. No per-community float fold, so the result is
+    * bit-replayable at any community count.
+    *
+    * Scale shape: two community joins onto the edge list + one degree
+    * aggregate + a communities-sized reduction; m is one bounded
+    * count (guarded so 4m² stays exact in long range).
+    */
+  def modularity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      communities: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("_u"),
+        greatest(col(srcCol), col(dstCol)).as("_v"))
+      .filter(col("_u") =!= col("_v") && col("_u").isNotNull)
+      .distinct()
+    val comm = communities.select(col(communities.columns.head).as("node"),
+      col(communities.columns(1)).as("_c"))
+    // the edge list feeds three consumers (m, intra, degrees) and its
+    // upstream derivation (frequent pairs, similarity output) is the
+    // expensive part — persist it; the m count doubles as the fence
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0p = e0.persist(storage)
+    val m = e0p.count()
+    require(m > 0, "modularity: empty graph")
+    require(m < 1500000000L,
+      s"modularity: m=$m — 4m² must stay in long range")
+    val intra = e0p
+      .join(comm.select(col("node").as("_u"), col("_c").as("_ca")), "_u")
+      .join(comm.select(col("node").as("_v"), col("_c").as("_cb")), "_v")
+      .filter(col("_ca") === col("_cb"))
+      .groupBy(col("_ca").as("_c")).agg(count(lit(1)).as("_ec"))
+    val dc = e0p.select(explode(array(col("_u"), col("_v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("_d"))
+      .join(comm, "node")
+      .groupBy(col("_c")).agg(sum(col("_d")).as("_dsum"))
+    val num = dc.join(intra, Seq("_c"), "left_outer")
+      .na.fill(0L, Seq("_ec"))
+      .select(col("_c"),
+        (lit(4L * m).cast(d38) * col("_ec").cast(d38) -
+          col("_dsum").cast(d38) * col("_dsum").cast(d38)).as("_num"))
+    // EAGER: the result is ONE row (the documented bounded-collect
+    // class) — materialize it so the persisted edge list releases
+    // here instead of leaking into the caller's session
+    val row = num.agg(count(lit(1)).as("n_communities"),
+        sum(col("_num")).as("_sn"))
+      .select(lit(m).as("m_edges"), col("n_communities"),
+        (col("_sn").cast("double") / lit((4L * m * m).toDouble))
+          .as("modularity"))
+      .head()
+    e0p.unpersist(false)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((row.getLong(0), row.getLong(1), row.getDouble(2)))
+      .toDF("m_edges", "n_communities", "modularity")
+  }
+
   /** Hop distance to the nearest seed by multi-source BFS over the
     * undirected graph — the crawl-frontier trust signal (TrustRank-
     * style seed proximity, Gyöngyi et al., VLDB 2004, with unit

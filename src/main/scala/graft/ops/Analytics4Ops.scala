@@ -1510,3 +1510,27 @@ case class RetrievalRm3Proc(idField: Ref, textField: Ref, query: String,
     Cdc.wrap(keyed, "_k", "retrieval.rm3")
   }
 }
+
+/** `graph.modularity` — label-propagation communities + their
+  * modularity in one step ([[graft.analytics.Graph.labelPropagation]]
+  * → [[graft.analytics.Graph.modularity]]): ONE create record with
+  * (m_edges, n_communities, modularity) — the partition-quality
+  * gauge a curation pipeline logs next to its community assignment.
+  */
+case class ModularityProc(src: Ref, dst: Ref, iterations: Int)
+    extends Processor {
+  val plugin = "graph.modularity"
+  override def transform(df: DataFrame): DataFrame = {
+    require(!df.isStreaming,
+      "graph.modularity is batch-only (iterative propagation over the " +
+        "corpus); run the pipeline with --batch or apply it foreachBatch")
+    val edges = df.select(Analytics2Ops.fieldCol(df, src).as("id_a"),
+        Analytics2Ops.fieldCol(df, dst).as("id_b"))
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull)
+    val comm = graft.analytics.Graph.labelPropagation(edges, "id_a", "id_b",
+      iterations)
+    val out = graft.analytics.Graph.modularity(edges, "id_a", "id_b", comm)
+    Cdc.wrap(out.withColumn("_k", lit("modularity")), "_k",
+      "graph.modularity")
+  }
+}

@@ -357,6 +357,9 @@ object PluginCatalog {
         opt("maxDegree", "100000"))),
     Entry("graph.labelprop", "Label-propagation communities (batch-only).",
       Seq(req("src", Src), req("dst", Dst), opt("iterations", "4"))),
+    Entry("graph.modularity",
+      "Modularity of the label-propagation partition (batch-only).",
+      Seq(req("src", Src), req("dst", Dst), opt("iterations", "4"))),
     Entry("graph.ppr",
       "Personalized PageRank from a seed table (TrustRank, batch-only).",
       Seq(req("src", Src), req("dst", Dst),

@@ -296,6 +296,9 @@ object Registry {
     "graph.components" -> (s => GraphComponentsProc(
       Ref.parse(s("src")), Ref.parse(s("dst")),
       s.getOrElse("maxIter", "25").toInt)),
+    "graph.modularity" -> (s => ModularityProc(
+      Ref.parse(s("src")), Ref.parse(s("dst")),
+      s.getOrElse("iterations", "4").toInt)),
     "graph.labelprop" -> (s => LabelPropProc(
       Ref.parse(s("src")), Ref.parse(s("dst")),
       s.getOrElse("iterations", "4").toInt)),

@@ -1925,6 +1925,18 @@ object Temporal {
           .select(col("item_a").as("id_a"), col("item_b").as("id_b")),
         "id_a", "id_b", iterations = 4)),
 
+    // Modularity of the label-propagation partition on the same
+    // frequent-pair graph: Q accumulated as the exact rational
+    // Σ(4m·e_c − d_c²)/4m² — one double division at the end.
+    "graph_modularity" -> ((s, dir) => {
+      val pairs = Baskets.frequentPairs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2L)
+        .select(col("item_a").as("id_a"), col("item_b").as("id_b"))
+      val comm = Graph.labelPropagation(pairs, "id_a", "id_b",
+        iterations = 4)
+      Graph.modularity(pairs, "id_a", "id_b", comm)
+    }),
+
     // Multi-source BFS hop distance to the nearest seed (TrustRank-
     // style seed proximity) from the nodes ≡ 0 (mod 7); oracle =
     // bounded recursive CTE with min-hop aggregation.
@@ -2390,6 +2402,35 @@ object Temporal {
               FROM nodes CROSS JOIN nc nn),
        $iters
        SELECT node, rank AS pagerank FROM r$iterations"""
+  }
+
+  /** The label-propagation CTE chain (frequent-pair graph, symmetric
+    * edges, four unrolled argmax rounds), shared by the labelprop and
+    * modularity oracles. */
+  private val labelpropCtes: String = {
+    val prefix =
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b,
+              l_partkey AS i FROM lineitem),
+         s AS (SELECT i FROM items GROUP BY i HAVING count(*) >= 2),
+         p AS (SELECT items.b, items.i FROM items JOIN s USING (i)),
+         e AS (SELECT a.i AS u, bb.i AS v
+               FROM p a JOIN p bb ON a.b = bb.b AND a.i < bb.i
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         edges AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+         l0 AS MATERIALIZED (SELECT u AS node, u AS lbl
+               FROM edges GROUP BY u)"""
+    val rounds = (1 to 4).map { k =>
+      s""",
+         v$k AS (SELECT n, lbl, count(*) AS c FROM (
+               SELECT e2.u AS n, l.lbl FROM edges e2
+                 JOIN l${k - 1} l ON l.node = e2.v
+               UNION ALL
+               SELECT node AS n, lbl FROM l${k - 1}) GROUP BY 1, 2),
+         l$k AS MATERIALIZED (SELECT n AS node, lbl FROM (
+               SELECT n, lbl, row_number() OVER (PARTITION BY n
+                 ORDER BY c DESC, lbl ASC) AS rn FROM v$k) WHERE rn = 1)"""
+    }.mkString
+    prefix + rounds
   }
 
   /** Changepoint replay, shared by the batch row and its streaming
@@ -4803,30 +4844,30 @@ object Temporal {
     // four synchronous label-propagation rounds unrolled: votes =
     // neighbor labels + the self-vote, argmax with (count DESC,
     // label ASC) — the engine's min(struct(-c, lbl)) tie rule
-    "graph_labelprop" -> {
-      val prefix =
-        """WITH items AS (SELECT DISTINCT l_orderkey AS b,
-              l_partkey AS i FROM lineitem),
-         s AS (SELECT i FROM items GROUP BY i HAVING count(*) >= 2),
-         p AS (SELECT items.b, items.i FROM items JOIN s USING (i)),
-         e AS (SELECT a.i AS u, bb.i AS v
-               FROM p a JOIN p bb ON a.b = bb.b AND a.i < bb.i
-               GROUP BY 1, 2 HAVING count(*) >= 2),
-         edges AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
-         l0 AS (SELECT u AS node, u AS lbl FROM edges GROUP BY u)"""
-      val rounds = (1 to 4).map { k =>
-        s""",
-         v$k AS (SELECT n, lbl, count(*) AS c FROM (
-               SELECT e2.u AS n, l.lbl FROM edges e2
-                 JOIN l${k - 1} l ON l.node = e2.v
-               UNION ALL
-               SELECT node AS n, lbl FROM l${k - 1}) GROUP BY 1, 2),
-         l$k AS (SELECT n AS node, lbl FROM (
-               SELECT n, lbl, row_number() OVER (PARTITION BY n
-                 ORDER BY c DESC, lbl ASC) AS rn FROM v$k) WHERE rn = 1)"""
-      }.mkString
-      prefix + rounds + "\n         SELECT node, lbl AS community FROM l4"
-    },
+    "graph_labelprop" ->
+      (labelpropCtes + "\n         SELECT node, lbl AS community FROM l4"),
+    // the same four rounds, then Q as the exact rational
+    // Σ(4m·e_c − d_c²) / 4m² — one double division, like the engine
+    "graph_modularity" -> (labelpropCtes + """,
+         mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+         intra AS (SELECT la.lbl AS c, CAST(count(*) AS BIGINT) AS ec
+               FROM e JOIN l4 la ON la.node = e.u
+               JOIN l4 lb ON lb.node = e.v
+               WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+         degs AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+               FROM edges GROUP BY u),
+         dcs AS (SELECT l.lbl AS c, CAST(sum(d.d) AS BIGINT) AS dsum
+               FROM degs d JOIN l4 l ON l.node = d.node GROUP BY l.lbl),
+         nums AS (SELECT dcs.c,
+               CAST(4 AS HUGEINT) * mm.m * coalesce(i.ec, 0) -
+                 CAST(dcs.dsum AS HUGEINT) * dcs.dsum AS num
+               FROM dcs CROSS JOIN mm
+               LEFT JOIN intra i ON i.c = dcs.c)
+         SELECT CAST(mm.m AS BIGINT) AS m_edges,
+           CAST(count(*) AS BIGINT) AS n_communities,
+           CAST(sum(num) AS DOUBLE) /
+             CAST(CAST(4 AS HUGEINT) * mm.m * mm.m AS DOUBLE) AS modularity
+         FROM nums CROSS JOIN mm GROUP BY mm.m"""),
     // bounded-depth recursive BFS with min-hop aggregation; seeds =
     // graph nodes divisible by 7
     "graph_seed_dist" ->

@@ -99,6 +99,15 @@ class Round17Spec extends AnyFunSuite {
       s"extreme projections not at the cloud ends: $byAbs")
   }
 
+  test("modularity scores the clique partition with the exact rational") {
+    // two 4-cliques + bridge: m = 13, e_c = 6 each, d_c = 13 each ->
+    // Q = 2*(4*13*6 - 169)/(4*169) = 286/676 exactly
+    val comm = Graph.labelPropagation(twoCliques(), "a", "b", iterations = 8)
+    val row = Graph.modularity(twoCliques(), "a", "b", comm).head()
+    assert(row.getLong(0) == 13L && row.getLong(1) == 2L, row.toString)
+    assert(row.getDouble(2) == 286.0 / 676.0, s"Q=${row.getDouble(2)}")
+  }
+
   test("personalizedPageRank: mass concentrates at and downstream of seeds") {
     // star out of seed 1 (1->2, 2->3) plus an island 10->11: the
     // island gets ZERO mass (no teleport restarts there), and rank
