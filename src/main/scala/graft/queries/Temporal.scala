@@ -2016,6 +2016,38 @@ object Temporal {
       TOps.changepoint(daily, Seq("event_type"), "day", "cents")
     }),
 
+    // Streaming twin of stats_hurst: the same keyed (event_type, day)
+    // sum state as ts_changepoint_stream feeds the batch R/S fit —
+    // integer-exact state, shared batch oracle.
+    "stats_hurst_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = t(s, dir, "events")
+      val rows = ev.select(col("event_type"), tsEpochSeconds(ev).as("_secs"),
+          (col("value").cast(d2) * lit(100)).cast("long").as("cents"))
+        .select(col("event_type"), expr("_secs div 86400").as("day"),
+          col("cents"))
+        .as[(String, Long, Long)].collect()
+      val (b1, b2) = rows.partition(_._2 % 2 == 0)
+      val state = java.nio.file.Files
+        .createTempDirectory("hurst_stream").toString
+      val in = MemoryStream[(String, Long, Long)]
+      val q = in.toDF().toDF("event_type", "day", "cents")
+        .writeStream
+        .foreachBatch(graft.streaming.StreamingOps.keyedMeanSink(
+          state, "event_type", "day", "cents"))
+        .outputMode("update").start()
+      try {
+        in.addData(b1.toSeq); q.processAllAvailable()
+        in.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val daily = s.read.parquet(s"$state/batch=1")
+        .select(col("domain").as("event_type"), col("step").as("day"),
+          col("s").cast("long").as("cents"))
+      TOps.hurstRs(daily, Seq("event_type"), "day", "cents")
+    }),
+
     // Hurst exponent of the daily revenue series per type: R/S over
     // 8/16/32-day blocks — every R/S one fixed double expression over
     // exact integers, per-scale means folded in block order, 6-dp
@@ -2432,6 +2464,56 @@ object Temporal {
     }.mkString
     prefix + rounds
   }
+
+  /** Hurst R/S replay, shared by the batch row and its streaming
+    * twin (the keyedMeanSink state is the same exact daily table). */
+  private val hurstOracleSql: String =
+    """WITH e AS (SELECT event_type AS g,
+              epoch_ns(ts) // 1000000000 // 86400 AS t,
+              CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                AS BIGINT)) AS BIGINT) AS v
+            FROM events GROUP BY 1, 2),
+         base AS (SELECT g, t, v,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY t) - 1
+               AS BIGINT) AS k
+           FROM e),
+         ms AS (SELECT g, t, v, CAST(mm.m AS BIGINT) AS m, k // mm.m AS b
+           FROM base, (VALUES (8), (16), (32)) mm(m)),
+         st AS (SELECT g, m, b, t, v,
+             CAST(row_number() OVER wb AS BIGINT) AS i,
+             sum(v) OVER wb AS si,
+             sum(v) OVER wball AS sm,
+             CAST(count(*) OVER wball AS BIGINT) AS cnt
+           FROM ms WINDOW wb AS (PARTITION BY g, m, b ORDER BY t),
+             wball AS (PARTITION BY g, m, b)),
+         dev AS (SELECT g, m, b, v,
+             CAST(si AS HUGEINT) * m - CAST(i AS HUGEINT) *
+               CAST(sm AS HUGEINT) AS dv
+           FROM st WHERE cnt = m),
+         blk AS (SELECT g, m, b, max(dv) - min(dv) AS r,
+             CAST(max(m) AS HUGEINT) *
+               sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) -
+               sum(CAST(v AS HUGEINT)) * sum(CAST(v AS HUGEINT)) AS vr
+           FROM dev GROUP BY g, m, b),
+         rs AS (SELECT g, m, b,
+             CAST(r AS DOUBLE) / sqrt(CAST(vr AS DOUBLE)) AS rsv
+           FROM blk WHERE vr > 0),
+         pm AS (SELECT g, m,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(rsv ORDER BY b)), (a, x) -> a + x) /
+               CAST(count(*) AS DOUBLE) AS mean_rs,
+             CAST(count(*) AS BIGINT) AS nb
+           FROM rs GROUP BY g, m),
+         pts AS (SELECT g, m, nb, ln(CAST(m AS DOUBLE)) AS x,
+             ln(mean_rs) AS y
+           FROM pm WHERE mean_rs > 0),
+         o AS (SELECT g AS event_type,
+             CAST(count(*) AS BIGINT) AS n_scales,
+             CAST(sum(nb) AS BIGINT) AS n_blocks,
+             round(regr_slope(y, x), 6) AS hurst,
+             round(regr_intercept(y, x), 6) AS log_c
+           FROM pts GROUP BY g)
+         SELECT * FROM o WHERE n_scales >= 2"""
 
   /** Changepoint replay, shared by the batch row and its streaming
     * twin (whose state table is the same exact daily-cents sums). */
@@ -4920,54 +5002,10 @@ object Temporal {
     // twin shares the batch replay verbatim
     "ts_changepoint_stream" -> changepointOracleSql,
     // R/S replay: identical block windows (HUGEINT devs/variance),
-    // block-ordered list folds, ln/regr_slope at 6 dp
-    "stats_hurst" ->
-      """WITH e AS (SELECT event_type AS g,
-              epoch_ns(ts) // 1000000000 // 86400 AS t,
-              CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
-                AS BIGINT)) AS BIGINT) AS v
-            FROM events GROUP BY 1, 2),
-         base AS (SELECT g, t, v,
-             CAST(row_number() OVER (PARTITION BY g ORDER BY t) - 1
-               AS BIGINT) AS k
-           FROM e),
-         ms AS (SELECT g, t, v, CAST(mm.m AS BIGINT) AS m, k // mm.m AS b
-           FROM base, (VALUES (8), (16), (32)) mm(m)),
-         st AS (SELECT g, m, b, t, v,
-             CAST(row_number() OVER wb AS BIGINT) AS i,
-             sum(v) OVER wb AS si,
-             sum(v) OVER wball AS sm,
-             CAST(count(*) OVER wball AS BIGINT) AS cnt
-           FROM ms WINDOW wb AS (PARTITION BY g, m, b ORDER BY t),
-             wball AS (PARTITION BY g, m, b)),
-         dev AS (SELECT g, m, b, v,
-             CAST(si AS HUGEINT) * m - CAST(i AS HUGEINT) *
-               CAST(sm AS HUGEINT) AS dv
-           FROM st WHERE cnt = m),
-         blk AS (SELECT g, m, b, max(dv) - min(dv) AS r,
-             CAST(max(m) AS HUGEINT) *
-               sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) -
-               sum(CAST(v AS HUGEINT)) * sum(CAST(v AS HUGEINT)) AS vr
-           FROM dev GROUP BY g, m, b),
-         rs AS (SELECT g, m, b,
-             CAST(r AS DOUBLE) / sqrt(CAST(vr AS DOUBLE)) AS rsv
-           FROM blk WHERE vr > 0),
-         pm AS (SELECT g, m,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list(rsv ORDER BY b)), (a, x) -> a + x) /
-               CAST(count(*) AS DOUBLE) AS mean_rs,
-             CAST(count(*) AS BIGINT) AS nb
-           FROM rs GROUP BY g, m),
-         pts AS (SELECT g, m, nb, ln(CAST(m AS DOUBLE)) AS x,
-             ln(mean_rs) AS y
-           FROM pm WHERE mean_rs > 0),
-         o AS (SELECT g AS event_type,
-             CAST(count(*) AS BIGINT) AS n_scales,
-             CAST(sum(nb) AS BIGINT) AS n_blocks,
-             round(regr_slope(y, x), 6) AS hurst,
-             round(regr_intercept(y, x), 6) AS log_c
-           FROM pts GROUP BY g)
-         SELECT * FROM o WHERE n_scales >= 2""",
+    // block-ordered list folds, ln/regr_slope at 6 dp; the stream
+    // twin's state is the same exact daily table -> shared replay
+    "stats_hurst" -> hurstOracleSql,
+    "stats_hurst_stream" -> hurstOracleSql,
     "ts_lttb" ->
       """WITH e AS (SELECT event_type AS g,
               epoch_ns(ts) // 1000000000 // 86400 AS t,
