@@ -640,6 +640,8 @@ object Similarity {
     // fixed width (ragged vectors silently skew per-dim counts)
     val dimsRow = xq.agg(min(size(col("_x"))).as("mn"),
       max(size(col("_x"))).as("mx")).head()
+    require(!dimsRow.isNullAt(1),
+      "pca: empty corpus (no vectors to iterate over)")
     val dims = dimsRow.getInt(1)
     require(dims == dimsRow.getInt(0),
       s"pca: ragged embedding column (widths ${dimsRow.getInt(0)}.." +
