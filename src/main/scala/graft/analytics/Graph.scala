@@ -664,44 +664,6 @@ object Graph {
     spark.read.parquet(path)
   }
 
-  /** Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003,
-    * Jaccard variant): for every UNCONNECTED node pair at distance 2,
-    * |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — "these two items are never
-    * co-bought but share most of their neighborhoods", the recommender
-    * and graph-cleaning signal over the same co-occurrence graphs
-    * [[triangles]] reads.
-    *
-    * Exactness: common/deg counts are integers; the union size is
-    * deg_a + deg_b − common (inclusion–exclusion, no list ops); the
-    * score is one IEEE division.
-    *
-    * Scale shape: candidates are generated by the wedge join (common
-    * neighbor as the join key), so the pair space is Σ deg² — and a
-    * single celebrity pivot of degree d would emit d² candidate rows
-    * in one key's bucket. `maxDegree` ENFORCES the bound (the
-    * `maxBucket`/`boundedSelfPairs` discipline applied to the wedge
-    * join): nodes whose degree exceeds it are excluded as PIVOTS
-    * (common neighbors), capping candidate generation at
-    * Σ deg² ≤ maxDegree · 2m rows, exactly as text pipelines cap
-    * document frequency — a stopword-like hub mediating millions of
-    * pairs carries no linkage signal anyway. The recall contract is
-    * "pairs whose only common neighbors are hubs above the cap are
-    * not scored".
-    *
-    * Scores for SURVIVING pairs are EXACT, hub neighbors included:
-    * the capped wedge count is only a lower bound when hub common
-    * neighbors exist, so candidates whose endpoints both touch hubs
-    * are re-counted exactly by re-expanding ONE endpoint's true
-    * neighbor list against the other's (driven by the candidate
-    * pairs — never generates new pairs). An upper-bound prune
-    * (common ≤ capped + min(hub-degree of either endpoint)) runs
-    * first, which also bounds the re-expansion: a surviving pair has
-    * deg_a + deg_b ≤ (1 + 1/minJaccard)·min(deg_a, deg_b), so a
-    * celebrity endpoint paired with a small node is pruned before
-    * its neighbor list is ever expanded. Pairs with no hub neighbors
-    * on either endpoint (the entire graph under the default cap)
-    * skip the re-count — their capped count is already exact.
-    */
   /** Community detection by synchronous label propagation (Raghavan,
     * Albert & Kumara, Phys. Rev. E 76, 2007) with the deterministic
     * tie rule: every node starts labeled with its own id; each round
@@ -911,6 +873,44 @@ object Graph {
     dist.select(col("node"), col("hops"))
   }
 
+  /** Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003,
+    * Jaccard variant): for every UNCONNECTED node pair at distance 2,
+    * |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — "these two items are never
+    * co-bought but share most of their neighborhoods", the recommender
+    * and graph-cleaning signal over the same co-occurrence graphs
+    * [[triangles]] reads.
+    *
+    * Exactness: common/deg counts are integers; the union size is
+    * deg_a + deg_b − common (inclusion–exclusion, no list ops); the
+    * score is one IEEE division.
+    *
+    * Scale shape: candidates are generated by the wedge join (common
+    * neighbor as the join key), so the pair space is Σ deg² — and a
+    * single celebrity pivot of degree d would emit d² candidate rows
+    * in one key's bucket. `maxDegree` ENFORCES the bound (the
+    * `maxBucket`/`boundedSelfPairs` discipline applied to the wedge
+    * join): nodes whose degree exceeds it are excluded as PIVOTS
+    * (common neighbors), capping candidate generation at
+    * Σ deg² ≤ maxDegree · 2m rows, exactly as text pipelines cap
+    * document frequency — a stopword-like hub mediating millions of
+    * pairs carries no linkage signal anyway. The recall contract is
+    * "pairs whose only common neighbors are hubs above the cap are
+    * not scored".
+    *
+    * Scores for SURVIVING pairs are EXACT, hub neighbors included:
+    * the capped wedge count is only a lower bound when hub common
+    * neighbors exist, so candidates whose endpoints both touch hubs
+    * are re-counted exactly by re-expanding ONE endpoint's true
+    * neighbor list against the other's (driven by the candidate
+    * pairs — never generates new pairs). An upper-bound prune
+    * (common ≤ capped + min(hub-degree of either endpoint)) runs
+    * first, which also bounds the re-expansion: a surviving pair has
+    * deg_a + deg_b ≤ (1 + 1/minJaccard)·min(deg_a, deg_b), so a
+    * celebrity endpoint paired with a small node is pruned before
+    * its neighbor list is ever expanded. Pairs with no hub neighbors
+    * on either endpoint (the entire graph under the default cap)
+    * skip the re-count — their capped count is already exact.
+    */
   def jaccardLinks(
       edges: DataFrame,
       srcCol: String,

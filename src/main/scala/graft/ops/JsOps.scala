@@ -46,6 +46,19 @@ import graft.model.Cdc
   * strings first (the dynamic-record path is the reference's JS
   * surface). Scripts are pipeline configuration — the same trust the
   * reference extends them.
+  *
+  * ==Binary-payload contract (UTF-8 constraint)==
+  * The reference keeps `RawData` as `[]byte` end-to-end; this engine's
+  * dynamic record carries payload slots as `StringType` (FIXTURES.md
+  * §1), with a lossless binary sibling for the KEY only (`key_raw`).
+  * A script that returns `RawData` PAYLOAD bytes that are not valid
+  * UTF-8 is therefore LOSSY on the payload slot: the bytes round-trip
+  * through `new String(bytes, UTF_8)` and invalid sequences become
+  * U+FFFD replacement characters. Key returns are exact regardless
+  * (the raw bytes land in `key_raw` untouched). Scripts producing
+  * binary payloads should base64- or hex-encode them (the goja
+  * examples that matter — text transforms over raw strings — are
+  * UTF-8 by construction and round-trip exactly).
   */
 case class JsProcessor(script: String) extends Processor {
   val plugin = "custom.javascript"
@@ -120,9 +133,24 @@ object JsProcessor {
     val writerError = new java.util.concurrent.atomic.AtomicReference[Throwable]
     val writer = new Thread(() => {
       try {
+        // batched flushes: a per-record flush is one syscall per record
+        // on the hottest pipe path. Flush when the reader has consumed
+        // everything already flushed (pending holds only unflushed
+        // envelopes — it would otherwise starve) or every 64 records;
+        // a full queue flushes BEFORE the blocking put so the reader
+        // can always drain what it is waiting on (no deadlock), and
+        // close() flushes the tail.
+        var unflushed = 0
         rows.foreach { r =>
-          pending.put(r)
-          stdin.write(envelope(r)); stdin.write('\n'); stdin.flush()
+          if (!pending.offer(r)) {
+            stdin.flush(); unflushed = 0
+            pending.put(r)
+          }
+          stdin.write(envelope(r)); stdin.write('\n')
+          unflushed += 1
+          if (unflushed >= 64 || pending.size() <= unflushed) {
+            stdin.flush(); unflushed = 0
+          }
         }
         stdin.close()
       } catch { case t: Throwable => writerError.set(t); proc.destroyForcibly() }
@@ -135,9 +163,14 @@ object JsProcessor {
       private var done = false
       private def advance(): Unit = {
         while (nextRow == null && !done) {
-          if (pending.isEmpty && !writer.isAlive && writerError.get == null) {
+          // sample liveness BEFORE the queue: a dead writer can no
+          // longer enqueue, so an empty queue seen AFTER thread death
+          // is truly final. The other order races the writer's last
+          // put-then-exit and would drop the trailing record.
+          val alive = writer.isAlive
+          if (!alive && pending.isEmpty && writerError.get == null) {
             // writer finished and every request was answered
-            if (pending.isEmpty) { finish(); return }
+            finish(); return
           }
           val original = pending.poll(100,
             java.util.concurrent.TimeUnit.MILLISECONDS)
@@ -217,10 +250,10 @@ object JsProcessor {
       def slot(field: String): (String, Array[Byte]) = {
         val v = r.get(field)
         if (v == null || v.isNull) (null, null)
-        else if (v.has("raw"))
-          (new String(Base64.getDecoder.decode(v.get("raw").asText()), UTF_8),
-            Base64.getDecoder.decode(v.get("raw").asText()))
-        else (v.get("s").asText(), null)
+        else if (v.has("raw")) {
+          val bytes = Base64.getDecoder.decode(v.get("raw").asText())
+          (new String(bytes, UTF_8), bytes)
+        } else (v.get("s").asText(), null)
       }
       val meta = {
         val mNode = r.get("m")

@@ -45,6 +45,13 @@ import graft.model.Cdc
   * Scale shape: identical to [[JsProcessor]] — executor-local pipe
   * transform via `mapPartitions`, NDJSON lockstep with a bounded
   * pending queue, no driver involvement, linear at any scale.
+  *
+  * ==Binary-output contract (UTF-8 constraint)==
+  * The transformed slot is a `StringType` column (FIXTURES.md §1), so
+  * module OUTPUT bytes that are not valid UTF-8 are lossy (invalid
+  * sequences become U+FFFD) — same contract as [[JsProcessor]]'s
+  * RawData payload returns. Modules emitting binary should base64-
+  * or hex-encode their output bytes.
   */
 case class WasmProcessor(wasmB64: String, field: String) extends Processor {
   require(WasmProcessor.Slots.contains(field),
@@ -118,12 +125,24 @@ object WasmProcessor {
     val writerError = new java.util.concurrent.atomic.AtomicReference[Throwable]
     val writer = new Thread(() => {
       try {
+        // batched flushes (same policy as JsProcessor): flush when the
+        // reader has consumed everything already flushed or every 64
+        // records; a full queue flushes BEFORE the blocking put so the
+        // reader can always drain, and close() flushes the tail.
+        var unflushed = 0
         rows.foreach { r =>
-          pending.put(r)
+          if (!pending.offer(r)) {
+            stdin.flush(); unflushed = 0
+            pending.put(r)
+          }
           val v = r.getString(slotIdx)
           stdin.write(if (v == null) "null"
             else "\"" + Base64.getEncoder.encodeToString(v.getBytes(UTF_8)) + "\"")
-          stdin.write('\n'); stdin.flush()
+          stdin.write('\n')
+          unflushed += 1
+          if (unflushed >= 64 || pending.size() <= unflushed) {
+            stdin.flush(); unflushed = 0
+          }
         }
         stdin.close()
       } catch { case t: Throwable => writerError.set(t); proc.destroyForcibly() }
@@ -136,8 +155,11 @@ object WasmProcessor {
       private var done = false
       private def advance(): Unit = {
         while (nextRow == null && !done) {
-          if (pending.isEmpty && !writer.isAlive && writerError.get == null) {
-            if (pending.isEmpty) { finish(); return }
+          // liveness BEFORE the queue (see JsProcessor): an empty
+          // queue observed after thread death is truly final
+          val alive = writer.isAlive
+          if (!alive && pending.isEmpty && writerError.get == null) {
+            finish(); return
           }
           val original = pending.poll(100,
             java.util.concurrent.TimeUnit.MILLISECONDS)

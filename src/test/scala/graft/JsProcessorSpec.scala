@@ -160,4 +160,26 @@ class JsProcessorSpec extends AnyFunSuite {
     assert(metas("2") == "1")
     assert(metas("0") == null && metas("1") == null && metas("3") == null)
   }
+
+  test("binary contract: non-UTF8 RawData payload is lossy (documented), " +
+    "key stays exact via key_raw") {
+    // 0xFF 0xFE is not valid UTF-8; 'ok' is. The documented contract:
+    // payload slots are StringType, so invalid sequences become U+FFFD;
+    // key returns keep the exact bytes in the binary key_raw sibling.
+    val proc = Registry.create("custom.javascript", Map("script" ->
+      """function process(r) {
+        |  var bin = Buffer.from([0xff, 0xfe, 0x6f, 0x6b]);
+        |  r.Payload.After = bin;
+        |  r.Key = bin;
+        |  return r;
+        |}""".stripMargin))
+    val out = proc.transform(docs(1)).cache()
+    val row = out.head()
+    val payload = row.getAs[String](out.schema.fieldIndex(Cdc.PayloadAfter))
+    assert(payload == "��ok",
+      "invalid UTF-8 payload bytes become replacement chars (documented)")
+    val keyRaw = row.getAs[Array[Byte]](out.schema.fieldIndex(Cdc.KeyRaw))
+    assert(keyRaw.toSeq == Seq(0xff.toByte, 0xfe.toByte, 'o'.toByte,
+      'k'.toByte), "key bytes round-trip exactly through key_raw")
+  }
 }
