@@ -34,6 +34,7 @@ import graft.functions.JsonOps
   *   doctor                            reachability + health checklist
   *   plugins ls [regex]                processor + connector plugins
   *   plugins describe <name>           full spec of one plugin
+  *   config                            effective runtime config + provenance
   *   healthz [service]
   *   version
   *   run <file.yaml> [--serve]         delegates to graft.tools.RunPipeline
@@ -119,6 +120,8 @@ object Cli {
         get(baseUrl, s"/healthz$q").map { body =>
           (0, JsonOps.parse(body).get("status").asText())
         }.merge
+      case "config" :: Nil =>
+        (0, renderConfig(effectiveConfig(args0, sys.env)))
       case "version" :: Nil =>
         // local build version always; server info when reachable
         // (the reference's `conduit version` prints the client build)
@@ -211,6 +214,62 @@ object Cli {
       if (hits.isEmpty) (1, s"no such plugin: $name")
       else (0, hits.mkString("\n"))
     }).merge
+
+  /** One effective runtime setting: dotted path, resolved value, and
+    * WHERE the value came from (`default` / `env NAME` / `flag
+    * --name`) — the reference's `conduit config` contract
+    * (`cmd/conduit/root/config/config.go`: defaults merged with file,
+    * env and flags, printed as `path: value`), with the provenance
+    * column added because "which layer won" is the question the
+    * command exists to answer.
+    */
+  final case class Setting(path: String, value: String, source: String,
+                           doc: String)
+
+  /** The engine's full runtime-configuration surface. Every knob a
+    * graft binary reads is listed — api address (Cli), Spark
+    * parallelism + shuffle partitions (RunPipeline/tools), checkpoint
+    * root (RunPipeline, position persistence), data dir + streaming
+    * batch size (bench/probe tools), and the registry/build version.
+    * `env` is injected for testability; flags are read from the raw
+    * argv (only `--api` carries config today).
+    */
+  private[graft] def effectiveConfig(
+      args: Array[String], env: Map[String, String]): Seq[Setting] = {
+    def resolve(path: String, doc: String, default: String,
+                envKey: String, flag: Option[String] = None): Setting = {
+      val flagVal = flag.flatMap { f =>
+        val i = args.indexOf(f)
+        if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+      }
+      flagVal.map(v => Setting(path, v, s"flag ${flag.get}", doc))
+        .orElse(env.get(envKey).map(v => Setting(path, v, s"env $envKey", doc)))
+        .getOrElse(Setting(path, default, "default", doc))
+    }
+    Seq(
+      resolve("api.url", "control-plane address the CLI talks to",
+        "http://127.0.0.1:8080", "GRAFT_API", Some("--api")),
+      resolve("spark.cpus", "local[] parallelism for graft run",
+        "4", "SPARK_GRAFT_CPUS"),
+      resolve("pipelines.checkpoint.root",
+        "position-store root (unset: fresh temp dir, no resume)",
+        "<temp dir>", "GRAFT_CKPT"),
+      resolve("data.dir", "parquet table dir for bench/probe tools",
+        "/root/testdata/sf0.1", "SPARK_GRAFT_SF_DIR"),
+      resolve("stream.batch.records",
+        "generator records per micro-batch (throughput tools)",
+        "2000000", "SPARK_GRAFT_BATCH"),
+      resolve("stream.ordered", "order guarantee: \"\" | key | global",
+        "", "SPARK_GRAFT_ORDERED"),
+      Setting("version", graft.ops.PluginCatalog.Version, "build",
+        "engine build version"))
+  }
+
+  private def renderConfig(settings: Seq[Setting]): String =
+    settings.map { s =>
+      val v = if (s.value.isEmpty) "\"\"" else s.value
+      s"${s.path}: $v  (${s.source})\n    # ${s.doc}"
+    }.mkString("\n")
 
   private def pretty(n: JsonNode): String =
     JsonOps.mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
@@ -331,6 +390,7 @@ object Cli {
       |  doctor                           reachability + health checklist
       |  plugins ls [regex]               processor + connector plugins
       |  plugins describe <name>          full spec of one plugin
+      |  config                           effective runtime configuration
       |  healthz [service]
       |  version
       |  run <file.yaml> [--serve]        run a pipeline in-process

@@ -38,8 +38,14 @@ object RunPipeline {
     val pipelines = Pipeline.fromYaml(Files.readString(Paths.get(yamlPath)))
     require(pipelines.nonEmpty, s"no pipelines in $yamlPath")
     servePort.foreach { port =>
-      val cp = new graft.pipeline.ControlPlane(spark,
-        Files.createTempDirectory("graft-ckpt").toString)
+      // GRAFT_CKPT pins the checkpoint root so source positions
+      // survive a server restart (at-least-once resume — the
+      // reference's persisted position store); default stays a fresh
+      // temp dir for throwaway runs
+      val ckptRoot = sys.env.get("GRAFT_CKPT")
+        .map { p => Files.createDirectories(Paths.get(p)); p }
+        .getOrElse(Files.createTempDirectory("graft-ckpt").toString)
+      val cp = new graft.pipeline.ControlPlane(spark, ckptRoot)
       pipelines.foreach(cp.register)
       val bound = cp.start(port)
       println(s"control plane listening on 127.0.0.1:$bound")
@@ -50,7 +56,10 @@ object RunPipeline {
         val counts = Runner.runBatch(spark, p)
         println(s"[${p.id}] ok=${counts("ok")} dlq=${counts("dlq")}")
       } else {
-        val ckpt = Files.createTempDirectory(s"ckpt-${p.id}").toString
+        val ckpt = sys.env.get("GRAFT_CKPT")
+          .map(root => Files.createDirectories(
+            Paths.get(root, p.id)).toString)
+          .getOrElse(Files.createTempDirectory(s"ckpt-${p.id}").toString)
         val q = Runner.start(spark, p, ckpt, Trigger.AvailableNow())
         q.awaitTermination()
         println(s"[${p.id}] streaming query finished")

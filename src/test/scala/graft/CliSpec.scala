@@ -164,4 +164,41 @@ class CliSpec extends AnyFunSuite {
       java.nio.file.Files.deleteIfExists(file)
     }
   }
+
+  test("config prints every documented setting with provenance") {
+    // defaults: every knob present, every source `default` (version
+    // is the build constant)
+    val defaults = Cli.effectiveConfig(Array("config"), Map.empty)
+    val paths = defaults.map(_.path)
+    assert(paths == Seq("api.url", "spark.cpus",
+      "pipelines.checkpoint.root", "data.dir", "stream.batch.records",
+      "stream.ordered", "version"))
+    assert(defaults.filter(_.path != "version").forall(_.source == "default"))
+    assert(defaults.find(_.path == "api.url").get.value ==
+      "http://127.0.0.1:8080")
+    assert(defaults.find(_.path == "version").get.value ==
+      graft.ops.PluginCatalog.Version)
+
+    // env layer wins over default; flag layer wins over env
+    val env = Map("GRAFT_API" -> "http://10.0.0.1:9999",
+      "GRAFT_CKPT" -> "/data/ckpt", "SPARK_GRAFT_CPUS" -> "32")
+    val fromEnv = Cli.effectiveConfig(Array("config"), env)
+    assert(fromEnv.find(_.path == "api.url").get ==
+      fromEnv.find(_.path == "api.url").get.copy(
+        value = "http://10.0.0.1:9999", source = "env GRAFT_API"))
+    assert(fromEnv.find(_.path == "pipelines.checkpoint.root").get.value ==
+      "/data/ckpt")
+    assert(fromEnv.find(_.path == "spark.cpus").get.source ==
+      "env SPARK_GRAFT_CPUS")
+    val flagged = Cli.effectiveConfig(
+      Array("config", "--api", "http://flag:1"), env)
+    assert(flagged.find(_.path == "api.url").get.value == "http://flag:1")
+    assert(flagged.find(_.path == "api.url").get.source == "flag --api")
+
+    // the rendered command output covers every path and source
+    val (code, out) = Cli.run(Array("config"), "http://unused")
+    assert(code == 0)
+    paths.foreach(p => assert(out.contains(s"$p:"), s"missing $p in:\n$out"))
+    assert(out.contains("(default)") || out.contains("(env "))
+  }
 }
