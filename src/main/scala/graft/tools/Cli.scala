@@ -38,6 +38,7 @@ import graft.functions.JsonOps
   *   healthz [service]
   *   version
   *   run <file.yaml> [--serve]         delegates to graft.tools.RunPipeline
+  *   mcp [--allow-mutations]           delegates to graft.tools.Mcp
   * }}}
   *
   * Exit codes: 0 success, 1 remote/HTTP error, 2 usage error.
@@ -51,6 +52,12 @@ object Cli {
       // conduit run — the one command that embeds the engine instead
       // of calling a server; RunPipeline owns the SparkSession
       RunPipeline.main(args.drop(1))
+      return
+    }
+    if (args.headOption.contains("mcp")) {
+      // conduit mcp — a long-running stdio server, not a one-shot
+      // request/response command; Mcp owns the loop
+      Mcp.main(args.drop(1))
       return
     }
     val (code, out) = run(args, apiFrom(args))
@@ -297,16 +304,16 @@ object Cli {
 
   // ---- HTTP + rendering ------------------------------------------------
 
-  private lazy val client = HttpClient.newHttpClient()
+  private[tools] lazy val client = HttpClient.newHttpClient()
 
-  private def get(base: String, path: String): Either[(Int, String), String] =
+  private[tools] def get(base: String, path: String): Either[(Int, String), String] =
     send(base, "GET", path, "")
 
-  private def post(base: String, path: String,
+  private[tools] def post(base: String, path: String,
                    body: String): Either[(Int, String), String] =
     send(base, "POST", path, body)
 
-  private def send(base: String, method: String, path: String,
+  private[tools] def send(base: String, method: String, path: String,
                    body: String): Either[(Int, String), String] =
     try {
       val r = client.send(HttpRequest.newBuilder(URI.create(s"$base$path"))
@@ -394,6 +401,7 @@ object Cli {
       |  healthz [service]
       |  version
       |  run <file.yaml> [--serve]        run a pipeline in-process
+      |  mcp [--allow-mutations]          MCP server on stdio (AI agents)
       |
       |GRAFT_API overrides the default http://127.0.0.1:8080.""".stripMargin
 }
