@@ -106,113 +106,13 @@ object JsProcessor {
   private val IAfter = 6; private val IErr = 7
 
   private[ops] def runPartition(script: String,
-                                rows: Iterator[Row]): Iterator[Row] = {
-    if (!rows.hasNext) return Iterator.empty
-    val harness = java.nio.file.Files.createTempFile("graft-js", ".js")
-    java.nio.file.Files.write(harness, harnessSource(script).getBytes(UTF_8))
-    val pb = new ProcessBuilder("node", harness.toString)
-    pb.redirectError(ProcessBuilder.Redirect.INHERIT) // logger → task stderr
-    val proc =
-      try pb.start()
-      catch {
-        case e: java.io.IOException => throw new IllegalStateException(
-          "custom.javascript needs the `node` binary on the executor " +
-            s"PATH: ${e.getMessage}", e)
-      }
-    Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
-      proc.destroyForcibly(); java.nio.file.Files.deleteIfExists(harness)
-    })
-    val stdin = new java.io.BufferedWriter(
-      new java.io.OutputStreamWriter(proc.getOutputStream, UTF_8))
-    val stdout = new java.io.BufferedReader(
-      new java.io.InputStreamReader(proc.getInputStream, UTF_8))
-
-    // strict one-response-per-request protocol: a bounded queue of
-    // originals gives backpressure and the DLQ the exact input record
-    val pending = new java.util.concurrent.ArrayBlockingQueue[Row](256)
-    val writerError = new java.util.concurrent.atomic.AtomicReference[Throwable]
-    val writer = new Thread(() => {
-      try {
-        // batched flushes: a per-record flush is one syscall per record
-        // on the hottest pipe path. Flush when the reader has consumed
-        // everything already flushed (pending holds only unflushed
-        // envelopes — it would otherwise starve) or every 64 records;
-        // a full queue flushes BEFORE the blocking put so the reader
-        // can always drain what it is waiting on (no deadlock), and
-        // close() flushes the tail.
-        var unflushed = 0
-        rows.foreach { r =>
-          if (!pending.offer(r)) {
-            stdin.flush(); unflushed = 0
-            pending.put(r)
-          }
-          stdin.write(envelope(r)); stdin.write('\n')
-          unflushed += 1
-          if (unflushed >= 64 || pending.size() <= unflushed) {
-            stdin.flush(); unflushed = 0
-          }
-        }
-        stdin.close()
-      } catch { case t: Throwable => writerError.set(t); proc.destroyForcibly() }
-    }, "graft-js-writer")
-    writer.setDaemon(true)
-    writer.start()
-
-    new Iterator[Row] {
-      private var nextRow: Row = _
-      private var done = false
-      private def advance(): Unit = {
-        while (nextRow == null && !done) {
-          // sample liveness BEFORE the queue: a dead writer can no
-          // longer enqueue, so an empty queue seen AFTER thread death
-          // is truly final. The other order races the writer's last
-          // put-then-exit and would drop the trailing record.
-          val alive = writer.isAlive
-          if (!alive && pending.isEmpty && writerError.get == null) {
-            // writer finished and every request was answered
-            finish(); return
-          }
-          val original = pending.poll(100,
-            java.util.concurrent.TimeUnit.MILLISECONDS)
-          if (original != null) {
-            val line = stdout.readLine()
-            if (line == null) {
-              val err = Option(writerError.get).map(_.getMessage)
-                .getOrElse(s"node exited with ${exitCode()}")
-              finish()
-              throw new IllegalStateException(
-                s"custom.javascript: node pipe closed early — $err")
-            }
-            decode(line, original) match {
-              case Some(r) => nextRow = r
-              case None => // filtered — keep polling
-            }
-          } else if (writerError.get != null) {
-            val t = writerError.get; finish(); throw t
-          }
-        }
-      }
-      private def exitCode(): String =
-        try { proc.waitFor(); proc.exitValue().toString }
-        catch { case _: Exception => "?" }
-      private def finish(): Unit = {
-        done = true
-        try stdout.close() catch { case _: Exception => }
-        proc.destroyForcibly()
-        java.nio.file.Files.deleteIfExists(harness)
-      }
-      override def hasNext: Boolean = { advance(); nextRow != null }
-      override def next(): Row = {
-        advance()
-        if (nextRow == null) throw new NoSuchElementException
-        val r = nextRow; nextRow = null; r
-      }
-    }
-  }
+                                rows: Iterator[Row]): Iterator[Row] =
+    PipeTransform.run(harnessSource(script), "custom.javascript", rows,
+      envelope, decode)
 
   /** One request line: base64 bytes, raw strings — the harness parses
     * payload/key JSON itself so non-JSON strings survive verbatim. */
-  private def envelope(r: Row): String = {
+  private[ops] def envelope(r: Row): String = {
     val o = JsonOps.mapper.createObjectNode()
     val pos = r.get(IPos).asInstanceOf[Array[Byte]]
     if (pos == null) o.putNull("p")
@@ -232,7 +132,7 @@ object JsProcessor {
 
   /** One response line → Some(row) for results/errors, None for
     * filtered records. */
-  private def decode(line: String, original: Row): Option[Row] = {
+  private[ops] def decode(line: String, original: Row): Option[Row] = {
     val n = JsonOps.parse(line)
     if (n.has("f")) None
     else if (n.has("e")) Some(Row(

@@ -101,103 +101,14 @@ object WasmProcessor {
   }
 
   private[ops] def runPartition(wasmB64: String, slotIdx: Int, errIdx: Int,
-                                rows: Iterator[Row]): Iterator[Row] = {
-    if (!rows.hasNext) return Iterator.empty
-    val harness = java.nio.file.Files.createTempFile("graft-wasm", ".js")
-    java.nio.file.Files.write(harness, harnessSource(wasmB64).getBytes(UTF_8))
-    val pb = new ProcessBuilder("node", harness.toString)
-    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-    val proc =
-      try pb.start()
-      catch {
-        case e: java.io.IOException => throw new IllegalStateException(
-          "custom.wasm needs the `node` binary on the executor PATH: " +
-            e.getMessage, e)
-      }
-    Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
-      proc.destroyForcibly(); java.nio.file.Files.deleteIfExists(harness)
-    })
-    val stdin = new java.io.BufferedWriter(
-      new java.io.OutputStreamWriter(proc.getOutputStream, UTF_8))
-    val stdout = new java.io.BufferedReader(
-      new java.io.InputStreamReader(proc.getInputStream, UTF_8))
-    val pending = new java.util.concurrent.ArrayBlockingQueue[Row](256)
-    val writerError = new java.util.concurrent.atomic.AtomicReference[Throwable]
-    val writer = new Thread(() => {
-      try {
-        // batched flushes (same policy as JsProcessor): flush when the
-        // reader has consumed everything already flushed or every 64
-        // records; a full queue flushes BEFORE the blocking put so the
-        // reader can always drain, and close() flushes the tail.
-        var unflushed = 0
-        rows.foreach { r =>
-          if (!pending.offer(r)) {
-            stdin.flush(); unflushed = 0
-            pending.put(r)
-          }
-          val v = r.getString(slotIdx)
-          stdin.write(if (v == null) "null"
-            else "\"" + Base64.getEncoder.encodeToString(v.getBytes(UTF_8)) + "\"")
-          stdin.write('\n')
-          unflushed += 1
-          if (unflushed >= 64 || pending.size() <= unflushed) {
-            stdin.flush(); unflushed = 0
-          }
-        }
-        stdin.close()
-      } catch { case t: Throwable => writerError.set(t); proc.destroyForcibly() }
-    }, "graft-wasm-writer")
-    writer.setDaemon(true)
-    writer.start()
-
-    new Iterator[Row] {
-      private var nextRow: Row = _
-      private var done = false
-      private def advance(): Unit = {
-        while (nextRow == null && !done) {
-          // liveness BEFORE the queue (see JsProcessor): an empty
-          // queue observed after thread death is truly final
-          val alive = writer.isAlive
-          if (!alive && pending.isEmpty && writerError.get == null) {
-            finish(); return
-          }
-          val original = pending.poll(100,
-            java.util.concurrent.TimeUnit.MILLISECONDS)
-          if (original != null) {
-            val line = stdout.readLine()
-            if (line == null) {
-              val err = Option(writerError.get).map(_.getMessage)
-                .getOrElse(s"node exited with ${exitCode()}")
-              finish()
-              throw new IllegalStateException(
-                s"custom.wasm: node pipe closed early — $err")
-            }
-            decode(line, original, slotIdx, errIdx) match {
-              case Some(r) => nextRow = r
-              case None => // filtered
-            }
-          } else if (writerError.get != null) {
-            val t = writerError.get; finish(); throw t
-          }
-        }
-      }
-      private def exitCode(): String =
-        try { proc.waitFor(); proc.exitValue().toString }
-        catch { case _: Exception => "?" }
-      private def finish(): Unit = {
-        done = true
-        try stdout.close() catch { case _: Exception => }
-        proc.destroyForcibly()
-        java.nio.file.Files.deleteIfExists(harness)
-      }
-      override def hasNext: Boolean = { advance(); nextRow != null }
-      override def next(): Row = {
-        advance()
-        if (nextRow == null) throw new NoSuchElementException
-        val r = nextRow; nextRow = null; r
-      }
-    }
-  }
+                                rows: Iterator[Row]): Iterator[Row] =
+    PipeTransform.run(harnessSource(wasmB64), "custom.wasm", rows,
+      r => {
+        val v = r.getString(slotIdx)
+        if (v == null) "null"
+        else "\"" + Base64.getEncoder.encodeToString(v.getBytes(UTF_8)) + "\""
+      },
+      (line, original) => decode(line, original, slotIdx, errIdx))
 
   /** {r: b64} → transformed slot; {f:1} → filtered; {e: msg} → error
     * on the original record. */
