@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import Fences.fence
 import HashFunctions._
 
 /** Deduplication operators for large-scale training-data pipelines.
@@ -53,8 +54,14 @@ object Dedup {
     * across buckets (callers `.distinct()` on the id projection).
     */
   private[analytics] def boundedSelfPairs(
-      bucketed: DataFrame, keyCols: Seq[String], memberCol: String,
+      bucketed0: DataFrame, keyCols: Seq[String], memberCol: String,
       cap: Int): DataFrame = {
+    // Fence the bucketed input ([[Fences]], r18): it feeds the hot-key
+    // prepass plus BOTH sides of the cold self-join and BOTH sides of
+    // the hot chunk join — 5 references, so the caller's signature/
+    // banding derivation (corpus scan + hashing + aggregate barrier)
+    // replayed 5× unfenced, for every LSH family member routed here.
+    val bucketed = fence(bucketed0)
     val keys = keyCols.map(col)
     // HOT-KEY PREPASS. Only buckets larger than `cap` need the chunked
     // machinery, and those are rare by construction (a bucket is a
@@ -117,8 +124,13 @@ object Dedup {
     * Cold keys (the common case) take a plain join with no replication.
     */
   private[analytics] def boundedCrossPairs(
-      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      left0: DataFrame, right0: DataFrame, keyCols: Seq[String],
       memberCol: String, cap: Int): DataFrame = {
+    // same fence rationale as [[boundedSelfPairs]] (r18): each side
+    // feeds its size prepass + the flagged join + the cold/hot splits —
+    // 3 upstream replays per side unfenced
+    val left = fence(left0)
+    val right = fence(right0)
     val keys = keyCols.map(col)
     val lsz = left.groupBy(keys: _*).agg(count(lit(1)).as("lsz"))
     val rsz = right.groupBy(keys: _*).agg(count(lit(1)).as("rsz"))
@@ -234,8 +246,11 @@ object Dedup {
     // (no size>0 filter needed: shingle-less docs never bucket, so the
     // inner join on pair ids cannot surface them — and the filter
     // would re-inline the Shingles expression it guards)
-    val sh = df.select(col(idCol).as("doc_id"), shingle(col(textCol)).as("shingles"))
-      .groupBy(col("doc_id")).agg(first(col("shingles")).as("shingles"))
+    // fenced (r18): the verify joins the shingle table once per pair
+    // side — unfenced, the corpus re-tokenized twice
+    val sh = fence(df.select(col(idCol).as("doc_id"),
+        shingle(col(textCol)).as("shingles"))
+      .groupBy(col("doc_id")).agg(first(col("shingles")).as("shingles")))
     pairs
       .join(sh.withColumnsRenamed(Map("doc_id" -> "id_a", "shingles" -> "sh_a")), "id_a")
       .join(sh.withColumnsRenamed(Map("doc_id" -> "id_b", "shingles" -> "sh_b")), "id_b")
@@ -354,17 +369,22 @@ object Dedup {
     */
   private def spanWindows(df: DataFrame, idCol: String, textCol: String,
                           window: Int): (DataFrame, DataFrame) = {
+    // Fences (r18): every caller references `wins` twice (dup-hash
+    // count + coverage/position join) and `withN` once more (final
+    // join / surgery) — unfenced, the tokenization AND the per-window
+    // FNV rolling hash (O(tokens·window) chars, the expensive part)
+    // replayed per reference.
     val base = df.select(col(idCol).as("doc_id"),
         Text.wsTokens(lower(trim(col(textCol)))).as("toks"))
       .groupBy(col("doc_id")).agg(first(col("toks")).as("toks"))
-    val withN = base.select(col("doc_id"), col("toks"),
-      size(col("toks")).cast("long").as("n"))
-    val wins = withN.filter(col("n") >= window)
+    val withN = fence(base.select(col("doc_id"), col("toks"),
+      size(col("toks")).cast("long").as("n")))
+    val wins = fence(withN.filter(col("n") >= window)
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), col("n").cast("int") - window),
         i => HashFunctions.fnv1a_hash(
           concat_ws(" ", slice(col("toks"), i + 1, lit(window))))))
-        .as(Seq("pos", "h")))
+        .as(Seq("pos", "h"))))
     (withN, wins)
   }
 
@@ -516,17 +536,21 @@ object Dedup {
     require(maxCandidates >= 1, s"maxCandidates=$maxCandidates")
     val words = (c: Column) =>
       array_remove(array_distinct(split(lower(trim(c)), "\\s+")), "")
-    val tok = df.select(col(idCol).as("doc_id"),
-        explode(words(col(textCol))).as("w"))
+    // Fences ([[Fences]], r18): `tok` feeds the df count AND the
+    // prefix join-back (2 scan+explode replays unfenced); `prefix`
+    // feeds the candidate-bound guard and BOTH sides of the self-join
+    // (3 replays of the scan→explode→df-join→two-windows subtree)
+    val tok = fence(df.select(col(idCol).as("doc_id"),
+        explode(words(col(textCol))).as("w")))
     val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))
     val wAll = Window.partitionBy(col("doc_id"))
-    val prefix = tok.join(freq, "w")
+    val prefix = fence(tok.join(freq, "w")
       .withColumn("rn", row_number().over(wOrd))
       .withColumn("sz", count(lit(1)).over(wAll))
       .filter(col("rn") <=
         col("sz") - ceil(col("sz").cast("double") * lit(threshold)) + 1)
-      .select(col("w"), col("doc_id"), col("sz"), col("rn"))
+      .select(col("w"), col("doc_id"), col("sz"), col("rn")))
     // candidate-count guard: the prefix self-join emits exactly
     // Σ_w c_w·(c_w−1)/2 rows before filters — decimal(38,0) so a
     // degenerate corpus can't overflow the bound itself
@@ -559,9 +583,11 @@ object Dedup {
           (col("sz_a") + col("sz_b")).cast("double")))
       .select(col("id_a"), col("id_b")).distinct()
     // aggregate barrier: token sets materialize once per doc, not per
-    // candidate pair (same re-inlining hazard as minhashPairs)
-    val sets = df.select(col(idCol).as("doc_id"), words(col(textCol)).as("toks"))
-      .groupBy(col("doc_id")).agg(first(col("toks")).as("toks"))
+    // candidate pair (same re-inlining hazard as minhashPairs);
+    // fenced — the verify joins it once per pair side (r18)
+    val sets = fence(df.select(col(idCol).as("doc_id"),
+        words(col(textCol)).as("toks"))
+      .groupBy(col("doc_id")).agg(first(col("toks")).as("toks")))
     cand
       .join(sets.withColumnsRenamed(Map("doc_id" -> "id_a", "toks" -> "tk_a")), "id_a")
       .join(sets.withColumnsRenamed(Map("doc_id" -> "id_b", "toks" -> "tk_b")), "id_b")
@@ -826,8 +852,14 @@ object Dedup {
         df.sparkSession.read.parquet(p)
       case None => df.localCheckpoint(true)
     }
-    val sym = truncate(pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    // both edge directions in ONE pass (explode, not union of two
+    // selects over `pairs`): the union form references the caller's
+    // pair derivation twice, replaying it twice inside this truncate
+    // (r18, guide §2.4: same rows, one scan)
+    val sym = truncate(pairs.select(explode(array(
+        struct(col(aCol).as("u"), col(bCol).as("v")),
+        struct(col(bCol).as("u"), col(aCol).as("v")))).as("_e"))
+      .select(col("_e.u").as("u"), col("_e.v").as("v"))
       .distinct())
     // COUNT-GATED hybrid: the edge list after near-dup verification is
     // O(duplicates), not O(corpus) — usually a few thousand pairs even
@@ -1015,8 +1047,12 @@ object Dedup {
     require(maxCandidates >= 1, s"maxCandidates=$maxCandidates")
     val words = (c: Column) =>
       array_remove(array_distinct(split(lower(trim(c)), "\\s+")), "")
-    val tok = df.select(col(idCol).as("doc_id"),
-      explode(words(col(textCol))).as("w"))
+    // Fences ([[Fences]], r18): `tok` feeds freq, probe, sizes AND
+    // index (4 scan+explode replays unfenced); `probe`/`index` each
+    // feed their candidate-bound aggregate and the probe×index join
+    // (2 replays each of the window/join subtrees)
+    val tok = fence(df.select(col(idCol).as("doc_id"),
+      explode(words(col(textCol))).as("w")))
     val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))
     val wAll = Window.partitionBy(col("doc_id"))
@@ -1030,14 +1066,14 @@ object Dedup {
         ni.cast("double") / sz.cast("double") >= lit(threshold)
       when(ok(c - 1), c - 1).when(ok(c), c).otherwise(c + 1)
     }
-    val probe = tok.join(freq, "w")
+    val probe = fence(tok.join(freq, "w")
       .withColumn("rn", row_number().over(wOrd))
       .withColumn("sz", count(lit(1)).over(wAll))
       .filter(col("rn") <= col("sz") - minOverlap(col("sz")) + 1)
-      .select(col("w"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
+      .select(col("w"), col("doc_id").as("id_a"), col("sz").as("sz_a")))
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz_b"))
-    val index = tok.join(sizes, "doc_id")
-      .select(col("w"), col("doc_id").as("id_b"), col("sz_b"))
+    val index = fence(tok.join(sizes, "doc_id")
+      .select(col("w"), col("doc_id").as("id_b"), col("sz_b")))
     // candidate-count guard: the probe×index join emits exactly
     // Σ_w probe_w·index_w rows before filters
     val pc = probe.groupBy(col("w"))
@@ -1061,9 +1097,11 @@ object Dedup {
         col("sz_b") >= minOverlap(col("sz_a")))
       .select(col("id_a"), col("id_b")).distinct()
     // aggregate barrier: token sets materialize once per doc, not per
-    // candidate pair (same re-inlining hazard as minhashPairs)
-    val sets = df.select(col(idCol).as("doc_id"), words(col(textCol)).as("toks"))
-      .groupBy(col("doc_id")).agg(first(col("toks")).as("toks"))
+    // candidate pair (same re-inlining hazard as minhashPairs);
+    // fenced — the verify joins it once per pair side (r18)
+    val sets = fence(df.select(col(idCol).as("doc_id"),
+        words(col(textCol)).as("toks"))
+      .groupBy(col("doc_id")).agg(first(col("toks")).as("toks")))
     cand
       .join(sets.withColumnsRenamed(Map("doc_id" -> "id_a", "toks" -> "tk_a")), "id_a")
       .join(sets.withColumnsRenamed(Map("doc_id" -> "id_b", "toks" -> "tk_b")), "id_b")

@@ -3,12 +3,33 @@ package graft.analytics
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import Fences.fence
+
 /** Link-graph analytics as pure dataflow. PageRank is the standard
   * graph-derived quality prior for crawl curation (harmonic-centrality
   * and PageRank filters in Common Crawl-scale corpus construction), so
   * the engine carries it next to the text quality screens.
   */
 object Graph {
+
+  /** Canonical undirected edge list — endpoints ordered (least,
+    * greatest), self-loops and null endpoints dropped, one row per
+    * undirected edge — MATERIALIZED through [[Fences.fence]]. Every
+    * undirected operator derives this table and then references it
+    * 2–9 times (degree aggregate, wedge join, confirm join, adjacency
+    * union); unfenced, the caller's edge derivation (typically the
+    * [[Baskets.frequentPairs]] self-join on the gate) replayed once
+    * per reference — Explain-audited r18: graph_links carried ~9
+    * copies of the full upstream subtree, graph_triangles ~4 (95
+    * Exchange/Scan nodes in one plan; ReuseExchange cannot fire
+    * because alias pruning de-canonicalizes the copies). */
+  private def canonEdges(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    fence(edges
+      .select(least(col(srcCol), col(dstCol)).as("_u"),
+        greatest(col(srcCol), col(dstCol)).as("_v"))
+      .filter(col("_u") =!= col("_v") && col("_u").isNotNull)
+      .distinct())
 
   /** PageRank (Brin & Page 1998) by fixed-point power iteration:
     * rank = (1−d)/N + d·Σ_in rank(src)/outdeg(src), the classic
@@ -55,14 +76,18 @@ object Graph {
     require(iterations >= 1 && iterations <= 50, s"iterations=$iterations")
     require(damping > 0 && damping < 1, s"damping=$damping")
     require(maxInDegree >= 1, s"maxInDegree=$maxInDegree")
-    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
-      .distinct()
     // nodes and the degree-annotated edge list are referenced every
     // iteration — persist them or the upstream scan/join replays
     // `iterations` times (measured 5x on the gate graph). Storage
     // level spills to disk, so a 100 TB-derived edge list degrades to
     // re-reading local shuffle files, never recomputing the join.
+    // The distinct edge list itself is persisted too (r18): it feeds
+    // the node union (2 scans), the out-degree aggregate, the ew join
+    // and the deterministic-mode hub guard — unpersisted, the caller's
+    // upstream derivation (a 600k-row join at sf0.1) replayed 5×.
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      .distinct().persist(storage)
     val nodes = e.select(col("_src").as("node"))
       .union(e.select(col("_dst").as("node"))).distinct().persist(storage)
     // N is ONE long (the documented bounded-collect class, like the
@@ -114,7 +139,7 @@ object Graph {
     // them once the batch is materialized — without the hook each
     // batch would strand two node-sized frames in the CacheManager.
     if (!eager) {
-      if (onFences != null) onFences(Seq(ew, nodes))
+      if (onFences != null) onFences(Seq(ew, nodes, e))
       return ranks
     }
     // Like Dedup.components, the iterative operator is EAGER by
@@ -144,6 +169,7 @@ object Graph {
     ranks.write.mode("overwrite").parquet(out)
     ew.unpersist(false)
     nodes.unpersist(false)
+    e.unpersist(false)
     edges.sparkSession.read.parquet(out)
   }
 
@@ -182,9 +208,12 @@ object Graph {
       onFences: Seq[DataFrame] => Unit = null): DataFrame = {
     require(iterations >= 1 && iterations <= 50, s"iterations=$iterations")
     require(damping > 0 && damping < 1, s"damping=$damping")
-    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
-      .distinct()
+    // same persist rationale as [[pageRank]] (r18): the distinct edge
+    // list feeds the node union, out-degree, ew join and hub guard —
+    // persist it once instead of replaying the upstream derivation.
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      .distinct().persist(storage)
     val seedCol = seeds.columns.head
     val nodes0 = e.select(col("_src").as("node"))
       .union(e.select(col("_dst").as("node"))).distinct()
@@ -236,7 +265,7 @@ object Graph {
           (col("_t") + lit(damping) * col("_s")).as("rank"))
     }
     if (!eager) {
-      if (onFences != null) onFences(Seq(ew, nodes))
+      if (onFences != null) onFences(Seq(ew, nodes, e))
       return ranks
     }
     val sc = edges.sparkSession.sparkContext
@@ -253,6 +282,7 @@ object Graph {
     ranks.write.mode("overwrite").parquet(out)
     ew.unpersist(false)
     nodes.unpersist(false)
+    e.unpersist(false)
     edges.sparkSession.read.parquet(out)
   }
 
@@ -411,14 +441,18 @@ object Graph {
   def triangles(
       edges: DataFrame,
       srcCol: String,
-      dstCol: String): DataFrame = {
-    val e0 = edges
-      .select(least(col(srcCol), col(dstCol)).as("_u"),
-        greatest(col(srcCol), col(dstCol)).as("_v"))
-      .filter(col("_u") =!= col("_v") && col("_u").isNotNull)
-      .distinct()
-    val deg = e0.select(explode(array(col("_u"), col("_v"))).as("_n"))
-      .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
+      dstCol: String): DataFrame =
+    trianglesCanon(canonEdges(edges, srcCol, dstCol))
+
+  /** [[triangles]] over an ALREADY canonical+fenced (_u,_v) edge list —
+    * shared with [[clusteringCoefficient]] so one fenced table feeds
+    * both the wedge machinery and the caller's degree join instead of
+    * each fencing its own copy. */
+  private def trianglesCanon(e0: DataFrame): DataFrame = {
+    // deg is node-sized and joined onto the edge list TWICE (once per
+    // endpoint) — fence it so the aggregate runs once, not twice
+    val deg = fence(e0.select(explode(array(col("_u"), col("_v"))).as("_n"))
+      .groupBy(col("_n")).agg(count(lit(1)).as("_d")))
     val withDeg = e0
       .join(deg.select(col("_n").as("_u"), col("_d").as("_du")), "_u")
       .join(deg.select(col("_n").as("_v"), col("_d").as("_dv")), "_v")
@@ -460,14 +494,13 @@ object Graph {
       edges: DataFrame,
       srcCol: String,
       dstCol: String): DataFrame = {
-    val e0 = edges
-      .select(least(col(srcCol), col(dstCol)).as("_u"),
-        greatest(col(srcCol), col(dstCol)).as("_v"))
-      .filter(col("_u") =!= col("_v") && col("_u").isNotNull)
-      .distinct()
+    // ONE fenced canonical edge list feeds the degree aggregate AND
+    // the triangle core (via trianglesCanon — the public triangles()
+    // entry would canonicalize+fence a second copy of the same table)
+    val e0 = canonEdges(edges, srcCol, dstCol)
     val deg = e0.select(explode(array(col("_u"), col("_v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-    val triCnt = triangles(e0, "_u", "_v")
+    val triCnt = trianglesCanon(e0)
       .select(explode(array(col("node_a"), col("node_b"), col("node_c")))
         .as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
@@ -502,15 +535,13 @@ object Graph {
       srcCol: String,
       dstCol: String): DataFrame = {
     val d38 = "decimal(38,0)"
-    val e0 = edges
-      .select(least(col(srcCol), col(dstCol)).as("_u"),
-        greatest(col(srcCol), col(dstCol)).as("_v"))
-      .filter(col("_u") =!= col("_v") && col("_u").isNotNull)
-      .distinct()
+    val e0 = canonEdges(edges, srcCol, dstCol)
     val both = e0.select(col("_u").as("_a"), col("_v").as("_b"))
       .union(e0.select(col("_v").as("_a"), col("_u").as("_b")))
-    val deg = both.groupBy(col("_a").as("_n"))
-      .agg(count(lit(1)).as("_d"))
+    // node-sized, joined onto the edge list twice — fence like
+    // [[trianglesCanon]]'s degree table
+    val deg = fence(both.groupBy(col("_a").as("_n"))
+      .agg(count(lit(1)).as("_d")))
     val xy = both
       .join(deg.select(col("_n").as("_a"), col("_d").as("_x")), "_a")
       .join(deg.select(col("_n").as("_b"), col("_d").as("_y")), "_b")
@@ -564,10 +595,14 @@ object Graph {
       edges: DataFrame,
       srcCol: String,
       dstCol: String): DataFrame = {
-    val e = edges.select(col(srcCol).as("_s"), col(dstCol).as("_t"))
+    // DIRECTED canonical list (reciprocity must keep direction), same
+    // fence rationale as [[canonEdges]]: referenced by both sides of
+    // the reversal semi-join plus the m count — 3 upstream replays
+    // unfenced
+    val e = fence(edges.select(col(srcCol).as("_s"), col(dstCol).as("_t"))
       .filter(col("_s").isNotNull && col("_t").isNotNull &&
         col("_s") =!= col("_t"))
-      .distinct()
+      .distinct())
     val mutual = e.join(
       e.select(col("_t").as("_s"), col("_s").as("_t")),
       Seq("_s", "_t"), "left_semi")
@@ -709,8 +744,15 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("_v"))
       .filter(col("_u") =!= col("_v") && col("_u").isNotNull)
       .distinct()
-    val sym = truncate(e0.select(col("_u").as("_n"), col("_v").as("_nbr"))
-      .union(e0.select(col("_v").as("_n"), col("_u").as("_nbr"))))
+    // both adjacency directions in ONE pass (explode, not union of two
+    // selects): the union form references e0 twice, so the caller's
+    // edge derivation — the frequentPairs self-join on the gate —
+    // replayed twice inside this one truncate (r18, guide §2.4: same
+    // rows, one scan)
+    val sym = truncate(e0.select(explode(array(
+        struct(col("_u").as("_n"), col("_v").as("_nbr")),
+        struct(col("_v").as("_n"), col("_u").as("_nbr")))).as("_e"))
+      .select(col("_e._n").as("_n"), col("_e._nbr").as("_nbr")))
     var labels = truncate(sym.select(col("_n").as("node")).distinct()
       .withColumn("lbl", col("node")))
     var iter = 0
@@ -842,8 +884,13 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("_v"))
       .filter(col("_u") =!= col("_v") && col("_u").isNotNull)
       .distinct()
-    val sym = truncate(e0.select(col("_u").as("_n"), col("_v").as("_nbr"))
-      .union(e0.select(col("_v").as("_n"), col("_u").as("_nbr"))))
+    // single-pass symmetric adjacency ([[labelPropagation]]'s explode
+    // rationale): the union form replayed the caller's edge
+    // derivation twice inside this truncate
+    val sym = truncate(e0.select(explode(array(
+        struct(col("_u").as("_n"), col("_v").as("_nbr")),
+        struct(col("_v").as("_n"), col("_u").as("_nbr")))).as("_e"))
+      .select(col("_e._n").as("_n"), col("_e._nbr").as("_nbr")))
     val nodes = sym.select(col("_n").as("node")).distinct()
     var dist = truncate(nodes
       .join(seeds.select(col(seedCol).as("node")).distinct(),
@@ -921,14 +968,17 @@ object Graph {
     require(minJaccard > 0 && minJaccard <= 1, s"minJaccard=$minJaccard")
     require(maxDegree >= 2, s"maxDegree=$maxDegree")
     require(maxExpansion > 0, s"maxExpansion=$maxExpansion")
-    val e0 = edges
-      .select(least(col(srcCol), col(dstCol)).as("_u"),
-        greatest(col(srcCol), col(dstCol)).as("_v"))
-      .filter(col("_u") =!= col("_v") && col("_u").isNotNull)
-      .distinct()
-    val adj = e0.select(col("_u").as("_n"), col("_v").as("_nbr"))
-      .union(e0.select(col("_v").as("_n"), col("_u").as("_nbr")))
-    val deg = adj.groupBy(col("_n")).agg(count(lit(1)).as("_d"))
+    // e0 feeds the unlinked anti-join AND the adjacency; adj pivots
+    // BOTH sides of the wedge self-join (plus the hub-path expansions);
+    // deg joins onto the candidates twice — all three fenced, or the
+    // caller's edge derivation replays once per reference (~9 copies of
+    // the upstream subtree in the r18 before-plan of graph_links)
+    val e0 = canonEdges(edges, srcCol, dstCol)
+    val adj = fence(e0.select(explode(array(
+        struct(col("_u").as("_n"), col("_v").as("_nbr")),
+        struct(col("_v").as("_n"), col("_u").as("_nbr")))).as("_e"))
+      .select(col("_e._n").as("_n"), col("_e._nbr").as("_nbr")))
+    val deg = fence(adj.groupBy(col("_n")).agg(count(lit(1)).as("_d")))
     val hubs = deg.filter(col("_d") > maxDegree).select(col("_n"))
     def wedge(pivot: DataFrame): DataFrame = pivot.as("a1")
       .join(pivot.select(col("_n"), col("_nbr").as("_nbr2")).as("a2"),

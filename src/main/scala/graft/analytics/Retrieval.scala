@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import Fences.fence
 import HashFunctions.java_ln
 
 /** Sparse lexical retrieval over a document corpus: BM25 ranking and
@@ -179,8 +180,11 @@ object Retrieval {
           topK: Int = 10): DataFrame = {
     require(fbDocs >= 1 && fbTerms >= 1, s"fbDocs=$fbDocs fbTerms=$fbTerms")
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha=$alpha")
-    val fb = bm25(docs, idCol, textCol, queries, k1, b, topK = fbDocs)
-      .select(col("query_id"), col("doc_id").as("_fd"), col("score"))
+    // fenced ([[Fences]], r18): |Q|·fbDocs rows, but referenced by the
+    // feedback semi-join AND the RM1 fold — and wn's wRaw/z references
+    // compound — so the ENTIRE bm25 pass-1 replayed ~4× unfenced
+    val fb = fence(bm25(docs, idCol, textCol, queries, k1, b, topK = fbDocs)
+      .select(col("query_id"), col("doc_id").as("_fd"), col("score")))
     // term distributions of the feedback docs: one scan, semi-joined
     // to the (tiny, broadcast) feedback id set
     val tfall = docs
@@ -193,15 +197,17 @@ object Retrieval {
       .filter(col("term") =!= "")
       .groupBy(col("_fd"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
-    // RM1: fold the per-doc contributions in doc order
-    val wRaw = tfall.join(broadcast(fb), "_fd")
+    // RM1: fold the per-doc contributions in doc order. Fenced: the
+    // normalizer z and the normalized wn each reference it (2 replays
+    // of the feedback-doc scan unfenced); |Q|·vocab(fbDocs) rows
+    val wRaw = fence(tfall.join(broadcast(fb), "_fd")
       .select(col("query_id"), col("term"),
         struct(col("_fd"),
           ((col("tf").cast("double") / col("dl").cast("double")) *
             col("score")).as("_c")).as("dc"))
       .groupBy(col("query_id"), col("term"))
       .agg(aggregate(array_sort(collect_list(col("dc"))), lit(0.0),
-        (acc, x) => acc + x.getField("_c")).as("w"))
+        (acc, x) => acc + x.getField("_c")).as("w")))
     val z = wRaw
       .groupBy(col("query_id"))
       .agg(aggregate(

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import Fences.fence
 import HashFunctions._
 
 /** Text-analysis operators for training-data pipelines: token counting,
@@ -1150,13 +1151,16 @@ object Text {
               n: Int = 3): DataFrame = {
     require(n >= 1 && n <= 16, s"n=$n")
     val toks = wsTokens(lower(trim(col(textCol))))
-    val grams = df.select(col(idCol).as("_id"), toks.as("_t"))
+    // fenced ([[Fences]], r18): the exploded gram table feeds the
+    // first-occurrence aggregate AND the join back — unfenced, the
+    // tokenize+n-gram-assembly explode replayed twice
+    val grams = fence(df.select(col(idCol).as("_id"), toks.as("_t"))
       .filter(size(col("_t")) >= n)
       .select(col("_id"), explode(array_distinct(
         transform(sequence(lit(0), size(col("_t")) - lit(n)),
           i => concat_ws(" ", (0 until n).map(j =>
             element_at(col("_t"), (i + lit(j + 1)).cast("int"))): _*))))
-        .as("_g"))
+        .as("_g")))
     val first = grams.groupBy(col("_g")).agg(min(col("_id")).as("_owner"))
     grams.join(first, "_g")
       .groupBy(col("_id"))
