@@ -18,6 +18,24 @@ object Analytics {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** [[Temporal.withScopedShuffle]]'s twin for this object's streaming
+    * rows (r18): the MemoryStream harness twins pay per-micro-batch
+    * planning/shuffle/file-commit machinery proportional to
+    * `spark.sql.shuffle.partitions` — for a few-thousand-key harness
+    * feed, 4 is the honest state-partition sizing (a real deployment
+    * sizes to key cardinality). Scoped to the stream ONLY (the conf is
+    * captured when the streaming query STARTS, the session value is
+    * restored before the returned batch frame executes) and every sink
+    * here is a join/fold whose result is partition-count-invariant,
+    * so gate hashes are unchanged.
+    */
+  private def withScopedShuffle[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** The constructed per-doc URL with deterministic case/port/utm/
     * param-order/fragment noise — shared by `dedup_url` and its
     * streaming twin; the oracle re-derives the canonical form from
@@ -94,15 +112,17 @@ object Analytics {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val state = java.nio.file.Files
         .createTempDirectory("dedup_exact_stream").toString
-      val in = MemoryStream[(Long, String)]
-      val q = in.toDF().toDF("doc_id", "text")
-        .writeStream
-        .foreachBatch(StreamingOps.exactDedupSink(state, "doc_id", "text"))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String)]
+        val q = in.toDF().toDF("doc_id", "text")
+          .writeStream
+          .foreachBatch(StreamingOps.exactDedupSink(state, "doc_id", "text"))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.parquet(s"$state/batch=1")
         .select(col("keep_id"), col("dup_count"))
     }),
@@ -136,17 +156,19 @@ object Analytics {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val out = java.nio.file.Files
         .createTempDirectory("url_filter_stream").toString
-      val in = MemoryStream[(Long, String)]
-      val q = in.toDF().toDF("doc_id", "url")
-        .writeStream
-        .foreachBatch(StreamingOps.rowLocalSink(out)(
-          b => Urls.urlFilter(b, "doc_id", "url",
-            blockWords = Seq("casino", "poker"))))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String)]
+        val q = in.toDF().toDF("doc_id", "url")
+          .writeStream
+          .foreachBatch(StreamingOps.rowLocalSink(out)(
+            b => Urls.urlFilter(b, "doc_id", "url",
+              blockWords = Seq("casino", "poker"))))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.parquet(s"$out/b*")
     }),
 
@@ -173,16 +195,18 @@ object Analytics {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val base = java.nio.file.Files
         .createTempDirectory("url_stream").toString
-      val in = MemoryStream[(Long, String)]
-      val q = in.toDF().toDF("doc_id", "url")
-        .writeStream
-        .foreachBatch(StreamingOps.urlDedupSink(
-          s"$base/rows", s"$base/state", "doc_id", "url"))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String)]
+        val q = in.toDF().toDF("doc_id", "url")
+          .writeStream
+          .foreachBatch(StreamingOps.urlDedupSink(
+            s"$base/rows", s"$base/state", "doc_id", "url"))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       val state = s.read.parquet(s"$base/state/batch=1")
       s.read.parquet(s"$base/rows/b*")
         .join(state, "canonical_url")
@@ -486,16 +510,18 @@ object Analytics {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val out = java.nio.file.Files
         .createTempDirectory("gopher_stream").toString
-      val in = MemoryStream[(Long, String)]
-      val q = in.toDF().toDF("doc_id", "text")
-        .writeStream
-        .foreachBatch(StreamingOps.rowLocalSink(out)(
-          b => Text.gopherRules(b, "doc_id", "text")))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String)]
+        val q = in.toDF().toDF("doc_id", "text")
+          .writeStream
+          .foreachBatch(StreamingOps.rowLocalSink(out)(
+            b => Text.gopherRules(b, "doc_id", "text")))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.parquet(s"$out/b*")
     }),
 
@@ -520,16 +546,18 @@ object Analytics {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val out = java.nio.file.Files
         .createTempDirectory("c4_stream").toString
-      val in = MemoryStream[(Long, String)]
-      val q = in.toDF().toDF("doc_id", "text")
-        .writeStream
-        .foreachBatch(StreamingOps.rowLocalSink(out)(
-          b => Text.c4Rules(b, "doc_id", "text")))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String)]
+        val q = in.toDF().toDF("doc_id", "text")
+          .writeStream
+          .foreachBatch(StreamingOps.rowLocalSink(out)(
+            b => Text.c4Rules(b, "doc_id", "text")))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.parquet(s"$out/b*")
     }),
 
@@ -553,16 +581,18 @@ object Analytics {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val out = java.nio.file.Files
         .createTempDirectory("fineweb_stream").toString
-      val in = MemoryStream[(Long, String)]
-      val q = in.toDF().toDF("doc_id", "text")
-        .writeStream
-        .foreachBatch(StreamingOps.rowLocalSink(out)(
-          b => Text.finewebRules(b, "doc_id", "text")))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String)]
+        val q = in.toDF().toDF("doc_id", "text")
+          .writeStream
+          .foreachBatch(StreamingOps.rowLocalSink(out)(
+            b => Text.finewebRules(b, "doc_id", "text")))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.parquet(s"$out/b*")
     }),
 
@@ -578,16 +608,18 @@ object Analytics {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val out = java.nio.file.Files
         .createTempDirectory("tokens_stream").toString
-      val in = MemoryStream[(Long, String)]
-      val q = in.toDF().toDF("doc_id", "text")
-        .writeStream
-        .foreachBatch(StreamingOps.rowLocalSink(out)(
-          b => Text.tokenCounts(b, "doc_id", "text")))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String)]
+        val q = in.toDF().toDF("doc_id", "text")
+          .writeStream
+          .foreachBatch(StreamingOps.rowLocalSink(out)(
+            b => Text.tokenCounts(b, "doc_id", "text")))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.parquet(s"$out/b*")
     }),
 
@@ -604,16 +636,18 @@ object Analytics {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val out = java.nio.file.Files
         .createTempDirectory("quality_stream").toString
-      val in = MemoryStream[(Long, String)]
-      val q = in.toDF().toDF("doc_id", "text")
-        .writeStream
-        .foreachBatch(StreamingOps.rowLocalSink(out)(
-          b => Text.qualityScore(b, "doc_id", "text")))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String)]
+        val q = in.toDF().toDF("doc_id", "text")
+          .writeStream
+          .foreachBatch(StreamingOps.rowLocalSink(out)(
+            b => Text.qualityScore(b, "doc_id", "text")))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.parquet(s"$out/b*")
     }),
 
@@ -633,16 +667,18 @@ object Analytics {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val out = java.nio.file.Files
         .createTempDirectory("langid_stream").toString
-      val in = MemoryStream[(Long, String)]
-      val q = in.toDF().toDF("doc_id", "text")
-        .writeStream
-        .foreachBatch(StreamingOps.rowLocalSink(out)(
-          b => Text.langId(b, "doc_id", "text")))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String)]
+        val q = in.toDF().toDF("doc_id", "text")
+          .writeStream
+          .foreachBatch(StreamingOps.rowLocalSink(out)(
+            b => Text.langId(b, "doc_id", "text")))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.parquet(s"$out/b*")
     }),
 
@@ -661,16 +697,18 @@ object Analytics {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val out = java.nio.file.Files
         .createTempDirectory("normalize_stream").toString
-      val in = MemoryStream[(Long, String)]
-      val q = in.toDF().toDF("doc_id", "text")
-        .writeStream
-        .foreachBatch(StreamingOps.rowLocalSink(out)(
-          b => Text.normalize(b, "doc_id", "text")))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String)]
+        val q = in.toDF().toDF("doc_id", "text")
+          .writeStream
+          .foreachBatch(StreamingOps.rowLocalSink(out)(
+            b => Text.normalize(b, "doc_id", "text")))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.parquet(s"$out/b*")
     }),
 
@@ -688,17 +726,19 @@ object Analytics {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val out = java.nio.file.Files
         .createTempDirectory("chunk_stream").toString
-      val in = MemoryStream[(Long, String)]
-      val q = in.toDF().toDF("doc_id", "text")
-        .writeStream
-        .foreachBatch(StreamingOps.rowLocalSink(out)(
-          b => Text.chunk(b, "doc_id", "text",
-            chunkTokens = 50, overlap = 10)))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String)]
+        val q = in.toDF().toDF("doc_id", "text")
+          .writeStream
+          .foreachBatch(StreamingOps.rowLocalSink(out)(
+            b => Text.chunk(b, "doc_id", "text",
+              chunkTokens = 50, overlap = 10)))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.parquet(s"$out/b*")
     }),
 
@@ -733,16 +773,18 @@ object Analytics {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val out = java.nio.file.Files
         .createTempDirectory("pii_stream").toString
-      val in = MemoryStream[(Long, String)]
-      val q = in.toDF().toDF("doc_id", "text")
-        .writeStream
-        .foreachBatch(StreamingOps.rowLocalSink(out)(
-          b => Text.piiRedact(b, "doc_id", "text")))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String)]
+        val q = in.toDF().toDF("doc_id", "text")
+          .writeStream
+          .foreachBatch(StreamingOps.rowLocalSink(out)(
+            b => Text.piiRedact(b, "doc_id", "text")))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.parquet(s"$out/b*")
     }),
 
@@ -757,16 +799,18 @@ object Analytics {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val out = java.nio.file.Files
         .createTempDirectory("fp_stream").toString
-      val in = MemoryStream[(Long, String)]
-      val q = in.toDF().toDF("doc_id", "text")
-        .writeStream
-        .foreachBatch(StreamingOps.rowLocalSink(out)(
-          b => Text.fingerprint(b, "doc_id", "text")))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String)]
+        val q = in.toDF().toDF("doc_id", "text")
+          .writeStream
+          .foreachBatch(StreamingOps.rowLocalSink(out)(
+            b => Text.fingerprint(b, "doc_id", "text")))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.parquet(s"$out/b*")
     }),
 
@@ -782,17 +826,19 @@ object Analytics {
       val (b1, b2) = ids.partition(_ % 2 == 0)
       val out = java.nio.file.Files
         .createTempDirectory("sample_stream").toString
-      val in = MemoryStream[Long]
-      val q = in.toDF().toDF("doc_id")
-        .writeStream
-        .foreachBatch(StreamingOps.rowLocalSink(out)(
-          b => Sampling.hashSample(b, "doc_id", 0.25, seed = 7)
-            .select(col("doc_id"))))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[Long]
+        val q = in.toDF().toDF("doc_id")
+          .writeStream
+          .foreachBatch(StreamingOps.rowLocalSink(out)(
+            b => Sampling.hashSample(b, "doc_id", 0.25, seed = 7)
+              .select(col("doc_id"))))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.parquet(s"$out/b*")
     }),
 
@@ -873,19 +919,21 @@ object Analytics {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val out = java.nio.file.Files
         .createTempDirectory("striphtml_stream").toString
-      val in = MemoryStream[(Long, String)]
-      val q = in.toDF().toDF("doc_id", "text")
-        .writeStream
-        .foreachBatch(StreamingOps.rowLocalSink(out)(
-          b => Text.stripHtml(
-            b.select(col("doc_id"),
-              noisyHtml(col("doc_id"), col("text")).as("text")),
-            "doc_id", "text")))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String)]
+        val q = in.toDF().toDF("doc_id", "text")
+          .writeStream
+          .foreachBatch(StreamingOps.rowLocalSink(out)(
+            b => Text.stripHtml(
+              b.select(col("doc_id"),
+                noisyHtml(col("doc_id"), col("text")).as("text")),
+              "doc_id", "text")))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.parquet(s"$out/b*")
     }),
 
@@ -938,16 +986,18 @@ object Analytics {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val out = java.nio.file.Files
         .createTempDirectory("nb_stream").toString
-      val in = MemoryStream[(Long, String)]
-      val q = in.toDF().toDF("doc_id", "text")
-        .writeStream
-        .foreachBatch(StreamingOps.rowLocalSink(out)(
-          b => Text.nbScore(b, "doc_id", "text", model, prior)))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String)]
+        val q = in.toDF().toDF("doc_id", "text")
+          .writeStream
+          .foreachBatch(StreamingOps.rowLocalSink(out)(
+            b => Text.nbScore(b, "doc_id", "text", model, prior)))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.parquet(s"$out/b*")
     }),
 
@@ -977,15 +1027,17 @@ object Analytics {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val state = java.nio.file.Files
         .createTempDirectory("divergence_stream").toString
-      val in = MemoryStream[(Long, String, String)]
-      val q = in.toDF().toDF("doc_id", "lang", "text")
-        .writeStream
-        .foreachBatch(StreamingOps.stratumCountSink(state, "lang", "text"))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String, String)]
+        val q = in.toDF().toDF("doc_id", "lang", "text")
+          .writeStream
+          .foreachBatch(StreamingOps.stratumCountSink(state, "lang", "text"))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       Text.jsDivergenceFromCounts(s.read.parquet(s"$state/batch=1"))
         .select(col("stratum_a"), col("stratum_b"), col("n_common"),
           round(col("jsd"), 9).as("jsd"))
@@ -1025,20 +1077,22 @@ object Analytics {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val out = java.nio.file.Files
         .createTempDirectory("sbo_stream").toString + "/scores"
-      val in = MemoryStream[(Long, String)]
-      val q = in.toDF().toDF("doc_id", "text").writeStream
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-           _: Long) =>
-            Text.sboScore(batch.toDF(), model, "doc_id", "text")
-              .write.mode("append").parquet(out)
-            ()
-        }
-        .outputMode("append").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String)]
+        val q = in.toDF().toDF("doc_id", "text").writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              Text.sboScore(batch.toDF(), model, "doc_id", "text")
+                .write.mode("append").parquet(out)
+              ()
+          }
+          .outputMode("append").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.parquet(out)
     }),
 
@@ -1092,16 +1146,18 @@ object Analytics {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val out = java.nio.file.Files
         .createTempDirectory("classifier_stream").toString
-      val in = MemoryStream[(Long, String)]
-      val q = in.toDF().toDF("doc_id", "text")
-        .writeStream
-        .foreachBatch(StreamingOps.rowLocalSink(out)(
-          b => Text.classifierScore(b, "doc_id", "text", seed = 42L)))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String)]
+        val q = in.toDF().toDF("doc_id", "text")
+          .writeStream
+          .foreachBatch(StreamingOps.rowLocalSink(out)(
+            b => Text.classifierScore(b, "doc_id", "text", seed = 42L)))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.parquet(s"$out/b*")
     }),
 
@@ -1184,18 +1240,20 @@ object Analytics {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val out = java.nio.file.Files
         .createTempDirectory("epochs_stream").toString
-      val in = MemoryStream[(Long, String)]
-      val q = in.toDF().toDF("doc_id", "lang")
-        .writeStream
-        .foreachBatch(StreamingOps.rowLocalSink(out)(
-          b => Sampling.epochsUpsample(b, "doc_id", "lang",
-            Seq(("en", 1.0), ("de", 2.3), ("fr", 0.5), ("zh", 0.0)),
-            seed = 7)))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String)]
+        val q = in.toDF().toDF("doc_id", "lang")
+          .writeStream
+          .foreachBatch(StreamingOps.rowLocalSink(out)(
+            b => Sampling.epochsUpsample(b, "doc_id", "lang",
+              Seq(("en", 1.0), ("de", 2.3), ("fr", 0.5), ("zh", 0.0)),
+              seed = 7)))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.parquet(s"$out/b*")
     }),
 
@@ -1256,15 +1314,17 @@ object Analytics {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val state = java.nio.file.Files
         .createTempDirectory("unimax_stream").toString
-      val in = MemoryStream[(Long, String, Long)]
-      val q = in.toDF().toDF("doc_id", "lang", "n_toks")
-        .writeStream
-        .foreachBatch(StreamingOps.stratumSumSink(state, "lang", "n_toks"))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String, Long)]
+        val q = in.toDF().toDF("doc_id", "lang", "n_toks")
+          .writeStream
+          .foreachBatch(StreamingOps.stratumSumSink(state, "lang", "n_toks"))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       Sampling.unimaxFromCounts(s.read.parquet(s"$state/batch=1"),
         budget = 200000L, maxEpochs = 4.0)
     }),
@@ -1295,17 +1355,19 @@ object Analytics {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val state = java.nio.file.Files
         .createTempDirectory("doremi_stream").toString
-      val in = MemoryStream[(Long, String, Double)]
-      val q = in.toDF().toDF("doc_id", "lang", "loss")
-        .withColumn("step", expr("cast(doc_id as bigint) div 100"))
-        .writeStream
-        .foreachBatch(StreamingOps.keyedMeanSink(state, "lang", "step",
-          "loss"))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String, Double)]
+        val q = in.toDF().toDF("doc_id", "lang", "loss")
+          .withColumn("step", expr("cast(doc_id as bigint) div 100"))
+          .writeStream
+          .foreachBatch(StreamingOps.keyedMeanSink(state, "lang", "step",
+            "loss"))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       val st = s.read.parquet(s"$state/batch=1")
       Sampling.doremiFromLosses(
         st.select(col("domain"), col("step"),
@@ -1328,16 +1390,18 @@ object Analytics {
         .createTempDirectory("mixkl_stream").toString
       val targets = Seq(("en", 0.5), ("fr", 0.2), ("es", 0.15),
         ("zh", 0.1), ("de", 0.05))
-      val in = MemoryStream[(Long, String, Long)]
-      val q = in.toDF().toDF("doc_id", "lang", "n_tokens")
-        .writeStream
-        .foreachBatch(StreamingOps.mixtureKlSink(
-          state, "lang", "n_tokens", targets))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String, Long)]
+        val q = in.toDF().toDF("doc_id", "lang", "n_tokens")
+          .writeStream
+          .foreachBatch(StreamingOps.mixtureKlSink(
+            state, "lang", "n_tokens", targets))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       Sampling.mixtureKlFromCounts(
         s.read.parquet(s"$state/batch=1"), "lang")
     }),
@@ -1362,15 +1426,17 @@ object Analytics {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val state = java.nio.file.Files
         .createTempDirectory("zipf_stream").toString
-      val in = MemoryStream[(Long, String)]
-      val q = in.toDF().toDF("doc_id", "text")
-        .writeStream
-        .foreachBatch(StreamingOps.vocabCountSink(state, "text"))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String)]
+        val q = in.toDF().toDF("doc_id", "text")
+          .writeStream
+          .foreachBatch(StreamingOps.vocabCountSink(state, "text"))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       Text.zipfFitFromCounts(
         s.read.parquet(s"$state/batch=1").filter(col("freq") >= 2),
         topN = 4096)
@@ -1397,16 +1463,18 @@ object Analytics {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val state = java.nio.file.Files
         .createTempDirectory("heaps_stream").toString
-      val in = MemoryStream[(Long, String)]
-      val q = in.toDF().toDF("doc_id", "text")
-        .withColumn("_hb", expr("cast(doc_id as bigint) div 64"))
-        .writeStream
-        .foreachBatch(StreamingOps.stratumCountSink(state, "_hb", "text"))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String)]
+        val q = in.toDF().toDF("doc_id", "text")
+          .withColumn("_hb", expr("cast(doc_id as bigint) div 64"))
+          .writeStream
+          .foreachBatch(StreamingOps.stratumCountSink(state, "_hb", "text"))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       Text.heapsFitFromCounts(s.read.parquet(s"$state/batch=1"))
     }),
 
@@ -1454,16 +1522,18 @@ object Analytics {
       val out = java.nio.file.Files
         .createTempDirectory("winnow_stream").toString
       val in = MemoryStream[(Long, String)]
-      val q = in.toDF().toDF("doc_id", "text")
-        .writeStream
-        .foreachBatch(StreamingOps.winnowTriageSink(out, hist,
-          "doc_id", "text"))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally {
-        q.stop(); hist.unpersist()
+      withScopedShuffle(s, 4) {
+        val q = in.toDF().toDF("doc_id", "text")
+          .writeStream
+          .foreachBatch(StreamingOps.winnowTriageSink(out, hist,
+            "doc_id", "text"))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally {
+          q.stop(); hist.unpersist()
+        }
       }
       s.read.parquet(s"$out/b*")
     }),
@@ -1532,16 +1602,18 @@ object Analytics {
           concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"))
         .as[(Long, String)].collect()
       val (b1, b2) = streamDocs.partition(_._1 % 40 == 0)
-      val in = MemoryStream[(Long, String)]
-      val out = StreamingOps.nearDupAgainstHistory(
-        in.toDF().toDF("doc_id", "text"), base, "doc_id", "text",
-        threshold = 0.5)
-      val q = out.writeStream.format("memory")
-        .queryName("dedup_stream_triage_out").outputMode("append").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String)]
+        val out = StreamingOps.nearDupAgainstHistory(
+          in.toDF().toDF("doc_id", "text"), base, "doc_id", "text",
+          threshold = 0.5)
+        val q = out.writeStream.format("memory")
+          .queryName("dedup_stream_triage_out").outputMode("append").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.table("dedup_stream_triage_out")
     }),
 
@@ -1744,16 +1816,18 @@ object Analytics {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val out = java.nio.file.Files
         .createTempDirectory("entropy_stream").toString
-      val in = MemoryStream[(Long, String)]
-      val q = in.toDF().toDF("doc_id", "text")
-        .writeStream
-        .foreachBatch(StreamingOps.rowLocalSink(out)(
-          b => Text.tokenEntropy(b, "doc_id", "text")))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String)]
+        val q = in.toDF().toDF("doc_id", "text")
+          .writeStream
+          .foreachBatch(StreamingOps.rowLocalSink(out)(
+            b => Text.tokenEntropy(b, "doc_id", "text")))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.parquet(s"$out/b*")
     }),
 
@@ -1769,16 +1843,18 @@ object Analytics {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val out = java.nio.file.Files
         .createTempDirectory("hashing_stream").toString
-      val in = MemoryStream[(Long, String)]
-      val q = in.toDF().toDF("doc_id", "text")
-        .writeStream
-        .foreachBatch(StreamingOps.rowLocalSink(out)(
-          b => Text.hashingTrick(b, "doc_id", "text", dim = 256)))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String)]
+        val q = in.toDF().toDF("doc_id", "text")
+          .writeStream
+          .foreachBatch(StreamingOps.rowLocalSink(out)(
+            b => Text.hashingTrick(b, "doc_id", "text", dim = 256)))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.parquet(s"$out/b*")
     }),
 

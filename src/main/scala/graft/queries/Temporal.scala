@@ -201,9 +201,12 @@ object Temporal {
     "graph_ppr" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
-      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
-        .select(col("o_custkey").as("src"),
-          (lit(1000000L) + col("l_suppkey")).as("dst"))
+      // fenced: the orders⋈lineitem projection feeds BOTH the operator
+      // and the seed derivation — unfenced it executed twice (r18)
+      val edges = graft.analytics.Fences.fence(
+        o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (lit(1000000L) + col("l_suppkey")).as("dst")))
       val seeds = edges.select(col("src").as("id"))
         .filter(col("id") % 13 === 0).distinct()
       Graph.personalizedPageRank(edges, "src", "dst", seeds,
@@ -386,16 +389,18 @@ object Temporal {
       val (b1, b2) = rows.partition(_._1 % 2 == 0)
       val out = java.nio.file.Files
         .createTempDirectory("scripts_stream").toString
-      val in = MemoryStream[(Long, String)]
-      val q = in.toDF().toDF("doc_id", "text")
-        .writeStream
-        .foreachBatch(graft.streaming.StreamingOps.rowLocalSink(out)(
-          b => graft.analytics.Text.scriptProfile(b, "doc_id", "text")))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String)]
+        val q = in.toDF().toDF("doc_id", "text")
+          .writeStream
+          .foreachBatch(graft.streaming.StreamingOps.rowLocalSink(out)(
+            b => graft.analytics.Text.scriptProfile(b, "doc_id", "text")))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.parquet(s"$out/b*")
     }),
 
@@ -1376,16 +1381,18 @@ object Temporal {
       val (b1, b2) = rows.partition(_._3 <= split)
       val state = java.nio.file.Files
         .createTempDirectory("hll_stream").toString
-      val in = MemoryStream[(String, Long, Long)]
-      val q = in.toDF().toDF("event_type", "user_id", "ts_s")
-        .writeStream
-        .foreachBatch(graft.streaming.StreamingOps.hllRegisterSink(
-          state, Seq("event_type"), "user_id"))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(String, Long, Long)]
+        val q = in.toDF().toDF("event_type", "user_id", "ts_s")
+          .writeStream
+          .foreachBatch(graft.streaming.StreamingOps.hllRegisterSink(
+            state, Seq("event_type"), "user_id"))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       Sketch.hllEstimate(s.read.parquet(s"$state/batch=1"),
         Seq("event_type"))
     }),
@@ -1538,15 +1545,17 @@ object Temporal {
       val state = java.nio.file.Files
         .createTempDirectory("scd2_stream").toString
       val in = MemoryStream[(Long, Long, Long, String, Double)]
-      val q = in.toDF().toDF("user_id", "event_id", "pos", "op", "value")
-        .writeStream
-        .foreachBatch(graft.streaming.StreamingOps.scd2Sink(
-          state, Seq("user_id"), Seq("pos", "event_id"), "pos", "op"))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val q = in.toDF().toDF("user_id", "event_id", "pos", "op", "value")
+          .writeStream
+          .foreachBatch(graft.streaming.StreamingOps.scd2Sink(
+            state, Seq("user_id"), Seq("pos", "event_id"), "pos", "op"))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.parquet(s"$state/batch=1")
         .select(col("user_id"), col("event_id"), col("valid_from"),
           col("valid_to"), col("value"), col("is_current"))
@@ -1674,16 +1683,18 @@ object Temporal {
       val (b1, b2) = rows.partition(_._1 < 250L)
       val state = java.nio.file.Files
         .createTempDirectory("cms_stream").toString
-      val in = MemoryStream[(Long, String)]
-      val q = in.toDF().toDF("doc_id", "token")
-        .writeStream
-        .foreachBatch(graft.streaming.StreamingOps.cmsCounterSink(
-          state, "token", depth = 4, width = 16))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(Long, String)]
+        val q = in.toDF().toDF("doc_id", "token")
+          .writeStream
+          .foreachBatch(graft.streaming.StreamingOps.cmsCounterSink(
+            state, "token", depth = 4, width = 16))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.parquet(s"$state/batch=1")
         .select(col("_row").as("cms_row"), col("_idx").as("cms_idx"),
           col("_c").cast("long").as("cnt"))
@@ -1796,19 +1807,21 @@ object Temporal {
         custs.filter(_._1 % 3 == 0).map(rRow).toSeq
       val state = java.nio.file.Files
         .createTempDirectory("join_view").toString
-      val in = MemoryStream[(String, Long, Option[Long], Option[Double],
-        Option[String], Option[String])]
-      val q = in.toDF().toDF("_side", "cust", "o_orderkey", "o_total",
-          "c_name", "c_seg")
-        .writeStream
-        .foreachBatch(graft.streaming.StreamingOps.joinViewSink(
-          state, "cust", Seq("o_orderkey", "o_total"),
-          Seq("c_name", "c_seg")))
-        .outputMode("update").start()
-      try {
-        in.addData(b1); q.processAllAvailable()
-        in.addData(b2); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(String, Long, Option[Long], Option[Double],
+          Option[String], Option[String])]
+        val q = in.toDF().toDF("_side", "cust", "o_orderkey", "o_total",
+            "c_name", "c_seg")
+          .writeStream
+          .foreachBatch(graft.streaming.StreamingOps.joinViewSink(
+            state, "cust", Seq("o_orderkey", "o_total"),
+            Seq("c_name", "c_seg")))
+          .outputMode("update").start()
+        try {
+          in.addData(b1); q.processAllAvailable()
+          in.addData(b2); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.parquet(s"$state/view/batch=1")
         .select(col("cust"), col("o_orderkey"), col("o_total"),
           col("c_name"), col("c_seg"))
@@ -1929,9 +1942,12 @@ object Temporal {
     // frequent-pair graph: Q accumulated as the exact rational
     // Σ(4m·e_c − d_c²)/4m² — one double division at the end.
     "graph_modularity" -> ((s, dir) => {
-      val pairs = Baskets.frequentPairs(t(s, dir, "lineitem"),
-          "l_orderkey", "l_partkey", minSupport = 2L)
-        .select(col("item_a").as("id_a"), col("item_b").as("id_b"))
+      // fenced: the pair graph feeds labelPropagation AND modularity —
+      // unfenced the frequentPairs self-join executed twice (r18)
+      val pairs = graft.analytics.Fences.fence(
+        Baskets.frequentPairs(t(s, dir, "lineitem"),
+            "l_orderkey", "l_partkey", minSupport = 2L)
+          .select(col("item_a").as("id_a"), col("item_b").as("id_b")))
       val comm = Graph.labelPropagation(pairs, "id_a", "id_b",
         iterations = 4)
       Graph.modularity(pairs, "id_a", "id_b", comm)
@@ -1941,9 +1957,13 @@ object Temporal {
     // style seed proximity) from the nodes ≡ 0 (mod 7); oracle =
     // bounded recursive CTE with min-hop aggregation.
     "graph_seed_dist" -> ((s, dir) => {
-      val pairs = Baskets.frequentPairs(t(s, dir, "lineitem"),
-          "l_orderkey", "l_partkey", minSupport = 2L)
-        .select(col("item_a").as("id_a"), col("item_b").as("id_b"))
+      // fenced: the pair graph feeds the seed derivation (twice, one
+      // per endpoint column) AND the BFS operator — unfenced the
+      // frequentPairs self-join executed three times (r18)
+      val pairs = graft.analytics.Fences.fence(
+        Baskets.frequentPairs(t(s, dir, "lineitem"),
+            "l_orderkey", "l_partkey", minSupport = 2L)
+          .select(col("item_a").as("id_a"), col("item_b").as("id_b")))
       val seeds = pairs.select(col("id_a").as("id"))
         .union(pairs.select(col("id_b").as("id")))
         .filter(col("id") % 7 === 0).distinct()
@@ -2000,16 +2020,18 @@ object Temporal {
       val (b1, b2) = rows.partition(_._2 % 2 == 0)
       val state = java.nio.file.Files
         .createTempDirectory("cp_stream").toString
-      val in = MemoryStream[(String, Long, Long)]
-      val q = in.toDF().toDF("event_type", "day", "cents")
-        .writeStream
-        .foreachBatch(graft.streaming.StreamingOps.keyedMeanSink(
-          state, "event_type", "day", "cents"))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(String, Long, Long)]
+        val q = in.toDF().toDF("event_type", "day", "cents")
+          .writeStream
+          .foreachBatch(graft.streaming.StreamingOps.keyedMeanSink(
+            state, "event_type", "day", "cents"))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       val daily = s.read.parquet(s"$state/batch=1")
         .select(col("domain").as("event_type"), col("step").as("day"),
           col("s").cast("long").as("cents"))
@@ -2032,16 +2054,18 @@ object Temporal {
       val (b1, b2) = rows.partition(_._2 % 2 == 0)
       val state = java.nio.file.Files
         .createTempDirectory("hurst_stream").toString
-      val in = MemoryStream[(String, Long, Long)]
-      val q = in.toDF().toDF("event_type", "day", "cents")
-        .writeStream
-        .foreachBatch(graft.streaming.StreamingOps.keyedMeanSink(
-          state, "event_type", "day", "cents"))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(String, Long, Long)]
+        val q = in.toDF().toDF("event_type", "day", "cents")
+          .writeStream
+          .foreachBatch(graft.streaming.StreamingOps.keyedMeanSink(
+            state, "event_type", "day", "cents"))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       val daily = s.read.parquet(s"$state/batch=1")
         .select(col("domain").as("event_type"), col("step").as("day"),
           col("s").cast("long").as("cents"))
@@ -2228,17 +2252,19 @@ object Temporal {
       val (b1, b2) = rows.partition(_._2 <= split)
       val state = java.nio.file.Files
         .createTempDirectory("hist_stream").toString
-      val in = MemoryStream[(String, Long, Double)]
-      val q = in.toDF().toDF("event_type", "ts_s", "value")
-        .writeStream
-        .foreachBatch(graft.streaming.StreamingOps.histogramBinSink(
-          state, Seq("event_type"), "value",
-          lo = 0.0, width = 0.5, bins = 1024))
-        .outputMode("update").start()
-      try {
-        in.addData(b1.toSeq); q.processAllAvailable()
-        in.addData(b2.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      withScopedShuffle(s, 4) {
+        val in = MemoryStream[(String, Long, Double)]
+        val q = in.toDF().toDF("event_type", "ts_s", "value")
+          .writeStream
+          .foreachBatch(graft.streaming.StreamingOps.histogramBinSink(
+            state, Seq("event_type"), "value",
+            lo = 0.0, width = 0.5, bins = 1024))
+          .outputMode("update").start()
+        try {
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.read.parquet(s"$state/batch=1")
         .select(col("event_type"), col("_bin").as("bin"),
           col("_c").cast("long").as("cnt"))
