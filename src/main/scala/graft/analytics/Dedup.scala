@@ -75,7 +75,11 @@ object Dedup {
     val hot = bucketed.groupBy(keys: _*)
       .agg(count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > cap)
-    val flagged = bucketed.join(hot, keyCols, "left")
+    // flagged is itself referenced by both cold sides and both hot
+    // sides — fenced too, or the hot-count aggregate + flag join
+    // rebuild 4× over the bucketed fence (r18, Explain-audited: 26
+    // residual exchanges in dedup_minhash from the 4 replays)
+    val flagged = fence(bucketed.join(hot, keyCols, "left"))
 
     // cold buckets (size ≤ cap): plain self-join — singleton buckets
     // pair with nothing, no size column, no explode, no replication
@@ -141,8 +145,10 @@ object Dedup {
       .withColumn("nl", ceil(col("lsz").cast("double") / lit(cap)).cast("int"))
       .withColumn("nr", ceil(col("rsz").cast("double") / lit(cap)).cast("int"))
       .select(keys :+ col("nl") :+ col("nr"): _*)
-    val lf = left.join(hot, keyCols, "left")
-    val rf = right.join(hot, keyCols, "left")
+    // fenced like boundedSelfPairs' flagged (r18): each side's flag
+    // join feeds its cold AND hot split
+    val lf = fence(left.join(hot, keyCols, "left"))
+    val rf = fence(right.join(hot, keyCols, "left"))
     val coldPairs = lf.filter(col("nl").isNull)
       .select(keys :+ col(memberCol).as("m_a"): _*)
       .join(rf.filter(col("nl").isNull)
@@ -643,8 +649,12 @@ object Dedup {
     require(maxDist >= 0, s"maxDist=$maxDist")
     require(q >= 1, s"q=$q")
     val k = q * maxDist + 1 // Ed-Join prefix length
+    // Fences (r18, the jaccardPrefixJoin discipline): `s` feeds the
+    // gram explode AND both verify-side joins, `grams` the gf count
+    // and the prefix join-back, `prefix` both sides of the candidate
+    // self-join — unfenced each reference replayed its whole subtree.
     // unique-id contract enforced before any gram enters the index
-    val s = df.select(col(idCol).as("doc_id"), col(strCol).as("s"))
+    val s = fence(df.select(col(idCol).as("doc_id"), col(strCol).as("s"))
       .filter(length(col("s")) >= q * (maxDist + 1))
       .distinct()
       .groupBy(col("doc_id"))
@@ -653,19 +663,19 @@ object Dedup {
         when(col("_c") > 1, raise_error(concat(
             lit("editDistanceJoin: conflicting strings under id "),
             col("doc_id").cast("string"))).cast("string"))
-          .otherwise(col("_s")).as("s"))
+          .otherwise(col("_s")).as("s")))
     // positional q-grams, 0-based; one codegen'd pass per string
-    val grams = s.select(col("doc_id"),
+    val grams = fence(s.select(col("doc_id"),
         posexplode(expr(
           s"transform(sequence(0, length(s) - $q), i -> substring(s, i + 1, $q))")))
-      .select(col("doc_id"), col("pos"), col("col").as("g"))
+      .select(col("doc_id"), col("pos"), col("col").as("g")))
     val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("gf"))
     val wOrd = Window.partitionBy(col("doc_id"))
       .orderBy(col("gf"), col("g"), col("pos"))
-    val prefix = grams.join(freq, "g")
+    val prefix = fence(grams.join(freq, "g")
       .withColumn("rn", row_number().over(wOrd))
       .filter(col("rn") <= k)
-      .select(col("g"), col("doc_id"), col("pos"))
+      .select(col("g"), col("doc_id"), col("pos")))
     val cand = prefix.select(col("g"), col("doc_id").as("id_a"), col("pos").as("pos_a"))
       .join(prefix.select(col("g"), col("doc_id").as("id_b"), col("pos").as("pos_b")),
         Seq("g"))
@@ -705,9 +715,11 @@ object Dedup {
       sequence(lit(0),
         ceil(size(toks).cast("double") / segTokens).cast("int") - 1),
       i => concat_ws(" ", slice(toks, i * segTokens + 1, lit(segTokens))))
-    val segs = df.filter(trim(col(textCol)) =!= "")
+    // fenced (r18): segs feeds the keeper aggregate AND the join back —
+    // unfenced, the tokenize+chunk+sha pass replayed twice
+    val segs = fence(df.filter(trim(col(textCol)) =!= "")
       .select(col(idCol).as("doc_id"), posexplode(chunks).as(Seq("seg_idx", "segment")))
-      .select(col("doc_id"), col("seg_idx"), sha2(col("segment"), 256).as("seg_hash"))
+      .select(col("doc_id"), col("seg_idx"), sha2(col("segment"), 256).as("seg_hash")))
     val keeper = segs.groupBy(col("seg_hash"))
       .agg(min(struct(col("doc_id"), col("seg_idx"))).as("k"))
     segs.join(keeper, "seg_hash")
@@ -732,8 +744,10 @@ object Dedup {
     */
   def incremental(newDf: DataFrame, historyDf: DataFrame,
                   idCol: String, textCol: String): DataFrame = {
-    val fresh = newDf.select(col(idCol).as("doc_id"),
-      sha2(col(textCol), 256).as("h"))
+    // fenced (r18): fresh feeds the first-of-digest aggregate AND the
+    // classification join — unfenced, the batch sha pass replayed twice
+    val fresh = fence(newDf.select(col(idCol).as("doc_id"),
+      sha2(col(textCol), 256).as("h")))
     val hist = historyDf.select(sha2(col(textCol), 256).as("h")).distinct()
       .withColumn("in_hist", lit(1))
     val firstInBatch = fresh.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
@@ -775,9 +789,11 @@ object Dedup {
                        idCol: String, textCol: String,
                        fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.util.sketch.BloomFilter
-    val batch = newDf.select(col(idCol).as("doc_id"),
-      sha2(col(textCol), 256).as("h"))
-    val hist = historyDf.select(sha2(col(textCol), 256).as("h")).distinct()
+    // fenced (r18): hist feeds the cardinality count, the filter
+    // tree-aggregate AND the confirming join (3 sha-pass replays
+    // unfenced)
+    val hist = fence(historyDf.select(sha2(col(textCol), 256).as("h"))
+      .distinct())
     // expectedItems from a count of the (digest-deduped) history — one
     // small extra job; a production digest store knows its cardinality
     val n = math.max(hist.count(), 1L)
@@ -795,7 +811,11 @@ object Dedup {
     // would vanish instead of being classified. Null digests are
     // definitively "kept" (SQL equality: NULL never equals anything).
     val probe = HashFunctions.bloom_might_contain(col("h"), bos.toByteArray)
-    val flagged = batch.withColumn("maybe", coalesce(probe, lit(false)))
+    // fenced (r18): both verdict branches filter this frame — unfenced,
+    // the batch sha+probe pass replayed twice
+    val flagged = fence(newDf.select(col(idCol).as("doc_id"),
+        sha2(col(textCol), 256).as("h"))
+      .withColumn("maybe", coalesce(probe, lit(false))))
     val pos = flagged.filter(col("maybe"))
       .join(hist.withColumn("in_hist", lit(1)), Seq("h"), "left")
       .select(col("doc_id"),
@@ -1208,11 +1228,14 @@ object Dedup {
     val chunked = base
       .withColumn("_b", bflag)
       .withColumn("chunk_idx", coalesce(sum(col("_b")).over(w), lit(0L)))
-    val chunks = chunked.groupBy(col("doc_id"), col("chunk_idx"))
+    // fenced (r18): chunks feeds the sharing aggregate AND the join
+    // back — unfenced, the tokenize+window+chunk-hash pipeline
+    // replayed twice
+    val chunks = fence(chunked.groupBy(col("doc_id"), col("chunk_idx"))
       .agg(count(lit(1)).as("n_tokens"),
         fnv1a_hash(array_join(transform(
           array_sort(collect_list(struct(col("_pos"), col("_tok")))),
-          x => x.getField("_tok")), " ")).as("chunk_hash"))
+          x => x.getField("_tok")), " ")).as("chunk_hash")))
     val share = chunks.groupBy(col("chunk_hash"))
       .agg(count_distinct(col("doc_id")).as("n_docs_sharing"),
         min(struct(col("doc_id"), col("chunk_idx"))).as("_first"))
@@ -1305,7 +1328,10 @@ object Dedup {
     val dfreq = fps.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-    val keep = winnowFence(fps.join(dfreq.select(col("h")), "h"))
+    // no winnowFence here (r18): keep is referenced exactly once and
+    // [[boundedSelfPairs]] fences its input itself — a second fence
+    // would materialize the same posting table twice
+    val keep = fps.join(dfreq.select(col("h")), "h")
       // the member struct leads with (doc_id, pos) so struct ordering
       // puts cross-doc pairs out as doc_a < doc_b; h rides along (it
       // is the bucket key, constant within a bucket, so it never
@@ -1395,7 +1421,9 @@ object Dedup {
     val dfreq = fps.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-    val keep = winnowFence(fps.join(dfreq.select(col("h")), "h"))
+    // no winnowFence (r18): single reference, boundedSelfPairs fences
+    // its own input
+    val keep = fps.join(dfreq.select(col("h")), "h")
     boundedSelfPairs(keep, Seq("h"), "doc_id", cap = 256)
       .groupBy(col("pair_a").as("doc_a"), col("pair_b").as("doc_b"))
       .agg(count(lit(1)).cast("long").as("n_shared"))

@@ -35,10 +35,15 @@ object Linkage {
     * per-key-group pair bound; [[linkageScore]] drops them.
     */
   private[graft] def boundedBlockedJoin(
-      aa: DataFrame,
-      bb: DataFrame,
+      aa0: DataFrame,
+      bb0: DataFrame,
       selfPairs: Boolean,
       maxBlock: Int): DataFrame = {
+    // Fence both sides ([[Fences]], r18 — the boundedSelfPairs
+    // rationale): each feeds its size prepass, the hot-flag join, and
+    // the cold/hot splits — ~3 upstream replays per side unfenced.
+    val aa = Fences.fence(aa0)
+    val bb = Fences.fence(bb0)
     val lsz = aa.groupBy(col("_blk")).agg(count(lit(1)).as("_lsz"))
     val rsz =
       if (selfPairs) lsz.select(col("_blk"), col("_lsz").as("_rsz"))
@@ -50,8 +55,11 @@ object Linkage {
       .withColumn("_nr",
         ceil(col("_rsz").cast("double") / lit(maxBlock)).cast("int"))
       .select(col("_blk"), col("_nl"), col("_nr"))
-    val lf = aa.join(hot, Seq("_blk"), "left")
-    val rf = bb.join(hot, Seq("_blk"), "left")
+    // fenced like Dedup.boundedSelfPairs' flagged (r18): each side's
+    // flag join feeds its cold AND hot split — unfenced, the hot-count
+    // prepass + flag join rebuild per split
+    val lf = Fences.fence(aa.join(hot, Seq("_blk"), "left"))
+    val rf = Fences.fence(bb.join(hot, Seq("_blk"), "left"))
 
     // cold blocks: the plain blocked join, exactly the pre-cap plan
     val cold = lf.filter(col("_nl").isNull).drop("_nl", "_nr")

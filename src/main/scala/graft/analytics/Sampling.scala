@@ -917,9 +917,13 @@ object Sampling {
     require(binWidth > 0, s"stratifiedTiles: binWidth=$binWidth")
     require(maxBinRows >= 1, s"stratifiedTiles: maxBinRows=$maxBinRows")
     import org.apache.spark.sql.expressions.Window
-    val base = df.filter(col(scoreCol).isNotNull)
+    // fenced ([[Fences]], r18): base feeds the bin-count aggregate AND
+    // the final probe join — unfenced, the caller's upstream (for the
+    // ccnet gate row, the whole SBO train+score chain) executed twice.
+    // The fenced row is slim (stratum, score, id, bin).
+    val base = Fences.fence(df.filter(col(scoreCol).isNotNull)
       .withColumn("_bin",
-        floor(col(scoreCol).cast("double") / lit(binWidth)).cast("long"))
+        floor(col(scoreCol).cast("double") / lit(binWidth)).cast("long")))
     val counts = base
       .groupBy(col(stratumCol).as("_st"), col("_bin"))
       .agg(count(lit(1)).as("_c"))

@@ -3,6 +3,8 @@ package graft.analytics
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import Fences.fence
+
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Scale design: the brute-force path broadcasts the (small) query set
@@ -150,8 +152,12 @@ object Similarity {
       case "ivf" =>
         // aggregate barrier as in "lsh"; seeds = lowest-id vectors
         // (deterministic, oracle-replicable — the clusterAssign /
-        // semanticDedup seeding; the collect is nlist×dim doubles)
-        val nb = base.groupBy(col("vid")).agg(first(col("nvec")).as("nvec"))
+        // semanticDedup seeding; the collect is nlist×dim doubles).
+        // Fenced ([[Fences]], r18): nb feeds the nlist count, the seed
+        // collect, the cell assignment AND both verify-side joins —
+        // the normalize+aggregate replayed ~5× unfenced.
+        val nb = fence(base.groupBy(col("vid"))
+          .agg(first(col("nvec")).as("nvec")))
         // nlist <= 0 ⇒ derive from corpus size: candidate work is
         // ~nassign²·n²/(2·nlist), so nlist must grow WITH n for the
         // linear-at-constant-density scale story (PERF round 7); the
@@ -180,8 +186,10 @@ object Similarity {
         // Aggregate barrier (see Dedup.minhashPairs): normalize each
         // vector ONCE — posexplode's inferred predicates and the cosine
         // join condition would otherwise re-run L2Normalize (and the
-        // 48-plane bucket hash) per reference.
-        val nb = base.groupBy(col("vid")).agg(first(col("nvec")).as("nvec"))
+        // 48-plane bucket hash) per reference. Fenced (r18): nb feeds
+        // the bucketing and both verify-side joins (3 replays unfenced).
+        val nb = fence(base.groupBy(col("vid"))
+          .agg(first(col("nvec")).as("nvec")))
         val bucketed = nb
           .withColumn("buckets", hyperplane_buckets(col("nvec"), numPlanes, numTables))
           .select(col("vid"), posexplode(col("buckets")).as(Seq("table_id", "bucket")))
@@ -216,9 +224,12 @@ object Similarity {
                k: Int, nlist: Int = -1, nassign: Int = 2,
                maxBucket: Int = 4096): DataFrame = {
     require(k >= 1 && k <= 1024, s"k=$k")
-    val pairs = cosinePairs(df, idCol, vecCol, threshold = -1.0,
+    // fenced (r18): the symmetrization references the pair table once
+    // per direction — unfenced, the whole IVF candidate+verify pipeline
+    // (above cosinePairs' internal fences) replayed twice
+    val pairs = fence(cosinePairs(df, idCol, vecCol, threshold = -1.0,
       method = "ivf", nlist = nlist, nassign = nassign,
-      maxBucket = maxBucket)
+      maxBucket = maxBucket))
     val sym = pairs.select(col("id_a").as("node"), col("id_b").as("nbr"),
         col("cos_sim"))
       .unionByName(pairs.select(col("id_b").as("node"),
@@ -332,8 +343,11 @@ object Similarity {
     val base = df.select(col(idCol).as("vid"), normalize(col(vecCol)).as("nvec"))
     // aggregate barrier: normalize each vector ONCE — the cosine join
     // condition and the assignment expression would otherwise re-run
-    // L2Normalize per reference (see cosinePairs / Dedup.minhashPairs)
-    val nb = base.groupBy(col("vid")).agg(first(col("nvec")).as("nvec"))
+    // L2Normalize per reference (see cosinePairs / Dedup.minhashPairs).
+    // Fenced (r18): nb feeds the cluster assignment and both edge-verify
+    // joins (3 replays unfenced).
+    val nb = fence(base.groupBy(col("vid"))
+      .agg(first(col("nvec")).as("nvec")))
     val seeds: Array[Array[Double]] = base.orderBy(col("vid").asc).limit(k)
       .select(col("nvec")).collect().map(_.getSeq[Double](0).toArray)
     require(seeds.nonEmpty, "semanticDedup: empty corpus")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import Fences.fence
 import HashFunctions.{java_ln, splitmix64_hash, trailing_zeros63}
 
 /** Distinct-count sketches. HyperLogLog (Flajolet et al. 2007, with
@@ -160,7 +161,10 @@ object Sketch {
       p: Int = 12,
       seed: Long = 7L): DataFrame = {
     require(windowDays >= 1, s"windowDays=$windowDays must be >= 1")
-    val daily = hllRegisters(df, Seq(dayCol), valueCol, p, seed)
+    // fenced ([[Fences]], r18): the daily register table feeds the
+    // window expansion AND the present-days probe — unfenced, the
+    // corpus register aggregation replayed twice
+    val daily = fence(hllRegisters(df, Seq(dayCol), valueCol, p, seed))
     val contrib = daily.select(
       explode(sequence(col(dayCol), col(dayCol) + lit(windowDays - 1L)))
         .as(dayCol),
@@ -221,8 +225,10 @@ object Sketch {
       valueCol: String,
       p: Int = 12,
       seed: Long = 7L): DataFrame = {
-    val ra = hllRegisters(a, Seq.empty, valueCol, p, seed)
-    val rb = hllRegisters(b, Seq.empty, valueCol, p, seed)
+    // fenced (r18): each register table feeds the union merge AND its
+    // own estimate — unfenced, each corpus aggregation replayed twice
+    val ra = fence(hllRegisters(a, Seq.empty, valueCol, p, seed))
+    val rb = fence(hllRegisters(b, Seq.empty, valueCol, p, seed))
     val ru = hllMerge(Seq(ra, rb), Seq.empty)
     val ea = hllEstimate(ra, Seq.empty, p).select(col("estimate").as("est_a"))
     val eb = hllEstimate(rb, Seq.empty, p).select(col("estimate").as("est_b"))
@@ -347,8 +353,11 @@ object Sketch {
     require(threshold >= 1, "threshold must be >= 1")
     val spark = items.sparkSession
     import spark.implicits._
-    val strs = items.select(col(itemCol).cast("string").as("item"))
-      .filter(col("item").isNotNull)
+    // fenced (r18): strs feeds the capacity count, the Misra–Gries
+    // candidate pass AND the exact confirm join — 3 input replays
+    // unfenced
+    val strs = fence(items.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull))
     val cap: Int =
       if (capacity > 0) capacity
       else {
@@ -628,12 +637,14 @@ object Sketch {
       seed: Long = 7L): DataFrame = {
     require(k >= 16 && k <= 65536, s"k=$k")
     val g = groupCols.map(col)
-    val base = df
+    // fenced (r18): base feeds the cut-level aggregate AND the
+    // compaction join — unfenced, the scan+hash projection replayed
+    val base = fence(df
       .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
       .select(g ++ Seq(col(valueCol).as("_v"),
         shiftrightunsigned(
           splitmix64_hash(col(idCol) + lit(seed)), 1).as("_h")): _*)
-      .withColumn("_tz", trailingZeros(col("_h")))
+      .withColumn("_tz", trailingZeros(col("_h"))))
     val lv = kllCutLevel(base, groupCols, k)
       .select(g ++ Seq(col("_nrows").as("kll_n"),
         col("_lraw").as("kll_l")): _*)

@@ -1421,10 +1421,13 @@ object Stats {
           " or raise maxGroupRows explicitly.")
     val w = Window.partitionBy(g: _*)
       .orderBy(col(xCol), col(yCol))
-    val rows = base
+    // fenced ([[Fences]], r18): rows feeds both sides of the pair
+    // self-join — unfenced, the rank window (and its input scan)
+    // replayed twice
+    val rows = Fences.fence(base
       .withColumn("_i", row_number().over(w).cast("long"))
       .select(g ++ Seq(col(xCol).as("_x"), col(yCol).as("_y"),
-        col("_i")): _*)
+        col("_i")): _*))
     val pairs = rows.as("a").join(
       rows.select(g ++ Seq(col("_x").as("_x2"), col("_y").as("_y2"),
         col("_i").as("_i2")): _*).as("b"),

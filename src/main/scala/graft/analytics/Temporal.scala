@@ -917,10 +917,13 @@ object Temporal {
         max(col("_ts")).as("_ts"), max(conv("_k")).as("_k"),
         max(col("_val")).as("_val"))
     val wConv = Window.partitionBy(col("_cid"))
-    val credited = inWindow
+    // fenced ([[Fences]], r18): credited feeds the attribution
+    // projection AND the unattributed anti-join probe — unfenced, the
+    // range join + window replayed twice
+    val credited = Fences.fence(inWindow
       .withColumn("n_touches", sum(col("k_c")).over(wConv))
       .select(col("_cid"), col("_k"), col("_ts"), col("_val"),
-        col("_ch"), col("k_c"), col("n_touches"))
+        col("_ch"), col("k_c"), col("n_touches")))
     val attributed = credited.select(col("_cid").as("conversion_id"),
       col("_k").as("entity"), col("_ts").as("ts"), col("_ch").as("channel"),
       col("k_c"), col("n_touches"),

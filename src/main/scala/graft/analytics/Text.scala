@@ -529,7 +529,9 @@ object Text {
     */
   def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = wsTokens(lower(trim(col(textCol))))
-    val base = df.select(col(idCol), toks.as("toks"))
+    // fenced (r18): base feeds the per-doc stats AND the bigram explode
+    // — unfenced, the tokenize pass replayed twice
+    val base = fence(df.select(col(idCol), toks.as("toks")))
     val stats = base.select(col(idCol),
       size(col("toks")).as("n"),
       size(array_distinct(col("toks"))).as("nd"),
@@ -623,11 +625,14 @@ object Text {
     val occ = df.select(col(labelCol).cast("boolean").as("_lab"),
         explode(wsTokens(lower(trim(col(textCol))))).as("tok"))
       .filter(col("tok") =!= "")
-    val counts = occ.groupBy(col("tok")).agg(
+    // fenced (r18): the model-sized count table feeds the totals row
+    // AND the final projection — unfenced, the occurrence explode +
+    // aggregation replayed twice
+    val counts = fence(occ.groupBy(col("tok")).agg(
       sum(when(col("_lab"), lit(1L)).otherwise(lit(0L)))
         .cast("long").as("c_pos"),
       sum(when(!col("_lab"), lit(1L)).otherwise(lit(0L)))
-        .cast("long").as("c_neg"))
+        .cast("long").as("c_neg")))
     val tot = counts.agg(
       sum(col("c_pos")).cast("long").as("n_pos"),
       sum(col("c_neg")).cast("long").as("n_neg"),
@@ -808,9 +813,11 @@ object Text {
     * sequential fold (bit-replicable, java_ln).
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val occ = df.select(col(idCol).as("doc_id"),
+    // fenced ([[Fences]], r18): occ feeds the count aggregate AND the
+    // score join — unfenced, the tokenize+posexplode replayed twice
+    val occ = fence(df.select(col(idCol).as("doc_id"),
         posexplode(wsTokens(lower(trim(col(textCol))))).as(Seq("idx", "tok")))
-      .filter(col("tok") =!= "")
+      .filter(col("tok") =!= ""))
     val counts = occ.groupBy(col("tok")).agg(count(lit(1)).cast("long").as("c"))
     val total = counts.agg(sum(col("c")).cast("long").as("n_corpus"))
     occ.join(counts, "tok")
@@ -845,14 +852,17 @@ object Text {
       .agg(count_distinct(col("tok")).cast("long").as("v"))
     val t1 = df.select(col(idCol).as("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= 2)
-    val big = t1
+    // fenced (r18): big feeds the bigram-count aggregate AND the score
+    // join; cb feeds the context rollup AND the join — unfenced, the
+    // tokenize+bigram assembly replayed per reference
+    val big = fence(t1
       .select(col("doc_id"), col("toks"),
         posexplode(expr("sequence(1, size(toks) - 1)")))
       .select(col("doc_id"), col("col").cast("long").as("idx"),
         element_at(col("toks"), col("col")).as("prev"),
-        element_at(col("toks"), col("col") + 1).as("w"))
-    val cb = big.groupBy(col("prev"), col("w"))
-      .agg(count(lit(1)).cast("long").as("cb"))
+        element_at(col("toks"), col("col") + 1).as("w")))
+    val cb = fence(big.groupBy(col("prev"), col("w"))
+      .agg(count(lit(1)).cast("long").as("cb")))
     val cc = cb.groupBy(col("prev")).agg(sum(col("cb")).cast("long").as("cc"))
     big.join(cb, Seq("prev", "w")).join(cc, Seq("prev"))
       .crossJoin(broadcast(vocab))
@@ -970,15 +980,19 @@ object Text {
     val toks = wsTokens(lower(trim(col(textCol))))
     val base = df.select(toks.as("toks"))
     val nm1 = greatest(size(col("toks")) - 1, lit(0))
-    val bigrams = base.select(explode(zip_with(
+    // fenced (r18): the bigram table feeds the N_bi total AND the PMI
+    // join, the unigram table joins once per bigram side — unfenced,
+    // each reference re-ran its explode+aggregate corpus pass (base's
+    // two parallel scans stay the documented trade)
+    val bigrams = fence(base.select(explode(zip_with(
         slice(col("toks"), lit(1), nm1),
         slice(col("toks"), lit(2), nm1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bi"))
       .select(col("bi.w1").as("w1"), col("bi.w2").as("w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).cast("long").as("c_ab"))
-    val unigrams = base.select(explode(col("toks")).as("w"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).cast("long").as("c_ab")))
+    val unigrams = fence(base.select(explode(col("toks")).as("w"))
       .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("c"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("c")))
     val nBi = bigrams.agg(sum(col("c_ab")).cast("long").as("n_bi"))
     bigrams.filter(col("c_ab") >= minCount)
       .join(unigrams.select(col("w").as("w1"), col("c").as("c_a")), "w1")

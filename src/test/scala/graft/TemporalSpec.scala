@@ -500,7 +500,15 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  test("hllIntersect final plan: each input's register exchange is computed once") {
+  test("hllIntersect final plan: each input's register table is computed once") {
+    // r18: the register tables are FENCED (eager localCheckpoint), so
+    // each input's register aggregation runs exactly once at fence
+    // build and the final plan reads the materialized RDD per consumer
+    // — stronger than the pre-r18 ReusedExchange assertion (which only
+    // deduped canonically identical subtrees inside one plan). The
+    // final plan must carry NO register-building aggregation at all:
+    // no scan of the inputs (spark.range) and no pmod register-index
+    // hashing — only scans of the checkpointed register RDDs.
     val a = spark.range(0, 2000).toDF("id")
     val b = spark.range(1000, 3000).toDF("id")
     val df = Sketch.hllIntersect(a, b, "id")
@@ -510,8 +518,10 @@ class TemporalSpec extends AnyFunSuite {
         ad.executedPlan.toString
       case p => p.toString
     }
-    assert("ReusedExchange".r.findAllIn(plan).length >= 2,
-      s"register exchanges must be reused (own estimate + merge):\n$plan")
+    assert(!plan.contains("Range ("),
+      s"final plan must read fenced register tables, not re-scan the inputs:\n$plan")
+    assert("Scan ExistingRDD".r.findAllIn(plan).length >= 3,
+      s"expected the three estimate branches to read materialized register RDDs:\n$plan")
   }
 
   test("hllDistinct estimates within theoretical error on both correction branches") {
