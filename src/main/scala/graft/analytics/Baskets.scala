@@ -40,29 +40,48 @@ object Baskets {
       itemCol: String,
       minSupport: Long): DataFrame = {
     require(minSupport >= 1, s"minSupport=$minSupport must be >= 1")
-    // Fence the two multiply-referenced tables ([[Fences]]): `items`
-    // feeds the support aggregate AND the prune join, `pruned` both
-    // sides of the within-basket self-join — unfenced, the input scan
-    // + distinct exchange derived FOUR times per call (Explain-audited
-    // on the r18 gate: 4 identical parquet scans + 4 distinct
-    // aggregates in one basket_pairs plan; ReuseExchange does not fire
-    // because the alias projections de-canonicalize the copies).
+    // Fence the multiply-referenced tables ([[Fences]]): `items` feeds
+    // the support aggregate AND the prune join, `supp` the prune plus
+    // both output attach joins, `pruned` both sides of the
+    // within-basket self-join — unfenced, the input scan + distinct
+    // exchange derived FOUR times per call (Explain-audited on the r18
+    // gate: 4 identical parquet scans + 4 distinct aggregates in one
+    // basket_pairs plan; ReuseExchange does not fire because the alias
+    // projections de-canonicalize the copies).
     val items = fence(df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
       .distinct())
-    val supp = items.groupBy(col("_i"))
-      .agg(count(lit(1)).as("_supp"))
-      .filter(col("_supp") >= minSupport)
-    val pruned = fence(items.join(supp, Seq("_i")))
-    val a = pruned.select(col("_b").as("_ba"), col("_i").as("item_a"),
-      col("_supp").as("_sa"))
-    val b = pruned.select(col("_b").as("_bb"), col("_i").as("item_b"),
-      col("_supp").as("_sb"))
+    val supp = fence(items.groupBy(col("_i"))
+      .agg(count(lit(1)).as("_supp")))
+    // Apriori prune as a SEMI-join: the support value is NOT carried
+    // through the pair machinery (guide §2.3 — shuffle fewer bytes).
+    // The old shape shipped (_sa, _sb) on every self-join output row
+    // into the pair exchange, where the map-side combine reduces
+    // almost nothing (pair keys are near-unique: 1.20M join rows →
+    // 1.196M groups on the r18 gate), so the two support columns were
+    // +16 bytes on ~every shuffled row, folded by a max() that only
+    // ever saw one value. Supports are re-attached AFTER the
+    // `pair_cnt >= minSupport` filter, where the stream side is
+    // output-sized (3.6k rows vs 1.2M on the gate) — pair_cnt >=
+    // minSupport implies both items' supports pass, so the semi-join
+    // prune + late attach is row-identical to the old inner join.
+    val pruned = fence(items.join(
+      supp.filter(col("_supp") >= minSupport).select(col("_i")),
+      Seq("_i"), "left_semi"))
+    // both sides project the SAME (basket, item) pair from the same
+    // fenced leaf so the two exchanges canonicalize identically and
+    // ReuseExchange ships the self-join input once
+    val a = pruned.select(col("_b").as("_ba"), col("_i").as("item_a"))
+    val b = pruned.select(col("_b").as("_bb"), col("_i").as("item_b"))
     a.join(b, col("_ba") === col("_bb") && col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b"))
-      .agg(count(lit(1)).as("pair_cnt"),
-        max(col("_sa")).as("supp_a"),
-        max(col("_sb")).as("supp_b"))
+      .agg(count(lit(1)).as("pair_cnt"))
       .filter(col("pair_cnt") >= minSupport)
+      .join(supp.select(col("_i").as("item_a"), col("_supp").as("supp_a")),
+        Seq("item_a"))
+      .join(supp.select(col("_i").as("item_b"), col("_supp").as("supp_b")),
+        Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("pair_cnt"),
+        col("supp_a"), col("supp_b"))
   }
 
   /** Association rules from [[frequentPairs]]: both directions of

@@ -64,6 +64,29 @@ class AffinitySpec extends AnyFunSuite {
       r.getAs[Long]("supp_a") == 3L && r.getAs[Long]("supp_b") == 3L)
   }
 
+  test("basket pairs: late support attach equals the inline-carry shape") {
+    // r18 restructure: supports are attached AFTER the pair_cnt filter
+    // (semi-join prune + two output joins) instead of riding the
+    // self-join — this pins the equivalence edge: a below-threshold
+    // item (z, supp=1) pairs only below minSupport and never surfaces,
+    // while a surviving pair reports the FULL unpruned supports of its
+    // items, including support earned in baskets whose other items
+    // were pruned
+    val items = Seq(
+      (1, "a"), (1, "b"),
+      (2, "a"), (2, "b"),
+      (3, "a"), (3, "z"), // z rare: supp(z)=1, but supp(a) counts basket 3
+      (4, "b")
+    ).toDF("basket", "item")
+    val out = Baskets.frequentPairs(items, "basket", "item", 2L).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("item_a") == "a" &&
+      r.getAs[String]("item_b") == "b" &&
+      r.getAs[Long]("pair_cnt") == 2L &&
+      r.getAs[Long]("supp_a") == 3L && r.getAs[Long]("supp_b") == 3L)
+  }
+
   test("basket pairs: duplicate item rows in one basket count once") {
     val items = Seq((1, "x"), (1, "x"), (1, "y"), (2, "x"), (2, "y"))
       .toDF("b", "i")
