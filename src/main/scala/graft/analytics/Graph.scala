@@ -61,6 +61,13 @@ object Graph {
     * a plain map-side-combined `sum` — constant-size aggregation
     * state per node, 1e-16-level reorder noise per iteration, and
     * rank ORDER is what downstream consumers read.
+    *
+    * Deterministic mode EARLY-EXITS when two consecutive rounds'
+    * in-sum tables are bit-equal: the update is then a pure function
+    * F with F(L) = L, so every later round is also L and the exit
+    * equals the full budget ([[kCore]]'s monotone-peel argument in
+    * fixed-point form — sound here precisely because the folds are
+    * bit-stable; production float sums never take this path).
     */
   def pageRank(
       edges: DataFrame,
@@ -102,7 +109,7 @@ object Graph {
       // hub graphs instead of OOMing one aggregation buffer (the
       // production sum path has no such limit).
       val hubs = e.groupBy(col("_dst")).agg(count(lit(1)).as("_ind"))
-        .filter(col("_ind") > maxInDegree).limit(1).count()
+        .filter(col("_ind") > maxInDegree).count()
       require(hubs == 0,
         s"deterministic pageRank: a node exceeds maxInDegree=$maxInDegree " +
           "(oracle mode collects in-neighbor lists; use deterministic=false " +
@@ -110,25 +117,51 @@ object Graph {
     }
     val teleport = 1.0 - damping
     var ranks = nodes.select(col("node"), lit(1.0 / n.toDouble).as("rank"))
-    for (_ <- 1 to iterations) {
+    // EARLY EXIT (deterministic mode only, r18): the update is a
+    // bit-exact pure function F of the rank table, and rank = const +
+    // d·s is injective in the in-sum s over a fixed key set, so two
+    // consecutive BIT-EQUAL in-sum tables mean F(L) = L — every later
+    // round is also L and stopping equals the full budget (the
+    // [[kCore]]/[[labelPropagation]] fixed-point argument, now applied
+    // to IEEE doubles, which deterministic folds make legitimate).
+    // The check persists the round's in-sum (in-degree-node-sized, far
+    // below the edge list) and compares it to the previous round's
+    // with one keyed join — O(nodes) per round, bought back whenever
+    // the budget overshoots the fixed point. Production mode is
+    // untouched: reorder noise makes float equality meaningless there,
+    // and the plain-sum chain stays one lazy plan.
+    var prevSum: DataFrame = null
+    var stable = false
+    var iter = 0
+    while (iter < iterations && !stable) {
       val contribs = ew
         .join(ranks.withColumnRenamed("node", "_src"), "_src")
         .select(col("_dst").as("node"), col("_src"),
           (col("rank") / col("_deg").cast("double")).as("_c"))
       val inSum =
-        if (deterministic)
-          contribs.groupBy(col("node")).agg(
+        if (deterministic) {
+          val s = contribs.groupBy(col("node")).agg(
             aggregate(
               array_sort(collect_list(struct(col("_src"), col("_c")))),
               lit(0.0),
               (acc, x) => acc + x.getField("_c")).as("_s"))
-        else
+            .persist(storage)
+          if (prevSum != null) {
+            stable = s.join(
+              prevSum.select(col("node"), col("_s").as("_ps")), Seq("node"))
+              .filter(col("_s") =!= col("_ps")).count() == 0
+            prevSum.unpersist(false)
+          }
+          prevSum = s
+          s
+        } else
           contribs.groupBy(col("node")).agg(sum(col("_c")).as("_s"))
       ranks = nodes.join(inSum, Seq("node"), "left_outer")
         .na.fill(0.0, Seq("_s"))
         .select(col("node"),
           (lit(teleport / n.toDouble) +
             lit(damping) * col("_s")).as("rank"))
+      iter += 1
     }
     // like Dedup.components, the iterative operator is EAGER: the
     // final table is materialized to storage-backed blocks so the
@@ -139,7 +172,8 @@ object Graph {
     // them once the batch is materialized — without the hook each
     // batch would strand two node-sized frames in the CacheManager.
     if (!eager) {
-      if (onFences != null) onFences(Seq(ew, nodes, e))
+      if (onFences != null)
+        onFences(Seq(ew, nodes, e) ++ Option(prevSum))
       return ranks
     }
     // Like Dedup.components, the iterative operator is EAGER by
@@ -170,6 +204,7 @@ object Graph {
     ew.unpersist(false)
     nodes.unpersist(false)
     e.unpersist(false)
+    if (prevSum != null) prevSum.unpersist(false)
     edges.sparkSession.read.parquet(out)
   }
 
@@ -215,27 +250,31 @@ object Graph {
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
       .distinct().persist(storage)
     val seedCol = seeds.columns.head
-    val nodes0 = e.select(col("_src").as("node"))
+    // ONE derivation of the node set (r18, guide §2.4): the old shape
+    // referenced the union-distinct node table twice in the teleport
+    // plan (directly and inside the seed semi-join), replaying the
+    // edge scan + two distinct exchanges per reference. A single
+    // left-semi-as-indicator join persists (node, seed?) once; the
+    // |S| count doubles as its materialization fence.
+    val marked = e.select(col("_src").as("node"))
       .union(e.select(col("_dst").as("node"))).distinct()
-    val seedNodes = nodes0.join(
-      seeds.select(col(seedCol).as("node")).distinct(), Seq("node"),
-      "left_semi")
-    // teleport rides the node table: seed nodes carry (1-d)/|S|,
-    // everyone else exactly 0.0 — persisted once, reused every round
-    val sCount = seedNodes.count()
+      .join(seeds.select(col(seedCol).as("node")).distinct()
+        .withColumn("_seed", lit(true)), Seq("node"), "left_outer")
+      .persist(storage)
+    val sCount = marked.filter(col("_seed")).count()
     require(sCount > 0,
       "personalizedPageRank: no seed intersects the graph's node set")
     val teleport = 1.0 - damping
-    val nodes = nodes0
-      .join(seedNodes.withColumn("_t", lit(teleport / sCount.toDouble)),
-        Seq("node"), "left_outer")
-      .na.fill(0.0, Seq("_t"))
-      .persist(storage)
+    // teleport rides the node table: seed nodes carry (1-d)/|S|,
+    // everyone else exactly 0.0 — lazy over the persisted indicator
+    val nodes = marked.select(col("node"),
+      when(col("_seed"), lit(teleport / sCount.toDouble))
+        .otherwise(lit(0.0)).as("_t"))
     val outdeg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
     val ew = e.join(outdeg, "_src").persist(storage)
     if (deterministic) {
       val hubs = e.groupBy(col("_dst")).agg(count(lit(1)).as("_ind"))
-        .filter(col("_ind") > maxInDegree).limit(1).count()
+        .filter(col("_ind") > maxInDegree).count()
       require(hubs == 0,
         s"deterministic personalizedPageRank: a node exceeds maxInDegree=" +
           s"$maxInDegree (oracle mode collects in-neighbor lists)")
@@ -245,27 +284,44 @@ object Graph {
     var ranks = nodes.select(col("node"),
       when(col("_t") > 0.0, lit(1.0 / sCount.toDouble))
         .otherwise(lit(0.0)).as("rank"))
-    for (_ <- 1 to iterations) {
+    // deterministic-mode early exit on bit-equal consecutive in-sum
+    // tables — [[pageRank]]'s fixed-point argument verbatim (rank =
+    // _t + d·s is injective in s over the fixed node set)
+    var prevSum: DataFrame = null
+    var stable = false
+    var iter = 0
+    while (iter < iterations && !stable) {
       val contribs = ew
         .join(ranks.withColumnRenamed("node", "_src"), "_src")
         .select(col("_dst").as("node"), col("_src"),
           (col("rank") / col("_deg").cast("double")).as("_c"))
       val inSum =
-        if (deterministic)
-          contribs.groupBy(col("node")).agg(
+        if (deterministic) {
+          val s = contribs.groupBy(col("node")).agg(
             aggregate(
               array_sort(collect_list(struct(col("_src"), col("_c")))),
               lit(0.0),
               (acc, x) => acc + x.getField("_c")).as("_s"))
-        else
+            .persist(storage)
+          if (prevSum != null) {
+            stable = s.join(
+              prevSum.select(col("node"), col("_s").as("_ps")), Seq("node"))
+              .filter(col("_s") =!= col("_ps")).count() == 0
+            prevSum.unpersist(false)
+          }
+          prevSum = s
+          s
+        } else
           contribs.groupBy(col("node")).agg(sum(col("_c")).as("_s"))
       ranks = nodes.join(inSum, Seq("node"), "left_outer")
         .na.fill(0.0, Seq("_s"))
         .select(col("node"),
           (col("_t") + lit(damping) * col("_s")).as("rank"))
+      iter += 1
     }
     if (!eager) {
-      if (onFences != null) onFences(Seq(ew, nodes, e))
+      if (onFences != null)
+        onFences(Seq(ew, marked, e) ++ Option(prevSum))
       return ranks
     }
     val sc = edges.sparkSession.sparkContext
@@ -281,8 +337,9 @@ object Graph {
     val out = dir + "/ppr-" + java.util.UUID.randomUUID().toString
     ranks.write.mode("overwrite").parquet(out)
     ew.unpersist(false)
-    nodes.unpersist(false)
+    marked.unpersist(false)
     e.unpersist(false)
+    if (prevSum != null) prevSum.unpersist(false)
     edges.sparkSession.read.parquet(out)
   }
 
@@ -769,7 +826,7 @@ object Graph {
           .getField("_l").as("lbl")))
       stable = next.select(col("node"), col("lbl").as("_new"))
         .join(labels.select(col("node"), col("lbl").as("_old")), "node")
-        .filter(col("_new") =!= col("_old")).limit(1).count() == 0
+        .filter(col("_new") =!= col("_old")).count() == 0
       labels = next
       iter += 1
     }
@@ -914,7 +971,7 @@ object Graph {
         .join(dist, Seq("node"), "left_anti")
         .withColumn("hops", lit(hop))
       frontier = truncate(reached)
-      done = frontier.limit(1).count() == 0
+      done = frontier.count() == 0
       if (!done) dist = dist.unionByName(frontier)
     }
     dist.select(col("node"), col("hops"))

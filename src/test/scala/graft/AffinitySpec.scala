@@ -203,6 +203,24 @@ class AffinitySpec extends AnyFunSuite {
     assert(r.values.forall(_ >= 0.15 / 4 - 1e-15))
   }
 
+  test("pagerank deterministic early exit equals the full budget") {
+    // the chain graph reaches its exact fixed point at round 3:
+    // budgets at or past it must return bit-identical tables (the r18
+    // early exit), while pre-convergence budgets must still differ —
+    // no premature exit
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    def run(k: Int) = graft.analytics.Graph.pageRank(e, "s", "d",
+      iterations = k, deterministic = true)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val r2 = run(2); val r3 = run(3); val r10 = run(10)
+    assert(r2 != r3, "round 3 still moves mass — exit must not fire early")
+    assert(r3 == r10, "converged budgets must agree bit-for-bit")
+    def runP(k: Int) = graft.analytics.Graph.personalizedPageRank(e, "s",
+      "d", Seq(1L).toDF("id"), iterations = k, deterministic = true)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(runP(2) != runP(3) && runP(3) == runP(10))
+  }
+
   test("pagerank deterministic mode is repartition-invariant and " +
     "agrees with the production sum to float noise") {
     val edges = (1 to 400).map(i =>
