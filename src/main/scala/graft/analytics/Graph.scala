@@ -391,8 +391,6 @@ object Graph {
     require(!e.isEmpty,
       "hits: empty edge set (no non-null distinct edges) — the L1 " +
         "normalizer is undefined on an empty graph")
-    val srcs = e.select(col("_src").as("node")).distinct()
-    val dsts = e.select(col("_dst").as("node")).distinct()
 
     def foldSum(tagged: Column): Column =
       if (deterministic)
@@ -416,13 +414,24 @@ object Graph {
     }
 
     var prevFences: Seq[DataFrame] = Nil
-    var hub = srcs.select(col("node"), lit(1.0).as("hub"))
+    // hub_0 ≡ 1.0 for every source BY DEFINITION, so round 1 folds the
+    // constant inline instead of materializing a distinct-src table
+    // and joining it back onto the edge list (r18, guide §2.4 — the
+    // fold sees bit-identical (src, 1.0) structs either way)
+    var hub: DataFrame = null
     var auth: DataFrame = null
     for (_ <- 1 to iterations) {
-      val aRaw = e.join(hub.withColumnRenamed("node", "_src"), "_src")
+      val aTagged =
+        if (hub == null)
+          e.select(col("_dst"),
+            struct(col("_src").as("_k"), lit(1.0).as("_c")).as("_t"))
+        else
+          e.join(hub.withColumnRenamed("node", "_src"), "_src")
+            .select(col("_dst"),
+              struct(col("_src").as("_k"), col("hub").as("_c")).as("_t"))
+      val aRaw = aTagged
         .groupBy(col("_dst").as("node"))
-        .agg(foldSum(struct(col("_src").as("_k"), col("hub").as("_c")))
-          .as("a"))
+        .agg(foldSum(col("_t")).as("a"))
         .persist(storage)
       val aSum = l1(aRaw, "a")
       auth = aRaw.select(col("node"), (col("a") / lit(aSum)).as("authority"))
@@ -439,10 +448,11 @@ object Graph {
       prevFences.foreach(_.unpersist(false))
       prevFences = Seq(aRaw, hRaw)
     }
-    val out = dsts.join(auth, Seq("node"), "left_outer")
-      .na.fill(0.0, Seq("authority"))
-      .join(srcs.join(hub, Seq("node"), "left_outer")
-        .na.fill(0.0, Seq("hub")), Seq("node"), "full_outer")
+    // auth's key set IS the distinct-dst set (every dst has an
+    // in-edge; hub covers every src by the same induction), so the old
+    // dsts/srcs left-outer re-joins were identities — one full-outer
+    // stitch of the two final half-steps is the whole output (r18)
+    val out = auth.join(hub, Seq("node"), "full_outer")
       .na.fill(0.0, Seq("authority", "hub"))
       .select(col("node"), col("authority"), col("hub"))
     // eager=false (pageRank's contract): return the lazy plan and
@@ -820,14 +830,19 @@ object Graph {
         .select(col("_n"), col("lbl"))
         .union(labels.select(col("node").as("_n"), col("lbl")))
         .groupBy(col("_n"), col("lbl")).agg(count(lit(1)).as("_c"))
+      // the moved flag rides the truncated table ([[Dedup.components]]'
+      // pattern, r18): the convergence probe is then one filter+count
+      // over storage-backed blocks instead of a separate join job
+      // re-deriving both label tables every round
       val next = truncate(votes
         .groupBy(col("_n").as("node"))
         .agg(min(struct((-col("_c")).as("_nc"), col("lbl").as("_l")))
-          .getField("_l").as("lbl")))
-      stable = next.select(col("node"), col("lbl").as("_new"))
+          .getField("_l").as("lbl"))
         .join(labels.select(col("node"), col("lbl").as("_old")), "node")
-        .filter(col("_new") =!= col("_old")).count() == 0
-      labels = next
+        .select(col("node"), col("lbl"),
+          (col("lbl") =!= col("_old")).as("_moved")))
+      stable = next.filter(col("_moved")).count() == 0
+      labels = next.select(col("node"), col("lbl"))
       iter += 1
     }
     labels.select(col("node"), col("lbl").as("community"))
