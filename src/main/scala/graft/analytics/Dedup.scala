@@ -1086,22 +1086,27 @@ object Dedup {
         ni.cast("double") / sz.cast("double") >= lit(threshold)
       when(ok(c - 1), c - 1).when(ok(c), c).otherwise(c + 1)
     }
+    // probe keeps each token's global df: the index side has exactly
+    // df(w) postings for w (it is the token table re-keyed), so the
+    // candidate bound Σ_w probe_w·index_w equals ONE row-sum of df
+    // over the probe — no per-token recount of either side (r18; the
+    // old shape ran two groupBys and a join to rebuild numbers the
+    // probe already carried)
     val probe = fence(tok.join(freq, "w")
       .withColumn("rn", row_number().over(wOrd))
       .withColumn("sz", count(lit(1)).over(wAll))
       .filter(col("rn") <= col("sz") - minOverlap(col("sz")) + 1)
-      .select(col("w"), col("doc_id").as("id_a"), col("sz").as("sz_a")))
+      .select(col("w"), col("doc_id").as("id_a"), col("sz").as("sz_a"),
+        col("df")))
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz_b"))
-    val index = fence(tok.join(sizes, "doc_id")
-      .select(col("w"), col("doc_id").as("id_b"), col("sz_b")))
+    // single consumer after the bound rewrite — no fence needed; tok
+    // (fenced) and its size aggregate derive it once inside the join
+    val index = tok.join(sizes, "doc_id")
+      .select(col("w"), col("doc_id").as("id_b"), col("sz_b"))
     // candidate-count guard: the probe×index join emits exactly
-    // Σ_w probe_w·index_w rows before filters
-    val pc = probe.groupBy(col("w"))
-      .agg(count(lit(1)).cast("decimal(38,0)").as("pc"))
-    val ic = index.groupBy(col("w"))
-      .agg(count(lit(1)).cast("decimal(38,0)").as("ic"))
-    val boundRow = pc.join(ic, Seq("w"))
-      .agg(sum(col("pc") * col("ic")).as("b")).collect().head
+    // Σ_w probe_w·index_w = Σ_{probe rows} df(w) rows before filters
+    val boundRow = probe
+      .agg(sum(col("df").cast("decimal(38,0)")).as("b")).collect().head
     val bound =
       if (boundRow.isNullAt(0)) java.math.BigDecimal.ZERO
       else boundRow.getDecimal(0)
