@@ -115,6 +115,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE may re-partition CACHED plans (guide §2: scale-adaptive
+      // partitioning, not a constant): by default Spark pins a cached
+      // frame's layout to the static shuffle-partition count, so every
+      // scan over the persist-heavy iterative operators (pagerank/
+      // kcore/components round state) paid `cpus` near-empty tasks per
+      // reference at gate scale. With the flag on, AQE coalesces the
+      // cached plan to the advisory partition size — tiny caches read
+      // as one task, 100 TB caches (partitions >= advisory size
+      // already) are untouched. Values are partition-independent:
+      // oracle rows fold deterministically by design. Measured r18:
+      // graph_kcore 6.3 s -> 3.2 s, graph_pagerank 7.3 s -> 6.2 s.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // host-freeze armor (PERF.md round-6): the sandbox hypervisor
       // suspends this VM for multi-minute chunks; with the default
