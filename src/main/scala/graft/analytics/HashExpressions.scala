@@ -836,4 +836,37 @@ object HashFunctions {
     Bridge.column(BloomMightContain(Bridge.expression(c), bloomBytes))
   def long_dot(a: Column, b: Column): Column =
     Bridge.column(LongDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Deterministic 6-dp OLS fit over collected (x, y) points:
+    * `pts` is array<struct<x:double, y:double>> (field names matter);
+    * the array is sorted ascending (x is the unique order key at every
+    * call site), Σx/Σy/Σxy/Σx² are sequential IEEE folds over it, and
+    * slope/intercept one fixed expression tree over those sums — so
+    * the result is identical bits on any engine and any partitioning,
+    * and the DuckDB oracle replays it verbatim with
+    * list(... ORDER BY x) + list_reduce. Replaces the native
+    * regr_slope/regr_intercept pair, whose per-partition float fold
+    * order is NOT stable (the r18 text_heaps hash flip: 6-dp rounding
+    * of a partition-order-dependent double is not determinism).
+    * Returns struct(slope, intercept), both rounded to 6 dp; the
+    * intercept uses the UNROUNDED slope, as does the oracle.
+    */
+  def ols_fit6(pts: Column): Column = {
+    import org.apache.spark.sql.functions.{aggregate, lit, round, size, struct, array_sort, when}
+    val sorted = array_sort(pts)
+    def fsum(f: Column => Column): Column =
+      aggregate(sorted, lit(0.0), (acc, e) => acc + f(e))
+    val n = size(sorted).cast("double")
+    val sx = fsum(_.getField("x"))
+    val sy = fsum(_.getField("y"))
+    val sxy = fsum(e => e.getField("x") * e.getField("y"))
+    val sxx = fsum(e => e.getField("x") * e.getField("x"))
+    // degenerate fits (< 2 points, or all-equal x) have a zero
+    // denominator: NULL, like the regr_* pair, instead of an ANSI
+    // divide-by-zero — every call site filters such groups out
+    val denom = n * sxx - sx * sx
+    val slope = when(denom =!= lit(0.0), (n * sxy - sx * sy) / denom)
+    val intercept = when(denom =!= lit(0.0), (sy - slope * sx) / n)
+    struct(round(slope, 6).as("slope"), round(intercept, 6).as("intercept"))
+  }
 }

@@ -1286,11 +1286,17 @@ object Temporal {
       .filter(col("_mean_rs") > 0.0)
       .withColumn("_x", log(col("_m").cast("double")))
       .withColumn("_y", log(col("_mean_rs")))
+    // deterministic m-ordered OLS fold (ols_fit6; x = ln m is the
+    // unique ascending key): the native regr_* fold order is
+    // partition-dependent
     perM.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_scales"),
         sum(col("_n_blocks")).as("n_blocks"),
-        round(regr_slope(col("_y"), col("_x")), 6).as("hurst"),
-        round(regr_intercept(col("_y"), col("_x")), 6).as("log_c"))
+        HashFunctions.ols_fit6(collect_list(
+          struct(col("_x").as("x"), col("_y").as("y")))).as("_fit"))
+      .select((groupCols.map(col) ++ Seq(col("n_scales"), col("n_blocks"),
+        col("_fit.slope").as("hurst"),
+        col("_fit.intercept").as("log_c"))): _*)
       .filter(col("n_scales") >= 2)
   }
 }

@@ -1451,8 +1451,9 @@ object Text {
     * a per-partition partial top-k, so the head selection never
     * global-sorts the vocabulary — and the rank window runs over the
     * ≤ topN surviving rows (bounded, single task by construction).
-    * The regression itself is `regr_slope`/`regr_intercept`, a
-    * constant-size aggregate state.
+    * The regression is a rank-ordered sequential OLS fold
+    * ([[HashFunctions.ols_fit6]], bounded by topN), bit-replicable
+    * by the DuckDB oracle.
     */
   def zipfFit(df: DataFrame, textCol: String, minCount: Long = 2,
               topN: Int = 4096): DataFrame =
@@ -1474,10 +1475,14 @@ object Text {
         Window.orderBy(col("freq").desc, col("token").asc)))
       .select(log10(col("_rank").cast("double")).as("x"),
         log10(col("freq").cast("double")).as("y"))
+    // deterministic rank-ordered OLS fold (ols_fit6): the native
+    // regr_slope/regr_intercept fold order is partition-dependent
     pts.agg(
-      count(lit(1)).as("n_types"),
-      round(regr_slope(col("y"), col("x")), 6).as("slope"),
-      round(regr_intercept(col("y"), col("x")), 6).as("intercept"))
+        count(lit(1)).as("n_types"),
+        ols_fit6(collect_list(struct(col("x"), col("y")))).as("_fit"))
+      .select(col("n_types"),
+        col("_fit.slope").as("slope"),
+        col("_fit.intercept").as("intercept"))
   }
 
   /** Heaps' law fit (Heaps 1978; Herdan 1960): V(n) = K·n^β —
@@ -1502,8 +1507,9 @@ object Text {
     * the streaming twin merges — then per-bucket prefix sums over
     * CHECKPOINT rows only (corpus_size / bucketWidth rows — size
     * bucketWidth to keep that bounded; the window never sees tokens
-    * or documents). The regression is `regr_slope`/`regr_intercept`,
-    * constant-size aggregate state.
+    * or documents). The regression is a bucket-ordered sequential OLS
+    * fold ([[HashFunctions.ols_fit6]], bounded by the checkpoint
+    * count), bit-replicable by the DuckDB oracle.
     */
   def heapsFit(df: DataFrame, idCol: String, textCol: String,
                bucketWidth: Long = 64): DataFrame = {
@@ -1541,12 +1547,17 @@ object Text {
       .select(col("ct"), col("cv"),
         log10(col("ct").cast("double")).as("x"),
         log10(col("cv").cast("double")).as("y"))
+    // deterministic bucket-ordered OLS fold (ols_fit6; x = log10 of the
+    // strictly-increasing cumulative token count, so ascending x IS
+    // bucket order): the native regr_* fold order is partition-dependent
     pts.agg(
-      count(lit(1)).as("n_points"),
-      max(col("ct")).as("n_tokens"),
-      max(col("cv")).as("n_types"),
-      round(regr_slope(col("y"), col("x")), 6).as("beta"),
-      round(regr_intercept(col("y"), col("x")), 6).as("log10_k"))
+        count(lit(1)).as("n_points"),
+        max(col("ct")).as("n_tokens"),
+        max(col("cv")).as("n_types"),
+        ols_fit6(collect_list(struct(col("x"), col("y")))).as("_fit"))
+      .select(col("n_points"), col("n_tokens"), col("n_types"),
+        col("_fit.slope").as("beta"),
+        col("_fit.intercept").as("log10_k"))
   }
 
   /** Pairwise Jensen–Shannon divergence between corpus slices'

@@ -4114,11 +4114,24 @@ object Analytics {
          pts AS (SELECT
              log10(CAST(row_number() OVER (ORDER BY freq DESC, token) AS DOUBLE)) AS x,
              log10(CAST(freq AS DOUBLE)) AS y
-           FROM top)
-         SELECT CAST(count(*) AS BIGINT) AS n_types,
-           round(regr_slope(y, x), 6) AS slope,
-           round(regr_intercept(y, x), 6) AS intercept
-         FROM pts""",
+           FROM top),
+         sums AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+             CAST(count(*) AS DOUBLE) AS n,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(x ORDER BY x)), (a, v) -> a + v) AS sx,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(y ORDER BY x)), (a, v) -> a + v) AS sy,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(x * y ORDER BY x)), (a, v) -> a + v) AS sxy,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(x * x ORDER BY x)), (a, v) -> a + v) AS sxx
+           FROM pts),
+         fit AS (SELECT n_types, n, sx, sy,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_raw
+           FROM sums)
+         SELECT n_types, round(slope_raw, 6) AS slope,
+           round((sy - slope_raw * sx) / n, 6) AS intercept
+         FROM fit""",
     // Heaps replay: bucketed (bucket, token) counts, first-occurrence
     // MIN per type, checkpoint prefix sums, 6-dp log-log OLS
     "text_heaps" ->
@@ -4145,13 +4158,27 @@ object Analytics {
        pts AS (SELECT ct, cv,
            log10(CAST(ct AS DOUBLE)) AS x,
            log10(CAST(cv AS DOUBLE)) AS y
-         FROM p)
-       SELECT CAST(count(*) AS BIGINT) AS n_points,
-         CAST(max(ct) AS BIGINT) AS n_tokens,
-         CAST(max(cv) AS BIGINT) AS n_types,
-         round(regr_slope(y, x), 6) AS beta,
-         round(regr_intercept(y, x), 6) AS log10_k
-       FROM pts""",
+         FROM p),
+       sums AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+           CAST(max(ct) AS BIGINT) AS n_tokens,
+           CAST(max(cv) AS BIGINT) AS n_types,
+           CAST(count(*) AS DOUBLE) AS n,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(x ORDER BY x)), (a, v) -> a + v) AS sx,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(y ORDER BY x)), (a, v) -> a + v) AS sy,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(x * y ORDER BY x)), (a, v) -> a + v) AS sxy,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(x * x ORDER BY x)), (a, v) -> a + v) AS sxx
+         FROM pts),
+       fit AS (SELECT n_points, n_tokens, n_types, n, sx, sy,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_raw
+         FROM sums)
+       SELECT n_points, n_tokens, n_types,
+         round(slope_raw, 6) AS beta,
+         round((sy - slope_raw * sx) / n, 6) AS log10_k
+       FROM fit""",
     "sample_temperature" ->
       """WITH c AS (SELECT CAST(18446744073709551616 AS HUGEINT) AS m64),
          cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS cn

@@ -2533,12 +2533,26 @@ object Temporal {
          pts AS (SELECT g, m, nb, ln(CAST(m AS DOUBLE)) AS x,
              ln(mean_rs) AS y
            FROM pm WHERE mean_rs > 0),
-         o AS (SELECT g AS event_type,
+         sums AS (SELECT g,
              CAST(count(*) AS BIGINT) AS n_scales,
              CAST(sum(nb) AS BIGINT) AS n_blocks,
-             round(regr_slope(y, x), 6) AS hurst,
-             round(regr_intercept(y, x), 6) AS log_c
-           FROM pts GROUP BY g)
+             CAST(count(*) AS DOUBLE) AS n,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(x ORDER BY x)), (a, v) -> a + v) AS sx,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(y ORDER BY x)), (a, v) -> a + v) AS sy,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(x * y ORDER BY x)), (a, v) -> a + v) AS sxy,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(x * x ORDER BY x)), (a, v) -> a + v) AS sxx
+           FROM pts GROUP BY g),
+         fit AS (SELECT g, n_scales, n_blocks, n, sx, sy,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_raw
+           FROM sums),
+         o AS (SELECT g AS event_type, n_scales, n_blocks,
+             round(slope_raw, 6) AS hurst,
+             round((sy - slope_raw * sx) / n, 6) AS log_c
+           FROM fit)
          SELECT * FROM o WHERE n_scales >= 2"""
 
   /** Changepoint replay, shared by the batch row and its streaming
