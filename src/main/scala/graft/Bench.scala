@@ -124,8 +124,12 @@ object Bench {
       // cached plan to the advisory partition size — tiny caches read
       // as one task, 100 TB caches (partitions >= advisory size
       // already) are untouched. Values are partition-independent:
-      // oracle rows fold deterministically by design. Measured r18:
-      // graph_kcore 6.3 s -> 3.2 s, graph_pagerank 7.3 s -> 6.2 s.
+      // oracle rows fold deterministically by design (r19 closed the
+      // one exception — the regr_* OLS tails — with ols_fit6).
+      // Validated r19 with the flag in Verify: full oracle 322/322;
+      // Probe min-of-3 at sf0.1/32cpu, flag off -> on: graph_kcore
+      // 4.87 -> 3.66 s, graph_pagerank 9.83 -> 6.23 s,
+      // graph_components 3.03 -> 2.70 s.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // host-freeze armor (PERF.md round-6): the sandbox hypervisor

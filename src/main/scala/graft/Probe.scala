@@ -18,12 +18,11 @@ object Probe {
     // warmup like Bench
     SparkEntry.queries.get("q1_pricing_summary").foreach(q =>
       try q(spark, sfDir).write.format("noop").mode("overwrite").save() catch { case _: Throwable => () })
+    val passes = sys.env.getOrElse("PROBE_PASSES", "3").toInt
     names.foreach { n =>
-      for (i <- 1 to 2) {
+      for (i <- 1 to passes) {
         val t0 = System.nanoTime()
-        spark.sparkContext.setLogLevel(if (i == 2) "INFO" else "ERROR")
         SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        spark.sparkContext.setLogLevel("ERROR")
         println(f"PROBE $n pass$i ${(System.nanoTime()-t0)/1e9}%.3f s")
       }
     }

@@ -147,9 +147,19 @@ object Graph {
               (acc, x) => acc + x.getField("_c")).as("_s"))
             .persist(storage)
           if (prevSum != null) {
-            stable = s.join(
-              prevSum.select(col("node"), col("_s").as("_ps")), Seq("node"))
-              .filter(col("_s") =!= col("_ps")).count() == 0
+            // INNER join soundness rests on the in-sum key set being
+            // round-invariant (it is: ranks covers every node via the
+            // left_outer + fill, so contribs always cover the full
+            // in-degree key set) — a sparse-ranks refactor would need
+            // a count-equality guard here. On the FINAL iteration
+            // `stable` is never read, so the O(nodes) probe job is
+            // skipped (r18 ADVICE); s stays persisted for the ranks
+            // projection and the dead previous round releases either
+            // way.
+            if (iter < iterations - 1)
+              stable = s.join(
+                prevSum.select(col("node"), col("_s").as("_ps")), Seq("node"))
+                .filter(col("_s") =!= col("_ps")).count() == 0
             prevSum.unpersist(false)
           }
           prevSum = s
@@ -304,9 +314,14 @@ object Graph {
               (acc, x) => acc + x.getField("_c")).as("_s"))
             .persist(storage)
           if (prevSum != null) {
-            stable = s.join(
-              prevSum.select(col("node"), col("_s").as("_ps")), Seq("node"))
-              .filter(col("_s") =!= col("_ps")).count() == 0
+            // same probe contract as [[pageRank]]: inner-join
+            // soundness holds because the in-sum key set is
+            // round-invariant, and the final iteration skips the
+            // never-read probe (r18 ADVICE)
+            if (iter < iterations - 1)
+              stable = s.join(
+                prevSum.select(col("node"), col("_s").as("_ps")), Seq("node"))
+                .filter(col("_s") =!= col("_ps")).count() == 0
             prevSum.unpersist(false)
           }
           prevSum = s

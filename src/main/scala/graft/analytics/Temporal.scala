@@ -114,17 +114,37 @@ object Temporal {
       leftTime: String,
       rightTime: String,
       rightValueCols: Seq[String],
-      dedupRight: Boolean = false): DataFrame = {
-    val lCols = left.columns.toSeq
-    require(rightValueCols.forall(c => !lCols.contains(c)),
-      s"right value columns ${rightValueCols.mkString(",")} collide with left columns")
+      dedupRight: Boolean = false): DataFrame =
+    joinPackedAsOf(left,
+      packAsOfRight(right, rightKey, rightTime, rightValueCols, dedupRight),
+      leftKey, leftTime, rightValueCols)
+
+  /** The version-array build half of [[asOfJoinBroadcast]]: per key,
+    * the time-sorted struct array the codegen'd `as_of_pick` binary
+    * search probes. Split out so a per-micro-batch caller (the
+    * `enrich.asof` processor) can persist the packed dimension ONCE
+    * instead of re-aggregating the static side on every batch.
+    */
+  def packAsOfRight(right: DataFrame, rightKey: String, rightTime: String,
+                    rightValueCols: Seq[String],
+                    dedupRight: Boolean = false): DataFrame = {
     val right1 = if (dedupRight)
       dedupRightByMaxStruct(right, rightKey, rightTime, rightValueCols)
     else right
-    val packed = right1
+    right1
       .groupBy(col(rightKey).as("_pk"))
       .agg(sort_array(collect_list(struct(
         col(rightTime).as("_vt") +: rightValueCols.map(col): _*))).as("_versions"))
+  }
+
+  /** The probe half of [[asOfJoinBroadcast]] over an already-packed
+    * right side (the output of [[packAsOfRight]]). */
+  def joinPackedAsOf(left: DataFrame, packed: DataFrame, leftKey: String,
+                     leftTime: String,
+                     rightValueCols: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    require(rightValueCols.forall(c => !lCols.contains(c)),
+      s"right value columns ${rightValueCols.mkString(",")} collide with left columns")
     left.join(broadcast(packed), col(leftKey) === col("_pk"), "left_outer")
       .withColumn("_m",
         TemporalFunctions.as_of_pick(col("_versions"), col(leftTime)))

@@ -397,20 +397,36 @@ case class EnrichAsofProc(keyField: Ref, timeField: Ref, table: String,
                           valueCols: Seq[String]) extends Processor {
   require(valueCols.nonEmpty, "enrich.asof: values must be non-empty")
   val plugin = "enrich.asof"
+  // The dimension is STATIC for the processor's lifetime (snapshot
+  // semantics — the enrichment contract), so the packed version-array
+  // table is materialized ONCE (localCheckpoint, the [[Fences]]
+  // contract: blocks free with the frame, nothing leaks into the
+  // CacheManager) and every micro-batch's stream-static join re-reads
+  // those blocks instead of re-scanning the parquet dim and re-running
+  // the dedup + pack aggregations (two shuffles) per batch.
+  @transient private var packedCache: DataFrame = null
+  private def packedDim(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    synchronized {
+      if (packedCache == null) {
+        val right = spark.read.parquet(table)
+          .select(Seq(col(tableKey).cast("string").as("_rk"),
+            col(tableTime).cast("long").as("_rt"), lit(1L).as("_asof_hit")) ++
+            valueCols.map(col): _*)
+        packedCache = graft.analytics.Temporal.packAsOfRight(right,
+          "_rk", "_rt", valueCols :+ "_asof_hit", dedupRight = true)
+          .localCheckpoint(true)
+      }
+      packedCache
+    }
   override def transform(df: DataFrame): DataFrame = {
     // a constant marker column rides the join so match/no-match is
     // decided by the JOIN, not by value nullness (a matched version
     // may legitimately carry NULL values)
-    val right = df.sparkSession.read.parquet(table)
-      .select(Seq(col(tableKey).cast("string").as("_rk"),
-        col(tableTime).cast("long").as("_rt"), lit(1L).as("_asof_hit")) ++
-        valueCols.map(col): _*)
     val withKt = df
       .withColumn("_ak", Analytics2Ops.fieldCol(df, keyField).cast("string"))
       .withColumn("_at", Analytics2Ops.fieldCol(df, timeField).cast("long"))
-    val joined = graft.analytics.Temporal.asOfJoinBroadcast(withKt, right,
-      "_ak", "_rk", "_at", "_rt", valueCols :+ "_asof_hit",
-      dedupRight = true)
+    val joined = graft.analytics.Temporal.joinPackedAsOf(withKt,
+      packedDim(df.sparkSession), "_ak", "_at", valueCols :+ "_asof_hit")
     // null VALUES are legal in Spark maps, but "asof.price": null on
     // the wire is indistinguishable from absent for most consumers —
     // so null-valued columns omit their key and asof.matched carries

@@ -119,8 +119,13 @@ object Temporal {
           "key" -> ".Payload.After.user_id",
           "time" -> ".Payload.After.ts_s",
           "table" -> dimDir, "values" -> "p_event_id,p_value,p_ts_s"))
+        // MemoryStream delivers each addData block as ONE partition —
+        // a harness artifact (a real source is partitioned) that
+        // serializes the per-record JSON wrap/parse work; repartition
+        // restores source parallelism, results are row-identical
         val out = proc(graft.model.Cdc.wrap(
-          in.toDF().toDF("user_id", "event_id", "ts_s"), "event_id", "events"))
+          in.toDF().toDF("user_id", "event_id", "ts_s").repartition(4),
+          "event_id", "events"))
         val q = out.writeStream.format("memory")
           .queryName("enrich_asof_stream_out").outputMode("append").start()
         try {

@@ -805,9 +805,15 @@ object StreamingOps {
       val prevR = latestCommittedDir(s"$stateDir/right", batchId)
         .map(spark.read.parquet(_)).getOrElse(dr.limit(0))
       val prevV = latestCommittedDir(s"$stateDir/view", batchId)
-      val delta = dl.join(prevR, keyCol)
-        .unionByName(prevL.join(dr, keyCol))
-        .unionByName(dl.join(dr, keyCol))
+      // the delta-join rule's asymmetry in executable form (guide §3.1):
+      // ΔL and ΔR are batch-sized while L and R accumulate the whole
+      // stream, so each delta×accumulated probe BROADCASTS the delta —
+      // without the hint the planner's size estimate of the fresh
+      // micro-batch side is unreliable and a sort-merge join would
+      // shuffle the full accumulated side every batch
+      val delta = broadcast(dl).join(prevR, keyCol)
+        .unionByName(prevL.join(broadcast(dr), keyCol))
+        .unionByName(broadcast(dl).join(dr, keyCol))
       val view = prevV match {
         case Some(p) => spark.read.parquet(p).unionByName(delta)
         case None => delta
